@@ -1,0 +1,70 @@
+"""Engine configuration.
+
+Mirrors the reference's user-extension surface (CassandraConnectorConfig.java:
+27-50,74-81,161-230; OracleConnectorConfig.java:248-318): snapshot mode, field
+blacklist, tombstones, table filters, batch sizing — re-expressed as Ray Data
+knobs (num lake partitions, actor-pool concurrency, batch/block sizes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Configuration for one CDC-ingested lake table.
+
+    Scale notes (100 TB / multi-node): ``num_partitions`` is the unit of
+    parallelism for the apply shuffle AND the unit of commit/resume — size it
+    to ~(cluster cores × 2..4). ``apply_concurrency`` is the actor-pool size
+    of the merge stage; ``target_rows_per_file`` bounds the sorted runs so
+    copy-on-write rewrites touch only affected runs, not whole partitions.
+    """
+
+    # identity
+    table: str = "pages"
+    key: str = "url"
+
+    # partitioning (the one big shuffle — hash(key) % num_partitions)
+    num_partitions: int = 16
+    # "mod" for integer keys (SQL-oracle-expressible: key % P), "hash" for
+    # strings (stable xxhash via polars / siphash via pandas).
+    partitioner: str = "hash"
+
+    # apply stage (stateful actor pool)
+    apply_concurrency: Optional[int] = None  # None → Ray decides (tasks)
+    apply_num_cpus: float = 1.0
+
+    # read / batch sizing
+    read_batch_size: int = 65536
+    target_rows_per_file: int = 1_000_000  # sorted-run length in the lake
+
+    # optional salted two-phase LWW pre-reduce for skewed epochs
+    # (north-rule skew handling: hot keys are collapsed per (partition, salt)
+    # before the final per-partition shuffle). 0 disables the extra shuffle;
+    # in-batch partial reduce always runs and already bounds hot-key fan-in
+    # to one row per key per input block.
+    salt_buckets: int = 0
+
+    # filters (reference: FieldFilterSelector.java:28-50, table include
+    # regex OracleConnectorConfig.java:101-103,325-348)
+    field_blacklist: Sequence[str] = ()
+    table_include_regex: Optional[str] = None
+
+    # delete semantics: emit nothing (tombstones compacted immediately —
+    # safe because the per-partition watermark guarantees no event older
+    # than an applied delete is ever re-applied; reference relies on Kafka
+    # log compaction instead, TombstoneRecord.java:11-24)
+    tombstones: bool = True
+
+    # snapshot mode: ALWAYS / INITIAL / NEVER
+    # (CassandraConnectorConfig.java:74-81)
+    snapshot_mode: str = "INITIAL"
+
+    def partition_of(self, key_array):
+        """Vectorized partition id for an Arrow array of keys."""
+        from debezium_incubator_ray.hashing import partition_ids
+
+        return partition_ids(key_array, self.num_partitions, self.partitioner)

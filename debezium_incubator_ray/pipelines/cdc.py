@@ -1,0 +1,353 @@
+"""CdcEngine — the public API: snapshot → streaming epochs → lake.
+
+Re-expresses the reference's connector lifecycle (Kafka Connect SourceTask
+start/poll/commit, OracleConnectorTask.java:58-133; Cassandra agent processor
+group, CassandraConnectorTask.java:130-229) as a Ray Data pipeline per epoch:
+
+    read_parquet(new segments)                      # stateless read tasks
+      .map_batches(NormalizeEnvelope)               # vectorized, zero-copy
+      .groupby(_p).map_groups(PartitionApplier)     # THE shuffle + stateful
+                                                    # actor-pool merge
+    driver: atomic manifest swap                    # exactly-once commit
+
+Snapshot-then-stream handoff mirrors the SCN-pinned flashback snapshot
+(OracleSnapshotChangeEventSource.java:110-139,228-231): snapshot rows are
+op='r' events at the snapshot LSN; streaming applies only lsn > watermark.
+
+The engine never calls ray.init()/shutdown() — the caller owns the session.
+No stage materializes the event stream on the driver: only P metadata rows
+(one per touched partition) fan in per epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.hashing import partition_ids
+from debezium_incubator_ray.sources import binlog as binlog_src
+from debezium_incubator_ray.stages.apply import PartitionApplier
+from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+from debezium_incubator_ray.state.manifest import Manifest
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        lake_dir: str,
+        config: Optional[EngineConfig] = None,
+        payload_schema: Optional[pa.Schema] = None,
+    ):
+        self.cfg = config or EngineConfig()
+        self.lake_dir = lake_dir
+        if Manifest.exists(lake_dir):
+            self.manifest = Manifest.load(lake_dir)
+            # the manifest is authoritative for table identity + partitioning
+            # on resume: a config drift here would route keys to partitions
+            # the applier doesn't track (and break exactly-once routing)
+            doc = self.manifest.doc
+            self.cfg.table = doc["table"]
+            self.cfg.key = doc["key"]
+            self.cfg.num_partitions = doc["num_partitions"]
+            self.cfg.partitioner = doc.get("partitioner", self.cfg.partitioner)
+        else:
+            if payload_schema is None:
+                raise ValueError("payload_schema required to create a new lake")
+            self.manifest = Manifest.create(
+                lake_dir,
+                self.cfg.table,
+                self.cfg.key,
+                self.cfg.num_partitions,
+                S.schema_to_b64(payload_schema),
+                partitioner=self.cfg.partitioner,
+            )
+
+    # ------------------------------------------------------------------
+    # snapshot phase (S3/S4, T5)
+    def snapshot(
+        self,
+        source: Union[str, pa.Table, "ray.data.Dataset", None],
+        snapshot_lsn: int = 0,
+    ) -> Dict[str, Any]:
+        """Bulk-load the source table as op='r' events at ``snapshot_lsn``.
+
+        Mode semantics mirror getSnapshottingTask
+        (OracleSnapshotChangeEventSource.java:55-69) + snapshot modes
+        (CassandraConnectorConfig.java:74-81): INITIAL skips if already
+        complete, NEVER always skips, ALWAYS redoes. An empty source still
+        marks completion (SnapshotProcessor.java:193-197).
+        """
+        mode = self.cfg.snapshot_mode.upper()
+        if mode == "NEVER" or (mode == "INITIAL" and self.manifest.doc["snapshot_complete"]):
+            return {"skipped": True}
+        if isinstance(source, str):
+            ds = ray.data.read_parquet(source)
+        elif isinstance(source, pa.Table):
+            ds = ray.data.from_arrow(source)
+        elif source is None:
+            ds = None
+        else:
+            ds = source
+
+        key, part_mode, P = self.cfg.key, self.cfg.partitioner, self.cfg.num_partitions
+
+        def to_events(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {name: batch[name] for name in batch.column_names}
+            cols["op"] = pa.array(["r"] * n, type=pa.string())
+            cols[S.LSN] = pa.array([snapshot_lsn] * n, type=pa.int64())
+            cols[S.PART] = pa.array(partition_ids(batch[key], P, part_mode), type=pa.int32())
+            return pa.table(cols)
+
+        stats: Dict[str, Any] = {"skipped": False, "events": 0}
+        if ds is not None:
+            flat = ds.map_batches(
+                to_events, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=self.cfg.read_batch_size,
+            )
+            commits = self._apply_shuffle(flat)
+            stats["events"] = sum(c["events_in"] for c in commits)
+            updates = self._partition_updates(commits)
+        else:
+            updates = {}
+        self.manifest = self.manifest.commit(
+            updates,
+            lineage=self._lineage("snapshot", updates, stats["events"], 0.0),
+            snapshot={"complete": True, "lsn": snapshot_lsn},
+        )
+        return stats
+
+    # ------------------------------------------------------------------
+    # streaming phase: one micro-batch epoch
+    def apply_epoch(
+        self, binlog_dir: str, max_segments: Optional[int] = None
+    ) -> Dict[str, Any]:
+        t0 = time.perf_counter()
+        segs = binlog_src.plan_epoch(
+            binlog_dir, self.manifest.doc["segments_done"], max_segments
+        )
+        schema_update = self._pending_schema_update(binlog_dir)
+        if not segs:
+            # heartbeat: empty epochs still advance the manifest (the
+            # reference's heartbeat records keep offsets moving,
+            # OracleConnectorConfig.java:108-109)
+            self.manifest = self.manifest.commit(
+                {}, lineage=self._lineage("heartbeat", {}, 0, time.perf_counter() - t0),
+                schema_update=schema_update,
+            )
+            return {"segments": 0, "events": 0}
+
+        if schema_update is not None:
+            # activate pending schema version before normalization so the
+            # whole epoch is upgraded to one target schema (SURVEY §7.3)
+            self.manifest = self.manifest.commit({}, schema_update=schema_update)
+
+        paths = [os.path.join(binlog_dir, s) for s in segs]
+        ds = ray.data.read_parquet(paths)
+        norm = NormalizeEnvelope(
+            self.manifest.doc["schemas"][-1]["schema"],
+            self.cfg.key,
+            self.cfg.num_partitions,
+            partitioner=self.cfg.partitioner,
+            defaults=self.manifest.doc["defaults"],
+            field_blacklist=self.cfg.field_blacklist,
+            table_include_regex=self.cfg.table_include_regex,
+        )
+        flat = ds.map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=self.cfg.read_batch_size,
+        )
+        if self.cfg.salt_buckets > 1:
+            flat = self._salted_prereduce(flat)
+        commits = self._apply_shuffle(flat)
+        updates = self._partition_updates(commits)
+        events = sum(c["events_in"] for c in commits)
+        self.manifest = self.manifest.commit(
+            updates,
+            segments_done=segs,
+            lineage=self._lineage("epoch", updates, events, time.perf_counter() - t0),
+        )
+        return {
+            "segments": len(segs),
+            "events": events,
+            "applied": sum(c["events_applied"] for c in commits),
+            "seconds": time.perf_counter() - t0,
+        }
+
+    def run(self, binlog_dir: str, max_segments_per_epoch: Optional[int] = None) -> List[Dict]:
+        """Drain the binlog: epochs until no new segments (the tail loop)."""
+        out = []
+        while True:
+            st = self.apply_epoch(binlog_dir, max_segments_per_epoch)
+            out.append(st)
+            if st["segments"] == 0:
+                return out
+
+    # ------------------------------------------------------------------
+    # internals
+    def _apply_shuffle(self, flat: "ray.data.Dataset") -> List[Dict]:
+        """hash-partitioned shuffle + stateful actor-pool merge; returns the
+        tiny per-partition commit records (metadata only) on the driver."""
+        # autoscaling actor pool (1, c): a fixed pool sized to every CPU
+        # would starve the upstream read/sort tasks and deadlock the
+        # streaming executor; (1, c) lets Ray balance the stages
+        c = self.cfg.apply_concurrency or min(self.cfg.num_partitions, 16)
+        applied = flat.groupby(S.PART).map_groups(
+            PartitionApplier,
+            fn_constructor_kwargs={
+                "manifest_doc": self.manifest.doc,
+                "lake_dir": self.lake_dir,
+                "target_rows_per_file": self.cfg.target_rows_per_file,
+            },
+            batch_format="pyarrow",
+            num_cpus=self.cfg.apply_num_cpus,
+            concurrency=(1, c),
+        )
+        return applied.take_all()
+
+    def _salted_prereduce(self, flat: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Optional second-phase salted LWW pre-reduce for skewed epochs:
+        collapse per (partition, salt) before the final per-partition shuffle
+        (north-rule hot-key splitting). The in-batch reduce inside
+        lww_reduce already bounds hot-key fan-in per block; this stage adds a
+        full combiner shuffle for extreme epochs."""
+        from debezium_incubator_ray.envelope import lww_reduce
+
+        salt_n = self.cfg.salt_buckets
+        key = self.cfg.key
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            salt = pc.cast(pc.bit_wise_and(t[S.LSN].combine_chunks(), salt_n - 1), pa.int32())
+            return t.append_column("_salt", salt)
+
+        def reduce_group(t: pa.Table) -> pa.Table:
+            return lww_reduce(t, key).drop_columns(["_salt"])
+
+        salted = flat.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+        return salted.groupby([S.PART, "_salt"]).map_groups(
+            reduce_group, batch_format="pyarrow"
+        )
+
+    @staticmethod
+    def _partition_updates(commits: List[Dict]) -> Dict[int, Dict[str, Any]]:
+        return {
+            c[S.PART]: {
+                "watermark": c["watermark"],
+                "files": json.loads(c["files_json"]),
+            }
+            for c in commits
+        }
+
+    def _lineage(self, kind: str, updates: Dict, events: int, seconds: float) -> Dict:
+        counts = {}
+        for p, u in updates.items():
+            counts[p] = sum(f["rows"] for f in u["files"])
+        n = max(1, len(counts))
+        mx = max(counts.values()) if counts else 0
+        mean = (sum(counts.values()) / n) if counts else 0
+        return {
+            "kind": kind,
+            "version": self.manifest.version + 1,
+            "events": events,
+            "partitions_touched": len(counts),
+            "rows_per_partition_max": mx,
+            "rows_per_partition_mean": mean,
+            "skew_ratio": (mx / mean) if mean else 0.0,
+            "seconds": round(seconds, 4),
+            "watermarks": {str(p): u.get("watermark") for p, u in updates.items()},
+        }
+
+    # ------------------------------------------------------------------
+    # read side
+    def read_lake(self, include_lsn: bool = False) -> "ray.data.Dataset":
+        """The lake as a Dataset, unified to the current schema version.
+
+        Files written under older schema versions are upgraded on read
+        (default backfill / widening) — the lazy half of schema evolution.
+        """
+        target = self.manifest.current_schema()
+        defaults = self.manifest.doc["defaults"]
+        by_ver: Dict[int, List[str]] = {}
+        for p in range(self.manifest.num_partitions):
+            for f in self.manifest.files(p):
+                by_ver.setdefault(f.get("schema_version", 1), []).append(
+                    os.path.join(self.lake_dir, f["path"])
+                )
+        if not by_ver:
+            empty = S.upgrade_table(pa.table({}), target, defaults).select(target.names)
+            return ray.data.from_arrow(empty)
+
+        def upgrade(batch: pa.Table) -> pa.Table:
+            lsn = batch[S.LSN]
+            out = S.upgrade_table(batch.drop_columns([S.LSN]), target, defaults)
+            if include_lsn:
+                out = out.append_column(S.LSN, lsn)
+            return out
+
+        parts = []
+        for _ver, paths in sorted(by_ver.items()):
+            parts.append(
+                ray.data.read_parquet(paths).map_batches(
+                    upgrade, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        ds = parts[0]
+        for other in parts[1:]:
+            ds = ds.union(other)
+        return ds
+
+    def lake_table(self, include_lsn: bool = False) -> pa.Table:
+        """Driver-side materialization for tests / small results only."""
+        target = self.manifest.current_schema()
+        defaults = self.manifest.doc["defaults"]
+        tbls = []
+        for p in range(self.manifest.num_partitions):
+            for f in self.manifest.files(p):
+                t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
+                lsn = t[S.LSN]
+                t = S.upgrade_table(t.drop_columns([S.LSN]), target, defaults)
+                if include_lsn:
+                    t = t.append_column(S.LSN, lsn)
+                tbls.append(t)
+        if not tbls:
+            return S.upgrade_table(pa.table({}), target, defaults)
+        return pa.concat_tables(tbls).sort_by([(self.cfg.key, "ascending")])
+
+    def _pending_schema_update(self, binlog_dir: str) -> Optional[Dict[str, Any]]:
+        changes = binlog_src.load_schema_changes(binlog_dir)
+        if not changes:
+            return None
+        applied = set()
+        for s in self.manifest.doc["schemas"]:
+            for c in s.get("changes", []):
+                applied.add((c["change"], c["column"], c["at_lsn"]))
+        fresh = [
+            c for c in changes if (c.change, c.column, c.at_lsn) not in applied
+        ]
+        if not fresh:
+            return None
+        schema = self.manifest.current_schema()
+        defaults: Dict[str, Any] = dict(self.manifest.doc["defaults"])
+        new_defaults: Dict[str, Any] = {}
+        for ch in sorted(fresh, key=lambda c: c.at_lsn):
+            before = set(defaults)
+            schema = S.apply_change(schema, defaults, ch)
+            for k in set(defaults) - before:
+                new_defaults[k] = defaults[k]
+        return {
+            "version": self.manifest.doc["schemas"][-1]["version"] + 1,
+            "at_lsn": min(c.at_lsn for c in fresh),
+            "schema": S.schema_to_b64(schema),
+            "changes": [c.to_json() for c in fresh],
+            "new_defaults": new_defaults,
+        }

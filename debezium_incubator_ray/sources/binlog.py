@@ -1,0 +1,61 @@
+"""Binlog/WAL-tail source: segment discovery + epoch planning.
+
+Reference parity: commit-log directory processing — initial backlog scan
+sorted by the segment's embedded timestamp, then watch for new segments
+(CommitLogProcessor.java:75-113 + CommitLogUtil.java:75-103 comparator;
+AbstractDirectoryWatcher.java:40-53). Ray-Data-first: the "watch" is a
+driver-side listing diff against the manifest's ``segments_done`` set per
+micro-batch epoch; each new segment becomes (part of) a ``read_parquet``
+task — reads are pruned at the source, never re-read and re-filtered.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from debezium_incubator_ray.schema import SchemaChange
+
+_SEG_RE = re.compile(r"p=(\d+)[/\\]seg-(\d+)\.parquet$")
+
+
+def list_segments(binlog_dir: str) -> List[str]:
+    """All segment files, sorted by (partition, segment index) — the
+    commit-log filename sort (O1)."""
+    out: List[Tuple[int, int, str]] = []
+    for root, _dirs, names in os.walk(binlog_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), binlog_dir)
+            m = _SEG_RE.search(rel.replace(os.sep, "/"))
+            if m:
+                out.append((int(m.group(1)), int(m.group(2)), rel))
+    out.sort()
+    return [rel for _p, _k, rel in out]
+
+
+def plan_epoch(
+    binlog_dir: str,
+    segments_done: Sequence[str],
+    max_segments: Optional[int] = None,
+) -> List[str]:
+    """New (not-yet-applied) segments for this epoch, oldest first."""
+    done = set(segments_done)
+    fresh = [s for s in list_segments(binlog_dir) if s not in done]
+    if max_segments is not None:
+        fresh = fresh[:max_segments]
+    return fresh
+
+
+def load_schema_changes(binlog_dir: str) -> List[SchemaChange]:
+    """Structured DDL-like control events shipped alongside the binlog
+    (the reference parses DDL text with ANTLR — OracleDdlParser.java:44-110;
+    our control plane is structured, so no text parsing)."""
+    path = os.path.join(binlog_dir, "_schema_changes.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [SchemaChange.from_json(d) for d in json.load(f)]

@@ -1,0 +1,141 @@
+"""Envelope normalization: the stateless hot-path map_batches stage.
+
+Turns raw envelope batches (op, before, after, source, ts_ms) into the flat
+apply-ready layout: payload columns (upgraded to the current schema version
+with default backfill), ``op``, ``_lsn``, ``_p``.
+
+Reference parity:
+- op classification / unsupported-kind skip with counter
+  (CommitLogReadHandlerImpl.java:76-136,248-279);
+- key extraction (Record.java:73-84 buildKey) — for deletes the key comes
+  from the before image (after is null, TombstoneRecord semantics);
+- field blacklist projection (FieldFilterSelector.java:28-50) — never drops
+  key columns, applied to insert/update images;
+- table include regex (OracleConnectorConfig.java:101-103,325-348);
+- positional/schema alignment (XStreamChangeRecordEmitter.java:53-62) —
+  here: Arrow struct flattening + upgrade_table.
+
+Stateless-but-compiled: regexes and parsed schemas are built once per actor
+(callable class), applied vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.envelope import unpack_struct
+from debezium_incubator_ray.hashing import partition_ids
+
+_VALID_OPS = pa.array(list(S.OPS), type=pa.string())
+
+
+class NormalizeEnvelope:
+    def __init__(
+        self,
+        schema_b64: str,
+        key: str,
+        num_partitions: int,
+        partitioner: str = "hash",
+        defaults: Optional[Dict[str, Any]] = None,
+        field_blacklist: Sequence[str] = (),
+        table_include_regex: Optional[str] = None,
+        emit_before: bool = False,
+    ):
+        self.schema = S.schema_from_b64(schema_b64)
+        self.key = key
+        self.num_partitions = num_partitions
+        self.partitioner = partitioner
+        self.defaults = defaults or {}
+        self.blacklist = {f for f in field_blacklist if f != key}
+        self.table_re = re.compile(table_include_regex) if table_include_regex else None
+        self.emit_before = emit_before
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return self._empty()
+        src = batch["source"].combine_chunks()
+        if self.table_re is not None:
+            tables = src.field("table")
+            # vectorized over the (tiny) set of distinct table names
+            uniq = pc.unique(tables).to_pylist()
+            keep_names = {t for t in uniq if t and self.table_re.search(t)}
+            mask = pc.is_in(tables, value_set=pa.array(sorted(keep_names), type=pa.string()))
+            batch = batch.filter(mask)
+            src = batch["source"].combine_chunks()
+            n = batch.num_rows
+            if n == 0:
+                return self._empty()
+        op = batch["op"].combine_chunks()
+        ok = pc.is_in(op, value_set=_VALID_OPS)
+        if not pc.all(ok).as_py():
+            # unsupported kinds are skipped (with the reference's
+            # skip-and-warn semantics); counted via row delta in lineage
+            batch = batch.filter(ok)
+            src = batch["source"].combine_chunks()
+            op = batch["op"].combine_chunks()
+            n = batch.num_rows
+            if n == 0:
+                return self._empty()
+
+        payload_env = batch["after"].type  # struct type as written
+        env_fields = {f.name for f in payload_env}
+        after = unpack_struct(batch["after"], self._env_schema(env_fields))
+        before_key = None
+        if "before" in batch.column_names:
+            b = batch["before"].combine_chunks()
+            valid = pc.is_valid(b)
+            child = b.field(self.key)
+            before_key = pc.if_else(valid, child, pa.nulls(n, child.type))
+
+        cols: Dict[str, pa.Array] = {}
+        for f in self.schema:
+            if f.name in self.blacklist:
+                continue
+            col = after.get(f.name)
+            if col is None:
+                col = pa.nulls(n, f.type)
+            elif col.type != f.type:
+                col = pc.cast(col, f.type)  # type widening
+            d = self.defaults.get(f.name)
+            if d is not None:
+                col = pc.fill_null(col, pa.scalar(d, type=f.type))
+            cols[f.name] = col
+        # key: coalesce(after.key, before.key) — deletes carry key via before
+        if before_key is not None:
+            cols[self.key] = pc.coalesce(cols[self.key], pc.cast(before_key, self.schema.field(self.key).type))
+        if self.emit_before:
+            bschema = self._env_schema({f.name for f in batch["before"].type})
+            before_all = unpack_struct(batch["before"], bschema)
+            for name, arr in before_all.items():
+                if name in self.blacklist:
+                    continue
+                cols[f"before_{name}"] = arr
+
+        cols["op"] = op
+        cols[S.LSN] = src.field("lsn")
+        cols[S.PART] = pa.array(
+            partition_ids(cols[self.key], self.num_partitions, self.partitioner),
+            type=pa.int32(),
+        )
+        return pa.table(cols)
+
+    def _env_schema(self, names) -> pa.Schema:
+        return pa.schema([f for f in self.schema if f.name in names] or [self.schema.field(self.key)])
+
+    def _empty(self) -> pa.Table:
+        cols = {
+            f.name: pa.nulls(0, f.type)
+            for f in self.schema
+            if f.name not in self.blacklist
+        }
+        cols["op"] = pa.nulls(0, pa.string())
+        cols[S.LSN] = pa.nulls(0, pa.int64())
+        cols[S.PART] = pa.nulls(0, pa.int32())
+        return pa.table(cols)

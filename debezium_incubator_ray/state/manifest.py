@@ -1,0 +1,162 @@
+"""Versioned lake manifest: the exactly-once commit point.
+
+Reference parity: FileOffsetWriter.java:41-172 (mark-if-greater offsets,
+flush-after-ack) + OracleOffsetContext.java:196-218 (resume from offset,
+snapshot flags) + schema history (OracleDatabaseSchema.java:49-64), unified
+into one atomically-swapped JSON document per lake table:
+
+- per-partition max-LSN watermarks (the replay-dedup predicate, P9/D1),
+- per-partition sorted-run file lists with min/max key stats (copy-on-write
+  targeting: only runs whose key range intersects an epoch's keys are
+  rewritten),
+- schema versions with their activation LSNs (T3 schema history),
+- snapshot completion flag + snapshot LSN (T5),
+- segments already applied (prune re-delivered segments at the read),
+- lineage of the last commit (T6: applied offset ranges, row counts, skew).
+
+Commit protocol (exactly-once across retried Ray tasks): apply tasks write
+data files under unique names and return only metadata; the driver writes
+``v{n}.json`` then atomically renames ``CURRENT`` to point at it. A crash
+anywhere leaves the previous manifest intact; orphan data files are invisible
+and garbage-collectable. Mirrors mark-offset-only-after-ack
+(KafkaRecordEmitter.java:58-71) with "ack" = Ray task completion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, List, Optional
+
+
+class Manifest:
+    def __init__(self, lake_dir: str, doc: Dict[str, Any]):
+        self.lake_dir = lake_dir
+        self.doc = doc
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def create(
+        lake_dir: str,
+        table: str,
+        key: str,
+        num_partitions: int,
+        schema_b64: str,
+        partitioner: str = "hash",
+    ) -> "Manifest":
+        os.makedirs(os.path.join(lake_dir, "data"), exist_ok=True)
+        os.makedirs(os.path.join(lake_dir, "_manifest"), exist_ok=True)
+        doc = {
+            "version": 0,
+            "table": table,
+            "key": key,
+            "partitioner": partitioner,
+            "num_partitions": num_partitions,
+            "schemas": [{"version": 1, "at_lsn": -1, "schema": schema_b64, "changes": []}],
+            "defaults": {},
+            "snapshot_complete": False,
+            "snapshot_lsn": -1,
+            "partitions": {
+                str(p): {"watermark": -1, "files": []} for p in range(num_partitions)
+            },
+            "segments_done": [],
+            "lineage": [],
+        }
+        m = Manifest(lake_dir, doc)
+        m._write()
+        return m
+
+    @staticmethod
+    def load(lake_dir: str) -> "Manifest":
+        cur = os.path.join(lake_dir, "_manifest", "CURRENT")
+        with open(cur) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(lake_dir, "_manifest", f"v{v}.json")) as f:
+            return Manifest(lake_dir, json.load(f))
+
+    @staticmethod
+    def exists(lake_dir: str) -> bool:
+        return os.path.exists(os.path.join(lake_dir, "_manifest", "CURRENT"))
+
+    # -- accessors -----------------------------------------------------------
+    @property
+    def version(self) -> int:
+        return self.doc["version"]
+
+    @property
+    def num_partitions(self) -> int:
+        return self.doc["num_partitions"]
+
+    def watermark(self, p: int) -> int:
+        return self.doc["partitions"][str(p)]["watermark"]
+
+    def files(self, p: int) -> List[Dict]:
+        return self.doc["partitions"][str(p)]["files"]
+
+    def all_files(self) -> List[str]:
+        out = []
+        for p in self.doc["partitions"].values():
+            out += [f["path"] for f in p["files"]]
+        return out
+
+    def current_schema(self):
+        from debezium_incubator_ray.schema import schema_from_b64
+
+        return schema_from_b64(self.doc["schemas"][-1]["schema"])
+
+    # -- commit --------------------------------------------------------------
+    def commit(
+        self,
+        partition_updates: Dict[int, Dict[str, Any]],
+        segments_done: Optional[List[str]] = None,
+        lineage: Optional[Dict[str, Any]] = None,
+        schema_update: Optional[Dict[str, Any]] = None,
+        snapshot: Optional[Dict[str, Any]] = None,
+    ) -> "Manifest":
+        """Produce + atomically publish the next manifest version."""
+        doc = json.loads(json.dumps(self.doc))  # deep copy
+        doc["version"] += 1
+        for p, upd in partition_updates.items():
+            ent = doc["partitions"][str(p)]
+            if "watermark" in upd:
+                ent["watermark"] = max(ent["watermark"], upd["watermark"])
+            if "files" in upd:
+                ent["files"] = upd["files"]
+        if segments_done:
+            done = set(doc["segments_done"])
+            doc["segments_done"] = sorted(done | set(segments_done))
+        if lineage is not None:
+            doc["lineage"] = (doc["lineage"] + [lineage])[-50:]
+        if schema_update is not None:
+            doc["schemas"].append(schema_update)
+            doc["defaults"].update(schema_update.get("new_defaults", {}))
+        if snapshot is not None:
+            doc["snapshot_complete"] = snapshot.get("complete", True)
+            doc["snapshot_lsn"] = snapshot.get("lsn", doc["snapshot_lsn"])
+        nxt = Manifest(self.lake_dir, doc)
+        nxt._write()
+        return nxt
+
+    def _write(self) -> None:
+        mdir = os.path.join(self.lake_dir, "_manifest")
+        path = os.path.join(mdir, f"v{self.doc['version']}.json")
+        _atomic_write(path, json.dumps(self.doc, indent=1))
+        _atomic_write(os.path.join(mdir, "CURRENT"), str(self.doc["version"]))
+
+
+def _atomic_write(path: str, content: str) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
