@@ -1,44 +1,665 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry():    flagship CDC pipeline (pages lake) on sf0.001.
+queries():  one entry per implemented operator/pipeline from SURVEY.md §2
+            plus the training-data operators; each callable takes sf_dir.
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query, with
+            matching column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Operator-ID map (SURVEY.md §2 → query name):
+  S1/S2/O1  segment source + sort         → exercised by every cdc_* query
+  S3/S4     snapshot scan                 → cdc_snapshot_read, cdc_snapshot_handoff
+  P1/P2     op classify                   → cdc_changelog_counts
+  P6        envelope build (+before)      → cdc_before_images
+  P7        field blacklist               → cdc_field_blacklist
+  P8        table include regex           → cdc_table_filter
+  P9/D1     watermark dedup               → cdc_replay_dup
+  P10/P12   type conversion rules         → type_normalization
+  L2/A3/D2  LWW upsert + tombstones       → cdc_lww_state, cdc_tombstones
+  A2        running max offsets           → cdc_watermarks
+  A1        row-scoped max                → row_scoped_max
+  A4        counters                      → cdc_changelog_counts
+  T2/T3/T5  manifest/resume               → cdc_restart_resume, cdc_schema_evolution
+  pre-agg combiner pattern                → agg_presum_groupby
+  training-data ops                       → dedup_*, text_*, ann_*, multimodal_meta
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+NUM_PARTITIONS = 8  # keep in sync with pipelines/events_cdc.py
+
+
+# ---------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages-lake CDC replay on sf0.001-scale synthetic pages
+    (snapshot → stream with dup re-delivery → restart-resume), returning the
+    final lake as a ray.data.Dataset."""
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+    from debezium_incubator_ray.pipelines.events_cdc import scratch_dir
+
+    root = scratch_dir("flagship")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    spec = gen.BinlogSpec(
+        n_events=6000, n_initial=1000, seg_rows=512, num_partitions=8, seed=42
+    )
+    ev = gen.gen_events(spec)
+    gen.write_binlog(binlog, spec, ev)
+    cfg = EngineConfig(num_partitions=8, apply_concurrency=4, target_rows_per_file=2000)
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.apply_epoch(binlog, max_segments=4)
+    del eng
+    eng = CdcEngine(lake)  # restart-resume from the manifest
+    eng.run(binlog)
+    eng.manifest.doc["segments_done"] = []  # dup re-delivery: must no-op
+    eng.apply_epoch(binlog)
+    return eng.read_lake()
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from debezium_incubator_ray.pipelines import events_cdc as EC
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def cdc_lww_state(sf_dir):
+        return EC.final_state(sf_dir)
+
+    def cdc_replay_dup(sf_dir):
+        return EC.final_state(sf_dir, replay_twice=True)
+
+    def cdc_restart_resume(sf_dir):
+        return EC.final_state(sf_dir, restart_midway=True)
+
+    def cdc_snapshot_handoff(sf_dir):
+        return EC.snapshot_then_stream(sf_dir)
+
+    def cdc_field_blacklist(sf_dir):
+        return EC.final_state(sf_dir, field_blacklist=["props"])
+
+    def cdc_table_filter(sf_dir):
+        import pyarrow as pa
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+
+        root = scratch_dir("tfilter")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog, table_name_by_parity=True)
+        eng = make_engine(lake, table_include_regex=r"^events_a$")
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        from debezium_incubator_ray import schema as S
+
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    def cdc_tombstones(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.envelope import lww_reduce
+        from debezium_incubator_ray.pipelines.events_cdc import events_envelopes
+        from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+        from debezium_incubator_ray.pipelines.events_cdc import EVENTS_PAYLOAD
+
+        env = events_envelopes(sf_dir)
+        norm = NormalizeEnvelope(
+            S.schema_to_b64(EVENTS_PAYLOAD), "user_id", NUM_PARTITIONS, "mod"
+        )
+        flat = ray.data.from_arrow(env).map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def winners_only(t: pa.Table) -> pa.Table:
+            w = lww_reduce(t, "user_id")
+            dead = w.filter(pc.equal(w["op"], "d"))
+            return pa.table(
+                {"user_id": dead["user_id"], "lsn": dead[S.LSN]}
+            )
+
+        out = flat.groupby(S.PART).map_groups(
+            winners_only, batch_format="pyarrow"
+        )
+        return out.to_pandas()
+
+    def cdc_watermarks(sf_dir):
+        import pandas as pd
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+
+        root = scratch_dir("wm")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake)
+        eng.run(binlog)
+        rows = [
+            {"partition": p, "watermark": eng.manifest.watermark(p)}
+            for p in range(NUM_PARTITIONS)
+        ]
+        return pd.DataFrame(rows).astype({"partition": "int32", "watermark": "int64"})
+
+    def cdc_changelog_counts(sf_dir):
+        import ray.data
+        from ray.data.aggregate import Count
+        from debezium_incubator_ray.pipelines.events_cdc import events_envelopes
+
+        env = events_envelopes(sf_dir).select(["op"])
+        return ray.data.from_arrow(env).groupby("op").aggregate(Count(alias_name="n"))
+
+    def cdc_before_images(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, events_envelopes,
+        )
+        from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+        env = events_envelopes(sf_dir)
+        norm = NormalizeEnvelope(
+            S.schema_to_b64(EVENTS_PAYLOAD),
+            "user_id",
+            NUM_PARTITIONS,
+            "mod",
+            emit_before=True,
+        )
+
+        def updates_only(t: pa.Table) -> pa.Table:
+            u = t.filter(pc.equal(t["op"], "u"))
+            return pa.table(
+                {
+                    "user_id": u["user_id"],
+                    "lsn": u[S.LSN],
+                    "before_value": u["before_value"],
+                    "value": u["value"],
+                }
+            )
+
+        ds = ray.data.from_arrow(env).map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(updates_only, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.to_pandas()
+
+    def cdc_snapshot_read(sf_dir):
+        import pyarrow as pa
+        import ray.data
+
+        def to_read_envelopes(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {c: t[c] for c in t.column_names}
+            cols["op"] = pa.array(["r"] * n, type=pa.string())
+            cols["snapshot"] = pa.array([True] * n, type=pa.bool_())
+            return pa.table(cols)
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        return ds.map_batches(
+            to_read_envelopes, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def cdc_schema_evolution(sf_dir):
+        """add_column with default backfill mid-stream over the events CDC
+        feed: column `score:double` defined as value*2 exists only for
+        events with lsn > L; earlier winners show the default -1.0."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import json
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            events_envelopes, make_engine, scratch_dir, NUM_PARTITIONS as P,
+        )
+        from debezium_incubator_ray.envelope import widen_struct_column
+
+        env = events_envelopes(sf_dir)
+        src = env["source"].combine_chunks()
+        lsn = src.field("lsn").to_numpy()
+        L = int(lsn.max()) // 2
+        after = env["after"].combine_chunks()
+        target = pa.struct(list(after.type) + [pa.field("score", pa.float64())])
+        wide = widen_struct_column(after, target)
+        score = pc.multiply(wide.field("value"), 2.0)
+        mask_v2 = pa.array(lsn > L)
+        score = pc.if_else(mask_v2, score, pa.nulls(len(env), pa.float64()))
+        children = [wide.field(i) for i in range(wide.type.num_fields - 1)] + [score]
+        new_after = pa.StructArray.from_arrays(
+            children,
+            fields=[target.field(i) for i in range(target.num_fields)],
+            mask=pc.invert(pc.is_valid(after)),
+        )
+        env = env.set_column(
+            env.schema.get_field_index("after"), pa.field("after", target), new_after
+        )
+        env = env.set_column(
+            env.schema.get_field_index("before"),
+            pa.field("before", target),
+            widen_struct_column(env["before"], target),
+        )
+        root = scratch_dir("evo")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        part = src.field("partition").to_numpy()
+        for p in range(P):
+            idx = np.nonzero(part == p)[0]
+            os.makedirs(os.path.join(binlog, f"p={p}"), exist_ok=True)
+            pq.write_table(
+                env.take(pa.array(idx)),
+                os.path.join(binlog, f"p={p}", "seg-00000.parquet"),
+            )
+        with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:
+            json.dump(
+                [S.SchemaChange("add_column", "score", "double", -1.0, L).to_json()], f
+            )
+        eng = make_engine(lake)
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    # -- supplementary relational/type operators ---------------------------
+
+    def type_normalization(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions import typeconv as TC
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_tax", "l_shipdate"],
+        )
+
+        def conv(t):
+            import pyarrow as pa
+
+            qty_int = TC.floor_to_int64(t["l_quantity"])
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_linenumber": t["l_linenumber"],
+                    "qty_int": qty_int,
+                    "qty_i16": TC.narrow_int_by_width(qty_int, 4),
+                    "tax_f32": TC.float_narrow(t["l_tax"]),
+                    "ship_ms": TC.timestamp_to_epoch_ms(t["l_shipdate"]),
+                    "ship_iso": TC.timestamp_to_iso_string(t["l_shipdate"]),
+                }
+            )
+
+        return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+    def row_scoped_max(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_tax", "l_discount"],
+        )
+
+        def mx(t):
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_linenumber": t["l_linenumber"],
+                    "writetime_max": pc.max_element_wise(t["l_tax"], t["l_discount"]),
+                }
+            )
+
+        return ds.map_batches(mx, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_presum_groupby(sf_dir):
+        """Partial-aggregate-then-small-groupby (the scale pattern for A-ops:
+        combine inside map_batches, shuffle only one row per key per block)."""
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            g = t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+            return pa.table(
+                {
+                    "event_type": g["event_type"],
+                    "psum": g["value_sum"],
+                    "pn": pc.cast(g["value_count"], pa.int64()),
+                }
+            )
+
+        partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        out = partials.groupby("event_type").aggregate(
+            Sum("psum", alias_name="total_value"), Sum("pn", alias_name="n")
+        )
+
+        def stabilize(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # float sums are order-dependent; round to a stable precision so
+            # the partial-sum tree matches the oracle's sequential sum
+            return t.set_column(
+                t.schema.get_field_index("total_value"),
+                "total_value",
+                pc.round(t["total_value"], ndigits=3),
+            )
+
+        return out.map_batches(stabilize, batch_format="pyarrow")
+
+    # -- training-data operators -------------------------------------------
+
+    def dedup_exact(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import exact_dedup
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        doubled = ds.union(ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")))
+        return exact_dedup(doubled, col="text", id_col="doc_id")
+
+    def dedup_minhash(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            minhash_candidate_pairs, verify_jaccard,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        cand = minhash_candidate_pairs(docs)
+        return verify_jaccard(cand, docs, threshold=0.5)
+
+    def dedup_simhash(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import SimHash
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return docs.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_ngram_jaccard(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import ngram_jaccard_pairs
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ngram_jaccard_pairs(docs, threshold=0.3)
+
+    def text_token_count(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.text import token_count
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            lambda t: token_count(t).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def text_quality(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.text import quality_score
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            lambda t: quality_score(t).select(
+                ["doc_id", "n_chars", "n_tokens", "mean_token_len", "punct_ratio"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def text_lang_id(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.text import LangId
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            LangId, batch_format="pyarrow", concurrency=2, batch_size=512
+        ).select_columns(["doc_id", "pred_lang"])
+
+    def text_fingerprint(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.text import Fingerprint
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            Fingerprint, batch_format="pyarrow", concurrency=2, batch_size=512
+        ).select_columns(["doc_id", "fingerprint"])
+
+    def ann_brute_topk(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.ann import brute_force_topk, _batch_matrix
+
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(__import__("pyarrow").compute.less(qt["vec_id"], 10))
+        Q = _batch_matrix(qt)
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=5)
+        return out.select(["query_id", "vec_id", "rank"])
+
+    def ann_lsh_topk(sf_dir):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.ann import lsh_topk, _batch_matrix
+
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.less(qt["vec_id"], 10))
+        Q = _batch_matrix(qt)
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = lsh_topk(ds, qt["vec_id"].to_numpy(), Q, dim=Q.shape[1], k=5, n_planes=6)
+        return out.select(["query_id", "vec_id", "rank"])
+
+    def multimodal_meta(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.multimodal import DecodeStub
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "payload": pc.cast(
+                        pc.cast(t["text"], pa.binary()), pa.large_binary()
+                    ),
+                }
+            )
+
+        withp = ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+        decoded = withp.map_batches(
+            DecodeStub, fn_constructor_kwargs={"payload_col": "payload"},
+            batch_format="pyarrow", batch_size=128, concurrency=2,
+        )
+
+        def flatten(t: pa.Table) -> pa.Table:
+            m = t["media_meta"].combine_chunks()
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bytes": m.field("n_bytes"),
+                    "magic": m.field("magic"),
+                }
+            )
+
+        return decoded.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+    return {
+        "cdc_lww_state": cdc_lww_state,
+        "cdc_replay_dup": cdc_replay_dup,
+        "cdc_restart_resume": cdc_restart_resume,
+        "cdc_snapshot_handoff": cdc_snapshot_handoff,
+        "cdc_field_blacklist": cdc_field_blacklist,
+        "cdc_table_filter": cdc_table_filter,
+        "cdc_tombstones": cdc_tombstones,
+        "cdc_watermarks": cdc_watermarks,
+        "cdc_changelog_counts": cdc_changelog_counts,
+        "cdc_before_images": cdc_before_images,
+        "cdc_snapshot_read": cdc_snapshot_read,
+        "cdc_schema_evolution": cdc_schema_evolution,
+        "type_normalization": type_normalization,
+        "row_scoped_max": row_scoped_max,
+        "agg_presum_groupby": agg_presum_groupby,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "ann_brute_topk": ann_brute_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "multimodal_meta": multimodal_meta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_ENV = (
+    "SELECT user_id, event_id AS lsn, "
+    "CASE WHEN event_id % 10 = 0 THEN 'd' "
+    "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+    "ts, event_type, value, props FROM events"
+)
+
+_LWW = (
+    f"WITH env AS ({_ENV}), ranked AS ("
+    "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn "
+    "FROM env) "
+)
+
+_TOKENS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(string_split_regex(trim(text), '\\s+')) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lww_cols = "user_id, ts, event_type, value, props, lsn"
+    return {
+        "cdc_lww_state": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_replay_dup": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_restart_resume": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_snapshot_handoff": _LWW
+        + "SELECT user_id, ts, event_type, value, props "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_field_blacklist": _LWW
+        + "SELECT user_id, ts, event_type, value, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_table_filter": _LWW
+        + f"SELECT {lww_cols} FROM ranked "
+        "WHERE rn = 1 AND op <> 'd' AND user_id % 2 = 0",
+        "cdc_tombstones": _LWW
+        + "SELECT user_id, lsn FROM ranked WHERE rn = 1 AND op = 'd'",
+        "cdc_watermarks": (
+            "SELECT CAST(user_id % 8 AS INTEGER) AS partition, "
+            "max(event_id) AS watermark FROM events GROUP BY 1"
+        ),
+        "cdc_changelog_counts": (
+            f"WITH env AS ({_ENV}) SELECT op, count(*) AS n FROM env GROUP BY op"
+        ),
+        "cdc_before_images": (
+            "WITH env AS (SELECT user_id, event_id AS lsn, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, value, "
+            "lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS before_value "
+            "FROM events) "
+            "SELECT user_id, lsn, before_value, value FROM env WHERE op = 'u'"
+        ),
+        "cdc_snapshot_read": (
+            "SELECT doc_id, text, lang, source, n_chars, "
+            "'r' AS op, true AS snapshot FROM documents"
+        ),
+        "cdc_schema_evolution": _LWW
+        + "SELECT user_id, ts, event_type, value, props, "
+        "CASE WHEN lsn > (SELECT max(event_id) FROM events) // 2 "
+        "THEN value * 2 ELSE -1.0 END AS score, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "type_normalization": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(floor(l_quantity) AS BIGINT) AS qty_int, "
+            "CAST(floor(l_quantity) AS SMALLINT) AS qty_i16, "
+            "CAST(l_tax AS REAL) AS tax_f32, "
+            "epoch_ms(l_shipdate) AS ship_ms, "
+            "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_iso "
+            "FROM lineitem"
+        ),
+        "row_scoped_max": (
+            "SELECT l_orderkey, l_linenumber, "
+            "greatest(l_tax, l_discount) AS writetime_max FROM lineitem"
+        ),
+        "agg_presum_groupby": (
+            "SELECT event_type, round(sum(value), 3) AS total_value, "
+            "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "dedup_exact": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "text_token_count": (
+            f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "text_quality": (
+            f"WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKENS} AS n_tokens, "
+            "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CASE WHEN n_tokens > 0 THEN "
+            "CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END "
+            "AS mean_token_len, "
+            "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars "
+            "ELSE 0.0 END AS punct_ratio FROM t"
+        ),
+        "ann_brute_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "lower(hex(encode(substring(text, 1, 4)))) AS magic FROM documents"
+        ),
+    }

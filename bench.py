@@ -1,0 +1,161 @@
+"""Bench harness: headline CDC apply throughput + per-operator timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_apply_seconds", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "events": N, "events_per_sec": X}
+
+--scaling: runs the same bench in two fresh processes (num_cpus=8 and 32 —
+the sandbox proxy for N vs 4N nodes, see BASELINE.md) and prints both
+throughputs + scaling efficiency.
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1). The binlog is
+synthesized deterministically (seed fixed), scaled off the sf dir's events
+table; generation is untimed — the timed region is exactly the engine's
+snapshot-and-apply work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _scaling_main() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "events_per_sec_8": r_lo["events_per_sec"],
+                "events_per_sec_32": r_hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "events": r_lo["events"],
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    n_events_tbl = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    n_events = n_events_tbl * 2          # sf0.1 → 200k change events
+    n_initial = max(1000, n_events // 4)  # sf0.1 → 50k pages
+
+    root = "/tmp/dbzray-bench"
+    shutil.rmtree(root, ignore_errors=True)
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+
+    P = min(64, max(16, ncpu * 2))
+    spec = gen.BinlogSpec(
+        n_events=n_events, n_initial=n_initial, seg_rows=8192,
+        num_partitions=P, seed=42,
+    )
+    ev = gen.gen_events(spec)
+    gen.write_binlog(binlog, spec, ev)
+    pages = gen.make_pages(spec.n_initial)
+
+    cfg = EngineConfig(
+        num_partitions=P, apply_concurrency=max(4, ncpu - 4),
+        target_rows_per_file=250_000,
+    )
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    for p in os.listdir(binlog):
+        d = os.path.join(binlog, p)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                with open(os.path.join(d, f), "rb") as fh:
+                    fh.read()
+
+    t0 = time.perf_counter()
+    eng.snapshot(pages)
+    t_snap = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    eng.run(binlog)
+    t_apply = time.perf_counter() - t1
+    headline = t_snap + t_apply
+
+    # representative per-operator timings (subset, sf-dir tables)
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    q_times = {}
+    for name in [
+        "cdc_lww_state", "cdc_changelog_counts", "agg_presum_groupby",
+        "dedup_exact", "dedup_minhash", "text_token_count", "text_quality",
+        "text_fingerprint", "ann_brute_topk", "type_normalization",
+        "multimodal_meta",
+    ]:
+        t2 = time.perf_counter()
+        try:
+            res = qs[name](sf_dir)
+            # force execution
+            if hasattr(res, "count") and not hasattr(res, "num_rows"):
+                res.count()
+            q_times[name] = round(time.perf_counter() - t2, 3)
+        except Exception as ex:  # pragma: no cover
+            q_times[name] = f"ERROR {str(ex)[:80]}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_apply_seconds",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf_dir,
+                "num_cpus": ncpu,
+                "events": n_events + n_initial,
+                "snapshot_sec": round(t_snap, 3),
+                "apply_sec": round(t_apply, 3),
+                "events_per_sec": round((n_events + n_initial) / headline, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling_main()
+    else:
+        main()

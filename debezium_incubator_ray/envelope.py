@@ -61,6 +61,33 @@ def unpack_struct(
     return out
 
 
+def widen_struct_column(
+    col: pa.ChunkedArray | pa.StructArray, target: pa.StructType
+) -> pa.StructArray:
+    """Rebuild a struct array against a wider struct type: fields present in
+    the source carry over, missing fields become null children; parent
+    validity preserved. The struct-level half of schema evolution."""
+    arr = _as_array(col)
+    n = len(arr)
+    have = {arr.type.field(i).name for i in range(arr.type.num_fields)}
+    children = []
+    for i in range(target.num_fields):
+        f = target.field(i)
+        if f.name in have:
+            child = arr.field(f.name)
+            if child.type != f.type:
+                child = pc.cast(child, f.type)
+            children.append(child)
+        else:
+            children.append(pa.nulls(n, f.type))
+    null_mask = pc.invert(pc.is_valid(arr))
+    return pa.StructArray.from_arrays(
+        children,
+        fields=[target.field(i) for i in range(target.num_fields)],
+        mask=null_mask,
+    )
+
+
 def build_envelopes(
     op: pa.Array,
     after: Optional[pa.Table],

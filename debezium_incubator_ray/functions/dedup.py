@@ -142,10 +142,11 @@ def minhash_candidate_pairs(ds, n_hashes: int = 64, bands: int = 16, shingle_k: 
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # distinct pairs (a bucket in several bands yields duplicates)
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # distinct pairs (a bucket in several bands yields duplicates) —
+    # aggregate-count is far cheaper than per-group map for the dedup
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
 
 def verify_jaccard(pairs_ds, docs_ds, shingle_k: int = 3, threshold: float = 0.6):

@@ -111,23 +111,33 @@ class LangId:
 
 
 class Fingerprint:
-    """64-bit document fingerprint via polynomial rolling hash over utf-8
-    bytes (deterministic, order-sensitive — content-identity key for exact
-    dedup at scale). Vectorized with numpy per batch."""
+    """64-bit document fingerprint: polynomial rolling hash over token
+    hashes (order-sensitive — 'a b' != 'b a'), all-vectorized: one
+    stable_hash call for the batch's tokens + one numpy reduction per doc.
+    Content-identity key for exact dedup / shard-stable sampling at scale."""
 
     B = np.uint64(1000003)
-    MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch["text"].combine_chunks()
-        arr = col.cast(pa.large_binary())
-        buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
-        out = np.zeros(len(arr), dtype=np.uint64)
+        from debezium_incubator_ray.hashing import stable_hash
+
+        t = batch["text"]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t), _WS)
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            h = np.empty(0, dtype=np.uint64)
+        else:
+            h = stable_hash(flat).astype(np.uint64)
+        out = np.zeros(len(batch), dtype=np.uint64)
+        pos = 0
         with np.errstate(over="ignore"):
-            for i in range(len(arr)):
-                h = np.uint64(1469598103934665603)
-                for b in buf[offs[i] : offs[i + 1]]:
-                    h = (h * self.B + np.uint64(b)) & self.MOD_MASK
-                out[i] = h
-        return batch.append_column("fingerprint", pa.array(out.astype(np.int64).tolist(), type=pa.int64()))
+            for i, ln in enumerate(lens):
+                if ln:
+                    powers = self.B ** np.arange(ln, dtype=np.uint64)[::-1]
+                    out[i] = np.uint64(np.sum(h[pos : pos + ln] * powers, dtype=np.uint64))
+                pos += ln
+        return batch.append_column(
+            "fingerprint", pa.array(out.view(np.int64), type=pa.int64())
+        )

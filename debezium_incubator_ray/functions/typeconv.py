@@ -60,8 +60,9 @@ def timestamp_to_epoch_us(col):
 
 def timestamp_to_iso_string(col):
     """TIMESTAMPTZ → ISO-8601 string (OracleValueConverters.java:355-364);
-    UTC-naive (Arrow and DuckDB defaults agree)."""
-    return pc.strftime(col, format="%Y-%m-%d %H:%M:%S")
+    UTC-naive (Arrow and DuckDB defaults agree). Second precision: Arrow's
+    %S prints fractional digits for sub-second units, so truncate first."""
+    return pc.strftime(pc.cast(col, pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S")
 
 
 def bool_to_int(col):

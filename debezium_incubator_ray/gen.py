@@ -220,8 +220,13 @@ def events_to_envelopes(
         t1, t2, v2_mask = after
         m = ~v2_mask
         e1 = _build(t1, op[m], before.filter(pa.array(m)) if before else None, part[m], lsn[m])
-        e2 = _build(t2, op[v2_mask], None, part[v2_mask], lsn[v2_mask])
-        return e1, e2  # caller writes them to separate segments
+        before2 = (
+            payload_table(uid[v2_mask], np.maximum(prev[v2_mask], 0), 2)
+            if emit_before
+            else None
+        )
+        e2 = _build(t2, op[v2_mask], before2, part[v2_mask], lsn[v2_mask])
+        return e1, e2  # caller concatenates into one mixed segment
     return _build(after, op, before, part, lsn)
 
 
@@ -259,12 +264,16 @@ def write_binlog(
 
 def _concat_mixed(pair):
     """Two envelope tables of different payload versions → one segment table
-    upgraded to the newer envelope schema (missing fields → null; the engine
-    backfills defaults)."""
-    e1, e2 = pair
-    import pyarrow as pa
+    upgraded to the newer envelope schema (missing struct fields → null; the
+    engine backfills defaults)."""
+    from debezium_incubator_ray.envelope import widen_struct_column
 
-    return pa.concat_tables([e1, e2], promote_options="permissive")
+    e1, e2 = pair
+    for col in ("before", "after"):
+        i = e1.schema.get_field_index(col)
+        widened = widen_struct_column(e1[col], e2.schema.field(col).type)
+        e1 = e1.set_column(i, pa.field(col, e2.schema.field(col).type), widened)
+    return pa.concat_tables([e1, e2])
 
 
 def oracle_final_state(

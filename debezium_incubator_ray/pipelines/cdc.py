@@ -63,6 +63,13 @@ class CdcEngine:
         else:
             if payload_schema is None:
                 raise ValueError("payload_schema required to create a new lake")
+            # field blacklist (FieldFilterSelector.java:28-50) shapes the lake
+            # schema itself: blacklisted fields never reach the sink
+            if self.cfg.field_blacklist:
+                drop = {f for f in self.cfg.field_blacklist if f != self.cfg.key}
+                payload_schema = pa.schema(
+                    [f for f in payload_schema if f.name not in drop]
+                )
             self.manifest = Manifest.create(
                 lake_dir,
                 self.cfg.table,
@@ -100,8 +107,13 @@ class CdcEngine:
             ds = source
 
         key, part_mode, P = self.cfg.key, self.cfg.partitioner, self.cfg.num_partitions
+        target_b64 = self.manifest.doc["schemas"][-1]["schema"]
+        defaults = dict(self.manifest.doc["defaults"])
 
         def to_events(batch: pa.Table) -> pa.Table:
+            # align to the lake schema (drops blacklisted fields, backfills
+            # evolved columns) before tagging as op='r' snapshot events
+            batch = S.upgrade_table(batch, S.schema_from_b64(target_b64), defaults)
             n = batch.num_rows
             cols = {name: batch[name] for name in batch.column_names}
             cols["op"] = pa.array(["r"] * n, type=pa.string())

@@ -1,0 +1,233 @@
+"""CDC-over-the-`events`-testdata pipeline: the oracle-checked face of the
+engine.
+
+The driver's correctness gate compares Ray results against DuckDB SQL over
+the same parquet views, so this module derives a Debezium-style change
+stream from the `events` table with a *SQL-expressible* mapping:
+
+    key   = user_id          (int key → "mod" partitioner, SQL: user_id % P)
+    lsn   = event_id         (unique, dense, 0..N-1)
+    op    = 'd' if event_id % 10 = 0
+            'c' if event_id % 10 in (1, 2)
+            'u' otherwise
+    before.value = lag(value) over (partition by user_id order by event_id)
+
+Everything the engine then does (partitioned LWW apply, watermarks, replay,
+snapshot handoff, blacklist/filters) has an exact ANSI-SQL oracle in
+__ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.envelope import build_envelopes
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+NUM_PARTITIONS = 8
+
+EVENTS_PAYLOAD = pa.schema(
+    [
+        pa.field("user_id", pa.int64(), nullable=False),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()),
+        pa.field("props", pa.string()),
+    ]
+)
+
+OP_SQL = (
+    "CASE WHEN event_id % 10 = 0 THEN 'd' "
+    "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END"
+)
+
+
+def load_events(sf_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
+        [("event_id", "ascending")]
+    )
+
+
+def events_envelopes(
+    sf_dir: str, table_name_by_parity: bool = False
+) -> pa.Table:
+    """events rows → envelope table (op/before/after/source/ts_ms)."""
+    t = load_events(sf_dir)
+    eid = t["event_id"].to_numpy()
+    uid = t["user_id"].to_numpy()
+    mod = eid % 10
+    op_np = np.where(mod == 0, "d", np.where(mod <= 2, "c", "u"))
+    after = pa.table(
+        {
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "props": t["props"],
+        }
+    )
+    # before image: previous event's payload per user (SQL lag())
+    order = np.lexsort((eid, uid))
+    prev_idx = np.full(len(eid), -1, dtype=np.int64)
+    prev_idx[order[1:]] = np.where(uid[order[1:]] == uid[order[:-1]], order[:-1], -1)
+    has_prev = prev_idx >= 0
+    take_idx = pa.array(np.where(has_prev, prev_idx, 0))
+    before = after.take(take_idx)
+    # rows without a previous event get a null before via the op mask below;
+    # build_envelopes nulls before where op == 'c'/'r', but a 'u'/'d' first
+    # event must also be null — mask manually afterwards
+    env = build_envelopes(
+        pa.array(op_np, type=pa.string()),
+        after,
+        before,
+        (uid % NUM_PARTITIONS).astype(np.int32),
+        pa.array(eid, type=pa.int64()),
+        table="events_a" if not table_name_by_parity else "events_parity",
+        ts_us=t["ts"].combine_chunks(),
+    )
+    if table_name_by_parity:
+        src = env["source"].combine_chunks()
+        tbl_names = pa.array(
+            np.where(uid % 2 == 0, "events_a", "events_b"), type=pa.string()
+        )
+        new_src = pa.StructArray.from_arrays(
+            [src.field("partition"), src.field("lsn"), tbl_names,
+             src.field("snapshot"), src.field("ts_us")],
+            fields=list(S.source_schema()),
+        )
+        env = env.set_column(
+            env.schema.get_field_index("source"),
+            pa.field("source", new_src.type, nullable=False),
+            new_src,
+        )
+    # null out before where there is no previous event
+    b = env["before"].combine_chunks()
+    keep = pa.array(has_prev)
+    from debezium_incubator_ray.envelope import struct_from_table
+
+    b_masked = pc.if_else(keep, b, pa.nulls(len(b), b.type))
+    env = env.set_column(
+        env.schema.get_field_index("before"), pa.field("before", b.type), b_masked
+    )
+    return env
+
+
+def write_events_binlog(
+    sf_dir: str,
+    out_dir: str,
+    seg_rows: int = 4096,
+    table_name_by_parity: bool = False,
+) -> pa.Table:
+    """Envelope stream → segment files binlog/p=<p>/seg-<k>.parquet (per-
+    partition LSN-ordered, like commit-log segments)."""
+    env = events_envelopes(sf_dir, table_name_by_parity)
+    part = env["source"].combine_chunks().field("partition").to_numpy()
+    os.makedirs(out_dir, exist_ok=True)
+    for p in range(NUM_PARTITIONS):
+        idx = np.nonzero(part == p)[0]
+        pdir = os.path.join(out_dir, f"p={p}")
+        os.makedirs(pdir, exist_ok=True)
+        for k, lo in enumerate(range(0, len(idx), seg_rows)):
+            chunk = env.take(pa.array(idx[lo : lo + seg_rows]))
+            pq.write_table(chunk, os.path.join(pdir, f"seg-{k:05d}.parquet"))
+    return env
+
+
+def make_engine(
+    lake_dir: str, field_blacklist=(), table_include_regex=None
+) -> CdcEngine:
+    cfg = EngineConfig(
+        table="events",
+        key="user_id",
+        num_partitions=NUM_PARTITIONS,
+        partitioner="mod",
+        apply_concurrency=4,
+        target_rows_per_file=100_000,
+        field_blacklist=field_blacklist,
+        table_include_regex=table_include_regex,
+    )
+    return CdcEngine(lake_dir, cfg, payload_schema=EVENTS_PAYLOAD)
+
+
+def scratch_dir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dbzray-{tag}-", dir="/tmp")
+
+
+def snapshot_source(sf_dir: str, upto_lsn: int) -> pa.Table:
+    """The 'existing database' at lsn <= upto_lsn: LWW winners, deletes
+    excluded — what a snapshot table scan (S3/S4) would read."""
+    from debezium_incubator_ray.envelope import lww_reduce
+
+    t = load_events(sf_dir)
+    t = t.filter(pc.less_equal(t["event_id"], upto_lsn))
+    eid = t["event_id"].to_numpy()
+    mod = eid % 10
+    op_np = np.where(mod == 0, "d", np.where(mod <= 2, "c", "u"))
+    flat = pa.table(
+        {
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "props": t["props"],
+            S.LSN: t["event_id"],
+            "op": pa.array(op_np, type=pa.string()),
+        }
+    )
+    winners = lww_reduce(flat, "user_id")
+    live = winners.filter(pc.not_equal(winners["op"], "d"))
+    return live.drop_columns(["op", S.LSN])
+
+
+def snapshot_then_stream(sf_dir: str, handoff_lsn: Optional[int] = None) -> pa.Table:
+    """Snapshot at the handoff LSN, then stream the binlog from it — the
+    snapshot→streaming continuation (OracleConnectorIT snapshot+stream)."""
+    t = load_events(sf_dir)
+    if handoff_lsn is None:
+        handoff_lsn = int(pc.max(t["event_id"]).as_py()) // 2
+    root = scratch_dir("snapstream")
+    binlog = os.path.join(root, "binlog")
+    lake = os.path.join(root, "lake")
+    write_events_binlog(sf_dir, binlog)
+    eng = make_engine(lake)
+    eng.snapshot(snapshot_source(sf_dir, handoff_lsn), snapshot_lsn=handoff_lsn)
+    eng.run(binlog)
+    return eng.lake_table(include_lsn=False)
+
+
+def final_state(
+    sf_dir: str,
+    include_lsn: bool = True,
+    field_blacklist=(),
+    table_include_regex=None,
+    replay_twice: bool = False,
+    restart_midway: bool = False,
+) -> pa.Table:
+    """Run the full pipeline variantly and return the materialized lake."""
+    root = scratch_dir("cdc")
+    binlog = os.path.join(root, "binlog")
+    lake = os.path.join(root, "lake")
+    write_events_binlog(sf_dir, binlog)
+    eng = make_engine(lake, field_blacklist, table_include_regex)
+    if restart_midway:
+        eng.apply_epoch(binlog, max_segments=NUM_PARTITIONS // 2)
+        del eng
+        eng = make_engine(lake, field_blacklist, table_include_regex)
+    eng.run(binlog)
+    if replay_twice:
+        eng.manifest.doc["segments_done"] = []
+        eng.apply_epoch(binlog)
+    out = eng.lake_table(include_lsn=include_lsn)
+    if include_lsn:
+        i = out.schema.get_field_index(S.LSN)
+        out = out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+    return out

@@ -120,11 +120,23 @@ class NormalizeEnvelope:
 
         cols["op"] = op
         cols[S.LSN] = src.field("lsn")
-        cols[S.PART] = pa.array(
-            partition_ids(cols[self.key], self.num_partitions, self.partitioner),
-            type=pa.int32(),
+        out = pa.table(cols)
+        # rows with no extractable key (e.g. a delete with neither image)
+        # cannot be routed — skip them, like the reference skips unsupported
+        # mutation kinds (CommitLogReadHandlerImpl.java:116-136)
+        key_valid = pc.is_valid(out[self.key])
+        if not pc.all(key_valid).as_py():
+            out = out.filter(key_valid)
+            if out.num_rows == 0:
+                return self._empty()
+        out = out.append_column(
+            S.PART,
+            pa.array(
+                partition_ids(out[self.key], self.num_partitions, self.partitioner),
+                type=pa.int32(),
+            ),
         )
-        return pa.table(cols)
+        return out
 
     def _env_schema(self, names) -> pa.Schema:
         return pa.schema([f for f in self.schema if f.name in names] or [self.schema.field(self.key)])

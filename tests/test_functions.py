@@ -1,0 +1,177 @@
+"""Tests for the training-data operators (text, dedup, ANN, typeconv,
+multimodal) over the driver-supplied sf0.001 testdata."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def test_token_count_and_quality(docs_ds):
+    from debezium_incubator_ray.functions.text import quality_score
+
+    out = docs_ds.map_batches(
+        quality_score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet")).to_pandas()
+    # cross-check n_tokens on a few rows against python split
+    m = out.set_index("doc_id")
+    for _, row in docs.head(20).iterrows():
+        expect = len(row["text"].split())
+        assert m.loc[row["doc_id"], "n_tokens"] == expect
+    assert (out["punct_ratio"] >= 0).all() and (out["punct_ratio"] <= 1).all()
+
+
+def test_lang_id_deterministic(docs_ds):
+    from debezium_incubator_ray.functions.text import LangId
+
+    a = docs_ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    b = docs_ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pred_lang"] == b["pred_lang"]).all()
+    assert a["pred_lang"].notna().all()
+
+
+def test_fingerprint_order_sensitive():
+    from debezium_incubator_ray.functions.text import Fingerprint
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a b c", "c b a", "a b c"]})
+    out = Fingerprint()(t)
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+def test_exact_dedup(docs_ds):
+    from debezium_incubator_ray.functions.dedup import exact_dedup
+
+    full = ray.data.read_parquet(os.path.join(SF, "documents.parquet"))
+    doubled = full.union(ray.data.read_parquet(os.path.join(SF, "documents.parquet")))
+    out = exact_dedup(doubled).to_pandas()
+    n = pq.ParquetFile(os.path.join(SF, "documents.parquet")).metadata.num_rows
+    assert len(out) == n
+    assert out["doc_id"].is_unique
+
+
+def test_minhash_finds_planted_near_dups():
+    from debezium_incubator_ray.functions.dedup import (
+        minhash_candidate_pairs, verify_jaccard,
+    )
+
+    base = pq.read_table(os.path.join(SF, "documents.parquet")).to_pydict()
+    texts, ids = base["text"][:50], list(range(50))
+    # plant near-dups: docs 1000+i = doc i with one word changed
+    for i in range(5):
+        words = texts[i].split()
+        words[len(words) // 2] = "zzzz"
+        texts.append(" ".join(words))
+        ids.append(1000 + i)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    pairs = verify_jaccard(
+        minhash_candidate_pairs(ds), ds, threshold=0.5
+    ).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    for i in range(5):
+        assert (i, 1000 + i) in found, f"planted near-dup {i} not found: {found}"
+
+
+def test_simhash_similar_docs_close():
+    from debezium_incubator_ray.functions.dedup import SimHash, hamming64
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy cat again and again",
+                "completely different words about ships and harbors at dawn",
+            ],
+        }
+    )
+    out = SimHash()(t)
+    s = np.array(out["simhash"].to_pylist(), dtype=np.int64)
+    d01 = hamming64(s[0:1], s[1:2])[0]
+    d02 = hamming64(s[0:1], s[2:3])[0]
+    assert d01 < d02
+
+
+def test_ann_brute_matches_numpy():
+    from debezium_incubator_ray.functions.ann import brute_force_topk, _batch_matrix
+
+    tbl = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    Q = _batch_matrix(tbl.filter(pc.less(tbl["vec_id"], 5)))
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    out = brute_force_topk(ds, np.arange(5), Q, k=3)
+    # numpy oracle
+    M = _batch_matrix(tbl)
+    ids = tbl["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Mn.T
+    got = out.to_pandas()
+    for qi in range(5):
+        order = np.lexsort((ids, -sims[qi]))[:3]
+        expect = list(ids[order])
+        mine = list(got[got["query_id"] == qi].sort_values("rank")["vec_id"])
+        assert mine == expect
+    # self is always rank 1
+    assert (got[got["rank"] == 1]["vec_id"].values == np.arange(5)).all()
+
+
+def test_ann_lsh_recall_reasonable():
+    from debezium_incubator_ray.functions.ann import lsh_topk, brute_force_topk, _batch_matrix
+
+    tbl = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    Q = _batch_matrix(tbl.filter(pc.less(tbl["vec_id"], 5)))
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    approx = lsh_topk(ds, np.arange(5), Q, dim=Q.shape[1], k=3, n_planes=4).to_pandas()
+    # every query at least finds itself (same bucket by construction)
+    assert (approx[approx["rank"] == 1]["vec_id"].values == np.arange(5)).all()
+
+
+def test_multimodal_stub_plumbing():
+    from debezium_incubator_ray.functions.multimodal import media_pipeline, decode_image
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"\x89PNGxxxx", b"RIFFyyyy"], pa.large_binary()),
+        }
+    )
+    out = media_pipeline(ray.data.from_arrow(t)).to_pandas()
+    metas = {r["doc_id"]: r["media_meta"] for _, r in out.iterrows()}
+    assert metas[1]["n_bytes"] == 8
+    assert metas[1]["magic"] == b"\x89PNG".hex()
+    assert metas[2]["magic"] == b"RIFF".hex()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_typeconv_goldens():
+    from debezium_incubator_ray.functions import typeconv as TC
+
+    col = pa.chunked_array([pa.array([1.9, -2.5, 100.0])])
+    assert TC.floor_to_int64(col).to_pylist() == [1, -3, 100]
+    assert TC.narrow_int_by_width(pa.array([1, 2]), 2).type == pa.int8()
+    assert TC.narrow_int_by_width(pa.array([1, 2]), 4).type == pa.int16()
+    assert TC.narrow_int_by_width(pa.array([1, 2]), 9).type == pa.int32()
+    assert TC.narrow_int_by_width(pa.array([1, 2]), 18).type == pa.int64()
+    ts = pa.array([np.datetime64("2026-01-01T00:00:01", "us")], pa.timestamp("us"))
+    assert TC.timestamp_to_epoch_ms(ts).to_pylist() == [1767225601000]
+    assert TC.timestamp_to_iso_string(ts).to_pylist() == ["2026-01-01 00:00:01"]
+    assert TC.interval_to_micros(1, 2, 3, 4.5) == ((26 * 3600 + 184.5) * 1e6)
+    d = TC.decimal_scale_pad(pa.array([4.4444]), 10, 6)
+    assert str(d[0]) == "4.444400"
