@@ -632,7 +632,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM events GROUP BY event_type"
         ),
         "dedup_exact": (
-            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            "SELECT doc_id, text, lang, source, n_chars FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) "
+            "AS rn FROM documents) WHERE rn = 1"
         ),
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"

@@ -31,20 +31,44 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
     return batch.append_column(out, pa.array(h.astype(np.int64), type=pa.int64()))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per distinct content. groupby on the 8-byte hash
-    — the only shuffled payload is (hash, row)."""
-    import pandas as pd
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", buckets: int = 64):
+    """Keep the min-id row per distinct content.
 
+    Shuffle by hash *bucket* (hash % buckets), then dedup each bucket with
+    one vectorized sort+mask kernel — NOT per-content-hash map_groups, which
+    pays a Python UDF call per distinct document (catastrophic at scale).
+    A bucket contains every row of each of its content-hashes, so the
+    first-per-hash pick inside a bucket is globally correct."""
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, col), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["content_hash"], buckets - 1), pa.int32()
+        )
+        return t.append_column("_bucket", b)
 
-    out = hashed.groupby("content_hash").map_groups(first_per_group, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("content_hash", "ascending"), (id_col, "ascending")]
+        )
+        s = t.take(idx)
+        h = s["content_hash"].combine_chunks()
+        n = len(s)
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        return s.filter(pa.array(first)).drop_columns(["_bucket", "content_hash"])
+
+    return (
+        hashed.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -122,9 +146,16 @@ class MinHasher:
         )
 
 
-def minhash_candidate_pairs(ds, n_hashes: int = 64, bands: int = 16, shingle_k: int = 3):
+def minhash_candidate_pairs(
+    ds, n_hashes: int = 64, bands: int = 16, shingle_k: int = 3, buckets: int = 64
+):
     """documents(doc_id, text) → candidate near-dup pairs (a < b) that share
-    ≥1 LSH band bucket."""
+    ≥1 LSH band bucket.
+
+    The (band, band_hash) space is shuffled by a coarse bucket and the pair
+    expansion runs vectorized per bucket (pandas C groupby), never one Python
+    call per LSH bucket — at web scale almost every LSH bucket is a
+    singleton and per-bucket UDF calls would dominate."""
     import pandas as pd
 
     exploded = ds.map_batches(
@@ -134,16 +165,41 @@ def minhash_candidate_pairs(ds, n_hashes: int = 64, bands: int = 16, shingle_k: 
         batch_size=1024,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["band_hash"], buckets - 1), pa.int32())
+        return t.append_column("_bucket", b)
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # distinct pairs (a bucket in several bands yields duplicates) —
-    # aggregate-count is far cheaper than per-group map for the dedup
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        df = t.select(["band", "band_hash", "doc_id"]).to_pandas()
+        # only LSH buckets with >= 2 docs can produce pairs
+        sizes = df.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        df = df[sizes > 1]
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for (_, _), g in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    cand = (
+        exploded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    # distinct pairs (a pair found in several bands appears once per band)
     from ray.data.aggregate import Count
 
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])

@@ -179,11 +179,24 @@ class CdcEngine:
             norm, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=self.cfg.read_batch_size,
         )
+        # in-batch LWW partial reduce (the combiner / salting phase one):
+        # bounds any hot key's shuffle fan-in to one row per input block, so
+        # Zipfian url popularity can't blow up a partition's group size
+        key = self.cfg.key
+        from debezium_incubator_ray.envelope import lww_reduce
+
+        flat = flat.map_batches(
+            lambda t: lww_reduce(t, key),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         if self.cfg.salt_buckets > 1:
             flat = self._salted_prereduce(flat)
         commits = self._apply_shuffle(flat)
         updates = self._partition_updates(commits)
-        events = sum(c["events_in"] for c in commits)
+        # delivered-event count from segment footers (commit records count
+        # post-prereduce rows, which undercounts after the combiner)
+        events = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
         self.manifest = self.manifest.commit(
             updates,
             segments_done=segs,
