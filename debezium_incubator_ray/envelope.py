@@ -53,6 +53,8 @@ def unpack_struct(
     """StructArray → dict of child arrays, with parent-null masking enforced
     (a null struct yields null children even if the writer stored values)."""
     arr = _as_array(col)
+    if arr.null_count == 0:  # fast path: children are authoritative
+        return {f.name: arr.field(f.name) for f in schema}
     valid = pc.is_valid(arr)
     out = {}
     for f in schema:

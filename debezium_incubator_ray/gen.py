@@ -38,21 +38,35 @@ _HTML_SUF = b"</body></html>"
 _VOCAB = np.array(
     ["w%04d" % ((i * 2654435761) % 9973) for i in range(1024)]
 )
+_VOCAB_ARROW = pa.array(_VOCAB.tolist(), type=pa.string())
 
 
-def make_text(url_ids: np.ndarray, lsns: np.ndarray) -> List[str]:
-    """Pure deterministic text per (url_id, version lsn)."""
-    n_tok = 5 + (url_ids + lsns) % 60
-    out = []
-    for uid, lsn, nt in zip(url_ids, lsns, n_tok):
-        j = np.arange(nt)
-        idx = (uid * 2654435761 + lsn * 40503 + j * 97) % 1024
-        out.append(" ".join(_VOCAB[idx]))
-    return out
+def make_text(url_ids: np.ndarray, lsns: np.ndarray) -> pa.Array:
+    """Pure deterministic text per (url_id, version lsn) — fully vectorized
+    (flat token-index arithmetic + a rust-side list join via polars)."""
+    url_ids = np.asarray(url_ids, dtype=np.int64)
+    lsns = np.asarray(lsns, dtype=np.int64)
+    n_tok = (5 + (url_ids + lsns) % 60).astype(np.int64)
+    offsets = np.zeros(len(url_ids) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    total = int(offsets[-1])
+    row_of = np.repeat(np.arange(len(url_ids)), n_tok)
+    j = np.arange(total, dtype=np.int64) - offsets[row_of]
+    idx = (url_ids[row_of] * 2654435761 + lsns[row_of] * 40503 + j * 97) % 1024
+    flat = pc.take(_VOCAB_ARROW, pa.array(idx))  # C++ gather, no py objects
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+    return pc.cast(pc.binary_join(lists, " "), pa.large_string())
 
 
-def urls_for(url_ids: np.ndarray) -> List[str]:
-    return [f"https://site-{u % 97}.example/p/{u:08d}" for u in url_ids]
+def urls_for(url_ids: np.ndarray) -> pa.Array:
+    """Vectorized f"https://site-{u % 97}.example/p/{u:08d}"."""
+    url_ids = np.asarray(url_ids, dtype=np.int64)
+    site = pc.cast(pa.array(url_ids % 97), pa.string())
+    num = pc.utf8_lpad(pc.cast(pa.array(url_ids), pa.string()), 8, "0")
+    return pc.binary_join_element_wise(
+        pa.scalar("https://site-"), site, pa.scalar(".example/p/"), num,
+        pa.scalar(""),
+    )
 
 
 def payload_table(
@@ -62,17 +76,26 @@ def payload_table(
     url_ids = np.asarray(url_ids, dtype=np.int64)
     lsns = np.asarray(lsns, dtype=np.int64)
     texts = make_text(url_ids, lsns)
-    html = [(_HTML_PRE + t.encode() + _HTML_SUF) for t in texts]
+    n = len(url_ids)
+    html = pc.cast(
+        pc.binary_join_element_wise(
+            pa.scalar(_HTML_PRE.decode(), pa.large_string()),
+            texts,
+            pa.scalar(_HTML_SUF.decode(), pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        ),
+        pa.large_binary(),
+    )
     base = np.int64(1767225600_000000)  # 2026-01-01T00:00:00Z in us
     ts = base + url_ids * 1_000_000 + lsns * 1000
     lang = _LANGS[
         np.searchsorted(np.cumsum(_LANG_W), (url_ids * 31) % 100, side="right")
     ]
     cols = [
-        pa.array(urls_for(url_ids), type=pa.string()),
+        urls_for(url_ids),
         pa.array(ts, type=pa.timestamp("us")),
-        pa.array(html, type=pa.large_binary()),
-        pa.array(texts, type=pa.large_string()),
+        html,
+        texts,
         pa.array(lang, type=pa.string()),
     ]
     schema = S.pages_schema()
@@ -113,6 +136,7 @@ class BinlogSpec:
     # mix: create / update / delete / reinsert (percent, cumulative)
     mix: Sequence[int] = (30, 75, 90, 100)
     schema_changes: Sequence[S.SchemaChange] = ()
+    emit_before: bool = True  # before images (u/d); off halves gen cost
 
 
 def gen_events(spec: BinlogSpec) -> Dict[str, np.ndarray]:
@@ -204,7 +228,7 @@ def events_to_envelopes(
         elif v2_mask.all():
             after = payload_table(uid, lsn, 2)
     before = payload_table(uid, np.maximum(prev, 0)) if emit_before else None
-    part = partition_ids(pa.array(urls_for(uid)), spec.num_partitions, "hash")
+    part = partition_ids(urls_for(uid), spec.num_partitions, "hash")
 
     def _build(after_tbl, op_a, before_tbl, part_a, lsn_a):
         return build_envelopes(
@@ -240,7 +264,7 @@ def write_binlog(
     ev = ev if ev is not None else gen_events(spec)
     os.makedirs(out_dir, exist_ok=True)
     part = partition_ids(
-        pa.array(urls_for(ev["url_id"])), spec.num_partitions, "hash"
+        urls_for(ev["url_id"]), spec.num_partitions, "hash"
     )
     segments = []
     for p in range(spec.num_partitions):
@@ -250,7 +274,7 @@ def write_binlog(
         for k, lo in enumerate(range(0, len(idx), spec.seg_rows)):
             chunk = idx[lo : lo + spec.seg_rows]
             sub = {k2: v[chunk] for k2, v in ev.items()}
-            env = events_to_envelopes(sub, slice(None), spec)
+            env = events_to_envelopes(sub, slice(None), spec, emit_before=spec.emit_before)
             path = os.path.join(pdir, f"seg-{k:05d}.parquet")
             if isinstance(env, tuple):
                 env = _concat_mixed(env)

@@ -123,6 +123,11 @@ class CdcEngine:
 
         stats: Dict[str, Any] = {"skipped": False, "events": 0}
         if ds is not None:
+            # a from_arrow / single-file source arrives as one block; split it
+            # so the snapshot load parallelizes across the cluster
+            nb = self.cfg.shuffle_blocks or min(self.cfg.num_partitions, 32)
+            if ds.num_blocks() is not None and ds.num_blocks() < nb:
+                ds = ds.repartition(nb)
             flat = ds.map_batches(
                 to_events, batch_format="pyarrow", zero_copy_batch=True,
                 batch_size=self.cfg.read_batch_size,
@@ -227,6 +232,8 @@ class CdcEngine:
         # would starve the upstream read/sort tasks and deadlock the
         # streaming executor; (1, c) lets Ray balance the stages
         c = self.cfg.apply_concurrency or min(self.cfg.num_partitions, 16)
+        nb = self.cfg.shuffle_blocks or min(self.cfg.num_partitions, 32)
+        flat = flat.repartition(nb)
         applied = flat.groupby(S.PART).map_groups(
             PartitionApplier,
             fn_constructor_kwargs={

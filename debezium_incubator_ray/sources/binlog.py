@@ -41,10 +41,22 @@ def plan_epoch(
     binlog_dir: str,
     segments_done: Sequence[str],
     max_segments: Optional[int] = None,
+    latest_only: bool = False,
 ) -> List[str]:
-    """New (not-yet-applied) segments for this epoch, oldest first."""
+    """New (not-yet-applied) segments for this epoch, oldest first.
+
+    ``latest_only``: keep only the newest segment per partition — the
+    reference's test-only latest-commit-log mode
+    (CommitLogProcessor.java:115-134, config :237-238).
+    """
     done = set(segments_done)
     fresh = [s for s in list_segments(binlog_dir) if s not in done]
+    if latest_only:
+        by_part = {}
+        for s in fresh:
+            m = _SEG_RE.search(s.replace(os.sep, "/"))
+            by_part[int(m.group(1))] = s  # sorted input → last wins
+        fresh = [by_part[p] for p in sorted(by_part)]
     if max_segments is not None:
         fresh = fresh[:max_segments]
     return fresh

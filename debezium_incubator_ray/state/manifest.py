@@ -136,7 +136,47 @@ class Manifest:
             doc["snapshot_lsn"] = snapshot.get("lsn", doc["snapshot_lsn"])
         nxt = Manifest(self.lake_dir, doc)
         nxt._write()
+        if lineage is not None:
+            nxt._append_lineage(lineage)
         return nxt
+
+    def _append_lineage(self, lineage: Dict[str, Any]) -> None:
+        """Per-commit lineage row → queryable `_lineage/` parquet table
+        (T6: applied offset ranges, row counts, skew stats per commit —
+        the reference exposes these as Dropwizard gauges,
+        CommitLogProcessorMetrics.java:21-65)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ldir = os.path.join(self.lake_dir, "_lineage")
+        os.makedirs(ldir, exist_ok=True)
+        row = {
+            "version": self.doc["version"],
+            "kind": lineage.get("kind"),
+            "events": lineage.get("events", 0),
+            "partitions_touched": lineage.get("partitions_touched", 0),
+            "rows_per_partition_max": lineage.get("rows_per_partition_max", 0),
+            "rows_per_partition_mean": float(
+                lineage.get("rows_per_partition_mean", 0.0)
+            ),
+            "skew_ratio": float(lineage.get("skew_ratio", 0.0)),
+            "seconds": float(lineage.get("seconds", 0.0)),
+            "watermarks_json": json.dumps(lineage.get("watermarks", {})),
+        }
+        pq.write_table(
+            pa.Table.from_pylist([row]),
+            os.path.join(ldir, f"v{self.doc['version']:08d}.parquet"),
+        )
+
+    def lineage_table(self):
+        """All lineage commits as one Arrow table (read with
+        ray.data.read_parquet(f"{lake}/_lineage") at scale)."""
+        import pyarrow.parquet as pq
+
+        ldir = os.path.join(self.lake_dir, "_lineage")
+        if not os.path.isdir(ldir) or not os.listdir(ldir):
+            return None
+        return pq.read_table(ldir)
 
     def _write(self) -> None:
         mdir = os.path.join(self.lake_dir, "_manifest")

@@ -122,6 +122,18 @@ def test_mid_epoch_crash_uncommitted_files_invisible(world):
     assert_tables_equal(eng2.lake_table(), oracle, sort_by="url")
 
 
+def test_salted_prereduce_matches_oracle(world):
+    """salt_buckets>1 adds the full salted combiner shuffle (hot-key
+    splitting per the north rule); final state must be unchanged."""
+    spec, ev, binlog, lake = world
+    cfg = _cfg(spec, salt_buckets=4)
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+
+
 def test_empty_snapshot_marks_complete(tmp_path):
     cfg = EngineConfig(num_partitions=2)
     eng = CdcEngine(str(tmp_path / "lake"), cfg, payload_schema=S.pages_schema())

@@ -1,0 +1,152 @@
+"""Unit tests for normalize / sources / lake-registry / manifest laws
+(pure or single-stage — mirrors the reference's stage-test layer:
+QueueProcessorTest, FileOffsetWriterTest, CommitLogUtilTest)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from debezium_incubator_ray import gen
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.envelope import build_envelopes
+from debezium_incubator_ray.sources import binlog as bsrc
+from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+from debezium_incubator_ray.state.manifest import Manifest
+
+
+def _env_batch(n=10, table="pages"):
+    ids = np.arange(n, dtype=np.int64)
+    lsns = ids + 1
+    after = gen.payload_table(ids, lsns)
+    op = pa.array(["u"] * n, type=pa.string())
+    return build_envelopes(
+        op, after, gen.payload_table(ids, np.zeros(n, np.int64)),
+        (ids % 4).astype(np.int32), lsns, table=table,
+    )
+
+
+def _norm(**kw):
+    kw.setdefault("schema_b64", S.schema_to_b64(S.pages_schema()))
+    kw.setdefault("key", "url")
+    kw.setdefault("num_partitions", 4)
+    return NormalizeEnvelope(**kw)
+
+
+def test_normalize_flattens_and_partitions():
+    out = _norm()(_env_batch(8))
+    assert set(out.column_names) >= {"url", "text", "op", S.LSN, S.PART}
+    assert out.num_rows == 8
+    assert out[S.PART].to_pylist() == list(
+        np.asarray(
+            __import__(
+                "debezium_incubator_ray.hashing", fromlist=["partition_ids"]
+            ).partition_ids(out["url"].combine_chunks(), 4, "hash")
+        )
+    )
+
+
+def test_normalize_field_blacklist_keeps_key():
+    out = _norm(field_blacklist=["lang", "url"])(_env_batch(5))
+    assert "lang" not in out.column_names
+    assert "url" in out.column_names  # key never dropped
+
+
+def test_normalize_table_regex_filter():
+    batch = _env_batch(6, table="keep_me")
+    out = _norm(table_include_regex=r"^keep")(batch)
+    assert out.num_rows == 6
+    out2 = _norm(table_include_regex=r"^other$")(batch)
+    assert out2.num_rows == 0
+
+
+def test_normalize_drops_invalid_ops_and_null_keys():
+    batch = _env_batch(4)
+    bad_op = batch.set_column(
+        0, "op", pa.array(["u", "x", "u", "zz"], type=pa.string())
+    )
+    out = _norm()(bad_op)
+    assert out.num_rows == 2
+    # delete with neither image → null key → skipped
+    nulled = batch.set_column(0, "op", pa.array(["d"] * 4, type=pa.string()))
+    t = nulled["after"].combine_chunks()
+    nulled = nulled.set_column(
+        nulled.schema.get_field_index("after"), pa.field("after", t.type),
+        pa.nulls(4, t.type),
+    )
+    b = nulled["before"].combine_chunks()
+    nulled = nulled.set_column(
+        nulled.schema.get_field_index("before"), pa.field("before", b.type),
+        pa.nulls(4, b.type),
+    )
+    assert _norm()(nulled).num_rows == 0
+
+
+def test_normalize_emit_before():
+    out = _norm(emit_before=True)(_env_batch(5))
+    assert "before_text" in out.column_names
+    assert out["before_text"].null_count == 0
+
+
+def test_segment_listing_sorted_and_latest_only(tmp_path):
+    d = str(tmp_path)
+    for p in (1, 0):
+        os.makedirs(f"{d}/p={p}")
+        for k in (2, 0, 1):
+            pa.parquet.write_table(
+                pa.table({"x": [1]}), f"{d}/p={p}/seg-{k:05d}.parquet"
+            )
+    segs = bsrc.list_segments(d)
+    assert segs == [
+        "p=0/seg-00000.parquet", "p=0/seg-00001.parquet", "p=0/seg-00002.parquet",
+        "p=1/seg-00000.parquet", "p=1/seg-00001.parquet", "p=1/seg-00002.parquet",
+    ]
+    latest = bsrc.plan_epoch(d, [], latest_only=True)
+    assert latest == ["p=0/seg-00002.parquet", "p=1/seg-00002.parquet"]
+    rest = bsrc.plan_epoch(d, segments_done=segs[:4])
+    assert rest == segs[4:]
+
+
+def test_manifest_watermark_mark_if_greater(tmp_path):
+    """FileOffsetWriterTest.java:38-77 law: offsets only move forward."""
+    m = Manifest.create(
+        str(tmp_path / "l"), "t", "k", 2, S.schema_to_b64(S.pages_schema())
+    )
+    m2 = m.commit({0: {"watermark": 10}})
+    m3 = m2.commit({0: {"watermark": 5}})  # stale mark must not regress
+    assert m3.watermark(0) == 10
+    assert m3.version == 2
+    m4 = Manifest.load(str(tmp_path / "l"))
+    assert m4.version == 2 and m4.watermark(0) == 10
+
+
+def test_lineage_parquet_emitted(tmp_path):
+    m = Manifest.create(
+        str(tmp_path / "l"), "t", "k", 2, S.schema_to_b64(S.pages_schema())
+    )
+    m = m.commit({0: {"watermark": 3}}, lineage={"kind": "epoch", "events": 7,
+                                                "watermarks": {"0": 3}})
+    m = m.commit({}, lineage={"kind": "heartbeat", "events": 0})
+    lt = m.lineage_table()
+    assert lt.num_rows == 2
+    assert lt["kind"].to_pylist() == ["epoch", "heartbeat"]
+    assert lt["events"].to_pylist() == [7, 0]
+
+
+def test_sanitize_and_lake_registry(tmp_path, ray_session):
+    from debezium_incubator_ray.pipelines.lake import Lake, sanitize_table_name
+
+    assert sanitize_table_name("ks.my table!", "pfx") == "pfx.ks.my_table_"
+    done = []
+    lake = Lake(str(tmp_path / "root"), on_segment_done=lambda p, ok: done.append(p))
+    eng = lake.create_table("pages", S.pages_schema())
+    spec = gen.BinlogSpec(n_events=50, n_initial=10, seg_rows=32, num_partitions=4)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake.apply_epoch("pages", binlog)
+    assert len(done) > 0 and all(os.path.exists(p) for p in done)
+    # re-open: discovery finds the table
+    lake2 = Lake(str(tmp_path / "root"))
+    assert lake2.table_names() == ["pages"]
