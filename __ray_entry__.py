@@ -364,6 +364,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(stabilize, batch_format="pyarrow")
 
+    def windowed_agg(sf_dir):
+        """Tumbling 1-hour event-time window aggregate (count + sum per
+        (window, event_type)). Ray Data has no event-time windows; the
+        window id is a vectorized floor(ts / size) column and the aggregate
+        is the partial-then-small-groupby combiner pattern — the documented
+        partitioning assumption is ts-derived keys, not arrival order."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+        )
+        HOUR_US = 3600 * 1_000_000
+
+        def partial(t: pa.Table) -> pa.Table:
+            w = pc.divide(pc.cast(t["ts"], pa.int64()), HOUR_US)
+            t2 = pa.table(
+                {"window": w, "event_type": t["event_type"], "value": t["value"]}
+            )
+            g = t2.group_by(["window", "event_type"]).aggregate(
+                [("value", "sum"), ("value", "count")]
+            )
+            return pa.table(
+                {
+                    "window": g["window"],
+                    "event_type": g["event_type"],
+                    "psum": g["value_sum"],
+                    "pn": pc.cast(g["value_count"], pa.int64()),
+                }
+            )
+
+        out = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["window", "event_type"])
+            .aggregate(Sum("psum", alias_name="total_value"), Sum("pn", alias_name="n"))
+        )
+
+        def stabilize(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            return t.set_column(
+                t.schema.get_field_index("total_value"),
+                "total_value",
+                pc2.round(t["total_value"], ndigits=3),
+            )
+
+        return out.map_batches(stabilize, batch_format="pyarrow")
+
     # -- training-data operators -------------------------------------------
 
     def dedup_exact(sf_dir):
@@ -403,6 +453,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         return ngram_jaccard_pairs(docs, threshold=0.3)
+
+    def dedup_embedding(sf_dir):
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import embedding_near_dup_pairs
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_near_dup_pairs(ds, tau=0.4)
 
     def text_token_count(sf_dir):
         import ray.data
@@ -534,7 +591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_normalization": type_normalization,
         "row_scoped_max": row_scoped_max,
         "agg_presum_groupby": agg_presum_groupby,
+        "windowed_agg": windowed_agg,
         "dedup_exact": dedup_exact,
+        "dedup_embedding": dedup_embedding,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -631,6 +690,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(sum(value), 3) AS total_value, "
             "count(*) AS n FROM events GROUP BY event_type"
         ),
+        "windowed_agg": (
+            "SELECT epoch_us(ts) // 3600000000 AS window, event_type, "
+            "round(sum(value), 3) AS total_value, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
         "dedup_exact": (
             "SELECT doc_id, text, lang, source, n_chars FROM ("
             "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) "
@@ -650,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
             "AS mean_token_len, "
             "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars "
             "ELSE 0.0 END AS punct_ratio FROM t"
+        ),
+        "dedup_embedding": (
+            # CAST to DOUBLE[] so DuckDB's kernel computes in float64 like
+            # the engine (float32 accumulation would disagree near tau)
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "

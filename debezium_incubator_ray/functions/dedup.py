@@ -270,6 +270,52 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_near_dup_pairs(ds, tau: float = 0.4, id_col: str = "vec_id", col: str = "embedding"):
+    """Pairs (a < b) whose embedding cosine similarity >= tau.
+
+    The corpus matrix is broadcast once (ray.put) and each batch does one
+    float64 matmul against it — the brute-force baseline. At 100 TB the
+    corpus side becomes LSH/IVF buckets (see ann.lsh_topk) and only
+    colliding buckets are compared; the per-batch kernel is unchanged."""
+    import ray
+
+    from debezium_incubator_ray.functions.ann import _batch_matrix, _normalize
+
+    full = ds.select_columns([id_col, col]).take_all()
+    ids = np.array([r[id_col] for r in full], dtype=np.int64)
+    import pyarrow as _pa
+
+    mat = np.stack([np.asarray(r[col], dtype=np.float64) for r in full])
+    ref = ray.put({"ids": ids, "M": _normalize(mat)})
+
+    class PairFinder:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids = d["ids"]
+            self.M = d["M"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            B = _normalize(_batch_matrix(batch, col))
+            bids = batch[id_col].to_numpy()
+            sims = B @ self.M.T
+            bi, cj = np.nonzero(sims >= tau)
+            a = bids[bi]
+            b = self.ids[cj]
+            keep = a < b  # dedupe the symmetric pair + drop self-matches
+            return pa.table(
+                {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
+            )
+
+    return ds.map_batches(
+        PairFinder, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=2048, concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (direct, for candidate verification or small corpora)
 
 

@@ -41,6 +41,11 @@ from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 from debezium_incubator_ray.state.manifest import Manifest
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to lock the same lake (the reference rejects
+    this with an exclusive offset-file lock, FileOffsetWriter.java:152-172)."""
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -79,6 +84,38 @@ class CdcEngine:
                 partitioner=self.cfg.partitioner,
             )
 
+        self._lock_fd: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    # single-writer guard (T2: FileOffsetWriter exclusive lock semantics).
+    # Acquired lazily at first mutation so concurrent READERS never block.
+    def _acquire_lock(self) -> None:
+        if self._lock_fd is not None:
+            return
+        import fcntl
+
+        path = os.path.join(self.lake_dir, "_manifest", "LOCK")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except (BlockingIOError, OSError):
+            os.close(fd)
+            raise ConcurrentWriterError(
+                f"another CdcEngine holds the writer lock for {self.lake_dir}"
+            )
+        os.write(fd, str(os.getpid()).encode())
+        self._lock_fd = fd
+
+    def close(self) -> None:
+        if self._lock_fd is not None:
+            try:
+                os.close(self._lock_fd)
+            finally:
+                self._lock_fd = None
+
+    def __del__(self):  # release on gc so tests / sequential engines work
+        self.close()
+
     # ------------------------------------------------------------------
     # snapshot phase (S3/S4, T5)
     def snapshot(
@@ -94,6 +131,7 @@ class CdcEngine:
         complete, NEVER always skips, ALWAYS redoes. An empty source still
         marks completion (SnapshotProcessor.java:193-197).
         """
+        self._acquire_lock()
         mode = self.cfg.snapshot_mode.upper()
         if mode == "NEVER" or (mode == "INITIAL" and self.manifest.doc["snapshot_complete"]):
             return {"skipped": True}
@@ -149,6 +187,7 @@ class CdcEngine:
     def apply_epoch(
         self, binlog_dir: str, max_segments: Optional[int] = None
     ) -> Dict[str, Any]:
+        self._acquire_lock()
         t0 = time.perf_counter()
         segs = binlog_src.plan_epoch(
             binlog_dir, self.manifest.doc["segments_done"], max_segments

@@ -116,6 +116,7 @@ def test_mid_epoch_crash_uncommitted_files_invisible(world):
     manifest_before = Manifest.load(lake).doc
     assert manifest_before["segments_done"] == []  # nothing visible
 
+    eng.close()  # the "crashed" writer's lock is released
     eng2 = CdcEngine(lake, _cfg(spec))
     eng2.run(binlog)
     oracle = gen.oracle_final_state(spec, ev)

@@ -121,6 +121,25 @@ def test_manifest_watermark_mark_if_greater(tmp_path):
     assert m4.version == 2 and m4.watermark(0) == 10
 
 
+def test_single_writer_lock(tmp_path, ray_session):
+    """Double-writer rejection (FileOffsetWriterTest.java:38-125 lock law)."""
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine, ConcurrentWriterError
+
+    lake = str(tmp_path / "l")
+    cfg = lambda: __import__(
+        "debezium_incubator_ray.config", fromlist=["EngineConfig"]
+    ).EngineConfig(num_partitions=2)
+    a = CdcEngine(lake, cfg(), payload_schema=S.pages_schema())
+    a.snapshot(gen.make_pages(5))  # takes the writer lock
+    b = CdcEngine(lake)  # reader: fine
+    assert b.lake_table().num_rows == 5
+    with pytest.raises(ConcurrentWriterError):
+        b.snapshot(gen.make_pages(5))
+    a.close()
+    b.cfg.snapshot_mode = "ALWAYS"
+    b.snapshot(gen.make_pages(5))  # lock released → new writer allowed
+
+
 def test_lineage_parquet_emitted(tmp_path):
     m = Manifest.create(
         str(tmp_path / "l"), "t", "k", 2, S.schema_to_b64(S.pages_schema())
