@@ -44,6 +44,15 @@ class EngineConfig:
     read_batch_size: Optional[int] = None
     target_rows_per_file: int = 1_000_000  # sorted-run length in the lake
 
+    # exchange implementation for the partition shuffle:
+    #   "staging" (default): disk-backed external shuffle — map tasks split
+    #     blocks by partition into staging parquet, appliers read exactly
+    #     their listed files (see stages/exchange.py; measured ~10x faster
+    #     than the object-store AllToAll in this environment);
+    #   "groupby": Ray Data's native sort-based groupby exchange.
+    exchange: str = "staging"
+    staging_batch_size: int = 65536  # writer-side coalescing (files ≈ blocks×P/batch)
+
     # blocks fed into the partition shuffle. The sort exchange costs
     # O(blocks²) object-store fragments and map_groups re-concatenates
     # group fragments that straddle block boundaries, so a moderate count

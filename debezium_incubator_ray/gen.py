@@ -114,10 +114,18 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.cast(sliced, pa.large_string())
 
 
-def make_pages(n0: int) -> pa.Table:
-    """Initial lake table state (snapshot source): versions at lsn=0."""
-    ids = np.arange(n0, dtype=np.int64)
-    return payload_table(ids, np.zeros(n0, dtype=np.int64))
+def make_pages(n0: int, chunk: int = 131_072) -> pa.Table:
+    """Initial lake table state (snapshot source): versions at lsn=0.
+
+    Built in chunks — one multi-million-row make_text call thrashes caches
+    (measured ~10x slower per row than the ~100k-row regime)."""
+    parts = []
+    for lo in range(0, n0, chunk):
+        ids = np.arange(lo, min(lo + chunk, n0), dtype=np.int64)
+        parts.append(payload_table(ids, np.zeros(len(ids), dtype=np.int64)))
+    if not parts:
+        return payload_table(np.empty(0, np.int64), np.empty(0, np.int64))
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -179,8 +187,12 @@ def gen_events(spec: BinlogSpec) -> Dict[str, np.ndarray]:
             prev_lsn[i] = live[uid]
             live[uid] = int(lsn[i])
         elif r < c_del:
-            k = int(pick_u[i] * len(live_list))
-            uid = live_list.pop(min(k, len(live_list) - 1))
+            k = min(int(pick_u[i] * len(live_list)), len(live_list) - 1)
+            uid = live_list[k]
+            # O(1) swap-remove — list.pop(mid) is O(n) and makes generation
+            # quadratic at millions of events
+            live_list[k] = live_list[-1]
+            live_list.pop()
             ops[i] = "d"
             url_id[i] = uid
             prev_lsn[i] = live.pop(uid)

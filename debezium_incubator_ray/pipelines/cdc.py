@@ -105,6 +105,11 @@ class CdcEngine:
             )
         os.write(fd, str(os.getpid()).encode())
         self._lock_fd = fd
+        # we are now the only writer: clear staging orphans from any
+        # crashed predecessor (their files were never committed)
+        import shutil
+
+        shutil.rmtree(os.path.join(self.lake_dir, "_staging"), ignore_errors=True)
 
     def close(self) -> None:
         if self._lock_fd is not None:
@@ -162,9 +167,15 @@ class CdcEngine:
         stats: Dict[str, Any] = {"skipped": False, "events": 0}
         if ds is not None:
             # a from_arrow / single-file source arrives as one block; split it
-            # so the snapshot load parallelizes across the cluster
+            # so the snapshot load parallelizes across the cluster. Lazy
+            # sources (read_parquet) raise on num_blocks() — they are
+            # already file-parallel, leave them alone.
             nb = self.cfg.shuffle_blocks or min(self.cfg.num_partitions, 32)
-            if ds.num_blocks() is not None and ds.num_blocks() < nb:
+            try:
+                known = ds.num_blocks()
+            except Exception:
+                known = None
+            if known is not None and known < nb:
                 ds = ds.repartition(nb)
             flat = ds.map_batches(
                 to_events, batch_format="pyarrow", zero_copy_batch=True,
@@ -267,6 +278,9 @@ class CdcEngine:
     def _apply_shuffle(self, flat: "ray.data.Dataset") -> List[Dict]:
         """hash-partitioned shuffle + stateful actor-pool merge; returns the
         tiny per-partition commit records (metadata only) on the driver."""
+        if self.cfg.exchange == "staging":
+            return self._apply_shuffle_staging(flat)
+        # object-store exchange: Ray Data's sort-based groupby.
         # autoscaling actor pool (1, c): a fixed pool sized to every CPU
         # would starve the upstream read/sort tasks and deadlock the
         # streaming executor; (1, c) lets Ray balance the stages
@@ -285,6 +299,52 @@ class CdcEngine:
             concurrency=(1, c),
         )
         return applied.take_all()
+
+    def _apply_shuffle_staging(self, flat: "ray.data.Dataset") -> List[Dict]:
+        """Disk-backed external shuffle (stages/exchange.py): split blocks
+        into per-partition staging parquet, then one applier call per
+        partition over exactly the files the writer manifests listed."""
+        import uuid as _uuid
+
+        from debezium_incubator_ray.stages.exchange import StagedApplier, StagingWriter
+
+        stage_dir = os.path.join(self.lake_dir, "_staging", _uuid.uuid4().hex)
+        writer = StagingWriter(stage_dir, self.cfg.num_partitions)
+        manifests = flat.map_batches(
+            writer,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=self.cfg.staging_batch_size,
+        ).take_all()  # tiny: (p, path, rows) rows only
+        files_by_p: Dict[int, List[str]] = {}
+        for m in manifests:
+            files_by_p.setdefault(int(m[S.PART]), []).append(m["path"])
+        try:
+            if not files_by_p:
+                return []
+            c = self.cfg.apply_concurrency or min(self.cfg.num_partitions, 16)
+            items = ray.data.from_items(
+                [{S.PART: p} for p in sorted(files_by_p)],
+                override_num_blocks=len(files_by_p),
+            )
+            applied = items.map_batches(
+                StagedApplier,
+                fn_constructor_kwargs={
+                    "manifest_doc": self.manifest.doc,
+                    "lake_dir": self.lake_dir,
+                    "stage_dir": stage_dir,
+                    "files_by_partition": files_by_p,
+                    "target_rows_per_file": self.cfg.target_rows_per_file,
+                },
+                batch_format="pyarrow",
+                num_cpus=self.cfg.apply_num_cpus,
+                concurrency=(1, c),
+            )
+            return applied.take_all()
+        finally:
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
     def _salted_prereduce(self, flat: "ray.data.Dataset") -> "ray.data.Dataset":
         """Optional second-phase salted LWW pre-reduce for skewed epochs:
