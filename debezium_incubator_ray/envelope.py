@@ -29,6 +29,10 @@ def _as_array(col) -> pa.Array:
     return col
 
 
+def _as_col(tbl: pa.Table, name: str):
+    return tbl.column(name)
+
+
 def struct_from_table(tbl: pa.Table, mask: Optional[pa.Array] = None) -> pa.StructArray:
     """Pack a table's columns into a StructArray; rows where ``mask`` is False
     become null structs (used for null before/after images)."""
@@ -146,20 +150,29 @@ def lww_reduce(tbl: pa.Table, key: str, lsn_col: str = LSN) -> pa.Table:
     each key. This is both the in-batch partial reduce (salting phase one:
     bounds any hot key's shuffle fan-in to one row per input block) and the
     final per-partition reduce.
+
+    INVARIANT: the output is sorted by ``key`` ascending (winner indices are
+    filtered from the key-sorted index array) — merge_lww and the sorted-run
+    writer rely on this instead of re-sorting the payload.
     """
     if tbl.num_rows <= 1:
         return tbl
+    # sort only the 2 key columns, then gather winners once — a full-table
+    # take-then-filter would copy the heavy payload columns twice (the
+    # hottest memory path in the engine)
+    keys_only = tbl.select([key, lsn_col])
     idx = pc.sort_indices(
-        tbl, sort_keys=[(key, "ascending"), (lsn_col, "descending")]
+        keys_only, sort_keys=[(key, "ascending"), (lsn_col, "descending")]
     )
-    t = tbl.take(idx)
-    k = _as_array(t.column(key))
+    k = pc.take(_as_col(tbl, key), idx)
+    k = _as_array(k)
     n = len(k)
     first = np.empty(n, dtype=bool)
     first[0] = True
     neq = pc.not_equal(k.slice(1), k.slice(0, n - 1))
     first[1:] = neq.to_numpy(zero_copy_only=False)
-    return t.filter(pa.array(first))
+    winner_idx = idx.filter(pa.array(first))
+    return tbl.take(winner_idx)
 
 
 def merge_lww(
@@ -186,7 +199,6 @@ def merge_lww(
         )
     else:
         both = fresh
-    winners = lww_reduce(both, key, lsn_col)
+    winners = lww_reduce(both, key, lsn_col)  # key-sorted by construction
     live = winners.filter(pc.not_equal(winners.column(op_col), "d"))
-    live = live.select([c for c in payload_cols])
-    return live.sort_by([(key, "ascending")])
+    return live.select([c for c in payload_cols])

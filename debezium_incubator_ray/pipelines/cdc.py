@@ -308,6 +308,8 @@ class CdcEngine:
 
         from debezium_incubator_ray.stages.exchange import StagedApplier, StagingWriter
 
+        timing = os.environ.get("DBZRAY_TIMING")
+        t0 = time.perf_counter()
         stage_dir = os.path.join(self.lake_dir, "_staging", _uuid.uuid4().hex)
         writer = StagingWriter(stage_dir, self.cfg.num_partitions)
         manifests = flat.map_batches(
@@ -316,6 +318,9 @@ class CdcEngine:
             zero_copy_batch=True,
             batch_size=self.cfg.staging_batch_size,
         ).take_all()  # tiny: (p, path, rows) rows only
+        if timing:
+            print(f"[dbzray] staging-write {time.perf_counter()-t0:.1f}s "
+                  f"({len(manifests)} files)", flush=True)
         files_by_p: Dict[int, List[str]] = {}
         for m in manifests:
             files_by_p.setdefault(int(m[S.PART]), []).append(m["path"])
@@ -340,7 +345,12 @@ class CdcEngine:
                 num_cpus=self.cfg.apply_num_cpus,
                 concurrency=(1, c),
             )
-            return applied.take_all()
+            t1 = time.perf_counter()
+            out = applied.take_all()
+            if timing:
+                print(f"[dbzray] apply-merge {time.perf_counter()-t1:.1f}s "
+                      f"({len(out)} partitions)", flush=True)
+            return out
         finally:
             import shutil
 
