@@ -182,7 +182,7 @@ def main() -> None:
         "cdc_lww_state", "cdc_changelog_counts", "agg_presum_groupby",
         "dedup_exact", "dedup_minhash", "text_token_count", "text_quality",
         "text_fingerprint", "ann_brute_topk", "type_normalization",
-        "multimodal_meta",
+        "multimodal_meta", "dedup_embedding", "windowed_agg",
     ]
     for name in q_list:
         t2 = time.perf_counter()
