@@ -123,6 +123,30 @@ def test_mid_epoch_crash_uncommitted_files_invisible(world):
     assert_tables_equal(eng2.lake_table(), oracle, sort_by="url")
 
 
+def test_groupby_exchange_matches_oracle(world):
+    """The object-store groupby exchange (exchange='groupby') must produce
+    the same lake as the default staging exchange."""
+    spec, ev, binlog, lake = world
+    cfg = _cfg(spec, exchange="groupby")
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+
+
+def test_skew_reported_in_lineage(world):
+    """Zipfian updates → per-partition row-count skew surfaces in lineage
+    (M7: hot-url detection feeds the salting decision)."""
+    spec, ev, binlog, lake = world
+    eng = CdcEngine(lake, _cfg(spec), payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    epochs = [l for l in eng.manifest.doc["lineage"] if l["kind"] == "epoch"]
+    assert epochs and epochs[-1]["skew_ratio"] >= 1.0
+    assert epochs[-1]["partitions_touched"] == spec.num_partitions
+
+
 def test_salted_prereduce_matches_oracle(world):
     """salt_buckets>1 adds the full salted combiner shuffle (hot-key
     splitting per the north rule); final state must be unchanged."""
