@@ -1,0 +1,64 @@
+"""Chaos: an applier actor dies mid-epoch (process kill, not a Python
+exception) — Ray retries the task on a fresh actor and the manifest
+protocol must still produce exactly-once results (no dup/missing rows).
+
+This is the Ray translation of "a retried apply task must not
+double-write" (SURVEY §7.3): the first attempt's staging-referenced data
+files are written again under new uuids by the retry; only the returned
+metadata is committed.
+"""
+
+import os
+
+import pytest
+
+from debezium_incubator_ray import gen
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+from tests.conftest import assert_tables_equal
+
+
+def test_applier_actor_death_is_retried_exactly_once(tmp_path, monkeypatch):
+    from debezium_incubator_ray.stages import exchange as EX
+
+    kill_marker = str(tmp_path / "killed-once")
+    real = EX.StagedApplier
+
+    class FlakyApplier(real):
+        def __call__(self, batch):
+            # first actor to get here dies abruptly (simulates node loss);
+            # the marker file makes every later attempt succeed
+            try:
+                fd = os.open(kill_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(1)
+            except FileExistsError:
+                pass
+            return real.__call__(self, batch)
+
+    monkeypatch.setattr(EX, "StagedApplier", FlakyApplier)
+
+    spec = gen.BinlogSpec(
+        n_events=400, n_initial=80, seg_rows=64, num_partitions=4, seed=17
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=64, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+
+    assert os.path.exists(kill_marker), "the chaos kill never fired"
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+    # keys unique — no double-apply from the retried task
+    lt = eng.lake_table()
+    urls = lt["url"].to_pylist()
+    assert len(urls) == len(set(urls))
