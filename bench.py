@@ -109,9 +109,12 @@ def main() -> None:
     root = "/tmp/dbzray-bench"
     lake = os.path.join(root, "lake")
     shutil.rmtree(lake, ignore_errors=True)
-    # the binlog is deterministic in (sf, mult, seed): cache across runs
+    # the binlog is deterministic in (sf, mult, seed, routing hash): cache
+    # across runs, keyed by the hash impl so a hash change invalidates it
+    from debezium_incubator_ray.hashing import HASH_IMPL
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    binlog = os.path.join(root, f"binlog-{tag}-m{mult}")
+    binlog = os.path.join(root, f"binlog-{tag}-m{mult}-{HASH_IMPL}")
 
     # P fixed regardless of ncpu: the scaling comparison must run the SAME
     # job (same partitioning) at both parallelism levels

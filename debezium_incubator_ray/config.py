@@ -73,15 +73,37 @@ class EngineConfig:
     field_blacklist: Sequence[str] = ()
     table_include_regex: Optional[str] = None
 
-    # delete semantics: emit nothing (tombstones compacted immediately —
-    # safe because the per-partition watermark guarantees no event older
-    # than an applied delete is ever re-applied; reference relies on Kafka
-    # log compaction instead, TombstoneRecord.java:11-24)
+    # delete semantics (TombstoneRecord.java:11-24 + tombstones.on.delete,
+    # CassandraConnectorConfig.java:223-229):
+    #   True  (default): deletes are fully compacted — the key's row is
+    #     removed from the lake (the Kafka-log-compaction outcome). Safe
+    #     because the watermark guarantees no older event re-applies.
+    #   False: deleted keys are RETAINED as tombstone marker rows
+    #     (payload nulls + ``_deleted=true`` column) so downstream consumers
+    #     can observe deletions — the compacted-topic-without-tombstone
+    #     behavior. Recorded in the manifest (table semantics, not a knob).
     tombstones: bool = True
 
     # snapshot mode: ALWAYS / INITIAL / NEVER
     # (CassandraConnectorConfig.java:74-81)
     snapshot_mode: str = "INITIAL"
+
+    # process only the newest not-yet-applied segment per binlog partition —
+    # the reference's test-only latest-commit-log mode
+    # (CommitLogProcessor.java:115-134; config :237-238). Skipped older
+    # segments are still marked done.
+    latest_only: bool = False
+
+    # partition-aligned fast path: when the binlog directory layout
+    # (p=<p>/seg-*.parquet) has the same partition count as the lake, each
+    # binlog partition feeds exactly one lake partition, so the epoch skips
+    # the exchange entirely (read p's segments → normalize → apply p) — the
+    # dominant cost of the shuffle path disappears. Routing is validated
+    # per batch (every normalized row must land in partition p; a mismatch
+    # aborts the epoch before any commit).
+    #   "auto" (default): use when binlog partition count == num_partitions;
+    #   "never": always exchange (e.g. binlog partitioned by a foreign key).
+    aligned_binlog: str = "auto"
 
     def partition_of(self, key_array):
         """Vectorized partition id for an Arrow array of keys."""

@@ -175,30 +175,53 @@ def lww_reduce(tbl: pa.Table, key: str, lsn_col: str = LSN) -> pa.Table:
     return tbl.take(winner_idx)
 
 
+DELETED = "_deleted"  # tombstone marker column (tombstones=False mode only)
+
+
 def merge_lww(
     existing: Optional[pa.Table],
     fresh: pa.Table,
     key: str,
     lsn_col: str = LSN,
     op_col: str = "op",
+    keep_tombstones: bool = False,
 ) -> pa.Table:
     """Sorted-run upsert: merge the current lake rows of a partition slice
     (implicitly live, no op column) with LWW-reduced fresh events, keep the
-    max-LSN winner per key, and compact tombstones (drop keys whose winner is
-    a delete). Output is sorted by key — the lake's sorted-run invariant."""
-    payload_cols = [c for c in fresh.column_names if c not in (op_col,)]
-    fresh_p = fresh.select(payload_cols)
+    max-LSN winner per key, then compact tombstones (drop keys whose winner
+    is a delete). Output is sorted by key — the lake's sorted-run invariant.
+
+    ``keep_tombstones=True`` (EngineConfig.tombstones=False): delete winners
+    are RETAINED as marker rows (payload nulls, ``_deleted=true``) — the
+    compacted-topic-without-tombstone behavior where downstream consumers
+    still observe deletions (TombstoneRecord.java:11-24 contract inverted).
+    """
+    payload_cols = [c for c in fresh.column_names if c not in (op_col, DELETED)]
     if existing is not None and existing.num_rows:
         ex = existing
-        if "op" not in ex.column_names:
-            ex = ex.append_column(
-                "op", pa.array(["r"] * ex.num_rows, type=pa.string())
-            )
+        if op_col not in ex.column_names:
+            if DELETED in ex.column_names:
+                # stored tombstone markers re-enter the reduce as deletes so
+                # they keep losing to any newer live write
+                op = pc.if_else(
+                    pc.fill_null(ex[DELETED].combine_chunks(), False),
+                    pa.scalar("d"), pa.scalar("r"),
+                )
+                ex = ex.drop_columns([DELETED]).append_column(op_col, op)
+            else:
+                ex = ex.append_column(
+                    op_col, pa.array(["r"] * ex.num_rows, type=pa.string())
+                )
+        fr = fresh.drop_columns([DELETED]) if DELETED in fresh.column_names else fresh
         both = pa.concat_tables(
-            [ex.select(fresh.column_names), fresh], promote_options="permissive"
+            [ex.select(fr.column_names), fr], promote_options="permissive"
         )
     else:
-        both = fresh
+        both = fresh.drop_columns([DELETED]) if DELETED in fresh.column_names else fresh
     winners = lww_reduce(both, key, lsn_col)  # key-sorted by construction
-    live = winners.filter(pc.not_equal(winners.column(op_col), "d"))
-    return live.select([c for c in payload_cols])
+    dead = pc.equal(winners.column(op_col), "d")
+    if keep_tombstones:
+        out = winners.select(payload_cols)
+        return out.append_column(DELETED, pc.fill_null(dead, False))
+    live = winners.filter(pc.invert(dead))
+    return live.select(payload_cols)

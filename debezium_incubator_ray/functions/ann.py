@@ -51,14 +51,21 @@ class BruteForceTopK:
         M = _normalize(_batch_matrix(batch, self.col))
         ids = batch[self.id_col].to_numpy()
         sims = self.Q @ M.T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        nb = sims.shape[1]
+        k = min(self.k, nb)
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            sel = idx[qi]
+            s = sims[qi]
+            # exact per-batch top-k with the oracle's tie-break: take every
+            # candidate tied at the k-th score, then order by
+            # (-score, vec_id asc) — an argpartition cut would keep an
+            # arbitrary member of a boundary tie and drop the lower vec_id
+            kth = np.partition(s, nb - k)[nb - k]
+            cand = np.nonzero(s >= kth)[0]
+            sel = cand[np.lexsort((ids[cand], -s[cand]))][:k]
             rows_q.append(np.full(k, self.qids[qi], dtype=np.int64))
             rows_v.append(ids[sel].astype(np.int64))
-            rows_s.append(sims[qi, sel])
+            rows_s.append(s[sel])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(rows_q)),

@@ -65,6 +65,7 @@ class CdcEngine:
             self.cfg.key = doc["key"]
             self.cfg.num_partitions = doc["num_partitions"]
             self.cfg.partitioner = doc.get("partitioner", self.cfg.partitioner)
+            self.cfg.tombstones = doc.get("tombstones", True)
         else:
             if payload_schema is None:
                 raise ValueError("payload_schema required to create a new lake")
@@ -82,6 +83,7 @@ class CdcEngine:
                 self.cfg.num_partitions,
                 S.schema_to_b64(payload_schema),
                 partitioner=self.cfg.partitioner,
+                tombstones=self.cfg.tombstones,
             )
 
         self._lock_fd: Optional[int] = None
@@ -140,6 +142,21 @@ class CdcEngine:
         mode = self.cfg.snapshot_mode.upper()
         if mode == "NEVER" or (mode == "INITIAL" and self.manifest.doc["snapshot_complete"]):
             return {"skipped": True}
+        if mode == "ALWAYS" and self.manifest.doc["snapshot_complete"]:
+            # a redo with snapshot_lsn <= any applied watermark would be a
+            # silent no-op (every row filtered as a duplicate) — the redo
+            # must carry a strictly newer LSN to be real
+            wms = [
+                e["watermark"] for e in self.manifest.doc["partitions"].values()
+            ]
+            top = max(wms) if wms else -1
+            if snapshot_lsn <= top:
+                raise ValueError(
+                    f"snapshot_mode=ALWAYS redo with snapshot_lsn="
+                    f"{snapshot_lsn} <= existing watermark {top}: every row "
+                    "would be dropped as a duplicate and the lake never "
+                    "refreshed — pass a snapshot_lsn above all watermarks"
+                )
         if isinstance(source, str):
             ds = ray.data.read_parquet(source)
         elif isinstance(source, pa.Table):
@@ -200,9 +217,29 @@ class CdcEngine:
     ) -> Dict[str, Any]:
         self._acquire_lock()
         t0 = time.perf_counter()
-        segs = binlog_src.plan_epoch(
-            binlog_dir, self.manifest.doc["segments_done"], max_segments
+        done = list(self.manifest.doc["segments_done"]) + list(
+            self.manifest.doc.get("segments_error", {})
         )
+        segs = binlog_src.plan_epoch(
+            binlog_dir, done, max_segments, latest_only=self.cfg.latest_only
+        )
+        skipped_old: List[str] = []
+        if self.cfg.latest_only and segs:
+            # the skipped older segments are marked done too — the
+            # reference's latest-commit-log mode never revisits them
+            all_fresh = binlog_src.plan_epoch(binlog_dir, done, None)
+            skipped_old = [s for s in all_fresh if s not in set(segs)]
+        # per-segment quarantine (cheap footer probe): a corrupt segment is
+        # recorded + skipped instead of failing the whole epoch
+        quarantined: Dict[str, str] = {}
+        ok_segs: List[str] = []
+        for s in segs:
+            err = binlog_src.validate_segment(os.path.join(binlog_dir, s))
+            if err is None:
+                ok_segs.append(s)
+            else:
+                quarantined[s] = err
+        segs = ok_segs
         schema_update = self._pending_schema_update(binlog_dir)
         if not segs:
             # heartbeat: empty epochs still advance the manifest (the
@@ -211,25 +248,94 @@ class CdcEngine:
             self.manifest = self.manifest.commit(
                 {}, lineage=self._lineage("heartbeat", {}, 0, time.perf_counter() - t0),
                 schema_update=schema_update,
+                segments_error=quarantined or None,
             )
-            return {"segments": 0, "events": 0}
+            return {"segments": 0, "events": 0, "quarantined": len(quarantined)}
 
         if schema_update is not None:
             # activate pending schema version before normalization so the
             # whole epoch is upgraded to one target schema (SURVEY §7.3)
             self.manifest = self.manifest.commit({}, schema_update=schema_update)
 
-        paths = [os.path.join(binlog_dir, s) for s in segs]
-        ds = ray.data.read_parquet(paths)
-        norm = NormalizeEnvelope(
-            self.manifest.doc["schemas"][-1]["schema"],
-            self.cfg.key,
-            self.cfg.num_partitions,
+        groups = binlog_src.group_by_partition(segs)
+        binlog_p = binlog_src.binlog_partition_count(binlog_dir)
+        aligned = (
+            self.cfg.aligned_binlog != "never"
+            and groups is not None
+            and binlog_p == self.cfg.num_partitions
+        )
+        if aligned:
+            commits = self._apply_aligned(binlog_dir, groups)
+        else:
+            if max_segments is not None and binlog_p != self.cfg.num_partitions:
+                # watermark soundness (see ADVICE): the per-lake-partition
+                # replay-dedup watermark requires non-decreasing LSNs per
+                # lake partition ACROSS epochs. A partial epoch over a
+                # binlog whose partitioning differs from the lake's drains
+                # binlog partitions sequentially and can advance a lake
+                # watermark past LSNs still unapplied in another binlog
+                # partition — silent permanent loss. Full drains (one
+                # epoch, no max_segments) are always sound.
+                raise ValueError(
+                    "apply_epoch(max_segments=...) over a binlog whose "
+                    f"partition count ({binlog_p}) differs from the lake's "
+                    f"({self.cfg.num_partitions}) would break per-partition "
+                    "LSN monotonicity and silently drop events. Drain the "
+                    "binlog in one epoch, or repartition it to match."
+                )
+            commits = self._apply_exchange_epoch(binlog_dir, segs)
+        updates = self._partition_updates(commits)
+        # delivered-event count from segment footers (commit records count
+        # post-prereduce rows, which undercounts after the combiner)
+        events = sum(
+            pq.ParquetFile(os.path.join(binlog_dir, s)).metadata.num_rows
+            for s in segs
+        )
+        self.manifest = self.manifest.commit(
+            updates,
+            segments_done=segs + skipped_old,
+            lineage=self._lineage("epoch", updates, events, time.perf_counter() - t0),
+            segments_error=quarantined or None,
+        )
+        return {
+            "segments": len(segs),
+            "events": events,
+            "applied": sum(c["events_applied"] for c in commits),
+            "seconds": time.perf_counter() - t0,
+            "quarantined": len(quarantined),
+            "aligned": aligned,
+        }
+
+    def _norm_kwargs(self) -> Dict[str, Any]:
+        return dict(
+            schema_b64=self.manifest.doc["schemas"][-1]["schema"],
+            key=self.cfg.key,
+            num_partitions=self.cfg.num_partitions,
             partitioner=self.cfg.partitioner,
             defaults=self.manifest.doc["defaults"],
-            field_blacklist=self.cfg.field_blacklist,
+            field_blacklist=tuple(self.cfg.field_blacklist),
             table_include_regex=self.cfg.table_include_regex,
+            default_at=self._default_at(),
         )
+
+    def _default_at(self) -> Dict[str, int]:
+        """Activation LSN per defaulted column (drives 'backfill only
+        pre-evolution rows' in normalize — a post-evolution explicit NULL
+        stays NULL)."""
+        out: Dict[str, int] = {}
+        for s in self.manifest.doc["schemas"]:
+            for ch in s.get("changes", []):
+                if ch.get("change") == "add_column":
+                    out[ch["column"]] = ch["at_lsn"]
+        return out
+
+    def _apply_exchange_epoch(self, binlog_dir: str, segs: List[str]) -> List[Dict]:
+        """The general path: read all segments → normalize → combiner →
+        hash-partition exchange → stateful merge. Used when the binlog is
+        not partition-aligned with the lake."""
+        paths = [os.path.join(binlog_dir, s) for s in segs]
+        ds = ray.data.read_parquet(paths)
+        norm = NormalizeEnvelope(**self._norm_kwargs())
         flat = ds.map_batches(
             norm, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=self.cfg.read_batch_size,
@@ -247,22 +353,37 @@ class CdcEngine:
         )
         if self.cfg.salt_buckets > 1:
             flat = self._salted_prereduce(flat)
-        commits = self._apply_shuffle(flat)
-        updates = self._partition_updates(commits)
-        # delivered-event count from segment footers (commit records count
-        # post-prereduce rows, which undercounts after the combiner)
-        events = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-        self.manifest = self.manifest.commit(
-            updates,
-            segments_done=segs,
-            lineage=self._lineage("epoch", updates, events, time.perf_counter() - t0),
+        return self._apply_shuffle(flat)
+
+    def _apply_aligned(
+        self, binlog_dir: str, groups: Dict[int, List[str]]
+    ) -> List[Dict]:
+        """Partition-aligned fast path: the binlog's p=<p> dirs map 1:1 to
+        lake partitions, so the epoch needs NO exchange — one task per
+        partition reads exactly its segments, normalizes, validates routing
+        and merges (stages/apply.py AlignedSegmentApplier)."""
+        from debezium_incubator_ray.stages.apply import AlignedSegmentApplier
+
+        items = [
+            {S.PART: p, "paths_json": json.dumps(groups[p])}
+            for p in sorted(groups)
+        ]
+        c = self.cfg.apply_concurrency or min(self.cfg.num_partitions, 16)
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        applied = ds.map_batches(
+            AlignedSegmentApplier,
+            fn_constructor_kwargs={
+                "manifest_doc": self.manifest.doc,
+                "lake_dir": self.lake_dir,
+                "binlog_dir": binlog_dir,
+                "norm_kwargs": self._norm_kwargs(),
+                "target_rows_per_file": self.cfg.target_rows_per_file,
+            },
+            batch_format="pyarrow",
+            num_cpus=self.cfg.apply_num_cpus,
+            concurrency=(1, c),
         )
-        return {
-            "segments": len(segs),
-            "events": events,
-            "applied": sum(c["events_applied"] for c in commits),
-            "seconds": time.perf_counter() - t0,
-        }
+        return applied.take_all()
 
     def run(self, binlog_dir: str, max_segments_per_epoch: Optional[int] = None) -> List[Dict]:
         """Drain the binlog: epochs until no new segments (the tail loop)."""
@@ -428,11 +549,19 @@ class CdcEngine:
             empty = S.upgrade_table(pa.table({}), target, defaults).select(target.names)
             return ray.data.from_arrow(empty)
 
+        from debezium_incubator_ray.envelope import DELETED
+
         def upgrade(batch: pa.Table) -> pa.Table:
-            lsn = batch[S.LSN]
-            out = S.upgrade_table(batch.drop_columns([S.LSN]), target, defaults)
+            side = {S.LSN: batch[S.LSN]}
+            drop = [S.LSN]
+            if DELETED in batch.column_names:
+                side[DELETED] = batch[DELETED]
+                drop.append(DELETED)
+            out = S.upgrade_table(batch.drop_columns(drop), target, defaults)
             if include_lsn:
-                out = out.append_column(S.LSN, lsn)
+                out = out.append_column(S.LSN, side[S.LSN])
+            if DELETED in side:
+                out = out.append_column(DELETED, side[DELETED])
             return out
 
         parts = []
@@ -451,14 +580,22 @@ class CdcEngine:
         """Driver-side materialization for tests / small results only."""
         target = self.manifest.current_schema()
         defaults = self.manifest.doc["defaults"]
+        from debezium_incubator_ray.envelope import DELETED
+
         tbls = []
         for p in range(self.manifest.num_partitions):
             for f in self.manifest.files(p):
                 t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
-                lsn = t[S.LSN]
-                t = S.upgrade_table(t.drop_columns([S.LSN]), target, defaults)
+                side = {S.LSN: t[S.LSN]}
+                drop = [S.LSN]
+                if DELETED in t.column_names:
+                    side[DELETED] = t[DELETED]
+                    drop.append(DELETED)
+                t = S.upgrade_table(t.drop_columns(drop), target, defaults)
                 if include_lsn:
-                    t = t.append_column(S.LSN, lsn)
+                    t = t.append_column(S.LSN, side[S.LSN])
+                if DELETED in side:
+                    t = t.append_column(DELETED, side[DELETED])
                 tbls.append(t)
         if not tbls:
             return S.upgrade_table(pa.table({}), target, defaults)

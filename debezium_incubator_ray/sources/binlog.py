@@ -62,6 +62,46 @@ def plan_epoch(
     return fresh
 
 
+def group_by_partition(segments: Sequence[str]) -> Optional[Dict[int, List[str]]]:
+    """Group segment relpaths by their binlog partition (the ``p=<p>/``
+    directory). Returns None if any segment doesn't follow the layout —
+    callers must then treat the binlog as unpartitioned (exchange path)."""
+    out: Dict[int, List[str]] = {}
+    for s in segments:
+        m = _SEG_RE.search(s.replace(os.sep, "/"))
+        if not m:
+            return None
+        out.setdefault(int(m.group(1)), []).append(s)
+    return out
+
+
+def binlog_partition_count(binlog_dir: str) -> Optional[int]:
+    """Number of ``p=<p>`` partition dirs in the binlog layout (max+1), or
+    None when the directory doesn't follow the partitioned layout."""
+    ps = []
+    try:
+        for name in os.listdir(binlog_dir):
+            if name.startswith("p=") and name[2:].isdigit():
+                ps.append(int(name[2:]))
+    except FileNotFoundError:
+        return None
+    return (max(ps) + 1) if ps else None
+
+
+def validate_segment(path: str) -> Optional[str]:
+    """Cheap corruption probe (parquet footer read). Returns an error string
+    for a bad segment, None when readable — the per-segment quarantine
+    check (reference: failed segments move to error/ and processing
+    continues, QueueProcessor.java:85-106, CommitLogProcessor.java:103-112)."""
+    import pyarrow.parquet as pq
+
+    try:
+        pq.ParquetFile(path)
+        return None
+    except Exception as ex:  # noqa: BLE001 — any unreadable segment quarantines
+        return f"{type(ex).__name__}: {ex}"
+
+
 def load_schema_changes(binlog_dir: str) -> List[SchemaChange]:
     """Structured DDL-like control events shipped alongside the binlog
     (the reference parses DDL text with ANTLR — OracleDdlParser.java:44-110;

@@ -63,6 +63,8 @@ class PartitionApplier:
         self.schema_version = manifest_doc["schemas"][-1]["version"]
         self.defaults = manifest_doc["defaults"]
         self.next_version = manifest_doc["version"] + 1
+        # tombstones=False (manifest-recorded): retain delete markers
+        self.keep_tombstones = not manifest_doc.get("tombstones", True)
 
     # ------------------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -88,10 +90,18 @@ class PartitionApplier:
             runs = [(None, events)]
         else:
             # assign each event to the run whose key range it falls into;
-            # events beyond the last run's max_key merge into the last run
+            # events beyond the last run's max_key merge into the last run.
+            # String keys go through numpy's fixed-width unicode dtype so the
+            # searchsorted comparisons run in C, not per-element Python
+            # (object-dtype compares dominate at large epochs)
             bounds = [f["max_key"] for f in files]
             keys_np = keys.to_numpy(zero_copy_only=False)
-            assign = np.searchsorted(np.array(bounds, dtype=object), keys_np, side="left")
+            if keys_np.dtype == object:
+                keys_np = keys_np.astype(np.str_)
+                bounds_np = np.asarray(bounds, dtype=keys_np.dtype)
+            else:
+                bounds_np = np.asarray(bounds, dtype=keys_np.dtype)
+            assign = np.searchsorted(bounds_np, keys_np, side="left")
             assign = np.minimum(assign, len(files) - 1)
             runs = []
             touched = np.unique(assign)
@@ -109,11 +119,24 @@ class PartitionApplier:
             if f is not None:
                 existing = pq.read_table(os.path.join(self.lake_dir, f["path"]))
                 if f.get("schema_version", 1) != self.schema_version:
-                    lsn_col = existing[S.LSN]
+                    # lazy upgrade: carry the internal columns (_lsn and, in
+                    # tombstone-retention mode, _deleted) around the payload
+                    # realignment — upgrade_table drops unknown columns
+                    side = {S.LSN: existing[S.LSN]}
+                    drop = [S.LSN]
+                    from debezium_incubator_ray.envelope import DELETED
+
+                    if DELETED in existing.column_names:
+                        side[DELETED] = existing[DELETED]
+                        drop.append(DELETED)
                     existing = upgrade_table(
-                        existing.drop_columns([S.LSN]), self.schema, self.defaults
-                    ).append_column(S.LSN, lsn_col)
-            merged = merge_lww(existing, ev, self.key)
+                        existing.drop_columns(drop), self.schema, self.defaults
+                    )
+                    for name, col in side.items():
+                        existing = existing.append_column(name, col)
+            merged = merge_lww(
+                existing, ev, self.key, keep_tombstones=self.keep_tombstones
+            )
             rows_total += merged.num_rows
             new_files.extend(self._write_run(p, merged))
 
@@ -151,6 +174,15 @@ class PartitionApplier:
             )
         return out
 
+    def _record_unchanged(self, p: int) -> pa.Table:
+        """Commit row for a partition whose epoch slice normalized to zero
+        rows (e.g. fully table-filtered): watermark and files unchanged."""
+        ent = self.doc["partitions"][str(p)]
+        return self._record(
+            p, ent["watermark"], 0, 0, 0,
+            sum(f["rows"] for f in ent["files"]), ent["files"],
+        )
+
     def _record(self, p, wm, ev_in, ev_applied, distinct, rows_total, files) -> pa.Table:
         return pa.Table.from_pydict(
             {
@@ -164,3 +196,71 @@ class PartitionApplier:
             },
             schema=COMMIT_SCHEMA,
         )
+
+
+class AlignedSegmentApplier:
+    """Partition-aligned epoch fast path: NO exchange at all.
+
+    When the binlog layout (``p=<p>/seg-*.parquet``) has the same partition
+    count and partitioner as the lake, each binlog partition feeds exactly
+    one lake partition — so shuffling rows that are already partition-local
+    is pure waste (it was the dominant stage of the shuffle path: staging
+    write ≈ 16 s of a 32M-event epoch). One call per binlog partition:
+    read exactly that partition's new segments, normalize (vectorized, same
+    NormalizeEnvelope as the exchange path), VALIDATE that every normalized
+    row routes to this partition (a mismatched partitioner would silently
+    break the watermark invariant — see ADVICE: per-lake-partition LSN
+    monotonicity), in-batch LWW combine, then the standard PartitionApplier
+    merge.
+
+    Scale notes: parallelism = P binlog partitions (size P ≥ cluster cores);
+    per-task working set = epoch/P plus affected sorted runs — identical to
+    the exchange path's stage 2, minus the exchange itself. On a real
+    cluster each task reads its own segment files from shared storage.
+    """
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        binlog_dir: str,
+        norm_kwargs: Dict[str, Any],
+        target_rows_per_file: int = 1_000_000,
+    ):
+        from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.norm = NormalizeEnvelope(**norm_kwargs)
+        self.binlog_dir = binlog_dir
+        self.key = manifest_doc["key"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.envelope import lww_reduce
+
+        outs: List[pa.Table] = []
+        ps = batch[S.PART].to_pylist()
+        for p, paths_json in zip(ps, batch["paths_json"].to_pylist()):
+            flats: List[pa.Table] = []
+            # normalize per segment (segments may carry different payload
+            # schema versions; normalize aligns each to the current target)
+            for rel in json.loads(paths_json):
+                env = pq.read_table(os.path.join(self.binlog_dir, rel))
+                flat = self.norm(env)
+                if flat.num_rows:
+                    flats.append(flat)
+            if not flats:
+                outs.append(self.inner._record_unchanged(int(p)))
+                continue
+            events = pa.concat_tables(flats) if len(flats) > 1 else flats[0]
+            pcol = events[S.PART]
+            if pc.min(pcol).as_py() != p or pc.max(pcol).as_py() != p:
+                raise RuntimeError(
+                    f"aligned-binlog violation: segments under p={p} "
+                    "normalized to rows routed to other lake partitions — "
+                    "binlog partitioning does not match the lake "
+                    "(set EngineConfig.aligned_binlog='never' to use the "
+                    "exchange path for this source)"
+                )
+            # in-batch combiner (hot keys collapse before the merge)
+            outs.append(self.inner(lww_reduce(events, self.key)))
+        return pa.concat_tables(outs)

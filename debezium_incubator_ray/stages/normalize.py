@@ -46,12 +46,19 @@ class NormalizeEnvelope:
         field_blacklist: Sequence[str] = (),
         table_include_regex: Optional[str] = None,
         emit_before: bool = False,
+        default_at: Optional[Dict[str, int]] = None,
     ):
         self.schema = S.schema_from_b64(schema_b64)
         self.key = key
         self.num_partitions = num_partitions
         self.partitioner = partitioner
         self.defaults = defaults or {}
+        # activation LSN per defaulted column: the default backfills only
+        # events serialized BEFORE the column existed (column absent, or a
+        # widened null at lsn <= at_lsn) — an explicit NULL set by an event
+        # after the evolution stays NULL (Debezium default semantics; the
+        # reference backfills only on absent fields, not present nulls)
+        self.default_at = default_at or {}
         self.blacklist = {f for f in field_blacklist if f != key}
         self.table_re = re.compile(table_include_regex) if table_include_regex else None
         self.emit_before = emit_before
@@ -94,18 +101,33 @@ class NormalizeEnvelope:
             child = b.field(self.key)
             before_key = pc.if_else(valid, child, pa.nulls(n, child.type))
 
+        lsn_arr = src.field("lsn")
         cols: Dict[str, pa.Array] = {}
         for f in self.schema:
             if f.name in self.blacklist:
                 continue
             col = after.get(f.name)
-            if col is None:
-                col = pa.nulls(n, f.type)
-            elif col.type != f.type:
-                col = pc.cast(col, f.type)  # type widening
             d = self.defaults.get(f.name)
-            if d is not None:
-                col = pc.fill_null(col, pa.scalar(d, type=f.type))
+            if col is None:
+                # column absent from the serialized envelope: the writer
+                # predates the add_column — backfill all rows
+                col = pa.nulls(n, f.type)
+                if d is not None:
+                    col = pc.fill_null(col, pa.scalar(d, type=f.type))
+            else:
+                if col.type != f.type:
+                    col = pc.cast(col, f.type)  # type widening
+                if d is not None:
+                    # present column: backfill only pre-evolution rows
+                    # (lsn <= activation) — later explicit NULLs are kept
+                    at = self.default_at.get(f.name)
+                    pre = (
+                        pc.less_equal(lsn_arr, pa.scalar(at, pa.int64()))
+                        if at is not None
+                        else pa.array(np.ones(n, dtype=bool))
+                    )
+                    need = pc.and_(pre, pc.is_null(col))
+                    col = pc.if_else(need, pa.scalar(d, type=f.type), col)
             cols[f.name] = col
         # key: coalesce(after.key, before.key) — deletes carry key via before
         if before_key is not None:

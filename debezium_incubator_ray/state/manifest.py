@@ -44,7 +44,10 @@ class Manifest:
         num_partitions: int,
         schema_b64: str,
         partitioner: str = "hash",
+        tombstones: bool = True,
     ) -> "Manifest":
+        from debezium_incubator_ray.hashing import HASH_IMPL
+
         os.makedirs(os.path.join(lake_dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(lake_dir, "_manifest"), exist_ok=True)
         doc = {
@@ -52,15 +55,27 @@ class Manifest:
             "table": table,
             "key": key,
             "partitioner": partitioner,
+            # routing-hash implementation id: resuming with a different hash
+            # would silently re-route keys to other partitions (duplicate
+            # keys across partitions, events dropped by foreign watermarks),
+            # so load() refuses a mismatch outright
+            "hash_impl": HASH_IMPL,
             "num_partitions": num_partitions,
             "schemas": [{"version": 1, "at_lsn": -1, "schema": schema_b64, "changes": []}],
             "defaults": {},
+            # delete semantics for this table (see EngineConfig.tombstones):
+            # True = compact deletes away; False = retain _deleted markers
+            "tombstones": tombstones,
             "snapshot_complete": False,
             "snapshot_lsn": -1,
             "partitions": {
                 str(p): {"watermark": -1, "files": []} for p in range(num_partitions)
             },
             "segments_done": [],
+            # quarantined segments: {relpath: error}; skipped by plan_epoch,
+            # surfaced for operators (reference: segment moved to error/,
+            # QueueProcessor.java:85-106)
+            "segments_error": {},
             "lineage": [],
         }
         m = Manifest(lake_dir, doc)
@@ -69,11 +84,22 @@ class Manifest:
 
     @staticmethod
     def load(lake_dir: str) -> "Manifest":
+        from debezium_incubator_ray.hashing import HASH_IMPL
+
         cur = os.path.join(lake_dir, "_manifest", "CURRENT")
         with open(cur) as f:
             v = int(f.read().strip())
         with open(os.path.join(lake_dir, "_manifest", f"v{v}.json")) as f:
-            return Manifest(lake_dir, json.load(f))
+            doc = json.load(f)
+        recorded = doc.get("hash_impl", HASH_IMPL)
+        if doc.get("partitioner", "hash") == "hash" and recorded != HASH_IMPL:
+            raise RuntimeError(
+                f"lake {lake_dir} was written with routing hash "
+                f"'{recorded}' but this build uses '{HASH_IMPL}'; resuming "
+                "would re-route keys across partitions (exactly-once "
+                "violation). Rebuild the lake or run the matching build."
+            )
+        return Manifest(lake_dir, doc)
 
     @staticmethod
     def exists(lake_dir: str) -> bool:
@@ -113,6 +139,7 @@ class Manifest:
         lineage: Optional[Dict[str, Any]] = None,
         schema_update: Optional[Dict[str, Any]] = None,
         snapshot: Optional[Dict[str, Any]] = None,
+        segments_error: Optional[Dict[str, str]] = None,
     ) -> "Manifest":
         """Produce + atomically publish the next manifest version."""
         doc = json.loads(json.dumps(self.doc))  # deep copy
@@ -126,6 +153,8 @@ class Manifest:
         if segments_done:
             done = set(doc["segments_done"])
             doc["segments_done"] = sorted(done | set(segments_done))
+        if segments_error:
+            doc.setdefault("segments_error", {}).update(segments_error)
         if lineage is not None:
             doc["lineage"] = (doc["lineage"] + [lineage])[-50:]
         if schema_update is not None:

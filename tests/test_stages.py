@@ -137,7 +137,12 @@ def test_single_writer_lock(tmp_path, ray_session):
         b.snapshot(gen.make_pages(5))
     a.close()
     b.cfg.snapshot_mode = "ALWAYS"
-    b.snapshot(gen.make_pages(5))  # lock released → new writer allowed
+    # a redo at a stale LSN would be a silent no-op (every row filtered as a
+    # duplicate) — the engine must refuse it rather than pretend to refresh
+    with pytest.raises(ValueError):
+        b.snapshot(gen.make_pages(5))
+    # lock released → new writer allowed at a strictly newer snapshot LSN
+    b.snapshot(gen.make_pages(5), snapshot_lsn=1)
 
 
 def test_lineage_parquet_emitted(tmp_path):
