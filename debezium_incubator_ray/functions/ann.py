@@ -97,7 +97,12 @@ def brute_force_topk(
         batch_size=4096,
         concurrency=2,
     )
-    cand = partial.take_all()  # tiny: nq * k * n_batches rows
+    return _merge_topk(partial.take_all(), k)
+
+
+def _merge_topk(cand: list, k: int) -> pa.Table:
+    """Final tiny reduce of per-batch candidates (nq * k * n_batches rows)
+    with the deterministic (-score, vec_id) order."""
     if not cand:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
@@ -117,21 +122,83 @@ def brute_force_topk(
 
 
 class HyperplaneSigner:
-    """Random-hyperplane LSH signature per vector (one matmul per batch);
-    planes generated once per actor from a fixed seed."""
+    """Hyperplane LSH signature per vector (one matmul per batch); planes
+    built once per actor. Two plane families:
 
-    def __init__(self, dim: int, n_planes: int = 16, seed: int = 13, col: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+    - random Gaussian hyperplanes (``axis_aligned=False``, classic SimHash
+      LSH — the scale default);
+    - axis-aligned hyperplanes (``axis_aligned=True``): bit j = sign of
+      coordinate j. An equally valid LSH family whose buckets are
+      reproducible by plain SQL over the embedding list column — the
+      cross-engine verification bridge for the bucketed search."""
+
+    def __init__(
+        self,
+        dim: int,
+        n_planes: int = 16,
+        seed: int = 13,
+        col: str = "embedding",
+        axis_aligned: bool = False,
+    ):
+        if axis_aligned:
+            assert n_planes <= dim
+            self.planes = np.eye(dim)[:, :n_planes]
+        else:
+            rng = np.random.default_rng(seed)
+            self.planes = rng.standard_normal((dim, n_planes))
         self.col = col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        M = _batch_matrix(batch, self.col)
-        bits = (M @ self.planes) > 0
+    def sign(self, M: np.ndarray) -> np.ndarray:
+        bits = (np.asarray(M, dtype=np.float64) @ self.planes) > 0
         sig = np.zeros(len(M), dtype=np.int64)
         for j in range(bits.shape[1]):
             sig |= bits[:, j].astype(np.int64) << j
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self.sign(_batch_matrix(batch, self.col))
         return batch.append_column("lsh_bucket", pa.array(sig, type=pa.int64()))
+
+
+class _BucketMatchTopK(BruteForceTopK):
+    """BruteForceTopK restricted per query to corpus vectors in the SAME
+    LSH bucket (sims to other buckets masked out before the top-k cut)."""
+
+    def __init__(self, queries_ref, k, qsig, id_col="vec_id", col="embedding"):
+        super().__init__(queries_ref, k, id_col, col)
+        self.qsig = np.asarray(qsig, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_batch_matrix(batch, self.col))
+        ids = batch[self.id_col].to_numpy()
+        buckets = batch["lsh_bucket"].to_numpy()
+        sims = self.Q @ M.T
+        sims = np.where(self.qsig[:, None] == buckets[None, :], sims, -np.inf)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            cand = np.nonzero(s > -np.inf)[0]
+            if len(cand) == 0:
+                continue
+            kk = min(self.k, len(cand))
+            sc = s[cand]
+            kth = np.partition(sc, len(sc) - kk)[len(sc) - kk]
+            cand = cand[sc >= kth]
+            sel = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+            rows_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+            rows_v.append(ids[sel].astype(np.int64))
+            rows_s.append(s[sel])
+        if not rows_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "vec_id": pa.array(np.concatenate(rows_v)),
+                "score": pa.array(np.concatenate(rows_s)),
+            }
+        )
 
 
 def lsh_topk(
@@ -142,15 +209,16 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     col: str = "embedding",
+    axis_aligned: bool = False,
 ) -> pa.Table:
-    """Approximate top-k: search only vectors whose hyperplane bucket matches
-    the query's. Recall < 1.0 by design; at scale the bucket column becomes a
-    partition key so a query touches one partition instead of the corpus."""
-    signer = HyperplaneSigner(dim, n_planes)
-    qbits = (np.asarray(query_matrix, dtype=np.float64) @ signer.planes) > 0
-    qsig = np.zeros(len(query_matrix), dtype=np.int64)
-    for j in range(qbits.shape[1]):
-        qsig |= qbits[:, j].astype(np.int64) << j
+    """Approximate top-k: each query searches ONLY corpus vectors in its
+    hyperplane bucket. Recall < 1.0 by design (bucket boundaries cut true
+    neighbors); at scale the bucket column becomes a partition key so a
+    query touches one partition instead of the corpus. The corpus is pruned
+    to the union of query buckets at the read, then per-query bucket
+    equality is enforced inside the scorer."""
+    signer = HyperplaneSigner(dim, n_planes, col=col, axis_aligned=axis_aligned)
+    qsig = signer.sign(np.asarray(query_matrix, dtype=np.float64))
 
     bucketed = ds.map_batches(signer, batch_format="pyarrow", zero_copy_batch=True)
     wanted = pa.array(np.unique(qsig))
@@ -161,5 +229,15 @@ def lsh_topk(
         return batch.filter(pc.is_in(batch["lsh_bucket"], value_set=wanted))
 
     sub = bucketed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    out = brute_force_topk(sub, query_ids, query_matrix, k=k, col=col)
-    return out
+    import ray
+
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
+    partial = sub.map_batches(
+        _BucketMatchTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "qsig": qsig, "col": col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=2,
+    )
+    return _merge_topk(partial.take_all(), k)

@@ -74,40 +74,54 @@ _STOPWORDS: Dict[str, List[str]] = {
 
 
 class LangId:
-    """Heuristic language ID: stopword hit-rate per candidate language over
-    lowercased whitespace tokens; falls back to script detection for CJK.
-    Stopword sets are compiled once per actor (stateful stage)."""
+    """Heuristic language ID — fully vectorized and SQL-mirrorable:
+
+    1. script shortcut: any CJK-Unified codepoint → 'zh'; any
+       Hiragana/Katakana → 'ja' (one RE2 match per doc, Arrow kernel);
+    2. else stopword hit-count per language over lowercase whitespace
+       tokens (one pc.is_in per language over the FLAT token array +
+       np.add.reduceat per doc — no per-row loop, no per-token set lookup);
+    3. argmax with deterministic alphabetical tie-break; 0 hits → 'und'.
+
+    Stopword value-sets are compiled once per actor (stateful stage,
+    SchemaHolder.java:28-59 load-once pattern)."""
+
+    LANGS = ("de", "en", "es", "fr", "pt", "ru")  # tie-break order
 
     def __init__(self):
-        self.sets = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
-        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+        self.value_sets = {
+            lang: pa.array(sorted(_STOPWORDS[lang]), type=pa.string())
+            for lang in self.LANGS
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        from debezium_incubator_ray.functions.tokens import flat_tokens
 
-        texts = batch["text"].to_pandas()
-        toks = texts.str.lower().str.findall(self.word_re)
-        langs = []
-        for ts in toks:
-            if not isinstance(ts, list) or not ts:
-                langs.append("und")
-                continue
-            # CJK script shortcut
-            sample = "".join(ts[:20])
-            if any("一" <= ch <= "鿿" for ch in sample):
-                langs.append("zh")
-                continue
-            if any("぀" <= ch <= "ヿ" for ch in sample):
-                langs.append("ja")
-                continue
-            best, best_hits = "und", 0
-            tset = ts[:200]
-            for lang, sw in self.sets.items():
-                hits = sum(1 for w in tset if w in sw)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-        return batch.append_column("pred_lang", pa.array(langs, type=pa.string()))
+        texts = batch["text"].combine_chunks()
+        n = len(texts)
+        is_zh = pc.match_substring_regex(texts, r"[\x{4E00}-\x{9FFF}]")
+        is_ja = pc.match_substring_regex(texts, r"[\x{3040}-\x{30FF}]")
+        flat, lens = flat_tokens(texts)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        hits = np.zeros((len(self.LANGS), n), dtype=np.int64)
+        if len(flat):
+            pad = np.zeros(1, dtype=np.int64)
+            for li, lang in enumerate(self.LANGS):
+                m = pc.is_in(flat, value_set=self.value_sets[lang])
+                mv = m.to_numpy(zero_copy_only=False).astype(np.int64)
+                mv = np.concatenate([mv, pad])  # sentinel for trailing empties
+                h = np.add.reduceat(mv, np.minimum(starts, len(mv) - 1))
+                hits[li] = np.where(lens > 0, h, 0)
+        best_idx = hits.argmax(axis=0)  # first max wins → alphabetical tie-break
+        best_hits = hits.max(axis=0)
+        codes = np.array(self.LANGS)[best_idx]
+        codes = np.where(best_hits > 0, codes, "und")
+        zh = is_zh.to_numpy(zero_copy_only=False)
+        ja = is_ja.to_numpy(zero_copy_only=False)
+        codes = np.where(ja, "ja", codes)
+        codes = np.where(zh, "zh", codes)  # zh beats ja when both present
+        return batch.append_column("pred_lang", pa.array(codes.tolist(), type=pa.string()))
 
 
 class Fingerprint:
@@ -141,3 +155,25 @@ class Fingerprint:
         return batch.append_column(
             "fingerprint", pa.array(out.view(np.int64), type=pa.int64())
         )
+
+
+def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Cross-engine-verifiable document fingerprint: md5 hex of the
+    whitespace-NORMALIZED text (tokens joined by single spaces) — equals
+    DuckDB ``md5(array_to_string(string_split_regex(trim(text),'\\s+'),' '))``.
+
+    The normalization is vectorized (Arrow split + join); md5 itself runs
+    once per distinct normalized doc (dictionary-encode). The rolling-hash
+    ``Fingerprint`` above stays the scale path; this is the oracle bridge
+    (golden-value pinning, CassandraTypeDeserializerTest.java:72-447)."""
+    import hashlib
+
+    t = batch[text_col]
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t), _WS)
+    norm = pc.binary_join(toks, " ")
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    de = pc.dictionary_encode(norm)
+    vocab = [hashlib.md5(str(v).encode()).hexdigest() for v in de.dictionary.to_pylist()]
+    fp = pc.take(pa.array(vocab, type=pa.string()), de.indices)
+    return batch.append_column("fingerprint_md5", fp)

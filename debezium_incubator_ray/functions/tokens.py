@@ -1,0 +1,165 @@
+"""Shared vectorized tokenization / shingling / hashing kernels.
+
+Every function here is batch-level (one Arrow/numpy pass per batch, no
+per-document Python loop) — the building blocks for MinHash, SimHash,
+n-gram Jaccard, language ID and fingerprinting. The tokenization rule is
+deliberately SQL-mirrorable so DuckDB oracles can recompute it:
+
+    tokens(text)  = string_split_regex(trim(lower(text)), '\\s+'),
+                    with '' -> zero tokens
+    shingle k-gram = tokens[i] || ' ' || ... || tokens[i+k-1];
+                    docs with 0 < n < k tokens yield ONE gram = join(all)
+
+Two token hashers:
+- ``stable_hash`` (hashing.py): the fast in-repo 64-bit hash — the scale
+  path for everything internal (LSH bands, dedup buckets);
+- ``md5_u64``: first 8 bytes of md5, big-endian — byte-identical to DuckDB's
+  ``('0x' || substring(md5(tok), 1, 16))::UBIGINT``, the cross-engine
+  verification bridge (the reference pins its type conversions with golden
+  values the same way, CassandraTypeDeserializerTest.java:72-447).
+  Vectorization: md5 runs once per DISTINCT token (dictionary-encode →
+  hash the vocabulary → gather), so repeated tokens cost one lookup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from debezium_incubator_ray.hashing import stable_hash
+
+_WS = r"\s+"
+
+# gram combiner: g = sum_j h(tok_{i+j}) * C^(k-1-j) mod 2^64 — injective per
+# token-hash tuple (no per-doc loop; k vectorized shifted adds)
+_C = np.uint64(0x9E3779B185EBCA87)
+
+
+def token_lists(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """list<string> of lowercase whitespace tokens per doc ('' -> [])."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(texts))
+    lists = pc.split_pattern_regex(trimmed, _WS)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    # '' splits to [''] — mask those docs to empty lists via a filtered
+    # rebuild (vectorized: list lengths recomputed from the empty mask)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    if pc.any(empty).as_py():
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        lens = np.where(empty.to_numpy(zero_copy_only=False), 0, lens)
+        keep = pc.invert(empty)
+        flat = lists.filter(keep).flatten()
+        offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat
+        )
+    return lists
+
+
+def flat_tokens(texts: pa.Array | pa.ChunkedArray) -> Tuple[pa.Array, np.ndarray]:
+    """(flattened token array, tokens-per-doc int64 array)."""
+    lists = token_lists(texts)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    return lists.flatten(), lens
+
+
+def md5_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 from the first 8 md5 bytes (big-endian) per value — equals
+    DuckDB ('0x' || substring(md5(v),1,16))::UBIGINT. Hashed once per
+    distinct value via dictionary encoding."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    de = pc.dictionary_encode(arr)
+    vocab = de.dictionary.to_pylist()
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            for v in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    out = np.zeros(len(arr), dtype=np.uint64)
+    valid = ~np.isnan(idx) if idx.dtype.kind == "f" else np.ones(len(idx), bool)
+    out[valid] = hs[idx[valid].astype(np.int64)]
+    return out
+
+
+def token_hashes(
+    texts: pa.Array | pa.ChunkedArray,
+    hasher: Callable[[pa.Array], np.ndarray] = stable_hash,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(uint64 hash per token flattened, tokens-per-doc)."""
+    flat, lens = flat_tokens(texts)
+    h = hasher(flat).astype(np.uint64) if len(flat) else np.empty(0, np.uint64)
+    return h, lens
+
+
+def shingle_hashes(
+    texts: pa.Array | pa.ChunkedArray,
+    k: int = 3,
+    hasher: Callable[[pa.Array], np.ndarray] = stable_hash,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(uint64 gram hash flattened, grams-per-doc).
+
+    grams-per-doc = n-k+1 for n>=k, 1 for 0<n<k, 0 for n=0 — matching the
+    SQL list-comprehension oracle. Gram hash = injective polynomial combine
+    of the k token hashes (no gram strings are materialized)."""
+    h, lens = token_hashes(texts, hasher)
+    n_docs = len(lens)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    glens = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    total_g = int(glens.sum())
+    if total_g == 0:
+        return np.empty(0, np.uint64), glens
+    gstarts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(glens, out=gstarts[1:])
+    # token index of each gram's first token
+    grow = np.repeat(np.arange(n_docs), glens)
+    first = starts[grow] + (np.arange(total_g) - gstarts[grow])
+    out = np.zeros(total_g, dtype=np.uint64)
+    full = np.repeat(lens >= k, glens)  # grams from docs with >= k tokens
+    with np.errstate(over="ignore"):
+        if full.any():
+            f = first[full]
+            acc = np.zeros(len(f), dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _C + h[f + j]
+            out[full] = acc
+        if (~full).any():
+            # short docs: one gram over all n<k tokens — same combiner
+            rows = np.nonzero((lens > 0) & (lens < k))[0]
+            for r in rows:  # bounded by the (rare) short-doc count per batch
+                acc = np.uint64(0)
+                for t in range(int(lens[r])):
+                    acc = acc * _C + h[starts[r] + t]
+                out[gstarts[r]] = acc
+    return out, glens
+
+
+def distinct_per_doc(values: np.ndarray, per_doc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Deduplicate ``values`` within each doc segment (sorted output per
+    doc): returns (distinct values flattened, distinct-count per doc).
+    One lexsort over the batch, no per-doc loop."""
+    n_docs = len(per_doc)
+    if len(values) == 0:
+        return values, np.zeros(n_docs, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    order = np.lexsort((values, doc_of))
+    v, d = values[order], doc_of[order]
+    keep = np.ones(len(v), dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+    vd, dd = v[keep], d[keep]
+    counts = np.bincount(dd, minlength=n_docs).astype(np.int64)
+    return vd, counts
