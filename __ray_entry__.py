@@ -273,6 +273,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_schema_widen(sf_dir):
+        """widen_type value float32→double mid-stream, two-phase: half the
+        partitions' lake files are written under the narrow schema, then
+        lazily upgraded on read (AlterTableParserListener.java:76-133 +
+        OracleDatabaseSchema.java:49-64 history semantics)."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, final_state_schema_change,
+        )
+
+        narrow = pa.schema(
+            [
+                f if f.name != "value" else pa.field("value", pa.float32())
+                for f in EVENTS_PAYLOAD
+            ]
+        )
+        return final_state_schema_change(
+            sf_dir,
+            S.SchemaChange("widen_type", "value", "double", at_lsn=0),
+            payload_schema=narrow,
+            narrow_value=True,
+        )
+
+    def cdc_schema_drop(sf_dir):
+        """drop_column props mid-stream, two-phase (v1 files carry props,
+        dropped lazily on read after the DDL activates)."""
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            final_state_schema_change,
+        )
+
+        return final_state_schema_change(
+            sf_dir, S.SchemaChange("drop_column", "props", at_lsn=0)
+        )
+
+    def cdc_multi_table(sf_dir):
+        """ONE mixed binlog (events_a = even user_id, events_b = odd)
+        routed to two lake tables in a single demux pass
+        (RecordMaker.java:36-58 + CassandraTopicSelector.java:32-110)."""
+        import pyarrow as pa
+        from debezium_incubator_ray.config import EngineConfig
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, NUM_PARTITIONS as P, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray.pipelines.lake import Lake
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("demux")
+        binlog = os.path.join(root, "binlog")
+        write_events_binlog(sf_dir, binlog, table_name_by_parity=True)
+        lake = Lake(os.path.join(root, "lake"))
+        for t in ("events_a", "events_b"):
+            lake.create_table(
+                t,
+                EVENTS_PAYLOAD,
+                EngineConfig(
+                    key="user_id", num_partitions=P, partitioner="mod",
+                    apply_concurrency=4, target_rows_per_file=100_000,
+                ),
+            )
+        lake.apply_epoch_demux(binlog)
+        outs = []
+        for t in ("events_a", "events_b"):
+            lt = lake[t].lake_table(include_lsn=True)
+            lt = lt.append_column("tbl", pa.array([t] * lt.num_rows))
+            outs.append(lt)
+        out = pa.concat_tables(outs)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    def cdc_tombstone_retain(sf_dir):
+        """tombstones=False: deleted keys retained as marker rows (payload
+        nulls + deleted flag) — the compacted-topic-without-tombstone
+        contract (TombstoneRecord.java:11-24 inverted)."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.envelope import DELETED
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+
+        root = scratch_dir("tbret")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake, tombstones=False)
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        out = out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+        i = out.schema.get_field_index(DELETED)
+        return out.set_column(i, pa.field("deleted", pa.bool_()), out[DELETED])
+
     # -- supplementary relational/type operators ---------------------------
 
     def type_normalization(sf_dir):
@@ -297,6 +390,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "tax_f32": TC.float_narrow(t["l_tax"]),
                     "ship_ms": TC.timestamp_to_epoch_ms(t["l_shipdate"]),
                     "ship_iso": TC.timestamp_to_iso_string(t["l_shipdate"]),
+                }
+            )
+
+        return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+    def type_normalization_nested(sf_dir):
+        """Nested/collection conversion rules (P10 breadth): set→sorted
+        array, map key stringification, uuid→fixed(16), duration struct,
+        INTERVAL regex kernels, decimal scale-pad + VariableScaleDecimal —
+        each exercised mid-pipeline with scalar outputs the oracle can
+        recompute (golden-value pinning like
+        CassandraTypeDeserializerTest.java:72-447)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions import typeconv as TC
+        from debezium_incubator_ray.functions.tokens import token_lists
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "n_chars"],
+        )
+
+        def conv(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            doc_id = t["doc_id"].combine_chunks()
+            n_chars = t["n_chars"].combine_chunks()
+            # set → sorted distinct array (SetTypeDeserializer.java:22-25)
+            toks = token_lists(t["text"].combine_chunks())
+            sset = TC.set_to_sorted_list(toks)
+            lens = pc.list_value_length(sset).to_numpy(zero_copy_only=False)
+            flat = sset.flatten()
+            off = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=off[1:])
+            first = pc.take(flat, pa.array(np.minimum(off, max(len(flat) - 1, 0))))
+            first = pc.if_else(pa.array(lens > 0), first, pa.nulls(n, flat.type))
+            # map with non-string keys → stringified (MapTypeDeserializer)
+            moff = pa.array(np.arange(n + 1, dtype=np.int32))
+            m = pa.MapArray.from_arrays(moff, doc_id, t["lang"].combine_chunks())
+            ms = TC.map_stringify_keys(m)
+            # uuid digits-only construction (both engines can derive it)
+            did = pc.cast(doc_id, pa.string())
+            nch = pc.cast(n_chars, pa.string())
+            uuid_str = pc.binary_join_element_wise(
+                pc.utf8_lpad(did, 8, "0"),
+                pa.scalar("-0000-4000-8000-"),
+                pc.utf8_lpad(nch, 12, "0"),
+                pa.scalar(""),
+            )
+            ub = TC.uuid_to_fixed16(uuid_str)
+            # hex back out, vectorized (numpy nibble LUT)
+            raw = np.frombuffer(ub.buffers()[1], dtype=np.uint8)[: n * 16]
+            lut = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+            hx = np.empty(n * 32, dtype=np.uint8)
+            hx[0::2] = lut[raw >> 4]
+            hx[1::2] = lut[raw & 0xF]
+            uuid_hex = pa.array(
+                hx.reshape(n, 32).view(f"S32").reshape(n).astype("U32")
+            )
+            # duration record (CassandraTypeToAvroSchemaMapper.java:37-41);
+            # pyarrow 16 has no modulo kernel — numpy on the int64 view
+            dnp = doc_id.to_numpy()
+            dur = TC.duration_to_struct(
+                pa.array(dnp % 24), pa.array(dnp % 31),
+                pc.multiply(n_chars, 1000),
+            )
+            # INTERVAL kernels (OracleValueConverters.java:392-441)
+            dts = pc.binary_join_element_wise(
+                pc.cast(pa.array(dnp % 5), pa.string()),
+                pa.scalar(" 12:34:"),
+                pc.utf8_lpad(pc.cast(pa.array(dnp % 60), pa.string()), 2, "0"),
+                pa.scalar(""),
+            )
+            ym = pc.binary_join_element_wise(
+                pc.cast(pa.array(dnp % 9), pa.string()),
+                pa.scalar("-"),
+                pc.cast(pa.array(dnp % 12), pa.string()),
+                pa.scalar(""),
+            )
+            # decimal scale-pad + VariableScaleDecimal
+            dec = TC.decimal_scale_pad(
+                pc.divide(pc.cast(n_chars, pa.float64()), 8.0), 12, 6
+            )
+            vsd = TC.variable_scale_decimal(dec)
+            return pa.table(
+                {
+                    "doc_id": doc_id,
+                    "n_distinct_toks": pc.cast(pa.array(lens), pa.int64()),
+                    "first_tok": first,
+                    "map_key0": ms.keys,
+                    "map_val0": ms.items,
+                    "uuid_hex": uuid_hex,
+                    "dur_months": dur.field("months"),
+                    "dur_days": dur.field("days"),
+                    "dur_nanos": dur.field("nanos"),
+                    "ivl_micros": TC.interval_dts_to_micros(dts),
+                    "ym_months": TC.interval_ym_to_months(ym),
+                    "dec_str": pc.cast(dec, pa.string()),
+                    "vsd_scale": vsd.field("scale"),
+                    "vsd_value": vsd.field("value"),
                 }
             )
 
@@ -425,6 +619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_dedup(doubled, col="text", id_col="doc_id")
 
     def dedup_minhash(sf_dir):
+        """LSH candidates (64 hashes, 32 bands x 2) + DISTRIBUTED exact-
+        Jaccard verify at 0.5 — the oracle recomputes exact Jaccard over
+        exploded shingles; band recall at j>=0.5 is 1 - 0.75^32 per pair."""
         import ray.data
         from debezium_incubator_ray.functions.dedup import (
             minhash_candidate_pairs, verify_jaccard,
@@ -437,15 +634,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return verify_jaccard(cand, docs, threshold=0.5)
 
     def dedup_simhash(sf_dir):
+        """Exact near-dup pairs with SimHash Hamming distance <= 3 via the
+        4x16-bit pigeonhole buckets. Token hash = md5_u64 (the DuckDB
+        bridge) so the oracle can recompute the signatures bit-for-bit."""
+        import pyarrow.compute as pc
         import ray.data
-        from debezium_incubator_ray.functions.dedup import SimHash
+        from debezium_incubator_ray.functions.dedup import simhash_near_dup_pairs
+        from debezium_incubator_ray.functions.tokens import md5_u64
 
         docs = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
-        return docs.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True)
+
+        def nonempty(t):
+            import pyarrow as pa
+
+            keep = pc.greater(
+                pc.utf8_length(pc.utf8_trim_whitespace(t["text"])), 0
+            )
+            return t.filter(keep)
+
+        docs = docs.map_batches(nonempty, batch_format="pyarrow", zero_copy_batch=True)
+        return simhash_near_dup_pairs(docs, max_hamming=3, hasher=md5_u64)
 
     def dedup_ngram_jaccard(sf_dir):
+        """Exact all-pairs 3-gram Jaccard >= 0.3: inverted-index candidates
+        (share >= 1 shingle) + distributed verify."""
         import ray.data
         from debezium_incubator_ray.functions.dedup import ngram_jaccard_pairs
 
@@ -501,15 +715,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_id", "pred_lang"])
 
     def text_fingerprint(sf_dir):
+        """md5 fingerprint of whitespace-normalized text (the verification
+        bridge; the vectorized 64-bit rolling-hash Fingerprint stays the
+        scale path and is unit-tested separately)."""
         import ray.data
-        from debezium_incubator_ray.functions.text import Fingerprint
+        from debezium_incubator_ray.functions.text import fingerprint_md5
 
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         return ds.map_batches(
-            Fingerprint, batch_format="pyarrow", concurrency=2, batch_size=512
-        ).select_columns(["doc_id", "fingerprint"])
+            fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True
+        ).select_columns(["doc_id", "fingerprint_md5"])
 
     def ann_brute_topk(sf_dir):
         import numpy as np
@@ -525,6 +742,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select(["query_id", "vec_id", "rank"])
 
     def ann_lsh_topk(sf_dir):
+        """Bucketed ANN with axis-aligned hyperplanes (bit j = sign of
+        coordinate j, a valid LSH family): each query searches only its
+        bucket. SQL-reproducible buckets make the oracle exact — recall vs
+        brute force is the documented LSH tradeoff, identical both sides."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         import ray.data
@@ -534,7 +755,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qt = qt.filter(pc.less(qt["vec_id"], 10))
         Q = _batch_matrix(qt)
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        out = lsh_topk(ds, qt["vec_id"].to_numpy(), Q, dim=Q.shape[1], k=5, n_planes=6)
+        out = lsh_topk(
+            ds, qt["vec_id"].to_numpy(), Q, dim=Q.shape[1], k=5, n_planes=4,
+            axis_aligned=True,
+        )
         return out.select(["query_id", "vec_id", "rank"])
 
     def multimodal_meta(sf_dir):
@@ -588,7 +812,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_before_images": cdc_before_images,
         "cdc_snapshot_read": cdc_snapshot_read,
         "cdc_schema_evolution": cdc_schema_evolution,
+        "cdc_schema_widen": cdc_schema_widen,
+        "cdc_schema_drop": cdc_schema_drop,
+        "cdc_multi_table": cdc_multi_table,
+        "cdc_tombstone_retain": cdc_tombstone_retain,
         "type_normalization": type_normalization,
+        "type_normalization_nested": type_normalization_nested,
         "row_scoped_max": row_scoped_max,
         "agg_presum_groupby": agg_presum_groupby,
         "windowed_agg": windowed_agg,
@@ -627,6 +856,83 @@ _TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE length(string_split_regex(trim(text), '\\s+')) END"
 )
+
+
+_SHINGLES = (
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk "
+    "FROM documents WHERE length(trim(text)) > 0), "
+    "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN "
+    "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in generate_series(1, len(tk)-2)] "
+    "ELSE [array_to_string(tk, ' ')] END AS gs FROM t), "
+    "e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM sh), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id), "
+    "i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM e x "
+    "JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+)
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return (
+        _SHINGLES
+        + "SELECT a, b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard "
+        "FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+        f"WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}"
+    )
+
+
+def _simhash_sql() -> str:
+    """Recompute 64-bit SimHash signatures in SQL (md5-derived token
+    hashes) as two 32-bit halves, then all pairs with Hamming <= 3."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS tok FROM documents WHERE length(trim(text)) > 0), "
+        "th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h "
+        "FROM toks), "
+        "bits AS (SELECT doc_id, j, sum(CAST((h >> j) & 1 AS BIGINT)) AS ones, "
+        "count(*) AS ntok FROM th, (SELECT unnest(generate_series(0, 63)) AS j) js "
+        "GROUP BY doc_id, j), "
+        "sig AS (SELECT doc_id, "
+        "sum(CASE WHEN 2 * ones > ntok AND j < 32 THEN (CAST(1 AS BIGINT) << j) "
+        "ELSE 0 END) AS lo, "
+        "sum(CASE WHEN 2 * ones > ntok AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) "
+        "ELSE 0 END) AS hi FROM bits GROUP BY doc_id) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(bit_count(xor(CAST(x.lo AS UBIGINT), CAST(y.lo AS UBIGINT))) + "
+        "bit_count(xor(CAST(x.hi AS UBIGINT), CAST(y.hi AS UBIGINT))) AS BIGINT) "
+        "AS hamming "
+        "FROM sig x JOIN sig y ON x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(CAST(x.lo AS UBIGINT), CAST(y.lo AS UBIGINT))) + "
+        "bit_count(xor(CAST(x.hi AS UBIGINT), CAST(y.hi AS UBIGINT))) <= 3"
+    )
+
+
+def _lang_id_sql() -> str:
+    """Stopword-count argmax with alphabetical tie-break + CJK shortcut —
+    the IN-lists are generated from the same _STOPWORDS table the engine
+    uses, so both sides share one vocabulary by construction."""
+    from debezium_incubator_ray.functions.text import _STOPWORDS
+
+    langs = ("de", "en", "es", "fr", "pt", "ru")
+    sums = ", ".join(
+        "sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lg])), lg
+        )
+        for lg in langs
+    )
+    g = "greatest(" + ", ".join(f"coalesce(h.{lg}, 0)" for lg in langs) + ")"
+    case = " ".join(
+        f"WHEN coalesce(h.{lg}, 0) = {g} THEN '{lg}'" for lg in langs
+    )
+    return (
+        "WITH f AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS tok FROM documents WHERE length(trim(text)) > 0), "
+        f"h AS (SELECT doc_id, {sums} FROM f GROUP BY doc_id) "
+        "SELECT d.doc_id, CASE "
+        "WHEN regexp_matches(d.text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' "
+        "WHEN regexp_matches(d.text, '[\\x{3040}-\\x{30FF}]') THEN 'ja' "
+        f"WHEN {g} = 0 THEN 'und' {case} END AS pred_lang "
+        "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -673,6 +979,24 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN lsn > (SELECT max(event_id) FROM events) // 2 "
         "THEN value * 2 ELSE -1.0 END AS score, lsn "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_schema_widen": _LWW
+        + "SELECT user_id, ts, event_type, "
+        "CAST(CAST(value AS REAL) AS DOUBLE) AS value, props, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_schema_drop": _LWW
+        + "SELECT user_id, ts, event_type, value, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_multi_table": _LWW
+        + f"SELECT {lww_cols}, "
+        "CASE WHEN user_id % 2 = 0 THEN 'events_a' ELSE 'events_b' END AS tbl "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_tombstone_retain": _LWW
+        + "SELECT user_id, "
+        "CASE WHEN op = 'd' THEN NULL ELSE ts END AS ts, "
+        "CASE WHEN op = 'd' THEN NULL ELSE event_type END AS event_type, "
+        "CASE WHEN op = 'd' THEN NULL ELSE value END AS value, "
+        "CASE WHEN op = 'd' THEN NULL ELSE props END AS props, "
+        "(op = 'd') AS deleted, lsn FROM ranked WHERE rn = 1",
         "type_normalization": (
             "SELECT l_orderkey, l_linenumber, "
             "CAST(floor(l_quantity) AS BIGINT) AS qty_int, "
@@ -681,6 +1005,28 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(l_shipdate) AS ship_ms, "
             "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_iso "
             "FROM lineitem"
+        ),
+        "type_normalization_nested": (
+            "WITH base AS (SELECT doc_id, text, lang, n_chars, "
+            "CASE WHEN length(trim(text)) = 0 THEN [] "
+            "ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tk "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_toks, "
+            "list_sort(list_distinct(tk))[1] AS first_tok, "
+            "CAST(doc_id AS VARCHAR) AS map_key0, lang AS map_val0, "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '000040008000' || "
+            "lpad(CAST(n_chars AS VARCHAR), 12, '0') AS uuid_hex, "
+            "CAST(doc_id % 24 AS INTEGER) AS dur_months, "
+            "CAST(doc_id % 31 AS INTEGER) AS dur_days, "
+            "CAST(n_chars * 1000 AS BIGINT) AS dur_nanos, "
+            "(CAST(doc_id % 5 AS DOUBLE) * 86400 + 12 * 3600 + 34 * 60 + "
+            "doc_id % 60) * 1000000.0 AS ivl_micros, "
+            "CAST((doc_id % 9) * 12 + doc_id % 12 AS INTEGER) AS ym_months, "
+            "CAST(CAST(n_chars / 8.0 AS DECIMAL(12,6)) AS VARCHAR) AS dec_str, "
+            "CAST(6 AS INTEGER) AS vsd_scale, "
+            "CAST(n_chars * 125000 AS BIGINT) AS vsd_value "
+            "FROM base"
         ),
         "row_scoped_max": (
             "SELECT l_orderkey, l_linenumber, "
@@ -699,6 +1045,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM ("
             "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) "
             "AS rn FROM documents) WHERE rn = 1"
+        ),
+        "dedup_minhash": _jaccard_sql(0.5),
+        "dedup_ngram_jaccard": _jaccard_sql(0.3),
+        "dedup_simhash": _simhash_sql(),
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(array_to_string(string_split_regex(trim(text), "
+            "'\\s+'), ' ')) AS fingerprint_md5 FROM documents"
+        ),
+        "ann_lsh_topk": (
+            "WITH sig AS (SELECT vec_id, embedding, "
+            "CAST(embedding[1] > 0 AS INT) + CAST(embedding[2] > 0 AS INT) * 2 + "
+            "CAST(embedding[3] > 0 AS INT) * 4 + CAST(embedding[4] > 0 AS INT) * 8 "
+            "AS bkt FROM embeddings), "
+            "q AS (SELECT * FROM sig WHERE vec_id < 10), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS score "
+            "FROM q JOIN sig e ON q.bkt = e.bkt), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"

@@ -183,9 +183,10 @@ def main() -> None:
     q_times = {}
     q_list = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "cdc_lww_state", "cdc_changelog_counts", "agg_presum_groupby",
-        "dedup_exact", "dedup_minhash", "text_token_count", "text_quality",
-        "text_fingerprint", "ann_brute_topk", "type_normalization",
-        "multimodal_meta", "dedup_embedding", "windowed_agg",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "text_token_count",
+        "text_quality", "text_fingerprint", "text_lang_id", "ann_brute_topk",
+        "ann_lsh_topk", "type_normalization", "multimodal_meta",
+        "dedup_embedding", "windowed_agg",
     ]
     for name in q_list:
         t2 = time.perf_counter()

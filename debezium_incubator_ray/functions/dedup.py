@@ -533,22 +533,17 @@ def ngram_candidate_pairs(
     the quadratic blowup of stop-shingles at scale, at the cost of missing
     pairs that ONLY share hot shingles; None = exact)."""
 
-    class Explode:
-        def __init__(self):
-            self.k = shingle_k
-            self.hasher = hasher
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            g, glens = shingle_hashes(t["text"].combine_chunks(), self.k, self.hasher)
-            dv, dc = distinct_per_doc(g, glens)
-            ids = np.repeat(t["doc_id"].to_numpy(), dc)
-            return pa.table(
-                {
-                    "g": pa.array(dv.view(np.int64)),
-                    "doc_id": pa.array(ids),
-                    "_bucket": pa.array((dv % np.uint64(buckets)).astype(np.int32)),
-                }
-            )
+    def explode(t: pa.Table) -> pa.Table:
+        g, glens = shingle_hashes(t["text"].combine_chunks(), shingle_k, hasher)
+        dv, dc = distinct_per_doc(g, glens)
+        ids = np.repeat(t["doc_id"].to_numpy(), dc)
+        return pa.table(
+            {
+                "g": pa.array(dv.view(np.int64)),
+                "doc_id": pa.array(ids),
+                "_bucket": pa.array((dv % np.uint64(buckets)).astype(np.int32)),
+            }
+        )
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -561,7 +556,7 @@ def ngram_candidate_pairs(
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     cand = (
-        ds.map_batches(Explode, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )

@@ -88,3 +88,199 @@ def normalize_types(batch: pa.Table, rules) -> pa.Table:
     for col, fn, out_name in rules:
         out = out.append_column(out_name, fn(out[col]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# nested / collection conversions (P10 breadth: the reference's
+# type/deserializer/*.java family re-expressed as Arrow kernels)
+
+import numpy as np
+
+
+def _chunked(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def list_passthrough(col, value_type=None):
+    """list/set → Avro array (SetTypeDeserializer.java:22-25 converts a set
+    to a plain array): identity on list columns, with optional element
+    cast."""
+    col = _chunked(col)
+    if value_type is not None and col.type.value_type != value_type:
+        col = pc.cast(col, pa.list_(value_type))
+    return col
+
+
+def set_to_sorted_list(col):
+    """set semantics pinned deterministically: distinct + sorted elements
+    per row (the reference's set→array leaves iteration order to the
+    driver; a distributed engine must pin it). Vectorized: one flatten,
+    one lexsort, one adjacent-distinct mask — no per-row loop."""
+    col = _chunked(col)
+    n = len(col)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = col.flatten()
+    if len(flat) == 0:
+        return pc.cast(col, pa.list_(col.type.value_type))
+    vals = flat.to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n), lens)
+    order = np.lexsort((vals, row_of))
+    v, r = vals[order], row_of[order]
+    keep = np.ones(len(v), dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
+    new_lens = np.bincount(r[keep], minlength=n)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    kept = pc.take(flat, pa.array(order[keep]))
+    return pa.LargeListArray.from_arrays(pa.array(new_off), kept)
+
+
+def map_stringify_keys(col):
+    """map<K,V> → map<string,V>: non-string keys are stringified
+    (MapTypeDeserializer.java:21-41 — Avro map keys must be strings)."""
+    col = _chunked(col)
+    if pa.types.is_string(col.type.key_type):
+        return col
+    keys = pc.cast(col.keys, pa.string())
+    return pa.MapArray.from_arrays(col.offsets, keys, col.items)
+
+
+def tuple_to_struct(col, prefix: str = "field"):
+    """tuple → record{field1..fieldN} (TupleTypeDeserializer.java:25-61
+    names positional components field<i>)."""
+    col = _chunked(col)
+    assert pa.types.is_struct(col.type)
+    children = [col.field(i) for i in range(col.type.num_fields)]
+    fields = [
+        pa.field(f"{prefix}{i + 1}", col.type.field(i).type)
+        for i in range(col.type.num_fields)
+    ]
+    return pa.StructArray.from_arrays(
+        children, fields=fields, mask=pc.invert(pc.is_valid(col))
+    )
+
+
+_HEX_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LUT[_c] = _i
+for _i, _c in enumerate(b"ABCDEF"):
+    _HEX_LUT[_c] = 10 + _i
+
+
+def uuid_to_fixed16(col):
+    """uuid/timeuuid string → fixed 16-byte binary
+    (UUIDTypeDeserializer.java:20-29 → Avro fixed(16)). Vectorized numpy
+    hex decode: strip dashes, ascii→nibble lookup, pack pairs."""
+    col = _chunked(col)
+    hexs = pc.cast(pc.replace_substring(col, "-", ""), pa.string())
+    if isinstance(hexs, pa.ChunkedArray):
+        hexs = hexs.combine_chunks()
+    n = len(hexs)
+    bufs = hexs.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        hexs.offset : hexs.offset + n + 1
+    ]
+    flat = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    if len(flat) != n * 32:
+        raise ValueError("uuid_to_fixed16: every uuid must be 32 hex chars")
+    nib = _HEX_LUT[flat]
+    if (nib == 255).any():
+        raise ValueError("uuid_to_fixed16: non-hex character")
+    by = (nib[0::2] << 4) | nib[1::2]
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(16), n, [None, pa.py_buffer(by.tobytes())]
+    )
+
+
+def inet_to_string(col):
+    """inet → string (InetAddressDeserializer.java:21-24) — identity for
+    already-textual addresses, cast otherwise."""
+    return pc.cast(_chunked(col), pa.string())
+
+
+def duration_struct_type() -> pa.DataType:
+    return pa.struct(
+        [pa.field("months", pa.int32()), pa.field("days", pa.int32()),
+         pa.field("nanos", pa.int64())]
+    )
+
+
+def duration_to_struct(months, days, nanos):
+    """duration → record{months, days, nanos}
+    (CassandraTypeToAvroSchemaMapper.java:37-41)."""
+    return pa.StructArray.from_arrays(
+        [
+            pc.cast(_chunked(months), pa.int32()),
+            pc.cast(_chunked(days), pa.int32()),
+            pc.cast(_chunked(nanos), pa.int64()),
+        ],
+        fields=list(duration_struct_type()),
+    )
+
+
+_DTS_RE = r"^([+-]?\d+) (\d+):(\d+):(\d+(?:\.\d+)?)$"
+
+
+def interval_dts_to_micros(col):
+    """INTERVAL DAY TO SECOND string 'D H:M:S[.f]' → micro-duration double
+    (regex-parsed in the reference, OracleValueConverters.java:392-441) —
+    vectorized via pc.extract_regex + arithmetic kernels."""
+    col = _chunked(col)
+    m = pc.extract_regex(
+        col, r"^(?P<d>[+-]?\d+) (?P<h>\d+):(?P<mi>\d+):(?P<s>\d+(?:\.\d+)?)$"
+    )
+    d = pc.cast(pc.struct_field(m, "d"), pa.float64())
+    h = pc.cast(pc.struct_field(m, "h"), pa.float64())
+    mi = pc.cast(pc.struct_field(m, "mi"), pa.float64())
+    s = pc.cast(pc.struct_field(m, "s"), pa.float64())
+    total = pc.add(
+        pc.multiply(pc.add(pc.multiply(pc.add(pc.multiply(d, 24.0), h), 60.0), mi), 60.0),
+        s,
+    )
+    return pc.multiply(total, 1_000_000.0)
+
+
+def interval_ym_to_months(col):
+    """INTERVAL YEAR TO MONTH string 'Y-M' → total months int32
+    (OracleValueConverters.java:392-420)."""
+    col = _chunked(col)
+    m = pc.extract_regex(col, r"^(?P<y>[+-]?\d+)-(?P<m>\d+)$")
+    y = pc.cast(pc.struct_field(m, "y"), pa.int64())
+    mo = pc.cast(pc.struct_field(m, "m"), pa.int64())
+    return pc.cast(pc.add(pc.multiply(y, 12), mo), pa.int32())
+
+
+def variable_scale_decimal(col):
+    """NUMBER without scale → VariableScaleDecimal struct {scale, unscaled}
+    (OracleValueConverters.java:331-345 — the struct the reference emits
+    when precision/scale are unknown). Input: decimal128 column; unscaled
+    bounded to int64 here (covers the reference's test domain)."""
+    col = _chunked(col)
+    assert pa.types.is_decimal(col.type)
+    scale = col.type.scale
+    # exact unscaled digits via the decimal's string form (no float round)
+    s = pc.cast(col, pa.string())
+    digits = pc.replace_substring(s, ".", "")
+    unscaled = pc.cast(digits, pa.int64())
+    n = len(col)
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(np.full(n, scale, dtype=np.int32)),
+            unscaled,
+        ],
+        fields=[pa.field("scale", pa.int32()), pa.field("value", pa.int64())],
+    )
+
+
+def timestamptz_to_iso(col):
+    """TIMESTAMPTZ → ISO-8601 zoned string with UTC offset
+    (OracleValueConverters.java:355-364). tz-aware input keeps its zone."""
+    col = _chunked(col)
+    if getattr(col.type, "tz", None) is None:
+        col = pc.assume_timezone(col, "UTC")
+    # %S prints fractional digits for sub-second units — truncate first
+    col = pc.cast(col, pa.timestamp("s", tz=col.type.tz))
+    return pc.strftime(col, format="%Y-%m-%dT%H:%M:%S%z")

@@ -143,7 +143,11 @@ def write_events_binlog(
 
 
 def make_engine(
-    lake_dir: str, field_blacklist=(), table_include_regex=None
+    lake_dir: str,
+    field_blacklist=(),
+    table_include_regex=None,
+    payload_schema: Optional[pa.Schema] = None,
+    tombstones: bool = True,
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
@@ -154,12 +158,82 @@ def make_engine(
         target_rows_per_file=100_000,
         field_blacklist=field_blacklist,
         table_include_regex=table_include_regex,
+        tombstones=tombstones,
     )
-    return CdcEngine(lake_dir, cfg, payload_schema=EVENTS_PAYLOAD)
+    return CdcEngine(
+        lake_dir, cfg, payload_schema=payload_schema or EVENTS_PAYLOAD
+    )
 
 
 def scratch_dir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"dbzray-{tag}-", dir="/tmp")
+
+
+def write_env_binlog(env: pa.Table, out_dir: str, seg_rows: int = 4096) -> None:
+    """Write an envelope table as partition-aligned binlog segments."""
+    part = env["source"].combine_chunks().field("partition").to_numpy()
+    os.makedirs(out_dir, exist_ok=True)
+    for p in range(NUM_PARTITIONS):
+        idx = np.nonzero(part == p)[0]
+        pdir = os.path.join(out_dir, f"p={p}")
+        os.makedirs(pdir, exist_ok=True)
+        for k, lo in enumerate(range(0, len(idx), seg_rows)):
+            chunk = env.take(pa.array(idx[lo : lo + seg_rows]))
+            pq.write_table(chunk, os.path.join(pdir, f"seg-{k:05d}.parquet"))
+
+
+def _cast_value_field(env: pa.Table, to_type: pa.DataType) -> pa.Table:
+    """Rebuild the before/after structs with the ``value`` field cast to
+    ``to_type`` (simulates an envelope serialized under a narrower payload
+    schema version)."""
+    for col in ("before", "after"):
+        arr = env[col].combine_chunks()
+        fields = []
+        children = []
+        for i in range(arr.type.num_fields):
+            f = arr.type.field(i)
+            child = arr.field(i)
+            if f.name == "value":
+                child = pc.cast(child, to_type)
+                f = pa.field("value", to_type)
+            fields.append(f)
+            children.append(child)
+        new = pa.StructArray.from_arrays(
+            children, fields=fields, mask=pc.invert(pc.is_valid(arr))
+        )
+        env = env.set_column(
+            env.schema.get_field_index(col), pa.field(col, new.type), new
+        )
+    return env
+
+
+def final_state_schema_change(
+    sf_dir: str,
+    change: "S.SchemaChange",
+    payload_schema: Optional[pa.Schema] = None,
+    narrow_value: bool = False,
+) -> pa.Table:
+    """Two-phase schema-evolution drive exercising the LAZY upgrade path:
+    half the partitions apply and write lake files under schema v1, THEN
+    the structured DDL event lands (widen_type / drop_column,
+    AlterTableParserListener.java:76-133), and the rest applies under v2.
+    The final read unifies both file generations."""
+    import json
+
+    env = events_envelopes(sf_dir)
+    if narrow_value:
+        env = _cast_value_field(env, pa.float32())
+    root = scratch_dir("schchg")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    write_env_binlog(env, binlog)
+    eng = make_engine(lake, payload_schema=payload_schema)
+    eng.apply_epoch(binlog, max_segments=NUM_PARTITIONS // 2)  # v1 files
+    with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:
+        json.dump([change.to_json()], f)
+    eng.run(binlog)  # v2 activation + remaining partitions
+    out = eng.lake_table(include_lsn=True)
+    i = out.schema.get_field_index(S.LSN)
+    return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
 
 def snapshot_source(sf_dir: str, upto_lsn: int) -> pa.Table:

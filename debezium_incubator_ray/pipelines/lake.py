@@ -87,3 +87,116 @@ class Lake:
                 if seg not in before:
                     self.on_segment_done(os.path.join(binlog_dir, seg), True)
         return stats
+
+    # ------------------------------------------------------------------
+    # mixed-table demux: ONE binlog carrying N tables → N lake tables in a
+    # single pipeline pass (reference: RecordMaker.java:36-58 routes each
+    # record to CassandraTopicSelector.java:32-110's topic-per-table)
+    def apply_epoch_demux(self, binlog_dir: str) -> dict:
+        """Single-pass routing epoch over a mixed binlog.
+
+        Requires each participating engine's table name to equal the
+        envelopes' ``source.table`` value (routing key). Exactly-once: each
+        table commits independently; a crash between table commits leaves
+        the missing tables' segments pending, and re-application to the
+        already-committed tables is a watermark no-op."""
+        import json as _json
+        import uuid as _uuid
+
+        import ray.data
+
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.sources import binlog as binlog_src
+        from debezium_incubator_ray.stages.exchange import (
+            DemuxApplier,
+            DemuxStagingWriter,
+        )
+
+        engines = dict(self.engines)
+        for eng in engines.values():
+            eng._acquire_lock()
+        pending = set()
+        for eng in engines.values():
+            done = list(eng.manifest.doc["segments_done"]) + list(
+                eng.manifest.doc.get("segments_error", {})
+            )
+            pending.update(binlog_src.plan_epoch(binlog_dir, done, None))
+        segs = sorted(pending)
+        if not segs:
+            for eng in engines.values():
+                eng.manifest = eng.manifest.commit({})
+            return {"segments": 0, "events": 0}
+
+        norm_kwargs = {}
+        for name, eng in engines.items():
+            kw = eng._norm_kwargs()
+            kw["table_include_regex"] = f"^{re.escape(name)}$"
+            norm_kwargs[name] = kw
+
+        stage_dir = os.path.join(self.root, "_staging", _uuid.uuid4().hex)
+        try:
+            paths = [os.path.join(binlog_dir, s) for s in segs]
+            manifests = (
+                ray.data.read_parquet(paths)
+                .map_batches(
+                    DemuxStagingWriter,
+                    fn_constructor_kwargs={
+                        "stage_dir": stage_dir,
+                        "norm_kwargs_by_table": norm_kwargs,
+                    },
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    concurrency=(1, 8),
+                )
+                .take_all()  # tiny (table, p, path, rows) rows
+            )
+            files_by_tp: dict = {}
+            for m in manifests:
+                files_by_tp.setdefault(f"{m['table']}|{int(m[S.PART])}", []).append(
+                    m["path"]
+                )
+            if files_by_tp:
+                items = [
+                    {"table": k.split("|")[0], S.PART: int(k.split("|")[1])}
+                    for k in sorted(files_by_tp)
+                ]
+                applied = ray.data.from_items(
+                    items, override_num_blocks=len(items)
+                ).map_batches(
+                    DemuxApplier,
+                    fn_constructor_kwargs={
+                        "manifest_docs": {
+                            t: e.manifest.doc for t, e in engines.items()
+                        },
+                        "lake_dirs": {t: e.lake_dir for t, e in engines.items()},
+                        "stage_dir": stage_dir,
+                        "files_by_tp": files_by_tp,
+                        "target_rows_per_file": 100_000,
+                    },
+                    batch_format="pyarrow",
+                    concurrency=(1, 8),
+                ).take_all()
+            else:
+                applied = []
+        finally:
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+        events = 0
+        for name, eng in engines.items():
+            commits = [c for c in applied if c["table"] == name]
+            updates = {
+                c[S.PART]: {
+                    "watermark": c["watermark"],
+                    "files": _json.loads(c["files_json"]),
+                }
+                for c in commits
+            }
+            events += sum(c["events_applied"] for c in commits)
+            eng.manifest = eng.manifest.commit(
+                updates,
+                segments_done=segs,
+                lineage=eng._lineage("demux-epoch", updates, events, 0.0),
+            )
+        return {"segments": len(segs), "events": events, "tables": len(engines)}

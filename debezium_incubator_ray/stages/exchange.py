@@ -115,3 +115,93 @@ class StagedApplier:
             events = pa.concat_tables([pq.read_table(f) for f in paths])
             outs.append(self.inner(events))
         return pa.concat_tables(outs)
+
+
+class DemuxStagingWriter:
+    """Mixed-table demux: ONE pass over a binlog carrying N tables routes
+    every event to its (table, partition) staging file (reference:
+    RecordMaker.java:36-58 + CassandraTopicSelector.java:32-110 emit to a
+    topic per table; here: a lake dir per table). Per batch, per table:
+    filter by source.table (the table's NormalizeEnvelope include-regex),
+    normalize to that table's schema, split by partition id, append.
+    Returns tiny (table, p, path, rows) manifest rows."""
+
+    def __init__(self, stage_dir: str, norm_kwargs_by_table: Dict[str, Dict[str, Any]]):
+        from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+        self.stage_dir = stage_dir
+        self.norms = {
+            t: NormalizeEnvelope(**kw) for t, kw in norm_kwargs_by_table.items()
+        }
+        for t, kw in norm_kwargs_by_table.items():
+            for p in range(kw["num_partitions"]):
+                os.makedirs(os.path.join(stage_dir, t, f"p={p}"), exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables: List[str] = []
+        ps: List[int] = []
+        paths: List[str] = []
+        rows: List[int] = []
+        tag = uuid.uuid4().hex
+        for tname, norm in self.norms.items():
+            flat = norm(batch)  # include-regex inside norm routes the table
+            if flat.num_rows == 0:
+                continue
+            idx = pc.sort_indices(flat, sort_keys=[(S.PART, "ascending")])
+            t = flat.take(idx)
+            parts = t[S.PART].combine_chunks().to_numpy()
+            P = norm.num_partitions
+            bounds = np.searchsorted(parts, np.arange(P + 1))
+            for p in range(P):
+                lo, hi = bounds[p], bounds[p + 1]
+                if hi <= lo:
+                    continue
+                rel = os.path.join(tname, f"p={p}", f"{tag}.parquet")
+                pq.write_table(t.slice(lo, hi - lo), os.path.join(self.stage_dir, rel))
+                tables.append(tname)
+                ps.append(p)
+                paths.append(rel)
+                rows.append(int(hi - lo))
+        return pa.table(
+            {
+                "table": pa.array(tables, pa.string()),
+                S.PART: pa.array(ps, pa.int32()),
+                "path": pa.array(paths, pa.string()),
+                "rows": pa.array(rows, pa.int64()),
+            }
+        )
+
+
+class DemuxApplier:
+    """Stage 2 of the demux epoch: one call per (table, partition) item —
+    the per-table PartitionApplier merge over exactly the staging files the
+    writers listed. Commit rows carry the table name."""
+
+    def __init__(
+        self,
+        manifest_docs: Dict[str, Dict[str, Any]],
+        lake_dirs: Dict[str, str],
+        stage_dir: str,
+        files_by_tp: Dict[str, List[str]],
+        target_rows_per_file: int = 1_000_000,
+    ):
+        from debezium_incubator_ray.stages.apply import PartitionApplier
+
+        self.inner = {
+            t: PartitionApplier(doc, lake_dirs[t], target_rows_per_file)
+            for t, doc in manifest_docs.items()
+        }
+        self.stage_dir = stage_dir
+        self.files = files_by_tp  # key "table|p" -> [relpaths]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for tname, p in zip(batch["table"].to_pylist(), batch[S.PART].to_pylist()):
+            paths = [
+                os.path.join(self.stage_dir, rel)
+                for rel in self.files[f"{tname}|{p}"]
+            ]
+            events = pa.concat_tables([pq.read_table(f) for f in paths])
+            rec = self.inner[tname](events)
+            outs.append(rec.append_column("table", pa.array([tname])))
+        return pa.concat_tables(outs)

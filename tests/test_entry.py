@@ -6,15 +6,11 @@ import __ray_entry__ as E
 def test_queries_and_oracles_aligned():
     qs = E.queries()
     oracles = E.oracle_sql()
-    assert len(qs) >= 25
+    assert len(qs) >= 30
     # every oracle refers to an existing query
     assert set(oracles) <= set(qs)
-    # the non-SQL ops are the expected ones
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "text_lang_id", "text_fingerprint", "ann_lsh_topk",
-    }
+    # since round 2 EVERY query has a SQL oracle (no rows-only checks left)
+    assert set(qs) == set(oracles)
 
 
 def test_entry_smoke(ray_session):

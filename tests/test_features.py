@@ -1,0 +1,166 @@
+"""Engine-feature tests added in round 2: tombstone retention, latest-only
+mode, per-segment quarantine, aligned-path validation, hash-impl guard."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from debezium_incubator_ray import gen
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+
+def _mk(tmp_path, n_events=600, n_initial=100, P=4, **cfg_kw):
+    binlog = str(tmp_path / "binlog")
+    lake = str(tmp_path / "lake")
+    spec = gen.BinlogSpec(
+        n_events=n_events, n_initial=n_initial, seg_rows=128,
+        num_partitions=P, seed=7,
+    )
+    ev = gen.gen_events(spec)
+    gen.write_binlog(binlog, spec, ev)
+    cfg = EngineConfig(
+        num_partitions=P, apply_concurrency=2, target_rows_per_file=1000, **cfg_kw
+    )
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    return eng, binlog, spec, ev
+
+
+def test_tombstone_retention(tmp_path, ray_session):
+    eng, binlog, spec, ev = _mk(tmp_path, tombstones=False)
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    lt = eng.lake_table()
+    from debezium_incubator_ray.envelope import DELETED
+
+    assert DELETED in lt.column_names
+    import pyarrow.compute as pc
+
+    dead = lt.filter(pc.equal(lt[DELETED], True))
+    live = lt.filter(pc.equal(lt[DELETED], False))
+    # the live rows equal the compacted oracle
+    oracle = gen.oracle_final_state(spec, ev)
+    assert live.select(["url"]).sort_by([("url", "ascending")])["url"].to_pylist() == \
+        oracle["url"].to_pylist()
+    # retained tombstones are exactly the keys whose final op is a delete
+    final_dead = set()
+    op, uid, lsn = ev["op"], ev["url_id"], ev["lsn"]
+    order = np.lexsort((-lsn, uid))
+    seen = set()
+    for i in order:
+        if uid[i] in seen:
+            continue
+        seen.add(uid[i])
+        if op[i] == "d":
+            final_dead.add(int(uid[i]))
+    got_dead = set(
+        int(u.rsplit("/", 1)[1]) for u in dead["url"].to_pylist()
+    )
+    assert got_dead == final_dead
+    # tombstone payloads are null
+    assert dead["text"].null_count == dead.num_rows
+    # replay idempotence still holds with retention on
+    eng.manifest.doc["segments_done"] = []
+    st = eng.apply_epoch(binlog)
+    assert st["applied"] == 0
+    # resume adopts the manifest's tombstone mode
+    eng.close()
+    eng2 = CdcEngine(eng.lake_dir)
+    assert eng2.cfg.tombstones is False
+
+
+def test_latest_only_mode(tmp_path, ray_session):
+    eng, binlog, spec, ev = _mk(tmp_path, latest_only=True)
+    st = eng.apply_epoch(binlog)
+    # one segment per partition applied, everything marked done
+    assert st["segments"] == spec.num_partitions
+    assert st["events"] < spec.n_events  # older segments skipped
+    from debezium_incubator_ray.sources import binlog as B
+
+    assert set(eng.manifest.doc["segments_done"]) == set(B.list_segments(binlog))
+    st2 = eng.apply_epoch(binlog)
+    assert st2["segments"] == 0
+
+
+def test_segment_quarantine(tmp_path, ray_session):
+    eng, binlog, spec, ev = _mk(tmp_path)
+    # corrupt one segment's bytes
+    bad = os.path.join(binlog, "p=0", sorted(os.listdir(os.path.join(binlog, "p=0")))[0])
+    with open(bad, "wb") as f:
+        f.write(b"not a parquet file")
+    st = eng.run(binlog)
+    assert st[0]["quarantined"] == 1
+    errs = eng.manifest.doc["segments_error"]
+    assert len(errs) == 1 and "p=0" in next(iter(errs))
+    # the quarantined segment is never retried
+    st2 = eng.apply_epoch(binlog)
+    assert st2["segments"] == 0 and st2["quarantined"] == 0
+
+
+def test_misaligned_partial_epoch_raises(tmp_path, ray_session):
+    # binlog with 2 partitions feeding a 4-partition lake: a PARTIAL epoch
+    # (max_segments) could advance watermarks past unapplied LSNs → engine
+    # must refuse (full drains remain allowed)
+    binlog = str(tmp_path / "binlog")
+    lake = str(tmp_path / "lake")
+    spec = gen.BinlogSpec(n_events=400, n_initial=50, seg_rows=64, num_partitions=2, seed=9)
+    ev = gen.gen_events(spec)
+    gen.write_binlog(binlog, spec, ev)
+    eng = CdcEngine(
+        lake, EngineConfig(num_partitions=4, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    with pytest.raises(ValueError, match="LSN monotonicity"):
+        eng.apply_epoch(binlog, max_segments=1)
+    # full drain through the exchange path is sound and matches the oracle
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.apply_epoch(binlog)
+    oracle = gen.oracle_final_state(spec, ev)
+    got = eng.lake_table().select(oracle.schema.names)
+    assert got.equals(oracle)
+
+
+def test_hash_impl_guard(tmp_path):
+    from debezium_incubator_ray.state.manifest import Manifest
+
+    m = Manifest.create(
+        str(tmp_path / "l"), "t", "url", 2, S.schema_to_b64(S.pages_schema())
+    )
+    doc_path = os.path.join(str(tmp_path / "l"), "_manifest", "v0.json")
+    with open(doc_path) as f:
+        doc = json.load(f)
+    doc["hash_impl"] = "other-hash-v0"
+    with open(doc_path, "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(RuntimeError, match="routing hash"):
+        Manifest.load(str(tmp_path / "l"))
+
+
+def test_aligned_path_used_and_matches_exchange(tmp_path, ray_session):
+    # same binlog applied via aligned fast path vs forced exchange path —
+    # identical final lake bytes
+    binlog = str(tmp_path / "binlog")
+    spec = gen.BinlogSpec(n_events=500, n_initial=80, seg_rows=128, num_partitions=4, seed=5)
+    ev = gen.gen_events(spec)
+    gen.write_binlog(binlog, spec, ev)
+    outs = {}
+    for mode in ("auto", "never"):
+        lake = str(tmp_path / f"lake-{mode}")
+        eng = CdcEngine(
+            lake,
+            EngineConfig(num_partitions=4, apply_concurrency=2, aligned_binlog=mode),
+            payload_schema=S.pages_schema(),
+        )
+        eng.snapshot(gen.make_pages(spec.n_initial))
+        st = eng.run(binlog)
+        assert st[0].get("aligned") is (mode == "auto")
+        outs[mode] = eng.lake_table()
+        eng.close()
+    assert outs["auto"].equals(outs["never"])
+    oracle = gen.oracle_final_state(spec, ev)
+    assert outs["auto"].select(oracle.schema.names).equals(oracle)
