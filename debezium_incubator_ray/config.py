@@ -51,7 +51,13 @@ class EngineConfig:
     #     than the object-store AllToAll in this environment);
     #   "groupby": Ray Data's native sort-based groupby exchange.
     exchange: str = "staging"
-    staging_batch_size: int = 65536  # writer-side coalescing (files ≈ blocks×P/batch)
+    # staging writer batch sizing: staging files ≈ (rows / batch) × touched
+    # partitions, and writer parallelism ≈ rows / batch. 32768 balances the
+    # two failure modes measured here: batch=None left a 1.6M-row snapshot
+    # as 256 blocks × 64 partitions = 16k tiny files (file overhead
+    # dominated, 3x run variance), while 65536 capped a 400k-row snapshot
+    # at ~6 writer tasks.
+    staging_batch_size: Optional[int] = 32768
 
     # blocks fed into the partition shuffle. The sort exchange costs
     # O(blocks²) object-store fragments and map_groups re-concatenates

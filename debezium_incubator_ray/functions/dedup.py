@@ -377,7 +377,6 @@ def verify_jaccard(
     sh = docs_ds.map_batches(
         ShingleSets(shingle_k, hasher), batch_format="pyarrow", zero_copy_batch=True
     )
-    empty_list = pa.nulls(0, pa.large_list(pa.int64()))
 
     def doc_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows

@@ -78,6 +78,21 @@ class Lake:
     def __getitem__(self, name: str) -> CdcEngine:
         return self.engines[sanitize_table_name(name, self.prefix)]
 
+    def drop_table(self, name: str, delete_files: bool = False) -> None:
+        """Schema-set reconciliation, deletion half (D3): detach a table
+        from the registry (SchemaHolder.java:107-123 removes tables gone
+        from cluster metadata). ``delete_files=True`` also removes the lake
+        directory — otherwise the data stays on disk and a later restart
+        re-attaches it."""
+        safe = sanitize_table_name(name, self.prefix)
+        eng = self.engines.pop(safe, None)
+        if eng is not None:
+            eng.close()
+        if delete_files:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, safe), ignore_errors=True)
+
     def apply_epoch(self, name: str, binlog_dir: str, **kw) -> dict:
         eng = self[name]
         before = set(eng.manifest.doc["segments_done"])

@@ -8,8 +8,11 @@ staging files (the external-shuffle design of classic MapReduce/Spark):
 
   stage 1 (tasks):   each block is split by `_p` (one vectorized sort +
                      zero-copy slices) and appended to
-                     ``staging/p=<p>/<uuid>.parquet``; the task returns only
-                     a tiny (p, path, rows) manifest.
+                     ``staging/p=<p>/<uuid>.arrow``; the task returns only
+                     a tiny (p, path, rows) manifest. Staging files are
+                     uncompressed Arrow IPC, not parquet: a shuffle file is
+                     written once and read once, so encode/compress cycles
+                     are pure overhead (classic external-shuffle design).
   driver:            collects the manifests (KBs), builds {p: [files]}.
   stage 2 (actors):  one call per partition id reads exactly its listed
                      files and runs the PartitionApplier merge.
@@ -72,10 +75,11 @@ class StagingWriter:
             lo, hi = bounds[p], bounds[p + 1]
             if hi <= lo:
                 continue
-            rel = f"p={p}/{tag}.parquet"
-            pq.write_table(
-                t.slice(lo, hi - lo), os.path.join(self.stage_dir, rel)
-            )
+            rel = f"p={p}/{tag}.arrow"
+            sl = t.slice(lo, hi - lo)
+            with pa.OSFile(os.path.join(self.stage_dir, rel), "wb") as f:
+                with pa.ipc.new_file(f, sl.schema) as w:
+                    w.write_table(sl)
             out_p.append(p)
             out_path.append(rel)
             out_rows.append(int(hi - lo))
@@ -112,9 +116,14 @@ class StagedApplier:
         outs = []
         for p in batch[S.PART].to_pylist():
             paths = [os.path.join(self.stage_dir, rel) for rel in self.files[p]]
-            events = pa.concat_tables([pq.read_table(f) for f in paths])
+            events = pa.concat_tables([_read_ipc(f) for f in paths])
             outs.append(self.inner(events))
         return pa.concat_tables(outs)
+
+
+def _read_ipc(path: str) -> pa.Table:
+    with pa.OSFile(path, "rb") as f:
+        return pa.ipc.open_file(f).read_all()
 
 
 class DemuxStagingWriter:
@@ -156,8 +165,11 @@ class DemuxStagingWriter:
                 lo, hi = bounds[p], bounds[p + 1]
                 if hi <= lo:
                     continue
-                rel = os.path.join(tname, f"p={p}", f"{tag}.parquet")
-                pq.write_table(t.slice(lo, hi - lo), os.path.join(self.stage_dir, rel))
+                rel = os.path.join(tname, f"p={p}", f"{tag}.arrow")
+                sl = t.slice(lo, hi - lo)
+                with pa.OSFile(os.path.join(self.stage_dir, rel), "wb") as f:
+                    with pa.ipc.new_file(f, sl.schema) as w:
+                        w.write_table(sl)
                 tables.append(tname)
                 ps.append(p)
                 paths.append(rel)
@@ -201,7 +213,7 @@ class DemuxApplier:
                 os.path.join(self.stage_dir, rel)
                 for rel in self.files[f"{tname}|{p}"]
             ]
-            events = pa.concat_tables([pq.read_table(f) for f in paths])
+            events = pa.concat_tables([_read_ipc(f) for f in paths])
             rec = self.inner[tname](events)
             outs.append(rec.append_column("table", pa.array([tname])))
         return pa.concat_tables(outs)

@@ -164,3 +164,72 @@ def test_aligned_path_used_and_matches_exchange(tmp_path, ray_session):
     assert outs["auto"].equals(outs["never"])
     oracle = gen.oracle_final_state(spec, ev)
     assert outs["auto"].select(oracle.schema.names).equals(oracle)
+
+
+def test_lake_drop_table_reconciliation(tmp_path, ray_session):
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    root = str(tmp_path / "lake")
+    lake = Lake(root)
+    lake.create_table("a", S.pages_schema(), EngineConfig(num_partitions=2))
+    lake.create_table("b", S.pages_schema(), EngineConfig(num_partitions=2))
+    assert lake.table_names() == ["a", "b"]
+    # detach only: restart re-attaches (files kept)
+    lake.drop_table("a")
+    assert lake.table_names() == ["b"]
+    lake2 = Lake(root)
+    assert lake2.table_names() == ["a", "b"]
+    # delete: gone for good
+    for e in lake2.engines.values():
+        e.close()
+    lake3 = Lake(root)
+    lake3.drop_table("a", delete_files=True)
+    for e in lake3.engines.values():
+        e.close()
+    assert Lake(root).table_names() == ["b"]
+
+
+def test_demux_single_pass_multi_table(tmp_path, ray_session):
+    """One mixed binlog routed to two lake tables in a single pass; each
+    table's final state equals the per-table LWW oracle."""
+    import pyarrow.compute as pc
+
+    from debezium_incubator_ray.envelope import lww_reduce
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    sf = "/root/testdata/sf0.001"
+    binlog = str(tmp_path / "binlog")
+    env = EC.write_events_binlog(sf, binlog, table_name_by_parity=True)
+    lake = Lake(str(tmp_path / "lake"))
+    for t in ("events_a", "events_b"):
+        lake.create_table(
+            t, EC.EVENTS_PAYLOAD,
+            EC.EngineConfig(key="user_id", num_partitions=EC.NUM_PARTITIONS,
+                            partitioner="mod", apply_concurrency=2),
+        )
+    st = lake.apply_epoch_demux(binlog)
+    assert st["tables"] == 2 and st["segments"] > 0
+    # oracle: flatten envelopes, LWW per user, split by parity
+    src = env["source"].combine_chunks()
+    flat = pa.table(
+        {
+            "user_id": env["after"].combine_chunks().field("user_id"),
+            S.LSN: src.field("lsn"),
+            "op": env["op"].combine_chunks(),
+        }
+    )
+    flat = flat.set_column(
+        0, "user_id",
+        pc.coalesce(flat["user_id"], env["before"].combine_chunks().field("user_id")),
+    )
+    winners = lww_reduce(flat, "user_id")
+    live = winners.filter(pc.not_equal(winners["op"], "d"))
+    uid = live["user_id"].to_numpy()
+    for t, parity in (("events_a", 0), ("events_b", 1)):
+        got = lake[t].lake_table()
+        expect = np.sort(uid[uid % 2 == parity])
+        assert got["user_id"].to_numpy().tolist() == expect.tolist()
+    # re-running the demux epoch is a no-op (segments done + watermarks)
+    st2 = lake.apply_epoch_demux(binlog)
+    assert st2["segments"] == 0
