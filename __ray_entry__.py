@@ -344,6 +344,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_latest_only(sf_dir):
+        """latest-only mode (CommitLogProcessor.java:115-134): only the
+        newest not-yet-applied segment per binlog partition is processed;
+        older segments are marked done without applying."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.config import EngineConfig
+        from debezium_incubator_ray.pipelines.cdc import CdcEngine
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, NUM_PARTITIONS as P, scratch_dir, write_events_binlog,
+        )
+
+        root = scratch_dir("latest")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)  # seg_rows=4096, per-partition
+        cfg = EngineConfig(
+            table="events", key="user_id", num_partitions=P, partitioner="mod",
+            apply_concurrency=4, target_rows_per_file=100_000, latest_only=True,
+        )
+        eng = CdcEngine(lake, cfg, payload_schema=EVENTS_PAYLOAD)
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tombstone_retain(sf_dir):
         """tombstones=False: deleted keys retained as marker rows (payload
         nulls + deleted flag) — the compacted-topic-without-tombstone
@@ -815,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_widen": cdc_schema_widen,
         "cdc_schema_drop": cdc_schema_drop,
         "cdc_multi_table": cdc_multi_table,
+        "cdc_latest_only": cdc_latest_only,
         "cdc_tombstone_retain": cdc_tombstone_retain,
         "type_normalization": type_normalization,
         "type_normalization_nested": type_normalization_nested,
@@ -990,6 +1016,22 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT {lww_cols}, "
         "CASE WHEN user_id % 2 = 0 THEN 'events_a' ELSE 'events_b' END AS tbl "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_latest_only": (
+            # last 4096-row segment per binlog partition (user_id % 8),
+            # segments cut by per-partition event order — then LWW inside it
+            "WITH env AS (SELECT user_id, event_id AS lsn, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "ts, event_type, value, props, "
+            "row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) AS rn_p, "
+            "count(*) OVER (PARTITION BY user_id % 8) AS cnt_p FROM events), "
+            "latest AS (SELECT * FROM env "
+            "WHERE (rn_p - 1) // 4096 = (cnt_p - 1) // 4096), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM latest) "
+            "SELECT user_id, ts, event_type, value, props, lsn "
+            "FROM ranked WHERE rn = 1 AND op <> 'd'"
+        ),
         "cdc_tombstone_retain": _LWW
         + "SELECT user_id, "
         "CASE WHEN op = 'd' THEN NULL ELSE ts END AS ts, "

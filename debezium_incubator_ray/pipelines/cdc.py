@@ -229,17 +229,30 @@ class CdcEngine:
             # reference's latest-commit-log mode never revisits them
             all_fresh = binlog_src.plan_epoch(binlog_dir, done, None)
             skipped_old = [s for s in all_fresh if s not in set(segs)]
-        # per-segment quarantine (cheap footer probe): a corrupt segment is
-        # recorded + skipped instead of failing the whole epoch
+        groups = binlog_src.group_by_partition(segs)
+        binlog_p = binlog_src.binlog_partition_count(binlog_dir)
+        aligned = (
+            self.cfg.aligned_binlog != "never"
+            and groups is not None
+            and binlog_p == self.cfg.num_partitions
+        )
+        # per-segment quarantine: a corrupt segment is recorded + skipped
+        # instead of failing the whole epoch. On the aligned path the probe
+        # happens INSIDE the parallel tasks (the applier reports quarantined
+        # segments in its commit record); only the exchange path pays a
+        # driver-side footer probe, since its read_parquet would otherwise
+        # fail the whole epoch.
         quarantined: Dict[str, str] = {}
-        ok_segs: List[str] = []
-        for s in segs:
-            err = binlog_src.validate_segment(os.path.join(binlog_dir, s))
-            if err is None:
-                ok_segs.append(s)
-            else:
-                quarantined[s] = err
-        segs = ok_segs
+        if not aligned:
+            ok_segs: List[str] = []
+            for s in segs:
+                err = binlog_src.validate_segment(os.path.join(binlog_dir, s))
+                if err is None:
+                    ok_segs.append(s)
+                else:
+                    quarantined[s] = err
+            segs = ok_segs
+            groups = binlog_src.group_by_partition(segs)
         schema_update = self._pending_schema_update(binlog_dir)
         if not segs:
             # heartbeat: empty epochs still advance the manifest (the
@@ -257,15 +270,10 @@ class CdcEngine:
             # whole epoch is upgraded to one target schema (SURVEY §7.3)
             self.manifest = self.manifest.commit({}, schema_update=schema_update)
 
-        groups = binlog_src.group_by_partition(segs)
-        binlog_p = binlog_src.binlog_partition_count(binlog_dir)
-        aligned = (
-            self.cfg.aligned_binlog != "never"
-            and groups is not None
-            and binlog_p == self.cfg.num_partitions
-        )
         if aligned:
             commits = self._apply_aligned(binlog_dir, groups)
+            for c in commits:
+                quarantined.update(json.loads(c["quarantined_json"]))
         else:
             if max_segments is not None and binlog_p != self.cfg.num_partitions:
                 # watermark soundness (see ADVICE): the per-lake-partition
@@ -285,15 +293,21 @@ class CdcEngine:
                 )
             commits = self._apply_exchange_epoch(binlog_dir, segs)
         updates = self._partition_updates(commits)
-        # delivered-event count from segment footers (commit records count
-        # post-prereduce rows, which undercounts after the combiner)
-        events = sum(
-            pq.ParquetFile(os.path.join(binlog_dir, s)).metadata.num_rows
-            for s in segs
-        )
+        # delivered-event count: the aligned path reports raw pre-normalize
+        # rows in its commit records (it already read the segments); the
+        # exchange path falls back to footer counts (the combiner makes
+        # commit-record rows an undercount there)
+        if aligned:
+            events = sum(c["delivered"] for c in commits)
+        else:
+            events = sum(
+                pq.ParquetFile(os.path.join(binlog_dir, s)).metadata.num_rows
+                for s in segs
+            )
+        done_now = [s for s in segs if s not in quarantined] + skipped_old
         self.manifest = self.manifest.commit(
             updates,
-            segments_done=segs + skipped_old,
+            segments_done=done_now,
             lineage=self._lineage("epoch", updates, events, time.perf_counter() - t0),
             segments_error=quarantined or None,
         )

@@ -49,6 +49,10 @@ COMMIT_SCHEMA = pa.schema(
         pa.field("distinct_keys", pa.int64()),
         pa.field("rows_total", pa.int64()),
         pa.field("files_json", pa.string()),
+        # raw delivered rows (pre-normalize) + quarantined segments, filled
+        # by the aligned path so the driver never touches segment footers
+        pa.field("delivered", pa.int64()),
+        pa.field("quarantined_json", pa.string()),
     ]
 )
 
@@ -183,7 +187,10 @@ class PartitionApplier:
             sum(f["rows"] for f in ent["files"]), ent["files"],
         )
 
-    def _record(self, p, wm, ev_in, ev_applied, distinct, rows_total, files) -> pa.Table:
+    def _record(
+        self, p, wm, ev_in, ev_applied, distinct, rows_total, files,
+        delivered: int = 0, quarantined=None,
+    ) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 S.PART: [p],
@@ -193,6 +200,8 @@ class PartitionApplier:
                 "distinct_keys": [distinct],
                 "rows_total": [rows_total],
                 "files_json": [json.dumps(files)],
+                "delivered": [delivered],
+                "quarantined_json": [json.dumps(quarantined or {})],
             },
             schema=COMMIT_SCHEMA,
         )
@@ -241,26 +250,44 @@ class AlignedSegmentApplier:
         ps = batch[S.PART].to_pylist()
         for p, paths_json in zip(ps, batch["paths_json"].to_pylist()):
             flats: List[pa.Table] = []
-            # normalize per segment (segments may carry different payload
-            # schema versions; normalize aligns each to the current target)
+            delivered = 0
+            quarantined: Dict[str, str] = {}
+            # read + quarantine + normalize per segment, all inside the
+            # parallel task (the driver never opens segment footers on this
+            # path — ~1k serial driver-side footer reads per epoch was a
+            # measurable constant against scaling). Segments may carry
+            # different payload schema versions; normalize aligns each.
             for rel in json.loads(paths_json):
-                env = pq.read_table(os.path.join(self.binlog_dir, rel))
+                try:
+                    env = pq.read_table(os.path.join(self.binlog_dir, rel))
+                except Exception as ex:  # noqa: BLE001 — quarantine, don't fail
+                    quarantined[rel] = f"{type(ex).__name__}: {ex}"
+                    continue
+                delivered += env.num_rows
                 flat = self.norm(env)
                 if flat.num_rows:
                     flats.append(flat)
             if not flats:
-                outs.append(self.inner._record_unchanged(int(p)))
-                continue
-            events = pa.concat_tables(flats) if len(flats) > 1 else flats[0]
-            pcol = events[S.PART]
-            if pc.min(pcol).as_py() != p or pc.max(pcol).as_py() != p:
-                raise RuntimeError(
-                    f"aligned-binlog violation: segments under p={p} "
-                    "normalized to rows routed to other lake partitions — "
-                    "binlog partitioning does not match the lake "
-                    "(set EngineConfig.aligned_binlog='never' to use the "
-                    "exchange path for this source)"
-                )
-            # in-batch combiner (hot keys collapse before the merge)
-            outs.append(self.inner(lww_reduce(events, self.key)))
+                rec = self.inner._record_unchanged(int(p))
+            else:
+                events = pa.concat_tables(flats) if len(flats) > 1 else flats[0]
+                pcol = events[S.PART]
+                if pc.min(pcol).as_py() != p or pc.max(pcol).as_py() != p:
+                    raise RuntimeError(
+                        f"aligned-binlog violation: segments under p={p} "
+                        "normalized to rows routed to other lake partitions — "
+                        "binlog partitioning does not match the lake "
+                        "(set EngineConfig.aligned_binlog='never' to use the "
+                        "exchange path for this source)"
+                    )
+                # in-batch combiner (hot keys collapse before the merge)
+                rec = self.inner(lww_reduce(events, self.key))
+            meta = {
+                "delivered": pa.array([delivered], pa.int64()),
+                "quarantined_json": pa.array([json.dumps(quarantined)]),
+            }
+            for name, col in meta.items():
+                i = rec.schema.get_field_index(name)
+                rec = rec.set_column(i, rec.schema.field(i), col)
+            outs.append(rec)
         return pa.concat_tables(outs)
