@@ -827,3 +827,104 @@ def embedding_near_dup_pairs(
         concurrency=(1, 8),
     )
     return pairs
+
+
+def embedding_near_dup_pairs_lsh(
+    ds,
+    tau: float = 0.8,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 13,
+    buckets: int = 64,
+):
+    """APPROXIMATE near-dup pairs — the 100 TB scale path for high ``tau``.
+
+    Banded random-hyperplane LSH: each vector gets n_planes sign bits,
+    split into ``bands`` bands of r = n_planes/bands bits; a pair is a
+    candidate iff some band's bits match, and every candidate is verified
+    with the exact cosine INSIDE its bucket group (precision = 1; recall
+    = 1 - (1 - (1 - theta/pi)^r)^bands, ~0.99 for cos >= 0.9 at 4x4).
+    Unlike the exact block-pair operator (embedding_near_dup_pairs), total
+    compute is O(sum of bucket sizes squared), not O(n^2) — buckets are
+    the partition key at scale. Embeddings ship once per band (bands is
+    small); nothing materializes on the driver."""
+    from debezium_incubator_ray.functions.ann import HyperplaneSigner
+
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    signer = HyperplaneSigner(dim, n_planes, seed=seed, col=col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.functions.ann import _batch_matrix
+
+        sig = signer.sign(_batch_matrix(t, col)).astype(np.uint64)
+        n = len(sig)
+        ids = t[id_col].combine_chunks()
+        emb = t[col].combine_chunks()
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        mask = np.uint64((1 << r) - 1)
+        band_bits = np.empty(n * bands, dtype=np.int64)
+        for b in range(bands):
+            band_bits[b::bands] = ((sig >> np.uint64(b * r)) & mask).astype(np.int64)
+        take = pa.array(rep)
+        with np.errstate(over="ignore"):
+            code = (
+                band_bits.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + band_idx.astype(np.uint64)
+            )
+        return pa.table(
+            {
+                "band": pa.array(band_idx),
+                "bits": pa.array(band_bits),
+                id_col: pc.take(ids, take),
+                col: pc.take(emb, take),
+                "_bucket": pa.array((code % np.uint64(buckets)).astype(np.int32)),
+            }
+        )
+
+    def verify_in_bucket(t: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.functions.ann import _batch_matrix, _normalize
+
+        idx = pc.sort_indices(
+            t, sort_keys=[("band", "ascending"), ("bits", "ascending"),
+                          (id_col, "ascending")]
+        )
+        s = t.take(idx)
+        band = s["band"].combine_chunks().to_numpy().astype(np.uint64)
+        bits = s["bits"].combine_chunks().to_numpy().astype(np.uint64)
+        docs = s[id_col].combine_chunks().to_numpy()
+        with np.errstate(over="ignore"):
+            code = bits * np.uint64(0x9E3779B97F4A7C15) + band
+        keep = np.ones(len(code), dtype=bool)
+        keep[1:] = (code[1:] != code[:-1]) | (docs[1:] != docs[:-1])
+        a_pos, b_pos = _pairs_within_groups(
+            code[keep], np.arange(len(docs))[keep]
+        )
+        if len(a_pos) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        M = _normalize(_batch_matrix(s, col))
+        cos = np.einsum("ij,ij->i", M[a_pos], M[b_pos])
+        a = docs[a_pos]
+        b = docs[b_pos]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ok = (cos >= tau) & (lo < hi)
+        return pa.table(
+            {"a": pa.array(lo[ok]), "b": pa.array(hi[ok]),
+             "cos": pa.array(np.round(cos[ok], 6))}
+        )
+
+    cand = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(verify_in_bucket, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Max
+
+    return cand.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))

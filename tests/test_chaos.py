@@ -62,3 +62,47 @@ def test_applier_actor_death_is_retried_exactly_once(tmp_path, monkeypatch):
     lt = eng.lake_table()
     urls = lt["url"].to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_aligned_applier_death_is_retried_exactly_once(tmp_path, monkeypatch):
+    """Same law on the aligned fast path: the retried partition task
+    re-reads its segments and re-writes new uuid files; only its returned
+    metadata commits — the first attempt's orphans stay invisible."""
+    from debezium_incubator_ray.stages import apply as AP
+
+    kill_marker = str(tmp_path / "killed-once")
+    real = AP.AlignedSegmentApplier
+
+    class FlakyAligned(real):
+        def __call__(self, batch):
+            try:
+                fd = os.open(kill_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(1)
+            except FileExistsError:
+                pass
+            return real.__call__(self, batch)
+
+    monkeypatch.setattr(AP, "AlignedSegmentApplier", FlakyAligned)
+
+    spec = gen.BinlogSpec(
+        n_events=400, n_initial=80, seg_rows=64, num_partitions=4, seed=23
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=64, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    st = eng.apply_epoch(binlog)
+    assert st["aligned"] is True
+    assert os.path.exists(kill_marker), "the chaos kill never fired"
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+    lt = eng.lake_table()
+    urls = lt["url"].to_pylist()
+    assert len(urls) == len(set(urls))

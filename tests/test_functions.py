@@ -175,3 +175,32 @@ def test_typeconv_goldens():
     assert TC.interval_to_micros(1, 2, 3, 4.5) == ((26 * 3600 + 184.5) * 1e6)
     d = TC.decimal_scale_pad(pa.array([4.4444]), 10, 6)
     assert str(d[0]) == "4.444400"
+
+
+def test_embedding_lsh_near_dup_recall():
+    """Banded-LSH scale path: every planted high-cosine pair is found
+    (verify step makes precision exact; banding makes recall ~1 at high
+    tau), and results agree with the exact block-pair operator."""
+    from debezium_incubator_ray.functions.dedup import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    # plant 8 near-dups: vec 100+i = vec i + small noise (cos > 0.99)
+    dups = base[:8] + 0.02 * rng.standard_normal((8, 16))
+    ids = list(range(40)) + [100 + i for i in range(8)]
+    M = np.vstack([base, dups]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(M.tolist(), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    approx = embedding_near_dup_pairs_lsh(
+        ds, tau=0.95, dim=16, n_planes=16, bands=4
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(approx["a"], approx["b"])}
+    for i in range(8):
+        assert (i, 100 + i) in got, f"planted pair {i} missed: {got}"
+    # precision: agrees with the exact operator at the same tau
+    exact = embedding_near_dup_pairs(ray.data.from_arrow(t), tau=0.95).to_pandas()
+    expect = {(a, b) for a, b in zip(exact["a"], exact["b"])}
+    assert got <= expect
