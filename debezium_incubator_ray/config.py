@@ -30,7 +30,7 @@ class EngineConfig:
     # partitioning (the one big shuffle — hash(key) % num_partitions)
     num_partitions: int = 16
     # "mod" for integer keys (SQL-oracle-expressible: key % P), "hash" for
-    # strings (stable xxhash via polars / siphash via pandas).
+    # strings (the in-repo version-pinned hash, hashing.HASH_IMPL).
     partitioner: str = "hash"
 
     # apply stage (stateful actor pool)

@@ -31,6 +31,34 @@ MEDIA_META = pa.struct(
 )
 
 
+_HEXCHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _hex_encode(binary_arr: pa.Array) -> pa.Array:
+    """Vectorized lowercase-hex encode of a (large_)binary array — one LUT
+    gather over the flat byte buffer, no per-row Python."""
+    if isinstance(binary_arr, pa.ChunkedArray):
+        binary_arr = binary_arr.combine_chunks()
+    arr = pc.cast(binary_arr, pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    lo = int(offsets[0])
+    flat = np.frombuffer(bufs[2], dtype=np.uint8)[lo : int(offsets[-1])] if bufs[2] is not None else np.empty(0, np.uint8)
+    hx = np.empty(len(flat) * 2, dtype=np.uint8)
+    hx[0::2] = _HEXCHARS[flat >> 4]
+    hx[1::2] = _HEXCHARS[flat & 0xF]
+    new_off = ((offsets - lo) * 2).astype(np.int64)
+    out = pa.LargeStringArray.from_buffers(
+        n, pa.py_buffer(new_off.tobytes()), pa.py_buffer(hx.tobytes())
+    )
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out, pa.nulls(n, pa.large_string()))
+    return pc.cast(out, pa.string())
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub
     """Real decoder integration point (PIL/opencv): payload → HxWxC array."""
     raise NotImplementedError(
@@ -59,11 +87,9 @@ class DecodeStub:
         magic = pc.cast(
             pc.binary_slice(pc.cast(payload, pa.large_binary()), 0, 4), pa.large_binary()
         )
-        # hex of the first 4 bytes — deterministic "format sniff"
-        magic_hex = pa.array(
-            [m.as_py().hex() if m.is_valid else None for m in magic],
-            type=pa.string(),
-        )
+        # hex of the first 4 bytes — deterministic "format sniff";
+        # vectorized: nibble LUT over the flat byte buffer, offsets doubled
+        magic_hex = _hex_encode(magic)
         chash = pa.array(
             stable_hash(payload).astype(np.int64), type=pa.int64()
         )

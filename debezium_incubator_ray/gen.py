@@ -43,7 +43,7 @@ _VOCAB_ARROW = pa.array(_VOCAB.tolist(), type=pa.string())
 
 def make_text(url_ids: np.ndarray, lsns: np.ndarray) -> pa.Array:
     """Pure deterministic text per (url_id, version lsn) — fully vectorized
-    (flat token-index arithmetic + a rust-side list join via polars)."""
+    (flat token-index arithmetic + an Arrow-kernel list join)."""
     url_ids = np.asarray(url_ids, dtype=np.int64)
     lsns = np.asarray(lsns, dtype=np.int64)
     n_tok = (5 + (url_ids + lsns) % 60).astype(np.int64)

@@ -198,7 +198,7 @@ class Lake:
 
             shutil.rmtree(stage_dir, ignore_errors=True)
 
-        events = 0
+        total = 0
         for name, eng in engines.items():
             commits = [c for c in applied if c["table"] == name]
             updates = {
@@ -208,10 +208,11 @@ class Lake:
                 }
                 for c in commits
             }
-            events += sum(c["events_applied"] for c in commits)
+            events_t = sum(c["events_applied"] for c in commits)
+            total += events_t
             eng.manifest = eng.manifest.commit(
                 updates,
                 segments_done=segs,
-                lineage=eng._lineage("demux-epoch", updates, events, 0.0),
+                lineage=eng._lineage("demux-epoch", updates, events_t, 0.0),
             )
-        return {"segments": len(segs), "events": events, "tables": len(engines)}
+        return {"segments": len(segs), "events": total, "tables": len(engines)}
