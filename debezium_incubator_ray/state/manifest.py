@@ -26,14 +26,16 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from typing import Any, Dict, List, Optional
 
 
 class Manifest:
-    def __init__(self, lake_dir: str, doc: Dict[str, Any]):
+    def __init__(self, lake_dir: str, doc: Dict[str, Any], store=None):
+        from debezium_incubator_ray.state.store import LocalFsStore
+
         self.lake_dir = lake_dir
         self.doc = doc
+        self.store = store or LocalFsStore(os.path.join(lake_dir, "_manifest"))
 
     # -- construction -------------------------------------------------------
     @staticmethod
@@ -45,6 +47,7 @@ class Manifest:
         schema_b64: str,
         partitioner: str = "hash",
         tombstones: bool = True,
+        store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
 
@@ -78,19 +81,18 @@ class Manifest:
             "segments_error": {},
             "lineage": [],
         }
-        m = Manifest(lake_dir, doc)
+        m = Manifest(lake_dir, doc, store=store)
         m._write()
         return m
 
     @staticmethod
-    def load(lake_dir: str) -> "Manifest":
+    def load(lake_dir: str, store=None) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
+        from debezium_incubator_ray.state.store import LocalFsStore
 
-        cur = os.path.join(lake_dir, "_manifest", "CURRENT")
-        with open(cur) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(lake_dir, "_manifest", f"v{v}.json")) as f:
-            doc = json.load(f)
+        store = store or LocalFsStore(os.path.join(lake_dir, "_manifest"))
+        v = int(store.read("CURRENT").strip())
+        doc = json.loads(store.read(f"v{v}.json"))
         recorded = doc.get("hash_impl", HASH_IMPL)
         if doc.get("partitioner", "hash") == "hash" and recorded != HASH_IMPL:
             raise RuntimeError(
@@ -99,10 +101,12 @@ class Manifest:
                 "would re-route keys across partitions (exactly-once "
                 "violation). Rebuild the lake or run the matching build."
             )
-        return Manifest(lake_dir, doc)
+        return Manifest(lake_dir, doc, store=store)
 
     @staticmethod
-    def exists(lake_dir: str) -> bool:
+    def exists(lake_dir: str, store=None) -> bool:
+        if store is not None:
+            return store.exists("CURRENT")
         return os.path.exists(os.path.join(lake_dir, "_manifest", "CURRENT"))
 
     # -- accessors -----------------------------------------------------------
@@ -163,7 +167,7 @@ class Manifest:
         if snapshot is not None:
             doc["snapshot_complete"] = snapshot.get("complete", True)
             doc["snapshot_lsn"] = snapshot.get("lsn", doc["snapshot_lsn"])
-        nxt = Manifest(self.lake_dir, doc)
+        nxt = Manifest(self.lake_dir, doc, store=self.store)
         nxt._write()
         if lineage is not None:
             nxt._append_lineage(lineage)
@@ -208,24 +212,9 @@ class Manifest:
         return pq.read_table(ldir)
 
     def _write(self) -> None:
-        mdir = os.path.join(self.lake_dir, "_manifest")
-        path = os.path.join(mdir, f"v{self.doc['version']}.json")
-        _atomic_write(path, json.dumps(self.doc, indent=1))
-        _atomic_write(os.path.join(mdir, "CURRENT"), str(self.doc["version"]))
-
-
-def _atomic_write(path: str, content: str) -> None:
-    d = os.path.dirname(path)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+        # OffsetWriter-protocol publish (state/store.py): version doc first,
+        # then the CURRENT pointer swap — the only visibility point
+        self.store.write_atomic(
+            f"v{self.doc['version']}.json", json.dumps(self.doc, indent=1)
+        )
+        self.store.write_atomic("CURRENT", str(self.doc["version"]))

@@ -233,3 +233,25 @@ def test_demux_single_pass_multi_table(tmp_path, ray_session):
     # re-running the demux epoch is a no-op (segments done + watermarks)
     st2 = lake.apply_epoch_demux(binlog)
     assert st2["segments"] == 0
+
+
+def test_manifest_store_protocol(tmp_path):
+    """OffsetWriter-style pluggable store (state/store.py): the manifest
+    control plane round-trips through a MemoryStore (the object-store
+    stand-in) exactly as through the local-fs default."""
+    from debezium_incubator_ray.state.manifest import Manifest
+    from debezium_incubator_ray.state.store import MemoryStore
+
+    store = MemoryStore()
+    m = Manifest.create(
+        str(tmp_path / "l"), "t", "url", 2,
+        S.schema_to_b64(S.pages_schema()), store=store,
+    )
+    m2 = m.commit({0: {"watermark": 9, "files": []}})
+    m3 = m2.commit({1: {"watermark": 4, "files": []}})
+    assert store.read("CURRENT") == "2"
+    r = Manifest.load(str(tmp_path / "l"), store=store)
+    assert r.watermark(0) == 9 and r.watermark(1) == 4 and r.version == 2
+    assert Manifest.exists(str(tmp_path / "l"), store=store)
+    # versions retained for time travel
+    assert store.read("v0.json") is not None and store.read("v2.json") is not None
