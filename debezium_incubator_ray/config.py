@@ -90,6 +90,18 @@ class EngineConfig:
     #     behavior. Recorded in the manifest (table semantics, not a knob).
     tombstones: bool = True
 
+    # offset-flush policy (OffsetFlushPolicy.java:19-51): when the manifest
+    # CURRENT pointer is persisted to the store.
+    #   "always" (default): persist every commit — tightest resume point.
+    #   "periodic": persist when offset_flush_interval_s has elapsed OR
+    #     offset_flush_max_events have been processed since the last flush
+    #     (whichever first) — fewer control-plane writes on fast tail loops;
+    #     a crash idempotently replays the epochs since the last flush.
+    # Structural commits (snapshot completion, schema changes) always flush.
+    offset_flush: str = "always"
+    offset_flush_interval_s: float = 10.0
+    offset_flush_max_events: int = 1_000_000
+
     # snapshot mode: ALWAYS / INITIAL / NEVER
     # (CassandraConnectorConfig.java:74-81)
     snapshot_mode: str = "INITIAL"

@@ -36,6 +36,9 @@ class Manifest:
         self.lake_dir = lake_dir
         self.doc = doc
         self.store = store or LocalFsStore(os.path.join(lake_dir, "_manifest"))
+        # lineage rows committed in memory but not yet persisted (periodic
+        # offset-flush mode, OffsetFlushPolicy.java:19-51); written on flush
+        self._pending_lineage: List[Dict[str, Any]] = []
 
     # -- construction -------------------------------------------------------
     @staticmethod
@@ -144,8 +147,14 @@ class Manifest:
         schema_update: Optional[Dict[str, Any]] = None,
         snapshot: Optional[Dict[str, Any]] = None,
         segments_error: Optional[Dict[str, str]] = None,
+        persist: bool = True,
     ) -> "Manifest":
-        """Produce + atomically publish the next manifest version."""
+        """Produce the next manifest version; atomically publish it when
+        ``persist`` (the offset-flush point). With ``persist=False`` the new
+        version is commit-in-memory only (Periodic flush policy,
+        OffsetFlushPolicy.java:30-44): a crash loses nothing but progress —
+        the previously-persisted version is still valid because CoW never
+        deletes the data files it references."""
         doc = json.loads(json.dumps(self.doc))  # deep copy
         doc["version"] += 1
         for p, upd in partition_updates.items():
@@ -168,12 +177,31 @@ class Manifest:
             doc["snapshot_complete"] = snapshot.get("complete", True)
             doc["snapshot_lsn"] = snapshot.get("lsn", doc["snapshot_lsn"])
         nxt = Manifest(self.lake_dir, doc, store=self.store)
-        nxt._write()
+        nxt._pending_lineage = list(self._pending_lineage)
         if lineage is not None:
-            nxt._append_lineage(lineage)
+            nxt._pending_lineage.append(
+                {"_version": doc["version"], **lineage}
+            )
+        if persist:
+            nxt.persist()
         return nxt
 
-    def _append_lineage(self, lineage: Dict[str, Any]) -> None:
+    def persist(self) -> "Manifest":
+        """Flush this in-memory version (and any pending lineage rows) to the
+        store — the durability point. Idempotent."""
+        self._write()
+        for row in self._pending_lineage:
+            self._append_lineage(row, version=row.pop("_version"))
+        self._pending_lineage = []
+        return self
+
+    @property
+    def dirty(self) -> bool:
+        """True if in-memory state is ahead of the persisted CURRENT."""
+        cur = self.store.read("CURRENT")
+        return cur is None or int(cur.strip()) != self.doc["version"]
+
+    def _append_lineage(self, lineage: Dict[str, Any], version: Optional[int] = None) -> None:
         """Per-commit lineage row → queryable `_lineage/` parquet table
         (T6: applied offset ranges, row counts, skew stats per commit —
         the reference exposes these as Dropwizard gauges,
@@ -183,8 +211,9 @@ class Manifest:
 
         ldir = os.path.join(self.lake_dir, "_lineage")
         os.makedirs(ldir, exist_ok=True)
+        v = self.doc["version"] if version is None else version
         row = {
-            "version": self.doc["version"],
+            "version": v,
             "kind": lineage.get("kind"),
             "events": lineage.get("events", 0),
             "partitions_touched": lineage.get("partitions_touched", 0),
@@ -198,7 +227,7 @@ class Manifest:
         }
         pq.write_table(
             pa.Table.from_pylist([row]),
-            os.path.join(ldir, f"v{self.doc['version']:08d}.parquet"),
+            os.path.join(ldir, f"v{v:08d}.parquet"),
         )
 
     def lineage_table(self):

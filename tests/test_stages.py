@@ -174,3 +174,64 @@ def test_sanitize_and_lake_registry(tmp_path, ray_session):
     # re-open: discovery finds the table
     lake2 = Lake(str(tmp_path / "root"))
     assert lake2.table_names() == ["pages"]
+
+
+# ----------------------------------------------------------------------
+# offset-flush policy (OffsetFlushPolicy.java:19-51)
+def test_flush_policy_semantics():
+    from debezium_incubator_ray.state.flush import OffsetFlushPolicy
+
+    always = OffsetFlushPolicy.always()
+    assert always.should_flush(0.0, 0)
+    per = OffsetFlushPolicy.periodic(10.0, 1000)
+    assert not per.should_flush(9.9, 999)
+    assert per.should_flush(10.0, 0)      # interval elapsed
+    assert per.should_flush(0.0, 1000)    # max events reached
+
+
+def test_periodic_flush_batches_manifest_writes(tmp_path, ray_session):
+    """Periodic mode: epochs commit in memory; the persisted CURRENT only
+    advances at flush points — and a 'crash' (engine dropped without flush)
+    resumes from the last persisted version and replays to the same state."""
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(
+        n_events=300, n_initial=60, seg_rows=50, num_partitions=4, seed=31
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(
+        num_partitions=4, target_rows_per_file=64, apply_concurrency=2,
+        offset_flush="periodic",
+        offset_flush_interval_s=3600.0, offset_flush_max_events=10**9,
+    )
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))  # structural: persisted
+    v_snap = int(open(os.path.join(lake, "_manifest", "CURRENT")).read())
+
+    # drain segment-by-segment: in-memory version advances, CURRENT doesn't
+    st = eng.apply_epoch(binlog, max_segments=4)
+    assert st["events"] > 0
+    assert eng.manifest.version > v_snap
+    assert int(open(os.path.join(lake, "_manifest", "CURRENT")).read()) == v_snap
+    assert eng.manifest.dirty
+
+    # crash: drop the engine WITHOUT flushing (bypass close())
+    os.close(eng._lock_fd)
+    eng._lock_fd = None
+    del eng
+
+    # resume: persisted manifest knows nothing of the un-flushed epoch; the
+    # full drain must replay it idempotently and reach the oracle state
+    eng2 = CdcEngine(lake, cfg)
+    assert eng2.manifest.version == v_snap
+    eng2.run(binlog)  # run() force-flushes at end-of-drain
+    assert not eng2.manifest.dirty
+    assert int(open(os.path.join(lake, "_manifest", "CURRENT")).read()) == eng2.manifest.version
+    oracle = gen.oracle_final_state(spec, ev)
+    from tests.conftest import assert_tables_equal
+
+    assert_tables_equal(eng2.lake_table(), oracle, sort_by="url")
