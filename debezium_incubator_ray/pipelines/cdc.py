@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import weakref
 from typing import Any, Dict, List, Optional, Union
 
 import pyarrow as pa
@@ -101,6 +102,49 @@ class CdcEngine:
         self._last_flush_t = time.monotonic()
         self._events_since_flush = 0
 
+        # metric registry (T6): gauge names mirror the reference's Dropwizard
+        # registry — snapshot gauges SnapshotProcessorMetrics.java:30-36,
+        # commit-log gauges/counters CommitLogProcessorMetrics.java:22-44.
+        # Gauges derive from the manifest (durable, restart-safe); counters
+        # are in-process monotonic, like the reference's. Gauge closures hold
+        # a weakref, not self — a self->registry->closure->self cycle would
+        # defer __del__ (and the writer-lock release) to a gc pass.
+        from debezium_incubator_ray.state.metrics import MetricRegistry
+
+        self._metrics = MetricRegistry()
+        self._snapshot_running = False
+        self._snapshot_seconds = 0.0
+        self._rows_scanned: Dict[str, int] = {}
+        self._last_segment: Optional[str] = None
+        w = weakref.proxy(self)
+        g = self._metrics.register_gauge
+        g("snapshot-completed", lambda: w.manifest.doc["snapshot_complete"])
+        g("snapshot-running", lambda: w._snapshot_running)
+        g("snapshot-aborted", lambda: False)
+        g("snapshot-duration-in-seconds", lambda: w._snapshot_seconds)
+        g("total-table-count", lambda: 1)  # one engine drives one table; Lake aggregates
+        g(
+            "remaining-table-count",
+            lambda: 0 if w.manifest.doc["snapshot_complete"] else 1,
+        )
+        g("row-scanned", lambda: dict(w._rows_scanned))
+        g("commitlog-filename", lambda: w._last_segment)
+        g(
+            "commitlog-position",
+            lambda: max(
+                (e["watermark"] for e in w.manifest.doc["partitions"].values()),
+                default=-1,
+            ),
+        )
+        g("manifest-version", lambda: w.manifest.version)
+
+    def metrics(self) -> Dict[str, Any]:
+        """Live metric snapshot (the engine's "endpoint"): gauges evaluated
+        now + in-process counters. Cheap; poll per epoch. Historical,
+        durable per-commit stats live in the lineage table
+        (``manifest.lineage_table()``)."""
+        return self._metrics.snapshot()
+
     # ------------------------------------------------------------------
     # offset flush (manifest persistence)
     def _maybe_flush(self, events: int, force: bool = False) -> None:
@@ -153,7 +197,10 @@ class CdcEngine:
                     self._lock_fd = None
 
     def __del__(self):  # release on gc so tests / sequential engines work
-        self.close()
+        try:
+            self.close()
+        except Exception:
+            pass  # interpreter teardown: builtins may already be gone
 
     # ------------------------------------------------------------------
     # snapshot phase (S3/S4, T5)
@@ -214,6 +261,8 @@ class CdcEngine:
             return pa.table(cols)
 
         stats: Dict[str, Any] = {"skipped": False, "events": 0}
+        self._snapshot_running = True
+        t_snap0 = time.perf_counter()
         if ds is not None:
             # a from_arrow / single-file source arrives as one block; split it
             # so the snapshot load parallelizes across the cluster. Lazy
@@ -242,6 +291,11 @@ class CdcEngine:
             snapshot={"complete": True, "lsn": snapshot_lsn},
         )
         self.flush()
+        self._snapshot_running = False
+        self._snapshot_seconds = time.perf_counter() - t_snap0
+        self._rows_scanned[self.cfg.table] = (
+            self._rows_scanned.get(self.cfg.table, 0) + stats["events"]
+        )
         return stats
 
     # ------------------------------------------------------------------
@@ -299,6 +353,10 @@ class CdcEngine:
                 persist=schema_update is not None,  # schema history: durable
             )
             self._maybe_flush(0, force=schema_update is not None)
+            if quarantined:
+                self._metrics.counter("number-of-unrecoverable-errors").inc(
+                    len(quarantined)
+                )
             return {"segments": 0, "events": 0, "quarantined": len(quarantined)}
 
         if schema_update is not None:
@@ -349,6 +407,14 @@ class CdcEngine:
             persist=False,  # _maybe_flush decides (offset-flush policy)
         )
         self._maybe_flush(events)
+        self._metrics.counter("number-of-processed-mutations").inc(events)
+        if quarantined:
+            self._metrics.counter("number-of-unrecoverable-errors").inc(
+                len(quarantined)
+            )
+        applied_now = [s for s in segs if s not in quarantined]
+        if applied_now:
+            self._last_segment = applied_now[-1]
         return {
             "segments": len(segs),
             "events": events,

@@ -192,3 +192,34 @@ def test_stream_without_snapshot_creates_from_events(world):
     spec0 = gen.BinlogSpec(**{**spec.__dict__, "n_initial": 0})
     oracle = gen.oracle_final_state(spec0, ev)
     assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+
+
+def test_metrics_endpoint(world):
+    """T6 parity: gauge/counter names mirror the reference's Dropwizard
+    registry (SnapshotProcessorMetrics.java:30-36,
+    CommitLogProcessorMetrics.java:22-44)."""
+    spec, ev, binlog, lake = world
+    eng = CdcEngine(lake, _cfg(spec), payload_schema=S.pages_schema())
+    m0 = eng.metrics()
+    assert m0["snapshot-completed"] is False
+    assert m0["remaining-table-count"] == 1
+    assert m0["commitlog-position"] == -1
+
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    stats = eng.run(binlog)
+    m = eng.metrics()
+    assert m["snapshot-completed"] is True
+    assert m["snapshot-running"] is False
+    assert m["snapshot-duration-in-seconds"] > 0
+    assert m["remaining-table-count"] == 0
+    assert m["row-scanned"] == {eng.cfg.table: spec.n_initial}
+    assert m["number-of-processed-mutations"] == spec.n_events
+    assert m["commitlog-filename"] is not None
+    assert m["commitlog-position"] == int(ev["lsn"].max())
+    assert m["manifest-version"] == eng.manifest.version
+    assert "number-of-unrecoverable-errors" not in m  # never incremented
+
+    # gauges must not pin the engine: del releases the writer lock promptly
+    del eng
+    eng2 = CdcEngine(lake, _cfg(spec))
+    assert eng2.metrics()["snapshot-completed"] is True
