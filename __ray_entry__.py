@@ -214,10 +214,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             to_read_envelopes, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def cdc_schema_evolution(sf_dir):
+    def _schema_evolution_impl(sf_dir, ddl_text: bool):
         """add_column with default backfill mid-stream over the events CDC
         feed: column `score:double` defined as value*2 exists only for
-        events with lsn > L; earlier winners show the default -1.0."""
+        events with lsn > L; earlier winners show the default -1.0.
+        ``ddl_text=True`` ships the change as raw ALTER TABLE text parsed
+        by ddl.parse_ddl (the reference's ANTLR path) instead of a
+        structured SchemaChange — same downstream semantics."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -264,14 +267,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 os.path.join(binlog, f"p={p}", "seg-00000.parquet"),
             )
         with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:
-            json.dump(
-                [S.SchemaChange("add_column", "score", "double", -1.0, L).to_json()], f
-            )
+            if ddl_text:
+                json.dump(
+                    [{"ddl": "ALTER TABLE events ADD score BINARY_DOUBLE DEFAULT -1.0",
+                      "at_lsn": L}],
+                    f,
+                )
+            else:
+                json.dump(
+                    [S.SchemaChange("add_column", "score", "double", -1.0, L).to_json()],
+                    f,
+                )
         eng = make_engine(lake)
         eng.run(binlog)
         out = eng.lake_table(include_lsn=True)
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    def cdc_schema_evolution(sf_dir):
+        return _schema_evolution_impl(sf_dir, ddl_text=False)
+
+    def cdc_schema_evolution_ddl(sf_dir):
+        return _schema_evolution_impl(sf_dir, ddl_text=True)
 
     def cdc_schema_widen(sf_dir):
         """widen_type value float32→double mid-stream, two-phase: half the
@@ -837,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_before_images": cdc_before_images,
         "cdc_snapshot_read": cdc_snapshot_read,
         "cdc_schema_evolution": cdc_schema_evolution,
+        "cdc_schema_evolution_ddl": cdc_schema_evolution_ddl,
         "cdc_schema_widen": cdc_schema_widen,
         "cdc_schema_drop": cdc_schema_drop,
         "cdc_multi_table": cdc_multi_table,
@@ -1001,6 +1019,11 @@ def oracle_sql() -> dict[str, str]:
             "'r' AS op, true AS snapshot FROM documents"
         ),
         "cdc_schema_evolution": _LWW
+        + "SELECT user_id, ts, event_type, value, props, "
+        "CASE WHEN lsn > (SELECT max(event_id) FROM events) // 2 "
+        "THEN value * 2 ELSE -1.0 END AS score, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_schema_evolution_ddl": _LWW
         + "SELECT user_id, ts, event_type, value, props, "
         "CASE WHEN lsn > (SELECT max(event_id) FROM events) // 2 "
         "THEN value * 2 ELSE -1.0 END AS score, lsn "

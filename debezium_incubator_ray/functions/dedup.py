@@ -159,20 +159,20 @@ def exact_dedup(
     wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     ref = ray.put(wid)
 
-    class KeepWinners:
-        def __init__(self):
-            self.wid = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(self.wid) == 0:
-                return t.slice(0, 0)
-            ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.wid, ids)
-            pos = np.minimum(pos, len(self.wid) - 1)
-            return t.filter(pa.array(self.wid[pos] == ids))
+    def keep_winners(t: pa.Table) -> pa.Table:
+        # plain task (no actor pool): the broadcast winner array is a
+        # numpy object in plasma — ray.get is zero-copy once node-local,
+        # so per-task get costs ~µs and we skip actor spin-up entirely
+        wid_l = ray.get(ref)
+        if len(wid_l) == 0:
+            return t.slice(0, 0)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wid_l, ids)
+        pos = np.minimum(pos, len(wid_l) - 1)
+        return t.filter(pa.array(wid_l[pos] == ids))
 
     kept = ds.map_batches(
-        KeepWinners, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
     )
     if unique_ids:
         return kept

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import base64
 import dataclasses
+import re
 from typing import Any, Dict, List, Optional, Sequence
 
 import pyarrow as pa
@@ -138,7 +139,13 @@ _TYPE_BY_NAME = {
 }
 
 
+_DECIMAL_RE = re.compile(r"decimal128\((\d+),\s*(\d+)\)$")
+
+
 def type_by_name(name: str) -> pa.DataType:
+    m = _DECIMAL_RE.match(name)
+    if m:  # NUMBER(p,s) from the DDL parser (ddl.py)
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
     return _TYPE_BY_NAME[name]
 
 

@@ -103,11 +103,27 @@ def validate_segment(path: str) -> Optional[str]:
 
 
 def load_schema_changes(binlog_dir: str) -> List[SchemaChange]:
-    """Structured DDL-like control events shipped alongside the binlog
-    (the reference parses DDL text with ANTLR — OracleDdlParser.java:44-110;
-    our control plane is structured, so no text parsing)."""
+    """DDL-like control events shipped alongside the binlog. Two entry
+    shapes coexist:
+
+    - structured: ``{"change": "add_column", "column": ..., ...}``;
+    - raw DDL text: ``{"ddl": "ALTER TABLE t ADD (...)", "at_lsn": N}`` —
+      parsed by ddl.parse_ddl into the same SchemaChange stream (the
+      reference's ANTLR path, OracleDdlParser.java:44-110 →
+      AlterTableParserListener.java:76-133).
+    """
     path = os.path.join(binlog_dir, "_schema_changes.json")
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return [SchemaChange.from_json(d) for d in json.load(f)]
+        entries = json.load(f)
+    out: List[SchemaChange] = []
+    for d in entries:
+        if "ddl" in d:
+            from debezium_incubator_ray.ddl import parse_ddl
+
+            _table, changes = parse_ddl(d["ddl"], at_lsn=d.get("at_lsn", 0))
+            out.extend(changes)
+        else:
+            out.append(SchemaChange.from_json(d))
+    return out
