@@ -361,6 +361,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_compaction(sf_dir):
+        """Small-run compaction is state-preserving: fragment the lake
+        (tiny target_rows_per_file + small segments → many sorted runs per
+        partition), compact to target-sized files, and return the table —
+        which must still equal the plain LWW oracle byte-for-byte."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("compact")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog, seg_rows=512)
+        eng = EC.make_engine(lake)
+        eng.cfg.target_rows_per_file = 8  # fragment on purpose
+        eng.run(binlog)
+        P = EC.NUM_PARTITIONS
+        files_before = sum(len(eng.manifest.files(p)) for p in range(P))
+        eng.cfg.target_rows_per_file = 1_000_000
+        st = eng.compact()
+        files_after = sum(len(eng.manifest.files(p)) for p in range(P))
+        if files_after >= files_before or files_after != st["files_after"]:
+            raise RuntimeError(
+                f"compaction did not coalesce: {files_before} -> {files_after}"
+            )
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    def cdc_time_travel(sf_dir):
+        """Time-travel read: stream phase 1 (lsn <= cut), record the
+        manifest version, stream phase 2 (tail segments in the same binlog
+        dir), then read the lake AT the recorded version — must equal the
+        LWW state over only the phase-1 events."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        cut = int(pc.max(lsn).as_py()) // 2
+        root = EC.scratch_dir("ttravel")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_env_binlog(env.filter(pc.less_equal(lsn, cut)), binlog)
+        eng = EC.make_engine(lake)
+        eng.run(binlog)
+        v1 = eng.manifest.version
+        EC.write_env_binlog(
+            env.filter(pc.greater(lsn, cut)), binlog, append=True
+        )
+        eng.run(binlog)  # directory-tail pickup (S2) — new segments only
+        out = eng.lake_table(include_lsn=True, version=v1)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_latest_only(sf_dir):
         """latest-only mode (CommitLogProcessor.java:115-134): only the
         newest not-yet-applied segment per binlog partition is processed;
@@ -858,6 +913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_widen": cdc_schema_widen,
         "cdc_schema_drop": cdc_schema_drop,
         "cdc_multi_table": cdc_multi_table,
+        "cdc_compaction": cdc_compaction,
+        "cdc_time_travel": cdc_time_travel,
         "cdc_latest_only": cdc_latest_only,
         "cdc_tombstone_retain": cdc_tombstone_retain,
         "type_normalization": type_normalization,
@@ -984,6 +1041,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_compaction": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_time_travel": f"WITH env AS ({_ENV}), "
+        "f AS (SELECT * FROM env WHERE lsn <= (SELECT max(event_id) FROM events) // 2), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM f) "
+        f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_replay_dup": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_restart_resume": _LWW

@@ -522,6 +522,120 @@ class CdcEngine:
                 return out
 
     # ------------------------------------------------------------------
+    # lake maintenance
+    def compact(self, min_files: int = 2) -> Dict[str, Any]:
+        """Merge each partition's sorted runs into target-sized files —
+        state-preserving (the lake reads byte-identically before and after).
+
+        CDC epochs accrete sub-target runs (every copy-on-write rewrite can
+        split, high-frequency epochs multiply); compaction re-chunks each
+        partition in one pass and lazily upgrades old-schema files to the
+        current version. Partitions with fewer than ``min_files`` runs and
+        no stale-schema files are skipped (their bytes don't move). Old
+        files remain for time-travel until :meth:`vacuum`.
+
+        Runs one Ray task per eligible partition (same shape as the aligned
+        apply path); the commit is one atomic manifest swap with unchanged
+        watermarks, so a crash mid-compaction leaves the lake untouched.
+        """
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        cur_schema_ver = self.manifest.doc["schemas"][-1]["version"]
+        todo: List[int] = []
+        files_before = 0
+        for p in range(self.manifest.num_partitions):
+            files = self.manifest.files(p)
+            files_before += len(files)
+            stale = any(f.get("schema_version", 1) != cur_schema_ver for f in files)
+            if files and (len(files) >= min_files or stale):
+                todo.append(p)
+        if not todo:
+            return {
+                "partitions_compacted": 0,
+                "files_before": files_before,
+                "files_after": files_before,
+                "seconds": time.perf_counter() - t0,
+            }
+        from debezium_incubator_ray.stages.apply import Compactor
+
+        items = [{S.PART: p} for p in todo]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ctor = dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+
+        def compact_one(batch: pa.Table) -> pa.Table:
+            return Compactor(**ctor)(batch)
+
+        commits = ds.map_batches(
+            compact_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        ).take_all()
+        updates = self._partition_updates(commits)
+        self.manifest = self.manifest.commit(
+            updates,
+            lineage=self._lineage(
+                "compact", updates, 0, time.perf_counter() - t0
+            ),
+            persist=True,
+        )
+        files_after = sum(
+            len(self.manifest.files(p)) for p in range(self.manifest.num_partitions)
+        )
+        return {
+            "partitions_compacted": len(todo),
+            "files_before": files_before,
+            "files_after": files_after,
+            "seconds": time.perf_counter() - t0,
+        }
+
+    def vacuum(self, keep_versions: int = 1) -> Dict[str, int]:
+        """Expire time-travel history: keep only the newest
+        ``keep_versions`` manifest versions and delete data files that no
+        retained version references.
+
+        Copy-on-write never deletes or overwrites data files, so every
+        superseded run stays on disk for :meth:`read_lake`'s
+        ``version=`` reads until vacuumed. The current version is always
+        retained. (Driver-side listing: the walk is over this table's lake
+        directory — bounded by run count, not data size; on an object
+        store this becomes a prefix LIST.)
+        """
+        self._acquire_lock()
+        self.flush()  # current in-memory state must be durable first
+        ms = self.manifest
+        vs = ms.versions()
+        keep = set(vs[-max(1, keep_versions):]) | {ms.version}
+        referenced = set()
+        for v in sorted(keep):
+            raw = ms.store.read(f"v{v}.json")
+            if raw is None:
+                continue
+            doc = json.loads(raw)
+            for part in doc["partitions"].values():
+                referenced.update(f["path"] for f in part["files"])
+        removed_files = 0
+        data_root = os.path.join(self.lake_dir, "data")
+        for dirpath, _dirs, names in os.walk(data_root) if os.path.isdir(data_root) else []:
+            for n in names:
+                full = os.path.join(dirpath, n)
+                rel = os.path.relpath(full, self.lake_dir)
+                if rel not in referenced:
+                    os.remove(full)
+                    removed_files += 1
+        removed_versions = 0
+        for v in vs:
+            if v not in keep:
+                ms.store.delete(f"v{v}.json")
+                removed_versions += 1
+        return {
+            "removed_files": removed_files,
+            "removed_versions": removed_versions,
+            "kept_versions": len(keep),
+        }
+
+    # ------------------------------------------------------------------
     # internals
     def _apply_shuffle(self, flat: "ray.data.Dataset") -> List[Dict]:
         """hash-partitioned shuffle + stateful actor-pool merge; returns the
@@ -663,17 +777,31 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
     # read side
-    def read_lake(self, include_lsn: bool = False) -> "ray.data.Dataset":
+    def _manifest_at(self, version: Optional[int]):
+        """The manifest to read through: current, or a retained historical
+        version (time-travel — CoW keeps superseded data files on disk
+        until vacuum, so any retained v{n}.json is fully readable)."""
+        if version is None or version == self.manifest.version:
+            return self.manifest
+        return Manifest.load_version(
+            self.lake_dir, version, store=self.manifest.store
+        )
+
+    def read_lake(
+        self, include_lsn: bool = False, version: Optional[int] = None
+    ) -> "ray.data.Dataset":
         """The lake as a Dataset, unified to the current schema version.
 
         Files written under older schema versions are upgraded on read
         (default backfill / widening) — the lazy half of schema evolution.
+        ``version=`` reads the lake as of that manifest commit (time-travel).
         """
-        target = self.manifest.current_schema()
-        defaults = self.manifest.doc["defaults"]
+        m = self._manifest_at(version)
+        target = m.current_schema()
+        defaults = m.doc["defaults"]
         by_ver: Dict[int, List[str]] = {}
-        for p in range(self.manifest.num_partitions):
-            for f in self.manifest.files(p):
+        for p in range(m.num_partitions):
+            for f in m.files(p):
                 by_ver.setdefault(f.get("schema_version", 1), []).append(
                     os.path.join(self.lake_dir, f["path"])
                 )
@@ -708,15 +836,18 @@ class CdcEngine:
             ds = ds.union(other)
         return ds
 
-    def lake_table(self, include_lsn: bool = False) -> pa.Table:
+    def lake_table(
+        self, include_lsn: bool = False, version: Optional[int] = None
+    ) -> pa.Table:
         """Driver-side materialization for tests / small results only."""
-        target = self.manifest.current_schema()
-        defaults = self.manifest.doc["defaults"]
+        m = self._manifest_at(version)
+        target = m.current_schema()
+        defaults = m.doc["defaults"]
         from debezium_incubator_ray.envelope import DELETED
 
         tbls = []
-        for p in range(self.manifest.num_partitions):
-            for f in self.manifest.files(p):
+        for p in range(m.num_partitions):
+            for f in m.files(p):
                 t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
                 side = {S.LSN: t[S.LSN]}
                 drop = [S.LSN]

@@ -169,17 +169,31 @@ def scratch_dir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"dbzray-{tag}-", dir="/tmp")
 
 
-def write_env_binlog(env: pa.Table, out_dir: str, seg_rows: int = 4096) -> None:
-    """Write an envelope table as partition-aligned binlog segments."""
+def write_env_binlog(
+    env: pa.Table, out_dir: str, seg_rows: int = 4096, append: bool = False
+) -> None:
+    """Write an envelope table as partition-aligned binlog segments.
+
+    ``append=True`` continues each partition's segment numbering after the
+    files already present — the directory-tail shape (S2): a later write is
+    new commit-log segments arriving in the same binlog directory."""
     part = env["source"].combine_chunks().field("partition").to_numpy()
     os.makedirs(out_dir, exist_ok=True)
     for p in range(NUM_PARTITIONS):
         idx = np.nonzero(part == p)[0]
         pdir = os.path.join(out_dir, f"p={p}")
         os.makedirs(pdir, exist_ok=True)
+        base = 0
+        if append:
+            base = sum(
+                1 for n in os.listdir(pdir)
+                if n.startswith("seg-") and n.endswith(".parquet")
+            )
         for k, lo in enumerate(range(0, len(idx), seg_rows)):
             chunk = env.take(pa.array(idx[lo : lo + seg_rows]))
-            pq.write_table(chunk, os.path.join(pdir, f"seg-{k:05d}.parquet"))
+            pq.write_table(
+                chunk, os.path.join(pdir, f"seg-{base + k:05d}.parquet")
+            )
 
 
 def _cast_value_field(env: pa.Table, to_type: pa.DataType) -> pa.Table:

@@ -57,6 +57,26 @@ COMMIT_SCHEMA = pa.schema(
 )
 
 
+def upgrade_run_table(
+    tbl: pa.Table, schema: pa.Schema, defaults: Dict[str, Any]
+) -> pa.Table:
+    """Lazy schema upgrade of a lake run written under an older schema
+    version: realign the payload columns to ``schema`` (default backfill /
+    widening) while carrying the internal ``_lsn`` (and, in
+    tombstone-retention mode, ``_deleted``) columns through."""
+    from debezium_incubator_ray.envelope import DELETED
+
+    side = {S.LSN: tbl[S.LSN]}
+    drop = [S.LSN]
+    if DELETED in tbl.column_names:
+        side[DELETED] = tbl[DELETED]
+        drop.append(DELETED)
+    out = upgrade_table(tbl.drop_columns(drop), schema, defaults)
+    for name, col in side.items():
+        out = out.append_column(name, col)
+    return out
+
+
 class PartitionApplier:
     def __init__(self, manifest_doc: Dict[str, Any], lake_dir: str, target_rows_per_file: int = 1_000_000):
         self.doc = manifest_doc
@@ -123,21 +143,9 @@ class PartitionApplier:
             if f is not None:
                 existing = pq.read_table(os.path.join(self.lake_dir, f["path"]))
                 if f.get("schema_version", 1) != self.schema_version:
-                    # lazy upgrade: carry the internal columns (_lsn and, in
-                    # tombstone-retention mode, _deleted) around the payload
-                    # realignment — upgrade_table drops unknown columns
-                    side = {S.LSN: existing[S.LSN]}
-                    drop = [S.LSN]
-                    from debezium_incubator_ray.envelope import DELETED
-
-                    if DELETED in existing.column_names:
-                        side[DELETED] = existing[DELETED]
-                        drop.append(DELETED)
-                    existing = upgrade_table(
-                        existing.drop_columns(drop), self.schema, self.defaults
+                    existing = upgrade_run_table(
+                        existing, self.schema, self.defaults
                     )
-                    for name, col in side.items():
-                        existing = existing.append_column(name, col)
             merged = merge_lww(
                 existing, ev, self.key, keep_tombstones=self.keep_tombstones
             )
@@ -290,4 +298,53 @@ class AlignedSegmentApplier:
                 i = rec.schema.get_field_index(name)
                 rec = rec.set_column(i, rec.schema.field(i), col)
             outs.append(rec)
+        return pa.concat_tables(outs)
+
+
+class Compactor:
+    """Per-partition small-run compaction: merge a partition's sorted runs
+    into the minimum number of target-sized files, preserving table state
+    byte-for-byte.
+
+    CDC lakes accrete files: every epoch's copy-on-write rewrite splits
+    touched runs at ``target_rows_per_file`` and high-frequency epochs leave
+    many sub-target runs. Runs within a partition hold DISJOINT key ranges
+    (PartitionApplier routes each key to exactly one run by its range
+    bounds), so concatenating them in ``min_key`` order is already globally
+    key-sorted — compaction is a pure re-chunk plus lazy schema upgrade, no
+    re-sort and no merge logic. Old files stay on disk (time-travel reads of
+    prior manifest versions still work) until ``CdcEngine.vacuum``.
+
+    One call handles one partition's batch row; parallelism = partitions,
+    same shape as the aligned apply path.
+    """
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        target_rows_per_file: int = 1_000_000,
+    ):
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs: List[pa.Table] = []
+        for p in batch[S.PART].to_pylist():
+            ent = self.inner.doc["partitions"][str(p)]
+            files = ent["files"]
+            tbls = []
+            for f in files:  # files are kept sorted by min_key
+                t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
+                if f.get("schema_version", 1) != self.inner.schema_version:
+                    t = upgrade_run_table(
+                        t, self.inner.schema, self.inner.defaults
+                    )
+                tbls.append(t)
+            merged = pa.concat_tables(tbls)
+            new_files = self.inner._write_run(int(p), merged)
+            outs.append(
+                self.inner._record(
+                    int(p), ent["watermark"], 0, 0, 0, merged.num_rows, new_files
+                )
+            )
         return pa.concat_tables(outs)

@@ -107,6 +107,33 @@ class Manifest:
         return Manifest(lake_dir, doc, store=store)
 
     @staticmethod
+    def load_version(lake_dir: str, version: int, store=None) -> "Manifest":
+        """Time-travel: load a specific retained manifest version. Valid as
+        long as the version document exists and ``vacuum`` has not deleted
+        the data files it references (CoW never overwrites them)."""
+        from debezium_incubator_ray.state.store import LocalFsStore
+
+        store = store or LocalFsStore(os.path.join(lake_dir, "_manifest"))
+        raw = store.read(f"v{version}.json")
+        if raw is None:
+            raise FileNotFoundError(
+                f"manifest version {version} not found in {lake_dir} "
+                "(never persisted, or removed by vacuum)"
+            )
+        return Manifest(lake_dir, json.loads(raw), store=store)
+
+    def versions(self) -> List[int]:
+        """All retained (persisted) manifest versions, ascending."""
+        out = []
+        for name in self.store.list():
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    @staticmethod
     def exists(lake_dir: str, store=None) -> bool:
         if store is not None:
             return store.exists("CURRENT")

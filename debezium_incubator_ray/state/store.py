@@ -35,6 +35,14 @@ class ManifestStore:
     def exists(self, name: str) -> bool:
         return self.read(name) is not None
 
+    def list(self) -> "list[str]":
+        """Document names in the store (object-store: LIST on the manifest
+        prefix — small, bounded by retained versions)."""
+        raise NotImplementedError
+
+    def delete(self, name: str) -> None:
+        raise NotImplementedError
+
 
 class LocalFsStore(ManifestStore):
     def __init__(self, root: str):
@@ -69,6 +77,15 @@ class LocalFsStore(ManifestStore):
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self.root, name))
 
+    def list(self) -> "list[str]":
+        return [n for n in os.listdir(self.root) if not n.endswith(".tmp")]
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.root, name))
+        except FileNotFoundError:
+            pass
+
 
 class MemoryStore(ManifestStore):
     """Dict-backed store (tests / object-store stand-in). Writes are
@@ -83,3 +100,9 @@ class MemoryStore(ManifestStore):
 
     def write_atomic(self, name: str, content: str) -> None:
         self.docs[name] = content
+
+    def list(self) -> "list[str]":
+        return list(self.docs)
+
+    def delete(self, name: str) -> None:
+        self.docs.pop(name, None)

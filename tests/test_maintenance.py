@@ -1,0 +1,186 @@
+"""Lake maintenance: compaction, time-travel reads, vacuum.
+
+Compaction is state-preserving re-chunking of each partition's disjoint
+sorted runs (stages/apply.py Compactor); time-travel reads any retained
+manifest version (CoW never deletes data files); vacuum expires history.
+The reference has no lake, so these extend its semantics to the sink this
+engine adds — the invariants under test are the engine's own exactly-once
+contract (manifest swap atomicity, watermark preservation).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from debezium_incubator_ray import gen
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+from debezium_incubator_ray.state.manifest import Manifest
+
+from tests.conftest import assert_tables_equal
+
+
+def _build_fragmented_lake(tmp_path, n_events=4000, seg_rows=128):
+    """Many small segments + tiny target_rows_per_file → many runs/partition."""
+    spec = gen.BinlogSpec(
+        n_events=n_events, n_initial=300, seg_rows=seg_rows,
+        num_partitions=4, seed=29,
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=100),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    return eng, spec, ev
+
+
+def test_compaction_preserves_state_and_reduces_files(tmp_path):
+    eng, spec, ev = _build_fragmented_lake(tmp_path)
+    before_tbl = eng.lake_table(include_lsn=True)
+    files_before = sum(len(eng.manifest.files(p)) for p in range(4))
+    wm_before = {p: eng.manifest.watermark(p) for p in range(4)}
+    assert files_before > 4  # fragmented, else the test is vacuous
+
+    # raise the file-size target so compaction actually coalesces
+    eng.cfg.target_rows_per_file = 1_000_000
+    st = eng.compact()
+    assert st["partitions_compacted"] == 4
+    assert st["files_after"] == 4  # one run per partition now
+    assert {p: eng.manifest.watermark(p) for p in range(4)} == wm_before
+
+    after_tbl = eng.lake_table(include_lsn=True)
+    assert_tables_equal(after_tbl, before_tbl, sort_by="url")
+    # oracle still holds end-to-end
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(
+        eng.lake_table(), oracle, sort_by="url"
+    )
+
+    # idempotent: nothing left to compact
+    st2 = eng.compact()
+    assert st2["partitions_compacted"] == 0
+
+
+def test_compaction_upgrades_stale_schema_files(tmp_path):
+    """A partition whose only run predates a schema change is still
+    compacted (stale-version trigger) and comes out at the current
+    version with the default backfilled."""
+    eng, spec, ev = _build_fragmented_lake(tmp_path, n_events=1500)
+    import json
+
+    binlog2 = str(tmp_path / "binlog2")
+    os.makedirs(binlog2, exist_ok=True)
+    with open(os.path.join(binlog2, "_schema_changes.json"), "w") as f:
+        json.dump(
+            [S.SchemaChange(
+                "add_column", "tier", "int32", 7, 10**12
+            ).to_json()],
+            f,
+        )
+    eng.run(binlog2)  # heartbeat epoch activates schema v2; no data rewritten
+    assert all(
+        f.get("schema_version", 1) == 1
+        for p in range(4) for f in eng.manifest.files(p)
+    )
+    eng.cfg.target_rows_per_file = 1_000_000
+    eng.compact()
+    assert all(
+        f["schema_version"] == 2
+        for p in range(4) for f in eng.manifest.files(p)
+    )
+    lt = eng.lake_table()
+    assert set(lt["tier"].to_pylist()) == {7}
+    assert_tables_equal(
+        lt.drop_columns(["tier"]), gen.oracle_final_state(spec, ev),
+        sort_by="url",
+    )
+
+
+def test_time_travel_reads_and_vacuum(tmp_path):
+    spec = gen.BinlogSpec(
+        n_events=3000, n_initial=200, seg_rows=256, num_partitions=4, seed=31
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=500),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    v_snap = eng.manifest.version
+    snap_tbl = eng.lake_table(include_lsn=True)
+    eng.run(binlog)
+    final_tbl = eng.lake_table(include_lsn=True)
+
+    # time-travel to the post-snapshot version reproduces that state exactly
+    assert v_snap in eng.manifest.versions()
+    tt = eng.lake_table(include_lsn=True, version=v_snap)
+    assert_tables_equal(tt, snap_tbl, sort_by="url")
+    # Dataset variant too
+    ds_rows = eng.read_lake(version=v_snap).count()
+    assert ds_rows == snap_tbl.num_rows
+    # current read unaffected
+    assert_tables_equal(eng.lake_table(include_lsn=True), final_tbl, sort_by="url")
+
+    # compaction supersedes files but time-travel still works (CoW)
+    eng.cfg.target_rows_per_file = 1_000_000
+    v_pre_compact = eng.manifest.version
+    eng.compact()
+    assert_tables_equal(
+        eng.lake_table(include_lsn=True, version=v_pre_compact),
+        final_tbl, sort_by="url",
+    )
+    assert_tables_equal(eng.lake_table(include_lsn=True), final_tbl, sort_by="url")
+
+    # vacuum: keep only the newest version; old reads die, current survives,
+    # superseded files are physically gone
+    def count_data_files():
+        n = 0
+        for dirpath, _d, names in os.walk(os.path.join(lake, "data")):
+            n += len(names)
+        return n
+
+    files_on_disk_before = count_data_files()
+    live = sum(len(eng.manifest.files(p)) for p in range(4))
+    assert files_on_disk_before > live
+    st = eng.vacuum(keep_versions=1)
+    assert st["removed_files"] == files_on_disk_before - live
+    assert count_data_files() == live
+    assert_tables_equal(eng.lake_table(include_lsn=True), final_tbl, sort_by="url")
+    with pytest.raises(FileNotFoundError):
+        eng.lake_table(version=v_snap)
+
+    # reopen from disk: manifest still loads, state intact
+    eng.close()
+    eng2 = CdcEngine(lake)
+    assert_tables_equal(eng2.lake_table(include_lsn=True), final_tbl, sort_by="url")
+
+
+def test_vacuum_never_removes_current_version(tmp_path):
+    spec = gen.BinlogSpec(
+        n_events=400, n_initial=50, seg_rows=128, num_partitions=2, seed=5
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake, EngineConfig(num_partitions=2), payload_schema=S.pages_schema()
+    )
+    eng.run(binlog)
+    cur = eng.manifest.version
+    eng.vacuum(keep_versions=1)
+    assert eng.manifest.versions()[-1] == cur
+    assert Manifest.load(lake).version == cur
