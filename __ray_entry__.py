@@ -765,6 +765,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ngram_jaccard_pairs(docs, threshold=0.3)
 
+    def dedup_clusters(sf_dir):
+        """Near-dup clustering: exact 3-gram-Jaccard >= 0.3 pairs →
+        distributed connected components (min-label propagation) →
+        (doc_id, cluster_id=min id in component, keep=canonical)."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import near_dup_clusters
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return near_dup_clusters(docs, threshold=0.3)
+
     def dedup_embedding(sf_dir):
         import ray.data
         from debezium_incubator_ray.functions.dedup import embedding_near_dup_pairs
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -1177,6 +1190,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": _jaccard_sql(0.5),
         "dedup_ngram_jaccard": _jaccard_sql(0.3),
+        "dedup_clusters": (
+            # transitive closure over the same >= 0.3 Jaccard pairs:
+            # cluster_id = min reachable doc id (undirected)
+            "WITH RECURSIVE "
+            + _SHINGLES[len("WITH ") :].rstrip()
+            + ", p AS (SELECT a, b FROM i "
+            "JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+            "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3), "
+            "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), "
+            "reach(node, r) AS ("
+            "SELECT a, a FROM (SELECT DISTINCT a FROM ed) "
+            "UNION "
+            "SELECT re.node, ed.b FROM reach re JOIN ed ON ed.a = re.r) "
+            "SELECT node AS doc_id, min(r) AS cluster_id, "
+            "node = min(r) AS keep FROM reach GROUP BY node"
+        ),
         "dedup_simhash": _simhash_sql(),
         "text_lang_id": _lang_id_sql(),
         "text_fingerprint": (

@@ -11,9 +11,19 @@ texts/embeddings) and NO per-document Python loops in hot paths:
   + np.minimum.reduceat) → exploded (band, band_hash, doc_id) rows →
   bucketed groupby → vectorized pair expansion → DISTRIBUTED exact-Jaccard
   verify (a two-stage co-grouped join on doc buckets then pair buckets).
-- n-gram Jaccard: exact inverted index on shingle hashes (a pair qualifies
-  iff it shares >= 1 shingle) + the same distributed verify. ``max_df``
-  caps pathological shingle buckets at scale (off by default = exact).
+- n-gram Jaccard: exact inverted index on shingle hashes, ONE shuffle
+  pass — each shared distinct shingle emits its pair row exactly once, so
+  a bucketed per-pair count IS the intersection size and J falls out
+  directly (no verify stage, no shingle-list shipping). ``max_df`` caps
+  pathological shingle buckets at scale (off by default = exact).
+- near-dup clustering: pairs → connected components (vectorized
+  union-find under a documented edge cutover — the dup graph is the small
+  side by construction — else distributed min-label propagation) →
+  canonical = min doc id per cluster.
+- All per-(a, b) reductions (distinct, count, min-Hamming, max-cos) go
+  through one bucketed shuffle + a numpy run-reduce — Ray's multi-key
+  groupby.aggregate pays per-group overhead that is ~30x slower at ~1M
+  distinct pairs.
 - SimHash: batch-vectorized 64-bit signatures (unpackbits + reduceat);
   near-dup pairs via the pigeonhole chunk buckets (4 x 16-bit chunks cover
   every pair with Hamming distance <= 3 exactly) + vectorized popcount.
@@ -84,13 +94,50 @@ def _pairs_within_groups(
     return lo, hi
 
 
-def _dedupe_pairs(ds):
+def _add_pair_bucket(t: pa.Table, buckets: int) -> pa.Table:
+    """Route each (a, b) row to a pair bucket — the shuffle key for all
+    per-pair reductions (Ray's multi-key groupby.aggregate pays per-group
+    overhead; at ~1M distinct pairs that is 30x slower than one bucketed
+    shuffle + a numpy run-reduce inside map_groups)."""
+    a = t["a"].combine_chunks().to_numpy().astype(np.uint64)
+    b = t["b"].combine_chunks().to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        code = a * np.uint64(0x9E3779B97F4A7C15) + b
+    return t.append_column(
+        "_pbucket", pa.array((code % np.uint64(buckets)).astype(np.int32))
+    )
+
+
+def _pair_runs(a: np.ndarray, b: np.ndarray):
+    """(sort order, first-of-pair mask, pair index per sorted row) for
+    vectorized per-(a, b) reductions."""
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    first = np.ones(len(a_s), dtype=bool)
+    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    pidx = np.cumsum(first) - 1
+    return order, first, pidx
+
+
+def _dedupe_pairs(ds, buckets: int = 64):
     """Distinct (a, b) pairs (a pair found via several buckets/bands appears
     once per bucket)."""
-    from ray.data.aggregate import Count
+
+    def distinct(group: pa.Table) -> pa.Table:
+        a = group["a"].combine_chunks().to_numpy()
+        b = group["b"].combine_chunks().to_numpy()
+        order, first, _ = _pair_runs(a, b)
+        keep = order[first]
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     return (
-        ds.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+        ds.map_batches(
+            lambda t: _add_pair_bucket(t, buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pbucket")
+        .map_groups(distinct, batch_format="pyarrow")
     )
 
 
@@ -567,12 +614,86 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_df: Optional[int] = None,
+    buckets: int = 64,
     hasher: Callable = stable_hash,
 ):
-    """Exact all-pairs n-gram Jaccard >= threshold (inverted-index
-    candidates + distributed verify — never the naive O(n^2))."""
-    cand = ngram_candidate_pairs(docs_ds, shingle_k, max_df=max_df, hasher=hasher)
-    return verify_jaccard(cand, docs_ds, shingle_k, threshold, hasher=hasher)
+    """Exact all-pairs n-gram Jaccard >= threshold in ONE shuffle pass.
+
+    The inverted index emits each (a, b) pair once PER SHARED DISTINCT
+    shingle (every shingle value lives in exactly one hash bucket), so
+    ``groupby(a, b).count`` IS the exact intersection size — no second
+    pass over the documents and no shingle-list shipping. Each doc's
+    distinct-shingle count rides along with the pair rows, so
+    J = c / (na + nb - c) falls out of the aggregate directly.
+
+    Shuffle volume = one 32-byte row per (shared shingle, pair) — the
+    irreducible inverted-index cost; ``max_df`` caps stop-shingle blowup
+    at scale (None = exact)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        g, glens = shingle_hashes(t["text"].combine_chunks(), shingle_k, hasher)
+        dv, dc = distinct_per_doc(g, glens)
+        ids = np.repeat(t["doc_id"].to_numpy(), dc)
+        ns = np.repeat(dc, dc)  # owner doc's distinct-shingle count
+        return pa.table(
+            {
+                "g": pa.array(dv.view(np.int64)),
+                "doc_id": pa.array(ids),
+                "n": pa.array(ns),
+                "_bucket": pa.array((dv % np.uint64(buckets)).astype(np.int32)),
+            }
+        )
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("g", "ascending"), ("doc_id", "ascending")]
+        )
+        s = t.take(idx)
+        g = s["g"].combine_chunks().to_numpy().view(np.uint64)
+        docs = s["doc_id"].combine_chunks().to_numpy()
+        ns = s["n"].combine_chunks().to_numpy()
+        # positions instead of ids: lets us gather the n's; within a group
+        # positions ascend with doc_id, so a < b still holds
+        ai, bi = _pairs_within_groups(g, np.arange(len(docs)), max_df)
+        return pa.table(
+            {
+                "a": pa.array(docs[ai]),
+                "b": pa.array(docs[bi]),
+                "na": pa.array(ns[ai]),
+                "nb": pa.array(ns[bi]),
+            }
+        )
+
+    def jaccard_in_bucket(group: pa.Table) -> pa.Table:
+        a = group["a"].combine_chunks().to_numpy()
+        b = group["b"].combine_chunks().to_numpy()
+        na = group["na"].combine_chunks().to_numpy()
+        nb = group["nb"].combine_chunks().to_numpy()
+        order, first, pidx = _pair_runs(a, b)
+        firsts = order[first]  # one representative row per pair
+        c = np.bincount(pidx).astype(np.float64)  # intersection size
+        jac = c / (na[firsts] + nb[firsts] - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[firsts][keep]),
+                "b": pa.array(b[firsts][keep]),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_pair_bucket(t, buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pbucket")
+        .map_groups(jaccard_in_bucket, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -695,9 +816,29 @@ def simhash_near_dup_pairs(
         .groupby("_bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Min
 
-    return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def min_hamming(group: pa.Table) -> pa.Table:
+        a = group["a"].combine_chunks().to_numpy()
+        b = group["b"].combine_chunks().to_numpy()
+        h = group["hamming"].combine_chunks().to_numpy()
+        order, first, pidx = _pair_runs(a, b)
+        firsts = order[first]
+        hmin = np.full(int(pidx[-1]) + 1 if len(pidx) else 0, 64, np.int64)
+        np.minimum.at(hmin, pidx, h[order])
+        return pa.table(
+            {"a": pa.array(a[firsts]), "b": pa.array(b[firsts]),
+             "hamming": pa.array(hmin)}
+        )
+
+    return (
+        cand.map_batches(
+            lambda t: _add_pair_bucket(t, buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pbucket")
+        .map_groups(min_hamming, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -925,6 +1066,247 @@ def embedding_near_dup_pairs_lsh(
         .groupby("_bucket")
         .map_groups(verify_in_bucket, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Max
 
-    return cand.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+    def max_cos(group: pa.Table) -> pa.Table:
+        a = group["a"].combine_chunks().to_numpy()
+        b = group["b"].combine_chunks().to_numpy()
+        c = group["cos"].combine_chunks().to_numpy()
+        order, first, pidx = _pair_runs(a, b)
+        firsts = order[first]
+        cmax = np.full(int(pidx[-1]) + 1 if len(pidx) else 0, -2.0)
+        np.maximum.at(cmax, pidx, c[order])
+        return pa.table(
+            {"a": pa.array(a[firsts]), "b": pa.array(b[firsts]),
+             "cos": pa.array(cmax)}
+        )
+
+    return (
+        cand.map_batches(
+            lambda t: _add_pair_bucket(t, buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_pbucket")
+        .map_groups(max_cos, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over dup pairs)
+
+
+def _cc_numpy(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized union-find (min-hook + pointer jumping) over int64 edge
+    arrays → (nodes, cluster = min node id per component)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = label.copy()
+        np.minimum.at(label, ai, label[bi])
+        np.minimum.at(label, bi, label[ai])
+        while True:  # full path compression
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, old):
+            break
+    return nodes, nodes[label]
+
+
+def connected_components(
+    pairs_ds,
+    buckets: int = 64,
+    max_iters: int = 50,
+    driver_cutover: int = 10_000_000,
+):
+    """(a, b) near-dup edges → (doc_id, cluster_id) with cluster_id = the
+    MIN doc id in the connected component — the grouping step of cluster
+    dedup (keep one canonical doc per cluster, drop the rest).
+
+    The dup-pair graph is the SMALL side by construction (edges exist only
+    between near-duplicates, a sliver of the corpus), so up to
+    ``driver_cutover`` edges (16 B each — the default caps the pull at
+    ~160 MB) the component labels come from one vectorized union-find over
+    the collected edge array: one pass, no rounds. Above the cutover the
+    distributed min-label propagation below takes over; both paths produce
+    identical labels.
+
+    Distributed path — no joins and no driver-side graph:
+
+      state    labels(node, label), initialized label = node;
+      round    co-group label rows with edge rows by hash(node) bucket
+               (one union + one groupby — the same shape as
+               verify_jaccard's stage 1), emit one message (other, label)
+               per edge endpoint plus the identity row, then min-reduce
+               per node (groupby(node).min);
+      stop     labels are monotonically non-increasing, so the sum of all
+               labels is a fixpoint detector: unchanged sum == converged.
+
+    Rounds needed = graph diameter; near-dup components are shallow (dup
+    clusters are cliques-ish), so 3-5 rounds is typical. Each round's state
+    is only the DUP-GRAPH nodes — a small fraction of the corpus — and is
+    re-materialized per round (bounded: 16 B/node + edge list).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    pairs_mat = pairs_ds.materialize()  # pair generation runs exactly once
+    if pairs_mat.count() <= driver_cutover:
+        chunks_a, chunks_b = [], []
+        for t in pairs_mat.iter_batches(batch_format="pyarrow"):
+            chunks_a.append(t["a"].combine_chunks().to_numpy(zero_copy_only=False))
+            chunks_b.append(t["b"].combine_chunks().to_numpy(zero_copy_only=False))
+        if not chunks_a:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "cluster_id": pa.array([], pa.int64())}
+                )
+            )
+        nodes, cluster = _cc_numpy(
+            np.concatenate(chunks_a), np.concatenate(chunks_b)
+        )
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(cluster)})
+        )
+    pairs_ds = pairs_mat
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        node = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "other": pa.array(other),
+                "_bucket": pa.array(
+                    (node.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every round; size = 2 x pairs
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = t["node"].combine_chunks()
+        return pa.table({"node": n, "label": n})
+
+    labels = (
+        edges.map_batches(
+            init_labels, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = None
+    for _round in range(max_iters):
+        def label_rows(t: pa.Table) -> pa.Table:
+            node = t["node"].combine_chunks().to_numpy()
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "other": pa.nulls(len(node), pa.int64()),
+                    "label": t["label"],
+                    "_side": pa.array(np.zeros(len(node), np.int8)),
+                    "_bucket": pa.array(
+                        (node.astype(np.uint64) % np.uint64(buckets)).astype(
+                            np.int32
+                        )
+                    ),
+                }
+            )
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "other": t["other"],
+                    "label": pa.nulls(n, pa.int64()),
+                    "_side": pa.array(np.ones(n, np.int8)),
+                    "_bucket": t["_bucket"],
+                }
+            )
+
+        def propagate(group: pa.Table) -> pa.Table:
+            side = group["_side"].combine_chunks().to_numpy()
+            labs = group.filter(pa.array(side == 0))
+            eds = group.filter(pa.array(side == 1))
+            l_node = labs["node"].combine_chunks().to_numpy()
+            l_lab = labs["label"].combine_chunks().to_numpy()
+            order = np.argsort(l_node, kind="stable")
+            l_node, l_lab = l_node[order], l_lab[order]
+            outs_node = [l_node]
+            outs_lab = [l_lab]  # identity rows: a node keeps its own label
+            if eds.num_rows:
+                e_node = eds["node"].combine_chunks().to_numpy()
+                e_other = eds["other"].combine_chunks().to_numpy()
+                pos = np.searchsorted(l_node, e_node)
+                pos = np.minimum(pos, max(len(l_node) - 1, 0))
+                # every edge endpoint is a node row in the same bucket by
+                # construction; assert stays cheap and loud
+                if len(l_node) == 0 or not np.all(l_node[pos] == e_node):
+                    raise RuntimeError("label row missing for edge endpoint")
+                outs_node.append(e_other)
+                outs_lab.append(l_lab[pos])  # message: my label -> neighbor
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate(outs_node)),
+                    "label": pa.array(np.concatenate(outs_lab)),
+                }
+            )
+
+        msgs = (
+            labels.map_batches(
+                label_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                edges.map_batches(
+                    edge_rows, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("_bucket")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dup_clusters(
+    docs_ds,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hasher: Callable = stable_hash,
+):
+    """documents → (doc_id, cluster_id, keep) over exact n-gram-Jaccard
+    near-dup components: pairs (inverted index + distributed verify) →
+    connected components → canonical = min doc_id per cluster. Docs in no
+    pair are not emitted (they are their own singleton clusters)."""
+    pairs = ngram_jaccard_pairs(docs_ds, shingle_k, threshold, hasher=hasher)
+    comp = connected_components(pairs)
+
+    def add_keep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "keep", pc.equal(t["doc_id"], t["cluster_id"])
+        )
+
+    return comp.map_batches(add_keep, batch_format="pyarrow", zero_copy_batch=True)

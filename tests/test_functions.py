@@ -204,3 +204,51 @@ def test_embedding_lsh_near_dup_recall():
     exact = embedding_near_dup_pairs(ray.data.from_arrow(t), tau=0.95).to_pandas()
     expect = {(a, b) for a, b in zip(exact["a"], exact["b"])}
     assert got <= expect
+
+
+def test_connected_components_min_label(ray_session):
+    """CC over a hand-built graph: two components + an isolated edge;
+    cluster_id must be the min node id of each component."""
+    import ray.data
+    from debezium_incubator_ray.functions.dedup import connected_components
+
+    # component {1,2,3,9} via chain 9-3, 3-2, 2-1; component {5,7}; {10,11}
+    pairs = pa.table(
+        {"a": pa.array([9, 3, 2, 5, 10], pa.int64()),
+         "b": pa.array([3, 2, 1, 7, 11], pa.int64())}
+    )
+    expect = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 10: 10, 11: 10}
+    # fast path (driver union-find) and distributed min-label propagation
+    # (driver_cutover=0) must agree exactly
+    for cutover in (10_000_000, 0):
+        out = connected_components(
+            ray.data.from_arrow(pairs), driver_cutover=cutover
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == expect, (cutover, got)
+
+
+def test_near_dup_clusters_planted(ray_session):
+    """Planted duplicate group collapses to one cluster with the min id
+    canonical; unrelated docs don't appear."""
+    import ray.data
+    from debezium_incubator_ray.functions.dedup import near_dup_clusters
+
+    base = pq.read_table(os.path.join(SF, "documents.parquet")).to_pydict()
+    texts = list(base["text"][:40])
+    ids = list(range(100, 100 + len(texts)))
+    # plant: 3 near-identical copies of doc 0's text
+    dup_text = texts[0]
+    for j, did in enumerate([900, 901, 902]):
+        ids.append(did)
+        texts.append(dup_text + (" tail" * j))
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    out = near_dup_clusters(docs, threshold=0.5).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # 100 (the original) + 900/901/902 must share the cluster rooted at 100
+    for did in (100, 900, 901, 902):
+        assert got.get(did) == 100, (did, got)
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep[100] and not keep[900] and not keep[901] and not keep[902]
