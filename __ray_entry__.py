@@ -837,6 +837,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True
         ).select_columns(["doc_id", "fingerprint_md5"])
 
+    def sample_stratified(sf_dir):
+        """Deterministic per-language subsample: row kept iff
+        md5(doc_id) % 1e6 < rate[lang] * 1e6 — replayable by any engine,
+        no RNG, resumable over any shard subset."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import stratified_sample
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        out = stratified_sample(
+            docs, {"en": 0.8, "zh": 0.5, "es": 0.3}, default_rate=0.1
+        )
+        return out
+
+    def docs_quality_filter(sf_dir):
+        """Quality-gate composition: token floor + mean-token-length and
+        punctuation ceilings + language allowlist, metrics emitted with
+        the kept rows."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import quality_filter
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        out = quality_filter(
+            docs,
+            min_tokens=20,
+            max_mean_token_len=12.0,
+            max_punct_ratio=0.1,
+            langs=("en", "de", "fr", "es"),
+        )
+        return out.select_columns(
+            ["doc_id", "lang", "n_tokens", "n_chars", "mean_token_len",
+             "punct_ratio"]
+        )
+
     def ann_brute_topk(sf_dir):
         import numpy as np
         import pyarrow.parquet as pq
@@ -867,6 +906,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = lsh_topk(
             ds, qt["vec_id"].to_numpy(), Q, dim=Q.shape[1], k=5, n_planes=4,
             axis_aligned=True,
+        )
+        return out.select(["query_id", "vec_id", "rank"])
+
+    def ann_ivf_topk(sf_dir):
+        """IVF ANN: corpus assigned to nearest of 8 deterministic centroids
+        (the first 8 vectors — reproducible cross-engine; swap in k-means
+        for recall), each query probes its 3 closest centroid lists and
+        ranks those exactly."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.ann import ivf_topk, _batch_matrix
+
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = et.filter(pc.less(et["vec_id"], 10))
+        ct = et.filter(pc.less(et["vec_id"], 8)).sort_by([("vec_id", "ascending")])
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = ivf_topk(
+            ds, qt["vec_id"].to_numpy(), _batch_matrix(qt),
+            centroids=_batch_matrix(ct), k=5, nprobe=3,
         )
         return out.select(["query_id", "vec_id", "rank"])
 
@@ -944,8 +1003,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "sample_stratified": sample_stratified,
+        "docs_quality_filter": docs_quality_filter,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
     }
 
@@ -1211,6 +1273,55 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "SELECT doc_id, md5(array_to_string(string_split_regex(trim(text), "
             "'\\s+'), ' ')) AS fingerprint_md5 FROM documents"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT % 1000000 < "
+            "CASE lang WHEN 'en' THEN 800000 WHEN 'zh' THEN 500000 "
+            "WHEN 'es' THEN 300000 ELSE 100000 END"
+        ),
+        "docs_quality_filter": (
+            f"WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, "
+            f"{_TOKENS} AS n_tokens, "
+            "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct "
+            "FROM documents), "
+            "m AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_chars AS BIGINT) AS n_chars, "
+            "CASE WHEN n_tokens > 0 THEN "
+            "CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END "
+            "AS mean_token_len, "
+            "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars "
+            "ELSE 0.0 END AS punct_ratio FROM t) "
+            "SELECT * FROM m WHERE n_tokens >= 20 AND mean_token_len <= 12.0 "
+            "AND punct_ratio <= 0.1 AND lang IN ('en', 'de', 'fr', 'es')"
+        ),
+        "ann_ivf_topk": (
+            "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
+            "WHERE vec_id < 8), "
+            "a AS (SELECT e.vec_id, e.embedding, c.cid, row_number() OVER "
+            "(PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(c.embedding AS DOUBLE[])) DESC, c.cid ASC) AS rn "
+            "FROM embeddings e CROSS JOIN c), "
+            "asgn AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1), "
+            "q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "WHERE vec_id < 10), "
+            "qp AS (SELECT q.query_id, c.cid, row_number() OVER "
+            "(PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(c.embedding AS DOUBLE[])) DESC, c.cid ASC) AS rn "
+            "FROM q CROSS JOIN c), "
+            "probe AS (SELECT query_id, cid FROM qp WHERE rn <= 3), "
+            "s AS (SELECT p.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS score "
+            "FROM probe p JOIN q ON q.query_id = p.query_id "
+            "JOIN asgn e ON e.cid = p.cid), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank "
+            "FROM s) "
+            "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
         "ann_lsh_topk": (
             "WITH sig AS (SELECT vec_id, embedding, "

@@ -160,6 +160,37 @@ class HyperplaneSigner:
         return batch.append_column("lsh_bucket", pa.array(sig, type=pa.int64()))
 
 
+def _masked_topk(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int) -> pa.Table:
+    """Per-query top-k over a (nq, nb) score matrix where excluded
+    candidates are -inf; ties at the k-th cut keep the LOWER vec_id
+    (the deterministic oracle order)."""
+    rows_q, rows_v, rows_s = [], [], []
+    for qi in range(sims.shape[0]):
+        s = sims[qi]
+        cand = np.nonzero(s > -np.inf)[0]
+        if len(cand) == 0:
+            continue
+        kk = min(k, len(cand))
+        sc = s[cand]
+        kth = np.partition(sc, len(sc) - kk)[len(sc) - kk]
+        cand = cand[sc >= kth]
+        sel = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+        rows_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+        rows_v.append(ids[sel].astype(np.int64))
+        rows_s.append(s[sel])
+    if not rows_q:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "vec_id": pa.array(np.concatenate(rows_v)),
+            "score": pa.array(np.concatenate(rows_s)),
+        }
+    )
+
+
 class _BucketMatchTopK(BruteForceTopK):
     """BruteForceTopK restricted per query to corpus vectors in the SAME
     LSH bucket (sims to other buckets masked out before the top-k cut)."""
@@ -174,31 +205,7 @@ class _BucketMatchTopK(BruteForceTopK):
         buckets = batch["lsh_bucket"].to_numpy()
         sims = self.Q @ M.T
         sims = np.where(self.qsig[:, None] == buckets[None, :], sims, -np.inf)
-        rows_q, rows_v, rows_s = [], [], []
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            cand = np.nonzero(s > -np.inf)[0]
-            if len(cand) == 0:
-                continue
-            kk = min(self.k, len(cand))
-            sc = s[cand]
-            kth = np.partition(sc, len(sc) - kk)[len(sc) - kk]
-            cand = cand[sc >= kth]
-            sel = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
-            rows_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
-            rows_v.append(ids[sel].astype(np.int64))
-            rows_s.append(s[sel])
-        if not rows_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(rows_q)),
-                "vec_id": pa.array(np.concatenate(rows_v)),
-                "score": pa.array(np.concatenate(rows_s)),
-            }
-        )
+        return _masked_topk(sims, ids, self.qids, self.k)
 
 
 def lsh_topk(
@@ -235,6 +242,78 @@ def lsh_topk(
     partial = sub.map_batches(
         _BucketMatchTopK,
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "qsig": qsig, "col": col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=2,
+    )
+    return _merge_topk(partial.take_all(), k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) scale path
+
+
+class _IVFTopK(BruteForceTopK):
+    """BruteForceTopK restricted per query to corpus vectors whose nearest
+    centroid is in the query's probe set. Assignment happens inside the
+    batch (one matmul vs the broadcast centroid matrix) — the corpus is
+    never staged twice."""
+
+    def __init__(self, queries_ref, k, centroids, probes, id_col="vec_id", col="embedding"):
+        super().__init__(queries_ref, k, id_col, col)
+        self.C = _normalize(np.asarray(centroids, dtype=np.float64))
+        self.P = np.asarray(probes, dtype=bool)  # (nq, n_centroids)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_batch_matrix(batch, self.col))
+        ids = batch[self.id_col].to_numpy()
+        # nearest centroid; np.argmax keeps the FIRST max = lowest centroid
+        # index on ties (the oracle's ORDER BY cos DESC, cid ASC)
+        assign = np.argmax(M @ self.C.T, axis=1)
+        sims = self.Q @ M.T
+        sims = np.where(self.P[:, assign], sims, -np.inf)
+        return _masked_topk(sims, ids, self.qids, self.k)
+
+
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid (cosine); each query probes only its ``nprobe`` closest
+    centroids' lists and ranks those exactly.
+
+    At scale the assignment becomes the partition key (write the corpus
+    bucketed by centroid once, then a query reads nprobe partitions instead
+    of the corpus — compute drops by ~n_centroids/nprobe). Centroids are
+    caller-supplied: k-means for quality, or any deterministic pick (e.g.
+    the first K vectors) when cross-engine reproducibility matters more
+    than recall. Ties break toward the lower centroid index and lower
+    vec_id — fully deterministic."""
+    import ray
+
+    Cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    Qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qsims = Qn @ Cn.T  # (nq, nc)
+    nq, nc = qsims.shape
+    probes = np.zeros((nq, nc), dtype=bool)
+    for qi in range(nq):  # nq is small (the query set)
+        order = np.lexsort((np.arange(nc), -qsims[qi]))
+        probes[qi, order[: min(nprobe, nc)]] = True
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": query_matrix})
+    partial = ds.map_batches(
+        _IVFTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "centroids": centroids,
+            "probes": probes, "id_col": id_col, "col": col,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=4096,

@@ -1,0 +1,107 @@
+"""Corpus composition operators: deterministic stratified sampling and
+quality filtering — the "mix the training set" stage of a data pipeline.
+
+Both are pure per-batch filters (no shuffle, no state): they stream at the
+read's parallelism and are safely resumable — the sampling decision is a
+hash of the row's id, so re-running over any subset of shards reproduces
+the identical sample (no RNG, no seen-state). The reference has no
+sampling; these extend the training-data surface over the same substrate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from debezium_incubator_ray.functions.text import quality_score
+from debezium_incubator_ray.functions.tokens import md5_u64
+
+_DENOM = 1_000_000
+
+
+class StratifiedSampler:
+    """Keep each row with a per-stratum probability, deterministically:
+    row kept iff md5_u64(str(id)) % 1e6 < rate[stratum] * 1e6.
+
+    md5 over the stringified id is the cross-engine bridge hash (DuckDB:
+    ``('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 16))::UBIGINT``) —
+    any engine replays the exact same sample, which is what makes the
+    sample auditable. ``default_rate`` applies to strata not listed."""
+
+    def __init__(
+        self,
+        rates: Dict[str, float],
+        strata_col: str = "lang",
+        id_col: str = "doc_id",
+        default_rate: float = 0.0,
+    ):
+        self.rates = dict(rates)
+        self.strata_col = strata_col
+        self.id_col = id_col
+        self.default_rate = default_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].combine_chunks()
+        h = md5_u64(pc.cast(ids, pa.string())) % np.uint64(_DENOM)
+        strata = batch[self.strata_col].combine_chunks()
+        # per-stratum threshold via dictionary lookup (vectorized take)
+        de = pc.dictionary_encode(strata)
+        vocab = de.dictionary.to_pylist()
+        thresh_by_stratum = np.array(
+            [int(self.rates.get(v, self.default_rate) * _DENOM) for v in vocab],
+            dtype=np.int64,
+        )
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        thresh = thresh_by_stratum[idx]
+        return batch.filter(pa.array(h.astype(np.int64) < thresh))
+
+
+def stratified_sample(
+    ds,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+):
+    """documents → deterministic per-stratum subsample (see
+    StratifiedSampler). One streaming pass, no shuffle."""
+    return ds.map_batches(
+        StratifiedSampler(rates, strata_col, id_col, default_rate),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def quality_filter(
+    ds,
+    min_tokens: int = 0,
+    max_mean_token_len: Optional[float] = None,
+    max_punct_ratio: Optional[float] = None,
+    langs: Optional[tuple] = None,
+    text_col: str = "text",
+):
+    """Keep documents passing cheap quality gates (token count floor, mean
+    token length / punctuation ratio ceilings, language allowlist); emits
+    the metric columns alongside the kept rows. One streaming pass."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch, text_col)
+        keep = pc.greater_equal(q["n_tokens"], min_tokens)
+        if max_mean_token_len is not None:
+            keep = pc.and_(
+                keep, pc.less_equal(q["mean_token_len"], max_mean_token_len)
+            )
+        if max_punct_ratio is not None:
+            keep = pc.and_(
+                keep, pc.less_equal(q["punct_ratio"], max_punct_ratio)
+            )
+        if langs is not None:
+            keep = pc.and_(
+                keep, pc.is_in(q["lang"], value_set=pa.array(list(langs)))
+            )
+        return q.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -252,3 +252,62 @@ def test_near_dup_clusters_planted(ray_session):
         assert got.get(did) == 100, (did, got)
     keep = dict(zip(out["doc_id"], out["keep"]))
     assert keep[100] and not keep[900] and not keep[901] and not keep[902]
+
+
+def test_ivf_topk_probe_semantics(ray_session):
+    """nprobe = n_centroids makes IVF exhaustive: results must equal the
+    brute-force baseline exactly; smaller nprobe stays a subset ranking."""
+    import ray.data
+    from debezium_incubator_ray.functions.ann import (
+        brute_force_topk, ivf_topk, _batch_matrix,
+    )
+
+    et = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    qt = et.slice(0, 5)
+    ct = et.slice(0, 4)
+    Q = _batch_matrix(qt)
+    C = _batch_matrix(ct)
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    brute = brute_force_topk(ds, qt["vec_id"].to_numpy(), Q, k=3).to_pandas()
+    full = ivf_topk(
+        ds, qt["vec_id"].to_numpy(), Q, C, k=3, nprobe=4
+    ).to_pandas()
+    assert full[["query_id", "vec_id", "rank"]].equals(
+        brute[["query_id", "vec_id", "rank"]]
+    )
+    part = ivf_topk(
+        ds, qt["vec_id"].to_numpy(), Q, C, k=3, nprobe=1
+    ).to_pandas()
+    # partial probing returns <= k per query and never invents neighbors
+    # with better rank-1 scores than brute force
+    assert len(part) <= len(brute)
+    b1 = brute[brute["rank"] == 1].set_index("query_id")["score"]
+    p1 = part[part["rank"] == 1].set_index("query_id")["score"]
+    for qid, sc in p1.items():
+        assert sc <= b1[qid] + 1e-12
+
+
+def test_stratified_sample_deterministic_and_resumable(ray_session):
+    """The sample is a pure function of ids: re-running, and running over
+    an arbitrary shard subset, reproduce the identical member set."""
+    import ray.data
+    from debezium_incubator_ray.functions.sample import stratified_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    rates = {"en": 0.6, "zh": 0.2}
+    a = set(stratified_sample(docs, rates).to_pandas()["doc_id"])
+    b = set(stratified_sample(docs, rates).to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
+    # shard-subset replay: filtering first half of ids then sampling gives
+    # exactly the members of the full sample within that half
+    half = docs.filter(lambda r: r["doc_id"] < 250)
+    c = set(stratified_sample(half, rates).to_pandas()["doc_id"])
+    assert c == {i for i in a if i < 250}
+    # rate monotonicity: en kept more than zh relative to stratum sizes
+    full = docs.to_pandas()
+    kept = full[full["doc_id"].isin(a)]
+    en_rate = len(kept[kept.lang == "en"]) / max(len(full[full.lang == "en"]), 1)
+    zh_rate = len(kept[kept.lang == "zh"]) / max(len(full[full.lang == "zh"]), 1)
+    assert en_rate > zh_rate
