@@ -416,6 +416,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_incremental_snapshot(sf_dir):
+        """Watermark-based incremental snapshot over the events feed: CDC
+        capture starts late (binlog holds only lsn > H); key-ordered chunk
+        reads of the LIVE source backfill the missed state while streaming
+        continues — a second wave of segments arrives mid-backfill. Final
+        payload state must equal plain LWW over all events."""
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        maxl = int(pc.max(lsn).as_py())
+        H, H2 = maxl // 3, (2 * maxl) // 3
+        root = EC.scratch_dir("incsnap")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_env_binlog(
+            env.filter(pc.and_(pc.greater(lsn, H), pc.less_equal(lsn, H2))),
+            binlog,
+        )
+        pos = {"v": H2, "wave2": False}
+        total = EC.snapshot_source(sf_dir, H2).num_rows
+        chunk_rows = max(1, total // 4 + 1)
+
+        def chunk_source(last_key, n):
+            # DB state as of the current commit position
+            state = EC.snapshot_source(sf_dir, pos["v"]).sort_by(
+                [("user_id", "ascending")]
+            )
+            if last_key is not None:
+                state = state.filter(pc.greater(state["user_id"], last_key))
+            chunk = state.slice(0, n)
+            if not pos["wave2"]:
+                # wave 2 commits right after this read — the next drain
+                # picks it up and newer events must beat older chunk rows
+                EC.write_env_binlog(
+                    env.filter(pc.greater(lsn, H2)), binlog, append=True
+                )
+                pos["v"], pos["wave2"] = maxl, True
+            return chunk
+
+        eng = EC.make_engine(lake)
+        eng.snapshot_incremental(chunk_source, binlog, chunk_rows=chunk_rows)
+        return eng.lake_table()
+
     def cdc_latest_only(sf_dir):
         """latest-only mode (CommitLogProcessor.java:115-134): only the
         newest not-yet-applied segment per binlog partition is processed;
@@ -986,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_table": cdc_multi_table,
         "cdc_compaction": cdc_compaction,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_incremental_snapshot": cdc_incremental_snapshot,
         "cdc_latest_only": cdc_latest_only,
         "cdc_tombstone_retain": cdc_tombstone_retain,
         "type_normalization": type_normalization,
@@ -1128,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_restart_resume": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_snapshot_handoff": _LWW
+        + "SELECT user_id, ts, event_type, value, props "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_incremental_snapshot": _LWW
         + "SELECT user_id, ts, event_type, value, props "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_field_blacklist": _LWW

@@ -298,6 +298,120 @@ class CdcEngine:
         )
         return stats
 
+    def snapshot_incremental(
+        self,
+        chunk_source,
+        binlog_dir: Optional[str] = None,
+        chunk_rows: int = 100_000,
+    ) -> Dict[str, Any]:
+        """Watermark-based INCREMENTAL snapshot: key-ordered chunks of the
+        live source table are merged into the lake while streaming
+        continues — Debezium's DDD-3 read-repair backfill (signal-driven
+        incremental snapshots), re-expressed in this engine's LSN algebra.
+
+        ``chunk_source(last_key, chunk_rows)`` must behave like the source
+        database: return the CURRENT state of rows with key > last_key
+        (key-ascending, at most chunk_rows), or None/empty when exhausted.
+
+        Protocol per chunk:
+          1. drain the binlog (stream position == partition watermarks);
+          2. stamp the chunk read at read_lsn = max watermark — every event
+             committed before the read has lsn <= read_lsn, so plain LWW
+             gives Debezium's window semantics: the chunk row beats stale
+             lake rows, any later stream event beats the chunk row;
+          3. merge the chunk WITHOUT the watermark replay-filter (its LSN
+             legitimately trails lagging partitions' watermarks) and
+             WITHOUT advancing watermarks (chunks are read-repair, not
+             stream progress);
+          4. commit chunk files + the cursor (``inc_snapshot.last_key``)
+             in one atomic manifest swap — a crash resumes from the last
+             committed chunk; uncommitted chunk files stay invisible.
+
+        Like the reference's incremental snapshot, rows deleted before
+        the backfill started are repaired only if their delete event
+        streams; a chunk cannot prove absence.
+        """
+        self._acquire_lock()
+        state = dict(
+            self.manifest.doc.get("inc_snapshot")
+            or {"last_key": None, "complete": False}
+        )
+        if state.get("complete"):
+            return {"skipped": True, "chunks": 0, "rows": 0}
+        t0 = time.perf_counter()
+        key, part_mode, P = self.cfg.key, self.cfg.partitioner, self.cfg.num_partitions
+        chunks = rows = 0
+        self._snapshot_running = True
+        try:
+            while True:
+                if binlog_dir is not None:
+                    self.run(binlog_dir)
+                read_lsn = max(
+                    [e["watermark"] for e in self.manifest.doc["partitions"].values()]
+                    + [self.manifest.doc.get("snapshot_lsn", -1), 0]
+                )
+                chunk = chunk_source(state["last_key"], chunk_rows)
+                if chunk is None or chunk.num_rows == 0:
+                    self.manifest = self.manifest.commit(
+                        {},
+                        lineage=self._lineage("inc_snapshot_done", {}, rows,
+                                              time.perf_counter() - t0),
+                        extra_state={"inc_snapshot": {**state, "complete": True}},
+                    )
+                    self.flush()
+                    break
+                chunk = chunk.sort_by([(key, "ascending")])
+                target_b64 = self.manifest.doc["schemas"][-1]["schema"]
+                defaults = dict(self.manifest.doc["defaults"])
+
+                def to_events(batch: pa.Table, _lsn=read_lsn) -> pa.Table:
+                    batch = S.upgrade_table(
+                        batch, S.schema_from_b64(target_b64), defaults
+                    )
+                    n = batch.num_rows
+                    cols = {name: batch[name] for name in batch.column_names}
+                    cols["op"] = pa.array(["r"] * n, type=pa.string())
+                    cols[S.LSN] = pa.array([_lsn] * n, type=pa.int64())
+                    cols[S.PART] = pa.array(
+                        partition_ids(batch[key], P, part_mode), type=pa.int32()
+                    )
+                    return pa.table(cols)
+
+                ds = ray.data.from_arrow(chunk)
+                nb = self.cfg.shuffle_blocks or min(P, 32)
+                if chunk.num_rows >= nb * 8192:
+                    ds = ds.repartition(nb)
+                flat = ds.map_batches(
+                    to_events, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=self.cfg.read_batch_size,
+                )
+                commits = self._apply_shuffle(flat, watermark_filter=False)
+                updates = self._partition_updates(commits)
+                state = {
+                    "last_key": chunk[key][-1].as_py(),
+                    "complete": False,
+                    "read_lsn": read_lsn,
+                }
+                self.manifest = self.manifest.commit(
+                    updates,
+                    lineage=self._lineage(
+                        "inc_snapshot_chunk", updates, chunk.num_rows, 0.0
+                    ),
+                    extra_state={"inc_snapshot": state},
+                )
+                self.flush()
+                chunks += 1
+                rows += chunk.num_rows
+                self._rows_scanned[self.cfg.table] = (
+                    self._rows_scanned.get(self.cfg.table, 0) + chunk.num_rows
+                )
+        finally:
+            self._snapshot_running = False
+        return {
+            "skipped": False, "chunks": chunks, "rows": rows,
+            "seconds": time.perf_counter() - t0,
+        }
+
     # ------------------------------------------------------------------
     # streaming phase: one micro-batch epoch
     def apply_epoch(
@@ -637,11 +751,13 @@ class CdcEngine:
 
     # ------------------------------------------------------------------
     # internals
-    def _apply_shuffle(self, flat: "ray.data.Dataset") -> List[Dict]:
+    def _apply_shuffle(
+        self, flat: "ray.data.Dataset", watermark_filter: bool = True
+    ) -> List[Dict]:
         """hash-partitioned shuffle + stateful actor-pool merge; returns the
         tiny per-partition commit records (metadata only) on the driver."""
         if self.cfg.exchange == "staging":
-            return self._apply_shuffle_staging(flat)
+            return self._apply_shuffle_staging(flat, watermark_filter)
         # object-store exchange: Ray Data's sort-based groupby.
         # autoscaling actor pool (1, c): a fixed pool sized to every CPU
         # would starve the upstream read/sort tasks and deadlock the
@@ -655,6 +771,7 @@ class CdcEngine:
                 "manifest_doc": self.manifest.doc,
                 "lake_dir": self.lake_dir,
                 "target_rows_per_file": self.cfg.target_rows_per_file,
+                "watermark_filter": watermark_filter,
             },
             batch_format="pyarrow",
             num_cpus=self.cfg.apply_num_cpus,
@@ -662,7 +779,9 @@ class CdcEngine:
         )
         return applied.take_all()
 
-    def _apply_shuffle_staging(self, flat: "ray.data.Dataset") -> List[Dict]:
+    def _apply_shuffle_staging(
+        self, flat: "ray.data.Dataset", watermark_filter: bool = True
+    ) -> List[Dict]:
         """Disk-backed external shuffle (stages/exchange.py): split blocks
         into per-partition staging parquet, then one applier call per
         partition over exactly the files the writer manifests listed."""
@@ -702,6 +821,7 @@ class CdcEngine:
                 stage_dir=stage_dir,
                 files_by_partition=files_by_p,
                 target_rows_per_file=self.cfg.target_rows_per_file,
+                watermark_filter=watermark_filter,
             )
 
             def staged_one(batch: pa.Table) -> pa.Table:

@@ -78,7 +78,13 @@ def upgrade_run_table(
 
 
 class PartitionApplier:
-    def __init__(self, manifest_doc: Dict[str, Any], lake_dir: str, target_rows_per_file: int = 1_000_000):
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        target_rows_per_file: int = 1_000_000,
+        watermark_filter: bool = True,
+    ):
         self.doc = manifest_doc
         self.lake_dir = lake_dir
         self.key = manifest_doc["key"]
@@ -89,6 +95,12 @@ class PartitionApplier:
         self.next_version = manifest_doc["version"] + 1
         # tombstones=False (manifest-recorded): retain delete markers
         self.keep_tombstones = not manifest_doc.get("tombstones", True)
+        # watermark_filter=False: incremental-snapshot chunk mode — rows
+        # carry a read-position LSN that may trail the stream watermark,
+        # must still LWW-merge (chunk wins only over older lake rows), and
+        # must NOT advance the partition watermark (chunks are read-repair,
+        # not stream progress)
+        self.watermark_filter = watermark_filter
 
     # ------------------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -96,9 +108,13 @@ class PartitionApplier:
         ent = self.doc["partitions"][str(p)]
         wm = ent["watermark"]
         events_in = group.num_rows
-        lsn_max = pc.max(group[S.LSN]).as_py()
-
-        fresh = group.filter(pc.greater(group[S.LSN], wm)).drop_columns([S.PART])
+        if self.watermark_filter:
+            lsn_max = pc.max(group[S.LSN]).as_py()
+            fresh = group.filter(pc.greater(group[S.LSN], wm))
+        else:
+            lsn_max = wm  # never advance the watermark in chunk mode
+            fresh = group
+        fresh = fresh.drop_columns([S.PART])
         events = lww_reduce(fresh, self.key)  # sorted by key asc
 
         files = ent["files"]

@@ -105,10 +105,14 @@ class StagedApplier:
         stage_dir: str,
         files_by_partition: Dict[int, List[str]],
         target_rows_per_file: int = 1_000_000,
+        watermark_filter: bool = True,
     ):
         from debezium_incubator_ray.stages.apply import PartitionApplier
 
-        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.inner = PartitionApplier(
+            manifest_doc, lake_dir, target_rows_per_file,
+            watermark_filter=watermark_filter,
+        )
         self.stage_dir = stage_dir
         self.files = {int(k): v for k, v in files_by_partition.items()}
 

@@ -174,6 +174,7 @@ class Manifest:
         schema_update: Optional[Dict[str, Any]] = None,
         snapshot: Optional[Dict[str, Any]] = None,
         segments_error: Optional[Dict[str, str]] = None,
+        extra_state: Optional[Dict[str, Any]] = None,
         persist: bool = True,
     ) -> "Manifest":
         """Produce the next manifest version; atomically publish it when
@@ -203,6 +204,11 @@ class Manifest:
         if snapshot is not None:
             doc["snapshot_complete"] = snapshot.get("complete", True)
             doc["snapshot_lsn"] = snapshot.get("lsn", doc["snapshot_lsn"])
+        if extra_state:
+            # progress documents for auxiliary protocols (e.g. the
+            # incremental-snapshot chunk cursor) — committed atomically with
+            # the data they describe
+            doc.update(json.loads(json.dumps(extra_state)))
         nxt = Manifest(self.lake_dir, doc, store=self.store)
         nxt._pending_lineage = list(self._pending_lineage)
         if lineage is not None:
