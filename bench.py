@@ -205,8 +205,10 @@ def main() -> None:
         "cdc_lww_state", "cdc_changelog_counts", "agg_presum_groupby",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "text_token_count",
         "text_quality", "text_fingerprint", "text_lang_id", "ann_brute_topk",
-        "ann_lsh_topk", "type_normalization", "multimodal_meta",
-        "dedup_embedding", "windowed_agg",
+        "ann_lsh_topk", "ann_ivf_topk", "type_normalization",
+        "multimodal_meta", "dedup_embedding", "dedup_ngram_jaccard",
+        "dedup_clusters", "sample_stratified", "docs_quality_filter",
+        "windowed_agg", "cdc_incremental_snapshot", "cdc_compaction",
     ]
     for name in q_list:
         t2 = time.perf_counter()
