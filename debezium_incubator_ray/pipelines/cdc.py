@@ -137,6 +137,20 @@ class CdcEngine:
             ),
         )
         g("manifest-version", lambda: w.manifest.version)
+        g("processed-low-watermark", lambda: w.processed_low_watermark())
+
+    def processed_low_watermark(self) -> int:
+        """The MIN applied LSN across partitions — everything at or below
+        it is durably in the lake on every partition. The source may trim
+        segments whose max LSN is <= this (the reference pushes the same
+        position back to XStream so the DB can purge,
+        OracleStreamingChangeEventSource.java:92-127
+        setProcessedLowWatermark); pair with ``on_segment_done`` for
+        archive-after-apply."""
+        return min(
+            (e["watermark"] for e in self.manifest.doc["partitions"].values()),
+            default=-1,
+        )
 
     def metrics(self) -> Dict[str, Any]:
         """Live metric snapshot (the engine's "endpoint"): gauges evaluated

@@ -43,9 +43,15 @@ class Lake:
         root: str,
         prefix: str = "",
         on_segment_done: Optional[Callable[[str, bool], None]] = None,
+        namer: Optional[Callable[[str], str]] = None,
     ):
+        """``namer``: pluggable table→output-name function (the reference's
+        TableTopicNamer functional interface,
+        CassandraTopicSelector.java:43-46); the result is sanitized like a
+        topic name either way. Default: ``prefix.name``."""
         self.root = root
         self.prefix = prefix
+        self.namer = namer
         self.engines: Dict[str, CdcEngine] = {}
         self.on_segment_done = on_segment_done
         os.makedirs(root, exist_ok=True)
@@ -58,13 +64,18 @@ class Lake:
     def table_names(self):
         return sorted(self.engines)
 
+    def _safe_name(self, name: str) -> str:
+        if self.namer is not None:
+            return _SANITIZE_RE.sub("_", self.namer(name))
+        return sanitize_table_name(name, self.prefix)
+
     def create_table(
         self,
         name: str,
         payload_schema: pa.Schema,
         config: Optional[EngineConfig] = None,
     ) -> CdcEngine:
-        safe = sanitize_table_name(name, self.prefix)
+        safe = self._safe_name(name)
         if safe in self.engines:
             return self.engines[safe]
         cfg = config or EngineConfig()
@@ -76,7 +87,7 @@ class Lake:
         return eng
 
     def __getitem__(self, name: str) -> CdcEngine:
-        return self.engines[sanitize_table_name(name, self.prefix)]
+        return self.engines[self._safe_name(name)]
 
     def drop_table(self, name: str, delete_files: bool = False) -> None:
         """Schema-set reconciliation, deletion half (D3): detach a table
@@ -84,7 +95,7 @@ class Lake:
         from cluster metadata). ``delete_files=True`` also removes the lake
         directory — otherwise the data stays on disk and a later restart
         re-attaches it."""
-        safe = sanitize_table_name(name, self.prefix)
+        safe = self._safe_name(name)
         eng = self.engines.pop(safe, None)
         if eng is not None:
             eng.close()

@@ -255,3 +255,42 @@ def test_manifest_store_protocol(tmp_path):
     assert Manifest.exists(str(tmp_path / "l"), store=store)
     # versions retained for time travel
     assert store.read("v0.json") is not None and store.read("v2.json") is not None
+
+
+def test_lake_custom_namer(tmp_path, ray_session):
+    """Pluggable TableTopicNamer: output dir = sanitize(namer(table))."""
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    lake = Lake(str(tmp_path / "lake"), namer=lambda t: f"cdc.ks1.{t}!")
+    eng = lake.create_table("pages", S.pages_schema())
+    assert eng.cfg.table == "cdc.ks1.pages_"
+    assert lake["pages"] is eng
+    lake.drop_table("pages")
+    assert lake.table_names() == []
+
+
+def test_processed_low_watermark(tmp_path, ray_session):
+    """Low watermark = min over partitions; metrics expose it; segments
+    wholly below it are trimmable."""
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(
+        n_events=600, n_initial=80, seg_rows=128, num_partitions=2, seed=3
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    eng = CdcEngine(
+        str(tmp_path / "lake"), EngineConfig(num_partitions=2),
+        payload_schema=S.pages_schema(),
+    )
+    assert eng.processed_low_watermark() == -1
+    eng.run(binlog)
+    low = eng.processed_low_watermark()
+    wms = [e["watermark"] for e in eng.manifest.doc["partitions"].values()]
+    assert low == min(wms) and low > 0
+    assert eng.metrics()["processed-low-watermark"] == low

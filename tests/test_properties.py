@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the LWW kernels — the algebra the
+exactly-once contract rests on: for ANY event stream with distinct LSNs,
+  (1) lww_reduce == "argmax lsn per key" (checked against a pandas oracle);
+  (2) epoch-splitting: merging events in any chunking equals merging them
+      all at once (this is why micro-batch boundaries can't change state);
+  (3) replay idempotence: re-merging already-applied events is a no-op;
+  (4) tombstone compaction drops exactly the delete-winner keys, and
+      tombstone-retention marks them instead.
+LSN uniqueness mirrors the engine's input contract (log positions are a
+total order, SURVEY O2)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.envelope import DELETED, lww_reduce, merge_lww
+
+
+@st.composite
+def event_tables(draw, max_events=60, max_keys=12):
+    n = draw(st.integers(0, max_events))
+    keys = draw(
+        st.lists(st.integers(0, max_keys - 1), min_size=n, max_size=n)
+    )
+    ops = draw(
+        st.lists(st.sampled_from(["c", "u", "d", "r"]), min_size=n, max_size=n)
+    )
+    perm = np.random.RandomState(draw(st.integers(0, 2**31 - 1))).permutation(n)
+    lsns = (perm + 1).astype(np.int64)  # distinct, arbitrary arrival order
+    vals = draw(st.lists(st.integers(-5, 5), min_size=n, max_size=n))
+    return pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+            "op": pa.array(ops, pa.string()),
+            S.LSN: pa.array(lsns),
+        }
+    )
+
+
+def _winners_pandas(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()
+    if df.empty:
+        return df
+    return (
+        df.sort_values(S.LSN)
+        .groupby("k", as_index=False)
+        .last()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+@given(event_tables())
+@settings(max_examples=60, deadline=None)
+def test_lww_reduce_matches_pandas_argmax(t):
+    got = lww_reduce(t, "k").to_pandas().sort_values("k").reset_index(drop=True)
+    exp = _winners_pandas(t)
+    if exp.empty:
+        assert got.empty
+        return
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "op", S.LSN]], exp[["k", "v", "op", S.LSN]]
+    )
+    # output is key-sorted (the sorted-run invariant merge_lww relies on)
+    ks = got["k"].to_numpy()
+    assert (ks[1:] >= ks[:-1]).all()
+
+
+@given(event_tables(), st.integers(0, 60))
+@settings(max_examples=60, deadline=None)
+def test_epoch_splitting_invariance(t, cut):
+    """merge(merge(state, epoch1), epoch2) == merge(state, all) for every
+    split point of the LSN-ORDERED stream — micro-batch boundaries can't
+    change the final lake.
+
+    The LSN ordering is load-bearing: with an arbitrary (non-ordered)
+    split, a delete compacted in epoch 1 can be resurrected by an OLDER
+    create arriving in epoch 2 (hypothesis finds this immediately). That
+    is precisely why the engine enforces per-partition LSN monotonicity
+    across epochs — ordered segment delivery plus the watermark filter
+    (see apply_epoch's misaligned-partial-epoch guard)."""
+    t = t.sort_by([(S.LSN, "ascending")])  # the delivery contract
+    cut = min(cut, t.num_rows)
+    one_shot = merge_lww(None, lww_reduce(t, "k"), "k")
+    s1 = merge_lww(None, lww_reduce(t.slice(0, cut), "k"), "k")
+    two_step = merge_lww(s1, lww_reduce(t.slice(cut), "k"), "k")
+    assert one_shot.to_pydict() == two_step.to_pydict()
+
+
+@given(event_tables())
+@settings(max_examples=40, deadline=None)
+def test_replay_idempotence(t):
+    """Re-applying the same (already-won) events changes nothing — the
+    kernel-level half of exactly-once (the watermark filter is the other)."""
+    ev = lww_reduce(t, "k")
+    once = merge_lww(None, ev, "k")
+    twice = merge_lww(once, ev, "k")
+    assert once.to_pydict() == twice.to_pydict()
+
+
+@given(event_tables())
+@settings(max_examples=40, deadline=None)
+def test_tombstone_semantics(t):
+    exp = _winners_pandas(t)
+    dead = set(exp[exp["op"] == "d"]["k"]) if not exp.empty else set()
+    live = set(exp["k"]) - dead if not exp.empty else set()
+
+    compacted = merge_lww(None, lww_reduce(t, "k"), "k")
+    assert set(compacted["k"].to_pylist()) == live
+
+    retained = merge_lww(None, lww_reduce(t, "k"), "k", keep_tombstones=True)
+    df = retained.to_pandas()
+    assert set(df["k"]) == live | dead
+    assert set(df[df[DELETED]]["k"]) == dead
