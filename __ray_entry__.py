@@ -751,6 +751,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- training-data operators -------------------------------------------
 
+    def windowed_session_agg(sf_dir):
+        """Gap-based session windows (30-min inactivity gap per user):
+        one row per session with start/end/count/sum."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import sessionize
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "value"],
+        )
+        return sessionize(ds)
+
+    def topk_per_group(sf_dir):
+        """Top-5 events per event_type by value (ties by event_id) via the
+        partial-top-k combiner — shuffle volume is k x groups x blocks."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import topk_per_group as tk
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "event_id", "value"],
+        )
+        return tk(ds, k=5)
+
     def dedup_exact(sf_dir):
         import ray.data
         from debezium_incubator_ray.functions.dedup import exact_dedup
@@ -1038,6 +1062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_scoped_max": row_scoped_max,
         "agg_presum_groupby": agg_presum_groupby,
         "windowed_agg": windowed_agg,
+        "windowed_session_agg": windowed_session_agg,
+        "topk_per_group": topk_per_group,
         "dedup_exact": dedup_exact,
         "dedup_embedding": dedup_embedding,
         "dedup_minhash": dedup_minhash,
@@ -1287,6 +1313,25 @@ def oracle_sql() -> dict[str, str]:
         "agg_presum_groupby": (
             "SELECT event_type, round(sum(value), 3) AS total_value, "
             "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "windowed_session_agg": (
+            "WITH o AS (SELECT user_id, ts, value, "
+            "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) > 1800000000 "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events, "
+            "round(sum(value), 3) AS sum_value "
+            "FROM g GROUP BY user_id, sid"
+        ),
+        "topk_per_group": (
+            "WITH r AS (SELECT event_type, event_id, value, row_number() "
+            "OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) "
+            "AS rank FROM events) "
+            "SELECT event_type, event_id, value, rank FROM r WHERE rank <= 5"
         ),
         "windowed_agg": (
             "SELECT epoch_us(ts) // 3600000000 AS window, event_type, "

@@ -1,0 +1,135 @@
+"""Event-time grouping operators Ray Data lacks natively: gap-based
+session windows and grouped top-k.
+
+Both follow the engine's standard shuffle shape — ONE bucketed groupby
+with a vectorized numpy kernel inside map_groups; the partitioning
+assumption is hash(key), same as the lake. (Tumbling windows live in
+__ray_entry__.windowed_agg as the partial-agg pattern; sessions can't
+pre-aggregate across batch boundaries — a session may span any number of
+batches — so they co-locate per key instead.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sessionize(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_us: int = 30 * 60 * 1_000_000,
+    buckets: int = 64,
+):
+    """Gap-based sessionization: per key, consecutive events closer than
+    ``gap_us`` belong to one session. Emits one row per session:
+    (key, session_start, session_end, n_events, sum_value-rounded).
+
+    Session boundaries depend only on the per-key sorted timestamp
+    sequence, so the result is deterministic under any arrival order. The
+    whole per-bucket computation is one lexsort + boundary masks +
+    np.add.reduceat — no per-session loop."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (ids.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        s = group.take(idx)
+        k = s[key_col].combine_chunks().to_numpy()
+        ts = s[ts_col].combine_chunks().to_numpy().view(np.int64)
+        v = s[value_col].combine_chunks().to_numpy()
+        n = len(k)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        new = np.ones(n, dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n) - 1
+        counts = np.diff(np.append(starts, n))
+        sums = np.add.reduceat(v, starts)
+        return pa.table(
+            {
+                key_col: pa.array(k[starts]),
+                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts.astype(np.int64)),
+                # float sums are order-dependent; stabilize like the other
+                # aggregate oracles
+                "sum_value": pa.array(np.round(sums, 3)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def topk_per_group(
+    ds,
+    group_col: str = "event_type",
+    order_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+):
+    """Top-k rows per group by ``order_col`` DESC, ties broken by
+    ``id_col`` ASC — deterministic, rank 1-based.
+
+    Two-level: a per-batch partial top-k (only k rows per (batch, group)
+    survive — the combiner, so the shuffle carries at most
+    k x groups x blocks rows regardless of input size), then a final
+    per-group cut. Group count is assumed small-ish (it is the shuffle
+    key); for high-cardinality groups add a hash-bucket prefix exactly
+    like the dedup pair reductions."""
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (group_col, "ascending"),
+                (order_col, "descending"),
+                (id_col, "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        g = s[group_col].combine_chunks()
+        garr = g.to_numpy(zero_copy_only=False)
+        n = len(garr)
+        first = np.ones(n, dtype=bool)
+        first[1:] = garr[1:] != garr[:-1]
+        gidx = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        rank = np.arange(n) - starts[gidx]
+        return s.filter(pa.array(rank < k))
+
+    partials = ds.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        out = partial_topk(group)
+        n = out.num_rows
+        return out.append_column(
+            "rank", pa.array(np.arange(1, n + 1, dtype=np.int64))
+        )
+
+    return partials.groupby(group_col).map_groups(
+        final_topk, batch_format="pyarrow"
+    )

@@ -311,3 +311,54 @@ def test_stratified_sample_deterministic_and_resumable(ray_session):
     en_rate = len(kept[kept.lang == "en"]) / max(len(full[full.lang == "en"]), 1)
     zh_rate = len(kept[kept.lang == "zh"]) / max(len(full[full.lang == "zh"]), 1)
     assert en_rate > zh_rate
+
+
+def test_sessionize_gap_boundaries(ray_session):
+    """Exactly-gap spacing stays one session (> gap splits); multi-key."""
+    import ray.data
+    from debezium_incubator_ray.functions.windows import sessionize
+
+    GAP = 30 * 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    rows = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base + GAP, base + GAP + GAP + 1, base, base + 1],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+        }
+    )
+    out = (
+        sessionize(ray.data.from_arrow(rows))
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # user 1: events 1+2 one session (delta == gap, not >), event 3 alone
+    assert list(out["n_events"]) == [2, 1, 2]
+    assert list(out["sum_value"]) == [3.0, 4.0, 24.0]
+
+
+def test_topk_per_group_tiebreak(ray_session):
+    import ray.data
+    from debezium_incubator_ray.functions.windows import topk_per_group
+
+    rows = pa.table(
+        {
+            "event_type": pa.array(["a"] * 4 + ["b"] * 2),
+            "event_id": pa.array([4, 3, 2, 1, 10, 11], pa.int64()),
+            "value": pa.array([5.0, 5.0, 5.0, 9.0, 1.0, 1.0]),
+        }
+    )
+    out = (
+        topk_per_group(ray.data.from_arrow(rows), k=2)
+        .to_pandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    # a: 9.0 first, then the value-5 tie broken by LOWEST event_id (2)
+    assert list(out[out.event_type == "a"]["event_id"]) == [1, 2]
+    assert list(out[out.event_type == "b"]["event_id"]) == [10, 11]
+    assert list(out["rank"]) == [1, 2, 1, 2]
