@@ -775,6 +775,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tk(ds, k=5)
 
+    def asof_join_events(sf_dir):
+        """LEFT as-of join: each even-id event picks the odd-id event of
+        the same user with the greatest ts <= its ts (DuckDB ASOF JOIN is
+        the oracle)."""
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.joins import asof_join
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+
+        def side(parity):
+            def f(t):
+                m = pc.equal(pc.bit_wise_and(t["event_id"], 1), parity)
+                return t.filter(m)
+            return f
+
+        left = ev.map_batches(side(0), batch_format="pyarrow", zero_copy_batch=True)
+        right = ev.map_batches(side(1), batch_format="pyarrow", zero_copy_batch=True)
+        return asof_join(
+            left, right, "user_id", "ts",
+            left_cols=["event_id", "value"],
+            right_cols=["event_id", "value"],
+        )
+
+    def events_in_sessions(sf_dir):
+        """Point-in-interval (range) join: every event joined to the
+        session window containing it (sessions from sessionize — per-key
+        non-overlapping intervals, the operator's documented assumption)."""
+        import ray.data
+        from debezium_incubator_ray.functions.joins import interval_join
+        from debezium_incubator_ray.functions.windows import sessionize
+
+        pts = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        ivs = sessionize(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id", "ts", "value"],
+            )
+        )
+        out = interval_join(
+            pts, ivs, "user_id", "ts",
+            "session_start", "session_end", ["n_events"],
+        )
+        return out.select_columns(
+            ["event_id", "user_id", "ts", "value",
+             "session_start", "session_end", "n_events"]
+        )
+
     def dedup_exact(sf_dir):
         import ray.data
         from debezium_incubator_ray.functions.dedup import exact_dedup
@@ -1064,6 +1118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windowed_agg,
         "windowed_session_agg": windowed_session_agg,
         "topk_per_group": topk_per_group,
+        "asof_join_events": asof_join_events,
+        "events_in_sessions": events_in_sessions,
         "dedup_exact": dedup_exact,
         "dedup_embedding": dedup_embedding,
         "dedup_minhash": dedup_minhash,
@@ -1313,6 +1369,30 @@ def oracle_sql() -> dict[str, str]:
         "agg_presum_groupby": (
             "SELECT event_type, round(sum(value), 3) AS total_value, "
             "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "asof_join_events": (
+            "WITH l AS (SELECT user_id, ts, event_id, value FROM events "
+            "WHERE event_id % 2 = 0), "
+            "r AS (SELECT user_id, ts, event_id AS r_event_id, "
+            "value AS r_value FROM events WHERE event_id % 2 = 1) "
+            "SELECT l.user_id, l.ts, l.event_id, l.value, "
+            "r.r_event_id, r.r_value FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_in_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) > 1800000000 "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "s AS (SELECT user_id, sid, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events "
+            "FROM g GROUP BY user_id, sid) "
+            "SELECT g.event_id, g.user_id, g.ts, g.value, "
+            "s.session_start, s.session_end, s.n_events "
+            "FROM g JOIN s ON g.user_id = s.user_id AND g.sid = s.sid"
         ),
         "windowed_session_agg": (
             "WITH o AS (SELECT user_id, ts, value, "

@@ -1,0 +1,174 @@
+"""Temporal joins Ray Data lacks natively: as-of join and point-in-interval
+(range) join.
+
+Both use the engine's standard co-location shape: tag the two sides, union,
+ONE bucketed shuffle on hash(key), then a fully vectorized merge inside
+map_groups (lexsort + monotone accumulate / searchsorted — no per-row or
+per-key Python loop). The documented partitioning assumption is the equi
+part of the predicate (the key); the temporal part resolves sorted within
+the bucket. At 100 TB the bucket column becomes the partition key so each
+task holds one bucket's rows from each side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucketed(t: pa.Table, key_col: str, buckets: int) -> pa.Table:
+    ids = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+    b = (ids.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+    return t.append_column("_bucket", pa.array(b))
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    right_prefix: str = "r_",
+    buckets: int = 64,
+):
+    """LEFT as-of join: each left row picks the right row with the same key
+    and the greatest right.ts <= left.ts (inclusive); unmatched left rows
+    keep nulls. Right rows must be unique per (key, ts) — pre-reduce ties
+    (e.g. keep max id) if the source can violate that; with ties the pick
+    would depend on arrival order.
+
+    Kernel: sort (key, ts, side) with right before left at equal ts, then
+    one np.maximum.accumulate of right-row indices gives every left row its
+    predecessor; a per-key start bound voids matches that leak across keys.
+    """
+
+    def tag(side: int, keep: Sequence[str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                key_col: t[key_col],
+                ts_col: t[ts_col],
+                "_side": pa.array(np.full(n, side, np.int8)),
+            }
+            for c in left_cols:
+                cols["l_" + c] = t[c] if side == 1 and c in t.column_names else pa.nulls(
+                    n, left_types[c]
+                )
+            for c in right_cols:
+                cols[right_prefix + c] = (
+                    t[c] if side == 0 and c in t.column_names else pa.nulls(
+                        n, right_types[c]
+                    )
+                )
+            return _bucketed(pa.table(cols), key_col, buckets)
+
+        return f
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_types = {c: left_schema.base_schema.field(c).type for c in left_cols}
+    right_types = {c: right_schema.base_schema.field(c).type for c in right_cols}
+
+    unioned = left_ds.map_batches(
+        tag(1, left_cols), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.map_batches(
+            tag(0, right_cols), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                ("_side", "ascending"),  # right (0) before left (1) at ties
+            ],
+        )
+        s = group.take(idx)
+        k = s[key_col].combine_chunks().to_numpy()
+        side = s["_side"].combine_chunks().to_numpy()
+        n = len(k)
+        first = np.ones(n, dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(first)[0]
+        gidx = np.cumsum(first) - 1
+        r_idx = np.where(side == 0, np.arange(n), -1)
+        ff = np.maximum.accumulate(r_idx) if n else r_idx
+        valid = ff >= starts[gidx]  # no matches across key boundaries
+        lmask = side == 1
+        take = ff[lmask]
+        ok = valid[lmask]
+        take_safe = pa.array(np.where(ok, take, 0))
+        ok_pa = pa.array(ok)
+        out = {}
+        lrows = s.filter(pa.array(lmask))
+        out[key_col] = lrows[key_col]
+        out[ts_col] = lrows[ts_col]
+        for c in left_cols:
+            out[c] = lrows["l_" + c]
+        for c in right_cols:
+            col = pc.take(s[right_prefix + c].combine_chunks(), take_safe)
+            out[right_prefix + c] = pc.if_else(
+                ok_pa, col, pa.nulls(len(ok), col.type)
+            )
+        return pa.table(out)
+
+    return unioned.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def interval_join(
+    points_ds,
+    intervals_ds,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    interval_cols: Sequence[str],
+    buckets: int = 64,
+):
+    """Point-in-interval (range) join: each point row picks the interval
+    with the same key whose [start, end] contains its ts (inner join;
+    intervals per key must be NON-OVERLAPPING — e.g. session windows).
+
+    With non-overlapping intervals the containing interval is exactly the
+    most recently STARTED one, so this is the as-of join on the interval
+    start followed by a containment filter (ts <= end) — one bucketed
+    shuffle, no per-row search."""
+
+    def start_as_ts(t: pa.Table) -> pa.Table:
+        return t.append_column(ts_col, t[start_col])
+
+    right = intervals_ds.map_batches(
+        start_as_ts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    point_cols = [
+        c for c in points_ds.schema().base_schema.names
+        if c not in (key_col, ts_col)
+    ]
+    joined = asof_join(
+        points_ds,
+        right,
+        key_col,
+        ts_col,
+        left_cols=point_cols,
+        right_cols=[start_col, end_col] + list(interval_cols),
+        right_prefix="",
+        buckets=buckets,
+    )
+
+    def contained(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.is_valid(t[start_col]),
+            pc.less_equal(t[ts_col], t[end_col]),
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    return joined.map_batches(
+        contained, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -362,3 +362,36 @@ def test_topk_per_group_tiebreak(ray_session):
     assert list(out[out.event_type == "a"]["event_id"]) == [1, 2]
     assert list(out[out.event_type == "b"]["event_id"]) == [10, 11]
     assert list(out["rank"]) == [1, 2, 1, 2]
+
+
+def test_asof_join_edges(ray_session):
+    """Inclusive match at equal ts, null for no-predecessor, no key leak."""
+    import ray.data
+    from debezium_incubator_ray.functions.joins import asof_join
+
+    left = pa.table(
+        {"user_id": pa.array([1, 1, 2], pa.int64()),
+         "ts": pa.array([100, 50, 100], pa.timestamp("us")),
+         "lv": pa.array([10.0, 20.0, 30.0])}
+    )
+    right = pa.table(
+        {"user_id": pa.array([1, 1, 3], pa.int64()),
+         "ts": pa.array([100, 60, 10], pa.timestamp("us")),
+         "rv": pa.array([1.0, 2.0, 3.0])}
+    )
+    out = (
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "user_id", "ts", left_cols=["lv"], right_cols=["rv"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    # user 1 @100 -> right @100 (inclusive); user 1 @50 -> none (60 > 50);
+    # user 2 -> none (right's user 3 row must not leak across keys)
+    import math
+
+    assert list(out["lv"]) == [20.0, 10.0, 30.0]
+    assert math.isnan(out["r_rv"][0]) and out["r_rv"][1] == 1.0
+    assert math.isnan(out["r_rv"][2])
