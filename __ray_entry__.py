@@ -959,6 +959,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True
         ).select_columns(["doc_id", "fingerprint_md5"])
 
+    def text_tfidf_topterms(sf_dir):
+        """Top-3 TF-IDF terms per document (tf * ln(N/df), ties by term
+        asc): one (term, doc) shuffle for df, broadcast vocab, single
+        scoring pass."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import tfidf_top_terms
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return tfidf_top_terms(docs, k=3)
+
     def sample_stratified(sf_dir):
         """Deterministic per-language subsample: row kept iff
         md5(doc_id) % 1e6 < rate[lang] * 1e6 — replayable by any engine,
@@ -1130,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_tfidf_topterms": text_tfidf_topterms,
         "sample_stratified": sample_stratified,
         "docs_quality_filter": docs_quality_filter,
         "ann_brute_topk": ann_brute_topk,
@@ -1446,6 +1459,23 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "SELECT doc_id, md5(array_to_string(string_split_regex(trim(text), "
             "'\\s+'), ' ')) AS fingerprint_md5 FROM documents"
+        ),
+        "text_tfidf_topterms": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY term), "
+            "nn AS (SELECT count(*) AS nd FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "round(tf.tf * ln(CAST(nd AS DOUBLE) / df.df), 6) AS score "
+            "FROM tf JOIN df USING (term) CROSS JOIN nn), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS rank FROM s) "
+            "SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang, source, n_chars FROM documents "

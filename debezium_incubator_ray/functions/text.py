@@ -177,3 +177,185 @@ def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     vocab = [hashlib.md5(str(v).encode()).hexdigest() for v in de.dictionary.to_pylist()]
     fp = pc.take(pa.array(vocab, type=pa.string()), de.indices)
     return batch.append_column("fingerprint_md5", fp)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+
+
+def _flat_tokens(t: pa.Table, text_col: str = "text"):
+    """(flat token StringArray, per-doc token counts) for nonempty docs —
+    rows with empty/whitespace-only text contribute zero tokens."""
+    txt = pc.utf8_trim_whitespace(t[text_col].combine_chunks())
+    toks = pc.split_pattern_regex(txt, _WS)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pc.equal(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
+    lens = np.where(empty, 0, lens)
+    flat = toks.flatten()
+    if empty.any():
+        # flatten() keeps the [''] token of empty docs; drop those slots
+        keep = np.repeat(
+            ~empty, pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        )
+        flat = flat.filter(pa.array(keep))
+    return flat, lens
+
+
+def document_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
+                       buckets: int = 64):
+    """(term, df) over the corpus + the nonempty-doc count: distinct
+    (term, doc) rows shuffle once, bucketed by term hash."""
+    from debezium_incubator_ray.hashing import stable_hash
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t, text_col)
+        ids = np.repeat(t[id_col].to_numpy(), lens)
+        tb = pa.table({"term": flat, id_col: pa.array(ids)})
+        idx = pc.sort_indices(
+            tb, sort_keys=[("term", "ascending"), (id_col, "ascending")]
+        )
+        s = tb.take(idx)
+        tr = s["term"].combine_chunks()
+        di = s[id_col].combine_chunks().to_numpy()
+        n = len(di)
+        first = np.ones(n, dtype=bool)
+        if n:
+            same_term = pc.equal(tr.slice(1), tr.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            first[1:] = ~(same_term & (di[1:] == di[:-1]))
+        d = s.filter(pa.array(first))
+        b = (stable_hash(d["term"].combine_chunks()) % np.uint64(buckets)).astype(
+            np.int32
+        )
+        return d.append_column("_bucket", pa.array(b))
+
+    def df_in_bucket(group: pa.Table) -> pa.Table:
+        tr = group["term"].combine_chunks()
+        idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
+        tr = pc.take(tr, idx)
+        n = len(tr)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = ~pc.equal(tr.slice(1), tr.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {"term": tr.filter(pa.array(first)), "df": pa.array(counts)}
+        )
+
+    df = (
+        ds.map_batches(
+            explode_distinct, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_bucket")
+        .map_groups(df_in_bucket, batch_format="pyarrow")
+    )
+    n_docs = ds.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([int((_flat_tokens(t, text_col)[1] > 0).sum())])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sum("n")
+    return df, int(n_docs)
+
+
+class TfIdfTopK:
+    """Per-doc top-k TF-IDF terms. The (term -> df) vocabulary is the
+    broadcast small side (Zipf makes vocab sublinear in corpus size —
+    same documented assumption as exact_dedup's winner set; shard the df
+    table by term hash when vocab outgrows node memory). Each document's
+    text is one row, so tf and the top-k cut are exact within the batch —
+    no shuffle in this pass at all."""
+
+    def __init__(self, df_ref, n_docs: int, k: int,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import pandas as pd
+        import ray
+
+        df_tbl = ray.get(df_ref)
+        self.df = pd.Series(
+            df_tbl["df"].to_numpy(zero_copy_only=False),
+            index=df_tbl["term"].to_pylist(),
+        )
+        self.n = n_docs
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, lens = _flat_tokens(t, self.text_col)
+        ids = np.repeat(t[self.id_col].to_numpy(), lens)
+        tb = pa.table({"doc_id": pa.array(ids), "term": flat})
+        idx = pc.sort_indices(
+            tb, sort_keys=[("doc_id", "ascending"), ("term", "ascending")]
+        )
+        s = tb.take(idx)
+        di = s["doc_id"].combine_chunks().to_numpy()
+        tr = s["term"].combine_chunks()
+        n = len(di)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()), "score": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        first = np.ones(n, dtype=bool)
+        same_term = pc.equal(tr.slice(1), tr.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first[1:] = ~(same_term & (di[1:] == di[:-1]))
+        starts = np.nonzero(first)[0]
+        tf = np.diff(np.append(starts, n)).astype(np.int64)
+        terms = tr.take(pa.array(starts))
+        docs = di[starts]
+        dfv = self.df.reindex(pd.Index(terms.to_pylist())).to_numpy(np.float64)
+        score = np.round(tf * np.log(self.n / dfv), 6)
+        # per-doc top-k: sort (doc, -score, term) then rank within doc
+        out = pa.table(
+            {"doc_id": pa.array(docs), "term": terms,
+             "tf": pa.array(tf), "score": pa.array(score)}
+        )
+        oi = pc.sort_indices(
+            out,
+            sort_keys=[("doc_id", "ascending"), ("score", "descending"),
+                       ("term", "ascending")],
+        )
+        o = out.take(oi)
+        od = o["doc_id"].combine_chunks().to_numpy()
+        nf = np.ones(len(od), dtype=bool)
+        nf[1:] = od[1:] != od[:-1]
+        dstarts = np.nonzero(nf)[0]
+        rank = np.arange(len(od)) - dstarts[np.cumsum(nf) - 1] + 1
+        o = o.append_column("rank", pa.array(rank.astype(np.int64)))
+        return o.filter(pa.array(rank <= self.k))
+
+
+def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top-k TF-IDF terms per document: one (term, doc) shuffle for df,
+    then a broadcast single pass (see TfIdfTopK for the scale shape).
+    score = tf * ln(N / df), ties by term ascending."""
+    import ray
+
+    df, n_docs = document_frequency(ds, text_col, id_col)
+    # vocab table to the driver once (the small side), broadcast by ref
+    df_tbl = pa.concat_tables(
+        ray.get(df.to_arrow_refs()), promote_options="permissive"
+    )
+    df_ref = ray.put(df_tbl)
+    return ds.map_batches(
+        TfIdfTopK,
+        fn_constructor_kwargs={
+            "df_ref": df_ref, "n_docs": n_docs, "k": k,
+            "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
