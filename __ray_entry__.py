@@ -66,6 +66,8 @@ def entry() -> Any:
     eng.run(binlog)
     eng.manifest.doc["segments_done"] = []  # dup re-delivery: must no-op
     eng.apply_epoch(binlog)
+    eng.compact()  # lake maintenance: state-preserving run coalescing
+    eng.vacuum(keep_versions=2)  # expire superseded files, keep 1 time-travel step
     return eng.read_lake()
 
 
