@@ -1065,6 +1065,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select(["query_id", "vec_id", "rank"])
 
+    def embedding_kmeans(sf_dir):
+        """Spherical k-means (k=8, one recenter iteration, deterministic
+        init = first 8 vectors, centroids rounded to 6dp per step):
+        returns the final (vec_id, cluster) assignment."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.ann import (
+            spherical_kmeans, _batch_matrix,
+        )
+
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ct = et.filter(pc.less(et["vec_id"], 8)).sort_by([("vec_id", "ascending")])
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _C, assign = spherical_kmeans(ds, _batch_matrix(ct), iters=1)
+        return assign
+
     def multimodal_meta(sf_dir):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -1150,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "embedding_kmeans": embedding_kmeans,
         "multimodal_meta": multimodal_meta,
     }
 
@@ -1500,6 +1518,30 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS punct_ratio FROM t) "
             "SELECT * FROM m WHERE n_tokens >= 20 AND mean_token_len <= 12.0 "
             "AND punct_ratio <= 0.1 AND lang IN ('en', 'de', 'fr', 'es')"
+        ),
+        "embedding_kmeans": (
+            # one spherical-kmeans step: assign vs rounded init centroids,
+            # recenter (element-wise mean, rounded 6dp), re-assign
+            "WITH c0 AS (SELECT vec_id AS cid, "
+            "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) "
+            "AS c FROM embeddings WHERE vec_id < 8), "
+            "a1 AS (SELECT e.vec_id, e.embedding, c0.cid, row_number() OVER "
+            "(PARTITION BY e.vec_id ORDER BY list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), c0.c) DESC, c0.cid ASC) AS rn "
+            "FROM embeddings e CROSS JOIN c0), "
+            "m AS (SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1), "
+            "u AS (SELECT m.cid, t.i AS ord, "
+            "round(avg(CAST(m.embedding[t.i] AS DOUBLE)), 6) AS v "
+            "FROM m, generate_series(1, 64) AS t(i) GROUP BY m.cid, t.i), "
+            "c1 AS (SELECT cid, list(v ORDER BY ord) AS c FROM u GROUP BY cid), "
+            # empty clusters keep their c0 centroid
+            "cc AS (SELECT c0.cid, coalesce(c1.c, c0.c) AS c FROM c0 "
+            "LEFT JOIN c1 ON c0.cid = c1.cid), "
+            "a2 AS (SELECT e.vec_id, cc.cid, row_number() OVER "
+            "(PARTITION BY e.vec_id ORDER BY list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), cc.c) DESC, cc.cid ASC) AS rn "
+            "FROM embeddings e CROSS JOIN cc) "
+            "SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1"
         ),
         "ann_ivf_topk": (
             "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "

@@ -320,3 +320,84 @@ def ivf_topk(
         concurrency=2,
     )
     return _merge_topk(partial.take_all(), k)
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means (IVF centroid training)
+
+
+def spherical_kmeans(
+    ds,
+    init_centroids: np.ndarray,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Spherical k-means: assign by max cosine (ties -> lower centroid
+    index), recenter as the element-wise mean of raw member vectors.
+    Returns (centroids ndarray, assignment Dataset of (id, cluster)).
+
+    Scale shape: each iteration is ONE streaming pass — per batch: one
+    matmul vs the broadcast centroids, then per-cluster partial sums
+    (k x d floats + k counts per batch, metadata-sized); the driver
+    reduces partials and re-broadcasts. Centroids are rounded to 6
+    decimals per iteration so the trajectory is reproducible across
+    engines/summation orders (the cross-engine oracle bridge). Empty
+    clusters keep their previous centroid."""
+    import ray
+
+    C = np.round(np.asarray(init_centroids, dtype=np.float64), 6)
+    k = C.shape[0]
+
+    def partials_fn(cref):
+        def f(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            Cn = _normalize(_ray.get(cref))
+            M = _batch_matrix(t, col)
+            assign = np.argmax(_normalize(M) @ Cn.T, axis=1)
+            sums = np.zeros((k, M.shape[1]))
+            np.add.at(sums, assign, M)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(k, dtype=np.int64)),
+                    "s": pa.array(list(sums)),
+                    "n": pa.array(counts),
+                }
+            )
+
+        return f
+
+    for _ in range(iters):
+        cref = ray.put(C)
+        rows = ds.map_batches(
+            partials_fn(cref), batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # k rows per batch — metadata-sized
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[int(r["cid"])] += np.asarray(r["s"])
+            counts[int(r["cid"])] += int(r["n"])
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = np.round(sums[nz] / counts[nz, None], 6)
+
+    cref = ray.put(C)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Cn = _normalize(_ray.get(cref))
+        M = _normalize(_batch_matrix(t, col))
+        a = np.argmax(M @ Cn.T, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return C, ds.map_batches(
+        assign_fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -395,3 +395,28 @@ def test_asof_join_edges(ray_session):
     assert list(out["lv"]) == [20.0, 10.0, 30.0]
     assert math.isnan(out["r_rv"][0]) and out["r_rv"][1] == 1.0
     assert math.isnan(out["r_rv"][2])
+
+
+def test_spherical_kmeans_converges_and_assigns(ray_session):
+    """More iterations never worsen mean cosine-to-centroid; every vector
+    lands in exactly one cluster; empty clusters keep their centroid."""
+    import ray.data
+    from debezium_incubator_ray.functions.ann import (
+        spherical_kmeans, _batch_matrix, _normalize,
+    )
+
+    et = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    init = _batch_matrix(et.slice(0, 4))
+    ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"))
+
+    def mean_cos(C):
+        M = _normalize(_batch_matrix(et))
+        return float(np.max(_normalize(C) @ M.T, axis=0).mean())
+
+    C1, a1 = spherical_kmeans(ds, init, iters=1)
+    C3, a3 = spherical_kmeans(ds, init, iters=3)
+    assert mean_cos(C3) >= mean_cos(C1) - 1e-9
+    df = a3.to_pandas()
+    assert len(df) == et.num_rows
+    assert df["vec_id"].is_unique
+    assert set(df["cluster"]) <= set(range(4))
