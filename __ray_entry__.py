@@ -418,6 +418,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_changelog_diff(sf_dir):
+        """Change feed derived from two lake versions (the lake→CDC
+        inverse over time travel): stream phase 1 (lsn <= cut), pin v1,
+        stream phase 2, then changes_between(v1) — one c/u/d row per key
+        whose LWW winner differs between the versions."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        cut = int(pc.max(lsn).as_py()) // 2
+        root = EC.scratch_dir("chdiff")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_env_binlog(env.filter(pc.less_equal(lsn, cut)), binlog)
+        eng = EC.make_engine(lake)
+        eng.run(binlog)
+        v1 = eng.manifest.version
+        EC.write_env_binlog(env.filter(pc.greater(lsn, cut)), binlog, append=True)
+        eng.run(binlog)
+        out = eng.changes_between(v1).to_arrow_refs()
+        import ray as _ray
+
+        t = pa.concat_tables(_ray.get(out), promote_options="permissive")
+        i = t.schema.get_field_index(S.LSN)
+        return t.set_column(i, pa.field("lsn", pa.int64()), t[S.LSN])
+
     def cdc_incremental_snapshot(sf_dir):
         """Watermark-based incremental snapshot over the events feed: CDC
         capture starts late (binlog holds only lsn > H); key-ordered chunk
@@ -1140,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compaction": cdc_compaction,
         "cdc_time_travel": cdc_time_travel,
         "cdc_incremental_snapshot": cdc_incremental_snapshot,
+        "cdc_changelog_diff": cdc_changelog_diff,
         "cdc_latest_only": cdc_latest_only,
         "cdc_tombstone_retain": cdc_tombstone_retain,
         "type_normalization": type_normalization,
@@ -1293,6 +1322,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_snapshot": _LWW
         + "SELECT user_id, ts, event_type, value, props "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_changelog_diff": (
+            f"WITH env AS ({_ENV}), "
+            "cut AS (SELECT max(event_id) // 2 AS c FROM events), "
+            "w1 AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE lsn <= (SELECT c FROM cut)) WHERE rn = 1 AND op <> 'd'), "
+            "w2 AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env) "
+            "WHERE rn = 1 AND op <> 'd') "
+            "SELECT coalesce(w2.user_id, w1.user_id) AS user_id, "
+            "w2.ts AS ts, w2.event_type AS event_type, w2.value AS value, "
+            "w2.props AS props, coalesce(w2.lsn, w1.lsn) AS lsn, "
+            "CASE WHEN w1.user_id IS NULL THEN 'c' "
+            "WHEN w2.user_id IS NULL THEN 'd' ELSE 'u' END AS op "
+            "FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id "
+            "WHERE w1.user_id IS NULL OR w2.user_id IS NULL "
+            "OR w1.lsn <> w2.lsn"
+        ),
         "cdc_field_blacklist": _LWW
         + "SELECT user_id, ts, event_type, value, lsn "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",

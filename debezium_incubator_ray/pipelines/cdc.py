@@ -970,6 +970,101 @@ class CdcEngine:
             ds = ds.union(other)
         return ds
 
+    def changes_between(
+        self, v_old: int, v_new: Optional[int] = None
+    ) -> "ray.data.Dataset":
+        """Derive the change feed between two retained manifest versions —
+        the lake→CDC inverse (an outbox over time travel): one row per key
+        whose state differs, with op = 'c' (key absent at v_old), 'u'
+        (winner LSN changed) or 'd' (key absent at v_new). For c/u rows
+        the payload is the v_new state and ``_lsn`` its winner; for 'd'
+        rows the payload is null and ``_lsn`` is the v_old winner (the
+        version the delete removed).
+
+        Winner identity IS the LSN (LWW), so the diff never compares
+        payload bytes — only the key-sorted (key, lsn) sequences. One task
+        per partition reads both versions' runs for that partition
+        (co-located by construction — no shuffle)."""
+        m_old = self._manifest_at(v_old)
+        m_new = self._manifest_at(v_new)
+        if m_old.num_partitions != m_new.num_partitions:
+            raise ValueError("versions have different partition counts")
+        target = m_new.current_schema()
+        defaults = m_new.doc["defaults"]
+        key = self.cfg.key
+        lake_dir = self.lake_dir
+        old_files = {p: m_old.files(p) for p in range(m_old.num_partitions)}
+        new_files = {p: m_new.files(p) for p in range(m_new.num_partitions)}
+        target_b64 = S.schema_to_b64(target)
+
+        def read_version(files: List[Dict]) -> pa.Table:
+            from debezium_incubator_ray.stages.apply import upgrade_run_table
+
+            tbls = []
+            tgt = S.schema_from_b64(target_b64)
+            for f in files:  # min_key order → key-sorted concat
+                t = pq.read_table(os.path.join(lake_dir, f["path"]))
+                tbls.append(upgrade_run_table(t, tgt, defaults))
+            if not tbls:
+                t = S.upgrade_table(pa.table({}), tgt, defaults)
+                return t.append_column(S.LSN, pa.array([], pa.int64()))
+            return pa.concat_tables(tbls)
+
+        def diff_one(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            outs = []
+            for p in batch[S.PART].to_pylist():
+                old = read_version(old_files[int(p)])
+                new = read_version(new_files[int(p)])
+                ko = old[key].combine_chunks().to_numpy(zero_copy_only=False)
+                kn = new[key].combine_chunks().to_numpy(zero_copy_only=False)
+                lo = old[S.LSN].combine_chunks().to_numpy(zero_copy_only=False)
+                ln = new[S.LSN].combine_chunks().to_numpy(zero_copy_only=False)
+                # both sides key-sorted and key-unique (sorted-run invariant)
+                pos_on = np.searchsorted(kn, ko) if len(kn) else np.zeros(len(ko), np.int64)
+                pos_on = np.minimum(pos_on, max(len(kn) - 1, 0))
+                in_new = (kn[pos_on] == ko) if len(kn) else np.zeros(len(ko), bool)
+                pos_no = np.searchsorted(ko, kn) if len(ko) else np.zeros(len(kn), np.int64)
+                pos_no = np.minimum(pos_no, max(len(ko) - 1, 0))
+                in_old = (ko[pos_no] == kn) if len(ko) else np.zeros(len(kn), bool)
+
+                created = ~in_old
+                updated = in_old & (lo[pos_no] != ln) if len(ko) else in_old
+                deleted = ~in_new
+                cu = new.filter(pa.array(created | updated))
+                op_cu = np.where(created[created | updated], "c", "u")
+                cu = cu.append_column("op", pa.array(op_cu, pa.string()))
+                dd = old.filter(pa.array(deleted))
+                if dd.num_rows:
+                    null_payload = {
+                        f.name: pa.nulls(dd.num_rows, f.type)
+                        for f in target
+                        if f.name != key
+                    }
+                    d_tbl = pa.table(
+                        {
+                            key: dd[key],
+                            **null_payload,
+                            S.LSN: dd[S.LSN],
+                            "op": pa.array(["d"] * dd.num_rows),
+                        }
+                    ).select(cu.column_names)
+                    outs.append(
+                        pa.concat_tables(
+                            [cu, d_tbl], promote_options="permissive"
+                        )
+                    )
+                else:
+                    outs.append(cu)
+            return pa.concat_tables(outs) if outs else pa.table({})
+
+        items = [{S.PART: p} for p in range(m_new.num_partitions)]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        return ds.map_batches(
+            diff_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        )
+
     def lake_table(
         self, include_lsn: bool = False, version: Optional[int] = None
     ) -> pa.Table:

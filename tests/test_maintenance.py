@@ -184,3 +184,57 @@ def test_vacuum_never_removes_current_version(tmp_path):
     eng.vacuum(keep_versions=1)
     assert eng.manifest.versions()[-1] == cur
     assert Manifest.load(lake).version == cur
+
+
+def test_changes_between_versions(tmp_path):
+    """Self-diff is empty; snapshot->final diff classifies c/u/d exactly
+    (checked against the generator's two oracle states)."""
+    import numpy as np
+    import ray
+
+    spec = gen.BinlogSpec(
+        n_events=1200, n_initial=150, seg_rows=256, num_partitions=2, seed=9
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake, EngineConfig(num_partitions=2), payload_schema=S.pages_schema()
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    v_snap = eng.manifest.version
+    eng.run(binlog)
+
+    assert eng.changes_between(eng.manifest.version).count() == 0
+
+    diff = pa.concat_tables(
+        ray.get(eng.changes_between(v_snap).to_arrow_refs()),
+        promote_options="permissive",
+    )
+    old_urls = set(gen.make_pages(spec.n_initial)["url"].to_pylist())
+    new_tbl = gen.oracle_final_state(spec, ev)
+    new_lsn = dict(zip(new_tbl["url"].to_pylist(),
+                       [0] * new_tbl.num_rows))
+    new_urls = set(new_tbl["url"].to_pylist())
+    ops = dict(zip(diff["url"].to_pylist(), diff["op"].to_pylist()))
+    # every url in exactly one class, classes correct
+    exp_c = new_urls - old_urls
+    exp_d = old_urls - new_urls
+    got_c = {u for u, o in ops.items() if o == "c"}
+    got_d = {u for u, o in ops.items() if o == "d"}
+    got_u = {u for u, o in ops.items() if o == "u"}
+    assert got_c == exp_c
+    assert got_d == exp_d
+    # u = survived urls whose winner lsn moved off the snapshot lsn (0)
+    final_lsn = dict(zip(new_tbl["url"].to_pylist(),
+                         [None] * new_tbl.num_rows))
+    surv = old_urls & new_urls
+    lt = eng.lake_table(include_lsn=True)
+    lsn_by_url = dict(zip(lt["url"].to_pylist(), lt[S.LSN].to_pylist()))
+    exp_u = {u for u in surv if lsn_by_url[u] != 0}
+    assert got_u == exp_u
+    # d rows carry null payload and the old winner lsn
+    drows = diff.filter(pa.array(np.array(
+        [o == "d" for o in diff["op"].to_pylist()])))
+    assert drows["text"].null_count == drows.num_rows
