@@ -805,6 +805,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tk(ds, k=5)
 
+    def quantiles_by_type(sf_dir):
+        """Exact p50/p90/p99 of value per event_type (percentile_cont
+        semantics, linear interpolation)."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import quantiles_per_group
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return quantiles_per_group(ds)
+
     def asof_join_events(sf_dir):
         """LEFT as-of join: each even-id event picks the odd-id event of
         the same user with the greatest ts <= its ts (DuckDB ASOF JOIN is
@@ -1178,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windowed_agg,
         "windowed_session_agg": windowed_session_agg,
         "topk_per_group": topk_per_group,
+        "quantiles_by_type": quantiles_by_type,
         "asof_join_events": asof_join_events,
         "events_in_sessions": events_in_sessions,
         "dedup_exact": dedup_exact,
@@ -1449,6 +1462,14 @@ def oracle_sql() -> dict[str, str]:
         "agg_presum_groupby": (
             "SELECT event_type, round(sum(value), 3) AS total_value, "
             "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "quantiles_by_type": (
+            "WITH a AS (SELECT event_type, "
+            "quantile_cont(value, [0.5, 0.9, 0.99]) AS vs "
+            "FROM events GROUP BY event_type), "
+            "b AS (SELECT event_type, unnest([0.5, 0.9, 0.99]) AS q, "
+            "unnest(vs) AS v FROM a) "
+            "SELECT event_type, q, round(v, 6) AS value FROM b"
         ),
         "asof_join_events": (
             "WITH l AS (SELECT user_id, ts, event_id, value FROM events "

@@ -197,7 +197,10 @@ class Lake:
                         "lake_dirs": {t: e.lake_dir for t, e in engines.items()},
                         "stage_dir": stage_dir,
                         "files_by_tp": files_by_tp,
-                        "target_rows_per_file": 100_000,
+                        "target_rows_per_file": {
+                            t: e.cfg.target_rows_per_file
+                            for t, e in engines.items()
+                        },
                     },
                     batch_format="pyarrow",
                     concurrency=(1, 8),

@@ -205,12 +205,18 @@ class DemuxApplier:
         lake_dirs: Dict[str, str],
         stage_dir: str,
         files_by_tp: Dict[str, List[str]],
-        target_rows_per_file: int = 1_000_000,
+        target_rows_per_file=1_000_000,
     ):
         from debezium_incubator_ray.stages.apply import PartitionApplier
 
+        # per-table file-size targets (a dict) or one int for all
+        tgt = (
+            target_rows_per_file
+            if isinstance(target_rows_per_file, dict)
+            else {t: target_rows_per_file for t in manifest_docs}
+        )
         self.inner = {
-            t: PartitionApplier(doc, lake_dirs[t], target_rows_per_file)
+            t: PartitionApplier(doc, lake_dirs[t], tgt[t])
             for t, doc in manifest_docs.items()
         }
         self.stage_dir = stage_dir
