@@ -418,6 +418,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_point_lookup(sf_dir):
+        """Serving-path point reads: route keys to partitions, open only
+        the sorted runs whose key range can contain them. Keys 0..29 plus
+        two misses; result = those keys' LWW winners."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("lookup")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(lake)
+        eng.run(binlog)
+        out = eng.lookup(list(range(30)) + [10**9, 10**9 + 1])
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_changelog_diff(sf_dir):
         """Change feed derived from two lake versions (the lake→CDC
         inverse over time travel): stream phase 1 (lsn <= cut), pin v1,
@@ -1181,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_incremental_snapshot": cdc_incremental_snapshot,
         "cdc_changelog_diff": cdc_changelog_diff,
+        "cdc_point_lookup": cdc_point_lookup,
         "cdc_latest_only": cdc_latest_only,
         "cdc_tombstone_retain": cdc_tombstone_retain,
         "type_normalization": type_normalization,
@@ -1335,6 +1353,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_snapshot": _LWW
         + "SELECT user_id, ts, event_type, value, props "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_point_lookup": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd' "
+        "AND user_id < 30",
         "cdc_changelog_diff": (
             f"WITH env AS ({_ENV}), "
             "cut AS (SELECT max(event_id) // 2 AS c FROM events), "

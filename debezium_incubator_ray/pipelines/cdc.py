@@ -970,6 +970,44 @@ class CdcEngine:
             ds = ds.union(other)
         return ds
 
+    def lookup(self, keys, version: Optional[int] = None) -> pa.Table:
+        """Point reads: the serving path. Each key routes to its partition
+        (the lake's own hash), then only the sorted runs whose
+        [min_key, max_key] range can contain it are opened — at scale a
+        lookup touches O(keys) files, never the lake. Missing keys are
+        simply absent from the result. Driver-side by design (a lookup's
+        working set is the keys, not the data)."""
+        m = self._manifest_at(version)
+        target = m.current_schema()
+        defaults = m.doc["defaults"]
+        key = self.cfg.key
+        karr = pa.array(keys) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
+        parts = partition_ids(karr, m.num_partitions, self.cfg.partitioner)
+        from debezium_incubator_ray.stages.apply import upgrade_run_table
+
+        want_by_p: Dict[int, List[Any]] = {}
+        for k, p in zip(karr.to_pylist(), parts):
+            want_by_p.setdefault(int(p), []).append(k)
+        tbls = []
+        for p, want in want_by_p.items():
+            files = m.files(p)
+            for f in files:
+                hit = [k for k in want if f["min_key"] <= k <= f["max_key"]]
+                if not hit:
+                    continue
+                t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
+                if f.get("schema_version", 1) != m.doc["schemas"][-1]["version"]:
+                    t = upgrade_run_table(t, target, defaults)
+                t = t.filter(pc.is_in(t[key], value_set=pa.array(hit, karr.type)))
+                if t.num_rows:
+                    tbls.append(t)
+        if not tbls:
+            t = S.upgrade_table(pa.table({}), target, defaults)
+            return t.append_column(S.LSN, pa.array([], pa.int64()))
+        return pa.concat_tables(tbls, promote_options="permissive").sort_by(
+            [(key, "ascending")]
+        )
+
     def changes_between(
         self, v_old: int, v_new: Optional[int] = None
     ) -> "ray.data.Dataset":

@@ -238,3 +238,34 @@ def test_changes_between_versions(tmp_path):
     drows = diff.filter(pa.array(np.array(
         [o == "d" for o in diff["op"].to_pylist()])))
     assert drows["text"].null_count == drows.num_rows
+
+
+def test_point_lookup_prunes_runs(tmp_path, monkeypatch):
+    """lookup returns exactly the requested live keys and opens only
+    range-matching runs (counted via a read_table spy)."""
+    eng, spec, ev = _build_fragmented_lake(tmp_path, n_events=2000)
+    lt = eng.lake_table(include_lsn=True)
+    urls = lt["url"].to_pylist()
+    want = urls[:3] + ["https://nope.example/x"]
+    import pyarrow.parquet as pq_mod
+
+    calls = {"n": 0}
+    orig = pq_mod.read_table
+
+    def spy(path, *a, **kw):
+        calls["n"] += 1
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(
+        "debezium_incubator_ray.pipelines.cdc.pq.read_table", spy
+    )
+    got = eng.lookup(want)
+    total_runs = sum(len(eng.manifest.files(p)) for p in range(4))
+    assert calls["n"] < total_runs  # pruning really skipped runs
+    assert sorted(got["url"].to_pylist()) == sorted(urls[:3])
+    exp = lt.filter(
+        pc.is_in(lt["url"], value_set=pa.array(urls[:3]))
+    )
+    assert_tables_equal(got, exp, sort_by="url")
+    # empty lookup
+    assert eng.lookup(["https://nope.example/y"]).num_rows == 0
