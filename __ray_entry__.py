@@ -391,6 +391,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_mor_lww(sf_dir):
+        """Merge-on-read sink: epoch 1 lays the base runs, later epochs
+        append delta runs (no base rewrite); the read-side LWW merge must
+        equal the plain LWW oracle byte-for-byte, both through the delta
+        overlay AND after compaction folds the deltas back into the base."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        import pyarrow.compute as pc
+
+        root = EC.scratch_dir("mor")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        cut = pc.max(lsn).as_py() // 2
+        # two drains: the first lays every partition's base runs, the
+        # second appends delta runs on top (no base rewrite)
+        EC.write_env_binlog(env.filter(pc.less_equal(lsn, cut)), binlog)
+        eng = EC.make_engine(lake, sink_mode="mor")
+        eng.run(binlog)
+        EC.write_env_binlog(env.filter(pc.greater(lsn, cut)), binlog, append=True)
+        eng.run(binlog)
+        P = EC.NUM_PARTITIONS
+        n_deltas = sum(len(eng.manifest.deltas(p)) for p in range(P))
+        if n_deltas == 0:
+            raise RuntimeError("mor epochs appended no delta runs")
+        merged = eng.lake_table(include_lsn=True)  # through the delta overlay
+        eng.compact()
+        if sum(len(eng.manifest.deltas(p)) for p in range(P)) != 0:
+            raise RuntimeError("compact did not fold deltas")
+        folded = eng.lake_table(include_lsn=True)
+        if not folded.equals(merged):
+            raise RuntimeError("state changed when deltas folded into base")
+        i = merged.schema.get_field_index(S.LSN)
+        return merged.set_column(i, pa.field("lsn", pa.int64()), merged[S.LSN])
+
     def cdc_time_travel(sf_dir):
         """Time-travel read: stream phase 1 (lsn <= cut), record the
         manifest version, stream phase 2 (tail segments in the same binlog
@@ -1195,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_drop": cdc_schema_drop,
         "cdc_multi_table": cdc_multi_table,
         "cdc_compaction": cdc_compaction,
+        "cdc_mor_lww": cdc_mor_lww,
         "cdc_time_travel": cdc_time_travel,
         "cdc_incremental_snapshot": cdc_incremental_snapshot,
         "cdc_changelog_diff": cdc_changelog_diff,
@@ -1337,6 +1375,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_compaction": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_mor_lww": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_time_travel": f"WITH env AS ({_ENV}), "
         "f AS (SELECT * FROM env WHERE lsn <= (SELECT max(event_id) FROM events) // 2), "

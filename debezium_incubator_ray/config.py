@@ -90,6 +90,20 @@ class EngineConfig:
     #     behavior. Recorded in the manifest (table semantics, not a knob).
     tombstones: bool = True
 
+    # sink write mode (recorded in the manifest — table semantics, not a
+    # per-run knob):
+    #   "cow" (default): copy-on-write — every epoch rewrites the sorted
+    #     runs its keys touch. Read-optimal (a run IS the live state);
+    #     write cost O(epoch ∪ affected runs).
+    #   "mor": merge-on-read — epochs append compact key-sorted DELTA runs
+    #     (payload + _lsn + _deleted markers) and never rewrite the base;
+    #     readers LWW-merge base ⊕ deltas per partition and ``compact()``
+    #     folds deltas back into base runs. Write cost O(epoch) — the right
+    #     trade for hot partitions / high-frequency epochs at 100 TB where
+    #     CoW's rewrite amplification dominates (every epoch rewriting a
+    #     1M-row run to apply 1k events).
+    sink_mode: str = "cow"
+
     # offset-flush policy (OffsetFlushPolicy.java:19-51): when the manifest
     # CURRENT pointer is persisted to the store.
     #   "always" (default): persist every commit — tightest resume point.

@@ -67,6 +67,7 @@ class CdcEngine:
             self.cfg.num_partitions = doc["num_partitions"]
             self.cfg.partitioner = doc.get("partitioner", self.cfg.partitioner)
             self.cfg.tombstones = doc.get("tombstones", True)
+            self.cfg.sink_mode = doc.get("sink_mode", "cow")
         else:
             if payload_schema is None:
                 raise ValueError("payload_schema required to create a new lake")
@@ -85,6 +86,7 @@ class CdcEngine:
                 S.schema_to_b64(payload_schema),
                 partitioner=self.cfg.partitioner,
                 tombstones=self.cfg.tombstones,
+                sink_mode=self.cfg.sink_mode,
             )
 
         self._lock_fd: Optional[int] = None
@@ -673,9 +675,17 @@ class CdcEngine:
         files_before = 0
         for p in range(self.manifest.num_partitions):
             files = self.manifest.files(p)
-            files_before += len(files)
-            stale = any(f.get("schema_version", 1) != cur_schema_ver for f in files)
-            if files and (len(files) >= min_files or stale):
+            deltas = self.manifest.deltas(p)
+            files_before += len(files) + len(deltas)
+            stale = any(
+                f.get("schema_version", 1) != cur_schema_ver
+                for f in files + deltas
+            )
+            # merge-on-read deltas always fold (that's what compaction is
+            # FOR in mor mode — restore read-optimal base runs)
+            if (files or deltas) and (
+                len(files) >= min_files or stale or deltas
+            ):
                 todo.append(p)
         if not todo:
             return {
@@ -709,7 +719,8 @@ class CdcEngine:
             persist=True,
         )
         files_after = sum(
-            len(self.manifest.files(p)) for p in range(self.manifest.num_partitions)
+            len(self.manifest.files(p)) + len(self.manifest.deltas(p))
+            for p in range(self.manifest.num_partitions)
         )
         return {
             "partitions_compacted": len(todo),
@@ -743,6 +754,7 @@ class CdcEngine:
             doc = json.loads(raw)
             for part in doc["partitions"].values():
                 referenced.update(f["path"] for f in part["files"])
+                referenced.update(f["path"] for f in part.get("deltas", []))
         removed_files = 0
         data_root = os.path.join(self.lake_dir, "data")
         for dirpath, _dirs, names in os.walk(data_root) if os.path.isdir(data_root) else []:
@@ -886,6 +898,7 @@ class CdcEngine:
             c[S.PART]: {
                 "watermark": c["watermark"],
                 "files": json.loads(c["files_json"]),
+                "deltas": json.loads(c.get("deltas_json") or "[]"),
             }
             for c in commits
         }
@@ -933,6 +946,8 @@ class CdcEngine:
         m = self._manifest_at(version)
         target = m.current_schema()
         defaults = m.doc["defaults"]
+        if any(m.deltas(p) for p in range(m.num_partitions)):
+            return self._read_lake_merged(m, include_lsn)
         by_ver: Dict[int, List[str]] = {}
         for p in range(m.num_partitions):
             for f in m.files(p):
@@ -970,6 +985,48 @@ class CdcEngine:
             ds = ds.union(other)
         return ds
 
+    def _read_lake_merged(self, m, include_lsn: bool) -> "ray.data.Dataset":
+        """Merge-on-read scan: one task per partition LWW-merges that
+        partition's base runs ⊕ delta runs (stages/apply.py
+        read_partition_state). Parallelism = partitions, no shuffle — the
+        merge is partition-local by construction. Used whenever the manifest
+        version being read has outstanding deltas."""
+        from debezium_incubator_ray.envelope import DELETED
+        from debezium_incubator_ray.stages.apply import read_partition_state
+
+        target_b64 = S.schema_to_b64(m.current_schema())
+        defaults = dict(m.doc["defaults"])
+        schema_version = m.doc["schemas"][-1]["version"]
+        key = self.cfg.key
+        lake_dir = self.lake_dir
+        keep_tombstones = not m.doc.get("tombstones", True)
+        entries = {
+            p: m.doc["partitions"][str(p)] for p in range(m.num_partitions)
+        }
+
+        def merge_one(batch: pa.Table) -> pa.Table:
+            outs = []
+            tgt = S.schema_from_b64(target_b64)
+            for p in batch[S.PART].to_pylist():
+                t = read_partition_state(
+                    entries[int(p)], lake_dir, tgt, defaults,
+                    schema_version, key, keep_tombstones=keep_tombstones,
+                )
+                if not include_lsn and S.LSN in t.column_names:
+                    t = t.drop_columns([S.LSN])
+                outs.append(t)
+            out = pa.concat_tables(outs, promote_options="permissive")
+            # normalize column order across partitions for the union
+            names = [n for n in tgt.names if n in out.column_names]
+            names += [n for n in (S.LSN, DELETED) if n in out.column_names]
+            return out.select(names)
+
+        items = [{S.PART: p} for p in sorted(entries)]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        return ds.map_batches(
+            merge_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        )
+
     def lookup(self, keys, version: Optional[int] = None) -> pa.Table:
         """Point reads: the serving path. Each key routes to its partition
         (the lake's own hash), then only the sorted runs whose
@@ -988,9 +1045,10 @@ class CdcEngine:
         want_by_p: Dict[int, List[Any]] = {}
         for k, p in zip(karr.to_pylist(), parts):
             want_by_p.setdefault(int(p), []).append(k)
-        tbls = []
-        for p, want in want_by_p.items():
-            files = m.files(p)
+        from debezium_incubator_ray.envelope import DELETED, merge_lww
+
+        def run_hits(files: List[Dict], want) -> List[pa.Table]:
+            out = []
             for f in files:
                 hit = [k for k in want if f["min_key"] <= k <= f["max_key"]]
                 if not hit:
@@ -1000,7 +1058,33 @@ class CdcEngine:
                     t = upgrade_run_table(t, target, defaults)
                 t = t.filter(pc.is_in(t[key], value_set=pa.array(hit, karr.type)))
                 if t.num_rows:
-                    tbls.append(t)
+                    out.append(t)
+            return out
+
+        tbls = []
+        for p, want in want_by_p.items():
+            base_hits = run_hits(m.files(p), want)
+            delta_hits = run_hits(m.deltas(p), want)
+            if not delta_hits:
+                tbls.extend(base_hits)
+                continue
+            # merge-on-read point read: candidate rows from base and delta
+            # runs LWW-merge exactly like a full scan would — O(hit files)
+            base = (
+                pa.concat_tables(base_hits, promote_options="permissive")
+                if base_hits else None
+            )
+            d = pa.concat_tables(delta_hits, promote_options="permissive")
+            op = pc.if_else(
+                pc.fill_null(d[DELETED].combine_chunks(), False),
+                pa.scalar("d"), pa.scalar("r"),
+            )
+            d = d.drop_columns([DELETED]).append_column("op", op)
+            merged = merge_lww(
+                base, d, key, keep_tombstones=not m.doc.get("tombstones", True)
+            )
+            if merged.num_rows:
+                tbls.append(merged)
         if not tbls:
             t = S.upgrade_table(pa.table({}), target, defaults)
             return t.append_column(S.LSN, pa.array([], pa.int64()))
@@ -1031,30 +1115,32 @@ class CdcEngine:
         defaults = m_new.doc["defaults"]
         key = self.cfg.key
         lake_dir = self.lake_dir
-        old_files = {p: m_old.files(p) for p in range(m_old.num_partitions)}
-        new_files = {p: m_new.files(p) for p in range(m_new.num_partitions)}
+        old_ents = {
+            p: m_old.doc["partitions"][str(p)] for p in range(m_old.num_partitions)
+        }
+        new_ents = {
+            p: m_new.doc["partitions"][str(p)] for p in range(m_new.num_partitions)
+        }
         target_b64 = S.schema_to_b64(target)
 
-        def read_version(files: List[Dict]) -> pa.Table:
-            from debezium_incubator_ray.stages.apply import upgrade_run_table
+        def read_version(ent: Dict) -> pa.Table:
+            # merged live state at that version (mor deltas fold on read);
+            # forcing schema_version=-1 upgrades every run to the NEW
+            # target so both sides diff under one schema
+            from debezium_incubator_ray.stages.apply import read_partition_state
 
-            tbls = []
             tgt = S.schema_from_b64(target_b64)
-            for f in files:  # min_key order → key-sorted concat
-                t = pq.read_table(os.path.join(lake_dir, f["path"]))
-                tbls.append(upgrade_run_table(t, tgt, defaults))
-            if not tbls:
-                t = S.upgrade_table(pa.table({}), tgt, defaults)
-                return t.append_column(S.LSN, pa.array([], pa.int64()))
-            return pa.concat_tables(tbls)
+            return read_partition_state(
+                ent, lake_dir, tgt, defaults, -1, key
+            )
 
         def diff_one(batch: pa.Table) -> pa.Table:
             import numpy as np
 
             outs = []
             for p in batch[S.PART].to_pylist():
-                old = read_version(old_files[int(p)])
-                new = read_version(new_files[int(p)])
+                old = read_version(old_ents[int(p)])
+                new = read_version(new_ents[int(p)])
                 ko = old[key].combine_chunks().to_numpy(zero_copy_only=False)
                 kn = new[key].combine_chunks().to_numpy(zero_copy_only=False)
                 lo = old[S.LSN].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1111,25 +1197,28 @@ class CdcEngine:
         target = m.current_schema()
         defaults = m.doc["defaults"]
         from debezium_incubator_ray.envelope import DELETED
+        from debezium_incubator_ray.stages.apply import read_partition_state
 
+        keep_tombstones = not m.doc.get("tombstones", True)
+        schema_version = m.doc["schemas"][-1]["version"]
         tbls = []
         for p in range(m.num_partitions):
-            for f in m.files(p):
-                t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
-                side = {S.LSN: t[S.LSN]}
-                drop = [S.LSN]
-                if DELETED in t.column_names:
-                    side[DELETED] = t[DELETED]
-                    drop.append(DELETED)
-                t = S.upgrade_table(t.drop_columns(drop), target, defaults)
-                if include_lsn:
-                    t = t.append_column(S.LSN, side[S.LSN])
-                if DELETED in side:
-                    t = t.append_column(DELETED, side[DELETED])
-                tbls.append(t)
+            ent = m.doc["partitions"][str(p)]
+            if not ent["files"] and not ent.get("deltas"):
+                continue
+            t = read_partition_state(
+                ent, self.lake_dir, target, defaults, schema_version,
+                self.cfg.key, keep_tombstones=keep_tombstones,
+            )
+            if not include_lsn and S.LSN in t.column_names:
+                t = t.drop_columns([S.LSN])
+            tbls.append(t)
         if not tbls:
             return S.upgrade_table(pa.table({}), target, defaults)
-        return pa.concat_tables(tbls).sort_by([(self.cfg.key, "ascending")])
+        out = pa.concat_tables(tbls, promote_options="permissive")
+        names = [n for n in target.names if n in out.column_names]
+        names += [n for n in (S.LSN, DELETED) if n in out.column_names]
+        return out.select(names).sort_by([(self.cfg.key, "ascending")])
 
     def _pending_schema_update(self, binlog_dir: str) -> Optional[Dict[str, Any]]:
         changes = binlog_src.load_schema_changes(binlog_dir)

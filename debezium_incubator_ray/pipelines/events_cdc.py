@@ -148,6 +148,7 @@ def make_engine(
     table_include_regex=None,
     payload_schema: Optional[pa.Schema] = None,
     tombstones: bool = True,
+    sink_mode: str = "cow",
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
@@ -159,6 +160,7 @@ def make_engine(
         field_blacklist=field_blacklist,
         table_include_regex=table_include_regex,
         tombstones=tombstones,
+        sink_mode=sink_mode,
     )
     return CdcEngine(
         lake_dir, cfg, payload_schema=payload_schema or EVENTS_PAYLOAD

@@ -53,6 +53,8 @@ COMMIT_SCHEMA = pa.schema(
         # by the aligned path so the driver never touches segment footers
         pa.field("delivered", pa.int64()),
         pa.field("quarantined_json", pa.string()),
+        # merge-on-read delta runs (sink_mode="mor"; "[]" in CoW mode)
+        pa.field("deltas_json", pa.string()),
     ]
 )
 
@@ -77,6 +79,58 @@ def upgrade_run_table(
     return out
 
 
+def read_partition_state(
+    ent: Dict[str, Any],
+    lake_dir: str,
+    schema: pa.Schema,
+    defaults: Dict[str, Any],
+    schema_version: int,
+    key: str,
+    keep_tombstones: bool = False,
+) -> pa.Table:
+    """Merged LIVE state of one partition: base sorted runs ⊕ merge-on-read
+    delta runs, all lazily upgraded to ``schema``. The read half of
+    sink_mode="mor" — base rows are implicitly live, delta rows carry
+    ``_deleted`` markers and win by LSN. Output is key-sorted with ``_lsn``
+    (and ``_deleted`` when ``keep_tombstones``). With no deltas this is a
+    plain key-ordered concat of the base runs (disjoint key ranges)."""
+    from debezium_incubator_ray.envelope import DELETED
+
+    def load(files: List[Dict]) -> List[pa.Table]:
+        out = []
+        for f in files:  # base files kept sorted by min_key
+            t = pq.read_table(os.path.join(lake_dir, f["path"]))
+            if f.get("schema_version", 1) != schema_version:
+                t = upgrade_run_table(t, schema, defaults)
+            out.append(t)
+        return out
+
+    base_tbls = load(ent["files"])
+    base = pa.concat_tables(base_tbls) if base_tbls else None
+    delta_tbls = load(ent.get("deltas", []))
+    if not delta_tbls:
+        if base is None:
+            t = upgrade_table(pa.table({}), schema, defaults)
+            t = t.append_column(S.LSN, pa.array([], pa.int64()))
+            if keep_tombstones:
+                t = t.append_column(DELETED, pa.array([], pa.bool_()))
+            return t
+        # re-stamp against the target schema (field order + nullability):
+        # casts are no-ops for current-version files, so this is metadata-
+        # only — but it guarantees every caller sees one exact schema
+        return upgrade_run_table(base, schema, defaults)
+    d = pa.concat_tables(delta_tbls)
+    # delta _deleted markers re-enter the reduce as deletes; merge_lww
+    # compacts (or retains, per table tombstone semantics)
+    op = pc.if_else(
+        pc.fill_null(d[DELETED].combine_chunks(), False),
+        pa.scalar("d"), pa.scalar("r"),
+    )
+    d = d.drop_columns([DELETED]).append_column("op", op)
+    merged = merge_lww(base, d, key, keep_tombstones=keep_tombstones)
+    return upgrade_run_table(merged, schema, defaults)
+
+
 class PartitionApplier:
     def __init__(
         self,
@@ -95,6 +149,9 @@ class PartitionApplier:
         self.next_version = manifest_doc["version"] + 1
         # tombstones=False (manifest-recorded): retain delete markers
         self.keep_tombstones = not manifest_doc.get("tombstones", True)
+        # sink_mode="mor" (manifest-recorded): append delta runs instead of
+        # rewriting base runs; readers merge, compact() folds
+        self.sink_mode = manifest_doc.get("sink_mode", "cow")
         # watermark_filter=False: incremental-snapshot chunk mode — rows
         # carry a read-position LSN that may trail the stream watermark,
         # must still LWW-merge (chunk wins only over older lake rows), and
@@ -118,12 +175,34 @@ class PartitionApplier:
         events = lww_reduce(fresh, self.key)  # sorted by key asc
 
         files = ent["files"]
+        deltas = list(ent.get("deltas", []))
         new_files: List[Dict] = []
         rows_total = 0
         if events.num_rows == 0:
             # pure-duplicate delivery: watermark may still advance; files kept
-            return self._record(p, max(wm, lsn_max), events_in, 0, 0,
-                                sum(f["rows"] for f in files), files)
+            return self._record(
+                p, max(wm, lsn_max), events_in, 0, 0,
+                sum(f["rows"] for f in files + deltas), files, deltas=deltas,
+            )
+
+        if self.sink_mode == "mor" and (files or deltas):
+            # merge-on-read: append ONE key-sorted delta run (payload + _lsn
+            # + _deleted markers) — O(epoch) write cost, no base rewrite.
+            # The very first write of a partition (no files, no deltas)
+            # falls through to the base-run path below so the lake always
+            # has a compacted base to merge deltas over.
+            from debezium_incubator_ray.envelope import DELETED
+
+            dead = pc.fill_null(
+                pc.equal(events.column("op"), "d"), False
+            )
+            dtbl = events.drop_columns(["op"]).append_column(DELETED, dead)
+            deltas = deltas + self._write_run(p, dtbl, prefix="delta-")
+            rows_total = sum(f["rows"] for f in files + deltas)
+            return self._record(
+                p, max(wm, lsn_max), events_in, fresh.num_rows,
+                events.num_rows, rows_total, files, deltas=deltas,
+            )
 
         keys = events[self.key].combine_chunks()
         if not files:
@@ -177,10 +256,11 @@ class PartitionApplier:
             events.num_rows,
             rows_total,
             new_files,
+            deltas=deltas,
         )
 
     # ------------------------------------------------------------------
-    def _write_run(self, p: int, tbl: pa.Table) -> List[Dict]:
+    def _write_run(self, p: int, tbl: pa.Table, prefix: str = "") -> List[Dict]:
         out = []
         os.makedirs(os.path.join(self.lake_dir, "data", f"p={p}"), exist_ok=True)
         n = tbl.num_rows
@@ -188,7 +268,10 @@ class PartitionApplier:
             return out
         for lo in range(0, n, self.target_rows):
             chunk = tbl.slice(lo, self.target_rows)
-            name = f"data/p={p}/v{self.next_version:06d}-{uuid.uuid4().hex}.parquet"
+            name = (
+                f"data/p={p}/{prefix}v{self.next_version:06d}-"
+                f"{uuid.uuid4().hex}.parquet"
+            )
             pq.write_table(chunk, os.path.join(self.lake_dir, name))
             kcol = chunk[self.key]
             out.append(
@@ -206,14 +289,16 @@ class PartitionApplier:
         """Commit row for a partition whose epoch slice normalized to zero
         rows (e.g. fully table-filtered): watermark and files unchanged."""
         ent = self.doc["partitions"][str(p)]
+        deltas = ent.get("deltas", [])
         return self._record(
             p, ent["watermark"], 0, 0, 0,
-            sum(f["rows"] for f in ent["files"]), ent["files"],
+            sum(f["rows"] for f in ent["files"] + deltas), ent["files"],
+            deltas=deltas,
         )
 
     def _record(
         self, p, wm, ev_in, ev_applied, distinct, rows_total, files,
-        delivered: int = 0, quarantined=None,
+        delivered: int = 0, quarantined=None, deltas=None,
     ) -> pa.Table:
         return pa.Table.from_pydict(
             {
@@ -226,6 +311,7 @@ class PartitionApplier:
                 "files_json": [json.dumps(files)],
                 "delivered": [delivered],
                 "quarantined_json": [json.dumps(quarantined or {})],
+                "deltas_json": [json.dumps(deltas or [])],
             },
             schema=COMMIT_SCHEMA,
         )
@@ -347,20 +433,22 @@ class Compactor:
         outs: List[pa.Table] = []
         for p in batch[S.PART].to_pylist():
             ent = self.inner.doc["partitions"][str(p)]
-            files = ent["files"]
-            tbls = []
-            for f in files:  # files are kept sorted by min_key
-                t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
-                if f.get("schema_version", 1) != self.inner.schema_version:
-                    t = upgrade_run_table(
-                        t, self.inner.schema, self.inner.defaults
-                    )
-                tbls.append(t)
-            merged = pa.concat_tables(tbls)
+            # merge-on-read deltas fold into the base here (read-side merge
+            # once, then every future read is a plain base scan again)
+            merged = read_partition_state(
+                ent,
+                self.inner.lake_dir,
+                self.inner.schema,
+                self.inner.defaults,
+                self.inner.schema_version,
+                self.inner.key,
+                keep_tombstones=self.inner.keep_tombstones,
+            )
             new_files = self.inner._write_run(int(p), merged)
             outs.append(
                 self.inner._record(
-                    int(p), ent["watermark"], 0, 0, 0, merged.num_rows, new_files
+                    int(p), ent["watermark"], 0, 0, 0, merged.num_rows,
+                    new_files, deltas=[],
                 )
             )
         return pa.concat_tables(outs)

@@ -50,6 +50,7 @@ class Manifest:
         schema_b64: str,
         partitioner: str = "hash",
         tombstones: bool = True,
+        sink_mode: str = "cow",
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -72,6 +73,10 @@ class Manifest:
             # delete semantics for this table (see EngineConfig.tombstones):
             # True = compact deletes away; False = retain _deleted markers
             "tombstones": tombstones,
+            # sink write mode (see EngineConfig.sink_mode): "cow" rewrites
+            # touched runs per epoch; "mor" appends delta runs, readers
+            # merge, compact() folds
+            "sink_mode": sink_mode,
             "snapshot_complete": False,
             "snapshot_lsn": -1,
             "partitions": {
@@ -154,10 +159,15 @@ class Manifest:
     def files(self, p: int) -> List[Dict]:
         return self.doc["partitions"][str(p)]["files"]
 
+    def deltas(self, p: int) -> List[Dict]:
+        """Merge-on-read delta runs for a partition (empty in CoW mode)."""
+        return self.doc["partitions"][str(p)].get("deltas", [])
+
     def all_files(self) -> List[str]:
         out = []
         for p in self.doc["partitions"].values():
             out += [f["path"] for f in p["files"]]
+            out += [f["path"] for f in p.get("deltas", [])]
         return out
 
     def current_schema(self):
@@ -191,6 +201,8 @@ class Manifest:
                 ent["watermark"] = max(ent["watermark"], upd["watermark"])
             if "files" in upd:
                 ent["files"] = upd["files"]
+            if "deltas" in upd:
+                ent["deltas"] = upd["deltas"]
         if segments_done:
             done = set(doc["segments_done"])
             doc["segments_done"] = sorted(done | set(segments_done))
