@@ -1002,6 +1002,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_near_dup_pairs(ds, tau=0.4)
 
+    def _with_synth_urls(sf_dir):
+        """documents + a deterministic messy-URL column derived from doc_id
+        (the testdata has no url column; the SAME expression is embedded in
+        the DuckDB oracle so both sides canonicalize identical inputs)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        def add_urls(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy()
+            scheme = np.array(["http://", "https://", "HTTPS://"])[ids % 3]
+            www = np.where(ids % 2 == 0, "www.", "")
+            sub = np.where(ids % 5 == 0, "news.", "")
+            tail = np.array(
+                ["?utm_source=feed&q=1", "?q=1&utm_campaign=x", "#sec2", "/"]
+            )[ids % 4]
+            host = np.char.add(
+                np.char.add("Host", (ids % 23).astype(str)), ".COM/p/"
+            )
+            url = np.char.add(
+                np.char.add(np.char.add(np.char.add(scheme, www), sub), host),
+                np.char.add(ids.astype(str), tail),
+            )
+            return t.append_column("url", pa.array(url.tolist(), pa.string()))
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return ds.map_batches(add_urls, batch_format="pyarrow", zero_copy_batch=True)
+
+    def url_canonicalize(sf_dir):
+        """Vectorized URL canonicalization + registered-domain extraction
+        (functions/web.py) over synthesized crawl-style URLs — fragment,
+        scheme, host-case, www., utm_* params and trailing slashes all
+        normalize; the DuckDB oracle applies the identical RE2 passes."""
+        from debezium_incubator_ray.functions.web import UrlCanonicalizer
+
+        return _with_synth_urls(sf_dir).map_batches(
+            lambda t: UrlCanonicalizer()(t).select(
+                ["doc_id", "url_canon", "domain"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def url_domain_stats(sf_dir):
+        """Per-registered-domain rollup (docs + chars) after
+        canonicalization — the politeness/quota primitive of a crawl
+        pipeline. Partial-aggregate shape: canonicalize inside map_batches,
+        then a small groupby over ~23 domains."""
+        from ray.data.aggregate import Count, Sum
+
+        from debezium_incubator_ray.functions.web import UrlCanonicalizer
+
+        ds = _with_synth_urls(sf_dir).map_batches(
+            lambda t: UrlCanonicalizer()(t).select(["domain", "n_chars"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return ds.groupby("domain").aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="chars_total")
+        )
+
     def text_token_count(sf_dir):
         import ray.data
         from debezium_incubator_ray.functions.text import token_count
@@ -1255,6 +1319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "url_canonicalize": url_canonicalize,
+        "url_domain_stats": url_domain_stats,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -1289,6 +1355,35 @@ _LWW = (
 _TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE length(string_split_regex(trim(text), '\\s+')) END"
+)
+
+# synthesized messy URL per doc_id + the SAME canonicalization passes as
+# functions/web.py (_CANON_STEPS order; RE2 both sides). Synthesis puts at
+# most one utm_* param per URL, so single-pass 'g' replaces are exact.
+_URL_CANON = (
+    "WITH raw AS (SELECT doc_id, n_chars, "
+    "CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://' "
+    "ELSE 'HTTPS://' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'news.' ELSE '' END || "
+    "'Host' || (doc_id % 23) || '.COM/p/' || doc_id || "
+    "CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&q=1' "
+    "WHEN 1 THEN '?q=1&utm_campaign=x' WHEN 2 THEN '#sec2' ELSE '/' END "
+    "AS url FROM documents), "
+    "s1 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace(url, "
+    "'#.*$', '', 'g'), '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') AS u FROM raw), "
+    "s2 AS (SELECT doc_id, n_chars, "
+    "regexp_replace(lower(regexp_extract(u, '^([^/?#]*)', 1)), "
+    "'^www\\.', '', 'g') || substr(u, "
+    "length(regexp_extract(u, '^([^/?#]*)', 1)) + 1) AS u FROM s1), "
+    "s3 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(u, '\\?utm_[^&#]*&', '?', 'g'), "
+    "'&utm_[^&#]*', '', 'g'), '\\?utm_[^&#]*$', '', 'g'), "
+    "'/+$', '', 'g') AS url_canon FROM s2), "
+    "canon AS (SELECT doc_id, n_chars, url_canon, "
+    "coalesce(nullif(regexp_extract(regexp_extract(url_canon, "
+    "'^([^/?#]*)', 1), '([^.]+\\.[^.]+)$', 1), ''), "
+    "regexp_extract(url_canon, '^([^/?#]*)', 1)) AS domain FROM s3) "
 )
 
 
@@ -1713,6 +1808,12 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
+        "url_canonicalize": _URL_CANON
+        + "SELECT doc_id, url_canon, domain FROM canon",
+        "url_domain_stats": _URL_CANON
+        + "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_total "
+        "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
         ),

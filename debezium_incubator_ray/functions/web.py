@@ -1,0 +1,85 @@
+"""Web/URL operators for Common-Crawl-style page tables.
+
+The north-star payload is web pages keyed by url (BASELINE.json input_hint);
+dedup, grouping and politeness all start from a CANONICAL url and its
+registered domain. These kernels are pure ``pyarrow.compute`` regex/string
+passes (RE2 — the same engine DuckDB's ``regexp_replace`` uses, so the SQL
+oracles express the identical transform): zero-copy Arrow in, Arrow out,
+no per-row Python. At 100 TB this runs as a plain ``map_batches`` stage —
+stateless, embarrassingly parallel, no shuffle.
+
+Canonicalization rules (one common subset of the crawl-dedup folklore):
+  1. drop the #fragment;
+  2. drop the scheme (http/https/anything RFC-3986-shaped);
+  3. lowercase the host, strip one leading "www.";
+  4. drop utm_* tracking params (tidying the ?/& separators);
+  5. strip trailing slashes.
+
+``registered_domain`` is the last two dot-labels of the canonical host — a
+deliberate simplification (no public-suffix list in this environment; a real
+deployment swaps in publicsuffix2 data, same vectorized shape).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# applied IN ORDER; each entry is (pattern, replacement). Mirrored verbatim
+# by the DuckDB oracle SQL in __ray_entry__.oracle_sql().
+_CANON_STEPS = [
+    (r"#.*$", ""),                       # 1. fragment
+    (r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),  # 2. scheme
+    # 4. utm_* params — at most one per URL handled per pass; three forms:
+    #    leading (?utm=..&rest → ?rest), trailing (&utm=..$ → ""),
+    #    solitary (?utm=..$ → "")
+    (r"\?utm_[^&#]*&", "?"),
+    (r"&utm_[^&#]*", ""),
+    (r"\?utm_[^&#]*$", ""),
+    (r"/+$", ""),                        # 5. trailing slash(es)
+]
+
+
+def canonicalize_urls(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization (rules above). ~6 RE2 passes +
+    one host-lowercase rebuild over the whole column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    s = arr
+    # fragment + scheme first so the host really is the leading run
+    for pat, repl in _CANON_STEPS[:2]:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    # 3. lowercase host, strip one leading www. — split at the first /?#
+    parts = pc.extract_regex(s, r"^(?P<host>[^/?#]*)(?P<rest>.*)$")
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
+    s = pc.binary_join_element_wise(host, pc.struct_field(parts, "rest"), "")
+    for pat, repl in _CANON_STEPS[2:]:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return s
+
+
+def registered_domain(canon: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Registered domain of an already-canonical URL: last two dot-labels
+    of the host part (see module docstring for the public-suffix caveat)."""
+    arr = canon.combine_chunks() if isinstance(canon, pa.ChunkedArray) else canon
+    host = pc.struct_field(
+        pc.extract_regex(arr, r"^(?P<host>[^/?#]*)"), "host"
+    )
+    dom = pc.extract_regex(host, r"(?P<dom>[^.]+\.[^.]+)$")
+    # hosts with a single label (localhost, bare IP piece) fall back to host
+    return pc.coalesce(pc.struct_field(dom, "dom"), host)
+
+
+class UrlCanonicalizer:
+    """map_batches stage: adds url_canon + domain columns to a batch with a
+    ``url`` column. Stateless — a plain function would do; the class form
+    keeps the signature uniform with the other stages (and leaves room for
+    a compiled public-suffix trie in __init__ at deployment)."""
+
+    def __init__(self, url_col: str = "url"):
+        self.url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(batch[self.url_col])
+        batch = batch.append_column("url_canon", canon)
+        return batch.append_column("domain", registered_domain(canon))

@@ -1,0 +1,50 @@
+"""Golden tests for the URL canonicalization / domain kernels
+(functions/web.py) — crawl-dedup folklore cases."""
+
+import pyarrow as pa
+
+from debezium_incubator_ray.functions.web import (
+    UrlCanonicalizer,
+    canonicalize_urls,
+    registered_domain,
+)
+
+
+def test_canonicalize_golden():
+    cases = {
+        "https://www.Example.COM/Path/": "example.com/Path",
+        "HTTP://News.Site.org/a#frag": "news.site.org/a",
+        "http://example.com/p?utm_source=x&q=1": "example.com/p?q=1",
+        "http://example.com/p?q=1&utm_campaign=y": "example.com/p?q=1",
+        "http://example.com/p?utm_medium=z": "example.com/p",
+        "example.com//": "example.com",          # scheme-less input
+        "https://example.com": "example.com",
+        "http://wwwx.example.com/": "wwwx.example.com",  # only exact www.
+        "https://example.com/CaseKept/Q?x=1": "example.com/CaseKept/Q?x=1",
+    }
+    got = canonicalize_urls(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_registered_domain():
+    canon = pa.array(
+        [
+            "news.site.org/a",
+            "a.b.c.example.com/x?q=1",
+            "example.com",
+            "localhost/admin",
+        ]
+    )
+    assert registered_domain(canon).to_pylist() == [
+        "site.org",
+        "example.com",
+        "example.com",
+        "localhost",  # single-label fallback
+    ]
+
+
+def test_stage_adds_columns():
+    t = pa.table({"url": ["https://www.A.com/x/", "http://b.org/y#z"]})
+    out = UrlCanonicalizer()(t)
+    assert out["url_canon"].to_pylist() == ["a.com/x", "b.org/y"]
+    assert out["domain"].to_pylist() == ["a.com", "b.org"]
