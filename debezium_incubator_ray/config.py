@@ -104,6 +104,13 @@ class EngineConfig:
     #     1M-row run to apply 1k events).
     sink_mode: str = "cow"
 
+    # MoR auto-compaction: after an epoch commit, fold any partition whose
+    # outstanding delta-run count reached this threshold back into its base
+    # runs. Bounds read amplification (every scan merges at most N-1 deltas
+    # per partition) without hand-scheduled compaction. None = manual
+    # compact() only. Ignored in CoW mode.
+    mor_compact_deltas: Optional[int] = None
+
     # offset-flush policy (OffsetFlushPolicy.java:19-51): when the manifest
     # CURRENT pointer is persisted to the store.
     #   "always" (default): persist every commit — tightest resume point.

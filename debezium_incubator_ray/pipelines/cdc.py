@@ -545,6 +545,7 @@ class CdcEngine:
         applied_now = [s for s in segs if s not in quarantined]
         if applied_now:
             self._last_segment = applied_now[-1]
+        folded = self._maybe_auto_compact()
         return {
             "segments": len(segs),
             "events": events,
@@ -552,6 +553,7 @@ class CdcEngine:
             "seconds": time.perf_counter() - t0,
             "quarantined": len(quarantined),
             "aligned": aligned,
+            "compacted": folded,
         }
 
     def _norm_kwargs(self) -> Dict[str, Any]:
@@ -694,6 +696,21 @@ class CdcEngine:
                 "files_after": files_before,
                 "seconds": time.perf_counter() - t0,
             }
+        self._compact_partitions(todo, t0)
+        files_after = sum(
+            len(self.manifest.files(p)) + len(self.manifest.deltas(p))
+            for p in range(self.manifest.num_partitions)
+        )
+        return {
+            "partitions_compacted": len(todo),
+            "files_before": files_before,
+            "files_after": files_after,
+            "seconds": time.perf_counter() - t0,
+        }
+
+    def _compact_partitions(self, todo: List[int], t0: float) -> None:
+        """Run the Compactor over ``todo`` partitions and commit the new
+        run lists (one atomic manifest swap, watermarks unchanged)."""
         from debezium_incubator_ray.stages.apply import Compactor
 
         items = [{S.PART: p} for p in todo]
@@ -718,16 +735,24 @@ class CdcEngine:
             ),
             persist=True,
         )
-        files_after = sum(
-            len(self.manifest.files(p)) + len(self.manifest.deltas(p))
+
+    def _maybe_auto_compact(self) -> int:
+        """MoR auto-compaction: fold partitions whose outstanding delta-run
+        count reached ``cfg.mor_compact_deltas``. Called after each epoch
+        commit — bounds read amplification to O(threshold) delta merges per
+        scan without the operator scheduling compactions by hand. Returns
+        the number of partitions folded."""
+        thr = self.cfg.mor_compact_deltas
+        if self.cfg.sink_mode != "mor" or not thr:
+            return 0
+        todo = [
+            p
             for p in range(self.manifest.num_partitions)
-        )
-        return {
-            "partitions_compacted": len(todo),
-            "files_before": files_before,
-            "files_after": files_after,
-            "seconds": time.perf_counter() - t0,
-        }
+            if len(self.manifest.deltas(p)) >= thr
+        ]
+        if todo:
+            self._compact_partitions(todo, time.perf_counter())
+        return len(todo)
 
     def vacuum(self, keep_versions: int = 1) -> Dict[str, int]:
         """Expire time-travel history: keep only the newest

@@ -150,6 +150,44 @@ def test_mor_changes_between_versions(world, tmp_path):  # noqa: F811
             assert final[url] == lsn
 
 
+def test_mor_schema_evolution_mid_stream(tmp_path):
+    """add_column lands mid-stream: pre-change deltas hold the old payload
+    schema, post-change deltas the new one; the read-side merge (and a
+    compaction fold) must upgrade lazily and match the oracle."""
+    spec = gen.BinlogSpec(
+        n_events=500, n_initial=100, seg_rows=80, num_partitions=4, seed=21,
+        schema_changes=[
+            S.SchemaChange("add_column", "fetch_status", "int32", 200, at_lsn=250)
+        ],
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    cfg = _mor_cfg(spec)
+    eng = CdcEngine(str(tmp_path / "mor"), cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    oracle = gen.oracle_final_state(spec, ev)
+    got = eng.lake_table()
+    assert got.schema.field("fetch_status").type == pa.int32()
+    assert_tables_equal(got, oracle, sort_by="url")
+    eng.compact()
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+
+
+def test_mor_auto_compaction(world, tmp_path):  # noqa: F811
+    spec, ev, binlog, lake = world
+    cfg = _mor_cfg(spec, mor_compact_deltas=1)  # fold after every epoch
+    eng = _drive(str(tmp_path / "mor"), cfg, spec, binlog)
+    # every epoch's deltas were folded right back into the base
+    assert all(
+        not eng.manifest.deltas(p) for p in range(eng.manifest.num_partitions)
+    )
+    assert_tables_equal(
+        eng.lake_table(), gen.oracle_final_state(spec, ev), sort_by="url"
+    )
+
+
 def test_mor_tombstone_retention(world, tmp_path):  # noqa: F811
     spec, ev, binlog, lake = world
     cfgm = _mor_cfg(spec, tombstones=False)
