@@ -1002,6 +1002,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_near_dup_pairs(ds, tau=0.4)
 
+    def cdc_incremental_agg(sf_dir):
+        """Incremental view maintenance: maintain SUM(value)/COUNT per
+        event_type by folding each change event's +after/-before delta —
+        no lake rescan, no per-key state, no ordering requirement. Oracle:
+        the same aggregate recomputed from the stream's LWW final state."""
+        import ray.data
+
+        from debezium_incubator_ray.functions.incremental import (
+            incremental_groupby_agg,
+        )
+        from debezium_incubator_ray.pipelines.events_cdc import events_envelopes
+
+        env = events_envelopes(sf_dir, delete_aware=True)
+        ds = ray.data.from_arrow(env)
+        return incremental_groupby_agg(ds, "event_type", "value")
+
     def _with_synth_urls(sf_dir):
         """documents + a deterministic messy-URL column derived from doc_id
         (the testdata has no url column; the SAME expression is embedded in
@@ -1319,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_incremental_agg": cdc_incremental_agg,
         "url_canonicalize": url_canonicalize,
         "url_domain_stats": url_domain_stats,
         "text_token_count": text_token_count,
@@ -1808,6 +1825,10 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
+        "cdc_incremental_agg": _LWW
+        + "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "sum(value) AS total FROM ranked WHERE rn = 1 AND op <> 'd' "
+        "GROUP BY event_type",
         "url_canonicalize": _URL_CANON
         + "SELECT doc_id, url_canon, domain FROM canon",
         "url_domain_stats": _URL_CANON

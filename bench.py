@@ -211,7 +211,9 @@ def main() -> None:
         "docs_quality_filter", "text_tfidf_topterms", "windowed_agg",
         "windowed_session_agg", "topk_per_group", "quantiles_by_type",
         "asof_join_events", "cdc_incremental_snapshot", "cdc_compaction",
-        "cdc_point_lookup",
+        "cdc_point_lookup", "cdc_mor_lww", "cdc_incremental_agg",
+        "url_canonicalize",
+        "url_domain_stats",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -58,9 +58,17 @@ def load_events(sf_dir: str) -> pa.Table:
 
 
 def events_envelopes(
-    sf_dir: str, table_name_by_parity: bool = False
+    sf_dir: str, table_name_by_parity: bool = False,
+    delete_aware: bool = False,
 ) -> pa.Table:
-    """events rows → envelope table (op/before/after/source/ts_ms)."""
+    """events rows → envelope table (op/before/after/source/ts_ms).
+
+    ``delete_aware=True`` applies Debezium's real before-image semantics
+    around deletes: the event AFTER a delete re-creates the row, so it is
+    op='c' with a NULL before (the deleted payload never leaks into the
+    next before image). Required by consumers that fold +after/-before
+    contributions (incremental view maintenance); the default (plain
+    SQL-lag befores) matches the cdc_before_images oracle."""
     t = load_events(sf_dir)
     eid = t["event_id"].to_numpy()
     uid = t["user_id"].to_numpy()
@@ -80,6 +88,16 @@ def events_envelopes(
     prev_idx = np.full(len(eid), -1, dtype=np.int64)
     prev_idx[order[1:]] = np.where(uid[order[1:]] == uid[order[:-1]], order[:-1], -1)
     has_prev = prev_idx >= 0
+    if delete_aware:
+        # a CONSISTENT Debezium stream: op reflects true prior existence
+        # (create only when no live prior row, update always carries the
+        # real before, the deleted payload never leaks into the next
+        # before). The default mod-based labels break all three (a 'c' can
+        # land on a live row with its before masked), which is fine for
+        # LWW upserts but corrupts +after/-before delta consumers.
+        prev_was_d = has_prev & (mod[np.maximum(prev_idx, 0)] == 0)
+        has_prev = has_prev & ~prev_was_d
+        op_np = np.where(mod == 0, "d", np.where(has_prev, "u", "c"))
     take_idx = pa.array(np.where(has_prev, prev_idx, 0))
     before = after.take(take_idx)
     # rows without a previous event get a null before via the op mask below;

@@ -1,0 +1,77 @@
+"""Incremental view maintenance (functions/incremental.py): +after/-before
+deltas telescope to the LWW final state's GROUP BY."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from debezium_incubator_ray.envelope import build_envelopes, lww_reduce
+from debezium_incubator_ray.functions.incremental import (
+    agg_contributions,
+    incremental_groupby_agg,
+)
+
+
+def _env():
+    # key 1: c(g=a,1) → u(g=a→b, 2) → d        : gone
+    # key 2: c(g=a,10) → u(g=a,20)             : live in a, 20
+    # key 3: c(g=b,5)                          : live in b, 5
+    # key 4: c(g=b,7) → d → c(g=a,9)           : live in a, 9
+    rows = [
+        # (key, op, group, value, before_group, before_value, lsn)
+        (1, "c", "a", 1.0, None, None, 1),
+        (2, "c", "a", 10.0, None, None, 2),
+        (3, "c", "b", 5.0, None, None, 3),
+        (4, "c", "b", 7.0, None, None, 4),
+        (1, "u", "b", 2.0, "a", 1.0, 5),
+        (2, "u", "a", 20.0, "a", 10.0, 6),
+        (1, "d", None, None, "b", 2.0, 7),
+        (4, "d", None, None, "b", 7.0, 8),
+        (4, "c", "a", 9.0, None, None, 9),
+    ]
+    after = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "g": pa.array([r[2] for r in rows], pa.string()),
+            "v": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    before = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "g": pa.array([r[4] for r in rows], pa.string()),
+            "v": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+    env = build_envelopes(
+        pa.array([r[1] for r in rows], pa.string()),
+        after,
+        before,
+        np.zeros(len(rows), dtype=np.int32),
+        np.array([r[6] for r in rows], dtype=np.int64),
+        table="t",
+    )
+    return env
+
+
+def test_contributions_kernel():
+    c = agg_contributions(_env(), "g", "v")
+    # afters: 7 non-null images (+1 each); befores: 4 (-1 each) → 3 live rows
+    assert pc.sum(c["d_count"]).as_py() == 7 - 4
+    # telescoped value sum == sum over final live rows (20 + 9 + 5)
+    assert abs(pc.sum(c["d_sum"]).as_py() - 34.0) < 1e-9
+
+
+def test_incremental_agg_matches_lww_groupby(ray_session):
+    env = _env()
+    got = (
+        incremental_groupby_agg(ray.data.from_arrow(env), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # final live rows: k2 (a,20), k4 (a,9), k3 (b,5)
+    assert got["g"].tolist() == ["a", "b"]
+    assert got["n"].tolist() == [2, 1]
+    assert np.allclose(got["total"].tolist(), [29.0, 5.0])
