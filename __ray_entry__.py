@@ -1002,6 +1002,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_near_dup_pairs(ds, tau=0.4)
 
+    def docs_curation_pipeline(sf_dir):
+        """The composed training-data pass (pipelines/curate.py): exact
+        dedup → quality gates → stratified sample, one streaming pipeline
+        with a single 24-byte-per-row shuffle. End-to-end oracle guards
+        stage ordering, not just per-stage correctness."""
+        import ray.data
+
+        from debezium_incubator_ray.pipelines.curate import curate
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        out = curate(
+            docs,
+            rates={"en": 0.8, "zh": 0.5, "es": 0.3},
+            default_rate=0.1,
+            min_tokens=20,
+            max_mean_token_len=12.0,
+            max_punct_ratio=0.1,
+            langs=("en", "de", "fr", "es", "zh"),
+        )
+        return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
+
     def cdc_incremental_agg(sf_dir):
         """Incremental view maintenance: maintain SUM(value)/COUNT per
         event_type by folding each change event's +after/-before delta —
@@ -1336,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
         "cdc_incremental_agg": cdc_incremental_agg,
+        "docs_curation_pipeline": docs_curation_pipeline,
         "url_canonicalize": url_canonicalize,
         "url_domain_stats": url_domain_stats,
         "text_token_count": text_token_count,
@@ -1741,6 +1766,30 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT % 1000000 < "
+            "CASE lang WHEN 'en' THEN 800000 WHEN 'zh' THEN 500000 "
+            "WHEN 'es' THEN 300000 ELSE 100000 END"
+        ),
+        "docs_curation_pipeline": (
+            f"WITH dd AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn = 1), "
+            "t AS (SELECT doc_id, lang, length(text) AS n_chars, "
+            f"{_TOKENS} AS n_tokens, "
+            "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct "
+            "FROM dd), "
+            "m AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_chars AS BIGINT) AS n_chars, "
+            "CASE WHEN n_tokens > 0 THEN "
+            "CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END "
+            "AS mean_token_len, "
+            "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars "
+            "ELSE 0.0 END AS punct_ratio FROM t), "
+            "q AS (SELECT doc_id, lang, n_tokens, n_chars FROM m "
+            "WHERE n_tokens >= 20 AND mean_token_len <= 12.0 "
+            "AND punct_ratio <= 0.1 AND lang IN ('en','de','fr','es','zh')) "
+            "SELECT * FROM q WHERE "
+            "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
             "::UBIGINT % 1000000 < "
             "CASE lang WHEN 'en' THEN 800000 WHEN 'zh' THEN 500000 "
             "WHEN 'es' THEN 300000 ELSE 100000 END"
