@@ -42,8 +42,9 @@ NUM_PARTITIONS = 8  # keep in sync with pipelines/events_cdc.py
 
 def entry() -> Any:
     """Flagship: pages-lake CDC replay on sf0.001-scale synthetic pages
-    (snapshot → stream with dup re-delivery → restart-resume), returning the
-    final lake as a ray.data.Dataset."""
+    (snapshot → stream with dup re-delivery → restart-resume), through the
+    merge-on-read sink with threshold auto-compaction, returning the final
+    lake as a ray.data.Dataset."""
     from debezium_incubator_ray import gen
     from debezium_incubator_ray import schema as S
     from debezium_incubator_ray.config import EngineConfig
@@ -57,16 +58,19 @@ def entry() -> Any:
     )
     ev = gen.gen_events(spec)
     gen.write_binlog(binlog, spec, ev)
-    cfg = EngineConfig(num_partitions=8, apply_concurrency=4, target_rows_per_file=2000)
+    cfg = EngineConfig(
+        num_partitions=8, apply_concurrency=4, target_rows_per_file=2000,
+        sink_mode="mor", mor_compact_deltas=4,
+    )
     eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
     eng.snapshot(gen.make_pages(spec.n_initial))
     eng.apply_epoch(binlog, max_segments=4)
     del eng
-    eng = CdcEngine(lake)  # restart-resume from the manifest
+    eng = CdcEngine(lake)  # restart-resume from the manifest (incl. sink mode)
     eng.run(binlog)
     eng.manifest.doc["segments_done"] = []  # dup re-delivery: must no-op
     eng.apply_epoch(binlog)
-    eng.compact()  # lake maintenance: state-preserving run coalescing
+    eng.compact()  # fold remaining deltas + state-preserving run coalescing
     eng.vacuum(keep_versions=2)  # expire superseded files, keep 1 time-travel step
     return eng.read_lake()
 
