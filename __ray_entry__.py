@@ -1030,6 +1030,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
 
+    def cdc_composite_key(sf_dir):
+        """Composite primary key (reference: key = ALL pk cells,
+        RecordMaker.java:36-58): LWW state keyed on (user_id, event_type).
+        Delete events extract every key component from the before image, so
+        a delete removes exactly the (user, previous-event-type) row — the
+        oracle expresses the same via lag() per user."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("ck")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(lake, key_cols=("user_id", "event_type"))
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_incremental_agg(sf_dir):
         """Incremental view maintenance: maintain SUM(value)/COUNT per
         event_type by folding each change event's +after/-before delta —
@@ -1363,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
         "url_canonicalize": url_canonicalize,
@@ -1877,6 +1897,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "cdc_composite_key": (
+            f"WITH env AS ({_ENV}), "
+            # the key's event_type component: deletes take it from the
+            # before image = the user's previous event row (lag over ALL
+            # events per user, any op — before is the prior row's payload)
+            "k AS (SELECT *, CASE WHEN op = 'd' THEN "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY lsn) "
+            "ELSE event_type END AS et_k FROM env), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id, et_k ORDER BY lsn DESC) AS rn "
+            "FROM k WHERE et_k IS NOT NULL) "
+            "SELECT user_id, ts, et_k AS event_type, value, props, lsn "
+            "FROM ranked WHERE rn = 1 AND op <> 'd'"
         ),
         "cdc_incremental_agg": _LWW
         + "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

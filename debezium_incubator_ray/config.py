@@ -26,6 +26,15 @@ class EngineConfig:
     # identity
     table: str = "pages"
     key: str = "url"
+    # composite primary key (reference: key = ALL pk cells, partition +
+    # clustering columns — RecordMaker.java:36-58 buildKey). When set
+    # (2+ columns), the engine derives an internal routing/sort column
+    # ``_key`` = the string-cast components joined with '|' (components
+    # must not contain the separator; exact for ints). ``_key`` lives in
+    # the lake runs like ``_lsn`` and is dropped from user-facing reads;
+    # ``key`` is ignored. Delete events extract every component from the
+    # before image, same as the single-column path.
+    key_cols: Optional[Sequence[str]] = None
 
     # partitioning (the one big shuffle — hash(key) % num_partitions)
     num_partitions: int = 16

@@ -143,6 +143,19 @@ def build_envelopes(
     )
 
 
+COMPOSITE_KEY = "_key"  # internal routing/sort column for composite PKs
+
+
+def composite_key(tbl: pa.Table, key_cols: Sequence[str]) -> pa.Array:
+    """Derive the internal ``_key`` column: string-cast components joined
+    with '|' (EngineConfig.key_cols contract). Null if any component is
+    null — such rows are unroutable, like a missing single-column key."""
+    parts = [
+        pc.cast(_as_array(tbl.column(c)), pa.string()) for c in key_cols
+    ]
+    return pc.binary_join_element_wise(*parts, "|")
+
+
 def lww_reduce(tbl: pa.Table, key: str, lsn_col: str = LSN) -> pa.Table:
     """Keep the max-``lsn_col`` row per ``key`` — the LWW winner.
 

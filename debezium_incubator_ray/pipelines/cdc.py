@@ -68,9 +68,21 @@ class CdcEngine:
             self.cfg.partitioner = doc.get("partitioner", self.cfg.partitioner)
             self.cfg.tombstones = doc.get("tombstones", True)
             self.cfg.sink_mode = doc.get("sink_mode", "cow")
+            self.cfg.key_cols = doc.get("key_cols")
         else:
             if payload_schema is None:
                 raise ValueError("payload_schema required to create a new lake")
+            if self.cfg.key_cols:
+                # composite PK: the engine routes/sorts on the derived
+                # internal _key column (see EngineConfig.key_cols)
+                from debezium_incubator_ray.envelope import COMPOSITE_KEY
+
+                self.cfg.key = COMPOSITE_KEY
+                missing = [
+                    c for c in self.cfg.key_cols if payload_schema.get_field_index(c) < 0
+                ]
+                if missing:
+                    raise ValueError(f"key_cols not in payload schema: {missing}")
             # field blacklist (FieldFilterSelector.java:28-50) shapes the lake
             # schema itself: blacklisted fields never reach the sink
             if self.cfg.field_blacklist:
@@ -87,6 +99,7 @@ class CdcEngine:
                 partitioner=self.cfg.partitioner,
                 tombstones=self.cfg.tombstones,
                 sink_mode=self.cfg.sink_mode,
+                key_cols=list(self.cfg.key_cols) if self.cfg.key_cols else None,
             )
 
         self._lock_fd: Optional[int] = None
@@ -262,18 +275,25 @@ class CdcEngine:
             ds = source
 
         key, part_mode, P = self.cfg.key, self.cfg.partitioner, self.cfg.num_partitions
+        key_cols = list(self.cfg.key_cols) if self.cfg.key_cols else None
         target_b64 = self.manifest.doc["schemas"][-1]["schema"]
         defaults = dict(self.manifest.doc["defaults"])
 
         def to_events(batch: pa.Table) -> pa.Table:
             # align to the lake schema (drops blacklisted fields, backfills
             # evolved columns) before tagging as op='r' snapshot events
+            from debezium_incubator_ray.envelope import composite_key
+
             batch = S.upgrade_table(batch, S.schema_from_b64(target_b64), defaults)
             n = batch.num_rows
             cols = {name: batch[name] for name in batch.column_names}
+            if key_cols:
+                cols[key] = composite_key(batch, key_cols)
             cols["op"] = pa.array(["r"] * n, type=pa.string())
             cols[S.LSN] = pa.array([snapshot_lsn] * n, type=pa.int64())
-            cols[S.PART] = pa.array(partition_ids(batch[key], P, part_mode), type=pa.int32())
+            cols[S.PART] = pa.array(
+                partition_ids(cols[key], P, part_mode), type=pa.int32()
+            )
             return pa.table(cols)
 
         stats: Dict[str, Any] = {"skipped": False, "events": 0}
@@ -348,6 +368,12 @@ class CdcEngine:
         streams; a chunk cannot prove absence.
         """
         self._acquire_lock()
+        if self.cfg.key_cols:
+            raise NotImplementedError(
+                "snapshot_incremental over a composite-PK table: the chunk "
+                "cursor contract (key > last_key, key-ascending) is defined "
+                "on the single key column — run a full snapshot instead"
+            )
         state = dict(
             self.manifest.doc.get("inc_snapshot")
             or {"last_key": None, "complete": False}
@@ -560,6 +586,7 @@ class CdcEngine:
         return dict(
             schema_b64=self.manifest.doc["schemas"][-1]["schema"],
             key=self.cfg.key,
+            key_cols=self.cfg.key_cols,
             num_partitions=self.cfg.num_partitions,
             partitioner=self.cfg.partitioner,
             defaults=self.manifest.doc["defaults"],
@@ -1063,6 +1090,9 @@ class CdcEngine:
         target = m.current_schema()
         defaults = m.doc["defaults"]
         key = self.cfg.key
+        if self.cfg.key_cols and keys and isinstance(keys[0], (tuple, list)):
+            # composite lookups: component tuples → the internal joined key
+            keys = ["|".join(str(x) for x in k) for k in keys]
         karr = pa.array(keys) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
         parts = partition_ids(karr, m.num_partitions, self.cfg.partitioner)
         from debezium_incubator_ray.stages.apply import upgrade_run_table
@@ -1113,9 +1143,14 @@ class CdcEngine:
         if not tbls:
             t = S.upgrade_table(pa.table({}), target, defaults)
             return t.append_column(S.LSN, pa.array([], pa.int64()))
-        return pa.concat_tables(tbls, promote_options="permissive").sort_by(
+        out = pa.concat_tables(tbls, promote_options="permissive").sort_by(
             [(key, "ascending")]
         )
+        from debezium_incubator_ray.envelope import COMPOSITE_KEY
+
+        if self.cfg.key_cols and COMPOSITE_KEY in out.column_names:
+            out = out.drop_columns([COMPOSITE_KEY])
+        return out
 
     def changes_between(
         self, v_old: int, v_new: Optional[int] = None
@@ -1241,9 +1276,12 @@ class CdcEngine:
         if not tbls:
             return S.upgrade_table(pa.table({}), target, defaults)
         out = pa.concat_tables(tbls, promote_options="permissive")
+        # sort on the engine key (internal _key for composite PKs) BEFORE
+        # the user-facing projection drops it
+        out = out.sort_by([(self.cfg.key, "ascending")])
         names = [n for n in target.names if n in out.column_names]
         names += [n for n in (S.LSN, DELETED) if n in out.column_names]
-        return out.select(names).sort_by([(self.cfg.key, "ascending")])
+        return out.select(names)
 
     def _pending_schema_update(self, binlog_dir: str) -> Optional[Dict[str, Any]]:
         changes = binlog_src.load_schema_changes(binlog_dir)

@@ -167,18 +167,25 @@ def make_engine(
     payload_schema: Optional[pa.Schema] = None,
     tombstones: bool = True,
     sink_mode: str = "cow",
+    key_cols=None,
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
         key="user_id",
         num_partitions=NUM_PARTITIONS,
-        partitioner="mod",
+        partitioner="mod" if not key_cols else "hash",
         apply_concurrency=4,
         target_rows_per_file=100_000,
         field_blacklist=field_blacklist,
         table_include_regex=table_include_regex,
         tombstones=tombstones,
         sink_mode=sink_mode,
+        key_cols=key_cols,
+        # the events binlog is laid out by uid % P; a composite key routes
+        # by hash(_key) so the aligned fast path's 1:1 assumption breaks —
+        # force the exchange path (the engine would otherwise detect the
+        # mismatch and abort the epoch)
+        aligned_binlog="auto" if not key_cols else "never",
     )
     return CdcEngine(
         lake_dir, cfg, payload_schema=payload_schema or EVENTS_PAYLOAD

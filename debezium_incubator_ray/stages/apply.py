@@ -65,11 +65,20 @@ def upgrade_run_table(
     """Lazy schema upgrade of a lake run written under an older schema
     version: realign the payload columns to ``schema`` (default backfill /
     widening) while carrying the internal ``_lsn`` (and, in
-    tombstone-retention mode, ``_deleted``) columns through."""
-    from debezium_incubator_ray.envelope import DELETED
+    tombstone-retention mode, ``_deleted``; for composite-PK tables,
+    ``_key``) columns through."""
+    from debezium_incubator_ray.envelope import COMPOSITE_KEY, DELETED
 
-    side = {S.LSN: tbl[S.LSN]}
-    drop = [S.LSN]
+    # side-column order mirrors the written run layout
+    # (payload, _key, _lsn, _deleted) so upgraded and current-version runs
+    # concat without schema reordering
+    side: Dict[str, Any] = {}
+    drop = []
+    if COMPOSITE_KEY in tbl.column_names:
+        side[COMPOSITE_KEY] = tbl[COMPOSITE_KEY]
+        drop.append(COMPOSITE_KEY)
+    side[S.LSN] = tbl[S.LSN]
+    drop.append(S.LSN)
     if DELETED in tbl.column_names:
         side[DELETED] = tbl[DELETED]
         drop.append(DELETED)

@@ -47,9 +47,14 @@ class NormalizeEnvelope:
         table_include_regex: Optional[str] = None,
         emit_before: bool = False,
         default_at: Optional[Dict[str, int]] = None,
+        key_cols: Optional[Sequence[str]] = None,
     ):
         self.schema = S.schema_from_b64(schema_b64)
         self.key = key
+        # composite PK: key components extracted per column (deletes fall
+        # back to the before image per component), then joined into the
+        # internal ``_key`` routing/sort column (EngineConfig.key_cols)
+        self.key_cols = list(key_cols) if key_cols else None
         self.num_partitions = num_partitions
         self.partitioner = partitioner
         self.defaults = defaults or {}
@@ -59,7 +64,8 @@ class NormalizeEnvelope:
         # after the evolution stays NULL (Debezium default semantics; the
         # reference backfills only on absent fields, not present nulls)
         self.default_at = default_at or {}
-        self.blacklist = {f for f in field_blacklist if f != key}
+        protected = set(self.key_cols or [key])
+        self.blacklist = {f for f in field_blacklist if f not in protected}
         self.table_re = re.compile(table_include_regex) if table_include_regex else None
         self.emit_before = emit_before
 
@@ -94,12 +100,16 @@ class NormalizeEnvelope:
         payload_env = batch["after"].type  # struct type as written
         env_fields = {f.name for f in payload_env}
         after = unpack_struct(batch["after"], self._env_schema(env_fields))
-        before_key = None
+        key_components = self.key_cols or [self.key]
+        before_keys: Dict[str, pa.Array] = {}
         if "before" in batch.column_names:
             b = batch["before"].combine_chunks()
             valid = pc.is_valid(b)
-            child = b.field(self.key)
-            before_key = pc.if_else(valid, child, pa.nulls(n, child.type))
+            for kc in key_components:
+                child = b.field(kc)
+                before_keys[kc] = pc.if_else(
+                    valid, child, pa.nulls(n, child.type)
+                )
 
         lsn_arr = src.field("lsn")
         cols: Dict[str, pa.Array] = {}
@@ -130,8 +140,18 @@ class NormalizeEnvelope:
                     col = pc.if_else(need, pa.scalar(d, type=f.type), col)
             cols[f.name] = col
         # key: coalesce(after.key, before.key) — deletes carry key via before
-        if before_key is not None:
-            cols[self.key] = pc.coalesce(cols[self.key], pc.cast(before_key, self.schema.field(self.key).type))
+        for kc, bk in before_keys.items():
+            cols[kc] = pc.coalesce(
+                cols[kc], pc.cast(bk, self.schema.field(kc).type)
+            )
+        if self.key_cols:
+            # internal composite routing/sort key: string-cast components
+            # joined with '|' (null if ANY component is null → row skipped
+            # below, same as a missing single-column key)
+            parts = [
+                pc.cast(cols[kc], pa.string()) for kc in self.key_cols
+            ]
+            cols[self.key] = pc.binary_join_element_wise(*parts, "|")
         if self.emit_before:
             bschema = self._env_schema({f.name for f in batch["before"].type})
             before_all = unpack_struct(batch["before"], bschema)
@@ -161,7 +181,11 @@ class NormalizeEnvelope:
         return out
 
     def _env_schema(self, names) -> pa.Schema:
-        return pa.schema([f for f in self.schema if f.name in names] or [self.schema.field(self.key)])
+        fallback = (self.key_cols or [self.key])[0]
+        return pa.schema(
+            [f for f in self.schema if f.name in names]
+            or [self.schema.field(fallback)]
+        )
 
     def _empty(self) -> pa.Table:
         cols = {
@@ -169,6 +193,8 @@ class NormalizeEnvelope:
             for f in self.schema
             if f.name not in self.blacklist
         }
+        if self.key_cols:
+            cols[self.key] = pa.nulls(0, pa.string())
         cols["op"] = pa.nulls(0, pa.string())
         cols[S.LSN] = pa.nulls(0, pa.int64())
         cols[S.PART] = pa.nulls(0, pa.int32())

@@ -51,6 +51,7 @@ class Manifest:
         partitioner: str = "hash",
         tombstones: bool = True,
         sink_mode: str = "cow",
+        key_cols=None,
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -77,6 +78,9 @@ class Manifest:
             # touched runs per epoch; "mor" appends delta runs, readers
             # merge, compact() folds
             "sink_mode": sink_mode,
+            # composite-PK component columns (key is then the derived
+            # internal _key column); None for single-column keys
+            "key_cols": key_cols,
             "snapshot_complete": False,
             "snapshot_lsn": -1,
             "partitions": {
