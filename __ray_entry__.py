@@ -1424,8 +1424,9 @@ _TOKENS = (
 )
 
 # synthesized messy URL per doc_id + the SAME canonicalization passes as
-# functions/web.py (_CANON_STEPS order; RE2 both sides). Synthesis puts at
-# most one utm_* param per URL, so single-pass 'g' replaces are exact.
+# functions/web.py (_CANON_STEPS order; RE2 both sides): global '&utm'
+# removal first (kills every non-leading utm param in one scan), then the
+# leading and solitary '?utm' forms.
 _URL_CANON = (
     "WITH raw AS (SELECT doc_id, n_chars, "
     "CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://' "
@@ -1443,8 +1444,8 @@ _URL_CANON = (
     "'^www\\.', '', 'g') || substr(u, "
     "length(regexp_extract(u, '^([^/?#]*)', 1)) + 1) AS u FROM s1), "
     "s3 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace("
-    "regexp_replace(regexp_replace(u, '\\?utm_[^&#]*&', '?', 'g'), "
-    "'&utm_[^&#]*', '', 'g'), '\\?utm_[^&#]*$', '', 'g'), "
+    "regexp_replace(regexp_replace(u, '&utm_[^&#]*', '', 'g'), "
+    "'\\?utm_[^&#]*&', '?', 'g'), '\\?utm_[^&#]*$', '', 'g'), "
     "'/+$', '', 'g') AS url_canon FROM s2), "
     "canon AS (SELECT doc_id, n_chars, url_canon, "
     "coalesce(nullif(regexp_extract(regexp_extract(url_canon, "

@@ -146,14 +146,19 @@ def build_envelopes(
 COMPOSITE_KEY = "_key"  # internal routing/sort column for composite PKs
 
 
+def composite_key_arrays(parts: Sequence) -> pa.Array:
+    """THE _key encoding (single definition — normalize, snapshot and
+    lookup must all produce byte-identical keys): Arrow-string-cast
+    components joined with '|'. Null if any component is null — such rows
+    are unroutable, like a missing single-column key."""
+    casted = [pc.cast(_as_array(p), pa.string()) for p in parts]
+    return pc.binary_join_element_wise(*casted, "|")
+
+
 def composite_key(tbl: pa.Table, key_cols: Sequence[str]) -> pa.Array:
-    """Derive the internal ``_key`` column: string-cast components joined
-    with '|' (EngineConfig.key_cols contract). Null if any component is
-    null — such rows are unroutable, like a missing single-column key."""
-    parts = [
-        pc.cast(_as_array(tbl.column(c)), pa.string()) for c in key_cols
-    ]
-    return pc.binary_join_element_wise(*parts, "|")
+    """Derive the internal ``_key`` column from a table's key component
+    columns (EngineConfig.key_cols contract)."""
+    return composite_key_arrays([tbl.column(c) for c in key_cols])
 
 
 def lww_reduce(tbl: pa.Table, key: str, lsn_col: str = LSN) -> pa.Table:

@@ -36,21 +36,24 @@ def agg_contributions(
 ) -> pa.Table:
     """One batch of envelopes → signed (group, d_count, d_sum) contribution
     rows: +1/+value per non-null after image, -1/-value per non-null before
-    image. Null group keys (from null images) are dropped."""
+    image. A null GROUP KEY inside a valid image contributes to the NULL
+    group, exactly like SQL GROUP BY; only null IMAGES (the row doesn't
+    exist on that side) contribute nothing."""
+    import numpy as np
+
     out_g, out_c, out_s = [], [], []
     for side, sign in (("after", 1), ("before", -1)):
         img = env[side].combine_chunks()
-        valid = pc.is_valid(img)
+        valid = pc.is_valid(img)  # image exists on this side
         g = pc.if_else(valid, img.field(group_col),
                        pa.nulls(len(img), img.field(group_col).type))
         v = pc.if_else(valid, img.field(value_col),
                        pa.nulls(len(img), img.field(value_col).type))
-        mask = pc.is_valid(g)
-        out_g.append(pc.filter(g, mask))
-        vv = pc.cast(pc.fill_null(pc.filter(v, mask), 0.0), pa.float64())
+        out_g.append(pc.filter(g, valid))
+        vv = pc.cast(pc.fill_null(pc.filter(v, valid), 0.0), pa.float64())
         out_s.append(pc.multiply(vv, pa.scalar(float(sign))))
         out_c.append(
-            pa.array([sign] * len(out_g[-1]), pa.int64())
+            pa.array(np.full(len(out_g[-1]), sign, dtype=np.int64))
         )
     return pa.table(
         {

@@ -28,13 +28,14 @@ import pyarrow.compute as pc
 # applied IN ORDER; each entry is (pattern, replacement). Mirrored verbatim
 # by the DuckDB oracle SQL in __ray_entry__.oracle_sql().
 _CANON_STEPS = [
-    (r"#.*$", ""),                       # 1. fragment
+    (r"#(?s:.*)$", ""),                  # 1. fragment (incl. any newlines)
     (r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),  # 2. scheme
-    # 4. utm_* params — at most one per URL handled per pass; three forms:
-    #    leading (?utm=..&rest → ?rest), trailing (&utm=..$ → ""),
-    #    solitary (?utm=..$ → "")
-    (r"\?utm_[^&#]*&", "?"),
+    # 4. utm_* params. Order matters for chains: the global '&utm' pass
+    #    first removes EVERY non-leading utm param in one scan
+    #    ('?utm_a=1&utm_b=2&q=1' → '?utm_a=1&q=1'), then the leading form
+    #    (?utm=..&rest → ?rest), then the solitary form (?utm=..$ → "")
     (r"&utm_[^&#]*", ""),
+    (r"\?utm_[^&#]*&", "?"),
     (r"\?utm_[^&#]*$", ""),
     (r"/+$", ""),                        # 5. trailing slash(es)
 ]
@@ -48,8 +49,10 @@ def canonicalize_urls(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     # fragment + scheme first so the host really is the leading run
     for pat, repl in _CANON_STEPS[:2]:
         s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
-    # 3. lowercase host, strip one leading www. — split at the first /?#
-    parts = pc.extract_regex(s, r"^(?P<host>[^/?#]*)(?P<rest>.*)$")
+    # 3. lowercase host, strip one leading www. — split at the first /?#.
+    # (?s): rest must span newlines too (RE2 '.' excludes \n; a malformed
+    # crawl URL with an embedded newline would otherwise null out)
+    parts = pc.extract_regex(s, r"^(?P<host>[^/?#]*)(?P<rest>(?s:.*))$")
     host = pc.utf8_lower(pc.struct_field(parts, "host"))
     host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
     s = pc.binary_join_element_wise(host, pc.struct_field(parts, "rest"), "")

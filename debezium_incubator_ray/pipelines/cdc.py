@@ -69,6 +69,10 @@ class CdcEngine:
             self.cfg.tombstones = doc.get("tombstones", True)
             self.cfg.sink_mode = doc.get("sink_mode", "cow")
             self.cfg.key_cols = doc.get("key_cols")
+            if self.cfg.mor_compact_deltas is None:
+                # table policy, restored on resume (an explicit config
+                # value on reopen still wins)
+                self.cfg.mor_compact_deltas = doc.get("mor_compact_deltas")
         else:
             if payload_schema is None:
                 raise ValueError("payload_schema required to create a new lake")
@@ -84,9 +88,12 @@ class CdcEngine:
                 if missing:
                     raise ValueError(f"key_cols not in payload schema: {missing}")
             # field blacklist (FieldFilterSelector.java:28-50) shapes the lake
-            # schema itself: blacklisted fields never reach the sink
+            # schema itself: blacklisted fields never reach the sink. Key
+            # columns (single OR every composite component) are protected —
+            # dropping one would orphan routing
             if self.cfg.field_blacklist:
-                drop = {f for f in self.cfg.field_blacklist if f != self.cfg.key}
+                protected = set(self.cfg.key_cols or [self.cfg.key])
+                drop = {f for f in self.cfg.field_blacklist if f not in protected}
                 payload_schema = pa.schema(
                     [f for f in payload_schema if f.name not in drop]
                 )
@@ -100,6 +107,7 @@ class CdcEngine:
                 tombstones=self.cfg.tombstones,
                 sink_mode=self.cfg.sink_mode,
                 key_cols=list(self.cfg.key_cols) if self.cfg.key_cols else None,
+                mor_compact_deltas=self.cfg.mor_compact_deltas,
             )
 
         self._lock_fd: Optional[int] = None
@@ -1091,8 +1099,19 @@ class CdcEngine:
         defaults = m.doc["defaults"]
         key = self.cfg.key
         if self.cfg.key_cols and keys and isinstance(keys[0], (tuple, list)):
-            # composite lookups: component tuples → the internal joined key
-            keys = ["|".join(str(x) for x in k) for k in keys]
+            # composite lookups: component tuples → the internal joined key,
+            # through the SAME Arrow cast path normalize used (Python str()
+            # renders bools/floats differently and would silently miss)
+            from debezium_incubator_ray.envelope import composite_key_arrays
+
+            comps = [
+                pa.array(
+                    [k[i] for k in keys],
+                    type=target.field(kc).type,
+                )
+                for i, kc in enumerate(self.cfg.key_cols)
+            ]
+            keys = composite_key_arrays(comps)
         karr = pa.array(keys) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
         parts = partition_ids(karr, m.num_partitions, self.cfg.partitioner)
         from debezium_incubator_ray.stages.apply import upgrade_run_table

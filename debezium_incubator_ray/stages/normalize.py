@@ -145,13 +145,13 @@ class NormalizeEnvelope:
                 cols[kc], pc.cast(bk, self.schema.field(kc).type)
             )
         if self.key_cols:
-            # internal composite routing/sort key: string-cast components
-            # joined with '|' (null if ANY component is null → row skipped
-            # below, same as a missing single-column key)
-            parts = [
-                pc.cast(cols[kc], pa.string()) for kc in self.key_cols
-            ]
-            cols[self.key] = pc.binary_join_element_wise(*parts, "|")
+            # internal composite routing/sort key (null if ANY component is
+            # null → row skipped below, like a missing single-column key)
+            from debezium_incubator_ray.envelope import composite_key_arrays
+
+            cols[self.key] = composite_key_arrays(
+                [cols[kc] for kc in self.key_cols]
+            )
         if self.emit_before:
             bschema = self._env_schema({f.name for f in batch["before"].type})
             before_all = unpack_struct(batch["before"], bschema)

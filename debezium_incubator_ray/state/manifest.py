@@ -52,6 +52,7 @@ class Manifest:
         tombstones: bool = True,
         sink_mode: str = "cow",
         key_cols=None,
+        mor_compact_deltas=None,
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -78,6 +79,10 @@ class Manifest:
             # touched runs per epoch; "mor" appends delta runs, readers
             # merge, compact() folds
             "sink_mode": sink_mode,
+            # mor auto-compaction threshold: a table policy — restart must
+            # keep folding, or delta backlog (read amplification) grows
+            # unbounded on the resumed run
+            "mor_compact_deltas": mor_compact_deltas,
             # composite-PK component columns (key is then the derived
             # internal _key column); None for single-column keys
             "key_cols": key_cols,

@@ -75,3 +75,23 @@ def test_incremental_agg_matches_lww_groupby(ray_session):
     assert got["g"].tolist() == ["a", "b"]
     assert got["n"].tolist() == [2, 1]
     assert np.allclose(got["total"].tolist(), [29.0, 5.0])
+
+
+def test_null_group_key_contributes_to_null_group():
+    # SQL GROUP BY keeps a NULL group; a valid image with a null group key
+    # must land there, not be dropped
+    after = pa.table(
+        {
+            "k": pa.array([7], pa.int64()),
+            "g": pa.array([None], pa.string()),
+            "v": pa.array([3.0], pa.float64()),
+        }
+    )
+    env = build_envelopes(
+        pa.array(["c"], pa.string()), after, None,
+        np.zeros(1, dtype=np.int32), np.array([1], dtype=np.int64), table="t",
+    )
+    c = agg_contributions(env, "g", "v")
+    assert c.num_rows == 1
+    assert c["g"].to_pylist() == [None]
+    assert c["d_count"].to_pylist() == [1]

@@ -179,6 +179,11 @@ def test_mor_auto_compaction(world, tmp_path):  # noqa: F811
     spec, ev, binlog, lake = world
     cfg = _mor_cfg(spec, mor_compact_deltas=1)  # fold after every epoch
     eng = _drive(str(tmp_path / "mor"), cfg, spec, binlog)
+    # the threshold is a table policy: restart restores it from the manifest
+    mlake = eng.lake_dir
+    del eng
+    eng = CdcEngine(mlake)
+    assert eng.cfg.mor_compact_deltas == 1
     # every epoch's deltas were folded right back into the base
     assert all(
         not eng.manifest.deltas(p) for p in range(eng.manifest.num_partitions)

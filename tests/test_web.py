@@ -19,6 +19,12 @@ def test_canonicalize_golden():
         "http://example.com/p?utm_medium=z": "example.com/p",
         "example.com//": "example.com",          # scheme-less input
         "https://example.com": "example.com",
+        # chained tracking params (the real-crawl norm) all drop
+        "http://a.com/p?utm_source=x&utm_medium=y&q=1": "a.com/p?q=1",
+        "http://a.com/p?utm_a=1&utm_b=2": "a.com/p",
+        "http://a.com/p?utm_a=1&q=1&utm_b=2": "a.com/p?q=1",
+        # malformed URL with an embedded newline still canonicalizes
+        "http://A.com/p\nx": "a.com/p\nx",
         "http://wwwx.example.com/": "wwwx.example.com",  # only exact www.
         "https://example.com/CaseKept/Q?x=1": "example.com/CaseKept/Q?x=1",
     }
