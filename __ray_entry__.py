@@ -1030,6 +1030,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
 
+    def cdc_transactional(sf_dir):
+        """Transaction-boundary apply: events carry (tx_id, tx_events) per
+        partition-local transaction of 5; the LAST transaction in every
+        partition is declared one event short (incomplete), so the engine
+        must apply exactly the complete-transaction prefix and defer the
+        rest — the oracle drops the same per-partition tail in SQL."""
+        import numpy as np
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("txn")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        env = EC.events_envelopes(sf_dir)
+        src = env["source"].combine_chunks()
+        part = src.field("partition").to_numpy()
+        lsn = src.field("lsn").to_numpy()
+        n = len(part)
+        order = np.lexsort((lsn, part))
+        ps = part[order]
+        # per-partition sequence number along LSN order
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = ps[1:] != ps[:-1]
+        idx = np.arange(n)
+        seq = idx - np.maximum.accumulate(np.where(starts, idx, 0))
+        n_p = np.bincount(ps, minlength=EC.NUM_PARTITIONS)[ps]
+        tx_seq = seq // 5
+        last_seq = (n_p - 1) // 5
+        size_last = n_p - 5 * last_seq
+        declared = np.where(tx_seq == last_seq, size_last + 1, 5)
+        tx_id_sorted = ps.astype(np.int64) * 1_000_000_000 + tx_seq
+        tx_id = np.empty(n, dtype=np.int64)
+        tx_ev = np.empty(n, dtype=np.int64)
+        tx_id[order] = tx_id_sorted
+        tx_ev[order] = declared
+        env = env.append_column("tx_id", pa.array(tx_id, pa.int64()))
+        env = env.append_column("tx_events", pa.array(tx_ev, pa.int32()))
+        EC.write_env_binlog(env, binlog)
+        eng = EC.make_engine(lake)
+        eng.cfg.transactional = True
+        stats = eng.run(binlog)
+        if not any(s["deferred"] > 0 for s in stats):
+            raise RuntimeError("no segment deferred — tx gate never engaged")
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_composite_key(sf_dir):
         """Composite primary key (reference: key = ALL pk cells,
         RecordMaker.java:36-58): LWW state keyed on (user_id, event_type).
@@ -1382,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_transactional": cdc_transactional,
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
@@ -1898,6 +1947,21 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "cdc_transactional": (
+            f"WITH env AS ({_ENV}), "
+            "p AS (SELECT *, user_id % 8 AS part FROM env), "
+            "c AS (SELECT *, count(*) OVER (PARTITION BY part) AS n, "
+            "row_number() OVER (PARTITION BY part ORDER BY lsn) AS rn "
+            "FROM p), "
+            # the last (incomplete) tx per partition: 5 rows when the count
+            # divides evenly (declared 6), else the n%5 remainder
+            "kept AS (SELECT * FROM c WHERE rn <= n - "
+            "(CASE WHEN n % 5 = 0 THEN 5 ELSE n % 5 END)), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn2 FROM kept) "
+            "SELECT user_id, ts, event_type, value, props, lsn "
+            "FROM ranked WHERE rn2 = 1 AND op <> 'd'"
         ),
         "cdc_composite_key": (
             f"WITH env AS ({_ENV}), "

@@ -142,6 +142,17 @@ class EngineConfig:
     # segments are still marked done.
     latest_only: bool = False
 
+    # transaction-boundary apply (Debezium's transaction-metadata contract:
+    # consumers see only COMPLETE transactions). Envelope streams carry
+    # optional top-level ``tx_id``/``tx_events`` columns (total events the
+    # transaction wrote); an epoch applies, per partition, only the LSN
+    # prefix below the first incomplete transaction — the rest defers to a
+    # later epoch (their segments stay un-done, the watermark advances only
+    # over applied rows, so redelivery is exact). Transactions must be
+    # partition-local (a cross-partition tx would need 2PC); supported on
+    # the aligned path only.
+    transactional: bool = False
+
     # partition-aligned fast path: when the binlog directory layout
     # (p=<p>/seg-*.parquet) has the same partition count as the lake, each
     # binlog partition feeds exactly one lake partition, so the epoch skips

@@ -528,11 +528,19 @@ class CdcEngine:
             # whole epoch is upgraded to one target schema (SURVEY §7.3)
             self.manifest = self.manifest.commit({}, schema_update=schema_update)
 
+        deferred: List[str] = []
         if aligned:
             commits = self._apply_aligned(binlog_dir, groups)
             for c in commits:
                 quarantined.update(json.loads(c["quarantined_json"]))
+                deferred.extend(json.loads(c.get("deferred_json") or "[]"))
         else:
+            if self.cfg.transactional:
+                raise ValueError(
+                    "transactional=True requires a partition-aligned binlog "
+                    "(transaction completeness is tracked per partition; "
+                    "the exchange path cannot defer segments soundly)"
+                )
             if max_segments is not None and binlog_p != self.cfg.num_partitions:
                 # watermark soundness (see ADVICE): the per-lake-partition
                 # replay-dedup watermark requires non-decreasing LSNs per
@@ -562,7 +570,11 @@ class CdcEngine:
                 pq.ParquetFile(os.path.join(binlog_dir, s)).metadata.num_rows
                 for s in segs
             )
-        done_now = [s for s in segs if s not in quarantined] + skipped_old
+        # transactional mode: segments holding deferred (incomplete-tx) rows
+        # are NOT done — they redeliver until the transaction completes, and
+        # the watermark (advanced only over applied rows) dedups the rest
+        undone = set(quarantined) | set(deferred)
+        done_now = [s for s in segs if s not in undone] + skipped_old
         self.manifest = self.manifest.commit(
             updates,
             segments_done=done_now,
@@ -586,6 +598,8 @@ class CdcEngine:
             "applied": sum(c["events_applied"] for c in commits),
             "seconds": time.perf_counter() - t0,
             "quarantined": len(quarantined),
+            "deferred": len(deferred),
+            "done": len(done_now),
             "aligned": aligned,
             "compacted": folded,
         }
@@ -666,6 +680,7 @@ class CdcEngine:
             binlog_dir=binlog_dir,
             norm_kwargs=self._norm_kwargs(),
             target_rows_per_file=self.cfg.target_rows_per_file,
+            transactional=self.cfg.transactional,
         )
 
         def apply_one(batch: pa.Table) -> pa.Table:
@@ -679,12 +694,21 @@ class CdcEngine:
         return applied.take_all()
 
     def run(self, binlog_dir: str, max_segments_per_epoch: Optional[int] = None) -> List[Dict]:
-        """Drain the binlog: epochs until no new segments (the tail loop)."""
+        """Drain the binlog: epochs until no new segments (the tail loop).
+
+        Transactional mode can leave segments deferred (incomplete
+        transactions at the stream head): the drain stops when an epoch
+        makes NO progress (nothing applied, nothing newly done) — the tail
+        caller re-runs when new segments complete those transactions."""
         out = []
         while True:
             st = self.apply_epoch(binlog_dir, max_segments_per_epoch)
             out.append(st)
-            if st["segments"] == 0:
+            no_progress = (
+                st["segments"] == 0
+                or (st["applied"] == 0 and st.get("done", 0) == 0)
+            )
+            if no_progress:
                 self.flush()  # end-of-drain: make all epochs durable
                 return out
 

@@ -197,7 +197,8 @@ def scratch_dir(tag: str) -> str:
 
 
 def write_env_binlog(
-    env: pa.Table, out_dir: str, seg_rows: int = 4096, append: bool = False
+    env: pa.Table, out_dir: str, seg_rows: int = 4096, append: bool = False,
+    num_partitions: int = NUM_PARTITIONS,
 ) -> None:
     """Write an envelope table as partition-aligned binlog segments.
 
@@ -206,7 +207,7 @@ def write_env_binlog(
     new commit-log segments arriving in the same binlog directory."""
     part = env["source"].combine_chunks().field("partition").to_numpy()
     os.makedirs(out_dir, exist_ok=True)
-    for p in range(NUM_PARTITIONS):
+    for p in range(num_partitions):
         idx = np.nonzero(part == p)[0]
         pdir = os.path.join(out_dir, f"p={p}")
         os.makedirs(pdir, exist_ok=True)

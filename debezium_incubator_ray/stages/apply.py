@@ -55,8 +55,39 @@ COMMIT_SCHEMA = pa.schema(
         pa.field("quarantined_json", pa.string()),
         # merge-on-read delta runs (sink_mode="mor"; "[]" in CoW mode)
         pa.field("deltas_json", pa.string()),
+        # transactional mode: segments holding rows of an incomplete
+        # transaction — they must NOT be marked done (redelivered until the
+        # transaction completes); "[]" otherwise
+        pa.field("deferred_json", pa.string()),
     ]
 )
+
+
+def tx_cutoff(lsn: "pa.Array", tx_id: "pa.Array", tx_events: "pa.Array"):
+    """Transaction-boundary cutoff for one partition's delivered rows: the
+    minimum LSN belonging to any INCOMPLETE transaction (observed events <
+    declared tx_events), or None when every transaction is complete. Rows
+    with lsn >= cutoff defer to a later epoch — applying only the prefix
+    keeps the per-partition watermark sound (it never advances past an
+    unapplied row). Vectorized: one sort + run-length count per tx."""
+    import numpy as np
+
+    t = np.asarray(tx_id.to_numpy(zero_copy_only=False), dtype=np.int64)
+    n_decl = np.asarray(tx_events.to_numpy(zero_copy_only=False), dtype=np.int64)
+    lo = np.asarray(lsn.to_numpy(zero_copy_only=False), dtype=np.int64)
+    if len(t) == 0:
+        return None
+    order = np.argsort(t, kind="stable")
+    ts = t[order]
+    uniq, counts = np.unique(ts, return_counts=True)
+    # declared size per tx (constant within a tx by contract)
+    first_idx = order[np.searchsorted(ts, uniq)]
+    declared = n_decl[first_idx]
+    incomplete = set(uniq[counts < declared].tolist())
+    if not incomplete:
+        return None
+    mask = np.isin(t, np.fromiter(incomplete, dtype=np.int64))
+    return int(lo[mask].min())
 
 
 def upgrade_run_table(
@@ -321,6 +352,7 @@ class PartitionApplier:
                 "delivered": [delivered],
                 "quarantined_json": [json.dumps(quarantined or {})],
                 "deltas_json": [json.dumps(deltas or [])],
+                "deferred_json": ["[]"],
             },
             schema=COMMIT_SCHEMA,
         )
@@ -354,6 +386,7 @@ class AlignedSegmentApplier:
         binlog_dir: str,
         norm_kwargs: Dict[str, Any],
         target_rows_per_file: int = 1_000_000,
+        transactional: bool = False,
     ):
         from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
@@ -361,6 +394,7 @@ class AlignedSegmentApplier:
         self.norm = NormalizeEnvelope(**norm_kwargs)
         self.binlog_dir = binlog_dir
         self.key = manifest_doc["key"]
+        self.transactional = transactional
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from debezium_incubator_ray.envelope import lww_reduce
@@ -371,6 +405,12 @@ class AlignedSegmentApplier:
             flats: List[pa.Table] = []
             delivered = 0
             quarantined: Dict[str, str] = {}
+            deferred: List[str] = []
+            # transaction bookkeeping over RAW rows (before any filter —
+            # completeness is a property of the delivered stream)
+            tx_raw: List[pa.Table] = []
+            seg_lsn_max: Dict[str, int] = {}
+            seg_names: List[str] = []
             # read + quarantine + normalize per segment, all inside the
             # parallel task (the driver never opens segment footers on this
             # path — ~1k serial driver-side footer reads per epoch was a
@@ -383,9 +423,45 @@ class AlignedSegmentApplier:
                     quarantined[rel] = f"{type(ex).__name__}: {ex}"
                     continue
                 delivered += env.num_rows
+                if self.transactional and env.num_rows:
+                    if "tx_id" not in env.column_names:
+                        raise ValueError(
+                            "transactional=True but segment carries no "
+                            f"tx_id/tx_events columns: {rel}"
+                        )
+                    lsn = env["source"].combine_chunks().field("lsn")
+                    tx_raw.append(
+                        pa.table(
+                            {
+                                "lsn": lsn,
+                                "tx_id": env["tx_id"],
+                                "tx_events": env["tx_events"],
+                            }
+                        )
+                    )
+                    seg_lsn_max[rel] = pc.max(lsn).as_py()
+                    seg_names.append(rel)
                 flat = self.norm(env)
                 if flat.num_rows:
                     flats.append(flat)
+            if self.transactional and tx_raw:
+                raw = pa.concat_tables(tx_raw)
+                cut = tx_cutoff(
+                    raw["lsn"].combine_chunks(),
+                    raw["tx_id"].combine_chunks(),
+                    raw["tx_events"].combine_chunks(),
+                )
+                if cut is not None:
+                    # apply only the prefix of complete transactions;
+                    # segments holding any deferred row stay un-done
+                    flats = [
+                        f.filter(pc.less(f[S.LSN], pa.scalar(cut, pa.int64())))
+                        for f in flats
+                    ]
+                    flats = [f for f in flats if f.num_rows]
+                    deferred = [
+                        s for s in seg_names if seg_lsn_max[s] >= cut
+                    ]
             if not flats:
                 rec = self.inner._record_unchanged(int(p))
             else:
@@ -404,6 +480,7 @@ class AlignedSegmentApplier:
             meta = {
                 "delivered": pa.array([delivered], pa.int64()),
                 "quarantined_json": pa.array([json.dumps(quarantined)]),
+                "deferred_json": pa.array([json.dumps(deferred)]),
             }
             for name, col in meta.items():
                 i = rec.schema.get_field_index(name)
