@@ -1113,6 +1113,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(env)
         return incremental_groupby_agg(ds, "event_type", "value")
 
+    def text_line_dedup(sf_dir):
+        """CCNet-style boilerplate removal: deterministic footer/promo lines
+        are injected per document (the SAME expressions the oracle uses),
+        then line_dedup must strip exactly the lines occurring in >= 10
+        docs, rebuilding each document from its surviving lines."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from debezium_incubator_ray.functions.text import line_dedup
+
+        def inject(t: pa.Table) -> pa.Table:
+            doc_id = t["doc_id"].combine_chunks()
+            footer = pc.binary_join_element_wise(
+                pa.array(["footer-"] * t.num_rows), t["source"].combine_chunks(), ""
+            )
+            promo = pc.binary_join_element_wise(
+                pa.array(["promo-"] * t.num_rows),
+                pc.cast(pc.subtract(doc_id, pc.multiply(
+                    pc.divide(doc_id, 3), pa.scalar(3, pa.int64()))), pa.string()),
+                "",
+            )
+            text2 = pc.binary_join_element_wise(
+                t["text"].combine_chunks(), footer, promo, "\n"
+            )
+            return pa.table({"doc_id": doc_id, "text": text2})
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        ).map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+        out = line_dedup(docs, min_docs=10)
+        return out.select_columns(["doc_id", "text_clean"])
+
     def _with_synth_urls(sf_dir):
         """documents + a deterministic messy-URL column derived from doc_id
         (the testdata has no url column; the SAME expression is embedded in
@@ -1434,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
+        "text_line_dedup": text_line_dedup,
         "url_canonicalize": url_canonicalize,
         "url_domain_stats": url_domain_stats,
         "text_token_count": text_token_count,
@@ -1981,6 +2016,24 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
         "sum(value) AS total FROM ranked WHERE rn = 1 AND op <> 'd' "
         "GROUP BY event_type",
+        "text_line_dedup": (
+            "WITH d2 AS (SELECT doc_id, text || chr(10) || 'footer-' || "
+            "source || chr(10) || 'promo-' || (doc_id % 3) AS text "
+            "FROM documents), "
+            "segs AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS seg, "
+            "unnest(generate_series(1, len(string_split(text, chr(10))))) AS i "
+            "FROM d2), "
+            "freq AS (SELECT seg FROM (SELECT seg, "
+            "count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg) "
+            "WHERE nd >= 10), "
+            "kept AS (SELECT * FROM segs WHERE seg NOT IN "
+            "(SELECT seg FROM freq)), "
+            "r AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY i) "
+            "AS text_clean FROM kept GROUP BY doc_id) "
+            "SELECT d2.doc_id, coalesce(r.text_clean, '') AS text_clean "
+            "FROM d2 LEFT JOIN r USING (doc_id)"
+        ),
         "url_canonicalize": _URL_CANON
         + "SELECT doc_id, url_canon, domain FROM canon",
         "url_domain_stats": _URL_CANON

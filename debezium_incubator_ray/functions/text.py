@@ -359,3 +359,105 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (CCNet-style)
+
+class _LineStripper:
+    """map_batches stage: drop the lines whose hash is in the broadcast
+    frequent-line set, rebuild each document by rejoining what's left."""
+
+    def __init__(self, freq_ref, delim: str, text_col: str, id_col: str):
+        import ray
+
+        from debezium_incubator_ray.hashing import stable_hash
+
+        self._hash = stable_hash
+        self.freq = np.sort(ray.get(freq_ref))  # sorted uint64 hashes
+        self.delim = delim
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        segs = pc.split_pattern(
+            t[self.text_col].combine_chunks(), self.delim
+        )
+        flat = pc.list_flatten(segs)
+        offsets = segs.offsets.to_numpy(zero_copy_only=False)
+        h = self._hash(flat)
+        keep = ~np.isin(h, self.freq, assume_unique=False)
+        counts = np.add.reduceat(
+            keep.astype(np.int64), offsets[:-1]
+        ) if len(flat) else np.zeros(len(segs), np.int64)
+        # reduceat quirk: an empty row reuses the next slice — zero it
+        row_len = offsets[1:] - offsets[:-1]
+        counts = np.where(row_len == 0, 0, counts)
+        new_off = np.zeros(len(segs) + 1, dtype=np.int32)
+        np.cumsum(counts, out=new_off[1:])
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(new_off), flat.filter(pa.array(keep))
+        )
+        clean = pc.binary_join(kept_lists, self.delim)
+        return t.append_column("text_clean", clean)
+
+
+def line_dedup(
+    ds,
+    min_docs: int = 10,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style boilerplate removal: drop every LINE that occurs in >=
+    ``min_docs`` distinct documents (nav bars, cookie banners, footers),
+    keeping document structure otherwise intact (kept lines rejoin with the
+    same delimiter). Adds ``text_clean``.
+
+    Scale shape: pass 1 shuffles only 8-byte line hashes pre-deduped per
+    document (one row per distinct (doc, line)); the global count is a
+    groupby over hashes; the frequent set — by construction the SMALL side
+    (lines repeated across >= min_docs docs) — broadcasts once via ray.put;
+    pass 2 is a stateless vectorized strip. No driver materialization of
+    anything proportional to the corpus.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from debezium_incubator_ray.hashing import stable_hash
+
+    def seg_hashes(t: pa.Table) -> pa.Table:
+        segs = pc.split_pattern(t[text_col].combine_chunks(), delim)
+        flat = pc.list_flatten(segs)
+        n = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), n.astype(np.int64)
+        )
+        h = stable_hash(flat)
+        # distinct (doc, hash) within the batch — each document lives in
+        # exactly one row, so this IS count-distinct-docs after the groupby
+        order = np.lexsort((h, doc))
+        hs, ds_ = h[order], doc[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table({"h": pa.array(hs[first].view(np.int64))})
+
+    counts = (
+        ds.map_batches(seg_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Count(alias_name="nd"))
+    )
+    freq_tbl = counts.filter(
+        lambda r, m=min_docs: r["nd"] >= m
+    ).select_columns(["h"]).take_all()
+    freq = np.array([r["h"] for r in freq_tbl], dtype=np.int64).view(np.uint64)
+    freq_ref = ray.put(freq)
+    return ds.map_batches(
+        _LineStripper,
+        fn_constructor_kwargs=dict(
+            freq_ref=freq_ref, delim=delim, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

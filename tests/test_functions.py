@@ -420,3 +420,31 @@ def test_spherical_kmeans_converges_and_assigns(ray_session):
     assert len(df) == et.num_rows
     assert df["vec_id"].is_unique
     assert set(df["cluster"]) <= set(range(4))
+
+
+def test_line_dedup_strips_frequent_lines(ray_session):
+    import ray.data
+    from debezium_incubator_ray.functions.text import line_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    f"unique-{i}\nBOILER\nalso-{i}" if i < 5 else "BOILER"
+                    for i in range(6)
+                ]
+            ),
+        }
+    )
+    out = (
+        line_dedup(ray.data.from_arrow(docs), min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # BOILER (6 docs) dropped everywhere; unique lines rejoin in order;
+    # the all-boilerplate doc becomes empty
+    assert out["text_clean"].tolist() == [
+        f"unique-{i}\nalso-{i}" for i in range(5)
+    ] + [""]
