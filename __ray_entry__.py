@@ -1030,6 +1030,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
 
+    def cdc_key_erasure(sf_dir):
+        """Right-to-be-forgotten: after a full CDC replay, erase user_id <
+        20 from the lake (state surgery — only runs whose key range
+        intersects are rewritten) and expire history to the forget point.
+        Oracle: the LWW final state minus the erased keys."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("erase")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(lake)
+        eng.run(binlog)
+        st = eng.erase_keys(list(range(20)), vacuum_history=True)
+        if st["erased_rows"] == 0:
+            raise RuntimeError("erasure removed nothing")
+        if eng.lookup(list(range(20))).num_rows != 0:
+            raise RuntimeError("erased keys still readable")
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_transactional(sf_dir):
         """Transaction-boundary apply: events carry (tx_id, tx_events) per
         partition-local transaction of 5; the LAST transaction in every
@@ -1464,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -1983,6 +2007,9 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
+        "cdc_key_erasure": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd' "
+        "AND user_id >= 20",
         "cdc_transactional": (
             f"WITH env AS ({_ENV}), "
             "p AS (SELECT *, user_id % 8 AS part FROM env), "

@@ -859,6 +859,66 @@ class CdcEngine:
             "kept_versions": len(keep),
         }
 
+    def erase_keys(self, keys, vacuum_history: bool = False) -> Dict[str, Any]:
+        """Right-to-be-forgotten: remove the given keys' rows from the lake
+        (base and merge-on-read delta runs), rewriting ONLY the runs whose
+        key range intersects — O(affected runs), never O(lake). One Ray task
+        per affected partition; one atomic manifest commit.
+
+        Erasure is state surgery, not a delete event: watermarks don't
+        move, nothing is tombstoned, and a later event with a higher LSN
+        re-creates the key. Superseded files still hold the data for
+        time-travel until vacuum — pass ``vacuum_history=True`` to expire
+        history to the post-erasure version in the same call (the actual
+        forget point)."""
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        self.flush()
+        if self.cfg.key_cols and keys and isinstance(keys[0], (tuple, list)):
+            from debezium_incubator_ray.envelope import composite_key_arrays
+
+            target = self.manifest.current_schema()
+            comps = [
+                pa.array([k[i] for k in keys], type=target.field(kc).type)
+                for i, kc in enumerate(self.cfg.key_cols)
+            ]
+            keys = composite_key_arrays(comps).to_pylist()
+        karr = pa.array(keys)
+        parts = partition_ids(karr, self.cfg.num_partitions, self.cfg.partitioner)
+        by_p: Dict[int, List[Any]] = {}
+        for k, p in zip(karr.to_pylist(), parts):
+            by_p.setdefault(int(p), []).append(k)
+        if not by_p:
+            return {"erased_rows": 0, "partitions": 0}
+        from debezium_incubator_ray.stages.apply import KeyEraser
+
+        items = [{S.PART: p} for p in sorted(by_p)]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ctor = dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            keys_by_partition=by_p,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+
+        def erase_one(batch: pa.Table) -> pa.Table:
+            return KeyEraser(**ctor)(batch)
+
+        commits = ds.map_batches(
+            erase_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        ).take_all()
+        erased = sum(c["events_applied"] for c in commits)
+        updates = self._partition_updates(commits)
+        self.manifest = self.manifest.commit(
+            updates,
+            lineage=self._lineage("erase", updates, erased, time.perf_counter() - t0),
+            persist=True,
+        )
+        out = {"erased_rows": erased, "partitions": len(by_p)}
+        if vacuum_history:
+            out["vacuum"] = self.vacuum(keep_versions=1)
+        return out
+
     # ------------------------------------------------------------------
     # internals
     def _apply_shuffle(

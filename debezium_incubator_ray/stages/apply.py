@@ -538,3 +538,73 @@ class Compactor:
                 )
             )
         return pa.concat_tables(outs)
+
+
+class KeyEraser:
+    """Per-partition key erasure (right-to-be-forgotten): rewrite ONLY the
+    runs (base and merge-on-read delta) whose [min_key, max_key] range
+    intersects the requested keys, dropping those rows; untouched runs carry
+    over — O(affected runs), never O(lake).
+
+    Erasure is STATE SURGERY, not a delete event: it does not move the
+    watermark and does not tombstone — a later event with a higher LSN
+    re-creates the key legally. Superseded files keep the data until
+    ``vacuum`` (CdcEngine.erase_keys(vacuum_history=True) chains it).
+    One call per partition batch row, same shape as the Compactor."""
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        keys_by_partition: Dict[int, List[Any]],
+        target_rows_per_file: int = 1_000_000,
+    ):
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.keys = {int(p): v for p, v in keys_by_partition.items()}
+
+    def _scrub(self, p: int, files: List[Dict], want, prefix: str):
+        out: List[Dict] = []
+        erased = rows = 0
+        for f in files:
+            hit = [k for k in want if f["min_key"] <= k <= f["max_key"]]
+            if not hit:
+                out.append(f)
+                rows += f["rows"]
+                continue
+            t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
+            if f.get("schema_version", 1) != self.inner.schema_version:
+                t = upgrade_run_table(t, self.inner.schema, self.inner.defaults)
+            keep = pc.invert(
+                pc.is_in(
+                    t[self.inner.key],
+                    value_set=pa.array(hit, t[self.inner.key].type),
+                )
+            )
+            kept = t.filter(keep)
+            erased += t.num_rows - kept.num_rows
+            if kept.num_rows == t.num_rows:
+                out.append(f)  # range overlapped but no row matched
+                rows += f["rows"]
+                continue
+            new = self.inner._write_run(p, kept, prefix=prefix)
+            out.extend(new)
+            rows += kept.num_rows
+        return out, rows, erased
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs: List[pa.Table] = []
+        for p in batch[S.PART].to_pylist():
+            ent = self.inner.doc["partitions"][str(p)]
+            want = self.keys.get(int(p), [])
+            files, rows_f, er_f = self._scrub(int(p), ent["files"], want, "")
+            deltas, rows_d, er_d = self._scrub(
+                int(p), ent.get("deltas", []), want, "delta-"
+            )
+            files.sort(key=lambda f: f["min_key"])
+            outs.append(
+                self.inner._record(
+                    int(p), ent["watermark"], 0, er_f + er_d, 0,
+                    rows_f + rows_d, files, deltas=deltas,
+                )
+            )
+        return pa.concat_tables(outs)

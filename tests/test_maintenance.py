@@ -269,3 +269,67 @@ def test_point_lookup_prunes_runs(tmp_path, monkeypatch):
     assert_tables_equal(got, exp, sort_by="url")
     # empty lookup
     assert eng.lookup(["https://nope.example/y"]).num_rows == 0
+
+
+def test_erase_keys_state_surgery(tmp_path, ray_session):
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(n_events=500, n_initial=100, seg_rows=100,
+                          num_partitions=4, seed=3)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    eng = CdcEngine(
+        str(tmp_path / "lake"),
+        EngineConfig(num_partitions=4, target_rows_per_file=32, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    before = eng.lake_table()
+    victims = before["url"].to_pylist()[:7]
+    v_old = eng.manifest.version
+    st = eng.erase_keys(victims)
+    assert st["erased_rows"] == 7
+    after = eng.lake_table()
+    assert after.num_rows == before.num_rows - 7
+    assert not set(victims) & set(after["url"].to_pylist())
+    assert eng.lookup(victims).num_rows == 0
+    # time-travel still sees the data until history expires
+    assert eng.lake_table(version=v_old).num_rows == before.num_rows
+    vac = eng.vacuum(keep_versions=1)
+    assert vac["removed_files"] > 0
+    # watermarks untouched: replay stays a no-op, erased keys stay gone
+    eng.manifest.doc["segments_done"] = []
+    assert eng.apply_epoch(binlog)["applied"] == 0
+    assert eng.lookup(victims).num_rows == 0
+
+
+def test_erase_keys_mor_deltas(tmp_path, ray_session):
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(n_events=400, n_initial=80, seg_rows=80,
+                          num_partitions=4, seed=4)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    eng = CdcEngine(
+        str(tmp_path / "lake"),
+        EngineConfig(num_partitions=4, sink_mode="mor", apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    assert any(eng.manifest.deltas(p) for p in range(4))
+    before = eng.lake_table()
+    victims = before["url"].to_pylist()[-5:]
+    eng.erase_keys(victims)
+    after = eng.lake_table()  # merged through the delta overlay
+    assert after.num_rows == before.num_rows - 5
+    assert not set(victims) & set(after["url"].to_pylist())
