@@ -212,7 +212,8 @@ def main() -> None:
         "windowed_session_agg", "topk_per_group", "quantiles_by_type",
         "asof_join_events", "cdc_incremental_snapshot", "cdc_compaction",
         "cdc_point_lookup", "cdc_mor_lww", "cdc_incremental_agg",
-        "url_canonicalize",
+        "cdc_transactional", "cdc_composite_key", "cdc_key_erasure",
+        "docs_curation_pipeline", "text_line_dedup", "url_canonicalize",
         "url_domain_stats",
     ]
     for name in q_list:

@@ -258,6 +258,18 @@ class CdcEngine:
         mode = self.cfg.snapshot_mode.upper()
         if mode == "NEVER" or (mode == "INITIAL" and self.manifest.doc["snapshot_complete"]):
             return {"skipped": True}
+        if mode == "INITIAL_SCHEMA_ONLY":
+            # Oracle's schema-only snapshot (OracleConnectorConfig
+            # SnapshotMode.INITIAL_SCHEMA_ONLY): capture structure, load no
+            # data — mark completion so streaming starts from the current
+            # position; the lake begins empty
+            self.manifest = self.manifest.commit(
+                {},
+                lineage=self._lineage("snapshot_schema_only", {}, 0, 0.0),
+                snapshot={"complete": True, "lsn": snapshot_lsn},
+            )
+            self.flush()
+            return {"skipped": True, "schema_only": True}
         if mode == "ALWAYS" and self.manifest.doc["snapshot_complete"]:
             # a redo with snapshot_lsn <= any applied watermark would be a
             # silent no-op (every row filtered as a duplicate) — the redo

@@ -223,3 +223,16 @@ def test_metrics_endpoint(world):
     del eng
     eng2 = CdcEngine(lake, _cfg(spec))
     assert eng2.metrics()["snapshot-completed"] is True
+
+
+def test_snapshot_schema_only_mode(tmp_path, world):
+    spec, ev, binlog, lake = world
+    cfg = _cfg(spec, snapshot_mode="INITIAL_SCHEMA_ONLY")
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    st = eng.snapshot(gen.make_pages(spec.n_initial))
+    assert st["skipped"] and st.get("schema_only")
+    assert eng.manifest.doc["snapshot_complete"]
+    assert eng.lake_table().num_rows == 0  # structure only, no data
+    # streaming proceeds from the current position
+    eng.run(binlog)
+    assert eng.lake_table().num_rows > 0

@@ -115,3 +115,43 @@ def test_tombstone_semantics(t):
     df = retained.to_pandas()
     assert set(df["k"]) == live | dead
     assert set(df[df[DELETED]]["k"]) == dead
+
+
+@given(
+    st.lists(st.integers(1, 6), min_size=1, max_size=8),  # tx sizes
+    st.integers(0, 40),                                   # delivered prefix
+)
+@settings(max_examples=40, deadline=None)
+def test_tx_cutoff_prefix_soundness(sizes, delivered):
+    """For any sequence of transactions and any delivered prefix of the
+    stream, tx_cutoff admits exactly the maximal prefix of COMPLETE
+    transactions: every admitted row's tx is fully delivered, and no
+    complete-tx row below the first incomplete one is held back."""
+    from debezium_incubator_ray.stages.apply import tx_cutoff
+
+    lsn, tx_id, tx_ev = [], [], []
+    next_lsn = 1
+    for t, size in enumerate(sizes):
+        for _ in range(size):
+            lsn.append(next_lsn)
+            tx_id.append(t)
+            tx_ev.append(size)
+            next_lsn += 1
+    n = min(delivered, len(lsn))
+    if n == 0:
+        return
+    got = tx_cutoff(
+        pa.array(lsn[:n], pa.int64()),
+        pa.array(tx_id[:n], pa.int64()),
+        pa.array(tx_ev[:n], pa.int32()),
+    )
+    # reference: first lsn whose tx is not fully delivered in the prefix
+    from collections import Counter
+
+    seen = Counter(tx_id[:n])
+    cut_ref = None
+    for i in range(n):
+        if seen[tx_id[i]] < tx_ev[i]:
+            cut_ref = lsn[i]
+            break
+    assert got == cut_ref
