@@ -931,6 +931,88 @@ class CdcEngine:
             out["vacuum"] = self.vacuum(keep_versions=1)
         return out
 
+    def export_changes(
+        self, out_dir: str, to_version: Optional[int] = None
+    ) -> Dict[str, Any]:
+        """Exactly-once outbox: export the change feed SINCE THE LAST EXPORT
+        (manifest cursor ``outbox.exported_version``) as parquet under
+        ``out_dir/changes-v{from}-v{to}/`` — the lake→downstream leg of the
+        reference's Kafka emit (KafkaRecordEmitter.java:58-71, offsets
+        marked only after ack; here "ack" = the export directory rename).
+
+        Protocol: write to a temp dir, atomically rename to the
+        version-range-named directory, THEN commit the cursor. A crash
+        between rename and commit is recovered on the next call by adopting
+        any existing export that starts at the cursor — no window is ever
+        written twice and consumers can total-order exports by name. The
+        first export diffs from the earliest retained manifest version
+        (an empty v0 lake ⇒ a full 'c' bootstrap feed).
+
+        Replay contract: fold the export directories IN NAME ORDER (keys
+        are unique within a window; 'd' removes, 'c'/'u' upsert). A global
+        LWW over concatenated windows is NOT sound — a 'd' row carries the
+        superseded winner's LSN (the deleting event's own position was
+        compacted away), so only the window order carries time."""
+        import uuid as _uuid
+
+        self._acquire_lock()
+        self.flush()
+        t0 = time.perf_counter()
+        to_v = self.manifest.version if to_version is None else to_version
+        state = dict(self.manifest.doc.get("outbox") or {})
+        from_v = state.get("exported_version")
+        if from_v is None:
+            from_v = min(self.manifest.versions())
+        os.makedirs(out_dir, exist_ok=True)
+        # crash recovery: an export starting at the cursor already exists →
+        # its rename won the race; adopt it instead of re-diffing
+        prefix = f"changes-v{from_v:06d}-v"
+        existing = sorted(
+            n for n in os.listdir(out_dir)
+            if n.startswith(prefix) and not n.endswith(".tmp")
+        )
+        if existing:
+            name = existing[-1]
+            adopted_to = int(name.rsplit("-v", 1)[1])
+            self.manifest = self.manifest.commit(
+                {},
+                lineage=self._lineage("export_adopt", {}, 0, 0.0),
+                extra_state={"outbox": {"exported_version": adopted_to,
+                                        "last_export": name}},
+            )
+            self.flush()
+            return {"export": name, "rows": None, "adopted": True}
+        if to_v <= from_v:
+            return {"export": None, "rows": 0, "skipped": True}
+        # data-aware skip: versions advance on non-data commits too (the
+        # export cursor itself, heartbeats) — export only when some
+        # partition's state actually moved since the cursor
+        doc_from = Manifest.load_version(
+            self.lake_dir, from_v, store=self.manifest.store
+        ).doc
+        if doc_from["partitions"] == self.manifest.doc["partitions"]:
+            return {"export": None, "rows": 0, "skipped": True}
+        name = f"changes-v{from_v:06d}-v{to_v:06d}"
+        final = os.path.join(out_dir, name)
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp, exist_ok=True)  # a zero-row window is a valid export
+        ds = self.changes_between(from_v, to_v)
+        ds.write_parquet(tmp)
+        os.rename(tmp, final)  # the visibility point
+        rows = sum(
+            pq.ParquetFile(os.path.join(final, f)).metadata.num_rows
+            for f in os.listdir(final)
+            if f.endswith(".parquet")
+        )
+        self.manifest = self.manifest.commit(
+            {},
+            lineage=self._lineage("export", {}, rows, time.perf_counter() - t0),
+            extra_state={"outbox": {"exported_version": to_v,
+                                    "last_export": name}},
+        )
+        self.flush()
+        return {"export": name, "rows": rows, "from": from_v, "to": to_v}
+
     # ------------------------------------------------------------------
     # internals
     def _apply_shuffle(
@@ -1091,19 +1173,46 @@ class CdcEngine:
         )
 
     def read_lake(
-        self, include_lsn: bool = False, version: Optional[int] = None
+        self,
+        include_lsn: bool = False,
+        version: Optional[int] = None,
+        columns: Optional[List[str]] = None,
     ) -> "ray.data.Dataset":
         """The lake as a Dataset, unified to the current schema version.
 
         Files written under older schema versions are upgraded on read
         (default backfill / widening) — the lazy half of schema evolution.
         ``version=`` reads the lake as of that manifest commit (time-travel).
+        ``columns=`` prunes at the parquet read (only the requested columns
+        plus the internal sidecars leave storage — at 100 TB a 2-column
+        scan must not decode the html payload).
         """
         m = self._manifest_at(version)
         target = m.current_schema()
         defaults = m.doc["defaults"]
+        if columns is not None:
+            missing = [c for c in columns if target.get_field_index(c) < 0]
+            if missing:
+                raise ValueError(f"columns not in lake schema: {missing}")
+            target = pa.schema([target.field(c) for c in columns])
         if any(m.deltas(p) for p in range(m.num_partitions)):
-            return self._read_lake_merged(m, include_lsn)
+            ds = self._read_lake_merged(m, include_lsn)
+            if columns is None:
+                return ds
+            from debezium_incubator_ray.envelope import DELETED as _DEL
+
+            keep = list(columns)
+            if include_lsn:
+                keep.append(S.LSN)
+            if not m.doc.get("tombstones", True):
+                keep.append(_DEL)
+            return ds.map_batches(
+                lambda t, k=tuple(keep): t.select(
+                    [c for c in k if c in t.column_names]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         by_ver: Dict[int, List[str]] = {}
         for p in range(m.num_partitions):
             for f in m.files(p):
@@ -1115,6 +1224,8 @@ class CdcEngine:
             return ray.data.from_arrow(empty)
 
         from debezium_incubator_ray.envelope import DELETED
+
+        keep_tomb = not m.doc.get("tombstones", True)
 
         def upgrade(batch: pa.Table) -> pa.Table:
             side = {S.LSN: batch[S.LSN]}
@@ -1129,10 +1240,19 @@ class CdcEngine:
                 out = out.append_column(DELETED, side[DELETED])
             return out
 
+        # per-version projection: an evolved column absent from old files
+        # is backfilled by upgrade(), so request only what each version HAS
+        ver_b64 = {s["version"]: s["schema"] for s in m.doc["schemas"]}
         parts = []
-        for _ver, paths in sorted(by_ver.items()):
+        for ver, paths in sorted(by_ver.items()):
+            read_cols = None
+            if columns is not None:
+                have = set(S.schema_from_b64(ver_b64[ver]).names)
+                read_cols = [c for c in columns if c in have] + [S.LSN]
+                if keep_tomb:
+                    read_cols.append(DELETED)
             parts.append(
-                ray.data.read_parquet(paths).map_batches(
+                ray.data.read_parquet(paths, columns=read_cols).map_batches(
                     upgrade, batch_format="pyarrow", zero_copy_batch=True
                 )
             )

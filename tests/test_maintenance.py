@@ -333,3 +333,100 @@ def test_erase_keys_mor_deltas(tmp_path, ray_session):
     after = eng.lake_table()  # merged through the delta overlay
     assert after.num_rows == before.num_rows - 5
     assert not set(victims) & set(after["url"].to_pylist())
+
+
+def test_read_lake_column_pruning(tmp_path, ray_session):
+    import pyarrow as pa
+
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(
+        n_events=300, n_initial=60, seg_rows=60, num_partitions=4, seed=8,
+        schema_changes=[
+            S.SchemaChange("add_column", "fetch_status", "int32", 200, at_lsn=150)
+        ],
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    for mode in ("cow", "mor"):
+        eng = CdcEngine(
+            str(tmp_path / f"lake-{mode}"),
+            EngineConfig(num_partitions=4, sink_mode=mode, apply_concurrency=2),
+            payload_schema=S.pages_schema(),
+        )
+        eng.snapshot(gen.make_pages(spec.n_initial))
+        eng.run(binlog)
+        # prune to 2 columns, one of them evolved (absent in old files)
+        got = eng.read_lake(columns=["url", "fetch_status"]).to_pandas()
+        full = eng.lake_table()
+        assert sorted(got.columns) == ["fetch_status", "url"]
+        assert sorted(got["url"]) == sorted(full["url"].to_pylist())
+        assert (
+            got.sort_values("url")["fetch_status"].tolist()
+            == full["fetch_status"].to_pylist()
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="not in lake schema"):
+            eng.read_lake(columns=["nope"])
+
+
+def test_export_changes_outbox(tmp_path, ray_session):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+    from debezium_incubator_ray.pipelines.events_cdc import scratch_dir  # noqa: F401
+
+    spec = gen.BinlogSpec(n_events=300, n_initial=60, seg_rows=60,
+                          num_partitions=4, seed=6)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    out = str(tmp_path / "outbox")
+    eng = CdcEngine(
+        str(tmp_path / "lake"),
+        EngineConfig(num_partitions=4, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.apply_epoch(binlog, max_segments=2)
+    st1 = eng.export_changes(out)
+    assert st1["rows"] > 0
+    # nothing new → skipped, no second directory
+    st2 = eng.export_changes(out)
+    assert st2.get("skipped")
+    assert len(os.listdir(out)) == 1
+
+    # more epochs → export only the delta window
+    eng.run(binlog)
+    st3 = eng.export_changes(out)
+    assert st3["rows"] > 0 and st3["from"] == st1["to"]
+
+    # replay contract: fold the export windows IN NAME ORDER (keys are
+    # unique within a window) — the folded state reproduces the lake
+    state = {}
+    for name in sorted(os.listdir(out)):
+        w = pq.read_table(os.path.join(out, name))
+        for url, op in zip(w["url"].to_pylist(), w["op"].to_pylist()):
+            if op == "d":
+                state.pop(url, None)
+            else:
+                state[url] = True
+    lt = eng.lake_table(include_lsn=True)
+    assert sorted(state) == sorted(lt["url"].to_pylist())
+
+    # crash between rename and cursor commit: wipe the cursor → the next
+    # call ADOPTS the existing export instead of writing the window again
+    eng.manifest.doc["outbox"] = {"exported_version": st1["to"]}
+    st4 = eng.export_changes(out)
+    assert st4.get("adopted")
+    assert len(os.listdir(out)) == 2
