@@ -380,8 +380,10 @@ class _LineStripper:
         self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # null text → "" (scraped corpora routinely carry null cells; a
+        # null list would corrupt the offsets arithmetic below)
         segs = pc.split_pattern(
-            t[self.text_col].combine_chunks(), self.delim
+            pc.fill_null(t[self.text_col].combine_chunks(), ""), self.delim
         )
         flat = pc.list_flatten(segs)
         offsets = segs.offsets.to_numpy(zero_copy_only=False)
@@ -427,7 +429,9 @@ def line_dedup(
     from debezium_incubator_ray.hashing import stable_hash
 
     def seg_hashes(t: pa.Table) -> pa.Table:
-        segs = pc.split_pattern(t[text_col].combine_chunks(), delim)
+        segs = pc.split_pattern(
+            pc.fill_null(t[text_col].combine_chunks(), ""), delim
+        )
         flat = pc.list_flatten(segs)
         n = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
         doc = np.repeat(
@@ -447,9 +451,15 @@ def line_dedup(
         .groupby("h")
         .aggregate(Count(alias_name="nd"))
     )
-    freq_tbl = counts.filter(
-        lambda r, m=min_docs: r["nd"] >= m
-    ).select_columns(["h"]).take_all()
+    # vectorized threshold (one row per DISTINCT line in the corpus — a
+    # per-row Python filter here would dominate pass 1)
+    freq_tbl = counts.map_batches(
+        lambda t, m=min_docs: t.filter(
+            pc.greater_equal(t["nd"], pa.scalar(m, pa.int64()))
+        ).select(["h"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
     freq = np.array([r["h"] for r in freq_tbl], dtype=np.int64).view(np.uint64)
     freq_ref = ray.put(freq)
     return ds.map_batches(

@@ -716,11 +716,16 @@ class CdcEngine:
         while True:
             st = self.apply_epoch(binlog_dir, max_segments_per_epoch)
             out.append(st)
-            no_progress = (
-                st["segments"] == 0
-                or (st["applied"] == 0 and st.get("done", 0) == 0)
+            # progress = anything that changes the next epoch's plan or the
+            # lake: rows applied, segments marked done, or segments
+            # quarantined (they leave the plan via segments_error). A pure
+            # heartbeat or a deferred-only head makes no progress → stop.
+            progress = (
+                st.get("applied", 0) > 0
+                or st.get("done", 0) > 0
+                or st.get("quarantined", 0) > 0
             )
-            if no_progress:
+            if not progress:
                 self.flush()  # end-of-drain: make all epochs durable
                 return out
 
@@ -842,6 +847,12 @@ class CdcEngine:
         ms = self.manifest
         vs = ms.versions()
         keep = set(vs[-max(1, keep_versions):]) | {ms.version}
+        # the outbox cursor's version must stay readable or export_changes
+        # can never diff forward again (a wedged outbox). To truly forget
+        # (erasure), export first or clear the outbox state.
+        cursor = (ms.doc.get("outbox") or {}).get("exported_version")
+        if cursor is not None and cursor in vs:
+            keep.add(cursor)
         referenced = set()
         for v in sorted(keep):
             raw = ms.store.read(f"v{v}.json")
@@ -886,16 +897,8 @@ class CdcEngine:
         self._acquire_lock()
         t0 = time.perf_counter()
         self.flush()
-        if self.cfg.key_cols and keys and isinstance(keys[0], (tuple, list)):
-            from debezium_incubator_ray.envelope import composite_key_arrays
-
-            target = self.manifest.current_schema()
-            comps = [
-                pa.array([k[i] for k in keys], type=target.field(kc).type)
-                for i, kc in enumerate(self.cfg.key_cols)
-            ]
-            keys = composite_key_arrays(comps).to_pylist()
-        karr = pa.array(keys)
+        keys = self._resolve_keys(keys, self.manifest.current_schema())
+        karr = pa.array(keys) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
         parts = partition_ids(karr, self.cfg.num_partitions, self.cfg.partitioner)
         by_p: Dict[int, List[Any]] = {}
         for k, p in zip(karr.to_pylist(), parts):
@@ -1160,6 +1163,23 @@ class CdcEngine:
             "watermarks": {str(p): u.get("watermark") for p, u in updates.items()},
         }
 
+    def _resolve_keys(self, keys, target: pa.Schema):
+        """Composite component tuples → the internal joined key, through
+        the SAME Arrow cast path normalize uses (Python str() renders
+        bools/floats differently and would silently miss). Shared by every
+        key-addressed entry point (lookup, erase_keys)."""
+        if self.cfg.key_cols and keys is not None and len(keys) and isinstance(
+            keys[0], (tuple, list)
+        ):
+            from debezium_incubator_ray.envelope import composite_key_arrays
+
+            comps = [
+                pa.array([k[i] for k in keys], type=target.field(kc).type)
+                for i, kc in enumerate(self.cfg.key_cols)
+            ]
+            return composite_key_arrays(comps)
+        return keys
+
     # ------------------------------------------------------------------
     # read side
     def _manifest_at(self, version: Optional[int]):
@@ -1196,7 +1216,7 @@ class CdcEngine:
                 raise ValueError(f"columns not in lake schema: {missing}")
             target = pa.schema([target.field(c) for c in columns])
         if any(m.deltas(p) for p in range(m.num_partitions)):
-            ds = self._read_lake_merged(m, include_lsn)
+            ds = self._read_lake_merged(m, include_lsn, columns=columns)
             if columns is None:
                 return ds
             from debezium_incubator_ray.envelope import DELETED as _DEL
@@ -1261,7 +1281,9 @@ class CdcEngine:
             ds = ds.union(other)
         return ds
 
-    def _read_lake_merged(self, m, include_lsn: bool) -> "ray.data.Dataset":
+    def _read_lake_merged(
+        self, m, include_lsn: bool, columns: Optional[List[str]] = None
+    ) -> "ray.data.Dataset":
         """Merge-on-read scan: one task per partition LWW-merges that
         partition's base runs ⊕ delta runs (stages/apply.py
         read_partition_state). Parallelism = partitions, no shuffle — the
@@ -1287,6 +1309,7 @@ class CdcEngine:
                 t = read_partition_state(
                     entries[int(p)], lake_dir, tgt, defaults,
                     schema_version, key, keep_tombstones=keep_tombstones,
+                    columns=columns,
                 )
                 if not include_lsn and S.LSN in t.column_names:
                     t = t.drop_columns([S.LSN])
@@ -1314,20 +1337,7 @@ class CdcEngine:
         target = m.current_schema()
         defaults = m.doc["defaults"]
         key = self.cfg.key
-        if self.cfg.key_cols and keys and isinstance(keys[0], (tuple, list)):
-            # composite lookups: component tuples → the internal joined key,
-            # through the SAME Arrow cast path normalize used (Python str()
-            # renders bools/floats differently and would silently miss)
-            from debezium_incubator_ray.envelope import composite_key_arrays
-
-            comps = [
-                pa.array(
-                    [k[i] for k in keys],
-                    type=target.field(kc).type,
-                )
-                for i, kc in enumerate(self.cfg.key_cols)
-            ]
-            keys = composite_key_arrays(comps)
+        keys = self._resolve_keys(keys, target)
         karr = pa.array(keys) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
         parts = partition_ids(karr, m.num_partitions, self.cfg.partitioner)
         from debezium_incubator_ray.stages.apply import upgrade_run_table

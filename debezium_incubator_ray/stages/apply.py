@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -63,13 +63,24 @@ COMMIT_SCHEMA = pa.schema(
 )
 
 
-def tx_cutoff(lsn: "pa.Array", tx_id: "pa.Array", tx_events: "pa.Array"):
+def tx_cutoff(
+    lsn: "pa.Array", tx_id: "pa.Array", tx_events: "pa.Array",
+    watermark: int = -1,
+):
     """Transaction-boundary cutoff for one partition's delivered rows: the
     minimum LSN belonging to any INCOMPLETE transaction (observed events <
     declared tx_events), or None when every transaction is complete. Rows
     with lsn >= cutoff defer to a later epoch — applying only the prefix
     keeps the per-partition watermark sound (it never advances past an
-    unapplied row). Vectorized: one sort + run-length count per tx."""
+    unapplied row). Vectorized: one sort + run-length count per tx.
+
+    ``watermark``: transactions whose visible rows are ALL <= watermark are
+    already fully applied and must not count as incomplete. This happens
+    when a complete transaction straddled a done and a deferred segment:
+    redelivery shows only part of its rows. The cutoff invariant guarantees
+    a tx with genuinely pending rows had NONE applied (an incomplete tx's
+    rows all sit at/above the cutoff), so its delivered rows are always
+    fully visible — only fully-applied txs can appear truncated."""
     import numpy as np
 
     t = np.asarray(tx_id.to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -80,13 +91,15 @@ def tx_cutoff(lsn: "pa.Array", tx_id: "pa.Array", tx_events: "pa.Array"):
     order = np.argsort(t, kind="stable")
     ts = t[order]
     uniq, counts = np.unique(ts, return_counts=True)
-    # declared size per tx (constant within a tx by contract)
+    # declared size + max visible lsn per tx (declared constant within a
+    # tx by contract)
     first_idx = order[np.searchsorted(ts, uniq)]
     declared = n_decl[first_idx]
-    incomplete = set(uniq[counts < declared].tolist())
-    if not incomplete:
+    max_lsn = np.maximum.reduceat(lo[order], np.searchsorted(ts, uniq))
+    pending = (counts < declared) & (max_lsn > watermark)
+    if not pending.any():
         return None
-    mask = np.isin(t, np.fromiter(incomplete, dtype=np.int64))
+    mask = np.isin(t, uniq[pending])
     return int(lo[mask].min())
 
 
@@ -127,6 +140,7 @@ def read_partition_state(
     schema_version: int,
     key: str,
     keep_tombstones: bool = False,
+    columns: Optional[List[str]] = None,
 ) -> pa.Table:
     """Merged LIVE state of one partition: base sorted runs ⊕ merge-on-read
     delta runs, all lazily upgraded to ``schema``. The read half of
@@ -134,13 +148,33 @@ def read_partition_state(
     ``_deleted`` markers and win by LSN. Output is key-sorted with ``_lsn``
     (and ``_deleted`` when ``keep_tombstones``). With no deltas this is a
     plain key-ordered concat of the base runs (disjoint key ranges)."""
-    from debezium_incubator_ray.envelope import DELETED
+    from debezium_incubator_ray.envelope import COMPOSITE_KEY, DELETED
+
+    if columns is not None:
+        # prune at the parquet read: requested columns + whatever the merge
+        # itself needs (the key, _lsn, and the marker/sidecar columns).
+        # Intersected against each file's physical schema (an evolved
+        # column is absent from old files; upgrade backfills it).
+        want = list(dict.fromkeys(
+            list(columns)
+            + ([key] if schema.get_field_index(key) >= 0 else [])
+            + [S.LSN, DELETED, COMPOSITE_KEY]
+        ))
+        # the merge target keeps only requested payload + the key
+        schema = pa.schema(
+            [f for f in schema if f.name in set(columns) | {key}]
+        )
 
     def load(files: List[Dict]) -> List[pa.Table]:
         out = []
         for f in files:  # base files kept sorted by min_key
-            t = pq.read_table(os.path.join(lake_dir, f["path"]))
-            if f.get("schema_version", 1) != schema_version:
+            path = os.path.join(lake_dir, f["path"])
+            cols = None
+            if columns is not None:
+                avail = set(pq.read_schema(path).names)
+                cols = [c for c in want if c in avail]
+            t = pq.read_table(path, columns=cols)
+            if f.get("schema_version", 1) != schema_version or columns is not None:
                 t = upgrade_run_table(t, schema, defaults)
             out.append(t)
         return out
@@ -450,6 +484,7 @@ class AlignedSegmentApplier:
                     raw["lsn"].combine_chunks(),
                     raw["tx_id"].combine_chunks(),
                     raw["tx_events"].combine_chunks(),
+                    watermark=self.inner.doc["partitions"][str(p)]["watermark"],
                 )
                 if cut is not None:
                     # apply only the prefix of complete transactions;

@@ -124,3 +124,62 @@ def test_transactional_requires_aligned(tmp_path):
     eng = CdcEngine(lake, cfg, payload_schema=PAYLOAD)
     with pytest.raises(ValueError, match="partition-aligned"):
         eng.apply_epoch(binlog)
+
+
+def test_complete_tx_straddling_done_and_deferred_segments(tmp_path):
+    """Reviewer repro: tx 101 straddles a done segment and a deferred
+    segment. On redelivery only part of its rows are visible — the cutoff
+    must NOT treat the already-applied tx as incomplete (that would defer
+    fresh rows forever: permanent data loss)."""
+    binlog = str(tmp_path / "binlog")
+    lake = str(tmp_path / "lake")
+    rows1 = [
+        (0, 1.0, 1, 100, 1),
+        (2, 2.0, 2, 101, 2),
+        (4, 3.0, 3, 101, 2),   # tx101 completes across the 2-row boundary
+        (6, 4.0, 4, 102, 2),   # tx102: 1 of 2 → deferred
+    ]
+    write_env_binlog(_env(rows1), binlog, seg_rows=2, num_partitions=P)
+    eng = _eng(lake)
+    eng.run(binlog)
+    lt = eng.lake_table()
+    assert dict(zip(lt["k"].to_pylist(), lt["v"].to_pylist())) == {
+        0: 1.0, 2: 2.0, 4: 3.0,
+    }
+    # tx102 completes; the redelivered straddling segment shows tx101 with
+    # only 1 of its 2 rows — must not stall the cutoff
+    write_env_binlog(_env([(8, 5.0, 5, 102, 2)]), binlog, seg_rows=2,
+                     append=True, num_partitions=P)
+    eng.run(binlog)
+    lt = eng.lake_table()
+    assert dict(zip(lt["k"].to_pylist(), lt["v"].to_pylist())) == {
+        0: 1.0, 2: 2.0, 4: 3.0, 6: 4.0, 8: 5.0,
+    }
+    # everything drained: nothing left un-done
+    assert eng.apply_epoch(binlog)["segments"] == 0
+
+
+def test_run_continues_past_quarantine_only_epoch(tmp_path):
+    """A corrupt segment alone in an epoch (applied=0, done=0) must not
+    stop the drain — healthy later segments still apply."""
+    import os
+
+    binlog = str(tmp_path / "binlog")
+    lake = str(tmp_path / "lake")
+    write_env_binlog(
+        _env([(0, 1.0, 1, 100, 1), (2, 2.0, 2, 200, 1)]), binlog,
+        seg_rows=1, num_partitions=P,
+    )
+    # corrupt the FIRST segment of partition 0
+    seg0 = os.path.join(binlog, "p=0", "seg-00000.parquet")
+    with open(seg0, "wb") as f:
+        f.write(b"not parquet")
+    cfg = EngineConfig(
+        table="tx", key="k", num_partitions=P, partitioner="mod",
+        transactional=False, aligned_binlog="never",  # exchange path probes
+    )
+    eng = CdcEngine(lake, cfg, payload_schema=PAYLOAD)
+    eng.run(binlog, max_segments_per_epoch=1)
+    lt = eng.lake_table()
+    assert 2 in lt["k"].to_pylist()  # the healthy segment applied
+    assert len(eng.manifest.doc.get("segments_error", {})) == 1
