@@ -1030,6 +1030,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
 
+    def cdc_lake_join(sf_dir):
+        """Co-partitioned lake-to-lake join: the event stream splits by LSN
+        parity into two lakes sharing key/partitioner/partition-count, so
+        the join is one task per partition with NO shuffle (join_lake).
+        Oracle: SQL inner join of the two LWW final states."""
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("ljoin")
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        even = pc.equal(pc.bit_wise_and(lsn, 1), 0)
+        engines = []
+        for tag, mask in (("a", even), ("b", pc.invert(even))):
+            binlog = os.path.join(root, f"binlog-{tag}")
+            lake = os.path.join(root, f"lake-{tag}")
+            EC.write_env_binlog(env.filter(mask), binlog)
+            eng = EC.make_engine(lake)
+            eng.run(binlog)
+            engines.append(eng)
+        return engines[0].join_lake(engines[1], join_type="inner")
+
     def cdc_key_erasure(sf_dir):
         """Right-to-be-forgotten: after a full CDC replay, erase user_id <
         20 from the lake (state surgery — only runs whose key range
@@ -1487,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_lake_join": cdc_lake_join,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
         "cdc_composite_key": cdc_composite_key,
@@ -2006,6 +2029,19 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "cdc_lake_join": (
+            f"WITH env AS ({_ENV}), "
+            "wa AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE lsn % 2 = 0) WHERE rn = 1 AND op <> 'd'), "
+            "wb AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE lsn % 2 = 1) WHERE rn = 1 AND op <> 'd') "
+            "SELECT wa.user_id, wa.ts AS ts, wa.event_type AS event_type, "
+            "wa.value AS value, wa.props AS props, wb.ts AS ts_r, "
+            "wb.event_type AS event_type_r, wb.value AS value_r, "
+            "wb.props AS props_r FROM wa JOIN wb USING (user_id)"
         ),
         "cdc_key_erasure": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd' "

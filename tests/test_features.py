@@ -294,3 +294,48 @@ def test_processed_low_watermark(tmp_path, ray_session):
     wms = [e["watermark"] for e in eng.manifest.doc["partitions"].values()]
     assert low == min(wms) and low > 0
     assert eng.metrics()["processed-low-watermark"] == low
+
+
+def test_join_lake_copartitioned(tmp_path, ray_session):
+    import pyarrow as pa
+
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    import pytest
+
+    spec = gen.BinlogSpec(n_events=300, n_initial=80, seg_rows=60,
+                          num_partitions=4, seed=12)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    engines = []
+    for tag in ("a", "b"):
+        eng = CdcEngine(
+            str(tmp_path / f"lake-{tag}"),
+            EngineConfig(num_partitions=4, apply_concurrency=2),
+            payload_schema=S.pages_schema(),
+        )
+        eng.snapshot(gen.make_pages(spec.n_initial))
+        engines.append(eng)
+    engines[0].run(binlog)  # side A streams; side B stays at the snapshot
+    joined = pa.Table.from_pandas(
+        engines[0].join_lake(engines[1], join_type="inner").to_pandas()
+    )
+    a = engines[0].lake_table()
+    b = engines[1].lake_table()
+    common = set(a["url"].to_pylist()) & set(b["url"].to_pylist())
+    assert set(joined["url"].to_pylist()) == common
+    assert "text_r" in joined.column_names  # right side suffixed
+
+    # mismatched partitioning must refuse (the no-shuffle premise)
+    other = CdcEngine(
+        str(tmp_path / "lake-c"),
+        EngineConfig(num_partitions=8, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    other.snapshot(gen.make_pages(10))
+    with pytest.raises(ValueError, match="co-partitioning"):
+        engines[0].join_lake(other)
