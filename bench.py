@@ -213,7 +213,8 @@ def main() -> None:
         "asof_join_events", "cdc_incremental_snapshot", "cdc_compaction",
         "cdc_point_lookup", "cdc_mor_lww", "cdc_incremental_agg",
         "cdc_transactional", "cdc_composite_key", "cdc_key_erasure",
-        "docs_curation_pipeline", "text_line_dedup", "url_canonicalize",
+        "docs_curation_pipeline", "text_line_dedup", "cdc_lake_join",
+        "url_canonicalize",
         "url_domain_stats",
     ]
     for name in q_list:

@@ -729,6 +729,40 @@ class CdcEngine:
                 self.flush()  # end-of-drain: make all epochs durable
                 return out
 
+    def tail(
+        self,
+        binlog_dir: str,
+        poll_interval_s: float = 1.0,
+        idle_polls: Optional[int] = None,
+        max_epochs: Optional[int] = None,
+    ) -> List[Dict]:
+        """The directory-watcher lifecycle (AbstractDirectoryWatcher.java:
+        40-53): drain, then poll for new segments, applying as they land.
+        Stops after ``idle_polls`` consecutive empty polls (None = only on
+        ``max_epochs``) — production runs pass None and cancel externally;
+        tests pass small numbers."""
+        out: List[Dict] = []
+        idle = 0
+        while True:
+            st = self.apply_epoch(binlog_dir)
+            out.append(st)
+            if max_epochs is not None and len(out) >= max_epochs:
+                break
+            progressed = (
+                st.get("applied", 0) > 0
+                or st.get("done", 0) > 0
+                or st.get("quarantined", 0) > 0
+            )
+            if progressed:
+                idle = 0
+                continue
+            idle += 1
+            if idle_polls is not None and idle >= idle_polls:
+                break
+            time.sleep(poll_interval_s)
+        self.flush()
+        return out
+
     # ------------------------------------------------------------------
     # lake maintenance
     def compact(self, min_files: int = 2) -> Dict[str, Any]:

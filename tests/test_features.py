@@ -339,3 +339,58 @@ def test_join_lake_copartitioned(tmp_path, ray_session):
     other.snapshot(gen.make_pages(10))
     with pytest.raises(ValueError, match="co-partitioning"):
         engines[0].join_lake(other)
+
+
+def test_tail_applies_segments_as_they_arrive(tmp_path, ray_session):
+    import threading
+    import time as _time
+
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(n_events=200, n_initial=40, seg_rows=50,
+                          num_partitions=2, seed=13)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    eng = CdcEngine(
+        str(tmp_path / "lake"),
+        EngineConfig(num_partitions=2, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+
+    # withhold each partition's LAST segment; a "producer" thread restores
+    # them while the tail loop is polling (late commit-log arrival)
+    import os
+    import shutil
+
+    held = []
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for p in range(2):
+        pdir = os.path.join(binlog, f"p={p}")
+        segs = sorted(os.listdir(pdir))
+        if len(segs) > 1:
+            src = os.path.join(pdir, segs[-1])
+            dst = os.path.join(stash, f"p{p}-" + segs[-1])
+            shutil.move(src, dst)
+            held.append((dst, src))
+    assert held
+
+    def drop_late():
+        _time.sleep(0.5)
+        for dst, src in held:
+            shutil.move(dst, src)
+
+    t = threading.Thread(target=drop_late)
+    t.start()
+    stats = eng.tail(binlog, poll_interval_s=0.2, idle_polls=10)
+    t.join()
+    total = sum(s["events"] for s in stats)
+    assert total == spec.n_events  # late segments applied by the tail loop
+    oracle = gen.oracle_final_state(spec, ev)
+    got = eng.lake_table().select(oracle.schema.names)
+    assert got.sort_by("url").equals(oracle.sort_by("url"))
