@@ -394,3 +394,34 @@ def test_tail_applies_segments_as_they_arrive(tmp_path, ray_session):
     oracle = gen.oracle_final_state(spec, ev)
     got = eng.lake_table().select(oracle.schema.names)
     assert got.sort_by("url").equals(oracle.sort_by("url"))
+
+
+def test_demux_with_mor_table(tmp_path, ray_session):
+    """Mixed-binlog demux where one destination table is merge-on-read and
+    the other copy-on-write: the sink mode is a per-table manifest property,
+    so the SAME demux pass must produce identical final states either way."""
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    sf = "/root/testdata/sf0.001"
+    b1 = str(tmp_path / "binlog1")
+    EC.write_events_binlog(sf, b1, table_name_by_parity=True)
+
+    lakes = {}
+    for variant, mor_table in (("x", None), ("y", "events_a")):
+        lake = Lake(str(tmp_path / f"lake-{variant}"))
+        for t in ("events_a", "events_b"):
+            lake.create_table(
+                t, EC.EVENTS_PAYLOAD,
+                EC.EngineConfig(
+                    key="user_id", num_partitions=EC.NUM_PARTITIONS,
+                    partitioner="mod", apply_concurrency=2,
+                    sink_mode="mor" if t == mor_table else "cow",
+                ),
+            )
+        lake.apply_epoch_demux(b1)
+        lakes[variant] = lake
+    for t in ("events_a", "events_b"):
+        a = lakes["x"][t].lake_table(include_lsn=True)
+        b = lakes["y"][t].lake_table(include_lsn=True)
+        assert a.equals(b), t
