@@ -1030,6 +1030,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
 
+    def cdc_zone_scan(sf_dir):
+        """Zone-map range scan: the lake records per-run min/max for the
+        configured stats columns; scan(col, lo, hi) prunes whole runs
+        before opening them and exact-filters the rest. Oracle: the LWW
+        final state filtered by the same range."""
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("zscan")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(lake, stats_columns=("value", "ts"))
+        eng.run(binlog)
+        if not any(
+            (f.get("stats") or {}).get("value")
+            for p in range(EC.NUM_PARTITIONS)
+            for f in eng.manifest.files(p)
+        ):
+            raise RuntimeError("no zone maps recorded")
+        return eng.scan("value", lo=20.0, hi=60.0)
+
     def cdc_lake_join(sf_dir):
         """Co-partitioned lake-to-lake join: the event stream splits by LSN
         parity into two lakes sharing key/partitioner/partition-count, so
@@ -1509,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
@@ -2030,6 +2051,9 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
+        "cdc_zone_scan": _LWW
+        + "SELECT user_id, ts, event_type, value, props FROM ranked "
+        "WHERE rn = 1 AND op <> 'd' AND value >= 20.0 AND value <= 60.0",
         "cdc_lake_join": (
             f"WITH env AS ({_ENV}), "
             "wa AS (SELECT * FROM (SELECT *, row_number() OVER "

@@ -142,6 +142,14 @@ class EngineConfig:
     # segments are still marked done.
     latest_only: bool = False
 
+    # zone maps: per-run min/max statistics recorded in the manifest for
+    # these payload columns (int/float/string/timestamp), enabling
+    # CdcEngine.scan(col, lo, hi) to prune whole runs at the read — the
+    # lakehouse "prune at the read" discipline for non-key predicates.
+    # Table policy (manifest-recorded). Runs are key-sorted, so zone maps
+    # pay off for columns correlated with the key or with write time.
+    stats_columns: Sequence[str] = ()
+
     # transaction-boundary apply (Debezium's transaction-metadata contract:
     # consumers see only COMPLETE transactions). Envelope streams carry
     # optional top-level ``tx_id``/``tx_events`` columns (total events the

@@ -69,6 +69,7 @@ class CdcEngine:
             self.cfg.tombstones = doc.get("tombstones", True)
             self.cfg.sink_mode = doc.get("sink_mode", "cow")
             self.cfg.key_cols = doc.get("key_cols")
+            self.cfg.stats_columns = tuple(doc.get("stats_columns") or ())
             if self.cfg.mor_compact_deltas is None:
                 # table policy, restored on resume (an explicit config
                 # value on reopen still wins)
@@ -108,6 +109,7 @@ class CdcEngine:
                 sink_mode=self.cfg.sink_mode,
                 key_cols=list(self.cfg.key_cols) if self.cfg.key_cols else None,
                 mor_compact_deltas=self.cfg.mor_compact_deltas,
+                stats_columns=list(self.cfg.stats_columns),
             )
 
         self._lock_fd: Optional[int] = None
@@ -1430,6 +1432,108 @@ class CdcEngine:
         return ds.map_batches(
             merge_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
         )
+
+    def scan(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        columns: Optional[List[str]] = None,
+        version: Optional[int] = None,
+    ) -> "ray.data.Dataset":
+        """Range scan with zone-map pruning: runs whose recorded
+        [min, max] for ``col`` (EngineConfig.stats_columns) cannot contain
+        the [lo, hi] range are never opened — O(matching runs), not
+        O(lake). Runs without stats for ``col`` are read (unknown ≠
+        excluded). Rows are then exactly filtered, so the result is correct
+        whether or not pruning fired. Merge-on-read deltas fall back to the
+        merged scan + filter (deltas are small by construction; compact()
+        restores full pruning)."""
+        from debezium_incubator_ray.stages.apply import stats_value
+
+        lo_e = stats_value(lo) if lo is not None else None
+        hi_e = stats_value(hi) if hi is not None else None
+
+        def overlap(f: Dict) -> bool:
+            st = (f.get("stats") or {}).get(col)
+            if not st:
+                return True  # no zone map → must read
+            mn, mx = st
+            if hi_e is not None and mn is not None and mn > hi_e:
+                return False
+            if lo_e is not None and mx is not None and mx < lo_e:
+                return False
+            return True
+
+        def row_filter(t: pa.Table) -> pa.Table:
+            c = t[col]
+            mask = None
+            if lo is not None:
+                mask = pc.greater_equal(c, pa.scalar(lo))
+            if hi is not None:
+                m2 = pc.less_equal(c, pa.scalar(hi))
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            return t if mask is None else t.filter(mask)
+
+        m = self._manifest_at(version)
+        if any(m.deltas(p) for p in range(m.num_partitions)):
+            ds = self.read_lake(version=version, columns=columns)
+            return ds.map_batches(
+                row_filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+        target = m.current_schema()
+        defaults = m.doc["defaults"]
+        want_cols = columns
+        if want_cols is not None and col not in want_cols:
+            want_cols = list(want_cols) + [col]
+        ver_b64 = {s["version"]: s["schema"] for s in m.doc["schemas"]}
+        by_ver: Dict[int, List[str]] = {}
+        kept = total = 0
+        for p in range(m.num_partitions):
+            for f in m.files(p):
+                total += 1
+                if not overlap(f):
+                    continue
+                kept += 1
+                by_ver.setdefault(f.get("schema_version", 1), []).append(
+                    os.path.join(self.lake_dir, f["path"])
+                )
+        self._last_scan_stats = {"runs_total": total, "runs_read": kept}
+        if columns is not None:
+            target = pa.schema([target.field(c) for c in want_cols])
+        if not by_ver:
+            empty = S.upgrade_table(pa.table({}), target, defaults)
+            if columns is not None:
+                empty = empty.select(columns)
+            return ray.data.from_arrow(empty)
+
+        def upgrade_and_filter(batch: pa.Table) -> pa.Table:
+            out = S.upgrade_table(
+                batch.drop_columns(
+                    [c for c in (S.LSN,) if c in batch.column_names]
+                ),
+                target,
+                defaults,
+            )
+            out = row_filter(out)
+            return out.select(columns) if columns is not None else out
+
+        parts = []
+        for ver, paths in sorted(by_ver.items()):
+            read_cols = None
+            if want_cols is not None:
+                have = set(S.schema_from_b64(ver_b64[ver]).names)
+                read_cols = [c for c in want_cols if c in have]
+            parts.append(
+                ray.data.read_parquet(paths, columns=read_cols).map_batches(
+                    upgrade_and_filter, batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+        ds = parts[0]
+        for other in parts[1:]:
+            ds = ds.union(other)
+        return ds
 
     def lookup(self, keys, version: Optional[int] = None) -> pa.Table:
         """Point reads: the serving path. Each key routes to its partition

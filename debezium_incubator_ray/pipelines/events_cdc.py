@@ -168,6 +168,7 @@ def make_engine(
     tombstones: bool = True,
     sink_mode: str = "cow",
     key_cols=None,
+    stats_columns=(),
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
@@ -181,6 +182,7 @@ def make_engine(
         tombstones=tombstones,
         sink_mode=sink_mode,
         key_cols=key_cols,
+        stats_columns=stats_columns,
         # the events binlog is laid out by uid % P; a composite key routes
         # by hash(_key) so the aligned fast path's 1:1 assumption breaks —
         # force the exchange path (the engine would otherwise detect the

@@ -63,6 +63,20 @@ COMMIT_SCHEMA = pa.schema(
 )
 
 
+def stats_value(v):
+    """JSON-encodable zone-map bound: numbers and strings pass through,
+    temporals become ISO strings (lexicographic ISO order == chronological
+    order for a fixed format, so string comparison prunes correctly).
+    Query bounds must round-trip through THIS function too."""
+    import datetime
+
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    return str(v)
+
+
 def tx_cutoff(
     lsn: "pa.Array", tx_id: "pa.Array", tx_events: "pa.Array",
     watermark: int = -1,
@@ -216,6 +230,7 @@ class PartitionApplier:
         self.doc = manifest_doc
         self.lake_dir = lake_dir
         self.key = manifest_doc["key"]
+        self.stats_columns = list(manifest_doc.get("stats_columns") or [])
         self.target_rows = target_rows_per_file
         self.schema = S.schema_from_b64(manifest_doc["schemas"][-1]["schema"])
         self.schema_version = manifest_doc["schemas"][-1]["version"]
@@ -348,15 +363,26 @@ class PartitionApplier:
             )
             pq.write_table(chunk, os.path.join(self.lake_dir, name))
             kcol = chunk[self.key]
-            out.append(
-                {
-                    "path": name,
-                    "rows": chunk.num_rows,
-                    "min_key": pc.min(kcol).as_py(),
-                    "max_key": pc.max(kcol).as_py(),
-                    "schema_version": self.schema_version,
-                }
-            )
+            entry = {
+                "path": name,
+                "rows": chunk.num_rows,
+                "min_key": pc.min(kcol).as_py(),
+                "max_key": pc.max(kcol).as_py(),
+                "schema_version": self.schema_version,
+            }
+            if self.stats_columns:
+                # zone maps: per-run min/max for the configured columns
+                # (null-skipping; an all-null column records no entry)
+                stats = {}
+                for c in self.stats_columns:
+                    if c not in chunk.column_names:
+                        continue
+                    mm = pc.min_max(chunk[c])
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is not None:
+                        stats[c] = [stats_value(lo), stats_value(hi)]
+                entry["stats"] = stats
+            out.append(entry)
         return out
 
     def _record_unchanged(self, p: int) -> pa.Table:

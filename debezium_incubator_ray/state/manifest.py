@@ -53,6 +53,7 @@ class Manifest:
         sink_mode: str = "cow",
         key_cols=None,
         mor_compact_deltas=None,
+        stats_columns=None,
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -86,6 +87,9 @@ class Manifest:
             # composite-PK component columns (key is then the derived
             # internal _key column); None for single-column keys
             "key_cols": key_cols,
+            # zone-map columns: every run records min/max for these (see
+            # EngineConfig.stats_columns; CdcEngine.scan prunes with them)
+            "stats_columns": list(stats_columns or []),
             "snapshot_complete": False,
             "snapshot_lsn": -1,
             "partitions": {

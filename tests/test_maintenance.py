@@ -430,3 +430,58 @@ def test_export_changes_outbox(tmp_path, ray_session):
     st4 = eng.export_changes(out)
     assert st4.get("adopted")
     assert len(os.listdir(out)) == 2
+
+
+def test_zone_map_scan_prunes_runs(tmp_path, ray_session):
+    """Zone maps must actually PRUNE: build a lake where a stats column
+    correlates with the key (so run ranges are tight), scan a narrow
+    range, and assert some runs were skipped — with byte-correct output."""
+    import datetime
+
+    import pyarrow as pa
+
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    PAYLOAD = pa.schema(
+        [
+            pa.field("k", pa.int64()),
+            pa.field("score", pa.float64()),
+            pa.field("seen", pa.timestamp("us")),
+        ]
+    )
+    n = 4000
+    base = datetime.datetime(2026, 1, 1)
+    snap = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "score": pa.array([float(i) for i in range(n)], pa.float64()),
+            "seen": pa.array(
+                [base + datetime.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    eng = CdcEngine(
+        str(tmp_path / "lake"),
+        EngineConfig(
+            table="z", key="k", partitioner="mod", num_partitions=4,
+            target_rows_per_file=250, stats_columns=("score", "seen"),
+            apply_concurrency=2,
+        ),
+        payload_schema=PAYLOAD,
+    )
+    eng.snapshot(snap, snapshot_lsn=0)
+    # keys mod-partitioned and runs key-sorted → score ranges per run are
+    # tight; a narrow scan must skip most runs
+    got = eng.scan("score", lo=100.0, hi=300.0).to_pandas()
+    st = eng._last_scan_stats
+    assert st["runs_read"] < st["runs_total"]
+    assert sorted(got["k"].tolist()) == list(range(100, 301))
+    # timestamp zone maps (ISO-encoded bounds) prune and filter correctly
+    t0 = base + datetime.timedelta(seconds=500)
+    t1 = base + datetime.timedelta(seconds=700)
+    got = eng.scan("seen", lo=t0, hi=t1, columns=["k"]).to_pandas()
+    assert eng._last_scan_stats["runs_read"] < eng._last_scan_stats["runs_total"]
+    assert sorted(got["k"].tolist()) == list(range(500, 701))
+    assert list(got.columns) == ["k"]
