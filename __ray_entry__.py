@@ -1178,6 +1178,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(env)
         return incremental_groupby_agg(ds, "event_type", "value")
 
+    def text_pii_redact(sf_dir):
+        """PII scrubbing: deterministic emails/IPs/phone numbers are
+        injected per document (the SAME expressions the oracle uses) and
+        redact_pii must replace every occurrence with typed placeholders —
+        identical RE2 passes run in DuckDB as the oracle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from debezium_incubator_ray.functions.web import redact_pii
+
+        def inject_and_redact(t: pa.Table) -> pa.Table:
+            did = t["doc_id"].combine_chunks()
+            s = pc.cast(did, pa.string())
+            m7 = pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 7), pa.scalar(7, pa.int64()))), pa.string())
+            m256 = pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 256), pa.scalar(256, pa.int64()))), pa.string())
+            injected = pc.binary_join_element_wise(
+                t["text"].combine_chunks(),
+                pc.binary_join_element_wise(
+                    pa.array(["contact user"] * t.num_rows), s,
+                    pa.array(["@mail-"] * t.num_rows), m7,
+                    pa.array([".com or +1 555 00"] * t.num_rows), s,
+                    pa.array([" from 10.0."] * t.num_rows), m256,
+                    pa.array([".5"] * t.num_rows), "",
+                ),
+                " ",
+            )
+            return pa.table(
+                {"doc_id": did, "text_redacted": redact_pii(injected)}
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return ds.map_batches(
+            inject_and_redact, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def text_line_dedup(sf_dir):
         """CCNet-style boilerplate removal: deterministic footer/promo lines
         are injected per document (the SAME expressions the oracle uses),
@@ -1536,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
+        "text_pii_redact": text_pii_redact,
         "text_line_dedup": text_line_dedup,
         "url_canonicalize": url_canonicalize,
         "url_domain_stats": url_domain_stats,
@@ -2103,6 +2145,19 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
         "sum(value) AS total FROM ranked WHERE rn = 1 AND op <> 'd' "
         "GROUP BY event_type",
+        "text_pii_redact": (
+            "WITH inj AS (SELECT doc_id, text || ' ' || 'contact user' || "
+            "doc_id || '@mail-' || (doc_id % 7) || '.com or +1 555 00' || "
+            "doc_id || ' from 10.0.' || (doc_id % 256) || '.5' AS t "
+            "FROM documents) "
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+\\d[\\d ()-]{6,16}\\d', '<PHONE>', 'g'), "
+            "'\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,7}\\b', '<CARD>', 'g') "
+            "AS text_redacted FROM inj"
+        ),
         "text_line_dedup": (
             "WITH d2 AS (SELECT doc_id, text || chr(10) || 'footer-' || "
             "source || chr(10) || 'promo-' || (doc_id % 3) AS text "

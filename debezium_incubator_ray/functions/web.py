@@ -86,3 +86,32 @@ class UrlCanonicalizer:
         canon = canonicalize_urls(batch[self.url_col])
         batch = batch.append_column("url_canon", canon)
         return batch.append_column("domain", registered_domain(canon))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# applied in order; RE2 syntax (pyarrow + DuckDB share the engine, so the
+# oracle runs the IDENTICAL passes). Deliberately conservative patterns —
+# a production deployment swaps in its compliance-approved set.
+PII_PATTERNS = [
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # international-ish phone numbers (+ and 7-14 digits with separators)
+    (r"\+\d[\d ()-]{6,16}\d", "<PHONE>"),
+    # 13-19 digit card-like runs (with optional space/dash groups)
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,7}\b", "<CARD>"),
+]
+
+
+def redact_pii(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Replace common PII shapes (emails, IPv4s, phone numbers, card-like
+    digit runs) with typed placeholders. Pure RE2 passes over the whole
+    column — stateless map_batches stage, no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    s = pc.fill_null(arr, "")
+    for pat, repl in PII_PATTERNS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return s

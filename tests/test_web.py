@@ -54,3 +54,19 @@ def test_stage_adds_columns():
     out = UrlCanonicalizer()(t)
     assert out["url_canon"].to_pylist() == ["a.com/x", "b.org/y"]
     assert out["domain"].to_pylist() == ["a.com", "b.org"]
+
+
+def test_redact_pii_golden():
+    from debezium_incubator_ray.functions.web import redact_pii
+
+    cases = {
+        "mail bob.smith+x@corp.example.co.uk now": "mail <EMAIL> now",
+        "server 10.0.121.7 down": "server <IP> down",
+        "call +1 (415) 555-0133 today": "call <PHONE> today",
+        "card 4111 1111 1111 1111 exp": "card <CARD> exp",
+        "card 4111-1111-1111-1111": "card <CARD>",
+        "clean text stays clean": "clean text stays clean",
+        None: "",
+    }
+    got = redact_pii(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
