@@ -1178,6 +1178,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(env)
         return incremental_groupby_agg(ds, "event_type", "value")
 
+    def text_repetition(sf_dir):
+        """Within-document repetition (Gopher-style gate): duplicate-2-gram
+        fraction per document, fully vectorized (adjacent token-hash
+        combine + lexsort distinct counts). Oracle: DuckDB list
+        comprehension building the same 2-grams."""
+        import ray.data
+
+        from debezium_incubator_ray.functions.text import repetition_metrics
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return ds.map_batches(
+            repetition_metrics, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def text_pii_redact(sf_dir):
         """PII scrubbing: deterministic emails/IPs/phone numbers are
         injected per document (the SAME expressions the oracle uses) and
@@ -1577,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
+        "text_repetition": text_repetition,
         "text_pii_redact": text_pii_redact,
         "text_line_dedup": text_line_dedup,
         "url_canonicalize": url_canonicalize,
@@ -2145,6 +2163,18 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
         "sum(value) AS total FROM ranked WHERE rn = 1 AND op <> 'd' "
         "GROUP BY event_type",
+        "text_repetition": (
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN "
+            "[tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)] "
+            "ELSE [] END AS grams FROM t) "
+            "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, "
+            "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, "
+            "CASE WHEN len(grams) > 0 THEN 1.0 - "
+            "CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) "
+            "ELSE 0.0 END AS dup_frac FROM g"
+        ),
         "text_pii_redact": (
             "WITH inj AS (SELECT doc_id, text || ' ' || 'contact user' || "
             "doc_id || '@mail-' || (doc_id % 7) || '.com or +1 555 00' || "

@@ -471,3 +471,57 @@ def line_dedup(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition metrics (Gopher-style quality signal)
+
+def repetition_metrics(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Duplicate-2-gram fraction per document: 1 - distinct/total over
+    token 2-grams — the classic within-doc repetition gate (high values =
+    looping/boilerplate text). Fully vectorized: one tokenize pass, one
+    adjacent-hash combine, one lexsort for per-doc distinct counts; no
+    per-row Python. Stateless map_batches stage."""
+    from debezium_incubator_ray.hashing import stable_hash
+
+    txt = pc.fill_null(batch[text_col].combine_chunks(), "")
+    trimmed = pc.utf8_trim_whitespace(txt)
+    toks = pc.split_pattern_regex(trimmed, _WS)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    n_rows = batch.num_rows
+    h = stable_hash(flat)
+    # adjacent 2-gram hashes; positions crossing a document boundary are
+    # masked out (the last token of a doc pairs with nothing)
+    n_flat = len(h)
+    if n_flat >= 2:
+        g = (h[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h[1:]
+        pos = np.arange(n_flat - 1)
+        doc_of = np.searchsorted(offsets[1:], pos, side="right")
+        valid = (pos + 1) < offsets[doc_of + 1]
+        g, doc_of = g[valid], doc_of[valid]
+    else:
+        g = np.empty(0, np.uint64)
+        doc_of = np.empty(0, np.int64)
+    n_grams = np.bincount(doc_of, minlength=n_rows).astype(np.int64)
+    # distinct grams per doc: sort (doc, gram), count boundaries
+    order = np.lexsort((g, doc_of))
+    gs, ds = g[order], doc_of[order]
+    if len(gs):
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+        n_distinct = np.bincount(ds[first], minlength=n_rows).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n_rows, np.int64)
+    with np.errstate(invalid="ignore"):
+        dup = np.where(n_grams > 0, 1.0 - n_distinct / np.maximum(n_grams, 1), 0.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_grams": pa.array(n_grams),
+            "n_distinct": pa.array(n_distinct),
+            "dup_frac": pa.array(dup.astype(np.float64)),
+        }
+    )

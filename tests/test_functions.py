@@ -448,3 +448,18 @@ def test_line_dedup_strips_frequent_lines(ray_session):
     assert out["text_clean"].tolist() == [
         f"unique-{i}\nalso-{i}" for i in range(5)
     ] + [""]
+
+
+def test_repetition_metrics_golden():
+    from debezium_incubator_ray.functions.text import repetition_metrics
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a b a b a", "x y z", "", None],
+        }
+    )
+    out = repetition_metrics(t)
+    assert out["n_grams"].to_pylist() == [4, 2, 0, 0]
+    assert out["n_distinct"].to_pylist() == [2, 2, 0, 0]
+    assert out["dup_frac"].to_pylist() == [0.5, 0.0, 0.0, 0.0]
