@@ -2164,7 +2164,11 @@ def oracle_sql() -> dict[str, str]:
         "sum(value) AS total FROM ranked WHERE rn = 1 AND op <> 'd' "
         "GROUP BY event_type",
         "text_repetition": (
-            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), "
+            # trim charset matches the engine's whitespace trim for ASCII
+            # (DuckDB's bare trim() strips spaces only — a leading \t or \n
+            # would create a phantom empty token on the SQL side)
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text, "
+            "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), "
             "'\\s+') AS tk FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN "
             "[tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)] "

@@ -69,7 +69,14 @@ class CdcEngine:
             self.cfg.tombstones = doc.get("tombstones", True)
             self.cfg.sink_mode = doc.get("sink_mode", "cow")
             self.cfg.key_cols = doc.get("key_cols")
-            self.cfg.stats_columns = tuple(doc.get("stats_columns") or ())
+            mf_stats = list(doc.get("stats_columns") or [])
+            if not self.cfg.stats_columns:
+                self.cfg.stats_columns = tuple(mf_stats)
+            elif list(self.cfg.stats_columns) != mf_stats:
+                # enabling/changing zone maps on an existing table: the
+                # policy update rides the next commit; runs written before
+                # it simply have no stats (scan reads them — correct)
+                doc["stats_columns"] = list(self.cfg.stats_columns)
             if self.cfg.mor_compact_deltas is None:
                 # table policy, restored on resume (an explicit config
                 # value on reopen still wins)
@@ -708,28 +715,16 @@ class CdcEngine:
         return applied.take_all()
 
     def run(self, binlog_dir: str, max_segments_per_epoch: Optional[int] = None) -> List[Dict]:
-        """Drain the binlog: epochs until no new segments (the tail loop).
+        """Drain the binlog: epochs until no new segments (one-shot tail).
 
         Transactional mode can leave segments deferred (incomplete
         transactions at the stream head): the drain stops when an epoch
-        makes NO progress (nothing applied, nothing newly done) — the tail
-        caller re-runs when new segments complete those transactions."""
-        out = []
-        while True:
-            st = self.apply_epoch(binlog_dir, max_segments_per_epoch)
-            out.append(st)
-            # progress = anything that changes the next epoch's plan or the
-            # lake: rows applied, segments marked done, or segments
-            # quarantined (they leave the plan via segments_error). A pure
-            # heartbeat or a deferred-only head makes no progress → stop.
-            progress = (
-                st.get("applied", 0) > 0
-                or st.get("done", 0) > 0
-                or st.get("quarantined", 0) > 0
-            )
-            if not progress:
-                self.flush()  # end-of-drain: make all epochs durable
-                return out
+        makes NO progress — the caller re-runs when new segments complete
+        those transactions. This IS tail() with zero polling."""
+        return self.tail(
+            binlog_dir, poll_interval_s=0.0, idle_polls=1,
+            max_segments_per_epoch=max_segments_per_epoch,
+        )
 
     def tail(
         self,
@@ -737,16 +732,20 @@ class CdcEngine:
         poll_interval_s: float = 1.0,
         idle_polls: Optional[int] = None,
         max_epochs: Optional[int] = None,
+        max_segments_per_epoch: Optional[int] = None,
     ) -> List[Dict]:
         """The directory-watcher lifecycle (AbstractDirectoryWatcher.java:
         40-53): drain, then poll for new segments, applying as they land.
-        Stops after ``idle_polls`` consecutive empty polls (None = only on
-        ``max_epochs``) — production runs pass None and cancel externally;
-        tests pass small numbers."""
+        Stops after ``idle_polls`` consecutive no-progress epochs (None =
+        only on ``max_epochs``) — production runs pass None and cancel
+        externally; tests pass small numbers. Progress = anything that
+        changes the next epoch's plan or the lake: rows applied, segments
+        marked done, or segments quarantined. A pure heartbeat or a
+        deferred-only transactional head makes no progress."""
         out: List[Dict] = []
         idle = 0
         while True:
-            st = self.apply_epoch(binlog_dir)
+            st = self.apply_epoch(binlog_dir, max_segments_per_epoch)
             out.append(st)
             if max_epochs is not None and len(out) >= max_epochs:
                 break
@@ -1015,11 +1014,19 @@ class CdcEngine:
             )
 
         def read_side(spec, p) -> pa.Table:
+            from debezium_incubator_ray.envelope import DELETED
+
             t = read_partition_state(
                 spec["entries"][p], spec["lake_dir"],
                 S.schema_from_b64(spec["target_b64"]), spec["defaults"],
                 spec["schema_version"], key,
             )
+            if DELETED in t.column_names:
+                # tombstone-retention lakes: a join is over LIVE rows —
+                # marker rows must not match as state
+                t = t.filter(
+                    pc.invert(pc.fill_null(t[DELETED], False))
+                ).drop_columns([DELETED])
             return t.drop_columns([S.LSN]) if S.LSN in t.column_names else t
 
         def join_one(batch: pa.Table) -> pa.Table:
@@ -1074,6 +1081,14 @@ class CdcEngine:
         if from_v is None:
             from_v = min(self.manifest.versions())
         os.makedirs(out_dir, exist_ok=True)
+        # sweep temp dirs orphaned by a crash mid-write (we hold the writer
+        # lock, so no live writer owns them); the rename is the visibility
+        # point, so a .tmp dir is never a committed export
+        import shutil as _shutil
+
+        for n in os.listdir(out_dir):
+            if n.endswith(".tmp"):
+                _shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
         # crash recovery: an export starting at the cursor already exists →
         # its rename won the race; adopt it instead of re-diffing
         prefix = f"changes-v{from_v:06d}-v"
@@ -1096,11 +1111,19 @@ class CdcEngine:
             return {"export": None, "rows": 0, "skipped": True}
         # data-aware skip: versions advance on non-data commits too (the
         # export cursor itself, heartbeats) — export only when some
-        # partition's state actually moved since the cursor
+        # partition's state actually moved WITHIN the requested window
+        # (compare at to_v, not at the current head)
         doc_from = Manifest.load_version(
             self.lake_dir, from_v, store=self.manifest.store
         ).doc
-        if doc_from["partitions"] == self.manifest.doc["partitions"]:
+        doc_to = (
+            self.manifest.doc
+            if to_v == self.manifest.version
+            else Manifest.load_version(
+                self.lake_dir, to_v, store=self.manifest.store
+            ).doc
+        )
+        if doc_from["partitions"] == doc_to["partitions"]:
             return {"export": None, "rows": 0, "skipped": True}
         name = f"changes-v{from_v:06d}-v{to_v:06d}"
         final = os.path.join(out_dir, name)
@@ -1304,6 +1327,7 @@ class CdcEngine:
         include_lsn: bool = False,
         version: Optional[int] = None,
         columns: Optional[List[str]] = None,
+        _file_pred=None,
     ) -> "ray.data.Dataset":
         """The lake as a Dataset, unified to the current schema version.
 
@@ -1343,6 +1367,9 @@ class CdcEngine:
         by_ver: Dict[int, List[str]] = {}
         for p in range(m.num_partitions):
             for f in m.files(p):
+                # internal file predicate (zone-map pruning — scan())
+                if _file_pred is not None and not _file_pred(f):
+                    continue
                 by_ver.setdefault(f.get("schema_version", 1), []).append(
                     os.path.join(self.lake_dir, f["path"])
                 )
@@ -1441,23 +1468,30 @@ class CdcEngine:
         columns: Optional[List[str]] = None,
         version: Optional[int] = None,
     ) -> "ray.data.Dataset":
-        """Range scan with zone-map pruning: runs whose recorded
-        [min, max] for ``col`` (EngineConfig.stats_columns) cannot contain
-        the [lo, hi] range are never opened — O(matching runs), not
-        O(lake). Runs without stats for ``col`` are read (unknown ≠
+        """Range scan of the LIVE rows with zone-map pruning: runs whose
+        recorded [min, max] for ``col`` (EngineConfig.stats_columns) cannot
+        contain the [lo, hi] range are never opened — O(matching runs), not
+        O(lake). Runs without stats for ``col`` are read (unknown is not
         excluded). Rows are then exactly filtered, so the result is correct
-        whether or not pruning fired. Merge-on-read deltas fall back to the
-        merged scan + filter (deltas are small by construction; compact()
-        restores full pruning)."""
+        whether or not pruning fired; tombstone-retention marker rows are
+        excluded (scan is defined over live state). Merge-on-read deltas
+        fall back to the merged scan + filter (deltas are small by
+        construction; compact() restores full pruning). Built on the
+        read_lake plumbing — one read path, one projection/upgrade rule."""
+        from debezium_incubator_ray.envelope import DELETED
         from debezium_incubator_ray.stages.apply import stats_value
 
+        m = self._manifest_at(version)
+        target = m.current_schema()
+        if target.get_field_index(col) < 0:
+            raise ValueError(f"scan column not in lake schema: {col}")
         lo_e = stats_value(lo) if lo is not None else None
         hi_e = stats_value(hi) if hi is not None else None
 
         def overlap(f: Dict) -> bool:
             st = (f.get("stats") or {}).get(col)
             if not st:
-                return True  # no zone map → must read
+                return True  # no zone map -> must read
             mn, mx = st
             if hi_e is not None and mn is not None and mn > hi_e:
                 return False
@@ -1465,7 +1499,31 @@ class CdcEngine:
                 return False
             return True
 
-        def row_filter(t: pa.Table) -> pa.Table:
+        has_deltas = any(m.deltas(p) for p in range(m.num_partitions))
+        total = kept = 0
+        if not has_deltas:
+            for p in range(m.num_partitions):
+                for f in m.files(p):
+                    total += 1
+                    kept += 1 if overlap(f) else 0
+        self._last_scan_stats = {"runs_total": total, "runs_read": kept}
+
+        want = None
+        if columns is not None:
+            want = list(columns) + ([col] if col not in columns else [])
+        ds = self.read_lake(
+            version=version,
+            columns=want,
+            _file_pred=None if has_deltas else overlap,
+        )
+        out_cols = columns  # None = all payload columns
+
+        def finish(t: pa.Table) -> pa.Table:
+            # live rows only: retention marker rows are not state
+            if DELETED in t.column_names:
+                t = t.filter(
+                    pc.invert(pc.fill_null(t[DELETED], False))
+                ).drop_columns([DELETED])
             c = t[col]
             mask = None
             if lo is not None:
@@ -1473,67 +1531,17 @@ class CdcEngine:
             if hi is not None:
                 m2 = pc.less_equal(c, pa.scalar(hi))
                 mask = m2 if mask is None else pc.and_(mask, m2)
-            return t if mask is None else t.filter(mask)
+            if mask is not None:
+                t = t.filter(mask)
+            if out_cols is not None:
+                t = t.select(out_cols)
+            elif S.LSN in t.column_names:
+                t = t.drop_columns([S.LSN])
+            return t
 
-        m = self._manifest_at(version)
-        if any(m.deltas(p) for p in range(m.num_partitions)):
-            ds = self.read_lake(version=version, columns=columns)
-            return ds.map_batches(
-                row_filter, batch_format="pyarrow", zero_copy_batch=True
-            )
-        target = m.current_schema()
-        defaults = m.doc["defaults"]
-        want_cols = columns
-        if want_cols is not None and col not in want_cols:
-            want_cols = list(want_cols) + [col]
-        ver_b64 = {s["version"]: s["schema"] for s in m.doc["schemas"]}
-        by_ver: Dict[int, List[str]] = {}
-        kept = total = 0
-        for p in range(m.num_partitions):
-            for f in m.files(p):
-                total += 1
-                if not overlap(f):
-                    continue
-                kept += 1
-                by_ver.setdefault(f.get("schema_version", 1), []).append(
-                    os.path.join(self.lake_dir, f["path"])
-                )
-        self._last_scan_stats = {"runs_total": total, "runs_read": kept}
-        if columns is not None:
-            target = pa.schema([target.field(c) for c in want_cols])
-        if not by_ver:
-            empty = S.upgrade_table(pa.table({}), target, defaults)
-            if columns is not None:
-                empty = empty.select(columns)
-            return ray.data.from_arrow(empty)
-
-        def upgrade_and_filter(batch: pa.Table) -> pa.Table:
-            out = S.upgrade_table(
-                batch.drop_columns(
-                    [c for c in (S.LSN,) if c in batch.column_names]
-                ),
-                target,
-                defaults,
-            )
-            out = row_filter(out)
-            return out.select(columns) if columns is not None else out
-
-        parts = []
-        for ver, paths in sorted(by_ver.items()):
-            read_cols = None
-            if want_cols is not None:
-                have = set(S.schema_from_b64(ver_b64[ver]).names)
-                read_cols = [c for c in want_cols if c in have]
-            parts.append(
-                ray.data.read_parquet(paths, columns=read_cols).map_batches(
-                    upgrade_and_filter, batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-            )
-        ds = parts[0]
-        for other in parts[1:]:
-            ds = ds.union(other)
-        return ds
+        return ds.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     def lookup(self, keys, version: Optional[int] = None) -> pa.Table:
         """Point reads: the serving path. Each key routes to its partition

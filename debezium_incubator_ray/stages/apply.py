@@ -183,11 +183,14 @@ def read_partition_state(
         out = []
         for f in files:  # base files kept sorted by min_key
             path = os.path.join(lake_dir, f["path"])
-            cols = None
             if columns is not None:
-                avail = set(pq.read_schema(path).names)
-                cols = [c for c in want if c in avail]
-            t = pq.read_table(path, columns=cols)
+                # ONE footer read per file (schema + data through the same
+                # handle — object-store metadata round trips are the cost)
+                pf = pq.ParquetFile(path)
+                avail = set(pf.schema_arrow.names)
+                t = pf.read(columns=[c for c in want if c in avail])
+            else:
+                t = pq.read_table(path)
             if f.get("schema_version", 1) != schema_version or columns is not None:
                 t = upgrade_run_table(t, schema, defaults)
             out.append(t)

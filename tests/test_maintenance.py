@@ -485,3 +485,91 @@ def test_zone_map_scan_prunes_runs(tmp_path, ray_session):
     assert eng._last_scan_stats["runs_read"] < eng._last_scan_stats["runs_total"]
     assert sorted(got["k"].tolist()) == list(range(500, 701))
     assert list(got.columns) == ["k"]
+
+
+def test_scan_mor_projection_and_retention_live_rows(tmp_path, ray_session):
+    """Reviewer repros: (a) scan with a projection that excludes the scan
+    column must work on an uncompacted MoR lake; (b) scan on a
+    tombstone-retention lake returns LIVE rows only."""
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    spec = gen.BinlogSpec(n_events=400, n_initial=80, seg_rows=80,
+                          num_partitions=4, seed=15)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+
+    # (a) MoR lake with outstanding deltas
+    eng = CdcEngine(
+        str(tmp_path / "mor"),
+        EngineConfig(num_partitions=4, sink_mode="mor", apply_concurrency=2,
+                     stats_columns=("lang",)),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    assert any(eng.manifest.deltas(p) for p in range(4))
+    got = eng.scan("lang", lo="en", hi="en", columns=["url"]).to_pandas()
+    full = eng.lake_table()
+    import pyarrow.compute as pc
+
+    want = full.filter(pc.equal(full["lang"], "en"))["url"].to_pylist()
+    assert sorted(got["url"]) == sorted(want)
+    assert list(got.columns) == ["url"]
+
+    # (b) retention lake: markers are not live state
+    eng2 = CdcEngine(
+        str(tmp_path / "ret"),
+        EngineConfig(num_partitions=4, tombstones=False, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng2.snapshot(gen.make_pages(spec.n_initial))
+    eng2.run(binlog)
+    lt = eng2.lake_table()
+    n_live = lt.filter(pc.equal(lt["_deleted"], False)).num_rows
+    scanned = eng2.scan("url").to_pandas()
+    assert len(scanned) == n_live
+    assert "_deleted" not in scanned.columns
+
+    # (c) joins are over live rows on retention lakes too
+    eng3 = CdcEngine(
+        str(tmp_path / "ret2"),
+        EngineConfig(num_partitions=4, tombstones=False, apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng3.snapshot(gen.make_pages(spec.n_initial))
+    joined = eng2.join_lake(eng3, join_type="inner").to_pandas()
+    live_urls = set(
+        lt.filter(pc.equal(lt["_deleted"], False))["url"].to_pylist()
+    )
+    snap_urls = set(eng3.lake_table()["url"].to_pylist())
+    assert set(joined["url"]) == live_urls & snap_urls
+    assert "_deleted" not in joined.columns
+
+
+def test_scan_stats_enabled_on_reopen(tmp_path, ray_session):
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake, EngineConfig(num_partitions=2), payload_schema=S.pages_schema()
+    )
+    eng.snapshot(gen.make_pages(50))
+    eng.close()
+    # reopen WITH stats: policy updates, new runs record zone maps
+    eng2 = CdcEngine(lake, EngineConfig(num_partitions=2, stats_columns=("lang",)))
+    assert eng2.cfg.stats_columns == ("lang",)
+    spec = gen.BinlogSpec(n_events=100, n_initial=50, seg_rows=50,
+                          num_partitions=2, seed=2)
+    gen.write_binlog(str(tmp_path / "b"), spec, gen.gen_events(spec))
+    eng2.run(str(tmp_path / "b"))
+    assert any(
+        (f.get("stats") or {}).get("lang")
+        for p in range(2) for f in eng2.manifest.files(p)
+    )
