@@ -106,3 +106,60 @@ def test_aligned_applier_death_is_retried_exactly_once(tmp_path, monkeypatch):
     lt = eng.lake_table()
     urls = lt["url"].to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_mor_crash_between_delta_write_and_commit_invisible(tmp_path, ray_session):
+    """MoR epochs write delta files BEFORE the manifest swap: a crash in
+    between must leave the lake byte-identical (uncommitted deltas are
+    orphans) and a clean retry must apply exactly once."""
+    import pyarrow.parquet as pq
+
+    from debezium_incubator_ray.pipelines import cdc as C
+
+    spec = gen.BinlogSpec(n_events=400, n_initial=80, seg_rows=80,
+                          num_partitions=4, seed=17)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, sink_mode="mor", apply_concurrency=2),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    state0 = eng.lake_table(include_lsn=True)
+
+    # crash INSIDE apply_epoch after the parallel apply, before the commit
+    real = C.CdcEngine._partition_updates
+
+    def boom(commits):
+        raise RuntimeError("crash before manifest commit")
+
+    C.CdcEngine._partition_updates = staticmethod(boom)
+    try:
+        with pytest.raises(RuntimeError, match="crash before"):
+            eng.apply_epoch(binlog)
+    finally:
+        C.CdcEngine._partition_updates = staticmethod(real)
+
+    # delta files hit disk but are INVISIBLE: manifest unchanged
+    assert eng.lake_table(include_lsn=True).equals(state0)
+    assert all(not eng.manifest.deltas(p) for p in range(4))
+
+    # clean retry applies exactly once and matches the oracle
+    eng.run(binlog)
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+    # the orphaned first-attempt files are gone after vacuum
+    eng.vacuum(keep_versions=1)
+    live = {
+        f["path"]
+        for p in range(4)
+        for f in (eng.manifest.files(p) + eng.manifest.deltas(p))
+    }
+    on_disk = set()
+    for dirpath, _d, names in os.walk(os.path.join(lake, "data")):
+        for n in names:
+            on_disk.add(os.path.relpath(os.path.join(dirpath, n), lake))
+    assert on_disk == live
