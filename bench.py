@@ -214,7 +214,7 @@ def main() -> None:
         "cdc_point_lookup", "cdc_mor_lww", "cdc_incremental_agg",
         "cdc_transactional", "cdc_composite_key", "cdc_key_erasure",
         "docs_curation_pipeline", "text_line_dedup", "cdc_lake_join",
-        "cdc_zone_scan",
+        "cdc_zone_scan", "text_pii_redact", "text_repetition",
         "url_canonicalize",
         "url_domain_stats",
     ]
