@@ -1178,6 +1178,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(env)
         return incremental_groupby_agg(ds, "event_type", "value")
 
+    def windowed_hopping_agg(sf_dir):
+        """Hopping (sliding) windows: 2-hour windows hopping hourly — every
+        event lands in two windows, fanned out inside the partial aggregate
+        (shuffle carries window×group sums, not event copies)."""
+        import ray.data
+
+        from debezium_incubator_ray.functions.windows import hopping_agg
+        from debezium_incubator_ray.pipelines.events_cdc import load_events
+
+        ds = ray.data.from_arrow(load_events(sf_dir))
+        return hopping_agg(ds, hop_us=3_600_000_000, n_hops=2)
+
     def text_repetition(sf_dir):
         """Within-document repetition (Gopher-style gate): duplicate-2-gram
         fraction per document, fully vectorized (adjacent token-hash
@@ -1594,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
+        "windowed_hopping_agg": windowed_hopping_agg,
         "text_repetition": text_repetition,
         "text_pii_redact": text_pii_redact,
         "text_line_dedup": text_line_dedup,
@@ -1953,6 +1966,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(ts) // 3600000000 AS window, event_type, "
             "round(sum(value), 3) AS total_value, count(*) AS n "
             "FROM events GROUP BY 1, 2"
+        ),
+        "windowed_hopping_agg": (
+            "SELECT (epoch_us(ts) // 3600000000 - o.off) AS window, "
+            "event_type, round(sum(value), 3) AS total_value, "
+            "count(*) AS n FROM events "
+            "CROSS JOIN (VALUES (0), (1)) AS o(off) GROUP BY 1, 2"
         ),
         "dedup_exact": (
             "SELECT doc_id, text, lang, source, n_chars FROM ("

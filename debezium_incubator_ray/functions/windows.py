@@ -162,3 +162,62 @@ def quantiles_per_group(
         return pa.table(out)
 
     return ds.groupby(group_col).map_groups(f, batch_format="pyarrow")
+
+
+def hopping_agg(
+    ds,
+    hop_us: int,
+    n_hops: int,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Hopping (sliding) window aggregate: window size = n_hops × hop;
+    every event contributes to the ``n_hops`` windows covering it. The
+    fan-out happens INSIDE the partial aggregate (per (window, group) sums
+    per batch), so the shuffle carries |windows × groups| rows per block,
+    never n_hops copies of the events — the combiner discipline for
+    overlapping windows. Output: one row per (window, group) with
+    total_value and n; ``window`` is the hop index of the window START."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks()
+        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        k = us // hop_us
+        outs = []
+        for off in range(n_hops):
+            outs.append(
+                pa.table(
+                    {
+                        "window": pa.array(k - off, pa.int64()),
+                        group_col: t[group_col],
+                        value_col: t[value_col],
+                    }
+                )
+            )
+        both = pa.concat_tables(outs)
+        # in-batch partial aggregate: shuffle width = windows × groups
+        import pandas as pd
+
+        df = both.to_pandas()
+        agg = (
+            df.groupby(["window", group_col], as_index=False)
+            .agg(_sum=(value_col, "sum"), _n=(value_col, "size"))
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["window", group_col]).aggregate(
+        Sum("_sum", alias_name="total_value"), Sum("_n", alias_name="n")
+    )
+
+    def stabilize(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("total_value"),
+            "total_value",
+            pc.round(t["total_value"], ndigits=3),
+        )
+
+    return out.map_batches(stabilize, batch_format="pyarrow", zero_copy_batch=True)

@@ -463,3 +463,27 @@ def test_repetition_metrics_golden():
     assert out["n_grams"].to_pylist() == [4, 2, 0, 0]
     assert out["n_distinct"].to_pylist() == [2, 2, 0, 0]
     assert out["dup_frac"].to_pylist() == [0.5, 0.0, 0.0, 0.0]
+
+
+def test_hopping_agg_every_event_in_two_windows(ray_session):
+    import ray.data
+    from debezium_incubator_ray.functions.windows import hopping_agg
+
+    ts = pa.array([1_000_000 * s for s in (5, 15, 25)], pa.timestamp("us"))
+    t = pa.table(
+        {"ts": ts, "event_type": ["a", "a", "b"],
+         "value": pa.array([1.0, 2.0, 4.0])}
+    )
+    out = (
+        hopping_agg(ray.data.from_arrow(t), hop_us=10_000_000, n_hops=2)
+        .to_pandas()
+        .sort_values(["window", "event_type"])
+        .reset_index(drop=True)
+    )
+    # hop=10s, window=20s: event@5s → windows -1,0; @15s → 0,1; @25s → 1,2
+    rows = {(int(r.window), r.event_type): (r.total_value, int(r.n))
+            for r in out.itertuples()}
+    assert rows == {
+        (-1, "a"): (1.0, 1), (0, "a"): (3.0, 2), (1, "a"): (2.0, 1),
+        (1, "b"): (4.0, 1), (2, "b"): (4.0, 1),
+    }
