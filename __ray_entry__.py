@@ -1178,6 +1178,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(env)
         return incremental_groupby_agg(ds, "event_type", "value")
 
+    def embedding_normalize(sf_dir):
+        """L2 normalization of the embedding column (unit vectors make
+        cosine = dot). Oracle: the identical list expression in SQL."""
+        import ray.data
+
+        from debezium_incubator_ray.functions.ann import normalize_embeddings
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ds.map_batches(
+            lambda t: normalize_embeddings(t).select(["vec_id", "embedding_unit"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def windowed_hopping_agg(sf_dir):
         """Hopping (sliding) windows: 2-hour windows hopping hourly — every
         event lands in two windows, fanned out inside the partial aggregate
@@ -1606,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
+        "embedding_normalize": embedding_normalize,
         "windowed_hopping_agg": windowed_hopping_agg,
         "text_repetition": text_repetition,
         "text_pii_redact": text_pii_redact,
@@ -1966,6 +1981,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(ts) // 3600000000 AS window, event_type, "
             "round(sum(value), 3) AS total_value, count(*) AS n "
             "FROM events GROUP BY 1, 2"
+        ),
+        "embedding_normalize": (
+            "SELECT vec_id, CASE WHEN "
+            "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> x * x))) > 0 THEN "
+            "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x / "
+            "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+            "y -> y * y))), 6)) "
+            "ELSE list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0) "
+            "END AS embedding_unit FROM embeddings"
         ),
         "windowed_hopping_agg": (
             "SELECT (epoch_us(ts) // 3600000000 - o.off) AS window, "

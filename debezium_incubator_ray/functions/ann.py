@@ -401,3 +401,24 @@ def spherical_kmeans(
     return C, ds.map_batches(
         assign_fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def normalize_embeddings(
+    batch: pa.Table, col: str = "embedding", out_col: str = "embedding_unit",
+    ndigits: int = 6,
+) -> pa.Table:
+    """L2-normalize the embedding column (unit vectors make cosine = dot —
+    the precondition every similarity stage here assumes). One matrix op
+    per batch; zero-norm vectors pass through as zeros. Components rounded
+    to ``ndigits`` so the result is bit-stable across engines (the oracle
+    computes the identical expression in SQL)."""
+    M = _batch_matrix(batch, col)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    unit = np.where(norms > 0, M / np.maximum(norms, 1e-30), 0.0)
+    unit = np.round(unit, ndigits)
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(unit.reshape(-1), pa.float64()), M.shape[1]
+    )
+    import pyarrow.compute as _pc
+
+    return batch.append_column(out_col, _pc.cast(arr, pa.list_(pa.float64())))
