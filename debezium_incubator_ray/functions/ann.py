@@ -412,13 +412,15 @@ def normalize_embeddings(
     per batch; zero-norm vectors pass through as zeros. Components rounded
     to ``ndigits`` so the result is bit-stable across engines (the oracle
     computes the identical expression in SQL)."""
+    import pyarrow.compute as _pc
+
+    if batch.num_rows == 0:
+        return batch.append_column(
+            out_col, pa.array([], pa.list_(pa.float64()))
+        )
     M = _batch_matrix(batch, col)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    unit = np.where(norms > 0, M / np.maximum(norms, 1e-30), 0.0)
-    unit = np.round(unit, ndigits)
+    unit = np.round(_normalize(M), ndigits)  # zero rows stay zeros
     arr = pa.FixedSizeListArray.from_arrays(
         pa.array(unit.reshape(-1), pa.float64()), M.shape[1]
     )
-    import pyarrow.compute as _pc
-
     return batch.append_column(out_col, _pc.cast(arr, pa.list_(pa.float64())))

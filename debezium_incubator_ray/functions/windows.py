@@ -183,30 +183,31 @@ def hopping_agg(
     from ray.data.aggregate import Count, Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        ts = t[ts_col].combine_chunks()
-        us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
-        k = us // hop_us
+        # null-preserving arithmetic: a null ts yields a null window key,
+        # which Arrow group_by keeps as its own group — exactly SQL's
+        # GROUP BY semantics (pandas groupby would silently DROP it)
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64())
+        k = pc.divide(us, pa.scalar(hop_us, pa.int64()))
         outs = []
         for off in range(n_hops):
             outs.append(
                 pa.table(
                     {
-                        "window": pa.array(k - off, pa.int64()),
+                        "window": pc.subtract(k, pa.scalar(off, pa.int64())),
                         group_col: t[group_col],
                         value_col: t[value_col],
                     }
                 )
             )
         both = pa.concat_tables(outs)
-        # in-batch partial aggregate: shuffle width = windows × groups
-        import pandas as pd
-
-        df = both.to_pandas()
-        agg = (
-            df.groupby(["window", group_col], as_index=False)
-            .agg(_sum=(value_col, "sum"), _n=(value_col, "size"))
+        # in-batch partial aggregate (pure Arrow, no pandas round trip):
+        # shuffle width = windows × groups, never n_hops event copies
+        agg = both.group_by(["window", group_col]).aggregate(
+            [(value_col, "sum"), ([], "count_all")]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return agg.rename_columns(
+            ["window", group_col, "_sum", "_n"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(["window", group_col]).aggregate(

@@ -1081,13 +1081,15 @@ class CdcEngine:
         if from_v is None:
             from_v = min(self.manifest.versions())
         os.makedirs(out_dir, exist_ok=True)
-        # sweep temp dirs orphaned by a crash mid-write (we hold the writer
-        # lock, so no live writer owns them); the rename is the visibility
-        # point, so a .tmp dir is never a committed export
+        # sweep temp dirs orphaned by a crash mid-write. Scoped to THIS
+        # table's cursor window (our writer lock is per-lake — a shared
+        # out_dir may hold another table's in-flight .tmp, which we must
+        # not touch); the rename is the visibility point, so a .tmp dir is
+        # never a committed export
         import shutil as _shutil
 
         for n in os.listdir(out_dir):
-            if n.endswith(".tmp"):
+            if n.startswith(f"changes-v{from_v:06d}-v") and n.endswith(".tmp"):
                 _shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
         # crash recovery: an export starting at the cursor already exists →
         # its rename won the race; adopt it instead of re-diffing
