@@ -1030,6 +1030,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "lang", "n_tokens", "n_chars"])
 
+    def cdc_secondary_index(sf_dir):
+        """Secondary-index maintenance from the primary change stream: the
+        stream is re-keyed onto (event_type, user_id) — updates that change
+        event_type become delete+create pairs (pipelines/derive.py) — and
+        applied into a composite-key lake. Oracle: the primary LWW state's
+        (event_type, user_id, lsn) projection."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+        from debezium_incubator_ray.pipelines.derive import (
+            derive_rekeyed_envelopes,
+        )
+
+        root = EC.scratch_dir("sidx")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        env = EC.events_envelopes(sf_dir, delete_aware=True)
+        idx_schema = pa.schema(
+            [pa.field("event_type", pa.string()),
+             pa.field("user_id", pa.int64(), nullable=False)]
+        )
+        derived = derive_rekeyed_envelopes(
+            env, idx_schema, ("event_type", "user_id")
+        )
+        EC.write_env_binlog(derived, binlog, num_partitions=1)
+        eng = EC.make_engine(
+            lake, key_cols=("event_type", "user_id"), payload_schema=idx_schema
+        )
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_zone_scan(sf_dir):
         """Zone-map range scan: the lake records per-run min/max for the
         configured stats columns; scan(col, lo, hi) prunes whole runs
@@ -1613,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "cdc_secondary_index": cdc_secondary_index,
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
         "cdc_key_erasure": cdc_key_erasure,
@@ -2155,6 +2188,9 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
+        "cdc_secondary_index": _LWW
+        + "SELECT event_type, user_id, lsn FROM ranked "
+        "WHERE rn = 1 AND op <> 'd'",
         "cdc_zone_scan": _LWW
         + "SELECT user_id, ts, event_type, value, props FROM ranked "
         "WHERE rn = 1 AND op <> 'd' AND value >= 20.0 AND value <= 60.0",

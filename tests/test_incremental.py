@@ -95,3 +95,50 @@ def test_null_group_key_contributes_to_null_group():
     assert c.num_rows == 1
     assert c["g"].to_pylist() == [None]
     assert c["d_count"].to_pylist() == [1]
+
+
+def test_derive_rekeyed_envelopes_key_change_pairs(ray_session):
+    """An update that changes the new key must produce delete+create (else
+    the index accumulates stale entries); unchanged-key updates stay
+    updates; deletes route by the before image."""
+    from debezium_incubator_ray.pipelines.derive import derive_rekeyed_envelopes
+
+    after = pa.table(
+        {
+            "g": pa.array(["A", "B", "A", None, "C"], pa.string()),
+            "k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        }
+    )
+    before = pa.table(
+        {
+            "g": pa.array([None, "A", None, "A", "C"], pa.string()),
+            "k": pa.array([None, 1, None, 2, 3], pa.int64()),
+        }
+    )
+    env = build_envelopes(
+        pa.array(["c", "u", "c", "d", "u"], pa.string()),
+        after, before,
+        np.zeros(5, dtype=np.int32),
+        np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        table="t",
+    )
+    schema = pa.schema([pa.field("g", pa.string()), pa.field("k", pa.int64())])
+    out = derive_rekeyed_envelopes(env, schema, ("g", "k"))
+    rows = sorted(
+        zip(
+            out["op"].to_pylist(),
+            [a["g"] if a else None for a in out["after"].to_pylist()],
+            [b["g"] if b else None for b in out["before"].to_pylist()],
+            out["source"].combine_chunks().field("lsn").to_pylist(),
+        )
+    )
+    # c(A,1)@1; u(A→B) → c(B)@2 + d at before(A)@2; c(A,2)@3;
+    # d(A,2)@4 routes by before; u(C→C unchanged)@5 stays u
+    assert rows == [
+        ("c", "A", None, 1),
+        ("c", "A", None, 3),
+        ("c", "B", None, 2),
+        ("d", None, "A", 2),
+        ("d", None, "A", 4),
+        ("u", "C", "C", 5),
+    ]
