@@ -215,6 +215,7 @@ def main() -> None:
         "cdc_transactional", "cdc_composite_key", "cdc_key_erasure",
         "docs_curation_pipeline", "text_line_dedup", "cdc_lake_join",
         "cdc_zone_scan", "text_pii_redact", "text_repetition",
+        "cdc_secondary_index", "windowed_hopping_agg", "embedding_normalize",
         "url_canonicalize",
         "url_domain_stats",
     ]
