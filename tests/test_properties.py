@@ -155,3 +155,76 @@ def test_tx_cutoff_prefix_soundness(sizes, delivered):
             cut_ref = lsn[i]
             break
     assert got == cut_ref
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 2)), max_size=40),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_derived_index_equals_primary_projection(cmds, seed):
+    """For ANY consistent change stream (honest before images), the
+    re-keyed stream's LWW state equals the (group, key) projection of the
+    primary LWW state — no stale index entries, none missing."""
+    from debezium_incubator_ray.envelope import build_envelopes, lww_reduce
+    from debezium_incubator_ray.pipelines.derive import derive_rekeyed_envelopes
+
+    # state machine: keys upsert/delete with group values; before images
+    # reflect true prior state (create only on absent, delete only on live)
+    state = {}
+    rows = []  # (op, after_g, after_k, before_g, before_k, lsn)
+    lsn = 0
+    groups = ["g0", "g1", "g2"]
+    for k, gsel in cmds:
+        lsn += 1
+        g = groups[gsel]
+        if k in state:
+            # alternate update / delete deterministically by lsn
+            if lsn % 3 == 0:
+                rows.append(("d", None, None, state[k], k, lsn))
+                del state[k]
+            else:
+                rows.append(("u", g, k, state[k], k, lsn))
+                state[k] = g
+        else:
+            rows.append(("c", g, k, None, None, lsn))
+            state[k] = g
+    if not rows:
+        return
+    after = pa.table(
+        {
+            "g": pa.array([r[1] for r in rows], pa.string()),
+            "k": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    before = pa.table(
+        {
+            "g": pa.array([r[3] for r in rows], pa.string()),
+            "k": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    env = build_envelopes(
+        pa.array([r[0] for r in rows], pa.string()), after, before,
+        np.zeros(len(rows), dtype=np.int32),
+        np.array([r[5] for r in rows], dtype=np.int64), table="t",
+    )
+    schema = pa.schema([pa.field("g", pa.string()), pa.field("k", pa.int64())])
+    derived = derive_rekeyed_envelopes(env, schema, ("g", "k"))
+    # fold the derived stream by LWW on the composite key
+    d_after = derived["after"].combine_chunks()
+    d_before = derived["before"].combine_chunks()
+    idx_state = {}
+    order = np.argsort(
+        derived["source"].combine_chunks().field("lsn").to_numpy(
+            zero_copy_only=False
+        ),
+        kind="stable",
+    )
+    ops = derived["op"].to_pylist()
+    for i in order:
+        i = int(i)
+        if ops[i] == "d":
+            b = d_before[i].as_py()
+            idx_state.pop((b["g"], b["k"]), None)
+        else:
+            a = d_after[i].as_py()
+            idx_state[(a["g"], a["k"])] = True
+    assert set(idx_state) == {(g, k) for k, g in state.items()}
