@@ -18,9 +18,15 @@ pairs, vectorized:
 
 Requires honest before images (create only on non-existing rows, null
 before after a delete — events_envelopes(delete_aware=True) provides them;
-real Debezium streams guarantee them). The derived stream feeds a normal
-CdcEngine with ``key_cols`` = the new key — watermarks, exactly-once,
-MoR, erasure all compose for free.
+real Debezium streams guarantee them). "No prior row" is detected on the
+before STRUCT's own validity, never on a key component being null — a
+prior row may legitimately carry NULL in a key column, and an update
+moving off that key must still emit the delete. ``key_cols`` MUST
+uniquely identify a primary row (in practice: include the primary key in
+the composite, as an index does); with a non-unique key, deleting one
+primary row would remove an index entry still owned by another. The
+derived stream feeds a normal CdcEngine with ``key_cols`` = the new key —
+watermarks, exactly-once, MoR, erasure all compose for free.
 
 Scale shape: one stateless vectorized map over the stream (mask + take per
 case, one concat); the derived engine's exchange handles the re-partition
@@ -58,27 +64,32 @@ def derive_rekeyed_envelopes(
     is_cr = (opn == "c") | (opn == "r")
     is_d = opn == "d"
     is_u = opn == "u"
-    # does the NEW key change under the update? (null-safe: a null before
-    # component means no prior row — treated as key-changed → plain create)
+    # "no prior row" = the before STRUCT itself is null; a present before
+    # image may carry NULL in a key column and still owns an index entry
+    before_absent = pc.is_null(env["before"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    )
+    # does the NEW key change under the update? NULL-safe per component:
+    # null vs null = same, null vs value = changed
     changed = np.zeros(n, dtype=bool)
-    any_before_null = np.zeros(n, dtype=bool)
     for kc in key_cols:
         a, b = after[kc], before[kc]
-        neq = pc.fill_null(pc.not_equal(a, b), True).to_numpy(
-            zero_copy_only=False
-        )
-        changed |= neq
-        any_before_null |= pc.is_null(b).to_numpy(zero_copy_only=False)
-    u_same = is_u & ~changed
-    u_moved = is_u & changed & ~any_before_null
-    u_fresh = is_u & changed & any_before_null  # no prior row → create
+        one_null = pc.xor(pc.is_null(a), pc.is_null(b))
+        neq = pc.or_(pc.fill_null(pc.not_equal(a, b), False), one_null)
+        changed |= neq.to_numpy(zero_copy_only=False)
+    u_fresh = is_u & before_absent  # no prior row → plain create
+    u_same = is_u & ~before_absent & ~changed
+    u_moved = is_u & ~before_absent & changed
+    # op algebra (module docstring) folds to three pieces: a moved update
+    # is a create at the after-key plus a delete at the before-key
+    c_mask = is_cr | u_fresh | u_moved
+    d_mask = is_d | u_moved
 
     def take(tbl_cols, mask):
         idx = pa.array(np.nonzero(mask)[0])
         return {k: pc.take(v, idx) for k, v in tbl_cols.items()}, lsn[mask]
 
     pieces = []  # (op_code, after_cols|None, before_cols|None, lsns)
-    c_mask = is_cr | u_fresh
     if c_mask.any():
         a, ls = take(after, c_mask)
         pieces.append(("c", a, None, ls))
@@ -86,13 +97,8 @@ def derive_rekeyed_envelopes(
         a, ls = take(after, u_same)
         b, _ = take(before, u_same)
         pieces.append(("u", a, b, ls))
-    if u_moved.any():
-        a, ls = take(after, u_moved)
-        pieces.append(("c", a, None, ls))  # create at the new key
-        b, ls2 = take(before, u_moved)
-        pieces.append(("d", b, b, ls2))  # delete at the old key
-    if is_d.any():
-        b, ls = take(before, is_d)
+    if d_mask.any():
+        b, ls = take(before, d_mask)
         pieces.append(("d", b, b, ls))
 
     outs = []

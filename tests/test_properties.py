@@ -157,13 +157,14 @@ def test_tx_cutoff_prefix_soundness(sizes, delivered):
     assert got == cut_ref
 
 
-@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 2)), max_size=40),
-       st.integers(0, 2**31 - 1))
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), max_size=40))
 @settings(max_examples=30, deadline=None)
-def test_derived_index_equals_primary_projection(cmds, seed):
+def test_derived_index_equals_primary_projection(cmds):
     """For ANY consistent change stream (honest before images), the
     re-keyed stream's LWW state equals the (group, key) projection of the
-    primary LWW state — no stale index entries, none missing."""
+    primary LWW state — no stale index entries, none missing. Groups
+    include None: a NULL key component in a PRESENT before image still
+    owns an index entry, and moving off it must emit the delete."""
     from debezium_incubator_ray.envelope import build_envelopes, lww_reduce
     from debezium_incubator_ray.pipelines.derive import derive_rekeyed_envelopes
 
@@ -172,7 +173,7 @@ def test_derived_index_equals_primary_projection(cmds, seed):
     state = {}
     rows = []  # (op, after_g, after_k, before_g, before_k, lsn)
     lsn = 0
-    groups = ["g0", "g1", "g2"]
+    groups = ["g0", "g1", "g2", None]
     for k, gsel in cmds:
         lsn += 1
         g = groups[gsel]
