@@ -1496,6 +1496,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "punct_ratio"]
         )
 
+    def seq_packing(sf_dir):
+        """Pack documents into 2048-token training sequences: each doc's
+        (seq_id, seq_offset) from the exclusive prefix sum of token counts
+        in doc_id order — distributed as a two-level scan (tiny per-range
+        sums to the driver, broadcast starts, per-range local cumsum)."""
+        import ray.data
+        from debezium_incubator_ray.functions.pack import pack_sequences
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return pack_sequences(docs, seq_len=2048)
+
     def ann_brute_topk(sf_dir):
         import numpy as np
         import pyarrow.parquet as pq
@@ -1667,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topterms": text_tfidf_topterms,
         "sample_stratified": sample_stratified,
         "docs_quality_filter": docs_quality_filter,
+        "seq_packing": seq_packing,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2298,6 +2312,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "seq_packing": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, CAST(off // 2048 AS BIGINT) AS seq_id, "
+            "CAST(off % 2048 AS BIGINT) AS seq_offset FROM c"
         ),
         "text_quality": (
             f"WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKENS} AS n_tokens, "

@@ -487,3 +487,28 @@ def test_hopping_agg_every_event_in_two_windows(ray_session):
         (-1, "a"): (1.0, 1), (0, "a"): (3.0, 2), (1, "a"): (2.0, 1),
         (1, "b"): (4.0, 1), (2, "b"): (4.0, 1),
     }
+
+
+def test_pack_sequences_prefix_sum():
+    """Packing offsets = exclusive prefix sum in doc_id order, invariant
+    to input row order and to range_width (the distribution knob)."""
+    from debezium_incubator_ray.functions.pack import pack_sequences
+
+    texts = ["a b c", "", "d e", "f g h i j", "k", "l m n o"]
+    n_tok = [3, 0, 2, 5, 1, 4]
+    # shuffle input rows: order must not matter
+    perm = [3, 0, 5, 1, 4, 2]
+    t = pa.table({
+        "doc_id": pa.array(perm, pa.int64()),
+        "text": [texts[j] for j in perm],
+    })
+    for width in (2, 100):
+        out = (
+            pack_sequences(ray.data.from_arrow(t), seq_len=4,
+                           range_width=width)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        off = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        assert list(out.n_tokens) == n_tok
+        assert list(out.seq_id) == list(off // 4)
+        assert list(out.seq_offset) == list(off % 4)
