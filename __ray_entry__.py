@@ -1509,6 +1509,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def text_decontaminate(sf_dir):
+        """Benchmark decontamination: every corpus doc scored for distinct
+        8-gram overlap with a small 'benchmark' subset (doc_id % 97 == 0 —
+        stands in for an eval set). Benchmark gram hashes broadcast once;
+        the corpus streams."""
+        import numpy as _np
+        import ray.data
+        from debezium_incubator_ray.functions.contamination import decontaminate
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def _bench_rows(t):
+            import pyarrow as _pa
+
+            ids = _np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+            return t.filter(_pa.array(ids % 97 == 0))
+
+        bench = docs.map_batches(
+            _bench_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return decontaminate(docs, bench, k=8)
+
     def ann_brute_topk(sf_dir):
         import numpy as np
         import pyarrow.parquet as pq
@@ -1681,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": sample_stratified,
         "docs_quality_filter": docs_quality_filter,
         "seq_packing": seq_packing,
+        "text_decontaminate": text_decontaminate,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2312,6 +2337,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "text_decontaminate": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tk "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN "
+            "[array_to_string(tk[i:i+7], ' ') for i in "
+            "generate_series(1, len(tk)-7)] "
+            "ELSE [array_to_string(tk, ' ')] END AS gs FROM t), "
+            "e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM sh), "
+            "bg AS (SELECT DISTINCT g FROM e WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT e.doc_id, count(*) AS n_hits FROM e "
+            "JOIN bg USING (g) GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"
         ),
         "seq_packing": (
             f"WITH t AS (SELECT doc_id, {_TOKENS} AS n_tokens FROM documents), "

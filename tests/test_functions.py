@@ -512,3 +512,28 @@ def test_pack_sequences_prefix_sum():
         assert list(out.n_tokens) == n_tok
         assert list(out.seq_id) == list(off // 4)
         assert list(out.seq_offset) == list(off % 4)
+
+
+def test_decontaminate_planted_overlap():
+    from debezium_incubator_ray.functions.contamination import decontaminate
+
+    secret = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [
+            f"intro words {secret} trailing content here",  # contains it
+            "completely unrelated text with enough tokens to shingle",
+            secret,  # exactly the benchmark doc
+        ],
+    })
+    bench = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": [secret],
+    })
+    out = (
+        decontaminate(ray.data.from_arrow(corpus),
+                      ray.data.from_arrow(bench), k=8, concurrency=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out.contaminated) == [True, False, True]
+    assert out.n_hits[0] >= 1 and out.n_hits[1] == 0
