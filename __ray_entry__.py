@@ -1509,6 +1509,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def dedup_incremental(sf_dir):
+        """Incremental-crawl dedup: the 'new shard' (doc_id % 3 == 0) is
+        anti-joined by 128-bit content hash against the 'already ingested'
+        corpus (doc_id % 2 == 0) — only novel content survives; both sides
+        shuffle hashes + ids, never text."""
+        import numpy as _np
+        import pyarrow as _pa
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import incremental_dedup
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "n_chars"],
+        )
+
+        def split(mod, rem):
+            def f(t):
+                ids = _np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+                return t.filter(_pa.array(ids % mod == rem))
+
+            return f
+
+        new = docs.map_batches(split(3, 0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        old = docs.map_batches(split(2, 0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return incremental_dedup(new, old).select_columns(
+            ["doc_id", "n_chars"]
+        )
+
     def text_decontaminate(sf_dir):
         """Benchmark decontamination: every corpus doc scored for distinct
         8-gram overlap with a small 'benchmark' subset (doc_id % 97 == 0 —
@@ -1706,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": docs_quality_filter,
         "seq_packing": seq_packing,
         "text_decontaminate": text_decontaminate,
+        "dedup_incremental": dedup_incremental,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2337,6 +2368,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "dedup_incremental": (
+            "WITH new AS (SELECT doc_id, text, n_chars FROM documents "
+            "WHERE doc_id % 3 = 0), "
+            "old AS (SELECT text FROM documents WHERE doc_id % 2 = 0), "
+            "w AS (SELECT min(doc_id) AS doc_id FROM new GROUP BY text) "
+            "SELECT n.doc_id, n.n_chars FROM new n JOIN w USING (doc_id) "
+            "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
         ),
         "text_decontaminate": (
             "WITH t AS (SELECT doc_id, "

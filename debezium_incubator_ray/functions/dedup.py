@@ -244,6 +244,100 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    new_ds,
+    ingested_ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+):
+    """Ingest-only-novel: rows of ``new_ds`` whose content does not already
+    exist in ``ingested_ds`` (the corpus loaded in earlier runs), deduped
+    within the new batch itself (min-id per content).
+
+    The incremental-crawl composition: each arriving shard is checked
+    against everything already in the lake WITHOUT rescanning lake text —
+    both sides reduce to (h1, h2[, id]) rows, so the shuffle carries
+    24 bytes/row regardless of document size. Within each hash bucket the
+    old side vetoes, the new side elects a min-id winner; winner ids are
+    broadcast and the new shard filtered in place (same small-side
+    assumption as exact_dedup)."""
+    import ray
+
+    def hash_side(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            c = t[col].combine_chunks()
+            h1 = stable_hash(c, seed=42)
+            h2 = stable_hash(c, seed=1337)
+            n = len(t)
+            ids = (
+                pc.cast(t[id_col].combine_chunks(), pa.int64())
+                if side == 1
+                else pa.nulls(n, pa.int64())
+            )
+            return pa.table(
+                {
+                    "h1": pa.array(h1.view(np.int64)),
+                    "h2": pa.array(h2.view(np.int64)),
+                    id_col: ids,
+                    "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                    "_bucket": pa.array(
+                        (h1 % np.uint64(buckets)).astype(np.int32)
+                    ),
+                }
+            )
+
+        return f
+
+    def novel_min_id(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("_side", "ascending"),  # old (0) first: vetoes the run
+                (id_col, "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        h1 = s["h1"].combine_chunks().to_numpy()
+        h2 = s["h2"].combine_chunks().to_numpy()
+        side = s["_side"].combine_chunks().to_numpy()
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        win = first & (side == 1)  # run starts with a NEW row -> novel
+        return s.filter(pa.array(win)).select([id_col])
+
+    hashed = new_ds.map_batches(
+        hash_side(1), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ingested_ds.map_batches(
+            hash_side(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    winners = hashed.groupby("_bucket").map_groups(
+        novel_min_id, batch_format="pyarrow"
+    )
+    chunks = [
+        b[id_col].to_numpy() for b in winners.iter_batches(batch_format="pyarrow")
+    ]
+    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    ref = ray.put(wid)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        wid_l = ray.get(ref)
+        if len(wid_l) == 0:
+            return t.slice(0, 0)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wid_l, ids)
+        pos = np.minimum(pos, len(wid_l) - 1)
+        return t.filter(pa.array(wid_l[pos] == ids))
+
+    return new_ds.map_batches(
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

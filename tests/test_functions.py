@@ -537,3 +537,24 @@ def test_decontaminate_planted_overlap():
     )
     assert list(out.contaminated) == [True, False, True]
     assert out.n_hits[0] >= 1 and out.n_hits[1] == 0
+
+
+def test_incremental_dedup_novel_only():
+    from debezium_incubator_ray.functions.dedup import incremental_dedup
+
+    old = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["seen before", "also seen"],
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": ["seen before",      # dup of ingested -> dropped
+                 "brand new",        # novel -> kept
+                 "brand new",        # dup WITHIN new -> min-id wins
+                 "another novel"],
+    })
+    out = (
+        incremental_dedup(ray.data.from_arrow(new), ray.data.from_arrow(old))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert list(out.doc_id) == [11, 13]
