@@ -1509,6 +1509,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def docs_top_quantile(sf_dir):
+        """Corpus-wide curation bar: keep docs at or above the exact global
+        0.8-quantile of n_chars — threshold from a streaming histogram
+        (distinct-value CDF on the driver), then a stateless filter."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import top_quantile_filter
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        out, _thr = top_quantile_filter(docs, col="n_chars", q=0.8)
+        return out
+
     def dedup_incremental(sf_dir):
         """Incremental-crawl dedup: the 'new shard' (doc_id % 3 == 0) is
         anti-joined by 128-bit content hash against the 'already ingested'
@@ -1737,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": seq_packing,
         "text_decontaminate": text_decontaminate,
         "dedup_incremental": dedup_incremental,
+        "docs_top_quantile": docs_top_quantile,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2368,6 +2383,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "docs_top_quantile": (
+            "WITH c AS (SELECT n_chars, count(*) AS cnt FROM documents "
+            "GROUP BY 1), "
+            "s AS (SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum "
+            "FROM c), "
+            "t AS (SELECT MIN(n_chars) AS thr FROM s WHERE cum >= "
+            "CEIL(0.8 * (SELECT count(*) FROM documents))) "
+            "SELECT d.doc_id, d.n_chars FROM documents d, t "
+            "WHERE d.n_chars >= t.thr"
         ),
         "dedup_incremental": (
             "WITH new AS (SELECT doc_id, text, n_chars FROM documents "

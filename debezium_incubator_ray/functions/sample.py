@@ -105,3 +105,60 @@ def quality_filter(
         return q.filter(keep)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def global_quantile_threshold(
+    ds,
+    col: str = "n_chars",
+    q: float = 0.8,
+) -> int:
+    """Exact q-quantile threshold of an integer column, distributed:
+    T = min v such that count(rows with v' <= v) >= ceil(q * n).
+
+    Streaming histogram reduction — each batch contributes (value, count)
+    partials, the groupby folds them to one row per DISTINCT value (integer
+    metrics have bounded cardinality: ~1e5 distinct lengths at any corpus
+    size), and the driver scans the metadata-sized CDF. No sort of the
+    data, no sampling error (vs t-digest/quantile sketches)."""
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks()
+        vc = v.value_counts()
+        return pa.table({
+            col: vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Sum("cnt"))
+        .take_all()  # one row per distinct metric value — tiny
+    )
+    hist.sort(key=lambda r: r[col])
+    vals = np.array([r[col] for r in hist], dtype=np.int64)
+    cum = np.cumsum([r["sum(cnt)"] for r in hist])
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return 0
+    need = int(np.ceil(q * n))
+    return int(vals[np.searchsorted(cum, need)])
+
+
+def top_quantile_filter(
+    ds,
+    col: str = "n_chars",
+    q: float = 0.8,
+):
+    """Keep rows with ``col`` >= the exact global q-quantile threshold
+    (top (1-q) fraction plus ties) — curation by a corpus-wide bar rather
+    than a hand-picked constant. Two streaming passes: histogram, then a
+    stateless filter at the broadcast threshold."""
+    t_val = global_quantile_threshold(ds, col=col, q=q)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[col], t_val))
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out, t_val

@@ -558,3 +558,21 @@ def test_incremental_dedup_novel_only():
         .to_pandas().sort_values("doc_id")
     )
     assert list(out.doc_id) == [11, 13]
+
+
+def test_global_quantile_threshold_exact():
+    from debezium_incubator_ray.functions.sample import (
+        global_quantile_threshold, top_quantile_filter,
+    )
+
+    vals = [1, 2, 2, 3, 5, 5, 5, 8, 9, 10]  # n=10
+    t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "n_chars": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t)
+    # q=0.8 -> need cum >= 8 -> sorted vals[7] = 8
+    assert global_quantile_threshold(ds, q=0.8) == 8
+    # q=0.5 -> need cum >= 5 -> value 5 (cum at 5 is 7)
+    assert global_quantile_threshold(ds, q=0.5) == 5
+    out, thr = top_quantile_filter(ds, q=0.8)
+    assert thr == 8
+    assert sorted(out.to_pandas().n_chars) == [8, 9, 10]
