@@ -1509,6 +1509,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def url_best_dedup(sf_dir):
+        """Crawl URL-dedup: synthesized URLs collide on path doc_id % 50
+        (plus scheme/www/utm variants), canonicalize, and each canonical
+        URL keeps its best capture (max n_chars, ties to min doc_id).
+        Only (url_hash, score, id) shuffles."""
+        import numpy as _np
+        import pyarrow as _pa
+        import ray.data
+        from debezium_incubator_ray.functions.web import dedup_url_best
+
+        def add_urls(t):
+            ids = t["doc_id"].combine_chunks().to_numpy()
+            scheme = _np.array(["http://", "https://", "HTTPS://"])[ids % 3]
+            www = _np.where(ids % 2 == 0, "www.", "")
+            sub = _np.where(ids % 5 == 0, "news.", "")
+            tail = _np.array(  # every variant canonicalizes away entirely
+                ["?utm_source=feed", "?utm_campaign=x", "#sec2", "/"]
+            )[ids % 4]
+            host = _np.char.add(
+                _np.char.add("Host", (ids % 7).astype(str)), ".COM/p/"
+            )
+            url = _np.char.add(
+                _np.char.add(_np.char.add(_np.char.add(scheme, www), sub), host),
+                _np.char.add((ids % 50).astype(str), tail),
+            )
+            return t.append_column("url", _pa.array(url.tolist(), _pa.string()))
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        ).map_batches(add_urls, batch_format="pyarrow", zero_copy_batch=True)
+        return dedup_url_best(docs).select_columns(["doc_id", "n_chars"])
+
     def docs_top_quantile(sf_dir):
         """Corpus-wide curation bar: keep docs at or above the exact global
         0.8-quantile of n_chars — threshold from a streaming histogram
@@ -1752,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": text_decontaminate,
         "dedup_incremental": dedup_incremental,
         "docs_top_quantile": docs_top_quantile,
+        "url_best_dedup": url_best_dedup,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2383,6 +2417,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "url_best_dedup": _URL_CANON.replace(
+            "'Host' || (doc_id % 23) || '.COM/p/' || doc_id || ",
+            "'Host' || (doc_id % 7) || '.COM/p/' || (doc_id % 50) || ",
+        ).replace(
+            "WHEN 0 THEN '?utm_source=feed&q=1' "
+            "WHEN 1 THEN '?q=1&utm_campaign=x' ",
+            "WHEN 0 THEN '?utm_source=feed' "
+            "WHEN 1 THEN '?utm_campaign=x' ",
+        )
+        + (
+            "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY url_canon "
+            "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM canon) "
+            "WHERE rn = 1"
         ),
         "docs_top_quantile": (
             "WITH c AS (SELECT n_chars, count(*) AS cnt FROM documents "

@@ -22,6 +22,7 @@ deployment swaps in publicsuffix2 data, same vectorized shape).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -115,3 +116,71 @@ def redact_pii(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     for pat, repl in PII_PATTERNS:
         s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
     return s
+
+
+def dedup_url_best(
+    ds,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    buckets: int = 64,
+):
+    """Crawl URL-dedup: keep ONE row per canonical URL — the highest-score
+    capture (ties to the lowest id). The CommonCrawl composition: the same
+    page fetched under scheme/www/utm/fragment variants collapses to its
+    best capture.
+
+    Scale shape mirrors exact_dedup: the election shuffles only
+    (url_hash, score, id) — 24 bytes/row, never the page — grouped by a
+    hash bucket of the CANONICAL url; winner ids broadcast via ray.put and
+    the source filtered in place (same documented small-side assumption)."""
+    import ray
+
+    from debezium_incubator_ray.hashing import stable_hash
+
+    def narrow(t: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(t[url_col])
+        h = stable_hash(canon)
+        return pa.table({
+            "h": pa.array(h.view(np.int64)),
+            "score": pc.cast(t[score_col].combine_chunks(), pa.int64()),
+            id_col: pc.cast(t[id_col].combine_chunks(), pa.int64()),
+            "_bucket": pa.array((h % np.uint64(buckets)).astype(np.int32)),
+        })
+
+    def best_per_url(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("h", "ascending"), ("score", "descending"),
+                       (id_col, "ascending")],
+        )
+        s = t.take(idx)
+        h = s["h"].combine_chunks().to_numpy()
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return s.filter(pa.array(first)).select([id_col])
+
+    winners = (
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(best_per_url, batch_format="pyarrow")
+    )
+    chunks = [
+        b[id_col].to_numpy()
+        for b in winners.iter_batches(batch_format="pyarrow")
+    ]
+    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    ref = ray.put(wid)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        wid_l = ray.get(ref)
+        if len(wid_l) == 0:
+            return t.slice(0, 0)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wid_l, ids)
+        pos = np.minimum(pos, len(wid_l) - 1)
+        return t.filter(pa.array(wid_l[pos] == ids))
+
+    return ds.map_batches(
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    )

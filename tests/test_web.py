@@ -70,3 +70,21 @@ def test_redact_pii_golden():
     }
     got = redact_pii(pa.array(list(cases))).to_pylist()
     assert got == list(cases.values())
+
+
+def test_dedup_url_best_keeps_best_capture():
+    import ray.data
+    from debezium_incubator_ray.functions.web import dedup_url_best
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "n_chars": pa.array([10, 50, 50, 7], pa.int64()),
+        "url": [
+            "http://www.Example.COM/page?utm_source=x",   # same canon...
+            "https://example.com/page#frag",               # ...best score
+            "HTTPS://example.com/page/",                   # tie -> id 2 wins
+            "http://other.com/solo",                       # unique
+        ],
+    })
+    out = dedup_url_best(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out.doc_id) == [2, 4]
