@@ -218,6 +218,8 @@ def main() -> None:
         "cdc_secondary_index", "windowed_hopping_agg", "embedding_normalize",
         "url_canonicalize",
         "url_domain_stats",
+        "seq_packing", "text_decontaminate", "dedup_incremental",
+        "docs_top_quantile", "url_best_dedup",
     ]
     for name in q_list:
         t2 = time.perf_counter()
