@@ -1859,6 +1859,17 @@ _SHINGLES = (
 )
 
 
+def _sql_subst(sql: str, *pairs: tuple) -> str:
+    """str.replace that REFUSES to no-op: oracle variants derived from a
+    shared SQL template must fail loudly at definition time if the template
+    text drifts, not desynchronize silently."""
+    for old, new in pairs:
+        if old not in sql:
+            raise AssertionError(f"oracle template drift: {old!r} not found")
+        sql = sql.replace(old, new)
+    return sql
+
+
 def _jaccard_sql(threshold: float) -> str:
     return (
         _SHINGLES
@@ -2418,14 +2429,14 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
         ),
-        "url_best_dedup": _URL_CANON.replace(
-            "'Host' || (doc_id % 23) || '.COM/p/' || doc_id || ",
-            "'Host' || (doc_id % 7) || '.COM/p/' || (doc_id % 50) || ",
-        ).replace(
-            "WHEN 0 THEN '?utm_source=feed&q=1' "
-            "WHEN 1 THEN '?q=1&utm_campaign=x' ",
-            "WHEN 0 THEN '?utm_source=feed' "
-            "WHEN 1 THEN '?utm_campaign=x' ",
+        "url_best_dedup": _sql_subst(
+            _URL_CANON,
+            ("'Host' || (doc_id % 23) || '.COM/p/' || doc_id || ",
+             "'Host' || (doc_id % 7) || '.COM/p/' || (doc_id % 50) || "),
+            ("WHEN 0 THEN '?utm_source=feed&q=1' "
+             "WHEN 1 THEN '?q=1&utm_campaign=x' ",
+             "WHEN 0 THEN '?utm_source=feed' "
+             "WHEN 1 THEN '?utm_campaign=x' "),
         )
         + (
             "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, "

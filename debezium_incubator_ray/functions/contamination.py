@@ -36,9 +36,10 @@ def benchmark_gram_hashes(
     be lookup-table-sized (eval sets are); the corpus side never is."""
 
     def grams(batch: pa.Table) -> pa.Table:
-        g, per_doc = shingle_hashes(batch[text_col], k=k)
-        gd, _ = distinct_per_doc(g, per_doc)
-        return pa.table({"g": pa.array(np.unique(gd), pa.uint64())})
+        # batch-level distinct is all that matters here (the per-doc
+        # grouping distinct_per_doc would add gets discarded by np.unique)
+        g, _ = shingle_hashes(batch[text_col], k=k)
+        return pa.table({"g": pa.array(np.unique(g), pa.uint64())})
 
     parts = bench_ds.map_batches(
         grams, batch_format="pyarrow", zero_copy_batch=True

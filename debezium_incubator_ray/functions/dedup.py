@@ -145,6 +145,67 @@ def _dedupe_pairs(ds, buckets: int = 64):
 # exact dedup (D-exact)
 
 
+def _first_per_id(ds, id_col: str, buckets: int = 64):
+    """Collapse duplicate physical rows per id (output-sized shuffle)."""
+
+    def add_id_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        b = (stable_hash(ids) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def first_per_id(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        s = t.take(idx)
+        ids = s[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        return s.filter(pa.array(first)).drop_columns(["_bucket"])
+
+    return (
+        ds.map_batches(add_id_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(first_per_id, batch_format="pyarrow")
+    )
+
+
+def _broadcast_winner_filter(
+    ds, winners, id_col: str, buckets: int = 64, unique_ids: bool = False
+):
+    """Shared tail of every winner-election dedup: collect winner ids only
+    (8 B/doc — the one small-side hop), broadcast once via ray.put, filter
+    the source in place. The broadcast winner set is the documented
+    small-side assumption — at corpus sizes where winner ids exceed node
+    memory, swap the filter for a partitioned semi-join keyed by the same
+    buckets. ``unique_ids=True`` asserts one physical row per id; otherwise
+    a final OUTPUT-sized first-per-id pass collapses identical copies."""
+    import ray
+
+    chunks = [
+        b[id_col].to_numpy() for b in winners.iter_batches(batch_format="pyarrow")
+    ]
+    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    ref = ray.put(wid)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        # plain task (no actor pool): the broadcast winner array is a
+        # numpy object in plasma — ray.get is zero-copy once node-local,
+        # so per-task get costs ~µs and we skip actor spin-up entirely
+        wid_l = ray.get(ref)
+        if len(wid_l) == 0:
+            return t.slice(0, 0)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wid_l, ids)
+        pos = np.minimum(pos, len(wid_l) - 1)
+        return t.filter(pa.array(wid_l[pos] == ids))
+
+    kept = ds.map_batches(
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if unique_ids:
+        return kept
+    return _first_per_id(kept, id_col, buckets)
+
+
 def exact_dedup(
     ds,
     col: str = "text",
@@ -168,7 +229,6 @@ def exact_dedup(
     the documented small-side assumption — at corpus sizes where winner ids
     exceed node memory, swap the filter for a partitioned semi-join keyed
     by the same buckets."""
-    import ray
 
     def hash_only(t: pa.Table) -> pa.Table:
         c = t[col].combine_chunks()
@@ -199,48 +259,8 @@ def exact_dedup(
         .groupby("_bucket")
         .map_groups(min_id_per_hash, batch_format="pyarrow")
     )
-    # winner ids only (8 B/doc) reach the driver — the one small-side hop
-    chunks = [
-        b[id_col].to_numpy() for b in winners.iter_batches(batch_format="pyarrow")
-    ]
-    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
-    ref = ray.put(wid)
-
-    def keep_winners(t: pa.Table) -> pa.Table:
-        # plain task (no actor pool): the broadcast winner array is a
-        # numpy object in plasma — ray.get is zero-copy once node-local,
-        # so per-task get costs ~µs and we skip actor spin-up entirely
-        wid_l = ray.get(ref)
-        if len(wid_l) == 0:
-            return t.slice(0, 0)
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(wid_l, ids)
-        pos = np.minimum(pos, len(wid_l) - 1)
-        return t.filter(pa.array(wid_l[pos] == ids))
-
-    kept = ds.map_batches(
-        keep_winners, batch_format="pyarrow", zero_copy_batch=True
-    )
-    if unique_ids:
-        return kept
-
-    def add_id_bucket(t: pa.Table) -> pa.Table:
-        ids = t[id_col].combine_chunks()
-        b = (stable_hash(ids) % np.uint64(buckets)).astype(np.int32)
-        return t.append_column("_bucket", pa.array(b))
-
-    def first_per_id(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
-        s = t.take(idx)
-        ids = s[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        first = np.ones(len(s), dtype=bool)
-        first[1:] = ids[1:] != ids[:-1]
-        return s.filter(pa.array(first)).drop_columns(["_bucket"])
-
-    return (
-        kept.map_batches(add_id_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(first_per_id, batch_format="pyarrow")
+    return _broadcast_winner_filter(
+        ds, winners, id_col, buckets=buckets, unique_ids=unique_ids
     )
 
 
@@ -250,6 +270,7 @@ def incremental_dedup(
     col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 64,
+    unique_ids: bool = False,
 ):
     """Ingest-only-novel: rows of ``new_ds`` whose content does not already
     exist in ``ingested_ds`` (the corpus loaded in earlier runs), deduped
@@ -262,7 +283,6 @@ def incremental_dedup(
     old side vetoes, the new side elects a min-id winner; winner ids are
     broadcast and the new shard filtered in place (same small-side
     assumption as exact_dedup)."""
-    import ray
 
     def hash_side(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -318,23 +338,8 @@ def incremental_dedup(
     winners = hashed.groupby("_bucket").map_groups(
         novel_min_id, batch_format="pyarrow"
     )
-    chunks = [
-        b[id_col].to_numpy() for b in winners.iter_batches(batch_format="pyarrow")
-    ]
-    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
-    ref = ray.put(wid)
-
-    def keep_winners(t: pa.Table) -> pa.Table:
-        wid_l = ray.get(ref)
-        if len(wid_l) == 0:
-            return t.slice(0, 0)
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(wid_l, ids)
-        pos = np.minimum(pos, len(wid_l) - 1)
-        return t.filter(pa.array(wid_l[pos] == ids))
-
-    return new_ds.map_batches(
-        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    return _broadcast_winner_filter(
+        new_ds, winners, id_col, buckets=buckets, unique_ids=unique_ids
     )
 
 

@@ -124,6 +124,11 @@ def global_quantile_threshold(
 
     def counts(t: pa.Table) -> pa.Table:
         v = t[col].combine_chunks()
+        if not pa.types.is_integer(v.type):
+            raise TypeError(
+                f"global_quantile_threshold needs an integer metric column; "
+                f"{col!r} is {v.type} (bucketize/scale floats first)"
+            )
         vc = v.value_counts()
         return pa.table({
             col: vc.field("values"),

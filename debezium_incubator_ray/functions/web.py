@@ -124,6 +124,7 @@ def dedup_url_best(
     id_col: str = "doc_id",
     score_col: str = "n_chars",
     buckets: int = 64,
+    unique_ids: bool = False,
 ):
     """Crawl URL-dedup: keep ONE row per canonical URL — the highest-score
     capture (ties to the lowest id). The CommonCrawl composition: the same
@@ -131,33 +132,36 @@ def dedup_url_best(
     best capture.
 
     Scale shape mirrors exact_dedup: the election shuffles only
-    (url_hash, score, id) — 24 bytes/row, never the page — grouped by a
-    hash bucket of the CANONICAL url; winner ids broadcast via ray.put and
-    the source filtered in place (same documented small-side assumption)."""
-    import ray
-
+    (url_hash128, score, id) — 32 bytes/row, never the page — grouped by a
+    hash bucket of the CANONICAL url (two independent 64-bit passes: a
+    single 64-bit key false-merges distinct pages at ~10^10 URLs); winner
+    ids broadcast via the shared small-side filter."""
+    from debezium_incubator_ray.functions.dedup import _broadcast_winner_filter
     from debezium_incubator_ray.hashing import stable_hash
 
     def narrow(t: pa.Table) -> pa.Table:
         canon = canonicalize_urls(t[url_col])
-        h = stable_hash(canon)
+        h1 = stable_hash(canon, seed=42)
+        h2 = stable_hash(canon, seed=1337)
         return pa.table({
-            "h": pa.array(h.view(np.int64)),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
             "score": pc.cast(t[score_col].combine_chunks(), pa.int64()),
             id_col: pc.cast(t[id_col].combine_chunks(), pa.int64()),
-            "_bucket": pa.array((h % np.uint64(buckets)).astype(np.int32)),
+            "_bucket": pa.array((h1 % np.uint64(buckets)).astype(np.int32)),
         })
 
     def best_per_url(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             t,
-            sort_keys=[("h", "ascending"), ("score", "descending"),
-                       (id_col, "ascending")],
+            sort_keys=[("h1", "ascending"), ("h2", "ascending"),
+                       ("score", "descending"), (id_col, "ascending")],
         )
         s = t.take(idx)
-        h = s["h"].combine_chunks().to_numpy()
+        h1 = s["h1"].combine_chunks().to_numpy()
+        h2 = s["h2"].combine_chunks().to_numpy()
         first = np.ones(len(s), dtype=bool)
-        first[1:] = h[1:] != h[:-1]
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         return s.filter(pa.array(first)).select([id_col])
 
     winners = (
@@ -165,22 +169,6 @@ def dedup_url_best(
         .groupby("_bucket")
         .map_groups(best_per_url, batch_format="pyarrow")
     )
-    chunks = [
-        b[id_col].to_numpy()
-        for b in winners.iter_batches(batch_format="pyarrow")
-    ]
-    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
-    ref = ray.put(wid)
-
-    def keep_winners(t: pa.Table) -> pa.Table:
-        wid_l = ray.get(ref)
-        if len(wid_l) == 0:
-            return t.slice(0, 0)
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(wid_l, ids)
-        pos = np.minimum(pos, len(wid_l) - 1)
-        return t.filter(pa.array(wid_l[pos] == ids))
-
-    return ds.map_batches(
-        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    return _broadcast_winner_filter(
+        ds, winners, id_col, buckets=buckets, unique_ids=unique_ids
     )

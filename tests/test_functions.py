@@ -558,6 +558,13 @@ def test_incremental_dedup_novel_only():
         .to_pandas().sort_values("doc_id")
     )
     assert list(out.doc_id) == [11, 13]
+    # duplicate PHYSICAL rows per id (re-delivered shard) still collapse
+    redelivered = ray.data.from_arrow(new).union(ray.data.from_arrow(new))
+    out2 = (
+        incremental_dedup(redelivered, ray.data.from_arrow(old))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert list(out2.doc_id) == [11, 13]
 
 
 def test_global_quantile_threshold_exact():
