@@ -1509,6 +1509,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def sample_fixed_k(sf_dir):
+        """Exactly-100 uniform deterministic sample: the 100 docs with the
+        smallest (md5(doc_id), doc_id) — per-block top-k partials merge on
+        the driver, winner ids broadcast back."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import fixed_size_sample
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return fixed_size_sample(docs, k=100)
+
+    def sample_domain_quota(sf_dir):
+        """Crawl balancing: at most 10 docs per registered domain, chosen
+        by (md5(doc_id), doc_id) within the domain — the election shuffles
+        (domain, hash, id) only."""
+        from debezium_incubator_ray.functions.sample import domain_quota_sample
+        from debezium_incubator_ray.functions.web import UrlCanonicalizer
+
+        docs = _with_synth_urls(sf_dir).map_batches(
+            lambda t: UrlCanonicalizer()(t).select(
+                ["doc_id", "n_chars", "domain"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return domain_quota_sample(docs, quota=10).select_columns(
+            ["doc_id", "domain"]
+        )
+
     def url_best_dedup(sf_dir):
         """Crawl URL-dedup: synthesized URLs collide on path doc_id % 50
         (plus scheme/www/utm variants), canonicalize, and each canonical
@@ -1786,6 +1817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup_incremental,
         "docs_top_quantile": docs_top_quantile,
         "url_best_dedup": url_best_dedup,
+        "sample_fixed_k": sample_fixed_k,
+        "sample_domain_quota": sample_domain_quota,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2428,6 +2461,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "sample_fixed_k": (
+            "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars "
+            "FROM documents ORDER BY ('0x' || "
+            "substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, "
+            "doc_id LIMIT 100)"
+        ),
+        "sample_domain_quota": _URL_CANON + (
+            "SELECT doc_id, domain FROM (SELECT doc_id, domain, "
+            "row_number() OVER (PARTITION BY domain ORDER BY ('0x' || "
+            "substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, "
+            "doc_id) AS rn FROM canon) WHERE rn <= 10"
         ),
         "url_best_dedup": _sql_subst(
             _URL_CANON,

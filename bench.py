@@ -219,7 +219,8 @@ def main() -> None:
         "url_canonicalize",
         "url_domain_stats",
         "seq_packing", "text_decontaminate", "dedup_incremental",
-        "docs_top_quantile", "url_best_dedup",
+        "docs_top_quantile", "url_best_dedup", "sample_fixed_k",
+        "sample_domain_quota",
     ]
     for name in q_list:
         t2 = time.perf_counter()

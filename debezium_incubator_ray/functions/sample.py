@@ -167,3 +167,102 @@ def top_quantile_filter(
 
     out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return out, t_val
+
+
+def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
+    """Exactly-k uniform sample, deterministic and engine-replayable: the
+    k rows with the smallest (md5_u64(str(id)), id) — a fixed token/doc
+    budget rather than a rate. Any engine (or any future re-run over any
+    shard subset, since the key is a pure function of the row id) selects
+    the identical k rows.
+
+    Scale shape: each batch reduces to its own top-k (hash, id) partial —
+    k rows per block, metadata-sized — merged once on the driver, winner
+    ids broadcast, source filtered in place. k is the documented
+    small-side bound (a sample that doesn't fit one node isn't a sample)."""
+    import ray
+
+    from debezium_incubator_ray.functions.dedup import _broadcast_winner_filter
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        ids64 = pc.cast(t[id_col].combine_chunks(), pa.int64())
+        h = md5_u64(pc.cast(ids64, pa.string()))
+        ids = ids64.to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            part = np.argpartition(h, k)[:k]
+            h, ids = h[part], ids[part]
+        order = np.lexsort((ids, h))
+        return pa.table({
+            "h": pa.array(h[order], pa.uint64()),
+            id_col: pa.array(ids[order], pa.int64()),
+        })
+
+    partial = ds.map_batches(
+        topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= k rows per block
+    if not partial:
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    h = np.array([r["h"] for r in partial], dtype=np.uint64)
+    ids = np.array([r[id_col] for r in partial], dtype=np.int64)
+    order = np.lexsort((ids, h))[:k]
+    winners_tbl = pa.table({id_col: pa.array(np.sort(ids[order]), pa.int64())})
+    winners = ray.data.from_arrow(winners_tbl)
+    return _broadcast_winner_filter(ds, winners, id_col, unique_ids=True)
+
+
+def domain_quota_sample(
+    ds,
+    quota: int,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+):
+    """Keep at most ``quota`` rows per domain — crawl balancing so one
+    giant host can't dominate the corpus mix. Within a domain the kept
+    rows are the quota smallest (md5_u64(str(id)), id), i.e. a
+    deterministic uniform pick, replayable by any engine.
+
+    Scale shape: the election shuffles (domain, hash, id) only — grouped
+    by a hash bucket of the domain — winner ids broadcast through the
+    shared small-side filter."""
+    from debezium_incubator_ray.functions.dedup import _broadcast_winner_filter
+    from debezium_incubator_ray.hashing import stable_hash
+
+    def narrow(t: pa.Table) -> pa.Table:
+        dom = t[domain_col].combine_chunks()
+        ids64 = pc.cast(t[id_col].combine_chunks(), pa.int64())
+        h = md5_u64(pc.cast(ids64, pa.string()))
+        return pa.table({
+            domain_col: dom,
+            "h": pa.array(h, pa.uint64()),
+            id_col: ids64,
+            "_bucket": pa.array(
+                (stable_hash(dom) % np.uint64(buckets)).astype(np.int32)
+            ),
+        })
+
+    def quota_per_domain(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(domain_col, "ascending"), ("h", "ascending"),
+                          (id_col, "ascending")]
+        )
+        s = t.take(idx)
+        dom = s[domain_col].combine_chunks()
+        first = np.ones(len(s), dtype=bool)
+        neq = pc.not_equal(dom.slice(1), dom.slice(0, len(dom) - 1))
+        first[1:] = neq.to_numpy(zero_copy_only=False)
+        # rank within domain run, vectorized: position - run start
+        pos = np.arange(len(s), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(first, pos, 0))
+        keep = (pos - run_start) < quota
+        return s.filter(pa.array(keep)).select([id_col])
+
+    winners = (
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(quota_per_domain, batch_format="pyarrow")
+    )
+    return _broadcast_winner_filter(ds, winners, id_col, buckets=buckets)

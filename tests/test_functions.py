@@ -583,3 +583,31 @@ def test_global_quantile_threshold_exact():
     out, thr = top_quantile_filter(ds, q=0.8)
     assert thr == 8
     assert sorted(out.to_pandas().n_chars) == [8, 9, 10]
+
+
+def test_fixed_size_sample_exact_k_and_deterministic():
+    from debezium_incubator_ray.functions.sample import fixed_size_sample
+
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "n_chars": pa.array(range(200), pa.int64())})
+    a = fixed_size_sample(ray.data.from_arrow(t), k=7).to_pandas()
+    b = fixed_size_sample(
+        ray.data.from_arrow(t).repartition(5), k=7
+    ).to_pandas()
+    assert len(a) == 7
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # partitioning-invariant
+    # k >= n: everything kept
+    full = fixed_size_sample(ray.data.from_arrow(t.slice(0, 3)), k=10).to_pandas()
+    assert len(full) == 3
+
+
+def test_domain_quota_sample_caps_per_domain():
+    from debezium_incubator_ray.functions.sample import domain_quota_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "domain": ["big.com"] * 25 + ["small.org"] * 5,
+    })
+    out = domain_quota_sample(ray.data.from_arrow(t), quota=4).to_pandas()
+    counts = out.groupby("domain").size().to_dict()
+    assert counts == {"big.com": 4, "small.org": 4}
