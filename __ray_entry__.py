@@ -1062,6 +1062,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_fan_in(sf_dir):
+        """Sharded fan-in: the event stream splits by user parity into two
+        'upstream shards' with INDEPENDENT LSN domains (shard A's offsets
+        shifted +10M), each draining into ONE lake table under its own
+        offset channel (per-source watermarks + segments-done). Keys are
+        disjoint by construction, so the final state equals plain LWW over
+        the union."""
+        import numpy as _np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("fanin")
+        lake = os.path.join(root, "lake")
+        env = EC.events_envelopes(sf_dir, delete_aware=True)
+        after_uid = env["after"].combine_chunks().field("user_id")
+        before_uid = env["before"].combine_chunks().field("user_id")
+        uid = pc.coalesce(after_uid, before_uid)
+        odd = pc.equal(pc.bit_wise_and(pc.cast(uid, pa.int64()), 1), 1)
+
+        def shift_lsn(e, delta):
+            src = e["source"].combine_chunks()
+            fields = [src.field(i) for i in range(src.type.num_fields)]
+            names = [src.type.field(i).name for i in range(src.type.num_fields)]
+            li = names.index("lsn")
+            fields[li] = pc.add(fields[li], delta)
+            new_src = pa.StructArray.from_arrays(
+                fields, fields=[src.type.field(i) for i in range(src.type.num_fields)]
+            )
+            i = e.schema.get_field_index("source")
+            e = e.set_column(i, e.schema.field(i), new_src)
+            j = e.schema.get_field_index("ts_ms")
+            return e.set_column(
+                j, e.schema.field(j), pc.add(e["ts_ms"].combine_chunks(), delta)
+            )
+
+        env_a = shift_lsn(env.filter(pc.invert(odd)), 10_000_000)
+        env_b = env.filter(odd)
+        dir_a, dir_b = os.path.join(root, "a"), os.path.join(root, "b")
+        EC.write_env_binlog(env_a, dir_a)
+        EC.write_env_binlog(env_b, dir_b)
+        eng = EC.make_engine(lake)
+        eng.run_fan_in({"A": dir_a, "B": dir_b})
+        return eng.lake_table().select(["user_id", "event_type", "value"])
+
     def cdc_zone_scan(sf_dir):
         """Zone-map range scan: the lake records per-run min/max for the
         configured stats columns; scan(col, lo, hi) prunes whole runs
@@ -1791,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
         "cdc_secondary_index": cdc_secondary_index,
+        "cdc_fan_in": cdc_fan_in,
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
         "cdc_key_erasure": cdc_key_erasure,
@@ -1970,6 +2016,9 @@ def _lang_id_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     lww_cols = "user_id, ts, event_type, value, props, lsn"
     return {
+        "cdc_fan_in": _LWW
+        + "SELECT user_id, event_type, value FROM ranked "
+        "WHERE rn = 1 AND op <> 'd'",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_compaction": _LWW

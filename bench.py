@@ -220,7 +220,7 @@ def main() -> None:
         "url_domain_stats",
         "seq_packing", "text_decontaminate", "dedup_incremental",
         "docs_top_quantile", "url_best_dedup", "sample_fixed_k",
-        "sample_domain_quota",
+        "sample_domain_quota", "cdc_fan_in",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -486,13 +486,31 @@ class CdcEngine:
     # ------------------------------------------------------------------
     # streaming phase: one micro-batch epoch
     def apply_epoch(
-        self, binlog_dir: str, max_segments: Optional[int] = None
+        self, binlog_dir: str, max_segments: Optional[int] = None,
+        source: str = "",
     ) -> Dict[str, Any]:
+        """One micro-batch epoch over ``binlog_dir``. ``source`` names an
+        independent offset CHANNEL (sharded fan-in): its segments-done set,
+        quarantine set and per-partition watermarks are tracked separately
+        from every other channel, because different upstream shards carry
+        unrelated LSN domains. Fan-in correctness requires disjoint key
+        spaces across channels (see run_fan_in)."""
         self._acquire_lock()
         t0 = time.perf_counter()
-        done = list(self.manifest.doc["segments_done"]) + list(
-            self.manifest.doc.get("segments_error", {})
-        )
+        if source:
+            done = list(
+                self.manifest.doc.get("segments_done_by_source", {}).get(
+                    source, []
+                )
+            ) + list(
+                self.manifest.doc.get("segments_error_by_source", {}).get(
+                    source, {}
+                )
+            )
+        else:
+            done = list(self.manifest.doc["segments_done"]) + list(
+                self.manifest.doc.get("segments_error", {})
+            )
         segs = binlog_src.plan_epoch(
             binlog_dir, done, max_segments, latest_only=self.cfg.latest_only
         )
@@ -536,6 +554,7 @@ class CdcEngine:
                 schema_update=schema_update,
                 segments_error=quarantined or None,
                 persist=schema_update is not None,  # schema history: durable
+                source=source,
             )
             self._maybe_flush(0, force=schema_update is not None)
             if quarantined:
@@ -551,7 +570,7 @@ class CdcEngine:
 
         deferred: List[str] = []
         if aligned:
-            commits = self._apply_aligned(binlog_dir, groups)
+            commits = self._apply_aligned(binlog_dir, groups, source=source)
             for c in commits:
                 quarantined.update(json.loads(c["quarantined_json"]))
                 deferred.extend(json.loads(c.get("deferred_json") or "[]"))
@@ -578,7 +597,7 @@ class CdcEngine:
                     "LSN monotonicity and silently drop events. Drain the "
                     "binlog in one epoch, or repartition it to match."
                 )
-            commits = self._apply_exchange_epoch(binlog_dir, segs)
+            commits = self._apply_exchange_epoch(binlog_dir, segs, source=source)
         updates = self._partition_updates(commits)
         # delivered-event count: the aligned path reports raw pre-normalize
         # rows in its commit records (it already read the segments); the
@@ -602,6 +621,7 @@ class CdcEngine:
             lineage=self._lineage("epoch", updates, events, time.perf_counter() - t0),
             segments_error=quarantined or None,
             persist=False,  # _maybe_flush decides (offset-flush policy)
+            source=source,
         )
         self._maybe_flush(events)
         self._metrics.counter("number-of-processed-mutations").inc(events)
@@ -649,7 +669,9 @@ class CdcEngine:
                     out[ch["column"]] = ch["at_lsn"]
         return out
 
-    def _apply_exchange_epoch(self, binlog_dir: str, segs: List[str]) -> List[Dict]:
+    def _apply_exchange_epoch(
+        self, binlog_dir: str, segs: List[str], source: str = ""
+    ) -> List[Dict]:
         """The general path: read all segments → normalize → combiner →
         hash-partition exchange → stateful merge. Used when the binlog is
         not partition-aligned with the lake."""
@@ -673,10 +695,10 @@ class CdcEngine:
         )
         if self.cfg.salt_buckets > 1:
             flat = self._salted_prereduce(flat)
-        return self._apply_shuffle(flat)
+        return self._apply_shuffle(flat, source=source)
 
     def _apply_aligned(
-        self, binlog_dir: str, groups: Dict[int, List[str]]
+        self, binlog_dir: str, groups: Dict[int, List[str]], source: str = ""
     ) -> List[Dict]:
         """Partition-aligned fast path: the binlog's p=<p> dirs map 1:1 to
         lake partitions, so the epoch needs NO exchange — one task per
@@ -702,6 +724,7 @@ class CdcEngine:
             norm_kwargs=self._norm_kwargs(),
             target_rows_per_file=self.cfg.target_rows_per_file,
             transactional=self.cfg.transactional,
+            source=source,
         )
 
         def apply_one(batch: pa.Table) -> pa.Table:
@@ -714,7 +737,10 @@ class CdcEngine:
         )
         return applied.take_all()
 
-    def run(self, binlog_dir: str, max_segments_per_epoch: Optional[int] = None) -> List[Dict]:
+    def run(
+        self, binlog_dir: str, max_segments_per_epoch: Optional[int] = None,
+        source: str = "",
+    ) -> List[Dict]:
         """Drain the binlog: epochs until no new segments (one-shot tail).
 
         Transactional mode can leave segments deferred (incomplete
@@ -723,8 +749,28 @@ class CdcEngine:
         those transactions. This IS tail() with zero polling."""
         return self.tail(
             binlog_dir, poll_interval_s=0.0, idle_polls=1,
-            max_segments_per_epoch=max_segments_per_epoch,
+            max_segments_per_epoch=max_segments_per_epoch, source=source,
         )
+
+    def run_fan_in(self, binlogs: Dict[str, str]) -> Dict[str, List[Dict]]:
+        """Sharded fan-in: several upstream binlogs (e.g. one per upstream
+        database shard) feeding ONE lake table, each under its own named
+        offset channel (per-source segments-done, quarantine and
+        per-partition watermarks — independent LSN domains can never drop
+        each other's events; cf. the multi-connector topologies the
+        reference runs one task per source for, CassandraConnectorTask /
+        OracleConnectorTask).
+
+        REQUIRED invariant (the caller's contract, as upstream sharding
+        guarantees in practice): key spaces are DISJOINT across sources —
+        the engine has no cross-source LSN order, so two sources writing
+        the same key would LWW-compare offsets from unrelated domains.
+        Partition state (sorted runs) is shared; only offset tracking is
+        per channel. Re-running any subset of sources is exactly-once per
+        channel."""
+        return {
+            sid: self.run(d, source=sid) for sid, d in sorted(binlogs.items())
+        }
 
     def tail(
         self,
@@ -733,6 +779,7 @@ class CdcEngine:
         idle_polls: Optional[int] = None,
         max_epochs: Optional[int] = None,
         max_segments_per_epoch: Optional[int] = None,
+        source: str = "",
     ) -> List[Dict]:
         """The directory-watcher lifecycle (AbstractDirectoryWatcher.java:
         40-53): drain, then poll for new segments, applying as they land.
@@ -745,7 +792,7 @@ class CdcEngine:
         out: List[Dict] = []
         idle = 0
         while True:
-            st = self.apply_epoch(binlog_dir, max_segments_per_epoch)
+            st = self.apply_epoch(binlog_dir, max_segments_per_epoch, source=source)
             out.append(st)
             if max_epochs is not None and len(out) >= max_epochs:
                 break
@@ -1151,12 +1198,13 @@ class CdcEngine:
     # ------------------------------------------------------------------
     # internals
     def _apply_shuffle(
-        self, flat: "ray.data.Dataset", watermark_filter: bool = True
+        self, flat: "ray.data.Dataset", watermark_filter: bool = True,
+        source: str = "",
     ) -> List[Dict]:
         """hash-partitioned shuffle + stateful actor-pool merge; returns the
         tiny per-partition commit records (metadata only) on the driver."""
         if self.cfg.exchange == "staging":
-            return self._apply_shuffle_staging(flat, watermark_filter)
+            return self._apply_shuffle_staging(flat, watermark_filter, source)
         # object-store exchange: Ray Data's sort-based groupby.
         # autoscaling actor pool (1, c): a fixed pool sized to every CPU
         # would starve the upstream read/sort tasks and deadlock the
@@ -1171,6 +1219,7 @@ class CdcEngine:
                 "lake_dir": self.lake_dir,
                 "target_rows_per_file": self.cfg.target_rows_per_file,
                 "watermark_filter": watermark_filter,
+                "source": source,
             },
             batch_format="pyarrow",
             num_cpus=self.cfg.apply_num_cpus,
@@ -1179,7 +1228,8 @@ class CdcEngine:
         return applied.take_all()
 
     def _apply_shuffle_staging(
-        self, flat: "ray.data.Dataset", watermark_filter: bool = True
+        self, flat: "ray.data.Dataset", watermark_filter: bool = True,
+        source: str = "",
     ) -> List[Dict]:
         """Disk-backed external shuffle (stages/exchange.py): split blocks
         into per-partition staging parquet, then one applier call per
@@ -1221,6 +1271,7 @@ class CdcEngine:
                 files_by_partition=files_by_p,
                 target_rows_per_file=self.cfg.target_rows_per_file,
                 watermark_filter=watermark_filter,
+                source=source,
             )
 
             def staged_one(batch: pa.Table) -> pa.Table:

@@ -222,6 +222,18 @@ def read_partition_state(
     return upgrade_run_table(merged, schema, defaults)
 
 
+def channel_watermark(ent: Dict[str, Any], source: str) -> int:
+    """Replay-dedup watermark for an offset CHANNEL: the default channel
+    ("") is the legacy per-partition scalar; a named source (sharded
+    fan-in — several upstream binlogs with INDEPENDENT LSN domains feeding
+    one lake table) tracks its own watermark so one shard's progress can
+    never drop another shard's lower-but-unapplied LSNs (the multi-source
+    generalization of the ADVICE monotonicity hazard)."""
+    if source:
+        return int(ent.get("watermarks", {}).get(source, -1))
+    return ent["watermark"]
+
+
 class PartitionApplier:
     def __init__(
         self,
@@ -229,6 +241,7 @@ class PartitionApplier:
         lake_dir: str,
         target_rows_per_file: int = 1_000_000,
         watermark_filter: bool = True,
+        source: str = "",
     ):
         self.doc = manifest_doc
         self.lake_dir = lake_dir
@@ -250,12 +263,13 @@ class PartitionApplier:
         # must NOT advance the partition watermark (chunks are read-repair,
         # not stream progress)
         self.watermark_filter = watermark_filter
+        self.source = source
 
     # ------------------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
         p = group[S.PART][0].as_py()
         ent = self.doc["partitions"][str(p)]
-        wm = ent["watermark"]
+        wm = channel_watermark(ent, self.source)
         events_in = group.num_rows
         if self.watermark_filter:
             lsn_max = pc.max(group[S.LSN]).as_py()
@@ -394,7 +408,7 @@ class PartitionApplier:
         ent = self.doc["partitions"][str(p)]
         deltas = ent.get("deltas", [])
         return self._record(
-            p, ent["watermark"], 0, 0, 0,
+            p, channel_watermark(ent, self.source), 0, 0, 0,
             sum(f["rows"] for f in ent["files"] + deltas), ent["files"],
             deltas=deltas,
         )
@@ -450,10 +464,13 @@ class AlignedSegmentApplier:
         norm_kwargs: Dict[str, Any],
         target_rows_per_file: int = 1_000_000,
         transactional: bool = False,
+        source: str = "",
     ):
         from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
-        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.inner = PartitionApplier(
+            manifest_doc, lake_dir, target_rows_per_file, source=source
+        )
         self.norm = NormalizeEnvelope(**norm_kwargs)
         self.binlog_dir = binlog_dir
         self.key = manifest_doc["key"]
@@ -513,7 +530,9 @@ class AlignedSegmentApplier:
                     raw["lsn"].combine_chunks(),
                     raw["tx_id"].combine_chunks(),
                     raw["tx_events"].combine_chunks(),
-                    watermark=self.inner.doc["partitions"][str(p)]["watermark"],
+                    watermark=channel_watermark(
+                        self.inner.doc["partitions"][str(p)], self.inner.source
+                    ),
                 )
                 if cut is not None:
                     # apply only the prefix of complete transactions;

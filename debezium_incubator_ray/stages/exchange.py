@@ -112,12 +112,13 @@ class StagedApplier:
         files_by_partition: Dict[int, List[str]],
         target_rows_per_file: int = 1_000_000,
         watermark_filter: bool = True,
+        source: str = "",
     ):
         from debezium_incubator_ray.stages.apply import PartitionApplier
 
         self.inner = PartitionApplier(
             manifest_doc, lake_dir, target_rows_per_file,
-            watermark_filter=watermark_filter,
+            watermark_filter=watermark_filter, source=source,
         )
         self.stage_dir = stage_dir
         self.files = {int(k): v for k, v in files_by_partition.items()}

@@ -199,6 +199,7 @@ class Manifest:
         segments_error: Optional[Dict[str, str]] = None,
         extra_state: Optional[Dict[str, Any]] = None,
         persist: bool = True,
+        source: str = "",
     ) -> "Manifest":
         """Produce the next manifest version; atomically publish it when
         ``persist`` (the offset-flush point). With ``persist=False`` the new
@@ -211,16 +212,32 @@ class Manifest:
         for p, upd in partition_updates.items():
             ent = doc["partitions"][str(p)]
             if "watermark" in upd:
-                ent["watermark"] = max(ent["watermark"], upd["watermark"])
+                if source:
+                    # named offset channel (sharded fan-in): mark-if-greater
+                    # against the SOURCE's own watermark — channels have
+                    # independent LSN domains, never fold into the scalar
+                    wms = ent.setdefault("watermarks", {})
+                    wms[source] = max(wms.get(source, -1), upd["watermark"])
+                else:
+                    ent["watermark"] = max(ent["watermark"], upd["watermark"])
             if "files" in upd:
                 ent["files"] = upd["files"]
             if "deltas" in upd:
                 ent["deltas"] = upd["deltas"]
         if segments_done:
-            done = set(doc["segments_done"])
-            doc["segments_done"] = sorted(done | set(segments_done))
+            if source:
+                by_src = doc.setdefault("segments_done_by_source", {})
+                prev = set(by_src.get(source, []))
+                by_src[source] = sorted(prev | set(segments_done))
+            else:
+                done = set(doc["segments_done"])
+                doc["segments_done"] = sorted(done | set(segments_done))
         if segments_error:
-            doc.setdefault("segments_error", {}).update(segments_error)
+            if source:
+                by_src = doc.setdefault("segments_error_by_source", {})
+                by_src.setdefault(source, {}).update(segments_error)
+            else:
+                doc.setdefault("segments_error", {}).update(segments_error)
         if lineage is not None:
             doc["lineage"] = (doc["lineage"] + [lineage])[-50:]
         if schema_update is not None:
