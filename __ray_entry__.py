@@ -1554,6 +1554,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def join_broadcast_enrich(sf_dir):
+        """Star-schema enrichment: the customer dimension broadcast once
+        (ray.put), every orders batch hash-joins in place, then the
+        partial-agg → tiny-groupby rollup by market segment. Nothing
+        fact-sized shuffles."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import broadcast_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        dim = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        joined = broadcast_join(orders, dim, on="o_custkey",
+                                right_on="c_custkey")
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("c_mktsegment").aggregate(
+                [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            )
+            return pa.table({
+                "c_mktsegment": g["c_mktsegment"],
+                "psum": g["o_totalprice_sum"],
+                "pn": pc.cast(g["o_totalprice_count"], pa.int64()),
+            })
+
+        out = joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("c_mktsegment").aggregate(
+            Sum("psum", alias_name="revenue"), Sum("pn", alias_name="n_orders")
+        )
+
+        def stabilize(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("revenue")
+            return t.set_column(i, "revenue", pc.round(t["revenue"], ndigits=2))
+
+        return out.map_batches(stabilize, batch_format="pyarrow")
+
+    def distinct_users_per_type(sf_dir):
+        """Exact count-distinct per group with the combiner shape: batches
+        reduce to distinct (type, user) pairs before the one narrow
+        shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.joins import distinct_count_per_group
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        return distinct_count_per_group(ev, "event_type", "user_id")
+
     def sample_fixed_k(sf_dir):
         """Exactly-100 uniform deterministic sample: the 100 docs with the
         smallest (md5(doc_id), doc_id) — per-block top-k partials merge on
@@ -1865,6 +1923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_best_dedup": url_best_dedup,
         "sample_fixed_k": sample_fixed_k,
         "sample_domain_quota": sample_domain_quota,
+        "join_broadcast_enrich": join_broadcast_enrich,
+        "distinct_users_per_type": distinct_users_per_type,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2510,6 +2570,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "join_broadcast_enrich": (
+            "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, "
+            "count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "distinct_users_per_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
         ),
         "sample_fixed_k": (
             "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars "

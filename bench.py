@@ -220,7 +220,8 @@ def main() -> None:
         "url_domain_stats",
         "seq_packing", "text_decontaminate", "dedup_incremental",
         "docs_top_quantile", "url_best_dedup", "sample_fixed_k",
-        "sample_domain_quota", "cdc_fan_in",
+        "sample_domain_quota", "cdc_fan_in", "join_broadcast_enrich",
+        "distinct_users_per_type",
     ]
     for name in q_list:
         t2 = time.perf_counter()

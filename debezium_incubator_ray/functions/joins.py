@@ -172,3 +172,59 @@ def interval_join(
     return joined.map_batches(
         contained, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def broadcast_join(
+    ds,
+    dim: pa.Table,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+):
+    """Broadcast hash join: the (small) dimension table is put in the
+    object store ONCE and every fact batch joins against it in place with
+    Arrow's hash-join kernel — the standard star-schema enrichment that
+    replaces an all-to-all shuffle join whenever one side fits a node
+    (lookup tables, dimensions, configs). The fact side streams at the
+    read's parallelism; nothing fact-sized moves.
+
+    Row order within the output is per-batch (joins are unordered)."""
+    import ray
+
+    ref = ray.put(dim)
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)  # zero-copy once node-local
+        return batch.join(
+            d, keys=[on], right_keys=[right_on or on], join_type=join_type
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_count_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+):
+    """EXACT count-distinct per group, with the pre-aggregation shape wide
+    ops need at scale: each batch first reduces to its DISTINCT
+    (group, value) pairs (the combiner — bounds shuffle volume at
+    |distinct| per block, not |rows|), the narrow pair stream shuffles
+    once by group, and a vectorized run-count per group finishes it."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([])
+
+    def count_distinct(t: pa.Table) -> pa.Table:
+        d = t.group_by([group_col, value_col]).aggregate([])
+        out = d.group_by([group_col]).aggregate([(value_col, "count")])
+        return out.rename_columns([group_col, "n_distinct"])
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )

@@ -611,3 +611,30 @@ def test_domain_quota_sample_caps_per_domain():
     out = domain_quota_sample(ray.data.from_arrow(t), quota=4).to_pandas()
     counts = out.groupby("domain").size().to_dict()
     assert counts == {"big.com": 4, "small.org": 4}
+
+
+def test_broadcast_join_and_distinct_count():
+    from debezium_incubator_ray.functions.joins import (
+        broadcast_join, distinct_count_per_group,
+    )
+
+    facts = pa.table({
+        "k": pa.array([1, 2, 2, 3, 9], pa.int64()),
+        "v": pa.array([10.0, 20.0, 21.0, 30.0, 99.0]),
+    })
+    dim = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "name": ["a", "b", "c"],
+    })
+    out = broadcast_join(ray.data.from_arrow(facts), dim, on="k").to_pandas()
+    assert len(out) == 4  # inner join drops k=9
+    assert set(out.name) == {"a", "b", "c"}
+
+    ev = pa.table({
+        "g": ["x", "x", "x", "y"],
+        "u": pa.array([1, 1, 2, 5], pa.int64()),
+    })
+    dc = distinct_count_per_group(
+        ray.data.from_arrow(ev).repartition(3), "g", "u"
+    ).to_pandas().set_index("g")
+    assert dc.loc["x", "n_distinct"] == 2 and dc.loc["y", "n_distinct"] == 1
