@@ -177,13 +177,19 @@ def _broadcast_winner_filter(
     small-side assumption — at corpus sizes where winner ids exceed node
     memory, swap the filter for a partitioned semi-join keyed by the same
     buckets. ``unique_ids=True`` asserts one physical row per id; otherwise
-    a final OUTPUT-sized first-per-id pass collapses identical copies."""
+    a final OUTPUT-sized first-per-id pass collapses identical copies.
+    ``winners`` is a Dataset of winner-id rows, or a numpy id array for
+    callers that already merged winners on the driver."""
     import ray
 
-    chunks = [
-        b[id_col].to_numpy() for b in winners.iter_batches(batch_format="pyarrow")
-    ]
-    wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    if isinstance(winners, np.ndarray):
+        wid = np.sort(winners)
+    else:
+        chunks = [
+            b[id_col].to_numpy()
+            for b in winners.iter_batches(batch_format="pyarrow")
+        ]
+        wid = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     ref = ray.put(wid)
 
     def keep_winners(t: pa.Table) -> pa.Table:

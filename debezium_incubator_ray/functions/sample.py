@@ -180,8 +180,6 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
     k rows per block, metadata-sized — merged once on the driver, winner
     ids broadcast, source filtered in place. k is the documented
     small-side bound (a sample that doesn't fit one node isn't a sample)."""
-    import ray
-
     from debezium_incubator_ray.functions.dedup import _broadcast_winner_filter
 
     def topk_partial(t: pa.Table) -> pa.Table:
@@ -208,9 +206,7 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
     h = np.array([r["h"] for r in partial], dtype=np.uint64)
     ids = np.array([r[id_col] for r in partial], dtype=np.int64)
     order = np.lexsort((ids, h))[:k]
-    winners_tbl = pa.table({id_col: pa.array(np.sort(ids[order]), pa.int64())})
-    winners = ray.data.from_arrow(winners_tbl)
-    return _broadcast_winner_filter(ds, winners, id_col, unique_ids=True)
+    return _broadcast_winner_filter(ds, ids[order], id_col, unique_ids=True)
 
 
 def domain_quota_sample(
