@@ -1554,6 +1554,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def corpus_token_stats(sf_dir):
+        """One-row corpus report: doc count, total tokens and exact global
+        token-count quantiles (p50/p90/p99 by the min-cum >= ceil(q*n)
+        rule) from ONE streaming histogram."""
+        import numpy as _np
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.sample import (
+            global_histogram, quantile_from_cdf,
+        )
+        from debezium_incubator_ray.functions.text import token_count
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        counts = docs.map_batches(
+            lambda t: token_count(t).select(["n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        vals, cum = global_histogram(counts, "n_tokens")
+        n = int(cum[-1]) if len(cum) else 0
+        per_val = _np.diff(cum, prepend=0)
+        total = int((vals * per_val).sum()) if n else 0
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "p50": pa.array([quantile_from_cdf(vals, cum, 0.5)], pa.int64()),
+            "p90": pa.array([quantile_from_cdf(vals, cum, 0.9)], pa.int64()),
+            "p99": pa.array([quantile_from_cdf(vals, cum, 0.99)], pa.int64()),
+        })
+
+    def text_normalize(sf_dir):
+        """Pre-dedup text normalization: control chars -> space, whitespace
+        collapse, trim — two RE2 sweeps over the column; the oracle applies
+        the identical passes."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import text_normalize_batch
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return docs.map_batches(
+            lambda t: text_normalize_batch(t).select(
+                ["doc_id", "text_norm", "n_chars_norm"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def join_broadcast_enrich(sf_dir):
         """Star-schema enrichment: the customer dimension broadcast once
         (ray.put), every orders batch hash-joins in place, then the
@@ -1925,6 +1975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_domain_quota": sample_domain_quota,
         "join_broadcast_enrich": join_broadcast_enrich,
         "distinct_users_per_type": distinct_users_per_type,
+        "corpus_token_stats": corpus_token_stats,
+        "text_normalize": text_normalize,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2570,6 +2622,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "corpus_token_stats": (
+            f"WITH t AS (SELECT {_TOKENS} AS n_tokens FROM documents), "
+            "c AS (SELECT n_tokens, count(*) AS cnt FROM t GROUP BY 1), "
+            "s AS (SELECT n_tokens, SUM(cnt) OVER (ORDER BY n_tokens) AS cum "
+            "FROM c), "
+            "n AS (SELECT count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t) "
+            "SELECT n_docs, total_tokens, "
+            "(SELECT min(n_tokens) FROM s WHERE cum >= CEIL(0.5 * n_docs)) AS p50, "
+            "(SELECT min(n_tokens) FROM s WHERE cum >= CEIL(0.9 * n_docs)) AS p90, "
+            "(SELECT min(n_tokens) FROM s WHERE cum >= CEIL(0.99 * n_docs)) AS p99 "
+            "FROM n"
+        ),
+        "text_normalize": (
+            "WITH r AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "text, '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')) "
+            "AS text_norm FROM documents) "
+            "SELECT doc_id, text_norm, "
+            "CAST(length(text_norm) AS BIGINT) AS n_chars_norm FROM r"
         ),
         "join_broadcast_enrich": (
             "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, "

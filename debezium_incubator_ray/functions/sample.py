@@ -107,26 +107,21 @@ def quality_filter(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def global_quantile_threshold(
-    ds,
-    col: str = "n_chars",
-    q: float = 0.8,
-) -> int:
-    """Exact q-quantile threshold of an integer column, distributed:
-    T = min v such that count(rows with v' <= v) >= ceil(q * n).
-
-    Streaming histogram reduction — each batch contributes (value, count)
-    partials, the groupby folds them to one row per DISTINCT value (integer
-    metrics have bounded cardinality: ~1e5 distinct lengths at any corpus
-    size), and the driver scans the metadata-sized CDF. No sort of the
-    data, no sampling error (vs t-digest/quantile sketches)."""
+def global_histogram(ds, col: str):
+    """(sorted distinct values, cumulative counts) of an integer column —
+    the streaming histogram reduction behind every exact global quantile:
+    each batch contributes (value, count) partials, the groupby folds them
+    to one row per DISTINCT value (integer metrics have bounded
+    cardinality: ~1e5 distinct lengths at any corpus size), and the driver
+    holds only the metadata-sized CDF. No sort of the data, no sampling
+    error (vs t-digest/quantile sketches)."""
     from ray.data.aggregate import Sum
 
     def counts(t: pa.Table) -> pa.Table:
         v = t[col].combine_chunks()
         if not pa.types.is_integer(v.type):
             raise TypeError(
-                f"global_quantile_threshold needs an integer metric column; "
+                f"global_histogram needs an integer metric column; "
                 f"{col!r} is {v.type} (bucketize/scale floats first)"
             )
         vc = v.value_counts()
@@ -143,12 +138,28 @@ def global_quantile_threshold(
     )
     hist.sort(key=lambda r: r[col])
     vals = np.array([r[col] for r in hist], dtype=np.int64)
-    cum = np.cumsum([r["sum(cnt)"] for r in hist])
+    cum = np.cumsum([r["sum(cnt)"] for r in hist]) if hist else np.empty(0, np.int64)
+    return vals, cum
+
+
+def quantile_from_cdf(vals: np.ndarray, cum: np.ndarray, q: float) -> int:
+    """T = min v such that count(rows with v' <= v) >= ceil(q * n)."""
     n = int(cum[-1]) if len(cum) else 0
     if n == 0:
         return 0
     need = int(np.ceil(q * n))
     return int(vals[np.searchsorted(cum, need)])
+
+
+def global_quantile_threshold(
+    ds,
+    col: str = "n_chars",
+    q: float = 0.8,
+) -> int:
+    """Exact q-quantile threshold of an integer column, distributed (see
+    global_histogram for the shape)."""
+    vals, cum = global_histogram(ds, col)
+    return quantile_from_cdf(vals, cum, q)
 
 
 def top_quantile_filter(

@@ -525,3 +525,34 @@ def repetition_metrics(
             "dup_frac": pa.array(dup.astype(np.float64)),
         }
     )
+
+
+_NORM_STEPS = [
+    # control characters (incl. tab/newline) -> space; RE2 both sides so
+    # the DuckDB oracle applies the IDENTICAL passes
+    (r"[\x00-\x1f\x7f]", " "),
+    (r" {2,}", " "),  # collapse runs of spaces
+]
+
+
+def normalize_text(col, steps=None):
+    """Vectorized text cleanup (control chars -> space, whitespace
+    collapse, trim): the canonical pre-dedup normalization pass — two RE2
+    sweeps + one trim over the whole column, no per-row Python."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    for pat, repl in (steps or _NORM_STEPS):
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    return pc.utf8_trim_whitespace(arr)
+
+
+def text_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """map_batches stage: adds text_norm + n_chars_norm."""
+    import pyarrow.compute as pc
+
+    norm = normalize_text(batch[text_col])
+    batch = batch.append_column("text_norm", norm)
+    return batch.append_column(
+        "n_chars_norm", pc.cast(pc.utf8_length(norm), pa.int64())
+    )

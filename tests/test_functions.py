@@ -638,3 +638,23 @@ def test_broadcast_join_and_distinct_count():
         ray.data.from_arrow(ev).repartition(3), "g", "u"
     ).to_pandas().set_index("g")
     assert dc.loc["x", "n_distinct"] == 2 and dc.loc["y", "n_distinct"] == 1
+
+
+def test_normalize_text_passes():
+    from debezium_incubator_ray.functions.text import normalize_text
+
+    arr = pa.array(["  a\tb\n\nc  d ", "\x00x\x1fy", "clean"])
+    out = normalize_text(arr).to_pylist()
+    assert out == ["a b c d", "x y", "clean"]
+
+
+def test_global_histogram_and_cdf():
+    from debezium_incubator_ray.functions.sample import (
+        global_histogram, quantile_from_cdf,
+    )
+
+    t = pa.table({"v": pa.array([1, 1, 2, 5, 5, 5], pa.int64())})
+    vals, cum = global_histogram(ray.data.from_arrow(t).repartition(2), "v")
+    assert list(vals) == [1, 2, 5] and list(cum) == [2, 3, 6]
+    assert quantile_from_cdf(vals, cum, 0.5) == 2
+    assert quantile_from_cdf(vals, cum, 0.99) == 5
