@@ -1069,7 +1069,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         offset channel (per-source watermarks + segments-done). Keys are
         disjoint by construction, so the final state equals plain LWW over
         the union."""
-        import numpy as _np
         import pyarrow as pa
         import pyarrow.compute as pc
         from debezium_incubator_ray.pipelines import events_cdc as EC

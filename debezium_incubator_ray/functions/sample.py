@@ -180,7 +180,8 @@ def top_quantile_filter(
     return out, t_val
 
 
-def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
+def fixed_size_sample(ds, k: int, id_col: str = "doc_id",
+                      unique_ids: bool = True):
     """Exactly-k uniform sample, deterministic and engine-replayable: the
     k rows with the smallest (md5_u64(str(id)), id) — a fixed token/doc
     budget rather than a rate. Any engine (or any future re-run over any
@@ -188,9 +189,13 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
     the identical k rows.
 
     Scale shape: each batch reduces to its own top-k (hash, id) partial —
-    k rows per block, metadata-sized — merged once on the driver, winner
-    ids broadcast, source filtered in place. k is the documented
-    small-side bound (a sample that doesn't fit one node isn't a sample)."""
+    k rows per block, metadata-sized — merged once on the driver
+    (identical (hash, id) pairs from duplicate physical rows collapse to
+    ONE winner slot), winner ids broadcast, source filtered in place. k is
+    the documented small-side bound (a sample that doesn't fit one node
+    isn't a sample). ``unique_ids=False`` adds the first-per-id pass so a
+    source with re-delivered shards still yields exactly k physical
+    rows."""
     from debezium_incubator_ray.functions.dedup import _broadcast_winner_filter
 
     def topk_partial(t: pa.Table) -> pa.Table:
@@ -198,9 +203,14 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
         h = md5_u64(pc.cast(ids64, pa.string()))
         ids = ids64.to_numpy(zero_copy_only=False)
         if len(ids) > k:
-            part = np.argpartition(h, k)[:k]
-            h, ids = h[part], ids[part]
-        order = np.lexsort((ids, h))
+            # argpartition selects by h alone; widen the cut to include
+            # every row TIED with the k-th hash so the (h, id) tiebreak is
+            # decided by the lexsort below, not by partition luck
+            part = np.argpartition(h, k - 1)
+            hb = h[part[k - 1]]
+            keep = np.union1d(part[:k], np.nonzero(h == hb)[0])
+            h, ids = h[keep], ids[keep]
+        order = np.lexsort((ids, h))[:k]
         return pa.table({
             "h": pa.array(h[order], pa.uint64()),
             id_col: pa.array(ids[order], pa.int64()),
@@ -216,8 +226,15 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id"):
         )
     h = np.array([r["h"] for r in partial], dtype=np.uint64)
     ids = np.array([r[id_col] for r in partial], dtype=np.int64)
+    # duplicate physical rows per id (re-delivered shards) contribute
+    # identical (h, id) pairs from different blocks — they must occupy ONE
+    # of the k winner slots, not several
+    pairs = np.unique(np.stack([h, ids.view(np.uint64)], axis=1), axis=0)
+    h, ids = pairs[:, 0], pairs[:, 1].view(np.int64)
     order = np.lexsort((ids, h))[:k]
-    return _broadcast_winner_filter(ds, ids[order], id_col, unique_ids=True)
+    return _broadcast_winner_filter(
+        ds, ids[order], id_col, unique_ids=unique_ids
+    )
 
 
 def domain_quota_sample(
@@ -242,12 +259,15 @@ def domain_quota_sample(
         dom = t[domain_col].combine_chunks()
         ids64 = pc.cast(t[id_col].combine_chunks(), pa.int64())
         h = md5_u64(pc.cast(ids64, pa.string()))
+        # null domains form their OWN group: bucket them with "" (routing
+        # only — the run boundary below still separates null from "")
+        bucket_dom = pc.fill_null(dom, "")
         return pa.table({
             domain_col: dom,
             "h": pa.array(h, pa.uint64()),
             id_col: ids64,
             "_bucket": pa.array(
-                (stable_hash(dom) % np.uint64(buckets)).astype(np.int32)
+                (stable_hash(bucket_dom) % np.uint64(buckets)).astype(np.int32)
             ),
         })
 
@@ -259,7 +279,14 @@ def domain_quota_sample(
         s = t.take(idx)
         dom = s[domain_col].combine_chunks()
         first = np.ones(len(s), dtype=bool)
-        neq = pc.not_equal(dom.slice(1), dom.slice(0, len(dom) - 1))
+        a, b = dom.slice(1), dom.slice(0, len(dom) - 1)
+        # null-safe run boundary: null vs null = same group, null vs value
+        # = new group (not_equal alone propagates null -> False -> nulls
+        # would silently merge into the preceding domain's quota)
+        neq = pc.or_(
+            pc.fill_null(pc.not_equal(a, b), False),
+            pc.xor(pc.is_null(a), pc.is_null(b)),
+        )
         first[1:] = neq.to_numpy(zero_copy_only=False)
         # rank within domain run, vectorized: position - run start
         pos = np.arange(len(s), dtype=np.int64)

@@ -544,7 +544,10 @@ def normalize_text(col, steps=None):
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     for pat, repl in (steps or _NORM_STEPS):
         arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
-    return pc.utf8_trim_whitespace(arr)
+    # ASCII-space trim, NOT utf8_trim_whitespace: SQL trim() only strips
+    # ' ', and the control-char pass above has already spaced \t/\n/\r —
+    # a trailing U+00A0/U+3000 must survive identically on both sides
+    return pc.utf8_trim(arr, characters=" ")
 
 
 def text_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -161,26 +161,51 @@ class CdcEngine:
         )
         g("row-scanned", lambda: dict(w._rows_scanned))
         g("commitlog-filename", lambda: w._last_segment)
-        g(
-            "commitlog-position",
-            lambda: max(
-                (e["watermark"] for e in w.manifest.doc["partitions"].values()),
-                default=-1,
-            ),
-        )
+        g("commitlog-position", lambda: w._commitlog_position())
         g("manifest-version", lambda: w.manifest.version)
         g("processed-low-watermark", lambda: w.processed_low_watermark())
 
-    def processed_low_watermark(self) -> int:
+    def _channel_ids(self) -> List[str]:
+        """Named fan-in offset channels present in the manifest."""
+        out: set = set()
+        for e in self.manifest.doc["partitions"].values():
+            out.update(e.get("watermarks", {}))
+        return sorted(out)
+
+    def _commitlog_position(self):
+        """Max applied LSN — scalar for single-source lakes; a per-channel
+        dict for fan-in lakes (channel LSN domains are unrelated, so one
+        cross-domain max would be meaningless)."""
+        parts = self.manifest.doc["partitions"].values()
+        chans = self._channel_ids()
+        if not chans:
+            return max((e["watermark"] for e in parts), default=-1)
+        out = {
+            s: max((e.get("watermarks", {}).get(s, -1) for e in parts),
+                   default=-1)
+            for s in chans
+        }
+        scalar = max((e["watermark"] for e in parts), default=-1)
+        if scalar >= 0:
+            out[""] = scalar
+        return out
+
+    def processed_low_watermark(self, source: str = "") -> int:
         """The MIN applied LSN across partitions — everything at or below
         it is durably in the lake on every partition. The source may trim
         segments whose max LSN is <= this (the reference pushes the same
         position back to XStream so the DB can purge,
         OracleStreamingChangeEventSource.java:92-127
         setProcessedLowWatermark); pair with ``on_segment_done`` for
-        archive-after-apply."""
+        archive-after-apply. ``source`` selects a fan-in offset channel —
+        each upstream shard trims against ITS OWN low watermark."""
+        from debezium_incubator_ray.stages.apply import channel_watermark
+
         return min(
-            (e["watermark"] for e in self.manifest.doc["partitions"].values()),
+            (
+                channel_watermark(e, source)
+                for e in self.manifest.doc["partitions"].values()
+            ),
             default=-1,
         )
 
@@ -285,7 +310,11 @@ class CdcEngine:
             # must carry a strictly newer LSN to be real
             wms = [
                 e["watermark"] for e in self.manifest.doc["partitions"].values()
-            ]
+            ] + [
+                w
+                for e in self.manifest.doc["partitions"].values()
+                for w in e.get("watermarks", {}).values()
+            ]  # a redo must outrank EVERY channel, not just the scalar
             top = max(wms) if wms else -1
             if snapshot_lsn <= top:
                 raise ValueError(
@@ -402,6 +431,12 @@ class CdcEngine:
                 "snapshot_incremental over a composite-PK table: the chunk "
                 "cursor contract (key > last_key, key-ascending) is defined "
                 "on the single key column — run a full snapshot instead"
+            )
+        if self._channel_ids():
+            raise NotImplementedError(
+                "snapshot_incremental on a fan-in lake: the chunk read_lsn "
+                "(max watermark) is undefined across sources with unrelated "
+                "LSN domains — backfill each upstream shard independently"
             )
         state = dict(
             self.manifest.doc.get("inc_snapshot")

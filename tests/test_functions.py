@@ -658,3 +658,36 @@ def test_global_histogram_and_cdf():
     assert list(vals) == [1, 2, 5] and list(cum) == [2, 3, 6]
     assert quantile_from_cdf(vals, cum, 0.5) == 2
     assert quantile_from_cdf(vals, cum, 0.99) == 5
+
+
+def test_fixed_size_sample_duplicate_rows_collapse():
+    from debezium_incubator_ray.functions.sample import fixed_size_sample
+
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "n_chars": pa.array(range(50), pa.int64())})
+    tripled = ray.data.from_arrow(t).union(
+        ray.data.from_arrow(t), ray.data.from_arrow(t)
+    )
+    base = sorted(
+        fixed_size_sample(ray.data.from_arrow(t), k=7).to_pandas().doc_id
+    )
+    out = fixed_size_sample(tripled, k=7, unique_ids=False).to_pandas()
+    assert len(out) == 7 and sorted(out.doc_id) == base
+    # unique_ids=True keeps all physical copies of the same 7 winners
+    out2 = fixed_size_sample(tripled, k=7).to_pandas()
+    assert len(out2) == 21 and sorted(set(out2.doc_id)) == base
+
+
+def test_domain_quota_null_domains_are_own_group():
+    from debezium_incubator_ray.functions.sample import domain_quota_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "domain": ["a.com"] * 5 + [None] * 5 + ["", ""],
+    })
+    out = domain_quota_sample(ray.data.from_arrow(t), quota=3).to_pandas()
+    by = out.groupby(out.domain.isna()).size()
+    assert by[True] == 3          # nulls capped as their own group
+    n_a = (out.domain == "a.com").sum()
+    n_empty = (out.domain == "").sum()
+    assert n_a == 3 and n_empty == 2
