@@ -12,7 +12,7 @@ from debezium_incubator_ray.pipelines import events_cdc as EC
 P = EC.NUM_PARTITIONS
 
 
-def _env(ops, uids, lsns, values):
+def _env(ops, uids, lsns, values, binlog_parts=P):
     after = pa.table({
         "ts": pa.nulls(len(uids), pa.timestamp("us")),
         "user_id": pa.array(uids, pa.int64()),
@@ -20,7 +20,7 @@ def _env(ops, uids, lsns, values):
         "value": pa.array(values, pa.float64()),
         "props": pa.nulls(len(uids), pa.string()),
     })
-    part = (np.asarray(uids) % P).astype(np.int32)
+    part = (np.asarray(uids) % binlog_parts).astype(np.int32)
     return build_envelopes(
         pa.array(ops, pa.string()), after, after, part,
         np.asarray(lsns, dtype=np.int64), table="events",
@@ -95,3 +95,28 @@ def test_default_channel_unchanged(tmp_path):
     assert "segments_done_by_source" not in doc
     assert all("watermarks" not in e for e in doc["partitions"].values())
     assert eng.lake_table().num_rows == 8
+
+
+def test_fan_in_exchange_path(tmp_path):
+    """Channels work through the exchange (non-aligned) path too: a
+    single-partition binlog against an 8-partition lake forces the
+    shuffle; per-source watermarks still dedup replays."""
+    lake = str(tmp_path / "lake")
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    EC.write_env_binlog(
+        _env(["c"] * 8, list(range(8)), range(100, 108), [1.0] * 8,
+             binlog_parts=1),
+        dir_a, num_partitions=1,
+    )
+    EC.write_env_binlog(
+        _env(["c"] * 8, list(range(100, 108)), range(1, 9), [2.0] * 8,
+             binlog_parts=1),
+        dir_b, num_partitions=1,
+    )
+    eng = EC.make_engine(lake)
+    fan = eng.run_fan_in({"A": dir_a, "B": dir_b})
+    assert all(not e.get("aligned", True) or e["segments"] == 0
+               for st in fan.values() for e in st)
+    assert eng.lake_table().num_rows == 16
+    fan2 = eng.run_fan_in({"A": dir_a, "B": dir_b})
+    assert sum(e.get("applied", 0) for st in fan2.values() for e in st) == 0
