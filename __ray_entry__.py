@@ -1106,6 +1106,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng.run_fan_in({"A": dir_a, "B": dir_b})
         return eng.lake_table().select(["user_id", "event_type", "value"])
 
+    def cdc_row_expiry(sf_dir):
+        """Retention sweep: after the stream applies, expire live rows
+        with value < 30 — zone maps drop provably-old runs unread and skip
+        provably-fresh partitions entirely. Oracle: the LWW final state
+        filtered by the same predicate."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("expiry")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(lake, stats_columns=("value",))
+        eng.run(binlog)
+        eng.expire_rows("value", 30.0)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_zone_scan(sf_dir):
         """Zone-map range scan: the lake records per-run min/max for the
         configured stats columns; scan(col, lo, hi) prunes whole runs
@@ -1944,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_fan_in": cdc_fan_in,
+        "cdc_row_expiry": cdc_row_expiry,
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
         "cdc_key_erasure": cdc_key_erasure,
@@ -2130,6 +2150,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fan_in": _LWW
         + "SELECT user_id, event_type, value FROM ranked "
         "WHERE rn = 1 AND op <> 'd'",
+        "cdc_row_expiry": _LWW
+        + f"SELECT {lww_cols} FROM ranked "
+        "WHERE rn = 1 AND op <> 'd' AND value >= 30.0",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_compaction": _LWW

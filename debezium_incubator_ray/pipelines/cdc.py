@@ -1051,6 +1051,73 @@ class CdcEngine:
             out["vacuum"] = self.vacuum(keep_versions=1)
         return out
 
+    def expire_rows(
+        self, col: str, cutoff, vacuum_history: bool = False
+    ) -> Dict[str, Any]:
+        """Retention / TTL sweep: remove LIVE rows with ``col`` < ``cutoff``
+        (strictly below; NULL never expires). State surgery like
+        ``erase_keys`` — watermarks don't move, superseded files persist
+        for time-travel until vacuum.
+
+        With ``col`` in EngineConfig.stats_columns the zone maps do the
+        heavy lifting: runs proven all-fresh carry over untouched, runs
+        proven all-old drop UNREAD, and partitions with no possibly-old
+        run are never dispatched — O(runs containing old rows), not
+        O(lake). Merge-on-read deltas fold first (expiring a delta row
+        would expose the stale base row it masks)."""
+        from debezium_incubator_ray.stages.apply import RowExpirer, stats_value
+
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        self.flush()
+        if any(
+            self.manifest.deltas(p) for p in range(self.cfg.num_partitions)
+        ):
+            self.compact()
+        cut_e = stats_value(cutoff)
+
+        def may_have_old(p: int) -> bool:
+            for f in self.manifest.files(p):
+                st = (f.get("stats") or {}).get(col)
+                if not st or st[0] is None or st[0] < cut_e:
+                    return True  # unknown or possibly-old rows present
+            return False
+
+        targets = [
+            p for p in range(self.cfg.num_partitions)
+            if self.manifest.files(p) and may_have_old(p)
+        ]
+        if not targets:
+            return {"expired_rows": 0, "partitions": 0}
+        items = [{S.PART: p} for p in targets]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ctor = dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            col=col,
+            cutoff=cutoff,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+
+        def expire_one(batch: pa.Table) -> pa.Table:
+            return RowExpirer(**ctor)(batch)
+
+        commits = ds.map_batches(
+            expire_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        ).take_all()
+        expired = sum(c["events_applied"] for c in commits)
+        updates = self._partition_updates(commits)
+        self.manifest = self.manifest.commit(
+            updates,
+            lineage=self._lineage("expire", updates, expired,
+                                  time.perf_counter() - t0),
+            persist=True,
+        )
+        out = {"expired_rows": expired, "partitions": len(targets)}
+        if vacuum_history:
+            out["vacuum"] = self.vacuum(keep_versions=1)
+        return out
+
     def join_lake(
         self,
         other: "CdcEngine",

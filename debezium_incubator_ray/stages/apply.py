@@ -691,3 +691,89 @@ class KeyEraser:
                 )
             )
         return pa.concat_tables(outs)
+
+
+class RowExpirer:
+    """Per-partition retention (TTL) sweep: drop LIVE rows whose ``col``
+    value is strictly below ``cutoff`` — state surgery like KeyEraser
+    (watermarks don't move; a later event may legally re-create a key).
+
+    Zone maps (EngineConfig.stats_columns) set the cost:
+    - a run with min(col) >= cutoff carries over UNTOUCHED (nothing old);
+    - with compacted tombstones, a run with max(col) < cutoff is dropped
+      whole, UNREAD (every row provably old);
+    - everything else rewrites with the exact null-safe filter — a NULL
+      col never expires (unknown age is not provably old), and
+      tombstone-retention marker rows are never expired (dropping a
+      delete marker would resurrect the row it masks).
+
+    Operates on BASE runs only: the engine folds merge-on-read deltas
+    first (expiring a delta row would expose the stale base row under
+    it)."""
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        col: str,
+        cutoff,
+        target_rows_per_file: int = 1_000_000,
+    ):
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.col = col
+        self.cutoff = cutoff
+        self.cut_e = stats_value(cutoff)
+        # whole-run drop is sound only when base runs hold purely live rows
+        self.droppable = manifest_doc.get("tombstones", True)
+
+    def _keep_mask(self, t: pa.Table):
+        from debezium_incubator_ray.envelope import DELETED
+
+        if self.col not in t.column_names:
+            return None
+        expire = pc.fill_null(pc.less(t[self.col], pa.scalar(self.cutoff)), False)
+        if DELETED in t.column_names:
+            marker = pc.fill_null(pc.equal(t[DELETED], True), False)
+            expire = pc.and_(expire, pc.invert(marker))
+        return pc.invert(expire)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs: List[pa.Table] = []
+        for p in batch[S.PART].to_pylist():
+            ent = self.inner.doc["partitions"][str(p)]
+            out: List[Dict] = []
+            rows = expired = 0
+            for f in ent["files"]:
+                st = (f.get("stats") or {}).get(self.col)
+                if st:
+                    mn, mx = st
+                    if mn is not None and mn >= self.cut_e:
+                        out.append(f)
+                        rows += f["rows"]
+                        continue
+                    if self.droppable and mx is not None and mx < self.cut_e:
+                        expired += f["rows"]  # whole run provably old
+                        continue
+                t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
+                if f.get("schema_version", 1) != self.inner.schema_version:
+                    t = upgrade_run_table(
+                        t, self.inner.schema, self.inner.defaults
+                    )
+                mask = self._keep_mask(t)
+                kept = t if mask is None else t.filter(mask)
+                expired += t.num_rows - kept.num_rows
+                if kept.num_rows == t.num_rows:
+                    out.append(f)
+                    rows += f["rows"]
+                    continue
+                new = self.inner._write_run(int(p), kept)
+                out.extend(new)
+                rows += kept.num_rows
+            out.sort(key=lambda f: f["min_key"])
+            outs.append(
+                self.inner._record(
+                    int(p), ent["watermark"], 0, expired, 0, rows, out,
+                    deltas=[],
+                )
+            )
+        return pa.concat_tables(outs)

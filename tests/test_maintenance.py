@@ -573,3 +573,56 @@ def test_scan_stats_enabled_on_reopen(tmp_path, ray_session):
         (f.get("stats") or {}).get("lang")
         for p in range(2) for f in eng2.manifest.files(p)
     )
+
+
+def test_expire_rows_ttl(tmp_path):
+    """Retention sweep: rows below the cutoff leave the live state;
+    provably-fresh runs carry over byte-identical (same file paths);
+    NULL metric never expires; MoR deltas fold first."""
+    import numpy as np
+
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+    from debezium_incubator_ray.envelope import build_envelopes
+
+    lake = str(tmp_path / "lake")
+    binlog = str(tmp_path / "binlog")
+    n = 64
+    uids = list(range(n))
+    vals = [float(u) if u % 7 else None for u in uids]  # some NULLs
+    after = pa.table({
+        "ts": pa.nulls(n, pa.timestamp("us")),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(["t"] * n, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.nulls(n, pa.string()),
+    })
+    env = build_envelopes(
+        pa.array(["c"] * n, pa.string()), after, None,
+        (np.asarray(uids) % EC.NUM_PARTITIONS).astype(np.int32),
+        np.arange(1, n + 1, dtype=np.int64), table="events",
+    )
+    EC.write_env_binlog(env, binlog)
+    eng = EC.make_engine(lake, stats_columns=("value",))
+    eng.run(binlog)
+    before_files = {
+        p: [f["path"] for f in eng.manifest.files(p)]
+        for p in range(EC.NUM_PARTITIONS)
+    }
+    res = eng.expire_rows("value", 30.0)
+    lt = eng.lake_table()
+    got = {r["user_id"]: r["value"] for r in lt.to_pylist()}
+    for u in uids:
+        v = vals[u]
+        if v is None or v >= 30.0:
+            assert u in got, f"row {u} wrongly expired"
+        else:
+            assert u not in got, f"row {u} should have expired"
+    assert res["expired_rows"] == sum(
+        1 for v in vals if v is not None and v < 30.0
+    )
+    # at least one partition rewrote; fresh runs carried over by path
+    after_files = {
+        p: [f["path"] for f in eng.manifest.files(p)]
+        for p in range(EC.NUM_PARTITIONS)
+    }
+    assert after_files != before_files
