@@ -1667,6 +1667,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(stabilize, batch_format="pyarrow")
 
+    def join_shuffle_revenue(sf_dir):
+        """Partitioned hash join of two LARGE sides (orders x lineitem on
+        orderkey — neither broadcastable at scale): both route to the same
+        key-hash bucket, each bucket joins with Arrow's kernel, then the
+        partial-agg rollup of revenue per order priority."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        joined = shuffle_join(orders, li, on="o_orderkey", right_on="l_orderkey")
+
+        def partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+            t2 = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev})
+            g = t2.group_by("o_orderpriority").aggregate(
+                [("rev", "sum"), ("rev", "count")]
+            )
+            return pa.table({
+                "o_orderpriority": g["o_orderpriority"],
+                "psum": g["rev_sum"],
+                "pn": pc.cast(g["rev_count"], pa.int64()),
+            })
+
+        out = joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("o_orderpriority").aggregate(
+            Sum("psum", alias_name="revenue"), Sum("pn", alias_name="n_items")
+        )
+
+        def stabilize(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("revenue")
+            return t.set_column(i, "revenue", pc.round(t["revenue"], ndigits=2))
+
+        return out.map_batches(stabilize, batch_format="pyarrow")
+
     def distinct_users_per_type(sf_dir):
         """Exact count-distinct per group with the combiner shape: batches
         reduce to distinct (type, user) pairs before the one narrow
@@ -1993,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fixed_k": sample_fixed_k,
         "sample_domain_quota": sample_domain_quota,
         "join_broadcast_enrich": join_broadcast_enrich,
+        "join_shuffle_revenue": join_shuffle_revenue,
         "distinct_users_per_type": distinct_users_per_type,
         "corpus_token_stats": corpus_token_stats,
         "text_normalize": text_normalize,
@@ -2669,6 +2718,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, "
             "count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "join_shuffle_revenue": (
+            "SELECT o_orderpriority, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items FROM orders "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "

@@ -228,3 +228,93 @@ def distinct_count_per_group(
         .groupby(group_col)
         .map_groups(count_distinct, batch_format="pyarrow")
     )
+
+
+def shuffle_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    buckets: int = 64,
+    join_type: str = "inner",
+    right_suffix: str = "_r",
+):
+    """Distributed hash join for two LARGE sides (when neither fits a node
+    and broadcast_join doesn't apply): both sides route to the same
+    key-hash bucket and each bucket joins independently with Arrow's
+    hash-join kernel — the classic partitioned hash join, expressed as ONE
+    Ray Data groupby so the streaming executor owns the exchange.
+
+    The two sides are unified into one schema (each side null-pads the
+    other's columns — null columns are O(1) validity buffers in Arrow, so
+    the pad is metadata, not data) because a groupby shuffle needs one
+    dataset. Right-side columns colliding with left names get
+    ``right_suffix``. Bucket count bounds per-task memory at
+    ~|join|/buckets; raise it for skewed or huge joins."""
+    import ray
+    from debezium_incubator_ray.hashing import stable_hash
+
+    right_on = right_on or on
+    ls = left.schema().base_schema
+    rs = right.schema().base_schema
+    l_names = list(ls.names)
+    r_out = {
+        n: (n + right_suffix if n in l_names else n) for n in rs.names
+    }
+    r_key_out = r_out[right_on]
+    unified = pa.schema(
+        [pa.field(n, ls.field(n).type) for n in l_names]
+        + [pa.field(r_out[n], rs.field(n).type) for n in rs.names]
+        + [pa.field("_side", pa.int8()), pa.field("_jbucket", pa.int32())]
+    )
+
+    def tag(side: int, key: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            b = (stable_hash(t[key].combine_chunks()) % np.uint64(buckets)).astype(np.int32)
+            cols = []
+            for fld in unified:
+                if fld.name == "_side":
+                    cols.append(pa.array(np.full(n, side, np.int8)))
+                elif fld.name == "_jbucket":
+                    cols.append(pa.array(b))
+                else:
+                    src = None
+                    if side == 0 and fld.name in l_names:
+                        src = t[fld.name]
+                    elif side == 1:
+                        orig = next(
+                            (o for o, u in r_out.items() if u == fld.name), None
+                        )
+                        if orig is not None and fld.name == r_out[orig]:
+                            src = t[orig]
+                    cols.append(
+                        pc.cast(src.combine_chunks(), fld.type)
+                        if src is not None
+                        else pa.nulls(n, fld.type)
+                    )
+            return pa.Table.from_arrays(cols, schema=unified)
+
+        return f
+
+    both = left.map_batches(
+        tag(0, on), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            tag(1, right_on), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        side = t["_side"].combine_chunks().to_numpy()
+        lt = t.filter(pa.array(side == 0)).select(l_names)
+        rt = t.filter(pa.array(side == 1)).select(
+            [r_out[n] for n in rs.names]
+        )
+        return lt.join(
+            rt, keys=[on], right_keys=[r_key_out], join_type=join_type
+        )
+
+    return both.groupby("_jbucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

@@ -691,3 +691,29 @@ def test_domain_quota_null_domains_are_own_group():
     n_a = (out.domain == "a.com").sum()
     n_empty = (out.domain == "").sum()
     assert n_a == 3 and n_empty == 2
+
+
+def test_shuffle_join_matches_arrow_join():
+    from debezium_incubator_ray.functions.joins import shuffle_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": ["a", "b", "c", "d"],
+    })
+    right = pa.table({
+        "rk": pa.array([2, 2, 3, 9], pa.int64()),
+        "name": ["x", "y", "z", "w"],  # collides with left 'name'
+        "v": pa.array([1.0, 2.0, 3.0, 9.0]),
+    })
+    out = (
+        shuffle_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            on="k", right_on="rk", buckets=4,
+        )
+        .to_pandas().sort_values(["k", "name_r"]).reset_index(drop=True)
+    )
+    assert list(out.k) == [2, 2, 3]
+    assert list(out.name) == ["b", "b", "c"]
+    assert list(out.name_r) == ["x", "y", "z"]
+    assert list(out.v) == [1.0, 2.0, 3.0]
