@@ -2201,7 +2201,8 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd'",
         "cdc_row_expiry": _LWW
         + f"SELECT {lww_cols} FROM ranked "
-        "WHERE rn = 1 AND op <> 'd' AND value >= 30.0",
+        "WHERE rn = 1 AND op <> 'd' "
+        "AND (value >= 30.0 OR value IS NULL)",  # NULL never expires
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_compaction": _LWW

@@ -251,16 +251,26 @@ def shuffle_join(
     dataset. Right-side columns colliding with left names get
     ``right_suffix``. Bucket count bounds per-task memory at
     ~|join|/buckets; raise it for skewed or huge joins."""
-    import ray
     from debezium_incubator_ray.hashing import stable_hash
 
     right_on = right_on or on
     ls = left.schema().base_schema
     rs = right.schema().base_schema
     l_names = list(ls.names)
-    r_out = {
-        n: (n + right_suffix if n in l_names else n) for n in rs.names
-    }
+    reserved = {"_side", "_jbucket"}
+    if reserved & set(l_names):
+        raise ValueError(f"left columns collide with join internals: {reserved}")
+    # collision-free right renaming: suffix until unique against left
+    # names, earlier right names AND the internal columns
+    taken = set(l_names) | reserved
+    r_out: dict = {}
+    for n in rs.names:
+        out = n
+        while out in taken:
+            out += right_suffix
+        r_out[n] = out
+        taken.add(out)
+    r_inv = {u: o for o, u in r_out.items()}
     r_key_out = r_out[right_on]
     unified = pa.schema(
         [pa.field(n, ls.field(n).type) for n in l_names]
@@ -282,12 +292,8 @@ def shuffle_join(
                     src = None
                     if side == 0 and fld.name in l_names:
                         src = t[fld.name]
-                    elif side == 1:
-                        orig = next(
-                            (o for o, u in r_out.items() if u == fld.name), None
-                        )
-                        if orig is not None and fld.name == r_out[orig]:
-                            src = t[orig]
+                    elif side == 1 and fld.name in r_inv:
+                        src = t[r_inv[fld.name]]
                     cols.append(
                         pc.cast(src.combine_chunks(), fld.type)
                         if src is not None

@@ -200,8 +200,11 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id",
 
     def topk_partial(t: pa.Table) -> pa.Table:
         ids64 = pc.cast(t[id_col].combine_chunks(), pa.int64())
-        h = md5_u64(pc.cast(ids64, pa.string()))
-        ids = ids64.to_numpy(zero_copy_only=False)
+        ids = np.unique(ids64.to_numpy(zero_copy_only=False))
+        # unique FIRST: duplicate physical rows inside one block must not
+        # occupy several of the block's k winner slots (h is a pure
+        # function of id, so deduping ids dedups (h, id) pairs)
+        h = md5_u64(pc.cast(pa.array(ids, pa.int64()), pa.string()))
         if len(ids) > k:
             # argpartition selects by h alone; widen the cut to include
             # every row TIED with the k-th hash so the (h, id) tiebreak is

@@ -198,16 +198,23 @@ class CdcEngine:
         OracleStreamingChangeEventSource.java:92-127
         setProcessedLowWatermark); pair with ``on_segment_done`` for
         archive-after-apply. ``source`` selects a fan-in offset channel —
-        each upstream shard trims against ITS OWN low watermark."""
+        each upstream shard trims against ITS OWN low watermark, computed
+        over the partitions that shard has TOUCHED (a shard whose keys
+        never route to some partitions would otherwise be pinned at -1
+        forever). Meaningful after the shard's first full drain (every
+        partition it routes to has an entry by then); as with the scalar
+        signal, only trim segments already in the shard's done set."""
         from debezium_incubator_ray.stages.apply import channel_watermark
 
-        return min(
-            (
-                channel_watermark(e, source)
-                for e in self.manifest.doc["partitions"].values()
-            ),
-            default=-1,
-        )
+        parts = self.manifest.doc["partitions"].values()
+        if source:
+            touched = [
+                e["watermarks"][source]
+                for e in parts
+                if source in e.get("watermarks", {})
+            ]
+            return min(touched) if touched else -1
+        return min((channel_watermark(e, "") for e in parts), default=-1)
 
     def metrics(self) -> Dict[str, Any]:
         """Live metric snapshot (the engine's "endpoint"): gauges evaluated
@@ -1647,7 +1654,7 @@ class CdcEngine:
             st = (f.get("stats") or {}).get(col)
             if not st:
                 return True  # no zone map -> must read
-            mn, mx = st
+            mn, mx = st[0], st[1]  # st[2] (null count) irrelevant to range
             if hi_e is not None and mn is not None and mn > hi_e:
                 return False
             if lo_e is not None and mx is not None and mx < lo_e:

@@ -394,10 +394,17 @@ class PartitionApplier:
                 for c in self.stats_columns:
                     if c not in chunk.column_names:
                         continue
-                    mm = pc.min_max(chunk[c])
+                    col = chunk[c]
+                    mm = pc.min_max(col)
                     lo, hi = mm["min"].as_py(), mm["max"].as_py()
                     if lo is not None:
-                        stats[c] = [stats_value(lo), stats_value(hi)]
+                        # third element: null count — whole-run pruning
+                        # decisions must know whether unknown-age rows hide
+                        # behind the (null-skipping) min/max
+                        stats[c] = [
+                            stats_value(lo), stats_value(hi),
+                            int(col.null_count),
+                        ]
                 entry["stats"] = stats
             out.append(entry)
         return out
@@ -746,12 +753,21 @@ class RowExpirer:
             for f in ent["files"]:
                 st = (f.get("stats") or {}).get(self.col)
                 if st:
-                    mn, mx = st
+                    mn, mx = st[0], st[1]
+                    # null count recorded from round-2 session 3 on; older
+                    # runs (2-element stats) have UNKNOWN null presence and
+                    # must never take the unread whole-run drop
+                    n_null = st[2] if len(st) > 2 else None
                     if mn is not None and mn >= self.cut_e:
-                        out.append(f)
+                        out.append(f)  # nothing old; NULLs (if any) kept
                         rows += f["rows"]
                         continue
-                    if self.droppable and mx is not None and mx < self.cut_e:
+                    if (
+                        self.droppable
+                        and mx is not None
+                        and mx < self.cut_e
+                        and n_null == 0  # a NULL row never expires
+                    ):
                         expired += f["rows"]  # whole run provably old
                         continue
                 t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))

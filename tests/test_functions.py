@@ -717,3 +717,28 @@ def test_shuffle_join_matches_arrow_join():
     assert list(out.name) == ["b", "b", "c"]
     assert list(out.name_r) == ["x", "y", "z"]
     assert list(out.v) == [1.0, 2.0, 3.0]
+
+
+def test_fixed_size_sample_in_block_duplicates():
+    from debezium_incubator_ray.functions.sample import fixed_size_sample
+
+    t = pa.table({"doc_id": pa.array(list(range(20)) * 3, pa.int64()),
+                  "n_chars": pa.array(list(range(20)) * 3, pa.int64())})
+    out = fixed_size_sample(
+        ray.data.from_arrow(t), k=7, unique_ids=False
+    ).to_pandas()
+    assert len(out) == 7 and out.doc_id.is_unique
+
+
+def test_shuffle_join_suffix_collision():
+    from debezium_incubator_ray.functions.joins import shuffle_join
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "name": ["a"], "name_r": ["pre-existing"]})
+    right = pa.table({"k": pa.array([1], pa.int64()), "name": ["b"]})
+    out = shuffle_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), on="k"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["name"][0] == "a" and out["name_r"][0] == "pre-existing"
+    assert out["name_r_r"][0] == "b"

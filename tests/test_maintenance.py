@@ -626,3 +626,39 @@ def test_expire_rows_ttl(tmp_path):
         for p in range(EC.NUM_PARTITIONS)
     }
     assert after_files != before_files
+
+
+def test_expire_rows_null_survives_whole_run_drop(tmp_path):
+    """A run whose non-null stats are all-old but which CONTAINS a NULL
+    row must not be dropped unread — NULL never expires."""
+    import numpy as np
+
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+    from debezium_incubator_ray.envelope import build_envelopes
+
+    lake = str(tmp_path / "lake")
+    binlog = str(tmp_path / "binlog")
+    # both rows route to ONE partition; values [5.0, NULL] -> stats min=max=5
+    uids = [0, EC.NUM_PARTITIONS]
+    after = pa.table({
+        "ts": pa.nulls(2, pa.timestamp("us")),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(["t", "t"], pa.string()),
+        "value": pa.array([5.0, None], pa.float64()),
+        "props": pa.nulls(2, pa.string()),
+    })
+    import numpy as _np
+
+    env = build_envelopes(
+        pa.array(["c", "c"], pa.string()), after, None,
+        _np.zeros(2, dtype=_np.int32),
+        _np.array([1, 2], dtype=_np.int64), table="events",
+    )
+    EC.write_env_binlog(env, binlog)
+    eng = EC.make_engine(lake, stats_columns=("value",))
+    eng.run(binlog)
+    res = eng.expire_rows("value", 30.0)
+    assert res["expired_rows"] == 1
+    lt = eng.lake_table()
+    assert lt.num_rows == 1
+    assert lt["value"][0].as_py() is None
