@@ -1715,6 +1715,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(stabilize, batch_format="pyarrow")
 
+    def events_funnel(sf_dir):
+        """Two-step funnel: users with a purchase strictly after their
+        first click — the predicate decomposes into min/max partials, so
+        only (user, min, max) rows shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import funnel_users
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "event_id"],
+        )
+        return funnel_users(ev, "click", "purchase")
+
     def distinct_users_per_type(sf_dir):
         """Exact count-distinct per group with the combiner shape: batches
         reduce to distinct (type, user) pairs before the one narrow
@@ -2042,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_domain_quota": sample_domain_quota,
         "join_broadcast_enrich": join_broadcast_enrich,
         "join_shuffle_revenue": join_shuffle_revenue,
+        "events_funnel": events_funnel,
         "distinct_users_per_type": distinct_users_per_type,
         "corpus_token_stats": corpus_token_stats,
         "text_normalize": text_normalize,
@@ -2726,6 +2740,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_items FROM orders "
             "JOIN lineitem ON o_orderkey = l_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "events_funnel": (
+            "WITH f AS (SELECT user_id, min(event_id) AS fo FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id), "
+            "t AS (SELECT user_id, max(event_id) AS mo FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id) "
+            "SELECT f.user_id FROM f JOIN t USING (user_id) WHERE t.mo > f.fo"
         ),
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "

@@ -222,7 +222,7 @@ def main() -> None:
         "docs_top_quantile", "url_best_dedup", "sample_fixed_k",
         "sample_domain_quota", "cdc_fan_in", "join_broadcast_enrich",
         "distinct_users_per_type", "corpus_token_stats", "text_normalize",
-        "cdc_row_expiry", "join_shuffle_revenue",
+        "cdc_row_expiry", "join_shuffle_revenue", "events_funnel",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -222,3 +222,67 @@ def hopping_agg(
         )
 
     return out.map_batches(stabilize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_users(
+    ds,
+    first_type: str,
+    then_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+):
+    """Two-step behavioral funnel: users with a ``then_type`` event
+    STRICTLY AFTER some ``first_type`` event (by ``order_col``).
+
+    The predicate decomposes into min/max partials — exists(then after
+    first) ⇔ max(order | then) > min(order | first) — so each batch
+    contributes one (user, min_first, max_then) row, the narrow partial
+    stream shuffles once by user, and the final compare is vectorized.
+    Shuffle volume is per-user-per-block, never per-event."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        typ = t[type_col].combine_chunks()
+        out = []
+        for want, agg, name in (
+            (first_type, "min", "first_o"),
+            (then_type, "max", "then_o"),
+        ):
+            sel = t.filter(pc.equal(typ, want))
+            if sel.num_rows == 0:
+                continue
+            g = sel.group_by(user_col).aggregate([(order_col, agg)])
+            out.append(pa.table({
+                user_col: g[user_col],
+                "first_o": g[f"{order_col}_{agg}"]
+                if name == "first_o" else pa.nulls(len(g), pa.int64()),
+                "then_o": g[f"{order_col}_{agg}"]
+                if name == "then_o" else pa.nulls(len(g), pa.int64()),
+            }))
+        if not out:
+            return pa.table({
+                user_col: pa.array([], pa.int64()),
+                "first_o": pa.array([], pa.int64()),
+                "then_o": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(out)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = partials.groupby(user_col).aggregate(
+        Min("first_o", alias_name="first_o", ignore_nulls=True),
+        Max("then_o", alias_name="then_o", ignore_nulls=True),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t["first_o"]), pc.is_valid(t["then_o"])),
+            pc.greater(t["then_o"], t["first_o"]),
+        )
+        keep = pc.fill_null(keep, False)
+        return t.filter(keep).select([user_col])
+
+    return folded.map_batches(finish, batch_format="pyarrow")

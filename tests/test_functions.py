@@ -742,3 +742,20 @@ def test_shuffle_join_suffix_collision():
     assert len(out) == 1
     assert out["name"][0] == "a" and out["name_r"][0] == "pre-existing"
     assert out["name_r_r"][0] == "b"
+
+
+def test_funnel_users_order_matters():
+    from debezium_incubator_ray.functions.windows import funnel_users
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3, 4], pa.int64()),
+        "event_type": ["click", "purchase",      # 1: click then buy -> in
+                       "purchase", "click",      # 2: buy BEFORE click -> out
+                       "click",                  # 3: no purchase -> out
+                       "purchase"],              # 4: no click -> out
+        "event_id": pa.array([10, 20, 10, 20, 10, 10], pa.int64()),
+    })
+    out = funnel_users(
+        ray.data.from_arrow(t).repartition(3), "click", "purchase"
+    ).to_pandas()
+    assert list(out.user_id) == [1]
