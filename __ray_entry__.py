@@ -1572,6 +1572,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def source_jsonl(sf_dir):
+        """JSONL source format: the documents table round-trips through
+        newline-delimited JSON shards (the web-crawl interchange format)
+        and the pipeline computes over the JSONL read — multi-format
+        ingestion on the same operator surface. Oracle: the parquet
+        route."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.text import token_count
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("jsonl_src")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        import json as _json
+
+        n_shards = 4
+        step = max(1, (tbl.num_rows + n_shards - 1) // n_shards)
+        for k, lo in enumerate(range(0, tbl.num_rows, step)):
+            sl = tbl.slice(lo, step).to_pylist()
+            with open(os.path.join(root, f"shard-{k:02d}.jsonl"), "w") as f:
+                for row in sl:
+                    f.write(_json.dumps(row) + "\n")
+        ds = ray.data.read_json(
+            [os.path.join(root, n) for n in sorted(os.listdir(root))]
+        )
+        return ds.map_batches(
+            lambda t: token_count(t).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def source_csv(sf_dir):
+        """CSV source format: same pipeline over quoted-CSV shards (Arrow
+        CSV writer/reader round-trip — embedded commas/quotes/newlines in
+        text survive). Oracle: the parquet route."""
+        import pyarrow.csv as pacsv
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.text import token_count
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("csv_src")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        n_shards = 4
+        step = max(1, (tbl.num_rows + n_shards - 1) // n_shards)
+        paths = []
+        for k, lo in enumerate(range(0, tbl.num_rows, step)):
+            p = os.path.join(root, f"shard-{k:02d}.csv")
+            pacsv.write_csv(tbl.slice(lo, step), p)
+            paths.append(p)
+        ds = ray.data.read_csv(paths)
+        return ds.map_batches(
+            lambda t: token_count(t).select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def corpus_token_stats(sf_dir):
         """One-row corpus report: doc count, total tokens and exact global
         token-count quantiles (p50/p90/p99 by the min-cum >= ceil(q*n)
@@ -2059,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": distinct_users_per_type,
         "corpus_token_stats": corpus_token_stats,
         "text_normalize": text_normalize,
+        "source_jsonl": source_jsonl,
+        "source_csv": source_csv,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2707,6 +2772,13 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(n_chars) AS BIGINT) AS chars_total "
         "FROM canon GROUP BY domain",
         "text_token_count": (
+            f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        # format round-trips: identical result to the parquet route
+        "source_jsonl": (
+            f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "source_csv": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
         ),
         "corpus_token_stats": (
