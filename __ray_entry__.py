@@ -1572,6 +1572,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def dq_fk_orphans(sf_dir):
+        """Referential data-quality check: distinct events.user_id values
+        with no matching customer row — dimension keys broadcast once,
+        fact batches reduce to distinct unmatched keys. The dimension is
+        restricted to c_custkey % 10 != 0 so the check actually finds
+        orphans (simulated missing dimension rows)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.quality import fk_orphans
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        keys = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        )["c_custkey"].combine_chunks()
+        import numpy as _np
+
+        kn = _np.asarray(keys.to_numpy(zero_copy_only=False))
+        dim = pa.array(kn[kn % 10 != 0], pa.int64())
+        return fk_orphans(ev, "user_id", dim)
+
+    def dq_profile(sf_dir):
+        """Column profile (rows, nulls, min, max per column) — one
+        streaming pass of tiny per-block partials."""
+        import ray.data
+        from debezium_incubator_ray.functions.quality import profile_table
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
     def source_jsonl(sf_dir):
         """JSONL source format: the documents table round-trips through
         newline-delimited JSON shards (the web-crawl interchange format)
@@ -2124,6 +2160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": text_normalize,
         "source_jsonl": source_jsonl,
         "source_csv": source_csv,
+        "dq_fk_orphans": dq_fk_orphans,
+        "dq_profile": dq_profile,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2773,6 +2811,24 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "dq_fk_orphans": (
+            "SELECT DISTINCT user_id FROM events e WHERE user_id IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = e.user_id AND c.c_custkey % 10 <> 0)"
+        ),
+        "dq_profile": (
+            "SELECT 'doc_id' AS column, count(*) AS n_rows, "
+            "count(*) - count(doc_id) AS n_nulls, "
+            "CAST(min(doc_id) AS VARCHAR) AS min_v, "
+            "CAST(max(doc_id) AS VARCHAR) AS max_v FROM documents "
+            "UNION ALL SELECT 'lang', count(*), count(*) - count(lang), "
+            "min(lang), max(lang) FROM documents "
+            "UNION ALL SELECT 'source', count(*), count(*) - count(source), "
+            "min(source), max(source) FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), "
+            "CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) "
+            "FROM documents"
         ),
         # format round-trips: identical result to the parquet route
         "source_jsonl": (

@@ -759,3 +759,29 @@ def test_funnel_users_order_matters():
         ray.data.from_arrow(t).repartition(3), "click", "purchase"
     ).to_pandas()
     assert list(out.user_id) == [1]
+
+
+def test_dq_operators():
+    from debezium_incubator_ray.functions.quality import (
+        fk_orphans, profile_table,
+    )
+
+    facts = pa.table({"user_id": pa.array([1, 2, 2, 9, None], pa.int64())})
+    dim = pa.array([1, 2], pa.int64())
+    out = fk_orphans(
+        ray.data.from_arrow(facts).repartition(2), "user_id", dim
+    ).to_pandas()
+    assert list(out.user_id) == [9]  # null is not an orphan; distinct
+
+    t = pa.table({
+        "a": pa.array([3, 1, None], pa.int64()),
+        "s": ["b", "a", "c"],
+    })
+    prof = profile_table(
+        ray.data.from_arrow(t).repartition(3), ["a", "s"]
+    ).to_pylist()
+    pa_row = next(r for r in prof if r["column"] == "a")
+    assert pa_row["n_rows"] == 3 and pa_row["n_nulls"] == 1
+    assert pa_row["min_v"] == "1" and pa_row["max_v"] == "3"
+    ps = next(r for r in prof if r["column"] == "s")
+    assert ps["min_v"] == "a" and ps["max_v"] == "c"
