@@ -1572,6 +1572,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def approx_distinct_users(sf_dir):
+        """KMV distinct-count sketch over events.user_id (k=128): the
+        k-min hash set is a pure function of the value set, so the
+        distributed estimate is bit-identical to the oracle's."""
+        import ray.data
+        from debezium_incubator_ray.functions.sketch import approx_distinct_kmv
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        return approx_distinct_kmv(ev, "user_id", k=128)
+
     def dq_fk_orphans(sf_dir):
         """Referential data-quality check: distinct events.user_id values
         with no matching customer row — dimension keys broadcast once,
@@ -2162,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_csv": source_csv,
         "dq_fk_orphans": dq_fk_orphans,
         "dq_profile": dq_profile,
+        "approx_distinct_users": approx_distinct_users,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2811,6 +2824,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "approx_distinct_users": (
+            "WITH h AS (SELECT DISTINCT ('0x' || "
+            "substring(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv "
+            "FROM events WHERE user_id IS NOT NULL), "
+            "kk AS (SELECT hv FROM h ORDER BY hv LIMIT 128), "
+            "a AS (SELECT CAST(count(*) AS BIGINT) AS kc, max(hv) AS hk "
+            "FROM kk) "
+            "SELECT CASE WHEN kc < 128 THEN CAST(kc AS DOUBLE) "
+            "ELSE (128 - 1) * power(2.0, 64) / CAST(hk AS DOUBLE) END "
+            "AS estimate, kc AS k, coalesce(hk, 0) AS h_k FROM a"
         ),
         "dq_fk_orphans": (
             "SELECT DISTINCT user_id FROM events e WHERE user_id IS NOT NULL "

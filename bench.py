@@ -223,7 +223,7 @@ def main() -> None:
         "sample_domain_quota", "cdc_fan_in", "join_broadcast_enrich",
         "distinct_users_per_type", "corpus_token_stats", "text_normalize",
         "cdc_row_expiry", "join_shuffle_revenue", "events_funnel",
-        "source_jsonl", "source_csv", "dq_fk_orphans", "dq_profile",
+        "source_jsonl", "source_csv", "dq_fk_orphans", "dq_profile", "approx_distinct_users",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -785,3 +785,20 @@ def test_dq_operators():
     assert pa_row["min_v"] == "1" and pa_row["max_v"] == "3"
     ps = next(r for r in prof if r["column"] == "s")
     assert ps["min_v"] == "a" and ps["max_v"] == "c"
+
+
+def test_kmv_sketch_deterministic_and_close():
+    from debezium_incubator_ray.functions.sketch import approx_distinct_kmv
+
+    ids = pa.table({"v": pa.array(list(range(5000)) * 2, pa.int64())})
+    a = approx_distinct_kmv(ray.data.from_arrow(ids), "v", k=128)
+    b = approx_distinct_kmv(
+        ray.data.from_arrow(ids).repartition(7), "v", k=128
+    )
+    assert a.equals(b)  # partitioning-invariant, bit-identical
+    est = a["estimate"][0].as_py()
+    assert abs(est - 5000) / 5000 < 0.3  # ~1/sqrt(126) error regime
+    # exact when distinct < k
+    small = pa.table({"v": pa.array([1, 2, 2, 3], pa.int64())})
+    s = approx_distinct_kmv(ray.data.from_arrow(small), "v", k=128)
+    assert s["estimate"][0].as_py() == 3.0
