@@ -1591,7 +1591,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         restricted to c_custkey % 10 != 0 so the check actually finds
         orphans (simulated missing dimension rows)."""
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         import ray.data
         from debezium_incubator_ray.functions.quality import fk_orphans
@@ -1676,7 +1675,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p = os.path.join(root, f"shard-{k:02d}.csv")
             pacsv.write_csv(tbl.slice(lo, step), p)
             paths.append(p)
-        ds = ray.data.read_csv(paths)
+        ds = ray.data.read_csv(
+            paths,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        )
         return ds.map_batches(
             lambda t: token_count(t).select(["doc_id", "n_tokens"]),
             batch_format="pyarrow",

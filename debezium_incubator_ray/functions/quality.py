@@ -18,44 +18,58 @@ def fk_orphans(ds, key_col: str, dim_keys: pa.Array, id_out: str | None = None):
     """Referential check: DISTINCT values of ``key_col`` with no match in
     the dimension key set (foreign-key orphans). The dimension side is
     keys-only — the classic small side — broadcast once via ray.put; each
-    fact batch reduces to its distinct unmatched keys (sorted-array
-    membership), and a final distinct pass folds across batches. NULL
-    keys are not orphans (unknown is not provably unmatched)."""
+    fact batch reduces to its distinct unmatched keys (integer keys use a
+    sorted-array membership probe; any other key type goes through
+    Arrow's is_in hash set), and a bucketed distinct pass folds across
+    batches. NULL keys are not orphans (unknown is not provably
+    unmatched)."""
     import ray
 
-    keys_np = np.sort(
-        np.asarray(dim_keys.to_numpy(zero_copy_only=False), dtype=np.int64)
-    )
-    ref = ray.put(keys_np)
+    from debezium_incubator_ray.hashing import stable_hash
+
+    int_keys = pa.types.is_integer(dim_keys.type)
+    if int_keys:
+        dim_payload = np.sort(
+            np.asarray(dim_keys.to_numpy(zero_copy_only=False), dtype=np.int64)
+        )
+    else:
+        dim_payload = dim_keys.combine_chunks() if isinstance(
+            dim_keys, pa.ChunkedArray
+        ) else dim_keys
+    ref = ray.put(dim_payload)
     out_name = id_out or key_col
 
     def unmatched(t: pa.Table) -> pa.Table:
         dim = ray.get(ref)
         col = t[key_col].combine_chunks()
-        col = col.filter(pc.is_valid(col))
-        vals = np.unique(
-            np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
-        )
-        if len(dim):
-            pos = np.searchsorted(dim, vals)
-            pos = np.minimum(pos, len(dim) - 1)
-            vals = vals[dim[pos] != vals]
-        return pa.table({out_name: pa.array(vals, pa.int64())})
+        col = pc.unique(col.filter(pc.is_valid(col)))
+        if int_keys:
+            vals = np.asarray(
+                pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            if len(dim):
+                pos = np.searchsorted(dim, vals)
+                pos = np.minimum(pos, len(dim) - 1)
+                vals = vals[dim[pos] != vals]
+            return pa.table({out_name: pa.array(np.sort(vals), pa.int64())})
+        hit = pc.is_in(col, value_set=dim)
+        return pa.table({out_name: col.filter(pc.invert(hit))})
 
     parts = ds.map_batches(
         unmatched, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def distinct(t: pa.Table) -> pa.Table:
-        v = np.unique(t[out_name].combine_chunks().to_numpy(zero_copy_only=False))
-        return pa.table({out_name: pa.array(v, pa.int64())})
-
     # fold distinct per orphan-hash bucket (orphan sets are usually tiny,
     # but the fold stays distributed if they aren't)
     def bucketed(t: pa.Table) -> pa.Table:
-        v = t[out_name].combine_chunks().to_numpy(zero_copy_only=False)
+        h = stable_hash(t[out_name].combine_chunks())
         return t.append_column(
-            "_bucket", pa.array((v % 16).astype(np.int32))
+            "_bucket", pa.array((h % np.uint64(16)).astype(np.int32))
+        )
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {out_name: pc.unique(t[out_name].combine_chunks())}
         )
 
     return (
@@ -87,10 +101,14 @@ def profile_table(ds, columns: Sequence[str]) -> pa.Table:
                 "nulls": col.null_count,
                 "min_v": None if lo is None else str(lo),
                 "max_v": None if hi is None else str(hi),
-                # fold strategy rides the partial: numeric partials fold
-                # numerically, never by string-sniffing the values
-                "numeric": pa.types.is_integer(col.type)
-                or pa.types.is_floating(col.type),
+                # fold kind rides the partial: ints fold as exact ints
+                # (float folding would collide above 2^53), floats as
+                # floats, everything else lexicographically
+                "kind": (
+                    "int" if pa.types.is_integer(col.type)
+                    else "float" if pa.types.is_floating(col.type)
+                    else "str"
+                ),
             })
         return pa.Table.from_pylist(rows)
 
@@ -102,12 +120,13 @@ def profile_table(ds, columns: Sequence[str]) -> pa.Table:
         rs = [r for r in parts if r["column"] == c]
         mins = [r["min_v"] for r in rs if r["min_v"] is not None]
         maxs = [r["max_v"] for r in rs if r["max_v"] is not None]
-        numeric = any(r["numeric"] for r in rs)
+        kind = rs[0]["kind"] if rs else "str"
+        key = {"int": int, "float": float, "str": None}[kind]
 
         def fold(vals, f):
             if not vals:
                 return None
-            return f(vals, key=float) if numeric else f(vals)
+            return f(vals, key=key) if key else f(vals)
 
         out.append({
             "column": c,

@@ -240,11 +240,25 @@ def funnel_users(
     contributes one (user, min_first, max_then) row, the narrow partial
     stream shuffles once by user, and the final compare is vectorized.
     Shuffle volume is per-user-per-block, never per-event."""
-    import numpy as np
     from ray.data.aggregate import Max, Min
 
     def partial(t: pa.Table) -> pa.Table:
+        # placeholder/null columns carry the INPUT's types so blocks with
+        # only one event type still unify (user_col may be a string —
+        # nothing here assumes int64 ids). Temporal order columns go
+        # through their int64 image: only the ORDER matters (the output is
+        # user ids), and Ray's Min/Max reduce mishandles nullable
+        # timestamp columns
+        u_t = t.schema.field(user_col).type
+        o_raw = t.schema.field(order_col).type
+        temporal = pa.types.is_temporal(o_raw)
+        o_t = pa.int64() if temporal else o_raw
         typ = t[type_col].combine_chunks()
+        if temporal:
+            t = t.set_column(
+                t.schema.get_field_index(order_col), order_col,
+                pc.cast(t[order_col].combine_chunks(), pa.int64()),
+            )
         out = []
         for want, agg, name in (
             (first_type, "min", "first_o"),
@@ -257,15 +271,15 @@ def funnel_users(
             out.append(pa.table({
                 user_col: g[user_col],
                 "first_o": g[f"{order_col}_{agg}"]
-                if name == "first_o" else pa.nulls(len(g), pa.int64()),
+                if name == "first_o" else pa.nulls(len(g), o_t),
                 "then_o": g[f"{order_col}_{agg}"]
-                if name == "then_o" else pa.nulls(len(g), pa.int64()),
+                if name == "then_o" else pa.nulls(len(g), o_t),
             }))
         if not out:
             return pa.table({
-                user_col: pa.array([], pa.int64()),
-                "first_o": pa.array([], pa.int64()),
-                "then_o": pa.array([], pa.int64()),
+                user_col: pa.array([], u_t),
+                "first_o": pa.array([], o_t),
+                "then_o": pa.array([], o_t),
             })
         return pa.concat_tables(out)
 

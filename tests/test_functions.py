@@ -802,3 +802,31 @@ def test_kmv_sketch_deterministic_and_close():
     small = pa.table({"v": pa.array([1, 2, 2, 3], pa.int64())})
     s = approx_distinct_kmv(ray.data.from_arrow(small), "v", k=128)
     assert s["estimate"][0].as_py() == 3.0
+
+
+def test_fk_orphans_string_keys_and_funnel_timestamp_order():
+    from debezium_incubator_ray.functions.quality import fk_orphans
+    from debezium_incubator_ray.functions.windows import funnel_users
+
+    facts = pa.table({"sku": ["a", "b", "b", "z", None]})
+    out = fk_orphans(
+        ray.data.from_arrow(facts).repartition(2), "sku",
+        pa.array(["a", "b"]),
+    ).to_pandas()
+    assert list(out.sku) == ["z"]
+
+    t = pa.table({
+        "user_id": ["u1", "u1", "u2"],
+        "event_type": ["click", "purchase", "click"],
+        "ts": pa.array(
+            [np.datetime64("2026-01-01T00:00:00", "us"),
+             np.datetime64("2026-01-01T00:00:01", "us"),
+             np.datetime64("2026-01-01T00:00:02", "us")],
+            pa.timestamp("us"),
+        ),
+    })
+    out2 = funnel_users(
+        ray.data.from_arrow(t).repartition(3), "click", "purchase",
+        order_col="ts",
+    ).to_pandas()
+    assert list(out2.user_id) == ["u1"]
