@@ -1572,6 +1572,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pack_sequences(docs, seq_len=2048)
 
+    def sample_language_mix(sf_dir):
+        """Exact mixture construction: per-language caps {en:120, zh:60,
+        es:40, else 10} picked deterministically by (md5(doc_id), doc_id)
+        within each language — the dict form of the quota sampler."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import domain_quota_sample
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        out = domain_quota_sample(
+            docs, {"en": 120, "zh": 60, "es": 40}, domain_col="lang",
+            default_quota=10,
+        )
+        return out.select_columns(["doc_id", "lang"])
+
     def approx_distinct_users(sf_dir):
         """KMV distinct-count sketch over events.user_id (k=128): the
         k-min hash set is a pure function of the value set, so the
@@ -2177,6 +2194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_fk_orphans": dq_fk_orphans,
         "dq_profile": dq_profile,
         "approx_distinct_users": approx_distinct_users,
+        "sample_language_mix": sample_language_mix,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2826,6 +2844,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM canon GROUP BY domain",
         "text_token_count": (
             f"SELECT doc_id, {_TOKENS} AS n_tokens FROM documents"
+        ),
+        "sample_language_mix": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY ('0x' || "
+            "substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, "
+            "doc_id) AS rn FROM documents) "
+            "WHERE rn <= CASE lang WHEN 'en' THEN 120 WHEN 'zh' THEN 60 "
+            "WHEN 'es' THEN 40 ELSE 10 END"
         ),
         "approx_distinct_users": (
             "WITH h AS (SELECT DISTINCT ('0x' || "

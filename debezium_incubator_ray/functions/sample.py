@@ -242,15 +242,21 @@ def fixed_size_sample(ds, k: int, id_col: str = "doc_id",
 
 def domain_quota_sample(
     ds,
-    quota: int,
+    quota,
     domain_col: str = "domain",
     id_col: str = "doc_id",
     buckets: int = 64,
+    default_quota: int = 0,
 ):
     """Keep at most ``quota`` rows per domain — crawl balancing so one
     giant host can't dominate the corpus mix. Within a domain the kept
     rows are the quota smallest (md5_u64(str(id)), id), i.e. a
     deterministic uniform pick, replayable by any engine.
+
+    ``quota`` is one cap for every group (int) OR a per-group dict —
+    the dict form IS exact mixture construction: pass {stratum: count}
+    to assemble a training mix with exact per-source/per-language counts
+    (groups not listed get ``default_quota``).
 
     Scale shape: the election shuffles (domain, hash, id) only — grouped
     by a hash bucket of the domain — winner ids broadcast through the
@@ -294,7 +300,19 @@ def domain_quota_sample(
         # rank within domain run, vectorized: position - run start
         pos = np.arange(len(s), dtype=np.int64)
         run_start = np.maximum.accumulate(np.where(first, pos, 0))
-        keep = (pos - run_start) < quota
+        if isinstance(quota, dict):
+            # per-group caps via dictionary lookup (vectorized take)
+            de = pc.dictionary_encode(pc.fill_null(dom, ""))
+            vocab = de.dictionary.to_pylist()
+            caps = np.array(
+                [int(quota.get(v, default_quota)) for v in vocab],
+                dtype=np.int64,
+            )
+            idxs = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            row_cap = caps[idxs]
+        else:
+            row_cap = quota
+        keep = (pos - run_start) < row_cap
         return s.filter(pa.array(keep)).select([id_col])
 
     winners = (

@@ -830,3 +830,18 @@ def test_fk_orphans_string_keys_and_funnel_timestamp_order():
         order_col="ts",
     ).to_pandas()
     assert list(out2.user_id) == ["u1"]
+
+
+def test_domain_quota_dict_mixture():
+    from debezium_incubator_ray.functions.sample import domain_quota_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "lang": ["en"] * 20 + ["zh"] * 8 + ["fr"] * 2,
+    })
+    out = domain_quota_sample(
+        ray.data.from_arrow(t), {"en": 5, "zh": 100}, domain_col="lang",
+        default_quota=1,
+    ).to_pandas()
+    counts = out.groupby("lang").size().to_dict()
+    assert counts == {"en": 5, "zh": 8, "fr": 1}
