@@ -169,18 +169,49 @@ def _first_per_id(ds, id_col: str, buckets: int = 64):
 
 
 def _broadcast_winner_filter(
-    ds, winners, id_col: str, buckets: int = 64, unique_ids: bool = False
+    ds, winners, id_col: str, buckets: int = 64, unique_ids: bool = False,
+    mode: str = "broadcast",
 ):
-    """Shared tail of every winner-election dedup: collect winner ids only
-    (8 B/doc — the one small-side hop), broadcast once via ray.put, filter
-    the source in place. The broadcast winner set is the documented
-    small-side assumption — at corpus sizes where winner ids exceed node
-    memory, swap the filter for a partitioned semi-join keyed by the same
-    buckets. ``unique_ids=True`` asserts one physical row per id; otherwise
-    a final OUTPUT-sized first-per-id pass collapses identical copies.
-    ``winners`` is a Dataset of winner-id rows, or a numpy id array for
-    callers that already merged winners on the driver."""
+    """Shared tail of every winner-election dedup: keep the source rows
+    whose id won the election.
+
+    ``mode="broadcast"`` (default): collect winner ids only (8 B/doc — the
+    one small-side hop), broadcast once via ray.put, filter the source in
+    place. The right choice while winner ids fit a node.
+
+    ``mode="semijoin"``: the scale path when they don't — a partitioned
+    LEFT SEMI hash join (functions/joins.py shuffle_join): winner ids and
+    source rows route to the same id-hash bucket and nothing ever
+    materializes on the driver. Costs a full shuffle of the source rows,
+    which is exactly the price of a winner set too large to broadcast.
+
+    ``unique_ids=True`` asserts one physical row per id; otherwise a final
+    OUTPUT-sized first-per-id pass collapses identical copies. ``winners``
+    is a Dataset of winner-id rows, or a numpy id array for callers that
+    already merged winners on the driver."""
     import ray
+
+    if mode == "semijoin":
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        w_col = f"{id_col}__winner"
+        if isinstance(winners, np.ndarray):
+            wds = ray.data.from_arrow(
+                pa.table({w_col: pa.array(winners, pa.int64())})
+            )
+        else:
+            wds = winners.map_batches(
+                lambda t: t.rename_columns([w_col]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        kept = shuffle_join(
+            ds, wds, on=id_col, right_on=w_col, buckets=buckets,
+            join_type="left semi",
+        )
+        if unique_ids:
+            return kept
+        return _first_per_id(kept, id_col, buckets)
 
     if isinstance(winners, np.ndarray):
         wid = np.sort(winners)
@@ -218,6 +249,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     buckets: int = 64,
     unique_ids: bool = False,
+    winner_filter: str = "broadcast",
 ):
     """Keep the min-id row per distinct content.
 
@@ -266,7 +298,8 @@ def exact_dedup(
         .map_groups(min_id_per_hash, batch_format="pyarrow")
     )
     return _broadcast_winner_filter(
-        ds, winners, id_col, buckets=buckets, unique_ids=unique_ids
+        ds, winners, id_col, buckets=buckets, unique_ids=unique_ids,
+        mode=winner_filter,
     )
 
 

@@ -845,3 +845,18 @@ def test_domain_quota_dict_mixture():
     ).to_pandas()
     counts = out.groupby("lang").size().to_dict()
     assert counts == {"en": 5, "zh": 8, "fr": 1}
+
+
+def test_exact_dedup_semijoin_mode_equivalent():
+    """The semi-join winner filter (the no-broadcast scale path) returns
+    the identical result to the broadcast filter."""
+    from debezium_incubator_ray.functions.dedup import exact_dedup
+
+    full = ray.data.read_parquet(os.path.join(SF, "documents.parquet"))
+    doubled = full.union(
+        ray.data.read_parquet(os.path.join(SF, "documents.parquet"))
+    )
+    a = exact_dedup(doubled).to_pandas().sort_values("doc_id")
+    b = exact_dedup(doubled, winner_filter="semijoin").to_pandas(
+    ).sort_values("doc_id")
+    assert list(a.doc_id) == list(b.doc_id)
