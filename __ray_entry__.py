@@ -1106,6 +1106,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng.run_fan_in({"A": dir_a, "B": dir_b})
         return eng.lake_table().select(["user_id", "event_type", "value"])
 
+    def cdc_materialized_view(sf_dir):
+        """Persistently-maintained aggregate view: the change stream is
+        applied in THREE epochs, each folding its deltas against the view
+        lake's current state (pipelines/derive.py agg_view_envelopes) and
+        upserting through a normal CdcEngine — the view survives restarts
+        and replays exactly-once. Oracle: GROUP BY over the final LWW
+        state."""
+        import numpy as _np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.config import EngineConfig
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+        from debezium_incubator_ray.pipelines.cdc import CdcEngine
+        from debezium_incubator_ray.pipelines.derive import agg_view_envelopes
+
+        root = EC.scratch_dir("mview")
+        lake = os.path.join(root, "lake")
+        env = EC.events_envelopes(sf_dir, delete_aware=True)
+        lsn = env["source"].combine_chunks().field("lsn").to_numpy(
+            zero_copy_only=False
+        )
+        cuts = _np.quantile(lsn, [1 / 3, 2 / 3])
+        view_schema = pa.schema([
+            pa.field("event_type", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("total", pa.float64()),
+        ])
+        eng = CdcEngine(
+            lake,
+            EngineConfig(table="agg_view", key="event_type",
+                         num_partitions=4),
+            payload_schema=view_schema,
+        )
+        masks = [lsn <= cuts[0], (lsn > cuts[0]) & (lsn <= cuts[1]),
+                 lsn > cuts[1]]
+        d = os.path.join(root, "binlog")  # ONE dir: segments_done tracks
+        for i, m in enumerate(masks):     # paths relative to the binlog dir
+            chunk = env.filter(pa.array(m))
+            cur = eng.lake_table() if i else None
+            envs = agg_view_envelopes(chunk, "event_type", "value",
+                                      cur, lsn=i + 1)
+            EC.write_env_binlog(envs, d, num_partitions=1, append=True)
+            eng.run(d)
+        out = eng.lake_table()
+        i = out.schema.get_field_index("total")
+        return out.set_column(i, "total", pc.round(out["total"], ndigits=3))
+
     def cdc_row_expiry(sf_dir):
         """Retention sweep: after the stream applies, expire live rows
         with value < 30 — zone maps drop provably-old runs unread and skip
@@ -2155,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_fan_in": cdc_fan_in,
         "cdc_row_expiry": cdc_row_expiry,
+        "cdc_materialized_view": cdc_materialized_view,
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
         "cdc_key_erasure": cdc_key_erasure,
@@ -2353,6 +2401,10 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT {lww_cols} FROM ranked "
         "WHERE rn = 1 AND op <> 'd' "
         "AND (value >= 30.0 OR value IS NULL)",  # NULL never expires
+        "cdc_materialized_view": _LWW
+        + "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "round(sum(value), 3) AS total FROM ranked "
+        "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_compaction": _LWW

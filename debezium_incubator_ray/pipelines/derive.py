@@ -135,3 +135,72 @@ def derive_rekeyed_envelopes(
             table="derived",
         )
     return pa.concat_tables(outs)
+
+
+def agg_view_envelopes(
+    env: pa.Table,
+    group_col: str,
+    value_col: str,
+    current: pa.Table,
+    lsn: int,
+) -> pa.Table:
+    """One epoch of change events + the view's CURRENT (group, n, total)
+    state → the envelopes that upsert a MATERIALIZED AGGREGATE VIEW lake
+    to its new state (the persistent form of incremental_groupby_agg:
+    the view survives restarts, time-travels, and replays exactly-once
+    because it IS a CdcEngine lake keyed by the group).
+
+    Per epoch: signed contributions (functions/incremental.py) fold to
+    one delta row per touched group; groups are joined against the
+    current view state and each becomes op='c' (new group), 'u' (changed)
+    or 'd' (n dropped to zero). All envelopes carry the epoch's ``lsn`` —
+    distinct keys, so LWW is unambiguous, and replaying the epoch's
+    binlog is a watermark no-op. The view is group-cardinality (an
+    aggregate), so the current-state join is lookup-table-sized by
+    construction; at larger view cardinalities feed ``current`` from a
+    co-partitioned read instead."""
+    from debezium_incubator_ray.functions.incremental import agg_contributions
+
+    c = agg_contributions(env, group_col, value_col)
+    d = c.group_by(group_col).aggregate(
+        [("d_count", "sum"), ("d_sum", "sum")]
+    )
+    cur = {
+        r[group_col]: (r["n"], r["total"]) for r in current.to_pylist()
+    } if current is not None and current.num_rows else {}
+    ops, gs, ns, ts, b_ns, b_ts = [], [], [], [], [], []
+    for r in d.to_pylist():
+        g = r[group_col]
+        dn, dsum = int(r["d_count_sum"]), float(r["d_sum_sum"])
+        if dn == 0 and dsum == 0.0:
+            continue  # net no-op for this group this epoch
+        old = cur.get(g)
+        new_n = (old[0] if old else 0) + dn
+        new_t = (old[1] if old else 0.0) + dsum
+        if old is None:
+            op = "c"
+        elif new_n == 0:
+            op = "d"
+        else:
+            op = "u"
+        ops.append(op)
+        gs.append(g)
+        ns.append(new_n)
+        ts.append(new_t)
+        b_ns.append(old[0] if old else None)
+        b_ts.append(old[1] if old else None)
+    after = pa.table({
+        group_col: pa.array(gs, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "total": pa.array(ts, pa.float64()),
+    })
+    before = pa.table({
+        group_col: pa.array(gs, pa.string()),
+        "n": pa.array(b_ns, pa.int64()),
+        "total": pa.array(b_ts, pa.float64()),
+    })
+    return build_envelopes(
+        pa.array(ops, pa.string()), after, before,
+        np.zeros(len(ops), dtype=np.int32),
+        np.full(len(ops), lsn, dtype=np.int64), table="agg_view",
+    )

@@ -142,3 +142,56 @@ def test_derive_rekeyed_envelopes_key_change_pairs(ray_session):
         ("d", None, "A", 4),
         ("u", "C", "C", 5),
     ]
+
+
+def test_agg_view_envelopes_epochs(tmp_path):
+    """The materialized-view fold: three epochs with group churn (create,
+    update, group-emptying delete) keep the view lake equal to GROUP BY
+    over the live state."""
+    import numpy as np
+
+    from debezium_incubator_ray.envelope import build_envelopes
+    from debezium_incubator_ray.pipelines.derive import agg_view_envelopes
+
+    def env_of(ops, gs, vals, befores, lsns):
+        after = pa.table({"g": pa.array(gs, pa.string()),
+                          "v": pa.array(vals, pa.float64())})
+        before = pa.table({
+            "g": pa.array([b[0] if b else None for b in befores], pa.string()),
+            "v": pa.array([b[1] if b else None for b in befores], pa.float64()),
+        })
+        return build_envelopes(
+            pa.array(ops, pa.string()), after, before,
+            np.zeros(len(ops), dtype=np.int32),
+            np.asarray(lsns, dtype=np.int64), table="t",
+        )
+
+    # epoch 1: two rows in A, one in B
+    e1 = env_of(["c", "c", "c"], ["A", "A", "B"], [1.0, 2.0, 5.0],
+                [None, None, None], [1, 2, 3])
+    v1 = agg_view_envelopes(e1, "g", "v", None, lsn=1)
+    state = {r["g"]: r for r in
+             [dict(zip(["g", "n", "total"], (g, n, t)))
+              for g, n, t in [("A", 2, 3.0), ("B", 1, 5.0)]]}
+    got1 = {a["g"]: (a["n"], a["total"])
+            for a in v1["after"].combine_chunks().to_pylist() if a}
+    assert got1 == {"A": (2, 3.0), "B": (1, 5.0)}
+    # epoch 2: row moves A->B (u), B's old row deleted -> B stays, A shrinks
+    cur = pa.table({"g": ["A", "B"], "n": pa.array([2, 1], pa.int64()),
+                    "total": pa.array([3.0, 5.0], pa.float64())})
+    e2 = env_of(["u", "d"], ["B", "B"], [1.0, 0.0],
+                [("A", 1.0), ("B", 5.0)], [4, 5])
+    v2 = agg_view_envelopes(e2, "g", "v", cur, lsn=2)
+    got2 = {}
+    for op, a in zip(v2["op"].to_pylist(),
+                     v2["after"].combine_chunks().to_pylist()):
+        if a is not None:
+            got2[a["g"]] = (op, a["n"], a["total"])
+    assert got2["A"] == ("u", 1, 2.0)
+    assert got2["B"] == ("u", 1, 1.0)
+    # epoch 3: last A row deleted -> group A disappears (op 'd')
+    cur3 = pa.table({"g": ["A", "B"], "n": pa.array([1, 1], pa.int64()),
+                     "total": pa.array([2.0, 1.0], pa.float64())})
+    e3 = env_of(["d"], ["A"], [0.0], [("A", 2.0)], [6])
+    v3 = agg_view_envelopes(e3, "g", "v", cur3, lsn=3)
+    assert v3["op"].to_pylist() == ["d"]
