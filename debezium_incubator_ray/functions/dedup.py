@@ -145,6 +145,17 @@ def _dedupe_pairs(ds, buckets: int = 64):
 # exact dedup (D-exact)
 
 
+def _first_per_id_table(t: pa.Table, id_col: str) -> pa.Table:
+    """First row per id within one co-located table (callers guarantee all
+    rows of an id are present — a groupby group or a join bucket)."""
+    idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+    s = t.take(idx)
+    ids = s[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = ids[1:] != ids[:-1]
+    return s.filter(pa.array(first))
+
+
 def _first_per_id(ds, id_col: str, buckets: int = 64):
     """Collapse duplicate physical rows per id (output-sized shuffle)."""
 
@@ -154,12 +165,7 @@ def _first_per_id(ds, id_col: str, buckets: int = 64):
         return t.append_column("_bucket", pa.array(b))
 
     def first_per_id(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
-        s = t.take(idx)
-        ids = s[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        first = np.ones(len(s), dtype=bool)
-        first[1:] = ids[1:] != ids[:-1]
-        return s.filter(pa.array(first)).drop_columns(["_bucket"])
+        return _first_per_id_table(t, id_col).drop_columns(["_bucket"])
 
     return (
         ds.map_batches(add_id_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -205,13 +211,15 @@ def _broadcast_winner_filter(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-        kept = shuffle_join(
+        # first-per-id collapse runs INSIDE the join bucket (the bucket
+        # already co-locates every row of an id) — a downstream
+        # _first_per_id pass would re-shuffle the whole kept output
+        return shuffle_join(
             ds, wds, on=id_col, right_on=w_col, buckets=buckets,
             join_type="left semi",
+            post=None if unique_ids
+            else (lambda t: _first_per_id_table(t, id_col)),
         )
-        if unique_ids:
-            return kept
-        return _first_per_id(kept, id_col, buckets)
 
     if isinstance(winners, np.ndarray):
         wid = np.sort(winners)

@@ -238,6 +238,7 @@ def shuffle_join(
     buckets: int = 64,
     join_type: str = "inner",
     right_suffix: str = "_r",
+    post=None,
 ):
     """Distributed hash join for two LARGE sides (when neither fits a node
     and broadcast_join doesn't apply): both sides route to the same
@@ -250,7 +251,11 @@ def shuffle_join(
     the pad is metadata, not data) because a groupby shuffle needs one
     dataset. Right-side columns colliding with left names get
     ``right_suffix``. Bucket count bounds per-task memory at
-    ~|join|/buckets; raise it for skewed or huge joins."""
+    ~|join|/buckets; raise it for skewed or huge joins. ``post`` (a
+    table→table callable) runs on each bucket's joined output INSIDE the
+    join task — per-key postprocessing (dedup, first-per-key) is free
+    there because the bucket already co-locates every row of a key,
+    where a separate downstream pass would re-shuffle the whole result."""
     from debezium_incubator_ray.hashing import stable_hash
 
     right_on = right_on or on
@@ -317,9 +322,10 @@ def shuffle_join(
         rt = t.filter(pa.array(side == 1)).select(
             [r_out[n] for n in rs.names]
         )
-        return lt.join(
+        joined = lt.join(
             rt, keys=[on], right_keys=[r_key_out], join_type=join_type
         )
+        return post(joined) if post is not None else joined
 
     return both.groupby("_jbucket").map_groups(
         join_bucket, batch_format="pyarrow"

@@ -22,6 +22,26 @@ from debezium_incubator_ray.functions.tokens import md5_u64
 _DENOM = 1_000_000
 
 
+def _per_group_lookup(
+    values: pa.Array, mapping: Dict, default, dtype=np.int64
+) -> np.ndarray:
+    """Vectorized ``mapping.get(value, default)`` per row (one dictionary
+    encode + one table take). NULL values resolve via
+    ``mapping.get(None, default)`` — null is its own group, never
+    conflated with any real key."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    de = pc.dictionary_encode(values)
+    vocab = de.dictionary.to_pylist()
+    table = np.array([mapping.get(v, default) for v in vocab], dtype=dtype)
+    valid = pc.is_valid(de.indices).to_numpy(zero_copy_only=False)
+    out = np.full(len(values), mapping.get(None, default), dtype=dtype)
+    if valid.any():
+        iv = de.indices.to_numpy(zero_copy_only=False)
+        out[valid] = table[iv[valid].astype(np.int64)]
+    return out
+
+
 class StratifiedSampler:
     """Keep each row with a per-stratum probability, deterministically:
     row kept iff md5_u64(str(id)) % 1e6 < rate[stratum] * 1e6.
@@ -46,16 +66,12 @@ class StratifiedSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].combine_chunks()
         h = md5_u64(pc.cast(ids, pa.string())) % np.uint64(_DENOM)
-        strata = batch[self.strata_col].combine_chunks()
-        # per-stratum threshold via dictionary lookup (vectorized take)
-        de = pc.dictionary_encode(strata)
-        vocab = de.dictionary.to_pylist()
-        thresh_by_stratum = np.array(
-            [int(self.rates.get(v, self.default_rate) * _DENOM) for v in vocab],
-            dtype=np.int64,
+        # per-stratum threshold via the shared dictionary lookup
+        thresh = _per_group_lookup(
+            batch[self.strata_col],
+            {k: int(v * _DENOM) for k, v in self.rates.items()},
+            int(self.default_rate * _DENOM),
         )
-        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        thresh = thresh_by_stratum[idx]
         return batch.filter(pa.array(h.astype(np.int64) < thresh))
 
 
@@ -301,15 +317,9 @@ def domain_quota_sample(
         pos = np.arange(len(s), dtype=np.int64)
         run_start = np.maximum.accumulate(np.where(first, pos, 0))
         if isinstance(quota, dict):
-            # per-group caps via dictionary lookup (vectorized take)
-            de = pc.dictionary_encode(pc.fill_null(dom, ""))
-            vocab = de.dictionary.to_pylist()
-            caps = np.array(
-                [int(quota.get(v, default_quota)) for v in vocab],
-                dtype=np.int64,
-            )
-            idxs = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            row_cap = caps[idxs]
+            # per-group caps; the NULL group reads quota.get(None) — never
+            # the "" entry (they are distinct groups at the run boundary)
+            row_cap = _per_group_lookup(dom, quota, default_quota)
         else:
             row_cap = quota
         keep = (pos - run_start) < row_cap

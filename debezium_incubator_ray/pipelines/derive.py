@@ -172,11 +172,16 @@ def agg_view_envelopes(
     for r in d.to_pylist():
         g = r[group_col]
         dn, dsum = int(r["d_count_sum"]), float(r["d_sum_sum"])
-        if dn == 0 and dsum == 0.0:
-            continue  # net no-op for this group this epoch
         old = cur.get(g)
         new_n = (old[0] if old else 0) + dn
         new_t = (old[1] if old else 0.0) + dsum
+        if old is None and new_n <= 0:
+            # group born AND fully gone within the epoch: never existed.
+            # Keyed on new_n, not dsum — float residue of +x -x chains is
+            # not exactly 0.0 and must not fabricate an n=0 group
+            continue
+        if old is not None and dn == 0 and dsum == 0.0:
+            continue  # exact no-op for an existing group
         if old is None:
             op = "c"
         elif new_n == 0:

@@ -860,3 +860,18 @@ def test_exact_dedup_semijoin_mode_equivalent():
     b = exact_dedup(doubled, winner_filter="semijoin").to_pandas(
     ).sort_values("doc_id")
     assert list(a.doc_id) == list(b.doc_id)
+
+
+def test_domain_quota_dict_null_key():
+    from debezium_incubator_ray.functions.sample import domain_quota_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "lang": [None] * 6 + [""] * 6,
+    })
+    out = domain_quota_sample(
+        ray.data.from_arrow(t), {None: 4, "": 2}, domain_col="lang",
+        default_quota=0,
+    ).to_pandas()
+    assert out.lang.isna().sum() == 4
+    assert (out.lang == "").sum() == 2

@@ -170,9 +170,6 @@ def test_agg_view_envelopes_epochs(tmp_path):
     e1 = env_of(["c", "c", "c"], ["A", "A", "B"], [1.0, 2.0, 5.0],
                 [None, None, None], [1, 2, 3])
     v1 = agg_view_envelopes(e1, "g", "v", None, lsn=1)
-    state = {r["g"]: r for r in
-             [dict(zip(["g", "n", "total"], (g, n, t)))
-              for g, n, t in [("A", 2, 3.0), ("B", 1, 5.0)]]}
     got1 = {a["g"]: (a["n"], a["total"])
             for a in v1["after"].combine_chunks().to_pylist() if a}
     assert got1 == {"A": (2, 3.0), "B": (1, 5.0)}
@@ -195,3 +192,24 @@ def test_agg_view_envelopes_epochs(tmp_path):
     e3 = env_of(["d"], ["A"], [0.0], [("A", 2.0)], [6])
     v3 = agg_view_envelopes(e3, "g", "v", cur3, lsn=3)
     assert v3["op"].to_pylist() == ["d"]
+
+
+def test_agg_view_no_phantom_group_from_float_residue():
+    """A group created and fully deleted within one epoch must NOT appear
+    in the view, even when its +x/-x float chain leaves a residue sum."""
+    import numpy as np
+
+    from debezium_incubator_ray.envelope import build_envelopes
+    from debezium_incubator_ray.pipelines.derive import agg_view_envelopes
+
+    after = pa.table({"g": ["X", "X", "X"],
+                      "v": pa.array([0.1, 0.3, 0.3], pa.float64())})
+    before = pa.table({"g": [None, "X", "X"],
+                       "v": pa.array([None, 0.1, 0.3], pa.float64())})
+    env = build_envelopes(
+        pa.array(["c", "u", "d"], pa.string()), after, before,
+        np.zeros(3, dtype=np.int32), np.array([1, 2, 3], dtype=np.int64),
+        table="t",
+    )
+    out = agg_view_envelopes(env, "g", "v", None, lsn=1)
+    assert out.num_rows == 0
