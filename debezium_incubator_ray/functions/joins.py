@@ -239,6 +239,7 @@ def shuffle_join(
     join_type: str = "inner",
     right_suffix: str = "_r",
     post=None,
+    salt: int = 1,
 ):
     """Distributed hash join for two LARGE sides (when neither fits a node
     and broadcast_join doesn't apply): both sides route to the same
@@ -255,9 +256,21 @@ def shuffle_join(
     table→table callable) runs on each bucket's joined output INSIDE the
     join task — per-key postprocessing (dedup, first-per-key) is free
     there because the bucket already co-locates every row of a key,
-    where a separate downstream pass would re-shuffle the whole result."""
+    where a separate downstream pass would re-shuffle the whole result.
+
+    ``salt > 1`` splits HOT KEYS: left rows spread across ``salt``
+    sub-buckets per key, right rows replicate into every sub-bucket — a
+    key holding half the fact table parallelizes salt-ways at the cost of
+    salt× the (typically dimension-like) right side's shuffle bytes. The
+    result set is identical for any salt. Only join types that emit each
+    LEFT row's matches once survive salting (inner / left outer / left
+    semi); right/full-outer would duplicate unmatched right replicas."""
     from debezium_incubator_ray.hashing import stable_hash
 
+    if salt > 1 and join_type not in ("inner", "left outer", "left semi"):
+        raise ValueError(
+            f"salt>1 is only sound for left-preserving joins, not {join_type}"
+        )
     right_on = right_on or on
     ls = left.schema().base_schema
     rs = right.schema().base_schema
@@ -283,16 +296,18 @@ def shuffle_join(
         + [pa.field("_side", pa.int8()), pa.field("_jbucket", pa.int32())]
     )
 
+    payload_schema = pa.schema([f for f in unified if f.name != "_jbucket"])
+
     def tag(side: int, key: str):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            b = (stable_hash(t[key].combine_chunks()) % np.uint64(buckets)).astype(np.int32)
+            b = (
+                stable_hash(t[key].combine_chunks()) % np.uint64(buckets)
+            ).astype(np.int64)
             cols = []
-            for fld in unified:
+            for fld in payload_schema:
                 if fld.name == "_side":
                     cols.append(pa.array(np.full(n, side, np.int8)))
-                elif fld.name == "_jbucket":
-                    cols.append(pa.array(b))
                 else:
                     src = None
                     if side == 0 and fld.name in l_names:
@@ -304,7 +319,21 @@ def shuffle_join(
                         if src is not None
                         else pa.nulls(n, fld.type)
                     )
-            return pa.Table.from_arrays(cols, schema=unified)
+            payload = pa.Table.from_arrays(cols, schema=payload_schema)
+            if side == 0 or salt == 1:
+                # left rows spread across salt sub-buckets (assignment is
+                # free to vary — the joined SET is salt-invariant)
+                s = np.arange(n, dtype=np.int64) % salt if salt > 1 else 0
+                jb = (b * salt + s).astype(np.int32)
+                return payload.append_column("_jbucket", pa.array(jb))
+            # right rows replicate into every sub-bucket of their key
+            copies = [
+                payload.append_column(
+                    "_jbucket", pa.array((b * salt + s).astype(np.int32))
+                )
+                for s in range(salt)
+            ]
+            return pa.concat_tables(copies)
 
         return f
 

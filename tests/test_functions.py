@@ -875,3 +875,33 @@ def test_domain_quota_dict_null_key():
     ).to_pandas()
     assert out.lang.isna().sum() == 4
     assert (out.lang == "").sum() == 2
+
+
+def test_shuffle_join_salt_invariant():
+    """Hot-key salting: identical result set for any salt, including a
+    key that dominates the left side and left-outer unmatched rows."""
+    from debezium_incubator_ray.functions.joins import shuffle_join
+
+    left = pa.table({
+        "k": pa.array([1] * 50 + [2, 3], pa.int64()),
+        "x": pa.array(range(52), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "y": ["hot", "cold"],
+    })
+    for jt in ("inner", "left outer"):
+        base = shuffle_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", join_type=jt,
+        ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        salted = shuffle_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", join_type=jt, salt=4,
+        ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        assert base.equals(salted), jt
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     on="k", join_type="full outer", salt=2)
