@@ -1648,6 +1648,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return approx_distinct_kmv(ev, "user_id", k=128)
 
+    def multimodal_frames(sf_dir):
+        """Frame-sampling plumbing: k=4 evenly-spaced 16-byte 'frames' per
+        binary payload, exploded one row per frame (the per-frame-model
+        feed layout). Extraction is the deterministic byte-slice stand-in
+        (real codecs plug decode_video_frames); frames compared as hex."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.multimodal import (
+            FrameSampler, _hex_encode,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def to_payload(t):
+            import pyarrow.compute as _pc
+
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "payload": _pc.cast(t["text"], pa.large_binary()),
+            })
+
+        frames = docs.map_batches(
+            to_payload, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"k": 4, "frame_bytes": 16},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=256,
+            concurrency=2,
+        )
+
+        def hexify(t):
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_hex": _hex_encode(t["frame"].combine_chunks()),
+            })
+
+        return frames.map_batches(
+            hexify, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def dq_fk_orphans(sf_dir):
         """Referential data-quality check: distinct events.user_id values
         with no matching customer row — dimension keys broadcast once,
@@ -2242,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_fk_orphans": dq_fk_orphans,
         "dq_profile": dq_profile,
         "approx_distinct_users": approx_distinct_users,
+        "multimodal_frames": multimodal_frames,
         "sample_language_mix": sample_language_mix,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -3086,5 +3132,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "lower(hex(encode(substring(text, 1, 4)))) AS magic FROM documents"
+        ),
+        "multimodal_frames": (
+            # frames on the HEX image of the payload (this DuckDB has no
+            # BLOB substring): byte [start, start+16) == hex chars
+            # [1 + 2*start, 32]
+            "SELECT d.doc_id, t.i AS frame_idx, "
+            "lower(substring(hex(encode(d.text)), "
+            "1 + 2 * t.i * (octet_length(encode(d.text)) // 4), 32)) "
+            "AS frame_hex "
+            "FROM documents d CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) t"
         ),
     }

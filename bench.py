@@ -224,7 +224,7 @@ def main() -> None:
         "distinct_users_per_type", "corpus_token_stats", "text_normalize",
         "cdc_row_expiry", "join_shuffle_revenue", "events_funnel",
         "source_jsonl", "source_csv", "dq_fk_orphans", "dq_profile", "approx_distinct_users",
-        "sample_language_mix", "cdc_materialized_view",
+        "sample_language_mix", "cdc_materialized_view", "multimodal_frames",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -905,3 +905,32 @@ def test_shuffle_join_salt_invariant():
     with _pytest.raises(ValueError):
         shuffle_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
                      on="k", join_type="full outer", salt=2)
+
+
+def test_frame_sampler_and_resize_stub():
+    from debezium_incubator_ray.functions.multimodal import (
+        FrameSampler, ResizeStub, decode_video_frames,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(
+            [b"0123456789abcdef" * 4, b"xy"], pa.large_binary()
+        ),
+    })
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(FrameSampler, fn_constructor_kwargs={"k": 4,
+                     "frame_bytes": 16},
+                     batch_format="pyarrow", concurrency=1)
+        .to_pandas().sort_values(["doc_id", "frame_idx"])
+    )
+    assert len(out) == 8  # 2 docs x 4 frames, exploded
+    d0 = out[out.doc_id == 0]
+    assert list(d0.frame) == [b"0123456789abcdef"] * 4  # period-16 payload
+    r = ResizeStub(side=8)(t)
+    assert all(len(x) == 64 for x in r["thumb"].to_pylist())
+    # deterministic: same payload -> same thumb
+    assert ResizeStub(side=8)(t)["thumb"].equals(r["thumb"])
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"RIFF", 4)
