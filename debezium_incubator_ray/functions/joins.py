@@ -267,9 +267,19 @@ def shuffle_join(
     semi); right/full-outer would duplicate unmatched right replicas."""
     from debezium_incubator_ray.hashing import stable_hash
 
-    if salt > 1 and join_type not in ("inner", "left outer", "left semi"):
+    if salt > 1 and join_type not in (
+        "inner", "left outer", "left semi", "left anti"
+    ):
         raise ValueError(
             f"salt>1 is only sound for left-preserving joins, not {join_type}"
+        )
+    if salt > 1 and post is not None:
+        # salting splits a key's LEFT rows across sub-buckets, so post no
+        # longer sees all rows of a key together — a per-key post would be
+        # silently wrong
+        raise ValueError(
+            "post= relies on per-key co-location, which salt>1 breaks; "
+            "run the postprocessing as a separate keyed pass instead"
         )
     right_on = right_on or on
     ls = left.schema().base_schema

@@ -34,9 +34,10 @@ MEDIA_META = pa.struct(
 _HEXCHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
 
-def _hex_encode(binary_arr: pa.Array) -> pa.Array:
-    """Vectorized lowercase-hex encode of a (large_)binary array — one LUT
-    gather over the flat byte buffer, no per-row Python."""
+def _flat_bytes(binary_arr):
+    """(large_binary array, per-row offsets rebased to 0, flat byte view)
+    of any (chunked, possibly sliced) binary-like array — the shared
+    zero-copy substrate for the vectorized byte kernels below."""
     if isinstance(binary_arr, pa.ChunkedArray):
         binary_arr = binary_arr.combine_chunks()
     arr = pc.cast(binary_arr, pa.large_binary())
@@ -46,11 +47,23 @@ def _hex_encode(binary_arr: pa.Array) -> pa.Array:
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
     lo = int(offsets[0])
-    flat = np.frombuffer(bufs[2], dtype=np.uint8)[lo : int(offsets[-1])] if bufs[2] is not None else np.empty(0, np.uint8)
+    flat = (
+        np.frombuffer(bufs[2], dtype=np.uint8)[lo : int(offsets[-1])]
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return arr, (offsets - lo).astype(np.int64), flat
+
+
+def _hex_encode(binary_arr: pa.Array) -> pa.Array:
+    """Vectorized lowercase-hex encode of a (large_)binary array — one LUT
+    gather over the flat byte buffer, no per-row Python."""
+    arr, offsets, flat = _flat_bytes(binary_arr)
+    n = len(arr)
     hx = np.empty(len(flat) * 2, dtype=np.uint8)
     hx[0::2] = _HEXCHARS[flat >> 4]
     hx[1::2] = _HEXCHARS[flat & 0xF]
-    new_off = ((offsets - lo) * 2).astype(np.int64)
+    new_off = (offsets * 2).astype(np.int64)
     out = pa.LargeStringArray.from_buffers(
         n, pa.py_buffer(new_off.tobytes()), pa.py_buffer(hx.tobytes())
     )
@@ -139,47 +152,43 @@ class FrameSampler:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payload = pc.cast(batch[self.col].combine_chunks(), pa.large_binary())
-        if isinstance(payload, pa.ChunkedArray):
-            payload = payload.combine_chunks()
-        lens = pc.cast(pc.binary_length(payload), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        # pyarrow binary_slice takes scalar offsets only: slice per-row
-        # ranges directly on the flat byte buffer instead
-        bufs = payload.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int64)[
-            payload.offset : payload.offset + len(payload) + 1
-        ]
-        lo = int(offs[0])
-        flat = (
-            np.frombuffer(bufs[2], dtype=np.uint8)[lo : int(offs[-1])]
-            if bufs[2] is not None
-            else np.empty(0, np.uint8)
-        )
+        raw = batch[self.col].combine_chunks()
+        valid = pc.is_valid(raw)
+        # null payloads (missing media) must yield NULL frames, not crash
+        # the buffer arithmetic: compute over a null-filled image, mask at
+        # the end (same pattern as _hex_encode)
+        payload, offs, flat = _flat_bytes(pc.fill_null(raw, b""))
+        n = len(payload)
+        lens = offs[1:] - offs[:-1]
+        any_null = raw.null_count > 0
         outs = []
         for i in range(self.k):
-            # frame i starts at i * floor(len/k) — evenly spaced, clamped
-            starts = (lens // self.k) * i
-            f_start = (offs[:-1] - lo) + starts
-            f_stop = np.minimum(f_start + self.w, offs[1:] - lo)
-            f_stop = np.maximum(f_stop, f_start)
+            # frame i starts at i * floor(len/k) — evenly spaced, clamped.
+            # pyarrow binary_slice takes scalar offsets only, so slice
+            # per-row ranges on the flat buffer: one fancy-index gather,
+            # no per-row Python
+            f_start = offs[:-1] + (lens // self.k) * i
+            f_stop = np.maximum(np.minimum(f_start + self.w, offs[1:]), f_start)
             widths = f_stop - f_start
-            new_off = np.zeros(len(payload) + 1, dtype=np.int64)
+            new_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(widths, out=new_off[1:])
-            gather = np.concatenate(
-                [flat[a:b] for a, b in zip(f_start, f_stop)]
-            ) if len(flat) else np.empty(0, np.uint8)
+            total = int(new_off[-1])
+            gather = (
+                flat[np.repeat(f_start - new_off[:-1], widths)
+                     + np.arange(total, dtype=np.int64)]
+                if total
+                else np.empty(0, np.uint8)
+            )
             frames = pa.Array.from_buffers(
-                pa.large_binary(), len(payload),
+                pa.large_binary(), n,
                 [None, pa.py_buffer(new_off.tobytes()),
                  pa.py_buffer(gather.tobytes())],
             )
+            if any_null:
+                frames = pc.if_else(valid, frames, pa.nulls(n, pa.large_binary()))
             outs.append(pa.table({
                 self.id_col: batch[self.id_col],
-                "frame_idx": pa.array(
-                    np.full(len(payload), i, dtype=np.int64)
-                ),
+                "frame_idx": pa.array(np.full(n, i, dtype=np.int64)),
                 "frame": pc.cast(frames, pa.binary()),
             }))
         return pa.concat_tables(outs)
@@ -197,7 +206,8 @@ class ResizeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch[self.col].combine_chunks()
-        h = stable_hash(payload)
+        valid = pc.is_valid(payload)
+        h = stable_hash(pc.fill_null(payload, b""))
         n_px = self.side * self.side
         # deterministic pseudo-pixels: splitmix-style expansion of the hash
         idx = np.arange(n_px, dtype=np.uint64)
@@ -210,6 +220,11 @@ class ResizeStub:
             pa.large_binary(), len(payload),
             [None, pa.py_buffer(off.tobytes()), pa.py_buffer(px.tobytes())],
         )
+        if payload.null_count:
+            # missing media -> NULL thumb, never a fabricated one
+            thumbs = pc.if_else(
+                valid, thumbs, pa.nulls(len(payload), pa.large_binary())
+            )
         batch = batch.append_column("thumb", pc.cast(thumbs, pa.binary()))
         return batch.append_column(
             "thumb_dims",

@@ -62,15 +62,16 @@ class StratifiedSampler:
         self.strata_col = strata_col
         self.id_col = id_col
         self.default_rate = default_rate
+        # integer thresholds precomputed once per actor, not per batch
+        self._thresh = {k: int(v * _DENOM) for k, v in self.rates.items()}
+        self._default_thresh = int(default_rate * _DENOM)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].combine_chunks()
         h = md5_u64(pc.cast(ids, pa.string())) % np.uint64(_DENOM)
         # per-stratum threshold via the shared dictionary lookup
         thresh = _per_group_lookup(
-            batch[self.strata_col],
-            {k: int(v * _DENOM) for k, v in self.rates.items()},
-            int(self.default_rate * _DENOM),
+            batch[self.strata_col], self._thresh, self._default_thresh
         )
         return batch.filter(pa.array(h.astype(np.int64) < thresh))
 

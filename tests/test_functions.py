@@ -934,3 +934,20 @@ def test_frame_sampler_and_resize_stub():
     assert ResizeStub(side=8)(t)["thumb"].equals(r["thumb"])
     with pytest.raises(NotImplementedError):
         decode_video_frames(b"RIFF", 4)
+
+
+def test_frame_sampler_null_payloads():
+    from debezium_incubator_ray.functions.multimodal import (
+        FrameSampler, ResizeStub,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([b"0123456789abcdef", None], pa.large_binary()),
+    })
+    out = FrameSampler(k=2, frame_bytes=8)(t)
+    by = {(r["doc_id"], r["frame_idx"]): r["frame"] for r in out.to_pylist()}
+    assert by[(0, 0)] == b"01234567"
+    assert by[(1, 0)] is None and by[(1, 1)] is None
+    r = ResizeStub(side=4)(t)
+    assert r["thumb"][1].as_py() is None and r["thumb"][0].as_py() is not None
