@@ -1950,6 +1950,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return funnel_users(ev, "click", "purchase")
 
+    def cdc_scd2_history(sf_dir):
+        """SCD2 version table from the change stream: every non-delete
+        event opens a validity interval [valid_from, valid_to) closed by
+        the key's next event (any op); the open version is is_current.
+        One hash-bucketed groupby on the key, vectorized interval kernel."""
+        import ray.data
+        from debezium_incubator_ray.functions.scd import scd2_history
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "value"],
+        )
+
+        def to_changelog(t):
+            import numpy as _np
+            import pyarrow as _pa
+            eid = t["event_id"].combine_chunks().to_numpy()
+            mod = eid % 10
+            op = _np.where(mod == 0, "d", _np.where(mod <= 2, "c", "u"))
+            return _pa.table({
+                "user_id": t["user_id"],
+                "lsn": t["event_id"],
+                "op": _pa.array(op, type=_pa.string()),
+                "value": t["value"],
+            })
+
+        ch = ev.map_batches(to_changelog, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return scd2_history(ch, key_col="user_id", lsn_col="lsn",
+                            op_col="op", value_cols=("value",))
+
+    def events_running_total(sf_dir):
+        """Per-user running cumulative sum ordered by event_id — the
+        PARTITION BY ... ROWS UNBOUNDED PRECEDING window function as a
+        bucketed groupby + segmented cumsum."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import running_total
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        )
+        return running_total(ev)
+
+    def events_anomaly(sf_dir):
+        """Per-type z-score outliers (|z| > 3, population stddev) via
+        decomposable moments: only #groups partial rows shuffle, then a
+        broadcast second streaming pass flags rows."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import zscore_outliers
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        return zscore_outliers(ev, threshold=3.0)
+
+    def text_unigram_logprob(sf_dir):
+        """Corpus-learned unigram LM score per doc: term-count model from
+        one small groupby, broadcast, then a streaming scoring pass."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import unigram_logprob
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return unigram_logprob(docs)
+
+    def text_inverted_index(sf_dir):
+        """Inverted-index postings (term, doc_id, tf) for terms with
+        df >= 10: df shuffle bucketed by term hash, vocabulary broadcast,
+        posting emission is shuffle-free."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import term_postings
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return term_postings(docs, min_df=10)
+
     def distinct_users_per_type(sf_dir):
         """Exact count-distinct per group with the combiner shape: batches
         reduce to distinct (type, user) pairs before the one narrow
@@ -2279,6 +2361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast_enrich": join_broadcast_enrich,
         "join_shuffle_revenue": join_shuffle_revenue,
         "events_funnel": events_funnel,
+        "cdc_scd2_history": cdc_scd2_history,
+        "events_running_total": events_running_total,
+        "events_anomaly": events_anomaly,
+        "text_unigram_logprob": text_unigram_logprob,
+        "text_inverted_index": text_inverted_index,
         "distinct_users_per_type": distinct_users_per_type,
         "corpus_token_stats": corpus_token_stats,
         "text_normalize": text_normalize,
@@ -3029,6 +3116,48 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "cdc_scd2_history": (
+            "WITH v AS (SELECT user_id, event_id AS valid_from, "
+            "lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS valid_to, value, event_id % 10 AS m FROM events) "
+            "SELECT user_id, valid_from, valid_to, value, "
+            "(valid_to IS NULL) AS is_current FROM v WHERE m <> 0"
+        ),
+        "events_running_total": (
+            "SELECT user_id, event_id, value, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS UNBOUNDED PRECEDING), 3) AS run_total FROM events"
+        ),
+        "events_anomaly": (
+            "WITH s AS (SELECT event_type, avg(value) AS mu, "
+            "stddev_pop(value) AS sd FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value, "
+            "round((e.value - s.mu) / s.sd, 3) AS z FROM events e "
+            "JOIN s USING (event_type) "
+            "WHERE abs((e.value - s.mu) / s.sd) > 3.0"
+        ),
+        "text_unigram_logprob": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term), "
+            "tot AS (SELECT count(*) AS t FROM tok), "
+            "s AS (SELECT doc_id, round(sum(ln(tf.tf / t)), 3) AS logprob "
+            "FROM tok JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(s.logprob, 0.0) AS logprob "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "text_inverted_index": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY term) "
+            "SELECT tf.term, tf.doc_id, tf.tf FROM tf "
+            "JOIN df USING (term) WHERE df.df >= 10"
         ),
         "sample_fixed_k": (
             "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars "

@@ -559,3 +559,132 @@ def text_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "n_chars_norm", pc.cast(pc.utf8_length(norm), pa.int64())
     )
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-learned unigram language-model score per document:
+    sum over tokens of ln(tf(token) / total_tokens).
+
+    The classic two-pass learned-filter shape for training-data curation
+    (low logprob ~ unusual/garbage text): pass 1 folds per-batch partial
+    term counts through one small groupby into a (term -> count) model;
+    pass 2 broadcasts the model via ``ray.put`` and scores every document
+    in a streaming actor pool — the corpus itself never re-shuffles.
+    Vocabulary is the documented small side (Zipf: sublinear in corpus
+    size); shard the model by term hash when it outgrows node memory."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t, text_col)
+        vc = flat.value_counts()
+        return pa.table({
+            "term": vc.field("values"),
+            "_tf": vc.field("counts"),
+        })
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("_tf", alias_name="tf"))
+        .take_all()
+    )
+    import pandas as pd
+
+    model = pd.Series(
+        [r["tf"] for r in counts], index=[r["term"] for r in counts],
+        dtype=np.float64,
+    )
+    total = float(model.sum())
+    model_ref = ray.put(np.log(model / total))
+
+    class Scorer:
+        def __init__(self):
+            self.logp = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, lens = _flat_tokens(t, text_col)
+            nd = len(lens)
+            if nd == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                })
+            # hash each distinct token once (dictionary-encode), gather
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vocab_lp = self.logp.reindex(enc.dictionary.to_pylist()).to_numpy()
+            tok_lp = vocab_lp[codes]
+            doc_idx = np.repeat(np.arange(nd), lens)
+            sums = np.bincount(doc_idx, weights=tok_lp, minlength=nd)
+            return pa.table({
+                id_col: t[id_col],
+                "logprob": pa.array(np.round(sums, 3)),
+            })
+
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=4)
+
+
+def term_postings(ds, min_df: int = 10, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Inverted-index build: (term, doc_id, tf) posting rows for every
+    term appearing in at least ``min_df`` documents.
+
+    Pass 1 reuses :func:`document_frequency` (distinct (term, doc) rows
+    shuffle once, bucketed by term hash); the surviving vocabulary
+    broadcasts via ``ray.put`` and pass 2 emits postings per batch with
+    no further shuffle — each document's text is one row, so tf is exact
+    within the batch. Postings land naturally partitioned by input shard;
+    re-bucket by term hash downstream if lookup locality matters."""
+    import ray
+
+    df_tbl_ds, _n = document_frequency(ds, text_col=text_col, id_col=id_col)
+
+    def keep_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], min_df)).select(["term"])
+
+    vocab_parts = df_tbl_ds.map_batches(
+        keep_terms, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    vocab = pa.array(sorted(r["term"] for r in vocab_parts), pa.string())
+    vocab_ref = ray.put(vocab)
+
+    class Postings:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, lens = _flat_tokens(t, text_col)
+            ids = np.repeat(t[id_col].to_numpy(), lens)
+            tb = pa.table({"term": flat, id_col: pa.array(ids)})
+            tb = tb.filter(pc.is_in(tb["term"], value_set=self.vocab))
+            idx = pc.sort_indices(
+                tb, sort_keys=[("term", "ascending"), (id_col, "ascending")]
+            )
+            s = tb.take(idx)
+            tr = s["term"].combine_chunks()
+            di = s[id_col].combine_chunks().to_numpy()
+            n = len(di)
+            if n == 0:
+                return pa.table({
+                    "term": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                })
+            first = np.ones(n, dtype=bool)
+            same_term = pc.equal(tr.slice(1), tr.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            first[1:] = ~(same_term & (di[1:] == di[:-1]))
+            starts = np.nonzero(first)[0]
+            tf = np.diff(np.append(starts, n)).astype(np.int64)
+            return pa.table({
+                "term": tr.take(pa.array(starts)),
+                id_col: pa.array(di[starts]),
+                "tf": pa.array(tf),
+            })
+
+    return ds.map_batches(Postings, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=4)

@@ -300,3 +300,124 @@ def funnel_users(
         return t.filter(keep).select([user_col])
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def running_total(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    buckets: int = 64,
+):
+    """Per-key running cumulative sum ordered by ``order_col`` — the
+    `SUM(v) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED PRECEDING)`
+    window function Ray Data has no native operator for.
+
+    Shape: hash-bucket the key, one groupby, then a segmented cumsum per
+    bucket (lexsort + np.cumsum with per-key offsets — no per-row loop).
+    Emits every input row plus ``run_total`` (rounded 3dp: float cumsums
+    are sequential in both engines but the last bit can differ)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, order_col, value_col])
+        ids = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (ids.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_bucket", pa.array(b))
+
+    def cum(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
+        )
+        s = group.take(idx)
+        k = s[key_col].combine_chunks().to_numpy()
+        v = s[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                order_col: pa.array([], pa.int64()),
+                value_col: pa.array([], pa.float64()),
+                "run_total": pa.array([], pa.float64()),
+            })
+        first = np.ones(n, dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        cs = np.cumsum(v)
+        # subtract the cumsum just before each key's first row
+        starts = np.nonzero(first)[0]
+        base = np.zeros(len(starts))
+        base[1:] = cs[starts[1:] - 1]
+        run = cs - np.repeat(base, np.diff(np.append(starts, n)))
+        return pa.table({
+            key_col: s[key_col],
+            order_col: s[order_col],
+            value_col: s[value_col],
+            "run_total": pa.array(np.round(run, 3)),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(cum, batch_format="pyarrow")
+    )
+
+
+def zscore_outliers(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+):
+    """Per-group z-score outlier detection: rows with
+    |v - mean| / stddev_pop > threshold for their group.
+
+    Two passes in the decomposable-moments pattern: (1) per-batch partial
+    (n, sum, sum-of-squares) per group folds through one tiny groupby —
+    only #groups rows ever reach the driver; (2) the (mean, std) table
+    broadcasts into a second streaming filter pass. No sort, no wide
+    shuffle; the input streams twice."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks()
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cats = enc.dictionary
+        ng = len(cats)
+        n = np.bincount(codes, minlength=ng).astype(np.float64)
+        s1 = np.bincount(codes, weights=v, minlength=ng)
+        s2 = np.bincount(codes, weights=v * v, minlength=ng)
+        return pa.table({
+            group_col: cats,
+            "_n": pa.array(n), "_s1": pa.array(s1), "_s2": pa.array(s2),
+        })
+
+    moments = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("_n", alias_name="n"), Sum("_s1", alias_name="s1"),
+                   Sum("_s2", alias_name="s2"))
+        .take_all()
+    )
+    stats = {}
+    for r in moments:
+        mean = r["s1"] / r["n"]
+        var = max(r["s2"] / r["n"] - mean * mean, 0.0)
+        stats[r[group_col]] = (mean, var ** 0.5)
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # vectorized lookup: dictionary-encode the group column once
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cats = enc.dictionary.to_pylist()
+        mu = np.array([stats[c][0] for c in cats])[codes]
+        sd = np.array([stats[c][1] for c in cats])[codes]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (v - mu) / sd, 0.0)
+        keep = np.abs(z) > threshold
+        out = t.select([id_col, group_col, value_col]).filter(pa.array(keep))
+        return out.append_column("z", pa.array(np.round(z[keep], 3)))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
