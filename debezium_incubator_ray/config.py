@@ -161,6 +161,23 @@ class EngineConfig:
     # the aligned path only.
     transactional: bool = False
 
+    # processed-segment relocation (CommitLogTransfer.java:15-35,
+    # BlackHoleCommitLogTransfer.java:14-24, QueueProcessor.java:29-30
+    # ARCHIVE_FOLDER/ERROR_FOLDER): what happens to a binlog segment file
+    # once this lake is finished with it.
+    #   "none" (default): leave segments in place — segments_done already
+    #     makes redelivery a no-op, and other consumers may need the files.
+    #   "archive": move applied segments to <relocation_dir>/archive/<rel>
+    #     and quarantined segments to <relocation_dir>/error/<rel>.
+    #   "delete": remove both (the BlackHole transfer).
+    # Transfers happen only AFTER the manifest flush that records the
+    # segment done/errored has persisted (transfer forces the flush), so a
+    # crash can never strand a moved-but-unrecorded file. Requires this
+    # lake to own the binlog dir exclusively (do not combine with demux
+    # or a second lake over the same directory).
+    segment_transfer: str = "none"
+    relocation_dir: Optional[str] = None  # default: <binlog_dir>/_relocation
+
     # partition-aligned fast path: when the binlog directory layout
     # (p=<p>/seg-*.parquet) has the same partition count as the lake, each
     # binlog partition feeds exactly one lake partition, so the epoch skips

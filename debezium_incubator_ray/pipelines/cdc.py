@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import weakref
 from typing import Any, Dict, List, Optional, Union
@@ -222,6 +223,59 @@ class CdcEngine:
         durable per-commit stats live in the lineage table
         (``manifest.lineage_table()``)."""
         return self._metrics.snapshot()
+
+    def health(self) -> Dict[str, Any]:
+        """Liveness/readiness summary — the reference's health-check
+        surface (CassandraConnectorTaskHealthCheck.java:25-46: healthy =
+        processor group running AND source queryable, message = a map of
+        check-name -> bool). Here: healthy = persisted manifest CURRENT
+        resolvable AND every committed run file present on the store.
+        Cheap (existence probes only); poll alongside :meth:`metrics`."""
+        checks: Dict[str, bool] = {}
+        try:
+            cur = self.manifest.store.read("CURRENT")
+            checks["manifest-current"] = cur.strip().isdigit()
+        except Exception:
+            checks["manifest-current"] = False
+        try:
+            missing = [
+                f for f in self.manifest.all_files()
+                if not os.path.exists(os.path.join(self.lake_dir, f))
+            ]
+            checks["lake-files"] = not missing
+        except Exception:
+            checks["lake-files"] = False
+        checks["snapshot-complete"] = bool(
+            self.manifest.doc.get("snapshot_complete")
+        )
+        healthy = checks["manifest-current"] and checks["lake-files"]
+        return {"healthy": healthy, "checks": checks}
+
+    def _transfer_segments(
+        self, binlog_dir: str, done_rel: List[str], error_rel: List[str]
+    ) -> None:
+        """Relocate segment files this lake is finished with
+        (CommitLogTransfer.java:15-35; QueueProcessor.java:29-30 archive/
+        error folders; BlackHoleCommitLogTransfer.java:14-24 deletes).
+        Called strictly after the manifest flush that recorded the
+        segments, so a crash between flush and move only re-skips them."""
+        mode = self.cfg.segment_transfer
+        if mode == "none":
+            return
+        base = self.cfg.relocation_dir or os.path.join(
+            binlog_dir, "_relocation"
+        )
+        for rels, folder in ((done_rel, "archive"), (error_rel, "error")):
+            for rel in rels:
+                src = os.path.join(binlog_dir, rel)
+                if not os.path.isfile(src):
+                    continue
+                if mode == "delete":
+                    os.remove(src)
+                else:
+                    dst = os.path.join(base, folder, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(src, dst)
 
     # ------------------------------------------------------------------
     # offset flush (manifest persistence)
@@ -598,11 +652,13 @@ class CdcEngine:
                 persist=schema_update is not None,  # schema history: durable
                 source=source,
             )
-            self._maybe_flush(0, force=schema_update is not None)
+            xfer = bool(quarantined) and self.cfg.segment_transfer != "none"
+            self._maybe_flush(0, force=schema_update is not None or xfer)
             if quarantined:
                 self._metrics.counter("number-of-unrecoverable-errors").inc(
                     len(quarantined)
                 )
+            self._transfer_segments(binlog_dir, [], list(quarantined))
             return {"segments": 0, "events": 0, "quarantined": len(quarantined)}
 
         if schema_update is not None:
@@ -665,7 +721,7 @@ class CdcEngine:
             persist=False,  # _maybe_flush decides (offset-flush policy)
             source=source,
         )
-        self._maybe_flush(events)
+        self._maybe_flush(events, force=self.cfg.segment_transfer != "none")
         self._metrics.counter("number-of-processed-mutations").inc(events)
         if quarantined:
             self._metrics.counter("number-of-unrecoverable-errors").inc(
@@ -674,6 +730,7 @@ class CdcEngine:
         applied_now = [s for s in segs if s not in quarantined]
         if applied_now:
             self._last_segment = applied_now[-1]
+        self._transfer_segments(binlog_dir, done_now, list(quarantined))
         folded = self._maybe_auto_compact()
         return {
             "segments": len(segs),

@@ -25,7 +25,10 @@ def list_segments(binlog_dir: str) -> List[str]:
     """All segment files, sorted by (partition, segment index) — the
     commit-log filename sort (O1)."""
     out: List[Tuple[int, int, str]] = []
-    for root, _dirs, names in os.walk(binlog_dir):
+    for root, dirs, names in os.walk(binlog_dir):
+        # underscore dirs are engine-internal (_relocation archive/error);
+        # never re-list a relocated segment as fresh
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
         for name in names:
             if not name.endswith(".parquet"):
                 continue
