@@ -2032,6 +2032,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return term_postings(docs, min_df=10)
 
+    def docs_chunking(sf_dir):
+        """Overlapping token-window chunking (32-token windows, 8-token
+        overlap): one vectorized gather per batch, shuffle-free."""
+        import ray.data
+        from debezium_incubator_ray.functions.pack import chunk_token_windows
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return chunk_token_windows(docs, chunk=32, overlap=8)
+
+    def sample_split_assign(sf_dir):
+        """Deterministic 90/5/5 train/val/test labels from the md5 bridge
+        hash — identical split from any engine or shard subset."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import split_assign
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        return split_assign(docs)
+
     def distinct_users_per_type(sf_dir):
         """Exact count-distinct per group with the combiner shape: batches
         reduce to distinct (type, user) pairs before the one narrow
@@ -2366,6 +2390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": events_anomaly,
         "text_unigram_logprob": text_unigram_logprob,
         "text_inverted_index": text_inverted_index,
+        "docs_chunking": docs_chunking,
+        "sample_split_assign": sample_split_assign,
         "distinct_users_per_type": distinct_users_per_type,
         "corpus_token_stats": corpus_token_stats,
         "text_normalize": text_normalize,
@@ -3158,6 +3184,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY term) "
             "SELECT tf.term, tf.doc_id, tf.tf FROM tf "
             "JOIN df USING (term) WHERE df.df >= 10"
+        ),
+        "docs_chunking": (
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), "
+            "'\\s+') AS tk FROM documents WHERE length(trim(text)) > 0), "
+            "n AS (SELECT doc_id, tk, len(tk) AS L FROM t), "
+            "c AS (SELECT doc_id, tk, L, unnest(range(0, "
+            "CAST(ceil(L / 24.0) AS BIGINT))) AS ci FROM n) "
+            "SELECT doc_id, ci AS chunk_idx, "
+            "array_to_string(list_slice(tk, ci*24 + 1, "
+            "least(ci*24 + 32, L)), ' ') AS chunk_text, "
+            "least(ci*24 + 32, L) - ci*24 AS n_tokens FROM c"
+        ),
+        "sample_split_assign": (
+            "SELECT doc_id, lang, CASE WHEN b < 900000 THEN 'train' "
+            "WHEN b < 950000 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, lang, ('0x' || "
+            "substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+            "% 1000000 AS b FROM documents)"
         ),
         "sample_fixed_k": (
             "SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars "

@@ -226,7 +226,8 @@ def main() -> None:
         "source_jsonl", "source_csv", "dq_fk_orphans", "dq_profile", "approx_distinct_users",
         "sample_language_mix", "cdc_materialized_view", "multimodal_frames",
         "cdc_scd2_history", "events_running_total", "events_anomaly",
-        "text_unigram_logprob", "text_inverted_index",
+        "text_unigram_logprob", "text_inverted_index", "docs_chunking",
+        "sample_split_assign",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -97,3 +97,64 @@ def pack_sequences(
         })
 
     return counts.groupby("_rng").map_groups(assign, batch_format="pyarrow")
+
+
+def chunk_token_windows(ds, chunk: int = 32, overlap: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into overlapping fixed-size token windows —
+    the context-window chunking step of RAG / long-doc training prep.
+
+    Chunk c of a doc covers tokens [c*stride, min(c*stride + chunk, L))
+    with stride = chunk - overlap; every chunk starts inside the doc, so
+    a doc with L tokens yields ceil(L / stride) chunks and empty docs
+    yield none. Fully vectorized and shuffle-free: one gather index array
+    rebuilds all chunk tokens from the batch's flat token array, then one
+    ``binary_join`` re-materializes the window texts. Each document is one
+    row, so chunking is exact within the batch at any scale."""
+    if not 0 <= overlap < chunk:
+        raise ValueError("need 0 <= overlap < chunk")
+    stride = chunk - overlap
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, lens = flat_tokens(t[text_col].combine_chunks())
+        ids = t[id_col].combine_chunks().to_numpy()
+        n_chunks = -(-lens // stride)  # ceil; 0 for empty docs
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            })
+        doc_rep = np.repeat(np.arange(len(ids)), n_chunks)
+        # chunk index within its doc
+        starts_per_doc = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=starts_per_doc[1:])
+        ci = np.arange(total) - starts_per_doc[doc_rep]
+        tok_start = ci * stride
+        tok_end = np.minimum(tok_start + chunk, lens[doc_rep])
+        m = tok_end - tok_start  # tokens per chunk (>= 1)
+        # flat-token gather indices for every chunk position
+        doc_flat_off = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_flat_off[1:])
+        base = doc_flat_off[doc_rep] + tok_start
+        out_off = np.zeros(total, dtype=np.int64)
+        np.cumsum(m[:-1], out=out_off[1:])
+        intra = np.arange(int(m.sum())) - np.repeat(out_off, m)
+        gather = np.repeat(base, m) + intra
+        toks = flat.take(pa.array(gather))
+        offsets = np.zeros(total + 1, dtype=np.int32)
+        np.cumsum(m, out=offsets[1:])
+        chunk_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                               toks)
+        return pa.table({
+            id_col: pa.array(ids[doc_rep]),
+            "chunk_idx": pa.array(ci.astype(np.int64)),
+            "chunk_text": pc.binary_join(chunk_lists, " "),
+            "n_tokens": pa.array(m.astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

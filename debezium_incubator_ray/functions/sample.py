@@ -332,3 +332,29 @@ def domain_quota_sample(
         .map_groups(quota_per_domain, batch_format="pyarrow")
     )
     return _broadcast_winner_filter(ds, winners, id_col, buckets=buckets)
+
+
+def split_assign(ds, fractions=None, id_col: str = "doc_id"):
+    """Deterministic train/val/test assignment: each row gets the label
+    whose cumulative md5-bucket range contains md5_u64(str(id)) % 1e6 —
+    the same cross-engine bridge hash as :class:`StratifiedSampler`, so
+    any engine (or a resumed run over any shard subset) reproduces the
+    identical split. One streaming pass, no shuffle, no RNG."""
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    labels = list(fractions)
+    # cumulative integer thresholds over the md5 bucket space
+    edges = np.cumsum([int(fractions[l] * _DENOM) for l in labels])
+    edges[-1] = _DENOM  # absorb rounding so every bucket has a label
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        h = (md5_u64(pc.cast(ids, pa.string())) % np.uint64(_DENOM)).astype(
+            np.int64
+        )
+        li = np.searchsorted(edges, h, side="right")
+        lab = np.array(labels, dtype=object)[li]
+        return batch.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -104,6 +104,25 @@ class Lake:
 
             shutil.rmtree(os.path.join(self.root, safe), ignore_errors=True)
 
+    def reconcile(self, latest_tables, delete_files: bool = False) -> list:
+        """Schema-set reconciliation (D3), the full loop: given the
+        CURRENT set of source tables, detach every registered table no
+        longer present (SchemaHolder.java:107-111 removeDeletedTableSchemas
+        — existing minus latest is removed from the schema map). New
+        tables are NOT auto-created here — creation needs a payload schema
+        and goes through :meth:`create_table`, same as the reference's
+        separate table-discovery path. Returns the detached safe names."""
+        latest = {self._safe_name(n) for n in latest_tables}
+        gone = [n for n in self.table_names() if n not in latest]
+        for n in gone:
+            eng = self.engines.pop(n)
+            eng.close()
+            if delete_files:
+                import shutil
+
+                shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+        return gone
+
     def apply_epoch(self, name: str, binlog_dir: str, **kw) -> dict:
         eng = self[name]
         before = set(eng.manifest.doc["segments_done"])

@@ -96,3 +96,69 @@ def test_term_postings_min_df():
     got = {(r.term, r.doc_id): r.tf for r in out.itertuples()}
     # only 'x' has df >= 2 (df=3); y,z have df=1
     assert got == {("x", 0): 2, ("x", 1): 1, ("x", 2): 1}
+
+
+def test_chunk_token_windows_shapes_and_overlap():
+    from debezium_incubator_ray.functions.pack import chunk_token_windows
+
+    toks = " ".join(str(i) for i in range(10))  # 10 tokens
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([toks, "a b", ""]),
+    })
+    out = chunk_token_windows(
+        ray.data.from_arrow(t), chunk=4, overlap=2
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    # stride 2: starts 0,2,4,6,8 -> 5 chunks, last is the 2-token tail
+    assert list(d0.chunk_text) == [
+        "0 1 2 3", "2 3 4 5", "4 5 6 7", "6 7 8 9", "8 9",
+    ]
+    assert list(d0.n_tokens) == [4, 4, 4, 4, 2]
+    assert list(out[out.doc_id == 1].chunk_text) == ["a b"]
+    assert len(out[out.doc_id == 2]) == 0  # empty doc -> no chunks
+
+
+def test_chunk_validates_overlap():
+    import pytest as _pytest
+    from debezium_incubator_ray.functions.pack import chunk_token_windows
+
+    with _pytest.raises(ValueError):
+        chunk_token_windows(None, chunk=4, overlap=4)
+
+
+def test_split_assign_deterministic_and_partition_invariant():
+    from debezium_incubator_ray.functions.sample import split_assign
+
+    t = pa.table({"doc_id": pa.array(np.arange(2000), pa.int64())})
+    a = split_assign(ray.data.from_arrow(t)).to_pandas()
+    b = split_assign(
+        ray.data.from_arrow(t).repartition(7)
+    ).to_pandas()
+    ma = dict(zip(a.doc_id, a.split))
+    mb = dict(zip(b.doc_id, b.split))
+    assert ma == mb
+    frac = a.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+
+
+def test_lake_reconcile_removes_deleted_tables(tmp_path):
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    root = str(tmp_path / "lake")
+    lake = Lake(root)
+    for n in ("a", "b", "c"):
+        lake.create_table(n, S.pages_schema(), EngineConfig(num_partitions=2))
+    # source now reports only {a}; b detached (kept), c deleted separately
+    gone = lake.reconcile(["a", "b"])
+    assert gone == ["c"] and lake.table_names() == ["a", "b"]
+    gone = lake.reconcile(["a"], delete_files=True)
+    assert gone == ["b"]
+    for e in lake.engines.values():
+        e.close()
+    # restart: c re-attaches (files kept), b is gone for good
+    assert Lake(root).table_names() == ["a", "c"]
