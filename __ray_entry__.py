@@ -2309,6 +2309,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decoded.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
+    def embedding_gram(sf_dir):
+        """Corpus Gram matrix X'X as (i, j, gram) upper-triangle rows —
+        each task ships a d(d+1)/2 float64 partial regardless of rows
+        read; the driver folds #blocks partials. No shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.linalg import gram_matrix
+
+        emb = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return gram_matrix(emb)
+
+    def embedding_covariance(sf_dir):
+        """Sample covariance (n-1 denominator) from the same one-pass
+        Gram + mean partials: cov = (X'X - n·μμ')/(n-1)."""
+        import ray.data
+        from debezium_incubator_ray.functions.linalg import covariance_matrix
+
+        emb = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return covariance_matrix(emb)
+
+    def text_bigram_topk(sf_dir):
+        """Global top-50 adjacent token pairs (the BPE-merge counting
+        primitive): per-batch distinct-bigram partial counts → one
+        multi-key groupby-sum → per-block local top-k → driver merge of
+        #blocks×k candidates. Ties break (cnt desc, w1, w2)."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import bigram_topk
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return bigram_topk(docs, k=50)
+
+    def events_retention_cohorts(sf_dir):
+        """Cohort retention matrix: first-activity ISO week cohorts ×
+        active week → distinct users. Batches pre-reduce to distinct
+        (user, week) pairs; one shuffle by user, one tiny cell groupby."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import retention_cohorts
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+        return retention_cohorts(ev)
+
+    def events_pivot_profile(sf_dir):
+        """Per-user activity profile: event_type pivoted to count columns
+        (feature-store shape). Per-batch Arrow group-count pivots wide
+        locally; the one shuffle moves per-user-per-block int64 rows."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import pivot_counts
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        return pivot_counts(
+            ev, types=["click", "error", "purchase", "signup", "view"]
+        )
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_replay_dup": cdc_replay_dup,
@@ -2407,6 +2474,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_kmeans": embedding_kmeans,
         "multimodal_meta": multimodal_meta,
+        "embedding_gram": embedding_gram,
+        "embedding_covariance": embedding_covariance,
+        "text_bigram_topk": text_bigram_topk,
+        "events_retention_cohorts": events_retention_cohorts,
+        "events_pivot_profile": events_pivot_profile,
     }
 
 
@@ -3315,5 +3387,59 @@ def oracle_sql() -> dict[str, str]:
             "1 + 2 * t.i * (octet_length(encode(d.text)) // 4), 32)) "
             "AS frame_hex "
             "FROM documents d CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) t"
+        ),
+        "embedding_gram": (
+            # float64 accumulation both sides: engine partials cast the
+            # float32 storage to double before X'X, SQL casts per element
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS i FROM embeddings) "
+            "SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS gram "
+            "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY 1, 2"
+        ),
+        "embedding_covariance": (
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS i FROM embeddings), "
+            "m AS (SELECT i, AVG(v) AS mu FROM e GROUP BY 1), "
+            "n AS (SELECT COUNT(*) AS n FROM embeddings) "
+            "SELECT a.i AS i, b.i AS j, "
+            "(SUM(a.v * b.v) - (SELECT n FROM n) * ma.mu * mb.mu) "
+            "/ ((SELECT n FROM n) - 1) AS cov "
+            "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i "
+            "GROUP BY 1, 2, ma.mu, mb.mu"
+        ),
+        "text_bigram_topk": (
+            # same tokenizer as the other text oracles: whitespace split of
+            # trimmed lowercase text; '' yields no tokens
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tk "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "u AS (SELECT doc_id, unnest(tk) AS w, "
+            "generate_subscripts(tk, 1) AS pos FROM t), "
+            "b AS (SELECT a.w AS w1, c.w AS w2 FROM u a JOIN u c "
+            "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
+            "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
+            "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "events_retention_cohorts": (
+            # ISO Monday weeks both sides (Arrow floor_temporal
+            # week_starts_monday == DuckDB date_trunc('week'))
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "strftime(date_trunc('week', ts), '%Y-%m-%d') AS week FROM events), "
+            "c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1) "
+            "SELECT c.cohort_week, uw.week, COUNT(*) AS n_users "
+            "FROM uw JOIN c USING (user_id) GROUP BY 1, 2"
+        ),
+        "events_pivot_profile": (
+            # CAST to BIGINT: DuckDB SUM yields HUGEINT -> float64 in
+            # pandas, which would dtype-mismatch the engine's int64
+            "SELECT user_id, "
+            "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1"
         ),
     }

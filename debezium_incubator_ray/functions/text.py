@@ -688,3 +688,73 @@ def term_postings(ds, min_df: int = 10, text_col: str = "text",
 
     return ds.map_batches(Postings, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=4)
+
+
+def bigram_topk(ds, k: int = 50, text_col: str = "text"):
+    """Global top-k adjacent token pairs — the counting primitive behind
+    BPE-merge selection and collocation mining over a web corpus.
+
+    Shape at 100 TB: each batch pre-reduces to its DISTINCT (w1, w2)
+    partial counts (Arrow group_by — the combiner), so only distinct
+    bigrams per block shuffle into the one multi-key groupby; each output
+    block then keeps its local top-k (k rows), and the driver merges
+    #blocks × k candidate rows. The full bigram stream never converges to
+    one node. Ties at the k boundary break by (w1, w2) ascending — the
+    deterministic order the oracle SQL mirrors."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t, text_col)
+        n = len(flat)
+        empty = pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        # drop each doc's last token position: its successor is another doc
+        mask = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        mask[ends[lens > 0] - 1] = False
+        if not mask.any():
+            return empty
+        idx = np.nonzero(mask)[0]
+        tb = pa.table({
+            "w1": flat.take(pa.array(idx)),
+            "w2": flat.take(pa.array(idx + 1)),
+        })
+        g = tb.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({
+            "w1": g["w1"],
+            "w2": g["w2"],
+            "cnt": pc.cast(g["w1_count"], pa.int64()),
+        })
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.select(["w1", "w2", "cnt"])
+        if t.num_rows <= k:
+            return t
+        neg = pc.negate(t["cnt"])
+        order = pc.sort_indices(
+            t.append_column("_neg", neg),
+            sort_keys=[("_neg", "ascending"), ("w1", "ascending"),
+                       ("w2", "ascending")],
+        )
+        return t.take(order.slice(0, k))
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: local_topk(t.rename_columns(["w1", "w2", "cnt"])),
+            batch_format="pyarrow",
+        )
+    )
+    merged = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow")]
+        or [local_topk(pa.table({"w1": pa.array([], pa.string()),
+                                 "w2": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())}))]
+    )
+    return local_topk(merged)

@@ -421,3 +421,131 @@ def zscore_outliers(
         return out.append_column("z", pa.array(np.round(z[keep], 3)))
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def retention_cohorts(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_fmt: str = "%Y-%m-%d",
+):
+    """Cohort retention matrix: users are cohorted by the week of their
+    first activity; each (cohort_week, week) cell counts the distinct
+    cohort members active that week.
+
+    Decomposition: batches pre-reduce to DISTINCT (user, week) pairs (the
+    combiner — shuffle volume is active-user-weeks per block, never
+    events), ONE shuffle by user computes each user's cohort = min(week)
+    and re-emits its distinct (cohort, week) rows — one per user-week, so
+    the final multi-key groupby count IS the distinct-user count. Weeks
+    travel as ISO 'YYYY-MM-DD' strings (Monday-start, both Arrow and the
+    oracle's date_trunc('week')), which also makes MIN() the calendar min."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        wk = pc.strftime(
+            pc.floor_temporal(
+                t[ts_col].combine_chunks(), unit="week",
+                week_starts_monday=True,
+            ),
+            format=week_fmt,
+        )
+        tb = pa.table({user_col: t[user_col].combine_chunks(), "week": wk})
+        return tb.group_by([user_col, "week"]).aggregate([])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        d = g.group_by([user_col, "week"]).aggregate([])
+        cohort = d.group_by([user_col]).aggregate([("week", "min")])
+        cohort_of = dict(
+            zip(
+                cohort[user_col].to_pylist(),
+                cohort["week_min"].to_pylist(),
+            )
+        )
+        users = d[user_col].to_pylist()
+        return pa.table({
+            "cohort_week": pa.array(
+                [cohort_of[u] for u in users], pa.string()
+            ),
+            "week": d["week"],
+        })
+
+    cells = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_week", "week"])
+        .count()
+    )
+    return cells.map_batches(
+        lambda t: t.rename_columns(["cohort_week", "week", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
+def pivot_counts(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    types=None,
+    prefix: str = "n_",
+):
+    """Pivot a categorical column into per-key count columns (one row per
+    key, one ``prefix<type>`` column per category) — the wide activity
+    profile a feature store derives from an event stream.
+
+    Per batch, an Arrow (key, type) group-count pivots locally into the
+    wide layout (numpy scatter), so the ONE shuffle moves per-key-per-block
+    rows with small int64 columns; a groupby-sum finishes. ``types`` may be
+    given explicitly (the schema contract); otherwise one tiny distinct
+    pre-pass derives it (per-batch distinct, driver union — O(categories)).
+    The category table is a few strings, so it ships in the task closure —
+    no ray.put broadcast needed (and an ObjectRef captured in an
+    actor-pool class closure can deadlock actor construction on this Ray
+    version; see ray-project/ray#53727)."""
+    if types is None:
+        seen = set()
+        parts = ds.map_batches(
+            lambda t: t.select([type_col]).group_by([type_col]).aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            seen.update(v for v in b[type_col].to_pylist() if v is not None)
+        types = sorted(seen)
+    types = list(types)
+    cols = [prefix + str(v) for v in types]
+    pos = {v: i for i, v in enumerate(types)}
+
+    def wide_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([key_col, type_col])
+            .group_by([key_col, type_col])
+            .aggregate([([], "count_all")])
+        )
+        keys = g[key_col].combine_chunks()
+        kd = pc.dictionary_encode(keys)
+        uk = kd.dictionary
+        ki = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = g[type_col].to_pylist()
+        cnt = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wide = np.zeros((len(uk), len(cols)), dtype=np.int64)
+        for r, v in enumerate(tv):
+            c = pos.get(v)
+            if c is not None:
+                wide[ki[r], c] += cnt[r]
+        out = {key_col: uk}
+        for c, name in enumerate(cols):
+            out[name] = pa.array(wide[:, c])
+        return pa.table(out)
+
+    summed = (
+        ds.map_batches(
+            wide_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(key_col)
+        .sum(cols)
+    )
+    return summed.map_batches(
+        lambda t: t.rename_columns([key_col] + cols),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,118 @@
+"""Tests for the linear-algebra partials (gram/covariance/power
+iteration) and the new windowed analytics (retention cohorts, categorical
+pivot, bigram top-k) against local numpy/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array(list(X), pa.list_(pa.float32())),
+    })
+    return X.astype(np.float64), ray.data.from_arrow(t).repartition(5)
+
+
+def test_gram_matrix_matches_numpy(emb_ds):
+    from debezium_incubator_ray.functions.linalg import gram_matrix
+
+    X, ds = emb_ds
+    out = gram_matrix(ds).to_pandas()
+    G = X.T @ X
+    assert len(out) == 8 * 9 // 2
+    for _, r in out.iterrows():
+        assert abs(r["gram"] - G[int(r["i"]), int(r["j"])]) < 1e-8
+
+
+def test_covariance_matches_numpy(emb_ds):
+    from debezium_incubator_ray.functions.linalg import covariance_matrix
+
+    X, ds = emb_ds
+    out = covariance_matrix(ds).to_pandas()
+    C = np.cov(X, rowvar=False, ddof=1)
+    for _, r in out.iterrows():
+        assert abs(r["cov"] - C[int(r["i"]), int(r["j"])]) < 1e-8
+
+
+def test_top_eigvec_power_iteration(emb_ds):
+    from debezium_incubator_ray.functions.linalg import top_eigvec
+
+    X, ds = emb_ds
+    v = top_eigvec(ds, iters=200)
+    G = X.T @ X
+    w, V = np.linalg.eigh(G)
+    ref = V[:, -1]
+    # direction match up to sign
+    assert abs(abs(float(v @ ref)) - 1.0) < 1e-6
+
+
+def test_bigram_topk_counts():
+    from debezium_incubator_ray.functions.text import bigram_topk
+
+    texts = ["a b a b c", "b c b c", "a b", "", "  ", "x"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    out = bigram_topk(ray.data.from_arrow(t).repartition(3), k=3).to_pandas()
+    # exhaustive counts: (a,b)=3 (b,a)=1 (b,c)=3 (c,b)=1
+    out = out.sort_values(["cnt", "w1", "w2"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+    assert list(map(tuple, out.values)) == [
+        ("a", "b", 3), ("b", "c", 3), ("b", "a", 1)]
+
+
+def test_retention_cohorts_pandas_oracle():
+    from debezium_incubator_ray.functions.windows import retention_cohorts
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 60 * 86400, n), unit="s")
+    users = rng.integers(0, 40, n)
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = retention_cohorts(ray.data.from_arrow(t).repartition(4)).to_pandas()
+
+    df = pd.DataFrame({"user_id": users, "ts": ts})
+    df["week"] = (df["ts"] - pd.to_timedelta(
+        df["ts"].dt.dayofweek, unit="D")).dt.strftime("%Y-%m-%d")
+    uw = df[["user_id", "week"]].drop_duplicates()
+    cohort = uw.groupby("user_id")["week"].min().rename("cohort_week")
+    ref = (uw.join(cohort, on="user_id")
+           .groupby(["cohort_week", "week"]).size().rename("n_users")
+           .reset_index())
+    m = out.sort_values(["cohort_week", "week"]).reset_index(drop=True)
+    r = ref.sort_values(["cohort_week", "week"]).reset_index(drop=True)
+    assert m["cohort_week"].tolist() == r["cohort_week"].tolist()
+    assert m["n_users"].tolist() == r["n_users"].tolist()
+
+
+def test_pivot_counts_explicit_and_derived_types():
+    from debezium_incubator_ray.functions.windows import pivot_counts
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 20, 300)
+    cats = np.array(["x", "y", "z"])[rng.integers(0, 3, 300)]
+    t = pa.table({
+        "user_id": pa.array(keys, pa.int64()),
+        "event_type": pa.array(cats),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    ref = pd.crosstab(keys, cats)
+
+    for types in (["x", "y", "z"], None):
+        out = pivot_counts(ds, types=types).to_pandas()
+        out = out.sort_values("user_id").reset_index(drop=True)
+        assert list(out.columns) == ["user_id", "n_x", "n_y", "n_z"]
+        for c in "xyz":
+            assert out["n_" + c].tolist() == ref[c].tolist()
