@@ -85,6 +85,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_lww_state(sf_dir):
         return EC.final_state(sf_dir)
 
+    def cdc_partial_updates(sf_dir):
+        """merge_mode='partial': per-CELL last-writer-wins — update events
+        carry a modified-cell bitmask (Cassandra RowData holds only the
+        modified cells, RowData.java:28-33 + CellData.java:23-60); unset
+        cells inherit the lake value, a row deletion shadows older cells.
+        Driven as two epochs so inheritance crosses a commit boundary."""
+        return EC.final_state_partial(sf_dir)
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -2378,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "cdc_lww_state": cdc_lww_state,
+        "cdc_partial_updates": cdc_partial_updates,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -2638,6 +2647,28 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_partial_updates": (
+            # per-cell LWW: cell j's final value = the latest LIVE event
+            # that SET it (mask bit j; live = after the key's last row
+            # deletion). arg_max takes a struct so a stored NULL survives
+            # (bare arg_max skips NULL arguments).
+            f"WITH env AS ({_ENV}), m AS (SELECT env.*, "
+            "CASE WHEN lsn % 10 IN (0, 1, 2) THEN 31 "
+            "ELSE (lsn & 30) | 1 END AS mask FROM env), "
+            "dl AS (SELECT user_id, COALESCE(MAX(lsn) FILTER (op = 'd'), -1) "
+            "AS ld FROM m GROUP BY 1), "
+            "live AS (SELECT m.* FROM m JOIN dl USING (user_id) "
+            "WHERE m.op <> 'd' AND m.lsn > dl.ld) "
+            "SELECT user_id, "
+            "arg_max({'v': ts}, lsn) FILTER (((mask >> 1) & 1) = 1)['v'] AS ts, "
+            "arg_max({'v': event_type}, lsn) FILTER (((mask >> 2) & 1) = 1)['v'] "
+            "AS event_type, "
+            "arg_max({'v': value}, lsn) FILTER (((mask >> 3) & 1) = 1)['v'] "
+            "AS value, "
+            "arg_max({'v': props}, lsn) FILTER (((mask >> 4) & 1) = 1)['v'] "
+            "AS props, "
+            "MAX(lsn) AS lsn FROM live GROUP BY user_id"
+        ),
         "cdc_compaction": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_mor_lww": _LWW

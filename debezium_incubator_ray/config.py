@@ -99,6 +99,21 @@ class EngineConfig:
     #     behavior. Recorded in the manifest (table semantics, not a knob).
     tombstones: bool = True
 
+    # merge semantics (manifest-recorded — table semantics, not a knob):
+    #   "lww" (default): full-row last-writer-wins — the max-LSN event's
+    #     whole image replaces the row (Kafka log-compaction contract).
+    #   "partial": per-CELL last-writer-wins — events carry a modified-cell
+    #     bitmask (envelope column ``set_mask``, bit j = writer payload
+    #     field j; null/absent = full row) and unset cells inherit the
+    #     current lake value; a row deletion shadows all older cells, so a
+    #     later partial update re-creates the row with ONLY its own cells.
+    #     This is Cassandra's real mutation shape (RowData carries only the
+    #     modified cells, RowData.java:28-33 + CellData.java:23-60) — the
+    #     reference relies on downstream Kafka consumers to merge; here the
+    #     lake IS that consumer. Requires tombstones=True + sink_mode="cow"
+    #     (a delta/tombstone row cannot represent "cell not touched").
+    merge_mode: str = "lww"
+
     # sink write mode (recorded in the manifest — table semantics, not a
     # per-run knob):
     #   "cow" (default): copy-on-write — every epoch rewrites the sorted

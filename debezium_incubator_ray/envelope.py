@@ -193,6 +193,179 @@ def lww_reduce(tbl: pa.Table, key: str, lsn_col: str = LSN) -> pa.Table:
     return tbl.take(winner_idx)
 
 
+SET_MASK = "_set_mask"  # per-event modified-cell bitmask (merge_mode="partial")
+HAD_DEL = "_had_del"  # patch flag: a row deletion occurred inside the epoch
+
+
+def partial_fold(
+    tbl: pa.Table,
+    key: str,
+    lsn_col: str = LSN,
+    op_col: str = "op",
+    mask_col: str = SET_MASK,
+) -> pa.Table:
+    """Per-cell LWW fold of one epoch's events for merge_mode="partial".
+
+    Cassandra mutations carry only the MODIFIED cells (CellData.java:23-60;
+    RowData = ordered map of present cells, RowData.java:28-33), and a row
+    deletion shadows all older cells. The flat event layout encodes cell
+    presence as an int64 bitmask (``_set_mask``, bit j = payload column j in
+    table order; null/absent mask = all cells present, the full-row case).
+
+    Output: ONE patch row per key, key-sorted —
+      - payload column j = value of the latest live event that SET cell j
+        (live = op != 'd' and lsn > the key's last row-deletion lsn),
+        null if no live event set it;
+      - ``_set_mask`` = union of live set bits (bit j tells merge_partial
+        whether null means "set to null" or "not touched");
+      - ``_had_del`` = a deletion occurred (unset cells must NOT inherit
+        pre-delete lake values);
+      - ``op`` = 'd' when no live event remains (the key dies), else 'u';
+      - ``_lsn`` = max lsn over the key's live events (or the delete's lsn
+        for dead keys).
+
+    Fully vectorized: one sort + numpy last-write-wins scatters per column
+    (ascending fancy-index assignment keeps the highest-lsn row).
+    """
+    aux = {op_col, lsn_col, mask_col, "_p", HAD_DEL}
+    payload = [c for c in tbl.column_names if c not in aux]
+    if tbl.num_rows == 0:
+        out = {c: tbl[c] for c in payload}
+        out[op_col] = pa.array([], pa.string())
+        out[lsn_col] = pa.array([], pa.int64())
+        out[SET_MASK] = pa.array([], pa.int64())
+        out[HAD_DEL] = pa.array([], pa.bool_())
+        return pa.table(out)
+    if len(payload) > 62:
+        raise ValueError(
+            f"merge_mode='partial' supports at most 62 payload columns "
+            f"(int64 set-mask); got {len(payload)}"
+        )
+    idx = pc.sort_indices(
+        tbl.select([key, lsn_col]),
+        sort_keys=[(key, "ascending"), (lsn_col, "ascending")],
+    )
+    t = tbl.take(idx)
+    k = _as_array(t[key])
+    n = len(k)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    gid = np.cumsum(first) - 1
+    G = int(gid[-1]) + 1
+    lsn = t[lsn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_del = pc.equal(t[op_col], "d").to_numpy(zero_copy_only=False)
+    if mask_col in t.column_names:
+        mask = (
+            pc.fill_null(t[mask_col].combine_chunks(), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    else:
+        mask = np.full(n, -1, dtype=np.int64)  # all cells present
+
+    neg_inf = np.iinfo(np.int64).min
+    del_lsn = np.full(G, neg_inf, dtype=np.int64)
+    di = np.nonzero(is_del)[0]
+    del_lsn[gid[di]] = lsn[di]  # ascending writes → max delete lsn wins
+    live = (~is_del) & (lsn > del_lsn[gid])
+
+    key_first = np.nonzero(first)[0]
+    cols: Dict[str, pa.Array] = {}
+    out_mask = np.zeros(G, dtype=np.int64)
+    group_lsn = np.full(G, neg_inf, dtype=np.int64)
+    li = np.nonzero(live)[0]
+    group_lsn[gid[li]] = lsn[li]
+    alive = np.zeros(G, dtype=bool)
+    alive[gid[li]] = True
+    # dead keys report the deletion's lsn (it IS the last event applied)
+    group_lsn = np.where(alive, group_lsn, del_lsn)
+
+    pk_set = {key}
+    for j, name in enumerate(payload):
+        if name in pk_set:
+            cols[name] = _as_array(t[name]).take(pa.array(key_first))
+            out_mask |= np.int64(1) << np.int64(j)
+            continue
+        setj = live & (((mask >> np.int64(j)) & 1) == 1)
+        sj = np.nonzero(setj)[0]
+        last = np.full(G, -1, dtype=np.int64)
+        last[gid[sj]] = sj  # ascending → highest-lsn setter wins
+        has = last >= 0
+        src = _as_array(t[name])
+        vals = src.take(pa.array(np.maximum(last, 0)))
+        cols[name] = pc.if_else(pa.array(has), vals, pa.nulls(G, src.type))
+        out_mask |= has.astype(np.int64) << np.int64(j)
+    cols[op_col] = pa.array(np.where(alive, "u", "d"), type=pa.string())
+    cols[lsn_col] = pa.array(group_lsn)
+    cols[SET_MASK] = pa.array(out_mask)
+    cols[HAD_DEL] = pa.array(del_lsn != neg_inf)
+    return pa.table(cols)
+
+
+def merge_partial(
+    existing: Optional[pa.Table],
+    patches: pa.Table,
+    key: str,
+    lsn_col: str = LSN,
+    op_col: str = "op",
+) -> pa.Table:
+    """Apply partial_fold patches onto a lake run's rows (merge_mode=
+    "partial" counterpart of merge_lww). Per patched key and payload cell:
+    set bit → patch value; unset after an in-epoch deletion → null (the
+    lake value died with the row); unset otherwise → the lake value
+    carries. Dead keys drop (partial mode requires compacted tombstones).
+    Output = payload + ``_lsn``, key-sorted."""
+    payload = [
+        c for c in patches.column_names
+        if c not in (op_col, SET_MASK, HAD_DEL, lsn_col, "_p")
+    ]
+    live_p = patches.filter(pc.not_equal(patches[op_col], "d"))
+    dead_keys = patches.filter(pc.equal(patches[op_col], "d"))[key]
+    n = live_p.num_rows
+    mask = live_p[SET_MASK].to_numpy(zero_copy_only=False).astype(np.int64)
+    had_del = live_p[HAD_DEL].to_numpy(zero_copy_only=False).astype(bool)
+    if existing is not None and existing.num_rows:
+        pos = pc.index_in(live_p[key], value_set=_as_array(existing[key]))
+        pos_np = (
+            pc.fill_null(pos, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        matched = pos_np >= 0
+        gather = pa.array(np.maximum(pos_np, 0))
+    else:
+        matched = np.zeros(n, dtype=bool)
+        gather = None
+    cols: Dict[str, pa.Array] = {}
+    for j, name in enumerate(payload):
+        pv = _as_array(live_p[name])
+        if name == key:
+            cols[name] = pv
+            continue
+        setj = ((mask >> np.int64(j)) & 1) == 1
+        # inherit the lake value only where the cell wasn't set, no deletion
+        # occurred, and the key pre-existed
+        inherit = (~setj) & (~had_del) & matched
+        if gather is not None and inherit.any():
+            lake_vals = _as_array(existing[name]).take(gather)
+            cols[name] = pc.if_else(pa.array(inherit), lake_vals, pv)
+        else:
+            cols[name] = pv
+    cols[lsn_col] = live_p[lsn_col]
+    out = pa.table(cols)
+    if existing is not None and existing.num_rows:
+        touched = pc.is_in(
+            existing[key],
+            value_set=pa.concat_arrays(
+                [_as_array(live_p[key]), _as_array(dead_keys)]
+            ),
+        )
+        keep = existing.filter(pc.invert(touched)).select(out.column_names)
+        out = pa.concat_tables([keep, out], promote_options="permissive")
+    return out.sort_by([(key, "ascending")])
+
+
 DELETED = "_deleted"  # tombstone marker column (tombstones=False mode only)
 
 

@@ -69,6 +69,7 @@ class CdcEngine:
             self.cfg.partitioner = doc.get("partitioner", self.cfg.partitioner)
             self.cfg.tombstones = doc.get("tombstones", True)
             self.cfg.sink_mode = doc.get("sink_mode", "cow")
+            self.cfg.merge_mode = doc.get("merge_mode", "lww")
             self.cfg.key_cols = doc.get("key_cols")
             mf_stats = list(doc.get("stats_columns") or [])
             if not self.cfg.stats_columns:
@@ -106,6 +107,16 @@ class CdcEngine:
                 payload_schema = pa.schema(
                     [f for f in payload_schema if f.name not in drop]
                 )
+            if self.cfg.merge_mode == "partial" and (
+                not self.cfg.tombstones or self.cfg.sink_mode != "cow"
+            ):
+                # a retained tombstone / MoR delta row stores plain values
+                # and cannot represent "cell not touched" — per-cell merge
+                # needs the live base row to inherit from
+                raise ValueError(
+                    "merge_mode='partial' requires tombstones=True and "
+                    "sink_mode='cow'"
+                )
             self.manifest = Manifest.create(
                 lake_dir,
                 self.cfg.table,
@@ -118,6 +129,7 @@ class CdcEngine:
                 key_cols=list(self.cfg.key_cols) if self.cfg.key_cols else None,
                 mor_compact_deltas=self.cfg.mor_compact_deltas,
                 stats_columns=list(self.cfg.stats_columns),
+                merge_mode=self.cfg.merge_mode,
             )
 
         self._lock_fd: Optional[int] = None
@@ -499,6 +511,14 @@ class CdcEngine:
                 "(max watermark) is undefined across sources with unrelated "
                 "LSN domains — backfill each upstream shard independently"
             )
+        if self.cfg.merge_mode == "partial":
+            raise NotImplementedError(
+                "snapshot_incremental on a merge_mode='partial' lake: the "
+                "per-cell merge applies patches unconditionally (epoch rows "
+                "are guaranteed newer than the lake by the watermark), so a "
+                "read-repair chunk whose LSN trails a lake row would "
+                "clobber newer cells — run a full snapshot instead"
+            )
         state = dict(
             self.manifest.doc.get("inc_snapshot")
             or {"last_key": None, "complete": False}
@@ -755,6 +775,7 @@ class CdcEngine:
             field_blacklist=tuple(self.cfg.field_blacklist),
             table_include_regex=self.cfg.table_include_regex,
             default_at=self._default_at(),
+            emit_set_mask=self.cfg.merge_mode == "partial",
         )
 
     def _default_at(self) -> Dict[str, int]:
@@ -783,17 +804,21 @@ class CdcEngine:
         )
         # in-batch LWW partial reduce (the combiner / salting phase one):
         # bounds any hot key's shuffle fan-in to one row per input block, so
-        # Zipfian url popularity can't blow up a partition's group size
+        # Zipfian url popularity can't blow up a partition's group size.
+        # merge_mode="partial" skips both reduces: a full-row LWW combiner
+        # would drop the losing events' cells — every event must reach the
+        # per-cell fold in the applier
         key = self.cfg.key
         from debezium_incubator_ray.envelope import lww_reduce
 
-        flat = flat.map_batches(
-            lambda t: lww_reduce(t, key),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        if self.cfg.salt_buckets > 1:
-            flat = self._salted_prereduce(flat)
+        if self.cfg.merge_mode != "partial":
+            flat = flat.map_batches(
+                lambda t: lww_reduce(t, key),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            if self.cfg.salt_buckets > 1:
+                flat = self._salted_prereduce(flat)
         return self._apply_shuffle(flat, source=source)
 
     def _apply_aligned(

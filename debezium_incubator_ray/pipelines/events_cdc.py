@@ -139,6 +139,47 @@ def events_envelopes(
     return env
 
 
+PARTIAL_MASK_SQL = (
+    # per-event modified-cell bitmask over [user_id, ts, event_type, value,
+    # props]: full row (31) for inserts/snapshot reads, bits 1..4 taken from
+    # the event_id for updates, bit 0 (the key) always set
+    "CASE WHEN event_id % 10 IN (0, 1, 2) THEN 31 "
+    "ELSE (event_id & 30) | 1 END"
+)
+
+
+def events_partial_envelopes(sf_dir: str) -> pa.Table:
+    """events → envelopes carrying the ``set_mask`` cell-presence column
+    (merge_mode="partial"): updates modify only the cells whose bit the
+    event_id selects — the Cassandra mutation shape where RowData holds
+    only modified cells (RowData.java:28-33, CellData.java:23-60)."""
+    env = events_envelopes(sf_dir)
+    lsn = env["source"].combine_chunks().field("lsn").to_numpy()
+    mod = lsn % 10
+    mask = np.where(mod <= 2, 31, (lsn & 30) | 1).astype(np.int64)
+    return env.append_column("set_mask", pa.array(mask, pa.int64()))
+
+
+def final_state_partial(sf_dir: str) -> pa.Table:
+    """Drive a merge_mode='partial' lake over the masked envelope stream
+    and return the folded per-cell state (payload + lsn)."""
+    root = scratch_dir("partial")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    env = events_partial_envelopes(sf_dir)
+    lsn = env["source"].combine_chunks().field("lsn")
+    mid = int(pc.max(lsn).as_py()) // 2
+    # two epochs over one appending binlog dir: the second epoch's unset
+    # cells must inherit from the COMMITTED lake rows of the first
+    write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
+    eng = make_engine(lake, merge_mode="partial")
+    eng.run(binlog)
+    write_env_binlog(env.filter(pc.greater(lsn, mid)), binlog, append=True)
+    eng.run(binlog)
+    out = eng.lake_table(include_lsn=True)
+    i = out.schema.get_field_index(S.LSN)
+    return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+
 def write_events_binlog(
     sf_dir: str,
     out_dir: str,
@@ -169,6 +210,7 @@ def make_engine(
     sink_mode: str = "cow",
     key_cols=None,
     stats_columns=(),
+    merge_mode: str = "lww",
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
@@ -183,6 +225,7 @@ def make_engine(
         sink_mode=sink_mode,
         key_cols=key_cols,
         stats_columns=stats_columns,
+        merge_mode=merge_mode,
         # the events binlog is laid out by uid % P; a composite key routes
         # by hash(_key) so the aligned fast path's 1:1 assumption breaks —
         # force the exchange path (the engine would otherwise detect the

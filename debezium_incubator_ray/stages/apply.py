@@ -257,6 +257,10 @@ class PartitionApplier:
         # sink_mode="mor" (manifest-recorded): append delta runs instead of
         # rewriting base runs; readers merge, compact() folds
         self.sink_mode = manifest_doc.get("sink_mode", "cow")
+        # merge_mode="partial" (manifest-recorded): per-cell LWW — events
+        # carry a modified-cell bitmask and unset cells inherit the lake
+        # value (Cassandra CellData presence semantics, CellData.java:23-60)
+        self.merge_mode = manifest_doc.get("merge_mode", "lww")
         # watermark_filter=False: incremental-snapshot chunk mode — rows
         # carry a read-position LSN that may trail the stream watermark,
         # must still LWW-merge (chunk wins only over older lake rows), and
@@ -278,7 +282,13 @@ class PartitionApplier:
             lsn_max = wm  # never advance the watermark in chunk mode
             fresh = group
         fresh = fresh.drop_columns([S.PART])
-        events = lww_reduce(fresh, self.key)  # sorted by key asc
+        if self.merge_mode == "partial":
+            # per-cell fold: one patch per key (op/_set_mask/_had_del cols)
+            from debezium_incubator_ray.envelope import partial_fold
+
+            events = partial_fold(fresh, self.key)
+        else:
+            events = lww_reduce(fresh, self.key)  # sorted by key asc
 
         files = ent["files"]
         deltas = list(ent.get("deltas", []))
@@ -347,9 +357,14 @@ class PartitionApplier:
                     existing = upgrade_run_table(
                         existing, self.schema, self.defaults
                     )
-            merged = merge_lww(
-                existing, ev, self.key, keep_tombstones=self.keep_tombstones
-            )
+            if self.merge_mode == "partial":
+                from debezium_incubator_ray.envelope import merge_partial
+
+                merged = merge_partial(existing, ev, self.key)
+            else:
+                merged = merge_lww(
+                    existing, ev, self.key, keep_tombstones=self.keep_tombstones
+                )
             rows_total += merged.num_rows
             new_files.extend(self._write_run(p, merged))
 
@@ -565,8 +580,13 @@ class AlignedSegmentApplier:
                         "(set EngineConfig.aligned_binlog='never' to use the "
                         "exchange path for this source)"
                     )
-                # in-batch combiner (hot keys collapse before the merge)
-                rec = self.inner(lww_reduce(events, self.key))
+                if self.inner.merge_mode == "partial":
+                    # no LWW pre-reduce: it would drop cells of non-winning
+                    # events; the inner per-cell fold needs every event
+                    rec = self.inner(events)
+                else:
+                    # in-batch combiner (hot keys collapse before the merge)
+                    rec = self.inner(lww_reduce(events, self.key))
             meta = {
                 "delivered": pa.array([delivered], pa.int64()),
                 "quarantined_json": pa.array([json.dumps(quarantined)]),

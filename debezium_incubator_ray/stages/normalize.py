@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from debezium_incubator_ray import schema as S
-from debezium_incubator_ray.envelope import unpack_struct
+from debezium_incubator_ray.envelope import SET_MASK, unpack_struct
 from debezium_incubator_ray.hashing import partition_ids
 
 _VALID_OPS = pa.array(list(S.OPS), type=pa.string())
@@ -48,6 +48,7 @@ class NormalizeEnvelope:
         emit_before: bool = False,
         default_at: Optional[Dict[str, int]] = None,
         key_cols: Optional[Sequence[str]] = None,
+        emit_set_mask: bool = False,
     ):
         self.schema = S.schema_from_b64(schema_b64)
         self.key = key
@@ -68,6 +69,13 @@ class NormalizeEnvelope:
         self.blacklist = {f for f in field_blacklist if f not in protected}
         self.table_re = re.compile(table_include_regex) if table_include_regex else None
         self.emit_before = emit_before
+        # merge_mode="partial": carry the per-event modified-cell bitmask
+        # (envelope column ``set_mask``, bit j = WRITER payload field j —
+        # CellData presence, CellData.java:23-60) remapped to the CURRENT
+        # schema's emitted-column order as ``_set_mask``
+        self.emit_set_mask = emit_set_mask
+        if emit_set_mask and emit_before:
+            raise ValueError("emit_set_mask and emit_before are exclusive")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -152,6 +160,30 @@ class NormalizeEnvelope:
             cols[self.key] = composite_key_arrays(
                 [cols[kc] for kc in self.key_cols]
             )
+        if self.emit_set_mask:
+            # writer-relative cell mask → current-schema emitted-column bit
+            # order. -1 (all bits) covers full-row events AND envelopes with
+            # no mask column; a target column the writer never had is unset
+            # (pre-evolution writers can't have touched it).
+            if "set_mask" in batch.column_names:
+                src_mask = (
+                    pc.fill_null(batch["set_mask"].combine_chunks(), -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            else:
+                src_mask = np.full(n, -1, dtype=np.int64)
+            writer_idx = {f.name: i for i, f in enumerate(payload_env)}
+            out_mask = np.zeros(n, dtype=np.int64)
+            tj = 0
+            for name in cols:  # insertion order == emitted payload order
+                wj = writer_idx.get(name)
+                if name in (self.key_cols or [self.key]) or name == self.key:
+                    out_mask |= np.int64(1) << np.int64(tj)  # key cells: always present
+                elif wj is not None:
+                    out_mask |= ((src_mask >> np.int64(wj)) & 1) << np.int64(tj)
+                tj += 1
+            cols[SET_MASK] = pa.array(out_mask)
         if self.emit_before:
             bschema = self._env_schema({f.name for f in batch["before"].type})
             before_all = unpack_struct(batch["before"], bschema)
@@ -195,6 +227,8 @@ class NormalizeEnvelope:
         }
         if self.key_cols:
             cols[self.key] = pa.nulls(0, pa.string())
+        if self.emit_set_mask:
+            cols[SET_MASK] = pa.nulls(0, pa.int64())
         cols["op"] = pa.nulls(0, pa.string())
         cols[S.LSN] = pa.nulls(0, pa.int64())
         cols[S.PART] = pa.nulls(0, pa.int32())

@@ -54,6 +54,7 @@ class Manifest:
         key_cols=None,
         mor_compact_deltas=None,
         stats_columns=None,
+        merge_mode="lww",
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -80,6 +81,9 @@ class Manifest:
             # touched runs per epoch; "mor" appends delta runs, readers
             # merge, compact() folds
             "sink_mode": sink_mode,
+            # merge semantics (see EngineConfig.merge_mode): "lww" full-row,
+            # "partial" per-cell with set-mask envelopes
+            "merge_mode": merge_mode,
             # mor auto-compaction threshold: a table policy — restart must
             # keep folding, or delta backlog (read amplification) grows
             # unbounded on the resumed run
