@@ -3432,7 +3432,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
             "generate_subscripts(embedding, 1) - 1 AS i FROM embeddings), "
             "m AS (SELECT i, AVG(v) AS mu FROM e GROUP BY 1), "
-            "n AS (SELECT COUNT(*) AS n FROM embeddings) "
+            # COUNT(embedding), not COUNT(*): the engine excludes null
+            # embeddings from n (unnest already drops them from the sums)
+            "n AS (SELECT COUNT(embedding) AS n FROM embeddings) "
             "SELECT a.i AS i, b.i AS j, "
             "(SUM(a.v * b.v) - (SELECT n FROM n) * ma.mu * mb.mu) "
             "/ ((SELECT n FROM n) - 1) AS cov "
@@ -3441,10 +3443,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2, ma.mu, mb.mu"
         ),
         "text_bigram_topk": (
-            # same tokenizer as the other text oracles: whitespace split of
-            # trimmed lowercase text; '' yields no tokens
+            # same tokenizer as the engine's _flat_tokens: whitespace split
+            # of trimmed text, case-SENSITIVE; '' yields no tokens
             "WITH t AS (SELECT doc_id, "
-            "string_split_regex(trim(lower(text)), '\\s+') AS tk "
+            "string_split_regex(trim(text), '\\s+') AS tk "
             "FROM documents WHERE length(trim(text)) > 0), "
             "u AS (SELECT doc_id, unnest(tk) AS w, "
             "generate_subscripts(tk, 1) AS pos FROM t), "

@@ -20,13 +20,18 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_xtx(batch: pa.Table, col: str) -> pa.Table:
     """One partial per batch: n, column sums, and the upper triangle of
-    X'X (float64 accumulation regardless of storage dtype)."""
+    X'X (float64 accumulation regardless of storage dtype). Null
+    embeddings are excluded from n and the sums; a ragged batch (rows of
+    differing dimension) raises instead of silently misaligning the
+    reshape."""
     emb = batch[col].combine_chunks()
-    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if emb.null_count:
+        emb = emb.drop_null()
     n = len(emb)
     if n == 0:
         return pa.table(
@@ -36,7 +41,13 @@ def _batch_xtx(batch: pa.Table, col: str) -> pa.Table:
                 "gram": pa.array([], pa.large_list(pa.float64())),
             }
         )
-    d = len(flat) // n
+    lens = pc.unique(pc.list_value_length(emb))
+    if len(lens) != 1:
+        raise ValueError(
+            f"ragged embedding column: found lengths {lens.to_pylist()}"
+        )
+    d = lens[0].as_py()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     X = flat.reshape(n, d)
     g = X.T @ X
     iu = np.triu_indices(d)
@@ -126,7 +137,9 @@ def covariance_matrix(ds, col: str = "embedding") -> pa.Table:
 def top_eigvec(ds, col: str = "embedding", iters: int = 32) -> np.ndarray:
     """Principal direction by power iteration on the driver-folded d×d
     Gram (the heavy O(rows·d²) pass is distributed; the d×d eigenproblem
-    is trivially local). Deterministic start = e_0 basis vector."""
+    is trivially local). Deterministic all-ones start (an e_j start goes
+    NaN when G's j-th column is zero and stalls when e_j is orthogonal to
+    the dominant eigenvector)."""
     n, sums, gram = _fold_partials(ds, col)
     if sums is None:
         return np.empty(0)
@@ -135,9 +148,11 @@ def top_eigvec(ds, col: str = "embedding", iters: int = 32) -> np.ndarray:
     iu = np.triu_indices(d)
     G[iu] = gram
     G = G + G.T - np.diag(np.diag(G))
-    v = np.zeros(d)
-    v[0] = 1.0
+    v = np.full(d, 1.0 / np.sqrt(d))
     for _ in range(iters):
         v = G @ v
-        v = v / np.linalg.norm(v)
+        nv = np.linalg.norm(v)
+        if nv == 0.0:  # G annihilated v (zero matrix): no principal direction
+            return np.zeros(d)
+        v = v / nv
     return v

@@ -435,11 +435,15 @@ def retention_cohorts(
 
     Decomposition: batches pre-reduce to DISTINCT (user, week) pairs (the
     combiner — shuffle volume is active-user-weeks per block, never
-    events), ONE shuffle by user computes each user's cohort = min(week)
-    and re-emits its distinct (cohort, week) rows — one per user-week, so
-    the final multi-key groupby count IS the distinct-user count. Weeks
-    travel as ISO 'YYYY-MM-DD' strings (Monday-start, both Arrow and the
-    oracle's date_trunc('week')), which also makes MIN() the calendar min."""
+    events), ONE shuffle routes each user's pairs to a bounded HASH BUCKET
+    (not one Python group per user — the map_groups UDF runs once per
+    group, so groups must be O(buckets), the dedup.py bucketing pattern);
+    within a bucket the cohort = min(week) per user joins back via Arrow
+    kernels, emitting one (cohort, week) row per user-week, so the final
+    tiny multi-key groupby count IS the distinct-user count. Weeks travel
+    as ISO 'YYYY-MM-DD' strings (Monday-start, both Arrow and the oracle's
+    date_trunc('week')), which also makes MIN() the calendar min."""
+    from debezium_incubator_ray.hashing import partition_ids
 
     def pairs(t: pa.Table) -> pa.Table:
         wk = pc.strftime(
@@ -450,29 +454,25 @@ def retention_cohorts(
             format=week_fmt,
         )
         tb = pa.table({user_col: t[user_col].combine_chunks(), "week": wk})
-        return tb.group_by([user_col, "week"]).aggregate([])
-
-    def per_user(g: pa.Table) -> pa.Table:
-        d = g.group_by([user_col, "week"]).aggregate([])
-        cohort = d.group_by([user_col]).aggregate([("week", "min")])
-        cohort_of = dict(
-            zip(
-                cohort[user_col].to_pylist(),
-                cohort["week_min"].to_pylist(),
-            )
+        tb = tb.group_by([user_col, "week"]).aggregate([])
+        return tb.append_column(
+            "_b", pa.array(partition_ids(tb[user_col], 64, "hash"),
+                           pa.int32()),
         )
-        users = d[user_col].to_pylist()
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"]).group_by([user_col, "week"]).aggregate([])
+        cohort = d.group_by([user_col]).aggregate([("week", "min")])
+        pos = pc.index_in(d[user_col], value_set=cohort[user_col].combine_chunks())
         return pa.table({
-            "cohort_week": pa.array(
-                [cohort_of[u] for u in users], pa.string()
-            ),
+            "cohort_week": cohort["week_min"].take(pos),
             "week": d["week"],
         })
 
     cells = (
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["cohort_week", "week"])
         .count()
     )

@@ -174,6 +174,11 @@ class NormalizeEnvelope:
             else:
                 src_mask = np.full(n, -1, dtype=np.int64)
             writer_idx = {f.name: i for i, f in enumerate(payload_env)}
+            is_cr = (
+                pc.is_in(op, value_set=pa.array(["c", "r"], pa.string()))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             out_mask = np.zeros(n, dtype=np.int64)
             tj = 0
             for name in cols:  # insertion order == emitted payload order
@@ -182,6 +187,13 @@ class NormalizeEnvelope:
                     out_mask |= np.int64(1) << np.int64(tj)  # key cells: always present
                 elif wj is not None:
                     out_mask |= ((src_mask >> np.int64(wj)) & 1) << np.int64(tj)
+                elif self.defaults.get(name) is not None:
+                    # column absent from this writer but backfilled with the
+                    # table default above: a row-CREATING event defines the
+                    # whole row, so the default IS its cell value (same
+                    # outcome as the lww path); partial updates leave the
+                    # cell untouched (it inherits / stays null)
+                    out_mask |= is_cr << np.int64(tj)
                 tj += 1
             cols[SET_MASK] = pa.array(out_mask)
         if self.emit_before:

@@ -53,6 +53,69 @@ def test_top_eigvec_power_iteration(emb_ds):
     assert abs(abs(float(v @ ref)) - 1.0) < 1e-6
 
 
+def test_gram_null_and_ragged_embeddings():
+    from debezium_incubator_ray.functions.linalg import (
+        covariance_matrix, gram_matrix,
+    )
+
+    X = np.arange(12, dtype=np.float64).reshape(3, 4)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [list(X[0]), None, list(X[1]), list(X[2])],
+            pa.list_(pa.float32()),
+        ),
+    })
+    ds = ray.data.from_arrow(t)
+    out = gram_matrix(ds).to_pandas()
+    G = X.T @ X
+    for _, r in out.iterrows():
+        assert abs(r["gram"] - G[int(r["i"]), int(r["j"])]) < 1e-6
+    # covariance: n counts only the 3 non-null rows
+    C = np.cov(X, rowvar=False, ddof=1)
+    cov = covariance_matrix(ds).to_pandas()
+    for _, r in cov.iterrows():
+        assert abs(r["cov"] - C[int(r["i"]), int(r["j"])]) < 1e-6
+    ragged = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]],
+                              pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception, match="ragged"):
+        gram_matrix(ray.data.from_arrow(ragged))
+
+
+def test_top_eigvec_zero_first_coordinate():
+    from debezium_incubator_ray.functions.linalg import top_eigvec
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(50, 4))
+    X[:, 0] = 0.0  # dead dimension: e_0 start would go NaN
+    t = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array(list(X.astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+    v = top_eigvec(ray.data.from_arrow(t), iters=200)
+    assert not np.isnan(v).any()
+    G = X.T @ X
+    w, V = np.linalg.eigh(G)
+    assert abs(abs(float(v @ V[:, -1])) - 1.0) < 1e-6
+
+
+def test_bigram_topk_case_sensitive():
+    from debezium_incubator_ray.functions.text import bigram_topk
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["The cat the cat", "the cat"]),
+    })
+    out = bigram_topk(ray.data.from_arrow(t), k=10).to_pandas()
+    got = {(r.w1, r.w2): r.cnt for r in out.itertuples(index=False)}
+    # case-sensitive: 'The cat' and 'the cat' are distinct bigrams
+    assert got == {("the", "cat"): 2, ("The", "cat"): 1, ("cat", "the"): 1}
+
+
 def test_bigram_topk_counts():
     from debezium_incubator_ray.functions.text import bigram_topk
 

@@ -195,6 +195,41 @@ def test_engine_partial_matches_bruteforce(partial_lakes):
             assert got[uid][c] == exp[c], (uid, c)
 
 
+def test_normalize_mask_backfills_default_on_creates():
+    """A column ABSENT from the writer's envelope but backfilled with a
+    table default must count as SET for row-creating events (the create
+    defines the whole row — lww stores the default there too), and as
+    UNSET for partial updates (the old writer never touched it)."""
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.envelope import build_envelopes
+    from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+    target = pa.schema([
+        pa.field("k", pa.int64(), nullable=False),
+        pa.field("v", pa.int64()),
+        pa.field("status", pa.string()),  # added later; writer lacks it
+    ])
+    after = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array([10, 20], pa.int64()),
+    })
+    env = build_envelopes(
+        pa.array(["c", "u"], pa.string()), after, after,
+        np.zeros(2, dtype=np.int32), pa.array([5, 6], pa.int64()), "t",
+    )
+    norm = NormalizeEnvelope(
+        schema_b64=S.schema_to_b64(target), key="k", num_partitions=1,
+        partitioner="mod", defaults={"status": "active"},
+        emit_set_mask=True,
+    )
+    out = norm(env)
+    rows = {r["k"]: r for r in out.to_pylist()}
+    # bits: 0=k, 1=v, 2=status
+    assert rows[1]["op"] == "c" and rows[1][SET_MASK] == 7
+    assert rows[2]["op"] == "u" and rows[2][SET_MASK] == 3
+    assert rows[1]["status"] == "active"
+
+
 def test_partial_config_validation(ray_session, tmp_path):
     from debezium_incubator_ray.pipelines import events_cdc as EC
 
