@@ -2369,6 +2369,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return retention_cohorts(ev)
 
+    def join_top_revenue_orders(sf_dir):
+        """TPC-H-Q3-shaped 3-way pipeline: the customer dimension filtered
+        to one market segment broadcasts as a semi-join key set (nothing
+        fact-sized moves), orders x lineitem co-locate in ONE bucketed
+        shuffle whose in-bucket `post` finishes the per-order revenue agg
+        (buckets own whole orderkeys), then per-block top-k + driver merge
+        of #blocks x k candidates. Ties break (revenue desc, o_orderkey)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        k = 10
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        keys = cust.filter(
+            pc.equal(cust["c_mktsegment"], "BUILDING")
+        )["c_custkey"].combine_chunks()
+        key_ref = ray.put(keys)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["o_custkey"], value_set=ray.get(key_ref))
+            ).drop_columns(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+
+        def order_revenue(j: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                j["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), j["l_discount"]),
+            )
+            g = (
+                j.select(["o_orderkey", "o_orderdate"])
+                .append_column("revenue", rev)
+                .group_by(["o_orderkey", "o_orderdate"])
+                .aggregate([("revenue", "sum")])
+            )
+            return g.rename_columns(["o_orderkey", "o_orderdate", "revenue"])
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows <= k:
+                return t
+            order = pc.sort_indices(
+                t.append_column("_neg", pc.negate(t["revenue"])),
+                sort_keys=[("_neg", "ascending"), ("o_orderkey", "ascending")],
+            )
+            return t.take(order.slice(0, k))
+
+        per_order = shuffle_join(
+            orders, li, on="o_orderkey", right_on="l_orderkey",
+            post=order_revenue,
+        ).map_batches(local_topk, batch_format="pyarrow")
+        empty = pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "revenue": pa.array([], pa.float64()),
+        })
+        merged = pa.concat_tables(
+            [b for b in per_order.iter_batches(batch_format="pyarrow")]
+            or [empty],
+            promote_options="permissive",
+        )
+        return local_topk(merged)
+
+    def part_copurchase_topk(sf_dir):
+        """Top-20 part pairs co-occurring in the same order (basket
+        co-occurrence mining): distinct (order, part) → one bucketed
+        shuffle on hash(order) → vectorized in-bucket self-join + pair
+        pre-count → tiny global groupby-sum → per-block top-k merge."""
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        return copurchase_pairs(li, "l_orderkey", "l_partkey", k=20)
+
     def events_pivot_profile(sf_dir):
         """Per-user activity profile: event_type pivoted to count columns
         (feature-store shape). Per-batch Arrow group-count pivots wide
@@ -2488,6 +2579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_topk": text_bigram_topk,
         "events_retention_cohorts": events_retention_cohorts,
         "events_pivot_profile": events_pivot_profile,
+        "join_top_revenue_orders": join_top_revenue_orders,
+        "part_copurchase_topk": part_copurchase_topk,
     }
 
 
@@ -3454,6 +3547,25 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
             "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "join_top_revenue_orders": (
+            "SELECT o_orderkey, o_orderdate, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+            "FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "part_copurchase_topk": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "p AS (SELECT a.l_partkey AS l_partkey_a, b.l_partkey AS "
+            "l_partkey_b FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "g AS (SELECT l_partkey_a, l_partkey_b, COUNT(*) AS cnt "
+            "FROM p GROUP BY 1, 2) "
+            "SELECT l_partkey_a, l_partkey_b, cnt FROM g "
+            "ORDER BY cnt DESC, l_partkey_a, l_partkey_b LIMIT 20"
         ),
         "events_retention_cohorts": (
             # ISO Monday weeks both sides (Arrow floor_temporal

@@ -369,3 +369,81 @@ def shuffle_join(
     return both.groupby("_jbucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def copurchase_pairs(ds, group_col: str, item_col: str, k: int = 20):
+    """Top-k item co-occurrence pairs: count, over all groups (orders,
+    baskets, sessions), the unordered pairs of DISTINCT items appearing in
+    the same group — the counting primitive behind co-purchase mining and
+    PMI/co-occurrence embedding corpora.
+
+    Shape at 100 TB: per batch, dedupe to distinct (group, item) and
+    pre-count nothing (pairs need the WHOLE group co-located); ONE bucketed
+    shuffle on hash(group) co-locates each group, the bucket self-joins
+    with Arrow's hash-join kernel (vectorized — never a Python loop over
+    groups), keeps item_a < item_b, and pre-reduces to the bucket's pair
+    counts. A tiny multi-key groupby sums buckets, each output block keeps
+    its local top-k, and the driver merges #blocks x k candidate rows.
+    Ties at the k boundary break (count desc, item_a, item_b) — mirrored
+    by the oracle SQL."""
+    a_col, b_col = f"{item_col}_a", f"{item_col}_b"
+
+    def distinct_bucketed(t: pa.Table) -> pa.Table:
+        d = (
+            t.select([group_col, item_col])
+            .group_by([group_col, item_col])
+            .aggregate([])
+        )
+        return _bucketed(d, group_col, 64)
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        d = (
+            t.drop_columns(["_bucket"])
+            .group_by([group_col, item_col])
+            .aggregate([])
+        )
+        rhs = pa.table({group_col: d[group_col], b_col: d[item_col]})
+        lhs = pa.table({group_col: d[group_col], a_col: d[item_col]})
+        j = lhs.join(rhs, keys=[group_col], join_type="inner")
+        j = j.filter(pc.less(j[a_col], j[b_col]))
+        g = j.group_by([a_col, b_col]).aggregate([([], "count_all")])
+        return pa.table({
+            a_col: g[a_col],
+            b_col: g[b_col],
+            "cnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.select([a_col, b_col, "cnt"])
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(
+            t.append_column("_neg", pc.negate(t["cnt"])),
+            sort_keys=[("_neg", "ascending"), (a_col, "ascending"),
+                       (b_col, "ascending")],
+        )
+        return t.take(order.slice(0, k))
+
+    cand = (
+        ds.map_batches(
+            distinct_bucketed, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby([a_col, b_col])
+        .sum("cnt")
+        .map_batches(
+            lambda t: local_topk(t.rename_columns([a_col, b_col, "cnt"])),
+            batch_format="pyarrow",
+        )
+    )
+    empty = pa.table({
+        a_col: pa.array([], pa.int64()),
+        b_col: pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    })
+    merged = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow")] or [empty],
+        promote_options="permissive",
+    )
+    return local_topk(merged)

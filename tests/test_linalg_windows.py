@@ -132,6 +132,29 @@ def test_bigram_topk_counts():
         ("a", "b", 3), ("b", "c", 3), ("b", "a", 1)]
 
 
+def test_copurchase_pairs_counts():
+    from debezium_incubator_ray.functions.joins import copurchase_pairs
+
+    # orders: {1,2,3}, {1,2}, {2,3}, {4}; duplicate item in a group counts once
+    g = [10, 10, 10, 11, 11, 12, 12, 13, 10]
+    it = [1, 2, 3, 1, 2, 2, 3, 4, 2]
+    t = pa.table({
+        "okey": pa.array(g, pa.int64()),
+        "item": pa.array(it, pa.int64()),
+    })
+    out = copurchase_pairs(
+        ray.data.from_arrow(t).repartition(3), "okey", "item", k=10
+    ).to_pandas()
+    got = {(r.item_a, r.item_b): r.cnt for r in out.itertuples(index=False)}
+    assert got == {(1, 2): 2, (2, 3): 2, (1, 3): 1}
+    # k cuts with (cnt desc, a, b) tie-break
+    top = copurchase_pairs(
+        ray.data.from_arrow(t), "okey", "item", k=2
+    ).to_pandas()
+    assert [(r.item_a, r.item_b) for r in top.itertuples(index=False)] == [
+        (1, 2), (2, 3)]
+
+
 def test_retention_cohorts_pandas_oracle():
     from debezium_incubator_ray.functions.windows import retention_cohorts
 
