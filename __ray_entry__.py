@@ -93,6 +93,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         Driven as two epochs so inheritance crosses a commit boundary."""
         return EC.final_state_partial(sf_dir)
 
+    def cdc_partial_blacklist(sf_dir):
+        """Per-cell merge UNDER a field blacklist: the blacklisted column
+        never reaches the lake and the cell bitmask re-indexes over the
+        remaining emitted columns — bit order must follow the shaped
+        schema, not the writer's."""
+        return EC.final_state_partial(sf_dir, field_blacklist=("props",))
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -2478,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
+        "cdc_partial_blacklist": cdc_partial_blacklist,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -2760,6 +2768,25 @@ def oracle_sql() -> dict[str, str]:
             "AS value, "
             "arg_max({'v': props}, lsn) FILTER (((mask >> 4) & 1) = 1)['v'] "
             "AS props, "
+            "MAX(lsn) AS lsn FROM live GROUP BY user_id"
+        ),
+        "cdc_partial_blacklist": (
+            # the partial-updates oracle minus the blacklisted props column;
+            # the mask bits tested are the WRITER's (1=ts, 2=event_type,
+            # 3=value) — the engine re-indexes them over the shaped schema
+            f"WITH env AS ({_ENV}), m AS (SELECT env.*, "
+            "CASE WHEN lsn % 10 IN (0, 1, 2) THEN 31 "
+            "ELSE (lsn & 30) | 1 END AS mask FROM env), "
+            "dl AS (SELECT user_id, COALESCE(MAX(lsn) FILTER (op = 'd'), -1) "
+            "AS ld FROM m GROUP BY 1), "
+            "live AS (SELECT m.* FROM m JOIN dl USING (user_id) "
+            "WHERE m.op <> 'd' AND m.lsn > dl.ld) "
+            "SELECT user_id, "
+            "arg_max({'v': ts}, lsn) FILTER (((mask >> 1) & 1) = 1)['v'] AS ts, "
+            "arg_max({'v': event_type}, lsn) FILTER (((mask >> 2) & 1) = 1)['v'] "
+            "AS event_type, "
+            "arg_max({'v': value}, lsn) FILTER (((mask >> 3) & 1) = 1)['v'] "
+            "AS value, "
             "MAX(lsn) AS lsn FROM live GROUP BY user_id"
         ),
         "cdc_compaction": _LWW

@@ -160,7 +160,7 @@ def events_partial_envelopes(sf_dir: str) -> pa.Table:
     return env.append_column("set_mask", pa.array(mask, pa.int64()))
 
 
-def final_state_partial(sf_dir: str) -> pa.Table:
+def final_state_partial(sf_dir: str, field_blacklist=()) -> pa.Table:
     """Drive a merge_mode='partial' lake over the masked envelope stream
     and return the folded per-cell state (payload + lsn)."""
     root = scratch_dir("partial")
@@ -171,7 +171,9 @@ def final_state_partial(sf_dir: str) -> pa.Table:
     # two epochs over one appending binlog dir: the second epoch's unset
     # cells must inherit from the COMMITTED lake rows of the first
     write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
-    eng = make_engine(lake, merge_mode="partial")
+    eng = make_engine(
+        lake, merge_mode="partial", field_blacklist=field_blacklist
+    )
     eng.run(binlog)
     write_env_binlog(env.filter(pc.greater(lsn, mid)), binlog, append=True)
     eng.run(binlog)
