@@ -100,6 +100,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         schema, not the writer's."""
         return EC.final_state_partial(sf_dir, field_blacklist=("props",))
 
+    def cdc_partial_evolution(sf_dir):
+        """Per-cell merge across an add_column evolution: v1 lake runs are
+        lazily backfilled with the default, v2 writers carry the new cell
+        under a 6th mask bit, and unset cells inherit the upgraded
+        default."""
+        return EC.final_state_partial_evolution(sf_dir)
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -2486,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
         "cdc_partial_blacklist": cdc_partial_blacklist,
+        "cdc_partial_evolution": cdc_partial_evolution,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -2787,6 +2795,37 @@ def oracle_sql() -> dict[str, str]:
             "AS event_type, "
             "arg_max({'v': value}, lsn) FILTER (((mask >> 3) & 1) = 1)['v'] "
             "AS value, "
+            "MAX(lsn) AS lsn FROM live GROUP BY user_id"
+        ),
+        "cdc_partial_evolution": (
+            # the partial-updates oracle + the evolved score column:
+            # a v2 event (lsn > mid) sets score=value*2 when created ('c')
+            # or when mask bit 5 fires on an update; a key whose row
+            # survives on v1 events alone carries the backfilled default
+            # 1.5; a key re-created after a deletion with no score setter
+            # is NULL. mid = max(event_id)//2, the epoch/DDL boundary.
+            f"WITH env AS ({_ENV}), "
+            "mid AS (SELECT MAX(event_id) // 2 AS m FROM events), "
+            "m AS (SELECT env.*, "
+            "CASE WHEN lsn % 10 IN (0, 1, 2) THEN 31 "
+            "ELSE (lsn & 30) | 1 END AS mask, "
+            "(lsn > (SELECT m FROM mid) AND (op = 'c' OR ((lsn >> 5) & 1) = 1)) "
+            "AS score_set FROM env), "
+            "dl AS (SELECT user_id, COALESCE(MAX(lsn) FILTER (op = 'd'), -1) "
+            "AS ld FROM m GROUP BY 1), "
+            "live AS (SELECT m.* FROM m JOIN dl USING (user_id) "
+            "WHERE m.op <> 'd' AND m.lsn > dl.ld) "
+            "SELECT user_id, "
+            "arg_max({'v': ts}, lsn) FILTER (((mask >> 1) & 1) = 1)['v'] AS ts, "
+            "arg_max({'v': event_type}, lsn) FILTER (((mask >> 2) & 1) = 1)['v'] "
+            "AS event_type, "
+            "arg_max({'v': value}, lsn) FILTER (((mask >> 3) & 1) = 1)['v'] "
+            "AS value, "
+            "arg_max({'v': props}, lsn) FILTER (((mask >> 4) & 1) = 1)['v'] "
+            "AS props, "
+            "COALESCE(arg_max({'v': value * 2}, lsn) FILTER (score_set)['v'], "
+            "CASE WHEN COUNT(*) FILTER (lsn <= (SELECT m FROM mid)) > 0 "
+            "THEN 1.5 END) AS score, "
             "MAX(lsn) AS lsn FROM live GROUP BY user_id"
         ),
         "cdc_compaction": _LWW

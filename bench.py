@@ -228,6 +228,10 @@ def main() -> None:
         "cdc_scd2_history", "events_running_total", "events_anomaly",
         "text_unigram_logprob", "text_inverted_index", "docs_chunking",
         "sample_split_assign",
+        "cdc_partial_updates", "cdc_partial_blacklist", "embedding_gram",
+        "embedding_covariance", "text_bigram_topk",
+        "events_retention_cohorts", "events_pivot_profile",
+        "join_top_revenue_orders", "part_copurchase_topk",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -182,6 +182,78 @@ def final_state_partial(sf_dir: str, field_blacklist=()) -> pa.Table:
     return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
 
+def _append_struct_field(col, name: str, child: pa.Array) -> pa.StructArray:
+    """Append one child to a struct column, keeping parent validity (null
+    parents get a null child so flattening never resurrects values)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    children = [arr.field(i) for i in range(arr.type.num_fields)]
+    fields = [arr.type.field(i) for i in range(arr.type.num_fields)]
+    valid = pc.is_valid(arr)
+    child = pc.if_else(valid, child, pa.nulls(len(arr), child.type))
+    return pa.StructArray.from_arrays(
+        children + [child],
+        fields=fields + [pa.field(name, child.type)],
+        mask=pc.invert(valid),
+    )
+
+
+def final_state_partial_evolution(sf_dir: str) -> pa.Table:
+    """Per-cell merge ACROSS a schema evolution: epoch 1 applies v1
+    envelopes (no ``score`` column), the structured add_column DDL lands
+    (default 1.5, activation at the epoch boundary), then epoch 2 applies
+    v2 envelopes whose writer payload gains ``score = value * 2`` with a
+    6th mask bit ((lsn >> 5) & 1 on updates, set on creates). Exercises:
+    lazy default backfill of v1 lake runs, writer-relative → emitted-order
+    mask remap across versions, and per-cell inheritance of the upgraded
+    default."""
+    import json
+
+    from debezium_incubator_ray import schema as SS
+
+    root = scratch_dir("partialevo")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    env = events_partial_envelopes(sf_dir)
+    lsn = env["source"].combine_chunks().field("lsn")
+    mid = int(pc.max(lsn).as_py()) // 2
+    write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
+    eng = make_engine(lake, merge_mode="partial")
+    eng.run(binlog)
+
+    with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:
+        json.dump(
+            [SS.SchemaChange(
+                "add_column", "score", "double", 1.5, at_lsn=mid
+            ).to_json()],
+            f,
+        )
+    v2 = env.filter(pc.greater(lsn, mid))
+    lsn2 = v2["source"].combine_chunks().field("lsn").to_numpy()
+    op2 = v2["op"].combine_chunks()
+    for col in ("after", "before"):
+        a = v2[col].combine_chunks()
+        score = pc.multiply(
+            pc.cast(a.field("value"), pa.float64()), pa.scalar(2.0)
+        )
+        new = _append_struct_field(a, "score", score)
+        v2 = v2.set_column(
+            v2.schema.get_field_index(col), pa.field(col, new.type), new
+        )
+    bit5 = np.where(
+        op2.to_numpy(zero_copy_only=False) == "u", (lsn2 >> 5) & 1, 1
+    ).astype(np.int64)
+    old_mask = v2["set_mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v2 = v2.set_column(
+        v2.schema.get_field_index("set_mask"),
+        pa.field("set_mask", pa.int64()),
+        pa.array(old_mask | (bit5 << 5)),
+    )
+    write_env_binlog(v2, binlog, append=True)
+    eng.run(binlog)
+    out = eng.lake_table(include_lsn=True)
+    i = out.schema.get_field_index(S.LSN)
+    return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+
 def write_events_binlog(
     sf_dir: str,
     out_dir: str,
