@@ -107,6 +107,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         default."""
         return EC.final_state_partial_evolution(sf_dir)
 
+    def cdc_partial_mor(sf_dir):
+        """Per-cell merge with a merge-on-read sink: epochs append PATCH
+        delta runs (payload + cell masks) and the read path folds them in
+        version order — the SSTable cell-merge model (a Cassandra read
+        reconciling cells across SSTables)."""
+        return EC.final_state_partial(sf_dir, sink_mode="mor")
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -2494,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_partial_updates": cdc_partial_updates,
         "cdc_partial_blacklist": cdc_partial_blacklist,
         "cdc_partial_evolution": cdc_partial_evolution,
+        "cdc_partial_mor": cdc_partial_mor,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -2742,7 +2750,7 @@ def _lang_id_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     lww_cols = "user_id, ts, event_type, value, props, lsn"
-    return {
+    out = {
         "cdc_fan_in": _LWW
         + "SELECT user_id, event_type, value FROM ranked "
         "WHERE rn = 1 AND op <> 'd'",
@@ -3654,3 +3662,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"
         ),
     }
+    # the MoR patch-delta drive folds to the same per-cell state as CoW
+    out["cdc_partial_mor"] = out["cdc_partial_updates"]
+    return out

@@ -107,15 +107,15 @@ class CdcEngine:
                 payload_schema = pa.schema(
                     [f for f in payload_schema if f.name not in drop]
                 )
-            if self.cfg.merge_mode == "partial" and (
-                not self.cfg.tombstones or self.cfg.sink_mode != "cow"
-            ):
-                # a retained tombstone / MoR delta row stores plain values
-                # and cannot represent "cell not touched" — per-cell merge
-                # needs the live base row to inherit from
+            if self.cfg.merge_mode == "partial" and not self.cfg.tombstones:
+                # a retained tombstone row stores plain values and cannot
+                # represent "cell not touched" — per-cell merge needs
+                # compacted deletes. (sink_mode="mor" IS supported: delta
+                # runs store the patch rows with their cell masks and the
+                # read path folds them in version order — the SSTable
+                # cell-merge model.)
                 raise ValueError(
-                    "merge_mode='partial' requires tombstones=True and "
-                    "sink_mode='cow'"
+                    "merge_mode='partial' requires tombstones=True"
                 )
             self.manifest = Manifest.create(
                 lake_dir,

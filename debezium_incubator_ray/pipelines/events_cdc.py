@@ -160,9 +160,13 @@ def events_partial_envelopes(sf_dir: str) -> pa.Table:
     return env.append_column("set_mask", pa.array(mask, pa.int64()))
 
 
-def final_state_partial(sf_dir: str, field_blacklist=()) -> pa.Table:
+def final_state_partial(
+    sf_dir: str, field_blacklist=(), sink_mode: str = "cow",
+) -> pa.Table:
     """Drive a merge_mode='partial' lake over the masked envelope stream
-    and return the folded per-cell state (payload + lsn)."""
+    and return the folded per-cell state (payload + lsn). With
+    sink_mode='mor' the epochs append patch delta runs and the read path
+    folds them in version order (the SSTable cell-merge model)."""
     root = scratch_dir("partial")
     binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
     env = events_partial_envelopes(sf_dir)
@@ -172,7 +176,8 @@ def final_state_partial(sf_dir: str, field_blacklist=()) -> pa.Table:
     # cells must inherit from the COMMITTED lake rows of the first
     write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
     eng = make_engine(
-        lake, merge_mode="partial", field_blacklist=field_blacklist
+        lake, merge_mode="partial", field_blacklist=field_blacklist,
+        sink_mode=sink_mode,
     )
     eng.run(binlog)
     write_env_binlog(env.filter(pc.greater(lsn, mid)), binlog, append=True)
@@ -197,7 +202,9 @@ def _append_struct_field(col, name: str, child: pa.Array) -> pa.StructArray:
     )
 
 
-def final_state_partial_evolution(sf_dir: str) -> pa.Table:
+def final_state_partial_evolution(
+    sf_dir: str, sink_mode: str = "cow",
+) -> pa.Table:
     """Per-cell merge ACROSS a schema evolution: epoch 1 applies v1
     envelopes (no ``score`` column), the structured add_column DDL lands
     (default 1.5, activation at the epoch boundary), then epoch 2 applies
@@ -215,8 +222,17 @@ def final_state_partial_evolution(sf_dir: str) -> pa.Table:
     env = events_partial_envelopes(sf_dir)
     lsn = env["source"].combine_chunks().field("lsn")
     mid = int(pc.max(lsn).as_py()) // 2
-    write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
-    eng = make_engine(lake, merge_mode="partial")
+    # v1 arrives as TWO epochs so a MoR drive holds v1 data in BOTH base
+    # runs (epoch 1) and v1-masked patch deltas (epoch 2) — the deltas
+    # must mask-remap when read under the evolved schema
+    q1 = mid // 2
+    write_env_binlog(env.filter(pc.less_equal(lsn, q1)), binlog)
+    eng = make_engine(lake, merge_mode="partial", sink_mode=sink_mode)
+    eng.run(binlog)
+    write_env_binlog(
+        env.filter(pc.and_(pc.greater(lsn, q1), pc.less_equal(lsn, mid))),
+        binlog, append=True,
+    )
     eng.run(binlog)
 
     with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:

@@ -124,12 +124,17 @@ def upgrade_run_table(
     version: realign the payload columns to ``schema`` (default backfill /
     widening) while carrying the internal ``_lsn`` (and, in
     tombstone-retention mode, ``_deleted``; for composite-PK tables,
-    ``_key``) columns through."""
-    from debezium_incubator_ray.envelope import COMPOSITE_KEY, DELETED
+    ``_key``; for partial-cell delta runs, ``_set_mask``/``_had_del``)
+    columns through. Partial-cell masks are REMAPPED from the run's stored
+    payload bit order to the upgraded order (schema evolution reorders /
+    extends the payload; a stale bit index would mark the wrong cell)."""
+    from debezium_incubator_ray.envelope import (
+        COMPOSITE_KEY, DELETED, HAD_DEL, SET_MASK,
+    )
 
     # side-column order mirrors the written run layout
-    # (payload, _key, _lsn, _deleted) so upgraded and current-version runs
-    # concat without schema reordering
+    # (payload, _key, _lsn, _deleted, _set_mask, _had_del) so upgraded and
+    # current-version runs concat without schema reordering
     side: Dict[str, Any] = {}
     drop = []
     if COMPOSITE_KEY in tbl.column_names:
@@ -137,10 +142,30 @@ def upgrade_run_table(
         drop.append(COMPOSITE_KEY)
     side[S.LSN] = tbl[S.LSN]
     drop.append(S.LSN)
-    if DELETED in tbl.column_names:
-        side[DELETED] = tbl[DELETED]
-        drop.append(DELETED)
+    for extra in (DELETED, SET_MASK, HAD_DEL):
+        if extra in tbl.column_names:
+            side[extra] = tbl[extra]
+            drop.append(extra)
     out = upgrade_table(tbl.drop_columns(drop), schema, defaults)
+    if SET_MASK in side:
+        aux = {COMPOSITE_KEY, S.LSN, DELETED, SET_MASK, HAD_DEL}
+        old_payload = [c for c in tbl.column_names if c not in aux]
+        new_payload = [c for c in out.column_names if c not in aux]
+        if old_payload != new_payload:
+            mask = (
+                pc.fill_null(side[SET_MASK].combine_chunks()
+                             if isinstance(side[SET_MASK], pa.ChunkedArray)
+                             else side[SET_MASK], -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            pos = {c: j for j, c in enumerate(old_payload)}
+            remapped = np.zeros_like(mask)
+            for nj, name in enumerate(new_payload):
+                oj = pos.get(name)
+                if oj is not None:
+                    remapped |= ((mask >> np.int64(oj)) & 1) << np.int64(nj)
+            side[SET_MASK] = pa.array(remapped)
     for name, col in side.items():
         out = out.append_column(name, col)
     return out
@@ -174,6 +199,7 @@ def read_partition_state(
             + ([key] if schema.get_field_index(key) >= 0 else [])
             + [S.LSN, DELETED, COMPOSITE_KEY]
         ))
+        from debezium_incubator_ray.envelope import SET_MASK as _SM
         # the merge target keeps only requested payload + the key
         schema = pa.schema(
             [f for f in schema if f.name in set(columns) | {key}]
@@ -188,7 +214,14 @@ def read_partition_state(
                 # handle — object-store metadata round trips are the cost)
                 pf = pq.ParquetFile(path)
                 avail = set(pf.schema_arrow.names)
-                t = pf.read(columns=[c for c in want if c in avail])
+                if _SM in avail:
+                    # partial-cell delta run: mask bits index the FULL
+                    # stored payload order — a pruned read would remap
+                    # against the wrong layout. Deltas are epoch-sized;
+                    # read whole.
+                    t = pf.read()
+                else:
+                    t = pf.read(columns=[c for c in want if c in avail])
             else:
                 t = pq.read_table(path)
             if f.get("schema_version", 1) != schema_version or columns is not None:
@@ -210,6 +243,27 @@ def read_partition_state(
         # casts are no-ops for current-version files, so this is metadata-
         # only — but it guarantees every caller sees one exact schema
         return upgrade_run_table(base, schema, defaults)
+    from debezium_incubator_ray.envelope import SET_MASK, merge_partial
+
+    if any(SET_MASK in d.column_names for d in delta_tbls):
+        # partial-cell delta runs (merge_mode="partial" + sink_mode="mor"):
+        # the SSTable read model — fold each delta's patches onto the state
+        # IN VERSION (list) ORDER with the same per-cell merge the CoW path
+        # uses; partial_fold's law (fold(all) == sequential epoch folds,
+        # tests/test_partial.py) makes this byte-equal to CoW.
+        state = (
+            upgrade_run_table(base, schema, defaults)
+            if base is not None else None
+        )
+        for d in delta_tbls:  # load() upgraded + remapped masks already
+            op = pc.if_else(
+                pc.fill_null(d[DELETED].combine_chunks(), False),
+                pa.scalar("d"), pa.scalar("u"),
+            )
+            patches = d.drop_columns([DELETED]).append_column("op", op)
+            state = merge_partial(state, patches, key)
+        return upgrade_run_table(state, schema, defaults)
+
     d = pa.concat_tables(delta_tbls)
     # delta _deleted markers re-enter the reduce as deletes; merge_lww
     # compacts (or retains, per table tombstone semantics)
