@@ -2440,7 +2440,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .group_by(["o_orderkey", "o_orderdate"])
                 .aggregate([("revenue", "sum")])
             )
-            return g.rename_columns(["o_orderkey", "o_orderdate", "revenue"])
+            # select by NAME: pyarrow's group_by output column order is a
+            # version-specific convention, not a contract
+            return pa.table({
+                "o_orderkey": g["o_orderkey"],
+                "o_orderdate": g["o_orderdate"],
+                "revenue": g["revenue_sum"],
+            })
 
         def local_topk(t: pa.Table) -> pa.Table:
             if t.num_rows <= k:

@@ -311,6 +311,7 @@ def merge_partial(
     key: str,
     lsn_col: str = LSN,
     op_col: str = "op",
+    sort_output: bool = True,
 ) -> pa.Table:
     """Apply partial_fold patches onto a lake run's rows (merge_mode=
     "partial" counterpart of merge_lww). Per patched key and payload cell:
@@ -363,7 +364,9 @@ def merge_partial(
         )
         keep = existing.filter(pc.invert(touched)).select(out.column_names)
         out = pa.concat_tables([keep, out], promote_options="permissive")
-    return out.sort_by([(key, "ascending")])
+    # neither input needs to be sorted (keys match via index_in), so a
+    # multi-delta read fold sorts ONCE at the end, not per epoch
+    return out.sort_by([(key, "ascending")]) if sort_output else out
 
 
 DELETED = "_deleted"  # tombstone marker column (tombstones=False mode only)

@@ -391,12 +391,16 @@ def copurchase_pairs(ds, group_col: str, item_col: str, k: int = 20):
     a_col, b_col = f"{item_col}_a", f"{item_col}_b"
 
     def distinct_bucketed(t: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.hashing import stable_hash
+
         d = (
             t.select([group_col, item_col])
             .group_by([group_col, item_col])
             .aggregate([])
         )
-        return _bucketed(d, group_col, 64)
+        # stable_hash, not a raw int cast: group ids may be strings/UUIDs
+        b = (stable_hash(d[group_col]) % np.uint64(64)).astype(np.int32)
+        return d.append_column("_bucket", pa.array(b))
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         d = (

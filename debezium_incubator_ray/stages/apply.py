@@ -118,7 +118,8 @@ def tx_cutoff(
 
 
 def upgrade_run_table(
-    tbl: pa.Table, schema: pa.Schema, defaults: Dict[str, Any]
+    tbl: pa.Table, schema: pa.Schema, defaults: Dict[str, Any],
+    mask_payload_order: Optional[List[str]] = None,
 ) -> pa.Table:
     """Lazy schema upgrade of a lake run written under an older schema
     version: realign the payload columns to ``schema`` (default backfill /
@@ -149,7 +150,14 @@ def upgrade_run_table(
     out = upgrade_table(tbl.drop_columns(drop), schema, defaults)
     if SET_MASK in side:
         aux = {COMPOSITE_KEY, S.LSN, DELETED, SET_MASK, HAD_DEL}
-        old_payload = [c for c in tbl.column_names if c not in aux]
+        # bit positions index the run's FULL stored payload order; a
+        # column-pruned caller passes that order explicitly
+        # (mask_payload_order) since tbl then holds only a subset
+        old_payload = (
+            list(mask_payload_order)
+            if mask_payload_order is not None
+            else [c for c in tbl.column_names if c not in aux]
+        )
         new_payload = [c for c in out.column_names if c not in aux]
         if old_payload != new_payload:
             mask = (
@@ -206,26 +214,37 @@ def read_partition_state(
         )
 
     def load(files: List[Dict]) -> List[pa.Table]:
+        from debezium_incubator_ray.envelope import HAD_DEL
+
         out = []
         for f in files:  # base files kept sorted by min_key
             path = os.path.join(lake_dir, f["path"])
+            mask_order = None
             if columns is not None:
                 # ONE footer read per file (schema + data through the same
                 # handle — object-store metadata round trips are the cost)
                 pf = pq.ParquetFile(path)
                 avail = set(pf.schema_arrow.names)
+                w = list(want)
                 if _SM in avail:
-                    # partial-cell delta run: mask bits index the FULL
-                    # stored payload order — a pruned read would remap
-                    # against the wrong layout. Deltas are epoch-sized;
-                    # read whole.
-                    t = pf.read()
-                else:
-                    t = pf.read(columns=[c for c in want if c in avail])
+                    # partial-cell delta run: the merge needs the mask
+                    # sidecars, and the remap needs the FULL stored payload
+                    # order — which the footer already gives us, so the
+                    # read itself stays pruned
+                    w += [_SM, HAD_DEL]
+                    aux = {
+                        COMPOSITE_KEY, S.LSN, DELETED, _SM, HAD_DEL,
+                    }
+                    mask_order = [
+                        c for c in pf.schema_arrow.names if c not in aux
+                    ]
+                t = pf.read(columns=[c for c in dict.fromkeys(w) if c in avail])
             else:
                 t = pq.read_table(path)
             if f.get("schema_version", 1) != schema_version or columns is not None:
-                t = upgrade_run_table(t, schema, defaults)
+                t = upgrade_run_table(
+                    t, schema, defaults, mask_payload_order=mask_order
+                )
             out.append(t)
         return out
 
@@ -255,13 +274,16 @@ def read_partition_state(
             upgrade_run_table(base, schema, defaults)
             if base is not None else None
         )
-        for d in delta_tbls:  # load() upgraded + remapped masks already
+        for i, d in enumerate(delta_tbls):  # load() upgraded + remapped
             op = pc.if_else(
                 pc.fill_null(d[DELETED].combine_chunks(), False),
                 pa.scalar("d"), pa.scalar("u"),
             )
             patches = d.drop_columns([DELETED]).append_column("op", op)
-            state = merge_partial(state, patches, key)
+            state = merge_partial(
+                state, patches, key,
+                sort_output=(i == len(delta_tbls) - 1),  # sort once
+            )
         return upgrade_run_table(state, schema, defaults)
 
     d = pa.concat_tables(delta_tbls)

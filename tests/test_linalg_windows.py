@@ -153,6 +153,17 @@ def test_copurchase_pairs_counts():
     ).to_pandas()
     assert [(r.item_a, r.item_b) for r in top.itertuples(index=False)] == [
         (1, 2), (2, 3)]
+    # string group ids (sessions/baskets) route via stable_hash, not an
+    # int cast
+    ts = pa.table({
+        "okey": pa.array([f"s{x}" for x in g]),
+        "item": pa.array(it, pa.int64()),
+    })
+    got_s = copurchase_pairs(
+        ray.data.from_arrow(ts).repartition(2), "okey", "item", k=10
+    ).to_pandas()
+    assert {(r.item_a, r.item_b): r.cnt
+            for r in got_s.itertuples(index=False)} == got
 
 
 def test_retention_cohorts_pandas_oracle():

@@ -284,6 +284,39 @@ def test_partial_mor_matches_cow(ray_session):
     assert before.equals(eng.lake_table(include_lsn=True).sort_by("user_id"))
 
 
+def test_partial_mor_pruned_read(ray_session):
+    """Column-pruned read over a partial lake with UNCOMPACTED patch
+    deltas: the mask remap must use the file's full stored payload order,
+    not the pruned subset."""
+    import os
+    import pyarrow.compute as pc
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+
+    root = EC.scratch_dir("pmorprune")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    env = EC.events_partial_envelopes(SF)
+    lsn = env["source"].combine_chunks().field("lsn")
+    mid = int(pc.max(lsn).as_py()) // 2
+    EC.write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
+    eng = EC.make_engine(lake, merge_mode="partial", sink_mode="mor")
+    eng.run(binlog)
+    EC.write_env_binlog(env.filter(pc.greater(lsn, mid)), binlog, append=True)
+    eng.run(binlog)
+    assert any(
+        e.get("deltas") for e in eng.manifest.doc["partitions"].values()
+    )
+    full = eng.lake_table(include_lsn=False).sort_by("user_id")
+    pruned = (
+        eng.read_lake(columns=["user_id", "event_type"])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = full.select(["user_id", "event_type"]).to_pandas()
+    assert pruned["user_id"].tolist() == ref["user_id"].tolist()
+    assert pruned["event_type"].tolist() == ref["event_type"].tolist()
+
+
 def test_partial_mor_evolution_mask_remap(ray_session):
     """v1 patch deltas read under the evolved v2 schema: stored mask bits
     must remap onto the upgraded payload order (byte-equal to the CoW
