@@ -114,6 +114,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reconciling cells across SSTables)."""
         return EC.final_state_partial(sf_dir, sink_mode="mor")
 
+    def cdc_counter_col(sf_dir):
+        """Cassandra counter-table semantics: the ``value`` column is
+        declared a COUNTER — set cells accumulate (sum of live
+        contributions since the key's last row deletion) instead of
+        last-writer-wins; the other cells keep per-cell LWW."""
+        return EC.final_state_partial(sf_dir, counter_cols=("value",))
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -2508,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_partial_blacklist": cdc_partial_blacklist,
         "cdc_partial_evolution": cdc_partial_evolution,
         "cdc_partial_mor": cdc_partial_mor,
+        "cdc_counter_col": cdc_counter_col,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -3670,4 +3678,12 @@ def oracle_sql() -> dict[str, str]:
     }
     # the MoR patch-delta drive folds to the same per-cell state as CoW
     out["cdc_partial_mor"] = out["cdc_partial_updates"]
+    # counter column: identical per-cell oracle except `value` ACCUMULATES
+    # over the live set events instead of taking the last writer
+    out["cdc_counter_col"] = out["cdc_partial_updates"].replace(
+        "arg_max({'v': value}, lsn) FILTER (((mask >> 3) & 1) = 1)['v'] "
+        "AS value",
+        "SUM(value) FILTER (((mask >> 3) & 1) = 1) AS value",
+    )
+    assert "SUM(value)" in out["cdc_counter_col"]
     return out

@@ -114,6 +114,14 @@ class EngineConfig:
     #     (a delta/tombstone row cannot represent "cell not touched").
     merge_mode: str = "lww"
 
+    # counter columns (Cassandra counter tables): in merge_mode="partial",
+    # SET cells of these numeric columns ACCUMULATE (sum of live
+    # contributions since the key's last row deletion) instead of
+    # last-writer-wins — the additive-CRDT merge a counter mutation
+    # stream needs. NULL contributions are skipped; a cell with no
+    # non-null contribution is null. Manifest-recorded table semantics.
+    counter_cols: Sequence[str] = ()
+
     # sink write mode (recorded in the manifest — table semantics, not a
     # per-run knob):
     #   "cow" (default): copy-on-write — every epoch rewrites the sorted

@@ -203,6 +203,7 @@ def partial_fold(
     lsn_col: str = LSN,
     op_col: str = "op",
     mask_col: str = SET_MASK,
+    counter_cols: Sequence[str] = (),
 ) -> pa.Table:
     """Per-cell LWW fold of one epoch's events for merge_mode="partial".
 
@@ -284,17 +285,46 @@ def partial_fold(
     group_lsn = np.where(alive, group_lsn, del_lsn)
 
     pk_set = {key}
+    counters = set(counter_cols)
     for j, name in enumerate(payload):
         if name in pk_set:
             cols[name] = _as_array(t[name]).take(pa.array(key_first))
             out_mask |= np.int64(1) << np.int64(j)
             continue
         setj = live & (((mask >> np.int64(j)) & 1) == 1)
+        src = _as_array(t[name])
+        if name in counters:
+            # counter column (Cassandra counter tables): live set events
+            # ACCUMULATE instead of last-write-wins; a row deletion resets
+            # (the `live` filter). NULL contributions are skipped (SUM
+            # semantics); all-null/no contribution → null cell.
+            valid = pc.is_valid(src).to_numpy(zero_copy_only=False)
+            contrib = setj & valid
+            is_int = pa.types.is_integer(src.type)
+            zero = pa.scalar(0, type=src.type)
+            vals = pc.fill_null(src, zero).to_numpy(zero_copy_only=False)
+            if is_int:
+                sums = np.zeros(G, dtype=np.int64)
+                np.add.at(sums, gid[contrib], vals[contrib].astype(np.int64))
+            else:
+                sums = np.bincount(
+                    gid[contrib], weights=vals[contrib], minlength=G
+                )
+            has_val = np.zeros(G, dtype=bool)
+            has_val[gid[contrib]] = True
+            cols[name] = pc.if_else(
+                pa.array(has_val),
+                pc.cast(pa.array(sums), src.type),
+                pa.nulls(G, src.type),
+            )
+            has = np.zeros(G, dtype=bool)
+            has[gid[np.nonzero(setj)[0]]] = True
+            out_mask |= has.astype(np.int64) << np.int64(j)
+            continue
         sj = np.nonzero(setj)[0]
         last = np.full(G, -1, dtype=np.int64)
         last[gid[sj]] = sj  # ascending → highest-lsn setter wins
         has = last >= 0
-        src = _as_array(t[name])
         vals = src.take(pa.array(np.maximum(last, 0)))
         cols[name] = pc.if_else(pa.array(has), vals, pa.nulls(G, src.type))
         out_mask |= has.astype(np.int64) << np.int64(j)
@@ -312,6 +342,7 @@ def merge_partial(
     lsn_col: str = LSN,
     op_col: str = "op",
     sort_output: bool = True,
+    counter_cols: Sequence[str] = (),
 ) -> pa.Table:
     """Apply partial_fold patches onto a lake run's rows (merge_mode=
     "partial" counterpart of merge_lww). Per patched key and payload cell:
@@ -338,6 +369,7 @@ def merge_partial(
     else:
         matched = np.zeros(n, dtype=bool)
         gather = None
+    counters = set(counter_cols)
     cols: Dict[str, pa.Array] = {}
     for j, name in enumerate(payload):
         pv = _as_array(live_p[name])
@@ -348,7 +380,29 @@ def merge_partial(
         # inherit the lake value only where the cell wasn't set, no deletion
         # occurred, and the key pre-existed
         inherit = (~setj) & (~had_del) & matched
-        if gather is not None and inherit.any():
+        if name in counters and gather is not None:
+            # counter cell: the patch holds this epoch's increment sum —
+            # ADD it to the surviving lake value (dropped by a deletion)
+            lv = _as_array(existing[name]).take(gather)
+            pvalid = pc.is_valid(pv).to_numpy(zero_copy_only=False)
+            lvalid = (
+                pc.is_valid(lv).to_numpy(zero_copy_only=False)
+                & matched & ~had_del
+            )
+            is_int = pa.types.is_integer(pv.type)
+            zero = pa.scalar(0, type=pv.type)
+            acc = np.int64 if is_int else np.float64
+            pvals = pc.fill_null(pv, zero).to_numpy(zero_copy_only=False).astype(acc)
+            lvals = pc.fill_null(lv, zero).to_numpy(zero_copy_only=False).astype(acc)
+            tot = np.where(pvalid, pvals, 0) + np.where(lvalid, lvals, 0)
+            summed = pc.if_else(
+                pa.array(pvalid | lvalid),
+                pc.cast(pa.array(tot), pv.type),
+                pa.nulls(n, pv.type),
+            )
+            base = pc.if_else(pa.array(inherit), lv, pv)
+            cols[name] = pc.if_else(pa.array(setj), summed, base)
+        elif gather is not None and inherit.any():
             lake_vals = _as_array(existing[name]).take(gather)
             cols[name] = pc.if_else(pa.array(inherit), lake_vals, pv)
         else:

@@ -695,12 +695,15 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
     BPE-merge selection and collocation mining over a web corpus.
 
     Shape at 100 TB: each batch pre-reduces to its DISTINCT (w1, w2)
-    partial counts (Arrow group_by — the combiner), so only distinct
-    bigrams per block shuffle into the one multi-key groupby; each output
-    block then keeps its local top-k (k rows), and the driver merges
-    #blocks × k candidate rows. The full bigram stream never converges to
-    one node. Ties at the k boundary break by (w1, w2) ascending — the
-    deterministic order the oracle SQL mirrors."""
+    partial counts (Arrow group_by — the combiner) and stamps each
+    bigram's hash bucket, so only distinct bigrams per block shuffle —
+    routed by an int32 bucket id (measured ~2.5x cheaper than handing Ray
+    a 2-key groupby over the same rows, see joins.copurchase_pairs); the
+    in-bucket Arrow group-sum finalizes counts and keeps its local top-k,
+    and the driver merges #buckets × k candidate rows. The full bigram
+    stream never converges to one node. Ties at the k boundary break by
+    (w1, w2) ascending — the deterministic order the oracle SQL mirrors."""
+    from debezium_incubator_ray.hashing import stable_hash
 
     def partial(t: pa.Table) -> pa.Table:
         flat, lens = _flat_tokens(t, text_col)
@@ -709,6 +712,7 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
             "w1": pa.array([], pa.string()),
             "w2": pa.array([], pa.string()),
             "cnt": pa.array([], pa.int64()),
+            "_pb": pa.array([], pa.int32()),
         })
         if n == 0:
             return empty
@@ -724,19 +728,26 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
             "w2": flat.take(pa.array(idx + 1)),
         })
         g = tb.group_by(["w1", "w2"]).aggregate([("w1", "count")])
-        return pa.table({
+        out = pa.table({
             "w1": g["w1"],
             "w2": g["w2"],
             "cnt": pc.cast(g["w1_count"], pa.int64()),
         })
+        pb = (
+            (stable_hash(out["w1"]) ^ stable_hash(out["w2"]))
+            % np.uint64(64)
+        ).astype(np.int32)
+        return out.append_column("_pb", pa.array(pb))
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        t = t.select(["w1", "w2", "cnt"])
+    def sum_topk(t: pa.Table) -> pa.Table:
+        if "_pb" in t.column_names:
+            t = t.drop_columns(["_pb"])
+        g = t.group_by(["w1", "w2"]).aggregate([("cnt", "sum")])
+        t = pa.table({"w1": g["w1"], "w2": g["w2"], "cnt": g["cnt_sum"]})
         if t.num_rows <= k:
             return t
-        neg = pc.negate(t["cnt"])
         order = pc.sort_indices(
-            t.append_column("_neg", neg),
+            t.append_column("_neg", pc.negate(t["cnt"])),
             sort_keys=[("_neg", "ascending"), ("w1", "ascending"),
                        ("w2", "ascending")],
         )
@@ -744,17 +755,13 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
 
     cand = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["w1", "w2"])
-        .sum("cnt")
-        .map_batches(
-            lambda t: local_topk(t.rename_columns(["w1", "w2", "cnt"])),
-            batch_format="pyarrow",
-        )
+        .groupby("_pb")
+        .map_groups(sum_topk, batch_format="pyarrow")
     )
     merged = pa.concat_tables(
         [b for b in cand.iter_batches(batch_format="pyarrow")]
-        or [local_topk(pa.table({"w1": pa.array([], pa.string()),
-                                 "w2": pa.array([], pa.string()),
-                                 "cnt": pa.array([], pa.int64())}))]
+        or [pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})]
     )
-    return local_topk(merged)
+    return sum_topk(merged)

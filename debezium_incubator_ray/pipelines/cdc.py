@@ -70,6 +70,7 @@ class CdcEngine:
             self.cfg.tombstones = doc.get("tombstones", True)
             self.cfg.sink_mode = doc.get("sink_mode", "cow")
             self.cfg.merge_mode = doc.get("merge_mode", "lww")
+            self.cfg.counter_cols = tuple(doc.get("counter_cols") or [])
             self.cfg.key_cols = doc.get("key_cols")
             mf_stats = list(doc.get("stats_columns") or [])
             if not self.cfg.stats_columns:
@@ -117,6 +118,31 @@ class CdcEngine:
                 raise ValueError(
                     "merge_mode='partial' requires tombstones=True"
                 )
+            if self.cfg.counter_cols:
+                if self.cfg.merge_mode != "partial":
+                    raise ValueError(
+                        "counter_cols requires merge_mode='partial' (the "
+                        "increment stream must carry cell masks)"
+                    )
+                protected = set(self.cfg.key_cols or [self.cfg.key])
+                bad = [
+                    c for c in self.cfg.counter_cols
+                    if c in protected
+                    or payload_schema.get_field_index(c) < 0
+                    or not (
+                        pa.types.is_integer(
+                            payload_schema.field(c).type
+                        )
+                        or pa.types.is_floating(
+                            payload_schema.field(c).type
+                        )
+                    )
+                ]
+                if bad:
+                    raise ValueError(
+                        f"counter_cols must be non-key numeric payload "
+                        f"columns; invalid: {bad}"
+                    )
             self.manifest = Manifest.create(
                 lake_dir,
                 self.cfg.table,
@@ -130,6 +156,7 @@ class CdcEngine:
                 mor_compact_deltas=self.cfg.mor_compact_deltas,
                 stats_columns=list(self.cfg.stats_columns),
                 merge_mode=self.cfg.merge_mode,
+                counter_cols=list(self.cfg.counter_cols),
             )
 
         self._lock_fd: Optional[int] = None
@@ -1248,6 +1275,7 @@ class CdcEngine:
                         p: m.doc["partitions"][str(p)]
                         for p in range(m.num_partitions)
                     },
+                    counter_cols=list(m.doc.get("counter_cols") or []),
                 )
             )
 
@@ -1258,6 +1286,7 @@ class CdcEngine:
                 spec["entries"][p], spec["lake_dir"],
                 S.schema_from_b64(spec["target_b64"]), spec["defaults"],
                 spec["schema_version"], key,
+                counter_cols=tuple(spec.get("counter_cols") or []),
             )
             if DELETED in t.column_names:
                 # tombstone-retention lakes: a join is over LIVE rows —
@@ -1676,6 +1705,7 @@ class CdcEngine:
         key = self.cfg.key
         lake_dir = self.lake_dir
         keep_tombstones = not m.doc.get("tombstones", True)
+        counter_cols = tuple(m.doc.get("counter_cols") or [])
         entries = {
             p: m.doc["partitions"][str(p)] for p in range(m.num_partitions)
         }
@@ -1687,7 +1717,7 @@ class CdcEngine:
                 t = read_partition_state(
                     entries[int(p)], lake_dir, tgt, defaults,
                     schema_version, key, keep_tombstones=keep_tombstones,
-                    columns=columns,
+                    columns=columns, counter_cols=counter_cols,
                 )
                 if not include_lsn and S.LSN in t.column_names:
                     t = t.drop_columns([S.LSN])
@@ -1888,6 +1918,7 @@ class CdcEngine:
             p: m_new.doc["partitions"][str(p)] for p in range(m_new.num_partitions)
         }
         target_b64 = S.schema_to_b64(target)
+        counter_cols = tuple(self.cfg.counter_cols)
 
         def read_version(ent: Dict) -> pa.Table:
             # merged live state at that version (mor deltas fold on read);
@@ -1897,7 +1928,8 @@ class CdcEngine:
 
             tgt = S.schema_from_b64(target_b64)
             return read_partition_state(
-                ent, lake_dir, tgt, defaults, -1, key
+                ent, lake_dir, tgt, defaults, -1, key,
+                counter_cols=counter_cols,
             )
 
         def diff_one(batch: pa.Table) -> pa.Table:
@@ -1975,6 +2007,7 @@ class CdcEngine:
             t = read_partition_state(
                 ent, self.lake_dir, target, defaults, schema_version,
                 self.cfg.key, keep_tombstones=keep_tombstones,
+                counter_cols=tuple(self.cfg.counter_cols),
             )
             if not include_lsn and S.LSN in t.column_names:
                 t = t.drop_columns([S.LSN])

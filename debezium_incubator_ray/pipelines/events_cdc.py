@@ -162,6 +162,7 @@ def events_partial_envelopes(sf_dir: str) -> pa.Table:
 
 def final_state_partial(
     sf_dir: str, field_blacklist=(), sink_mode: str = "cow",
+    counter_cols=(),
 ) -> pa.Table:
     """Drive a merge_mode='partial' lake over the masked envelope stream
     and return the folded per-cell state (payload + lsn). With
@@ -177,7 +178,7 @@ def final_state_partial(
     write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
     eng = make_engine(
         lake, merge_mode="partial", field_blacklist=field_blacklist,
-        sink_mode=sink_mode,
+        sink_mode=sink_mode, counter_cols=counter_cols,
     )
     eng.run(binlog)
     write_env_binlog(env.filter(pc.greater(lsn, mid)), binlog, append=True)
@@ -301,6 +302,7 @@ def make_engine(
     key_cols=None,
     stats_columns=(),
     merge_mode: str = "lww",
+    counter_cols=(),
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
@@ -316,6 +318,7 @@ def make_engine(
         key_cols=key_cols,
         stats_columns=stats_columns,
         merge_mode=merge_mode,
+        counter_cols=counter_cols,
         # the events binlog is laid out by uid % P; a composite key routes
         # by hash(_key) so the aligned fast path's 1:1 assumption breaks —
         # force the exchange path (the engine would otherwise detect the

@@ -188,6 +188,7 @@ def read_partition_state(
     key: str,
     keep_tombstones: bool = False,
     columns: Optional[List[str]] = None,
+    counter_cols=(),
 ) -> pa.Table:
     """Merged LIVE state of one partition: base sorted runs ⊕ merge-on-read
     delta runs, all lazily upgraded to ``schema``. The read half of
@@ -283,6 +284,7 @@ def read_partition_state(
             state = merge_partial(
                 state, patches, key,
                 sort_output=(i == len(delta_tbls) - 1),  # sort once
+                counter_cols=counter_cols,
             )
         return upgrade_run_table(state, schema, defaults)
 
@@ -337,6 +339,8 @@ class PartitionApplier:
         # carry a modified-cell bitmask and unset cells inherit the lake
         # value (Cassandra CellData presence semantics, CellData.java:23-60)
         self.merge_mode = manifest_doc.get("merge_mode", "lww")
+        # additive counter columns (partial mode): SET cells sum, not LWW
+        self.counter_cols = tuple(manifest_doc.get("counter_cols") or [])
         # watermark_filter=False: incremental-snapshot chunk mode — rows
         # carry a read-position LSN that may trail the stream watermark,
         # must still LWW-merge (chunk wins only over older lake rows), and
@@ -362,7 +366,9 @@ class PartitionApplier:
             # per-cell fold: one patch per key (op/_set_mask/_had_del cols)
             from debezium_incubator_ray.envelope import partial_fold
 
-            events = partial_fold(fresh, self.key)
+            events = partial_fold(
+                fresh, self.key, counter_cols=self.counter_cols
+            )
         else:
             events = lww_reduce(fresh, self.key)  # sorted by key asc
 
@@ -436,7 +442,10 @@ class PartitionApplier:
             if self.merge_mode == "partial":
                 from debezium_incubator_ray.envelope import merge_partial
 
-                merged = merge_partial(existing, ev, self.key)
+                merged = merge_partial(
+                    existing, ev, self.key,
+                    counter_cols=self.counter_cols,
+                )
             else:
                 merged = merge_lww(
                     existing, ev, self.key, keep_tombstones=self.keep_tombstones
@@ -715,6 +724,7 @@ class Compactor:
                 self.inner.schema_version,
                 self.inner.key,
                 keep_tombstones=self.inner.keep_tombstones,
+                counter_cols=self.inner.counter_cols,
             )
             new_files = self.inner._write_run(int(p), merged)
             outs.append(

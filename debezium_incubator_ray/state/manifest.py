@@ -55,6 +55,7 @@ class Manifest:
         mor_compact_deltas=None,
         stats_columns=None,
         merge_mode="lww",
+        counter_cols=None,
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -84,6 +85,8 @@ class Manifest:
             # merge semantics (see EngineConfig.merge_mode): "lww" full-row,
             # "partial" per-cell with set-mask envelopes
             "merge_mode": merge_mode,
+            # additive counter columns (EngineConfig.counter_cols)
+            "counter_cols": list(counter_cols or []),
             # mor auto-compaction threshold: a table policy — restart must
             # keep folding, or delta backlog (read amplification) grows
             # unbounded on the resumed run

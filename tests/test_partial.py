@@ -195,6 +195,89 @@ def test_engine_partial_matches_bruteforce(partial_lakes):
             assert got[uid][c] == exp[c], (uid, c)
 
 
+def test_counter_fold_accumulates_and_delete_resets():
+    t = tbl([
+        ev(1, 10, "c", a=5, b="x", mask=7),
+        ev(1, 20, "u", a=3, b=None, mask=3),      # +3
+        ev(1, 30, "u", a=None, b="y", mask=7),    # null contribution skipped
+        ev(2, 11, "c", a=10, b="p", mask=7),
+        ev(2, 12, "d", mask=7),
+        ev(2, 13, "u", a=4, b=None, mask=3),      # counter restarts post-del
+        ev(3, 14, "u", a=None, b="q", mask=6),    # a never set -> null
+    ])
+    out = partial_fold(t, "k", counter_cols=("a",))
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert rows[1]["a"] == 8 and rows[1]["b"] == "y"
+    assert rows[2]["a"] == 4
+    assert rows[3]["a"] is None and rows[3]["b"] == "q"
+
+
+def test_counter_merge_adds_to_lake():
+    lake = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "a": pa.array([100, None], pa.int64()),
+        "b": pa.array(["p", "q"], pa.string()),
+        "_lsn": pa.array([1, 1], pa.int64()),
+    })
+    patches = partial_fold(tbl([
+        ev(1, 50, "u", a=7, b=None, mask=3),      # 100 + 7
+        ev(2, 60, "u", a=5, b=None, mask=3),      # null lake -> 5
+        ev(2, 70, "d", mask=7),
+        ev(2, 80, "u", a=2, b=None, mask=3),      # post-delete -> 2, not 107
+    ]), "k", counter_cols=("a",))
+    out = merge_partial(lake, patches, "k", counter_cols=("a",)).to_pylist()
+    rows = {r["k"]: r for r in out}
+    assert rows[1]["a"] == 107 and rows[1]["b"] == "p"
+    assert rows[2]["a"] == 2 and rows[2]["b"] is None
+
+
+def test_counter_sequential_merge_law():
+    rng = np.random.default_rng(13)
+    rows = []
+    for lsn in range(1500):
+        k = int(rng.integers(0, 40))
+        op = rng.choice(["c", "u", "u", "d"])
+        mask = 7 if op in ("c", "d") else int(rng.integers(0, 4)) * 2 + 1
+        rows.append(ev(k, lsn, op, a=int(rng.integers(0, 50)),
+                       b=f"s{int(rng.integers(0, 9))}", mask=mask))
+    t = tbl(rows)
+    cc = ("a",)
+    whole = merge_partial(None, partial_fold(t, "k", counter_cols=cc), "k",
+                          counter_cols=cc)
+    lake = None
+    for lo in range(0, 1500, 400):
+        lake = merge_partial(
+            lake, partial_fold(t.slice(lo, 400), "k", counter_cols=cc), "k",
+            counter_cols=cc,
+        )
+    assert whole.equals(lake)
+
+
+def test_counter_engine_mor_matches_cow(ray_session):
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+
+    cow = EC.final_state_partial(SF, counter_cols=("value",)).sort_by(
+        "user_id"
+    )
+    mor = EC.final_state_partial(
+        SF, counter_cols=("value",), sink_mode="mor"
+    ).sort_by("user_id")
+    assert cow.equals(mor)
+
+
+def test_counter_config_validation(ray_session, tmp_path):
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+
+    with pytest.raises(ValueError, match="counter_cols"):
+        EC.make_engine(str(tmp_path / "c1"), counter_cols=("value",))  # lww
+    with pytest.raises(ValueError, match="counter_cols"):
+        EC.make_engine(str(tmp_path / "c2"), merge_mode="partial",
+                       counter_cols=("event_type",))  # non-numeric
+    with pytest.raises(ValueError, match="counter_cols"):
+        EC.make_engine(str(tmp_path / "c3"), merge_mode="partial",
+                       counter_cols=("user_id",))  # key
+
+
 def test_normalize_mask_backfills_default_on_creates():
     """A column ABSENT from the writer's envelope but backfilled with a
     table default must count as SET for row-creating events (the create
