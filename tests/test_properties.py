@@ -229,3 +229,94 @@ def test_derived_index_equals_primary_projection(cmds):
             a = d_after[i].as_py()
             idx_state[(a["g"], a["k"])] = True
     assert set(idx_state) == {(g, k) for k, g in state.items()}
+
+
+# ---------------------------------------------------------------------------
+# partial (per-cell) fold properties
+
+
+@st.composite
+def partial_event_tables(draw, max_events=60, max_keys=8):
+    """Random masked event stream: distinct LSNs, per-event cell mask over
+    two payload cells (bits 1=a, 2=b; bit 0 = key, always set)."""
+    n = draw(st.integers(0, max_events))
+    keys = draw(st.lists(st.integers(0, max_keys - 1), min_size=n, max_size=n))
+    ops = draw(st.lists(st.sampled_from(["c", "u", "d"]), min_size=n, max_size=n))
+    masks = draw(st.lists(st.integers(1, 7), min_size=n, max_size=n))
+    avals = draw(st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=n, max_size=n))
+    bvals = draw(st.lists(
+        st.one_of(st.none(), st.integers(0, 9).map(lambda x: f"s{x}")),
+        min_size=n, max_size=n))
+    perm = np.random.RandomState(draw(st.integers(0, 2**31 - 1))).permutation(n)
+    lsns = perm.astype(np.int64)  # distinct, arbitrary arrival order
+    from debezium_incubator_ray.envelope import SET_MASK
+
+    return pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "a": pa.array(avals, pa.int64()),
+        "b": pa.array(bvals, pa.string()),
+        "op": pa.array(ops, pa.string()),
+        S.LSN: pa.array(lsns, pa.int64()),
+        SET_MASK: pa.array(masks, pa.int64()),
+    })
+
+
+def _partial_oracle(tbl, counter_a=False):
+    """Row-at-a-time per-cell reference: replay events in LSN order."""
+    rows = sorted(tbl.to_pylist(), key=lambda r: r[S.LSN])
+    state = {}
+    for r in rows:
+        k = r["k"]
+        if r["op"] == "d":
+            state.pop(k, None)
+            continue
+        cur = state.get(k, {"a": None, "b": None})
+        if r["_set_mask"] >> 1 & 1:
+            if counter_a:
+                if r["a"] is not None:
+                    cur["a"] = (cur["a"] or 0) + r["a"]
+            else:
+                cur["a"] = r["a"]
+        if r["_set_mask"] >> 2 & 1:
+            cur["b"] = r["b"]
+        cur["lsn"] = r[S.LSN]
+        state[k] = cur
+    return {
+        k: (v["a"], v["b"], v["lsn"]) for k, v in state.items()
+    }
+
+
+@given(partial_event_tables(), st.integers(1, 4), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_partial_fold_epoch_split_matches_oracle(tbl, n_chunks, counter_a):
+    """For ANY masked stream, any epoch chunking of partial_fold +
+    merge_partial equals the row-at-a-time per-cell replay — with or
+    without a counter column."""
+    from debezium_incubator_ray.envelope import merge_partial, partial_fold
+
+    cc = ("a",) if counter_a else ()
+    # chunk by LSN range (epochs are LSN-contiguous, like the engine's
+    # watermark guarantees)
+    order = pa.compute.sort_indices(
+        tbl.select([S.LSN]), sort_keys=[(S.LSN, "ascending")]
+    )
+    t = tbl.take(order)
+    n = t.num_rows
+    lake = None
+    for ci in range(n_chunks):
+        lo = ci * n // n_chunks
+        hi = (ci + 1) * n // n_chunks
+        chunk = t.slice(lo, hi - lo)
+        if chunk.num_rows == 0:
+            continue
+        lake = merge_partial(
+            lake, partial_fold(chunk, "k", counter_cols=cc), "k",
+            counter_cols=cc,
+        )
+    got = {}
+    if lake is not None:
+        for r in lake.to_pylist():
+            got[r["k"]] = (r["a"], r["b"], r[S.LSN])
+    exp = _partial_oracle(t, counter_a=counter_a)
+    assert got == exp
