@@ -2494,6 +2494,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return copurchase_pairs(li, "l_orderkey", "l_partkey", k=20)
 
+    def corpus_shuffle_head(sf_dir):
+        """Reproducible global shuffle (Lehmer permutation + ONE
+        distributed range-partitioned sort) verified end-to-end through
+        its global head: limit(100) after the sort is the 100 smallest
+        permutation values corpus-wide — any mis-sorted range partition
+        changes the head set."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import (
+            deterministic_shuffle,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return deterministic_shuffle(docs).limit(100)
+
     def events_pivot_profile(sf_dir):
         """Per-user activity profile: event_type pivoted to count columns
         (feature-store shape). Per-batch Arrow group-count pivots wide
@@ -2619,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_profile": events_pivot_profile,
         "join_top_revenue_orders": join_top_revenue_orders,
         "part_copurchase_topk": part_copurchase_topk,
+        "corpus_shuffle_head": corpus_shuffle_head,
     }
 
 
@@ -3635,6 +3653,13 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
             "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "corpus_shuffle_head": (
+            # same Lehmer permutation: (doc_id * 2654435761 + 12345) mod
+            # 2^31-1, computed in HUGEINT then narrowed
+            "SELECT doc_id, n_chars, CAST((doc_id * 2654435761 + 12345) % "
+            "2147483647 AS BIGINT) AS perm FROM documents "
+            "ORDER BY perm LIMIT 100"
         ),
         "join_top_revenue_orders": (
             "SELECT o_orderkey, o_orderdate, "

@@ -358,3 +358,37 @@ def split_assign(ds, fractions=None, id_col: str = "doc_id"):
         return batch.append_column("split", pa.array(lab, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def deterministic_shuffle(
+    ds,
+    id_col: str = "doc_id",
+    seed: int = 12345,
+    mult: int = 2654435761,
+    mod: int = 2147483647,
+):
+    """Reproducible global training-order shuffle: stamp each row with a
+    Lehmer-style keyed permutation value ``perm = (id * mult + seed) %
+    mod`` (computable per batch, no RNG state), then ONE distributed
+    range-partitioned sort orders the corpus by it — the identical order
+    at any parallelism, cluster size, or resume point, which is what a
+    training run needs to be restartable mid-epoch.
+
+    Scale shape: the sort is Ray Data's native range exchange (sample →
+    range-partition → per-block sort); nothing else moves. Downstream
+    consumers stream the sorted Dataset straight into sequence packing /
+    batching. Returns the rows with the ``perm`` column attached (the
+    sort key is evidence — rank k holds the k-th smallest perm)."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = (
+            t[id_col].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        perm = (ids * np.uint64(mult) + np.uint64(seed)) % np.uint64(mod)
+        return t.append_column("perm", pa.array(perm.astype(np.int64)))
+
+    return ds.map_batches(
+        stamp, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("perm")

@@ -166,6 +166,25 @@ def test_copurchase_pairs_counts():
             for r in got_s.itertuples(index=False)} == got
 
 
+def test_deterministic_shuffle_is_reproducible_permutation():
+    from debezium_incubator_ray.functions.sample import deterministic_shuffle
+
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    a = deterministic_shuffle(
+        ray.data.from_arrow(t).repartition(7)
+    ).to_pandas()
+    b = deterministic_shuffle(
+        ray.data.from_arrow(t).repartition(2)
+    ).to_pandas()
+    # same global order at any parallelism
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # a real shuffle (not identity), sorted by perm, and a bijection
+    assert a["doc_id"].tolist() != ids.tolist()
+    assert a["perm"].is_monotonic_increasing
+    assert a["perm"].nunique() == 500
+
+
 def test_retention_cohorts_pandas_oracle():
     from debezium_incubator_ray.functions.windows import retention_cohorts
 
