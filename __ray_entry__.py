@@ -121,6 +121,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         last-writer-wins; the other cells keep per-cell LWW."""
         return EC.final_state_partial(sf_dir, counter_cols=("value",))
 
+    def cdc_range_erase(sf_dir):
+        """Key-range erasure (Cassandra range-tombstone / partition-delete
+        analog): every live row with key in [10, 59] is removed by a
+        three-way zone-pruned sweep over the key-sorted runs — disjoint
+        runs untouched, wholly-inside runs dropped unread, straddlers
+        rewritten."""
+        return EC.final_state_range_erased(sf_dir, 10, 59)
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -2533,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_partial_evolution": cdc_partial_evolution,
         "cdc_partial_mor": cdc_partial_mor,
         "cdc_counter_col": cdc_counter_col,
+        "cdc_range_erase": cdc_range_erase,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -2868,6 +2877,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1.5 END) AS score, "
             "MAX(lsn) AS lsn FROM live GROUP BY user_id"
         ),
+        "cdc_range_erase": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd' "
+        "AND user_id NOT BETWEEN 10 AND 59",
         "cdc_compaction": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_mor_lww": _LWW

@@ -1167,6 +1167,63 @@ class CdcEngine:
             out["vacuum"] = self.vacuum(keep_versions=1)
         return out
 
+    def erase_key_range(
+        self, lo, hi, vacuum_history: bool = False
+    ) -> Dict[str, Any]:
+        """Erase every live row with ``lo <= key <= hi`` — the Cassandra
+        range-tombstone / partition-delete analog (a whole clustering
+        range dies at once), expressed as state surgery like
+        ``erase_keys``. The key hash-routes, so every partition sweeps its
+        runs; the key-sorted run bounds make the sweep cheap: disjoint
+        runs carry untouched, runs wholly inside the range drop UNREAD,
+        only straddling runs are rewritten. Watermarks don't move; a later
+        higher-LSN event legally re-creates a key; superseded files hold
+        the data for time-travel until vacuum (``vacuum_history=True``
+        chains it — the actual forget point)."""
+        if not (lo <= hi):
+            raise ValueError("erase_key_range requires lo <= hi")
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        self.flush()
+        from debezium_incubator_ray.stages.apply import RangeEraser
+
+        touched = [
+            p for p in range(self.cfg.num_partitions)
+            if self.manifest.doc["partitions"][str(p)]["files"]
+            or self.manifest.doc["partitions"][str(p)].get("deltas")
+        ]
+        if not touched:
+            return {"erased_rows": 0, "partitions": 0}
+        items = [{S.PART: p} for p in touched]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ctor = dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            lo=lo,
+            hi=hi,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+
+        def erase_one(batch: pa.Table) -> pa.Table:
+            return RangeEraser(**ctor)(batch)
+
+        commits = ds.map_batches(
+            erase_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        ).take_all()
+        erased = sum(c["events_applied"] for c in commits)
+        updates = self._partition_updates(commits)
+        self.manifest = self.manifest.commit(
+            updates,
+            lineage=self._lineage(
+                "erase_range", updates, erased, time.perf_counter() - t0
+            ),
+            persist=True,
+        )
+        out = {"erased_rows": erased, "partitions": len(touched)}
+        if vacuum_history:
+            out["vacuum"] = self.vacuum(keep_versions=1)
+        return out
+
     def expire_rows(
         self, col: str, cutoff, vacuum_history: bool = False
     ) -> Dict[str, Any]:

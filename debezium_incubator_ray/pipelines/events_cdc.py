@@ -416,6 +416,20 @@ def final_state_schema_change(
     return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
 
+def final_state_range_erased(sf_dir: str, lo: int = 10, hi: int = 59) -> pa.Table:
+    """LWW drive, then erase the key range [lo, hi] (range-tombstone
+    analog: zone-pruned three-way sweep over the key-sorted runs)."""
+    root = scratch_dir("rerase")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    write_events_binlog(sf_dir, binlog)
+    eng = make_engine(lake)
+    eng.run(binlog)
+    eng.erase_key_range(lo, hi)
+    out = eng.lake_table(include_lsn=True)
+    i = out.schema.get_field_index(S.LSN)
+    return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+
 def snapshot_source(sf_dir: str, upto_lsn: int) -> pa.Table:
     """The 'existing database' at lsn <= upto_lsn: LWW winners, deletes
     excluded — what a snapshot table scan (S3/S4) would read."""

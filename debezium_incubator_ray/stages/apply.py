@@ -899,3 +899,72 @@ class RowExpirer:
                 )
             )
         return pa.concat_tables(outs)
+
+
+class RangeEraser:
+    """Per-partition KEY-RANGE erasure — the Cassandra range-tombstone /
+    partition-delete analog (a range of clustering keys dies at once)
+    expressed as state surgery. Runs are key-sorted with recorded
+    [min_key, max_key] bounds, so the sweep is three-way per run:
+    disjoint → carried UNTOUCHED; wholly inside the range → dropped
+    UNREAD; straddling → rewritten with the exact filter. Like KeyEraser,
+    watermarks don't move and a later higher-LSN event legally re-creates
+    a key. One call per partition batch row."""
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        lo,
+        hi,
+        target_rows_per_file: int = 1_000_000,
+    ):
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.lo = lo
+        self.hi = hi
+
+    def _scrub(self, p: int, files: List[Dict], prefix: str):
+        out: List[Dict] = []
+        erased = rows = 0
+        for f in files:
+            if f["max_key"] < self.lo or f["min_key"] > self.hi:
+                out.append(f)  # disjoint: untouched
+                rows += f["rows"]
+                continue
+            if self.lo <= f["min_key"] and f["max_key"] <= self.hi:
+                erased += f["rows"]  # wholly in range: dropped unread
+                continue
+            t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
+            if f.get("schema_version", 1) != self.inner.schema_version:
+                t = upgrade_run_table(t, self.inner.schema, self.inner.defaults)
+            k = t[self.inner.key]
+            hit = pc.and_(
+                pc.greater_equal(k, pa.scalar(self.lo, k.type)),
+                pc.less_equal(k, pa.scalar(self.hi, k.type)),
+            )
+            kept = t.filter(pc.invert(pc.fill_null(hit, False)))
+            erased += t.num_rows - kept.num_rows
+            if kept.num_rows == t.num_rows:
+                out.append(f)
+                rows += f["rows"]
+                continue
+            out.extend(self.inner._write_run(p, kept, prefix=prefix))
+            rows += kept.num_rows
+        return out, rows, erased
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs: List[pa.Table] = []
+        for p in batch[S.PART].to_pylist():
+            ent = self.inner.doc["partitions"][str(p)]
+            files, rows_f, er_f = self._scrub(int(p), ent["files"], "")
+            deltas, rows_d, er_d = self._scrub(
+                int(p), ent.get("deltas", []), "delta-"
+            )
+            files.sort(key=lambda f: f["min_key"])
+            outs.append(
+                self.inner._record(
+                    int(p), ent["watermark"], 0, er_f + er_d, 0,
+                    rows_f + rows_d, files, deltas=deltas,
+                )
+            )
+        return pa.concat_tables(outs)

@@ -662,3 +662,66 @@ def test_expire_rows_null_survives_whole_run_drop(tmp_path):
     lt = eng.lake_table()
     assert lt.num_rows == 1
     assert lt["value"][0].as_py() is None
+
+
+def test_erase_key_range(ray_session):
+    """Range erasure: keys in [lo, hi] removed (including via unread
+    whole-run drops), disjoint keys intact, a later higher-LSN event
+    re-creates an erased key, and MoR deltas are scrubbed too."""
+    import pyarrow.compute as pc
+
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+
+    SF = "/root/testdata/sf0.001"
+    root = EC.scratch_dir("rerange")
+    binlog = root + "/binlog"
+    lake = root + "/lake"
+    env = EC.events_envelopes(SF)
+    lsn = env["source"].combine_chunks().field("lsn")
+    mid = int(pc.max(lsn).as_py()) // 2
+    EC.write_env_binlog(env.filter(pc.less_equal(lsn, mid)), binlog)
+    # small runs so some fall wholly inside the erased range
+    eng = EC.make_engine(lake, sink_mode="mor")
+    eng.run(binlog)
+    EC.write_env_binlog(env.filter(pc.greater(lsn, mid)), binlog, append=True)
+    eng.run(binlog)  # second epoch appends MoR deltas
+    before = eng.lake_table()
+    lo, hi = 5, 14
+    res = eng.erase_key_range(lo, hi)
+    after = eng.lake_table()
+    uid = after["user_id"].to_pylist()
+    assert not any(lo <= u <= hi for u in uid)
+    kept = before.filter(pc.or_(
+        pc.less(before["user_id"], lo), pc.greater(before["user_id"], hi)
+    ))
+    assert after.sort_by("user_id").equals(kept.sort_by("user_id"))
+    # erased_rows counts PHYSICAL rows scrubbed (base rows + MoR delta
+    # rows/markers), so it's >= the logical live-row delta
+    assert res["erased_rows"] >= before.num_rows - kept.num_rows
+    # a later event with a higher LSN re-creates an erased key
+    import numpy as np
+    import pyarrow as pa
+
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.envelope import build_envelopes
+
+    top = int(pc.max(lsn).as_py())
+    after_tbl = pa.table({
+        "user_id": pa.array([lo], pa.int64()),
+        "ts": pa.array([None], pa.timestamp("us")),
+        "event_type": pa.array(["revive"]),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    })
+    env2 = build_envelopes(
+        pa.array(["c"], pa.string()), after_tbl, None,
+        np.array([lo % EC.NUM_PARTITIONS], dtype=np.int32),
+        pa.array([top + 1], pa.int64()), "events_a",
+    )
+    EC.write_env_binlog(env2, binlog, append=True)
+    eng.run(binlog)
+    revived = eng.lake_table().filter(
+        pc.equal(eng.lake_table()["user_id"], lo)
+    )
+    assert revived.num_rows == 1
+    assert revived["event_type"][0].as_py() == "revive"
