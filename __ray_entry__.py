@@ -3667,11 +3667,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
         ),
         "corpus_shuffle_head": (
-            # same Lehmer permutation: (doc_id * 2654435761 + 12345) mod
-            # 2^31-1, computed in HUGEINT then narrowed
-            "SELECT doc_id, n_chars, CAST((doc_id * 2654435761 + 12345) % "
-            "2147483647 AS BIGINT) AS perm FROM documents "
-            "ORDER BY perm LIMIT 100"
+            # same Lehmer permutation, factors reduced mod 2^31-1 FIRST on
+            # both sides so the product stays inside BIGINT (a raw
+            # doc_id * 2654435761 overflows DuckDB BIGINT near 3.5e9)
+            "SELECT doc_id, n_chars, CAST(((doc_id % 2147483647) * "
+            "(2654435761 % 2147483647) + 12345) % 2147483647 AS BIGINT) "
+            "AS perm FROM documents ORDER BY perm LIMIT 100"
         ),
         "join_top_revenue_orders": (
             "SELECT o_orderkey, o_orderdate, "

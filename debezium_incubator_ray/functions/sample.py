@@ -384,9 +384,19 @@ def deterministic_shuffle(
         ids = (
             t[id_col].combine_chunks()
             .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
+            .astype(np.int64)
         )
-        perm = (ids * np.uint64(mult) + np.uint64(seed)) % np.uint64(mod)
+        if len(ids) and (ids.min() < 0 or ids.max() >= mod):
+            # ids >= mod collide under the Lehmer map — duplicate perms
+            # would make the sorted order nondeterministic
+            raise ValueError(
+                f"deterministic_shuffle requires 0 <= {id_col} < {mod}"
+            )
+        # exact modular arithmetic: reduce BOTH factors first so the
+        # product stays < 2^62 (a raw id*mult would silently wrap uint64
+        # for ids beyond ~6.9e9 and diverge from any SQL oracle)
+        a = ids.astype(np.uint64) % np.uint64(mod)
+        perm = (a * (np.uint64(mult) % np.uint64(mod)) + np.uint64(seed)) % np.uint64(mod)
         return t.append_column("perm", pa.array(perm.astype(np.int64)))
 
     return ds.map_batches(

@@ -733,10 +733,15 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
             "w2": g["w2"],
             "cnt": pc.cast(g["w1_count"], pa.int64()),
         })
-        pb = (
-            (stable_hash(out["w1"]) ^ stable_hash(out["w2"]))
-            % np.uint64(64)
-        ).astype(np.int32)
+        # asymmetric combine: a plain XOR zeroes every (w, w) bigram's
+        # hash (h^h == 0), piling all repeated-token bigrams into one
+        # straggler bucket
+        with np.errstate(over="ignore"):
+            h = (
+                stable_hash(out["w1"]) * np.uint64(0x9E3779B97F4A7C15)
+                ^ stable_hash(out["w2"])
+            )
+        pb = (h % np.uint64(64)).astype(np.int32)
         return out.append_column("_pb", pa.array(pb))
 
     def sum_topk(t: pa.Table) -> pa.Table:

@@ -125,22 +125,21 @@ class CdcEngine:
                         "increment stream must carry cell masks)"
                     )
                 protected = set(self.cfg.key_cols or [self.cfg.key])
+                def _counter_ok(t: pa.DataType) -> bool:
+                    # 64-bit only: epoch sums accumulate in int64/float64
+                    # and cast back checked — a narrow int column would
+                    # make a legal increment stream overflow mid-apply
+                    return t in (pa.int64(), pa.uint64()) or pa.types.is_floating(t)
+
                 bad = [
                     c for c in self.cfg.counter_cols
                     if c in protected
                     or payload_schema.get_field_index(c) < 0
-                    or not (
-                        pa.types.is_integer(
-                            payload_schema.field(c).type
-                        )
-                        or pa.types.is_floating(
-                            payload_schema.field(c).type
-                        )
-                    )
+                    or not _counter_ok(payload_schema.field(c).type)
                 ]
                 if bad:
                     raise ValueError(
-                        f"counter_cols must be non-key numeric payload "
+                        f"counter_cols must be non-key int64/float payload "
                         f"columns; invalid: {bad}"
                     )
             self.manifest = Manifest.create(
@@ -1180,6 +1179,13 @@ class CdcEngine:
         higher-LSN event legally re-creates a key; superseded files hold
         the data for time-travel until vacuum (``vacuum_history=True``
         chains it — the actual forget point)."""
+        if self.cfg.key_cols:
+            raise NotImplementedError(
+                "erase_key_range on a composite-PK lake: the internal _key "
+                "is a joined string whose lexicographic order does not "
+                "match the component tuple order — erase by explicit key "
+                "list (erase_keys) instead"
+            )
         if not (lo <= hi):
             raise ValueError("erase_key_range requires lo <= hi")
         self._acquire_lock()

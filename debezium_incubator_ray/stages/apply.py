@@ -736,6 +736,38 @@ class Compactor:
         return pa.concat_tables(outs)
 
 
+
+def _scrub_runs(inner: "PartitionApplier", p: int, files: List[Dict],
+                prefix: str, classify):
+    """Shared state-surgery sweep over one partition's runs (KeyEraser /
+    RangeEraser). ``classify(f)`` returns None (carry the run untouched),
+    "drop" (whole run provably erased — never read), or a callable
+    ``table -> keep_mask`` for the exact rewrite."""
+    out: List[Dict] = []
+    erased = rows = 0
+    for f in files:
+        action = classify(f)
+        if action is None:
+            out.append(f)
+            rows += f["rows"]
+            continue
+        if action == "drop":
+            erased += f["rows"]
+            continue
+        t = pq.read_table(os.path.join(inner.lake_dir, f["path"]))
+        if f.get("schema_version", 1) != inner.schema_version:
+            t = upgrade_run_table(t, inner.schema, inner.defaults)
+        kept = t.filter(action(t))
+        erased += t.num_rows - kept.num_rows
+        if kept.num_rows == t.num_rows:
+            out.append(f)  # predicate overlapped but no row matched
+            rows += f["rows"]
+            continue
+        out.extend(inner._write_run(p, kept, prefix=prefix))
+        rows += kept.num_rows
+    return out, rows, erased
+
+
 class KeyEraser:
     """Per-partition key erasure (right-to-be-forgotten): rewrite ONLY the
     runs (base and merge-on-read delta) whose [min_key, max_key] range
@@ -759,33 +791,18 @@ class KeyEraser:
         self.keys = {int(p): v for p, v in keys_by_partition.items()}
 
     def _scrub(self, p: int, files: List[Dict], want, prefix: str):
-        out: List[Dict] = []
-        erased = rows = 0
-        for f in files:
+        def classify(f):
             hit = [k for k in want if f["min_key"] <= k <= f["max_key"]]
             if not hit:
-                out.append(f)
-                rows += f["rows"]
-                continue
-            t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
-            if f.get("schema_version", 1) != self.inner.schema_version:
-                t = upgrade_run_table(t, self.inner.schema, self.inner.defaults)
-            keep = pc.invert(
+                return None
+            return lambda t: pc.invert(
                 pc.is_in(
                     t[self.inner.key],
                     value_set=pa.array(hit, t[self.inner.key].type),
                 )
             )
-            kept = t.filter(keep)
-            erased += t.num_rows - kept.num_rows
-            if kept.num_rows == t.num_rows:
-                out.append(f)  # range overlapped but no row matched
-                rows += f["rows"]
-                continue
-            new = self.inner._write_run(p, kept, prefix=prefix)
-            out.extend(new)
-            rows += kept.num_rows
-        return out, rows, erased
+
+        return _scrub_runs(self.inner, p, files, prefix, classify)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs: List[pa.Table] = []
@@ -924,33 +941,22 @@ class RangeEraser:
         self.hi = hi
 
     def _scrub(self, p: int, files: List[Dict], prefix: str):
-        out: List[Dict] = []
-        erased = rows = 0
-        for f in files:
-            if f["max_key"] < self.lo or f["min_key"] > self.hi:
-                out.append(f)  # disjoint: untouched
-                rows += f["rows"]
-                continue
-            if self.lo <= f["min_key"] and f["max_key"] <= self.hi:
-                erased += f["rows"]  # wholly in range: dropped unread
-                continue
-            t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
-            if f.get("schema_version", 1) != self.inner.schema_version:
-                t = upgrade_run_table(t, self.inner.schema, self.inner.defaults)
+        def keep_mask(t):
             k = t[self.inner.key]
             hit = pc.and_(
                 pc.greater_equal(k, pa.scalar(self.lo, k.type)),
                 pc.less_equal(k, pa.scalar(self.hi, k.type)),
             )
-            kept = t.filter(pc.invert(pc.fill_null(hit, False)))
-            erased += t.num_rows - kept.num_rows
-            if kept.num_rows == t.num_rows:
-                out.append(f)
-                rows += f["rows"]
-                continue
-            out.extend(self.inner._write_run(p, kept, prefix=prefix))
-            rows += kept.num_rows
-        return out, rows, erased
+            return pc.invert(pc.fill_null(hit, False))
+
+        def classify(f):
+            if f["max_key"] < self.lo or f["min_key"] > self.hi:
+                return None  # disjoint: untouched
+            if self.lo <= f["min_key"] and f["max_key"] <= self.hi:
+                return "drop"  # wholly in range: dropped unread
+            return keep_mask
+
+        return _scrub_runs(self.inner, p, files, prefix, classify)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs: List[pa.Table] = []
