@@ -2488,6 +2488,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return local_topk(merged)
 
+    def join_regional_revenue(sf_dir):
+        """TPC-H-Q5-shaped 6-table pipeline: region → nation resolves the
+        ASIA nation set driver-side (rows of dims, not facts); customer
+        and supplier nation maps broadcast ONCE via ray.put; orders x
+        lineitem co-locate in the single fact shuffle whose in-bucket
+        `post` maps both foreign keys through the broadcast dims, keeps
+        only same-nation (customer==supplier) ASIA pairs and pre-reduces
+        revenue per nation; a tiny final groupby sums #buckets x nations
+        partials. Nothing fact-sized moves twice."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+        asia = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rk.combine_chunks()))
+        nname = dict(zip(asia["n_nationkey"].to_pylist(),
+                         asia["n_name"].to_pylist()))
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        cust_ref = ray.put(cust)
+        supp_ref = ray.put(supp)
+        nat_keys = sorted(nname)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        )
+
+        def nation_revenue(j: pa.Table) -> pa.Table:
+            c = ray.get(cust_ref)
+            s = ray.get(supp_ref)
+            j = j.join(c, keys=["o_custkey"], right_keys=["c_custkey"])
+            j = j.join(s, keys=["l_suppkey"], right_keys=["s_suppkey"])
+            same = pc.and_(
+                pc.equal(j["c_nationkey"], j["s_nationkey"]),
+                pc.is_in(j["c_nationkey"],
+                         value_set=pa.array(nat_keys, pa.int64())),
+            )
+            j = j.filter(same)
+            rev = pc.multiply(
+                j["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), j["l_discount"]),
+            )
+            g = (
+                pa.table({"nk": j["c_nationkey"], "revenue": rev})
+                .group_by(["nk"])
+                .aggregate([("revenue", "sum")])
+            )
+            return pa.table({"nk": g["nk"], "revenue": g["revenue_sum"]})
+
+        parts = shuffle_join(
+            orders, li, on="o_orderkey", right_on="l_orderkey",
+            post=nation_revenue,
+        )
+        summed = parts.groupby("nk").aggregate(Sum("revenue", alias_name="revenue"))
+        out = summed.to_pandas()
+        out["n_name"] = out["nk"].map(nname)
+        return out[["n_name", "revenue"]].sort_values(
+            "revenue", ascending=False
+        ).reset_index(drop=True)
+
     def part_copurchase_topk(sf_dir):
         """Top-20 part pairs co-occurring in the same order (basket
         co-occurrence mining): distinct (order, part) → one bucketed
@@ -2646,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_top_revenue_orders": join_top_revenue_orders,
         "part_copurchase_topk": part_copurchase_topk,
         "corpus_shuffle_head": corpus_shuffle_head,
+        "join_regional_revenue": join_regional_revenue,
     }
 
 
@@ -3673,6 +3753,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, CAST(((doc_id % 2147483647) * "
             "(2654435761 % 2147483647) + 12345) % 2147483647 AS BIGINT) "
             "AS perm FROM documents ORDER BY perm LIMIT 100"
+        ),
+        "join_regional_revenue": (
+            "SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) "
+            "AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+            "GROUP BY 1 ORDER BY revenue DESC"
         ),
         "join_top_revenue_orders": (
             "SELECT o_orderkey, o_orderdate, "
