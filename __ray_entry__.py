@@ -639,6 +639,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(DELETED)
         return out.set_column(i, pa.field("deleted", pa.bool_()), out[DELETED])
 
+    def cdc_tombstone_purge(sf_dir):
+        """gc-grace purge: retained tombstone markers older than the
+        horizon (half the stream) are garbage-collected; younger markers
+        and live rows survive — Cassandra's gc_grace_seconds contract."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.envelope import DELETED
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            load_events, make_engine, scratch_dir, write_events_binlog,
+        )
+
+        root = scratch_dir("tbpurge")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake, tombstones=False)
+        eng.run(binlog)
+        mid = int(pc.max(load_events(sf_dir)["event_id"]).as_py()) // 2
+        eng.purge_tombstones(upto_lsn=mid)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        out = out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+        i = out.schema.get_field_index(DELETED)
+        return out.set_column(i, pa.field("deleted", pa.bool_()), out[DELETED])
+
     # -- supplementary relational/type operators ---------------------------
 
     def type_normalization(sf_dir):
@@ -2644,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_latest_only": cdc_latest_only,
         "cdc_tombstone_retain": cdc_tombstone_retain,
+        "cdc_tombstone_purge": cdc_tombstone_purge,
         "type_normalization": type_normalization,
         "type_normalization_nested": type_normalization_nested,
         "row_scoped_max": row_scoped_max,
@@ -3071,6 +3097,14 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN op = 'd' THEN NULL ELSE value END AS value, "
         "CASE WHEN op = 'd' THEN NULL ELSE props END AS props, "
         "(op = 'd') AS deleted, lsn FROM ranked WHERE rn = 1",
+        "cdc_tombstone_purge": _LWW
+        + "SELECT user_id, "
+        "CASE WHEN op = 'd' THEN NULL ELSE ts END AS ts, "
+        "CASE WHEN op = 'd' THEN NULL ELSE event_type END AS event_type, "
+        "CASE WHEN op = 'd' THEN NULL ELSE value END AS value, "
+        "CASE WHEN op = 'd' THEN NULL ELSE props END AS props, "
+        "(op = 'd') AS deleted, lsn FROM ranked WHERE rn = 1 "
+        "AND NOT (op = 'd' AND lsn <= (SELECT MAX(event_id) // 2 FROM events))",
         "type_normalization": (
             "SELECT l_orderkey, l_linenumber, "
             "CAST(floor(l_quantity) AS BIGINT) AS qty_int, "

@@ -232,6 +232,8 @@ def main() -> None:
         "embedding_covariance", "text_bigram_topk",
         "events_retention_cohorts", "events_pivot_profile",
         "join_top_revenue_orders", "part_copurchase_topk",
+        "cdc_partial_evolution", "cdc_partial_mor", "cdc_counter_col",
+        "cdc_range_erase", "corpus_shuffle_head", "join_regional_revenue",
     ]
     for name in q_list:
         t2 = time.perf_counter()

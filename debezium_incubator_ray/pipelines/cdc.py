@@ -1230,6 +1230,68 @@ class CdcEngine:
             out["vacuum"] = self.vacuum(keep_versions=1)
         return out
 
+    def purge_tombstones(
+        self, upto_lsn: int, vacuum_history: bool = False
+    ) -> Dict[str, Any]:
+        """gc-grace purge on a tombstone-RETENTION lake (tombstones=False):
+        drop marker rows with lsn <= ``upto_lsn`` — Cassandra's
+        gc_grace_seconds contract: a tombstone lives only long enough for
+        every downstream consumer to observe the deletion, then is
+        garbage-collected so the lake stops paying for dead keys forever.
+        Merge-on-read deltas fold first (a delta marker masks a live base
+        row; purging it would resurrect that row). Watermarks don't move —
+        the replay filter already drops any pre-horizon redelivery."""
+        if self.cfg.tombstones:
+            raise ValueError(
+                "purge_tombstones applies to tombstone-retention lakes "
+                "(tombstones=False); a compacting lake has no markers"
+            )
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        self.flush()
+        if self.cfg.sink_mode == "mor" and any(
+            e.get("deltas")
+            for e in self.manifest.doc["partitions"].values()
+        ):
+            self.compact()
+        from debezium_incubator_ray.stages.apply import TombstonePurger
+
+        touched = [
+            p for p in range(self.cfg.num_partitions)
+            if self.manifest.doc["partitions"][str(p)]["files"]
+        ]
+        if not touched:
+            return {"purged_rows": 0, "partitions": 0}
+        items = [{S.PART: p} for p in touched]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ctor = dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            upto_lsn=upto_lsn,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+
+        def purge_one(batch: pa.Table) -> pa.Table:
+            return TombstonePurger(**ctor)(batch)
+
+        commits = ds.map_batches(
+            purge_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        ).take_all()
+        purged = sum(c["events_applied"] for c in commits)
+        updates = self._partition_updates(commits)
+        self.manifest = self.manifest.commit(
+            updates,
+            lineage=self._lineage(
+                "purge_tombstones", updates, purged,
+                time.perf_counter() - t0,
+            ),
+            persist=True,
+        )
+        out = {"purged_rows": purged, "partitions": len(touched)}
+        if vacuum_history:
+            out["vacuum"] = self.vacuum(keep_versions=1)
+        return out
+
     def expire_rows(
         self, col: str, cutoff, vacuum_history: bool = False
     ) -> Dict[str, Any]:

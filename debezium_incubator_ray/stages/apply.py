@@ -974,3 +974,51 @@ class RangeEraser:
                 )
             )
         return pa.concat_tables(outs)
+
+
+class TombstonePurger:
+    """gc-grace purge for tombstone-RETENTION lakes (tombstones=False):
+    drop marker rows whose ``_lsn`` <= the purge horizon — Cassandra's
+    gc_grace_seconds contract (a tombstone is kept only long enough for
+    every consumer to observe it, then garbage-collected). Sound on BASE
+    runs only: base state is fully merged, so removing a marker exposes
+    nothing underneath (the engine folds merge-on-read deltas first — a
+    delta marker masks a live base row and purging it would resurrect
+    that row). Watermarks don't move; a re-delivered pre-horizon event is
+    already dropped by the replay filter, so nothing can resurrect."""
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        upto_lsn: int,
+        target_rows_per_file: int = 1_000_000,
+    ):
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.upto = upto_lsn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.envelope import DELETED
+
+        def keep_mask(t: pa.Table):
+            purge = pc.and_(
+                pc.fill_null(t[DELETED], False),
+                pc.less_equal(t[S.LSN], pa.scalar(self.upto, pa.int64())),
+            )
+            return pc.invert(purge)
+
+        outs: List[pa.Table] = []
+        for p in batch[S.PART].to_pylist():
+            ent = self.inner.doc["partitions"][str(p)]
+            files, rows, purged = _scrub_runs(
+                self.inner, int(p), ent["files"], "",
+                lambda f: keep_mask,
+            )
+            files.sort(key=lambda f: f["min_key"])
+            outs.append(
+                self.inner._record(
+                    int(p), ent["watermark"], 0, purged, 0, rows, files,
+                    deltas=ent.get("deltas", []),
+                )
+            )
+        return pa.concat_tables(outs)
