@@ -648,15 +648,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from debezium_incubator_ray import schema as S
         from debezium_incubator_ray.envelope import DELETED
         from debezium_incubator_ray.pipelines.events_cdc import (
-            load_events, make_engine, scratch_dir, write_events_binlog,
+            make_engine, scratch_dir, write_events_binlog,
         )
 
         root = scratch_dir("tbpurge")
         binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
-        write_events_binlog(sf_dir, binlog)
+        env = write_events_binlog(sf_dir, binlog)
         eng = make_engine(lake, tombstones=False)
         eng.run(binlog)
-        mid = int(pc.max(load_events(sf_dir)["event_id"]).as_py()) // 2
+        mid = int(
+            pc.max(env["source"].combine_chunks().field("lsn")).as_py()
+        ) // 2
         eng.purge_tombstones(upto_lsn=mid)
         out = eng.lake_table(include_lsn=True)
         i = out.schema.get_field_index(S.LSN)
@@ -2537,17 +2539,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         asia = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rk.combine_chunks()))
         nname = dict(zip(asia["n_nationkey"].to_pylist(),
                          asia["n_name"].to_pylist()))
+        nat_keys = sorted(nname)
+        nk_arr = pa.array(nat_keys, pa.int64())
+        # broadcast only the ASIA slice of each dimension — non-ASIA rows
+        # can never survive the same-nation filter, and every bucket task
+        # builds a hash table over the broadcast side
         cust = pq.read_table(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_nationkey"],
         )
+        cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nk_arr))
         supp = pq.read_table(
             os.path.join(sf_dir, "supplier.parquet"),
             columns=["s_suppkey", "s_nationkey"],
         )
+        supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=nk_arr))
         cust_ref = ray.put(cust)
         supp_ref = ray.put(supp)
-        nat_keys = sorted(nname)
 
         orders = ray.data.read_parquet(
             os.path.join(sf_dir, "orders.parquet"),

@@ -1249,11 +1249,14 @@ class CdcEngine:
         self._acquire_lock()
         t0 = time.perf_counter()
         self.flush()
-        if self.cfg.sink_mode == "mor" and any(
-            e.get("deltas")
-            for e in self.manifest.doc["partitions"].values()
-        ):
-            self.compact()
+        delta_ps = [
+            p for p in range(self.cfg.num_partitions)
+            if self.manifest.doc["partitions"][str(p)].get("deltas")
+        ]
+        if delta_ps:
+            # fold ONLY the partitions holding deltas (soundness needs the
+            # markers out of the overlay, not a full-lake re-chunk)
+            self._compact_partitions(delta_ps, t0)
         from debezium_incubator_ray.stages.apply import TombstonePurger
 
         touched = [

@@ -487,6 +487,20 @@ class PartitionApplier:
                 "max_key": pc.max(kcol).as_py(),
                 "schema_version": self.schema_version,
             }
+            if self.keep_tombstones:
+                from debezium_incubator_ray.envelope import DELETED as _DEL
+
+                if _DEL in chunk.column_names:
+                    # tombstone zone stat [n_markers, min_marker_lsn]:
+                    # lets purge_tombstones carry marker-free (or
+                    # all-young-marker) runs UNREAD
+                    dead = pc.fill_null(chunk[_DEL], False)
+                    n_dead = int(pc.sum(pc.cast(dead, pa.int64())).as_py() or 0)
+                    mn = (
+                        pc.min(chunk.filter(dead)[S.LSN]).as_py()
+                        if n_dead else None
+                    )
+                    entry["tomb"] = [n_dead, mn]
             if self.stats_columns:
                 # zone maps: per-run min/max for the configured columns
                 # (null-skipping; an all-null column records no entry)
@@ -1007,12 +1021,21 @@ class TombstonePurger:
             )
             return pc.invert(purge)
 
+        def classify(f):
+            tomb = f.get("tomb")
+            if tomb is not None:
+                n_markers, min_lsn = tomb
+                if n_markers == 0 or (
+                    min_lsn is not None and min_lsn > self.upto
+                ):
+                    return None  # no purgeable marker: carried UNREAD
+            return keep_mask  # unknown (pre-stat run) or has old markers
+
         outs: List[pa.Table] = []
         for p in batch[S.PART].to_pylist():
             ent = self.inner.doc["partitions"][str(p)]
             files, rows, purged = _scrub_runs(
-                self.inner, int(p), ent["files"], "",
-                lambda f: keep_mask,
+                self.inner, int(p), ent["files"], "", classify,
             )
             files.sort(key=lambda f: f["min_key"])
             outs.append(
