@@ -2614,6 +2614,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return copurchase_pairs(li, "l_orderkey", "l_partkey", k=20)
 
+    def dq_psi_drift(sf_dir):
+        """Distribution drift between two source cohorts (even- vs
+        odd-numbered src ids): PSI over exact integer length buckets —
+        per-batch (bucket, cohort) partial counts, one tiny groupby,
+        driver fold of O(buckets) rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.quality import psi_drift
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "n_chars"],
+        )
+
+        def even_src(t: pa.Table):
+            num = pc.cast(
+                pc.utf8_slice_codeunits(t["source"], 3, 99), pa.int64()
+            )
+            return pc.equal(pc.bit_wise_and(num, 1), 0)
+
+        return psi_drift(docs, "n_chars", even_src, bucket_width=64)
+
     def corpus_shuffle_head(sf_dir):
         """Reproducible global shuffle (Lehmer permutation + ONE
         distributed range-partitioned sort) verified end-to-end through
@@ -2760,6 +2783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_topk": part_copurchase_topk,
         "corpus_shuffle_head": corpus_shuffle_head,
         "join_regional_revenue": join_regional_revenue,
+        "dq_psi_drift": dq_psi_drift,
     }
 
 
@@ -3787,6 +3811,22 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
             "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "dq_psi_drift": (
+            "WITH d AS (SELECT CAST(floor(n_chars / 64.0) AS BIGINT) AS "
+            "bucket, (CAST(SUBSTR(source, 4) AS BIGINT) % 2) = 0 AS is_a "
+            "FROM documents), "
+            "c AS (SELECT bucket, is_a, COUNT(*) AS n FROM d GROUP BY 1, 2), "
+            "shared AS (SELECT bucket FROM c GROUP BY bucket "
+            "HAVING COUNT(DISTINCT is_a) = 2), "
+            "tot AS (SELECT is_a, SUM(n) AS t FROM c "
+            "JOIN shared USING (bucket) GROUP BY 1) "
+            "SELECT a.bucket, a.n / ta.t AS p_a, b.n / tb.t AS p_b, "
+            "(a.n / ta.t - b.n / tb.t) * ln((a.n / ta.t) / (b.n / tb.t)) "
+            "AS psi_term "
+            "FROM c a JOIN c b USING (bucket) JOIN shared USING (bucket) "
+            "JOIN tot ta ON ta.is_a JOIN tot tb ON NOT tb.is_a "
+            "WHERE a.is_a AND NOT b.is_a"
         ),
         "corpus_shuffle_head": (
             # same Lehmer permutation, factors reduced mod 2^31-1 FIRST on

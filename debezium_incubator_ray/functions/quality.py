@@ -136,3 +136,77 @@ def profile_table(ds, columns: Sequence[str]) -> pa.Table:
             "max_v": fold(maxs, max),
         })
     return pa.Table.from_pylist(out)
+
+
+def psi_drift(
+    ds,
+    value_col: str,
+    group_expr,
+    bucket_width: int = 64,
+):
+    """Population Stability Index between two cohorts of one dataset — the
+    standard data-quality drift gauge between corpus slices (crawl A vs
+    crawl B, train vs val, old vs new source mix). ``group_expr(table) ->
+    BooleanArray`` splits rows into cohort A (true) / B (false);
+    ``value_col`` is histogrammed into fixed integer buckets
+    (``value // bucket_width`` — exact, no float binning).
+
+    Returns per-bucket rows (bucket, p_a, p_b, psi_term) over buckets
+    present in BOTH cohorts (the standard PSI domain — an empty side has
+    undefined log-ratio), plus psi_term = (p_a - p_b) * ln(p_a / p_b);
+    shares are over each cohort's rows in those shared buckets, so the
+    terms sum to the PSI. Decomposable: per-batch (bucket, cohort)
+    partial counts → one tiny groupby (#buckets x 2 rows) → driver fold.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = group_expr(t)
+        b = pc.floor(
+            pc.divide(
+                pc.cast(t[value_col], pa.float64()), float(bucket_width)
+            )
+        )
+        tb = pa.table({
+            "bucket": pc.cast(b, pa.int64()),
+            "is_a": pc.cast(grp, pa.bool_()),
+        })
+        g = tb.group_by(["bucket", "is_a"]).aggregate([([], "count_all")])
+        return pa.table({
+            "bucket": g["bucket"],
+            "is_a": g["is_a"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    acc: dict = {}
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        for r in t.to_pylist():  # O(buckets x 2) rows per block
+            k = (r["bucket"], r["is_a"])
+            acc[k] = acc.get(k, 0) + r["n"]
+    buckets = sorted({b for b, _ in acc})
+    shared = [
+        b for b in buckets
+        if acc.get((b, True), 0) > 0 and acc.get((b, False), 0) > 0
+    ]
+    na = sum(acc[(b, True)] for b in shared)
+    nb = sum(acc[(b, False)] for b in shared)
+    rows = []
+    for b in shared:
+        pa_ = acc[(b, True)] / na
+        pb_ = acc[(b, False)] / nb
+        rows.append({
+            "bucket": b,
+            "p_a": pa_,
+            "p_b": pb_,
+            "psi_term": (pa_ - pb_) * float(np.log(pa_ / pb_)),
+        })
+    if not rows:
+        return pa.table({
+            "bucket": pa.array([], pa.int64()),
+            "p_a": pa.array([], pa.float64()),
+            "p_b": pa.array([], pa.float64()),
+            "psi_term": pa.array([], pa.float64()),
+        })
+    return pa.Table.from_pylist(rows)
