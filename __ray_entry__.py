@@ -2637,6 +2637,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return psi_drift(docs, "n_chars", even_src, bucket_width=64)
 
+    def sample_weighted_topk(sf_dir):
+        """Deterministic weight-proportional sample without replacement
+        (Efraimidis-Spirakis with a hash-derived uniform): the 200 docs
+        with the largest ln(u)/n_chars keys — longer docs proportionally
+        likelier, byte-reproducible at any parallelism."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import (
+            weighted_sample_topk,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return weighted_sample_topk(docs, "n_chars", k=200)
+
     def corpus_shuffle_head(sf_dir):
         """Reproducible global shuffle (Lehmer permutation + ONE
         distributed range-partitioned sort) verified end-to-end through
@@ -2784,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle_head": corpus_shuffle_head,
         "join_regional_revenue": join_regional_revenue,
         "dq_psi_drift": dq_psi_drift,
+        "sample_weighted_topk": sample_weighted_topk,
     }
 
 
@@ -3811,6 +3828,16 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
             "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "sample_weighted_topk": (
+            # same Lehmer uniform + A-Res key ln(u)/w, key excluded from
+            # the output (membership + tie-break by doc_id is the contract)
+            "WITH s AS (SELECT doc_id, n_chars, "
+            "((doc_id % 2147483647) * (2654435761 % 2147483647) + 12345) "
+            "% 2147483647 AS perm FROM documents WHERE n_chars > 0) "
+            "SELECT doc_id, n_chars FROM s "
+            "ORDER BY ln(perm / 2147483647.0) / n_chars DESC, doc_id "
+            "LIMIT 200"
         ),
         "dq_psi_drift": (
             "WITH d AS (SELECT CAST(floor(n_chars / 64.0) AS BIGINT) AS "

@@ -402,3 +402,73 @@ def deterministic_shuffle(
     return ds.map_batches(
         stamp, batch_format="pyarrow", zero_copy_batch=True
     ).sort("perm")
+
+
+def weighted_sample_topk(
+    ds,
+    weight_col: str,
+    k: int = 200,
+    id_col: str = "doc_id",
+    seed: int = 12345,
+    mult: int = 2654435761,
+    mod: int = 2147483647,
+):
+    """Deterministic weight-proportional sample WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row gets sort key u^(1/w) where u is
+    a hash-derived uniform in [0, 1) (the Lehmer permutation of the id,
+    normalized — no RNG state, so any engine/run/resume reproduces the
+    identical sample) and w = its weight; the k largest keys are the
+    sample. Rows with w <= 0 or null never qualify. Internally the
+    monotone-equivalent key ln(u)/w is used (u^(1/w) clusters toward 1.0
+    at large weights, squeezing boundary gaps toward float noise; the log
+    form keeps selection robust against last-ulp libm differences vs a
+    SQL oracle), and the float key is NOT part of the output — membership
+    plus (id, weight) is the verifiable contract.
+
+    Scale shape: the key is a per-batch column; each block keeps its
+    local top-k and the driver merges #blocks x k candidates — the exact
+    global top-k, no shuffle. This is how a curation pipeline draws a
+    quality-weighted corpus subset reproducibly."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = (
+            t[id_col].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(ids) and (ids.min() < 0 or ids.max() >= mod):
+            raise ValueError(
+                f"weighted_sample_topk requires 0 <= {id_col} < {mod}"
+            )
+        a = ids.astype(np.uint64) % np.uint64(mod)
+        perm = (
+            a * (np.uint64(mult) % np.uint64(mod)) + np.uint64(seed)
+        ) % np.uint64(mod)
+        u = perm.astype(np.float64) / float(mod)
+        w = (
+            pc.cast(t[weight_col].combine_chunks(), pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ok = np.isfinite(w) & (w > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(ok, np.log(u) / w, np.nan)  # -inf at u=0 is legal
+        out = t.filter(pa.array(ok)).append_column(
+            "_skey", pa.array(key[ok])
+        )
+        return _local_topk_by_key(out, k, id_col)
+
+    def _local_topk_by_key(t: pa.Table, kk: int, idc: str) -> pa.Table:
+        if t.num_rows <= kk:
+            return t
+        order = pc.sort_indices(
+            t.append_column("_neg", pc.negate(t["_skey"])),
+            sort_keys=[("_neg", "ascending"), (idc, "ascending")],
+        )
+        return t.take(order.slice(0, kk))
+
+    cand = ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+    blocks = [b for b in cand.iter_batches(batch_format="pyarrow")]
+    if not blocks:
+        return pa.table({})
+    merged = pa.concat_tables(blocks, promote_options="permissive")
+    return _local_topk_by_key(merged, k, id_col).drop_columns(["_skey"])
