@@ -2637,6 +2637,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return psi_drift(docs, "n_chars", even_src, bucket_width=64)
 
+    def events_markov_transitions(sf_dir):
+        """Per-user next-event transition matrix: one bucketed shuffle
+        co-locates each user's ordered history, a vectorized in-bucket
+        pass pairs adjacent events, the final groupby folds |types|^2
+        tiny partial counts."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            markov_transitions,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "event_id"],
+        )
+        return markov_transitions(ev)
+
     def sample_weighted_topk(sf_dir):
         """Deterministic weight-proportional sample without replacement
         (Efraimidis-Spirakis with a hash-derived uniform): the 200 docs
@@ -2801,6 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_regional_revenue": join_regional_revenue,
         "dq_psi_drift": dq_psi_drift,
         "sample_weighted_topk": sample_weighted_topk,
+        "events_markov_transitions": events_markov_transitions,
     }
 
 
@@ -3828,6 +3845,13 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
             "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "events_markov_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS prev_type FROM events) "
+            "SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt "
+            "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2"
         ),
         "sample_weighted_topk": (
             # same Lehmer uniform + A-Res key ln(u)/w, key excluded from

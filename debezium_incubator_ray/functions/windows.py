@@ -549,3 +549,73 @@ def pivot_counts(
         lambda t: t.rename_columns([key_col] + cols),
         batch_format="pyarrow",
     )
+
+
+def markov_transitions(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    buckets: int = 64,
+):
+    """Global (prev_type, next_type) transition counts over each key's
+    event sequence in ``order_col`` order — the Markov-chain / next-event
+    counting primitive behind behavioral models.
+
+    Adjacency needs each key's FULL ordered history co-located: one
+    bucketed shuffle on hash(key), then a vectorized in-bucket pass (one
+    sort by (key, order), adjacent-row pairing masked at key boundaries,
+    Arrow group-count) pre-reduces to the bucket's transition counts; the
+    final groupby folds #buckets x |types|^2 tiny rows. No per-key Python
+    loop anywhere."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        d = t.select([key_col, type_col, order_col])
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"])
+        idx = pc.sort_indices(
+            d, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
+        )
+        s = d.take(idx)
+        n = s.num_rows
+        if n < 2:
+            return pa.table({
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        k = s[key_col].combine_chunks()
+        same = pc.equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        ty = s[type_col].combine_chunks()
+        tb = pa.table({
+            "prev_type": ty.slice(0, n - 1).filter(pa.array(same)),
+            "next_type": ty.slice(1).filter(pa.array(same)),
+        })
+        g2 = tb.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "prev_type": g2["prev_type"],
+            "next_type": g2["next_type"],
+            "cnt": pc.cast(g2["count_all"], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])  # |types|^2 rows — tiny
+        .sum("cnt")
+    )
+    return folded.map_batches(
+        lambda t: t.rename_columns(["prev_type", "next_type", "cnt"]),
+        batch_format="pyarrow",
+    )

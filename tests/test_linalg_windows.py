@@ -185,6 +185,66 @@ def test_deterministic_shuffle_is_reproducible_permutation():
     assert a["perm"].nunique() == 500
 
 
+def test_weighted_sample_topk_properties():
+    from debezium_incubator_ray.functions.sample import weighted_sample_topk
+
+    rng = np.random.default_rng(21)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "w": pa.array(
+            np.where(np.arange(n) % 7 == 0, 0.0,
+                     rng.integers(1, 500, n).astype(float))
+        ),
+    })
+    a = weighted_sample_topk(
+        ray.data.from_arrow(t).repartition(5), "w", k=50, id_col="doc_id"
+    ).to_pandas()
+    b = weighted_sample_topk(
+        ray.data.from_arrow(t).repartition(2), "w", k=50, id_col="doc_id"
+    ).to_pandas()
+    # identical sample at any parallelism; zero-weight rows never qualify
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) == 50 and (a["w"] > 0).all()
+    # matches the direct A-Res computation
+    ids = np.arange(n, dtype=np.uint64)
+    mod, mult, seed = 2147483647, 2654435761, 12345
+    u = ((ids % mod) * (mult % mod) + seed) % mod / float(mod)
+    w = t["w"].to_numpy()
+    key = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1.0), -np.inf)
+    order = np.lexsort((ids, -key))
+    exp = set(int(i) for i in order[:50])
+    assert set(int(i) for i in a["doc_id"]) == exp
+
+
+def test_markov_transitions_pandas_oracle():
+    from debezium_incubator_ray.functions.windows import markov_transitions
+
+    rng = np.random.default_rng(23)
+    n = 800
+    users = rng.integers(0, 30, n)
+    types = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types),
+        "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    out = markov_transitions(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    df = pd.DataFrame({
+        "u": users, "ty": types,
+        "eid": t["event_id"].to_numpy(),
+    }).sort_values(["u", "eid"])
+    df["prev"] = df.groupby("u")["ty"].shift(1)
+    ref = (df.dropna(subset=["prev"])
+           .groupby(["prev", "ty"]).size().rename("cnt").reset_index())
+    got = {(r.prev_type, r.next_type): r.cnt
+           for r in out.itertuples(index=False)}
+    exp = {(r.prev, r.ty): r.cnt for r in ref.itertuples(index=False)}
+    assert got == exp
+
+
 def test_retention_cohorts_pandas_oracle():
     from debezium_incubator_ray.functions.windows import retention_cohorts
 
