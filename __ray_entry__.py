@@ -3859,8 +3859,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH s AS (SELECT doc_id, n_chars, "
             "((doc_id % 2147483647) * (2654435761 % 2147483647) + 12345) "
             "% 2147483647 AS perm FROM documents WHERE n_chars > 0) "
+            # CASE guards perm = 0: the engine's key is -inf there (legal,
+            # minimal priority) but DuckDB ln(0) hard-errors; NULL sorts
+            # last under DESC — the same placement as -inf
             "SELECT doc_id, n_chars FROM s "
-            "ORDER BY ln(perm / 2147483647.0) / n_chars DESC, doc_id "
+            "ORDER BY CASE WHEN perm = 0 THEN NULL "
+            "ELSE ln(perm / 2147483647.0) / n_chars END DESC, doc_id "
             "LIMIT 200"
         ),
         "dq_psi_drift": (

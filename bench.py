@@ -234,6 +234,8 @@ def main() -> None:
         "join_top_revenue_orders", "part_copurchase_topk",
         "cdc_partial_evolution", "cdc_partial_mor", "cdc_counter_col",
         "cdc_range_erase", "corpus_shuffle_head", "join_regional_revenue",
+        "cdc_tombstone_purge", "dq_psi_drift", "sample_weighted_topk",
+        "events_markov_transitions",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -149,7 +149,8 @@ def psi_drift(
     crawl B, train vs val, old vs new source mix). ``group_expr(table) ->
     BooleanArray`` splits rows into cohort A (true) / B (false);
     ``value_col`` is histogrammed into fixed integer buckets
-    (``value // bucket_width`` — exact, no float binning).
+    (``value // bucket_width``, integer floor division — exact at any
+    magnitude). Null values are excluded (a null has no bucket).
 
     Returns per-bucket rows (bucket, p_a, p_b, psi_term) over buckets
     present in BOTH cohorts (the standard PSI domain — an empty side has
@@ -160,15 +161,25 @@ def psi_drift(
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        grp = group_expr(t)
-        b = pc.floor(
-            pc.divide(
-                pc.cast(t[value_col], pa.float64()), float(bucket_width)
-            )
+        grp = pc.cast(group_expr(t), pa.bool_())
+        v = t[value_col].combine_chunks()
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        # a null value has no bucket; a null cohort has no side; NaN
+        # floats cannot bucket either
+        keep = pc.and_(pc.is_valid(v), pc.is_valid(grp))
+        if pa.types.is_floating(v.type):
+            keep = pc.and_(keep, pc.is_finite(v))
+        v = v.filter(keep)
+        grp = grp.filter(keep)
+        ints = (
+            pc.cast(v, pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         tb = pa.table({
-            "bucket": pc.cast(b, pa.int64()),
-            "is_a": pc.cast(grp, pa.bool_()),
+            "bucket": pa.array(ints // np.int64(bucket_width)),
+            "is_a": grp,
         })
         g = tb.group_by(["bucket", "is_a"]).aggregate([([], "count_all")])
         return pa.table({

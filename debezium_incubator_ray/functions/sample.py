@@ -360,6 +360,22 @@ def split_assign(ds, fractions=None, id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _lehmer_perm(ids: np.ndarray, id_col: str, seed: int, mult: int,
+                 mod: int) -> np.ndarray:
+    """The shared keyed permutation: perm = (id * mult + seed) % mod with
+    BOTH factors reduced mod first so the product stays < 2^62 (a raw
+    id*mult silently wraps uint64 for ids beyond ~6.9e9 and diverges from
+    any SQL oracle). Ids must lie in [0, mod) — beyond it the map is no
+    longer a bijection and sorted orders stop being deterministic."""
+    ids = ids.astype(np.int64)
+    if len(ids) and (ids.min() < 0 or ids.max() >= mod):
+        raise ValueError(f"requires 0 <= {id_col} < {mod}")
+    a = ids.astype(np.uint64) % np.uint64(mod)
+    return (
+        a * (np.uint64(mult) % np.uint64(mod)) + np.uint64(seed)
+    ) % np.uint64(mod)
+
+
 def deterministic_shuffle(
     ds,
     id_col: str = "doc_id",
@@ -381,22 +397,8 @@ def deterministic_shuffle(
     sort key is evidence — rank k holds the k-th smallest perm)."""
 
     def stamp(t: pa.Table) -> pa.Table:
-        ids = (
-            t[id_col].combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        if len(ids) and (ids.min() < 0 or ids.max() >= mod):
-            # ids >= mod collide under the Lehmer map — duplicate perms
-            # would make the sorted order nondeterministic
-            raise ValueError(
-                f"deterministic_shuffle requires 0 <= {id_col} < {mod}"
-            )
-        # exact modular arithmetic: reduce BOTH factors first so the
-        # product stays < 2^62 (a raw id*mult would silently wrap uint64
-        # for ids beyond ~6.9e9 and diverge from any SQL oracle)
-        a = ids.astype(np.uint64) % np.uint64(mod)
-        perm = (a * (np.uint64(mult) % np.uint64(mod)) + np.uint64(seed)) % np.uint64(mod)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        perm = _lehmer_perm(ids, id_col, seed, mult, mod)
         return t.append_column("perm", pa.array(perm.astype(np.int64)))
 
     return ds.map_batches(
@@ -431,19 +433,8 @@ def weighted_sample_topk(
     quality-weighted corpus subset reproducibly."""
 
     def stamp(t: pa.Table) -> pa.Table:
-        ids = (
-            t[id_col].combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        if len(ids) and (ids.min() < 0 or ids.max() >= mod):
-            raise ValueError(
-                f"weighted_sample_topk requires 0 <= {id_col} < {mod}"
-            )
-        a = ids.astype(np.uint64) % np.uint64(mod)
-        perm = (
-            a * (np.uint64(mult) % np.uint64(mod)) + np.uint64(seed)
-        ) % np.uint64(mod)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        perm = _lehmer_perm(ids, id_col, seed, mult, mod)
         u = perm.astype(np.float64) / float(mod)
         w = (
             pc.cast(t[weight_col].combine_chunks(), pa.float64())
@@ -469,6 +460,8 @@ def weighted_sample_topk(
     cand = ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
     blocks = [b for b in cand.iter_batches(batch_format="pyarrow")]
     if not blocks:
-        return pa.table({})
+        # empty input: keep the documented output schema, not a 0-column table
+        base = ds.schema().base_schema
+        return pa.table({f.name: pa.nulls(0, f.type) for f in base})
     merged = pa.concat_tables(blocks, promote_options="permissive")
     return _local_topk_by_key(merged, k, id_col).drop_columns(["_skey"])

@@ -585,9 +585,10 @@ def markov_transitions(
         s = d.take(idx)
         n = s.num_rows
         if n < 2:
+            ty_t = s[type_col].combine_chunks().type  # match large_string
             return pa.table({
-                "prev_type": pa.array([], pa.string()),
-                "next_type": pa.array([], pa.string()),
+                "prev_type": pa.array([], ty_t),
+                "next_type": pa.array([], ty_t),
                 "cnt": pa.array([], pa.int64()),
             })
         k = s[key_col].combine_chunks()
