@@ -2637,6 +2637,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return psi_drift(docs, "n_chars", even_src, bucket_width=64)
 
+    def events_rollup(sf_dir):
+        """ROLLUP aggregate in ONE pass: every batch emits partial
+        (sum, count) rows at ALL grouping levels — (event_type, week),
+        (event_type), grand total — so a single tiny shuffle folds the
+        whole lattice; no per-level rescan. ``lvl`` = number of grouped
+        columns (SQL: 2 - GROUPING(...) arithmetic)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            wk = pc.strftime(
+                pc.floor_temporal(
+                    t["ts"].combine_chunks(), unit="week",
+                    week_starts_monday=True,
+                ),
+                format="%Y-%m-%d",
+            )
+            base = pa.table({
+                "event_type": t["event_type"],
+                "week": wk,
+                "v": pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0),
+                "one": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64)
+                ),
+            })
+            outs = []
+            for lvl, keys in ((2, ["event_type", "week"]),
+                              (1, ["event_type"]), (0, [])):
+                g = base.group_by(keys).aggregate(
+                    [("v", "sum"), ("one", "sum")]
+                )
+                n = g.num_rows
+                outs.append(pa.table({
+                    "lvl": pa.array(np.full(n, lvl, dtype=np.int64)),
+                    "event_type": (
+                        g["event_type"] if "event_type" in g.column_names
+                        else pa.nulls(n, pa.string())
+                    ),
+                    "week": (
+                        g["week"] if "week" in g.column_names
+                        else pa.nulls(n, pa.string())
+                    ),
+                    "sv": g["v_sum"],
+                    "cnt": g["one_sum"],
+                }))
+            return pa.concat_tables(outs)
+
+        folded = (
+            ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lvl", "event_type", "week"])
+            .aggregate(Sum("sv", alias_name="sv"),
+                       Sum("cnt", alias_name="cnt"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lvl": t["lvl"],
+                "event_type": t["event_type"],
+                "week": t["week"],
+                "total_value": pc.round(t["sv"], ndigits=3),
+                "n": pc.cast(t["cnt"], pa.int64()),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
     def events_markov_transitions(sf_dir):
         """Per-user next-event transition matrix: one bucketed shuffle
         co-locates each user's ordered history, a vectorized in-bucket
@@ -2818,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_psi_drift": dq_psi_drift,
         "sample_weighted_topk": sample_weighted_topk,
         "events_markov_transitions": events_markov_transitions,
+        "events_rollup": events_rollup,
     }
 
 
@@ -3845,6 +3920,19 @@ def oracle_sql() -> dict[str, str]:
             "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
             "g AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2) "
             "SELECT w1, w2, cnt FROM g ORDER BY cnt DESC, w1, w2 LIMIT 50"
+        ),
+        "events_rollup": (
+            # GROUPING() arithmetic: lvl = grouped-column count; SUM of an
+            # all-null value column is NULL in SQL but 0.0 in the engine's
+            # fill_null partial — COALESCE matches (values are never all
+            # null in this data; the 0.0 identity is the combiner's)
+            "SELECT (2 - GROUPING(event_type) - GROUPING(week)) AS lvl, "
+            "event_type, week, "
+            "round(COALESCE(SUM(value), 0), 3) AS total_value, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT event_type, "
+            "strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, value "
+            "FROM events) GROUP BY ROLLUP (event_type, week)"
         ),
         "events_markov_transitions": (
             "WITH s AS (SELECT user_id, event_type, "
