@@ -2775,6 +2775,239 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, types=["click", "error", "purchase", "signup", "view"]
         )
 
+    def events_lag_gaps(sf_dir):
+        """Per-user inter-event gap stats — the LAG() window primitive:
+        one bucketed shuffle co-locates each user's history, a vectorized
+        in-bucket pass (sort, adjacent int64-microsecond diff, boundary
+        mask, Arrow group-agg) emits final per-user rows. All-integer
+        outputs, exact at any parallelism."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import lag_gap_stats
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id"],
+        )
+        return lag_gap_stats(ev)
+
+    def join_anti_customers(sf_dir):
+        """Big-big ANTI join (decontamination shape at lake scale):
+        customers with no order since 2001-01-01 (churn), via the
+        partitioned-hash-join exchange with Arrow's 'left anti' kernel per
+        bucket — the probe side ships only its key column, pre-filtered at
+        the read (row-group pruning) — then a partial-agg rollup per
+        nation."""
+        import datetime
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+        okeys = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+            filter=(pads.field("o_orderdate")
+                    >= pa.scalar(datetime.datetime(2001, 1, 1))),
+        )
+        anti = shuffle_join(
+            cust, okeys, on="c_custkey", right_on="o_custkey",
+            join_type="left anti",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["c_nationkey"]).aggregate(
+                [("c_custkey", "count"), ("c_acctbal", "sum")]
+            )
+            return pa.table({
+                "c_nationkey": g["c_nationkey"],
+                "cnt": pc.cast(g["c_custkey_count"], pa.int64()),
+                "bal": g["c_acctbal_sum"],
+            })
+
+        folded = (
+            anti.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("c_nationkey")
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Sum("bal", alias_name="bal"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "c_nationkey": t["c_nationkey"],
+                "n_customers": pc.cast(t["cnt"], pa.int64()),
+                "acctbal_sum": pc.round(t["bal"], ndigits=3),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
+    def events_cube(sf_dir):
+        """CUBE aggregate in ONE pass (all four grouping sets of
+        (event_type, day-of-week) emitted as per-batch partials, one tiny
+        shuffle folds the lattice — the rollup pattern generalized to the
+        full power set). ``gid`` mirrors SQL GROUPING() bits."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            # Sunday=0 .. Saturday=6, matching DuckDB dayofweek()
+            dow = pc.cast(
+                pc.day_of_week(t["ts"].combine_chunks(),
+                               count_from_zero=True, week_start=7),
+                pa.int64(),
+            )
+            base = pa.table({
+                "event_type": t["event_type"],
+                "dow": dow,
+                "v": pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            })
+            outs = []
+            for gid, keys in ((0, ["event_type", "dow"]),
+                              (1, ["event_type"]),
+                              (2, ["dow"]), (3, [])):
+                g = base.group_by(keys).aggregate(
+                    [("v", "sum"), ("one", "sum")]
+                )
+                n = g.num_rows
+                outs.append(pa.table({
+                    "gid": pa.array(np.full(n, gid, dtype=np.int64)),
+                    "event_type": (
+                        g["event_type"] if "event_type" in g.column_names
+                        else pa.nulls(n, pa.string())
+                    ),
+                    "dow": (
+                        g["dow"] if "dow" in g.column_names
+                        else pa.nulls(n, pa.int64())
+                    ),
+                    "sv": g["v_sum"],
+                    "cnt": g["one_sum"],
+                }))
+            return pa.concat_tables(outs)
+
+        folded = (
+            ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["gid", "event_type", "dow"])
+            .aggregate(Sum("sv", alias_name="sv"),
+                       Sum("cnt", alias_name="cnt"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "gid": t["gid"],
+                "event_type": t["event_type"],
+                "dow": t["dow"],
+                "total_value": pc.round(t["sv"], ndigits=3),
+                "n": pc.cast(t["cnt"], pa.int64()),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
+    def sample_per_group_k(sf_dir):
+        """Deterministic per-group sample: the k=100 events with the
+        smallest Lehmer-permutation value per event_type — uniform within
+        each group, byte-reproducible at any parallelism (no RNG, no
+        seen-state), expressed as grouped top-k over the stamped perm so
+        only k x groups x blocks rows survive the combiner."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.sample import _lehmer_perm
+        from debezium_incubator_ray.functions.windows import topk_per_group
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "event_id"],
+        )
+
+        def stamp(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            perm = _lehmer_perm(
+                ids, "event_id", seed=12345, mult=2654435761,
+                mod=2147483647,
+            ).astype(np.int64)
+            t = t.append_column("perm", pa.array(perm))
+            return t.append_column("neg_perm", pa.array(-perm))
+
+        picked = topk_per_group(
+            ev.map_batches(stamp, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            group_col="event_type", order_col="neg_perm",
+            id_col="event_id", k=100,
+        )
+        return picked.drop_columns(["neg_perm"])
+
+    def join_range_price_tier(sf_dir):
+        """Broadcast RANGE (band) join: every order finds its containing
+        [lo, hi) price band via one vectorized searchsorted against the
+        broadcast sorted band edges — the small-side interval join that
+        never shuffles the fact table — then a partial-agg rollup per
+        tier."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        edges = np.array(
+            [0.0, 50_000.0, 100_000.0, 150_000.0, 200_000.0, 250_000.0,
+             300_000.0], dtype=np.float64,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            price = t["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            tier = np.searchsorted(edges, price, side="right") - 1
+            g = pa.table({
+                "tier": pa.array(tier.astype(np.int64)),
+                "price": t["o_totalprice"],
+            }).group_by(["tier"]).aggregate(
+                [("price", "count"), ("price", "sum")]
+            )
+            return pa.table({
+                "tier": g["tier"],
+                "cnt": pc.cast(g["price_count"], pa.int64()),
+                "rev": g["price_sum"],
+            })
+
+        folded = (
+            orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("tier")
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Sum("rev", alias_name="rev"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "tier": t["tier"],
+                "n_orders": pc.cast(t["cnt"], pa.int64()),
+                "revenue": pc.round(t["rev"], ndigits=3),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -2893,6 +3126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted_topk": sample_weighted_topk,
         "events_markov_transitions": events_markov_transitions,
         "events_rollup": events_rollup,
+        "events_cube": events_cube,
+        "events_lag_gaps": events_lag_gaps,
+        "join_anti_customers": join_anti_customers,
+        "join_range_price_tier": join_range_price_tier,
+        "sample_per_group_k": sample_per_group_k,
     }
 
 
@@ -3933,6 +4171,59 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, "
             "strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, value "
             "FROM events) GROUP BY ROLLUP (event_type, week)"
+        ),
+        "events_cube": (
+            # gid mirrors the engine: GROUPING bit of event_type is the
+            # high bit, dow the low bit; dayofweek() is 0=Sunday..6 in
+            # DuckDB, matched by Arrow day_of_week(week_start=7,
+            # count_from_zero=True)
+            "SELECT (GROUPING(event_type) * 2 + GROUPING(dow)) AS gid, "
+            "event_type, dow, "
+            "round(COALESCE(SUM(value), 0), 3) AS total_value, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT event_type, dayofweek(ts) AS dow, value FROM events) "
+            "GROUP BY CUBE (event_type, dow)"
+        ),
+        "events_lag_gaps": (
+            "WITH s AS (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev "
+            "FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+            "CAST(SUM(date_diff('microseconds', prev, ts)) AS BIGINT) "
+            "AS sum_gap_us, "
+            "CAST(MAX(date_diff('microseconds', prev, ts)) AS BIGINT) "
+            "AS max_gap_us "
+            "FROM s WHERE prev IS NOT NULL GROUP BY 1"
+        ),
+        "join_anti_customers": (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+            "round(SUM(c_acctbal), 3) AS acctbal_sum FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2001-01-01') GROUP BY 1"
+        ),
+        "join_range_price_tier": (
+            "WITH b AS (SELECT * FROM (VALUES "
+            "(0, 0.0, 50000.0), (1, 50000.0, 100000.0), "
+            "(2, 100000.0, 150000.0), (3, 150000.0, 200000.0), "
+            "(4, 200000.0, 250000.0), (5, 250000.0, 300000.0), "
+            "(6, 300000.0, 1e18)) t(tier, lo, hi)) "
+            "SELECT CAST(b.tier AS BIGINT) AS tier, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "round(SUM(o_totalprice), 3) AS revenue "
+            "FROM orders o JOIN b ON o.o_totalprice >= b.lo "
+            "AND o.o_totalprice < b.hi GROUP BY 1"
+        ),
+        "sample_per_group_k": (
+            # same Lehmer permutation as the engine (factors reduced mod
+            # 2^31-1), rank = per-type row number by (perm, event_id)
+            "WITH s AS (SELECT event_type, event_id, "
+            "((event_id % 2147483647) * (2654435761 % 2147483647) + 12345) "
+            "% 2147483647 AS perm FROM events), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY perm, event_id) AS rank FROM s) "
+            "SELECT event_type, event_id, CAST(perm AS BIGINT) AS perm, "
+            "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 100"
         ),
         "events_markov_transitions": (
             "WITH s AS (SELECT user_id, event_type, "

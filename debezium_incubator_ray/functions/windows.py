@@ -620,3 +620,79 @@ def markov_transitions(
         lambda t: t.rename_columns(["prev_type", "next_type", "cnt"]),
         batch_format="pyarrow",
     )
+
+
+def lag_gap_stats(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    buckets: int = 64,
+):
+    """Per-key inter-event gap statistics — the LAG() window primitive
+    (SQL: ts - LAG(ts) OVER (PARTITION BY key ORDER BY order)) reduced to
+    per-key (n_gaps, sum_gap_us, max_gap_us). All-integer outputs, so the
+    result is exact at any parallelism.
+
+    Same shape as :func:`markov_transitions`: ONE bucketed shuffle on
+    hash(key) co-locates each key's full history, then a single vectorized
+    in-bucket pass (sort by (key, order), adjacent diff on the int64
+    microsecond timeline, key-boundary mask, Arrow group-aggregate) emits
+    the FINAL per-key rows — a key lives in exactly one bucket, so no
+    second fold is needed. Keys with fewer than two events emit nothing
+    (matching SQL's WHERE prev IS NOT NULL)."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        d = t.select([key_col, ts_col, order_col])
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    key_t = ds.schema().base_schema.field(key_col).type
+
+    def gaps_in_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"])
+        idx = pc.sort_indices(
+            d, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
+        )
+        s = d.take(idx)
+        n = s.num_rows
+        empty = pa.table({
+            key_col: pa.array([], key_t),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        })
+        if n < 2:
+            return empty
+        k = s[key_col].combine_chunks()
+        same = pc.equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        if not same.any():
+            return empty
+        us = pc.cast(s[ts_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        mask = pa.array(same)
+        tb = pa.table({
+            key_col: k.slice(1).filter(mask),
+            "gap": pa.array((us[1:] - us[:-1])[same]),
+        })
+        g2 = tb.group_by([key_col]).aggregate(
+            [("gap", "count"), ("gap", "sum"), ("gap", "max")]
+        )
+        return pa.table({
+            key_col: g2[key_col],
+            "n_gaps": pc.cast(g2["gap_count"], pa.int64()),
+            "sum_gap_us": g2["gap_sum"],
+            "max_gap_us": g2["gap_max"],
+        })
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(gaps_in_bucket, batch_format="pyarrow")
+    )

@@ -292,3 +292,59 @@ def test_pivot_counts_explicit_and_derived_types():
         assert list(out.columns) == ["user_id", "n_x", "n_y", "n_z"]
         for c in "xyz":
             assert out["n_" + c].tolist() == ref[c].tolist()
+
+
+def test_lag_gap_stats_matches_pandas():
+    from debezium_incubator_ray.functions.windows import lag_gap_stats
+
+    rng = np.random.default_rng(11)
+    n = 400
+    users = rng.integers(0, 40, n)
+    # one single-event user (id 99) must emit NO row
+    users[0] = 99
+    users[1:][users[1:] == 99] = 1
+    order = rng.permutation(n).astype(np.int64)
+    ts_us = rng.integers(0, 10**9, n) * np.int64(1_000)
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "event_id": pa.array(order),
+    })
+    out = (
+        lag_gap_stats(ray.data.from_arrow(t).repartition(6), buckets=8)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+
+    df = pd.DataFrame({"user_id": users, "us": ts_us, "event_id": order})
+    df = df.sort_values(["user_id", "event_id"])
+    df["gap"] = df.groupby("user_id")["us"].diff()
+    ref = (
+        df.dropna(subset=["gap"]).groupby("user_id")["gap"]
+        .agg(n_gaps="count", sum_gap_us="sum", max_gap_us="max")
+        .reset_index()
+    )
+    assert 99 not in set(out["user_id"])
+    assert out["user_id"].tolist() == ref["user_id"].tolist()
+    assert out["n_gaps"].tolist() == ref["n_gaps"].astype(int).tolist()
+    assert out["sum_gap_us"].tolist() == ref["sum_gap_us"].astype(int).tolist()
+    assert out["max_gap_us"].tolist() == ref["max_gap_us"].astype(int).tolist()
+
+
+def test_shuffle_join_left_anti():
+    from debezium_incubator_ray.functions.joins import shuffle_join
+
+    left = pa.table({
+        "k": pa.array(np.arange(50, dtype=np.int64)),
+        "v": pa.array(np.arange(50, dtype=np.int64) * 10),
+    })
+    right = pa.table({
+        "rk": pa.array(np.repeat(np.arange(0, 50, 2, dtype=np.int64), 3)),
+    })
+    out = shuffle_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on="k", right_on="rk", join_type="left anti", buckets=8,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == list(range(1, 50, 2))
+    assert out["v"].tolist() == [k * 10 for k in range(1, 50, 2)]
+    assert list(out.columns) == ["k", "v"]
