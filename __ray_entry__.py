@@ -3008,6 +3008,128 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return folded.map_batches(finish, batch_format="pyarrow")
 
+    def join_full_outer_daily(sf_dir):
+        """FULL OUTER reconciliation of two independent daily series
+        (orders vs events): each side pre-aggregates to per-day counts
+        (the combiner — only |days| rows reach the exchange), then the
+        partitioned hash join emits matched and BOTH unmatched sides."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        def daily(path, ts_col, out):
+            ds = ray.data.read_parquet(path, columns=[ts_col])
+
+            def partial(t: pa.Table) -> pa.Table:
+                d = pc.strftime(t[ts_col].combine_chunks(), format="%Y-%m-%d")
+                g = pa.table({"d": d}).group_by(["d"]).aggregate(
+                    [([], "count_all")]
+                )
+                return pa.table({
+                    "d": g["d"],
+                    out: pc.cast(g["count_all"], pa.int64()),
+                })
+
+            return (
+                ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("d").aggregate(Sum(out, alias_name=out))
+            )
+
+        o = daily(os.path.join(sf_dir, "orders.parquet"), "o_orderdate",
+                  "n_orders")
+        e = daily(os.path.join(sf_dir, "events.parquet"), "ts", "n_events")
+        joined = shuffle_join(o, e, on="d", right_on="d",
+                              join_type="full outer")
+
+        def finish(t: pa.Table) -> pa.Table:
+            # Arrow's full-outer join coalesces the two key columns into
+            # one output column named after the left key
+            return pa.table({
+                "day": t["d"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            })
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
+    def join_semi_recent_orders(sf_dir):
+        """SEMI join (TPC-H Q4 shape): orders with at least one lineitem
+        shipped since 2001-01-01, counted per priority — probe side
+        pre-filtered at the read and shipped key-only; Arrow 'left semi'
+        per bucket emits each qualifying order once."""
+        import datetime
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"],
+            filter=(pads.field("l_shipdate")
+                    >= pa.scalar(datetime.datetime(2001, 1, 1))),
+        )
+        semi = shuffle_join(orders, li, on="o_orderkey",
+                            right_on="l_orderkey", join_type="left semi")
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return pa.table({
+                "o_orderpriority": g["o_orderpriority"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        folded = (
+            semi.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": pc.cast(t["cnt"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def embedding_quantize_int8(sf_dir):
+        """Per-dimension int8 scalar quantization calibration + audit:
+        corpus-global min/max per dim (pass 1, O(d) driver fold), then the
+        broadcast range re-codes every vector and per-dim mean code comes
+        back (pass 2) — the compression step before a 100 TB ANN build."""
+        import ray.data
+        from debezium_incubator_ray.functions.linalg import (
+            quantize_int8_stats,
+        )
+
+        emb = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        return quantize_int8_stats(emb)
+
+    def text_hashed_features(sf_dir):
+        """Hashing-trick featurization audit: md5-bucket histogram of all
+        corpus tokens (32 buckets) — vocabulary-free, one md5 per DISTINCT
+        token per batch, 32 partial rows per block."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import (
+            hashed_feature_counts,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        return hashed_feature_counts(docs, buckets=32)
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -3130,6 +3252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_gaps": events_lag_gaps,
         "join_anti_customers": join_anti_customers,
         "join_range_price_tier": join_range_price_tier,
+        "join_full_outer_daily": join_full_outer_daily,
+        "join_semi_recent_orders": join_semi_recent_orders,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "text_hashed_features": text_hashed_features,
         "sample_per_group_k": sample_per_group_k,
     }
 
@@ -4201,6 +4327,43 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '2001-01-01') GROUP BY 1"
+        ),
+        "join_full_outer_daily": (
+            "WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1), "
+            "e AS (SELECT strftime(ts, '%Y-%m-%d') AS d, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1) "
+            "SELECT COALESCE(o.d, e.d) AS day, o.n_orders, e.n_events "
+            "FROM o FULL OUTER JOIN e ON o.d = e.d"
+        ),
+        "join_semi_recent_orders": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate >= TIMESTAMP '2001-01-01') GROUP BY 1"
+        ),
+        "embedding_quantize_int8": (
+            # all arithmetic in DOUBLE in the engine's exact evaluation
+            # order: ((v - lo) / (hi - lo)) * 255 + 0.5
+            "WITH e AS (SELECT vec_id, "
+            "generate_subscripts(embedding, 1) - 1 AS i, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+            "m AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY 1) "
+            "SELECT e.i AS i, round(m.lo, 6) AS lo, round(m.hi, 6) AS hi, "
+            "round(AVG(LEAST(255.0, GREATEST(0.0, "
+            "floor((e.v - m.lo) / (m.hi - m.lo) * 255 + 0.5)))), 6) "
+            "AS avg_code "
+            "FROM e JOIN m ON e.i = m.i GROUP BY e.i, m.lo, m.hi"
+        ),
+        "text_hashed_features": (
+            # md5_u64 bridge: first 16 hex chars of md5 as UBIGINT,
+            # same lowercase whitespace tokenizer as the engine
+            "WITH t AS (SELECT string_split_regex(trim(lower(text)), "
+            "'\\s+') AS tk FROM documents WHERE length(trim(text)) > 0), "
+            "u AS (SELECT unnest(tk) AS w FROM t) "
+            "SELECT CAST(CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT)"
+            " % 32 AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tokens FROM u GROUP BY 1"
         ),
         "join_range_price_tier": (
             "WITH b AS (SELECT * FROM (VALUES "

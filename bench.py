@@ -237,7 +237,9 @@ def main() -> None:
         "cdc_tombstone_purge", "dq_psi_drift", "sample_weighted_topk",
         "events_markov_transitions", "events_rollup", "events_cube",
         "events_lag_gaps", "join_anti_customers", "join_range_price_tier",
-        "sample_per_group_k",
+        "sample_per_group_k", "join_full_outer_daily",
+        "join_semi_recent_orders", "embedding_quantize_int8",
+        "text_hashed_features",
     ]
     for name in q_list:
         t2 = time.perf_counter()

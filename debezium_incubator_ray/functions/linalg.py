@@ -156,3 +156,118 @@ def top_eigvec(ds, col: str = "embedding", iters: int = 32) -> np.ndarray:
             return np.zeros(d)
         v = v / nv
     return v
+
+
+def quantize_int8_stats(ds, col: str = "embedding"):
+    """Scalar (per-dimension) int8 quantization of an embedding column —
+    the storage-compression step before a 100 TB vector corpus ships to an
+    ANN index. code = floor((v - lo_d) / (hi_d - lo_d) * 255 + 0.5)
+    clipped to [0, 255], with (lo_d, hi_d) the corpus-global per-dimension
+    range.
+
+    Two streaming passes, both decomposable: (1) per-batch per-dim
+    min/max partials (d rows per block) folded on the driver — O(d) state,
+    the calibration table; (2) the d-float broadcast range re-quantizes
+    every batch and emits per-dim (sum_code, n) partials folded by one
+    tiny groupby. Returns one row per dimension: (i, lo, hi, avg_code) —
+    the verification surface; the per-row codes themselves stay inside the
+    tasks (at scale they'd stream to the sink, not to the driver).
+
+    All arithmetic is float64 in exactly the SQL evaluation order
+    ((v - lo) / (hi - lo) * 255 + 0.5), so a DuckDB oracle reproduces the
+    codes bit-for-bit."""
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        emb = t[col].combine_chunks()
+        if emb.null_count:
+            emb = emb.drop_null()
+        n = len(emb)
+        if n == 0:
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.float64()),
+                "hi": pa.array([], pa.float64()),
+            })
+        lens = pc.unique(pc.list_value_length(emb))
+        if len(lens) != 1:
+            raise ValueError(
+                f"ragged embedding column: lengths {lens.to_pylist()}"
+            )
+        d = lens[0].as_py()
+        X = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ).reshape(n, d)
+        return pa.table({
+            "i": pa.array(np.arange(d, dtype=np.int64)),
+            "lo": pa.array(X.min(axis=0)),
+            "hi": pa.array(X.max(axis=0)),
+        })
+
+    lo: Optional[np.ndarray] = None
+    hi: Optional[np.ndarray] = None
+    parts = ds.map_batches(
+        minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        i = b["i"].to_numpy(zero_copy_only=False)
+        blo = b["lo"].to_numpy(zero_copy_only=False)
+        bhi = b["hi"].to_numpy(zero_copy_only=False)
+        if lo is None:
+            d = int(i.max()) + 1
+            lo = np.full(d, np.inf)
+            hi = np.full(d, -np.inf)
+        np.minimum.at(lo, i, blo)
+        np.maximum.at(hi, i, bhi)
+    if lo is None:
+        raise ValueError("no embeddings to quantize")
+    lo_b, hi_b = lo, hi  # captured per task; d floats — broadcast-small
+
+    def code_partial(t: pa.Table) -> pa.Table:
+        emb = t[col].combine_chunks()
+        if emb.null_count:
+            emb = emb.drop_null()
+        n = len(emb)
+        d = len(lo_b)
+        if n == 0:
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "sum_code": pa.array([], pa.float64()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        X = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ).reshape(n, d)
+        codes = np.clip(
+            np.floor((X - lo_b) / (hi_b - lo_b) * 255 + 0.5), 0, 255
+        )
+        return pa.table({
+            "i": pa.array(np.arange(d, dtype=np.int64)),
+            "sum_code": pa.array(codes.sum(axis=0)),
+            "cnt": pa.array(np.full(d, n, dtype=np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(code_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("i")
+        .aggregate(Sum("sum_code", alias_name="sum_code"),
+                   Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "i": t["i"],
+            "lo": pa.array(np.round(lo_b[i], 6)),
+            "hi": pa.array(np.round(hi_b[i], 6)),
+            "avg_code": pc.round(
+                pc.divide(t["sum_code"], pc.cast(t["cnt"], pa.float64())),
+                ndigits=6,
+            ),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -770,3 +770,43 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
                       "cnt": pa.array([], pa.int64())})]
     )
     return sum_topk(merged)
+
+
+def hashed_feature_counts(ds, text_col: str = "text", buckets: int = 32):
+    """The hashing trick's global bucket histogram: every token routes to
+    md5_u64(token) % buckets and the corpus-wide count per bucket comes
+    back — the vocabulary-free featurization a streaming model trains on
+    (per-doc sparse vectors use the same bucket ids; the histogram is the
+    verification surface and the idf-style normalizer).
+
+    Per batch: one vectorized tokenize + one md5 per DISTINCT token + one
+    bincount — ``buckets`` int64 partial rows per block; a single tiny
+    groupby folds them. md5_u64 is the cross-engine hash bridge, so a
+    DuckDB oracle reproduces the routing exactly."""
+    from ray.data.aggregate import Sum
+
+    from debezium_incubator_ray.functions.tokens import flat_tokens, md5_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _lens = flat_tokens(t[text_col])
+        b = (md5_u64(flat) % np.uint64(buckets)).astype(np.int64)
+        cnt = np.bincount(b, minlength=buckets).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.arange(buckets, dtype=np.int64)),
+            "n_tokens": pa.array(cnt),
+        })
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        # a globally-empty bucket has no SQL GROUP BY row — drop the 0s
+        t = t.filter(pc.greater(t["n_tokens"], 0))
+        return pa.table({
+            "bucket": t["bucket"],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -348,3 +348,59 @@ def test_shuffle_join_left_anti():
     assert out["k"].tolist() == list(range(1, 50, 2))
     assert out["v"].tolist() == [k * 10 for k in range(1, 50, 2)]
     assert list(out.columns) == ["k", "v"]
+
+
+def test_quantize_int8_stats_matches_numpy(emb_ds):
+    from debezium_incubator_ray.functions.linalg import quantize_int8_stats
+
+    X, ds = emb_ds
+    out = (
+        quantize_int8_stats(ds).to_pandas()
+        .sort_values("i").reset_index(drop=True)
+    )
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    codes = np.clip(np.floor((X - lo) / (hi - lo) * 255 + 0.5), 0, 255)
+    assert out["i"].tolist() == list(range(8))
+    assert np.allclose(out["lo"], np.round(lo, 6))
+    assert np.allclose(out["hi"], np.round(hi, 6))
+    assert np.allclose(out["avg_code"], np.round(codes.mean(axis=0), 6))
+
+
+def test_hashed_feature_counts_exact():
+    from debezium_incubator_ray.functions.text import hashed_feature_counts
+    from debezium_incubator_ray.functions.tokens import md5_u64
+
+    texts = ["the cat sat", "THE the dog", "", "   ", "one"]
+    t = pa.table({"text": pa.array(texts)})
+    out = (
+        hashed_feature_counts(ray.data.from_arrow(t).repartition(3),
+                              buckets=8)
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    toks = [w for s in texts for w in s.strip().lower().split()]
+    h = md5_u64(pa.array(toks)) % np.uint64(8)
+    ref = pd.Series(h.astype(np.int64)).value_counts().sort_index()
+    assert out["bucket"].tolist() == ref.index.tolist()
+    assert out["n_tokens"].tolist() == ref.tolist()
+    assert out["n_tokens"].sum() == 7
+
+
+def test_shuffle_join_full_outer():
+    from debezium_incubator_ray.functions.joins import shuffle_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "rv": pa.array([200, 300, 400], pa.int64()),
+    })
+    out = shuffle_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        on="k", join_type="full outer", buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].fillna(-1).tolist() == [10, 20, 30, -1]
+    assert out["rv"].fillna(-1).tolist() == [-1, 200, 300, 400]
