@@ -2790,6 +2790,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return lag_gap_stats(ev)
 
+    def events_peak_window(sf_dir):
+        """Per-user peak 3-event moving average (max of AVG OVER a sliding
+        row frame): bucketed shuffle co-locates each user's history, one
+        lexsort + cumulative-sum frame math + maximum.reduceat in-bucket —
+        the per-event window column never leaves the tasks."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import peak_window_avg
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return peak_window_avg(ev, window=3)
+
+    def events_argmax_ties(sf_dir):
+        """Argmax-with-ties (QUALIFY value = MAX(value) OVER user): per-batch
+        in-batch-max pre-filter is the combiner, one narrow bucketed shuffle,
+        Arrow group-max + equality filter in-bucket."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import argmax_rows
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        )
+        return argmax_rows(ev)
+
+    def spend_above_avg(sf_dir):
+        """Customers whose total spend exceeds the global mean per-customer
+        total — broadcast-threshold filter: per-batch partial sums fold
+        through one custkey groupby; the mean of that (small) aggregate is
+        computed once and the comparison streams."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
+            return pa.table(
+                {"o_custkey": g["o_custkey"], "psum": g["o_totalprice_sum"]}
+            )
+
+        totals = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Sum("psum", alias_name="total"))
+        )
+        # the per-customer aggregate is small by construction; its mean is
+        # one more tiny fold (never the raw orders)
+        stats = totals.map_batches(
+            lambda t: pa.table({
+                "_k": pa.array([0], pa.int64()),
+                "s": pa.array([pc.sum(t["total"]).as_py() or 0.0]),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).groupby("_k").aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")).take_all()[0]
+        avg = stats["s"] / max(stats["n"], 1)
+
+        def finish(t: pa.Table) -> pa.Table:
+            keep = pc.greater(t["total"], pa.scalar(avg, pa.float64()))
+            out = t.filter(pc.fill_null(keep, False))
+            return pa.table({
+                "o_custkey": out["o_custkey"],
+                "total": pc.round(out["total"], ndigits=3),
+            })
+
+        return totals.map_batches(finish, batch_format="pyarrow")
+
+    def text_zipf_slope(sf_dir):
+        """Zipf's-law slope over the top-200 vocabulary: per-batch count
+        partials, one term groupby, two-level top-k cut, closed-form
+        least-squares on the 200 sufficient statistics."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import zipf_slope
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        return zipf_slope(docs, top_n=200)
+
+    def text_bm25_topk(sf_dir):
+        """BM25 top-20 docs for a fixed query-term set: one tiny stats fold
+        (N, avgdl, per-term df), stats broadcast in the closure, vectorized
+        per-batch scoring with a partial top-k combiner."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import bm25_topk
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return bm25_topk(docs, ("join", "vector", "stream"), k=20)
+
     def join_anti_customers(sf_dir):
         """Big-big ANTI join (decontamination shape at lake scale):
         customers with no order since 2001-01-01 (churn), via the
@@ -3250,6 +3350,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_lag_gaps": events_lag_gaps,
+        "events_peak_window": events_peak_window,
+        "events_argmax_ties": events_argmax_ties,
+        "spend_above_avg": spend_above_avg,
+        "text_zipf_slope": text_zipf_slope,
+        "text_bm25_topk": text_bm25_topk,
         "join_anti_customers": join_anti_customers,
         "join_range_price_tier": join_range_price_tier,
         "join_full_outer_daily": join_full_outer_daily,
@@ -4320,6 +4425,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(date_diff('microseconds', prev, ts)) AS BIGINT) "
             "AS max_gap_us "
             "FROM s WHERE prev IS NOT NULL GROUP BY 1"
+        ),
+        "events_peak_window": (
+            "WITH w AS (SELECT user_id, avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg FROM events) "
+            "SELECT user_id, round(max(mavg), 3) AS peak_avg "
+            "FROM w GROUP BY user_id"
+        ),
+        "events_argmax_ties": (
+            "SELECT user_id, event_id, value FROM events "
+            "QUALIFY value = max(value) OVER (PARTITION BY user_id)"
+        ),
+        "spend_above_avg": (
+            "WITH t AS (SELECT o_custkey, sum(o_totalprice) AS total "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT o_custkey, round(total, 3) AS total FROM t "
+            "WHERE total > (SELECT avg(total) FROM t)"
+        ),
+        "text_zipf_slope": (
+            "WITH tok AS (SELECT unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS term FROM documents WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term), "
+            "top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, "
+            "term ASC) AS r FROM tf ORDER BY cnt DESC, term ASC LIMIT 200) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_terms, "
+            "round(regr_slope(ln(CAST(cnt AS DOUBLE)), "
+            "ln(CAST(r AS DOUBLE))), 6) AS slope FROM top"
+        ),
+        "text_bm25_topk": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl "
+            "FROM tok GROUP BY doc_id), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf "
+            "FROM tok WHERE term IN ('join', 'stream', 'vector') "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
+            "FROM tf GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, sum(ln((st.n_docs - df.df + 0.5) / "
+            "(df.df + 0.5) + 1.0) * tf.tf * 2.2 / (tf.tf + 1.2 * "
+            "(0.25 + 0.75 * dl.dl / st.avgdl))) AS score "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN st GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6) AS score FROM sc "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
         "join_anti_customers": (
             "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "

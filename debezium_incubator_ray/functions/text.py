@@ -810,3 +810,180 @@ def hashed_feature_counts(ds, text_col: str = "text", buckets: int = 32):
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope + BM25 ranking
+
+
+def zipf_slope(ds, text_col: str = "text", top_n: int = 200, buckets: int = 64):
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(freq) against ln(rank) for the ``top_n`` most frequent terms (rank
+    ordered by count DESC, term ASC — deterministic under ties). A quick
+    distributional-health gauge for a training corpus (natural text sits
+    near slope -1; boilerplate/spam skews it).
+
+    Pipeline: per-batch Arrow group-count partials (the combiner — shuffle
+    carries per-block vocab rows, never tokens), one term-keyed groupby
+    fold, a two-level top-k cut (per-block partial then final), and a
+    CLOSED-FORM slope from the top_n sufficient statistics — the regression
+    runs on top_n rows, so it computes inline; nothing wide ever
+    materializes. Output: one row (n_terms, slope)."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t, text_col)
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "term": g["term"],
+            "cnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("term", "ascending")]
+        )
+        return t.take(idx[: min(top_n, len(idx))])
+
+    def slope_row(t: pa.Table) -> pa.Table:
+        s = cut(t)  # final cut over the merged per-block survivors
+        c = s["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(c)
+        if n == 0:
+            return pa.table({
+                "n_terms": pa.array([0], pa.int64()),
+                "slope": pa.array([None], pa.float64()),
+            })
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(c)
+        # population covariance form == SQL regr_slope(y, x)
+        sl = (n * np.dot(x, y) - x.sum() * y.sum()) / (
+            n * np.dot(x, x) - x.sum() ** 2
+        )
+        return pa.table({
+            "n_terms": pa.array([n], pa.int64()),
+            "slope": pa.array([round(float(sl), 6)], pa.float64()),
+        })
+
+    # per-block partial top-n keeps the repartition tiny, then one task
+    # computes the closed-form fit
+    return (
+        folded.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(slope_row, batch_format="pyarrow")
+    )
+
+
+def bm25_topk(
+    ds,
+    query_terms,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance ranking of the corpus for a fixed term set: top-k
+    docs by score DESC, id ASC (Robertson/Spärk Jones BM25 with the
+    +1-smoothed idf — the Lucene/standard formulation).
+
+    Two streaming passes, no wide shuffle:
+      1. corpus statistics — per-batch partials for (n_docs, sum_dl) and
+         per-query-term document frequency fold through one tiny groupby
+         (a document is one row, so df partials are exact per block);
+      2. scoring — stats broadcast in the task closure (a handful of
+         floats), each batch computes tf per term via one pc.is_in over
+         the flattened tokens + np.add.reduceat per doc, scores
+         vectorized, and a per-batch partial top-k cut keeps k rows per
+         block; a final single-partition cut emits the answer.
+    Docs with zero tokens never score (no query term can match)."""
+    from ray.data.aggregate import Sum
+
+    terms = sorted(set(query_terms))
+    term_arr = pa.array(terms, pa.string())
+
+    def _tf_matrix(t: pa.Table):
+        """(ids, dl, tf[n_docs x n_terms]) for one batch."""
+        flat, lens = _flat_tokens(t, text_col)
+        n_docs = len(lens)
+        tf = np.zeros((n_docs, len(terms)), dtype=np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        for j, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            if hit.any():
+                np.add.at(tf[:, j], doc_of[hit], 1)
+        return t[id_col].combine_chunks(), lens, tf
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _ids, lens, tf = _tf_matrix(t)
+        nz = lens > 0
+        return pa.table({
+            "_k": pa.array([0], pa.int64()),
+            "n_docs": pa.array([int(nz.sum())], pa.int64()),
+            "sum_dl": pa.array([int(lens.sum())], pa.int64()),
+            **{
+                f"df_{j}": pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+                for j in range(len(terms))
+            },
+        })
+
+    stat_cols = ["n_docs", "sum_dl"] + [f"df_{j}" for j in range(len(terms))]
+    folded = (
+        ds.map_batches(
+            stats_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_k")
+        .aggregate(*[Sum(c, alias_name=c) for c in stat_cols])
+        .take_all()
+    )[0]
+    n_corpus = int(folded["n_docs"])
+    avgdl = folded["sum_dl"] / max(n_corpus, 1)
+    idf = np.array([
+        np.log((n_corpus - folded[f"df_{j}"] + 0.5)
+               / (folded[f"df_{j}"] + 0.5) + 1.0)
+        for j in range(len(terms))
+    ])
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids, lens, tf = _tf_matrix(t)
+        dl = lens.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sc = (idf[None, :] * tf * (k1 + 1.0) / denom).sum(axis=1)
+        hit = tf.any(axis=1)
+        tb = pa.table({
+            id_col: ids.filter(pa.array(hit)),
+            "score": pa.array(sc[hit]),
+        })
+        idx = pc.sort_indices(
+            tb, sort_keys=[("score", "descending"), (id_col, "ascending")]
+        )
+        return tb.take(idx[: min(k, len(idx))])
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), (id_col, "ascending")]
+        )
+        s = t.take(idx[: min(k, len(idx))])
+        return s.set_column(
+            s.schema.get_field_index("score"), "score",
+            pc.round(s["score"], ndigits=6),
+        )
+
+    return (
+        ds.map_batches(
+            score_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pyarrow")
+    )

@@ -622,6 +622,142 @@ def markov_transitions(
     )
 
 
+def peak_window_avg(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 3,
+    buckets: int = 64,
+):
+    """Per-key PEAK moving average: the maximum of
+    ``AVG(v) OVER (PARTITION BY key ORDER BY ts, order
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the "hottest
+    w-event stretch" primitive (burst detection / peak spend windows),
+    reduced to one row per key so the wide per-event window output never
+    leaves the tasks.
+
+    Shape (same as :func:`running_total`): ONE bucketed shuffle on
+    hash(key) co-locates each key's history; in-bucket a single lexsort +
+    cumulative sums give every row's frame sum/count (frames shorter than
+    ``window`` at a key's start average over the available rows — SQL
+    frame semantics), and np.maximum.reduceat takes the per-key max. NULL
+    values are excluded from frame averages (SQL AVG); a key whose every
+    frame is all-NULL emits peak_avg NULL."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t.select([key_col, ts_col, order_col, value_col])
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    key_t = ds.schema().base_schema.field(key_col).type
+
+    def peak(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"])
+        idx = pc.sort_indices(
+            d,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                (order_col, "ascending"),
+            ],
+        )
+        s = d.take(idx)
+        n = s.num_rows
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], key_t),
+                "peak_avg": pa.array([], pa.float64()),
+            })
+        k = s[key_col].combine_chunks()
+        vcol = s[value_col].combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(v) if vcol.null_count or np.isnan(v).any() else None
+        first = np.ones(n, dtype=bool)
+        first[1:] = ~pc.equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.nonzero(first)[0]
+        gidx = np.cumsum(first) - 1
+        pos = np.arange(n) - starts[gidx]
+        lo = np.arange(n) - np.minimum(pos, window - 1)
+        if valid is None:
+            cs = np.cumsum(v)
+            fsum = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0.0)
+            fcnt = np.arange(n) - lo + 1.0
+        else:
+            cs = np.cumsum(np.where(valid, v, 0.0))
+            cn = np.cumsum(valid.astype(np.float64))
+            base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0.0)
+            fsum = cs - base
+            fcnt = cn - np.where(lo > 0, cn[np.maximum(lo - 1, 0)], 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(fcnt > 0, fsum / np.maximum(fcnt, 1.0), -np.inf)
+        peaks = np.maximum.reduceat(avg, starts)
+        out_v = np.round(peaks, 3)
+        mask = np.isfinite(peaks)
+        return pa.table({
+            key_col: k.filter(pa.array(first)),
+            "peak_avg": pa.array(
+                np.where(mask, out_v, np.nan), mask=~mask
+            ),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(peak, batch_format="pyarrow")
+    )
+
+
+def argmax_rows(
+    ds,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    buckets: int = 64,
+):
+    """All rows achieving their key's maximum ``value_col`` — the
+    ``QUALIFY value = MAX(value) OVER (PARTITION BY key)`` argmax-with-ties
+    window predicate. Unlike topk_per_group (k rows, rank order) this keeps
+    EVERY tied row and no rank column.
+
+    ONE bucketed shuffle of the narrow (key, id, value) projection; in each
+    bucket an Arrow group-max joins back via index_in and an equality
+    filter — NULL values never match (SQL semantics: a key with all-NULL
+    values emits nothing). A per-batch pre-filter (drop rows below their
+    key's in-batch max) acts as the combiner so the shuffle carries at
+    most the per-block argmax candidates, not every event."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def _keep_batch_max(d: pa.Table) -> pa.Table:
+        m = d.group_by(key_col).aggregate([(value_col, "max")])
+        pos = pc.index_in(d[key_col], value_set=m[key_col].combine_chunks())
+        mx = m[f"{value_col}_max"].combine_chunks().take(pos)
+        keep = pc.fill_null(pc.equal(d[value_col], mx), False)
+        return d.filter(keep)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = _keep_batch_max(t.select([key_col, id_col, value_col]))
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        return _keep_batch_max(g.drop_columns(["_b"]))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def lag_gap_stats(
     ds,
     key_col: str = "user_id",

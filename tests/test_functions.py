@@ -951,3 +951,81 @@ def test_frame_sampler_null_payloads():
     assert by[(1, 0)] is None and by[(1, 1)] is None
     r = ResizeStub(side=4)(t)
     assert r["thumb"][1].as_py() is None and r["thumb"][0].as_py() is not None
+
+
+def test_peak_window_avg_frames_and_nulls():
+    """Frame math vs a hand-rolled reference: short frames at key start
+    average the available rows; NULLs are excluded; all-NULL keys emit
+    NULL peak."""
+    from debezium_incubator_ray.functions.windows import peak_window_avg
+
+    t = pa.table({
+        "user_id": [1, 1, 1, 1, 2, 2, 3],
+        "ts": pa.array([10, 20, 30, 40, 5, 6, 7], pa.timestamp("us")),
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "value": pa.array([1.0, None, 4.0, 10.0, 2.0, None, None]),
+    })
+    out = (
+        peak_window_avg(ray.data.from_arrow(t), window=3, buckets=4)
+        .to_pandas()
+        .set_index("user_id")["peak_avg"]
+        .to_dict()
+    )
+    # user 1 frames: [1], [1,-], [1,-,4]->2.5, [-,4,10]->7.0 -> peak 7.0
+    assert out[1] == 7.0
+    # user 2: [2], [2,-] -> 2.0
+    assert out[2] == 2.0
+    # user 3: all NULL -> NULL
+    assert np.isnan(out[3])
+
+
+def test_argmax_rows_ties_and_nulls():
+    from debezium_incubator_ray.functions.windows import argmax_rows
+
+    t = pa.table({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "value": pa.array([5.0, 5.0, 1.0, None, 2.0, None]),
+    })
+    out = (
+        argmax_rows(ray.data.from_arrow(t), buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # user 1 keeps BOTH tied max rows; user 2 keeps the non-null max;
+    # user 3 (all NULL) emits nothing
+    assert out["event_id"].tolist() == [1, 2, 5]
+
+
+def test_zipf_slope_closed_form():
+    """Slope matches the closed-form fit on a constructed frequency table
+    (freq = 1000 / rank exactly -> slope == -1)."""
+    from debezium_incubator_ray.functions.text import zipf_slope
+
+    words = []
+    for r in range(1, 11):
+        words.extend([f"w{r:02d}"] * (1000 // r))
+    docs = pa.table({"text": [" ".join(words)]})
+    out = zipf_slope(ray.data.from_arrow(docs), top_n=10).to_pandas()
+    assert out["n_terms"].iloc[0] == 10
+    # counts floor-divide, so the fit is close to but not exactly -1
+    assert abs(out["slope"].iloc[0] + 1.0) < 0.01
+
+
+def test_bm25_ranks_term_density():
+    from debezium_incubator_ray.functions.text import bm25_topk
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "join join join filler",           # high tf, short
+            "join filler filler filler filler filler filler filler",
+            "filler filler filler",            # no hit -> excluded
+            "",                                 # empty -> excluded
+        ],
+    })
+    out = bm25_topk(
+        ray.data.from_arrow(docs), ("join",), k=10
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+    assert (out["score"] > 0).all()
