@@ -2890,6 +2890,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bm25_topk(docs, ("join", "vector", "stream"), k=20)
 
+    def dq_histogram(sf_dir):
+        """Equi-width value histogram per event_type over the global
+        [min,max]: one tiny min/max fold, then per-batch bincount partials —
+        two streaming passes, no wide shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.quality import value_histogram
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return value_histogram(ev, n_buckets=16)
+
+    def text_type_token_ratio(sf_dir):
+        """Per-doc lexical diversity (distinct/total tokens): documents are
+        row-complete, so this is one shuffle-free map_batches pass."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import type_token_ratio
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return type_token_ratio(docs)
+
+    def events_path_signatures(sf_dir):
+        """First-5-event behavioral paths counted across users: bucketed
+        shuffle co-locates histories; in-bucket lexsort + clipped list
+        offsets + pc.binary_join builds every signature in one kernel."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import path_signatures
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "event_id"],
+        )
+        return path_signatures(ev, first_n=5)
+
     def join_anti_customers(sf_dir):
         """Big-big ANTI join (decontamination shape at lake scale):
         customers with no order since 2001-01-01 (churn), via the
@@ -3355,6 +3393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_above_avg": spend_above_avg,
         "text_zipf_slope": text_zipf_slope,
         "text_bm25_topk": text_bm25_topk,
+        "dq_histogram": dq_histogram,
+        "text_type_token_ratio": text_type_token_ratio,
+        "events_path_signatures": events_path_signatures,
         "join_anti_customers": join_anti_customers,
         "join_range_price_tier": join_range_price_tier,
         "join_full_outer_daily": join_full_outer_daily,
@@ -4472,6 +4513,33 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN st GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6) AS score FROM sc "
             "ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "dq_histogram": (
+            "WITH s AS (SELECT min(value) AS mn, max(value) AS mx "
+            "FROM events WHERE value IS NOT NULL), "
+            "b AS (SELECT event_type, CASE WHEN s.mx = s.mn THEN 0 ELSE "
+            "LEAST(CAST(FLOOR((value - s.mn) * 16.0 / (s.mx - s.mn)) "
+            "AS BIGINT), 15) END AS bucket "
+            "FROM events, s WHERE value IS NOT NULL) "
+            "SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n "
+            "FROM b GROUP BY 1, 2"
+        ),
+        "text_type_token_ratio": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT term) AS BIGINT) AS n_distinct, "
+            "round(count(DISTINCT term) * 1.0 / count(*), 6) AS ttr "
+            "FROM tok GROUP BY doc_id"
+        ),
+        "events_path_signatures": (
+            "WITH r AS (SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) "
+            "AS path FROM r WHERE rn <= 5 GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_keys "
+            "FROM p GROUP BY path"
         ),
         "join_anti_customers": (
             "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "

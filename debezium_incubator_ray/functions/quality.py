@@ -221,3 +221,83 @@ def psi_drift(
             "psi_term": pa.array([], pa.float64()),
         })
     return pa.Table.from_pylist(rows)
+
+
+def value_histogram(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 16,
+):
+    """Equi-width histogram of ``value_col`` per group over the GLOBAL
+    [min, max] range — the data-profiling primitive behind distribution
+    dashboards and drift baselines (psi_drift's buckets, but with a
+    data-derived range).
+
+    Two streaming passes, no wide shuffle: (1) per-batch (min, max)
+    partials fold through one single-row groupby; (2) the two floats ride
+    the task closure and each batch bincounts its rows per (group, bucket)
+    — #groups x #buckets partial rows per block — then one tiny groupby
+    sums. The bucket expression ``floor((v - mn) * n / (mx - mn))``
+    (top value clamped into the last bucket) is evaluated in the exact
+    same operation order as the SQL oracle, so IEEE doubles land in
+    identical buckets. NULL values are excluded; a degenerate range
+    (mx == mn) puts every row in bucket 0."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        return pa.table({
+            "_k": pa.array([0], pa.int64()),
+            "mn": pa.array([pc.min(v).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(v).as_py()], pa.float64()),
+        })
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_k")
+        .aggregate(
+            Min("mn", alias_name="mn", ignore_nulls=True),
+            Max("mx", alias_name="mx", ignore_nulls=True),
+        )
+        .take_all()
+    )[0]
+    mn, mx = mm["mn"], mm["mx"]
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t[value_col])
+        d = t.select([group_col, value_col]).filter(keep)
+        v = d[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if mx == mn:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            # mirror the oracle's expression order exactly:
+            # floor((v - mn) * n / (mx - mn)), clamped to the last bucket
+            b = np.minimum(
+                np.floor((v - mn) * float(n_buckets) / (mx - mn)),
+                n_buckets - 1,
+            ).astype(np.int64)
+        g = (
+            pa.table({group_col: d[group_col], "bucket": pa.array(b)})
+            .group_by([group_col, "bucket"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            group_col: g[group_col],
+            "bucket": g["bucket"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return folded.map_batches(
+        lambda t: pa.table({
+            group_col: t[group_col],
+            "bucket": t["bucket"],
+            "n": pc.cast(t["n"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

@@ -987,3 +987,40 @@ def bm25_topk(
         .repartition(1)
         .map_batches(final_cut, batch_format="pyarrow")
     )
+
+
+def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document type-token ratio (distinct tokens / tokens) — the
+    lexical-diversity quality signal (repetitive machine-generated text
+    scores low). Zero-token docs are excluded (SQL: they produce no
+    token rows to group).
+
+    A document is one row, so the whole computation is a single
+    embarrassingly-parallel map_batches pass — no shuffle: flatten the
+    batch's tokens once, Arrow group-by (doc, term) for the distinct
+    count, bincount for totals."""
+
+    def ttr(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t, text_col)
+        ids = t[id_col].combine_chunks()
+        nz = lens > 0
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pairs = (
+            pa.table({"d": pa.array(doc_of), "term": flat})
+            .group_by(["d", "term"])
+            .aggregate([])
+        )
+        distinct = np.bincount(
+            pairs["d"].to_numpy(zero_copy_only=False), minlength=len(lens)
+        ).astype(np.int64)
+        out = pa.table({
+            id_col: ids.filter(pa.array(nz)),
+            "n_tokens": pa.array(lens[nz]),
+            "n_distinct": pa.array(distinct[nz]),
+            "ttr": pa.array(
+                np.round(distinct[nz] * 1.0 / lens[nz], 6)
+            ),
+        })
+        return out
+
+    return ds.map_batches(ttr, batch_format="pyarrow", zero_copy_batch=True)

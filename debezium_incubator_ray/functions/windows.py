@@ -832,3 +832,86 @@ def lag_gap_stats(
         .groupby("_b")
         .map_groups(gaps_in_bucket, batch_format="pyarrow")
     )
+
+
+def path_signatures(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    first_n: int = 5,
+    sep: str = ">",
+    buckets: int = 64,
+):
+    """Behavioral path mining: each key's first ``first_n`` event types
+    (in ``order_col`` order) joined into one signature string, counted
+    across keys — the "how do sessions start" primitive behind funnel
+    discovery.
+
+    ONE bucketed shuffle on hash(key) co-locates each key's history; the
+    in-bucket pass is fully vectorized: lexsort, keep rows with per-key
+    position < first_n, rebuild list offsets from the clipped per-key
+    counts, and pc.binary_join stitches each key's slice in one kernel.
+    Per-bucket signature counts pre-reduce before the final tiny groupby
+    fold (same path can appear in every bucket)."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        d = t.select([key_col, type_col, order_col])
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    def paths_in_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"])
+        idx = pc.sort_indices(
+            d, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
+        )
+        s = d.take(idx)
+        n = s.num_rows
+        ty_t = s[type_col].combine_chunks().type
+        if n == 0:
+            return pa.table({
+                "path": pa.array([], ty_t),
+                "n_keys": pa.array([], pa.int64()),
+            })
+        k = s[key_col].combine_chunks()
+        first = np.ones(n, dtype=bool)
+        first[1:] = ~pc.equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.nonzero(first)[0]
+        pos = np.arange(n) - starts[np.cumsum(first) - 1]
+        keep = pos < first_n
+        vals = s[type_col].combine_chunks().filter(pa.array(keep))
+        counts = np.minimum(
+            np.diff(np.append(starts, n)), first_n
+        ).astype(np.int64)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pc.cast(vals, pa.large_string())
+        )
+        joined = pc.binary_join(lst, pa.scalar(sep, pa.large_string()))
+        gb = (
+            pa.table({"path": joined})
+            .group_by(["path"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            "path": gb["path"],
+            "n_keys": pc.cast(gb["count_all"], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(paths_in_bucket, batch_format="pyarrow")
+        .groupby("path")
+        .sum("n_keys")
+    )
+    return folded.map_batches(
+        lambda t: t.rename_columns(["path", "n_keys"]),
+        batch_format="pyarrow",
+    )

@@ -1029,3 +1029,61 @@ def test_bm25_ranks_term_density():
     ).to_pandas()
     assert out["doc_id"].tolist() == [1, 2]
     assert (out["score"] > 0).all()
+
+
+def test_value_histogram_edges():
+    """Global range, max clamped into last bucket, NULLs dropped,
+    degenerate range falls back to bucket 0."""
+    from debezium_incubator_ray.functions.quality import value_histogram
+
+    t = pa.table({
+        "event_type": ["a", "a", "b", "b", "a"],
+        "value": pa.array([0.0, 10.0, 5.0, None, 10.0]),
+    })
+    out = (
+        value_histogram(ray.data.from_arrow(t), n_buckets=4)
+        .to_pandas()
+        .set_index(["event_type", "bucket"])["n"]
+        .to_dict()
+    )
+    # width 2.5: 0.0->b0, 5.0->b2, 10.0->clamped b3 (twice for 'a')
+    assert out == {("a", 0): 1, ("a", 3): 2, ("b", 2): 1}
+
+    flat = pa.table({"event_type": ["x", "x"], "value": [7.0, 7.0]})
+    out2 = value_histogram(ray.data.from_arrow(flat), n_buckets=4).to_pandas()
+    assert out2["bucket"].tolist() == [0] and out2["n"].tolist() == [2]
+
+
+def test_type_token_ratio_excludes_empty():
+    from debezium_incubator_ray.functions.text import type_token_ratio
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a", "  ", "x"],
+    })
+    out = (
+        type_token_ratio(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 2 not in out.index  # whitespace-only doc has no token rows
+    assert out.loc[1, "n_tokens"] == 5 and out.loc[1, "n_distinct"] == 2
+    assert out.loc[1, "ttr"] == 0.4 and out.loc[3, "ttr"] == 1.0
+
+
+def test_path_signatures_clips_and_orders():
+    from debezium_incubator_ray.functions.windows import path_signatures
+
+    t = pa.table({
+        "user_id": [1] * 7 + [2, 2] + [3],
+        "event_id": [7, 6, 5, 4, 3, 2, 1, 11, 10, 20],
+        "event_type": ["g", "f", "e", "d", "c", "b", "a", "y", "x", "z"],
+    })
+    out = (
+        path_signatures(ray.data.from_arrow(t), first_n=5, buckets=4)
+        .to_pandas()
+        .set_index("path")["n_keys"]
+        .to_dict()
+    )
+    # user 1: events sorted by id -> a,b,c,d,e,f,g clipped to 5
+    assert out == {"a>b>c>d>e": 1, "x>y": 1, "z": 1}
