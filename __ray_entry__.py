@@ -3268,6 +3268,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hashed_feature_counts(docs, buckets=32)
 
+    def events_type_entropy(sf_dir):
+        """Per-user Shannon entropy of the event-type distribution — the
+        behavioral-diversity feature. Per-batch partials shrink rows to
+        (user, type, cnt); only those tiny partials shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import group_entropy
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        return group_entropy(ev, "user_id", "event_type")
+
+    def stats_regression_tax(sf_dir):
+        """Per-returnflag least-squares line of l_tax on l_discount plus
+        Pearson correlation — REGR_SLOPE/INTERCEPT/CORR as one streaming
+        pass of six moment sums per group; raw rows never shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import group_regression
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_discount", "l_tax"],
+        )
+        return group_regression(li, "l_returnflag", "l_discount", "l_tax")
+
+    def dq_benford(sf_dir):
+        """Benford first-digit conformance of order totals — the classic
+        fraud/data-quality screen. Each block folds to nine digit counts;
+        the finish compares observed share to log10(1 + 1/d)."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import benford_digits
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+        )
+        return benford_digits(orders, "o_totalprice")
+
+    def stats_group_means(sf_dir):
+        """Arithmetic / geometric / harmonic mean of l_quantity per
+        returnflag from one pass of partial sums (n, Σv, Σln v, Σ1/v)."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            group_generalized_means,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity"],
+        )
+        return group_generalized_means(li, "l_returnflag", "l_quantity")
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -3403,6 +3455,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": embedding_quantize_int8,
         "text_hashed_features": text_hashed_features,
         "sample_per_group_k": sample_per_group_k,
+        "events_type_entropy": events_type_entropy,
+        "stats_regression_tax": stats_regression_tax,
+        "dq_benford": dq_benford,
+        "stats_group_means": stats_group_means,
     }
 
 
@@ -4702,6 +4758,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
             "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
             "FROM events GROUP BY 1"
+        ),
+        "events_type_entropy": (
+            # H = ln n - sum(c ln c)/n over the per-(user,type) counts —
+            # the same closed form as the engine's moment finish
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events, "
+            "CAST(COUNT(*) AS BIGINT) AS n_types, "
+            "ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt) AS entropy "
+            "FROM c GROUP BY 1"
+        ),
+        "stats_regression_tax": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "regr_slope(l_tax, l_discount) AS slope, "
+            "regr_intercept(l_tax, l_discount) AS intercept, "
+            "corr(l_tax, l_discount) AS corr "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "dq_benford": (
+            # generate_series LEFT JOIN keeps all nine digits even when a
+            # digit is absent (the engine's bincount always emits nine)
+            "WITH d AS (SELECT CAST(floor(o_totalprice / "
+            "power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit "
+            "FROM orders WHERE o_totalprice > 0), "
+            "c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1), "
+            "g AS (SELECT generate_series AS digit "
+            "FROM generate_series(1, 9)), "
+            "m AS (SELECT g.digit, CAST(COALESCE(c.cnt, 0) AS BIGINT) "
+            "AS cnt FROM g LEFT JOIN c USING (digit)), "
+            "t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM m) "
+            "SELECT m.digit, m.cnt, m.cnt / t.tot AS share, "
+            "log10(1 + 1.0 / m.digit) AS expected, "
+            "m.cnt / t.tot - log10(1 + 1.0 / m.digit) AS deviation "
+            "FROM m, t"
+        ),
+        "stats_group_means": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(l_quantity) / COUNT(*) AS mean_arith, "
+            "exp(SUM(ln(l_quantity)) / COUNT(*)) AS mean_geom, "
+            "COUNT(*) / SUM(1.0 / l_quantity) AS mean_harm "
+            "FROM lineitem WHERE l_quantity > 0 GROUP BY 1"
         ),
     }
     # the MoR patch-delta drive folds to the same per-cell state as CoW

@@ -1,0 +1,241 @@
+"""Distributed statistical aggregates built from moment/sufficient-statistic
+partials: Shannon entropy per key, least-squares regression + Pearson
+correlation per group, Benford first-digit conformance, and generalized
+(geometric / harmonic) means.
+
+Every operator here follows the same scale shape: a vectorized per-batch
+partial reduction (Arrow ``group_by`` / ``pyarrow.compute`` kernels) shrinks
+each block to per-key sufficient statistics, one narrow ``groupby`` folds
+those, and a final closed-form map finishes. Raw rows never shuffle; the
+exchange payload is O(|keys|) per block, not O(rows).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def group_entropy(ds, key_col: str, type_col: str):
+    """Per-key Shannon entropy (natural log) of the categorical
+    distribution in ``type_col`` — the "behavioral diversity" feature
+    (H = ln n - sum(c*ln c)/n over the key's category counts).
+
+    Per-batch partials reduce rows to (key, type, cnt); the one shuffle is
+    a 2-col groupby over those partials (cardinality |keys|x|types|, tiny
+    next to the event stream); per-key finishing is a second narrow
+    groupby of three sufficient statistics.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, type_col]).aggregate([([], "count_all")])
+        return pa.table({
+            key_col: g[key_col],
+            type_col: g[type_col],
+            "cnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def per_key_stats(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t["cnt"], pa.float64())
+        cl = pc.multiply(cnt, pc.ln(cnt))
+        d = pa.table({
+            key_col: t[key_col],
+            "n_events": t["cnt"],
+            "cln": cl,
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = d.group_by(key_col).aggregate(
+            [("n_events", "sum"), ("cln", "sum"), ("one", "sum")]
+        )
+        return pa.table({
+            key_col: g[key_col],
+            "n_events": g["n_events_sum"],
+            "n_types": g["one_sum"],
+            "cln": g["cln_sum"],
+        })
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, type_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    stats = (
+        counts.map_batches(per_key_stats, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_types", alias_name="n_types"),
+            Sum("cln", alias_name="cln"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_events"], pa.float64())
+        ent = pc.subtract(pc.ln(n), pc.divide(t["cln"], n))
+        return pa.table({
+            key_col: t[key_col],
+            "n_events": t["n_events"],
+            "n_types": t["n_types"],
+            "entropy": ent,
+        })
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def group_regression(ds, key_col: str, x_col: str, y_col: str):
+    """Per-group least-squares line y = slope*x + intercept and Pearson
+    correlation, from the six classical moment sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) — REGR_SLOPE / REGR_INTERCEPT / CORR as one
+    streaming pass.
+
+    Each batch folds to one row of moment sums per key present in it; the
+    only shuffle moves |keys| x #blocks tiny rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        d = pa.table({
+            key_col: t[key_col],
+            "sx": x,
+            "sy": y,
+            "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = d.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("sx", "sy", "sxx", "syy", "sxy", "n")]
+        )
+        return g.rename_columns([key_col, "sx", "sy", "sxx", "syy", "sxy", "n"])
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("sx", "sy", "sxx", "syy", "sxy", "n")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        sx, sy = t["sx"], t["sy"]
+        cov_n = pc.subtract(pc.multiply(n, t["sxy"]), pc.multiply(sx, sy))
+        var_x = pc.subtract(pc.multiply(n, t["sxx"]), pc.multiply(sx, sx))
+        var_y = pc.subtract(pc.multiply(n, t["syy"]), pc.multiply(sy, sy))
+        slope = pc.divide(cov_n, var_x)
+        intercept = pc.divide(pc.subtract(sy, pc.multiply(slope, sx)), n)
+        corr = pc.divide(cov_n, pc.sqrt(pc.multiply(var_x, var_y)))
+        return pa.table({
+            key_col: t[key_col],
+            "n": t["n"],
+            "slope": slope,
+            "intercept": intercept,
+            "corr": corr,
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def benford_digits(ds, col: str):
+    """First-significant-digit distribution of a positive measure vs
+    Benford's law — the classic fraud / data-quality screen.
+
+    digit(x) = floor(x / 10^floor(log10 x)). Per-batch partials bincount
+    the nine digits, so the fold is 9 rows per block; the finish computes
+    observed share, the Benford expectation log10(1 + 1/d), and the
+    deviation on the 9-row aggregate inside one constant-key group.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64())
+        x = x.filter(pc.and_(pc.is_valid(x), pc.greater(x, 0.0)))
+        xf = x.to_numpy(zero_copy_only=False)
+        digit = np.floor(xf / np.power(10.0, np.floor(np.log10(xf))))
+        cnt = np.bincount(digit.astype(np.int64), minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = g.sort_by("digit")
+        total = pc.sum(g["cnt"]).as_py() or 1
+        share = pc.divide(pc.cast(g["cnt"], pa.float64()), float(total))
+        d = pc.cast(g["digit"], pa.float64())
+        expected = pc.log10(pc.add(pc.divide(1.0, d), 1.0))
+        return pa.table({
+            "digit": g["digit"],
+            "cnt": g["cnt"],
+            "share": share,
+            "expected": expected,
+            "deviation": pc.subtract(share, expected),
+        })
+
+    # 9 rows total: fold them into one group so `finish` sees all digits.
+    return (
+        folded.map_batches(
+            lambda t: t.append_column(
+                "_k", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_k")
+        .map_groups(
+            lambda g: finish(g.drop_columns(["_k"])), batch_format="pyarrow"
+        )
+    )
+
+
+def group_generalized_means(ds, key_col: str, value_col: str):
+    """Arithmetic, geometric, and harmonic mean per group over strictly
+    positive values — one pass of per-batch partial sums
+    (n, sum v, sum ln v, sum 1/v) folded by a narrow groupby.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        keep = pc.fill_null(pc.greater(v, 0.0), False)
+        t = t.filter(keep)
+        v = pc.cast(t[value_col], pa.float64())
+        d = pa.table({
+            key_col: t[key_col],
+            "s": v,
+            "sln": pc.ln(v),
+            "sinv": pc.divide(1.0, v),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = d.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("s", "sln", "sinv", "n")]
+        )
+        return g.rename_columns([key_col, "s", "sln", "sinv", "n"])
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("s", "sln", "sinv", "n")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        return pa.table({
+            key_col: t[key_col],
+            "n": t["n"],
+            "mean_arith": pc.divide(t["s"], n),
+            "mean_geom": pc.exp(pc.divide(t["sln"], n)),
+            "mean_harm": pc.divide(n, t["sinv"]),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
