@@ -3320,6 +3320,115 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_generalized_means(li, "l_returnflag", "l_quantity")
 
+    def events_first_touch(sf_dir):
+        """First/last-touch attribution per user — arg_min/arg_max by
+        event_id via int64 packing, so plain Min/Max aggregates carry
+        the answer and no row leaves its block unaggregated."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            first_last_per_group,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "event_type"],
+        )
+        out = first_last_per_group(ev, "user_id", "event_id", "event_type")
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "n_events", "first_type", "last_type"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def events_ewma(sf_dir):
+        """Final EWMA of `value` per user in event_id order
+        (adjust=True weights) — keys co-locate into hash buckets, one
+        lexsort+reduceat kernel per bucket."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import group_ewma
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        )
+        return group_ewma(ev, "user_id", "event_id", "value", alpha=0.2)
+
+    def stats_percent_rank(sf_dir):
+        """PERCENT_RANK of every order's total price without a global
+        sort: equi-width value buckets give cross-bucket order for free;
+        one bucket-histogram aggregate plus one bucketed shuffle. Ranks
+        raw stored values (not float re-aggregations) so ties are
+        genuine data ties, handled min-rank on both sides — ranking a
+        SUM would compare one-ulp summation-order accidents."""
+        import ray.data
+        from debezium_incubator_ray.functions.rank import percent_rank
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        return percent_rank(orders, "o_totalprice")
+
+    def dq_outliers_mad(sf_dir):
+        """Robust outlier screen per event type: median, MAD, and the
+        count beyond 3 * 1.4826 * MAD — exact order statistics, one
+        groupby co-location, one numpy kernel per group."""
+        import ray.data
+        from debezium_incubator_ray.functions.quality import mad_outliers
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return mad_outliers(ev, "event_type", "value", k=3.0)
+
+    def graph_pagerank(sf_dir):
+        """PageRank over the part<->supplier bipartite graph (nodes
+        2*partkey / 2*suppkey+1), 5 power iterations at damping 0.85 —
+        per-iteration distributed hash join + narrow groupby; the edge
+        list pins once with source degree attached."""
+        import ray.data
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.functions.graph import (
+            distinct_edges,
+            pagerank,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        )
+
+        def both_dirs(t):
+            p = (
+                pc.multiply(pc.cast(t["l_partkey"], pa.int64()), 2)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            s = (
+                pc.add(
+                    pc.multiply(pc.cast(t["l_suppkey"], pa.int64()), 2), 1
+                )
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table({
+                "src": pa.array(np.concatenate([p, s])),
+                "dst": pa.array(np.concatenate([s, p])),
+            })
+
+        edges = distinct_edges(
+            li.map_batches(
+                both_dirs, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "src",
+            "dst",
+        )
+        return pagerank(edges, damping=0.85, iters=5)
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -3459,6 +3568,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_regression_tax": stats_regression_tax,
         "dq_benford": dq_benford,
         "stats_group_means": stats_group_means,
+        "events_first_touch": events_first_touch,
+        "events_ewma": events_ewma,
+        "stats_percent_rank": stats_percent_rank,
+        "dq_outliers_mad": dq_outliers_mad,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -4799,6 +4913,82 @@ def oracle_sql() -> dict[str, str]:
             "exp(SUM(ln(l_quantity)) / COUNT(*)) AS mean_geom, "
             "COUNT(*) / SUM(1.0 / l_quantity) AS mean_harm "
             "FROM lineitem WHERE l_quantity > 0 GROUP BY 1"
+        ),
+        "events_first_touch": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "arg_min(event_type, event_id) AS first_type, "
+            "arg_max(event_type, event_id) AS last_type "
+            "FROM events GROUP BY 1"
+        ),
+        "events_ewma": (
+            # adjust=True EWMA == weights (1-a)^(rank from the END) —
+            # bounded weights, no (1-a)^(-i) overflow for long streams
+            "WITH r AS (SELECT user_id, value, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY event_id DESC) - 1 AS k "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "SUM(value * pow(0.8, k)) / SUM(pow(0.8, k)) AS ewma "
+            "FROM r GROUP BY 1"
+        ),
+        "stats_percent_rank": (
+            "SELECT o_orderkey, o_totalprice, "
+            "PERCENT_RANK() OVER (ORDER BY o_totalprice) AS pr "
+            "FROM orders"
+        ),
+        "dq_outliers_mad": (
+            # DuckDB median(DOUBLE) is interpolated == numpy linear
+            "WITH m AS (SELECT event_type, median(value) AS med "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT e.event_type, abs(e.value - m.med) AS dev "
+            "FROM events e JOIN m USING (event_type) "
+            "WHERE e.value IS NOT NULL), "
+            "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "median(dev) AS mad FROM d GROUP BY 1) "
+            "SELECT s.event_type, s.n, m.med AS median, s.mad AS mad, "
+            "CAST(COUNT(*) FILTER (d.dev > 3.0 * 1.4826 * s.mad) "
+            "AS BIGINT) AS n_outliers, "
+            "COUNT(*) FILTER (d.dev > 3.0 * 1.4826 * s.mad) / "
+            "CAST(s.n AS DOUBLE) AS outlier_rate "
+            "FROM d JOIN s USING (event_type) JOIN m USING (event_type) "
+            "GROUP BY 1, 2, 3, 4"
+        ),
+        "graph_pagerank": (
+            # five unrolled power iterations on the symmetrized
+            # part<->supplier graph; every node has out-degree >= 1 so
+            # there is no dangling mass
+            "WITH e AS ("
+            "SELECT DISTINCT l_partkey * 2 AS src, "
+            "l_suppkey * 2 + 1 AS dst FROM lineitem "
+            "UNION "
+            "SELECT DISTINCT l_suppkey * 2 + 1 AS src, "
+            "l_partkey * 2 AS dst FROM lineitem), "
+            "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d "
+            "FROM e GROUP BY 1), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg), "
+            "r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg, nn), "
+            "r1 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + "
+            "0.85 * SUM(p.r / deg.d) AS r FROM e "
+            "JOIN r0 p ON e.src = p.node JOIN deg ON e.src = deg.src "
+            "GROUP BY 1), "
+            "r2 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + "
+            "0.85 * SUM(p.r / deg.d) AS r FROM e "
+            "JOIN r1 p ON e.src = p.node JOIN deg ON e.src = deg.src "
+            "GROUP BY 1), "
+            "r3 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + "
+            "0.85 * SUM(p.r / deg.d) AS r FROM e "
+            "JOIN r2 p ON e.src = p.node JOIN deg ON e.src = deg.src "
+            "GROUP BY 1), "
+            "r4 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + "
+            "0.85 * SUM(p.r / deg.d) AS r FROM e "
+            "JOIN r3 p ON e.src = p.node JOIN deg ON e.src = deg.src "
+            "GROUP BY 1), "
+            "r5 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn) + "
+            "0.85 * SUM(p.r / deg.d) AS r FROM e "
+            "JOIN r4 p ON e.src = p.node JOIN deg ON e.src = deg.src "
+            "GROUP BY 1) "
+            "SELECT node, r AS rank, r * (SELECT n FROM nn) "
+            "AS rank_scaled FROM r5"
         ),
     }
     # the MoR patch-delta drive folds to the same per-cell state as CoW

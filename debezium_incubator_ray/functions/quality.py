@@ -301,3 +301,43 @@ def value_histogram(
         }),
         batch_format="pyarrow",
     )
+
+
+def mad_outliers(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+):
+    """Robust per-group outlier screen: median, MAD (median absolute
+    deviation), and the count of values beyond ``k * 1.4826 * MAD`` of
+    the median (1.4826 scales MAD to sigma under normality — the
+    standard robust z-score).
+
+    Medians are exact order statistics, so the group must co-locate: ONE
+    groupby on the (low-cardinality) group key, then a single numpy
+    kernel computes median, MAD and the outlier count from one sorted
+    copy. Same exact-path caveat as quantiles_per_group: at 100 TB
+    per-group, swap the in-group sort for a mergeable quantile sketch —
+    the pipeline shape is unchanged. NULL values are excluded.
+    """
+
+    def f(group: pa.Table) -> pa.Table:
+        gval = group[value_col]
+        v = gval.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
+        v = v.astype(np.float64)
+        med = float(np.quantile(v, 0.5, method="linear"))
+        dev = np.abs(v - med)
+        mad = float(np.quantile(dev, 0.5, method="linear"))
+        thr = k * 1.4826 * mad
+        n_out = int(np.count_nonzero(dev > thr))
+        return pa.table({
+            group_col: pa.array([group[group_col][0].as_py()]),
+            "n": pa.array([len(v)], pa.int64()),
+            "median": pa.array([med], pa.float64()),
+            "mad": pa.array([mad], pa.float64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+            "outlier_rate": pa.array([n_out / len(v)], pa.float64()),
+        })
+
+    return ds.groupby(group_col).map_groups(f, batch_format="pyarrow")

@@ -915,3 +915,137 @@ def path_signatures(
         lambda t: t.rename_columns(["path", "n_keys"]),
         batch_format="pyarrow",
     )
+
+
+def first_last_per_group(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "event_type",
+):
+    """First- and last-touch attribution: for each key, the ``value_col``
+    at the minimum and maximum ``order_col`` (SQL ``arg_min``/``arg_max``),
+    plus the key's event count.
+
+    Scale shape: the low-cardinality value vocabulary is collected once
+    (a tiny distinct aggregate) and each (order, value) pair is PACKED
+    into one int64 ``order * V + value_index`` — order dominates the
+    comparison, so plain Min/Max aggregates ARE arg-min/arg-max. The only
+    shuffle is a three-aggregate groupby over per-batch partials; no row
+    ever leaves its block unaggregated and no per-group Python runs.
+    Requires non-negative int orders and a vocabulary small enough to
+    broadcast (categorical columns); order values must be unique per key
+    for a deterministic answer (ties resolve to the packed min/max).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    vocab = sorted(v for v in ds.unique(value_col) if v is not None)
+    V = len(vocab)
+    vocab_arr = pa.array(vocab)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[order_col]))
+        )
+        idx = pc.cast(
+            pc.index_in(t[value_col].combine_chunks(), value_set=vocab_arr),
+            pa.int64(),
+        )
+        packed = pc.add(
+            pc.multiply(pc.cast(t[order_col], pa.int64()), V), idx
+        )
+        d = pa.table({
+            key_col: t[key_col],
+            "pk": packed,
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = d.group_by(key_col).aggregate(
+            [("pk", "min"), ("pk", "max"), ("n_events", "sum")]
+        )
+        return g.rename_columns([key_col, "pk_min", "pk_max", "n_events"])
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(
+            Min("pk_min", alias_name="pk_min"),
+            Max("pk_max", alias_name="pk_max"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lo = t["pk_min"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = t["pk_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv = np.asarray(vocab, dtype=object)
+        return pa.table({
+            key_col: t[key_col],
+            "n_events": t["n_events"],
+            "first_value": pa.array(vv[(lo % V).astype(np.int64)]),
+            "last_value": pa.array(vv[(hi % V).astype(np.int64)]),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def group_ewma(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    buckets: int = 64,
+):
+    """Final exponentially-weighted moving average per key over the
+    key's values in ``order_col`` order (pandas ``ewm(adjust=True)``
+    semantics): ewma = sum(w_i * x_i) / sum(w_i) with
+    w_i = (1-alpha)^(position from the end).
+
+    EWMA is order-recursive, so it can't pre-aggregate across blocks;
+    like sessionize, keys co-locate via ONE shuffle into bounded hash
+    buckets (never one Python group per key) and the whole bucket is
+    processed with a numpy lexsort + reduceat — weights never exceed 1,
+    so the closed form is overflow-free for any stream length (the naive
+    (1-a)^(-i) prefix trick explodes past ~700 events). NULL values are
+    excluded.
+    """
+    from debezium_incubator_ray.hashing import partition_ids
+
+    decay = 1.0 - alpha
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, order_col, value_col]).filter(
+            pc.is_valid(t[value_col])
+        )
+        return t.append_column(
+            "_b",
+            pa.array(partition_ids(t[key_col].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        o = g[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        x = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        k, x = k[order], x[order].astype(np.float64)
+        n = len(k)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sizes = np.diff(np.append(starts, n))
+        # position from the END of each key's run: sizes-1 .. 0
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        k_from_end = np.repeat(sizes, sizes) - 1 - pos
+        w = np.power(decay, k_from_end)
+        num = np.add.reduceat(w * x, starts)
+        den = np.add.reduceat(w, starts)
+        return pa.table({
+            key_col: pa.array(k[starts]),
+            "n_events": pa.array(sizes.astype(np.int64)),
+            "ewma": pa.array(num / den),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
