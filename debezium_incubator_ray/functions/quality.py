@@ -14,6 +14,47 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def global_min_max(ds, value_col: str) -> tuple[float, float]:
+    """Global (min, max) of a column as two floats: per-batch single-row
+    partials folded through one constant-key groupby — a metadata-sized
+    probe, the first pass of every equi-width bucketing operator here
+    (value_histogram, rank.percent_rank)."""
+    from ray.data.aggregate import Max, Min
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        return pa.table({
+            "_k": pa.array([0], pa.int64()),
+            "mn": pa.array([pc.min(v).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(v).as_py()], pa.float64()),
+        })
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_k")
+        .aggregate(
+            Min("mn", alias_name="mn", ignore_nulls=True),
+            Max("mx", alias_name="mx", ignore_nulls=True),
+        )
+        .take_all()
+    )[0]
+    return float(mm["mn"]), float(mm["mx"])
+
+
+def equi_bucket(v: np.ndarray, mn: float, mx: float, n_buckets: int) -> np.ndarray:
+    """Equi-width bucket ids over a global [mn, mx]: the exact expression
+    ``floor((v - mn) * n / (mx - mn))`` with the top value clamped into
+    the last bucket — evaluated in this operation order everywhere
+    (engine AND SQL oracles) so IEEE doubles land in identical buckets.
+    Monotone non-decreasing in v, and equal values always share a bucket.
+    A degenerate range (mx == mn) puts every row in bucket 0."""
+    if mx == mn:
+        return np.zeros(len(v), dtype=np.int64)
+    return np.minimum(
+        np.floor((v - mn) * float(n_buckets) / (mx - mn)), n_buckets - 1
+    ).astype(np.int64)
+
+
 def fk_orphans(ds, key_col: str, dim_keys: pa.Array, id_out: str | None = None):
     """Referential check: DISTINCT values of ``key_col`` with no match in
     the dimension key set (foreign-key orphans). The dimension side is
@@ -243,40 +284,15 @@ def value_histogram(
     same operation order as the SQL oracle, so IEEE doubles land in
     identical buckets. NULL values are excluded; a degenerate range
     (mx == mn) puts every row in bucket 0."""
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Sum
 
-    def mm_partial(t: pa.Table) -> pa.Table:
-        v = t[value_col]
-        return pa.table({
-            "_k": pa.array([0], pa.int64()),
-            "mn": pa.array([pc.min(v).as_py()], pa.float64()),
-            "mx": pa.array([pc.max(v).as_py()], pa.float64()),
-        })
-
-    mm = (
-        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_k")
-        .aggregate(
-            Min("mn", alias_name="mn", ignore_nulls=True),
-            Max("mx", alias_name="mx", ignore_nulls=True),
-        )
-        .take_all()
-    )[0]
-    mn, mx = mm["mn"], mm["mx"]
+    mn, mx = global_min_max(ds, value_col)
 
     def bucketed(t: pa.Table) -> pa.Table:
         keep = pc.is_valid(t[value_col])
         d = t.select([group_col, value_col]).filter(keep)
         v = d[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-        if mx == mn:
-            b = np.zeros(len(v), dtype=np.int64)
-        else:
-            # mirror the oracle's expression order exactly:
-            # floor((v - mn) * n / (mx - mn)), clamped to the last bucket
-            b = np.minimum(
-                np.floor((v - mn) * float(n_buckets) / (mx - mn)),
-                n_buckets - 1,
-            ).astype(np.int64)
+        b = equi_bucket(v, mn, mx, n_buckets)
         g = (
             pa.table({group_col: d[group_col], "bucket": pa.array(b)})
             .group_by([group_col, "bucket"])

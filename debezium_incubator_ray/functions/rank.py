@@ -32,34 +32,14 @@ def percent_rank(ds, value_col: str, n_buckets: int = 4096):
     over the bucket's sorted values. NULL values are dropped (SQL window
     functions order them out of the [0,1] range anyway).
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Sum
 
-    def mm_partial(t: pa.Table) -> pa.Table:
-        v = t[value_col]
-        return pa.table({
-            "_k": pa.array([0], pa.int64()),
-            "mn": pa.array([pc.min(v).as_py()], pa.float64()),
-            "mx": pa.array([pc.max(v).as_py()], pa.float64()),
-        })
+    from .quality import equi_bucket, global_min_max
 
-    mm = (
-        ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_k")
-        .aggregate(
-            Min("mn", alias_name="mn", ignore_nulls=True),
-            Max("mx", alias_name="mx", ignore_nulls=True),
-        )
-        .take_all()
-    )[0]
-    mn, mx = float(mm["mn"]), float(mm["mx"])
-    span = mx - mn
+    mn, mx = global_min_max(ds, value_col)
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
-        if span == 0.0:
-            return np.zeros(len(v), dtype=np.int64)
-        return np.minimum(
-            np.floor((v - mn) * float(n_buckets) / span), n_buckets - 1
-        ).astype(np.int64)
+        return equi_bucket(v, mn, mx, n_buckets)
 
     def tag(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[value_col]))
