@@ -2638,23 +2638,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return psi_drift(docs, "n_chars", even_src, bucket_width=64)
 
     def events_rollup(sf_dir):
-        """ROLLUP aggregate in ONE pass: every batch emits partial
-        (sum, count) rows at ALL grouping levels — (event_type, week),
-        (event_type), grand total — so a single tiny shuffle folds the
-        whole lattice; no per-level rescan. ``lvl`` = number of grouped
-        columns (SQL: 2 - GROUPING(...) arithmetic)."""
-        import numpy as np
+        """ROLLUP aggregate in ONE pass via the shared grouping-sets
+        lattice fold (stats.grouping_sets_sum). ``lvl`` = number of
+        grouped columns (SQL: 2 - GROUPING(...) arithmetic)."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
-        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.stats import grouping_sets_sum
 
         ev = ray.data.read_parquet(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_type", "ts", "value"],
         )
 
-        def partial(t: pa.Table) -> pa.Table:
+        def derive(t: pa.Table) -> pa.Table:
             wk = pc.strftime(
                 pc.floor_temporal(
                     t["ts"].combine_chunks(), unit="week",
@@ -2662,54 +2659,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 format="%Y-%m-%d",
             )
-            base = pa.table({
+            return pa.table({
                 "event_type": t["event_type"],
                 "week": wk,
                 "v": pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0),
-                "one": pa.array(
-                    np.ones(t.num_rows, dtype=np.int64)
-                ),
             })
-            outs = []
-            for lvl, keys in ((2, ["event_type", "week"]),
-                              (1, ["event_type"]), (0, [])):
-                g = base.group_by(keys).aggregate(
-                    [("v", "sum"), ("one", "sum")]
-                )
-                n = g.num_rows
-                outs.append(pa.table({
-                    "lvl": pa.array(np.full(n, lvl, dtype=np.int64)),
-                    "event_type": (
-                        g["event_type"] if "event_type" in g.column_names
-                        else pa.nulls(n, pa.string())
-                    ),
-                    "week": (
-                        g["week"] if "week" in g.column_names
-                        else pa.nulls(n, pa.string())
-                    ),
-                    "sv": g["v_sum"],
-                    "cnt": g["one_sum"],
-                }))
-            return pa.concat_tables(outs)
 
-        folded = (
-            ev.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["lvl", "event_type", "week"])
-            .aggregate(Sum("sv", alias_name="sv"),
-                       Sum("cnt", alias_name="cnt"))
+        return grouping_sets_sum(
+            ev, derive, ["event_type", "week"],
+            [(2, ["event_type", "week"]), (1, ["event_type"]), (0, [])],
+            level_col="lvl",
         )
-
-        def finish(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "lvl": t["lvl"],
-                "event_type": t["event_type"],
-                "week": t["week"],
-                "total_value": pc.round(t["sv"], ndigits=3),
-                "n": pc.cast(t["cnt"], pa.int64()),
-            })
-
-        return folded.map_batches(finish, batch_format="pyarrow")
 
     def events_markov_transitions(sf_dir):
         """Per-user next-event transition matrix: one bucketed shuffle
@@ -2842,6 +2802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("o_custkey")
             .aggregate(Sum("psum", alias_name="total"))
+            # pinned: consumed twice (mean fold + final filter) — without
+            # materialize each consumption re-runs the orders scan+groupby
+            .materialize()
         )
         # the per-customer aggregate is small by construction; its mean is
         # one more tiny fold (never the raw orders)
@@ -2985,75 +2948,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return folded.map_batches(finish, batch_format="pyarrow")
 
     def events_cube(sf_dir):
-        """CUBE aggregate in ONE pass (all four grouping sets of
-        (event_type, day-of-week) emitted as per-batch partials, one tiny
-        shuffle folds the lattice — the rollup pattern generalized to the
-        full power set). ``gid`` mirrors SQL GROUPING() bits."""
-        import numpy as np
+        """CUBE aggregate in ONE pass via the shared grouping-sets
+        lattice fold (stats.grouping_sets_sum) over the full power set of
+        (event_type, day-of-week). ``gid`` mirrors SQL GROUPING() bits."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
-        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.stats import grouping_sets_sum
 
         ev = ray.data.read_parquet(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_type", "ts", "value"],
         )
 
-        def partial(t: pa.Table) -> pa.Table:
+        def derive(t: pa.Table) -> pa.Table:
             # Sunday=0 .. Saturday=6, matching DuckDB dayofweek()
             dow = pc.cast(
                 pc.day_of_week(t["ts"].combine_chunks(),
                                count_from_zero=True, week_start=7),
                 pa.int64(),
             )
-            base = pa.table({
+            return pa.table({
                 "event_type": t["event_type"],
                 "dow": dow,
                 "v": pc.fill_null(pc.cast(t["value"], pa.float64()), 0.0),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             })
-            outs = []
-            for gid, keys in ((0, ["event_type", "dow"]),
-                              (1, ["event_type"]),
-                              (2, ["dow"]), (3, [])):
-                g = base.group_by(keys).aggregate(
-                    [("v", "sum"), ("one", "sum")]
-                )
-                n = g.num_rows
-                outs.append(pa.table({
-                    "gid": pa.array(np.full(n, gid, dtype=np.int64)),
-                    "event_type": (
-                        g["event_type"] if "event_type" in g.column_names
-                        else pa.nulls(n, pa.string())
-                    ),
-                    "dow": (
-                        g["dow"] if "dow" in g.column_names
-                        else pa.nulls(n, pa.int64())
-                    ),
-                    "sv": g["v_sum"],
-                    "cnt": g["one_sum"],
-                }))
-            return pa.concat_tables(outs)
 
-        folded = (
-            ev.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["gid", "event_type", "dow"])
-            .aggregate(Sum("sv", alias_name="sv"),
-                       Sum("cnt", alias_name="cnt"))
+        return grouping_sets_sum(
+            ev, derive, ["event_type", "dow"],
+            [(0, ["event_type", "dow"]), (1, ["event_type"]),
+             (2, ["dow"]), (3, [])],
+            level_col="gid",
         )
-
-        def finish(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "gid": t["gid"],
-                "event_type": t["event_type"],
-                "dow": t["dow"],
-                "total_value": pc.round(t["sv"], ndigits=3),
-                "n": pc.cast(t["cnt"], pa.int64()),
-            })
-
-        return folded.map_batches(finish, batch_format="pyarrow")
 
     def sample_per_group_k(sf_dir):
         """Deterministic per-group sample: the k=100 events with the
@@ -4681,8 +4607,11 @@ def oracle_sql() -> dict[str, str]:
             "(0.25 + 0.75 * dl.dl / st.avgdl))) AS score "
             "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
             "CROSS JOIN st GROUP BY tf.doc_id) "
-            "SELECT doc_id, round(score, 6) AS score FROM sc "
-            "ORDER BY score DESC, doc_id ASC LIMIT 20"
+            # qualify sc.score in ORDER BY: a bare `score` would resolve
+            # to the rounded alias, but the engine cuts top-k by the RAW
+            # score — near-ties at the k boundary must break identically
+            "SELECT doc_id, round(sc.score, 6) AS score FROM sc "
+            "ORDER BY sc.score DESC, doc_id ASC LIMIT 20"
         ),
         "dq_histogram": (
             "WITH s AS (SELECT min(value) AS mn, max(value) AS mx "
@@ -4932,9 +4861,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY 1"
         ),
         "stats_percent_rank": (
+            # the engine ranks non-NULL values only (NULL rows dropped,
+            # denominator = non-NULL count - 1); make that explicit here
+            # rather than relying on the column being NULL-free
             "SELECT o_orderkey, o_totalprice, "
             "PERCENT_RANK() OVER (ORDER BY o_totalprice) AS pr "
-            "FROM orders"
+            "FROM orders WHERE o_totalprice IS NOT NULL"
         ),
         "dq_outliers_mad": (
             # DuckDB median(DOUBLE) is interpolated == numpy linear

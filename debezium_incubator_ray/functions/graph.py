@@ -87,10 +87,15 @@ def pagerank(
             "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         })
 
+    # edges is consumed twice (degree build + edges_deg join) and deg
+    # three times (count, join, rank init); pin each once — un-materialized
+    # Datasets re-run their whole upstream shuffle on every consumption.
+    edges = edges.materialize()
     deg = (
         edges.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(src_col)
         .aggregate(Sum("one", alias_name="deg"))
+        .materialize()
     )
     n_nodes = float(deg.count())
 

@@ -214,10 +214,17 @@ def quantize_int8_stats(ds, col: str = "embedding"):
         i = b["i"].to_numpy(zero_copy_only=False)
         blo = b["lo"].to_numpy(zero_copy_only=False)
         bhi = b["hi"].to_numpy(zero_copy_only=False)
+        # iter_batches re-chunks the d-row partials (default 256-row
+        # batches), so a batch may cover only a slice of the dimensions:
+        # grow the fold arrays to the largest index seen so far.
+        d_seen = int(i.max()) + 1
         if lo is None:
-            d = int(i.max()) + 1
-            lo = np.full(d, np.inf)
-            hi = np.full(d, -np.inf)
+            lo = np.full(d_seen, np.inf)
+            hi = np.full(d_seen, -np.inf)
+        elif d_seen > len(lo):
+            pad = d_seen - len(lo)
+            lo = np.concatenate([lo, np.full(pad, np.inf)])
+            hi = np.concatenate([hi, np.full(pad, -np.inf)])
         np.minimum.at(lo, i, blo)
         np.maximum.at(hi, i, bhi)
     if lo is None:

@@ -29,7 +29,7 @@ def global_min_max(ds, value_col: str) -> tuple[float, float]:
             "mx": pa.array([pc.max(v).as_py()], pa.float64()),
         })
 
-    mm = (
+    rows = (
         ds.map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_k")
         .aggregate(
@@ -37,8 +37,12 @@ def global_min_max(ds, value_col: str) -> tuple[float, float]:
             Max("mx", alias_name="mx", ignore_nulls=True),
         )
         .take_all()
-    )[0]
-    return float(mm["mn"]), float(mm["mx"])
+    )
+    if not rows or rows[0]["mn"] is None or rows[0]["mx"] is None:
+        raise ValueError(
+            f"global_min_max({value_col!r}): no non-NULL values in column"
+        )
+    return float(rows[0]["mn"]), float(rows[0]["mx"])
 
 
 def equi_bucket(v: np.ndarray, mn: float, mx: float, n_buckets: int) -> np.ndarray:
@@ -342,6 +346,17 @@ def mad_outliers(
         gval = group[value_col]
         v = gval.combine_chunks().drop_null().to_numpy(zero_copy_only=False)
         v = v.astype(np.float64)
+        if len(v) == 0:
+            # all-NULL group: the SQL formulation (WHERE value IS NOT
+            # NULL before grouping) omits the group entirely — mirror it.
+            return pa.table({
+                group_col: pa.array([], group[group_col].type),
+                "n": pa.array([], pa.int64()),
+                "median": pa.array([], pa.float64()),
+                "mad": pa.array([], pa.float64()),
+                "n_outliers": pa.array([], pa.int64()),
+                "outlier_rate": pa.array([], pa.float64()),
+            })
         med = float(np.quantile(v, 0.5, method="linear"))
         dev = np.abs(v - med)
         mad = float(np.quantile(dev, 0.5, method="linear"))

@@ -29,8 +29,11 @@ def percent_rank(ds, value_col: str, n_buckets: int = 4096):
     every value in a lower bucket is <= any value here, and equal values
     always share a bucket — count(smaller) = cum_count(lower buckets) +
     count(smaller within my bucket), the latter a single searchsorted
-    over the bucket's sorted values. NULL values are dropped (SQL window
-    functions order them out of the [0,1] range anyway).
+    over the bucket's sorted values. NULL values are DROPPED — both the
+    ranked rows and the (n - 1) denominator count non-NULL values only,
+    i.e. this computes PERCENT_RANK over `WHERE value_col IS NOT NULL`
+    (SQL's own NULLS-LAST window would instead keep NULL rows near
+    pr=1 and widen the denominator).
     """
     from ray.data.aggregate import Sum
 

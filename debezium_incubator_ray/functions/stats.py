@@ -239,3 +239,57 @@ def group_generalized_means(ds, key_col: str, value_col: str):
         })
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouping_sets_sum(ds, derive, key_cols, sets, level_col="gid"):
+    """GROUPING SETS (the generalization behind ROLLUP and CUBE) in ONE
+    pass: every batch emits partial (sum, count) rows at ALL grouping
+    sets, so a single tiny shuffle folds the whole lattice — no
+    per-level rescan of the input.
+
+    ``derive(t) -> pa.Table`` maps a raw batch to columns ``key_cols``
+    plus ``v`` (float64, nulls already filled); ``sets`` is
+    ``[(level_id, [subset of key_cols]), ...]`` — level_id mirrors SQL
+    GROUPING() arithmetic and is emitted as ``level_col``. Output: one
+    row per (level, key...) with ungrouped keys null-padded,
+    ``total_value`` = round(sum(v), 3) and ``n`` = count.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = derive(t)
+        base = base.append_column(
+            "one", pa.array(np.ones(base.num_rows, dtype=np.int64))
+        )
+        outs = []
+        for lid, keys in sets:
+            g = base.group_by(keys).aggregate(
+                [("v", "sum"), ("one", "sum")]
+            )
+            n = g.num_rows
+            cols = {level_col: pa.array(np.full(n, lid, dtype=np.int64))}
+            for k in key_cols:
+                cols[k] = (
+                    g[k] if k in g.column_names
+                    else pa.nulls(n, base[k].type)
+                )
+            cols["sv"] = g["v_sum"]
+            cols["cnt"] = g["one_sum"]
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([level_col, *key_cols])
+        .aggregate(Sum("sv", alias_name="sv"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {level_col: t[level_col]}
+        for k in key_cols:
+            cols[k] = t[k]
+        cols["total_value"] = pc.round(t["sv"], ndigits=3)
+        cols["n"] = pc.cast(t["cnt"], pa.int64())
+        return pa.table(cols)
+
+    return folded.map_batches(finish, batch_format="pyarrow")

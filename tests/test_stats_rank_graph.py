@@ -1,0 +1,285 @@
+"""Unit tests (local numpy/pandas oracles) for the moment-sum statistics
+operators, percent_rank, pagerank, mad_outliers and the attribution /
+EWMA windows — previously covered only by the DuckDB-oracle sweep — plus
+the edge cases around all-NULL columns and >256-dimension embeddings.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(list("abcde"), n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(50.0, 10.0, n),
+    })
+    return df
+
+
+def events_ds(df):
+    return ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+
+
+def test_group_entropy_matches_manual(events_df):
+    from debezium_incubator_ray.functions.stats import group_entropy
+
+    out = group_entropy(
+        events_ds(events_df), "user_id", "event_type"
+    ).to_pandas().set_index("user_id").sort_index()
+
+    for uid, g in events_df.groupby("user_id"):
+        c = g["event_type"].value_counts().to_numpy().astype(float)
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        row = out.loc[uid]
+        assert int(row["n_events"]) == len(g)
+        assert int(row["n_types"]) == len(c)
+        assert abs(row["entropy"] - h) < 1e-9
+
+
+def test_group_regression_matches_numpy(events_df):
+    from debezium_incubator_ray.functions.stats import group_regression
+
+    df = events_df.copy()
+    df["x"] = df["event_id"].astype(float)
+    df["y"] = 2.5 * df["x"] + df["value"]
+    out = group_regression(
+        events_ds(df), "event_type", "x", "y"
+    ).to_pandas().set_index("event_type").sort_index()
+
+    for et, g in df.groupby("event_type"):
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        corr = np.corrcoef(g["x"], g["y"])[0, 1]
+        row = out.loc[et]
+        assert int(row["n"]) == len(g)
+        assert abs(row["slope"] - slope) < 1e-6
+        assert abs(row["intercept"] - intercept) < 1e-3
+        assert abs(row["corr"] - corr) < 1e-9
+
+
+def test_benford_digits_matches_manual(events_df):
+    from debezium_incubator_ray.functions.stats import benford_digits
+
+    df = events_df.copy()
+    # spread magnitudes so several leading digits occur
+    df["value"] = np.exp(df["value"] / 10.0)
+    out = benford_digits(events_ds(df), "value").to_pandas()
+    out = out.set_index("digit").sort_index()
+
+    x = df["value"].to_numpy()
+    x = x[x > 0]
+    digit = np.floor(x / np.power(10.0, np.floor(np.log10(x)))).astype(int)
+    cnt = np.bincount(digit, minlength=10)[1:10]
+    total = cnt.sum()
+    for d in range(1, 10):
+        row = out.loc[d]
+        assert int(row["cnt"]) == cnt[d - 1]
+        assert abs(row["share"] - cnt[d - 1] / total) < 1e-12
+        assert abs(row["expected"] - np.log10(1 + 1 / d)) < 1e-12
+
+
+def test_group_generalized_means(events_df):
+    from debezium_incubator_ray.functions.stats import (
+        group_generalized_means,
+    )
+
+    df = events_df.copy()
+    df["value"] = np.abs(df["value"]) + 1.0  # strictly positive
+    out = group_generalized_means(
+        events_ds(df), "event_type", "value"
+    ).to_pandas().set_index("event_type").sort_index()
+
+    for et, g in df.groupby("event_type"):
+        v = g["value"].to_numpy()
+        row = out.loc[et]
+        assert int(row["n"]) == len(v)
+        assert abs(row["mean_arith"] - v.mean()) < 1e-9
+        assert abs(row["mean_geom"] - np.exp(np.log(v).mean())) < 1e-9
+        assert abs(row["mean_harm"] - len(v) / (1.0 / v).sum()) < 1e-9
+
+
+def test_percent_rank_matches_pandas(events_df):
+    from debezium_incubator_ray.functions.rank import percent_rank
+
+    out = percent_rank(
+        events_ds(events_df), "value", n_buckets=32
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    df = events_df.sort_values("event_id").reset_index(drop=True)
+    n = len(df)
+    expect = (df["value"].rank(method="min") - 1) / (n - 1)
+    assert len(out) == n
+    assert np.allclose(out["pr"].to_numpy(), expect.to_numpy(), atol=1e-12)
+
+
+def test_percent_rank_degenerate_constant_column():
+    from debezium_incubator_ray.functions.rank import percent_rank
+
+    t = pa.table({"id": pa.array(range(10)),
+                  "v": pa.array([7.0] * 10)})
+    out = percent_rank(ray.data.from_arrow(t), "v").to_pandas()
+    # all tied at the minimum rank -> pr 0 for every row
+    assert np.allclose(out["pr"].to_numpy(), 0.0)
+
+
+def test_global_min_max_all_null_raises():
+    from debezium_incubator_ray.functions.quality import global_min_max
+
+    t = pa.table({"v": pa.array([None, None, None], pa.float64())})
+    with pytest.raises(ValueError, match="no non-NULL"):
+        global_min_max(ray.data.from_arrow(t), "v")
+
+
+def test_equi_bucket_clamps_and_degenerates():
+    from debezium_incubator_ray.functions.quality import equi_bucket
+
+    v = np.array([0.0, 2.5, 5.0, 10.0])
+    b = equi_bucket(v, 0.0, 10.0, 4)
+    assert b.tolist() == [0, 1, 2, 3]  # max clamps into last bucket
+    assert equi_bucket(v, 3.0, 3.0, 4).tolist() == [0, 0, 0, 0]
+
+
+def test_mad_outliers_matches_pandas_and_skips_all_null_group(events_df):
+    from debezium_incubator_ray.functions.quality import mad_outliers
+
+    df = events_df.copy()
+    # one group entirely NULL: must be OMITTED (SQL WHERE v IS NOT NULL)
+    df.loc[df["event_type"] == "e", "value"] = np.nan
+    out = mad_outliers(
+        events_ds(df), "event_type", "value", k=3.0
+    ).to_pandas().set_index("event_type").sort_index()
+    assert "e" not in out.index
+
+    for et, g in df[df["event_type"] != "e"].groupby("event_type"):
+        v = g["value"].to_numpy()
+        med = np.quantile(v, 0.5)
+        dev = np.abs(v - med)
+        mad = np.quantile(dev, 0.5)
+        n_out = int((dev > 3.0 * 1.4826 * mad).sum())
+        row = out.loc[et]
+        assert abs(row["median"] - med) < 1e-12
+        assert abs(row["mad"] - mad) < 1e-12
+        assert int(row["n_outliers"]) == n_out
+
+
+def test_first_last_per_group_matches_pandas(events_df):
+    from debezium_incubator_ray.functions.windows import first_last_per_group
+
+    out = first_last_per_group(
+        events_ds(events_df), "user_id", "event_id", "event_type"
+    ).to_pandas().set_index("user_id").sort_index()
+
+    g = events_df.sort_values("event_id").groupby("user_id")["event_type"]
+    first, last, n = g.first(), g.last(), g.size()
+    for uid in n.index:
+        row = out.loc[uid]
+        assert row["first_value"] == first[uid]
+        assert row["last_value"] == last[uid]
+        assert int(row["n_events"]) == n[uid]
+
+
+def test_group_ewma_matches_pandas(events_df):
+    from debezium_incubator_ray.functions.windows import group_ewma
+
+    out = group_ewma(
+        events_ds(events_df), "user_id", "event_id", "value", alpha=0.2
+    ).to_pandas().set_index("user_id").sort_index()
+
+    for uid, g in events_df.sort_values("event_id").groupby("user_id"):
+        expect = g["value"].ewm(alpha=0.2, adjust=True).mean().iloc[-1]
+        assert abs(out.loc[uid, "ewma"] - expect) < 1e-9
+        assert int(out.loc[uid, "n_events"]) == len(g)
+
+
+def test_pagerank_matches_numpy_power_iteration():
+    from debezium_incubator_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    n_nodes = 30
+    src = rng.integers(0, n_nodes, 200)
+    dst = (src + rng.integers(1, n_nodes, 200)) % n_nodes
+    # symmetrize so every node has out-degree >= 1; pagerank's contract
+    # is a DISTINCT edge set, so dedupe before handing it over
+    s = np.concatenate([src, dst, np.arange(n_nodes)])
+    d = np.concatenate([dst, src, (np.arange(n_nodes) + 1) % n_nodes])
+    pairs = sorted({(int(a), int(b)) for a, b in zip(s, d)})
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    })).repartition(4)
+
+    out = pagerank(edges, iters=5, buckets=8).to_pandas()
+    out = out.set_index("node").sort_index()
+    A = np.zeros((n_nodes, n_nodes))
+    for a, b in pairs:
+        A[a, b] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(5):
+        r = 0.15 / n_nodes + 0.85 * (A.T @ (r / deg))
+    assert len(out) == n_nodes
+    assert np.allclose(out["rank"].to_numpy(), r, atol=1e-12)
+    assert np.allclose(out["rank_scaled"].to_numpy(), r * n_nodes,
+                       atol=1e-10)
+
+
+def test_quantize_int8_stats_wide_embeddings():
+    # regression: the driver-side min/max fold must survive iter_batches
+    # re-chunking the d-row partials (d > 256 spans multiple batches)
+    from debezium_incubator_ray.functions.linalg import quantize_int8_stats
+
+    rng = np.random.default_rng(5)
+    d = 300
+    X = rng.normal(size=(40, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(list(X.astype(np.float32)),
+                              pa.list_(pa.float32())),
+    })
+    out = quantize_int8_stats(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas().sort_values("i").reset_index(drop=True)
+    assert len(out) == d
+    Xf = X.astype(np.float32).astype(np.float64)
+    assert np.allclose(out["lo"].to_numpy(), Xf.min(axis=0))
+    assert np.allclose(out["hi"].to_numpy(), Xf.max(axis=0))
+
+
+def test_grouping_sets_sum_rollup_lattice():
+    from debezium_incubator_ray.functions.stats import grouping_sets_sum
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+
+    def derive(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b", "v"])
+
+    out = grouping_sets_sum(
+        ds, derive, ["a", "b"],
+        [(2, ["a", "b"]), (1, ["a"]), (0, [])], level_col="lvl",
+    ).to_pandas()
+
+    full = out[out["lvl"] == 2].set_index(["a", "b"])
+    for (a, b), g in df.groupby(["a", "b"]):
+        assert abs(full.loc[(a, b), "total_value"] - g["v"].sum()) < 1e-9
+        assert int(full.loc[(a, b), "n"]) == len(g)
+    lvl1 = out[out["lvl"] == 1]
+    assert lvl1["b"].isna().all()
+    assert abs(
+        lvl1.set_index("a").loc["y", "total_value"] - 12.0
+    ) < 1e-9
+    grand = out[out["lvl"] == 0]
+    assert len(grand) == 1
+    assert abs(grand["total_value"].iloc[0] - 15.0) < 1e-9
+    assert int(grand["n"].iloc[0]) == 5
