@@ -3355,6 +3355,112 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pagerank(edges, damping=0.85, iters=5)
 
+    def graph_triangles(sf_dir):
+        """Triangle count of the top-2000 co-purchase subgraph (part
+        pairs most often bought in the same order): degree-ordered wedge
+        generation + pair-hash bucketed closing-edge join — the O(m^1.5)
+        distributed triangle algorithm, never a hub's full neighborhood
+        expansion. The top-k edge cut breaks ties (cnt desc, a, b),
+        mirrored by the oracle."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import triangle_count
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return triangle_count(edges, buckets=32)
+
+    def stats_ntile(sf_dir):
+        """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
+        without a global sort — the bucket-cumsum rank plus the SQL
+        tile-fill rule applied in closed form per row."""
+        import ray.data
+        from debezium_incubator_ray.functions.rank import global_ntile
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        return global_ntile(orders, "o_totalprice", "o_orderkey", k=8)
+
+    def stats_global_quantiles(sf_dir):
+        """Exact interpolated quantiles of the event value column
+        without sorting or collecting it: the bucket histogram pinpoints
+        the buckets holding each target order statistic and ONLY those
+        buckets' rows (O(n/B)) are pulled and sorted."""
+        import ray.data
+        from debezium_incubator_ray.functions.rank import (
+            global_quantile_cont,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"],
+        )
+        return global_quantile_cont(
+            ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        )
+
+    def stats_winsorized_means(sf_dir):
+        """Per-type mean of values winsorized at the global [p05, p95]:
+        the distributed quantile probe feeds two floats into a streaming
+        clip + per-batch partial-sum fold — outlier-robust aggregation
+        as one composition, no sort, no row ever on the driver."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import numpy as np
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.rank import (
+            global_quantile_cont,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        qt = global_quantile_cont(ev, "value", [0.05, 0.95])
+        lo, hi = qt["value"][0].as_py(), qt["value"][1].as_py()
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["value"]))
+            v = pc.min_element_wise(
+                pc.max_element_wise(
+                    pc.cast(t["value"], pa.float64()), lo
+                ),
+                hi,
+            )
+            d = pa.table({
+                "event_type": t["event_type"],
+                "s": v,
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            })
+            g = d.group_by("event_type").aggregate(
+                [("s", "sum"), ("n", "sum")]
+            )
+            return g.rename_columns(["event_type", "s", "n"])
+
+        folded = (
+            ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "wmean": pc.divide(t["s"], pc.cast(t["n"], pa.float64())),
+            }),
+            batch_format="pyarrow",
+        )
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -3499,6 +3605,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_percent_rank": stats_percent_rank,
         "dq_outliers_mad": dq_outliers_mad,
         "graph_pagerank": graph_pagerank,
+        "graph_triangles": graph_triangles,
+        "stats_ntile": stats_ntile,
+        "stats_global_quantiles": stats_global_quantiles,
+        "stats_winsorized_means": stats_winsorized_means,
     }
 
 
@@ -4921,6 +5031,48 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT node, r AS rank, r * (SELECT n FROM nn) "
             "AS rank_scaled FROM r5"
+        ),
+        "graph_triangles": (
+            # top-2000 co-purchase subgraph (ties broken cnt desc, a, b —
+            # mirrors the engine's top-k cut), triangles counted once at
+            # each triangle's lexicographically lowest vertex
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e), "
+            "w AS (SELECT e1.b AS x, e2.b AS y FROM e e1 "
+            "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM w JOIN e ON w.x = e.a AND w.y = e.b) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) "
+            "AS n_nodes, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, "
+            "t.n_triangles FROM t"
+        ),
+        "stats_ntile": (
+            "SELECT o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, "
+            "NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS tile "
+            "FROM orders WHERE o_totalprice IS NOT NULL"
+        ),
+        "stats_global_quantiles": (
+            "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, "
+            "unnest(quantile_cont(value, "
+            "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value "
+            "FROM events WHERE value IS NOT NULL"
+        ),
+        "stats_winsorized_means": (
+            "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, "
+            "quantile_cont(value, 0.95) AS hi "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "avg(CASE WHEN value < b.lo THEN b.lo "
+            "WHEN value > b.hi THEN b.hi ELSE value END) AS wmean "
+            "FROM events, b WHERE value IS NOT NULL GROUP BY 1"
         ),
     }
     # the MoR patch-delta drive folds to the same per-cell state as CoW

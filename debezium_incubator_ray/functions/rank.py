@@ -1,5 +1,5 @@
-"""Global order statistics over a distributed column: exact PERCENT_RANK
-without a global sort.
+"""Global order statistics over a distributed column: exact PERCENT_RANK,
+ROW_NUMBER, NTILE and interpolated quantiles WITHOUT a global sort.
 
 Reference parity: the reference engine has no ranking operator (single
 process — it would just sort); at 100 TB a global sort is the single most
@@ -10,13 +10,64 @@ free), ONE tiny bucket-count aggregate whose running sum gives every
 bucket its global offset, and a bucketed shuffle where each bucket ranks
 its own rows vectorized. Rows shuffle ONCE, by value bucket; nothing is
 ever globally sorted and the only driver-side state is the B-row bucket
-histogram.
+histogram. Quantiles go further: only the few buckets containing the
+target ranks are ever pulled (O(n/B) rows), the rest of the data never
+moves at all.
 """
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+class _BucketHist:
+    """Shared first phase of every global-order operator: the equi-width
+    value-bucket histogram. Holds (mn, mx, counts, below, n_total) plus
+    the tagging closure; NULL values are dropped before bucketing."""
+
+    def __init__(self, ds, value_col: str, n_buckets: int):
+        from ray.data.aggregate import Sum
+        from .quality import equi_bucket, global_min_max
+
+        self.value_col = value_col
+        self.n_buckets = n_buckets
+        self.mn, self.mx = global_min_max(ds, value_col)
+        mn, mx = self.mn, self.mx
+
+        def bucket_of(v: np.ndarray) -> np.ndarray:
+            return equi_bucket(v, mn, mx, n_buckets)
+
+        self.bucket_of = bucket_of
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[value_col]))
+            v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            cnt = np.bincount(bucket_of(v), minlength=n_buckets)
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "_vb": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            })
+
+        hist = (
+            ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_vb")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all()
+        )  # <= n_buckets tiny rows: the only driver-side state
+        self.counts = np.zeros(n_buckets, dtype=np.int64)
+        for r in hist:
+            self.counts[r["_vb"]] = r["cnt"]
+        self.below = np.zeros(n_buckets, dtype=np.int64)
+        np.cumsum(self.counts[:-1], out=self.below[1:])
+        self.n_total = int(self.counts.sum())
+
+    def tag(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[self.value_col]))
+        v = t[self.value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_vb", pa.array(self.bucket_of(v)))
 
 
 def percent_rank(ds, value_col: str, n_buckets: int = 4096):
@@ -35,44 +86,9 @@ def percent_rank(ds, value_col: str, n_buckets: int = 4096):
     (SQL's own NULLS-LAST window would instead keep NULL rows near
     pr=1 and widen the denominator).
     """
-    from ray.data.aggregate import Sum
-
-    from .quality import equi_bucket, global_min_max
-
-    mn, mx = global_min_max(ds, value_col)
-
-    def bucket_of(v: np.ndarray) -> np.ndarray:
-        return equi_bucket(v, mn, mx, n_buckets)
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value_col]))
-        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-        return t.append_column("_vb", pa.array(bucket_of(v)))
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value_col]))
-        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-        cnt = np.bincount(bucket_of(v), minlength=n_buckets)
-        nz = np.flatnonzero(cnt)
-        return pa.table({
-            "_vb": pa.array(nz.astype(np.int64)),
-            "cnt": pa.array(cnt[nz].astype(np.int64)),
-        })
-
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_vb")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )  # <= n_buckets tiny rows: the only driver-side state
-    counts = np.zeros(n_buckets, dtype=np.int64)
-    for r in hist:
-        counts[r["_vb"]] = r["cnt"]
-    below = np.zeros(n_buckets, dtype=np.int64)
-    np.cumsum(counts[:-1], out=below[1:])
-    n_total = int(counts.sum())
-    denom = float(n_total - 1) if n_total > 1 else 1.0
+    h = _BucketHist(ds, value_col, n_buckets)
+    below = h.below
+    denom = float(h.n_total - 1) if h.n_total > 1 else 1.0
 
     def rank_bucket(g: pa.Table) -> pa.Table:
         b = int(g["_vb"][0].as_py())
@@ -84,7 +100,139 @@ def percent_rank(ds, value_col: str, n_buckets: int = 4096):
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(h.tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_vb")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+def global_row_number(ds, value_col: str, id_col: str,
+                      n_buckets: int = 4096):
+    """Append ``rn`` = SQL ROW_NUMBER() OVER (ORDER BY value_col, id_col)
+    — a deterministic total order, no global sort. Each bucket lexsorts
+    its own rows by (value, id) and offsets by the cumulative count of
+    lower buckets; (value, id) pairs never straddle a bucket, so the
+    in-bucket order IS the global order restricted to the bucket. NULL
+    values are dropped (rank over ``WHERE value_col IS NOT NULL``).
+    ``id_col`` must be unique for rn to be well-defined."""
+    h = _BucketHist(ds, value_col, n_buckets)
+    below = h.below
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["_vb"][0].as_py())
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        i = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        rn = np.empty(len(v), dtype=np.int64)
+        rn[order] = below[b] + np.arange(len(v), dtype=np.int64) + 1
+        return g.drop_columns(["_vb"]).append_column("rn", pa.array(rn))
+
+    return (
+        ds.map_batches(h.tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_vb")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+def ntile_from_rn(rn: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 1-based global row numbers: the first
+    ``n % k`` tiles get ``n // k + 1`` rows, the rest ``n // k`` —
+    exactly the window-function fill rule."""
+    size = n_total // k
+    rem = n_total % k
+    boundary = rem * (size + 1)
+    small = np.maximum(size, 1)  # k > n: every row its own tile
+    return np.where(
+        rn <= boundary,
+        (rn - 1) // (size + 1) + 1,
+        rem + (rn - 1 - boundary) // small + 1,
+    ).astype(np.int64)
+
+
+def global_ntile(ds, value_col: str, id_col: str, k: int,
+                 n_buckets: int = 4096):
+    """Append ``rn`` (ROW_NUMBER) and ``tile`` (NTILE(k)) over
+    ORDER BY (value_col, id_col) — the bucket-cumsum row number plus a
+    closed-form tile from (rn, n); no extra pass over the data."""
+    h = _BucketHist(ds, value_col, n_buckets)
+    below, n_total = h.below, h.n_total
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["_vb"][0].as_py())
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        i = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        rn = np.empty(len(v), dtype=np.int64)
+        rn[order] = below[b] + np.arange(len(v), dtype=np.int64) + 1
+        return (
+            g.drop_columns(["_vb"])
+            .append_column("rn", pa.array(rn))
+            .append_column("tile", pa.array(ntile_from_rn(rn, n_total, k)))
+        )
+
+    return (
+        ds.map_batches(h.tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_vb")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+def global_quantile_cont(ds, value_col: str, qs, n_buckets: int = 4096):
+    """Exact interpolated quantiles (SQL ``quantile_cont`` /
+    PERCENTILE_CONT) of a distributed column, returned as a pyarrow
+    Table (q, value) — WITHOUT sorting or collecting the column.
+
+    For each q the target position is p = q * (n - 1); only the order
+    statistics at floor(p) / ceil(p) are needed, and the bucket histogram
+    pinpoints which value bucket holds each one. A single filter pass
+    pulls JUST those buckets (expected O(n/B) rows — with the default
+    4096 buckets, ~0.025% of the data per needed bucket), each is sorted
+    locally, and the two neighbors interpolate:
+    v = v0 + (p - floor(p)) * (v1 - v0). NULLs are excluded, matching
+    SQL aggregate semantics."""
+    qs = [float(q) for q in qs]
+    h = _BucketHist(ds, value_col, n_buckets)
+    n_total = h.n_total
+    cum = np.cumsum(h.counts)
+
+    ps = [q * (n_total - 1) for q in qs]
+    need_ranks = sorted(
+        {int(np.floor(p)) for p in ps} | {int(np.ceil(p)) for p in ps}
+    )
+    rank_bucket = {
+        r: int(np.searchsorted(cum, r, side="right")) for r in need_ranks
+    }
+    need_buckets = sorted(set(rank_bucket.values()))
+    bset = pa.array(need_buckets, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = h.tag(t)
+        t = t.filter(pc.is_in(t["_vb"], value_set=bset))
+        return t.select(["_vb", value_col])
+
+    picked = ds.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(n/B * |needed buckets|) rows by construction
+
+    by_bucket: dict[int, list] = {b: [] for b in need_buckets}
+    for row in picked:
+        by_bucket[row["_vb"]].append(row[value_col])
+    sorted_bucket = {
+        b: np.sort(np.asarray(v, dtype=np.float64))
+        for b, v in by_bucket.items()
+    }
+
+    def order_stat(r: int) -> float:
+        b = rank_bucket[r]
+        return float(sorted_bucket[b][r - h.below[b]])
+
+    out = []
+    for q, p in zip(qs, ps):
+        r0, r1 = int(np.floor(p)), int(np.ceil(p))
+        v0 = order_stat(r0)
+        v1 = order_stat(r1) if r1 != r0 else v0
+        out.append(v0 + (p - r0) * (v1 - v0))
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array(out, pa.float64()),
+    })

@@ -283,3 +283,95 @@ def test_grouping_sets_sum_rollup_lattice():
     assert len(grand) == 1
     assert abs(grand["total_value"].iloc[0] - 15.0) < 1e-9
     assert int(grand["n"].iloc[0]) == 5
+
+
+def test_triangle_count_matches_numpy():
+    from debezium_incubator_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(2)
+    n = 60
+    A = rng.random((n, n)) < 0.15
+    A = np.triu(A, 1)
+    A = A | A.T
+    src, dst = np.nonzero(A)
+    # feed duplicated/reversed edges + self loops: cleaning is part of
+    # the operator's contract
+    s = np.concatenate([src, dst, np.arange(5)])
+    d = np.concatenate([dst, src, np.arange(5)])
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64()),
+    })).repartition(4)
+
+    out = triangle_count(ds, buckets=8).to_pydict()
+    expect_tri = int(np.trace(np.linalg.matrix_power(
+        A.astype(np.int64), 3)) // 6)
+    assert out["n_triangles"][0] == expect_tri
+    assert out["n_edges"][0] == int(A.sum() // 2)
+    assert out["n_nodes"][0] == len(np.unique(np.concatenate([src, dst])))
+
+
+def test_triangle_count_triangle_free():
+    from debezium_incubator_ray.functions.graph import triangle_count
+
+    # bipartite graphs have no triangles
+    left = np.repeat(np.arange(10), 4)
+    right = 100 + (left * 3 + np.tile(np.arange(4), 10)) % 7
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(left, pa.int64()),
+        "dst": pa.array(right, pa.int64()),
+    }))
+    out = triangle_count(ds, buckets=4).to_pydict()
+    assert out["n_triangles"][0] == 0
+    assert out["n_edges"][0] > 0
+
+
+@pytest.fixture(scope="module")
+def valued_ds():
+    rng = np.random.default_rng(13)
+    vals = rng.normal(100, 20, 5000)
+    ids = rng.permutation(5000).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(vals)})
+    return vals, ids, ray.data.from_arrow(t).repartition(6)
+
+
+def test_global_row_number_total_order(valued_ds):
+    from debezium_incubator_ray.functions.rank import global_row_number
+
+    vals, ids, ds = valued_ds
+    rn = global_row_number(ds, "v", "id", n_buckets=64).to_pandas()
+    rn = rn.sort_values("rn").reset_index(drop=True)
+    df = pd.DataFrame({"id": ids, "v": vals}).sort_values(
+        ["v", "id"]).reset_index(drop=True)
+    assert (rn["id"].to_numpy() == df["id"].to_numpy()).all()
+    assert (rn["rn"].to_numpy() == np.arange(1, 5001)).all()
+
+
+def test_global_ntile_fill_rule(valued_ds):
+    from debezium_incubator_ray.functions.rank import global_ntile
+
+    vals, ids, ds = valued_ds
+    nt = global_ntile(ds, "v", "id", k=7, n_buckets=64).to_pandas()
+    nt = nt.sort_values("rn")
+    n_total, k = 5000, 7
+    size, rem = n_total // k, n_total % k
+    tiles = np.concatenate([
+        np.full(size + (1 if i < rem else 0), i + 1) for i in range(k)
+    ])
+    assert (nt["tile"].to_numpy() == tiles).all()
+
+
+def test_global_quantile_cont_matches_numpy(valued_ds):
+    from debezium_incubator_ray.functions.rank import global_quantile_cont
+
+    vals, ids, ds = valued_ds
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    qt = global_quantile_cont(ds, "v", qs, n_buckets=64).to_pydict()
+    expect = np.quantile(vals, qs, method="linear")
+    assert np.allclose(qt["value"], expect, atol=1e-9)
+
+
+def test_ntile_from_rn_more_tiles_than_rows():
+    from debezium_incubator_ray.functions.rank import ntile_from_rn
+
+    rn = np.arange(1, 4)
+    assert ntile_from_rn(rn, 3, 10).tolist() == [1, 2, 3]
