@@ -3377,6 +3377,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return triangle_count(edges, buckets=32)
 
+    def graph_bfs_hops(sf_dir):
+        """Multi-source BFS hop distances (<= 3 hops) from the 5
+        lowest-id nodes of the top-2000 co-purchase subgraph: per hop ONE
+        frontier x adjacency hash join + ONE anti-join against the
+        (distributed, never driver-side) visited set."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import bfs_hops
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        nodes = np.unique(np.concatenate([
+            top["l_partkey_a"].to_numpy(zero_copy_only=False),
+            top["l_partkey_b"].to_numpy(zero_copy_only=False),
+        ]))
+        seeds = [int(x) for x in nodes[:5]]
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return bfs_hops(edges, seeds, max_hops=3, buckets=32)
+
+    def dq_corr_matrix(sf_dir):
+        """Pairwise Pearson correlation heatmap over the four lineitem
+        measures in one streaming pass — per-pair masked moment sums,
+        one single-row fold, closed-form finish."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import corr_matrix
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=cols,
+        )
+        return corr_matrix(li, cols)
+
+    def events_group_percent_rank(sf_dir):
+        """PERCENT_RANK of each event's value within its event type: one
+        bounded hash-bucket shuffle, vectorized first-occurrence rank
+        scan per bucket."""
+        import ray.data
+        from debezium_incubator_ray.functions.rank import (
+            grouped_percent_rank,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        return grouped_percent_rank(ev, "event_type", "value")
+
+    def events_top_user(sf_dir):
+        """Most active user per event type (count desc, user_id asc
+        tie-break): per-batch pair-count partials, one narrow 2-key fold
+        over the pre-reduced pairs, then a per-type vectorized top-1."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["event_type", "user_id"]).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        folded = (
+            ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "user_id"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+        def top1(g: pa.Table) -> pa.Table:
+            g = pa.table({
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "cnt": pc.cast(g["cnt"], pa.int64()),
+            })
+            order = pc.sort_indices(
+                g.append_column("_neg", pc.negate(g["cnt"])),
+                sort_keys=[("_neg", "ascending"),
+                           ("user_id", "ascending")],
+            )
+            return g.take(order.slice(0, 1))
+
+        return folded.groupby("event_type").map_groups(
+            top1, batch_format="pyarrow"
+        )
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -3606,6 +3708,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_outliers_mad": dq_outliers_mad,
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
+        "graph_bfs_hops": graph_bfs_hops,
+        "dq_corr_matrix": dq_corr_matrix,
+        "events_group_percent_rank": events_group_percent_rank,
+        "events_top_user": events_top_user,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5052,6 +5158,72 @@ def oracle_sql() -> dict[str, str]:
             "AS n_nodes, "
             "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, "
             "t.n_triangles FROM t"
+        ),
+        "graph_bfs_hops": (
+            # same top-2000 edge cut as graph_triangles; BFS unrolled to
+            # 3 levels, seeds = 5 lowest node ids
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "und AS (SELECT a AS u, b AS v FROM e "
+            "UNION SELECT b AS u, a AS v FROM e), "
+            "l0 AS (SELECT DISTINCT u AS node FROM und "
+            "ORDER BY u LIMIT 5), "
+            "l1 AS (SELECT DISTINCT v AS node FROM und "
+            "JOIN l0 ON und.u = l0.node "
+            "WHERE v NOT IN (SELECT node FROM l0)), "
+            "l2 AS (SELECT DISTINCT v AS node FROM und "
+            "JOIN l1 ON und.u = l1.node "
+            "WHERE v NOT IN (SELECT node FROM l0) "
+            "AND v NOT IN (SELECT node FROM l1)), "
+            "l3 AS (SELECT DISTINCT v AS node FROM und "
+            "JOIN l2 ON und.u = l2.node "
+            "WHERE v NOT IN (SELECT node FROM l0) "
+            "AND v NOT IN (SELECT node FROM l1) "
+            "AND v NOT IN (SELECT node FROM l2)) "
+            "SELECT node, CAST(0 AS BIGINT) AS hops FROM l0 "
+            "UNION ALL SELECT node, CAST(1 AS BIGINT) FROM l1 "
+            "UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2 "
+            "UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3"
+        ),
+        "dq_corr_matrix": (
+            "SELECT * FROM ("
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+            "CAST(count(*) FILTER (l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) AS BIGINT) AS n, "
+            "corr(l_quantity, l_extendedprice) AS corr FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', "
+            "CAST(count(*) FILTER (l_quantity IS NOT NULL AND l_discount IS NOT NULL) AS BIGINT), corr(l_quantity, l_discount) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', "
+            "CAST(count(*) FILTER (l_quantity IS NOT NULL AND l_tax IS NOT NULL) AS BIGINT), corr(l_quantity, l_tax) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+            "CAST(count(*) FILTER (l_extendedprice IS NOT NULL AND l_discount IS NOT NULL) AS BIGINT), corr(l_extendedprice, l_discount) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
+            "CAST(count(*) FILTER (l_extendedprice IS NOT NULL AND l_tax IS NOT NULL) AS BIGINT), corr(l_extendedprice, l_tax) "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_discount', 'l_tax', "
+            "CAST(count(*) FILTER (l_discount IS NOT NULL AND l_tax IS NOT NULL) AS BIGINT), corr(l_discount, l_tax) "
+            "FROM lineitem)"
+        ),
+        "events_group_percent_rank": (
+            "SELECT event_id, event_type, value, "
+            "PERCENT_RANK() OVER (PARTITION BY event_type "
+            "ORDER BY value) AS pr "
+            "FROM events WHERE value IS NOT NULL"
+        ),
+        "events_top_user": (
+            "WITH c AS (SELECT event_type, user_id, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, user_id, cnt, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY cnt DESC, user_id ASC) AS rn FROM c) "
+            "SELECT event_type, user_id, cnt FROM r WHERE rn = 1"
         ),
         "stats_ntile": (
             "SELECT o_orderkey, o_totalprice, "

@@ -322,3 +322,92 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         "n_edges": pa.array([ce.count()], pa.int64()),
         "n_triangles": pa.array([n_tri], pa.int64()),
     })
+
+
+def bfs_hops(edges, seeds, src_col: str = "src", dst_col: str = "dst",
+             max_hops: int = 3, buckets: int = 64):
+    """Multi-source BFS hop distance over the undirected graph of an edge
+    Dataset: returns (node, hops) for every node within ``max_hops`` of
+    the seed set (seeds themselves at hops=0).
+
+    Scale shape — frontier expansion, the standard distributed BFS: the
+    undirected adjacency is materialized once; each hop is ONE hash join
+    (frontier x adjacency, both sides routed by the same key hash), an
+    in-bucket distinct, and ONE anti-join against the visited set (also
+    hash-bucketed — the visited set never sits on the driver). Work per
+    hop is proportional to the frontier's edge cut, not the graph; the
+    loop exits early when a frontier drains."""
+    from debezium_incubator_ray.hashing import partition_ids
+    from debezium_incubator_ray.functions.joins import shuffle_join
+    import ray.data
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks()
+        d = t[dst_col].combine_chunks()
+        keep = pc.and_(
+            pc.not_equal(s, d), pc.and_(pc.is_valid(s), pc.is_valid(d))
+        )
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "u": pa.chunked_array([s, d]),
+            "v": pa.chunked_array([d, s]),
+        })
+
+    adj = distinct_edges(
+        edges.map_batches(both_dirs, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "u", "v", buckets=buckets,
+    ).materialize()
+    node_type = adj.schema().base_schema.field("u").type
+
+    def _distinct(ds):
+        def tag(t: pa.Table) -> pa.Table:
+            d = t.select(["node"]).group_by("node").aggregate([])
+            return d.append_column(
+                "_b",
+                pa.array(partition_ids(d["node"].combine_chunks(),
+                                       buckets, "hash"), pa.int32()),
+            )
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b")
+            .map_groups(
+                lambda g: g.drop_columns(["_b"])
+                .group_by("node").aggregate([]),
+                batch_format="pyarrow",
+            )
+        )
+
+    frontier = ray.data.from_arrow(pa.table({
+        "node": pc.cast(pa.array(sorted(set(seeds))), node_type),
+        "hops": pa.array([0] * len(set(seeds)), pa.int64()),
+    })).materialize()
+    visited = frontier
+
+    for h in range(1, max_hops + 1):
+        nbrs = shuffle_join(
+            frontier.map_batches(
+                lambda t: t.select(["node"]), batch_format="pyarrow"
+            ),
+            adj, on="node", right_on="u", buckets=buckets,
+        ).map_batches(
+            lambda t: pa.table({"node": t["v"]}), batch_format="pyarrow"
+        )
+        fresh = shuffle_join(
+            _distinct(nbrs), visited, on="node", buckets=buckets,
+            join_type="left anti",
+        ).map_batches(
+            lambda t, _h=h: pa.table({
+                "node": t["node"],
+                "hops": pa.array(np.full(t.num_rows, _h, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+
+    return visited

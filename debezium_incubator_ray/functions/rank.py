@@ -236,3 +236,54 @@ def global_quantile_cont(ds, value_col: str, qs, n_buckets: int = 4096):
         "q": pa.array(qs, pa.float64()),
         "value": pa.array(out, pa.float64()),
     })
+
+
+def grouped_percent_rank(ds, group_col: str, value_col: str,
+                         buckets: int = 64):
+    """Append ``pr`` = PERCENT_RANK() OVER (PARTITION BY group_col
+    ORDER BY value_col): min-rank ties, (n_group - 1) denominator, NULL
+    values dropped (rank over ``WHERE value_col IS NOT NULL``).
+
+    Groups co-locate via ONE shuffle into bounded hash buckets (never a
+    Python task per key); the whole bucket then ranks in a single
+    lexsort + first-occurrence scan — count(strictly smaller within
+    group) is just (index of the value's first occurrence in the group
+    run) - (run start), both vectorized. Same contract as
+    quantiles_per_group: one group must fit a task; a group too large
+    for that should use the bucket-cumsum decomposition (percent_rank)
+    within the group instead."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        return t.append_column(
+            "_b",
+            pa.array(partition_ids(t[group_col].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_b"])
+        keys = g[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(v)
+        order = np.lexsort((v, keys))
+        ks, vs = keys[order], v[order]
+        idx = np.arange(n)
+        new_group = np.r_[True, ks[1:] != ks[:-1]]
+        run_start = np.maximum.accumulate(np.where(new_group, idx, 0))
+        new_val = new_group | np.r_[True, vs[1:] != vs[:-1]]
+        first_eq = np.maximum.accumulate(np.where(new_val, idx, 0))
+        sizes = np.diff(np.append(np.flatnonzero(new_group), n))
+        run_size = np.repeat(sizes, sizes)
+        denom = np.maximum(run_size - 1, 1).astype(np.float64)
+        pr_sorted = (first_eq - run_start) / denom
+        pr = np.empty(n, dtype=np.float64)
+        pr[order] = pr_sorted
+        return g.append_column("pr", pa.array(pr))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )

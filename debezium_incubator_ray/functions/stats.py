@@ -293,3 +293,80 @@ def grouping_sets_sum(ds, derive, key_cols, sets, level_col="gid"):
         return pa.table(cols)
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def corr_matrix(ds, cols):
+    """Pairwise Pearson correlation over a set of numeric columns in ONE
+    streaming pass — the data-profiling correlation heatmap. Output: one
+    row per unordered pair (col_a < col_b by name order given) with the
+    pair's n and corr.
+
+    SQL ``corr(x, y)`` excludes a row when EITHER side is NULL, and that
+    exclusion set differs per pair — so the moment sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) are accumulated per pair under the pair's
+    own validity mask. Per batch that is p*(p-1)/2 masked numpy folds
+    into ONE single-row partial; a constant-key groupby sums them and a
+    closed-form finish emits the matrix. Driver state: one row of
+    6 * #pairs floats."""
+    from ray.data.aggregate import Sum
+
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = {}
+        valid = {}
+        for c in cols:
+            a = t[c].combine_chunks()
+            valid[c] = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            arrs[c] = pc.cast(a, pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+        row: dict = {"_k": pa.array([0], pa.int64())}
+        for a_c, b_c in pairs:
+            m = valid[a_c] & valid[b_c]
+            x, y = arrs[a_c][m], arrs[b_c][m]
+            pfx = f"{a_c}__{b_c}"
+            row[f"{pfx}_n"] = pa.array([float(len(x))])
+            row[f"{pfx}_sx"] = pa.array([float(x.sum())])
+            row[f"{pfx}_sy"] = pa.array([float(y.sum())])
+            row[f"{pfx}_sxx"] = pa.array([float((x * x).sum())])
+            row[f"{pfx}_syy"] = pa.array([float((y * y).sum())])
+            row[f"{pfx}_sxy"] = pa.array([float((x * y).sum())])
+        return pa.table(row)
+
+    aggs = []
+    for a_c, b_c in pairs:
+        pfx = f"{a_c}__{b_c}"
+        for s in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            aggs.append(Sum(f"{pfx}_{s}", alias_name=f"{pfx}_{s}"))
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_k")
+        .aggregate(*aggs)
+        .take_all()
+    )[0]
+
+    out_a, out_b, out_n, out_corr = [], [], [], []
+    for a_c, b_c in pairs:
+        pfx = f"{a_c}__{b_c}"
+        n = folded[f"{pfx}_n"]
+        sx, sy = folded[f"{pfx}_sx"], folded[f"{pfx}_sy"]
+        sxx, syy = folded[f"{pfx}_sxx"], folded[f"{pfx}_syy"]
+        sxy = folded[f"{pfx}_sxy"]
+        cov_n = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        denom = np.sqrt(var_x * var_y)
+        out_a.append(a_c)
+        out_b.append(b_c)
+        out_n.append(int(n))
+        out_corr.append(cov_n / denom if denom > 0 else None)
+    return pa.table({
+        "col_a": pa.array(out_a, pa.string()),
+        "col_b": pa.array(out_b, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "corr": pa.array(out_corr, pa.float64()),
+    })

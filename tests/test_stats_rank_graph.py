@@ -375,3 +375,84 @@ def test_ntile_from_rn_more_tiles_than_rows():
 
     rn = np.arange(1, 4)
     assert ntile_from_rn(rn, 3, 10).tolist() == [1, 2, 3]
+
+
+def test_bfs_hops_matches_queue_bfs():
+    from collections import deque
+
+    from debezium_incubator_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(4)
+    n = 80
+    A = rng.random((n, n)) < 0.04
+    A = np.triu(A, 1)
+    A = A | A.T
+    src, dst = np.nonzero(A)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    })).repartition(3)
+
+    seeds = [0, 1, 2]
+    out = bfs_hops(ds, seeds, max_hops=4, buckets=8).to_pandas()
+    got = {int(r["node"]): int(r["hops"]) for _, r in out.iterrows()}
+
+    dist = np.full(n, -1)
+    dq = deque()
+    for s in seeds:
+        dist[s] = 0
+        dq.append(s)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in np.nonzero(A[u])[0]:
+            if dist[v] < 0:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    expect = {i: int(d) for i, d in enumerate(dist) if 0 <= d <= 4}
+    assert got == expect
+
+
+def test_grouped_percent_rank_matches_pandas_with_ties_and_nulls():
+    from debezium_incubator_ray.functions.rank import grouped_percent_rank
+
+    rng = np.random.default_rng(6)
+    m = 4000
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcd"), m),
+        "v": np.round(rng.normal(0, 1, m), 2),  # rounding forces ties
+        "id": np.arange(m),
+    })
+    df.loc[rng.choice(m, 50, replace=False), "v"] = np.nan
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+
+    out = grouped_percent_rank(ds, "g", "v", buckets=8).to_pandas()
+    out = out.sort_values("id")
+    sub = df.dropna(subset=["v"]).sort_values("id")
+    expect = sub.groupby("g")["v"].rank(method="min")
+    nn = sub.groupby("g")["v"].transform("size")
+    expect = (expect - 1) / np.maximum(nn - 1, 1)
+    assert len(out) == len(sub)
+    assert np.allclose(out["pr"].to_numpy(), expect.to_numpy(), atol=1e-12)
+
+
+def test_corr_matrix_pairwise_null_masks():
+    from debezium_incubator_ray.functions.stats import corr_matrix
+
+    rng = np.random.default_rng(8)
+    m = 4000
+    df = pd.DataFrame({
+        "x": rng.normal(0, 1, m),
+        "y": rng.normal(5, 2, m),
+        "z": rng.normal(-1, 3, m),
+    })
+    df.loc[rng.choice(m, 100, replace=False), "y"] = np.nan
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+
+    out = corr_matrix(ds, ["x", "y", "z"]).to_pandas()
+    out = out.set_index(["col_a", "col_b"])
+    for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+        s = df[[a, b]].dropna()
+        r = np.corrcoef(s[a], s[b])[0, 1]
+        assert abs(out.loc[(a, b), "corr"] - r) < 1e-9
+        assert int(out.loc[(a, b), "n"]) == len(s)
