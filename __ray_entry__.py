@@ -3479,6 +3479,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             top1, batch_format="pyarrow"
         )
 
+    def stats_higher_moments(sf_dir):
+        """Per-type sample skewness and excess kurtosis (the SQL
+        bias-adjusted G1/G2 estimators) from one streaming pass of raw
+        power sums — no co-location of the group ever needed."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            group_higher_moments,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return group_higher_moments(ev, "event_type", "value")
+
+    def text_cosine_pairs(sf_dir):
+        """Top-50 TF-IDF cosine document pairs via inverted-index
+        blocking: only pairs sharing a kept (2 <= df <= 6% of docs) term
+        are ever scored — candidate space sum C(df,2), never all-pairs;
+        per-term partial dots fold by pair-hash bucket, norms attach by
+        hash join. The cutoff is a FRACTION of the corpus so the window
+        scales with it."""
+        import ray.data
+        from debezium_incubator_ray.functions.similarity import (
+            cosine_pairs_topk,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return cosine_pairs_topk(docs, k=50, max_df_frac=0.06)
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -3712,6 +3745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_corr_matrix": dq_corr_matrix,
         "events_group_percent_rank": events_group_percent_rank,
         "events_top_user": events_top_user,
+        "stats_higher_moments": stats_higher_moments,
+        "text_cosine_pairs": text_cosine_pairs,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5216,6 +5251,41 @@ def oracle_sql() -> dict[str, str]:
             "PERCENT_RANK() OVER (PARTITION BY event_type "
             "ORDER BY value) AS pr "
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "stats_higher_moments": (
+            "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
+            "skewness(value) AS skew, kurtosis(value) AS kurt "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1"
+        ),
+        "text_cosine_pairs": (
+            # df-filtered tf-idf cosine; ties at the k boundary break
+            # (cosine desc, a, b) — qualified c.cosine so ORDER BY uses
+            # the raw value, not a rounded alias
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
+            "FROM tf GROUP BY 1), "
+            "nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n "
+            "FROM tf), "
+            "kept AS (SELECT term, df FROM df "
+            "WHERE df >= 2 AND df <= 0.06 * (SELECT n FROM nd)), "
+            "w AS (SELECT tf.doc_id, tf.term, "
+            "tf.tf * ln(nd.n / kept.df) AS w "
+            "FROM tf JOIN kept USING (term) CROSS JOIN nd), "
+            "norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm "
+            "FROM w GROUP BY 1), "
+            "dots AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "sum(x.w * y.w) AS dot FROM w x "
+            "JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2), "
+            "c AS (SELECT a, b, dot / (na.nrm * nb.nrm) AS cosine "
+            "FROM dots JOIN norms na ON a = na.doc_id "
+            "JOIN norms nb ON b = nb.doc_id) "
+            "SELECT a, b, cosine FROM c "
+            "ORDER BY c.cosine DESC, a ASC, b ASC LIMIT 50"
         ),
         "events_top_user": (
             "WITH c AS (SELECT event_type, user_id, "

@@ -370,3 +370,68 @@ def corr_matrix(ds, cols):
         "n": pa.array(out_n, pa.int64()),
         "corr": pa.array(out_corr, pa.float64()),
     })
+
+
+def group_higher_moments(ds, key_col: str, value_col: str):
+    """Per-key adjusted sample skewness and excess kurtosis — exactly
+    DuckDB/SQL ``skewness``/``kurtosis`` (the G1 / G2 bias-adjusted
+    estimators) — from ONE streaming pass of raw power sums
+    (n, S1..S4). Central moments come out of the raw sums in closed
+    form, so the only shuffle is |keys| x #blocks single-row partials.
+    NULL values are excluded; keys need n >= 3 (skew) / n >= 4 (kurt) —
+    smaller groups emit NULL for the undefined statistic, as SQL does."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        x = pc.cast(t[value_col], pa.float64())
+        x2 = pc.multiply(x, x)
+        d = pa.table({
+            key_col: t[key_col],
+            "s1": x,
+            "s2": x2,
+            "s3": pc.multiply(x2, x),
+            "s4": pc.multiply(x2, x2),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        g = d.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("s1", "s2", "s3", "s4", "n")]
+        )
+        return g.rename_columns([key_col, "s1", "s2", "s3", "s4", "n"])
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("s1", "s2", "s3", "s4", "n")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        s1 = t["s1"].combine_chunks().to_numpy(zero_copy_only=False)
+        s2 = t["s2"].combine_chunks().to_numpy(zero_copy_only=False)
+        s3 = t["s3"].combine_chunks().to_numpy(zero_copy_only=False)
+        s4 = t["s4"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+        m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m ** 4
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g1 = m3 / m2 ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            g2 = m4 / (m2 * m2) - 3.0
+            kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        skew_ok = (n >= 3) & (m2 > 0)
+        kurt_ok = (n >= 4) & (m2 > 0)
+        return pa.table({
+            key_col: t[key_col],
+            "n": pc.cast(t["n"], pa.int64()),
+            "skew": pa.array(np.where(skew_ok, skew, np.nan),
+                             pa.float64(), mask=~skew_ok),
+            "kurt": pa.array(np.where(kurt_ok, kurt, np.nan),
+                             pa.float64(), mask=~kurt_ok),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")

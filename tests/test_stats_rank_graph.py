@@ -456,3 +456,106 @@ def test_corr_matrix_pairwise_null_masks():
         r = np.corrcoef(s[a], s[b])[0, 1]
         assert abs(out.loc[(a, b), "corr"] - r) < 1e-9
         assert int(out.loc[(a, b), "n"]) == len(s)
+
+
+def test_group_higher_moments_matches_duckdb(events_df):
+    import duckdb
+
+    from debezium_incubator_ray.functions.stats import group_higher_moments
+
+    df = events_df.copy()
+    df["value"] = df["value"] ** 2  # skewed
+    df.loc[df.index[:30], "value"] = np.nan
+    out = group_higher_moments(
+        events_ds(df), "event_type", "value"
+    ).to_pandas().set_index("event_type").sort_index()
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT event_type, count(value) AS n, skewness(value) AS s, "
+        "kurtosis(value) AS k FROM t WHERE value IS NOT NULL "
+        "GROUP BY 1 ORDER BY 1"
+    ).df()
+    for _, r in exp.iterrows():
+        row = out.loc[r["event_type"]]
+        assert int(row["n"]) == r["n"]
+        assert abs(row["skew"] - r["s"]) < 1e-8
+        assert abs(row["kurt"] - r["k"]) < 1e-7
+
+
+def test_group_higher_moments_tiny_groups_null():
+    from debezium_incubator_ray.functions.stats import group_higher_moments
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "b", "b", "c", "c", "c", "c"]),
+        "v": pa.array([1.0, 2.0, 1.0, 2.0, 4.0, 1.0, 2.0, 4.0, 8.0]),
+    })
+    out = group_higher_moments(
+        ray.data.from_arrow(t), "g", "v"
+    ).to_pandas().set_index("g").sort_index()
+    assert pd.isna(out.loc["a", "skew"]) and pd.isna(out.loc["a", "kurt"])
+    assert not pd.isna(out.loc["b", "skew"]) and pd.isna(out.loc["b", "kurt"])
+    assert not pd.isna(out.loc["c", "kurt"])
+
+
+def test_cosine_pairs_topk_matches_duckdb():
+    import duckdb
+
+    from debezium_incubator_ray.functions.similarity import cosine_pairs_topk
+
+    rng = np.random.default_rng(9)
+    words = np.array([
+        "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+        "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi",
+    ])
+    docs = [" ".join(rng.choice(words, rng.integers(5, 30)))
+            for _ in range(300)]
+    docs[10] = docs[20]  # exact duplicate -> cosine 1.0 pair must rank top
+    ddf = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64), "text": docs,
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(ddf)).repartition(4)
+    out = cosine_pairs_topk(ds, k=20, max_df=250, buckets=8).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", ddf)
+    exp = con.execute("""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+        '\\s+')) AS term FROM documents WHERE length(trim(text)) > 0),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    kept AS (SELECT term, df FROM df WHERE df >= 2 AND df <= 250),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n / kept.df) AS w
+        FROM tf JOIN kept USING (term) CROSS JOIN nd),
+    norms AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+    dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+        FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+    c AS (SELECT a, b, dot / (na.nrm * nb.nrm) AS cosine FROM dots
+        JOIN norms na ON a = na.doc_id JOIN norms nb ON b = nb.doc_id)
+    SELECT a, b, cosine FROM c ORDER BY c.cosine DESC, a, b LIMIT 20
+    """).df()
+    got = out.sort_values(
+        ["cosine", "a", "b"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    assert (got["a"].to_numpy() == exp["a"].to_numpy()).all()
+    assert (got["b"].to_numpy() == exp["b"].to_numpy()).all()
+    assert np.allclose(got["cosine"], exp["cosine"], atol=1e-9)
+    assert got["cosine"].iloc[0] > 0.999
+
+
+def test_cosine_pairs_topk_empty_when_no_kept_terms():
+    from debezium_incubator_ray.functions.similarity import cosine_pairs_topk
+
+    # every doc a unique word (all df=1) -> no candidate pairs
+    ddf = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [f"word{i}" for i in range(20)],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(ddf))
+    out = cosine_pairs_topk(ds, k=5, max_df=10, buckets=4)
+    assert out.num_rows == 0
+    assert out.column_names == ["a", "b", "cosine"]
