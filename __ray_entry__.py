@@ -3512,6 +3512,148 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_pairs_topk(docs, k=50, max_df_frac=0.06)
 
+    def dq_reconcile_orders(sf_dir):
+        """Cross-table reconciliation: does each order's stored total
+        match the recomputed lineitem charge sum(ext*(1-disc)*(1+tax))?
+        Per-order partial sums fold narrow; ONE hash join (orders x
+        per-order charges, both large sides bucketed); per-batch
+        (n, n_mismatch, max_diff) partials collapse to a single row —
+        the classic two-table integrity audit, no row on the driver."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Max, Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_tax"],
+        )
+
+        def charge_partial(t: pa.Table) -> pa.Table:
+            c = pc.multiply(
+                pc.multiply(
+                    pc.cast(t["l_extendedprice"], pa.float64()),
+                    pc.subtract(
+                        1.0, pc.cast(t["l_discount"], pa.float64())
+                    ),
+                ),
+                pc.add(1.0, pc.cast(t["l_tax"], pa.float64())),
+            )
+            d = pa.table({"l_orderkey": t["l_orderkey"], "c": c})
+            g = d.group_by("l_orderkey").aggregate([("c", "sum")])
+            return g.rename_columns(["l_orderkey", "c"])
+
+        charges = (
+            li.map_batches(charge_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Sum("c", alias_name="charge"))
+        )
+
+        joined = shuffle_join(
+            orders, charges, on="o_orderkey", right_on="l_orderkey",
+            join_type="left outer",
+        )
+
+        def audit_partial(t: pa.Table) -> pa.Table:
+            total = pc.cast(t["o_totalprice"], pa.float64())
+            miss = pc.is_null(t["charge"])
+            diff = pc.if_else(
+                miss, total, pc.abs(pc.subtract(total, t["charge"]))
+            )
+            mis = pc.or_(miss, pc.greater(diff, 0.01))
+            return pa.table({
+                "_k": pa.array([0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "nm": pa.array(
+                    [pc.sum(pc.cast(mis, pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "mx": pa.array(
+                    [pc.max(diff).as_py()
+                     if t.num_rows else None], pa.float64(),
+                ),
+            })
+
+        folded = (
+            joined.map_batches(audit_partial, batch_format="pyarrow")
+            .groupby("_k")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("nm", alias_name="nm"),
+                Max("mx", alias_name="mx", ignore_nulls=True),
+            )
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "n_orders": pc.cast(t["n"], pa.int64()),
+                "n_mismatch": pc.cast(t["nm"], pa.int64()),
+                "max_abs_diff": pc.round(t["mx"], ndigits=6),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def events_new_users_daily(sf_dir):
+        """New users per day + running total: first-seen day per user is
+        ONE narrow Min fold (never the event history co-located); the
+        per-day counts are #days rows, cumsum'd on the driver — the
+        'daily active vs new' growth curve."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import numpy as np
+        import ray.data
+        from ray.data.aggregate import Min, Sum
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+
+        def day_partial(t: pa.Table) -> pa.Table:
+            day = pc.strftime(
+                pc.floor_temporal(t["ts"].combine_chunks(), unit="day"),
+                format="%Y-%m-%d",
+            )
+            d = pa.table({"user_id": t["user_id"], "day": day})
+            g = d.group_by("user_id").aggregate([("day", "min")])
+            return g.rename_columns(["user_id", "day"])
+
+        first_day = (
+            ev.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(Min("day", alias_name="day"))
+        )
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("day").aggregate([([], "count_all")])
+            return pa.table({
+                "day": g["day"],
+                "nu": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        per_day = (
+            first_day.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("day")
+            .aggregate(Sum("nu", alias_name="nu"))
+            .take_all()
+        )  # #distinct-days rows: the only driver-side state
+        per_day.sort(key=lambda r: r["day"])
+        days = [r["day"] for r in per_day]
+        nu = np.array([r["nu"] for r in per_day], dtype=np.int64)
+        return pa.table({
+            "day": pa.array(days, pa.string()),
+            "new_users": pa.array(nu),
+            "cum_users": pa.array(np.cumsum(nu)),
+        })
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -3747,6 +3889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_user": events_top_user,
         "stats_higher_moments": stats_higher_moments,
         "text_cosine_pairs": text_cosine_pairs,
+        "dq_reconcile_orders": dq_reconcile_orders,
+        "events_new_users_daily": events_new_users_daily,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5251,6 +5395,29 @@ def oracle_sql() -> dict[str, str]:
             "PERCENT_RANK() OVER (PARTITION BY event_type "
             "ORDER BY value) AS pr "
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "dq_reconcile_orders": (
+            "WITH lc AS (SELECT l_orderkey, "
+            "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) "
+            "AS charge FROM lineitem GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(count(*) FILTER (lc.charge IS NULL "
+            "OR abs(o_totalprice - lc.charge) > 0.01) AS BIGINT) "
+            "AS n_mismatch, "
+            "round(max(CASE WHEN lc.charge IS NULL THEN o_totalprice "
+            "ELSE abs(o_totalprice - lc.charge) END), 6) "
+            "AS max_abs_diff "
+            "FROM orders LEFT JOIN lc ON o_orderkey = lc.l_orderkey"
+        ),
+        "events_new_users_daily": (
+            "WITH f AS (SELECT user_id, "
+            "CAST(CAST(min(ts) AS DATE) AS VARCHAR) AS day "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users "
+            "FROM f GROUP BY 1) "
+            "SELECT day, new_users, "
+            "CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) "
+            "AS cum_users FROM d"
         ),
         "stats_higher_moments": (
             "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
