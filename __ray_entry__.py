@@ -3654,6 +3654,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cum_users": pa.array(np.cumsum(nu)),
         })
 
+    def part_pareto_front(sf_dir):
+        """Skyline of parts maximizing (size, retailprice): equi-width
+        x-buckets give cross-bucket dominance from B driver floats; a
+        cheap pre-filter drops nearly every row before the one bucketed
+        shuffle; in-bucket exact front is one vectorized pass — never an
+        all-pairs check."""
+        import ray.data
+        from debezium_incubator_ray.functions.quality import pareto_front
+
+        part = ray.data.read_parquet(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_size", "p_retailprice"],
+        )
+        return pareto_front(part, "p_size", "p_retailprice", n_buckets=64)
+
+    def text_pmi_topk(sf_dir):
+        """Top-50 collocations by pointwise mutual information (bigrams
+        with count >= 5): full bigram counts fold by pair-hash bucket,
+        unigram marginals attach via hash joins, PMI evaluated in the
+        oracle's exact operation order."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import pmi_topk
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"],
+        )
+        return pmi_topk(docs, k=50, min_count=5)
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -3891,6 +3919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_cosine_pairs": text_cosine_pairs,
         "dq_reconcile_orders": dq_reconcile_orders,
         "events_new_users_daily": events_new_users_daily,
+        "part_pareto_front": part_pareto_front,
+        "text_pmi_topk": text_pmi_topk,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5395,6 +5425,37 @@ def oracle_sql() -> dict[str, str]:
             "PERCENT_RANK() OVER (PARTITION BY event_type "
             "ORDER BY value) AS pr "
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "part_pareto_front": (
+            "SELECT p_partkey, p_size, p_retailprice FROM part p "
+            "WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM part q "
+            "WHERE q.p_size >= p.p_size "
+            "AND q.p_retailprice >= p.p_retailprice "
+            "AND (q.p_size > p.p_size "
+            "OR q.p_retailprice > p.p_retailprice))"
+        ),
+        "text_pmi_topk": (
+            # same case-sensitive whitespace tokenizer as the engine;
+            # PMI expression written in the engine's exact op order
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS tk "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "u AS (SELECT doc_id, unnest(tk) AS w, "
+            "generate_subscripts(tk, 1) AS pos FROM t), "
+            "b AS (SELECT a.w AS w1, c.w AS w2 FROM u a JOIN u c "
+            "ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
+            "g AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM b GROUP BY 1, 2 HAVING count(*) >= 5), "
+            "un AS (SELECT w, CAST(count(*) AS DOUBLE) AS c "
+            "FROM u GROUP BY 1), "
+            "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u), "
+            "nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b) "
+            "SELECT g.w1, g.w2, g.cnt, "
+            "ln((g.cnt / nb.n) / ((ua.c / nt.n) * (ub.c / nt.n))) AS pmi "
+            "FROM g JOIN un ua ON g.w1 = ua.w "
+            "JOIN un ub ON g.w2 = ub.w CROSS JOIN nt CROSS JOIN nb "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 50"
         ),
         "dq_reconcile_orders": (
             "WITH lc AS (SELECT l_orderkey, "

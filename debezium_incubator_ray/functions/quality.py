@@ -372,3 +372,104 @@ def mad_outliers(
         })
 
     return ds.groupby(group_col).map_groups(f, batch_format="pyarrow")
+
+
+def pareto_front(ds, x_col: str, y_col: str, n_buckets: int = 1024):
+    """Skyline / Pareto front maximizing BOTH columns: rows not strictly
+    dominated by any other row (q dominates p iff q.x >= p.x and
+    q.y >= p.y with at least one strict). Ties on both coordinates all
+    survive — exactly the SQL NOT EXISTS formulation.
+
+    Scale shape (never an all-pairs check): equi-width x-buckets give
+    cross-bucket dominance for free — any point in a HIGHER bucket has
+    strictly greater x, so a point survives its cross-bucket test iff
+    its y exceeds the suffix-max of per-bucket y maxima (B floats on the
+    driver, from one tiny fold). The in-bucket exact front is one
+    vectorized pass over the bucket sorted desc by (x, y): per distinct
+    x only the max-y points survive, and only when that max strictly
+    exceeds the running max of greater x. NULLs in either column are
+    dropped (SQL comparisons with NULL never dominate or survive)."""
+    from ray.data.aggregate import Max, Sum
+
+    both_valid = lambda t: t.filter(  # noqa: E731
+        pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+    )
+    mn, mx = global_min_max(
+        ds.map_batches(both_valid, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        x_col,
+    )
+
+    def ymax_partial(t: pa.Table) -> pa.Table:
+        t = both_valid(t)
+        x = pc.cast(t[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+        b = equi_bucket(x, mn, mx, n_buckets)
+        out = np.full(n_buckets, -np.inf)
+        np.maximum.at(out, b, y)
+        nz = np.flatnonzero(out > -np.inf)
+        return pa.table({
+            "_xb": pa.array(nz.astype(np.int64)),
+            "ym": pa.array(out[nz]),
+        })
+
+    rows = (
+        ds.map_batches(ymax_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_xb")
+        .aggregate(Max("ym", alias_name="ym"))
+        .take_all()
+    )  # <= n_buckets rows: the only driver-side state
+    ym = np.full(n_buckets, -np.inf)
+    for r in rows:
+        ym[r["_xb"]] = r["ym"]
+    # suffix max over STRICTLY higher buckets
+    above = np.full(n_buckets, -np.inf)
+    if n_buckets > 1:
+        above[:-1] = np.maximum.accumulate(ym[::-1])[::-1][1:]
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = both_valid(t)
+        x = pc.cast(t[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+        b = equi_bucket(x, mn, mx, n_buckets)
+        # cheap pre-filter: a row below its bucket's cross-bucket bar can
+        # never survive; drops almost everything before the shuffle
+        y = pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+        keep = y > above[b]
+        return t.filter(pa.array(keep)).append_column(
+            "_xb", pa.array(b[keep])
+        )
+
+    def front_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["_xb"][0].as_py())
+        g = g.drop_columns(["_xb"])
+        x = pc.cast(g[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(g[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        n = len(xs)
+        new_x = np.r_[True, xs[1:] != xs[:-1]]
+        # max y per distinct x is the FIRST row of the x-run (sorted desc)
+        run_ymax = ys[np.maximum.accumulate(
+            np.where(new_x, np.arange(n), 0)
+        )]
+        # running max of strictly-greater x: shift the per-run cummax
+        starts = np.flatnonzero(new_x)
+        run_best = ys[starts]  # max y of each x-run
+        prev_best = np.full(len(starts), above[b])
+        if len(starts) > 1:
+            prev_best[1:] = np.maximum(
+                prev_best[1:], np.maximum.accumulate(run_best)[:-1]
+            )
+        sizes = np.diff(np.append(starts, n))
+        greater_max = np.repeat(prev_best, sizes)
+        keep_sorted = (ys == run_ymax) & (run_ymax > greater_max)
+        keep = np.empty(n, dtype=bool)
+        keep[order] = keep_sorted
+        return g.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_xb")
+        .map_groups(front_bucket, batch_format="pyarrow")
+    )

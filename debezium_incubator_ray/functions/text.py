@@ -1024,3 +1024,156 @@ def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id"):
         return out
 
     return ds.map_batches(ttr, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
+             buckets: int = 64):
+    """Top-k adjacent-pair collocations by pointwise mutual information:
+    pmi(a,b) = ln( (c_ab / n_bigrams) / ((c_a / n_tokens) *
+    (c_b / n_tokens)) ), over bigrams with c_ab >= ``min_count`` — the
+    measure that separates true collocations from merely-frequent pairs.
+
+    Shape: full bigram counts fold by pair-hash bucket (the bigram_topk
+    combiner, but keeping every pair >= min_count, not a top-k cut);
+    unigram counts fold by term hash; two hash joins attach the
+    marginals; the PMI expression is evaluated in the exact same
+    operation order as the SQL oracle. Ties at the k boundary break
+    (pmi desc, w1, w2). Returns a pyarrow Table
+    (w1, w2, cnt, pmi)."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.hashing import stable_hash
+    from debezium_incubator_ray.functions.joins import shuffle_join
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t, text_col)
+        n = len(flat)
+        empty = pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "_pb": pa.array([], pa.int32()),
+        })
+        if n == 0:
+            return empty
+        mask = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        mask[ends[lens > 0] - 1] = False
+        if not mask.any():
+            return empty
+        idx = np.nonzero(mask)[0]
+        tb = pa.table({
+            "w1": flat.take(pa.array(idx)),
+            "w2": flat.take(pa.array(idx + 1)),
+        })
+        g = tb.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        out = pa.table({
+            "w1": g["w1"],
+            "w2": g["w2"],
+            "cnt": pc.cast(g["w1_count"], pa.int64()),
+        })
+        with np.errstate(over="ignore"):
+            h = (
+                stable_hash(out["w1"]) * np.uint64(0x9E3779B97F4A7C15)
+                ^ stable_hash(out["w2"])
+            )
+        return out.append_column(
+            "_pb", pa.array((h % np.uint64(buckets)).astype(np.int32))
+        )
+
+    def fold_bigrams(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_pb"])
+            .group_by(["w1", "w2"])
+            .aggregate([("cnt", "sum")])
+        )
+        g = g.rename_columns(["w1", "w2", "cnt"])
+        return g.filter(pc.greater_equal(g["cnt"], min_count))
+
+    bigrams = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(fold_bigrams, batch_format="pyarrow")
+    )
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t, text_col)
+        g = pa.table({"w": flat}).group_by("w").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "w": g["w"],
+            "c": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    unigrams = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    ).materialize()  # consumed by both marginal joins
+
+    # two scalars ride the task closures
+    n_tok = float(unigrams.sum("c"))
+
+    def big_total(t: pa.Table) -> pa.Table:
+        _, lens = _flat_tokens(t, text_col)
+        return pa.table({
+            "n": pa.array([int(np.maximum(lens - 1, 0).sum())], pa.int64())
+        })
+
+    n_big = float(
+        ds.map_batches(big_total, batch_format="pyarrow",
+                       zero_copy_batch=True).sum("n")
+    )
+
+    j1 = shuffle_join(
+        bigrams, unigrams, on="w1", right_on="w", buckets=buckets
+    ).map_batches(
+        lambda t: pa.table({
+            "w1": t["w1"], "w2": t["w2"], "cnt": t["cnt"], "ca": t["c"],
+        }),
+        batch_format="pyarrow",
+    )
+    scored = shuffle_join(
+        j1, unigrams, on="w2", right_on="w", buckets=buckets
+    ).map_batches(
+        lambda t: pa.table({
+            "w1": t["w1"],
+            "w2": t["w2"],
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+            # exact oracle expression order:
+            # ln((cnt / n_big) / ((ca / n_tok) * (cb / n_tok)))
+            "pmi": pc.ln(pc.divide(
+                pc.divide(pc.cast(t["cnt"], pa.float64()), n_big),
+                pc.multiply(
+                    pc.divide(pc.cast(t["ca"], pa.float64()), n_tok),
+                    pc.divide(pc.cast(t["c"], pa.float64()), n_tok),
+                ),
+            )),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(
+            t.append_column("_neg", pc.negate(t["pmi"])),
+            sort_keys=[("_neg", "ascending"), ("w1", "ascending"),
+                       ("w2", "ascending")],
+        )
+        return t.take(order.slice(0, k))
+
+    empty = pa.table({
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "pmi": pa.array([], pa.float64()),
+    })
+    cand = scored.map_batches(local_topk, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_format="pyarrow")] or [empty],
+        promote_options="permissive",
+    )
+    return local_topk(merged)

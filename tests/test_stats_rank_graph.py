@@ -559,3 +559,79 @@ def test_cosine_pairs_topk_empty_when_no_kept_terms():
     out = cosine_pairs_topk(ds, k=5, max_df=10, buckets=4)
     assert out.num_rows == 0
     assert out.column_names == ["a", "b", "cosine"]
+
+
+def test_pareto_front_matches_not_exists():
+    import duckdb
+
+    from debezium_incubator_ray.functions.quality import pareto_front
+
+    rng = np.random.default_rng(12)
+    m = 5000
+    df = pd.DataFrame({
+        "id": np.arange(m, dtype=np.int64),
+        "x": rng.integers(1, 51, m).astype(np.int64),
+        "y": np.round(rng.normal(100, 30, m), 1),
+    })
+    # duplicate point on the front: neither strictly dominates the other
+    df.loc[0, ["x", "y"]] = [50, 500.0]
+    df.loc[1, ["x", "y"]] = [50, 500.0]
+    df.loc[2, "y"] = np.nan
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    out = pareto_front(ds, "x", "y", n_buckets=16).to_pandas()
+    out = out.sort_values("id")
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+    SELECT id FROM t p WHERE p.x IS NOT NULL AND p.y IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM t q WHERE q.x >= p.x AND q.y >= p.y
+                    AND (q.x > p.x OR q.y > p.y))
+    ORDER BY id""").df()
+    assert out["id"].tolist() == exp["id"].tolist()
+    assert {0, 1} <= set(out["id"].tolist())
+
+
+def test_pmi_topk_matches_duckdb():
+    import duckdb
+
+    from debezium_incubator_ray.functions.text import pmi_topk
+
+    rng = np.random.default_rng(12)
+    words = np.array(["alpha", "beta", "gamma", "delta",
+                      "eps", "zeta", "eta", "theta"])
+    docs = [" ".join(rng.choice(words, rng.integers(4, 25)))
+            for _ in range(400)]
+    ddf = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64), "text": docs,
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(ddf)).repartition(4)
+    out = pmi_topk(ds, k=20, min_count=5, buckets=8).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", ddf)
+    exp = con.execute("""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents WHERE length(trim(text)) > 0),
+    u AS (SELECT doc_id, unnest(tk) AS w,
+        generate_subscripts(tk, 1) AS pos FROM t),
+    b AS (SELECT a.w AS w1, c.w AS w2 FROM u a JOIN u c
+        ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+    g AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+    un AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM u),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b)
+    SELECT g.w1, g.w2, g.cnt,
+        ln((g.cnt / nb.n) / ((ua.c / nt.n) * (ub.c / nt.n))) AS pmi
+    FROM g JOIN un ua ON g.w1 = ua.w JOIN un ub ON g.w2 = ub.w
+    CROSS JOIN nt CROSS JOIN nb
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """).df()
+    got = out.sort_values(
+        ["pmi", "w1", "w2"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    assert got["w1"].tolist() == exp["w1"].tolist()
+    assert got["w2"].tolist() == exp["w2"].tolist()
+    assert np.allclose(got["pmi"], exp["pmi"], atol=1e-12)
+    assert (got["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()
