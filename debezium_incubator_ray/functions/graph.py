@@ -22,38 +22,38 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def distinct_edges(ds, src_col: str, dst_col: str, buckets: int = 128):
-    """Distinct (src, dst) pairs: per-batch Arrow distinct as the
-    combiner, then ONE shuffle on src-hash buckets with an in-bucket
-    vectorized distinct (src co-locates all its pairs, so bucket-local
-    distinct is global — and the map_groups UDF runs per bounded bucket,
-    never per key)."""
+def distinct_rows(ds, cols, buckets: int = 128):
+    """Distinct rows over ``cols``: per-batch Arrow distinct as the
+    combiner, then ONE shuffle on first-column-hash buckets with an
+    in-bucket vectorized distinct (the first column co-locates all its
+    rows, so bucket-local distinct is global — and the map_groups UDF
+    runs per bounded bucket, never per key)."""
     from debezium_incubator_ray.hashing import partition_ids
 
+    cols = list(cols)
+
     def local(t: pa.Table) -> pa.Table:
-        d = (
-            t.select([src_col, dst_col])
-            .group_by([src_col, dst_col])
-            .aggregate([])
-        )
+        d = t.select(cols).group_by(cols).aggregate([])
         return d.append_column(
             "_b",
-            pa.array(partition_ids(d[src_col].combine_chunks(), buckets,
+            pa.array(partition_ids(d[cols[0]].combine_chunks(), buckets,
                                    "hash"), pa.int32()),
         )
 
     def bucket_distinct(g: pa.Table) -> pa.Table:
-        return (
-            g.drop_columns(["_b"])
-            .group_by([src_col, dst_col])
-            .aggregate([])
-        )
+        return g.drop_columns(["_b"]).group_by(cols).aggregate([])
 
     return (
         ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_b")
         .map_groups(bucket_distinct, batch_format="pyarrow")
     )
+
+
+def distinct_edges(ds, src_col: str, dst_col: str, buckets: int = 128):
+    """Distinct (src, dst) pairs — distinct_rows over the two edge
+    columns (kept as the graph-module entry point)."""
+    return distinct_rows(ds, [src_col, dst_col], buckets=buckets)
 
 
 def pagerank(
@@ -251,20 +251,17 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         n = len(u)
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         sizes = np.diff(np.append(starts, n))
-        pos = np.arange(n) - np.repeat(starts, sizes)
-        left_cnt = np.repeat(sizes, sizes) - 1 - pos
-        total = int(left_cnt.sum())
+        from debezium_incubator_ray.functions.kernels import expand_pairs
+
+        L, R = expand_pairs(sizes)
         empty = pa.table({
             "x": pa.array([], g["v"].type),
             "y": pa.array([], g["v"].type),
             "cnt": pa.array([], pa.int64()),
             "_pb": pa.array([], pa.int32()),
         })
-        if total == 0:
+        if len(L) == 0:
             return empty
-        L = np.repeat(np.arange(n), left_cnt)
-        block = np.cumsum(left_cnt) - left_cnt
-        R = np.arange(total) - np.repeat(block, left_cnt) + L + 1
         x = np.minimum(v[L], v[R])
         y = np.maximum(v[L], v[R])
         w = (
@@ -337,7 +334,6 @@ def bfs_hops(edges, seeds, src_col: str = "src", dst_col: str = "dst",
     hash-bucketed — the visited set never sits on the driver). Work per
     hop is proportional to the frontier's edge cut, not the graph; the
     loop exits early when a frontier drains."""
-    from debezium_incubator_ray.hashing import partition_ids
     from debezium_incubator_ray.functions.joins import shuffle_join
     import ray.data
 
@@ -361,24 +357,7 @@ def bfs_hops(edges, seeds, src_col: str = "src", dst_col: str = "dst",
     node_type = adj.schema().base_schema.field("u").type
 
     def _distinct(ds):
-        def tag(t: pa.Table) -> pa.Table:
-            d = t.select(["node"]).group_by("node").aggregate([])
-            return d.append_column(
-                "_b",
-                pa.array(partition_ids(d["node"].combine_chunks(),
-                                       buckets, "hash"), pa.int32()),
-            )
-
-        return (
-            ds.map_batches(tag, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("_b")
-            .map_groups(
-                lambda g: g.drop_columns(["_b"])
-                .group_by("node").aggregate([]),
-                batch_format="pyarrow",
-            )
-        )
+        return distinct_rows(ds, ["node"], buckets=buckets)
 
     frontier = ray.data.from_arrow(pa.table({
         "node": pc.cast(pa.array(sorted(set(seeds))), node_type),

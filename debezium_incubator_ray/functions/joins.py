@@ -427,18 +427,13 @@ def copurchase_pairs(ds, group_col: str, item_col: str, k: int = 20):
         return out.append_column("_pb", pa.array(pb))
 
     def sum_topk(t: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.functions.kernels import table_topk
+
         if "_pb" in t.column_names:
             t = t.drop_columns(["_pb"])
         g = t.group_by([a_col, b_col]).aggregate([("cnt", "sum")])
         t = pa.table({a_col: g[a_col], b_col: g[b_col], "cnt": g["cnt_sum"]})
-        if t.num_rows <= k:
-            return t
-        order = pc.sort_indices(
-            t.append_column("_neg", pc.negate(t["cnt"])),
-            sort_keys=[("_neg", "ascending"), (a_col, "ascending"),
-                       (b_col, "ascending")],
-        )
-        return t.take(order.slice(0, k))
+        return table_topk(t, "cnt", [a_col, b_col], k)
 
     cand = (
         ds.map_batches(

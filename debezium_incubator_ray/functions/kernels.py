@@ -1,0 +1,69 @@
+"""Shared vectorized kernels used by several operator families: run
+pair-expansion (triangles, term-postings dots), the bucketed top-k merge
+(co-purchase, PMI, cosine pairs), and NULL/NaN row masking for the
+order-statistics operators.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def expand_pairs(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (i < j) for concatenated runs of the
+    given ``sizes`` — fully vectorized (repeat/arange, no Python loop).
+    Returns global (L, R) index arrays into the concatenated layout;
+    both empty when every run has size <= 1."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = int(sizes.sum())
+    starts = np.cumsum(sizes) - sizes
+    pos = np.arange(n) - np.repeat(starts, sizes)
+    left_cnt = np.repeat(sizes, sizes) - 1 - pos
+    total = int(left_cnt.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    L = np.repeat(np.arange(n), left_cnt)
+    block = np.cumsum(left_cnt) - left_cnt
+    R = np.arange(total) - np.repeat(block, left_cnt) + L + 1
+    return L, R
+
+
+def table_topk(t: pa.Table, value_col: str, key_cols, k: int) -> pa.Table:
+    """Top-k rows of a table by (value desc, keys asc) — the shared
+    deterministic tie-break every bucketed top-k here uses."""
+    if t.num_rows <= k:
+        return t
+    order = pc.sort_indices(
+        t.append_column("_neg", pc.negate(t[value_col])),
+        sort_keys=[("_neg", "ascending")]
+        + [(c, "ascending") for c in key_cols],
+    )
+    return t.take(order.slice(0, k))
+
+
+def merge_local_topk(cand_ds, value_col: str, key_cols, k: int,
+                     empty: pa.Table) -> pa.Table:
+    """Driver merge of per-bucket top-k candidates: concat the candidate
+    blocks (#buckets x k rows) and take the global top-k with the same
+    (value desc, keys asc) tie-break the buckets used."""
+    merged = pa.concat_tables(
+        [b for b in cand_ds.iter_batches(batch_format="pyarrow")]
+        or [empty],
+        promote_options="permissive",
+    )
+    return table_topk(merged, value_col, key_cols, k)
+
+
+def drop_null_nan(t: pa.Table, col: str) -> pa.Table:
+    """Rows where ``col`` is non-NULL and (for floats) non-NaN — the
+    shared row mask of the order-statistics operators: NaN has no
+    defined bucket in equi-width bucketing, so the rank family treats
+    it like NULL and documents that divergence from SQL's NaN-greatest
+    ordering."""
+    a = t[col]
+    keep = pc.is_valid(a)
+    if pa.types.is_floating(a.type):
+        keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(a, 0.0))))
+    return t.filter(keep)

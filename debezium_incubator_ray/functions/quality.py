@@ -18,11 +18,15 @@ def global_min_max(ds, value_col: str) -> tuple[float, float]:
     """Global (min, max) of a column as two floats: per-batch single-row
     partials folded through one constant-key groupby — a metadata-sized
     probe, the first pass of every equi-width bucketing operator here
-    (value_histogram, rank.percent_rank)."""
+    (value_histogram, rank.percent_rank). NULL and NaN values are
+    excluded — NaN has no defined equi-width bucket, so the whole
+    bucketing family treats it like NULL."""
     from ray.data.aggregate import Max, Min
 
+    from .kernels import drop_null_nan
+
     def mm_partial(t: pa.Table) -> pa.Table:
-        v = t[value_col]
+        v = drop_null_nan(t, value_col)[value_col]
         return pa.table({
             "_k": pa.array([0], pa.int64()),
             "mn": pa.array([pc.min(v).as_py()], pa.float64()),
@@ -51,7 +55,9 @@ def equi_bucket(v: np.ndarray, mn: float, mx: float, n_buckets: int) -> np.ndarr
     the last bucket — evaluated in this operation order everywhere
     (engine AND SQL oracles) so IEEE doubles land in identical buckets.
     Monotone non-decreasing in v, and equal values always share a bucket.
-    A degenerate range (mx == mn) puts every row in bucket 0."""
+    A degenerate range (mx == mn) puts every row in bucket 0. ``v`` must
+    be NaN-free (floor(NaN) casts to INT64_MIN and corrupts downstream
+    bincounts) — filter with kernels.drop_null_nan first."""
     if mx == mn:
         return np.zeros(len(v), dtype=np.int64)
     return np.minimum(
@@ -387,12 +393,15 @@ def pareto_front(ds, x_col: str, y_col: str, n_buckets: int = 1024):
     driver, from one tiny fold). The in-bucket exact front is one
     vectorized pass over the bucket sorted desc by (x, y): per distinct
     x only the max-y points survive, and only when that max strictly
-    exceeds the running max of greater x. NULLs in either column are
-    dropped (SQL comparisons with NULL never dominate or survive)."""
+    exceeds the running max of greater x. NULL or NaN in either column
+    drops the row (SQL comparisons with NULL never dominate or survive;
+    NaN has no defined equi-width bucket)."""
     from ray.data.aggregate import Max, Sum
 
-    both_valid = lambda t: t.filter(  # noqa: E731
-        pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+    from .kernels import drop_null_nan
+
+    both_valid = lambda t: drop_null_nan(  # noqa: E731
+        drop_null_nan(t, x_col), y_col
     )
     mn, mx = global_min_max(
         ds.map_batches(both_valid, batch_format="pyarrow",

@@ -24,11 +24,16 @@ import pyarrow.compute as pc
 class _BucketHist:
     """Shared first phase of every global-order operator: the equi-width
     value-bucket histogram. Holds (mn, mx, counts, below, n_total) plus
-    the tagging closure; NULL values are dropped before bucketing."""
+    the tagging closure; NULL and NaN values are dropped before
+    bucketing (NaN has no defined equi-width bucket — floor(NaN) casts
+    to INT64_MIN — so the whole rank family treats it like NULL)."""
 
     def __init__(self, ds, value_col: str, n_buckets: int):
         from ray.data.aggregate import Sum
+        from .kernels import drop_null_nan
         from .quality import equi_bucket, global_min_max
+
+        self._drop = drop_null_nan
 
         self.value_col = value_col
         self.n_buckets = n_buckets
@@ -41,7 +46,7 @@ class _BucketHist:
         self.bucket_of = bucket_of
 
         def hist_partial(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_valid(t[value_col]))
+            t = drop_null_nan(t, value_col)
             v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
             cnt = np.bincount(bucket_of(v), minlength=n_buckets)
             nz = np.flatnonzero(cnt)
@@ -65,7 +70,7 @@ class _BucketHist:
         self.n_total = int(self.counts.sum())
 
     def tag(self, t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[self.value_col]))
+        t = self._drop(t, self.value_col)
         v = t[self.value_col].combine_chunks().to_numpy(zero_copy_only=False)
         return t.append_column("_vb", pa.array(self.bucket_of(v)))
 
@@ -185,11 +190,14 @@ def global_quantile_cont(ds, value_col: str, qs, n_buckets: int = 4096):
     For each q the target position is p = q * (n - 1); only the order
     statistics at floor(p) / ceil(p) are needed, and the bucket histogram
     pinpoints which value bucket holds each one. A single filter pass
-    pulls JUST those buckets (expected O(n/B) rows — with the default
-    4096 buckets, ~0.025% of the data per needed bucket), each is sorted
-    locally, and the two neighbors interpolate:
-    v = v0 + (p - floor(p)) * (v1 - v0). NULLs are excluded, matching
-    SQL aggregate semantics."""
+    over JUST those buckets collapses them to DISTINCT (value, count)
+    partials before anything reaches the driver — so a duplicate-heavy
+    column (few distinct values piling into one bucket) costs #distinct
+    driver rows, not #rows; a continuous column costs the expected
+    O(n/B) distinct values of the needed buckets. The two neighboring
+    order statistics then interpolate:
+    v = v0 + (p - floor(p)) * (v1 - v0). NULL and NaN are excluded
+    (NaN has no defined bucket; SQL aggregates skip NULL)."""
     qs = [float(q) for q in qs]
     h = _BucketHist(ds, value_col, n_buckets)
     n_total = h.n_total
@@ -208,23 +216,42 @@ def global_quantile_cont(ds, value_col: str, qs, n_buckets: int = 4096):
     def keep(t: pa.Table) -> pa.Table:
         t = h.tag(t)
         t = t.filter(pc.is_in(t["_vb"], value_set=bset))
-        return t.select(["_vb", value_col])
+        # collapse to distinct (value, count) — the combiner that keeps
+        # duplicate-heavy buckets driver-safe
+        g = (
+            t.select([value_col])
+            .group_by([value_col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            "v": pc.cast(g[value_col], pa.float64()),
+            "cnt": pc.cast(g["count_all"], pa.int64()),
+        })
 
-    picked = ds.map_batches(
-        keep, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # O(n/B * |needed buckets|) rows by construction
+    from ray.data.aggregate import Sum
 
-    by_bucket: dict[int, list] = {b: [] for b in need_buckets}
-    for row in picked:
-        by_bucket[row["_vb"]].append(row[value_col])
-    sorted_bucket = {
-        b: np.sort(np.asarray(v, dtype=np.float64))
-        for b, v in by_bucket.items()
-    }
+    picked = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # #distinct values of the needed buckets: the only row pull
+
+    vals = np.array([r["v"] for r in picked], dtype=np.float64)
+    cnts = np.array([r["cnt"] for r in picked], dtype=np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    bucket_ids = h.bucket_of(vals)
+    cum_in_bucket = {}
+    for b in need_buckets:
+        m = bucket_ids == b
+        cum_in_bucket[b] = (vals[m], np.cumsum(cnts[m]))
 
     def order_stat(r: int) -> float:
         b = rank_bucket[r]
-        return float(sorted_bucket[b][r - h.below[b]])
+        bvals, bcum = cum_in_bucket[b]
+        local = r - h.below[b]  # 0-indexed rank within the bucket
+        return float(bvals[int(np.searchsorted(bcum, local, side="right"))])
 
     out = []
     for q, p in zip(qs, ps):
@@ -242,7 +269,10 @@ def grouped_percent_rank(ds, group_col: str, value_col: str,
                          buckets: int = 64):
     """Append ``pr`` = PERCENT_RANK() OVER (PARTITION BY group_col
     ORDER BY value_col): min-rank ties, (n_group - 1) denominator, NULL
-    values dropped (rank over ``WHERE value_col IS NOT NULL``).
+    and NaN values dropped (rank over ``WHERE value_col IS NOT NULL``;
+    NaN would break run detection — NaN != NaN — so it is excluded like
+    the rest of the rank family rather than ranked greatest as SQL
+    does).
 
     Groups co-locate via ONE shuffle into bounded hash buckets (never a
     Python task per key); the whole bucket then ranks in a single
@@ -254,8 +284,10 @@ def grouped_percent_rank(ds, group_col: str, value_col: str,
     within the group instead."""
     from debezium_incubator_ray.hashing import partition_ids
 
+    from .kernels import drop_null_nan
+
     def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value_col]))
+        t = drop_null_nan(t, value_col)
         return t.append_column(
             "_b",
             pa.array(partition_ids(t[group_col].combine_chunks(), buckets,

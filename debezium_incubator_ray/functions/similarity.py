@@ -47,6 +47,9 @@ def cosine_pairs_topk(
     from ray.data.aggregate import Sum
     from debezium_incubator_ray.hashing import stable_hash
     from debezium_incubator_ray.functions.joins import shuffle_join
+    from debezium_incubator_ray.functions.kernels import (
+        expand_pairs, merge_local_topk, table_topk,
+    )
     from debezium_incubator_ray.functions.text import (
         _flat_tokens, document_frequency,
     )
@@ -117,6 +120,8 @@ def cosine_pairs_topk(
             }),
             batch_format="pyarrow",
         )
+        .materialize()  # consumed by BOTH marginal joins — without the
+        # pin each join re-runs the full norm aggregation over postings
     )
 
     def tag_term(t: pa.Table) -> pa.Table:
@@ -147,19 +152,14 @@ def cosine_pairs_topk(
         )
         starts = np.flatnonzero(np.r_[True, ~same])
         sizes = np.diff(np.append(starts, n))
-        pos = np.arange(n) - np.repeat(starts, sizes)
-        left_cnt = np.repeat(sizes, sizes) - 1 - pos
-        total = int(left_cnt.sum())
-        if total == 0:
+        L, R = expand_pairs(sizes)
+        if len(L) == 0:
             return pa.table({
                 "a": pa.array([], g[id_col].type),
                 "b": pa.array([], g[id_col].type),
                 "dot": pa.array([], pa.float64()),
                 "_pb": pa.array([], pa.int32()),
             })
-        L = np.repeat(np.arange(n), left_cnt)
-        block = np.cumsum(left_cnt) - left_cnt
-        R = np.arange(total) - np.repeat(block, left_cnt) + L + 1
         d = (
             pa.table({
                 "a": pa.array(ids[L]),
@@ -201,9 +201,10 @@ def cosine_pairs_topk(
         # candidate set (no term in the df window) must short-circuit —
         # joins can't infer a schema from zero blocks
     )
+    id_type = ds.schema().base_schema.field(id_col).type
     empty = pa.table({
-        "a": pa.array([], pa.int64()),
-        "b": pa.array([], pa.int64()),
+        "a": pa.array([], id_type),
+        "b": pa.array([], id_type),
         "cosine": pa.array([], pa.float64()),
     })
     if dots.count() == 0:
@@ -229,18 +230,7 @@ def cosine_pairs_topk(
     )
 
     def local_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        order = pc.sort_indices(
-            t.append_column("_neg", pc.negate(t["cosine"])),
-            sort_keys=[("_neg", "ascending"), ("a", "ascending"),
-                       ("b", "ascending")],
-        )
-        return t.take(order.slice(0, k))
+        return table_topk(t, "cosine", ["a", "b"], k)
 
     cand = cos.map_batches(local_topk, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        [b for b in cand.iter_batches(batch_format="pyarrow")] or [empty],
-        promote_options="permissive",
-    )
-    return local_topk(merged)
+    return merge_local_topk(cand, "cosine", ["a", "b"], k, empty)

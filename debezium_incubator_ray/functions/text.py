@@ -745,18 +745,13 @@ def bigram_topk(ds, k: int = 50, text_col: str = "text"):
         return out.append_column("_pb", pa.array(pb))
 
     def sum_topk(t: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.functions.kernels import table_topk
+
         if "_pb" in t.column_names:
             t = t.drop_columns(["_pb"])
         g = t.group_by(["w1", "w2"]).aggregate([("cnt", "sum")])
         t = pa.table({"w1": g["w1"], "w2": g["w2"], "cnt": g["cnt_sum"]})
-        if t.num_rows <= k:
-            return t
-        order = pc.sort_indices(
-            t.append_column("_neg", pc.negate(t["cnt"])),
-            sort_keys=[("_neg", "ascending"), ("w1", "ascending"),
-                       ("w2", "ascending")],
-        )
-        return t.take(order.slice(0, k))
+        return table_topk(t, "cnt", ["w1", "w2"], k)
 
     cand = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -1113,19 +1108,29 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
         .aggregate(Sum("c", alias_name="c"))
     ).materialize()  # consumed by both marginal joins
 
-    # two scalars ride the task closures
+    # two scalars ride the task closures. n_bigrams is derivable without
+    # a third tokenization pass: every nonempty doc contributes
+    # (tokens - 1) bigrams, so n_big = n_tokens - n_nonempty_docs, and
+    # counting nonempty docs is one cheap trimmed-length check.
     n_tok = float(unigrams.sum("c"))
 
-    def big_total(t: pa.Table) -> pa.Table:
-        _, lens = _flat_tokens(t, text_col)
+    def nonempty(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(
+            pc.utf8_trim_whitespace(t[text_col].combine_chunks())
+        )
         return pa.table({
-            "n": pa.array([int(np.maximum(lens - 1, 0).sum())], pa.int64())
+            "n": pa.array(
+                [pc.sum(pc.cast(pc.greater(ln, 0), pa.int64())).as_py()
+                 or 0],
+                pa.int64(),
+            )
         })
 
-    n_big = float(
-        ds.map_batches(big_total, batch_format="pyarrow",
+    n_docs_nonempty = float(
+        ds.map_batches(nonempty, batch_format="pyarrow",
                        zero_copy_batch=True).sum("n")
     )
+    n_big = n_tok - n_docs_nonempty
 
     j1 = shuffle_join(
         bigrams, unigrams, on="w1", right_on="w", buckets=buckets
@@ -1155,15 +1160,9 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
         batch_format="pyarrow",
     )
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        order = pc.sort_indices(
-            t.append_column("_neg", pc.negate(t["pmi"])),
-            sort_keys=[("_neg", "ascending"), ("w1", "ascending"),
-                       ("w2", "ascending")],
-        )
-        return t.take(order.slice(0, k))
+    from debezium_incubator_ray.functions.kernels import (
+        merge_local_topk, table_topk,
+    )
 
     empty = pa.table({
         "w1": pa.array([], pa.string()),
@@ -1171,9 +1170,8 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
         "cnt": pa.array([], pa.int64()),
         "pmi": pa.array([], pa.float64()),
     })
-    cand = scored.map_batches(local_topk, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        [b for b in cand.iter_batches(batch_format="pyarrow")] or [empty],
-        promote_options="permissive",
+    cand = scored.map_batches(
+        lambda t: table_topk(t, "pmi", ["w1", "w2"], k),
+        batch_format="pyarrow",
     )
-    return local_topk(merged)
+    return merge_local_topk(cand, "pmi", ["w1", "w2"], k, empty)

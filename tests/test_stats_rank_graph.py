@@ -635,3 +635,65 @@ def test_pmi_topk_matches_duckdb():
     assert got["w2"].tolist() == exp["w2"].tolist()
     assert np.allclose(got["pmi"], exp["pmi"], atol=1e-12)
     assert (got["cnt"].to_numpy() == exp["cnt"].to_numpy()).all()
+
+
+def test_rank_family_drops_nan_values():
+    from debezium_incubator_ray.functions.rank import (
+        global_ntile, global_quantile_cont, grouped_percent_rank,
+        percent_rank,
+    )
+
+    rng = np.random.default_rng(21)
+    v = rng.normal(0, 1, 500)
+    v[::50] = np.nan
+    t = pa.table({
+        "id": pa.array(np.arange(500, dtype=np.int64)),
+        "g": pa.array(np.repeat(list("ab"), 250)),
+        "v": pa.array(v),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    clean = v[~np.isnan(v)]
+
+    pr = percent_rank(ds, "v", n_buckets=32).to_pandas()
+    assert len(pr) == len(clean) and not pr["v"].isna().any()
+
+    nt = global_ntile(ds, "v", "id", k=4, n_buckets=32).to_pandas()
+    assert len(nt) == len(clean)
+    assert sorted(nt["rn"]) == list(range(1, len(clean) + 1))
+
+    qt = global_quantile_cont(ds, "v", [0.5], n_buckets=32).to_pydict()
+    assert abs(qt["value"][0] - np.quantile(clean, 0.5)) < 1e-12
+
+    gp = grouped_percent_rank(ds, "g", "v", buckets=4).to_pandas()
+    assert len(gp) == len(clean) and not gp["v"].isna().any()
+
+
+def test_global_quantile_cont_duplicate_heavy():
+    from debezium_incubator_ray.functions.rank import global_quantile_cont
+
+    # 3 distinct values, one dominating — the (value, count) collapse
+    # keeps the driver pull at #distinct rows, and order stats stay exact
+    v = np.concatenate([
+        np.full(9000, 5.0), np.full(600, 1.0), np.full(400, 9.0),
+    ])
+    rng = np.random.default_rng(3)
+    rng.shuffle(v)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)})).repartition(5)
+    qs = [0.0, 0.05, 0.5, 0.95, 1.0]
+    qt = global_quantile_cont(ds, "v", qs, n_buckets=16).to_pydict()
+    assert np.allclose(qt["value"], np.quantile(v, qs, method="linear"))
+
+
+def test_pareto_front_drops_nan_rows():
+    from debezium_incubator_ray.functions.quality import pareto_front
+
+    t = pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "x": pa.array([1.0, 2.0, np.nan, 3.0]),
+        "y": pa.array([9.0, 8.0, 99.0, 7.0]),
+    })
+    out = pareto_front(
+        ray.data.from_arrow(t), "x", "y", n_buckets=4
+    ).to_pandas()
+    assert 2 not in out["id"].tolist()
+    assert set(out["id"]) == {0, 1, 3}
