@@ -3682,6 +3682,195 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pmi_topk(docs, k=50, min_count=5)
 
+    def events_longest_streak(sf_dir):
+        """Longest consecutive-active-days run per user (gaps-and-
+        islands): per-batch distinct (user, day) combiner, one bounded
+        hash-bucket shuffle, vectorized anchor-run resolution."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import longest_streak
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+        return longest_streak(ev, "user_id", "ts")
+
+    def events_type_overlap(sf_dir):
+        """Exact user-overlap Jaccard between every pair of event types:
+        distinct (user, type) combiner, per-user pair expansion inside
+        bounded hash buckets (kernels.expand_pairs — the co-occurrence
+        pattern), tiny pair fold + per-type distinct counts; Jaccard =
+        both / (a + b - both)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.hashing import partition_ids
+        from debezium_incubator_ray.functions.kernels import expand_pairs
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+
+        def distinct_tagged(t: pa.Table) -> pa.Table:
+            d = t.group_by(["user_id", "event_type"]).aggregate([])
+            return d.append_column(
+                "_b",
+                pa.array(partition_ids(d["user_id"].combine_chunks(), 64,
+                                       "hash"), pa.int32()),
+            )
+
+        def pairs_in_bucket(g: pa.Table) -> pa.Table:
+            g = g.drop_columns(["_b"]).group_by(
+                ["user_id", "event_type"]
+            ).aggregate([])
+            u = g["user_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ty = g["event_type"].combine_chunks()
+            order = pc.sort_indices(
+                pa.table({"u": pa.array(u), "t": ty}),
+                sort_keys=[("u", "ascending"), ("t", "ascending")],
+            ).to_numpy(zero_copy_only=False)
+            u = u[order]
+            ty = pc.take(ty, pa.array(order))
+            new_u = np.r_[True, u[1:] != u[:-1]]
+            starts = np.flatnonzero(new_u)
+            sizes = np.diff(np.append(starts, len(u)))
+            L, R = expand_pairs(sizes)
+            if len(L) == 0:
+                return pa.table({
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_both": pa.array([], pa.int64()),
+                })
+            p = pa.table({
+                "type_a": pc.take(ty, pa.array(L)),
+                "type_b": pc.take(ty, pa.array(R)),
+            }).group_by(["type_a", "type_b"]).aggregate([([], "count_all")])
+            return pa.table({
+                "type_a": p["type_a"],
+                "type_b": p["type_b"],
+                "n_both": pc.cast(p["count_all"], pa.int64()),
+            })
+
+        both = (
+            ev.map_batches(distinct_tagged, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_both", alias_name="n_both"))
+            .take_all()
+        )  # |types|^2 tiny rows
+
+        # per-type distinct-user counts: per-batch distinct partials are
+        # NOT additive for a user spanning batches — fold distinct pairs
+        from debezium_incubator_ray.functions.graph import distinct_rows
+
+        cnt_rows = (
+            distinct_rows(ev, ["user_id", "event_type"], buckets=64)
+            .map_batches(
+                lambda t: pa.table({
+                    "event_type": t["event_type"],
+                    "n": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64)
+                    ),
+                }),
+                batch_format="pyarrow",
+            )
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        nmap = {r["event_type"]: int(r["n"]) for r in cnt_rows}
+        rows = sorted(both, key=lambda r: (r["type_a"], r["type_b"]))
+        ta = [r["type_a"] for r in rows]
+        tb = [r["type_b"] for r in rows]
+        nb = np.array([r["n_both"] for r in rows], dtype=np.int64)
+        na = np.array([nmap[a] for a in ta], dtype=np.int64)
+        nbb = np.array([nmap[b] for b in tb], dtype=np.int64)
+        return pa.table({
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "n_both": pa.array(nb),
+            "n_a": pa.array(na),
+            "n_b": pa.array(nbb),
+            "jaccard": pa.array(
+                nb.astype(np.float64) / (na + nbb - nb)
+            ),
+        })
+
+    def orders_churned_customers(sf_dir):
+        """Customers with orders in the first half of the order-date
+        range but NONE in the second half: an exact integer-day
+        [min, max] probe fixes the midpoint, two distinct-customer folds
+        split by it, and ONE distributed anti-join (never a driver-side
+        customer set)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Max, Min
+        from debezium_incubator_ray.functions.graph import distinct_rows
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate"],
+        )
+
+        def days(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_custkey": t["o_custkey"],
+                "d": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.date32()), pa.int32()
+                ),
+            })
+
+        stamped = orders.map_batches(days, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+        # exact integer min/max probe: the midpoint must be the same
+        # integer the oracle's date arithmetic produces
+        def mm(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "_k": pa.array([0], pa.int64()),
+                "lo": pa.array([pc.min(t["d"]).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(t["d"]).as_py()], pa.int64()),
+            })
+
+        r = (
+            stamped.map_batches(mm, batch_format="pyarrow")
+            .groupby("_k")
+            .aggregate(Min("lo", alias_name="lo", ignore_nulls=True),
+                       Max("hi", alias_name="hi", ignore_nulls=True))
+            .take_all()
+        )[0]
+        lo, hi = int(r["lo"]), int(r["hi"])
+        mid = lo + (hi - lo) // 2  # oracle: min + (max - min) // 2 days
+
+        def split(keep_early):
+            def f(t: pa.Table) -> pa.Table:
+                m = pc.less(t["d"], mid) if keep_early else (
+                    pc.greater_equal(t["d"], mid)
+                )
+                return t.filter(m).select(["o_custkey"])
+            return f
+
+        early = distinct_rows(
+            stamped.map_batches(split(True), batch_format="pyarrow"),
+            ["o_custkey"],
+        )
+        late = distinct_rows(
+            stamped.map_batches(split(False), batch_format="pyarrow"),
+            ["o_custkey"],
+        )
+        return shuffle_join(
+            early, late, on="o_custkey", join_type="left anti",
+        )
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -3921,6 +4110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users_daily": events_new_users_daily,
         "part_pareto_front": part_pareto_front,
         "text_pmi_topk": text_pmi_topk,
+        "events_longest_streak": events_longest_streak,
+        "events_type_overlap": events_type_overlap,
+        "orders_churned_customers": orders_churned_customers,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5425,6 +5617,50 @@ def oracle_sql() -> dict[str, str]:
             "PERCENT_RANK() OVER (PARTITION BY event_type "
             "ORDER BY value) AS pr "
             "FROM events WHERE value IS NOT NULL"
+        ),
+        "events_longest_streak": (
+            # gaps-and-islands: day - ROW_NUMBER() is constant within a
+            # run of consecutive days
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "r AS (SELECT user_id, day, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS rn FROM d), "
+            "g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS anchor "
+            "FROM r), "
+            "s AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) "
+            "AS len FROM g GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days, "
+            "CAST(max(len) AS BIGINT) AS longest_streak "
+            "FROM s GROUP BY 1"
+        ),
+        "events_type_overlap": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM d GROUP BY 1), "
+            "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(count(*) AS BIGINT) AS n_both FROM d a "
+            "JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT p.type_a, p.type_b, p.n_both, ca.n AS n_a, "
+            "cb.n AS n_b, CAST(p.n_both AS DOUBLE) / "
+            "(ca.n + cb.n - p.n_both) AS jaccard "
+            "FROM p JOIN c ca ON p.type_a = ca.event_type "
+            "JOIN c cb ON p.type_b = cb.event_type"
+        ),
+        "orders_churned_customers": (
+            # integer-day midpoint: min + (max - min) // 2, matching the
+            # engine's date32 arithmetic exactly
+            "WITH d AS (SELECT o_custkey, "
+            "CAST(o_orderdate AS DATE) AS day FROM orders), "
+            "b AS (SELECT min(day) + CAST("
+            "datediff('day', min(day), max(day)) // 2 "
+            "AS INTEGER) AS mid FROM d), "
+            "early AS (SELECT DISTINCT o_custkey FROM d, b "
+            "WHERE day < b.mid), "
+            "late AS (SELECT DISTINCT o_custkey FROM d, b "
+            "WHERE day >= b.mid) "
+            "SELECT o_custkey FROM early "
+            "WHERE o_custkey NOT IN (SELECT o_custkey FROM late)"
         ),
         "part_pareto_front": (
             "SELECT p_partkey, p_size, p_retailprice FROM part p "

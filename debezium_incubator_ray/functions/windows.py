@@ -1049,3 +1049,72 @@ def group_ewma(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def longest_streak(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   buckets: int = 64):
+    """Longest run of CONSECUTIVE active days per key plus the key's
+    total distinct active days — the classic gaps-and-islands window,
+    shuffle-decomposed: per-batch distinct (key, day) is the combiner,
+    ONE shuffle co-locates each key's days in a bounded hash bucket, and
+    the whole bucket resolves islands in a single vectorized pass
+    (anchor = day - position-within-key; equal anchors = one island,
+    exactly the SQL ``day - ROW_NUMBER()`` trick)."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def distinct_days(t: pa.Table) -> pa.Table:
+        day = pc.cast(t[ts_col].combine_chunks(), pa.date32())
+        d = (
+            pa.table({key_col: t[key_col], "day": day})
+            .group_by([key_col, "day"])
+            .aggregate([])
+        )
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def islands(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_b"])
+        # bucket-local distinct (cross-batch duplicates of a key's day)
+        g = g.group_by([key_col, "day"]).aggregate([])
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        day = g["day"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((day, k))
+        k, day = k[order], day[order]
+        n = len(k)
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], g[key_col].type),
+                "n_days": pa.array([], pa.int64()),
+                "longest_streak": pa.array([], pa.int64()),
+            })
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        anchor = day - pos
+        new_run = new_key | np.r_[True, anchor[1:] != anchor[:-1]]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, n))
+        # per-key max over its runs: runs are contiguous per key
+        run_key_idx = np.searchsorted(starts, run_starts, side="right") - 1
+        key_first_run = np.r_[True,
+                              run_key_idx[1:] != run_key_idx[:-1]]
+        key_run_starts = np.flatnonzero(key_first_run)
+        longest = np.maximum.reduceat(run_lens, key_run_starts)
+        return pa.table({
+            key_col: pa.array(k[starts]),
+            "n_days": pa.array(sizes.astype(np.int64)),
+            "longest_streak": pa.array(longest.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(distinct_days, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(islands, batch_format="pyarrow")
+    )

@@ -697,3 +697,29 @@ def test_pareto_front_drops_nan_rows():
     ).to_pandas()
     assert 2 not in out["id"].tolist()
     assert set(out["id"]) == {0, 1, 3}
+
+
+def test_longest_streak_gaps_and_islands():
+    from debezium_incubator_ray.functions.windows import longest_streak
+
+    # user 1: days 0,1,2, 5,6 -> longest 3, n_days 5
+    # user 2: days 10 -> longest 1; duplicates within a day collapse
+    base = np.datetime64("2024-03-01T12:00:00")
+    day = np.timedelta64(1, "D")
+    ts = np.array([
+        base, base + day, base + 2 * day, base + 5 * day, base + 6 * day,
+        base + 5 * day,  # dup day for user 1
+        base + 10 * day,
+    ])
+    users = np.array([1, 1, 1, 1, 1, 1, 2], dtype=np.int64)
+    t = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    out = longest_streak(
+        ray.data.from_arrow(t).repartition(3), "user_id", "ts", buckets=4
+    ).to_pandas().set_index("user_id").sort_index()
+    assert int(out.loc[1, "n_days"]) == 5
+    assert int(out.loc[1, "longest_streak"]) == 3
+    assert int(out.loc[2, "n_days"]) == 1
+    assert int(out.loc[2, "longest_streak"]) == 1
