@@ -3871,6 +3871,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             early, late, on="o_custkey", join_type="left anti",
         )
 
+    def dq_multivariate_outliers(sf_dir):
+        """Diagonal-Mahalanobis screen over the four lineitem measures:
+        pass 1 folds per-column (n, sum, sumsq) to mean/stddev_samp;
+        pass 2 streams d2 = sum(((x - mu) / sd)^2) and collapses to one
+        (n_rows, n_outliers, max_d2) row at threshold d2 > 16."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Max, Sum
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=cols,
+        )
+
+        def mpart(t: pa.Table) -> pa.Table:
+            row = {"_k": pa.array([0], pa.int64()),
+                   "n": pa.array([t.num_rows], pa.int64())}
+            for c in cols:
+                x = pc.cast(t[c], pa.float64())
+                row[f"{c}_s"] = pa.array([pc.sum(x).as_py() or 0.0])
+                row[f"{c}_s2"] = pa.array(
+                    [pc.sum(pc.multiply(x, x)).as_py() or 0.0]
+                )
+            return pa.table(row)
+
+        aggs = [Sum("n", alias_name="n")]
+        for c in cols:
+            aggs += [Sum(f"{c}_s", alias_name=f"{c}_s"),
+                     Sum(f"{c}_s2", alias_name=f"{c}_s2")]
+        st = (
+            li.map_batches(mpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_k").aggregate(*aggs).take_all()
+        )[0]
+        n = float(st["n"])
+        mu = {c: st[f"{c}_s"] / n for c in cols}
+        # stddev_samp: (S2 - n*mu^2) / (n - 1)
+        sd = {
+            c: float(np.sqrt(
+                (st[f"{c}_s2"] - n * mu[c] * mu[c]) / (n - 1.0)
+            ))
+            for c in cols
+        }
+
+        def d2_part(t: pa.Table) -> pa.Table:
+            d2 = np.zeros(t.num_rows, dtype=np.float64)
+            for c in cols:
+                x = pc.cast(t[c], pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                z = (x - mu[c]) / sd[c]
+                d2 += z * z
+            return pa.table({
+                "_k": pa.array([0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "no": pa.array([int((d2 > 16.0).sum())], pa.int64()),
+                "mx": pa.array(
+                    [float(d2.max()) if len(d2) else None], pa.float64()
+                ),
+            })
+
+        folded = (
+            li.map_batches(d2_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_k")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("no", alias_name="no"),
+                       Max("mx", alias_name="mx", ignore_nulls=True))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "n_rows": pc.cast(t["n"], pa.int64()),
+                "n_outliers": pc.cast(t["no"], pa.int64()),
+                "max_d2": pc.round(t["mx"], ndigits=6),
+            }),
+            batch_format="pyarrow",
+        )
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -4113,6 +4193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_longest_streak": events_longest_streak,
         "events_type_overlap": events_type_overlap,
         "orders_churned_customers": orders_churned_customers,
+        "dq_multivariate_outliers": dq_multivariate_outliers,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5715,6 +5796,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, new_users, "
             "CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) "
             "AS cum_users FROM d"
+        ),
+        "dq_multivariate_outliers": (
+            "WITH s AS (SELECT "
+            "avg(l_quantity) AS m1, stddev_samp(l_quantity) AS d1, "
+            "avg(l_extendedprice) AS m2, "
+            "stddev_samp(l_extendedprice) AS d2, "
+            "avg(l_discount) AS m3, stddev_samp(l_discount) AS d3, "
+            "avg(l_tax) AS m4, stddev_samp(l_tax) AS d4 FROM lineitem), "
+            "z AS (SELECT "
+            "((l_quantity - s.m1) / s.d1) * ((l_quantity - s.m1) / s.d1) "
+            "+ ((l_extendedprice - s.m2) / s.d2) * "
+            "((l_extendedprice - s.m2) / s.d2) "
+            "+ ((l_discount - s.m3) / s.d3) * "
+            "((l_discount - s.m3) / s.d3) "
+            "+ ((l_tax - s.m4) / s.d4) * ((l_tax - s.m4) / s.d4) AS dd "
+            "FROM lineitem, s) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) FILTER (dd > 16.0) AS BIGINT) AS n_outliers, "
+            "round(max(dd), 6) AS max_d2 FROM z"
         ),
         "stats_higher_moments": (
             "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
