@@ -3951,6 +3951,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def orders_backlog_curve(sf_dir):
+        """Daily count of 'open' orders (open = within 30 days of
+        placement) — the sweep-line / diff-array interval-counting
+        pattern: each order contributes +1 at its day and -1 at
+        day + 30, per-day deltas fold narrow, and the #days-row running
+        sum happens on the driver. Never a per-(order x day) expansion."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate"],
+        )
+
+        def deltas(t: pa.Table) -> pa.Table:
+            day = pc.cast(
+                pc.cast(t["o_orderdate"], pa.date32()), pa.int32()
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = pa.table({
+                "day": pa.array(np.concatenate([day, day + 30])),
+                "delta": pa.array(np.concatenate([
+                    np.ones(len(day), dtype=np.int64),
+                    np.full(len(day), -1, dtype=np.int64),
+                ])),
+            })
+            g = d.group_by("day").aggregate([("delta", "sum")])
+            return g.rename_columns(["day", "delta"])
+
+        per_day = (
+            orders.map_batches(deltas, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("day")
+            .aggregate(Sum("delta", alias_name="delta"))
+            .take_all()
+        )  # #distinct days: the only driver-side state
+        per_day.sort(key=lambda r: r["day"])
+        days = np.array([r["day"] for r in per_day], dtype=np.int64)
+        deltas_a = np.array([r["delta"] for r in per_day], dtype=np.int64)
+        day_str = days.astype("datetime64[D]").astype(str)
+        return pa.table({
+            "day": pa.array(day_str.tolist(), pa.string()),
+            "open_orders": pa.array(np.cumsum(deltas_a)),
+        })
+
+    def stats_trimmed_means(sf_dir):
+        """Per-type 10%-trimmed mean of event values: exact group
+        quantiles (groups co-locate — same contract as
+        quantiles_per_group), inclusive [p10, p90] filter, mean of the
+        kept rows; all in one vectorized kernel per group."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+
+        def f(g: pa.Table) -> pa.Table:
+            v = (
+                g["value"].combine_chunks().drop_null()
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+            if len(v) == 0:
+                return pa.table({
+                    "event_type": pa.array([], g["event_type"].type),
+                    "n_kept": pa.array([], pa.int64()),
+                    "trimmed_mean": pa.array([], pa.float64()),
+                })
+            lo, hi = np.quantile(v, [0.1, 0.9], method="linear")
+            kept = v[(v >= lo) & (v <= hi)]
+            return pa.table({
+                "event_type": pa.array([g["event_type"][0].as_py()]),
+                "n_kept": pa.array([len(kept)], pa.int64()),
+                "trimmed_mean": pa.array([float(kept.mean())],
+                                         pa.float64()),
+            })
+
+        return ev.groupby("event_type").map_groups(
+            f, batch_format="pyarrow"
+        )
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -4194,6 +4280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_overlap": events_type_overlap,
         "orders_churned_customers": orders_churned_customers,
         "dq_multivariate_outliers": dq_multivariate_outliers,
+        "orders_backlog_curve": orders_backlog_curve,
+        "stats_trimmed_means": stats_trimmed_means,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5635,11 +5723,18 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT e1.b AS x, e2.b AS y FROM e e1 "
             "JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b), "
             "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles "
-            "FROM w JOIN e ON w.x = e.a AND w.y = e.b) "
+            "FROM w JOIN e ON w.x = e.a AND w.y = e.b), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM "
+            "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+            "GROUP BY 1), "
+            "wd AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) "
+            "AS n_wedges FROM deg) "
             "SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) "
             "AS n_nodes, "
             "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, "
-            "t.n_triangles FROM t"
+            "t.n_triangles, wd.n_wedges, "
+            "3.0 * t.n_triangles / wd.n_wedges AS clustering_coef "
+            "FROM t, wd"
         ),
         "graph_bfs_hops": (
             # same top-2000 edge cut as graph_triangles; BFS unrolled to
@@ -5796,6 +5891,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, new_users, "
             "CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) "
             "AS cum_users FROM d"
+        ),
+        "orders_backlog_curve": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day "
+            "FROM orders), "
+            "deltas AS (SELECT day, 1 AS delta FROM d "
+            "UNION ALL SELECT day + 30, -1 FROM d), "
+            "g AS (SELECT day, sum(delta) AS delta "
+            "FROM deltas GROUP BY 1) "
+            "SELECT CAST(day AS VARCHAR) AS day, "
+            "CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) "
+            "AS open_orders FROM g"
+        ),
+        "stats_trimmed_means": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(value, 0.1) AS lo, "
+            "quantile_cont(value, 0.9) AS hi "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1) "
+            "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept, "
+            "avg(e.value) AS trimmed_mean "
+            "FROM events e JOIN q USING (event_type) "
+            "WHERE e.value IS NOT NULL "
+            "AND e.value >= q.lo AND e.value <= q.hi GROUP BY 1"
         ),
         "dq_multivariate_outliers": (
             "WITH s AS (SELECT "

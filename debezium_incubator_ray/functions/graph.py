@@ -314,10 +314,27 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         .take_all()
     )
     n_tri = sum(r["tri"] for r in parts)
+
+    # total wedges (unordered 2-paths) = sum C(deg, 2) —
+    # orientation-independent, so the global clustering coefficient
+    # 3T / W is exact regardless of the wedge-generation orientation
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["deg"], pa.float64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w": pa.array([float((d * (d - 1.0) / 2.0).sum())],
+                          pa.float64())
+        })
+
+    n_wedges = int(
+        deg.map_batches(wedge_partial, batch_format="pyarrow").sum("w")
+    )
+    coef = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
     return pa.table({
         "n_nodes": pa.array([deg.count()], pa.int64()),
         "n_edges": pa.array([ce.count()], pa.int64()),
         "n_triangles": pa.array([n_tri], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "clustering_coef": pa.array([coef], pa.float64()),
     })
 
 

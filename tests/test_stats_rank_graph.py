@@ -308,6 +308,11 @@ def test_triangle_count_matches_numpy():
     assert out["n_triangles"][0] == expect_tri
     assert out["n_edges"][0] == int(A.sum() // 2)
     assert out["n_nodes"][0] == len(np.unique(np.concatenate([src, dst])))
+    deg = A.sum(axis=1)
+    expect_w = int((deg * (deg - 1) // 2).sum())
+    assert out["n_wedges"][0] == expect_w
+    assert abs(out["clustering_coef"][0] - 3.0 * expect_tri / expect_w) \
+        < 1e-12
 
 
 def test_triangle_count_triangle_free():
