@@ -3074,20 +3074,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def join_full_outer_daily(sf_dir):
         """FULL OUTER reconciliation of two independent daily series
-        (orders vs events): each side pre-aggregates to per-day counts
-        (the combiner — only |days| rows reach the exchange), then the
-        partitioned hash join emits matched and BOTH unmatched sides."""
+        (orders vs events): each side streams per-batch per-day count
+        partials (the combiner — only #blocks x |days| tiny rows leave
+        the tasks), and because day keys are CALENDAR-BOUNDED the final
+        fold + full-outer join runs on the driver in one Arrow kernel —
+        three Ray shuffles of metadata-sized streams would be pure fixed
+        overhead (measured ~2 s each on |days|~2.4k rows). The
+        distributed full-outer path (joins.shuffle_join
+        join_type='full outer') remains the tool for UNBOUNDED keys."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
-        from ray.data.aggregate import Sum
-        from debezium_incubator_ray.functions.joins import shuffle_join
 
         def daily(path, ts_col, out):
             ds = ray.data.read_parquet(path, columns=[ts_col])
 
             def partial(t: pa.Table) -> pa.Table:
-                d = pc.strftime(t[ts_col].combine_chunks(), format="%Y-%m-%d")
+                d = pc.strftime(t[ts_col].combine_chunks(),
+                                format="%Y-%m-%d")
                 g = pa.table({"d": d}).group_by(["d"]).aggregate(
                     [([], "count_all")]
                 )
@@ -3096,28 +3100,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     out: pc.cast(g["count_all"], pa.int64()),
                 })
 
-            return (
-                ds.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby("d").aggregate(Sum(out, alias_name=out))
+            parts = pa.concat_tables(
+                b for b in ds.map_batches(
+                    partial, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_format="pyarrow")
             )
+            g = parts.group_by("d").aggregate([(out, "sum")])
+            return g.rename_columns(["d", out])
 
         o = daily(os.path.join(sf_dir, "orders.parquet"), "o_orderdate",
                   "n_orders")
-        e = daily(os.path.join(sf_dir, "events.parquet"), "ts", "n_events")
-        joined = shuffle_join(o, e, on="d", right_on="d",
-                              join_type="full outer")
-
-        def finish(t: pa.Table) -> pa.Table:
-            # Arrow's full-outer join coalesces the two key columns into
-            # one output column named after the left key
-            return pa.table({
-                "day": t["d"],
-                "n_orders": pc.cast(t["n_orders"], pa.int64()),
-                "n_events": pc.cast(t["n_events"], pa.int64()),
-            })
-
-        return joined.map_batches(finish, batch_format="pyarrow")
+        e = daily(os.path.join(sf_dir, "events.parquet"), "ts",
+                  "n_events")
+        j = o.join(e, keys=["d"], join_type="full outer")
+        return pa.table({
+            "day": j["d"],
+            "n_orders": pc.cast(j["n_orders"], pa.int64()),
+            "n_events": pc.cast(j["n_events"], pa.int64()),
+        })
 
     def join_semi_recent_orders(sf_dir):
         """SEMI join (TPC-H Q4 shape): orders with at least one lineitem

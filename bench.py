@@ -240,6 +240,64 @@ def main() -> None:
         "sample_per_group_k", "join_full_outer_daily",
         "join_semi_recent_orders", "embedding_quantize_int8",
         "text_hashed_features",
+        "cdc_before_images",
+        "cdc_changelog_diff",
+        "cdc_field_blacklist",
+        "cdc_latest_only",
+        "cdc_multi_table",
+        "cdc_replay_dup",
+        "cdc_restart_resume",
+        "cdc_schema_drop",
+        "cdc_schema_evolution",
+        "cdc_schema_evolution_ddl",
+        "cdc_schema_widen",
+        "cdc_snapshot_handoff",
+        "cdc_snapshot_read",
+        "cdc_table_filter",
+        "cdc_time_travel",
+        "cdc_tombstone_retain",
+        "cdc_tombstones",
+        "cdc_watermarks",
+        "dq_benford",
+        "dq_corr_matrix",
+        "dq_histogram",
+        "dq_multivariate_outliers",
+        "dq_outliers_mad",
+        "dq_reconcile_orders",
+        "events_argmax_ties",
+        "events_ewma",
+        "events_first_touch",
+        "events_group_percent_rank",
+        "events_in_sessions",
+        "events_longest_streak",
+        "events_new_users_daily",
+        "events_path_signatures",
+        "events_peak_window",
+        "events_top_user",
+        "events_type_entropy",
+        "events_type_overlap",
+        "graph_bfs_hops",
+        "graph_pagerank",
+        "graph_triangles",
+        "orders_backlog_curve",
+        "orders_churned_customers",
+        "part_pareto_front",
+        "row_scoped_max",
+        "spend_above_avg",
+        "stats_global_quantiles",
+        "stats_group_means",
+        "stats_higher_moments",
+        "stats_ntile",
+        "stats_percent_rank",
+        "stats_regression_tax",
+        "stats_trimmed_means",
+        "stats_winsorized_means",
+        "text_bm25_topk",
+        "text_cosine_pairs",
+        "text_pmi_topk",
+        "text_type_token_ratio",
+        "text_zipf_slope",
+        "type_normalization_nested",
     ]
     for name in q_list:
         t2 = time.perf_counter()
