@@ -3510,7 +3510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
         )
-        return cosine_pairs_topk(docs, k=50, max_df_frac=0.06)
+        return cosine_pairs_topk(docs, k=50, max_df_frac=0.06, buckets=16)
 
     def dq_reconcile_orders(sf_dir):
         """Cross-table reconciliation: does each order's stored total
@@ -3523,7 +3523,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
-        from ray.data.aggregate import Max, Sum
         from debezium_incubator_ray.functions.joins import shuffle_join
 
         orders = ray.data.read_parquet(
@@ -3550,55 +3549,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             g = d.group_by("l_orderkey").aggregate([("c", "sum")])
             return g.rename_columns(["l_orderkey", "c"])
 
-        charges = (
-            li.map_batches(charge_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("l_orderkey")
-            .aggregate(Sum("c", alias_name="charge"))
-        )
-
-        joined = shuffle_join(
-            orders, charges, on="o_orderkey", right_on="l_orderkey",
-            join_type="left outer",
-        )
-
-        def audit_partial(t: pa.Table) -> pa.Table:
-            total = pc.cast(t["o_totalprice"], pa.float64())
-            miss = pc.is_null(t["charge"])
+        # ONE shuffle total: per-batch charge partials join orders in
+        # their key-hash bucket and the bucket finishes the whole audit
+        # in post= — the per-order aggregate, the mismatch test, and the
+        # one-row-per-bucket partial all happen where the key is already
+        # co-located (a separate groupby + join measured ~2x the time)
+        def audit_bucket(j: pa.Table) -> pa.Table:
+            g = j.group_by("o_orderkey").aggregate(
+                [("c", "sum"), ("o_totalprice", "min")]
+            )
+            total = pc.cast(g["o_totalprice_min"], pa.float64())
+            charge = g["c_sum"]  # NULL when the order had no lineitems
+            miss = pc.is_null(charge)
             diff = pc.if_else(
-                miss, total, pc.abs(pc.subtract(total, t["charge"]))
+                miss, total, pc.abs(pc.subtract(total, charge))
             )
             mis = pc.or_(miss, pc.greater(diff, 0.01))
             return pa.table({
-                "_k": pa.array([0], pa.int64()),
-                "n": pa.array([t.num_rows], pa.int64()),
+                "n": pa.array([g.num_rows], pa.int64()),
                 "nm": pa.array(
                     [pc.sum(pc.cast(mis, pa.int64())).as_py() or 0],
                     pa.int64(),
                 ),
                 "mx": pa.array(
-                    [pc.max(diff).as_py()
-                     if t.num_rows else None], pa.float64(),
+                    [pc.max(diff).as_py() if g.num_rows else None],
+                    pa.float64(),
                 ),
             })
 
-        folded = (
-            joined.map_batches(audit_partial, batch_format="pyarrow")
-            .groupby("_k")
-            .aggregate(
-                Sum("n", alias_name="n"),
-                Sum("nm", alias_name="nm"),
-                Max("mx", alias_name="mx", ignore_nulls=True),
-            )
-        )
-        return folded.map_batches(
-            lambda t: pa.table({
-                "n_orders": pc.cast(t["n"], pa.int64()),
-                "n_mismatch": pc.cast(t["nm"], pa.int64()),
-                "max_abs_diff": pc.round(t["mx"], ndigits=6),
-            }),
-            batch_format="pyarrow",
-        )
+        parts = shuffle_join(
+            orders,
+            li.map_batches(charge_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            on="o_orderkey", right_on="l_orderkey",
+            join_type="left outer", buckets=32, post=audit_bucket,
+        ).take_all()  # one row per bucket
+        n = sum(r["n"] for r in parts)
+        nm = sum(r["nm"] for r in parts)
+        mx = max((r["mx"] for r in parts if r["mx"] is not None),
+                 default=None)
+        return pa.table({
+            "n_orders": pa.array([n], pa.int64()),
+            "n_mismatch": pa.array([nm], pa.int64()),
+            "max_abs_diff": pa.array(
+                [round(mx, 6) if mx is not None else None], pa.float64()
+            ),
+        })
 
     def events_new_users_daily(sf_dir):
         """New users per day + running total: first-seen day per user is
@@ -3680,7 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["text"],
         )
-        return pmi_topk(docs, k=50, min_count=5)
+        return pmi_topk(docs, k=50, min_count=5, buckets=16)
 
     def events_longest_streak(sf_dir):
         """Longest consecutive-active-days run per user (gaps-and-
@@ -3813,8 +3809,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.compute as pc
         import ray.data
         from ray.data.aggregate import Max, Min
-        from debezium_incubator_ray.functions.graph import distinct_rows
-        from debezium_incubator_ray.functions.joins import shuffle_join
 
         orders = ray.data.read_parquet(
             os.path.join(sf_dir, "orders.parquet"),
@@ -3851,24 +3845,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lo, hi = int(r["lo"]), int(r["hi"])
         mid = lo + (hi - lo) // 2  # oracle: min + (max - min) // 2 days
 
-        def split(keep_early):
-            def f(t: pa.Table) -> pa.Table:
-                m = pc.less(t["d"], mid) if keep_early else (
-                    pc.greater_equal(t["d"], mid)
-                )
-                return t.filter(m).select(["o_custkey"])
-            return f
+        # ONE exchange: per-batch (custkey, any_early, any_late) flag
+        # partials fold by customer-hash bucket, and churn is just
+        # early & !late on the folded flags — the two distinct sets and
+        # the anti-join collapse into one pass
+        from debezium_incubator_ray.hashing import partition_ids
 
-        early = distinct_rows(
-            stamped.map_batches(split(True), batch_format="pyarrow"),
-            ["o_custkey"],
-        )
-        late = distinct_rows(
-            stamped.map_batches(split(False), batch_format="pyarrow"),
-            ["o_custkey"],
-        )
-        return shuffle_join(
-            early, late, on="o_custkey", join_type="left anti",
+        def flag_partial(t: pa.Table) -> pa.Table:
+            d = pa.table({
+                "o_custkey": t["o_custkey"],
+                "e": pc.cast(pc.less(t["d"], mid), pa.int8()),
+                "l": pc.cast(pc.greater_equal(t["d"], mid), pa.int8()),
+            })
+            g = d.group_by("o_custkey").aggregate(
+                [("e", "max"), ("l", "max")]
+            )
+            g = g.rename_columns(["o_custkey", "e", "l"])
+            return g.append_column(
+                "_b",
+                pa.array(partition_ids(g["o_custkey"].combine_chunks(),
+                                       16, "hash"), pa.int32()),
+            )
+
+        def churned_in_bucket(g: pa.Table) -> pa.Table:
+            f = (
+                g.drop_columns(["_b"])
+                .group_by("o_custkey")
+                .aggregate([("e", "max"), ("l", "max")])
+            )
+            keep = pc.and_(
+                pc.equal(f["e_max"], 1), pc.equal(f["l_max"], 0)
+            )
+            return pa.table({
+                "o_custkey": f["o_custkey"].filter(keep),
+            })
+
+        return (
+            stamped.map_batches(flag_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_b")
+            .map_groups(churned_in_bucket, batch_format="pyarrow")
         )
 
     def dq_multivariate_outliers(sf_dir):
@@ -5958,13 +5974,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN kept USING (term) CROSS JOIN nd), "
             "norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm "
             "FROM w GROUP BY 1), "
-            "dots AS (SELECT x.doc_id AS a, y.doc_id AS b, "
-            "sum(x.w * y.w) AS dot FROM w x "
-            "JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id "
-            "GROUP BY 1, 2), "
-            "c AS (SELECT a, b, dot / (na.nrm * nb.nrm) AS cosine "
-            "FROM dots JOIN norms na ON a = na.doc_id "
-            "JOIN norms nb ON b = nb.doc_id) "
+            # unit-vector formulation, mirroring the engine: normalize
+            # each posting by its doc norm BEFORE pairing — the dot of
+            # unit vectors IS the cosine
+            "wn AS (SELECT w.doc_id, w.term, w.w / norms.nrm AS wn "
+            "FROM w JOIN norms USING (doc_id)), "
+            "c AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "sum(x.wn * y.wn) AS cosine FROM wn x "
+            "JOIN wn y ON x.term = y.term AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2) "
             "SELECT a, b, cosine FROM c "
             "ORDER BY c.cosine DESC, a ASC, b ASC LIMIT 50"
         ),

@@ -99,7 +99,9 @@ def pagerank(
     )
     n_nodes = float(deg.count())
 
-    # pin the big side once: (src, dst, deg-of-src)
+    # pin the big side once: (src, dst, deg-of-src). Coalesce to a
+    # bounded block count — join/groupby output arrives as #buckets
+    # tiny blocks, and per-block fixed cost dominates tiny blocks.
     edges_deg = shuffle_join(
         edges, deg, on=src_col, right_on=src_col, buckets=buckets
     ).map_batches(
@@ -109,9 +111,10 @@ def pagerank(
             "deg": pc.cast(t["deg"], pa.float64()),
         }),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(max(buckets // 4, 4)).materialize()
 
     init = 1.0 / n_nodes
+    rank_blocks = max(buckets // 8, 2)
 
     ranks = deg.map_batches(
         lambda t: pa.table({
@@ -119,28 +122,50 @@ def pagerank(
             "r": pa.array(np.full(t.num_rows, init)),
         }),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(rank_blocks).materialize()
+
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def tag_dst(t: pa.Table) -> pa.Table:
+        # pre-reduce contributions per dst inside the block, then route
+        # by an int32 dst-hash bucket (measured much cheaper than the
+        # sort-based groupby over the same rows)
+        d = pa.table({
+            "dst": t["dst"],
+            "c": pc.divide(t["r"], t["deg"]),
+        })
+        g = d.group_by("dst").aggregate([("c", "sum")])
+        g = g.rename_columns(["dst", "c"])
+        return g.append_column(
+            "_db",
+            pa.array(partition_ids(g["dst"].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def fold_dst(g: pa.Table) -> pa.Table:
+        s = (
+            g.drop_columns(["_db"])
+            .group_by("dst")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table({
+            "node": s["dst"],
+            "r": pc.add(
+                teleport_w / n_nodes, pc.multiply(damping, s["c_sum"])
+            ),
+        })
 
     for _ in range(iters):
-        contrib = shuffle_join(
+        joined = shuffle_join(
             edges_deg, ranks, on="src", right_on="node", buckets=buckets
-        ).map_batches(
-            lambda t: pa.table({
-                "dst": t["dst"],
-                "c": pc.divide(t["r"], t["deg"]),
-            }),
-            batch_format="pyarrow",
         )
-        summed = contrib.groupby("dst").aggregate(Sum("c", alias_name="c"))
-        ranks = summed.map_batches(
-            lambda t: pa.table({
-                "node": t["dst"],
-                "r": pc.add(
-                    teleport_w / n_nodes, pc.multiply(damping, t["c"])
-                ),
-            }),
-            batch_format="pyarrow",
-        ).materialize()
+        ranks = (
+            joined.map_batches(tag_dst, batch_format="pyarrow")
+            .groupby("_db")
+            .map_groups(fold_dst, batch_format="pyarrow")
+            .repartition(rank_blocks)
+            .materialize()
+        )
 
     return ranks.map_batches(
         lambda t: pa.table({

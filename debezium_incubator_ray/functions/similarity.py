@@ -5,12 +5,14 @@ embedding near-dup family in ``dedup.py``.
 Scale shape: a document pair is only ever considered if it SHARES a kept
 term, and kept terms are df-bounded (``2 <= df <= max_df``), so the pair
 space is sum_t C(df_t, 2) — bounded by construction, never all-pairs.
-Per-term partial dot products are generated inside term-hash buckets with
-the same fully vectorized repeat/arange pair expansion the triangle
-counter uses, pre-reduced per bucket, then folded by pair-hash bucket;
-norms attach via two hash joins (the norm table is per-doc, it never sits
-on the driver); each pair bucket keeps its local top-k and the driver
-merges #buckets x k candidate rows.
+Documents are row-complete (one row = one doc), so per-doc tf vectors AND
+per-doc norms are computed entirely inside the batch — no shuffle; the
+kept-term idf table is the classic broadcast-small side (ray.put once,
+read per task). The whole operator therefore runs exactly TWO exchanges:
+the term-hash bucket shuffle that co-locates each kept term's postings
+for pair expansion (the shared repeat/arange kernel), and the pair-hash
+bucket fold; each pair bucket keeps its local top-k and the driver merges
+#buckets x k candidate rows.
 """
 from __future__ import annotations
 
@@ -36,17 +38,19 @@ def cosine_pairs_topk(
     sum C(df, 2) instead of quadratic). The cutoff is ``max_df``
     (absolute) or ``max_df_frac * n_docs`` — prefer the fraction: an
     absolute cutoff silently drops to zero kept terms as the corpus
-    grows past it. Cosine uses norms over the SAME kept-term weights, so
-    the result is exactly the cosine of the df-filtered TF-IDF vectors.
-    Ties at the k boundary break (cosine desc, a asc, b asc). Returns a
-    pyarrow Table (a, b, cosine) — empty when no term survives the df
-    window.
+    grows past it. Norms use the SAME kept-term weights and divide in
+    BEFORE pair generation (unit-vector dot = cosine), so the result is
+    the cosine of the df-filtered TF-IDF vectors evaluated as
+    sum((wa/|a|) * (wb/|b|)) — the oracle mirrors that exact
+    formulation. Ties at the k boundary break (cosine desc, a asc,
+    b asc). Returns a pyarrow Table (a, b, cosine) — empty when no term
+    survives the df window.
     """
     if (max_df is None) == (max_df_frac is None):
         raise ValueError("pass exactly one of max_df / max_df_frac")
-    from ray.data.aggregate import Sum
+    import ray
+
     from debezium_incubator_ray.hashing import stable_hash
-    from debezium_incubator_ray.functions.joins import shuffle_join
     from debezium_incubator_ray.functions.kernels import (
         expand_pairs, merge_local_topk, table_topk,
     )
@@ -68,67 +72,73 @@ def cosine_pairs_topk(
             "idf": pc.ln(pc.divide(float(n_docs), t["dfv"])),
         })
 
-    kept = df.map_batches(keep_idf, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    # the kept (term, idf) table is the broadcast-small side: collect
+    # once, ray.put once, read inside every task — never re-shipped per
+    # batch and never joined by shuffle
+    kept_parts = [
+        b for b in df.map_batches(
+            keep_idf, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    id_type = ds.schema().base_schema.field(id_col).type
+    empty = pa.table({
+        "a": pa.array([], id_type),
+        "b": pa.array([], id_type),
+        "cosine": pa.array([], pa.float64()),
+    })
+    kept_tbl = pa.concat_tables(kept_parts) if kept_parts else None
+    if kept_tbl is None or kept_tbl.num_rows == 0:
+        return empty
+    kept_ref = ray.put(kept_tbl.combine_chunks())
 
-    def tf_explode(t: pa.Table) -> pa.Table:
+    def unit_postings(t: pa.Table) -> pa.Table:
+        """(doc, term, unit-weight) for kept terms — all in-batch:
+        documents are row-complete, so tf and the doc norm never cross
+        a batch boundary."""
+        kt = ray.get(kept_ref)
         flat, lens = _flat_tokens(t, text_col)
         ids = np.repeat(
-            t[id_col].combine_chunks().to_numpy(zero_copy_only=False), lens
+            t[id_col].combine_chunks().to_numpy(zero_copy_only=False),
+            lens,
         )
         g = (
             pa.table({id_col: pa.array(ids), "term": flat})
             .group_by([id_col, "term"])
             .aggregate([([], "count_all")])
         )
-        return pa.table({
+        pos = pc.index_in(g["term"], value_set=kt["term"])
+        keep = pc.is_valid(pos)
+        g = pa.table({
+            id_col: g[id_col].filter(keep),
+            "term": g["term"].filter(keep),
+            "tf": pc.cast(g["count_all"].filter(keep), pa.float64()),
+        })
+        idf = kt["idf"].take(pos.filter(keep))
+        w = pc.multiply(g["tf"], idf).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        # per-doc norm over the kept-term weights, via one sort + reduceat
+        did = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="mergesort")
+        ds_, ws_ = did[order], w[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        sizes = np.diff(np.append(starts, len(ds_)))
+        nrm = np.sqrt(np.add.reduceat(ws_ * ws_, starts)) if len(ds_) \
+            else np.empty(0)
+        wn = np.empty_like(w)
+        wn[order] = ws_ / np.repeat(nrm, sizes)
+        out = pa.table({
             id_col: g[id_col],
             "term": g["term"],
-            "tf": pc.cast(g["count_all"], pa.float64()),
+            "w": pa.array(wn),
         })
-
-    postings = shuffle_join(
-        ds.map_batches(tf_explode, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        kept, on="term", buckets=buckets,
-    ).map_batches(
-        lambda t: pa.table({
-            id_col: t[id_col],
-            "term": t["term"],
-            "w": pc.multiply(t["tf"], t["idf"]),
-        }),
-        batch_format="pyarrow",
-    ).materialize()  # consumed by norms AND pair generation
-
-    def norm_partial(t: pa.Table) -> pa.Table:
-        d = pa.table({
-            id_col: t[id_col],
-            "w2": pc.multiply(t["w"], t["w"]),
-        })
-        g = d.group_by(id_col).aggregate([("w2", "sum")])
-        return g.rename_columns([id_col, "w2"])
-
-    norms = (
-        postings.map_batches(norm_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-        .groupby(id_col)
-        .aggregate(Sum("w2", alias_name="w2"))
-        .map_batches(
-            lambda t: pa.table({
-                id_col: t[id_col],
-                "nrm": pc.sqrt(t["w2"]),
-            }),
-            batch_format="pyarrow",
+        b = (stable_hash(out["term"]) % np.uint64(buckets)).astype(
+            np.int32
         )
-        .materialize()  # consumed by BOTH marginal joins — without the
-        # pin each join re-runs the full norm aggregation over postings
-    )
-
-    def tag_term(t: pa.Table) -> pa.Table:
-        b = (stable_hash(t["term"]) % np.uint64(buckets)).astype(np.int32)
-        return t.append_column("_tb", pa.array(b))
+        return out.append_column("_tb", pa.array(b))
 
     def pair_dots(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_tb"])
         ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         w = g["w"].combine_chunks().to_numpy(zero_copy_only=False)
         tr = g["term"].combine_chunks()
@@ -186,47 +196,18 @@ def cosine_pairs_topk(
             .group_by(["a", "b"])
             .aggregate([("dot", "sum")])
         )
-        return g.rename_columns(["a", "b", "dot"])
+        return g.rename_columns(["a", "b", "cosine"])
 
-    # route by the int32 pair-hash bucket instead of a 2-key groupby
-    # (measured ~2.5-7x cheaper shuffle for pair streams elsewhere here)
-    dots = (
-        postings.map_batches(tag_term, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    # exchange 1: term-hash buckets co-locate each kept term's postings;
+    # exchange 2: pair-hash buckets fold the partial dots (an int32
+    # bucket id — measured ~2.5-7x cheaper than a 2-key groupby)
+    cos = (
+        ds.map_batches(unit_postings, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("_tb")
         .map_groups(pair_dots, batch_format="pyarrow")
         .groupby("_pb")
         .map_groups(fold_pairs, batch_format="pyarrow")
-        .materialize()  # consumed by the norm join; also: an empty
-        # candidate set (no term in the df window) must short-circuit —
-        # joins can't infer a schema from zero blocks
-    )
-    id_type = ds.schema().base_schema.field(id_col).type
-    empty = pa.table({
-        "a": pa.array([], id_type),
-        "b": pa.array([], id_type),
-        "cosine": pa.array([], pa.float64()),
-    })
-    if dots.count() == 0:
-        return empty
-
-    with_na = shuffle_join(
-        dots, norms, on="a", right_on=id_col, buckets=buckets
-    ).map_batches(
-        lambda t: pa.table({
-            "a": t["a"], "b": t["b"], "dot": t["dot"], "na": t["nrm"],
-        }),
-        batch_format="pyarrow",
-    )
-    cos = shuffle_join(
-        with_na, norms, on="b", right_on=id_col, buckets=buckets
-    ).map_batches(
-        lambda t: pa.table({
-            "a": t["a"],
-            "b": t["b"],
-            "cosine": pc.divide(t["dot"], pc.multiply(t["na"], t["nrm"])),
-        }),
-        batch_format="pyarrow",
     )
 
     def local_topk(t: pa.Table) -> pa.Table:

@@ -1030,14 +1030,14 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
 
     Shape: full bigram counts fold by pair-hash bucket (the bigram_topk
     combiner, but keeping every pair >= min_count, not a top-k cut);
-    unigram counts fold by term hash; two hash joins attach the
-    marginals; the PMI expression is evaluated in the exact same
+    unigram counts fold by term hash and BROADCAST (the marginal table
+    is vocab-bounded — ray.put once, in-task lookup, never a shuffle
+    join); the PMI expression is evaluated in the exact same
     operation order as the SQL oracle. Ties at the k boundary break
     (pmi desc, w1, w2). Returns a pyarrow Table
     (w1, w2, cnt, pmi)."""
     from ray.data.aggregate import Sum
     from debezium_incubator_ray.hashing import stable_hash
-    from debezium_incubator_ray.functions.joins import shuffle_join
 
     def bigram_partial(t: pa.Table) -> pa.Table:
         flat, lens = _flat_tokens(t, text_col)
@@ -1101,18 +1101,28 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
             "c": pc.cast(g["count_all"], pa.int64()),
         })
 
-    unigrams = (
-        ds.map_batches(unigram_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("w")
-        .aggregate(Sum("c", alias_name="c"))
-    ).materialize()  # consumed by both marginal joins
+    # the unigram marginal table is vocab-bounded — the classic
+    # broadcast-small side: fold once, collect, ray.put once, read
+    # inside the scoring task (two shuffle joins measured ~4 s of pure
+    # fixed overhead on this metadata-sized table)
+    import ray
+
+    uni_tbl = pa.concat_tables(
+        b for b in (
+            ds.map_batches(unigram_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("w")
+            .aggregate(Sum("c", alias_name="c"))
+            .iter_batches(batch_format="pyarrow")
+        )
+    ).combine_chunks()
+    uni_ref = ray.put(uni_tbl)
 
     # two scalars ride the task closures. n_bigrams is derivable without
     # a third tokenization pass: every nonempty doc contributes
     # (tokens - 1) bigrams, so n_big = n_tokens - n_nonempty_docs, and
     # counting nonempty docs is one cheap trimmed-length check.
-    n_tok = float(unigrams.sum("c"))
+    n_tok = float(pc.sum(uni_tbl["c"]).as_py() or 0)
 
     def nonempty(t: pa.Table) -> pa.Table:
         ln = pc.utf8_length(
@@ -1132,18 +1142,17 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
     )
     n_big = n_tok - n_docs_nonempty
 
-    j1 = shuffle_join(
-        bigrams, unigrams, on="w1", right_on="w", buckets=buckets
-    ).map_batches(
-        lambda t: pa.table({
-            "w1": t["w1"], "w2": t["w2"], "cnt": t["cnt"], "ca": t["c"],
-        }),
-        batch_format="pyarrow",
-    )
-    scored = shuffle_join(
-        j1, unigrams, on="w2", right_on="w", buckets=buckets
-    ).map_batches(
-        lambda t: pa.table({
+    def score(t: pa.Table) -> pa.Table:
+        ut = ray.get(uni_ref)
+        ca = pc.cast(
+            ut["c"].take(pc.index_in(t["w1"], value_set=ut["w"])),
+            pa.float64(),
+        )
+        cb = pc.cast(
+            ut["c"].take(pc.index_in(t["w2"], value_set=ut["w"])),
+            pa.float64(),
+        )
+        return pa.table({
             "w1": t["w1"],
             "w2": t["w2"],
             "cnt": pc.cast(t["cnt"], pa.int64()),
@@ -1151,14 +1160,11 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
             # ln((cnt / n_big) / ((ca / n_tok) * (cb / n_tok)))
             "pmi": pc.ln(pc.divide(
                 pc.divide(pc.cast(t["cnt"], pa.float64()), n_big),
-                pc.multiply(
-                    pc.divide(pc.cast(t["ca"], pa.float64()), n_tok),
-                    pc.divide(pc.cast(t["c"], pa.float64()), n_tok),
-                ),
+                pc.multiply(pc.divide(ca, n_tok), pc.divide(cb, n_tok)),
             )),
-        }),
-        batch_format="pyarrow",
-    )
+        })
+
+    scored = bigrams.map_batches(score, batch_format="pyarrow")
 
     from debezium_incubator_ray.functions.kernels import (
         merge_local_topk, table_topk,
