@@ -4053,6 +4053,135 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f, batch_format="pyarrow"
         )
 
+    def events_imputed_means(sf_dir):
+        """NULL imputation with the per-type mean — the standard
+        feature-prep step: one narrow (sum, n) fold per type, the tiny
+        mean map BROADCASTS via closure, and the fill streams. Output is
+        every row with `value_imp` = COALESCE(value, type mean)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = pc.cast(t["value"], pa.float64())
+            d = pa.table({
+                "event_type": t["event_type"],
+                "s": pc.fill_null(v, 0.0),
+                "n": pc.cast(pc.is_valid(v), pa.int64()),
+            })
+            g = d.group_by("event_type").aggregate(
+                [("s", "sum"), ("n", "sum")]
+            )
+            return g.rename_columns(["event_type", "s", "n"])
+
+        rows = (
+            ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )  # |types| rows
+        means = {r["event_type"]: r["s"] / r["n"] for r in rows
+                 if r["n"]}
+        mt = pa.table({
+            "event_type": pa.array(list(means), pa.string()),
+            "m": pa.array(list(means.values()), pa.float64()),
+        })
+
+        def fill(t: pa.Table) -> pa.Table:
+            pos = pc.index_in(t["event_type"], value_set=mt["event_type"])
+            m = mt["m"].take(pos)
+            v = pc.cast(t["value"], pa.float64())
+            return pa.table({
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_imp": pc.if_else(pc.is_valid(v), v, m),
+            })
+
+        return ev.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def events_minmax_scaled(sf_dir):
+        """Global min-max feature scaling: the two-float range probe
+        rides the task closures and the scaling streams — scaled =
+        (v - mn) / (mx - mn), rows with NULL value dropped."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.quality import global_min_max
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "value"],
+        )
+        mn, mx = global_min_max(ev, "value")
+        span = mx - mn
+
+        def scale(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["value"]))
+            v = pc.cast(t["value"], pa.float64())
+            return pa.table({
+                "event_id": t["event_id"],
+                "scaled": pc.divide(pc.subtract(v, mn), span),
+            })
+
+        return ev.map_batches(scale, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def orders_decile_report(sf_dir):
+        """Decile analysis of order value: global NTILE(10) over
+        (o_totalprice, o_orderkey) via the bucket-cumsum rank — no
+        global sort — then one narrow per-tile fold of (n, sum, min,
+        max)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Max, Min, Sum
+        from debezium_incubator_ray.functions.rank import global_ntile
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        tiled = global_ntile(orders, "o_totalprice", "o_orderkey", k=10)
+
+        def partial(t: pa.Table) -> pa.Table:
+            d = pa.table({
+                "tile": t["tile"],
+                "s": pc.cast(t["o_totalprice"], pa.float64()),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            })
+            g = d.group_by("tile").aggregate(
+                [("s", "sum"), ("s", "min"), ("s", "max"), ("n", "sum")]
+            )
+            return g.rename_columns(["tile", "s", "mn", "mx", "n"])
+
+        folded = (
+            tiled.map_batches(partial, batch_format="pyarrow")
+            .groupby("tile")
+            .aggregate(Sum("s", alias_name="s"),
+                       Min("mn", alias_name="mn"),
+                       Max("mx", alias_name="mx"),
+                       Sum("n", alias_name="n"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "tile": t["tile"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "total": pc.round(t["s"], ndigits=3),
+                "lo": t["mn"],
+                "hi": t["mx"],
+            }),
+            batch_format="pyarrow",
+        )
+
     def stats_ntile(sf_dir):
         """Global ROW_NUMBER + NTILE(8) over (o_totalprice, o_orderkey)
         without a global sort — the bucket-cumsum rank plus the SQL
@@ -4298,6 +4427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_multivariate_outliers": dq_multivariate_outliers,
         "orders_backlog_curve": orders_backlog_curve,
         "stats_trimmed_means": stats_trimmed_means,
+        "events_imputed_means": events_imputed_means,
+        "events_minmax_scaled": events_minmax_scaled,
+        "orders_decile_report": orders_decile_report,
         "stats_ntile": stats_ntile,
         "stats_global_quantiles": stats_global_quantiles,
         "stats_winsorized_means": stats_winsorized_means,
@@ -5907,6 +6039,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, new_users, "
             "CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) "
             "AS cum_users FROM d"
+        ),
+        "events_imputed_means": (
+            "SELECT event_id, event_type, "
+            "COALESCE(value, avg(value) OVER (PARTITION BY event_type)) "
+            "AS value_imp FROM events"
+        ),
+        "events_minmax_scaled": (
+            "WITH b AS (SELECT min(value) AS mn, max(value) AS mx "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_id, (value - b.mn) / (b.mx - b.mn) AS scaled "
+            "FROM events, b WHERE value IS NOT NULL"
+        ),
+        "orders_decile_report": (
+            "WITH t AS (SELECT o_totalprice, NTILE(10) OVER ("
+            "ORDER BY o_totalprice, o_orderkey) AS tile FROM orders "
+            "WHERE o_totalprice IS NOT NULL) "
+            "SELECT tile, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(o_totalprice), 3) AS total, "
+            "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+            "FROM t GROUP BY 1"
         ),
         "orders_backlog_curve": (
             "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day "
