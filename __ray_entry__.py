@@ -158,6 +158,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_error_quarantine(sf_dir):
+        """Per-segment error quarantine (QueueProcessor.java:85-106,
+        CommitLogProcessor.java:103-112 ERROR_FOLDER semantics): one
+        binlog segment is corrupted on disk; the epoch records it in the
+        manifest's quarantine set and applies every other segment — a
+        corrupt file never fails the epoch and is never retried. The
+        final lake state is LWW over all events except the quarantined
+        segment's rows."""
+        import pyarrow as pa
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("quar")
+        binlog = os.path.join(root, "binlog")
+        lake = os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        bad = os.path.join(binlog, "p=3", "seg-00000.parquet")
+        with open(bad, "wb") as f:
+            f.write(b"NOT A PARQUET FILE \x00\x01\x02 deliberately corrupt")
+        eng = make_engine(lake)
+        eng.run(binlog)
+        assert eng.manifest.doc.get("segments_error"), (
+            "corrupt segment was not quarantined"
+        )
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tombstones(sf_dir):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -3403,6 +3433,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return bfs_hops(edges, seeds, max_hops=3, buckets=32)
 
+    def graph_connected_components(sf_dir):
+        """Connected components of the top-2000 co-purchase subgraph:
+        distributed hash-min label propagation with pointer jumping
+        (label <- label(label) collapses chains exponentially, so rounds
+        are O(log diameter)); per-round work is two hash joins + one
+        bucketed min reduce, label state never on the driver. Output is
+        one (comp, n_nodes) row per component, comp = min node id."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import (
+            connected_components,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return connected_components(edges, buckets=32)
+
     def dq_corr_matrix(sf_dir):
         """Pairwise Pearson correlation heatmap over the four lineitem
         measures in one streaming pass — per-pair masked moment sums,
@@ -4279,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
         "cdc_field_blacklist": cdc_field_blacklist,
         "cdc_table_filter": cdc_table_filter,
+        "cdc_error_quarantine": cdc_error_quarantine,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -4412,6 +4467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
         "graph_bfs_hops": graph_bfs_hops,
+        "graph_connected_components": graph_connected_components,
         "dq_corr_matrix": dq_corr_matrix,
         "events_group_percent_rank": events_group_percent_rank,
         "events_top_user": events_top_user,
@@ -4592,6 +4648,21 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_error_quarantine": (
+            # p=3/seg-00000 (the first 4096 events of partition
+            # user_id % 8 = 3, segments are LSN-ordered) is corrupted and
+            # quarantined; LWW over everything else
+            "WITH excl AS (SELECT event_id FROM events "
+            "WHERE user_id % 8 = 3 ORDER BY event_id LIMIT 4096), "
+            "env AS (SELECT user_id, event_id AS lsn, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "ts, event_type, value, props FROM events "
+            "WHERE event_id NOT IN (SELECT event_id FROM excl)), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env) "
+            f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'"
+        ),
         "cdc_partial_updates": (
             # per-cell LWW: cell j's final value = the latest LIVE event
             # that SET it (mask bit j; live = after the key's last row
@@ -5914,6 +5985,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT node, CAST(1 AS BIGINT) FROM l1 "
             "UNION ALL SELECT node, CAST(2 AS BIGINT) FROM l2 "
             "UNION ALL SELECT node, CAST(3 AS BIGINT) FROM l3"
+        ),
+        "graph_connected_components": (
+            # same top-2000 edge cut as graph_triangles; component id =
+            # min node id, computed via the all-reachable-pairs
+            # recursive CTE (fine at oracle scale)
+            "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "und AS (SELECT a AS u, b AS v FROM e "
+            "UNION SELECT b, a FROM e), "
+            "reach(a, b) AS (SELECT u, v FROM und "
+            "UNION SELECT r.a, und.v FROM reach r "
+            "JOIN und ON r.b = und.u), "
+            "comp AS (SELECT a AS node, least(a, min(b)) AS comp "
+            "FROM reach GROUP BY a) "
+            "SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes "
+            "FROM comp GROUP BY comp"
         ),
         "dq_corr_matrix": (
             "SELECT * FROM ("

@@ -432,3 +432,176 @@ def bfs_hops(edges, seeds, src_col: str = "src", dst_col: str = "dst",
         frontier = fresh
 
     return visited
+
+
+def _block_cc(n: int, ui: np.ndarray, vi: np.ndarray) -> np.ndarray:
+    """In-memory connected components over ``n`` nodes indexed 0..n-1 and
+    edge index arrays (ui, vi): vectorized hash-min with pointer doubling
+    (labels converge to the minimum node INDEX of each component in
+    O(log diameter) numpy passes — no per-edge Python loop)."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, ui, lab[vi])
+        np.minimum.at(nxt, vi, lab[ui])
+        while True:  # pointer jumping: collapse label chains
+            hop = nxt[nxt]
+            if np.array_equal(hop, nxt):
+                break
+            nxt = hop
+        if np.array_equal(nxt, lab):
+            return lab
+        lab = nxt
+
+
+def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
+                         buckets: int = 64,
+                         driver_edge_limit: int = 2_000_000):
+    """Connected components over an edge Dataset: one row per component,
+    (comp, n_nodes), where comp is the MINIMUM node id of the component.
+
+    Scale shape — two-level contraction, NOT per-round shuffling:
+    (1) every edge block runs an in-memory vectorized hash-min
+    union (``_block_cc``), contracting the block to a (node -> root)
+    mapping where root = the block-local min id; (2) ONE shuffle groups
+    the mapping by node hash — a node landing in k blocks with differing
+    roots emits (min_root, root) ROOT-GRAPH edges, and along any path of
+    the original graph consecutive blocks share a node, so the root
+    graph connects exactly the roots of each component; (3) the root
+    graph is metadata-sized (only roots that disagree across blocks —
+    empirically orders of magnitude below the edge count), so it
+    finishes with the same vectorized kernel driver-side and the
+    root -> comp fix-up broadcasts back as two sorted numpy arrays.
+    Total cost: one pass over the edges + one 16-byte/row shuffle of the
+    mapping + one shuffle of the (node, comp) labels for the count —
+    constant shuffle count, no O(diameter) iteration. If the root graph
+    exceeds ``driver_edge_limit`` (pathological block fragmentation),
+    this raises rather than silently materializing — re-run with larger
+    blocks or a higher limit."""
+    from debezium_incubator_ray.hashing import partition_ids
+    import ray
+
+    def local_cc(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[src_col].combine_chunks(), pa.int64())
+        d = pc.cast(t[dst_col].combine_chunks(), pa.int64())
+        keep = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        u = s.filter(keep).to_numpy(zero_copy_only=False)
+        v = d.filter(keep).to_numpy(zero_copy_only=False)
+        ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        lab = _block_cc(len(ids), ui, vi)
+        m = pa.table({
+            "node": pa.array(ids), "root": pa.array(ids[lab]),
+        })
+        return m.append_column(
+            "_b",
+            pa.array(partition_ids(m["node"].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    mapping = edges.map_batches(
+        local_cc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def root_pairs(g: pa.Table) -> pa.Table:
+        # per node: (min_root, other_root) edges between disagreeing
+        # block-local roots — empty when every block agrees
+        node = g["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        root = g["root"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, root = node[order], root[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        mins = np.minimum.reduceat(root, starts)
+        a = np.repeat(mins, np.diff(np.r_[starts, len(node)]))
+        mask = a != root
+        out = pa.table({"a": pa.array(a[mask]), "b": pa.array(root[mask])})
+        return out.group_by(["a", "b"]).aggregate([])
+
+    pairs = (
+        mapping.groupby("_b")
+        .map_groups(root_pairs, batch_format="pyarrow")
+        .take_all()
+    )  # root-graph edges: metadata-sized (disagreeing roots only)
+    if len(pairs) > driver_edge_limit:
+        raise ValueError(
+            f"root graph has {len(pairs)} edges > driver_edge_limit="
+            f"{driver_edge_limit}; increase block size or the limit"
+        )
+    if pairs:
+        ra = np.array([r["a"] for r in pairs], dtype=np.int64)
+        rb = np.array([r["b"] for r in pairs], dtype=np.int64)
+        rid, rinv = np.unique(np.concatenate([ra, rb]),
+                              return_inverse=True)
+        rlab = _block_cc(len(rid), rinv[: len(ra)], rinv[len(ra):])
+        fix_from, fix_to = rid, rid[rlab]
+    else:
+        fix_from = np.empty(0, np.int64)
+        fix_to = np.empty(0, np.int64)
+    fix_ref = ray.put((fix_from, fix_to))  # sorted by construction
+
+    def resolve(t: pa.Table) -> pa.Table:
+        fsrc, fdst = ray.get(fix_ref)
+        root = t["root"].combine_chunks().to_numpy(zero_copy_only=False)
+        comp = root.copy()
+        if len(fsrc):
+            pos = np.searchsorted(fsrc, root)
+            pos = np.minimum(pos, len(fsrc) - 1)
+            hit = fsrc[pos] == root
+            comp[hit] = fdst[pos[hit]]
+        out = pa.table({"node": t["node"], "comp": pa.array(comp)})
+        # block-local distinct (a node repeats across blocks, always with
+        # the same resolved comp)
+        return out.group_by(["node", "comp"]).aggregate([])
+
+    labels = mapping.drop_columns(["_b"]).map_batches(
+        resolve, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # count per comp: the mapping shuffle already grouped by node hash, so
+    # a node's duplicates across blocks landed in ONE bucket — but blocks
+    # were re-split by map_batches, so dedup per node again via a
+    # (node-hash-bucketed) count distinct
+    def count_partial(t: pa.Table) -> pa.Table:
+        d = t.group_by(["node", "comp"]).aggregate([])
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d["node"].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def count_fold(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"]).group_by(["node", "comp"]).aggregate([])
+        r = d.group_by(["comp"]).aggregate([([], "count_all")])
+        return pa.table({
+            "comp": r["comp"],
+            "n": pc.cast(r["count_all"], pa.int64()),
+        })
+
+    per_bucket = (
+        labels.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(count_fold, batch_format="pyarrow")
+    )
+    # bucket counts are per-(node-hash) partials: one comp spans buckets,
+    # so fold once more by comp hash
+    return (
+        per_bucket.map_batches(
+            lambda t: t.append_column(
+                "_b2",
+                pa.array(partition_ids(t["comp"].combine_chunks(),
+                                       buckets, "hash"), pa.int32()),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_b2")
+        .map_groups(
+            lambda g: (lambda r: pa.table({
+                "comp": r["comp"],
+                "n_nodes": pc.cast(r["n_sum"], pa.int64()),
+            }))(g.drop_columns(["_b2"]).group_by(["comp"]).aggregate(
+                [("n", "sum")]
+            )),
+            batch_format="pyarrow",
+        )
+    )

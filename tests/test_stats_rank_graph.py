@@ -728,3 +728,40 @@ def test_longest_streak_gaps_and_islands():
     assert int(out.loc[1, "longest_streak"]) == 3
     assert int(out.loc[2, "n_days"]) == 1
     assert int(out.loc[2, "longest_streak"]) == 1
+
+
+def test_connected_components_contraction():
+    from debezium_incubator_ray.functions.graph import connected_components
+
+    # a 60-node path (deep diameter, exercises cross-block root merging
+    # once repartitioned), two cliques, an isolated pair, plus dup /
+    # self / null edges that must be ignored
+    src = list(range(100, 159)) + [500, 500, 501, 502] + [777] + [900]
+    dst = list(range(101, 160)) + [501, 502, 502, 500] + [777] + [901]
+    src += [100, None]
+    dst += [101, 5]
+    t = pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    })
+    out = (
+        connected_components(
+            ray.data.from_arrow(t).repartition(7), buckets=4
+        )
+        .to_pandas().set_index("comp").sort_index()
+    )
+    # self-loop node 777 still counts as a (singleton) component
+    assert out.loc[100, "n_nodes"] == 60
+    assert out.loc[500, "n_nodes"] == 3
+    assert out.loc[900, "n_nodes"] == 2
+    assert out.loc[777, "n_nodes"] == 1
+    assert len(out) == 4
+
+
+def test_block_cc_pointer_doubling_path():
+    from debezium_incubator_ray.functions.graph import _block_cc
+
+    n = 1000  # path graph: worst-case diameter for hash-min
+    ui = np.arange(n - 1, dtype=np.int64)
+    vi = np.arange(1, n, dtype=np.int64)
+    lab = _block_cc(n, ui, vi)
+    assert (lab == 0).all()
