@@ -188,6 +188,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_segment_archive(sf_dir):
+        """Processed-segment archival (CommitLogTransfer.java:15-35,
+        QueueProcessor.java:29-30 ARCHIVE_FOLDER): after each epoch's
+        manifest flush, applied segment files move to
+        _relocation/archive/<rel>; the binlog dir drains to empty and the
+        lake state is identical to leaving them in place. The query
+        asserts the relocation layout, then returns the LWW state."""
+        import pyarrow as pa
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("arch")
+        binlog = os.path.join(root, "binlog")
+        lake = os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        n_segs = sum(
+            len(files) for _, _, files in os.walk(binlog) if files
+        )
+        eng = make_engine(lake, segment_transfer="archive")
+        eng.run(binlog)
+        arch = os.path.join(binlog, "_relocation", "archive")
+        moved = sum(len(files) for _, _, files in os.walk(arch) if files)
+        left = [
+            f for p, _, files in os.walk(binlog) for f in files
+            if "_relocation" not in p
+        ]
+        assert moved == n_segs and not left, (
+            f"archive moved {moved}/{n_segs}, left behind {left}"
+        )
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tombstones(sf_dir):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -951,6 +986,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["user_id", "ts", "value"],
         )
         return sessionize(ds)
+
+    def events_conversion_window(sf_dir):
+        """Sliding-window self-join WITHOUT pair materialization: per
+        user, every (view, purchase) pair with the purchase 0 < dt <= 24h
+        after the view — counts and min/max delays come from binary-search
+        span endpoints inside one hash(key) bucketed shuffle (as-of join
+        keeps only the nearest match; this aggregates ALL matches)."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            window_pair_stats,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        out = window_pair_stats(
+            ds, "user_id", "ts", "event_type", "view", "purchase",
+            window_us=24 * 3600 * 1_000_000, buckets=32,
+        )
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "n_pairs", "min_delay_us", "max_delay_us"]
+            ),
+            batch_format="pyarrow",
+        )
 
     def topk_per_group(sf_dir):
         """Top-5 events per event_type by value (ties by event_id) via the
@@ -4334,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_field_blacklist": cdc_field_blacklist,
         "cdc_table_filter": cdc_table_filter,
         "cdc_error_quarantine": cdc_error_quarantine,
+        "cdc_segment_archive": cdc_segment_archive,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -4359,6 +4422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_presum_groupby": agg_presum_groupby,
         "windowed_agg": windowed_agg,
         "windowed_session_agg": windowed_session_agg,
+        "events_conversion_window": events_conversion_window,
         "topk_per_group": topk_per_group,
         "quantiles_by_type": quantiles_by_type,
         "asof_join_events": asof_join_events,
@@ -4648,6 +4712,8 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_segment_archive": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_error_quarantine": (
             # p=3/seg-00000 (the first 4096 events of partition
             # user_id % 8 = 3, segments are LSN-ordered) is corrupted and
@@ -4927,6 +4993,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.event_id, g.user_id, g.ts, g.value, "
             "s.session_start, s.session_end, s.n_events "
             "FROM g JOIN s ON g.user_id = s.user_id AND g.sid = s.sid"
+        ),
+        "events_conversion_window": (
+            "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs, "
+            "min(epoch_us(b.ts) - epoch_us(a.ts)) AS min_delay_us, "
+            "max(epoch_us(b.ts) - epoch_us(a.ts)) AS max_delay_us "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts > a.ts "
+            "AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000 "
+            "AND a.event_type = 'view' AND b.event_type = 'purchase' "
+            "GROUP BY a.user_id"
         ),
         "windowed_session_agg": (
             "WITH o AS (SELECT user_id, ts, value, "

@@ -1118,3 +1118,119 @@ def longest_streak(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("_b")
         .map_groups(islands, batch_format="pyarrow")
     )
+
+
+def window_pair_stats(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    window_us: int,
+    buckets: int = 64,
+):
+    """Sliding-window self-join with per-key aggregates and NO pair
+    materialization: for each key, count (a, b) pairs where a is a
+    ``from_type`` event, b a ``to_type`` event, and 0 < ts_b - ts_a <=
+    window_us (the "view -> purchase within the window" conversion
+    primitive; as-of join keeps only the NEAREST match — this counts
+    every match in the window). Emits one row per key with >= 1 pair:
+    (key, n_pairs, min_delay_us, max_delay_us).
+
+    Scale shape: ONE hash(key) bucketed shuffle of the two filtered
+    event sides; inside each bucket both sides sort once and every
+    left event finds its window span with two binary searches over a
+    (dense-key * span + ts) composite — counts and min/max delays come
+    from the span ENDPOINTS, so the n^2 pair set is never expanded.
+    The composite stays in int64 because keys are dense per bucket:
+    u_dense * span needs log2(users_per_bucket) + log2(span_us) < 63
+    (a 30-day span and 2M keys per bucket uses 62 bits; wider spans
+    raise buckets)."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t[type_col].combine_chunks(),
+            value_set=pa.array([from_type, to_type]),
+        )
+        t = t.filter(keep)
+        sel = pa.table({
+            "k": pc.cast(t[key_col].combine_chunks(), pa.int64()),
+            "t": pc.cast(t[ts_col].combine_chunks(), pa.int64()),
+            "is_from": pc.equal(
+                t[type_col].combine_chunks(), pa.scalar(from_type)
+            ),
+        })
+        return sel.append_column(
+            "_b",
+            pa.array(partition_ids(sel["k"].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_from = g["is_from"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        if len(k) == 0:
+            return pa.table({
+                "k": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "min_delay_us": pa.array([], pa.int64()),
+                "max_delay_us": pa.array([], pa.int64()),
+            })
+        t0 = t.min()
+        span = int(t.max() - t0) + window_us + 2
+        uk, dense = np.unique(k, return_inverse=True)
+        if len(uk) * span >= (1 << 63):
+            raise ValueError(
+                "dense-key x span composite exceeds int64; raise buckets"
+            )
+        key = dense * span + (t - t0)
+        a_key = np.sort(key[is_from])
+        b_key = np.sort(key[~is_from])
+        if len(a_key) == 0 or len(b_key) == 0:
+            return pa.table({
+                "k": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "min_delay_us": pa.array([], pa.int64()),
+                "max_delay_us": pa.array([], pa.int64()),
+            })
+        # window ends clamp INSIDE the key's span stripe so a late event
+        # never probes into the next dense key's range
+        stripe_end = (a_key // span + 1) * span - 1
+        lo = np.searchsorted(b_key, a_key, side="right")  # strict >
+        hi = np.searchsorted(
+            b_key, np.minimum(a_key + window_us, stripe_end), side="right"
+        )
+        cnt = hi - lo
+        has = cnt > 0
+        if not has.any():
+            return pa.table({
+                "k": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+                "min_delay_us": pa.array([], pa.int64()),
+                "max_delay_us": pa.array([], pa.int64()),
+            })
+        a_has = a_key[has]
+        dmin = b_key[lo[has]] - a_has
+        dmax = b_key[hi[has] - 1] - a_has
+        ku = uk[(a_has // span).astype(np.int64)]
+        order = np.argsort(ku, kind="stable")
+        ku, cu = ku[order], cnt[has][order]
+        dmin, dmax = dmin[order], dmax[order]
+        starts = np.flatnonzero(np.r_[True, ku[1:] != ku[:-1]])
+        return pa.table({
+            "k": pa.array(ku[starts]),
+            "n_pairs": pa.array(np.add.reduceat(cu, starts)),
+            "min_delay_us": pa.array(np.minimum.reduceat(dmin, starts)),
+            "max_delay_us": pa.array(np.maximum.reduceat(dmax, starts)),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -303,6 +303,7 @@ def make_engine(
     stats_columns=(),
     merge_mode: str = "lww",
     counter_cols=(),
+    **cfg_overrides,
 ) -> CdcEngine:
     cfg = EngineConfig(
         table="events",
@@ -324,6 +325,7 @@ def make_engine(
         # force the exchange path (the engine would otherwise detect the
         # mismatch and abort the epoch)
         aligned_binlog="auto" if not key_cols else "never",
+        **cfg_overrides,
     )
     return CdcEngine(
         lake_dir, cfg, payload_schema=payload_schema or EVENTS_PAYLOAD

@@ -404,3 +404,43 @@ def test_shuffle_join_full_outer():
     assert out["k"].tolist() == [1, 2, 3, 4]
     assert out["lv"].fillna(-1).tolist() == [10, 20, 30, -1]
     assert out["rv"].fillna(-1).tolist() == [-1, 200, 300, 400]
+
+
+def test_window_pair_stats_boundaries():
+    import ray.data
+    from debezium_incubator_ray.functions.windows import window_pair_stats
+
+    # user 1: view at t=100; purchases at 100 (excluded: strict >),
+    # 150 and 200 (in, window=100 inclusive), 201 (out).
+    # user 2: purchase-only (no pairs). user 3: view at t very close to
+    # the stripe end, its window must clamp inside its own stripe and
+    # never probe user 4's purchases.
+    rows = [
+        (1, 100, "view"), (1, 100, "purchase"), (1, 150, "purchase"),
+        (1, 200, "purchase"), (1, 201, "purchase"),
+        (2, 50, "purchase"),
+        (3, 999, "view"),
+        (4, 1000, "purchase"), (4, 1001, "purchase"),
+        (5, 10, "view"), (5, 60, "purchase"), (5, 110, "purchase"),
+        (1, 999, "click"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = (
+        window_pair_stats(
+            ray.data.from_arrow(t).repartition(3),
+            "user_id", "ts", "event_type", "view", "purchase",
+            window_us=100, buckets=1,  # buckets=1: all users one stripe run
+        )
+        .to_pandas().set_index("k").sort_index()
+    )
+    assert list(out.index) == [1, 5]
+    assert int(out.loc[1, "n_pairs"]) == 2
+    assert int(out.loc[1, "min_delay_us"]) == 50
+    assert int(out.loc[1, "max_delay_us"]) == 100
+    assert int(out.loc[5, "n_pairs"]) == 2
+    assert int(out.loc[5, "min_delay_us"]) == 50
+    assert int(out.loc[5, "max_delay_us"]) == 100
