@@ -298,6 +298,13 @@ def main() -> None:
         "text_type_token_ratio",
         "text_zipf_slope",
         "type_normalization_nested",
+        "cdc_error_quarantine",
+        "cdc_segment_archive",
+        "events_conversion_window",
+        "events_imputed_means",
+        "events_minmax_scaled",
+        "graph_connected_components",
+        "orders_decile_report",
     ]
     for name in q_list:
         t2 = time.perf_counter()

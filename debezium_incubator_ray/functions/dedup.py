@@ -1242,30 +1242,20 @@ def embedding_near_dup_pairs_lsh(
 
 
 def _cc_numpy(a: np.ndarray, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized union-find (min-hook + pointer jumping) over int64 edge
-    arrays → (nodes, cluster = min node id per component)."""
+    """Vectorized union-find over int64 edge arrays → (nodes, cluster =
+    min node id per component). Delegates to the shared graph kernel."""
+    from debezium_incubator_ray.functions.graph import _block_cc
+
     nodes = np.unique(np.concatenate([a, b]))
     ai = np.searchsorted(nodes, a)
     bi = np.searchsorted(nodes, b)
-    label = np.arange(len(nodes), dtype=np.int64)
-    while True:
-        old = label.copy()
-        np.minimum.at(label, ai, label[bi])
-        np.minimum.at(label, bi, label[ai])
-        while True:  # full path compression
-            nl = label[label]
-            if np.array_equal(nl, label):
-                break
-            label = nl
-        if np.array_equal(label, old):
-            break
+    label = _block_cc(len(nodes), ai, bi)
     return nodes, nodes[label]
 
 
 def connected_components(
     pairs_ds,
     buckets: int = 64,
-    max_iters: int = 50,
     driver_cutover: int = 10_000_000,
 ):
     """(a, b) near-dup edges → (doc_id, cluster_id) with cluster_id = the
@@ -1276,28 +1266,13 @@ def connected_components(
     between near-duplicates, a sliver of the corpus), so up to
     ``driver_cutover`` edges (16 B each — the default caps the pull at
     ~160 MB) the component labels come from one vectorized union-find over
-    the collected edge array: one pass, no rounds. Above the cutover the
-    distributed min-label propagation below takes over; both paths produce
-    identical labels.
-
-    Distributed path — no joins and no driver-side graph:
-
-      state    labels(node, label), initialized label = node;
-      round    co-group label rows with edge rows by hash(node) bucket
-               (one union + one groupby — the same shape as
-               verify_jaccard's stage 1), emit one message (other, label)
-               per edge endpoint plus the identity row, then min-reduce
-               per node (groupby(node).min);
-      stop     labels are monotonically non-increasing, so the sum of all
-               labels is a fixpoint detector: unchanged sum == converged.
-
-    Rounds needed = graph diameter; near-dup components are shallow (dup
-    clusters are cliques-ish), so 3-5 rounds is typical. Each round's state
-    is only the DUP-GRAPH nodes — a small fraction of the corpus — and is
-    re-materialized per round (bounded: 16 B/node + edge list).
-    """
+    the collected edge array: one pass, no rounds. Above the cutover it
+    delegates to the distributed contraction in
+    functions/graph.py:cc_labels (per-block vectorized union + one
+    mapping shuffle + driver-side root-graph finish — constant shuffle
+    count, no O(diameter) rounds); both paths produce identical labels."""
     import ray.data
-    from ray.data.aggregate import Min, Sum
+    from debezium_incubator_ray.functions.graph import cc_labels
 
     pairs_mat = pairs_ds.materialize()  # pair generation runs exactly once
     if pairs_mat.count() <= driver_cutover:
@@ -1318,121 +1293,11 @@ def connected_components(
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(cluster)})
         )
-    pairs_ds = pairs_mat
 
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        b = t["b"].combine_chunks().to_numpy()
-        node = np.concatenate([a, b])
-        other = np.concatenate([b, a])
-        return pa.table(
-            {
-                "node": pa.array(node),
-                "other": pa.array(other),
-                "_bucket": pa.array(
-                    (node.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
-                ),
-            }
-        )
-
-    edges = pairs_ds.map_batches(
-        both_dirs, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # reused every round; size = 2 x pairs
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        n = t["node"].combine_chunks()
-        return pa.table({"node": n, "label": n})
-
-    labels = (
-        edges.map_batches(
-            init_labels, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
-    prev_sum = None
-    for _round in range(max_iters):
-        def label_rows(t: pa.Table) -> pa.Table:
-            node = t["node"].combine_chunks().to_numpy()
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "other": pa.nulls(len(node), pa.int64()),
-                    "label": t["label"],
-                    "_side": pa.array(np.zeros(len(node), np.int8)),
-                    "_bucket": pa.array(
-                        (node.astype(np.uint64) % np.uint64(buckets)).astype(
-                            np.int32
-                        )
-                    ),
-                }
-            )
-
-        def edge_rows(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "other": t["other"],
-                    "label": pa.nulls(n, pa.int64()),
-                    "_side": pa.array(np.ones(n, np.int8)),
-                    "_bucket": t["_bucket"],
-                }
-            )
-
-        def propagate(group: pa.Table) -> pa.Table:
-            side = group["_side"].combine_chunks().to_numpy()
-            labs = group.filter(pa.array(side == 0))
-            eds = group.filter(pa.array(side == 1))
-            l_node = labs["node"].combine_chunks().to_numpy()
-            l_lab = labs["label"].combine_chunks().to_numpy()
-            order = np.argsort(l_node, kind="stable")
-            l_node, l_lab = l_node[order], l_lab[order]
-            outs_node = [l_node]
-            outs_lab = [l_lab]  # identity rows: a node keeps its own label
-            if eds.num_rows:
-                e_node = eds["node"].combine_chunks().to_numpy()
-                e_other = eds["other"].combine_chunks().to_numpy()
-                pos = np.searchsorted(l_node, e_node)
-                pos = np.minimum(pos, max(len(l_node) - 1, 0))
-                # every edge endpoint is a node row in the same bucket by
-                # construction; assert stays cheap and loud
-                if len(l_node) == 0 or not np.all(l_node[pos] == e_node):
-                    raise RuntimeError("label row missing for edge endpoint")
-                outs_node.append(e_other)
-                outs_lab.append(l_lab[pos])  # message: my label -> neighbor
-            return pa.table(
-                {
-                    "node": pa.array(np.concatenate(outs_node)),
-                    "label": pa.array(np.concatenate(outs_lab)),
-                }
-            )
-
-        msgs = (
-            labels.map_batches(
-                label_rows, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .union(
-                edges.map_batches(
-                    edge_rows, batch_format="pyarrow", zero_copy_batch=True
-                )
-            )
-            .groupby("_bucket")
-            .map_groups(propagate, batch_format="pyarrow")
-        )
-        labels = (
-            msgs.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if prev_sum is not None and cur == prev_sum:
-            break
-        prev_sum = cur
+    labels = cc_labels(pairs_mat, src_col="a", dst_col="b", buckets=buckets)
 
     def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
+        return pa.table({"doc_id": t["node"], "cluster_id": t["comp"]})
 
     return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 

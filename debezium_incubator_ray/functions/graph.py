@@ -454,30 +454,28 @@ def _block_cc(n: int, ui: np.ndarray, vi: np.ndarray) -> np.ndarray:
         lab = nxt
 
 
-def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
-                         buckets: int = 64,
-                         driver_edge_limit: int = 2_000_000):
-    """Connected components over an edge Dataset: one row per component,
-    (comp, n_nodes), where comp is the MINIMUM node id of the component.
+def cc_labels(edges, src_col: str = "src", dst_col: str = "dst",
+              buckets: int = 64, driver_edge_limit: int = 2_000_000):
+    """Component labels for every node of an edge Dataset: one row per
+    node, (node, comp), comp = the MINIMUM node id of its component.
 
     Scale shape — two-level contraction, NOT per-round shuffling:
-    (1) every edge block runs an in-memory vectorized hash-min
-    union (``_block_cc``), contracting the block to a (node -> root)
-    mapping where root = the block-local min id; (2) ONE shuffle groups
-    the mapping by node hash — a node landing in k blocks with differing
+    (1) every edge block runs an in-memory vectorized hash-min union
+    (``_block_cc``), contracting the block to a (node -> root) mapping
+    where root = the block-local min id; (2) ONE shuffle groups the
+    mapping by node hash — a node landing in k blocks with differing
     roots emits (min_root, root) ROOT-GRAPH edges, and along any path of
     the original graph consecutive blocks share a node, so the root
     graph connects exactly the roots of each component; (3) the root
-    graph is metadata-sized (only roots that disagree across blocks —
-    empirically orders of magnitude below the edge count), so it
-    finishes with the same vectorized kernel driver-side and the
-    root -> comp fix-up broadcasts back as two sorted numpy arrays.
-    Total cost: one pass over the edges + one 16-byte/row shuffle of the
-    mapping + one shuffle of the (node, comp) labels for the count —
-    constant shuffle count, no O(diameter) iteration. If the root graph
-    exceeds ``driver_edge_limit`` (pathological block fragmentation),
-    this raises rather than silently materializing — re-run with larger
-    blocks or a higher limit."""
+    graph is metadata-sized (only roots that disagree across blocks),
+    so it finishes with the same vectorized kernel driver-side and the
+    root -> comp fix-up broadcasts back as two sorted numpy arrays; (4)
+    one more node-hash shuffle dedups the mapping to one labeled row
+    per node. Total: one pass over the edges + two 16-byte/row shuffles
+    — constant shuffle count, no O(diameter) iteration. If the root
+    graph exceeds ``driver_edge_limit`` (pathological block
+    fragmentation), this raises rather than silently materializing —
+    re-run with larger blocks or a higher limit."""
     from debezium_incubator_ray.hashing import partition_ids
     import ray
 
@@ -548,60 +546,64 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
             pos = np.minimum(pos, len(fsrc) - 1)
             hit = fsrc[pos] == root
             comp[hit] = fdst[pos[hit]]
-        out = pa.table({"node": t["node"], "comp": pa.array(comp)})
+        out = pa.table({
+            "node": t["node"],
+            "comp": pa.array(comp),
+            "_b": t["_b"],
+        })
         # block-local distinct (a node repeats across blocks, always with
         # the same resolved comp)
-        return out.group_by(["node", "comp"]).aggregate([])
+        return out.group_by(["node", "comp", "_b"]).aggregate([])
 
-    labels = mapping.drop_columns(["_b"]).map_batches(
-        resolve, batch_format="pyarrow", zero_copy_batch=True
+    def node_distinct(g: pa.Table) -> pa.Table:
+        return (
+            g.drop_columns(["_b"]).group_by(["node", "comp"]).aggregate([])
+        )
+
+    return (
+        mapping.map_batches(resolve, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(node_distinct, batch_format="pyarrow")
     )
 
-    # count per comp: the mapping shuffle already grouped by node hash, so
-    # a node's duplicates across blocks landed in ONE bucket — but blocks
-    # were re-split by map_batches, so dedup per node again via a
-    # (node-hash-bucketed) count distinct
+
+def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
+                         buckets: int = 64,
+                         driver_edge_limit: int = 2_000_000):
+    """Connected components over an edge Dataset: one row per component,
+    (comp, n_nodes), comp = the MINIMUM node id of the component. See
+    ``cc_labels`` for the contraction design; this adds a per-block
+    partial count + one comp-hash fold on top."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    labels = cc_labels(edges, src_col, dst_col, buckets=buckets,
+                       driver_edge_limit=driver_edge_limit)
+
     def count_partial(t: pa.Table) -> pa.Table:
-        d = t.group_by(["node", "comp"]).aggregate([])
-        return d.append_column(
-            "_b",
-            pa.array(partition_ids(d["node"].combine_chunks(), buckets,
+        g = t.group_by(["comp"]).aggregate([([], "count_all")])
+        out = pa.table({
+            "comp": g["comp"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+        return out.append_column(
+            "_b2",
+            pa.array(partition_ids(out["comp"].combine_chunks(), buckets,
                                    "hash"), pa.int32()),
         )
 
     def count_fold(g: pa.Table) -> pa.Table:
-        d = g.drop_columns(["_b"]).group_by(["node", "comp"]).aggregate([])
-        r = d.group_by(["comp"]).aggregate([([], "count_all")])
+        r = g.drop_columns(["_b2"]).group_by(["comp"]).aggregate(
+            [("n", "sum")]
+        )
         return pa.table({
             "comp": r["comp"],
-            "n": pc.cast(r["count_all"], pa.int64()),
+            "n_nodes": pc.cast(r["n_sum"], pa.int64()),
         })
 
-    per_bucket = (
+    return (
         labels.map_batches(count_partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(count_fold, batch_format="pyarrow")
-    )
-    # bucket counts are per-(node-hash) partials: one comp spans buckets,
-    # so fold once more by comp hash
-    return (
-        per_bucket.map_batches(
-            lambda t: t.append_column(
-                "_b2",
-                pa.array(partition_ids(t["comp"].combine_chunks(),
-                                       buckets, "hash"), pa.int32()),
-            ),
-            batch_format="pyarrow",
-        )
         .groupby("_b2")
-        .map_groups(
-            lambda g: (lambda r: pa.table({
-                "comp": r["comp"],
-                "n_nodes": pc.cast(r["n_sum"], pa.int64()),
-            }))(g.drop_columns(["_b2"]).group_by(["comp"]).aggregate(
-                [("n", "sum")]
-            )),
-            batch_format="pyarrow",
-        )
+        .map_groups(count_fold, batch_format="pyarrow")
     )
