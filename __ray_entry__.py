@@ -1014,6 +1014,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def events_rolling_distinct(sf_dir):
+        """Trailing-7-day COUNT(DISTINCT user) per day: bounded x7
+        expansion collapsed by block-local distinct, one hash(id) shuffle
+        for global distinctness, metadata-sized day fold."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            rolling_distinct,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id"],
+        )
+        return rolling_distinct(ds, "ts", "user_id", window_days=7,
+                                buckets=32)
+
+    def join_bloom_semi(sf_dir):
+        """Bloom-prefiltered EXACT semi-join: lineitems of top-5%-price
+        orders. The order-key Bloom bitmap (2^20 bits) broadcasts once
+        and drops ~95% of lineitem rows BEFORE the shuffle; the exact
+        left-semi shuffle_join kills the false positives, so results are
+        byte-identical to the unfiltered semi-join at a fraction of the
+        shuffle bytes. Finishes with per-returnflag revenue partials."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import bloom_semi_join
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+        )
+        hi = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        ).filter(expr="o_totalprice > 475000.0")
+        sel = bloom_semi_join(
+            li, hi.select_columns(["o_orderkey"]),
+            on="l_orderkey", right_on="o_orderkey", buckets=32,
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["l_returnflag"]).aggregate(
+                [("l_extendedprice", "sum"), ([], "count_all")]
+            )
+            return pa.table({
+                "l_returnflag": g["l_returnflag"],
+                "rev": g["l_extendedprice_sum"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        out = (
+            sel.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby("l_returnflag")
+            .aggregate(Sum("rev", alias_name="revenue"),
+                       Sum("cnt", alias_name="n_items"))
+        ).to_pandas()
+        out["revenue"] = out["revenue"].round(2)
+        return out
+
     def topk_per_group(sf_dir):
         """Top-5 events per event_type by value (ties by event_id) via the
         partial-top-k combiner — shuffle volume is k x groups x blocks."""
@@ -4423,6 +4485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windowed_agg,
         "windowed_session_agg": windowed_session_agg,
         "events_conversion_window": events_conversion_window,
+        "events_rolling_distinct": events_rolling_distinct,
+        "join_bloom_semi": join_bloom_semi,
         "topk_per_group": topk_per_group,
         "quantiles_by_type": quantiles_by_type,
         "asof_join_events": asof_join_events,
@@ -4993,6 +5057,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.event_id, g.user_id, g.ts, g.value, "
             "s.session_start, s.session_end, s.n_events "
             "FROM g JOIN s ON g.user_id = s.user_id AND g.sid = s.sid"
+        ),
+        "events_rolling_distinct": (
+            "WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id "
+            "FROM events), days AS (SELECT DISTINCT day FROM ev) "
+            "SELECT d.day AS day, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_ids "
+            "FROM days d JOIN ev e "
+            "ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+            "GROUP BY d.day"
+        ),
+        "join_bloom_semi": (
+            "SELECT l_returnflag, "
+            "round(sum(l_extendedprice), 2) AS revenue, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 475000.0) "
+            "GROUP BY l_returnflag"
         ),
         "events_conversion_window": (
             "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs, "

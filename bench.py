@@ -305,6 +305,8 @@ def main() -> None:
         "events_minmax_scaled",
         "graph_connected_components",
         "orders_decile_report",
+        "events_rolling_distinct",
+        "join_bloom_semi",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -1234,3 +1234,106 @@ def window_pair_stats(
         .groupby("_b")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def rolling_distinct(
+    ds,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+    buckets: int = 64,
+):
+    """Trailing-window COUNT(DISTINCT id) per day: for each day with at
+    least one event, the number of distinct ids seen in the last
+    ``window_days`` days (window end inclusive). Emits (day, n_ids).
+
+    Scale shape: each event expands to the <= window_days window-end
+    days it contributes to — a bounded fan-out applied per block and
+    immediately re-collapsed by a block-local distinct, so the shuffle
+    carries at most (days x ids) 16-byte pairs, not events; one
+    hash(id) bucketed shuffle makes the (day, id) distinct global (an
+    id's pairs co-locate), per-day partial counts then fold in a
+    second metadata-sized shuffle. Days beyond the data's last day and
+    days with no events of their own are dropped against the distinct
+    event-day set (collected once — bounded by the calendar, not the
+    data)."""
+    from debezium_incubator_ray.hashing import partition_ids
+    import ray
+
+    day_us = 86_400_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = (ts // day_us) * day_us
+        n = len(day)
+        w = np.arange(window_days, dtype=np.int64) * day_us
+        d = (np.repeat(day, window_days)
+             + np.tile(w, n))
+        u = np.repeat(ids, window_days)
+        out = pa.table({"d": pa.array(d), "id": pa.array(u)})
+        out = out.group_by(["d", "id"]).aggregate([])  # block-local distinct
+        return out.append_column(
+            "_b",
+            pa.array(partition_ids(out["id"].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    def day_partial(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"]).group_by(["d", "id"]).aggregate([])
+        r = d.group_by(["d"]).aggregate([([], "count_all")])
+        out = pa.table({
+            "d": r["d"], "n": pc.cast(r["count_all"], pa.int64()),
+        })
+        return out.append_column(
+            "_b2",
+            pa.array(partition_ids(out["d"].combine_chunks(), buckets,
+                                   "hash"), pa.int32()),
+        )
+
+    # distinct event days: calendar-bounded — collected once, broadcast
+    days = (
+        ds.map_batches(
+            lambda t: pa.table({
+                "d": pc.unique(pc.multiply(
+                    pc.divide(pc.cast(t[ts_col].combine_chunks(),
+                                      pa.int64()),
+                              day_us),
+                    day_us,
+                )),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    real_days = np.unique(np.array([r["d"] for r in days], dtype=np.int64))
+    days_ref = ray.put(real_days)
+
+    def day_fold(g: pa.Table) -> pa.Table:
+        r = g.drop_columns(["_b2"]).group_by(["d"]).aggregate([("n", "sum")])
+        d = r["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = r["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        rd = ray.get(days_ref)
+        if len(rd) == 0:
+            return pa.table({
+                "day": pa.array([], pa.timestamp("us")),
+                "n_ids": pa.array([], pa.int64()),
+            })
+        pos = np.minimum(np.searchsorted(rd, d), len(rd) - 1)
+        keep = rd[pos] == d
+        return pa.table({
+            "day": pa.array(d[keep]).cast(pa.timestamp("us")),
+            "n_ids": pa.array(n[keep]),
+        })
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(day_partial, batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(day_fold, batch_format="pyarrow")
+    )

@@ -444,3 +444,46 @@ def test_window_pair_stats_boundaries():
     assert int(out.loc[5, "n_pairs"]) == 2
     assert int(out.loc[5, "min_delay_us"]) == 50
     assert int(out.loc[5, "max_delay_us"]) == 100
+
+
+def test_bloom_semi_join_exact_with_tiny_filter():
+    import ray.data
+    from debezium_incubator_ray.functions.joins import bloom_semi_join
+
+    # bits_log2=6 (64 bits) for 20 right keys forces false positives
+    # through the prefilter; the exact semi join must still kill them
+    left = pa.table({
+        "k": pa.array(list(range(200)), pa.int64()),
+        "v": pa.array(list(range(200)), pa.int64()),
+    })
+    right = pa.table({"rk": pa.array(list(range(0, 40, 2)), pa.int64())})
+    out = bloom_semi_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(2),
+        on="k", right_on="rk", bits_log2=6, buckets=4,
+    ).to_pandas()
+    assert sorted(out["k"]) == list(range(0, 40, 2))
+
+
+def test_rolling_distinct_window_and_gap_days():
+    import ray.data
+    from debezium_incubator_ray.functions.windows import rolling_distinct
+
+    day = 86_400_000_000
+    # users 1,2 on day 0; user 2 again day 2; user 3 day 10 (gap: days
+    # 3-9 have no events and must NOT be emitted)
+    ts = pa.array([0, 1000, 2 * day, 10 * day], pa.timestamp("us"))
+    uid = pa.array([1, 2, 2, 3], pa.int64())
+    out = (
+        rolling_distinct(
+            ray.data.from_arrow(pa.table({"ts": ts, "user_id": uid}))
+            .repartition(2),
+            "ts", "user_id", window_days=7, buckets=4,
+        )
+        .to_pandas()
+    )
+    out["d"] = (out["day"].astype("int64") // day).astype(int)
+    got = dict(zip(out["d"], out["n_ids"]))
+    # day 0: {1,2}; day 2: {1,2} (day-0 events still inside 7-day
+    # trailing window); day 10: {3} only (day-2 event is 8 days back)
+    assert got == {0: 2, 2: 2, 10: 1}
