@@ -515,16 +515,19 @@ def cc_labels(edges, src_col: str = "src", dst_col: str = "dst",
         out = pa.table({"a": pa.array(a[mask]), "b": pa.array(root[mask])})
         return out.group_by(["a", "b"]).aggregate([])
 
-    pairs = (
+    pairs_ds = (
         mapping.groupby("_b")
         .map_groups(root_pairs, batch_format="pyarrow")
-        .take_all()
+        .materialize()
     )  # root-graph edges: metadata-sized (disagreeing roots only)
-    if len(pairs) > driver_edge_limit:
+    n_pairs = pairs_ds.count()
+    if n_pairs > driver_edge_limit:
+        # fail BEFORE pulling anything to the driver
         raise ValueError(
-            f"root graph has {len(pairs)} edges > driver_edge_limit="
+            f"root graph has {n_pairs} edges > driver_edge_limit="
             f"{driver_edge_limit}; increase block size or the limit"
         )
+    pairs = pairs_ds.take_all()
     if pairs:
         ra = np.array([r["a"] for r in pairs], dtype=np.int64)
         rb = np.array([r["b"] for r in pairs], dtype=np.int64)

@@ -485,6 +485,7 @@ def bloom_semi_join(
     right_on = right_on or on
     n_bits = 1 << bits_log2
     n_words = n_bits >> 6
+    right = right.materialize()  # read once: bloom build + exact join
 
     def block_bloom(t: pa.Table) -> pa.Table:
         h1 = stable_hash(t[right_on].combine_chunks(), seed=1001)

@@ -1168,6 +1168,14 @@ def window_pair_stats(
                                    "hash"), pa.int32()),
         )
 
+    def _empty() -> pa.Table:
+        return pa.table({
+            "k": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "min_delay_us": pa.array([], pa.int64()),
+            "max_delay_us": pa.array([], pa.int64()),
+        })
+
     def fold(g: pa.Table) -> pa.Table:
         k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
         t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1175,12 +1183,7 @@ def window_pair_stats(
             zero_copy_only=False
         )
         if len(k) == 0:
-            return pa.table({
-                "k": pa.array([], pa.int64()),
-                "n_pairs": pa.array([], pa.int64()),
-                "min_delay_us": pa.array([], pa.int64()),
-                "max_delay_us": pa.array([], pa.int64()),
-            })
+            return _empty()
         t0 = t.min()
         span = int(t.max() - t0) + window_us + 2
         uk, dense = np.unique(k, return_inverse=True)
@@ -1192,12 +1195,7 @@ def window_pair_stats(
         a_key = np.sort(key[is_from])
         b_key = np.sort(key[~is_from])
         if len(a_key) == 0 or len(b_key) == 0:
-            return pa.table({
-                "k": pa.array([], pa.int64()),
-                "n_pairs": pa.array([], pa.int64()),
-                "min_delay_us": pa.array([], pa.int64()),
-                "max_delay_us": pa.array([], pa.int64()),
-            })
+            return _empty()
         # window ends clamp INSIDE the key's span stripe so a late event
         # never probes into the next dense key's range
         stripe_end = (a_key // span + 1) * span - 1
@@ -1208,12 +1206,7 @@ def window_pair_stats(
         cnt = hi - lo
         has = cnt > 0
         if not has.any():
-            return pa.table({
-                "k": pa.array([], pa.int64()),
-                "n_pairs": pa.array([], pa.int64()),
-                "min_delay_us": pa.array([], pa.int64()),
-                "max_delay_us": pa.array([], pa.int64()),
-            })
+            return _empty()
         a_has = a_key[has]
         dmin = b_key[lo[has]] - a_has
         dmax = b_key[hi[has] - 1] - a_has
@@ -1250,15 +1243,14 @@ def rolling_distinct(
     Scale shape: each event expands to the <= window_days window-end
     days it contributes to — a bounded fan-out applied per block and
     immediately re-collapsed by a block-local distinct, so the shuffle
-    carries at most (days x ids) 16-byte pairs, not events; one
-    hash(id) bucketed shuffle makes the (day, id) distinct global (an
-    id's pairs co-locate), per-day partial counts then fold in a
-    second metadata-sized shuffle. Days beyond the data's last day and
-    days with no events of their own are dropped against the distinct
-    event-day set (collected once — bounded by the calendar, not the
-    data)."""
+    carries at most (days x ids) pairs, not events; one hash(id)
+    bucketed shuffle makes the (day, id) distinct global (an id's pairs
+    co-locate), per-day partial counts then fold in a second
+    metadata-sized shuffle. Whether a day has events of its OWN rides
+    the expanded pairs as a flag (offset-0 contribution), so the input
+    is consumed exactly once and gap days (window ends with no events)
+    drop in the final fold."""
     from debezium_incubator_ray.hashing import partition_ids
-    import ray
 
     day_us = 86_400_000_000
 
@@ -1269,14 +1261,20 @@ def rolling_distinct(
         ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        day = (ts // day_us) * day_us
+        day = np.floor_divide(ts, day_us) * day_us
         n = len(day)
         w = np.arange(window_days, dtype=np.int64) * day_us
-        d = (np.repeat(day, window_days)
-             + np.tile(w, n))
+        d = np.repeat(day, window_days) + np.tile(w, n)
         u = np.repeat(ids, window_days)
-        out = pa.table({"d": pa.array(d), "id": pa.array(u)})
-        out = out.group_by(["d", "id"]).aggregate([])  # block-local distinct
+        own = np.tile((w == 0).astype(np.int8), n)
+        out = pa.table({
+            "d": pa.array(d), "id": pa.array(u), "own": pa.array(own),
+        })
+        # block-local distinct; keep whether any contribution is offset-0
+        g = out.group_by(["d", "id"]).aggregate([("own", "max")])
+        out = pa.table({
+            "d": g["d"], "id": g["id"], "own": g["own_max"],
+        })
         return out.append_column(
             "_b",
             pa.array(partition_ids(out["id"].combine_chunks(), buckets,
@@ -1284,10 +1282,16 @@ def rolling_distinct(
         )
 
     def day_partial(g: pa.Table) -> pa.Table:
-        d = g.drop_columns(["_b"]).group_by(["d", "id"]).aggregate([])
-        r = d.group_by(["d"]).aggregate([([], "count_all")])
+        d = g.drop_columns(["_b"]).group_by(["d", "id"]).aggregate(
+            [("own", "max")]
+        )
+        r = d.group_by(["d"]).aggregate(
+            [([], "count_all"), ("own_max", "max")]
+        )
         out = pa.table({
-            "d": r["d"], "n": pc.cast(r["count_all"], pa.int64()),
+            "d": r["d"],
+            "n": pc.cast(r["count_all"], pa.int64()),
+            "own": r["own_max_max"],
         })
         return out.append_column(
             "_b2",
@@ -1295,39 +1299,14 @@ def rolling_distinct(
                                    "hash"), pa.int32()),
         )
 
-    # distinct event days: calendar-bounded — collected once, broadcast
-    days = (
-        ds.map_batches(
-            lambda t: pa.table({
-                "d": pc.unique(pc.multiply(
-                    pc.divide(pc.cast(t[ts_col].combine_chunks(),
-                                      pa.int64()),
-                              day_us),
-                    day_us,
-                )),
-            }),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        .take_all()
-    )
-    real_days = np.unique(np.array([r["d"] for r in days], dtype=np.int64))
-    days_ref = ray.put(real_days)
-
     def day_fold(g: pa.Table) -> pa.Table:
-        r = g.drop_columns(["_b2"]).group_by(["d"]).aggregate([("n", "sum")])
-        d = r["d"].combine_chunks().to_numpy(zero_copy_only=False)
-        n = r["n_sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        rd = ray.get(days_ref)
-        if len(rd) == 0:
-            return pa.table({
-                "day": pa.array([], pa.timestamp("us")),
-                "n_ids": pa.array([], pa.int64()),
-            })
-        pos = np.minimum(np.searchsorted(rd, d), len(rd) - 1)
-        keep = rd[pos] == d
+        r = g.drop_columns(["_b2"]).group_by(["d"]).aggregate(
+            [("n", "sum"), ("own", "max")]
+        )
+        r = r.filter(pc.equal(r["own_max"], 1))
         return pa.table({
-            "day": pa.array(d[keep]).cast(pa.timestamp("us")),
-            "n_ids": pa.array(n[keep]),
+            "day": r["d"].combine_chunks().cast(pa.timestamp("us")),
+            "n_ids": r["n_sum"],
         })
 
     return (

@@ -305,7 +305,7 @@ def make_engine(
     counter_cols=(),
     **cfg_overrides,
 ) -> CdcEngine:
-    cfg = EngineConfig(
+    base = dict(
         table="events",
         key="user_id",
         num_partitions=NUM_PARTITIONS,
@@ -325,8 +325,9 @@ def make_engine(
         # force the exchange path (the engine would otherwise detect the
         # mismatch and abort the epoch)
         aligned_binlog="auto" if not key_cols else "never",
-        **cfg_overrides,
     )
+    base.update(cfg_overrides)  # overrides win over every default above
+    cfg = EngineConfig(**base)
     return CdcEngine(
         lake_dir, cfg, payload_schema=payload_schema or EVENTS_PAYLOAD
     )
