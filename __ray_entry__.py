@@ -1030,6 +1030,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rolling_distinct(ds, "ts", "user_id", window_days=7,
                                 buckets=32)
 
+    def events_stickiness(sf_dir):
+        """DAU/WAU stickiness per day from ONE pass: the rolling-distinct
+        shuffle's own-day flag doubles as the daily distinct count, so
+        the trailing-7-day WAU and the day's DAU (and their ratio) come
+        from the same expanded-pair shuffle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            rolling_distinct,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id"],
+        )
+        out = rolling_distinct(ds, "ts", "user_id", window_days=7,
+                               buckets=32, include_daily=True)
+
+        def ratio(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": t["day"],
+                "dau": t["n_ids_day"],
+                "wau": t["n_ids"],
+                "stickiness": pc.round(
+                    pc.divide(
+                        pc.cast(t["n_ids_day"], pa.float64()),
+                        pc.cast(t["n_ids"], pa.float64()),
+                    ),
+                    ndigits=6,
+                ),
+            })
+
+        return out.map_batches(ratio, batch_format="pyarrow")
+
+    def dq_chi2_independence(sf_dir):
+        """Chi-square independence screen: is event_type independent of
+        day-of-week? One streaming pass of per-block contingency partials
+        (metadata-sized), closed-form finish."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            chi2_independence,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts"],
+        )
+
+        def add_dow(t: pa.Table) -> pa.Table:
+            d = pc.cast(t["ts"].combine_chunks(), pa.int64())
+            day = pc.divide(d, 86_400_000_000)
+            # epoch day 0 = Thursday; DuckDB dayofweek: Sunday = 0
+            dow = pc.subtract(
+                pc.add(day, 4),
+                pc.multiply(pc.divide(pc.add(day, 4), 7), 7),
+            )
+            return pa.table({
+                "event_type": t["event_type"],
+                "dow": pc.cast(dow, pa.int64()),
+            })
+
+        return chi2_independence(
+            ds.map_batches(add_dow, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "event_type", "dow",
+        )
+
     def join_bloom_semi(sf_dir):
         """Bloom-prefiltered EXACT semi-join: lineitems of top-5%-price
         orders. The order-key Bloom bitmap (2^20 bits) broadcasts once
@@ -4486,6 +4556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_session_agg": windowed_session_agg,
         "events_conversion_window": events_conversion_window,
         "events_rolling_distinct": events_rolling_distinct,
+        "events_stickiness": events_stickiness,
+        "dq_chi2_independence": dq_chi2_independence,
         "join_bloom_semi": join_bloom_semi,
         "topk_per_group": topk_per_group,
         "quantiles_by_type": quantiles_by_type,
@@ -5066,6 +5138,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM days d JOIN ev e "
             "ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
             "GROUP BY d.day"
+        ),
+        "events_stickiness": (
+            "WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id "
+            "FROM events), days AS (SELECT DISTINCT day FROM ev), "
+            "wau AS (SELECT d.day, "
+            "CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau "
+            "FROM days d JOIN ev e "
+            "ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+            "GROUP BY d.day), "
+            "dau AS (SELECT day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS dau "
+            "FROM ev GROUP BY day) "
+            "SELECT wau.day AS day, dau.dau, wau.wau, "
+            "round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
+            "FROM wau JOIN dau ON wau.day = dau.day"
+        ),
+        "dq_chi2_independence": (
+            "WITH c AS (SELECT event_type AS a, dayofweek(ts) AS b, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "rt AS (SELECT a, sum(n) AS rn FROM c GROUP BY a), "
+            "ct AS (SELECT b, sum(n) AS cn FROM c GROUP BY b), "
+            "tot AS (SELECT sum(n) AS nn FROM c) "
+            "SELECT round(sum(power(c.n - rt.rn * ct.cn / tot.nn, 2) "
+            "/ (rt.rn * ct.cn / tot.nn)), 6) AS chi2, "
+            "CAST((SELECT count(*) FROM rt) - 1 AS BIGINT) * "
+            "CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof, "
+            "CAST(tot.nn AS BIGINT) AS n "
+            "FROM c JOIN rt USING (a) JOIN ct USING (b), tot "
+            "GROUP BY tot.nn"
         ),
         "join_bloom_semi": (
             "SELECT l_returnflag, "

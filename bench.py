@@ -307,6 +307,8 @@ def main() -> None:
         "orders_decile_report",
         "events_rolling_distinct",
         "join_bloom_semi",
+        "events_stickiness",
+        "dq_chi2_independence",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -435,3 +435,57 @@ def group_higher_moments(ds, key_col: str, value_col: str):
         })
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def chi2_independence(ds, a_col: str, b_col: str):
+    """Pearson chi-square test of independence between two categorical
+    columns in ONE streaming pass. Returns a single row:
+    (chi2, dof, n) with chi2 = sum (O-E)^2/E over the contingency table,
+    E = row_total * col_total / n, dof = (r-1)(c-1).
+
+    Scale shape: per-block contingency partials (at most r*c rows per
+    block — the category product, metadata-sized for real categorical
+    data) collected and folded driver-side in closed form; the events
+    themselves never shuffle. Rows where either side is NULL are
+    excluded (SQL GROUP BY would keep them as their own category — the
+    oracle must filter NULLs the same way)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks()
+        b = t[b_col].combine_chunks()
+        keep = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        g = (
+            pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            "a": g["a"], "b": g["b"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= r*c rows per block — metadata-sized
+    if not cells:
+        return pa.table({
+            "chi2": pa.array([], pa.float64()),
+            "dof": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+    import pandas as pd
+
+    df = pd.DataFrame(cells).groupby(["a", "b"], as_index=False)["n"].sum()
+    piv = df.pivot(index="a", columns="b", values="n").fillna(0).to_numpy(
+        dtype=np.float64
+    )
+    n = piv.sum()
+    e = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
+    mask = e > 0
+    chi2 = float((((piv - e) ** 2)[mask] / e[mask]).sum())
+    dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+    return pa.table({
+        "chi2": pa.array([round(chi2, 6)], pa.float64()),
+        "dof": pa.array([dof], pa.int64()),
+        "n": pa.array([int(n)], pa.int64()),
+    })

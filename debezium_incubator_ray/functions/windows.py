@@ -1235,6 +1235,7 @@ def rolling_distinct(
     id_col: str,
     window_days: int = 7,
     buckets: int = 64,
+    include_daily: bool = False,
 ):
     """Trailing-window COUNT(DISTINCT id) per day: for each day with at
     least one event, the number of distinct ids seen in the last
@@ -1249,7 +1250,9 @@ def rolling_distinct(
     metadata-sized shuffle. Whether a day has events of its OWN rides
     the expanded pairs as a flag (offset-0 contribution), so the input
     is consumed exactly once and gap days (window ends with no events)
-    drop in the final fold."""
+    drop in the final fold. ``include_daily=True`` adds n_ids_day (the
+    day's OWN distinct-id count, i.e. DAU next to the windowed WAU) from
+    the same single pass — the own flag doubles as its count."""
     from debezium_incubator_ray.hashing import partition_ids
 
     day_us = 86_400_000_000
@@ -1286,12 +1289,16 @@ def rolling_distinct(
             [("own", "max")]
         )
         r = d.group_by(["d"]).aggregate(
-            [([], "count_all"), ("own_max", "max")]
+            [([], "count_all"), ("own_max", "max"), ("own_max", "sum")]
         )
         out = pa.table({
             "d": r["d"],
             "n": pc.cast(r["count_all"], pa.int64()),
             "own": r["own_max_max"],
+            # per-bucket count of ids whose offset-0 contribution exists:
+            # summing the 0/1 own flags over the distinct (d, id) rows IS
+            # the bucket's own-day distinct count
+            "n_day": pc.cast(r["own_max_sum"], pa.int64()),
         })
         return out.append_column(
             "_b2",
@@ -1301,13 +1308,16 @@ def rolling_distinct(
 
     def day_fold(g: pa.Table) -> pa.Table:
         r = g.drop_columns(["_b2"]).group_by(["d"]).aggregate(
-            [("n", "sum"), ("own", "max")]
+            [("n", "sum"), ("own", "max"), ("n_day", "sum")]
         )
         r = r.filter(pc.equal(r["own_max"], 1))
-        return pa.table({
+        cols = {
             "day": r["d"].combine_chunks().cast(pa.timestamp("us")),
             "n_ids": r["n_sum"],
-        })
+        }
+        if include_daily:
+            cols["n_ids_day"] = r["n_day_sum"]
+        return pa.table(cols)
 
     return (
         ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)

@@ -765,3 +765,36 @@ def test_block_cc_pointer_doubling_path():
     vi = np.arange(1, n, dtype=np.int64)
     lab = _block_cc(n, ui, vi)
     assert (lab == 0).all()
+
+
+def test_chi2_independence_matches_scipy_formula():
+    from debezium_incubator_ray.functions.stats import chi2_independence
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 4, 500)
+    b = rng.integers(0, 3, 500)
+    t = pa.table({
+        "a": pa.array(a.astype(str)), "b": pa.array(b, pa.int64()),
+    })
+    out = chi2_independence(
+        ray.data.from_arrow(t).repartition(5), "a", "b"
+    ).to_pandas()
+    # manual chi2
+    import pandas as pd
+    piv = pd.crosstab(a, b).to_numpy(dtype=float)
+    e = np.outer(piv.sum(1), piv.sum(0)) / piv.sum()
+    chi2 = (((piv - e) ** 2) / e).sum()
+    assert abs(out["chi2"][0] - chi2) < 1e-6
+    assert out["dof"][0] == 6
+    assert out["n"][0] == 500
+
+
+def test_chi2_excludes_nulls():
+    from debezium_incubator_ray.functions.stats import chi2_independence
+
+    t = pa.table({
+        "a": pa.array(["x", "x", None, "y", "y", "y"]),
+        "b": pa.array([1, 2, 1, None, 1, 2], pa.int64()),
+    })
+    out = chi2_independence(ray.data.from_arrow(t), "a", "b").to_pandas()
+    assert out["n"][0] == 4
