@@ -223,6 +223,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_reshard(sf_dir):
+        """Online lake re-partitioning P=8 -> P=16 mid-stream: half the
+        binlog applies at P=8 (aligned fast path), reshard() re-routes
+        every row by the new partition id in a two-stage exchange with
+        one atomic manifest swap (min-watermark rule), and the remaining
+        old-layout segments drain through the exchange path against the
+        resharded lake — final state identical to an unresharded run."""
+        import pyarrow as pa
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("reshard")
+        binlog = os.path.join(root, "binlog")
+        lake = os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake)
+        eng.apply_epoch(binlog, max_segments=4)
+        st = eng.reshard(16)
+        assert st["num_partitions"] == 16
+        eng.run(binlog)
+        assert eng.manifest.num_partitions == 16
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tombstones(sf_dir):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -4529,6 +4556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_table_filter": cdc_table_filter,
         "cdc_error_quarantine": cdc_error_quarantine,
         "cdc_segment_archive": cdc_segment_archive,
+        "cdc_reshard": cdc_reshard,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -4849,6 +4877,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_segment_archive": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_reshard": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_error_quarantine": (
             # p=3/seg-00000 (the first 4096 events of partition

@@ -309,6 +309,7 @@ def main() -> None:
         "join_bloom_semi",
         "events_stickiness",
         "dq_chi2_independence",
+        "cdc_reshard",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -1114,6 +1114,223 @@ class CdcEngine:
             "kept_versions": len(keep),
         }
 
+    def reshard(self, new_num_partitions: int) -> Dict[str, Any]:
+        """Re-partition the lake in place: P -> P' with the SAME
+        partitioner mode — the online re-shard a growing (or shrinking)
+        table needs when per-partition state outgrows a worker. The
+        reference has no analog (single process, no partitions); this is
+        pure scale surface.
+
+        Two-stage exchange, one atomic manifest swap:
+          1. one task per OLD partition folds its state (base runs ⊕
+             MoR deltas, lazily schema-upgraded — the compact() read
+             path), routes rows by the new partition id and stages one
+             sorted run per (old, new) pair;
+          2. one task per NEW partition concatenates its staged runs,
+             key-sorts once and writes final target-sized runs.
+        Until the final commit the lake reads byte-identically from the
+        previous manifest version; a crash mid-reshard leaves only
+        unreferenced staging files (removed by vacuum).
+
+        Watermark contract: the new per-partition watermark (per offset
+        channel) is the MIN of the old ones — everything at or below it
+        is provably applied. Fresh segments only carry LSNs above their
+        binlog partition's old watermark (segment-level dedup via
+        segments_done is unchanged), so normal operation never
+        redelivers; an operator-forced segment REPLAY may redeliver
+        events between min and the old watermark, which re-apply
+        idempotently under full-row LWW and per-cell LWW (same lsn ->
+        same winner). COUNTER columns are additive — a replayed
+        contribution double-counts — so counter lakes refuse to reshard.
+        After resharding, epochs over a binlog laid out for the old P
+        take the exchange path automatically (aligned detection compares
+        against the manifest's num_partitions)."""
+        import uuid as _uuid
+
+        import numpy as np
+
+        from collections import defaultdict
+
+        from debezium_incubator_ray.stages.apply import read_partition_state
+
+        self._acquire_lock()
+        self.flush()
+        t0 = time.perf_counter()
+        ms = self.manifest
+        old_p = ms.num_partitions
+        new_p = int(new_num_partitions)
+        if new_p < 1:
+            raise ValueError(f"new_num_partitions must be >= 1, got {new_p}")
+        if new_p == old_p:
+            return {"num_partitions": old_p, "moved_rows": 0,
+                    "seconds": round(time.perf_counter() - t0, 4)}
+        doc = ms.doc
+        parts = doc["partitions"]
+        scalar_wms = [ent["watermark"] for ent in parts.values()]
+        sources = sorted({
+            s for ent in parts.values()
+            for s in (ent.get("watermarks") or {})
+        })
+        if doc.get("counter_cols"):
+            raise RuntimeError(
+                "reshard refuses counter-column lakes: counter folds are "
+                "additive, so a segment replay after the min-watermark "
+                "reset would double-count contributions between the min "
+                "and a partition's old watermark. Export + rebuild, or "
+                "drop the counter columns first."
+            )
+
+        ctor = dict(
+            manifest_doc=doc,
+            lake_dir=self.lake_dir,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+        partitioner = doc.get("partitioner", "hash")
+        stage_ver = doc["version"] + 1
+        lake_dir = self.lake_dir
+
+        def split_one(batch: pa.Table) -> pa.Table:
+            inner = PartitionApplier(**ctor)
+            qs_out: List[int] = []
+            paths_out: List[str] = []
+            rows_out: List[int] = []
+            for p in batch[S.PART].to_pylist():
+                ent = inner.doc["partitions"][str(p)]
+                merged = read_partition_state(
+                    ent, inner.lake_dir, inner.schema, inner.defaults,
+                    inner.schema_version, inner.key,
+                    keep_tombstones=inner.keep_tombstones,
+                    counter_cols=inner.counter_cols,
+                )
+                if merged.num_rows == 0:
+                    continue
+                q = partition_ids(
+                    merged[inner.key].combine_chunks(), new_p, partitioner
+                )
+                order = np.argsort(q, kind="stable")
+                merged = merged.take(pa.array(order))
+                qs = q[order]
+                starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                bounds = np.r_[starts, len(qs)]
+                for i, s0 in enumerate(starts):
+                    qq = int(qs[s0])
+                    chunk = merged.slice(int(s0), int(bounds[i + 1] - s0))
+                    rel = (
+                        f"data/reshard-v{stage_ver:06d}/q={qq}/"
+                        f"from-p{int(p)}-{_uuid.uuid4().hex}.parquet"
+                    )
+                    full = os.path.join(lake_dir, rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    pq.write_table(chunk, full)
+                    qs_out.append(qq)
+                    paths_out.append(rel)
+                    rows_out.append(chunk.num_rows)
+            return pa.table({
+                "q": pa.array(qs_out, pa.int64()),
+                "path": pa.array(paths_out, pa.string()),
+                "rows": pa.array(rows_out, pa.int64()),
+            })
+
+        staged = (
+            ray.data.from_items(
+                [{S.PART: p} for p in range(old_p)],
+                override_num_blocks=old_p,
+            )
+            .map_batches(split_one, batch_format="pyarrow",
+                         num_cpus=self.cfg.apply_num_cpus)
+            .take_all()
+        )  # metadata rows: <= old_P x new_P entries
+        by_q: Dict[int, List[str]] = defaultdict(list)
+        moved_rows = 0
+        for r in staged:
+            by_q[int(r["q"])].append(r["path"])
+            moved_rows += int(r["rows"])
+
+        def merge_one(batch: pa.Table) -> pa.Table:
+            inner = PartitionApplier(**ctor)
+            out_q: List[int] = []
+            out_files: List[str] = []
+            for i in range(batch.num_rows):
+                q = int(batch["q"][i].as_py())
+                paths = batch["paths"][i].as_py()
+                tbls = [
+                    pq.read_table(os.path.join(lake_dir, rel))
+                    for rel in paths
+                ]
+                merged = pa.concat_tables(tbls).sort_by(
+                    [(inner.key, "ascending")]
+                )
+                entries = inner._write_run(q, merged)
+                out_q.append(q)
+                out_files.append(json.dumps(entries))
+            return pa.table({
+                "q": pa.array(out_q, pa.int64()),
+                "files_json": pa.array(out_files, pa.string()),
+            })
+
+        items = [
+            {"q": q, "paths": ps} for q, ps in sorted(by_q.items())
+        ]
+        files_by_q: Dict[int, List[Dict]] = {}
+        if items:
+            merged_meta = (
+                ray.data.from_items(
+                    items, override_num_blocks=len(items)
+                )
+                .map_batches(merge_one, batch_format="pyarrow",
+                             num_cpus=self.cfg.apply_num_cpus)
+                .take_all()
+            )
+            for r in merged_meta:
+                files_by_q[int(r["q"])] = json.loads(r["files_json"])
+
+        min_scalar = min(scalar_wms) if scalar_wms else -1
+        src_mins = {
+            s: min(
+                (ent.get("watermarks") or {}).get(s, -1)
+                for ent in parts.values()
+            )
+            for s in sources
+        }
+        new_parts: Dict[str, Dict[str, Any]] = {}
+        for q in range(new_p):
+            e: Dict[str, Any] = {
+                "watermark": min_scalar,
+                "files": files_by_q.get(q, []),
+            }
+            if src_mins:
+                e["watermarks"] = dict(src_mins)
+            new_parts[str(q)] = e
+        secs = time.perf_counter() - t0
+        self.manifest = ms.commit(
+            {},
+            extra_state={
+                "partitions": new_parts,
+                "num_partitions": new_p,
+            },
+            lineage=self._lineage(
+                "reshard",
+                {int(q): {"files": files_by_q.get(int(q), []),
+                          "watermark": min_scalar}
+                 for q in range(new_p)},
+                0,
+                secs,
+            ),
+            persist=True,
+        )
+        self.cfg.num_partitions = new_p
+        # staging files are unreferenced by every manifest version: drop
+        # them now that the swap is durable (vacuum would also catch them)
+        shutil.rmtree(
+            os.path.join(lake_dir, "data", f"reshard-v{stage_ver:06d}"),
+            ignore_errors=True,
+        )
+        return {
+            "num_partitions": new_p,
+            "moved_rows": moved_rows,
+            "seconds": round(secs, 4),
+        }
+
     def erase_keys(self, keys, vacuum_history: bool = False) -> Dict[str, Any]:
         """Right-to-be-forgotten: remove the given keys' rows from the lake
         (base and merge-on-read delta runs), rewriting ONLY the runs whose

@@ -775,3 +775,108 @@ def test_purge_tombstones_gc_grace(ray_session):
     eng2 = EC.make_engine(root + "/lake2")
     with _pytest.raises(ValueError, match="retention"):
         eng2.purge_tombstones(upto_lsn=1)
+
+
+def test_reshard_grow_preserves_state_and_accepts_new_epochs(tmp_path):
+    """P=4 -> P=10: state byte-identical, rows land where the new
+    partitioner says, and a post-reshard epoch over an OLD-layout binlog
+    still applies exactly-once (exchange path + min-watermark rule)."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    spec = gen.BinlogSpec(
+        n_events=3000, n_initial=300, seg_rows=256,
+        num_partitions=4, seed=31,
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=100_000),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    # apply only PART of the stream so watermarks differ across partitions
+    eng.apply_epoch(binlog, max_segments=2)
+    before_partial = eng.lake_table(include_lsn=True).sort_by(
+        [(eng.cfg.key, "ascending")]
+    )
+    wms_before = [eng.manifest.watermark(p) for p in range(4)]
+
+    st = eng.reshard(10)
+    assert st["num_partitions"] == 10
+    assert eng.manifest.num_partitions == 10
+    # min-watermark rule
+    assert all(
+        eng.manifest.watermark(q) == min(wms_before) for q in range(10)
+    )
+    after = eng.lake_table(include_lsn=True).sort_by(
+        [(eng.cfg.key, "ascending")]
+    )
+    assert_tables_equal(before_partial, after)
+    # physical routing: every run's rows belong to its new partition
+    for q in range(10):
+        for f in eng.manifest.files(q):
+            t = pa.parquet.read_table(os.path.join(lake, f["path"]))
+            got = partition_ids(
+                t[eng.cfg.key].combine_chunks(), 10,
+                eng.manifest.doc.get("partitioner", "hash"),
+            )
+            assert (got == q).all()
+
+    # drain the rest of the binlog: the old-layout segments route through
+    # the exchange path against the resharded lake
+    eng.run(binlog)
+    final = eng.lake_table()
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(
+        final.sort_by([(eng.cfg.key, "ascending")]),
+        oracle.sort_by([(eng.cfg.key, "ascending")]),
+    )
+
+    # reopen from the manifest alone: num_partitions restored
+    n_final = final.num_rows
+    del final, eng  # release the lake lock before reopening
+    eng2 = CdcEngine(lake)
+    assert eng2.cfg.num_partitions == 10
+    # redelivery of everything is a no-op (exactly-once across reshard)
+    eng2.manifest.doc["segments_done"] = []
+    res = eng2.apply_epoch(binlog)
+    assert res["events"] == 0 or res.get("applied", 0) == 0
+    assert eng2.lake_table().num_rows == n_final
+
+
+def test_reshard_partial_lake_and_counter_refusal(tmp_path):
+    """Per-cell-LWW lakes reshard (redelivery-idempotent); counter lakes
+    refuse (additive folds double-count on replay)."""
+    spec = gen.BinlogSpec(
+        n_events=800, n_initial=100, seg_rows=128,
+        num_partitions=4, seed=33,
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, merge_mode="partial"),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    before = eng.lake_table(include_lsn=True).sort_by(
+        [(eng.cfg.key, "ascending")]
+    )
+    st = eng.reshard(8)
+    assert st["num_partitions"] == 8
+    after = eng.lake_table(include_lsn=True).sort_by(
+        [(eng.cfg.key, "ascending")]
+    )
+    assert_tables_equal(before, after)
+
+    # counter lake: reshard must refuse (additive folds double-count on
+    # replay) — flip the manifest policy bit on the resharded lake
+    eng.manifest.doc["counter_cols"] = ["views"]
+    with pytest.raises(RuntimeError, match="counter"):
+        eng.reshard(16)
