@@ -250,6 +250,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_lake_clone(sf_dir):
+        """Zero-copy lake branch mid-stream: half the binlog applies,
+        clone() hardlinks the current runs into an independent lake at
+        the same stream position, the CLONE drains the remainder while
+        the original stays frozen at the branch point — CoW makes the
+        shared inodes safe. Returns the clone's final LWW state; asserts
+        the original is untouched."""
+        import pyarrow as pa
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("clone")
+        binlog = os.path.join(root, "binlog")
+        lake = os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake)
+        eng.apply_epoch(binlog, max_segments=4)
+        branch_rows = eng.lake_table().num_rows
+        branch_v = eng.manifest.version
+        branched = eng.clone(os.path.join(root, "branch"))
+        branched.run(binlog)
+        assert eng.lake_table().num_rows == branch_rows, (
+            "original lake moved past the branch point"
+        )
+        assert eng.manifest.version == branch_v
+        out = branched.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tombstones(sf_dir):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -4557,6 +4588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_error_quarantine": cdc_error_quarantine,
         "cdc_segment_archive": cdc_segment_archive,
         "cdc_reshard": cdc_reshard,
+        "cdc_lake_clone": cdc_lake_clone,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -4879,6 +4911,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_segment_archive": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_reshard": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_lake_clone": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_error_quarantine": (
             # p=3/seg-00000 (the first 4096 events of partition

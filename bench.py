@@ -310,6 +310,7 @@ def main() -> None:
         "events_stickiness",
         "dq_chi2_independence",
         "cdc_reshard",
+        "cdc_lake_clone",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -1114,6 +1114,55 @@ class CdcEngine:
             "kept_versions": len(keep),
         }
 
+    def clone(self, dst_dir: str) -> "CdcEngine":
+        """Zero-copy lake branch: create an independent lake at
+        ``dst_dir`` whose CURRENT version references HARDLINKS of this
+        lake's data files — an O(files) metadata operation, no data
+        bytes move (Iceberg-style snapshot branching; falls back to
+        copy across devices). Copy-on-write makes it sound: neither
+        lake ever mutates a data file, epochs on either side write new
+        runs into their own directory, and one side's vacuum only
+        unlinks its own directory entries (the inode survives while the
+        other lake references it).
+
+        The branch starts at this lake's exact stream position — same
+        watermarks and segments_done — so re-delivering already-applied
+        segments to the clone is a no-op and fresh segments apply
+        normally. Time-travel history is NOT cloned (only the current
+        version's files are linked); the clone's history starts at the
+        branch point."""
+        from debezium_incubator_ray.state.store import LocalFsStore
+
+        self._acquire_lock()
+        self.flush()
+        if os.path.isdir(os.path.join(dst_dir, "_manifest")):
+            raise ValueError(f"clone destination {dst_dir} is already a lake")
+        os.makedirs(os.path.join(dst_dir, "data"), exist_ok=True)
+        os.makedirs(os.path.join(dst_dir, "_manifest"), exist_ok=True)
+        ms = self.manifest
+        n_files = 0
+        for rel in ms.all_files():
+            src = os.path.join(self.lake_dir, rel)
+            dst = os.path.join(dst_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: degrade to a copy
+                shutil.copy2(src, dst)
+            n_files += 1
+        doc = json.loads(json.dumps(ms.doc))
+        doc["lineage"] = (doc["lineage"] + [{
+            "kind": "clone",
+            "from": self.lake_dir,
+            "version": doc["version"],
+        }])[-50:]
+        m2 = Manifest(
+            dst_dir, doc,
+            store=LocalFsStore(os.path.join(dst_dir, "_manifest")),
+        )
+        m2._write()
+        return CdcEngine(dst_dir)
+
     def reshard(self, new_num_partitions: int) -> Dict[str, Any]:
         """Re-partition the lake in place: P -> P' with the SAME
         partitioner mode — the online re-shard a growing (or shrinking)

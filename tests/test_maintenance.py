@@ -880,3 +880,52 @@ def test_reshard_partial_lake_and_counter_refusal(tmp_path):
     eng.manifest.doc["counter_cols"] = ["views"]
     with pytest.raises(RuntimeError, match="counter"):
         eng.reshard(16)
+
+
+def test_clone_branches_independently(tmp_path):
+    """Hardlink branch: clone reads identically at the branch point,
+    then the two lakes diverge — epochs on the clone never touch the
+    original, and vacuuming the original never breaks the clone."""
+    spec = gen.BinlogSpec(
+        n_events=2000, n_initial=200, seg_rows=256,
+        num_partitions=4, seed=37,
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake, EngineConfig(num_partitions=4),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.apply_epoch(binlog, max_segments=2)
+    branch_tbl = eng.lake_table(include_lsn=True)
+
+    clone = eng.clone(str(tmp_path / "branch"))
+    assert_tables_equal(
+        clone.lake_table(include_lsn=True), branch_tbl, sort_by="url"
+    )
+    # forced replay of already-applied segments on the clone is a no-op
+    # (the branch carries the source's watermarks)
+    clone.manifest.doc["segments_done"] = []
+    res = clone.apply_epoch(binlog, max_segments=2)
+    assert res["applied"] == 0
+
+    # the clone drains the full stream; the original stays at the branch
+    clone.run(binlog)
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(clone.lake_table(), oracle, sort_by="url")
+    assert_tables_equal(
+        eng.lake_table(include_lsn=True), branch_tbl, sort_by="url"
+    )
+
+    # vacuum the ORIGINAL after it diverges too: clone still reads
+    eng.run(binlog)
+    eng.vacuum(keep_versions=1)
+    assert_tables_equal(clone.lake_table(), oracle, sort_by="url")
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+
+    # destination collision refused
+    with pytest.raises(ValueError, match="already a lake"):
+        eng.clone(str(tmp_path / "branch"))
