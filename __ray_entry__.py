@@ -1158,6 +1158,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type", "dow",
         )
 
+    def join_min_price_supplier(sf_dir):
+        """TPC-H Q2 shape (correlated min subquery + join-back) collapsed
+        into one combiner pass: per part, the cheapest lineitem's price
+        with the winning supplier (ties -> min suppkey) via group_argmin
+        (per-block lexmin partials, one group-hash fold), then a
+        broadcast join against the small supplier dimension."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import group_argmin
+        from debezium_incubator_ray.functions.joins import broadcast_join
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_suppkey"],
+        )
+        mins = group_argmin(
+            li, "l_partkey", "l_extendedprice", "l_suppkey", buckets=32
+        )
+        sup = _pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        )
+        out = broadcast_join(mins, sup, on="l_suppkey", right_on="s_suppkey")
+        return out.map_batches(
+            lambda t: pa.table({
+                "partkey": t["l_partkey"],
+                "min_price": pc.round(t["l_extendedprice"], ndigits=2),
+                "suppkey": t["l_suppkey"],
+                "supplier": t["s_name"],
+            }),
+            batch_format="pyarrow",
+        )
+
     def join_bloom_semi(sf_dir):
         """Bloom-prefiltered EXACT semi-join: lineitems of top-5%-price
         orders. The order-key Bloom bitmap (2^20 bits) broadcasts once
@@ -4619,6 +4654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": events_stickiness,
         "dq_chi2_independence": dq_chi2_independence,
         "join_bloom_semi": join_bloom_semi,
+        "join_min_price_supplier": join_min_price_supplier,
         "topk_per_group": topk_per_group,
         "quantiles_by_type": quantiles_by_type,
         "asof_join_events": asof_join_events,
@@ -5233,6 +5269,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(tot.nn AS BIGINT) AS n "
             "FROM c JOIN rt USING (a) JOIN ct USING (b), tot "
             "GROUP BY tot.nn"
+        ),
+        "join_min_price_supplier": (
+            "WITH m AS (SELECT l_partkey, min(l_extendedprice) AS mp "
+            "FROM lineitem GROUP BY 1), "
+            "w AS (SELECT l.l_partkey, m.mp, min(l.l_suppkey) AS sk "
+            "FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey "
+            "AND l.l_extendedprice = m.mp GROUP BY 1, 2) "
+            "SELECT w.l_partkey AS partkey, round(w.mp, 2) AS min_price, "
+            "w.sk AS suppkey, s.s_name AS supplier "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.sk"
         ),
         "join_bloom_semi": (
             "SELECT l_returnflag, "

@@ -311,6 +311,7 @@ def main() -> None:
         "dq_chi2_independence",
         "cdc_reshard",
         "cdc_lake_clone",
+        "join_min_price_supplier",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -67,3 +67,49 @@ def drop_null_nan(t: pa.Table, col: str) -> pa.Table:
     if pa.types.is_floating(a.type):
         keep = pc.and_(keep, pc.invert(pc.is_nan(pc.fill_null(a, 0.0))))
     return t.filter(keep)
+
+
+def group_argmin(ds, group_col: str, value_col: str, tie_col: str,
+                 buckets: int = 64):
+    """Per-group lexicographic minimum of (value, tie): the SQL
+    "min value per group, ties broken by min tie_col" shape (TPC-H Q2's
+    correlated-subquery-then-join-back, collapsed into one combiner
+    pass). Emits one row per group: (group, value, tie).
+
+    Scale shape: per-block lexmin per group (the combiner — one
+    (group, value, tie) row per group per block survives), then ONE
+    group-hash bucketed shuffle folds the partials; events never
+    shuffle. NULL values are excluded (SQL min skips NULLs)."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def lexmin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t[group_col]), pc.is_valid(t[value_col])
+        ))
+        idx = pc.sort_indices(t, sort_keys=[
+            (group_col, "ascending"), (value_col, "ascending"),
+            (tie_col, "ascending"),
+        ])
+        s = t.take(idx)
+        g = s[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        return s.filter(pa.array(first))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = lexmin(t)
+        return m.append_column(
+            "_b",
+            pa.array(partition_ids(m[group_col].combine_chunks(),
+                                   buckets, "hash"), pa.int32()),
+        )
+
+    def fold(gr: pa.Table) -> pa.Table:
+        return lexmin(gr.drop_columns(["_b"]))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -135,3 +135,26 @@ def test_oracle_matches_bruteforce_merge():
     merged = merge_lww(snap, flat, "url")
     oracle = gen.oracle_final_state(spec, ev)
     assert_tables_equal(merged.select(oracle.schema.names), oracle)
+
+
+def test_group_argmin_lexicographic_ties():
+    import ray.data
+    from debezium_incubator_ray.functions.kernels import group_argmin
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "v": pa.array([5.0, 3.0, 3.0, 7.0, None, 2.0, 2.0], pa.float64()),
+        "tie": pa.array([9, 8, 2, 1, 0, 6, 4], pa.int64()),
+    })
+    out = (
+        group_argmin(
+            ray.data.from_arrow(t).repartition(4), "g", "v", "tie",
+            buckets=2,
+        )
+        .to_pandas().set_index("g").sort_index()
+    )
+    # g=1: min v=3.0 with ties -> tie 2; g=2: NULL v excluded -> (7.0, 1);
+    # g=3: (2.0, 4)
+    assert out.loc[1, "v"] == 3.0 and out.loc[1, "tie"] == 2
+    assert out.loc[2, "v"] == 7.0 and out.loc[2, "tie"] == 1
+    assert out.loc[3, "v"] == 2.0 and out.loc[3, "tie"] == 4
