@@ -1158,6 +1158,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type", "dow",
         )
 
+    def text_gopher_rules(sf_dir):
+        """Gopher-style quality gating (word count, mean word length,
+        stopword fraction, top-word dominance) with per-rule pass bits —
+        embarrassingly parallel, all Arrow kernels, no shuffle."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import gopher_rules
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return gopher_rules(ds)
+
     def join_min_price_supplier(sf_dir):
         """TPC-H Q2 shape (correlated min subquery + join-back) collapsed
         into one combiner pass: per part, the cheapest lineitem's price
@@ -4655,6 +4668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_chi2_independence": dq_chi2_independence,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
+        "text_gopher_rules": text_gopher_rules,
         "topk_per_group": topk_per_group,
         "quantiles_by_type": quantiles_by_type,
         "asof_join_events": asof_join_events,
@@ -5269,6 +5283,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(tot.nn AS BIGINT) AS n "
             "FROM c JOIN rt USING (a) JOIN ct USING (b), tot "
             "GROUP BY tot.nn"
+        ),
+        "text_gopher_rules": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w FROM documents), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw, "
+            "count(*) FILTER (WHERE w IN ('the', 'a')) AS ns "
+            "FROM w GROUP BY 1), "
+            "c AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2), "
+            "tp AS (SELECT doc_id, max(n) AS mx FROM c GROUP BY 1), "
+            "d AS (SELECT d.doc_id, length(d.text) AS nc, tot.nw, tot.ns, "
+            "tp.mx, "
+            "(length(d.text) - (tot.nw - 1)) / CAST(tot.nw AS DOUBLE) "
+            "AS ml, ns / CAST(tot.nw AS DOUBLE) AS sf, "
+            "mx / CAST(tot.nw AS DOUBLE) AS tf "
+            "FROM documents d JOIN tot USING (doc_id) "
+            "JOIN tp USING (doc_id)) "
+            "SELECT doc_id, nw AS n_words, round(ml, 6) AS mean_word_len, "
+            "round(sf, 6) AS stop_frac, round(tf, 6) AS top_frac, "
+            "nw >= 20 AS r_words, "
+            "ml >= 3.0 AND ml <= 10.0 AS r_mean_len, "
+            "sf >= 0.02 AS r_stop, tf <= 0.12 AS r_top, "
+            "nw >= 20 AND ml >= 3.0 AND ml <= 10.0 AND sf >= 0.02 "
+            "AND tf <= 0.12 AS pass_all FROM d"
         ),
         "join_min_price_supplier": (
             "WITH m AS (SELECT l_partkey, min(l_extendedprice) AS mp "

@@ -312,6 +312,7 @@ def main() -> None:
         "cdc_reshard",
         "cdc_lake_clone",
         "join_min_price_supplier",
+        "text_gopher_rules",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -1181,3 +1181,90 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5, text_col: str = "text",
         batch_format="pyarrow",
     )
     return merge_local_topk(cand, "pmi", ["w1", "w2"], k, empty)
+
+
+def gopher_rules(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    min_stop_frac: float = 0.02,
+    max_top_frac: float = 0.12,
+    stopwords: tuple = ("the", "a"),
+):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    adapted to the corpus's single-space token streams): per doc the
+    word count, mean word length, stopword fraction and most-frequent
+    -word dominance, plus the per-rule pass bits and the overall
+    ``pass_all``. The real-corpus extras (bullet/ellipsis line ratios,
+    symbol ratios) gate on characters this synthetic corpus doesn't
+    contain and would be constant columns — the Ray shapes are
+    identical.
+
+    Scale shape: embarrassingly parallel — one map_batches, all
+    signals from Arrow kernels (split -> flatten -> per-(doc, word)
+    group counts -> per-doc max); no shuffle, docs never leave their
+    block."""
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t[text_col].combine_chunks(), pa.string())
+        ids = t[id_col].combine_chunks()
+        words = pc.split_pattern(txt, " ")
+        n_words = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        mean_len = np.where(
+            n_words > 0,
+            (n_chars - np.maximum(n_words - 1, 0)) / np.maximum(n_words, 1),
+            0.0,
+        )
+        flat = pc.list_flatten(words)
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                            n_words)
+        # stopword fraction: one is_in over the flat words + reduceat
+        stop_mask = pc.is_in(
+            flat, value_set=pa.array(list(stopwords))
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(n_words) - n_words
+        nz = n_words > 0
+        stop_cnt = np.zeros(len(n_words), np.int64)
+        if len(flat):
+            sums = np.add.reduceat(stop_mask, np.maximum(starts, 0)[nz])
+            stop_cnt[nz] = sums
+        stop_frac = np.where(n_words > 0, stop_cnt / np.maximum(n_words, 1),
+                             0.0)
+        # top-word dominance: per-(doc, word) counts -> per-doc max
+        wc = (
+            pa.table({"i": pa.array(doc_idx), "w": flat})
+            .group_by(["i", "w"]).aggregate([([], "count_all")])
+        )
+        mx = wc.group_by(["i"]).aggregate([("count_all", "max")])
+        top_cnt = np.zeros(len(n_words), np.int64)
+        top_cnt[mx["i"].combine_chunks().to_numpy(zero_copy_only=False)] = (
+            mx["count_all_max"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        top_frac = np.where(n_words > 0, top_cnt / np.maximum(n_words, 1),
+                            0.0)
+        r_words = n_words >= min_words
+        r_mean = (mean_len >= mean_len_lo) & (mean_len <= mean_len_hi)
+        r_stop = stop_frac >= min_stop_frac
+        r_top = top_frac <= max_top_frac
+        return pa.table({
+            id_col: ids,
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(np.round(mean_len, 6)),
+            "stop_frac": pa.array(np.round(stop_frac, 6)),
+            "top_frac": pa.array(np.round(top_frac, 6)),
+            "r_words": pa.array(r_words),
+            "r_mean_len": pa.array(r_mean),
+            "r_stop": pa.array(r_stop),
+            "r_top": pa.array(r_top),
+            "pass_all": pa.array(r_words & r_mean & r_stop & r_top),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

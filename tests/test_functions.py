@@ -1087,3 +1087,33 @@ def test_path_signatures_clips_and_orders():
     )
     # user 1: events sorted by id -> a,b,c,d,e,f,g clipped to 5
     assert out == {"a>b>c>d>e": 1, "x>y": 1, "z": 1}
+
+
+def test_gopher_rules_signals_and_edge_docs(ray_session):
+    import ray.data
+    from debezium_incubator_ray.functions.text import gopher_rules
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # 4 words, top word 'x' dominates (3/4), no stopwords
+            "x x x y",
+            # 24 words incl. stopwords, diverse
+            " ".join(["the quick brown fox jumps over a lazy dog"] * 2
+                     + ["alpha beta gamma delta epsilon zeta"]),
+            # single word
+            "solo",
+        ]),
+    })
+    out = (
+        gopher_rules(ray.data.from_arrow(t).repartition(2), min_words=5)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "n_words"] == 4 and not out.loc[1, "r_words"]
+    assert abs(out.loc[1, "top_frac"] - 0.75) < 1e-9
+    assert not out.loc[1, "r_stop"] and not out.loc[1, "r_top"]
+    assert out.loc[2, "n_words"] == 24 and out.loc[2, "r_words"]
+    assert out.loc[2, "r_stop"]  # 'the'/'a' appear 4/24
+    assert out.loc[3, "n_words"] == 1
+    assert abs(out.loc[3, "mean_word_len"] - 4.0) < 1e-9
+    assert not out.loc[3, "pass_all"]
