@@ -2420,6 +2420,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return unigram_logprob(docs)
 
+    def docs_ccnet_buckets(sf_dir):
+        """CCNet-style head/middle/tail partitioning by language-model
+        score: per-token mean unigram logprob per doc (length-invariant),
+        global tertile thresholds WITHOUT a sort (bucket-histogram order
+        statistics), then a streaming label pass. Head = most-fluent
+        third."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.text import unigram_logprob
+        from debezium_incubator_ray.functions.rank import (
+            global_quantile_cont,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        scores = unigram_logprob(docs, per_token=True).materialize()
+        qt = global_quantile_cont(scores, "logprob", [1 / 3, 2 / 3])
+        t1, t2 = qt["value"].to_pylist()
+
+        def label(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            lp = t["logprob"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            lab = np.where(lp <= t1, "tail",
+                           np.where(lp <= t2, "middle", "head"))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "logprob": t["logprob"],
+                "bucket": pa.array(lab),
+            })
+
+        return scores.map_batches(label, batch_format="pyarrow")
+
     def text_inverted_index(sf_dir):
         """Inverted-index postings (term, doc_id, tf) for terms with
         df >= 10: df shuffle bucketed by term hash, vocabulary broadcast,
@@ -4718,6 +4755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": events_running_total,
         "events_anomaly": events_anomaly,
         "text_unigram_logprob": text_unigram_logprob,
+        "docs_ccnet_buckets": docs_ccnet_buckets,
         "text_inverted_index": text_inverted_index,
         "docs_chunking": docs_chunking,
         "sample_split_assign": sample_split_assign,
@@ -5760,6 +5798,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(s.logprob, 0.0) AS logprob "
             "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "docs_ccnet_buckets": (
+            # per-token mean logprob, tertile thresholds via
+            # percentile_cont (same linear interpolation as the engine's
+            # bucket-histogram order statistics)
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term), "
+            "tot AS (SELECT count(*) AS t FROM tok), "
+            "s AS (SELECT doc_id, round(sum(ln(tf.tf / t)) / count(*), 6) "
+            "AS logprob FROM tok JOIN tf USING (term) CROSS JOIN tot "
+            "GROUP BY doc_id), "
+            "d AS (SELECT d.doc_id, coalesce(s.logprob, 0.0) AS logprob "
+            "FROM documents d LEFT JOIN s USING (doc_id)), "
+            "th AS (SELECT quantile_cont(logprob, 1.0/3) AS t1, "
+            "quantile_cont(logprob, 2.0/3) AS t2 FROM d) "
+            "SELECT doc_id, logprob, CASE WHEN logprob <= th.t1 THEN "
+            "'tail' WHEN logprob <= th.t2 THEN 'middle' ELSE 'head' END "
+            "AS bucket FROM d, th"
         ),
         "text_inverted_index": (
             "WITH tok AS (SELECT doc_id, unnest(string_split_regex("

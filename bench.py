@@ -313,6 +313,7 @@ def main() -> None:
         "cdc_lake_clone",
         "join_min_price_supplier",
         "text_gopher_rules",
+        "docs_ccnet_buckets",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -561,9 +561,13 @@ def text_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                    per_token: bool = False):
     """Corpus-learned unigram language-model score per document:
-    sum over tokens of ln(tf(token) / total_tokens).
+    sum over tokens of ln(tf(token) / total_tokens); with
+    ``per_token=True`` the length-normalized mean token logprob (the
+    negative of CCNet's perplexity proxy — length-invariant, so
+    thresholds rank quality, not length).
 
     The classic two-pass learned-filter shape for training-data curation
     (low logprob ~ unusual/garbage text): pass 1 folds per-batch partial
@@ -618,9 +622,15 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
             tok_lp = vocab_lp[codes]
             doc_idx = np.repeat(np.arange(nd), lens)
             sums = np.bincount(doc_idx, weights=tok_lp, minlength=nd)
+            if per_token:
+                sums = np.round(
+                    sums / np.maximum(np.asarray(lens, np.float64), 1.0), 6
+                )
+            else:
+                sums = np.round(sums, 3)
             return pa.table({
                 id_col: t[id_col],
-                "logprob": pa.array(np.round(sums, 3)),
+                "logprob": pa.array(sums),
             })
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
