@@ -1264,6 +1264,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tk(ds, k=5)
 
+    def topk_per_user(sf_dir):
+        """Top-2 events per USER — the high-cardinality grouped top-k:
+        per-block combiner (k rows per (block, user) survive), groups
+        shuffle by hash(user) % buckets so the reduce runs per bounded
+        bucket, never one task per user."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            topk_per_group as tk,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        )
+        return tk(ds, group_col="user_id", k=2, buckets=32)
+
     def quantiles_by_type(sf_dir):
         """Exact p50/p90/p99 of value per event_type (percentile_cont
         semantics, linear interpolation)."""
@@ -4707,6 +4723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_min_price_supplier": join_min_price_supplier,
         "text_gopher_rules": text_gopher_rules,
         "topk_per_group": topk_per_group,
+        "topk_per_user": topk_per_user,
         "quantiles_by_type": quantiles_by_type,
         "asof_join_events": asof_join_events,
         "events_in_sessions": events_in_sessions,
@@ -5391,6 +5408,12 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) "
             "AS rank FROM events) "
             "SELECT event_type, event_id, value, rank FROM r WHERE rank <= 5"
+        ),
+        "topk_per_user": (
+            "WITH r AS (SELECT user_id, event_id, value, row_number() "
+            "OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) "
+            "AS rank FROM events) "
+            "SELECT user_id, event_id, value, rank FROM r WHERE rank <= 2"
         ),
         "windowed_agg": (
             "SELECT epoch_us(ts) // 3600000000 AS window, event_type, "

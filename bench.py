@@ -314,6 +314,7 @@ def main() -> None:
         "join_min_price_supplier",
         "text_gopher_rules",
         "docs_ccnet_buckets",
+        "topk_per_user",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -88,6 +88,7 @@ def topk_per_group(
     order_col: str = "value",
     id_col: str = "event_id",
     k: int = 5,
+    buckets: int | None = None,
 ):
     """Top-k rows per group by ``order_col`` DESC, ties broken by
     ``id_col`` ASC — deterministic, rank 1-based.
@@ -95,11 +96,14 @@ def topk_per_group(
     Two-level: a per-batch partial top-k (only k rows per (batch, group)
     survive — the combiner, so the shuffle carries at most
     k x groups x blocks rows regardless of input size), then a final
-    per-group cut. Group count is assumed small-ish (it is the shuffle
-    key); for high-cardinality groups add a hash-bucket prefix exactly
-    like the dedup pair reductions."""
+    per-group cut. With ``buckets=None`` the group value itself is the
+    shuffle key (small group cardinality); pass ``buckets=N`` for
+    HIGH-cardinality groups (per-user top-k) — groups then shuffle by
+    hash(group) % N so the reduce runs per bounded bucket, never per
+    key, and the output is identical."""
+    from debezium_incubator_ray.hashing import partition_ids
 
-    def partial_topk(t: pa.Table) -> pa.Table:
+    def ranked(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             t,
             sort_keys=[
@@ -109,28 +113,41 @@ def topk_per_group(
             ],
         )
         s = t.take(idx)
-        g = s[group_col].combine_chunks()
-        garr = g.to_numpy(zero_copy_only=False)
+        garr = s[group_col].combine_chunks().to_numpy(zero_copy_only=False)
         n = len(garr)
         first = np.ones(n, dtype=bool)
         first[1:] = garr[1:] != garr[:-1]
         gidx = np.cumsum(first) - 1
         starts = np.nonzero(first)[0]
         rank = np.arange(n) - starts[gidx]
-        return s.filter(pa.array(rank < k))
+        return s, rank
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        s, rank = ranked(t)
+        s = s.filter(pa.array(rank < k))
+        if buckets is not None:
+            s = s.append_column(
+                "_b",
+                pa.array(partition_ids(s[group_col].combine_chunks(),
+                                       buckets, "hash"), pa.int32()),
+            )
+        return s
 
     partials = ds.map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def final_topk(group: pa.Table) -> pa.Table:
-        out = partial_topk(group)
-        n = out.num_rows
-        return out.append_column(
-            "rank", pa.array(np.arange(1, n + 1, dtype=np.int64))
+        if buckets is not None:
+            group = group.drop_columns(["_b"])
+        s, rank = ranked(group)
+        keep = rank < k
+        return s.filter(pa.array(keep)).append_column(
+            "rank", pa.array(rank[keep] + 1)
         )
 
-    return partials.groupby(group_col).map_groups(
+    key = group_col if buckets is None else "_b"
+    return partials.groupby(key).map_groups(
         final_topk, batch_format="pyarrow"
     )
 
