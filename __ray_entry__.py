@@ -281,6 +281,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_json_envelopes(sf_dir):
+        """Debezium wire-format interop: the change stream round-trips
+        through JSON envelope lines ({"op","before","after","source",
+        "ts_ms"} — the reference's Kafka Connect JSON converter output),
+        is parsed back with pyarrow's C++ JSON reader under an EXPLICIT
+        schema (one Ray task per shard, no shuffle), converted to a
+        parquet binlog with the identical p=/seg layout, and applied —
+        final state identical to the native parquet path."""
+        import pyarrow as pa
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, events_envelopes, make_engine, scratch_dir,
+        )
+        from debezium_incubator_ray.sources.debezium_json import (
+            convert_jsonl_binlog, write_debezium_jsonl,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("dbzjson")
+        jdir = os.path.join(root, "wire")
+        binlog = os.path.join(root, "binlog")
+        lake = os.path.join(root, "lake")
+        env = events_envelopes(sf_dir)
+        n = write_debezium_jsonl(env, jdir)
+        assert convert_jsonl_binlog(jdir, binlog, EVENTS_PAYLOAD) == n
+        eng = make_engine(lake)
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tombstones(sf_dir):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -4690,6 +4720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_segment_archive": cdc_segment_archive,
         "cdc_reshard": cdc_reshard,
         "cdc_lake_clone": cdc_lake_clone,
+        "cdc_json_envelopes": cdc_json_envelopes,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -5018,6 +5049,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_reshard": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_lake_clone": _LWW
+        + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_json_envelopes": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_error_quarantine": (
             # p=3/seg-00000 (the first 4096 events of partition

@@ -315,6 +315,7 @@ def main() -> None:
         "text_gopher_rules",
         "docs_ccnet_buckets",
         "topk_per_user",
+        "cdc_json_envelopes",
     ]
     for name in q_list:
         t2 = time.perf_counter()

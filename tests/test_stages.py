@@ -235,3 +235,46 @@ def test_periodic_flush_batches_manifest_writes(tmp_path, ray_session):
     from tests.conftest import assert_tables_equal
 
     assert_tables_equal(eng2.lake_table(), oracle, sort_by="url")
+
+
+def test_debezium_json_roundtrip_fidelity(tmp_path, ray_session):
+    """Wire-format write -> C++ JSON parse reproduces the envelope table
+    exactly: int64 stays exact (no pandas NaN-promotion), null
+    before/after structs survive, timestamps round-trip through int64
+    microseconds, snapshot bools stay bools."""
+    import os
+    import pyarrow.compute as pc
+
+    from debezium_incubator_ray.pipelines.events_cdc import (
+        EVENTS_PAYLOAD, events_envelopes,
+    )
+    from debezium_incubator_ray.sources.debezium_json import (
+        read_debezium_jsonl, write_debezium_jsonl,
+    )
+
+    env = events_envelopes("/root/testdata/sf0.001")
+    jdir = str(tmp_path / "wire")
+    n = write_debezium_jsonl(env, jdir, seg_rows=10_000)
+    assert n == 8  # one shard per partition at this size
+
+    parts = []
+    for p in sorted(os.listdir(jdir)):
+        for f in sorted(os.listdir(os.path.join(jdir, p))):
+            parts.append(read_debezium_jsonl(
+                os.path.join(jdir, p, f), EVENTS_PAYLOAD
+            ))
+    got = pa.concat_tables(parts)
+    # reorder both by lsn and compare column-for-column
+    def by_lsn(t):
+        lsn = t["source"].combine_chunks().field("lsn")
+        return t.take(pc.sort_indices(lsn))
+
+    a, b = by_lsn(env), by_lsn(got)
+    # JSON carries no nullability flags: cast restores them, values must
+    # then be byte-identical
+    b = b.cast(a.schema)
+    assert a.schema.equals(b.schema)
+    for name in a.column_names:
+        assert a[name].combine_chunks().equals(
+            b[name].combine_chunks()
+        ), name
