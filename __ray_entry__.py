@@ -281,6 +281,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_predicate_update(sf_dir):
+        """Lakehouse UPDATE ... WHERE as state surgery: after the stream
+        applies, every 'error' row's value is scaled 1.1x in one
+        run-sweep per partition (non-matching runs carried untouched,
+        zone bounds can skip runs unread); _lsn and watermarks don't
+        move — a later stream event would legally overwrite."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("upd")
+        binlog = os.path.join(root, "binlog")
+        lake = os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake)
+        eng.run(binlog)
+        st = eng.update_rows(
+            lambda t: pc.equal(t["event_type"], "error"),
+            {"value": lambda t: pc.multiply(t["value"], 1.1)},
+        )
+        assert st["updated_rows"] > 0
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_json_envelopes(sf_dir):
         """Debezium wire-format interop: the change stream round-trips
         through JSON envelope lines ({"op","before","after","source",
@@ -4721,6 +4749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_reshard": cdc_reshard,
         "cdc_lake_clone": cdc_lake_clone,
         "cdc_json_envelopes": cdc_json_envelopes,
+        "cdc_predicate_update": cdc_predicate_update,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -5052,6 +5081,11 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_json_envelopes": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_predicate_update": _LWW
+        + "SELECT user_id, ts, event_type, "
+        "CASE WHEN event_type = 'error' THEN value * 1.1 ELSE value END "
+        "AS value, props, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_error_quarantine": (
             # p=3/seg-00000 (the first 4096 events of partition
             # user_id % 8 = 3, segments are LSN-ordered) is corrupted and

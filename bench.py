@@ -316,6 +316,7 @@ def main() -> None:
         "docs_ccnet_buckets",
         "topk_per_user",
         "cdc_json_envelopes",
+        "cdc_predicate_update",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -1380,6 +1380,73 @@ class CdcEngine:
             "seconds": round(secs, 4),
         }
 
+    def update_rows(self, predicate, updates: Dict[str, Any],
+                    zone=None) -> Dict[str, Any]:
+        """Predicate UPDATE (``UPDATE ... SET col = expr(row) WHERE
+        pred(row)``) as state surgery: every partition sweeps its runs in
+        one Ray task, rewriting only runs with matching rows — runs the
+        predicate provably can't touch are carried untouched, and a
+        ``zone=(column, lo, hi)`` bound against a ``stats_columns``
+        zone map skips disjoint runs UNREAD. ``predicate`` is
+        table -> bool mask; ``updates`` maps column -> (table -> new
+        values), applied only where the mask holds (cast to the column's
+        type).
+
+        Semantics: UPDATE is not a stream event — ``_lsn`` keeps its
+        value and watermarks don't move, so a later higher-LSN event
+        legally overwrites the assignment; superseded files stay for
+        time-travel until vacuum. The key column is immutable (routing +
+        run-sort invariants) and per-cell-merge lakes refuse (a patch
+        row's unset cells ignore value columns — the assignment would be
+        silently lost on fold)."""
+        if self.cfg.key in updates or (
+            self.cfg.key_cols and set(updates) & set(self.cfg.key_cols)
+        ):
+            raise ValueError("update_rows cannot modify key columns")
+        if self.manifest.doc.get("merge_mode", "lww") != "lww":
+            raise RuntimeError(
+                "update_rows requires merge_mode='lww': partial-merge "
+                "patch rows ignore unset cells, so the assignment would "
+                "be lost on fold"
+            )
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        self.flush()
+        from debezium_incubator_ray.stages.apply import RowUpdater
+
+        items = [{S.PART: p} for p in range(self.cfg.num_partitions)]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ctor = dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            predicate=predicate,
+            updates=updates,
+            zone=zone,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+        )
+
+        def update_one(batch: pa.Table) -> pa.Table:
+            return RowUpdater(**ctor)(batch)
+
+        commits = ds.map_batches(
+            update_one, batch_format="pyarrow",
+            num_cpus=self.cfg.apply_num_cpus,
+        ).take_all()
+        n_updated = sum(c["events_applied"] for c in commits)
+        updates_m = self._partition_updates(commits)
+        self.manifest = self.manifest.commit(
+            updates_m,
+            lineage=self._lineage(
+                "update", updates_m, n_updated, time.perf_counter() - t0
+            ),
+            persist=True,
+        )
+        return {
+            "updated_rows": n_updated,
+            "partitions": self.cfg.num_partitions,
+            "seconds": round(time.perf_counter() - t0, 4),
+        }
+
     def erase_keys(self, keys, vacuum_history: bool = False) -> Dict[str, Any]:
         """Right-to-be-forgotten: remove the given keys' rows from the lake
         (base and merge-on-read delta runs), rewriting ONLY the runs whose

@@ -990,6 +990,91 @@ class RangeEraser:
         return pa.concat_tables(outs)
 
 
+class RowUpdater:
+    """Per-partition predicate UPDATE — the lakehouse ``UPDATE ... SET
+    ... WHERE`` expressed as state surgery: rewrite ONLY the runs the
+    predicate can touch, assign new values to matching rows, carry
+    everything else untouched. Zone maps prune when the caller supplies
+    a (column, lo, hi) bound for a column in ``stats_columns``: a run
+    whose recorded [min, max] is disjoint from the bound is never read.
+    Like the erasers, watermarks don't move (UPDATE is not an event —
+    ``_lsn`` keeps its value, and a later higher-LSN stream event
+    legally overwrites the assignment). The key column itself is
+    immutable (routing + run-sort invariants). One call per partition
+    batch row, same shape as the Compactor."""
+
+    def __init__(
+        self,
+        manifest_doc: Dict[str, Any],
+        lake_dir: str,
+        predicate,
+        updates: Dict[str, Any],
+        zone=None,
+        target_rows_per_file: int = 1_000_000,
+    ):
+        self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
+        self.predicate = predicate
+        self.updates = updates
+        self.zone = zone
+
+    def _scrub(self, p: int, files: List[Dict], prefix: str):
+        updated = {"n": 0}
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(self.predicate(t), False)
+            n_hit = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+            if n_hit == 0:
+                return t
+            updated["n"] += n_hit
+            for col, fn in self.updates.items():
+                i = t.schema.get_field_index(col)
+                newv = pc.if_else(
+                    mask, pc.cast(fn(t), t.schema.field(i).type), t[col]
+                )
+                t = t.set_column(i, t.schema.field(i), newv)
+            return t
+
+        out: List[Dict] = []
+        rows = 0
+        for f in files:
+            if self.zone is not None:
+                col, lo, hi = self.zone
+                st = (f.get("stats") or {}).get(col)
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    out.append(f)  # zone-disjoint: never read
+                    rows += f["rows"]
+                    continue
+            t = pq.read_table(os.path.join(self.inner.lake_dir, f["path"]))
+            if f.get("schema_version", 1) != self.inner.schema_version:
+                t = upgrade_run_table(t, self.inner.schema, self.inner.defaults)
+            before = updated["n"]
+            t2 = rewrite(t)
+            if updated["n"] == before:
+                out.append(f)  # read but no row matched: carried
+                rows += f["rows"]
+                continue
+            out.extend(self.inner._write_run(p, t2, prefix=prefix))
+            rows += t2.num_rows
+        return out, rows, updated["n"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs: List[pa.Table] = []
+        for p in batch[S.PART].to_pylist():
+            ent = self.inner.doc["partitions"][str(p)]
+            files, rows_f, up_f = self._scrub(int(p), ent["files"], "")
+            deltas, rows_d, up_d = self._scrub(
+                int(p), ent.get("deltas", []), "delta-"
+            )
+            files.sort(key=lambda f: f["min_key"])
+            outs.append(
+                self.inner._record(
+                    int(p), ent["watermark"], 0, up_f + up_d, 0,
+                    rows_f + rows_d, files, deltas=deltas,
+                )
+            )
+        return pa.concat_tables(outs)
+
+
 class TombstonePurger:
     """gc-grace purge for tombstone-RETENTION lakes (tombstones=False):
     drop marker rows whose ``_lsn`` <= the purge horizon — Cassandra's

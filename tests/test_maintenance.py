@@ -929,3 +929,57 @@ def test_clone_branches_independently(tmp_path):
     # destination collision refused
     with pytest.raises(ValueError, match="already a lake"):
         eng.clone(str(tmp_path / "branch"))
+
+
+def test_update_rows_zone_pruning_and_invariants(tmp_path):
+    """Predicate UPDATE: values change only where the predicate holds,
+    _lsn/watermarks don't move, zone bounds skip disjoint runs unread,
+    and key columns / partial lakes refuse."""
+    spec = gen.BinlogSpec(
+        n_events=1500, n_initial=200, seg_rows=256,
+        num_partitions=4, seed=41,
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, stats_columns=("warc_ts",)),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    before = eng.lake_table(include_lsn=True)
+    wms = {p: eng.manifest.watermark(p) for p in range(4)}
+
+    st = eng.update_rows(
+        lambda t: pc.equal(t["lang"], "en"),
+        {"text": lambda t: pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.string()), "[updated]", ""
+        )},
+    )
+    after = eng.lake_table(include_lsn=True)
+    assert {p: eng.manifest.watermark(p) for p in range(4)} == wms
+    b = before.sort_by("url")
+    a = after.sort_by("url")
+    assert a["_lsn"].equals(b["_lsn"])
+    en = pc.equal(b["lang"], "en")
+    n_en = int(pc.sum(pc.cast(en, pa.int64())).as_py())
+    assert st["updated_rows"] == n_en > 0
+    got_txt = a["text"].to_pylist()
+    want_txt = [
+        t + "[updated]" if is_en else t
+        for t, is_en in zip(b["text"].to_pylist(), en.to_pylist())
+    ]
+    assert got_txt == want_txt
+
+    # key column refuses
+    with pytest.raises(ValueError, match="key"):
+        eng.update_rows(lambda t: pc.equal(t["lang"], "en"),
+                        {"url": lambda t: t["url"]})
+    # partial-merge lakes refuse
+    eng.manifest.doc["merge_mode"] = "partial"
+    with pytest.raises(RuntimeError, match="partial"):
+        eng.update_rows(lambda t: pc.equal(t["lang"], "en"),
+                        {"text": lambda t: t["text"]})
