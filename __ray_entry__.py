@@ -1474,6 +1474,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return near_dup_clusters(docs, threshold=0.3)
 
+    def dedup_keep_best(sf_dir):
+        """Quality-aware near-dup dedup: per >= 0.3-Jaccard cluster keep
+        the LONGEST doc (ties -> min id) — the crawl keep-best policy.
+        Cluster labels broadcast (dup-graph-sized); the corpus streams
+        once; winner = one group_argmin combiner pass."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "n_chars"],
+        )
+        return keep_best_per_cluster(docs, "n_chars", threshold=0.3)
+
     def dedup_embedding(sf_dir):
         import ray.data
         from debezium_incubator_ray.functions.dedup import embedding_near_dup_pairs
@@ -4793,6 +4809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "dedup_keep_best": dedup_keep_best,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_fan_in": cdc_fan_in,
         "cdc_row_expiry": cdc_row_expiry,
@@ -5525,6 +5542,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT re.node, ed.b FROM reach re JOIN ed ON ed.a = re.r) "
             "SELECT node AS doc_id, min(r) AS cluster_id, "
             "node = min(r) AS keep FROM reach GROUP BY node"
+        ),
+        "dedup_keep_best": (
+            # same transitive closure as dedup_clusters; winner per
+            # cluster = longest doc, ties by min doc id
+            "WITH RECURSIVE "
+            + _SHINGLES[len("WITH ") :].rstrip()
+            + ", p AS (SELECT a, b FROM i "
+            "JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+            "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3), "
+            "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), "
+            "reach(node, r) AS ("
+            "SELECT a, a FROM (SELECT DISTINCT a FROM ed) "
+            "UNION "
+            "SELECT re.node, ed.b FROM reach re JOIN ed ON ed.a = re.r), "
+            "comp AS (SELECT node, min(r) AS cluster_id FROM reach "
+            "GROUP BY node), "
+            "w AS (SELECT comp.cluster_id, comp.node AS doc_id, "
+            "d.n_chars, row_number() OVER (PARTITION BY comp.cluster_id "
+            "ORDER BY d.n_chars DESC, comp.node ASC) AS rn "
+            "FROM comp JOIN documents d ON d.doc_id = comp.node) "
+            "SELECT cluster_id, doc_id, CAST(n_chars AS DOUBLE) AS score "
+            "FROM w WHERE rn = 1"
         ),
         "dedup_simhash": _simhash_sql(),
         "text_lang_id": _lang_id_sql(),

@@ -317,6 +317,7 @@ def main() -> None:
         "topk_per_user",
         "cdc_json_envelopes",
         "cdc_predicate_update",
+        "dedup_keep_best",
     ]
     for name in q_list:
         t2 = time.perf_counter()

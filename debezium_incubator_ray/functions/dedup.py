@@ -1321,3 +1321,75 @@ def near_dup_clusters(
         )
 
     return comp.map_batches(add_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def keep_best_per_cluster(
+    docs_ds,
+    score_col: str,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """Quality-aware near-dup dedup: instead of the min-id canonical,
+    keep the HIGHEST-``score_col`` document of every near-dup cluster
+    (ties -> min id) — the production crawl-dedup policy (keep the
+    longest / best-quality capture, drop the rest). Emits one row per
+    cluster: (cluster_id, doc_id, score).
+
+    Scale shape: clusters come from the distributed pair + component
+    machinery; the (doc -> cluster) labeling is dup-graph-sized (a
+    sliver of the corpus, same bound as connected_components' driver
+    cutover) and broadcasts as two sorted arrays, so the corpus streams
+    ONCE to attach labels + scores; the winner per cluster is one
+    group_argmin combiner pass (per-block lexmin of (-score, id), one
+    bucketed fold)."""
+    import ray
+    import ray.data
+    from debezium_incubator_ray.functions.kernels import group_argmin
+
+    pairs = ngram_jaccard_pairs(docs_ds, shingle_k, threshold)
+    comp = connected_components(pairs)
+    rows = comp.take_all()  # dup-graph nodes only — metadata-scale
+    nodes = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    clusters = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(nodes)
+    map_ref = ray.put((nodes[order], clusters[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        n_arr, c_arr = ray.get(map_ref)
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(n_arr) == 0:
+            sel = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(n_arr, ids), len(n_arr) - 1)
+            sel = n_arr[pos] == ids
+        sub = t.filter(pa.array(sel))
+        cl = c_arr[np.minimum(
+            np.searchsorted(n_arr, pc.cast(
+                sub[id_col].combine_chunks(), pa.int64()
+            ).to_numpy(zero_copy_only=False)),
+            max(len(n_arr) - 1, 0),
+        )] if len(n_arr) else np.empty(0, np.int64)
+        return pa.table({
+            "cluster_id": pa.array(cl),
+            "_negscore": pc.multiply(
+                pc.cast(sub[score_col], pa.float64()), -1.0
+            ),
+            id_col: pc.cast(sub[id_col], pa.int64()),
+        })
+
+    labeled = docs_ds.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+    won = group_argmin(labeled, "cluster_id", "_negscore", id_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            id_col: t[id_col],
+            "score": pc.multiply(t["_negscore"], -1.0),
+        })
+
+    return won.map_batches(finish, batch_format="pyarrow")

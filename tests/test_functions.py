@@ -1117,3 +1117,31 @@ def test_gopher_rules_signals_and_edge_docs(ray_session):
     assert out.loc[3, "n_words"] == 1
     assert abs(out.loc[3, "mean_word_len"] - 4.0) < 1e-9
     assert not out.loc[3, "pass_all"]
+
+
+def test_keep_best_per_cluster_planted(ray_session):
+    """Planted near-dup group: the winner is the highest-score member
+    (ties -> min id), and non-clustered docs never appear."""
+    import ray.data
+    from debezium_incubator_ray.functions.dedup import keep_best_per_cluster
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 50], pa.int64()),
+        "text": pa.array([
+            base, base + " iota", base + " iota kappa",
+            "totally different words entirely here now",
+        ]),
+        "score": pa.array([10.0, 30.0, 30.0, 99.0], pa.float64()),
+    })
+    out = (
+        keep_best_per_cluster(
+            ray.data.from_arrow(t).repartition(2), "score",
+            threshold=0.5,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 1
+    assert out["cluster_id"][0] == 1
+    assert out["doc_id"][0] == 2  # score tie 30.0 between 2 and 3 -> min id
+    assert out["score"][0] == 30.0
