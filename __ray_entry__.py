@@ -5408,20 +5408,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM wau JOIN dau ON wau.day = dau.day"
         ),
         "dq_chi2_independence": (
+            # the full r x c grid, INCLUDING zero-observed cells (a zero
+            # cell still contributes E to the statistic) — the engine
+            # pivots with fillna(0), so the oracle must too
             "WITH c AS (SELECT event_type AS a, dayofweek(ts) AS b, "
             "CAST(count(*) AS BIGINT) AS n FROM events "
             "WHERE event_type IS NOT NULL AND ts IS NOT NULL "
             "GROUP BY 1, 2), "
             "rt AS (SELECT a, sum(n) AS rn FROM c GROUP BY a), "
             "ct AS (SELECT b, sum(n) AS cn FROM c GROUP BY b), "
-            "tot AS (SELECT sum(n) AS nn FROM c) "
-            "SELECT round(sum(power(c.n - rt.rn * ct.cn / tot.nn, 2) "
-            "/ (rt.rn * ct.cn / tot.nn)), 6) AS chi2, "
+            "tot AS (SELECT sum(n) AS nn FROM c), "
+            "grid AS (SELECT rt.a, ct.b, rt.rn, ct.cn, "
+            "coalesce(c.n, 0) AS n FROM rt CROSS JOIN ct "
+            "LEFT JOIN c ON c.a = rt.a AND c.b = ct.b) "
+            "SELECT round(sum(power(grid.n - grid.rn * grid.cn / tot.nn, "
+            "2) / (grid.rn * grid.cn / tot.nn)), 6) AS chi2, "
             "CAST((SELECT count(*) FROM rt) - 1 AS BIGINT) * "
             "CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof, "
             "CAST(tot.nn AS BIGINT) AS n "
-            "FROM c JOIN rt USING (a) JOIN ct USING (b), tot "
-            "GROUP BY tot.nn"
+            "FROM grid, tot GROUP BY tot.nn"
         ),
         "text_gopher_rules": (
             "WITH w AS (SELECT doc_id, "

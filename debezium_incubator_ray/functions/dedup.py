@@ -1362,16 +1362,12 @@ def keep_best_per_cluster(
         )
         if len(n_arr) == 0:
             sel = np.zeros(len(ids), dtype=bool)
+            cl = np.empty(0, np.int64)
         else:
             pos = np.minimum(np.searchsorted(n_arr, ids), len(n_arr) - 1)
             sel = n_arr[pos] == ids
+            cl = c_arr[pos[sel]]  # positions already found — reuse
         sub = t.filter(pa.array(sel))
-        cl = c_arr[np.minimum(
-            np.searchsorted(n_arr, pc.cast(
-                sub[id_col].combine_chunks(), pa.int64()
-            ).to_numpy(zero_copy_only=False)),
-            max(len(n_arr) - 1, 0),
-        )] if len(n_arr) else np.empty(0, np.int64)
         return pa.table({
             "cluster_id": pa.array(cl),
             "_negscore": pc.multiply(

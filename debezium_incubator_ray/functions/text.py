@@ -1219,6 +1219,9 @@ def gopher_rules(
     block."""
 
     def f(t: pa.Table) -> pa.Table:
+        # NULL text has no tokens: drop the row (matches the SQL oracle,
+        # where unnest of a NULL split emits nothing)
+        t = t.filter(pc.is_valid(t[text_col]))
         txt = pc.cast(t[text_col].combine_chunks(), pa.string())
         ids = t[id_col].combine_chunks()
         words = pc.split_pattern(txt, " ")

@@ -118,9 +118,20 @@ def write_debezium_jsonl(env: pa.Table, out_dir: str,
             import json as _json
 
             rows = chunk.to_pylist()
+
+            def _finite(v):
+                # bare NaN/Infinity tokens are not JSON; the C++ reader
+                # rejects them — write null instead (Debezium does the
+                # same through the Connect JSON converter)
+                if isinstance(v, float) and not np.isfinite(v):
+                    return None
+                if isinstance(v, dict):
+                    return {k2: _finite(x) for k2, x in v.items()}
+                return v
+
             with open(os.path.join(pdir, f"seg-{k:05d}.jsonl"), "w") as f:
                 for r in rows:
-                    f.write(_json.dumps(r, separators=(",", ":")))
+                    f.write(_json.dumps(_finite(r), separators=(",", ":")))
                     f.write("\n")
             n_shards += 1
     return n_shards

@@ -1015,7 +1015,13 @@ class RowUpdater:
         self.inner = PartitionApplier(manifest_doc, lake_dir, target_rows_per_file)
         self.predicate = predicate
         self.updates = updates
-        self.zone = zone
+        # zone bounds must round-trip through stats_value (temporals are
+        # recorded as ISO strings; comparing a datetime against them
+        # would raise) — same contract as CdcEngine.scan
+        self.zone = (
+            (zone[0], stats_value(zone[1]), stats_value(zone[2]))
+            if zone is not None else None
+        )
 
     def _scrub(self, p: int, files: List[Dict], prefix: str):
         updated = {"n": 0}

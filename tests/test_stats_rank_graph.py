@@ -798,3 +798,18 @@ def test_chi2_excludes_nulls():
     })
     out = chi2_independence(ray.data.from_arrow(t), "a", "b").to_pandas()
     assert out["n"][0] == 4
+
+
+def test_chi2_includes_zero_observed_cells():
+    from debezium_incubator_ray.functions.stats import chi2_independence
+
+    # (x, 2) never occurs: the zero cell must still contribute E
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y", "y", "y"]),
+        "b": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+    })
+    out = chi2_independence(ray.data.from_arrow(t), "a", "b").to_pandas()
+    piv = np.array([[2.0, 0.0], [1.0, 3.0]])
+    e = np.outer(piv.sum(1), piv.sum(0)) / piv.sum()
+    chi2 = (((piv - e) ** 2) / e).sum()
+    assert abs(out["chi2"][0] - round(chi2, 6)) < 1e-9
