@@ -983,3 +983,45 @@ def test_update_rows_zone_pruning_and_invariants(tmp_path):
     with pytest.raises(RuntimeError, match="partial"):
         eng.update_rows(lambda t: pc.equal(t["lang"], "en"),
                         {"text": lambda t: t["text"]})
+
+
+def test_update_rows_temporal_zone_bounds(tmp_path):
+    """zone=(col, lo, hi) with a TEMPORAL stats column: bounds round-trip
+    through the ISO zone-map encoding — a disjoint bound updates nothing
+    (runs skipped unread), a covering bound behaves like no zone."""
+    import datetime
+
+    spec = gen.BinlogSpec(
+        n_events=800, n_initial=100, seg_rows=256,
+        num_partitions=2, seed=43,
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=2, stats_columns=("warc_ts",)),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    before = eng.lake_table(include_lsn=True)
+
+    far_future = datetime.datetime(2100, 1, 1)
+    st0 = eng.update_rows(
+        lambda t: pc.is_valid(t["url"]),
+        {"lang": lambda t: pa.array(["zz"] * t.num_rows)},
+        zone=("warc_ts", far_future, datetime.datetime(2101, 1, 1)),
+    )
+    assert st0["updated_rows"] == 0
+    assert_tables_equal(eng.lake_table(include_lsn=True), before,
+                        sort_by="url")
+
+    st1 = eng.update_rows(
+        lambda t: pc.is_valid(t["url"]),
+        {"lang": lambda t: pa.array(["zz"] * t.num_rows)},
+        zone=("warc_ts", datetime.datetime(1970, 1, 1), far_future),
+    )
+    assert st1["updated_rows"] == before.num_rows
+    assert set(eng.lake_table()["lang"].to_pylist()) == {"zz"}
