@@ -3737,6 +3737,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_ewma(ev, "user_id", "event_id", "value", alpha=0.2)
 
+    def stats_dense_rank(sf_dir):
+        """DENSE_RANK of every order's total price without a global
+        sort: per-bucket DISTINCT counts (shuffle bounded by distinct
+        values, not rows) give the dense offsets, then the standard
+        value-bucket shuffle dense-ranks in place."""
+        import ray.data
+        from debezium_incubator_ray.functions.rank import global_dense_rank
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        return global_dense_rank(orders, "o_totalprice")
+
     def stats_percent_rank(sf_dir):
         """PERCENT_RANK of every order's total price without a global
         sort: equi-width value buckets give cross-bucket order for free;
@@ -4905,6 +4919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": events_first_touch,
         "events_ewma": events_ewma,
         "stats_percent_rank": stats_percent_rank,
+        "stats_dense_rank": stats_dense_rank,
         "dq_outliers_mad": dq_outliers_mad,
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
@@ -6471,6 +6486,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice, "
             "PERCENT_RANK() OVER (ORDER BY o_totalprice) AS pr "
             "FROM orders WHERE o_totalprice IS NOT NULL"
+        ),
+        "stats_dense_rank": (
+            "SELECT o_orderkey, o_totalprice, "
+            "CAST(dense_rank() OVER (ORDER BY o_totalprice) AS BIGINT) "
+            "AS dr FROM orders WHERE o_totalprice IS NOT NULL"
         ),
         "dq_outliers_mad": (
             # DuckDB median(DOUBLE) is interpolated == numpy linear

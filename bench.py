@@ -318,6 +318,7 @@ def main() -> None:
         "cdc_json_envelopes",
         "cdc_predicate_update",
         "dedup_keep_best",
+        "stats_dense_rank",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -319,3 +319,59 @@ def grouped_percent_rank(ds, group_col: str, value_col: str,
         .groupby("_b")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+def global_dense_rank(ds, value_col: str, n_buckets: int = 4096):
+    """Append ``dr`` = SQL DENSE_RANK() OVER (ORDER BY value_col) — no
+    global sort. Two bucket passes: (1) block-local distinct values fold
+    into a per-bucket DISTINCT count (the shuffle carries distinct
+    (bucket, value) pairs, bounded by the distinct-value count, not the
+    row count) whose running sum gives every bucket its dense offset;
+    (2) the standard value-bucket shuffle, where each bucket dense-ranks
+    its own rows against its sorted distinct values. NULL/NaN rows are
+    dropped (same contract as the rest of the rank family)."""
+    h = _BucketHist(ds, value_col, n_buckets)
+    drop = h._drop
+    bucket_of = h.bucket_of
+
+    def ddist_partial(t: pa.Table) -> pa.Table:
+        t = drop(t, value_col)
+        v = np.unique(
+            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "_vb": pa.array(bucket_of(v).astype(np.int64)),
+            "v": pa.array(v),
+        })
+
+    def ddist_count(g: pa.Table) -> pa.Table:
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_vb": g["_vb"].slice(0, 1),
+            "nd": pa.array([int(len(np.unique(v)))], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(ddist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_vb")
+        .map_groups(ddist_count, batch_format="pyarrow")
+        .take_all()
+    )  # one row per non-empty bucket
+    nd = np.zeros(h.n_buckets, np.int64)
+    for r in rows:
+        nd[int(r["_vb"])] = int(r["nd"])
+    below_d = np.cumsum(nd) - nd
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["_vb"][0].as_py())
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        uq = np.unique(v)
+        dr = below_d[b] + np.searchsorted(uq, v) + 1
+        return g.drop_columns(["_vb"]).append_column("dr", pa.array(dr))
+
+    return (
+        ds.map_batches(h.tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_vb")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )

@@ -813,3 +813,27 @@ def test_chi2_includes_zero_observed_cells():
     e = np.outer(piv.sum(1), piv.sum(0)) / piv.sum()
     chi2 = (((piv - e) ** 2) / e).sum()
     assert abs(out["chi2"][0] - round(chi2, 6)) < 1e-9
+
+
+def test_global_dense_rank_matches_pandas(valued_ds):
+    import pandas as pd
+
+    from debezium_incubator_ray.functions.rank import global_dense_rank
+
+    vals, ids, ds = valued_ds
+    # inject duplicates so dense != row_number: round to 1 decimal
+    t = pa.table({
+        "id": pa.array(ids),
+        "v": pa.array(np.round(vals, 1)),
+    })
+    out = (
+        global_dense_rank(
+            ray.data.from_arrow(t).repartition(6), "v", n_buckets=8
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    df = pd.DataFrame({"id": ids, "v": np.round(vals, 1)}).sort_values(
+        "id"
+    ).reset_index(drop=True)
+    exp = df["v"].rank(method="dense").astype(int)
+    assert list(out["dr"]) == list(exp)
