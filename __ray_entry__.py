@@ -2762,6 +2762,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select(["query_id", "vec_id", "rank"])
 
+    def ann_recall_eval(sf_dir):
+        """Retrieval-quality monitoring: recall@5 of the LSH index
+        against exact brute force, per query and overall — the eval
+        operator a production ANN deployment runs continuously. Both
+        retrievals are the engine's own distributed paths; the join +
+        recall fold is metadata-sized (k rows per query)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.ann import (
+            _batch_matrix, brute_force_topk, lsh_topk,
+        )
+
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.less(qt["vec_id"], 10))
+        Q = _batch_matrix(qt)
+        qids = qt["vec_id"].to_numpy()
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        exact = brute_force_topk(ds, qids, Q, k=5).to_pandas()
+        approx = lsh_topk(
+            ds, qids, Q, dim=Q.shape[1], k=5, n_planes=4,
+            axis_aligned=True,
+        ).to_pandas()
+        hit = exact.merge(
+            approx, on=["query_id", "vec_id"], how="inner"
+        ).groupby("query_id").size()
+        per_q = pd.DataFrame({
+            "query_id": np.sort(qids),
+        })
+        per_q["n_hits"] = per_q["query_id"].map(hit).fillna(0).astype(
+            "int64"
+        )
+        per_q["recall_at_5"] = (per_q["n_hits"] / 5.0).round(6)
+        return per_q
+
     def ann_ivf_topk(sf_dir):
         """IVF ANN: corpus assigned to nearest of 8 deterministic centroids
         (the first 8 vectors — reproducible cross-engine; swap in k-means
@@ -4879,6 +4919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_language_mix": sample_language_mix,
         "ann_brute_topk": ann_brute_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_recall_eval": ann_recall_eval,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_kmeans": embedding_kmeans,
         "multimodal_meta": multimodal_meta,
@@ -5704,6 +5745,35 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank "
             "FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "ann_recall_eval": (
+            "WITH sig AS (SELECT vec_id, embedding, "
+            "CAST(embedding[1] > 0 AS INT) + CAST(embedding[2] > 0 AS INT) * 2 + "
+            "CAST(embedding[3] > 0 AS INT) * 4 + CAST(embedding[4] > 0 AS INT) * 8 "
+            "AS bkt FROM embeddings), "
+            "q AS (SELECT * FROM sig WHERE vec_id < 10), "
+            "bs AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "b AS (SELECT query_id, vec_id FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) "
+            "AS rank FROM bs) WHERE rank <= 5), "
+            "ls AS (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS score "
+            "FROM q JOIN sig e ON q.bkt = e.bkt), "
+            "l AS (SELECT query_id, vec_id FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) "
+            "AS rank FROM ls) WHERE rank <= 5), "
+            "h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM b JOIN l ON b.query_id = l.query_id "
+            "AND b.vec_id = l.vec_id GROUP BY 1) "
+            "SELECT qq.vec_id AS query_id, "
+            "coalesce(h.n, 0) AS n_hits, "
+            "round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5 "
+            "FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) qq "
+            "LEFT JOIN h ON h.query_id = qq.vec_id"
         ),
         "ann_lsh_topk": (
             "WITH sig AS (SELECT vec_id, embedding, "

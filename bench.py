@@ -319,6 +319,7 @@ def main() -> None:
         "cdc_predicate_update",
         "dedup_keep_best",
         "stats_dense_rank",
+        "ann_recall_eval",
     ]
     for name in q_list:
         t2 = time.perf_counter()
