@@ -1181,6 +1181,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(ratio, batch_format="pyarrow")
 
+    def stats_spearman(sf_dir):
+        """Spearman rank correlation of lineitem quantity vs discount:
+        tie-average rank maps fold from distinct-value counts (shuffle
+        + broadcast bounded by the distinct count, not rows), one
+        streaming Pearson-moment pass."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import spearman_corr
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_discount"],
+        )
+        return spearman_corr(li, "l_quantity", "l_discount")
+
     def dq_chi2_independence(sf_dir):
         """Chi-square independence screen: is event_type independent of
         day-of-week? One streaming pass of per-block contingency partials
@@ -4849,6 +4863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_distinct": events_rolling_distinct,
         "events_stickiness": events_stickiness,
         "dq_chi2_independence": dq_chi2_independence,
+        "stats_spearman": stats_spearman,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
         "text_gopher_rules": text_gopher_rules,
@@ -5462,6 +5477,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT wau.day AS day, dau.dau, wau.wau, "
             "round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
             "FROM wau JOIN dau ON wau.day = dau.day"
+        ),
+        "stats_spearman": (
+            # tie-average ranks: rank() (min rank) + (tie count - 1)/2
+            "WITH r AS (SELECT "
+            "rank() OVER (ORDER BY l_quantity) "
+            "+ (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra, "
+            "rank() OVER (ORDER BY l_discount) "
+            "+ (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rb "
+            "FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
+            "SELECT round(corr(ra, rb), 6) AS spearman, "
+            "CAST(count(*) AS BIGINT) AS n FROM r"
         ),
         "dq_chi2_independence": (
             # the full r x c grid, INCLUDING zero-observed cells (a zero

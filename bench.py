@@ -320,6 +320,7 @@ def main() -> None:
         "dedup_keep_best",
         "stats_dense_rank",
         "ann_recall_eval",
+        "stats_spearman",
     ]
     for name in q_list:
         t2 = time.perf_counter()

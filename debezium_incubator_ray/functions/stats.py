@@ -489,3 +489,90 @@ def chi2_independence(ds, a_col: str, b_col: str):
         "dof": pa.array([dof], pa.int64()),
         "n": pa.array([int(n)], pa.int64()),
     })
+
+
+def spearman_corr(ds, col_a: str, col_b: str):
+    """Spearman rank correlation between two numeric columns in two
+    passes: (1) per-column distinct-value COUNTS fold through per-block
+    partials into a tie-average rank map (avg_rank = rows_below +
+    (count + 1) / 2 — the shuffle and the broadcast are bounded by the
+    DISTINCT value count, so this is the path for discrete/bucketed
+    measures; for continuous columns switch to the bucket-shuffle rank
+    machinery in functions/rank.py); (2) one streaming pass maps rows
+    to rank pairs and folds Pearson moment sums (rows where either side
+    is NULL are excluded, like SQL corr; ranks are computed over the
+    PAIRWISE-complete rows — both sides non-null — so a null in one
+    column drops the row from the other column's ranking too, matching
+    the SQL oracle's WHERE-before-rank). Returns one row:
+    (spearman, n)."""
+    import ray
+
+    def rank_map(col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            both = pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
+            a = t[col].combine_chunks().filter(both.combine_chunks())
+            vc = a.value_counts()
+            return pa.table({
+                "v": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # one row per DISTINCT value
+        vals = np.array([r["v"] for r in rows], dtype=np.float64)
+        cnts = np.array([r["n"] for r in rows], dtype=np.float64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        below = np.cumsum(cnts) - cnts
+        avg_rank = below + (cnts + 1.0) / 2.0
+        return ray.put((vals, avg_rank))
+
+    ref_a, ref_b = rank_map(col_a), rank_map(col_b)
+
+    def moments(t: pa.Table) -> pa.Table:
+        va_r, ra_r = ray.get(ref_a)
+        vb_r, rb_r = ray.get(ref_b)
+        a = t[col_a].combine_chunks()
+        b = t[col_b].combine_chunks()
+        keep = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        x = pc.cast(a.filter(keep), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = pc.cast(b.filter(keep), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        rx = ra_r[np.searchsorted(va_r, x)]
+        ry = rb_r[np.searchsorted(vb_r, y)]
+        return pa.table({
+            "n": pa.array([float(len(rx))]),
+            "sx": pa.array([rx.sum()]),
+            "sy": pa.array([ry.sum()]),
+            "sxx": pa.array([(rx * rx).sum()]),
+            "syy": pa.array([(ry * ry).sum()]),
+            "sxy": pa.array([(rx * ry).sum()]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+    n = agg["n"]
+    cov = agg["sxy"] - agg["sx"] * agg["sy"] / n
+    vx = agg["sxx"] - agg["sx"] ** 2 / n
+    vy = agg["syy"] - agg["sy"] ** 2 / n
+    rho = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+    return pa.table({
+        "spearman": pa.array([round(float(rho), 6)], pa.float64()),
+        "n": pa.array([int(n)], pa.int64()),
+    })

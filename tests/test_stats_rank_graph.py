@@ -837,3 +837,26 @@ def test_global_dense_rank_matches_pandas(valued_ds):
     ).reset_index(drop=True)
     exp = df["v"].rank(method="dense").astype(int)
     assert list(out["dr"]) == list(exp)
+
+
+def test_spearman_matches_scipy_formula():
+    from debezium_incubator_ray.functions.stats import spearman_corr
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 20, 800).astype(float)  # heavy ties
+    y = x * 2 + rng.normal(0, 5, 800)
+    y[::7] = np.nan  # NaN pairs excluded? NULLs are; use None instead
+    xa = pa.array(x)
+    ya = pa.array([None if np.isnan(v) else float(v) for v in y])
+    t = pa.table({"a": xa, "b": ya})
+    out = spearman_corr(
+        ray.data.from_arrow(t).repartition(5), "a", "b"
+    ).to_pandas()
+    # manual tie-average-rank spearman over the non-null pairs
+    import pandas as pd
+    df = pd.DataFrame({"a": x, "b": [None if np.isnan(v) else v for v in y]}).dropna()
+    ra = df["a"].rank(method="average")
+    rb = df["b"].rank(method="average")
+    want = np.corrcoef(ra, rb)[0, 1]
+    assert abs(out["spearman"][0] - round(want, 6)) < 2e-6
+    assert out["n"][0] == len(df)
