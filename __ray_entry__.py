@@ -309,6 +309,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_merge_into(sf_dir):
+        """SQL MERGE INTO as a synthetic aligned epoch: after the stream
+        applies, (1) merge a one-shot source of every user_id % 3 == 0 up
+        to max(user_id)+100 — matched rows are fully replaced
+        (event_type='merged', value=user_id*0.5; omitted payload columns
+        go NULL), unmatched rows insert; then (2) merge a key-only
+        delete source (user_id % 7 == 0) — matched rows delete,
+        unmatched skip. Each merge is stamped strictly above every
+        watermark on its own offset channel ("_merge"), so exactly-once,
+        LWW and time travel hold; only the small SOURCE shuffles, the
+        lake never moves."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("merge")
+        binlog = os.path.join(root, "binlog")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(os.path.join(root, "lake"))
+        eng.run(binlog)
+        maxu = pc.max(
+            pq.read_table(
+                os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+            )["user_id"]
+        ).as_py()
+        uids = np.arange(0, maxu + 101, dtype=np.int64)
+        m3 = uids[uids % 3 == 0]
+        st1 = eng.merge_into(pa.table({
+            "user_id": pa.array(m3),
+            "event_type": pa.array(["merged"] * len(m3), pa.string()),
+            "value": pa.array(m3 * 0.5, pa.float64()),
+        }))
+        assert st1["updated"] > 0 and st1["inserted"] > 0, st1
+        st2 = eng.merge_into(
+            pa.table({"user_id": pa.array(uids[uids % 7 == 0])}),
+            when_matched="delete", when_not_matched="skip",
+        )
+        assert st2["deleted"] > 0 and st2["skipped"] > 0, st2
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_json_envelopes(sf_dir):
         """Debezium wire-format interop: the change stream round-trips
         through JSON envelope lines ({"op","before","after","source",
@@ -4834,6 +4881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lake_clone": cdc_lake_clone,
         "cdc_json_envelopes": cdc_json_envelopes,
         "cdc_predicate_update": cdc_predicate_update,
+        "cdc_merge_into": cdc_merge_into,
         "cdc_tombstones": cdc_tombstones,
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
@@ -5174,6 +5222,27 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN event_type = 'error' THEN value * 1.1 ELSE value END "
         "AS value, props, lsn "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_merge_into": _LWW
+        + (
+            # merge 1: upsert every user_id%3==0 up to max+100 (full-row
+            # replace at lsn = COUNT(events), the first free LSN above all
+            # watermarks); merge 2: delete matched user_id%7==0
+            ", state AS ("
+            f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'), "
+            "src AS (SELECT unnest(generate_series(0, "
+            "(SELECT MAX(user_id) + 100 FROM events), 3)) AS user_id) "
+            "SELECT COALESCE(t.user_id, s.user_id) AS user_id, "
+            "CASE WHEN s.user_id IS NULL THEN t.ts END AS ts, "
+            "CASE WHEN s.user_id IS NULL THEN t.event_type "
+            "ELSE 'merged' END AS event_type, "
+            "CASE WHEN s.user_id IS NULL THEN t.value "
+            "ELSE s.user_id * 0.5 END AS value, "
+            "CASE WHEN s.user_id IS NULL THEN t.props END AS props, "
+            "CASE WHEN s.user_id IS NULL THEN t.lsn "
+            "ELSE (SELECT COUNT(*) FROM events) END AS lsn "
+            "FROM state t FULL OUTER JOIN src s ON t.user_id = s.user_id "
+            "WHERE COALESCE(t.user_id, s.user_id) % 7 <> 0"
+        ),
         "cdc_error_quarantine": (
             # p=3/seg-00000 (the first 4096 events of partition
             # user_id % 8 = 3, segments are LSN-ordered) is corrupted and

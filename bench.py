@@ -321,6 +321,7 @@ def main() -> None:
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
+        "cdc_merge_into",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -24,10 +24,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import time
 import weakref
 from typing import Any, Dict, List, Optional, Union
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1444,6 +1446,224 @@ class CdcEngine:
         return {
             "updated_rows": n_updated,
             "partitions": self.cfg.num_partitions,
+            "seconds": round(time.perf_counter() - t0, 4),
+        }
+
+    def merge_into(
+        self,
+        source,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> Dict[str, Any]:
+        """SQL ``MERGE INTO`` / Delta-style conditional upsert from an
+        arbitrary dataset, expressed as ONE synthetic partition-aligned
+        epoch so exactly-once, lineage, time travel and replay semantics
+        all hold for merges exactly as they do for the change stream.
+
+        ``source`` (ray Dataset or pyarrow Table) must carry the key
+        column plus any subset of payload columns; each source row is
+        classified against the LIVE lake state of its partition:
+
+        - matched (key exists live): ``when_matched`` = "update" emits a
+          full-row 'u' (absent payload columns become their default/NULL —
+          LWW replaces the whole row; on a ``merge_mode='partial'`` lake
+          only the provided columns patch), "delete" emits 'd', "skip"
+          drops the row;
+        - not matched: ``when_not_matched`` = "insert" emits 'c', "skip"
+          drops the row.
+
+        The merge is stamped at LSN = max(all partition watermarks,
+        every channel) + 1 and applied on its own offset channel
+        ("_merge"), so it wins the per-key LWW fold against everything
+        applied so far, while stream events with higher LSNs still
+        legally overwrite it later. Duplicate keys in ``source`` raise
+        (ANSI MERGE: a target row may be touched at most once).
+
+        Distributed shape: the SOURCE (small side) shuffles once by
+        key-hash into lake partitions; one task per touched partition
+        probes live keys (key column only, pruned read), builds envelope
+        segments, and the normal aligned apply does the copy-on-write
+        merge. The lake itself never moves. Counter lakes refuse ('u'
+        SUMS there — "update" would add, not replace); composite-PK
+        lakes refuse (source-side _key routing not wired).
+
+        The reference reaches merged state only by replaying a change
+        stream through the same envelope machinery
+        (RecordMaker.java:36-58); this is that path, driven from a
+        one-shot dataset.
+        """
+        if when_matched not in ("update", "delete", "skip"):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", "skip"):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        if when_matched == "skip" and when_not_matched == "skip":
+            raise ValueError("merge_into with both actions 'skip' is a no-op")
+        if self.cfg.counter_cols:
+            raise RuntimeError(
+                "merge_into on a counter lake would SUM updates instead of "
+                "replacing rows; apply deltas through the stream instead"
+            )
+        if self.cfg.key_cols:
+            raise NotImplementedError(
+                "merge_into over composite primary keys is not wired yet"
+            )
+        from debezium_incubator_ray.envelope import build_envelopes
+
+        self._acquire_lock()
+        t0 = time.perf_counter()
+        self.flush()
+        if isinstance(source, pa.Table):
+            source = ray.data.from_arrow(source)
+        key = self.cfg.key
+        P = self.cfg.num_partitions
+        schema = S.schema_from_b64(self.manifest.doc["schemas"][-1]["schema"])
+        src_names = source.schema().names
+        if key not in src_names:
+            raise ValueError(f"source lacks the key column {key!r}")
+        unknown = [c for c in src_names if c not in schema.names]
+        if unknown:
+            raise ValueError(f"source columns not in the lake schema: {unknown}")
+        # payload columns the source provides, in lake-schema order —
+        # absent columns are OMITTED from the envelope struct so normalize
+        # backfills their defaults (or NULL), same as an old-writer event
+        provided = [f.name for f in schema if f.name in set(src_names)]
+        env_schema = pa.schema([schema.field(c) for c in provided])
+        # the merge LSN: strictly above every applied LSN on every channel
+        base_lsn = 0
+        for p in range(P):
+            ent = self.manifest.doc["partitions"][str(p)]
+            base_lsn = max(base_lsn, ent["watermark"] + 1)
+            for wm in ent.get("watermarks", {}).values():
+                base_lsn = max(base_lsn, wm + 1)
+        # per-partition segment numbering continues across merges (the
+        # "_merge" channel's done-set stores relpaths; a reused name would
+        # be treated as already applied)
+        done = list(
+            self.manifest.doc.get("segments_done_by_source", {}).get(
+                "_merge", []
+            )
+        )
+        next_seg = {
+            p: sum(1 for s in done if s.startswith(f"p={p}/")) for p in range(P)
+        }
+        tmp = tempfile.mkdtemp(prefix="dbzray-merge-", dir="/tmp")
+        doc = self.manifest.doc
+        lake_dir = self.lake_dir
+        defaults = doc["defaults"]
+        schema_version = doc["schemas"][-1]["version"]
+        table_name = self.cfg.table
+        partitioner = self.cfg.partitioner
+
+        def add_part(t: pa.Table) -> pa.Table:
+            from debezium_incubator_ray.hashing import partition_ids
+
+            return t.append_column(
+                "_part", pa.array(partition_ids(t[key], P, partitioner))
+            )
+
+        def build_one(g: pa.Table) -> pa.Table:
+            from debezium_incubator_ray.stages.apply import read_partition_state
+
+            p = int(g["_part"][0].as_py())
+            keys = g[key].combine_chunks()
+            if pc.count_distinct(keys).as_py() != len(keys):
+                raise ValueError(
+                    "merge_into source holds duplicate keys (ANSI MERGE: "
+                    "each target row may be touched at most once)"
+                )
+            live = read_partition_state(
+                doc["partitions"][str(p)], lake_dir, schema, defaults,
+                schema_version, key, columns=[key],
+            )
+            matched = pc.is_in(keys, value_set=live[key].combine_chunks())
+            n_match = int(pc.sum(pc.cast(matched, pa.int64())).as_py() or 0)
+            ops = np.where(
+                matched.to_numpy(zero_copy_only=False),
+                {"update": "u", "delete": "d", "skip": ""}[when_matched],
+                {"insert": "c", "skip": ""}[when_not_matched],
+            )
+            keep = ops != ""
+            out = {
+                "_part": pa.array([p], pa.int32()),
+                "matched": pa.array([n_match], pa.int64()),
+                "updated": pa.array(
+                    [n_match if when_matched == "update" else 0], pa.int64()
+                ),
+                "deleted": pa.array(
+                    [n_match if when_matched == "delete" else 0], pa.int64()
+                ),
+                "inserted": pa.array(
+                    [int(len(g)) - n_match
+                     if when_not_matched == "insert" else 0],
+                    pa.int64(),
+                ),
+                "skipped": pa.array([int((~keep).sum())], pa.int64()),
+            }
+            g = g.filter(pa.array(keep))
+            ops = ops[keep]
+            after = pa.table(
+                {c: pc.cast(g[c].combine_chunks(), env_schema.field(c).type)
+                 for c in provided},
+                schema=env_schema,
+            )
+            # before image: key-only (deletes extract their key from it;
+            # the true prior image is unknown to a one-shot merge)
+            before = pa.table(
+                {c: after[c] if c == key
+                 else pa.nulls(len(after), env_schema.field(c).type)
+                 for c in provided},
+                schema=env_schema,
+            )
+            env = build_envelopes(
+                pa.array(ops, pa.string()), after, before,
+                np.full(len(after), p, dtype=np.int32),
+                np.full(len(after), base_lsn, dtype=np.int64),
+                table_name,
+            )
+            pdir = os.path.join(tmp, f"p={p}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                env, os.path.join(pdir, f"seg-{next_seg[p]:05d}.parquet")
+            )
+            return pa.table(out)
+
+        counts = (
+            source.map_batches(
+                add_part, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_part")
+            .map_groups(build_one, batch_format="pyarrow")
+            .take_all()
+        )
+        # alignment requires every p= dir present: empty segments for
+        # partitions the source never touched
+        touched = {int(c["_part"]) for c in counts}
+        empty_env = build_envelopes(
+            pa.array([], pa.string()),
+            env_schema.empty_table(),
+            env_schema.empty_table(),
+            np.array([], dtype=np.int32),
+            np.array([], dtype=np.int64),
+            table_name,
+        )
+        for p in range(P):
+            if p not in touched:
+                pdir = os.path.join(tmp, f"p={p}")
+                os.makedirs(pdir, exist_ok=True)
+                pq.write_table(
+                    empty_env,
+                    os.path.join(pdir, f"seg-{next_seg[p]:05d}.parquet"),
+                )
+        res = self.apply_epoch(tmp, source="_merge")
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "matched": sum(c["matched"] for c in counts),
+            "updated": sum(c["updated"] for c in counts),
+            "deleted": sum(c["deleted"] for c in counts),
+            "inserted": sum(c["inserted"] for c in counts),
+            "skipped": sum(c["skipped"] for c in counts),
+            "lsn": base_lsn,
+            "applied": res.get("applied", 0),
             "seconds": round(time.perf_counter() - t0, 4),
         }
 

