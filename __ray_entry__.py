@@ -1242,6 +1242,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spearman_corr(li, "l_quantity", "l_discount")
 
+    def stats_ks_test(sf_dir):
+        """Two-sample Kolmogorov-Smirnov: does l_quantity distribute the
+        same for open ('O') vs fulfilled ('F') line items? Per-block
+        distinct-value count partials, one narrow groupby, driver finish
+        bounded by the distinct count (50 quantities)."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import ks_two_sample
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_linestatus"],
+        )
+        return ks_two_sample(li, "l_quantity", "l_linestatus", "O", "F")
+
     def dq_chi2_independence(sf_dir):
         """Chi-square independence screen: is event_type independent of
         day-of-week? One streaming pass of per-block contingency partials
@@ -4912,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": events_stickiness,
         "dq_chi2_independence": dq_chi2_independence,
         "stats_spearman": stats_spearman,
+        "stats_ks_test": stats_ks_test,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
         "text_gopher_rules": text_gopher_rules,
@@ -5558,6 +5573,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
             "SELECT round(corr(ra, rb), 6) AS spearman, "
             "CAST(count(*) AS BIGINT) AS n FROM r"
+        ),
+        "stats_ks_test": (
+            "WITH s AS (SELECT l_quantity AS v, l_linestatus AS g "
+            "FROM lineitem WHERE l_linestatus IN ('O','F') "
+            "AND l_quantity IS NOT NULL), "
+            "vals AS (SELECT v, "
+            "SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS cb "
+            "FROM s GROUP BY v), "
+            "cum AS (SELECT "
+            "CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) "
+            "/ (SELECT CAST(SUM(ca) AS DOUBLE) FROM vals) AS fa, "
+            "CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) "
+            "/ (SELECT CAST(SUM(cb) AS DOUBLE) FROM vals) AS fb "
+            "FROM vals) "
+            "SELECT round(MAX(ABS(fa - fb)), 6) AS ks_d, "
+            "(SELECT CAST(SUM(ca) AS BIGINT) FROM vals) AS n_a, "
+            "(SELECT CAST(SUM(cb) AS BIGINT) FROM vals) AS n_b FROM cum"
         ),
         "dq_chi2_independence": (
             # the full r x c grid, INCLUDING zero-observed cells (a zero

@@ -322,6 +322,7 @@ def main() -> None:
         "ann_recall_eval",
         "stats_spearman",
         "cdc_merge_into",
+        "stats_ks_test",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -576,3 +576,63 @@ def spearman_corr(ds, col_a: str, col_b: str):
         "spearman": pa.array([round(float(rho), 6)], pa.float64()),
         "n": pa.array([int(n)], pa.int64()),
     })
+
+
+def ks_two_sample(ds, value_col: str, group_col: str, group_a, group_b):
+    """Two-sample Kolmogorov-Smirnov statistic D = max |F_a(v) - F_b(v)|
+    between the empirical CDFs of ``value_col`` restricted to the two
+    ``group_col`` populations. One vectorized pass reduces each block to
+    per-distinct-value counts for both groups; one narrow groupby folds
+    them; the driver finishes over the DISTINCT values only (sort +
+    integer cumsum) — the shuffle and the driver's working set are
+    bounded by the distinct-value count, not the row count (for
+    continuous columns pre-bucket the measure, same as
+    :func:`spearman_corr`). NULL values and rows outside the two groups
+    are excluded. Returns one row: (ks_d, n_a, n_b)."""
+    groups = pa.array([group_a, group_b])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks()
+        g = t[group_col].combine_chunks()
+        keep = pc.and_(pc.is_valid(v), pc.is_in(g, value_set=groups))
+        v, g = v.filter(keep), g.filter(keep)
+        out = {"v": [], "ca": [], "cb": []}
+        for name, is_a in ((group_a, True), (group_b, False)):
+            vc = v.filter(pc.equal(g, name)).value_counts()
+            n = len(vc)
+            out["v"].append(vc.field("values"))
+            cnt = pc.cast(vc.field("counts"), pa.int64())
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            out["ca"].append(cnt if is_a else zero)
+            out["cb"].append(zero if is_a else cnt)
+        return pa.table({
+            "v": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out["v"]]),
+            "ca": pa.concat_arrays(out["ca"]),
+            "cb": pa.concat_arrays(out["cb"]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("ca", alias_name="ca"), Sum("cb", alias_name="cb"))
+        .take_all()
+    )
+    vals = np.array([float(r["v"]) for r in rows])
+    ca = np.array([r["ca"] for r in rows], dtype=np.int64)
+    cb = np.array([r["cb"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals)
+    ca, cb = ca[order], cb[order]
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        d = float("nan")
+    else:
+        fa = np.cumsum(ca) / float(n_a)
+        fb = np.cumsum(cb) / float(n_b)
+        d = float(np.abs(fa - fb).max())
+    return pa.table({
+        "ks_d": pa.array([round(d, 6)], pa.float64()),
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+    })

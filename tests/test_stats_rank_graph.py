@@ -860,3 +860,29 @@ def test_spearman_matches_scipy_formula():
     want = np.corrcoef(ra, rb)[0, 1]
     assert abs(out["spearman"][0] - round(want, 6)) < 2e-6
     assert out["n"][0] == len(df)
+
+
+def test_ks_two_sample_matches_manual():
+    from debezium_incubator_ray.functions.stats import ks_two_sample
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([
+        rng.integers(0, 30, 500).astype(float),        # group x
+        rng.integers(5, 40, 700).astype(float),        # group y (shifted)
+    ])
+    g = np.array(["x"] * 500 + ["y"] * 700)
+    # noise rows outside both groups + a NULL value must be ignored
+    t = pa.table({
+        "v": pa.array(list(v) + [1.0, None]),
+        "g": pa.array(list(g) + ["z", "x"]),
+    })
+    out = ks_two_sample(
+        ray.data.from_arrow(t).repartition(4), "v", "g", "x", "y"
+    ).to_pandas()
+    xs, ys = np.sort(v[:500]), np.sort(v[500:])
+    grid = np.unique(v)
+    fa = np.searchsorted(xs, grid, side="right") / 500.0
+    fb = np.searchsorted(ys, grid, side="right") / 700.0
+    want = np.abs(fa - fb).max()
+    assert abs(out["ks_d"][0] - round(want, 6)) < 2e-6
+    assert out["n_a"][0] == 500 and out["n_b"][0] == 700
