@@ -1256,6 +1256,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(li, "l_quantity", "l_linestatus", "O", "F")
 
+    def events_autocorr(sf_dir):
+        """Is event volume periodic? Lag-{1,2,3,7} autocorrelation of
+        the daily event-count series — rows collapse to per-day counts
+        inside each block, so the shuffle and the driver finish are
+        bounded by the calendar span."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import autocorr_daily
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"],
+        )
+        return autocorr_daily(ds, "ts", lags=(1, 2, 3, 7))
+
     def dq_chi2_independence(sf_dir):
         """Chi-square independence screen: is event_type independent of
         day-of-week? One streaming pass of per-block contingency partials
@@ -4927,6 +4940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_chi2_independence": dq_chi2_independence,
         "stats_spearman": stats_spearman,
         "stats_ks_test": stats_ks_test,
+        "events_autocorr": events_autocorr,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
         "text_gopher_rules": text_gopher_rules,
@@ -5573,6 +5587,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
             "SELECT round(corr(ra, rb), 6) AS spearman, "
             "CAST(count(*) AS BIGINT) AS n FROM r"
+        ),
+        "events_autocorr": (
+            "WITH daily AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1), "
+            "lagged AS (SELECT c, "
+            "LAG(c, 1) OVER (ORDER BY day) AS c1, "
+            "LAG(c, 2) OVER (ORDER BY day) AS c2, "
+            "LAG(c, 3) OVER (ORDER BY day) AS c3, "
+            "LAG(c, 7) OVER (ORDER BY day) AS c7 FROM daily), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily) "
+            "SELECT 1 AS lag, round(corr(c, c1), 6) AS acf, n_days FROM lagged, n GROUP BY n_days "
+            "UNION ALL SELECT 2, round(corr(c, c2), 6), n_days FROM lagged, n GROUP BY n_days "
+            "UNION ALL SELECT 3, round(corr(c, c3), 6), n_days FROM lagged, n GROUP BY n_days "
+            "UNION ALL SELECT 7, round(corr(c, c7), 6), n_days FROM lagged, n GROUP BY n_days"
         ),
         "stats_ks_test": (
             "WITH s AS (SELECT l_quantity AS v, l_linestatus AS g "

@@ -323,6 +323,7 @@ def main() -> None:
         "stats_spearman",
         "cdc_merge_into",
         "stats_ks_test",
+        "events_autocorr",
     ]
     for name in q_list:
         t2 = time.perf_counter()

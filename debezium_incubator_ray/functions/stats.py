@@ -636,3 +636,47 @@ def ks_two_sample(ds, value_col: str, group_col: str, group_a, group_b):
         "n_a": pa.array([n_a], pa.int64()),
         "n_b": pa.array([n_b], pa.int64()),
     })
+
+
+def autocorr_daily(ds, ts_col: str, lags=(1, 2, 3, 7)):
+    """Lag-k autocorrelation of the daily event-count series: per-block
+    day-count partials (rows collapse to days before anything moves), one
+    narrow day groupby, then a driver finish over the day series only —
+    bounded by the calendar span, never the event count. Lag is in
+    POSITIONS of the day-ordered series of days that HAVE events (SQL
+    ``LAG(c, k) OVER (ORDER BY day)``); with gap-free data that equals
+    calendar-day lag. Returns one row per lag: (lag, acf, n_days)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(t[ts_col].combine_chunks(), pa.date32())
+        vc = day.drop_null().value_counts()
+        return pa.table({
+            "day": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    days = np.array([r["day"].toordinal() for r in rows])
+    cnts = np.array([r["n"] for r in rows], dtype=np.float64)
+    cnts = cnts[np.argsort(days)]
+    out = {"lag": [], "acf": [], "n_days": []}
+    for k in lags:
+        acf = (
+            float(np.corrcoef(cnts[k:], cnts[:-k])[0, 1])
+            if 0 < k < len(cnts) else float("nan")
+        )
+        out["lag"].append(int(k))
+        out["acf"].append(round(acf, 6))
+        out["n_days"].append(len(cnts))
+    return pa.table({
+        "lag": pa.array(out["lag"], pa.int64()),
+        "acf": pa.array(out["acf"], pa.float64()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+    })

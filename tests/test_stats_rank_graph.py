@@ -886,3 +886,21 @@ def test_ks_two_sample_matches_manual():
     want = np.abs(fa - fb).max()
     assert abs(out["ks_d"][0] - round(want, 6)) < 2e-6
     assert out["n_a"][0] == 500 and out["n_b"][0] == 700
+
+
+def test_autocorr_daily_periodic_series():
+    from debezium_incubator_ray.functions.stats import autocorr_daily
+
+    # 28 days, strict period-7 pattern -> acf(7) == 1.0
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    days = np.arange(28)
+    counts = (days % 7) + 1
+    ts = np.repeat(base + days * np.timedelta64(86400_000_000, "us"), counts)
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    out = autocorr_daily(
+        ray.data.from_arrow(t).repartition(3), "ts", lags=(1, 7, 40)
+    ).to_pandas().set_index("lag")
+    assert abs(out.loc[7, "acf"] - 1.0) < 1e-9
+    assert out.loc[1, "acf"] < 1.0
+    assert np.isnan(out.loc[40, "acf"])  # lag beyond the series
+    assert (out["n_days"] == 28).all()
