@@ -443,6 +443,13 @@ def merge_lww(
     are RETAINED as marker rows (payload nulls, ``_deleted=true``) — the
     compacted-topic-without-tombstone behavior where downstream consumers
     still observe deletions (TombstoneRecord.java:11-24 contract inverted).
+
+    Equal-LSN tie: the FRESH side wins (fresh rows concat first; the stable
+    sort in lww_reduce keeps the first occurrence). Normal stream epochs
+    never tie (the watermark filter admits only lsn > watermark), so this
+    only decides cross-writer collisions — e.g. a merge_into stamped at
+    watermark+1 vs the next stream event carrying that same LSN: the
+    stream's event is the source of truth and must supersede the merge.
     """
     payload_cols = [c for c in fresh.column_names if c not in (op_col, DELETED)]
     if existing is not None and existing.num_rows:
@@ -462,7 +469,7 @@ def merge_lww(
                 )
         fr = fresh.drop_columns([DELETED]) if DELETED in fresh.column_names else fresh
         both = pa.concat_tables(
-            [ex.select(fr.column_names), fr], promote_options="permissive"
+            [fr, ex.select(fr.column_names)], promote_options="permissive"
         )
     else:
         both = fresh.drop_columns([DELETED]) if DELETED in fresh.column_names else fresh

@@ -1475,9 +1475,12 @@ class CdcEngine:
         The merge is stamped at LSN = max(all partition watermarks,
         every channel) + 1 and applied on its own offset channel
         ("_merge"), so it wins the per-key LWW fold against everything
-        applied so far, while stream events with higher LSNs still
-        legally overwrite it later. Duplicate keys in ``source`` raise
-        (ANSI MERGE: a target row may be touched at most once).
+        applied so far, while stream events with higher — or EQUAL —
+        LSNs still legally overwrite it later (the next undelivered
+        stream event may carry exactly this LSN; equal-LSN ties resolve
+        to the later-applied writer, see merge_lww). Duplicate keys in
+        ``source`` raise (ANSI MERGE: a target row may be touched at
+        most once).
 
         Distributed shape: the SOURCE (small side) shuffles once by
         key-hash into lake partitions; one task per touched partition
@@ -1536,17 +1539,27 @@ class CdcEngine:
             for wm in ent.get("watermarks", {}).values():
                 base_lsn = max(base_lsn, wm + 1)
         # per-partition segment numbering continues across merges (the
-        # "_merge" channel's done-set stores relpaths; a reused name would
-        # be treated as already applied)
+        # "_merge" channel's done AND error sets store relpaths; a reused
+        # name would be treated as already consumed and silently skipped)
         done = list(
             self.manifest.doc.get("segments_done_by_source", {}).get(
                 "_merge", []
+            )
+        ) + list(
+            self.manifest.doc.get("segments_error_by_source", {}).get(
+                "_merge", {}
             )
         )
         next_seg = {
             p: sum(1 for s in done if s.startswith(f"p={p}/")) for p in range(P)
         }
-        tmp = tempfile.mkdtemp(prefix="dbzray-merge-", dir="/tmp")
+        # staging lives under the lake (shared storage on a multi-node
+        # cluster — build_one tasks run on workers; a driver-local /tmp
+        # would silently apply nothing there)
+        os.makedirs(os.path.join(self.lake_dir, "_staging"), exist_ok=True)
+        tmp = tempfile.mkdtemp(
+            prefix="merge-", dir=os.path.join(self.lake_dir, "_staging")
+        )
         doc = self.manifest.doc
         lake_dir = self.lake_dir
         defaults = doc["defaults"]
@@ -1627,35 +1640,37 @@ class CdcEngine:
             )
             return pa.table(out)
 
-        counts = (
-            source.map_batches(
-                add_part, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("_part")
-            .map_groups(build_one, batch_format="pyarrow")
-            .take_all()
-        )
-        # alignment requires every p= dir present: empty segments for
-        # partitions the source never touched
-        touched = {int(c["_part"]) for c in counts}
-        empty_env = build_envelopes(
-            pa.array([], pa.string()),
-            env_schema.empty_table(),
-            env_schema.empty_table(),
-            np.array([], dtype=np.int32),
-            np.array([], dtype=np.int64),
-            table_name,
-        )
-        for p in range(P):
-            if p not in touched:
-                pdir = os.path.join(tmp, f"p={p}")
-                os.makedirs(pdir, exist_ok=True)
-                pq.write_table(
-                    empty_env,
-                    os.path.join(pdir, f"seg-{next_seg[p]:05d}.parquet"),
+        try:
+            counts = (
+                source.map_batches(
+                    add_part, batch_format="pyarrow", zero_copy_batch=True
                 )
-        res = self.apply_epoch(tmp, source="_merge")
-        shutil.rmtree(tmp, ignore_errors=True)
+                .groupby("_part")
+                .map_groups(build_one, batch_format="pyarrow")
+                .take_all()
+            )
+            # alignment requires every p= dir present: empty segments for
+            # partitions the source never touched
+            touched = {int(c["_part"]) for c in counts}
+            empty_env = build_envelopes(
+                pa.array([], pa.string()),
+                env_schema.empty_table(),
+                env_schema.empty_table(),
+                np.array([], dtype=np.int32),
+                np.array([], dtype=np.int64),
+                table_name,
+            )
+            for p in range(P):
+                if p not in touched:
+                    pdir = os.path.join(tmp, f"p={p}")
+                    os.makedirs(pdir, exist_ok=True)
+                    pq.write_table(
+                        empty_env,
+                        os.path.join(pdir, f"seg-{next_seg[p]:05d}.parquet"),
+                    )
+            res = self.apply_epoch(tmp, source="_merge")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return {
             "matched": sum(c["matched"] for c in counts),
             "updated": sum(c["updated"] for c in counts),

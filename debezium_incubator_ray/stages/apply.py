@@ -288,7 +288,9 @@ def read_partition_state(
             )
         return upgrade_run_table(state, schema, defaults)
 
-    d = pa.concat_tables(delta_tbls)
+    # newest delta first: at an equal-LSN tie the LATER-applied writer wins
+    # (merge_lww's fresh-first rule extended across delta generations)
+    d = pa.concat_tables(list(reversed(delta_tbls)))
     # delta _deleted markers re-enter the reduce as deletes; merge_lww
     # compacts (or retains, per table tombstone semantics)
     op = pc.if_else(

@@ -85,7 +85,6 @@ def test_delete_skip_and_insert_ignore(tmp_path):
     t = eng.lake_table()
     d = dict(zip(t["url"].to_pylist(), t["lang"].to_pylist()))
     assert d["https://new.example/y"] == "7.0"
-    assert True  # untouched (value from stream)
     row_before = before.filter(pc.equal(before["url"], live[5]))
     row_after = t.filter(pc.equal(t["url"], live[5]))
     assert_tables_equal(row_after, row_before, sort_by="url")
@@ -122,3 +121,37 @@ def test_counter_lake_refuses(tmp_path):
     eng.cfg.counter_cols = ("lang",)
     with pytest.raises(RuntimeError):
         eng.merge_into(_src(["x"], [1.0]))
+
+
+def test_stream_event_at_merge_lsn_supersedes(tmp_path):
+    """The next undelivered stream event may carry EXACTLY the merge's
+    LSN (merge stamps max watermark + 1). The stream is the source of
+    truth: at an equal-LSN tie the later-applied writer must win."""
+    import os
+
+    import pyarrow.parquet as pq
+    from debezium_incubator_ray.envelope import build_envelopes
+
+    eng = _lake(tmp_path)
+    live = sorted(set(eng.lake_table()["url"].to_pylist()))
+    st = eng.merge_into(_src([live[0]], ["from-merge"]))
+    after = pa.table({
+        "url": pa.array([live[0]], pa.string()),
+        "lang": pa.array(["from-stream"], pa.string()),
+    })
+    env = build_envelopes(
+        pa.array(["u"], pa.string()), after, None,
+        np.array([0], dtype=np.int32),
+        np.array([st["lsn"]], dtype=np.int64),
+        "pages",
+    )
+    b2 = tmp_path / "binlog2" / "p=0"
+    os.makedirs(b2)
+    # relpath must be fresh: segments_done is keyed by relpath across ALL
+    # binlog dirs of the default channel (one-binlog-per-table contract)
+    pq.write_table(env, str(b2 / "seg-00090.parquet"))
+    res = eng.apply_epoch(str(tmp_path / "binlog2"))
+    assert res["applied"] >= 1
+    t = eng.lake_table()
+    d = dict(zip(t["url"].to_pylist(), t["lang"].to_pylist()))
+    assert d[live[0]] == "from-stream"
