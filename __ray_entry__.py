@@ -1269,6 +1269,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return autocorr_daily(ds, "ts", lags=(1, 2, 3, 7))
 
+    def stats_kendall_tau(sf_dir):
+        """Kendall tau-b (tie-corrected) between quantity and discount:
+        per-block contingency partials fold to a 50x11 grid, concordant/
+        discordant pairs come from 2-D suffix sums — exact int64, so the
+        value is digit-identical to an exact SQL pair count."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import kendall_tau_b
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_discount"],
+        )
+        return kendall_tau_b(li, "l_quantity", "l_discount")
+
     def dq_chi2_independence(sf_dir):
         """Chi-square independence screen: is event_type independent of
         day-of-week? One streaming pass of per-block contingency partials
@@ -4940,6 +4954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_chi2_independence": dq_chi2_independence,
         "stats_spearman": stats_spearman,
         "stats_ks_test": stats_ks_test,
+        "stats_kendall_tau": stats_kendall_tau,
         "events_autocorr": events_autocorr,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -5587,6 +5602,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
             "SELECT round(corr(ra, rb), 6) AS spearman, "
             "CAST(count(*) AS BIGINT) AS n FROM r"
+        ),
+        "stats_kendall_tau": (
+            # exact integer pair counts over the contingency grid (the
+            # engine's 2-D suffix sums count the same pairs), one float
+            # division at the end
+            "WITH s AS (SELECT l_quantity AS a, l_discount AS b "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_discount IS NOT NULL), "
+            "cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM s GROUP BY a, b), "
+            "cd AS (SELECT "
+            "CAST(COALESCE(SUM(CASE WHEN c2.b > c1.b THEN c1.n * c2.n END), 0) AS BIGINT) AS conc, "
+            "CAST(COALESCE(SUM(CASE WHEN c2.b < c1.b THEN c1.n * c2.n END), 0) AS BIGINT) AS disc "
+            "FROM cells c1 JOIN cells c2 ON c2.a > c1.a), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s), "
+            "ta AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS t1 "
+            "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY a)), "
+            "tb AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS t2 "
+            "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY b)) "
+            "SELECT round((conc - disc) / sqrt("
+            "CAST(n * (n - 1) // 2 - t1 AS DOUBLE) "
+            "* CAST(n * (n - 1) // 2 - t2 AS DOUBLE)), 6) AS tau_b, n "
+            "FROM cd, tot, ta, tb"
         ),
         "events_autocorr": (
             "WITH daily AS (SELECT date_trunc('day', ts) AS day, "

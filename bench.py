@@ -324,6 +324,7 @@ def main() -> None:
         "cdc_merge_into",
         "stats_ks_test",
         "events_autocorr",
+        "stats_kendall_tau",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -507,34 +507,45 @@ def spearman_corr(ds, col_a: str, col_b: str):
     (spearman, n)."""
     import ray
 
-    def rank_map(col: str):
-        def partial(t: pa.Table) -> pa.Table:
-            both = pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
-            a = t[col].combine_chunks().filter(both.combine_chunks())
-            vc = a.value_counts()
-            return pa.table({
+    def count_partial(t: pa.Table) -> pa.Table:
+        # ONE tagged pass builds both columns' distinct-value counts
+        # (ks_two_sample's shape) instead of two sequential full scans
+        both = pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
+        both = both.combine_chunks()
+        parts = []
+        for tag, col in ((0, col_a), (1, col_b)):
+            vc = pc.cast(
+                t[col].combine_chunks().filter(both), pa.float64()
+            ).value_counts()
+            parts.append(pa.table({
+                "c": pa.array(np.full(len(vc), tag, dtype=np.int8)),
                 "v": vc.field("values"),
                 "n": pc.cast(vc.field("counts"), pa.int64()),
-            })
+            }))
+        return pa.concat_tables(parts)
 
-        from ray.data.aggregate import Sum
+    from ray.data.aggregate import Sum
 
-        rows = (
-            ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("v")
-            .aggregate(Sum("n", alias_name="n"))
-            .take_all()
-        )  # one row per DISTINCT value
-        vals = np.array([r["v"] for r in rows], dtype=np.float64)
-        cnts = np.array([r["n"] for r in rows], dtype=np.float64)
+    rows = (
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["c", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # one row per (column, DISTINCT value)
+
+    def rank_map(tag: int):
+        vals = np.array([r["v"] for r in rows if r["c"] == tag],
+                        dtype=np.float64)
+        cnts = np.array([r["n"] for r in rows if r["c"] == tag],
+                        dtype=np.float64)
         order = np.argsort(vals)
         vals, cnts = vals[order], cnts[order]
         below = np.cumsum(cnts) - cnts
         avg_rank = below + (cnts + 1.0) / 2.0
         return ray.put((vals, avg_rank))
 
-    ref_a, ref_b = rank_map(col_a), rank_map(col_b)
+    ref_a, ref_b = rank_map(0), rank_map(1)
 
     def moments(t: pa.Table) -> pa.Table:
         va_r, ra_r = ray.get(ref_a)
@@ -568,6 +579,11 @@ def spearman_corr(ds, col_a: str, col_b: str):
                      for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
     )
     n = agg["n"]
+    if not n:  # no pairwise-complete rows: correlation undefined
+        return pa.table({
+            "spearman": pa.array([float("nan")], pa.float64()),
+            "n": pa.array([0], pa.int64()),
+        })
     cov = agg["sxy"] - agg["sx"] * agg["sy"] / n
     vx = agg["sxx"] - agg["sx"] ** 2 / n
     vy = agg["syy"] - agg["sy"] ** 2 / n
@@ -679,4 +695,70 @@ def autocorr_daily(ds, ts_col: str, lags=(1, 2, 3, 7)):
         "lag": pa.array(out["lag"], pa.int64()),
         "acf": pa.array(out["acf"], pa.float64()),
         "n_days": pa.array(out["n_days"], pa.int64()),
+    })
+
+
+def kendall_tau_b(ds, a_col: str, b_col: str):
+    """Kendall rank correlation (tau-b, tie-corrected) between two
+    discrete/bucketed columns in ONE streaming pass: per-block
+    contingency partials (<= distinct_a x distinct_b rows per block)
+    fold driver-side, then concordant/discordant pair counts come from
+    2-D suffix sums over the grid — EXACT int64 arithmetic, so the
+    result is digit-identical to an exact SQL pair count. NULL pairs
+    are excluded. O(grid) memory, the rows never shuffle. Returns one
+    row: (tau_b, n)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks()
+        b = t[b_col].combine_chunks()
+        keep = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        g = (
+            pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            "a": g["a"], "b": g["b"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    import pandas as pd
+
+    if not cells:
+        return pa.table({
+            "tau_b": pa.array([float("nan")], pa.float64()),
+            "n": pa.array([0], pa.int64()),
+        })
+    df = pd.DataFrame(cells).groupby(["a", "b"], as_index=False)["n"].sum()
+    piv = (
+        df.pivot(index="a", columns="b", values="n")
+        .fillna(0)
+        .sort_index(axis=0)
+        .sort_index(axis=1)
+        .to_numpy(dtype=np.int64)
+    )
+    n = int(piv.sum())
+    # suffix sums: gt[i, j] = sum of cells strictly below AND right of (i, j)
+    rev = piv[::-1, ::-1]
+    suf = rev.cumsum(axis=0).cumsum(axis=1)[::-1, ::-1]
+    gt = np.zeros_like(piv)
+    gt[:-1, :-1] = suf[1:, 1:]
+    # lt-in-b / gt-in-a: strictly below AND strictly LEFT
+    rev_l = piv[::-1, :]
+    suf_l = rev_l.cumsum(axis=0).cumsum(axis=1)[::-1, :]
+    dt = np.zeros_like(piv)
+    dt[:-1, 1:] = suf_l[1:, :-1]
+    conc = int((piv * gt).sum())
+    disc = int((piv * dt).sum())
+    n0 = n * (n - 1) // 2
+    n1 = int(sum(t * (t - 1) // 2 for t in piv.sum(axis=1)))
+    n2 = int(sum(t * (t - 1) // 2 for t in piv.sum(axis=0)))
+    denom = float(n0 - n1) * float(n0 - n2)
+    tau = (conc - disc) / np.sqrt(denom) if denom > 0 else float("nan")
+    return pa.table({
+        "tau_b": pa.array([round(float(tau), 6)], pa.float64()),
+        "n": pa.array([n], pa.int64()),
     })

@@ -904,3 +904,50 @@ def test_autocorr_daily_periodic_series():
     assert out.loc[1, "acf"] < 1.0
     assert np.isnan(out.loc[40, "acf"])  # lag beyond the series
     assert (out["n_days"] == 28).all()
+
+
+def test_spearman_no_complete_pairs_is_nan():
+    from debezium_incubator_ray.functions.stats import spearman_corr
+
+    t = pa.table({
+        "a": pa.array([1.0, None, 3.0]),
+        "b": pa.array([None, 2.0, None]),
+    })
+    out = spearman_corr(ray.data.from_arrow(t), "a", "b").to_pandas()
+    assert out["n"][0] == 0 and np.isnan(out["spearman"][0])
+
+
+def test_kendall_tau_b_matches_pandas():
+    from debezium_incubator_ray.functions.stats import kendall_tau_b
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 12, 600).astype(float)
+    b = np.where(rng.random(600) < 0.6, a // 2, rng.integers(0, 6, 600)).astype(float)
+    t = pa.table({
+        "a": pa.array(list(a) + [None, 1.0]),
+        "b": pa.array(list(b) + [2.0, None]),
+    })
+    out = kendall_tau_b(
+        ray.data.from_arrow(t).repartition(4), "a", "b"
+    ).to_pandas()
+    # brute-force O(n^2) tau-b over the 600 clean pairs
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(600, k=1)
+    prod = (da * db)[iu]
+    conc, disc = int((prod > 0).sum()), int((prod < 0).sum())
+    n0 = 600 * 599 // 2
+    n1 = int((da[iu] == 0).sum())
+    n2 = int((db[iu] == 0).sum())
+    want = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert abs(out["tau_b"][0] - round(want, 6)) < 2e-6
+    assert out["n"][0] == 600
+
+
+def test_kendall_tau_b_empty_is_nan():
+    from debezium_incubator_ray.functions.stats import kendall_tau_b
+
+    t = pa.table({"a": pa.array([None], pa.float64()),
+                  "b": pa.array([1.0])})
+    out = kendall_tau_b(ray.data.from_arrow(t), "a", "b").to_pandas()
+    assert out["n"][0] == 0 and np.isnan(out["tau_b"][0])
