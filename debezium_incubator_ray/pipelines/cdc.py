@@ -1486,9 +1486,10 @@ class CdcEngine:
         key-hash into lake partitions; one task per touched partition
         probes live keys (key column only, pruned read), builds envelope
         segments, and the normal aligned apply does the copy-on-write
-        merge. The lake itself never moves. Counter lakes refuse ('u'
-        SUMS there — "update" would add, not replace); composite-PK
-        lakes refuse (source-side _key routing not wired).
+        merge. The lake itself never moves. Composite-PK lakes route and
+        match on the internal ``_key`` encoding (source must carry every
+        key component, non-null). Counter lakes refuse ('u' SUMS there —
+        "update" would add, not replace).
 
         The reference reaches merged state only by replaying a change
         stream through the same envelope machinery
@@ -1506,11 +1507,7 @@ class CdcEngine:
                 "merge_into on a counter lake would SUM updates instead of "
                 "replacing rows; apply deltas through the stream instead"
             )
-        if self.cfg.key_cols:
-            raise NotImplementedError(
-                "merge_into over composite primary keys is not wired yet"
-            )
-        from debezium_incubator_ray.envelope import build_envelopes
+        from debezium_incubator_ray.envelope import build_envelopes, composite_key
 
         self._acquire_lock()
         t0 = time.perf_counter()
@@ -1519,10 +1516,15 @@ class CdcEngine:
             source = ray.data.from_arrow(source)
         key = self.cfg.key
         P = self.cfg.num_partitions
+        # composite PK: route and match on the internal _key encoding
+        # (the single definition in envelope.composite_key), exactly as
+        # normalize/snapshot/lookup do
+        kcols = list(self.cfg.key_cols) if self.cfg.key_cols else [key]
         schema = S.schema_from_b64(self.manifest.doc["schemas"][-1]["schema"])
         src_names = source.schema().names
-        if key not in src_names:
-            raise ValueError(f"source lacks the key column {key!r}")
+        missing_k = [c for c in kcols if c not in src_names]
+        if missing_k:
+            raise ValueError(f"source lacks key column(s) {missing_k}")
         unknown = [c for c in src_names if c not in schema.names]
         if unknown:
             raise ValueError(f"source columns not in the lake schema: {unknown}")
@@ -1567,18 +1569,30 @@ class CdcEngine:
         table_name = self.cfg.table
         partitioner = self.cfg.partitioner
 
+        def routing_key(t: pa.Table) -> pa.Array:
+            if len(kcols) > 1:
+                return composite_key(t, kcols)
+            col = t[kcols[0]]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
         def add_part(t: pa.Table) -> pa.Table:
             from debezium_incubator_ray.hashing import partition_ids
 
+            k = routing_key(t)
+            if k.null_count:
+                raise ValueError(
+                    "merge_into source has NULL key component(s) — such "
+                    "rows are unroutable"
+                )
             return t.append_column(
-                "_part", pa.array(partition_ids(t[key], P, partitioner))
+                "_part", pa.array(partition_ids(k, P, partitioner))
             )
 
         def build_one(g: pa.Table) -> pa.Table:
             from debezium_incubator_ray.stages.apply import read_partition_state
 
             p = int(g["_part"][0].as_py())
-            keys = g[key].combine_chunks()
+            keys = routing_key(g)
             if pc.count_distinct(keys).as_py() != len(keys):
                 raise ValueError(
                     "merge_into source holds duplicate keys (ANSI MERGE: "
@@ -1586,9 +1600,9 @@ class CdcEngine:
                 )
             live = read_partition_state(
                 doc["partitions"][str(p)], lake_dir, schema, defaults,
-                schema_version, key, columns=[key],
+                schema_version, key, columns=list(kcols),
             )
-            matched = pc.is_in(keys, value_set=live[key].combine_chunks())
+            matched = pc.is_in(keys, value_set=routing_key(live))
             n_match = int(pc.sum(pc.cast(matched, pa.int64())).as_py() or 0)
             ops = np.where(
                 matched.to_numpy(zero_copy_only=False),
@@ -1619,10 +1633,10 @@ class CdcEngine:
                  for c in provided},
                 schema=env_schema,
             )
-            # before image: key-only (deletes extract their key from it;
-            # the true prior image is unknown to a one-shot merge)
+            # before image: key components only (deletes extract their key
+            # from it; the true prior image is unknown to a one-shot merge)
             before = pa.table(
-                {c: after[c] if c == key
+                {c: after[c] if c in set(kcols)
                  else pa.nulls(len(after), env_schema.field(c).type)
                  for c in provided},
                 schema=env_schema,

@@ -155,3 +155,49 @@ def test_stream_event_at_merge_lsn_supersedes(tmp_path):
     t = eng.lake_table()
     d = dict(zip(t["url"].to_pylist(), t["lang"].to_pylist()))
     assert d[live[0]] == "from-stream"
+
+
+def test_composite_key_merge(tmp_path):
+    """merge_into on a composite-PK lake: routing/matching on the _key
+    encoding, update + insert + delete policies, NULL-component refusal."""
+    from tests.test_composite_key import ROWS, _drive
+
+    eng = _drive(tmp_path, ROWS)
+    before = eng.lake_table()
+    # live keys: (1,a)=10.0, (2,a)=3.0, (2,b)=40.0
+    src = pa.table({
+        "uid": pa.array([1, 2, 9], pa.int64()),
+        "kind": pa.array(["a", "b", "z"], pa.string()),
+        "val": pa.array([99.0, 98.0, 97.0], pa.float64()),
+    })
+    st = eng.merge_into(src)
+    assert st["matched"] == 2 and st["updated"] == 2 and st["inserted"] == 1
+    t = eng.lake_table()
+    d = {(u, k): v for u, k, v in zip(
+        t["uid"].to_pylist(), t["kind"].to_pylist(), t["val"].to_pylist())}
+    assert d[(1, "a")] == 99.0 and d[(2, "b")] == 98.0 and d[(9, "z")] == 97.0
+    assert d[(2, "a")] == 3.0  # untouched
+    # delete one composite key
+    st2 = eng.merge_into(
+        pa.table({"uid": pa.array([2], pa.int64()),
+                  "kind": pa.array(["a"], pa.string())}),
+        when_matched="delete", when_not_matched="skip",
+    )
+    assert st2["deleted"] == 1
+    t2 = eng.lake_table()
+    assert (2, "a") not in {
+        (u, k) for u, k in zip(t2["uid"].to_pylist(), t2["kind"].to_pylist())
+    }
+    assert t2.num_rows == t.num_rows - 1
+    # NULL key component refused
+    with pytest.raises(Exception) as ei:
+        eng.merge_into(pa.table({
+            "uid": pa.array([None], pa.int64()),
+            "kind": pa.array(["a"], pa.string()),
+            "val": pa.array([1.0]),
+        }))
+    assert "NULL key" in str(ei.value)
+    # missing key component refused
+    with pytest.raises(Exception) as ei2:
+        eng.merge_into(pa.table({"uid": pa.array([1], pa.int64())}))
+    assert "key column" in str(ei2.value)
