@@ -1269,6 +1269,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return autocorr_daily(ds, "ts", lags=(1, 2, 3, 7))
 
+    def stats_mann_whitney(sf_dir):
+        """Mann-Whitney U (rank-sum, tie-corrected normal z): does
+        quantity distribute differently for returned ('A') vs
+        not-returned ('N') line items? Distinct-bounded count fold; the
+        driver's rank sums are exact multiples of 0.5, digit-identical
+        to the per-row SQL window rank sum."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import mann_whitney_u
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_returnflag"],
+        )
+        return mann_whitney_u(li, "l_quantity", "l_returnflag", "A", "N")
+
     def stats_kendall_tau(sf_dir):
         """Kendall tau-b (tie-corrected) between quantity and discount:
         per-block contingency partials fold to a 50x11 grid, concordant/
@@ -4955,6 +4970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_spearman": stats_spearman,
         "stats_ks_test": stats_ks_test,
         "stats_kendall_tau": stats_kendall_tau,
+        "stats_mann_whitney": stats_mann_whitney,
         "events_autocorr": events_autocorr,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -5602,6 +5618,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
             "SELECT round(corr(ra, rb), 6) AS spearman, "
             "CAST(count(*) AS BIGINT) AS n FROM r"
+        ),
+        "stats_mann_whitney": (
+            # tie-average rank = rank() + (tie count - 1)/2; ranks are
+            # multiples of 0.5 so the float rank sum is exact on both
+            # sides. Tie term sums exactly as HUGEINT, ONE cast at the end.
+            "WITH s AS (SELECT l_quantity AS v, l_returnflag AS g "
+            "FROM lineitem WHERE l_returnflag IN ('A','N') "
+            "AND l_quantity IS NOT NULL), "
+            "r AS (SELECT g, rank() OVER (ORDER BY v) "
+            "+ (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk FROM s), "
+            "agg AS (SELECT "
+            "CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+            "CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+            "SUM(CASE WHEN g = 'A' THEN rk ELSE 0 END) AS ra FROM r), "
+            "ties AS (SELECT CAST(SUM(t * t * t - t) AS DOUBLE) AS tsum "
+            "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v)) "
+            "SELECT round(ra - na * (na + 1) / 2.0, 6) AS u, "
+            "round((ra - na * (na + 1) / 2.0 - na * nb / 2.0) "
+            "/ sqrt(na * nb / 12.0 * ((na + nb + 1) "
+            "- tsum / ((na + nb) * (na + nb - 1.0)))), 6) AS z, "
+            "na AS n_a, nb AS n_b FROM agg, ties"
         ),
         "stats_kendall_tau": (
             # exact integer pair counts over the contingency grid (the

@@ -325,6 +325,7 @@ def main() -> None:
         "stats_ks_test",
         "events_autocorr",
         "stats_kendall_tau",
+        "stats_mann_whitney",
     ]
     for name in q_list:
         t2 = time.perf_counter()

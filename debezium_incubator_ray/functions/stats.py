@@ -594,17 +594,13 @@ def spearman_corr(ds, col_a: str, col_b: str):
     })
 
 
-def ks_two_sample(ds, value_col: str, group_col: str, group_a, group_b):
-    """Two-sample Kolmogorov-Smirnov statistic D = max |F_a(v) - F_b(v)|
-    between the empirical CDFs of ``value_col`` restricted to the two
-    ``group_col`` populations. One vectorized pass reduces each block to
-    per-distinct-value counts for both groups; one narrow groupby folds
-    them; the driver finishes over the DISTINCT values only (sort +
-    integer cumsum) — the shuffle and the driver's working set are
-    bounded by the distinct-value count, not the row count (for
-    continuous columns pre-bucket the measure, same as
-    :func:`spearman_corr`). NULL values and rows outside the two groups
-    are excluded. Returns one row: (ks_d, n_a, n_b)."""
+def _two_group_value_counts(ds, value_col: str, group_col: str,
+                            group_a, group_b):
+    """Shared fold for the two-sample tests (KS, Mann-Whitney): per-block
+    per-distinct-value counts for both groups, one narrow groupby, then a
+    value-sorted (vals, ca, cb) triple on the driver — bounded by the
+    DISTINCT value count, never the row count. NULL values and rows
+    outside the two groups are excluded."""
     groups = pa.array([group_a, group_b])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -639,7 +635,20 @@ def ks_two_sample(ds, value_col: str, group_col: str, group_a, group_b):
     ca = np.array([r["ca"] for r in rows], dtype=np.int64)
     cb = np.array([r["cb"] for r in rows], dtype=np.int64)
     order = np.argsort(vals)
-    ca, cb = ca[order], cb[order]
+    return vals[order], ca[order], cb[order]
+
+
+def ks_two_sample(ds, value_col: str, group_col: str, group_a, group_b):
+    """Two-sample Kolmogorov-Smirnov statistic D = max |F_a(v) - F_b(v)|
+    between the empirical CDFs of ``value_col`` restricted to the two
+    ``group_col`` populations (``_two_group_value_counts`` fold: the
+    shuffle and the driver's working set are bounded by the
+    distinct-value count, not the row count — for continuous columns
+    pre-bucket the measure, same as :func:`spearman_corr`). Returns one
+    row: (ks_d, n_a, n_b)."""
+    _, ca, cb = _two_group_value_counts(
+        ds, value_col, group_col, group_a, group_b
+    )
     n_a, n_b = int(ca.sum()), int(cb.sum())
     if n_a == 0 or n_b == 0:
         d = float("nan")
@@ -649,6 +658,44 @@ def ks_two_sample(ds, value_col: str, group_col: str, group_a, group_b):
         d = float(np.abs(fa - fb).max())
     return pa.table({
         "ks_d": pa.array([round(d, 6)], pa.float64()),
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+    })
+
+
+def mann_whitney_u(ds, value_col: str, group_col: str, group_a, group_b):
+    """Mann-Whitney U (Wilcoxon rank-sum) with the normal approximation
+    and tie correction — does ``group_a``'s distribution of
+    ``value_col`` stochastically dominate ``group_b``'s? Same
+    distinct-bounded fold as :func:`ks_two_sample`; the driver computes
+    tie-average ranks over the COMBINED sample from the count vectors.
+    Ranks are exact multiples of 0.5 (< 2^52), so every float sum here
+    is EXACT and matches a per-row SQL rank sum to the digit. Returns
+    one row: (u, z, n_a, n_b) with u = group_a's U statistic."""
+    _, ca, cb = _two_group_value_counts(
+        ds, value_col, group_col, group_a, group_b
+    )
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        return pa.table({
+            "u": pa.array([float("nan")], pa.float64()),
+            "z": pa.array([float("nan")], pa.float64()),
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+        })
+    t = ca + cb  # combined tie counts per distinct value
+    below = np.cumsum(t) - t
+    avg_rank = below + (t + 1) / 2.0
+    ra = float((ca * avg_rank).sum())
+    n = n_a + n_b
+    u = ra - n_a * (n_a + 1) / 2.0
+    mu = n_a * n_b / 2.0
+    tsum = float(int((t ** 3 - t).sum()))  # exact int64, then one cast
+    var = n_a * n_b / 12.0 * ((n + 1) - tsum / (n * (n - 1.0)))
+    z = (u - mu) / np.sqrt(var) if var > 0 else float("nan")
+    return pa.table({
+        "u": pa.array([round(u, 6)], pa.float64()),
+        "z": pa.array([round(float(z), 6)], pa.float64()),
         "n_a": pa.array([n_a], pa.int64()),
         "n_b": pa.array([n_b], pa.int64()),
     })

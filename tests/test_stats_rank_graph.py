@@ -951,3 +951,32 @@ def test_kendall_tau_b_empty_is_nan():
                   "b": pa.array([1.0])})
     out = kendall_tau_b(ray.data.from_arrow(t), "a", "b").to_pandas()
     assert out["n"][0] == 0 and np.isnan(out["tau_b"][0])
+
+
+def test_mann_whitney_matches_manual():
+    from debezium_incubator_ray.functions.stats import mann_whitney_u
+
+    rng = np.random.default_rng(5)
+    xa = rng.integers(0, 25, 400).astype(float)
+    xb = (rng.integers(0, 25, 300) + 3).astype(float)
+    t = pa.table({
+        "v": pa.array(list(xa) + list(xb) + [None, 5.0]),
+        "g": pa.array(["a"] * 400 + ["b"] * 300 + ["a", "zz"]),
+    })
+    out = mann_whitney_u(
+        ray.data.from_arrow(t).repartition(4), "v", "g", "a", "b"
+    ).to_pandas()
+    # manual: tie-average ranks over the combined sample
+    import pandas as pd
+    allv = np.concatenate([xa, xb])
+    rk = pd.Series(allv).rank(method="average").to_numpy()
+    ra = rk[:400].sum()
+    u = ra - 400 * 401 / 2.0
+    mu = 400 * 300 / 2.0
+    _, tcnt = np.unique(allv, return_counts=True)
+    tsum = float((tcnt.astype(np.int64) ** 3 - tcnt).sum())
+    var = 400 * 300 / 12.0 * ((700 + 1) - tsum / (700 * 699.0))
+    zz = (u - mu) / np.sqrt(var)
+    assert abs(out["u"][0] - round(u, 6)) < 1e-9
+    assert abs(out["z"][0] - round(zz, 6)) < 2e-6
+    assert out["n_a"][0] == 400 and out["n_b"][0] == 300
