@@ -201,3 +201,47 @@ def test_composite_key_merge(tmp_path):
     with pytest.raises(Exception) as ei2:
         eng.merge_into(pa.table({"uid": pa.array([1], pa.int64())}))
     assert "key column" in str(ei2.value)
+
+
+def test_partial_lake_merge_patches_only_provided_columns(tmp_path):
+    """On a merge_mode='partial' lake a matched UPDATE patches ONLY the
+    source-provided columns (set_mask marks just those cells); an
+    unmatched INSERT sets the provided cells and leaves the rest NULL."""
+    from debezium_incubator_ray.envelope import build_envelopes
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+
+    users = np.arange(1, 9, dtype=np.int64)
+    after = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.nulls(8, pa.timestamp("us")),
+        "event_type": pa.array(["t0"] * 8, pa.string()),
+        "value": pa.array(np.full(8, 1.0), pa.float64()),
+        "props": pa.array(["p0"] * 8, pa.string()),
+    })
+    env = build_envelopes(
+        pa.array(["c"] * 8, pa.string()), after, None,
+        (users % 4).astype(np.int32), np.arange(8, dtype=np.int64),
+        "events",
+    )
+    binlog = str(tmp_path / "binlog")
+    EC.write_env_binlog(env, binlog)
+    cfg = EngineConfig(
+        table="events", key="user_id", num_partitions=4,
+        partitioner="mod", merge_mode="partial", aligned_binlog="never",
+        target_rows_per_file=64,
+    )
+    eng = CdcEngine(str(tmp_path / "lake"), cfg,
+                    payload_schema=EC.EVENTS_PAYLOAD)
+    eng.run(binlog)
+    st = eng.merge_into(pa.table({
+        "user_id": pa.array([1, 99], pa.int64()),
+        "value": pa.array([9.0, 9.5], pa.float64()),
+    }))
+    assert st["updated"] == 1 and st["inserted"] == 1
+    t = eng.lake_table()
+    rows = {u: (et, v, p) for u, et, v, p in zip(
+        t["user_id"].to_pylist(), t["event_type"].to_pylist(),
+        t["value"].to_pylist(), t["props"].to_pylist())}
+    assert rows[1] == ("t0", 9.0, "p0")   # patched value, kept the rest
+    assert rows[99] == (None, 9.5, None)  # insert: unprovided cells NULL
+    assert rows[2] == ("t0", 1.0, "p0")   # untouched
