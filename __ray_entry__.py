@@ -4005,6 +4005,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return triangle_count(edges, buckets=32)
 
+    def graph_assortativity(sf_dir):
+        """Degree assortativity of the top-2000 co-purchase subgraph: do
+        frequently-co-bought hub parts link to other hubs? Degree table
+        folds from per-block endpoint counts (|V| rows, broadcast once);
+        moment sums are exact int64 — the edges never shuffle."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import degree_assortativity
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return degree_assortativity(edges, "src", "dst")
+
     def graph_bfs_hops(sf_dir):
         """Multi-source BFS hop distances (<= 3 hops) from the 5
         lowest-id nodes of the top-2000 co-purchase subgraph: per hop ONE
@@ -5087,6 +5107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_outliers_mad": dq_outliers_mad,
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
+        "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
         "dq_corr_matrix": dq_corr_matrix,
@@ -6876,6 +6897,27 @@ def oracle_sql() -> dict[str, str]:
             "t.n_triangles, wd.n_wedges, "
             "3.0 * t.n_triangles / wd.n_wedges AS clustering_coef "
             "FROM t, wd"
+        ),
+        "graph_assortativity": (
+            # same top-2000 edge cut as graph_triangles; assortativity =
+            # corr(deg(u), deg(v)) over both orientations of every edge
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "und AS (SELECT a AS u, b AS v FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d "
+            "FROM und GROUP BY 1), "
+            "pts AS (SELECT du.d AS x, dv.d AS y FROM und "
+            "JOIN deg du ON und.u = du.node "
+            "JOIN deg dv ON und.v = dv.node) "
+            "SELECT round(corr(x, y), 6) AS assortativity, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes, "
+            "CAST(count(*) AS BIGINT) AS m2 FROM pts"
         ),
         "graph_bfs_hops": (
             # same top-2000 edge cut as graph_triangles; BFS unrolled to

@@ -326,6 +326,7 @@ def main() -> None:
         "events_autocorr",
         "stats_kendall_tau",
         "stats_mann_whitney",
+        "graph_assortativity",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -980,3 +980,25 @@ def test_mann_whitney_matches_manual():
     assert abs(out["u"][0] - round(u, 6)) < 1e-9
     assert abs(out["z"][0] - round(zz, 6)) < 2e-6
     assert out["n_a"][0] == 400 and out["n_b"][0] == 300
+
+
+def test_degree_assortativity_matches_numpy():
+    from debezium_incubator_ray.functions.graph import degree_assortativity
+
+    rng = np.random.default_rng(2)
+    # star + ring mixture: strong disassortativity expected
+    edges = {(0, i) for i in range(1, 12)} | {
+        (i, i + 1) for i in range(1, 11)
+    } | {tuple(sorted(p)) for p in rng.integers(1, 12, (8, 2)) if p[0] != p[1]}
+    e = np.array(sorted(edges))
+    t = pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    out = degree_assortativity(
+        ray.data.from_arrow(t).repartition(3), "src", "dst"
+    ).to_pandas()
+    deg = np.bincount(np.concatenate([e[:, 0], e[:, 1]]))
+    x = np.concatenate([deg[e[:, 0]], deg[e[:, 1]]])
+    y = np.concatenate([deg[e[:, 1]], deg[e[:, 0]]])
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(out["assortativity"][0] - round(want, 6)) < 2e-6
+    assert out["m2"][0] == 2 * len(e)
+    assert out["n_nodes"][0] == len(set(e.flatten()))
