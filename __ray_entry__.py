@@ -1256,6 +1256,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(li, "l_quantity", "l_linestatus", "O", "F")
 
+    def events_gini(sf_dir):
+        """Gini coefficient of per-user event counts — activity
+        concentration. Per-key counts fold narrow; the driver finish is
+        bounded by DISTINCT count values (count-of-counts), exact
+        integer rank sums."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import gini_coefficient
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"],
+        )
+        return gini_coefficient(ds, "user_id")
+
+    def events_changepoint(sf_dir):
+        """CUSUM mean-shift screen: which day breaks the event-volume
+        trend? Calendar-bounded daily fold, O(#days) driver finish,
+        earliest-day tie-break."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import cusum_changepoint
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"],
+        )
+        return cusum_changepoint(ds, "ts")
+
     def events_autocorr(sf_dir):
         """Is event volume periodic? Lag-{1,2,3,7} autocorrelation of
         the daily event-count series — rows collapse to per-day counts
@@ -4992,6 +5017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_kendall_tau": stats_kendall_tau,
         "stats_mann_whitney": stats_mann_whitney,
         "events_autocorr": events_autocorr,
+        "events_gini": events_gini,
+        "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
         "text_gopher_rules": text_gopher_rules,
@@ -5639,6 +5666,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
             "SELECT round(corr(ra, rb), 6) AS spearman, "
             "CAST(count(*) AS BIGINT) AS n FROM r"
+        ),
+        "events_gini": (
+            # exact integer rank-sum Gini; row_number tie order is
+            # irrelevant because tied c contribute the same i*c total
+            "WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM events GROUP BY user_id), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM uc) "
+            "SELECT round(2.0 * SUM(i * c) / (COUNT(*) * SUM(c)) "
+            "- (COUNT(*) + 1.0) / COUNT(*), 6) AS gini, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys FROM r"
+        ),
+        "events_changepoint": (
+            "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1), "
+            "w AS (SELECT day, SUM(c) OVER (ORDER BY day) AS s, "
+            "row_number() OVER (ORDER BY day) AS i, "
+            "(SELECT CAST(SUM(c) AS DOUBLE) FROM daily) AS st, "
+            "(SELECT COUNT(*) FROM daily) AS n FROM daily) "
+            "SELECT day AS change_day, round(ABS(s - i * st / n), 6) "
+            "AS cusum, CAST(n AS BIGINT) AS n_days FROM w "
+            "ORDER BY ABS(s - i * st / n) DESC, day ASC LIMIT 1"
         ),
         "stats_mann_whitney": (
             # tie-average rank = rank() + (tie count - 1)/2; ranks are

@@ -327,6 +327,8 @@ def main() -> None:
         "stats_kendall_tau",
         "stats_mann_whitney",
         "graph_assortativity",
+        "events_gini",
+        "events_changepoint",
     ]
     for name in q_list:
         t2 = time.perf_counter()

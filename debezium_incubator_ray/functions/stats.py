@@ -809,3 +809,108 @@ def kendall_tau_b(ds, a_col: str, b_col: str):
         "tau_b": pa.array([round(float(tau), 6)], pa.float64()),
         "n": pa.array([n], pa.int64()),
     })
+
+
+def gini_coefficient(ds, key_col: str):
+    """Gini coefficient of per-key event counts — how unequally is
+    activity concentrated across keys (0 = uniform, ->1 = one key owns
+    everything)? Two narrow folds: per-block (key, cnt) partials
+    groupby-fold to per-key totals (|keys| rows, never the events), then
+    per-block value_counts of the TOTALS fold to (count_value,
+    multiplicity) — the driver finish is bounded by the DISTINCT count
+    values, not the key count. Exact integer rank-sum formula:
+    G = 2*sum(i * x_i)/(n * sum(x)) - (n+1)/n over the sorted multiset
+    (runs of equal values contribute c*(m*p + m(m-1)/2) with p the
+    1-based start rank). Returns one row: (gini, n_keys)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[key_col].combine_chunks().drop_null().value_counts()
+        return pa.table({
+            "k": vc.field("values"),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    per_key = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def count_of_counts(t: pa.Table) -> pa.Table:
+        vc = t["c"].combine_chunks().value_counts()
+        return pa.table({
+            "c": vc.field("values"),
+            "m": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = (
+        per_key.map_batches(count_of_counts, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("m", alias_name="m"))
+        .take_all()
+    )
+    if not rows:
+        return pa.table({
+            "gini": pa.array([float("nan")], pa.float64()),
+            "n_keys": pa.array([0], pa.int64()),
+        })
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    m = np.array([r["m"] for r in rows], dtype=np.int64)
+    order = np.argsort(c)
+    c, m = c[order], m[order]
+    n = int(m.sum())
+    s = int((c * m).sum())
+    start = np.cumsum(m) - m + 1  # 1-based start rank of each value run
+    s1 = int((c * (m * start + m * (m - 1) // 2)).sum())
+    gini = 2.0 * s1 / (n * s) - (n + 1.0) / n if n and s else float("nan")
+    return pa.table({
+        "gini": pa.array([round(float(gini), 6)], pa.float64()),
+        "n_keys": pa.array([n], pa.int64()),
+    })
+
+
+def cusum_changepoint(ds, ts_col: str):
+    """CUSUM mean-shift screen on the daily event-count series: the day
+    maximizing |S_i - i*S_n/n| (cumulative count minus the uniform-rate
+    expectation) — where did the volume trend break? Same calendar-
+    bounded daily fold as :func:`autocorr_daily`; the driver finish is
+    O(#days). Ties break to the earliest day. Returns one row:
+    (change_day, cusum, n_days)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(t[ts_col].combine_chunks(), unit="day"),
+            format="%Y-%m-%d",
+        )
+        vc = day.drop_null().value_counts()
+        return pa.table({
+            "day": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    days = sorted((r["day"], r["n"]) for r in rows)
+    cnts = np.array([n for _, n in days], dtype=np.int64)
+    n_days = len(cnts)
+    if not n_days:
+        return pa.table({
+            "change_day": pa.array([None], pa.string()),
+            "cusum": pa.array([float("nan")], pa.float64()),
+            "n_days": pa.array([0], pa.int64()),
+        })
+    s = np.cumsum(cnts)
+    i = np.arange(1, n_days + 1, dtype=np.float64)
+    dev = np.abs(s - i * float(s[-1]) / n_days)
+    best = int(np.argmax(dev))  # first occurrence = earliest day
+    return pa.table({
+        "change_day": pa.array([days[best][0]], pa.string()),
+        "cusum": pa.array([round(float(dev[best]), 6)], pa.float64()),
+        "n_days": pa.array([n_days], pa.int64()),
+    })

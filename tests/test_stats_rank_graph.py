@@ -1002,3 +1002,47 @@ def test_degree_assortativity_matches_numpy():
     assert abs(out["assortativity"][0] - round(want, 6)) < 2e-6
     assert out["m2"][0] == 2 * len(e)
     assert out["n_nodes"][0] == len(set(e.flatten()))
+
+
+def test_gini_matches_bruteforce():
+    from debezium_incubator_ray.functions.stats import gini_coefficient
+
+    rng = np.random.default_rng(9)
+    keys = rng.zipf(1.6, 4000) % 300  # heavy-tail activity
+    t = pa.table({"k": pa.array(keys.astype(np.int64))})
+    out = gini_coefficient(
+        ray.data.from_arrow(t).repartition(5), "k"
+    ).to_pandas()
+    x = np.sort(np.bincount(keys)[np.bincount(keys) > 0])
+    n = len(x)
+    want = 2.0 * float((np.arange(1, n + 1) * x).sum()) / (n * x.sum()) \
+        - (n + 1.0) / n
+    assert abs(out["gini"][0] - round(want, 6)) < 2e-6
+    assert out["n_keys"][0] == n
+
+
+def test_gini_uniform_is_zero():
+    from debezium_incubator_ray.functions.stats import gini_coefficient
+
+    t = pa.table({"k": pa.array(list(range(10)) * 7, pa.int64())})
+    out = gini_coefficient(ray.data.from_arrow(t), "k").to_pandas()
+    assert abs(out["gini"][0]) < 1e-12
+
+
+def test_cusum_finds_injected_shift():
+    from debezium_incubator_ray.functions.stats import cusum_changepoint
+
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    days = np.arange(40)
+    counts = np.where(days < 25, 10, 40)  # mean shift after day 24
+    ts = np.repeat(base + days * np.timedelta64(86400_000_000, "us"), counts)
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    out = cusum_changepoint(
+        ray.data.from_arrow(t).repartition(4), "ts"
+    ).to_pandas()
+    # CUSUM peaks at the last pre-shift day
+    assert out["change_day"][0] == "2024-03-25"
+    assert out["n_days"][0] == 40
+    s = np.cumsum(counts)
+    dev = np.abs(s - np.arange(1, 41) * s[-1] / 40.0)
+    assert abs(out["cusum"][0] - round(dev.max(), 6)) < 1e-9
