@@ -668,7 +668,8 @@ def degree_assortativity(edges, src_col: str = "src", dst_col: str = "dst"):
     agg = edges.map_batches(
         moments, batch_format="pyarrow", zero_copy_batch=True
     ).aggregate(*[Sum(c, alias_name=c) for c in ("m", "sx", "sxx", "sxy")])
-    m2, sx, sxx, sxy = (agg[c] for c in ("m", "sx", "sxx", "sxy"))
+    # Python ints: m2*sxx etc. would wrap numpy int64 on large graphs
+    m2, sx, sxx, sxy = (int(agg[c] or 0) for c in ("m", "sx", "sxx", "sxy"))
     var = float(m2 * sxx - sx * sx)
     r = (m2 * sxy - sx * sx) / var if m2 and var > 0 else float("nan")
     return pa.table({

@@ -690,7 +690,9 @@ def mann_whitney_u(ds, value_col: str, group_col: str, group_a, group_b):
     n = n_a + n_b
     u = ra - n_a * (n_a + 1) / 2.0
     mu = n_a * n_b / 2.0
-    tsum = float(int((t ** 3 - t).sum()))  # exact int64, then one cast
+    # exact arbitrary-precision tie term (t^3 wraps int64 past ~2.1M-row
+    # ties; the distinct-value list is small, so Python ints are free)
+    tsum = float(sum(int(tv) ** 3 - int(tv) for tv in t))
     var = n_a * n_b / 12.0 * ((n + 1) - tsum / (n * (n - 1.0)))
     z = (u - mu) / np.sqrt(var) if var > 0 else float("nan")
     return pa.table({
@@ -862,7 +864,13 @@ def gini_coefficient(ds, key_col: str):
     n = int(m.sum())
     s = int((c * m).sum())
     start = np.cumsum(m) - m + 1  # 1-based start rank of each value run
-    s1 = int((c * (m * start + m * (m - 1) // 2)).sum())
+    # rank-weighted sum in arbitrary precision: c*m*start ~ O(n^3 / runs)
+    # wraps int64 at large n; the run list is distinct-bounded, so Python
+    # ints cost nothing
+    s1 = sum(
+        int(cv) * (int(mv) * int(st) + int(mv) * (int(mv) - 1) // 2)
+        for cv, mv, st in zip(c, m, start)
+    )
     gini = 2.0 * s1 / (n * s) - (n + 1.0) / n if n and s else float("nan")
     return pa.table({
         "gini": pa.array([round(float(gini), 6)], pa.float64()),

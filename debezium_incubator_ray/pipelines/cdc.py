@@ -1602,7 +1602,13 @@ class CdcEngine:
                 doc["partitions"][str(p)], lake_dir, schema, defaults,
                 schema_version, key, columns=list(kcols),
             )
-            matched = pc.is_in(keys, value_set=routing_key(live))
+            # composite lakes persist the _key side column in every run —
+            # reuse it instead of re-encoding all live component columns
+            lkey = (
+                live[key].combine_chunks()
+                if key in live.column_names else routing_key(live)
+            )
+            matched = pc.is_in(keys, value_set=lkey)
             n_match = int(pc.sum(pc.cast(matched, pa.int64())).as_py() or 0)
             ops = np.where(
                 matched.to_numpy(zero_copy_only=False),
@@ -2570,12 +2576,17 @@ class CdcEngine:
                 tbls.extend(base_hits)
                 continue
             # merge-on-read point read: candidate rows from base and delta
-            # runs LWW-merge exactly like a full scan would — O(hit files)
+            # runs LWW-merge exactly like a full scan would — O(hit files).
+            # Newest delta FIRST, mirroring read_partition_state: at an
+            # equal-LSN tie the later-applied writer must win on the point
+            # read exactly as it does on the scan.
             base = (
                 pa.concat_tables(base_hits, promote_options="permissive")
                 if base_hits else None
             )
-            d = pa.concat_tables(delta_hits, promote_options="permissive")
+            d = pa.concat_tables(
+                list(reversed(delta_hits)), promote_options="permissive"
+            )
             op = pc.if_else(
                 pc.fill_null(d[DELETED].combine_chunks(), False),
                 pa.scalar("d"), pa.scalar("r"),

@@ -245,3 +245,39 @@ def test_partial_lake_merge_patches_only_provided_columns(tmp_path):
     assert rows[1] == ("t0", 9.0, "p0")   # patched value, kept the rest
     assert rows[99] == (None, 9.5, None)  # insert: unprovided cells NULL
     assert rows[2] == ("t0", 1.0, "p0")   # untouched
+
+
+def test_mor_lookup_agrees_with_scan_at_lsn_tie(tmp_path):
+    """Point reads and scans must resolve an equal-LSN tie identically
+    (later writer wins) on a merge-on-read lake: merge at LSN L, then a
+    stream delta at the same L — lookup() previously served the stale
+    merge row while the scan served the stream row."""
+    import os
+
+    import pyarrow.parquet as pq
+    from debezium_incubator_ray.envelope import build_envelopes
+
+    eng = _lake(tmp_path, sink_mode="mor", mor_compact_deltas=0)
+    live = sorted(set(eng.lake_table()["url"].to_pylist()))
+    st = eng.merge_into(_src([live[0]], ["from-merge"]))
+    after = pa.table({
+        "url": pa.array([live[0]], pa.string()),
+        "lang": pa.array(["from-stream"], pa.string()),
+    })
+    env = build_envelopes(
+        pa.array(["u"], pa.string()), after, None,
+        np.array([0], dtype=np.int32),
+        np.array([st["lsn"]], dtype=np.int64),
+        "pages",
+    )
+    b2 = tmp_path / "binlog2" / "p=0"
+    os.makedirs(b2)
+    pq.write_table(env, str(b2 / "seg-00091.parquet"))
+    eng.apply_epoch(str(tmp_path / "binlog2"))
+    scan = dict(zip(
+        eng.lake_table()["url"].to_pylist(),
+        eng.lake_table()["lang"].to_pylist(),
+    ))
+    hit = eng.lookup([live[0]])
+    assert scan[live[0]] == "from-stream"
+    assert hit["lang"].to_pylist() == ["from-stream"]
