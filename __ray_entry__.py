@@ -733,8 +733,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def cdc_point_lookup(sf_dir):
         """Serving-path point reads: route keys to partitions, open only
-        the sorted runs whose key range can contain them. Keys 0..29 plus
-        two misses; result = those keys' LWW winners."""
+        the sorted runs whose key range can contain them — and skip runs
+        whose SSTable-style Bloom sidecar proves every wanted key absent
+        (bloom_filter_bits=10). Keys 0..29 plus two misses; result =
+        those keys' LWW winners, identical with or without blooms."""
         import pyarrow as pa
         from debezium_incubator_ray import schema as S
         from debezium_incubator_ray.pipelines import events_cdc as EC
@@ -742,7 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         root = EC.scratch_dir("lookup")
         binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
         EC.write_events_binlog(sf_dir, binlog)
-        eng = EC.make_engine(lake)
+        eng = EC.make_engine(lake, bloom_filter_bits=10)
         eng.run(binlog)
         out = eng.lookup(list(range(30)) + [10**9, 10**9 + 1])
         i = out.schema.get_field_index(S.LSN)

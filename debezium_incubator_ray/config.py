@@ -173,6 +173,15 @@ class EngineConfig:
     # pay off for columns correlated with the key or with write time.
     stats_columns: Sequence[str] = ()
 
+    # SSTable-style per-run key Bloom filters (Cassandra's own point-read
+    # discipline — the reference's source DB keeps one per SSTable): bits
+    # PER KEY (0 = off; 10 ≈ 1% false positives with 4 hashes). Each run
+    # write drops a `<run>.bloom` sidecar; lookup() probes it and skips
+    # runs that DEFINITELY lack every wanted key — negative lookups and
+    # merge-on-read delta stacks (overlapping key ranges) stop paying a
+    # parquet read per covering run. Table policy (manifest-recorded).
+    bloom_filter_bits: int = 0
+
     # transaction-boundary apply (Debezium's transaction-metadata contract:
     # consumers see only COMPLETE transactions). Envelope streams carry
     # optional top-level ``tx_id``/``tx_events`` columns (total events the

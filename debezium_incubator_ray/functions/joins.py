@@ -479,7 +479,7 @@ def bloom_semi_join(
     false positives, so the result is byte-identical to the unfiltered
     semi-join. Size bits_log2 >= log2(n_right_keys) + 3 for ~3% FPR
     with 4 hashes."""
-    from debezium_incubator_ray.hashing import stable_hash
+    from debezium_incubator_ray.hashing import bloom_build, bloom_probe
     import ray
 
     right_on = right_on or on
@@ -488,17 +488,7 @@ def bloom_semi_join(
     right = right.materialize()  # read once: bloom build + exact join
 
     def block_bloom(t: pa.Table) -> pa.Table:
-        h1 = stable_hash(t[right_on].combine_chunks(), seed=1001)
-        h2 = stable_hash(t[right_on].combine_chunks(), seed=2002)
-        # force h2 odd so double-hash probes cover the table
-        h2 = h2 | np.uint64(1)
-        bm = np.zeros(n_words, dtype=np.uint64)
-        for i in range(n_hashes):
-            with np.errstate(over="ignore"):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-            word = (idx >> np.uint64(6)).astype(np.int64)
-            bit = np.uint64(1) << (idx & np.uint64(63))
-            np.bitwise_or.at(bm, word, bit)
+        bm = bloom_build(t[right_on].combine_chunks(), bits_log2, n_hashes)
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
     parts = right.map_batches(
@@ -511,15 +501,7 @@ def bloom_semi_join(
 
     def prefilter(t: pa.Table) -> pa.Table:
         bm = ray.get(bloom_ref)
-        h1 = stable_hash(t[on].combine_chunks(), seed=1001)
-        h2 = stable_hash(t[on].combine_chunks(), seed=2002) | np.uint64(1)
-        keep = np.ones(t.num_rows, dtype=bool)
-        for i in range(n_hashes):
-            with np.errstate(over="ignore"):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-            word = (idx >> np.uint64(6)).astype(np.int64)
-            bit = np.uint64(1) << (idx & np.uint64(63))
-            keep &= (bm[word] & bit) != 0
+        keep = bloom_probe(bm, t[on].combine_chunks(), bits_log2, n_hashes)
         return t.filter(pa.array(keep))
 
     survivors = left.map_batches(

@@ -158,3 +158,45 @@ def partition_ids(
         return (vals % num_partitions).astype(np.int32)
     h = stable_hash(key_array)
     return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def bloom_build(
+    key_array: pa.Array | pa.ChunkedArray, bits_log2: int, n_hashes: int = 4
+) -> np.ndarray:
+    """Bloom bitmap (uint64 words) over an Arrow key array: double
+    hashing h1 + i*h2 from two seeded ``stable_hash`` passes — the same
+    version-pinned kernel everywhere a bloom is built (the broadcast
+    semi-join prefilter and the SSTable-style per-run sidecars), so a
+    bitmap built by any worker probes identically on any other."""
+    n_bits = np.uint64(1 << bits_log2)
+    h1 = stable_hash(key_array, seed=1001)
+    h2 = stable_hash(key_array, seed=2002) | np.uint64(1)
+    words = np.zeros((1 << bits_log2) >> 6, dtype=np.uint64)
+    for i in range(n_hashes):
+        with np.errstate(over="ignore"):
+            idx = (h1 + np.uint64(i) * h2) % n_bits
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        np.bitwise_or.at(words, word, bit)
+    return words
+
+
+def bloom_probe(
+    words: np.ndarray,
+    key_array: pa.Array | pa.ChunkedArray,
+    bits_log2: int,
+    n_hashes: int = 4,
+) -> np.ndarray:
+    """Membership mask against a ``bloom_build`` bitmap: True = maybe
+    present (bounded false-positive rate), False = DEFINITELY absent."""
+    n_bits = np.uint64(1 << bits_log2)
+    h1 = stable_hash(key_array, seed=1001)
+    h2 = stable_hash(key_array, seed=2002) | np.uint64(1)
+    keep = np.ones(len(h1), dtype=bool)
+    for i in range(n_hashes):
+        with np.errstate(over="ignore"):
+            idx = (h1 + np.uint64(i) * h2) % n_bits
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        keep &= (words[word] & bit) != 0
+    return keep

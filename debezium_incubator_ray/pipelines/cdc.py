@@ -82,6 +82,14 @@ class CdcEngine:
                 # policy update rides the next commit; runs written before
                 # it simply have no stats (scan reads them — correct)
                 doc["stats_columns"] = list(self.cfg.stats_columns)
+            mf_bloom = int(doc.get("bloom_filter_bits") or 0)
+            if not self.cfg.bloom_filter_bits:
+                self.cfg.bloom_filter_bits = mf_bloom
+            elif self.cfg.bloom_filter_bits != mf_bloom:
+                # enabling/resizing blooms on an existing table: runs
+                # written before the change have no sidecar (lookup reads
+                # them — correct); new writes carry the new size
+                doc["bloom_filter_bits"] = int(self.cfg.bloom_filter_bits)
             if self.cfg.mor_compact_deltas is None:
                 # table policy, restored on resume (an explicit config
                 # value on reopen still wins)
@@ -158,6 +166,7 @@ class CdcEngine:
                 stats_columns=list(self.cfg.stats_columns),
                 merge_mode=self.cfg.merge_mode,
                 counter_cols=list(self.cfg.counter_cols),
+                bloom_filter_bits=self.cfg.bloom_filter_bits,
             )
 
         self._lock_fd: Optional[int] = None
@@ -1094,8 +1103,10 @@ class CdcEngine:
                 continue
             doc = json.loads(raw)
             for part in doc["partitions"].values():
-                referenced.update(f["path"] for f in part["files"])
-                referenced.update(f["path"] for f in part.get("deltas", []))
+                for f in part["files"] + part.get("deltas", []):
+                    referenced.add(f["path"])
+                    if f.get("bloom"):
+                        referenced.add(f["path"] + ".bloom")
         removed_files = 0
         data_root = os.path.join(self.lake_dir, "data")
         for dirpath, _dirs, names in os.walk(data_root) if os.path.isdir(data_root) else []:
@@ -1147,10 +1158,16 @@ class CdcEngine:
             src = os.path.join(self.lake_dir, rel)
             dst = os.path.join(dst_dir, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(src, dst)
-            except OSError:  # cross-device: degrade to a copy
-                shutil.copy2(src, dst)
+            # bloom sidecars branch with their runs (same inode-refcount
+            # safety: neither lake ever rewrites a sidecar in place)
+            pairs = [(src, dst)]
+            if os.path.exists(src + ".bloom"):
+                pairs.append((src + ".bloom", dst + ".bloom"))
+            for s_, d_ in pairs:
+                try:
+                    os.link(s_, d_)
+                except OSError:  # cross-device: degrade to a copy
+                    shutil.copy2(s_, d_)
             n_files += 1
         doc = json.loads(json.dumps(ms.doc))
         doc["lineage"] = (doc["lineage"] + [{
@@ -2555,11 +2572,27 @@ class CdcEngine:
         from debezium_incubator_ray.envelope import DELETED, merge_lww
 
         def run_hits(files: List[Dict], want) -> List[pa.Table]:
+            from debezium_incubator_ray.hashing import bloom_probe
+
             out = []
             for f in files:
                 hit = [k for k in want if f["min_key"] <= k <= f["max_key"]]
                 if not hit:
                     continue
+                if f.get("bloom"):
+                    # SSTable-style sidecar: skip the parquet read when
+                    # every wanted key is definitely absent (a missing
+                    # sidecar — e.g. pre-policy runs — just means no skip)
+                    side = os.path.join(self.lake_dir, f["path"] + ".bloom")
+                    if os.path.exists(side):
+                        words = np.fromfile(side, dtype=np.uint64)
+                        keep = bloom_probe(
+                            words, pa.array(hit, karr.type),
+                            int(f["bloom"][0]), int(f["bloom"][1]),
+                        )
+                        hit = [k for k, m in zip(hit, keep) if m]
+                        if not hit:
+                            continue
                 t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
                 if f.get("schema_version", 1) != m.doc["schemas"][-1]["version"]:
                     t = upgrade_run_table(t, target, defaults)

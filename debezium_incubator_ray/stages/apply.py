@@ -327,6 +327,9 @@ class PartitionApplier:
         self.lake_dir = lake_dir
         self.key = manifest_doc["key"]
         self.stats_columns = list(manifest_doc.get("stats_columns") or [])
+        # per-run key Bloom sidecars (bits per key, 0 = off): the
+        # Cassandra-SSTable point-read discipline for lookup()
+        self.bloom_bits = int(manifest_doc.get("bloom_filter_bits") or 0)
         self.target_rows = target_rows_per_file
         self.schema = S.schema_from_b64(manifest_doc["schemas"][-1]["schema"])
         self.schema_version = manifest_doc["schemas"][-1]["version"]
@@ -489,6 +492,16 @@ class PartitionApplier:
                 "max_key": pc.max(kcol).as_py(),
                 "schema_version": self.schema_version,
             }
+            if self.bloom_bits:
+                # SSTable-style key bloom sidecar: lookup() skips this run
+                # when every wanted key is definitely absent
+                from debezium_incubator_ray.hashing import bloom_build
+
+                bl = max(6, int(np.ceil(np.log2(chunk.num_rows * self.bloom_bits))))
+                words = bloom_build(kcol.combine_chunks(), bl)
+                with open(os.path.join(self.lake_dir, name) + ".bloom", "wb") as fh:
+                    fh.write(words.tobytes())
+                entry["bloom"] = [bl, 4]
             if self.keep_tombstones:
                 from debezium_incubator_ray.envelope import DELETED as _DEL
 

@@ -56,6 +56,7 @@ class Manifest:
         stats_columns=None,
         merge_mode="lww",
         counter_cols=None,
+        bloom_filter_bits=0,
         store=None,
     ) -> "Manifest":
         from debezium_incubator_ray.hashing import HASH_IMPL
@@ -97,6 +98,9 @@ class Manifest:
             # zone-map columns: every run records min/max for these (see
             # EngineConfig.stats_columns; CdcEngine.scan prunes with them)
             "stats_columns": list(stats_columns or []),
+            # per-run key Bloom sidecars (EngineConfig.bloom_filter_bits):
+            # bits per key, 0 = off; lookup() skips definitely-missing runs
+            "bloom_filter_bits": int(bloom_filter_bits or 0),
             "snapshot_complete": False,
             "snapshot_lsn": -1,
             "partitions": {
