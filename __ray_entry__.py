@@ -1697,6 +1697,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_prefix_lookup(sf_dir):
+        """Cassandra partition read over a composite-key lake: the
+        (event_type, user_id) secondary index is prefix-read with
+        lookup_prefix(('click',)) — only sorted runs whose
+        [min_key, max_key] intersects the 'click|' prefix range are
+        opened, rows exactly filtered. Result: every live user whose
+        current event_type is 'click', with the primary LWW lsn."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+        from debezium_incubator_ray.pipelines.derive import (
+            derive_rekeyed_envelopes,
+        )
+
+        root = EC.scratch_dir("pfx")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        env = EC.events_envelopes(sf_dir, delete_aware=True)
+        idx_schema = pa.schema(
+            [pa.field("event_type", pa.string()),
+             pa.field("user_id", pa.int64(), nullable=False)]
+        )
+        derived = derive_rekeyed_envelopes(
+            env, idx_schema, ("event_type", "user_id")
+        )
+        EC.write_env_binlog(derived, binlog, num_partitions=1)
+        eng = EC.make_engine(
+            lake, key_cols=("event_type", "user_id"), payload_schema=idx_schema
+        )
+        eng.run(binlog)
+        out = eng.lookup_prefix(("click",))
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_fan_in(sf_dir):
         """Sharded fan-in: the event stream splits by user parity into two
         'upstream shards' with INDEPENDENT LSN domains (shard A's offsets
@@ -1826,6 +1859,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ):
             raise RuntimeError("no zone maps recorded")
         return eng.scan("value", lo=20.0, hi=60.0)
+
+    def cdc_key_range_scan(sf_dir):
+        """Key-range scan pruned by the sorted-run bounds themselves: every
+        run records [min_key, max_key] (no zone-map config needed), so
+        scan(key, lo, hi) opens only intersecting runs and exact-filters
+        the rest. Oracle: LWW final state WHERE key BETWEEN."""
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("kscan")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        # small runs => many narrow disjoint key ranges per partition, so
+        # the [100, 500] range provably skips whole runs
+        eng = EC.make_engine(lake, target_rows_per_file=8)
+        eng.run(binlog)
+        out = eng.scan("user_id", lo=100, hi=500)
+        assert eng._last_scan_stats["runs_read"] < eng._last_scan_stats["runs_total"], \
+            eng._last_scan_stats  # the run bounds must actually prune
+        return out
 
     def cdc_lake_join(sf_dir):
         """Co-partitioned lake-to-lake join: the event stream splits by LSN
@@ -5037,6 +5089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "dedup_keep_best": dedup_keep_best,
         "cdc_secondary_index": cdc_secondary_index,
+        "cdc_prefix_lookup": cdc_prefix_lookup,
+        "cdc_key_range_scan": cdc_key_range_scan,
         "cdc_fan_in": cdc_fan_in,
         "cdc_row_expiry": cdc_row_expiry,
         "cdc_materialized_view": cdc_materialized_view,
@@ -6094,6 +6148,12 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
         ),
+        "cdc_prefix_lookup": _LWW
+        + "SELECT event_type, user_id, lsn FROM ranked "
+        "WHERE rn = 1 AND op <> 'd' AND event_type = 'click'",
+        "cdc_key_range_scan": _LWW
+        + "SELECT user_id, ts, event_type, value, props FROM ranked "
+        "WHERE rn = 1 AND op <> 'd' AND user_id BETWEEN 100 AND 500",
         "cdc_secondary_index": _LWW
         + "SELECT event_type, user_id, lsn FROM ranked "
         "WHERE rn = 1 AND op <> 'd'",

@@ -329,6 +329,8 @@ def main() -> None:
         "graph_assortativity",
         "events_gini",
         "events_changepoint",
+        "cdc_prefix_lookup",
+        "cdc_key_range_scan",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -2484,22 +2484,30 @@ class CdcEngine:
         excluded (scan is defined over live state). Merge-on-read deltas
         fall back to the merged scan + filter (deltas are small by
         construction; compact() restores full pruning). Built on the
-        read_lake plumbing — one read path, one projection/upgrade rule."""
+        read_lake plumbing — one read path, one projection/upgrade rule.
+
+        Scanning the KEY column needs no zone-map config: every run
+        already records [min_key, max_key] (the sorted-run invariant),
+        so key-range scans prune out of the box."""
         from debezium_incubator_ray.envelope import DELETED
         from debezium_incubator_ray.stages.apply import stats_value
 
         m = self._manifest_at(version)
         target = m.current_schema()
-        if target.get_field_index(col) < 0:
+        is_key = col == self.cfg.key
+        if not is_key and target.get_field_index(col) < 0:
             raise ValueError(f"scan column not in lake schema: {col}")
         lo_e = stats_value(lo) if lo is not None else None
         hi_e = stats_value(hi) if hi is not None else None
 
         def overlap(f: Dict) -> bool:
-            st = (f.get("stats") or {}).get(col)
-            if not st:
-                return True  # no zone map -> must read
-            mn, mx = st[0], st[1]  # st[2] (null count) irrelevant to range
+            if is_key:
+                mn, mx = f["min_key"], f["max_key"]
+            else:
+                st = (f.get("stats") or {}).get(col)
+                if not st:
+                    return True  # no zone map -> must read
+                mn, mx = st[0], st[1]  # st[2] (nulls) irrelevant to range
             if hi_e is not None and mn is not None and mn > hi_e:
                 return False
             if lo_e is not None and mx is not None and mx < lo_e:
@@ -2639,6 +2647,98 @@ class CdcEngine:
         from debezium_incubator_ray.envelope import COMPOSITE_KEY
 
         if self.cfg.key_cols and COMPOSITE_KEY in out.column_names:
+            out = out.drop_columns([COMPOSITE_KEY])
+        return out
+
+    def lookup_prefix(self, components, version: Optional[int] = None) -> pa.Table:
+        """Composite-PK PREFIX read — Cassandra's primary read pattern
+        (all clustering rows of a partition key,
+        SELECT ... WHERE pk = ?): every live row whose LEADING key
+        components equal ``components``. The ``_key`` encoding is
+        prefix-preserving (string-cast components joined with '|'), so
+        the read targets only the sorted runs whose [min_key, max_key]
+        intersects [prefix, prefix+maxchar] — O(matching runs) per
+        partition, never the lake; rows scatter across partitions (hash
+        of the FULL key routes), so every partition's run list is range-
+        checked, but each check is metadata-only. Rows are exactly
+        filtered afterwards, so numeric components never false-match on
+        string ordering. A full-length component tuple delegates to
+        :meth:`lookup`."""
+        if not self.cfg.key_cols:
+            raise ValueError(
+                "lookup_prefix requires a composite-PK lake (key_cols); "
+                "use lookup() for single-column keys"
+            )
+        comps = (
+            list(components)
+            if isinstance(components, (list, tuple)) else [components]
+        )
+        if not 1 <= len(comps) <= len(self.cfg.key_cols):
+            raise ValueError(
+                f"prefix length {len(comps)} not in 1..{len(self.cfg.key_cols)}"
+            )
+        if len(comps) == len(self.cfg.key_cols):
+            return self.lookup([tuple(comps)], version=version)
+        from debezium_incubator_ray.envelope import (
+            COMPOSITE_KEY, DELETED, composite_key_arrays, merge_lww,
+        )
+        from debezium_incubator_ray.stages.apply import upgrade_run_table
+
+        pfx = composite_key_arrays(
+            [pa.array([c]) for c in comps]
+        )[0].as_py() + "|"
+        hi = pfx + "\U0010FFFF"
+        m = self._manifest_at(version)
+        target = m.current_schema()
+        defaults = m.doc["defaults"]
+        key = self.cfg.key
+
+        def range_hits(files: List[Dict]) -> List[pa.Table]:
+            out = []
+            for f in files:
+                if f["max_key"] < pfx or f["min_key"] > hi:
+                    continue
+                t = pq.read_table(os.path.join(self.lake_dir, f["path"]))
+                if f.get("schema_version", 1) != m.doc["schemas"][-1]["version"]:
+                    t = upgrade_run_table(t, target, defaults)
+                t = t.filter(pc.starts_with(t[key], pattern=pfx))
+                if t.num_rows:
+                    out.append(t)
+            return out
+
+        tbls = []
+        for p in range(m.num_partitions):
+            base_hits = range_hits(m.files(p))
+            delta_hits = range_hits(m.deltas(p))
+            if not delta_hits:
+                tbls.extend(base_hits)
+                continue
+            base = (
+                pa.concat_tables(base_hits, promote_options="permissive")
+                if base_hits else None
+            )
+            # newest delta first: equal-LSN ties go to the later writer,
+            # same as lookup() and the scan path
+            d = pa.concat_tables(
+                list(reversed(delta_hits)), promote_options="permissive"
+            )
+            op = pc.if_else(
+                pc.fill_null(d[DELETED].combine_chunks(), False),
+                pa.scalar("d"), pa.scalar("r"),
+            )
+            d = d.drop_columns([DELETED]).append_column("op", op)
+            merged = merge_lww(
+                base, d, key, keep_tombstones=not m.doc.get("tombstones", True)
+            )
+            if merged.num_rows:
+                tbls.append(merged)
+        if not tbls:
+            t = S.upgrade_table(pa.table({}), target, defaults)
+            return t.append_column(S.LSN, pa.array([], pa.int64()))
+        out = pa.concat_tables(tbls, promote_options="permissive").sort_by(
+            [(key, "ascending")]
+        )
+        if COMPOSITE_KEY in out.column_names:
             out = out.drop_columns([COMPOSITE_KEY])
         return out
 

@@ -164,3 +164,29 @@ def test_composite_snapshot(tmp_path):
     assert got == set(FINAL) | {(9, "z")}
     with pytest.raises(NotImplementedError):
         eng.snapshot_incremental(lambda last, n: None)
+
+
+def test_lookup_prefix_partition_read(tmp_path):
+    """Cassandra-style partition read: lookup_prefix((uid,)) returns all
+    live clustering rows of that uid, exactly filtered (numeric
+    components never false-match string ordering), identical to the
+    lake_table projection; full-length prefixes delegate to lookup()."""
+    eng = _drive(tmp_path, ROWS + [
+        (11, "a", 7.0, "c", None, None, None, 9),   # uid 11 vs prefix "1"
+        (1, "c", 8.0, "c", None, None, None, 10),
+    ])
+    lt = eng.lake_table()
+    got = eng.lookup_prefix((1,))
+    want = lt.filter(pc.equal(lt["uid"], 1)).sort_by([("kind", "ascending")])
+    assert got.num_rows == want.num_rows == 2  # (1,a), (1,c) — NOT 11
+    assert got.sort_by([("kind", "ascending")])["kind"].to_pylist() == \
+        want["kind"].to_pylist()
+    assert set(got["uid"].to_pylist()) == {1}
+    # full-length prefix == point lookup
+    one = eng.lookup_prefix((2, "b"))
+    assert one.num_rows == 1 and one["val"][0].as_py() == 40.0
+    # absent prefix -> empty with the lake schema
+    assert eng.lookup_prefix((999,)).num_rows == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        eng.lookup_prefix((1, "a", "x"))
