@@ -4245,6 +4245,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_higher_moments(ev, "event_type", "value")
 
+    def stats_welch_ttest(sf_dir):
+        """Welch's unequal-variance t between purchase and view event
+        values: one streaming power-sum fold (2 partial rows per block),
+        closed-form t and Welch-Satterthwaite df on the driver — the
+        A/B-test primitive, no row co-location ever."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import welch_ttest
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return welch_ttest(ev, "value", "event_type", "purchase", "view")
+
+    def stats_anova_f(sf_dir):
+        """One-way ANOVA F across all event types from the same power-sum
+        fold: does mean value differ by type at all? Mean squares (not
+        raw SS) are emitted so the gauge stays O(variance)-scaled and
+        summation-order float noise stays far inside the 6-dp gate."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import anova_oneway
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return anova_oneway(ev, "value", "event_type")
+
+    def stats_mutual_info(sf_dir):
+        """Mutual information (nats) + Cramer's V between document lang
+        and source from ONE contingency fold — the categorical
+        association pair a profiler reports together. Exact int64 counts
+        inside every log/ratio; per-block partials are bounded by the
+        category grid, never the corpus."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            mutual_information,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "source"],
+        )
+        return mutual_information(docs, "lang", "source")
+
+    def stats_theilsen_daily(sf_dir):
+        """Theil-Sen robust trend of daily event volume: exact median of
+        all pairwise slopes over the calendar-bounded daily series (the
+        events fold distributed; the O(days^2) pair set is driver-
+        trivial), plus the median-residual intercept."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import theil_sen_daily
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts"],
+        )
+        return theil_sen_daily(ev, "ts")
+
     def text_cosine_pairs(sf_dir):
         """Top-50 TF-IDF cosine document pairs via inverted-index
         blocking: only pairs sharing a kept (2 <= df <= 6% of docs) term
@@ -5197,6 +5256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_group_percent_rank": events_group_percent_rank,
         "events_top_user": events_top_user,
         "stats_higher_moments": stats_higher_moments,
+        "stats_welch_ttest": stats_welch_ttest,
+        "stats_anova_f": stats_anova_f,
+        "stats_mutual_info": stats_mutual_info,
+        "stats_theilsen_daily": stats_theilsen_daily,
         "text_cosine_pairs": text_cosine_pairs,
         "dq_reconcile_orders": dq_reconcile_orders,
         "events_new_users_daily": events_new_users_daily,
@@ -7272,6 +7335,96 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
             "skewness(value) AS skew, kurtosis(value) AS kurt "
             "FROM events WHERE value IS NOT NULL GROUP BY 1"
+        ),
+        "stats_welch_ttest": (
+            # the SAME power-sum algebra the engine folds — var stated as
+            # (ss - n*mean^2)/(n-1), not var_samp, so both sides round
+            # identically
+            "WITH s AS (SELECT event_type AS g, "
+            "CAST(count(value) AS BIGINT) AS n, sum(value) AS s, "
+            "sum(value * value) AS ss FROM events "
+            "WHERE event_type IN ('purchase', 'view') "
+            "AND value IS NOT NULL GROUP BY 1), "
+            "a AS (SELECT n, s / n AS m, "
+            "(ss - n * (s / n) * (s / n)) / (n - 1) AS v "
+            "FROM s WHERE g = 'purchase'), "
+            "b AS (SELECT n, s / n AS m, "
+            "(ss - n * (s / n) * (s / n)) / (n - 1) AS v "
+            "FROM s WHERE g = 'view') "
+            "SELECT a.n AS n_a, b.n AS n_b, round(a.m, 6) AS mean_a, "
+            "round(b.m, 6) AS mean_b, "
+            "round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) "
+            "AS t_stat, "
+            "round(pow(a.v / a.n + b.v / b.n, 2) / "
+            "(pow(a.v / a.n, 2) / (a.n - 1) "
+            "+ pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df "
+            "FROM a, b"
+        ),
+        "stats_anova_f": (
+            "WITH s AS (SELECT event_type AS g, "
+            "CAST(count(value) AS BIGINT) AS n, sum(value) AS s, "
+            "sum(value * value) AS ss FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY 1), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+            "CAST(sum(n) AS BIGINT) AS n, sum(s) / sum(n) AS grand "
+            "FROM s), "
+            "p AS (SELECT sum(s.n * pow(s.s / s.n - t.grand, 2)) "
+            "/ (t.k - 1) AS msb, "
+            "sum(s.ss - s.n * pow(s.s / s.n, 2)) / (t.n - t.k) AS msw "
+            "FROM s, t GROUP BY t.k, t.n) "
+            "SELECT t.k, t.n, round(p.msb / p.msw, 6) AS f_stat, "
+            "round(p.msb, 6) AS ms_between, round(p.msw, 6) AS ms_within "
+            "FROM t, p"
+        ),
+        "stats_mutual_info": (
+            # MI states n*c/(r*c) with exact BIGINT counts inside ln, the
+            # identical expression the engine evaluates; entropies from
+            # the marginals; Cramer's V over the full grid incl.
+            # zero-observed cells (they contribute E)
+            "WITH c AS (SELECT lang AS a, source AS b, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents "
+            "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), "
+            "rt AS (SELECT a, sum(n) AS rn FROM c GROUP BY 1), "
+            "ct AS (SELECT b, sum(n) AS cn FROM c GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS nn FROM c), "
+            "mi AS (SELECT sum(c.n / tot.nn * "
+            "ln(tot.nn * c.n / (rt.rn * ct.cn))) AS mi FROM c "
+            "JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot "
+            "GROUP BY tot.nn), "
+            "ha AS (SELECT -sum(rn / tot.nn * ln(rn / tot.nn)) AS h "
+            "FROM rt, tot GROUP BY tot.nn), "
+            "hb AS (SELECT -sum(cn / tot.nn * ln(cn / tot.nn)) AS h "
+            "FROM ct, tot GROUP BY tot.nn), "
+            "grid AS (SELECT rt.rn, ct.cn, coalesce(c.n, 0) AS n "
+            "FROM rt CROSS JOIN ct "
+            "LEFT JOIN c ON c.a = rt.a AND c.b = ct.b), "
+            "chi AS (SELECT sum(pow(grid.n - grid.rn * grid.cn / tot.nn, "
+            "2) / (grid.rn * grid.cn / tot.nn)) AS chi2 FROM grid, tot "
+            "GROUP BY tot.nn) "
+            "SELECT CAST(tot.nn AS BIGINT) AS n, round(mi.mi, 6) "
+            "AS mi_nats, round(ha.h, 6) AS h_a, round(hb.h, 6) AS h_b, "
+            "round(sqrt(chi.chi2 / (tot.nn * (least("
+            "(SELECT count(*) FROM rt), (SELECT count(*) FROM ct)) "
+            "- 1))), 6) AS cramers_v "
+            "FROM tot, mi, ha, hb, chi"
+        ),
+        "stats_theilsen_daily": (
+            # x = epoch days (date - epoch is BIGINT days in DuckDB),
+            # matching the engine's date32 cast; median of an even count
+            # interpolates the middle two on both sides
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) "
+            "- DATE '1970-01-01' AS day, "
+            "CAST(count(*) AS DOUBLE) AS n FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1), "
+            "p AS (SELECT (y.n - x.n) / (y.day - x.day) AS slope "
+            "FROM d x JOIN d y ON x.day < y.day), "
+            "sl AS (SELECT quantile_cont(slope, 0.5) AS s FROM p), "
+            "ic AS (SELECT quantile_cont(d.n - sl.s * d.day, 0.5) AS i "
+            "FROM d, sl GROUP BY sl.s) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days, "
+            "round(sl.s, 6) AS slope_per_day, round(ic.i, 6) "
+            "AS intercept FROM sl, ic"
         ),
         "text_cosine_pairs": (
             # df-filtered tf-idf cosine; ties at the k boundary break

@@ -922,3 +922,248 @@ def cusum_changepoint(ds, ts_col: str):
         "cusum": pa.array([round(float(dev[best]), 6)], pa.float64()),
         "n_days": pa.array([n_days], pa.int64()),
     })
+
+def welch_ttest(ds, value_col: str, group_col: str, group_a, group_b):
+    """Welch's unequal-variance t-test between two groups in ONE
+    streaming pass of power-sum partials (n, sum, sum of squares per
+    group); the Welch-Satterthwaite degrees of freedom finish in closed
+    form on two rows. The variance is computed from the SAME power-sum
+    algebra the SQL oracle uses ((ss - n*mean^2)/(n-1)), so both sides
+    agree to summation-order rounding, far inside the 6-dp gate.
+
+    Scale shape: per-block partials are 2 rows each; one narrow groupby
+    folds them. The events never shuffle. Returns one row:
+    (n_a, n_b, mean_a, mean_b, t_stat, df)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks()
+        v = pc.cast(t[value_col].combine_chunks(), pa.float64())
+        keep = pc.and_(
+            pc.is_valid(v),
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+        )
+        sub = pa.table({"g": g.filter(keep), "v": v.filter(keep)})
+        sub = sub.append_column("v2", pc.multiply(sub["v"], sub["v"]))
+        agg = sub.group_by("g").aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")]
+        )
+        return pa.table({
+            "g": agg["g"],
+            "n": pc.cast(agg["v_count"], pa.int64()),
+            "s": agg["v_sum"],
+            "ss": agg["v2_sum"],
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+        .take_all()
+    )
+    stats = {r["g"]: r for r in rows}
+
+    def _finish(r):
+        n = int(r["n"])
+        mean = r["s"] / n
+        var = (r["ss"] - n * mean * mean) / (n - 1) if n > 1 else float("nan")
+        return n, mean, var
+
+    empty = (float("nan"), float("nan"), float("nan"))
+    na, ma, va = _finish(stats[group_a]) if group_a in stats else (0,) + empty[1:]
+    nb, mb, vb = _finish(stats[group_b]) if group_b in stats else (0,) + empty[1:]
+    if na > 1 and nb > 1:
+        se2 = va / na + vb / nb
+        t = (ma - mb) / np.sqrt(se2)
+        df = se2 * se2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+    else:
+        t = df = float("nan")
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a": pa.array([round(float(ma), 6)], pa.float64()),
+        "mean_b": pa.array([round(float(mb), 6)], pa.float64()),
+        "t_stat": pa.array([round(float(t), 6)], pa.float64()),
+        "df": pa.array([round(float(df), 6)], pa.float64()),
+    })
+
+
+def anova_oneway(ds, value_col: str, group_col: str):
+    """One-way ANOVA F across ALL groups from the same power-sum fold as
+    :func:`welch_ttest`: SSB = sum n_g*(mean_g - grand)^2, SSW =
+    sum(ss_g - n_g*mean_g^2), F = (SSB/(k-1)) / (SSW/(n-k)). NULL values
+    drop; NULL group keys drop (mirroring the SQL GROUP BY + WHERE
+    filters). MEAN squares are emitted rather than raw sums of squares:
+    they are O(variance)-scaled, so summation-order float noise stays
+    far below the 6-dp compare gate at any row count. Returns one row:
+    (k, n, f_stat, ms_between, ms_within)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks()
+        v = pc.cast(t[value_col].combine_chunks(), pa.float64())
+        keep = pc.and_(pc.is_valid(v), pc.is_valid(g))
+        sub = pa.table({"g": g.filter(keep), "v": v.filter(keep)})
+        sub = sub.append_column("v2", pc.multiply(sub["v"], sub["v"]))
+        agg = sub.group_by("g").aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")]
+        )
+        return pa.table({
+            "g": agg["g"],
+            "n": pc.cast(agg["v_count"], pa.int64()),
+            "s": agg["v_sum"],
+            "ss": agg["v2_sum"],
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+        .take_all()
+    )
+    k = len(rows)
+    n = int(sum(r["n"] for r in rows))
+    if k < 2 or n <= k:
+        f = msb = msw = float("nan")
+    else:
+        grand = sum(r["s"] for r in rows) / n
+        ssb = sum(
+            r["n"] * (r["s"] / r["n"] - grand) ** 2 for r in rows
+        )
+        ssw = sum(
+            r["ss"] - r["n"] * (r["s"] / r["n"]) ** 2 for r in rows
+        )
+        msb = ssb / (k - 1)
+        msw = ssw / (n - k)
+        f = msb / msw if msw > 0 else float("nan")
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "f_stat": pa.array([round(float(f), 6)], pa.float64()),
+        "ms_between": pa.array([round(float(msb), 6)], pa.float64()),
+        "ms_within": pa.array([round(float(msw), 6)], pa.float64()),
+    })
+
+
+def mutual_information(ds, a_col: str, b_col: str):
+    """Mutual information (nats) between two categorical columns, plus
+    Cramer's V from the same one-pass contingency fold — the pair of
+    "how associated are these columns" gauges a profiler runs together.
+    MI = sum c_ij/n * ln(n*c_ij / (r_i * c_j)) with exact int64 counts
+    inside the log (the SQL oracle states the identical expression, so
+    both sides round identically). Rows with a NULL on either side drop.
+
+    Scale shape: per-block contingency partials (<= r*c rows per block),
+    driver finish on the distinct-category grid. Returns one row:
+    (n, mi_nats, h_a, h_b, cramers_v)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks()
+        b = t[b_col].combine_chunks()
+        keep = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        g = (
+            pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            "a": g["a"], "b": g["b"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    cells = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not cells:
+        return pa.table({
+            "n": pa.array([0], pa.int64()),
+            "mi_nats": pa.array([float("nan")], pa.float64()),
+            "h_a": pa.array([float("nan")], pa.float64()),
+            "h_b": pa.array([float("nan")], pa.float64()),
+            "cramers_v": pa.array([float("nan")], pa.float64()),
+        })
+    import pandas as pd
+
+    df = pd.DataFrame(cells).groupby(["a", "b"], as_index=False)["n"].sum()
+    piv = df.pivot(index="a", columns="b", values="n").fillna(0).to_numpy(
+        dtype=np.float64
+    )
+    n = piv.sum()
+    row = piv.sum(axis=1)
+    col = piv.sum(axis=0)
+    mask = piv > 0
+    cij = piv[mask]
+    outer = np.outer(row, col)[mask]
+    mi = float((cij / n * np.log(n * cij / outer)).sum())
+
+    def _ent(m):
+        p = m[m > 0] / n
+        return float(-(p * np.log(p)).sum())
+
+    e = np.outer(row, col) / n
+    emask = e > 0
+    chi2 = float((((piv - e) ** 2)[emask] / e[emask]).sum())
+    r_, c_ = piv.shape
+    mindim = min(r_, c_) - 1
+    v = float(np.sqrt(chi2 / (n * mindim))) if mindim > 0 else float("nan")
+    return pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "mi_nats": pa.array([round(mi, 6)], pa.float64()),
+        "h_a": pa.array([round(_ent(row), 6)], pa.float64()),
+        "h_b": pa.array([round(_ent(col), 6)], pa.float64()),
+        "cramers_v": pa.array([round(v, 6)], pa.float64()),
+    })
+
+
+def theil_sen_daily(ds, ts_col: str):
+    """Theil-Sen robust trend of the daily event-count series: the exact
+    median of all pairwise slopes (c_j - c_i)/(d_j - d_i) over distinct
+    days, plus the median-residual intercept — the outlier-proof "is
+    volume growing" estimator. The daily series is calendar-bounded, so
+    the O(days^2) pair set is driver-trivial while the events fold
+    distributed; x is EPOCH DAYS so the SQL oracle can state the same
+    arithmetic. Median of an even count = mean of the middle two
+    (matching SQL quantile_cont). Returns one row:
+    (n_days, slope_per_day, intercept)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks()
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(ts, unit="day"), pa.date32()),
+            pa.int32(),
+        )
+        vc = day.drop_null().value_counts()
+        return pa.table({
+            "day": pc.cast(vc.field("values"), pa.int64()),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    if len(rows) < 2:
+        return pa.table({
+            "n_days": pa.array([len(rows)], pa.int64()),
+            "slope_per_day": pa.array([float("nan")], pa.float64()),
+            "intercept": pa.array([float("nan")], pa.float64()),
+        })
+    days = np.array(sorted(r["day"] for r in rows), dtype=np.float64)
+    by = {r["day"]: r["n"] for r in rows}
+    cnts = np.array([by[int(d)] for d in days], dtype=np.float64)
+    i, j = np.triu_indices(len(days), k=1)
+    slopes = (cnts[j] - cnts[i]) / (days[j] - days[i])
+    slope = float(np.quantile(slopes, 0.5))  # linear-interp == quantile_cont
+    intercept = float(np.quantile(cnts - slope * days, 0.5))
+    return pa.table({
+        "n_days": pa.array([len(days)], pa.int64()),
+        "slope_per_day": pa.array([round(slope, 6)], pa.float64()),
+        "intercept": pa.array([round(intercept, 6)], pa.float64()),
+    })

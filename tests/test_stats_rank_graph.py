@@ -1046,3 +1046,110 @@ def test_cusum_finds_injected_shift():
     s = np.cumsum(counts)
     dev = np.abs(s - np.arange(1, 41) * s[-1] / 40.0)
     assert abs(out["cusum"][0] - round(dev.max(), 6)) < 1e-9
+
+
+def test_welch_ttest_matches_manual():
+    from debezium_incubator_ray.functions.stats import welch_ttest
+
+    rng = np.random.default_rng(17)
+    va = rng.normal(10.0, 2.0, 400)
+    vb = rng.normal(9.4, 3.0, 300)
+    t = pa.table({
+        "g": pa.array(["a"] * 400 + ["b"] * 300 + ["other"] * 50),
+        "v": pa.array(np.concatenate([va, vb, rng.normal(0, 1, 50)])),
+    })
+    out = welch_ttest(
+        ray.data.from_arrow(t).repartition(6), "v", "g", "a", "b"
+    ).to_pandas()
+    na, nb = len(va), len(vb)
+    ma, mb = va.mean(), vb.mean()
+    sa, sb = va.var(ddof=1), vb.var(ddof=1)
+    se2 = sa / na + sb / nb
+    want_t = (ma - mb) / np.sqrt(se2)
+    want_df = se2**2 / ((sa / na) ** 2 / (na - 1) + (sb / nb) ** 2 / (nb - 1))
+    assert out["n_a"][0] == na and out["n_b"][0] == nb
+    assert abs(out["t_stat"][0] - want_t) < 1e-5
+    assert abs(out["df"][0] - want_df) < 1e-3
+
+
+def test_welch_ttest_missing_group_is_nan():
+    from debezium_incubator_ray.functions.stats import welch_ttest
+
+    t = pa.table({"g": pa.array(["a", "a", "a"]),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    out = welch_ttest(ray.data.from_arrow(t), "v", "g", "a", "zz").to_pandas()
+    assert out["n_b"][0] == 0
+    assert np.isnan(out["t_stat"][0])
+
+
+def test_anova_matches_manual():
+    from debezium_incubator_ray.functions.stats import anova_oneway
+
+    rng = np.random.default_rng(3)
+    groups = [rng.normal(m, 1.5, n) for m, n in
+              [(5.0, 120), (5.6, 90), (4.7, 150)]]
+    t = pa.table({
+        "g": pa.array(sum([[f"g{i}"] * len(v) for i, v in
+                           enumerate(groups)], [])),
+        "v": pa.array(np.concatenate(groups)),
+    })
+    out = anova_oneway(
+        ray.data.from_arrow(t).repartition(4), "v", "g"
+    ).to_pandas()
+    n = sum(len(v) for v in groups)
+    k = len(groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in groups)
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups)
+    want_f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["k"][0] == k and out["n"][0] == n
+    assert abs(out["f_stat"][0] - want_f) < 1e-5
+    assert abs(out["ms_within"][0] - ssw / (n - k)) < 1e-5
+
+
+def test_anova_single_group_nan():
+    from debezium_incubator_ray.functions.stats import anova_oneway
+
+    t = pa.table({"g": pa.array(["x"] * 5),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+    out = anova_oneway(ray.data.from_arrow(t), "v", "g").to_pandas()
+    assert out["k"][0] == 1 and np.isnan(out["f_stat"][0])
+
+
+def test_mutual_info_independent_and_dependent():
+    from debezium_incubator_ray.functions.stats import mutual_information
+
+    # perfectly dependent: MI == H(a) == H(b); V == 1
+    a = ["x"] * 50 + ["y"] * 50
+    t = pa.table({"a": pa.array(a), "b": pa.array(a)})
+    out = mutual_information(
+        ray.data.from_arrow(t).repartition(3), "a", "b"
+    ).to_pandas()
+    assert abs(out["mi_nats"][0] - np.log(2)) < 1e-6
+    assert abs(out["cramers_v"][0] - 1.0) < 1e-6
+    # independent uniform grid: MI == 0, V == 0
+    a2 = (["x"] * 2 + ["y"] * 2) * 25
+    b2 = (["p", "q"] * 2) * 25
+    t2 = pa.table({"a": pa.array(a2), "b": pa.array(b2)})
+    out2 = mutual_information(ray.data.from_arrow(t2), "a", "b").to_pandas()
+    assert abs(out2["mi_nats"][0]) < 1e-9
+    assert abs(out2["cramers_v"][0]) < 1e-9
+
+
+def test_theil_sen_recovers_trend_with_outliers():
+    from debezium_incubator_ray.functions.stats import theil_sen_daily
+
+    # 3 events on day 0, 5 on day 1, 7 on day 2 ... slope 2/day, with one
+    # wild outlier day that OLS would chase but the median slope ignores
+    days, counts = list(range(12)), [3 + 2 * i for i in range(12)]
+    counts[6] = 500
+    ts = []
+    for d, c in zip(days, counts):
+        base = np.datetime64("2024-03-01", "us") + np.timedelta64(d, "D")
+        ts.extend([base + np.timedelta64(k, "s") for k in range(c)])
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    out = theil_sen_daily(
+        ray.data.from_arrow(t).repartition(5), "ts"
+    ).to_pandas()
+    assert out["n_days"][0] == 12
+    assert abs(out["slope_per_day"][0] - 2.0) < 0.75  # robust to the spike
