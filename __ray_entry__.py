@@ -4084,6 +4084,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return triangle_count(edges, buckets=32)
 
+    def graph_local_clustering(sf_dir):
+        """Top-50 most clique-like parts of the co-purchase graph by
+        LOCAL clustering coefficient 2*tri(v)/(deg(v)*(deg(v)-1)):
+        degree-ordered wedges KEEP their center so a closed wedge
+        credits all three corners; per-node (node, tri) partials fold in
+        the closing-edge buckets and degrees attach by a bucketed left
+        join (zero-triangle nodes keep lcc = 0). Ties break
+        (lcc desc, node asc) on the ROUNDED value, mirrored by the
+        oracle."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import local_clustering
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return local_clustering(edges, k=50, buckets=32)
+
     def graph_assortativity(sf_dir):
         """Degree assortativity of the top-2000 co-purchase subgraph: do
         frequently-co-bought hub parts link to other hubs? Degree table
@@ -5249,6 +5273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_outliers_mad": dq_outliers_mad,
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
+        "graph_local_clustering": graph_local_clustering,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -7071,6 +7096,35 @@ def oracle_sql() -> dict[str, str]:
             "t.n_triangles, wd.n_wedges, "
             "3.0 * t.n_triangles / wd.n_wedges AS clustering_coef "
             "FROM t, wd"
+        ),
+        "graph_local_clustering": (
+            # same top-2000 co-purchase edge cut; triangles enumerated
+            # once as a < b < c paths with the closing (a, c) edge, then
+            # exploded to all three corners; degree-2+ nodes only; ORDER
+            # BY the ROUNDED lcc (the engine rounds before its top-k)
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "tri3 AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w "
+            "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "corners AS (SELECT u AS node FROM tri3 "
+            "UNION ALL SELECT v FROM tri3 UNION ALL SELECT w FROM tri3), "
+            "tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri "
+            "FROM corners GROUP BY 1), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+            "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+            "GROUP BY 1) "
+            "SELECT deg.node, deg.deg, "
+            "coalesce(tn.tri, 0) AS tri, "
+            "round(2.0 * coalesce(tn.tri, 0) "
+            "/ (deg.deg * (deg.deg - 1.0)), 6) AS lcc "
+            "FROM deg LEFT JOIN tn USING (node) WHERE deg.deg >= 2 "
+            "ORDER BY lcc DESC, deg.node ASC LIMIT 50"
         ),
         "graph_assortativity": (
             # same top-2000 edge cut as graph_triangles; assortativity =

@@ -677,3 +677,214 @@ def degree_assortativity(edges, src_col: str = "src", dst_col: str = "dst"):
         "n_nodes": pa.array([n_nodes], pa.int64()),
         "m2": pa.array([int(m2 or 0)], pa.int64()),
     })
+
+def local_clustering(edges, src_col: str = "src", dst_col: str = "dst",
+                     k: int = 50, buckets: int = 64):
+    """Per-node local clustering coefficient lcc(v) = 2*tri(v) /
+    (deg(v)*(deg(v)-1)) over the undirected simple graph of an edge
+    Dataset; returns the top-k nodes by (lcc desc, node asc) with their
+    degree and triangle membership counts — "whose neighborhood is the
+    most clique-like".
+
+    Same degree-ordered wedge machinery as :func:`triangle_count`
+    (O(m^1.5) wedge work, pair-hash bucketed closing-edge join) with one
+    change: wedges keep their CENTER node instead of collapsing to
+    (x, y, cnt), because a closed wedge (w; x, y) must credit all three
+    corners. Matched rows fold to (node, tri) partials inside the
+    bucket; one narrow groupby sums them; degrees attach by a bucketed
+    left join so zero-triangle nodes keep lcc = 0. Nodes of degree < 2
+    have no defined coefficient and are excluded (mirroring the SQL
+    HAVING deg >= 2)."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.hashing import stable_hash
+    from debezium_incubator_ray.functions.joins import shuffle_join
+    from debezium_incubator_ray.functions.kernels import (
+        expand_pairs, merge_local_topk, table_topk,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks()
+        d = t[dst_col].combine_chunks()
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        keep = pc.and_(
+            pc.not_equal(a, b),
+            pc.and_(pc.is_valid(a), pc.is_valid(b)),
+        )
+        return pa.table({"a": a, "b": b}).filter(keep)
+
+    ce = distinct_edges(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", "b", buckets=buckets,
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        g = pa.table({"node": nodes}).group_by("node").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "node": g["node"],
+            "dcnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    deg = (
+        ce.map_batches(deg_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("dcnt", alias_name="deg"))
+        .materialize()
+    )
+
+    j1 = shuffle_join(
+        ce, deg, on="a", right_on="node", buckets=buckets
+    ).map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
+        batch_format="pyarrow",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        from debezium_incubator_ray.hashing import partition_ids
+
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        da = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_first = pa.array(da < db) if len(da) else pa.array([], pa.bool_())
+        a_first = pc.or_(a_first, pa.array(da == db))
+        u = pc.if_else(a_first, a, b)
+        v = pc.if_else(a_first, b, a)
+        return pa.table({"u": u, "v": v}).append_column(
+            "_wb",
+            pa.array(partition_ids(u.combine_chunks()
+                                   if isinstance(u, pa.ChunkedArray) else u,
+                                   buckets, "hash"), pa.int32()),
+        )
+
+    oriented = shuffle_join(
+        j1, deg, on="b", right_on="node", buckets=buckets
+    ).map_batches(orient, batch_format="pyarrow")
+
+    def wedges_with_center(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.append(starts, n))
+        L, R = expand_pairs(sizes)
+        if len(L) == 0:
+            return pa.table({
+                "x": pa.array([], g["v"].type),
+                "y": pa.array([], g["v"].type),
+                "w": pa.array([], g["u"].type),
+                "_pb": pa.array([], pa.int32()),
+            })
+        x = np.minimum(v[L], v[R])
+        y = np.maximum(v[L], v[R])
+        w = u[L]  # wedge center (same group => u[L] == u[R])
+        xa, ya = pa.array(x), pa.array(y)
+        pb = (
+            (stable_hash(xa) ^ stable_hash(ya)) % np.uint64(buckets)
+        ).astype(np.int32)
+        return pa.table({
+            "x": pc.cast(xa, g["v"].type),
+            "y": pc.cast(ya, g["v"].type),
+            "w": pc.cast(pa.array(w), g["u"].type),
+            "_pb": pa.array(pb),
+        })
+
+    wedge_ds = oriented.groupby("_wb").map_groups(
+        wedges_with_center, batch_format="pyarrow"
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        pb = (
+            (stable_hash(t["a"]) ^ stable_hash(t["b"]))
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return pa.table({
+            "x": t["a"],
+            "y": t["b"],
+            "w": pa.nulls(t.num_rows, t["a"].type),  # edge marker
+            "_pb": pa.array(pb),
+        })
+
+    def close_bucket(t: pa.Table) -> pa.Table:
+        is_edge = pc.is_null(t["w"])
+        e = t.filter(is_edge).select(["x", "y"])
+        wt = t.filter(pc.invert(is_edge)).select(["x", "y", "w"])
+        j = wt.join(e, keys=["x", "y"], join_type="inner")
+        if j.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], t["x"].type),
+                "tri": pa.array([], pa.int64()),
+            })
+        corners = pa.chunked_array([
+            j["w"].combine_chunks(), j["x"].combine_chunks(),
+            j["y"].combine_chunks(),
+        ])
+        vc = corners.value_counts()
+        return pa.table({
+            "node": vc.field("values"),
+            "tri": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    tri = (
+        wedge_ds.union(
+            ce.map_batches(tag_edge, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        )
+        .groupby("_pb")
+        .map_groups(close_bucket, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("tri", alias_name="tri"))
+        # O(|nodes|) rows; pinned because shuffle_join needs the right
+        # side's schema and a lazy double-groupby can't state one
+        .materialize()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["deg"], pa.float64())
+        tr = pc.cast(pc.fill_null(t["tri"], 0), pa.int64())
+        denom = pc.multiply(d, pc.subtract(d, pa.scalar(1.0)))
+        lcc = pc.divide(
+            pc.multiply(pc.cast(tr, pa.float64()), pa.scalar(2.0)), denom
+        )
+        out = pa.table({
+            "node": t["node"], "deg": t["deg"], "tri": tr,
+            "lcc": pc.round(lcc, 6),
+        }).filter(pc.greater_equal(t["deg"], pa.scalar(2)))
+        return table_topk(out, "lcc", ["node"], k)
+
+    if tri.count() == 0:
+        # triangle-free graph: every deg>=2 node keeps lcc = 0 — a
+        # 0-block right side has no schema, so skip the join entirely
+        cand = deg.map_batches(
+            lambda t: finish(t.append_column(
+                "tri", pa.nulls(t.num_rows, pa.int64())
+            )),
+            batch_format="pyarrow",
+        )
+    else:
+        cand = shuffle_join(
+            deg, tri, on="node", buckets=buckets, join_type="left outer"
+        ).map_batches(finish, batch_format="pyarrow")
+    empty = pa.table({
+        "node": pa.array([], pa.int64()),
+        "deg": pa.array([], pa.int64()),
+        "tri": pa.array([], pa.int64()),
+        "lcc": pa.array([], pa.float64()),
+    })
+    out = merge_local_topk(cand, "lcc", ["node"], k, empty)
+    # table_topk skips the sort when fewer than k candidates survive —
+    # present (lcc desc, node asc) deterministically regardless
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["lcc"])),
+        sort_keys=[("_neg", "ascending"), ("node", "ascending")],
+    )
+    return out.take(order)

@@ -1153,3 +1153,41 @@ def test_theil_sen_recovers_trend_with_outliers():
     ).to_pandas()
     assert out["n_days"][0] == 12
     assert abs(out["slope_per_day"][0] - 2.0) < 0.75  # robust to the spike
+
+
+def test_local_clustering_known_graph():
+    from debezium_incubator_ray.functions.graph import local_clustering
+
+    # K4 on {1,2,3,4} + pendant 5-1 + isolated-ish edge 6-7:
+    # nodes 2,3,4: deg 3, tri 3 -> lcc 1.0; node 1: deg 4, tri 3 ->
+    # lcc 0.5; nodes 5,6,7: deg 1 -> excluded
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (6, 7),
+         (2, 1)]  # duplicate orientation of (1,2) must collapse
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    out = local_clustering(
+        ray.data.from_arrow(t).repartition(3), k=10, buckets=4
+    ).to_pandas().set_index("node")
+    assert set(out.index) == {1, 2, 3, 4}
+    for n in (2, 3, 4):
+        assert out.loc[n, "lcc"] == 1.0 and out.loc[n, "tri"] == 3
+    assert out.loc[1, "deg"] == 4 and out.loc[1, "tri"] == 3
+    assert abs(out.loc[1, "lcc"] - 0.5) < 1e-9
+    # top-k order: lcc desc then node asc
+    assert list(out.index) == [2, 3, 4, 1]
+
+
+def test_local_clustering_triangle_free():
+    from debezium_incubator_ray.functions.graph import local_clustering
+
+    # star K1,3: center deg 3 (lcc 0), leaves deg 1 (excluded)
+    t = pa.table({
+        "src": pa.array([0, 0, 0], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = local_clustering(ray.data.from_arrow(t), k=5,
+                           buckets=4).to_pandas()
+    assert list(out["node"]) == [0]
+    assert out["lcc"][0] == 0.0 and out["tri"][0] == 0
