@@ -1606,6 +1606,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ngram_jaccard_pairs(docs, threshold=0.3)
 
+    def dedup_containment(sf_dir):
+        """Asymmetric near-dup: 3-gram containment |A∩B|/min(|A|,|B|)
+        >= 0.5 — catches quotes/extracts Jaccard dilutes (a short doc
+        embedded in a long page). Same one-pass inverted-index shuffle
+        as dedup_ngram_jaccard; only the denominator changes."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import ngram_jaccard_pairs
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        return ngram_jaccard_pairs(docs, threshold=0.5,
+                                   score_mode="containment")
+
     def dedup_clusters(sf_dir):
         """Near-dup clustering: exact 3-gram-Jaccard >= 0.3 pairs →
         distributed connected components (min-label propagation) →
@@ -2705,6 +2719,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["doc_id", "text"],
         )
         return unigram_logprob(docs)
+
+    def text_bigram_logprob(sf_dir):
+        """Corpus-learned BIGRAM LM score per doc (mean adjacent-pair
+        conditional logprob, add-0.5 smoothing over the corpus
+        vocabulary) — the fluency rung above unigram scoring: word salad
+        with common words scores high on unigrams but low here. Bigram
+        model folds through one narrow groupby, broadcasts once, scores
+        streaming; bigrams never cross doc boundaries."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import bigram_logprob
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return bigram_logprob(docs)
+
+    def events_props_extract(sf_dir):
+        """Typed field extraction from the JSON props payload WITHOUT a
+        row-loop JSON parser: one vectorized regex pulls $.k per event,
+        then a per-type (n, mean, min, max) power fold — the clickstream
+        'pull one property out of the payload' stage."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import json_field_stats
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "props"],
+        )
+        return json_field_stats(ev, "props", "k", "event_type")
 
     def docs_ccnet_buckets(sf_dir):
         """CCNet-style head/middle/tail partitioning by language-model
@@ -5169,6 +5213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_containment": dedup_containment,
         "dedup_clusters": dedup_clusters,
         "dedup_keep_best": dedup_keep_best,
         "cdc_secondary_index": cdc_secondary_index,
@@ -5212,6 +5257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": events_running_total,
         "events_anomaly": events_anomaly,
         "text_unigram_logprob": text_unigram_logprob,
+        "text_bigram_logprob": text_bigram_logprob,
+        "events_props_extract": events_props_extract,
         "docs_ccnet_buckets": docs_ccnet_buckets,
         "text_inverted_index": text_inverted_index,
         "docs_chunking": docs_chunking,
@@ -6035,6 +6082,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash": _jaccard_sql(0.5),
         "dedup_ngram_jaccard": _jaccard_sql(0.3),
+        "dedup_containment": (
+            _SHINGLES
+            + "SELECT a, b, round(CAST(c AS DOUBLE) / least(sa.n, sb.n), "
+            "6) AS containment "
+            "FROM i JOIN sz sa ON sa.doc_id = i.a "
+            "JOIN sz sb ON sb.doc_id = i.b "
+            "WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.5"
+        ),
         "dedup_clusters": (
             # transitive closure over the same >= 0.3 Jaccard pairs:
             # cluster_id = min reachable doc id (undirected)
@@ -6470,6 +6525,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(s.logprob, 0.0) AS logprob "
             "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "text_bigram_logprob": (
+            # context counts = bigram LEFT sides (tokens except each
+            # doc's last); V = corpus distinct tokens; add-0.5 smoothing
+            # — the identical expression the engine evaluates
+            "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tl FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "tok AS (SELECT doc_id, unnest(tl) AS term, "
+            "generate_subscripts(tl, 1) AS ord FROM tk), "
+            "big AS (SELECT x.doc_id, x.term AS w1, y.term AS w2 "
+            "FROM tok x JOIN tok y ON x.doc_id = y.doc_id "
+            "AND y.ord = x.ord + 1), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c "
+            "FROM big GROUP BY 1, 2), "
+            "ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c "
+            "FROM big GROUP BY 1), "
+            "v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v "
+            "FROM tok), "
+            "s AS (SELECT big.doc_id, round(avg(ln((bc.c + 0.5) / "
+            "(ctx.c + 0.5 * v.v))), 6) AS logprob FROM big "
+            "JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v "
+            "GROUP BY big.doc_id) "
+            "SELECT d.doc_id, coalesce(s.logprob, 0.0) AS logprob "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "events_props_extract": (
+            "SELECT event_type, CAST(count(j) AS BIGINT) AS n, "
+            "round(avg(j), 6) AS mean_k, "
+            "CAST(min(j) AS BIGINT) AS min_k, "
+            "CAST(max(j) AS BIGINT) AS max_k FROM "
+            "(SELECT event_type, CAST(json_extract(props, '$.k') "
+            "AS BIGINT) AS j FROM events WHERE props IS NOT NULL) "
+            "WHERE j IS NOT NULL AND event_type IS NOT NULL GROUP BY 1"
         ),
         "docs_ccnet_buckets": (
             # per-token mean logprob, tertile thresholds via

@@ -556,8 +556,16 @@ def verify_jaccard(
     threshold: float = 0.6,
     buckets: int = 32,
     hasher: Callable = stable_hash,
+    score_mode: str = "jaccard",
 ):
     """Exact-Jaccard verify of candidate pairs — fully distributed.
+
+    ``score_mode="containment"`` scores |A∩B| / min(|A|, |B|) instead —
+    the asymmetric "is one side mostly inside the other" gauge that
+    catches quote/extract near-dups symmetric Jaccard dilutes (a 100-
+    shingle doc fully embedded in a 10000-shingle page has Jaccard
+    ~0.01 but containment 1.0). Same shuffles, same intersection kernel;
+    only the per-pair denominator and output column name change.
 
     Two co-grouped shuffles, both on small keys:
       stage 1 (doc buckets): shingle-set rows union pair-request rows,
@@ -689,15 +697,24 @@ def verify_jaccard(
         first_rows = np.nonzero(newpair)[0]
         pa_ = a[first_rows]
         pb_ = b[first_rows]
-        union = nsum - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        keep = complete & (jac >= threshold)
+        if score_mode == "containment":
+            # rows come 2-per-complete-pair; min over the pair's two set
+            # sizes is order-free w.r.t. which side sorted first
+            nmin = np.full(npairs, np.inf)
+            np.minimum.at(nmin, pidx, n.astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.where(nmin > 0, inter / np.maximum(nmin, 1), 0.0)
+        else:
+            union = nsum - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = complete & (score >= threshold)
+        col = "containment" if score_mode == "containment" else "jaccard"
         return pa.table(
             {
                 "a": pa.array(pa_[keep]),
                 "b": pa.array(pb_[keep]),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                col: pa.array(np.round(score[keep], 6)),
             }
         )
 
@@ -762,8 +779,14 @@ def ngram_jaccard_pairs(
     max_df: Optional[int] = None,
     buckets: int = 64,
     hasher: Callable = stable_hash,
+    score_mode: str = "jaccard",
 ):
     """Exact all-pairs n-gram Jaccard >= threshold in ONE shuffle pass.
+
+    ``score_mode="containment"`` scores c / min(na, nb) instead — the
+    asymmetric quote/extract detector (a short doc fully embedded in a
+    long page scores 1.0 where Jaccard is diluted by the size gap).
+    Identical shuffles; only the denominator and column name change.
 
     The inverted index emits each (a, b) pair once PER SHARED DISTINCT
     shingle (every shingle value lives in exactly one hash bucket), so
@@ -818,13 +841,17 @@ def ngram_jaccard_pairs(
         order, first, pidx = _pair_runs(a, b)
         firsts = order[first]  # one representative row per pair
         c = np.bincount(pidx).astype(np.float64)  # intersection size
-        jac = c / (na[firsts] + nb[firsts] - c)
-        keep = jac >= threshold
+        if score_mode == "containment":
+            score = c / np.minimum(na[firsts], nb[firsts])
+        else:
+            score = c / (na[firsts] + nb[firsts] - c)
+        keep = score >= threshold
+        col = "containment" if score_mode == "containment" else "jaccard"
         return pa.table(
             {
                 "a": pa.array(a[firsts][keep]),
                 "b": pa.array(b[firsts][keep]),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                col: pa.array(np.round(score[keep], 6)),
             }
         )
 

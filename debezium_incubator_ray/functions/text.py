@@ -634,7 +634,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
             })
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=4)
+                          zero_copy_batch=True, concurrency=(1, 4))
 
 
 def term_postings(ds, min_df: int = 10, text_col: str = "text",
@@ -697,7 +697,7 @@ def term_postings(ds, min_df: int = 10, text_col: str = "text",
             })
 
     return ds.map_batches(Postings, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=4)
+                          zero_copy_batch=True, concurrency=(1, 4))
 
 
 def bigram_topk(ds, k: int = 50, text_col: str = "text"):
@@ -1281,3 +1281,176 @@ def gopher_rules(
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                   k_smooth: float = 0.5):
+    """Corpus-learned bigram language-model score per document: the mean
+    over a doc's adjacent token pairs of ln((c(w1 w2) + k) /
+    (c_ctx(w1) + k*V)) — the next step up from :func:`unigram_logprob`
+    on the CCNet-style quality ladder (fluency, not just vocabulary).
+    Context counts c_ctx are bigram LEFT-side occurrences (every token
+    except each doc's last), V = corpus distinct-token count; add-k
+    smoothing keeps unseen continuations finite. Docs with < 2 tokens
+    score 0.0 (no bigram evidence), matching the oracle's coalesce.
+
+    Same two-pass learned-filter shape: pass 1 folds per-batch bigram
+    partials through one narrow groupby (the model is the distinct-
+    bigram set — Zipf-sublinear in the corpus); pass 2 broadcasts it via
+    ``ray.put`` and scores in a streaming actor pool. Bigrams never
+    cross document boundaries."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"  # unit separator — cannot appear inside a \s+ token
+
+    def _doc_bigrams(t: pa.Table):
+        """(w1 array, w2 array, per-doc bigram counts) — adjacency within
+        each doc only."""
+        flat, lens = _flat_tokens(t, text_col)
+        n = len(flat)
+        if n == 0:
+            e = pa.array([], pa.string())
+            return e, e, np.zeros(len(lens), np.int64)
+        starts = np.cumsum(lens) - lens
+        # position i pairs with i+1 unless i is a doc's last token
+        is_last = np.zeros(n, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        is_last[ends[lens > 0]] = True
+        w1_idx = np.nonzero(~is_last)[0]
+        w1 = flat.take(pa.array(w1_idx))
+        w2 = flat.take(pa.array(w1_idx + 1))
+        blens = np.maximum(lens - 1, 0)
+        return w1, w2, blens
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        w1, w2, _ = _doc_bigrams(t)
+        g = pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "w1": g["w1"], "w2": g["w2"],
+            "_c": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t, text_col)
+        return pa.table({"term": flat.unique()})
+
+    bigrams = (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("_c", alias_name="c"))
+        .take_all()
+    )
+    vocab_rows = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("term")
+        .count()
+        .take_all()
+    )
+    import pandas as pd
+
+    v_size = float(len(vocab_rows))
+    bg = pd.Series(
+        [float(r["c"]) for r in bigrams],
+        index=[r["w1"] + SEP + r["w2"] for r in bigrams],
+        dtype=np.float64,
+    )
+    ctx = pd.Series(
+        [float(r["c"]) for r in bigrams],
+        index=[r["w1"] for r in bigrams],
+    ).groupby(level=0).sum()
+    model_ref = ray.put((bg, ctx, v_size))
+
+    class Scorer:
+        def __init__(self):
+            self.bg, self.ctx, self.v = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            w1, w2, blens = _doc_bigrams(t)
+            nd = len(blens)
+            if nd == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                })
+            keys = pc.binary_join_element_wise(w1, w2, SEP)
+            # dictionary-encode: look each DISTINCT key/context up once
+            enc = keys.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            kc = self.bg.reindex(enc.dictionary.to_pylist()).fillna(0.0)
+            e1 = w1.dictionary_encode()
+            c1 = e1.indices.to_numpy(zero_copy_only=False)
+            cc = self.ctx.reindex(e1.dictionary.to_pylist()).fillna(0.0)
+            lp = np.log(
+                (kc.to_numpy()[codes] + k_smooth)
+                / (cc.to_numpy()[c1] + k_smooth * self.v)
+            ) if len(codes) else np.array([], np.float64)
+            doc_idx = np.repeat(np.arange(nd), blens)
+            sums = np.bincount(doc_idx, weights=lp, minlength=nd)
+            means = np.where(
+                blens > 0, sums / np.maximum(blens, 1), 0.0
+            )
+            return pa.table({
+                id_col: t[id_col],
+                "logprob": pa.array(np.round(means, 6)),
+            })
+
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4))
+
+
+def json_field_stats(ds, props_col: str = "props", field: str = "k",
+                     group_col: str = "event_type"):
+    """Typed-field extraction from a JSON-ish string column WITHOUT a
+    JSON parser in the hot path: one vectorized ``pc.extract_regex``
+    pulls the integer field per row (NULL when absent/NULL props), then
+    per-group (n, mean, min, max) fold — the "pull one property out of
+    the event payload" stage every clickstream pipeline starts with.
+    Per-block partials carry (group, n, sum, min, max); one narrow
+    groupby folds them."""
+    from ray.data.aggregate import Sum, Min, Max
+
+    pattern = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks()
+        props = t[props_col].combine_chunks()
+        ex = pc.extract_regex(pc.fill_null(props, ""), pattern)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        keep = pc.and_(pc.is_valid(v), pc.is_valid(g))
+        sub = pa.table({"g": g.filter(keep), "v": v.filter(keep)})
+        agg = sub.group_by("g").aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        return pa.table({
+            "g": agg["g"],
+            "n": pc.cast(agg["v_count"], pa.int64()),
+            "s": pc.cast(agg["v_sum"], pa.int64()),
+            "mn": agg["v_min"],
+            "mx": agg["v_max"],
+        })
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        mean = pc.round(
+            pc.divide(pc.cast(t["s"], pa.float64()), n), 6
+        )
+        return pa.table({
+            group_col: t["g"],
+            "n": t["n"],
+            "mean_" + field: mean,
+            "min_" + field: pc.cast(t["mn"], pa.int64()),
+            "max_" + field: pc.cast(t["mx"], pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

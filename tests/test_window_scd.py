@@ -162,3 +162,64 @@ def test_lake_reconcile_removes_deleted_tables(tmp_path):
         e.close()
     # restart: c re-attaches (files kept), b is gone for good
     assert Lake(root).table_names() == ["a", "c"]
+
+
+def test_bigram_logprob_matches_manual():
+    from debezium_incubator_ray.functions.text import bigram_logprob
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a b", "a b", "c", ""]),
+    })
+    out = (
+        bigram_logprob(ray.data.from_arrow(t).repartition(2), k_smooth=0.5)
+        .to_pandas().set_index("doc_id")["logprob"]
+    )
+    # corpus bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b) =>
+    # c(a b)=3+1=4, c(b a)=1; ctx: a=4? no — contexts are left sides:
+    # a appears as w1 3x in doc1? positions: a b a b -> (a,b),(b,a),(a,b)
+    # + doc2 (a,b): c(a,b)=3, c(b,a)=1, ctx(a)=3, ctx(b)=1; V=3 (a,b,c)
+    import math
+    p_ab = math.log((3 + 0.5) / (3 + 0.5 * 3))
+    p_ba = math.log((1 + 0.5) / (1 + 0.5 * 3))
+    assert abs(out[1] - round((2 * p_ab + p_ba) / 3, 6)) < 2e-6
+    assert abs(out[2] - round(p_ab, 6)) < 2e-6
+    assert out[3] == 0.0 and out[4] == 0.0  # <2 tokens -> no evidence
+
+
+def test_json_field_stats():
+    from debezium_incubator_ray.functions.text import json_field_stats
+
+    t = pa.table({
+        "event_type": pa.array(["x", "x", "y", "y", "x"]),
+        "props": pa.array(
+            ['{"k": 4}', '{"k": -2}', '{"k": 10}', '{"other": 1}', None]
+        ),
+    })
+    out = (
+        json_field_stats(ray.data.from_arrow(t).repartition(2))
+        .to_pandas().set_index("event_type")
+    )
+    assert out.loc["x", "n"] == 2 and out.loc["x", "mean_k"] == 1.0
+    assert out.loc["x", "min_k"] == -2 and out.loc["x", "max_k"] == 4
+    assert out.loc["y", "n"] == 1 and out.loc["y", "mean_k"] == 10.0
+
+
+def test_containment_asymmetric_pair():
+    from debezium_incubator_ray.functions.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta"          # 2 shingles (3-grams)
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([short, long]),
+    })
+    jac = ngram_jaccard_pairs(
+        ray.data.from_arrow(t), threshold=0.5
+    ).to_pandas()
+    con = ngram_jaccard_pairs(
+        ray.data.from_arrow(t), threshold=0.5, score_mode="containment"
+    ).to_pandas()
+    assert len(jac) == 0            # Jaccard diluted by the long side
+    assert len(con) == 1            # containment sees the full embed
+    assert con["containment"][0] == 1.0
