@@ -177,27 +177,18 @@ def pagerank(
     )
 
 
-def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
-                   buckets: int = 64):
-    """Exact triangle count of the undirected graph induced by an edge
-    Dataset (duplicates / orientations / self-loops cleaned first).
-    Returns a 1-row pyarrow Table (n_nodes, n_edges, n_triangles).
-
-    Scale shape — the classic degree-ordered wedge algorithm, O(m^1.5)
-    work instead of the naive O(sum deg^2): every edge is oriented from
-    its lower-(degree, id) endpoint to the higher one, so wedges are only
-    generated at a triangle's LOWEST-degree corner and no single hub node
-    ever expands its full neighborhood. Stages: (1) canonical distinct
-    edges (one bucketed shuffle); (2) per-node degrees (narrow groupby of
-    per-batch count partials); (3) two hash joins attach endpoint degrees
-    and orient; (4) wedges per source bucket — a fully vectorized
-    repeat/arange pair expansion, pre-reduced to (x, y, cnt) inside the
-    bucket; (5) wedges and edges route by the SAME pair-hash bucket and
-    an in-bucket Arrow join counts wedges whose closing edge exists.
-    Only (x, y, cnt) candidate rows ever re-shuffle; the driver sees one
-    int per bucket."""
+def _canonical_oriented(edges, src_col: str, dst_col: str, buckets: int):
+    """Shared front half of the degree-ordered triangle family:
+    canonicalize (min, max) edges dropping loops/NULLs, distinct them
+    (one bucketed shuffle), fold per-node degrees (narrow groupby of
+    count partials), then two bucketed hash joins attach endpoint
+    degrees and orient each edge from its lower-(degree, id) endpoint —
+    so wedges are only ever generated at a triangle's lowest-degree
+    corner. Returns (ce, deg, oriented): the pinned canonical edge set,
+    the pinned (node, deg) table, and the lazy oriented edge Dataset
+    with a `_wb` wedge-source bucket column."""
     from ray.data.aggregate import Sum
-    from debezium_incubator_ray.hashing import partition_ids, stable_hash
+    from debezium_incubator_ray.hashing import partition_ids
     from debezium_incubator_ray.functions.joins import shuffle_join
 
     def canon(t: pa.Table) -> pa.Table:
@@ -267,6 +258,31 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
     oriented = shuffle_join(
         j1, deg, on="b", right_on="node", buckets=buckets
     ).map_batches(orient, batch_format="pyarrow")
+    return ce, deg, oriented
+
+
+def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
+                   buckets: int = 64):
+    """Exact triangle count of the undirected graph induced by an edge
+    Dataset (duplicates / orientations / self-loops cleaned first).
+    Returns a 1-row pyarrow Table (n_nodes, n_edges, n_triangles).
+
+    Scale shape — the classic degree-ordered wedge algorithm, O(m^1.5)
+    work instead of the naive O(sum deg^2): every edge is oriented from
+    its lower-(degree, id) endpoint to the higher one, so wedges are only
+    generated at a triangle's LOWEST-degree corner and no single hub node
+    ever expands its full neighborhood. Stages: (1) canonical distinct
+    edges (one bucketed shuffle); (2) per-node degrees (narrow groupby of
+    per-batch count partials); (3) two hash joins attach endpoint degrees
+    and orient; (4) wedges per source bucket — a fully vectorized
+    repeat/arange pair expansion, pre-reduced to (x, y, cnt) inside the
+    bucket; (5) wedges and edges route by the SAME pair-hash bucket and
+    an in-bucket Arrow join counts wedges whose closing edge exists.
+    Only (x, y, cnt) candidate rows ever re-shuffle; the driver sees one
+    int per bucket."""
+    from debezium_incubator_ray.hashing import stable_hash
+
+    ce, deg, oriented = _canonical_oriented(edges, src_col, dst_col, buckets)
 
     def wedges(g: pa.Table) -> pa.Table:
         u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -702,71 +718,7 @@ def local_clustering(edges, src_col: str = "src", dst_col: str = "dst",
         expand_pairs, merge_local_topk, table_topk,
     )
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t[src_col].combine_chunks()
-        d = t[dst_col].combine_chunks()
-        a = pc.min_element_wise(s, d)
-        b = pc.max_element_wise(s, d)
-        keep = pc.and_(
-            pc.not_equal(a, b),
-            pc.and_(pc.is_valid(a), pc.is_valid(b)),
-        )
-        return pa.table({"a": a, "b": b}).filter(keep)
-
-    ce = distinct_edges(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "a", "b", buckets=buckets,
-    ).materialize()
-
-    def deg_partial(t: pa.Table) -> pa.Table:
-        nodes = pa.chunked_array(
-            [t["a"].combine_chunks(), t["b"].combine_chunks()]
-        )
-        g = pa.table({"node": nodes}).group_by("node").aggregate(
-            [([], "count_all")]
-        )
-        return pa.table({
-            "node": g["node"],
-            "dcnt": pc.cast(g["count_all"], pa.int64()),
-        })
-
-    deg = (
-        ce.map_batches(deg_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(Sum("dcnt", alias_name="deg"))
-        .materialize()
-    )
-
-    j1 = shuffle_join(
-        ce, deg, on="a", right_on="node", buckets=buckets
-    ).map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"], "deg_a": t["deg"]}),
-        batch_format="pyarrow",
-    )
-
-    def orient(t: pa.Table) -> pa.Table:
-        from debezium_incubator_ray.hashing import partition_ids
-
-        a = t["a"].combine_chunks()
-        b = t["b"].combine_chunks()
-        da = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False)
-        db = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
-        a_first = pa.array(da < db) if len(da) else pa.array([], pa.bool_())
-        a_first = pc.or_(a_first, pa.array(da == db))
-        u = pc.if_else(a_first, a, b)
-        v = pc.if_else(a_first, b, a)
-        return pa.table({"u": u, "v": v}).append_column(
-            "_wb",
-            pa.array(partition_ids(u.combine_chunks()
-                                   if isinstance(u, pa.ChunkedArray) else u,
-                                   buckets, "hash"), pa.int32()),
-        )
-
-    oriented = shuffle_join(
-        j1, deg, on="b", right_on="node", buckets=buckets
-    ).map_batches(orient, batch_format="pyarrow")
+    ce, deg, oriented = _canonical_oriented(edges, src_col, dst_col, buckets)
 
     def wedges_with_center(g: pa.Table) -> pa.Table:
         u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)

@@ -923,25 +923,18 @@ def cusum_changepoint(ds, ts_col: str):
         "n_days": pa.array([n_days], pa.int64()),
     })
 
-def welch_ttest(ds, value_col: str, group_col: str, group_a, group_b):
-    """Welch's unequal-variance t-test between two groups in ONE
-    streaming pass of power-sum partials (n, sum, sum of squares per
-    group); the Welch-Satterthwaite degrees of freedom finish in closed
-    form on two rows. The variance is computed from the SAME power-sum
-    algebra the SQL oracle uses ((ss - n*mean^2)/(n-1)), so both sides
-    agree to summation-order rounding, far inside the 6-dp gate.
-
-    Scale shape: per-block partials are 2 rows each; one narrow groupby
-    folds them. The events never shuffle. Returns one row:
-    (n_a, n_b, mean_a, mean_b, t_stat, df)."""
+def _group_power_sums(ds, value_col: str, group_col: str, keep_fn=None):
+    """Shared (n, sum, sum-of-squares)-per-group streaming fold behind
+    welch_ttest and anova_oneway: per-block partials shrink each block to
+    one row per group, one narrow groupby folds them. ``keep_fn(g, v)``
+    returns the row mask (defaults to both-valid)."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         g = t[group_col].combine_chunks()
         v = pc.cast(t[value_col].combine_chunks(), pa.float64())
-        keep = pc.and_(
-            pc.is_valid(v),
-            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+        keep = keep_fn(g, v) if keep_fn is not None else pc.and_(
+            pc.is_valid(v), pc.is_valid(g)
         )
         sub = pa.table({"g": g.filter(keep), "v": v.filter(keep)})
         sub = sub.append_column("v2", pc.multiply(sub["v"], sub["v"]))
@@ -955,14 +948,46 @@ def welch_ttest(ds, value_col: str, group_col: str, group_a, group_b):
             "ss": agg["v2_sum"],
         })
 
-    rows = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("g")
         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
                    Sum("ss", alias_name="ss"))
         .take_all()
     )
+
+
+def welch_ttest(ds, value_col: str, group_col: str, group_a, group_b):
+    """Welch's unequal-variance t-test between two groups in ONE
+    streaming pass of power-sum partials (n, sum, sum of squares per
+    group); the Welch-Satterthwaite degrees of freedom finish in closed
+    form on two rows. The variance is computed from the SAME power-sum
+    algebra the SQL oracle uses ((ss - n*mean^2)/(n-1)), so both sides
+    agree to summation-order rounding, far inside the 6-dp gate.
+
+    Scale shape: per-block partials are 2 rows each; one narrow groupby
+    folds them. The events never shuffle. Returns one row
+    (n_a, n_b, mean_a, mean_b, t_stat, df) — or ZERO rows when either
+    group has no values, matching the oracle's empty cross join."""
+
+    def keep(g, v):
+        return pc.and_(
+            pc.is_valid(v),
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+        )
+
+    rows = _group_power_sums(ds, value_col, group_col, keep)
     stats = {r["g"]: r for r in rows}
+    empty = pa.table({
+        "n_a": pa.array([], pa.int64()),
+        "n_b": pa.array([], pa.int64()),
+        "mean_a": pa.array([], pa.float64()),
+        "mean_b": pa.array([], pa.float64()),
+        "t_stat": pa.array([], pa.float64()),
+        "df": pa.array([], pa.float64()),
+    })
+    if group_a not in stats or group_b not in stats:
+        return empty
 
     def _finish(r):
         n = int(r["n"])
@@ -970,9 +995,8 @@ def welch_ttest(ds, value_col: str, group_col: str, group_a, group_b):
         var = (r["ss"] - n * mean * mean) / (n - 1) if n > 1 else float("nan")
         return n, mean, var
 
-    empty = (float("nan"), float("nan"), float("nan"))
-    na, ma, va = _finish(stats[group_a]) if group_a in stats else (0,) + empty[1:]
-    nb, mb, vb = _finish(stats[group_b]) if group_b in stats else (0,) + empty[1:]
+    na, ma, va = _finish(stats[group_a])
+    nb, mb, vb = _finish(stats[group_b])
     if na > 1 and nb > 1:
         se2 = va / na + vb / nb
         t = (ma - mb) / np.sqrt(se2)
@@ -993,53 +1017,36 @@ def welch_ttest(ds, value_col: str, group_col: str, group_a, group_b):
 
 def anova_oneway(ds, value_col: str, group_col: str):
     """One-way ANOVA F across ALL groups from the same power-sum fold as
-    :func:`welch_ttest`: SSB = sum n_g*(mean_g - grand)^2, SSW =
-    sum(ss_g - n_g*mean_g^2), F = (SSB/(k-1)) / (SSW/(n-k)). NULL values
-    drop; NULL group keys drop (mirroring the SQL GROUP BY + WHERE
-    filters). MEAN squares are emitted rather than raw sums of squares:
-    they are O(variance)-scaled, so summation-order float noise stays
-    far below the 6-dp compare gate at any row count. Returns one row:
-    (k, n, f_stat, ms_between, ms_within)."""
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t[group_col].combine_chunks()
-        v = pc.cast(t[value_col].combine_chunks(), pa.float64())
-        keep = pc.and_(pc.is_valid(v), pc.is_valid(g))
-        sub = pa.table({"g": g.filter(keep), "v": v.filter(keep)})
-        sub = sub.append_column("v2", pc.multiply(sub["v"], sub["v"]))
-        agg = sub.group_by("g").aggregate(
-            [("v", "count"), ("v", "sum"), ("v2", "sum")]
-        )
-        return pa.table({
-            "g": agg["g"],
-            "n": pc.cast(agg["v_count"], pa.int64()),
-            "s": agg["v_sum"],
-            "ss": agg["v2_sum"],
-        })
-
-    rows = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("g")
-        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
-                   Sum("ss", alias_name="ss"))
-        .take_all()
-    )
+    :func:`welch_ttest` (shared :func:`_group_power_sums`): SSB = sum
+    n_g*(mean_g - grand)^2, SSW = sum(ss_g - n_g*mean_g^2), F =
+    (SSB/(k-1)) / (SSW/(n-k)). NULL values drop; NULL group keys drop
+    (mirroring the SQL GROUP BY + WHERE filters). MEAN squares are
+    emitted rather than raw sums of squares: they are O(variance)-scaled,
+    so summation-order float noise stays far below the 6-dp compare gate
+    at any row count. Returns one row (k, n, f_stat, ms_between,
+    ms_within) — or ZERO rows for degenerate inputs (k < 2 or n <= k),
+    matching the oracle's empty grouped cross join."""
+    rows = _group_power_sums(ds, value_col, group_col)
     k = len(rows)
     n = int(sum(r["n"] for r in rows))
     if k < 2 or n <= k:
-        f = msb = msw = float("nan")
-    else:
-        grand = sum(r["s"] for r in rows) / n
-        ssb = sum(
-            r["n"] * (r["s"] / r["n"] - grand) ** 2 for r in rows
-        )
-        ssw = sum(
-            r["ss"] - r["n"] * (r["s"] / r["n"]) ** 2 for r in rows
-        )
-        msb = ssb / (k - 1)
-        msw = ssw / (n - k)
-        f = msb / msw if msw > 0 else float("nan")
+        return pa.table({
+            "k": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "f_stat": pa.array([], pa.float64()),
+            "ms_between": pa.array([], pa.float64()),
+            "ms_within": pa.array([], pa.float64()),
+        })
+    grand = sum(r["s"] for r in rows) / n
+    ssb = sum(
+        r["n"] * (r["s"] / r["n"] - grand) ** 2 for r in rows
+    )
+    ssw = sum(
+        r["ss"] - r["n"] * (r["s"] / r["n"]) ** 2 for r in rows
+    )
+    msb = ssb / (k - 1)
+    msw = ssw / (n - k)
+    f = msb / msw if msw > 0 else float("nan")
     return pa.table({
         "k": pa.array([k], pa.int64()),
         "n": pa.array([n], pa.int64()),
@@ -1079,12 +1086,13 @@ def mutual_information(ds, a_col: str, b_col: str):
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     if not cells:
+        # zero rows, matching the oracle's empty grouped CTE chain
         return pa.table({
-            "n": pa.array([0], pa.int64()),
-            "mi_nats": pa.array([float("nan")], pa.float64()),
-            "h_a": pa.array([float("nan")], pa.float64()),
-            "h_b": pa.array([float("nan")], pa.float64()),
-            "cramers_v": pa.array([float("nan")], pa.float64()),
+            "n": pa.array([], pa.int64()),
+            "mi_nats": pa.array([], pa.float64()),
+            "h_a": pa.array([], pa.float64()),
+            "h_b": pa.array([], pa.float64()),
+            "cramers_v": pa.array([], pa.float64()),
         })
     import pandas as pd
 

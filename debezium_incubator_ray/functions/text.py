@@ -1301,7 +1301,17 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
     from ray.data.aggregate import Sum
 
-    SEP = "\x1f"  # unit separator — cannot appear inside a \s+ token
+    # bigram key = f"{len(w1)}\x1f{w1}\x1f{w2}" — the length prefix makes
+    # the encoding injective even when tokens CONTAIN \x1f (RE2's \s is
+    # ASCII-only, so control chars survive tokenization; a bare
+    # "w1\x1fw2" join would collide 'a\x1fb'+'c' with 'a'+'b\x1fc' and
+    # pandas reindex raises on the duplicate labels)
+    SEP = "\x1f"
+
+    def _bigram_keys(w1, w2):
+        return pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(w1), pa.string()), w1, w2, SEP
+        )
 
     def _doc_bigrams(t: pa.Table):
         """(w1 array, w2 array, per-doc bigram counts) — adjacency within
@@ -1311,7 +1321,6 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         if n == 0:
             e = pa.array([], pa.string())
             return e, e, np.zeros(len(lens), np.int64)
-        starts = np.cumsum(lens) - lens
         # position i pairs with i+1 unless i is a doc's last token
         is_last = np.zeros(n, dtype=bool)
         ends = np.cumsum(lens) - 1
@@ -1343,19 +1352,20 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         .aggregate(Sum("_c", alias_name="c"))
         .take_all()
     )
-    vocab_rows = (
+    # vocab SIZE only — count the grouped rows, never ship the terms
+    v_size = float(
         ds.map_batches(vocab_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("term")
         .count()
-        .take_all()
+        .count()
     )
     import pandas as pd
 
-    v_size = float(len(vocab_rows))
     bg = pd.Series(
         [float(r["c"]) for r in bigrams],
-        index=[r["w1"] + SEP + r["w2"] for r in bigrams],
+        index=[f"{len(r['w1'])}{SEP}{r['w1']}{SEP}{r['w2']}"
+               for r in bigrams],
         dtype=np.float64,
     )
     ctx = pd.Series(
@@ -1376,7 +1386,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
                     id_col: pa.array([], pa.int64()),
                     "logprob": pa.array([], pa.float64()),
                 })
-            keys = pc.binary_join_element_wise(w1, w2, SEP)
+            keys = _bigram_keys(w1, w2)
             # dictionary-encode: look each DISTINCT key/context up once
             enc = keys.dictionary_encode()
             codes = enc.indices.to_numpy(zero_copy_only=False)
@@ -1407,7 +1417,15 @@ def json_field_stats(ds, props_col: str = "props", field: str = "k",
     """Typed-field extraction from a JSON-ish string column WITHOUT a
     JSON parser in the hot path: one vectorized ``pc.extract_regex``
     pulls the integer field per row (NULL when absent/NULL props), then
-    per-group (n, mean, min, max) fold — the "pull one property out of
+    per-group (n, mean, min, max) fold.
+
+    CONTRACT: payloads must be FLAT objects with integer-valued fields
+    (the ``{"k": 42}`` event-props shape). The regex is not a JSON
+    parser — nested objects, string-embedded key text, float or quoted
+    values all diverge from ``json_extract`` semantics; route such
+    payloads through ``sources/debezium_json.py`` instead.
+
+    This is the "pull one property out of
     the event payload" stage every clickstream pipeline starts with.
     Per-block partials carry (group, n, sum, min, max); one narrow
     groupby folds them."""

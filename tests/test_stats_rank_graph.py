@@ -1072,14 +1072,16 @@ def test_welch_ttest_matches_manual():
     assert abs(out["df"][0] - want_df) < 1e-3
 
 
-def test_welch_ttest_missing_group_is_nan():
+def test_welch_ttest_missing_group_empty():
     from debezium_incubator_ray.functions.stats import welch_ttest
 
     t = pa.table({"g": pa.array(["a", "a", "a"]),
                   "v": pa.array([1.0, 2.0, 3.0])})
     out = welch_ttest(ray.data.from_arrow(t), "v", "g", "a", "zz").to_pandas()
-    assert out["n_b"][0] == 0
-    assert np.isnan(out["t_stat"][0])
+    # zero rows, matching the SQL oracle's empty cross join
+    assert len(out) == 0
+    assert list(out.columns) == ["n_a", "n_b", "mean_a", "mean_b",
+                                 "t_stat", "df"]
 
 
 def test_anova_matches_manual():
@@ -1107,13 +1109,15 @@ def test_anova_matches_manual():
     assert abs(out["ms_within"][0] - ssw / (n - k)) < 1e-5
 
 
-def test_anova_single_group_nan():
+def test_anova_single_group_empty():
     from debezium_incubator_ray.functions.stats import anova_oneway
 
     t = pa.table({"g": pa.array(["x"] * 5),
                   "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
     out = anova_oneway(ray.data.from_arrow(t), "v", "g").to_pandas()
-    assert out["k"][0] == 1 and np.isnan(out["f_stat"][0])
+    # degenerate (k < 2): zero rows, matching the oracle's empty
+    # grouped cross join
+    assert len(out) == 0
 
 
 def test_mutual_info_independent_and_dependent():

@@ -223,3 +223,18 @@ def test_containment_asymmetric_pair():
     assert len(jac) == 0            # Jaccard diluted by the long side
     assert len(con) == 1            # containment sees the full embed
     assert con["containment"][0] == 1.0
+
+
+def test_bigram_logprob_tokens_containing_separator():
+    from debezium_incubator_ray.functions.text import bigram_logprob
+
+    # RE2's \s is ASCII-only: \x1f survives tokenization. A bare
+    # "w1<SEP>w2" key would collide 'a\x1fb'+'c' with 'a'+'b\x1fc' and
+    # crash the pandas reindex; the length-prefixed key must not.
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a\x1fb c x", "a b\x1fc x"]),
+    })
+    out = bigram_logprob(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 2
+    assert np.isfinite(out["logprob"]).all()
