@@ -1620,6 +1620,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ngram_jaccard_pairs(docs, threshold=0.5,
                                    score_mode="containment")
 
+    def text_ngram_novelty(sf_dir):
+        """Per-doc 3-gram novelty: the fraction of a doc's distinct
+        shingles with corpus df = 1 — the inverse-boilerplate gauge
+        (low = templated/copied, high = original). One inverted-index
+        shuffle; df and the per-doc partials fold inside each shingle
+        bucket; the driver never sees a row."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import ngram_novelty
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return ngram_novelty(docs)
+
+    def stats_multi_regression(sf_dir):
+        """Two-predictor OLS (extendedprice ~ quantity + discount) from
+        one pass of ten cross-moment sums; the 3x3 normal equations
+        solve by Cramer's rule with determinant expansions stated
+        EXACTLY as the oracle's SQL, so both sides round identically."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import multi_regression
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_extendedprice", "l_quantity", "l_discount"],
+        )
+        return multi_regression(li, "l_extendedprice", "l_quantity",
+                                "l_discount")
+
+    def sample_neyman(sf_dir):
+        """Neyman-allocation stratified sample (300 total): stratum
+        budgets proportional to N_h x S_h from the shared power-sum
+        fold, selection by the shared Lehmer permutation — the
+        variance-optimal survey design, deterministic at any
+        parallelism."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import neyman_sample
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "event_id", "value"],
+        )
+        return neyman_sample(ev, "event_type", "value", "event_id",
+                             total_k=300)
+
     def dedup_clusters(sf_dir):
         """Near-dup clustering: exact 3-gram-Jaccard >= 0.3 pairs →
         distributed connected components (min-label propagation) →
@@ -5214,6 +5260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_containment": dedup_containment,
+        "text_ngram_novelty": text_ngram_novelty,
+        "stats_multi_regression": stats_multi_regression,
+        "sample_neyman": sample_neyman,
         "dedup_clusters": dedup_clusters,
         "dedup_keep_best": dedup_keep_best,
         "cdc_secondary_index": cdc_secondary_index,
@@ -6089,6 +6138,80 @@ def oracle_sql() -> dict[str, str]:
             "FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b "
             "WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.5"
+        ),
+        "text_ngram_novelty": (
+            # same shingle definition as _SHINGLES (3-gram over
+            # lowercased \s+ tokens, short docs -> one whole-doc gram);
+            # novelty = share of the doc's distinct shingles with
+            # corpus df = 1
+            "WITH t AS (SELECT doc_id, string_split_regex(trim("
+            "lower(text)), '\\s+') AS tk FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN "
+            "[tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+            "for i in generate_series(1, len(tk)-2)] "
+            "ELSE [array_to_string(tk, ' ')] END AS gs FROM t), "
+            "e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM sh), "
+            "df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM e "
+            "GROUP BY 1) "
+            "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+            "CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS uniq_shingles, "
+            "round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS novelty "
+            "FROM e JOIN df USING (g) GROUP BY 1"
+        ),
+        "stats_multi_regression": (
+            # CENTERED two-pass OLS, the identical algebra the engine
+            # runs: raw power sums cancel ~8 leading digits at this row
+            # count; centered moments agree to ~1e-12
+            "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "avg(l_quantity) AS m1, avg(l_discount) AS m2, "
+            "avg(l_extendedprice) AS my FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL AND l_discount IS NOT NULL), "
+            "s AS (SELECT m.n, m.m1, m.m2, m.my, "
+            "sum((l_quantity - m1) * (l_quantity - m1)) AS s11, "
+            "sum((l_discount - m2) * (l_discount - m2)) AS s22, "
+            "sum((l_quantity - m1) * (l_discount - m2)) AS s12, "
+            "sum((l_quantity - m1) * (l_extendedprice - my)) AS s1y, "
+            "sum((l_discount - m2) * (l_extendedprice - my)) AS s2y, "
+            "sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy "
+            "FROM lineitem, m WHERE l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL AND l_discount IS NOT NULL "
+            "GROUP BY 1, 2, 3, 4), "
+            "b AS (SELECT *, "
+            "(s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1, "
+            "(s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2 "
+            "FROM s) "
+            "SELECT n, round(my - b1 * m1 - b2 * m2, 6) AS b0, "
+            "round(b1, 6) AS b1, round(b2, 6) AS b2, "
+            "round((b1 * s1y + b2 * s2y) / syy, 6) AS r2 FROM b"
+        ),
+        "sample_neyman": (
+            # allocation kh = max(1, floor(300 * N_h*S_h / total)) over
+            # strata with n >= 2 non-null values; selection = the shared
+            # Lehmer permutation rank within each stratum
+            "WITH s AS (SELECT event_type, "
+            "CAST(count(value) AS BIGINT) AS n, sum(value) AS s, "
+            "sum(value * value) AS ss FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY 1), "
+            "w AS (SELECT event_type, n * sqrt(greatest("
+            "(ss - n * (s / n) * (s / n)) / (n - 1), 0)) AS wt "
+            "FROM s WHERE n >= 2), "
+            "tot AS (SELECT sum(wt) AS tw FROM w), "
+            "a AS (SELECT event_type, greatest(1, CAST(floor("
+            "300 * wt / tw) AS BIGINT)) AS kh FROM w, tot), "
+            "p AS (SELECT event_type, event_id, "
+            "CAST(((event_id % 2147483647) * (2654435761 % 2147483647) "
+            "+ 12345) % 2147483647 AS BIGINT) AS perm FROM events), "
+            "r AS (SELECT p.event_type, p.event_id, p.perm, "
+            "ROW_NUMBER() OVER (PARTITION BY p.event_type "
+            "ORDER BY p.perm, p.event_id) AS rank, a.kh FROM p "
+            "JOIN a USING (event_type)) "
+            "SELECT event_type, event_id, perm, CAST(rank AS BIGINT) "
+            "AS rank FROM r WHERE rank <= kh"
         ),
         "dedup_clusters": (
             # transitive closure over the same >= 0.3 Jaccard pairs:

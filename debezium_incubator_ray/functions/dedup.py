@@ -1416,3 +1416,86 @@ def keep_best_per_cluster(
         })
 
     return won.map_batches(finish, batch_format="pyarrow")
+
+def ngram_novelty(docs_ds, shingle_k: int = 3, buckets: int = 64,
+                  hasher: Callable = stable_hash):
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    k-shingles that appear in NO other document (corpus df = 1) — the
+    inverse boilerplate gauge a curation pipeline thresholds on (low
+    novelty = templated/copied text, high = original prose).
+
+    ONE shuffle: the distinct (shingle-hash, doc) inverted index routes
+    by shingle-hash bucket, so a shingle's whole posting list meets in
+    one group — df and the per-doc (seen, unique) partials fall out of
+    a single run-length pass there; a narrow doc-id groupby folds the
+    partials and the driver never sees a row. Empty docs (no tokens)
+    are excluded, mirroring the SQL oracle's nonempty filter."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.functions.tokens import (
+        shingle_hashes, distinct_per_doc,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        g, glens = shingle_hashes(t["text"].combine_chunks(), shingle_k,
+                                  hasher)
+        dv, dc = distinct_per_doc(g, glens)
+        ids = np.repeat(t["doc_id"].to_numpy(), dc)
+        return pa.table({
+            "g": pa.array(dv.view(np.int64)),
+            "doc_id": pa.array(ids),
+            "_bucket": pa.array((dv % np.uint64(buckets)).astype(np.int32)),
+        })
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("g", "ascending"), ("doc_id", "ascending")]
+        )
+        s = t.take(idx)
+        g = s["g"].combine_chunks().to_numpy()
+        docs = s["doc_id"].combine_chunks().to_numpy()
+        if len(g) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "uniq": pa.array([], pa.int64()),
+            })
+        # df per shingle via run lengths (each shingle value lives
+        # entirely in this bucket)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.nonzero(new)[0]
+        df = np.diff(np.append(starts, len(g)))
+        is_unique = np.repeat(df == 1, df)
+        tb = pa.table({
+            "doc_id": pa.array(docs),
+            "one": pa.array(np.ones(len(docs), np.int64)),
+            "u": pa.array(is_unique.astype(np.int64)),
+        })
+        agg = tb.group_by("doc_id").aggregate([("one", "sum"), ("u", "sum")])
+        return pa.table({
+            "doc_id": agg["doc_id"],
+            "n": pc.cast(agg["one_sum"], pa.int64()),
+            "uniq": pc.cast(agg["u_sum"], pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        nov = pc.round(
+            pc.divide(pc.cast(t["uniq"], pa.float64()), n), 6
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": t["n"],
+            "uniq_shingles": t["uniq"],
+            "novelty": nov,
+        })
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("uniq", alias_name="uniq"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -465,3 +465,119 @@ def weighted_sample_topk(
         return pa.table({f.name: pa.nulls(0, f.type) for f in base})
     merged = pa.concat_tables(blocks, promote_options="permissive")
     return _local_topk_by_key(merged, k, id_col).drop_columns(["_skey"])
+
+def neyman_sample(ds, group_col: str, value_col: str, id_col: str,
+                  total_k: int = 300, seed: int = 12345,
+                  mult: int = 2654435761, mod: int = 2147483647):
+    """Neyman-allocation stratified sample: each stratum's budget is
+    proportional to N_h * S_h (its size x value standard deviation) —
+    the variance-optimal allocation for estimating the population mean,
+    vs. plain proportional allocation. Strata with fewer than two
+    non-null values carry no variance signal and are skipped; every
+    allocated stratum gets at least one row (kh = max(1,
+    floor(total_k * w_h))). Sampling within a stratum is the shared
+    Lehmer permutation (deterministic, engine-replayable, no RNG).
+
+    Scale shape: allocation comes from the welch/anova power-sum fold
+    (rows never shuffle); selection keeps <= kh rows per (block, group)
+    as partials, merges the metadata-sized candidate set once, and
+    filters the source by the broadcast winner-id set."""
+    from debezium_incubator_ray.functions.stats import _group_power_sums
+    from debezium_incubator_ray.functions.dedup import (
+        _broadcast_winner_filter,
+    )
+
+    stats_rows = _group_power_sums(ds, value_col, group_col)
+    weights = {}
+    for r in stats_rows:
+        n = int(r["n"])
+        if n < 2:
+            continue
+        mean = r["s"] / n
+        var = (r["ss"] - n * mean * mean) / (n - 1)
+        if var < 0:  # float fuzz on constant strata
+            var = 0.0
+        weights[r["g"]] = n * float(np.sqrt(var))
+    tot = sum(weights.values())
+    if tot <= 0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    alloc = {g: max(1, int(np.floor(total_k * w / tot)))
+             for g, w in weights.items()}
+
+    def stamp_and_cut(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks()
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        perm = _lehmer_perm(ids, id_col, seed, mult, mod).astype(np.int64)
+        # distinct-bounded lookup: one python dict probe per DISTINCT
+        # group in the block, not per row
+        enc = g.dictionary_encode()
+        kmap = np.array(
+            [alloc.get(x, 0) for x in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        valid = pc.is_valid(enc.indices).to_numpy(zero_copy_only=False)
+        codes = pc.fill_null(enc.indices, 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        kh = np.where(valid, kmap[codes], 0) \
+            if len(kmap) else np.zeros(len(ids), np.int64)
+        keep0 = kh > 0
+        tb = pa.table({
+            "g": g.filter(pa.array(keep0)),
+            "id": pa.array(ids[keep0]),
+            "perm": pa.array(perm[keep0]),
+            "kh": pa.array(kh[keep0]),
+        })
+        # per-group top-kh partial: sort (g, perm, id), keep rank <= kh
+        idx = pc.sort_indices(tb, sort_keys=[
+            ("g", "ascending"), ("perm", "ascending"), ("id", "ascending"),
+        ])
+        sb = tb.take(idx)
+        gs = sb["g"].combine_chunks()
+        new = np.ones(len(gs), dtype=bool)
+        if len(gs) > 1:
+            new[1:] = pc.not_equal(
+                gs.slice(1), gs.slice(0, len(gs) - 1)
+            ).to_numpy(zero_copy_only=False)
+        gid = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(gs)) - starts[gid] + 1
+        return sb.filter(
+            pa.array(rank <= sb["kh"].combine_chunks().to_numpy(
+                zero_copy_only=False))
+        ).select(["g", "id", "perm"])
+
+    cand = ds.map_batches(
+        stamp_and_cut, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= sum(kh) rows per block — metadata-sized
+    if not cand:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    import pandas as pd
+
+    df = pd.DataFrame(cand).drop_duplicates("id")
+    df = df.sort_values(["g", "perm", "id"])
+    df["rank"] = df.groupby("g").cumcount() + 1
+    df = df[df["rank"] <= df["g"].map(alloc).astype(np.int64)]
+    winners = df["id"].to_numpy(np.int64)
+    rank_of = dict(zip(df["id"], df["rank"]))
+    perm_of = dict(zip(df["id"], df["perm"]))
+
+    filtered = _broadcast_winner_filter(ds, winners, id_col)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            group_col: t[group_col],
+            id_col: t[id_col],
+            "perm": pa.array([perm_of[i] for i in ids], pa.int64()),
+            "rank": pa.array([rank_of[i] for i in ids], pa.int64()),
+        })
+
+    return filtered.map_batches(attach, batch_format="pyarrow",
+                                zero_copy_batch=True)

