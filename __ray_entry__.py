@@ -1961,6 +1961,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             engines.append(eng)
         return engines[0].join_lake(engines[1], join_type="inner")
 
+    def cdc_enriched_view(sf_dir):
+        """Stream-table JOIN VIEW: the events envelope stream is enriched
+        with customer attributes (fk user_id -> dimension lake keyed
+        c_custkey, LEFT join — missing dims yield NULLs) and the
+        enriched stream feeds a normal CDC lake, so watermarks and
+        exactly-once compose. Envelopes route by the DIMENSION's
+        partitioner; each dim partition's state is read once per group
+        and joined vectorized — never a per-event lookup. Oracle: LWW
+        final state LEFT JOINed to customer in SQL."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+        from debezium_incubator_ray.pipelines.derive import enrich_envelopes
+
+        root = EC.scratch_dir("enrich")
+        dim = EC.make_engine(
+            os.path.join(root, "dim"),
+            payload_schema=pa.schema([
+                pa.field("c_custkey", pa.int64(), nullable=False),
+                pa.field("c_name", pa.string()),
+                pa.field("c_acctbal", pa.float64()),
+            ]),
+            table="customer", key="c_custkey",
+        )
+        dim.snapshot(ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        ))
+        env = EC.events_envelopes(sf_dir)
+        enriched, out_schema = enrich_envelopes(
+            env, dim, "user_id", ["c_name", "c_acctbal"],
+            EC.EVENTS_PAYLOAD,
+        )
+        env_tb = pa.concat_tables(
+            [b for b in enriched.iter_batches(batch_format="pyarrow")],
+            promote_options="permissive",
+        )
+        # segments are LSN-ordered within each partition dir
+        src = env_tb["source"].combine_chunks()
+        env_tb = env_tb.take(pc.sort_indices(pa.table({
+            "p": src.field("partition"), "l": src.field("lsn"),
+        }), sort_keys=[("p", "ascending"), ("l", "ascending")]))
+        binlog = os.path.join(root, "binlog")
+        EC.write_env_binlog(env_tb, binlog)
+        view = EC.make_engine(os.path.join(root, "view"),
+                              payload_schema=out_schema)
+        view.run(binlog)
+        out = view.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_key_erasure(sf_dir):
         """Right-to-be-forgotten: after a full CDC replay, erase user_id <
         20 from the lake (state surgery — only runs whose key range
@@ -5273,6 +5326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_materialized_view": cdc_materialized_view,
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
+        "cdc_enriched_view": cdc_enriched_view,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
         "cdc_composite_key": cdc_composite_key,
@@ -5557,6 +5611,16 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_enriched_view": _LWW
+        + (
+            # stream-table join: the dimension is snapshot-static, so
+            # enrichment-at-event-time equals enrichment of the final
+            # state — LEFT join keeps facts with no dimension row
+            "SELECT r.user_id, r.ts, r.event_type, r.value, r.props, "
+            "c.c_name, c.c_acctbal, r.lsn FROM ranked r "
+            "LEFT JOIN customer c ON r.user_id = c.c_custkey "
+            "WHERE r.rn = 1 AND r.op <> 'd'"
+        ),
         "cdc_segment_archive": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_reshard": _LWW

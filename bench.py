@@ -240,6 +240,11 @@ def main() -> None:
         "sample_per_group_k", "join_full_outer_daily",
         "join_semi_recent_orders", "embedding_quantize_int8",
         "text_hashed_features",
+        "stats_welch_ttest", "stats_anova_f", "stats_mutual_info",
+        "stats_theilsen_daily", "stats_multi_regression",
+        "graph_local_clustering", "text_bigram_logprob",
+        "text_ngram_novelty", "dedup_containment", "events_props_extract",
+        "sample_neyman",
         "cdc_before_images",
         "cdc_changelog_diff",
         "cdc_field_blacklist",

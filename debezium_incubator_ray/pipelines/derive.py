@@ -209,3 +209,137 @@ def agg_view_envelopes(
         np.zeros(len(ops), dtype=np.int32),
         np.full(len(ops), lsn, dtype=np.int64), table="agg_view",
     )
+
+def enrich_envelopes(
+    env,
+    dim_engine,
+    fk_col: str,
+    dim_cols: Sequence[str],
+    payload_schema: pa.Schema,
+    buckets_per_partition: int = 1,
+):
+    """Stream-table JOIN VIEW: enrich a fact envelope stream with
+    dimension attributes looked up by foreign key in a dimension CDC
+    lake — the denormalizing consumer every warehouse CDC feed runs
+    (Kafka Streams' stream-KTable join; reference analog: consumers
+    joining the orders topic to a customers compacted topic). Each
+    c/u/r envelope's after image gains ``dim_cols`` (LEFT join — a
+    missing dimension row yields NULLs, never drops the fact); deletes
+    pass through untouched. The enriched stream feeds a normal
+    CdcEngine keyed by the FACT key, so watermarks, exactly-once and
+    replay compose for free.
+
+    Semantics: attributes are the dimension state AT ENRICHMENT TIME
+    (the stream-table join contract). Late dimension updates do not
+    rewrite already-applied view rows — re-run enrichment (or rebuild
+    the view) for slowly-changing-dimension backfills.
+
+    Scale shape: envelopes route by the DIMENSION's own partitioner on
+    the fk (one shuffle, the irreducible re-key cost); each dimension
+    partition's merged state is read ONCE per group and joined with one
+    vectorized Arrow hash join — never a per-event lookup, and the
+    driver sees no row. Returns a Dataset of enriched envelopes.
+
+    Citation: the reference leaves this to downstream Kafka consumers
+    (CassandraTopicSelector routes per-table topics; joins happen off-
+    platform) — here the lake IS that consumer."""
+    import ray.data
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.stages.apply import read_partition_state
+    from debezium_incubator_ray.hashing import partition_ids
+    from debezium_incubator_ray.envelope import DELETED
+
+    m = dim_engine.manifest
+    dim_key = dim_engine.cfg.key
+    P = m.num_partitions
+    partitioner = m.doc.get("partitioner", "mod")
+    spec = dict(
+        lake_dir=dim_engine.lake_dir,
+        target_b64=S.schema_to_b64(m.current_schema()),
+        defaults=dict(m.doc["defaults"]),
+        schema_version=m.doc["schemas"][-1]["version"],
+        entries={p: m.doc["partitions"][str(p)] for p in range(P)},
+        counter_cols=list(m.doc.get("counter_cols") or []),
+    )
+    dim_schema = m.current_schema()
+    dim_types = {f.name: f.type for f in dim_schema}
+    for c in dim_cols:
+        if c not in dim_types:
+            raise ValueError(f"dimension lake has no column {c!r}")
+        if c in [f.name for f in payload_schema]:
+            raise ValueError(
+                f"enriched column {c!r} collides with a fact payload "
+                "column — rename it in the dimension or project it away"
+            )
+    out_schema = pa.schema(
+        list(payload_schema) + [pa.field(c, dim_types[c]) for c in dim_cols]
+    )
+
+    if isinstance(env, pa.Table):
+        env = ray.data.from_arrow(env)
+
+    def route(t: pa.Table) -> pa.Table:
+        after = t["after"].combine_chunks()
+        fk = pc.struct_field(after, fk_col)
+        pid = partition_ids(
+            pc.fill_null(fk, 0 if pa.types.is_integer(fk.type) else ""),
+            P, partitioner,
+        ).astype(np.int32)
+        return t.append_column("_dimp", pa.array(pid))
+
+    def enrich_group(g: pa.Table) -> pa.Table:
+        p = int(g["_dimp"][0].as_py())
+        g = g.drop_columns(["_dimp"])
+        dim = read_partition_state(
+            spec["entries"][p], spec["lake_dir"],
+            S.schema_from_b64(spec["target_b64"]), spec["defaults"],
+            spec["schema_version"], dim_key,
+            counter_cols=tuple(spec.get("counter_cols") or []),
+        )
+        if DELETED in dim.column_names:
+            dim = dim.filter(
+                pc.invert(pc.fill_null(dim[DELETED], False))
+            ).drop_columns([DELETED])
+        dim = dim.select([dim_key] + list(dim_cols)).rename_columns(
+            ["__fk"] + list(dim_cols)
+        )
+
+        src = g["source"].combine_chunks()
+        lsn = src.field("lsn").to_numpy(zero_copy_only=False)
+        part = src.field("partition").to_numpy(zero_copy_only=False)
+        op = g["op"].combine_chunks()
+        after = unpack_struct(g["after"], payload_schema)
+        before = unpack_struct(g["before"], payload_schema)
+
+        # one vectorized hash join attaches the dim attrs to the after
+        # images (row order restored by the carried index)
+        a_tbl = pa.table(
+            {**after, "__fk": after[fk_col],
+             "__idx": pa.array(np.arange(g.num_rows, dtype=np.int64))}
+        )
+        j = a_tbl.join(dim, keys="__fk", join_type="left outer")
+        j = j.sort_by("__idx")
+        after_cols = {f.name: j[f.name] for f in payload_schema}
+        for c in dim_cols:
+            after_cols[c] = j[c]
+        # before images carry the fact payload + NULL dim attrs: the
+        # view's LWW never reads them, but the shape must match
+        n = g.num_rows
+        before_cols = {f.name: before[f.name] for f in payload_schema}
+        for c in dim_cols:
+            before_cols[c] = pa.nulls(n, dim_types[c])
+
+        return build_envelopes(
+            op,
+            pa.table({f.name: after_cols[f.name] for f in out_schema}),
+            pa.table({f.name: before_cols[f.name] for f in out_schema}),
+            part.astype(np.int32),
+            lsn.astype(np.int64),
+            table="enriched",
+        )
+
+    return (
+        env.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_dimp")
+        .map_groups(enrich_group, batch_format="pyarrow")
+    ), out_schema

@@ -213,3 +213,86 @@ def test_agg_view_no_phantom_group_from_float_residue():
     )
     out = agg_view_envelopes(env, "g", "v", None, lsn=1)
     assert out.num_rows == 0
+
+
+def test_enrich_envelopes_stream_table_join(tmp_path):
+    """Stream-table join view: c/u enriched from the dim lake's LIVE
+    state, missing dims yield NULLs, deleted dim rows never enrich,
+    'd' facts pass through with the key intact."""
+    import os
+    import numpy as np
+    from debezium_incubator_ray.pipelines import events_cdc as EC
+    from debezium_incubator_ray.pipelines.derive import enrich_envelopes
+
+    dim_schema = pa.schema([
+        pa.field("dk", pa.int64(), nullable=False),
+        pa.field("name", pa.string()),
+    ])
+    dim = EC.make_engine(
+        str(tmp_path / "dim"), payload_schema=dim_schema,
+        table="dims", key="dk",
+    )
+    dim.snapshot(pa.table({
+        "dk": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(["one", "two", "three"]),
+    }))
+    # delete dim 2 via a stream epoch: its attrs must stop enriching
+    del_env = build_envelopes(
+        pa.array(["d"], pa.string()),
+        pa.table({"dk": pa.array([2], pa.int64()),
+                  "name": pa.array([None], pa.string())}),
+        pa.table({"dk": pa.array([2], pa.int64()),
+                  "name": pa.array(["two"], pa.string())}),
+        np.array([2 % EC.NUM_PARTITIONS], dtype=np.int32),
+        np.array([100], dtype=np.int64),
+        table="dims",
+    )
+    EC.write_env_binlog(del_env, str(tmp_path / "dimlog"))
+    dim.run(str(tmp_path / "dimlog"))
+
+    fact_schema = pa.schema([
+        pa.field("fk", pa.int64(), nullable=False),
+        pa.field("dk_ref", pa.int64()),
+    ])
+    # facts: fk 10 -> dim 1 (live), fk 11 -> dim 2 (deleted), fk 12 ->
+    # dim 99 (never existed), fk 13 created then deleted
+    fact_env = build_envelopes(
+        pa.array(["c", "c", "c", "c", "d"], pa.string()),
+        pa.table({
+            "fk": pa.array([10, 11, 12, 13, 13], pa.int64()),
+            "dk_ref": pa.array([1, 2, 99, 1, None], pa.int64()),
+        }),
+        pa.table({
+            "fk": pa.array([10, 11, 12, 13, 13], pa.int64()),
+            "dk_ref": pa.array([None, None, None, None, 1],
+                               pa.int64()),
+        }),
+        np.array([0, 0, 0, 0, 0], dtype=np.int32),
+        np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        table="facts",
+    )
+    enriched, out_schema = enrich_envelopes(
+        ray.data.from_arrow(fact_env), dim, "dk_ref", ["name"],
+        fact_schema,
+    )
+    tb = pa.concat_tables(
+        list(enriched.iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    assert [f.name for f in out_schema] == ["fk", "dk_ref", "name"]
+    after = tb["after"].combine_chunks()
+    by_fk = {}
+    for i in range(tb.num_rows):
+        row = after[i].as_py()
+        op = tb["op"][i].as_py()
+        if row is not None:
+            by_fk[(row["fk"], op)] = row
+    assert by_fk[(10, "c")]["name"] == "one"
+    assert by_fk[(11, "c")]["name"] is None   # dim deleted -> no attrs
+    assert by_fk[(12, "c")]["name"] is None   # dim never existed
+    assert by_fk[(13, "c")]["name"] == "one"
+    # the delete envelope survives with a null after and its key in before
+    ops = tb["op"].to_pylist()
+    assert ops.count("d") == 1
+    d_idx = ops.index("d")
+    assert tb["before"][d_idx].as_py()["fk"] == 13
