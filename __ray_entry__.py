@@ -2043,39 +2043,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         partition is declared one event short (incomplete), so the engine
         must apply exactly the complete-transaction prefix and defer the
         rest — the oracle drops the same per-partition tail in SQL."""
-        import numpy as np
         import pyarrow as pa
         from debezium_incubator_ray import schema as S
         from debezium_incubator_ray.pipelines import events_cdc as EC
 
         root = EC.scratch_dir("txn")
         binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
-        env = EC.events_envelopes(sf_dir)
-        src = env["source"].combine_chunks()
-        part = src.field("partition").to_numpy()
-        lsn = src.field("lsn").to_numpy()
-        n = len(part)
-        order = np.lexsort((lsn, part))
-        ps = part[order]
-        # per-partition sequence number along LSN order
-        starts = np.zeros(n, dtype=bool)
-        starts[0] = True
-        starts[1:] = ps[1:] != ps[:-1]
-        idx = np.arange(n)
-        seq = idx - np.maximum.accumulate(np.where(starts, idx, 0))
-        n_p = np.bincount(ps, minlength=EC.NUM_PARTITIONS)[ps]
-        tx_seq = seq // 5
-        last_seq = (n_p - 1) // 5
-        size_last = n_p - 5 * last_seq
-        declared = np.where(tx_seq == last_seq, size_last + 1, 5)
-        tx_id_sorted = ps.astype(np.int64) * 1_000_000_000 + tx_seq
-        tx_id = np.empty(n, dtype=np.int64)
-        tx_ev = np.empty(n, dtype=np.int64)
-        tx_id[order] = tx_id_sorted
-        tx_ev[order] = declared
-        env = env.append_column("tx_id", pa.array(tx_id, pa.int64()))
-        env = env.append_column("tx_events", pa.array(tx_ev, pa.int32()))
-        EC.write_env_binlog(env, binlog)
+        EC.write_env_binlog(EC.tx_tagged_envelopes(sf_dir), binlog)
         eng = EC.make_engine(lake)
         eng.cfg.transactional = True
         stats = eng.run(binlog)
@@ -2084,6 +2058,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = eng.lake_table(include_lsn=True)
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    def cdc_tx_summary(sf_dir):
+        """The Debezium transaction-metadata topic analog: one row per
+        source transaction from a pure metadata fold over the binlog
+        (only the source struct + tx columns leave storage) — tx_id,
+        event count, declared size, LSN span, completeness. The oracle
+        re-derives the same transaction structure in SQL window
+        functions."""
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+        from debezium_incubator_ray.pipelines.cdc import transaction_summary
+
+        root = EC.scratch_dir("txsum")
+        binlog = os.path.join(root, "binlog")
+        EC.write_env_binlog(EC.tx_tagged_envelopes(sf_dir), binlog)
+        return transaction_summary(binlog)
 
     def cdc_composite_key(sf_dir):
         """Composite primary key (reference: key = ALL pk cells,
@@ -4457,6 +4446,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mutual_information(docs, "lang", "source")
 
+    def orders_cohort_ltv(sf_dir):
+        """Cohort lifetime-value curve: customers cohorted by first-order
+        month; per (cohort, age) revenue plus cumulative revenue per
+        customer. One bucketed shuffle of (customer, month, revenue)
+        partials; cohort sizes ride the same stream as age=-1 marker
+        rows; the driver finish is months^2-bounded."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import cohort_ltv
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        return cohort_ltv(orders)
+
+    def events_survival_km(sf_dir):
+        """Kaplan-Meier survival of time-to-second-event per user
+        (single-event users right-censored at the observation end) —
+        the activation-latency curve. Per-block partials keep each
+        user's two smallest (ts, id); durations bucket to hours so the
+        driver finish is calendar-bounded, never user-bounded."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            kaplan_meier_second_event,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id"],
+        )
+        return kaplan_meier_second_event(ev, "user_id", "ts", "event_id")
+
     def stats_theilsen_daily(sf_dir):
         """Theil-Sen robust trend of daily event volume: exact median of
         all pairwise slopes over the calendar-bounded daily series (the
@@ -5329,6 +5350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_enriched_view": cdc_enriched_view,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
+        "cdc_tx_summary": cdc_tx_summary,
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
@@ -5435,6 +5457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_anova_f": stats_anova_f,
         "stats_mutual_info": stats_mutual_info,
         "stats_theilsen_daily": stats_theilsen_daily,
+        "events_survival_km": events_survival_km,
+        "orders_cohort_ltv": orders_cohort_ltv,
         "text_cosine_pairs": text_cosine_pairs,
         "dq_reconcile_orders": dq_reconcile_orders,
         "events_new_users_daily": events_new_users_daily,
@@ -6520,6 +6544,27 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY lsn DESC) AS rn2 FROM kept) "
             "SELECT user_id, ts, event_type, value, props, lsn "
             "FROM ranked WHERE rn2 = 1 AND op <> 'd'"
+        ),
+        "cdc_tx_summary": (
+            # re-derive the partition-local tx-of-5 structure: seq along
+            # LSN order, tx_seq = seq//5, the last tx per partition
+            # declared one event short (matching tx_tagged_envelopes)
+            f"WITH env AS ({_ENV}), "
+            "p AS (SELECT *, user_id % 8 AS part FROM env), "
+            "c AS (SELECT *, count(*) OVER (PARTITION BY part) AS np, "
+            "row_number() OVER (PARTITION BY part ORDER BY lsn) - 1 "
+            "AS seq FROM p), "
+            "t AS (SELECT part, seq // 5 AS tx_seq, lsn, np FROM c), "
+            "s AS (SELECT CAST(part AS BIGINT) * 1000000000 + tx_seq "
+            "AS tx_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(CASE WHEN tx_seq = (max(np) - 1) // 5 "
+            "THEN max(np) - 5 * ((max(np) - 1) // 5) + 1 "
+            "ELSE 5 END AS BIGINT) AS declared, "
+            "CAST(min(lsn) AS BIGINT) AS first_lsn, "
+            "CAST(max(lsn) AS BIGINT) AS last_lsn "
+            "FROM t GROUP BY part, tx_seq) "
+            "SELECT tx_id, n_events, declared, first_lsn, last_lsn, "
+            "n_events = declared AS complete FROM s"
         ),
         "cdc_composite_key": (
             f"WITH env AS ({_ENV}), "
@@ -7738,6 +7783,57 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM rt), (SELECT count(*) FROM ct)) "
             "- 1))), 6) AS cramers_v "
             "FROM tot, mi, ha, hb, chi"
+        ),
+        "orders_cohort_ltv": (
+            # months as int indices 12*year + month-1, the engine's exact
+            # expression; cumulative revenue per cohort in age order
+            "WITH o AS (SELECT o_custkey AS c, "
+            "12 * year(o_orderdate) + month(o_orderdate) - 1 AS m, "
+            "o_totalprice AS r FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), "
+            "f AS (SELECT c, CAST(min(m) AS BIGINT) AS cm FROM o "
+            "GROUP BY 1), "
+            "sz AS (SELECT cm AS cohort, CAST(count(*) AS BIGINT) "
+            "AS n_customers FROM f GROUP BY 1), "
+            "cell AS (SELECT f.cm AS cohort, CAST(o.m - f.cm AS BIGINT) "
+            "AS age, sum(o.r) AS rev FROM o JOIN f USING (c) "
+            "GROUP BY 1, 2), "
+            "cum AS (SELECT cohort, age, rev, sum(rev) OVER "
+            "(PARTITION BY cohort ORDER BY age) AS cum_rev FROM cell) "
+            "SELECT cum.cohort, cum.age, sz.n_customers, "
+            "round(cum.rev, 2) AS revenue, "
+            "round(cum.cum_rev / sz.n_customers, 6) AS ltv_per_customer "
+            "FROM cum JOIN sz ON sz.cohort = cum.cohort"
+        ),
+        "events_survival_km": (
+            # KM over hour-bucketed durations; ties broken (ts, event_id)
+            # on both sides; the terminal d = n_risk row is survival 0
+            # explicitly (ln(0) is an error, not -inf, in SQL)
+            "WITH b AS (SELECT user_id, ts, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "mx AS (SELECT max(ts) AS m FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "f AS (SELECT user_id, "
+            "min(CASE WHEN rn = 1 THEN ts END) AS t1, "
+            "min(CASE WHEN rn = 2 THEN ts END) AS t2 FROM b GROUP BY 1), "
+            "d AS (SELECT CASE WHEN t2 IS NOT NULL THEN "
+            "date_diff('microsecond', t1, t2) ELSE "
+            "date_diff('microsecond', t1, mx.m) END // 3600000000 AS t, "
+            "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS e "
+            "FROM f, mx), "
+            "g AS (SELECT t, CAST(sum(e) AS BIGINT) AS d, "
+            "CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1), "
+            "o AS (SELECT t, d, CAST(sum(c) OVER (ORDER BY t DESC) "
+            "AS BIGINT) AS n_risk FROM g), "
+            "s AS (SELECT t, d, n_risk, "
+            "exp(sum(ln(CASE WHEN d < n_risk THEN 1 - d * 1.0 / n_risk "
+            "ELSE 1 END)) OVER (ORDER BY t)) AS raw, "
+            "max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER "
+            "(ORDER BY t) AS dead FROM o WHERE d > 0) "
+            "SELECT t AS t_hours, n_risk, d AS d_events, "
+            "round(CASE WHEN dead = 1 THEN 0 ELSE raw END, 6) "
+            "AS survival FROM s"
         ),
         "stats_theilsen_daily": (
             # x = epoch days (date - epoch is BIGINT days in DuckDB),

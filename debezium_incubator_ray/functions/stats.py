@@ -1257,3 +1257,135 @@ def multi_regression(ds, y_col: str, x1_col: str, x2_col: str):
         "b2": pa.array([round(b2, 6)], pa.float64()),
         "r2": pa.array([round(r2, 6)], pa.float64()),
     })
+
+def kaplan_meier_second_event(ds, user_col: str, ts_col: str,
+                              id_col: str):
+    """Kaplan-Meier survival curve of time-to-SECOND-event per user —
+    the activation-latency curve ("how long until a user comes back"),
+    with single-event users RIGHT-CENSORED at the observation end
+    (global max ts). Durations bucket to whole hours so the curve is
+    calendar-bounded. Returns one row per event time:
+    (t_hours, n_risk, d_events, survival) with
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i); the terminal time where
+    d = n_risk is set to survival 0 explicitly (both sides guard the
+    ln(0), which SQL refuses to evaluate).
+
+    Scale shape: per-block partials keep each user's two smallest
+    (ts, id) pairs (<= 2 rows per user per block); a bucketed groupby
+    finishes first/second per user; durations fold to distinct
+    (hour, event) counts, so the driver finish is bounded by the
+    calendar, never the user count."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.hashing import stable_hash
+
+    # observation end: one tiny scalar fold, kept in int64 MICROSECONDS
+    # (Dataset.max would hand back a pandas Timestamp whose .value is
+    # nanoseconds — a silent 1000x unit trap)
+    end_us = int(ds.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [pc.max(pc.cast(t[ts_col].combine_chunks(), pa.int64())).as_py()],
+            pa.int64(),
+        )}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).max("m"))
+
+    def two_smallest(t: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "u": t[user_col], "ts": t[ts_col], "i": t[id_col],
+        }).filter(pc.and_(pc.is_valid(t[user_col]),
+                          pc.is_valid(t[ts_col])))
+        idx = pc.sort_indices(sub, sort_keys=[
+            ("u", "ascending"), ("ts", "ascending"), ("i", "ascending"),
+        ])
+        s = sub.take(idx)
+        u = s["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({
+                "u": pa.array([], sub["u"].type),
+                "ts": pa.array([], sub["ts"].type),
+                "i": pa.array([], sub["i"].type),
+                "_b": pa.array([], pa.int32()),
+            })
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new)[0]
+        gid = np.cumsum(new) - 1
+        rank = np.arange(n) - starts[gid]
+        keep = rank < 2
+        out = s.filter(pa.array(keep))
+        b = (stable_hash(out["u"].combine_chunks())
+             % np.uint64(64)).astype(np.int32)
+        return out.append_column("_b", pa.array(b))
+
+    def per_user_duration(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_b"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("u", "ascending"), ("ts", "ascending"), ("i", "ascending"),
+        ])
+        s = g.take(idx)
+        u = s["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = s["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )  # microseconds
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        t1 = ts[starts]
+        has2 = sizes >= 2
+        t2 = np.where(has2, ts[np.minimum(starts + 1, n - 1)], 0)
+        dur_us = np.where(has2, t2 - t1, end_us - t1)
+        hours = dur_us // (3600 * 1_000_000)
+        vc = (
+            pa.table({
+                "t": pa.array(hours.astype(np.int64)),
+                "e": pa.array(has2.astype(np.int64)),
+                "one": pa.array(np.ones(len(hours), np.int64)),
+            })
+            .group_by(["t", "e"])
+            .aggregate([("one", "sum")])
+        )
+        return pa.table({
+            "t": vc["t"], "e": vc["e"],
+            "c": pc.cast(vc["one_sum"], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(two_smallest, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_user_duration, batch_format="pyarrow")
+        .groupby(["t", "e"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # distinct (hour, event-flag) rows — calendar-bounded
+    if not rows:
+        return pa.table({
+            "t_hours": pa.array([], pa.int64()),
+            "n_risk": pa.array([], pa.int64()),
+            "d_events": pa.array([], pa.int64()),
+            "survival": pa.array([], pa.float64()),
+        })
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    g = df.pivot_table(index="t", columns="e", values="c",
+                       aggfunc="sum", fill_value=0).sort_index()
+    d = g[1].to_numpy(np.int64) if 1 in g.columns else np.zeros(len(g), np.int64)
+    c_all = g.sum(axis=1).to_numpy(np.int64)
+    t = g.index.to_numpy(np.int64)
+    n_risk = c_all[::-1].cumsum()[::-1]  # subjects with time >= t
+    ev = d > 0
+    te, de, ne = t[ev], d[ev], n_risk[ev]
+    factor = np.where(de < ne, 1.0 - de / ne, 1.0)
+    surv = np.exp(np.cumsum(np.log(factor)))
+    dead = np.cumsum(de == ne) > 0  # terminal: everyone at risk departed
+    surv = np.where(dead, 0.0, surv)
+    return pa.table({
+        "t_hours": pa.array(te),
+        "n_risk": pa.array(ne),
+        "d_events": pa.array(de),
+        "survival": pa.array(np.round(surv, 6)),
+    })

@@ -1343,3 +1343,102 @@ def rolling_distinct(
         .groupby("_b2")
         .map_groups(day_fold, batch_format="pyarrow")
     )
+
+def cohort_ltv(
+    ds,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    rev_col: str = "o_totalprice",
+):
+    """Cohort LIFETIME-VALUE curve: customers cohort by the month of
+    their first order; each (cohort, age-in-months) cell reports that
+    month's revenue and the cohort's CUMULATIVE revenue per customer —
+    the "how much is a January customer worth after N months" view that
+    complements the retention matrix's activity counts.
+
+    Decomposition (the retention_cohorts shape): batches pre-reduce to
+    (customer, month, revenue-sum) partials, ONE shuffle routes each
+    customer's partials to a bounded hash bucket, the in-bucket cohort =
+    min(month) joins back via Arrow kernels, and cohort sizes ride the
+    same stream as marker rows (age = -1). The driver finish —
+    per-cohort cumulative sums — is bounded by months^2 cells, never by
+    customers. Months travel as int indices (12*year + month-1), which
+    the SQL oracle states identically."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[cust_col].combine_chunks()
+        d = t[date_col].combine_chunks()
+        r = pc.cast(t[rev_col].combine_chunks(), pa.float64())
+        keep = pc.and_(pc.is_valid(c), pc.is_valid(d))
+        m = pc.add(
+            pc.multiply(pc.year(d.filter(keep)), 12),
+            pc.subtract(pc.month(d.filter(keep)), 1),
+        )
+        tb = pa.table({
+            "c": c.filter(keep),
+            "m": pc.cast(m, pa.int64()),
+            "r": r.filter(keep),
+        }).group_by(["c", "m"]).aggregate([("r", "sum")])
+        tb = pa.table({"c": tb["c"], "m": tb["m"], "r": tb["r_sum"]})
+        return tb.append_column(
+            "_b", pa.array(partition_ids(tb["c"], 64, "hash"), pa.int32()),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"]).group_by(["c", "m"]).aggregate(
+            [("r", "sum")]
+        )
+        cohort = d.group_by(["c"]).aggregate([("m", "min")])
+        pos = pc.index_in(d["c"], value_set=cohort["c"].combine_chunks())
+        cm = cohort["m_min"].take(pos)
+        cells = pa.table({
+            "cohort": cm,
+            "age": pc.subtract(d["m"], cm),
+            "rev": d["r_sum"],
+            "cnt": pa.array(np.zeros(d.num_rows, np.int64)),
+        })
+        sizes = pa.table({
+            "cohort": cohort["m_min"],
+            "age": pa.array(np.full(cohort.num_rows, -1, np.int64)),
+            "rev": pa.array(np.zeros(cohort.num_rows, np.float64)),
+            "cnt": pa.array(np.ones(cohort.num_rows, np.int64)),
+        })
+        return pa.concat_tables([cells, sizes])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort", "age"])
+        .aggregate(Sum("rev", alias_name="rev"), Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # <= months^2 cells + months size rows
+    if not rows:
+        return pa.table({
+            "cohort": pa.array([], pa.int64()),
+            "age": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "ltv_per_customer": pa.array([], pa.float64()),
+        })
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    sizes = df[df["age"] < 0].set_index("cohort")["cnt"]
+    cells = df[df["age"] >= 0].sort_values(["cohort", "age"])
+    cells["cum"] = cells.groupby("cohort")["rev"].cumsum()
+    n = cells["cohort"].map(sizes).to_numpy(np.int64)
+    return pa.table({
+        "cohort": pa.array(cells["cohort"].to_numpy(np.int64)),
+        "age": pa.array(cells["age"].to_numpy(np.int64)),
+        "n_customers": pa.array(n),
+        # cents precision: a 1e8-magnitude money sum sits exactly at the
+        # 6-dp float-noise edge (measured 1e-6 divergence at sf0.1); 2 dp
+        # is the natural unit and leaves 5 orders of margin
+        "revenue": pa.array(np.round(cells["rev"].to_numpy(), 2)),
+        "ltv_per_customer": pa.array(
+            np.round(cells["cum"].to_numpy() / n, 6)
+        ),
+    })

@@ -2904,3 +2904,71 @@ class CdcEngine:
             "changes": [c.to_json() for c in fresh],
             "new_defaults": new_defaults,
         }
+
+def transaction_summary(binlog_dir: str) -> "ray.data.Dataset":
+    """The Debezium TRANSACTION-METADATA TOPIC analog: one row per
+    source transaction in a binlog — (tx_id, n_events, declared,
+    first_lsn, last_lsn, complete) — so downstream consumers can gate on
+    transaction boundaries without replaying the data stream themselves
+    (Debezium's `provide.transaction.metadata` emits exactly this
+    BEGIN/END envelope around the Oracle connector's XStream
+    transactions).
+
+    Scale shape: a pure metadata fold — per-block partials group each
+    block to its distinct tx rows (count, min/max LSN, declared), one
+    narrow groupby folds them; only the `source` struct and the two tx
+    columns are ever read off storage (column-pruned at the reader)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    segs = binlog_src.list_segments(binlog_dir)
+    if not segs:
+        return ray.data.from_arrow(pa.table({
+            "tx_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "declared": pa.array([], pa.int64()),
+            "first_lsn": pa.array([], pa.int64()),
+            "last_lsn": pa.array([], pa.int64()),
+            "complete": pa.array([], pa.bool_()),
+        }))
+    paths = [os.path.join(binlog_dir, s) for s in segs]
+    ds = ray.data.read_parquet(
+        paths, columns=["source", "tx_id", "tx_events"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lsn = t["source"].combine_chunks().field("lsn")
+        g = pa.table({
+            "tx_id": t["tx_id"],
+            "lsn": lsn,
+            "decl": pc.cast(t["tx_events"], pa.int64()),
+        }).group_by("tx_id").aggregate(
+            [("lsn", "count"), ("lsn", "min"), ("lsn", "max"),
+             ("decl", "max")]
+        )
+        return pa.table({
+            "tx_id": g["tx_id"],
+            "n": pc.cast(g["lsn_count"], pa.int64()),
+            "first": g["lsn_min"],
+            "last": g["lsn_max"],
+            "decl": g["decl_max"],
+        })
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tx_id")
+        .aggregate(Sum("n", alias_name="n"), Min("first", alias_name="first"),
+                   Max("last", alias_name="last"),
+                   Max("decl", alias_name="decl"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tx_id": t["tx_id"],
+            "n_events": t["n"],
+            "declared": t["decl"],
+            "first_lsn": t["first"],
+            "last_lsn": t["last"],
+            "complete": pc.equal(t["n"], t["decl"]),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -502,3 +502,34 @@ def final_state(
         i = out.schema.get_field_index(S.LSN)
         out = out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
     return out
+
+def tx_tagged_envelopes(sf_dir: str) -> pa.Table:
+    """events envelope stream tagged with (tx_id, tx_events): partition-
+    local transactions of 5 along LSN order, the LAST transaction per
+    partition declared one event short (incomplete) — the shared fixture
+    behind cdc_transactional (boundary-gated apply) and cdc_tx_summary
+    (the Debezium transaction-metadata topic analog)."""
+    env = events_envelopes(sf_dir)
+    src = env["source"].combine_chunks()
+    part = src.field("partition").to_numpy()
+    lsn = src.field("lsn").to_numpy()
+    n = len(part)
+    order = np.lexsort((lsn, part))
+    ps = part[order]
+    starts = np.zeros(n, dtype=bool)
+    starts[0] = True
+    starts[1:] = ps[1:] != ps[:-1]
+    idx = np.arange(n)
+    seq = idx - np.maximum.accumulate(np.where(starts, idx, 0))
+    n_p = np.bincount(ps, minlength=NUM_PARTITIONS)[ps]
+    tx_seq = seq // 5
+    last_seq = (n_p - 1) // 5
+    size_last = n_p - 5 * last_seq
+    declared = np.where(tx_seq == last_seq, size_last + 1, 5)
+    tx_id_sorted = ps.astype(np.int64) * 1_000_000_000 + tx_seq
+    tx_id = np.empty(n, dtype=np.int64)
+    tx_ev = np.empty(n, dtype=np.int64)
+    tx_id[order] = tx_id_sorted
+    tx_ev[order] = declared
+    env = env.append_column("tx_id", pa.array(tx_id, pa.int64()))
+    return env.append_column("tx_events", pa.array(tx_ev, pa.int32()))

@@ -1269,3 +1269,83 @@ def test_ngram_novelty_manual():
     assert out.loc[1, "novelty"] == 0.5
     assert out.loc[2, "novelty"] == 0.0   # its only shingle is shared
     assert out.loc[3, "novelty"] == 1.0
+
+
+def test_kaplan_meier_manual():
+    from debezium_incubator_ray.functions.stats import (
+        kaplan_meier_second_event,
+    )
+
+    # users 1,2: second event after 1h and 2h; user 3: single event,
+    # censored at (max_ts - its first) = 2h; max ts = u2's second event
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    rows = [
+        (1, base, 1), (1, base + np.timedelta64(1, "h"), 2),
+        (2, base, 3), (2, base + np.timedelta64(2, "h"), 4),
+        (3, base, 5),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "i": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = kaplan_meier_second_event(
+        ray.data.from_arrow(t).repartition(3), "u", "ts", "i"
+    ).to_pandas().set_index("t_hours")
+    # t=1h: n_risk=3 (all durations >= 1h), d=1 -> S = 2/3
+    # t=2h: n_risk=2 (u2 event, u3 censored at 2h), d=1 -> S = 2/3 * 1/2
+    assert out.loc[1, "n_risk"] == 3 and out.loc[1, "d_events"] == 1
+    assert abs(out.loc[1, "survival"] - 2 / 3) < 1e-6
+    assert out.loc[2, "n_risk"] == 2 and out.loc[2, "d_events"] == 1
+    assert abs(out.loc[2, "survival"] - 1 / 3) < 1e-6
+
+
+def test_kaplan_meier_terminal_zero():
+    from debezium_incubator_ray.functions.stats import (
+        kaplan_meier_second_event,
+    )
+
+    # every user has a second event at the same duration: the single
+    # event time has d == n_risk -> survival exactly 0, no ln(0) crash
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    rows = []
+    for u in (1, 2, 3):
+        rows += [(u, base, u * 10), (u, base + np.timedelta64(90, "m"),
+                                     u * 10 + 1)]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "i": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = kaplan_meier_second_event(
+        ray.data.from_arrow(t), "u", "ts", "i"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["n_risk"][0] == 3 and out["d_events"][0] == 3
+    assert out["survival"][0] == 0.0
+
+
+def test_cohort_ltv_manual():
+    from debezium_incubator_ray.functions.windows import cohort_ltv
+
+    # two customers in the Jan cohort, one in Feb; ages 0/1
+    d = lambda s: np.datetime64(s, "us")
+    t = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            [d("2024-01-05"), d("2024-02-10"), d("2024-01-20"),
+             d("2024-02-01")], pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 50.0, 200.0, 70.0]),
+    })
+    out = cohort_ltv(
+        ray.data.from_arrow(t).repartition(2)
+    ).to_pandas().set_index(["cohort", "age"])
+    jan = 2024 * 12 + 0
+    feb = 2024 * 12 + 1
+    assert out.loc[(jan, 0), "n_customers"] == 2
+    assert out.loc[(jan, 0), "revenue"] == 300.0
+    assert out.loc[(jan, 0), "ltv_per_customer"] == 150.0
+    assert out.loc[(jan, 1), "revenue"] == 50.0
+    assert out.loc[(jan, 1), "ltv_per_customer"] == 175.0  # (300+50)/2
+    assert out.loc[(feb, 0), "n_customers"] == 1
+    assert out.loc[(feb, 0), "ltv_per_customer"] == 70.0
