@@ -487,6 +487,21 @@ def neyman_sample(ds, group_col: str, value_col: str, id_col: str,
         _broadcast_winner_filter,
     )
 
+    def _empty():
+        # zero rows in the DOCUMENTED output shape, not the source's
+        try:
+            g_type = ds.schema().base_schema.field(group_col).type
+        except Exception:
+            g_type = pa.string()
+        return ray.data.from_arrow(pa.table({
+            group_col: pa.array([], g_type),
+            id_col: pa.array([], pa.int64()),
+            "perm": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+
+    import ray.data
+
     stats_rows = _group_power_sums(ds, value_col, group_col)
     weights = {}
     for r in stats_rows:
@@ -500,8 +515,7 @@ def neyman_sample(ds, group_col: str, value_col: str, id_col: str,
         weights[r["g"]] = n * float(np.sqrt(var))
     tot = sum(weights.values())
     if tot <= 0:
-        return ds.map_batches(lambda t: t.slice(0, 0),
-                              batch_format="pyarrow", zero_copy_batch=True)
+        return _empty()
     alloc = {g: max(1, int(np.floor(total_k * w / tot)))
              for g, w in weights.items()}
 
@@ -554,8 +568,7 @@ def neyman_sample(ds, group_col: str, value_col: str, id_col: str,
         stamp_and_cut, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()  # <= sum(kh) rows per block — metadata-sized
     if not cand:
-        return ds.map_batches(lambda t: t.slice(0, 0),
-                              batch_format="pyarrow", zero_copy_batch=True)
+        return _empty()
     import pandas as pd
 
     df = pd.DataFrame(cand).drop_duplicates("id")

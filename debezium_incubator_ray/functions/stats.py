@@ -1278,16 +1278,32 @@ def kaplan_meier_second_event(ds, user_col: str, ts_col: str,
     from ray.data.aggregate import Sum
     from debezium_incubator_ray.hashing import stable_hash
 
+    empty_out = pa.table({
+        "t_hours": pa.array([], pa.int64()),
+        "n_risk": pa.array([], pa.int64()),
+        "d_events": pa.array([], pa.int64()),
+        "survival": pa.array([], pa.float64()),
+    })
+
     # observation end: one tiny scalar fold, kept in int64 MICROSECONDS
     # (Dataset.max would hand back a pandas Timestamp whose .value is
-    # nanoseconds — a silent 1000x unit trap)
-    end_us = int(ds.map_batches(
-        lambda t: pa.table({"m": pa.array(
-            [pc.max(pc.cast(t[ts_col].combine_chunks(), pa.int64())).as_py()],
-            pa.int64(),
-        )}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).max("m"))
+    # nanoseconds — a silent 1000x unit trap). Restricted to rows with a
+    # valid user, mirroring the oracle's WHERE — a stray NULL-user row
+    # with a later ts must not shift every censored duration.
+    def _max_partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().filter(pc.is_valid(
+            t[user_col].combine_chunks()
+        ))
+        return pa.table({"m": pa.array(
+            [pc.max(pc.cast(ts, pa.int64())).as_py()], pa.int64(),
+        )})
+
+    raw_max = ds.map_batches(
+        _max_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).max("m")
+    if raw_max is None:
+        return empty_out
+    end_us = int(raw_max)
 
     def two_smallest(t: pa.Table) -> pa.Table:
         sub = pa.table({
@@ -1362,12 +1378,7 @@ def kaplan_meier_second_event(ds, user_col: str, ts_col: str,
         .take_all()
     )  # distinct (hour, event-flag) rows — calendar-bounded
     if not rows:
-        return pa.table({
-            "t_hours": pa.array([], pa.int64()),
-            "n_risk": pa.array([], pa.int64()),
-            "d_events": pa.array([], pa.int64()),
-            "survival": pa.array([], pa.float64()),
-        })
+        return empty_out
     import pandas as pd
 
     df = pd.DataFrame(rows)

@@ -1372,9 +1372,10 @@ def cohort_ltv(
         d = t[date_col].combine_chunks()
         r = pc.cast(t[rev_col].combine_chunks(), pa.float64())
         keep = pc.and_(pc.is_valid(c), pc.is_valid(d))
+        fd = d.filter(keep)
         m = pc.add(
-            pc.multiply(pc.year(d.filter(keep)), 12),
-            pc.subtract(pc.month(d.filter(keep)), 1),
+            pc.multiply(pc.year(fd), 12),
+            pc.subtract(pc.month(fd), 1),
         )
         tb = pa.table({
             "c": c.filter(keep),

@@ -216,7 +216,6 @@ def enrich_envelopes(
     fk_col: str,
     dim_cols: Sequence[str],
     payload_schema: pa.Schema,
-    buckets_per_partition: int = 1,
 ):
     """Stream-table JOIN VIEW: enrich a fact envelope stream with
     dimension attributes looked up by foreign key in a dimension CDC
