@@ -244,7 +244,8 @@ def main() -> None:
         "stats_theilsen_daily", "stats_multi_regression",
         "graph_local_clustering", "text_bigram_logprob",
         "text_ngram_novelty", "dedup_containment", "events_props_extract",
-        "sample_neyman",
+        "sample_neyman", "cdc_tx_summary", "events_survival_km",
+        "orders_cohort_ltv", "cdc_enriched_view",
         "cdc_before_images",
         "cdc_changelog_diff",
         "cdc_field_blacklist",
