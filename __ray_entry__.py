@@ -4446,6 +4446,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mutual_information(docs, "lang", "source")
 
+    def approx_distinct_hll(sf_dir):
+        """HyperLogLog distinct users (m=256 registers over the md5
+        bridge hash, linear-counting small-range correction) —
+        deterministic registers, so the SQL oracle recomputes the
+        IDENTICAL sketch via length(bin(w)). Complements the KMV
+        estimator: HLL merges by elementwise max (unions across
+        shards/epochs for free)."""
+        import ray.data
+        from debezium_incubator_ray.functions.sketch import (
+            approx_distinct_hll as hll,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"],
+        )
+        return hll(ev, "user_id", p=8)
+
     def orders_cohort_ltv(sf_dir):
         """Cohort lifetime-value curve: customers cohorted by first-order
         month; per (cohort, age) revenue plus cumulative revenue per
@@ -5459,6 +5476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_theilsen_daily": stats_theilsen_daily,
         "events_survival_km": events_survival_km,
         "orders_cohort_ltv": orders_cohort_ltv,
+        "approx_distinct_hll": approx_distinct_hll,
         "text_cosine_pairs": text_cosine_pairs,
         "dq_reconcile_orders": dq_reconcile_orders,
         "events_new_users_daily": events_new_users_daily,
@@ -7783,6 +7801,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM rt), (SELECT count(*) FROM ct)) "
             "- 1))), 6) AS cramers_v "
             "FROM tot, mi, ha, hb, chi"
+        ),
+        "approx_distinct_hll": (
+            # identical registers: md5 bridge hash, bucket = top 8 bits,
+            # rho = 57 - bit_length(low 56 bits) (bin() is the exact
+            # bit length — floor(log2(double)) would round at 2^k edges)
+            "WITH h AS (SELECT ('0x' || substring(md5(CAST(user_id AS "
+            "VARCHAR)), 1, 16))::UBIGINT AS h FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "r AS (SELECT CAST(h >> 56 AS BIGINT) AS j, "
+            "CASE WHEN (h & ((1::UBIGINT << 56) - 1)) = 0 THEN 57 "
+            "ELSE 57 - length(bin(h & ((1::UBIGINT << 56) - 1))) END "
+            "AS rho FROM h), "
+            "reg AS (SELECT j, max(rho) AS M FROM r GROUP BY j), "
+            "agg AS (SELECT sum(pow(2.0, -M)) AS s, "
+            "CAST(count(*) AS BIGINT) AS np FROM reg), "
+            "f AS (SELECT (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 "
+            "/ (agg.s + (256 - agg.np)) AS raw, 256 - agg.np AS v "
+            "FROM agg) "
+            "SELECT CAST(256 AS BIGINT) AS m, CAST(v AS BIGINT) "
+            "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
+            "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
+            "FROM f"
         ),
         "orders_cohort_ltv": (
             # months as int indices 12*year + month-1, the engine's exact

@@ -1349,3 +1349,27 @@ def test_cohort_ltv_manual():
     assert out.loc[(jan, 1), "ltv_per_customer"] == 175.0  # (300+50)/2
     assert out.loc[(feb, 0), "n_customers"] == 1
     assert out.loc[(feb, 0), "ltv_per_customer"] == 70.0
+
+
+def test_hll_accuracy_and_determinism():
+    from debezium_incubator_ray.functions.sketch import approx_distinct_hll
+
+    true_n = 5000
+    t = pa.table({"v": pa.array(np.arange(true_n, dtype=np.int64))})
+    a = approx_distinct_hll(
+        ray.data.from_arrow(t).repartition(7), "v"
+    ).to_pandas()
+    b = approx_distinct_hll(
+        ray.data.from_arrow(t).repartition(2), "v"
+    ).to_pandas()
+    # registers are a pure function of the value set -> identical at
+    # any parallelism; m=256 -> ~6.5% std error
+    assert a["estimate"][0] == b["estimate"][0]
+    assert abs(a["estimate"][0] - true_n) / true_n < 0.2
+    # small-range: few distincts -> linear counting is near-exact
+    s = approx_distinct_hll(
+        ray.data.from_arrow(pa.table({
+            "v": pa.array(np.arange(30, dtype=np.int64))
+        })), "v"
+    ).to_pandas()
+    assert abs(s["estimate"][0] - 30) < 3
