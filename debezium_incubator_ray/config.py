@@ -114,6 +114,19 @@ class EngineConfig:
     #     (a delta/tombstone row cannot represent "cell not touched").
     merge_mode: str = "lww"
 
+    # schema-compatibility gate for DDL arriving on the binlog (the
+    # schema-registry compatibility level applied at the lake instead of
+    # at a registry; Debezium deployments put Confluent's BACKWARD gate
+    # between the connector and consumers — here the lake enforces it):
+    #   "full" (default): add_column, widen_type and drop_column allowed
+    #     (the engine's historical behavior);
+    #   "backward": drop_column REFUSED — downstream readers compiled
+    #     against the current schema keep working; add/widen allowed;
+    #   "additive": only add_column allowed — the strictest contract.
+    # A refused change aborts the epoch BEFORE any data is applied; fix
+    # the stream (or relax the level) and re-run.
+    schema_compatibility: str = "full"
+
     # counter columns (Cassandra counter tables): in merge_mode="partial",
     # SET cells of these numeric columns ACCUMULATE (sum of live
     # contributions since the key's last row deletion) instead of

@@ -50,6 +50,13 @@ class ConcurrentWriterError(RuntimeError):
     this with an exclusive offset-file lock, FileOffsetWriter.java:152-172)."""
 
 
+class SchemaCompatibilityError(RuntimeError):
+    """A DDL event on the binlog violates the lake's configured
+    schema_compatibility level (the schema-registry BACKWARD/ADDITIVE
+    gate enforced at the sink). Raised BEFORE any data from the epoch is
+    applied, so the lake state is untouched."""
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -2892,7 +2899,19 @@ class CdcEngine:
         schema = self.manifest.current_schema()
         defaults: Dict[str, Any] = dict(self.manifest.doc["defaults"])
         new_defaults: Dict[str, Any] = {}
+        allowed = {
+            "full": {"add_column", "widen_type", "drop_column"},
+            "backward": {"add_column", "widen_type"},
+            "additive": {"add_column"},
+        }[self.cfg.schema_compatibility]
         for ch in sorted(fresh, key=lambda c: c.at_lsn):
+            if ch.change not in allowed:
+                raise SchemaCompatibilityError(
+                    f"schema change {ch.change!r} on column {ch.column!r} "
+                    f"(at_lsn={ch.at_lsn}) violates the lake's "
+                    f"schema_compatibility={self.cfg.schema_compatibility!r}"
+                    " contract; no data from this epoch was applied"
+                )
             before = set(defaults)
             schema = S.apply_change(schema, defaults, ch)
             for k in set(defaults) - before:

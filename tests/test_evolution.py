@@ -75,3 +75,59 @@ def test_schema_evolution_survives_restart(tmp_path):
     v = eng2.manifest.doc["schemas"][-1]["version"]
     eng2.apply_epoch(binlog)
     assert eng2.manifest.doc["schemas"][-1]["version"] == v
+
+
+def test_schema_compatibility_gate(tmp_path):
+    """schema_compatibility='backward' refuses a drop_column DDL before
+    any data applies; 'additive' refuses widen; 'full' allows all."""
+    import pytest
+    from debezium_incubator_ray.pipelines.cdc import SchemaCompatibilityError
+
+    def world(tag, change):
+        spec = gen.BinlogSpec(
+            n_events=200, n_initial=50, seg_rows=80, num_partitions=4,
+            seed=5, schema_changes=[change],
+        )
+        ev = gen.gen_events(spec)
+        binlog = str(tmp_path / f"binlog-{tag}")
+        gen.write_binlog(binlog, spec, ev)
+        return spec, binlog, str(tmp_path / f"lake-{tag}")
+
+    drop = S.SchemaChange("drop_column", "lang", None, None, at_lsn=100)
+    widen = S.SchemaChange("widen_type", "fetch_ms", "int64", None,
+                           at_lsn=100)
+
+    # backward refuses drop; the lake is untouched (manifest version 1)
+    spec, binlog, lake = world("bw", drop)
+    cfg = EngineConfig(num_partitions=4, apply_concurrency=2,
+                       schema_compatibility="backward")
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    v0 = eng.manifest.doc["version"]
+    with pytest.raises(SchemaCompatibilityError, match="drop_column"):
+        eng.run(binlog)
+    eng2 = CdcEngine(lake)  # reopen: nothing from the epoch landed
+    assert len(eng2.manifest.doc["schemas"]) == 1
+    assert eng2.manifest.doc["version"] == v0
+    eng.close()
+    eng2.close()
+
+    # additive refuses widen
+    spec, binlog, lake = world("add", widen)
+    cfg = EngineConfig(num_partitions=4, apply_concurrency=2,
+                       schema_compatibility="additive")
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    with pytest.raises(SchemaCompatibilityError, match="widen_type"):
+        eng.run(binlog)
+    eng.close()
+
+    # full allows the drop end-to-end
+    spec, binlog, lake = world("full", drop)
+    cfg = EngineConfig(num_partitions=4, apply_concurrency=2,
+                       schema_compatibility="full")
+    eng = CdcEngine(lake, cfg, payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    assert "lang" not in eng.lake_table().column_names
+    eng.close()
