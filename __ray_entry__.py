@@ -4446,6 +4446,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mutual_information(docs, "lang", "source")
 
+    def events_time_in_state(sf_dir):
+        """Time-weighted state occupancy: each inter-event interval is
+        attributed to the earlier event's type; the final open interval
+        censors at the observation end. Totals are EXACT int64
+        microsecond sums (one float division at the end), so the SQL
+        oracle matches to the digit."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import time_in_state
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type", "event_id"],
+        )
+        return time_in_state(ev, "user_id", "ts", "event_type",
+                             "event_id")
+
+    def orders_rfm_segments(sf_dir):
+        """RFM segmentation: quartile codes on recency/frequency/monetary
+        per customer (exact quantile_cont thresholds via the shared
+        bucket-histogram machinery — no sort), folded to the <=64-cell
+        segment histogram with average spend."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import rfm_segments
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        return rfm_segments(orders)
+
     def approx_distinct_hll(sf_dir):
         """HyperLogLog distinct users (m=256 registers over the md5
         bridge hash, linear-counting small-range correction) —
@@ -5477,6 +5507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival_km": events_survival_km,
         "orders_cohort_ltv": orders_cohort_ltv,
         "approx_distinct_hll": approx_distinct_hll,
+        "events_time_in_state": events_time_in_state,
+        "orders_rfm_segments": orders_rfm_segments,
         "text_cosine_pairs": text_cosine_pairs,
         "dq_reconcile_orders": dq_reconcile_orders,
         "events_new_users_daily": events_new_users_daily,
@@ -7801,6 +7833,51 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM rt), (SELECT count(*) FROM ct)) "
             "- 1))), 6) AS cramers_v "
             "FROM tot, mi, ha, hb, chi"
+        ),
+        "events_time_in_state": (
+            # exact int64 microsecond sums; ONE cast to DOUBLE at the end
+            # (the same exact integer rounds to the same double on both
+            # sides), ties broken (ts, event_id)
+            "WITH mx AS (SELECT max(ts) AS m FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "e AS (SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "l AS (SELECT event_type AS state, ts, coalesce(lead(ts) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id), mx.m) "
+            "AS nxt FROM e, mx) "
+            "SELECT state, CAST(count(*) AS BIGINT) AS n_intervals, "
+            "round(CAST(sum(date_diff('microsecond', ts, nxt)) "
+            "AS DOUBLE) / 3600000000.0, 6) AS total_hours "
+            "FROM l GROUP BY 1"
+        ),
+        "orders_rfm_segments": (
+            "WITH o AS (SELECT o_custkey AS c, "
+            "CAST(date_trunc('day', o_orderdate) AS DATE) "
+            "- DATE '1970-01-01' AS d, o_totalprice AS r FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), "
+            "pc AS (SELECT c, max(d) AS last_day, "
+            "CAST(count(*) AS BIGINT) AS freq, sum(r) AS mon FROM o "
+            "GROUP BY 1), "
+            "g AS (SELECT max(last_day) AS gm FROM pc), "
+            "a AS (SELECT c, CAST(g.gm - last_day AS DOUBLE) AS recency, "
+            "CAST(freq AS DOUBLE) AS freq, mon FROM pc, g), "
+            "q AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) "
+            "AS qr, quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf, "
+            "quantile_cont(mon, [0.25, 0.5, 0.75]) AS qm FROM a), "
+            "lab AS (SELECT 1 + CAST(recency > qr[1] AS INT) "
+            "+ CAST(recency > qr[2] AS INT) "
+            "+ CAST(recency > qr[3] AS INT) AS r_code, "
+            "1 + CAST(freq > qf[1] AS INT) + CAST(freq > qf[2] AS INT) "
+            "+ CAST(freq > qf[3] AS INT) AS f_code, "
+            "1 + CAST(mon > qm[1] AS INT) + CAST(mon > qm[2] AS INT) "
+            "+ CAST(mon > qm[3] AS INT) AS m_code, mon FROM a, q) "
+            "SELECT CAST(r_code AS BIGINT) AS r_code, "
+            "CAST(f_code AS BIGINT) AS f_code, "
+            "CAST(m_code AS BIGINT) AS m_code, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "round(sum(mon) / count(*), 2) AS avg_monetary "
+            "FROM lab GROUP BY 1, 2, 3"
         ),
         "approx_distinct_hll": (
             # identical registers: md5 bridge hash, bucket = top 8 bits,

@@ -1443,3 +1443,234 @@ def cohort_ltv(
             np.round(cells["cum"].to_numpy() / n, 6)
         ),
     })
+
+def time_in_state(ds, user_col: str, ts_col: str, type_col: str,
+                  id_col: str, buckets: int = 64):
+    """Time-weighted STATE OCCUPANCY: each interval between a user's
+    consecutive events is attributed to the EARLIER event's type (the
+    state the user was in), with the final open interval censored at the
+    observation end — "how long do users sit in each state", the dwell-
+    time complement of transition counting. Returns one row per type:
+    (state, n_intervals, total_hours).
+
+    Scale shape: the total is an EXACT int64 microsecond sum (no float
+    fold drift; the hours division happens once at the end). One
+    bucketed shuffle routes each user's (ts, id, type) rows together;
+    in-bucket lead() is a vectorized shift over user runs; per-type
+    partials fold narrow."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def _max_partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().filter(pc.is_valid(
+            t[user_col].combine_chunks()
+        ))
+        return pa.table({"m": pa.array(
+            [pc.max(pc.cast(ts, pa.int64())).as_py()], pa.int64(),
+        )})
+
+    raw_max = ds.map_batches(
+        _max_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).max("m")
+    empty = pa.table({
+        "state": pa.array([], pa.string()),
+        "n_intervals": pa.array([], pa.int64()),
+        "total_hours": pa.array([], pa.float64()),
+    })
+    if raw_max is None:
+        return empty
+    end_us = int(raw_max)
+
+    def route(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[user_col].combine_chunks()),
+                    pc.is_valid(t[ts_col].combine_chunks())),
+            pc.is_valid(t[type_col].combine_chunks()),
+        )
+        sub = pa.table({
+            "u": t[user_col].combine_chunks().filter(keep),
+            "ts": t[ts_col].combine_chunks().filter(keep),
+            "i": t[id_col].combine_chunks().filter(keep),
+            "s": t[type_col].combine_chunks().filter(keep),
+        })
+        return sub.append_column(
+            "_b", pa.array(partition_ids(sub["u"], buckets, "hash"),
+                           pa.int32()),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_b"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("u", "ascending"), ("ts", "ascending"), ("i", "ascending"),
+        ])
+        s = g.take(idx)
+        u = s["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = s["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(u)
+        if n == 0:
+            return pa.table({
+                "state": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "us": pa.array([], pa.int64()),
+            })
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = end_us
+        last_of_user = np.ones(n, dtype=bool)
+        last_of_user[:-1] = u[1:] != u[:-1]
+        nxt[last_of_user] = end_us  # open interval -> censor at end
+        dur = nxt - ts
+        agg = pa.table({
+            "state": s["s"],
+            "one": pa.array(np.ones(n, np.int64)),
+            "us": pa.array(dur),
+        }).group_by("state").aggregate([("one", "sum"), ("us", "sum")])
+        return pa.table({
+            "state": agg["state"],
+            "n": pc.cast(agg["one_sum"], pa.int64()),
+            "us": pc.cast(agg["us_sum"], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("state")
+        .aggregate(Sum("n", alias_name="n"), Sum("us", alias_name="us"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        hours = pc.round(
+            pc.divide(pc.cast(t["us"], pa.float64()), 3.6e9), 6
+        )
+        return pa.table({
+            "state": t["state"],
+            "n_intervals": t["n"],
+            "total_hours": hours,
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def rfm_segments(
+    orders_ds,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    rev_col: str = "o_totalprice",
+):
+    """RFM SEGMENTATION: customers coded 1-4 on each of Recency (days
+    since last order), Frequency (order count) and Monetary (revenue
+    sum) by their quartile (quantile_cont thresholds; code = 1 +
+    #thresholds strictly exceeded), then folded to the segment
+    histogram — one row per occupied (r, f, m) cell with its size and
+    average spend. The classic marketing cube, distributed end to end.
+
+    Scale shape: per-customer aggregates fold narrow (one groupby of
+    3-column partials); thresholds come from the shared bucket-histogram
+    exact-quantile machinery (global_quantile_cont — no sort, driver
+    cost bounded by distinct values of the needed buckets: exact for
+    int-like recency/frequency; quantize money at extreme scale);
+    labeling is one vectorized pass and the output is at most 64 cells."""
+    from ray.data.aggregate import Max, Sum
+    from debezium_incubator_ray.functions.rank import global_quantile_cont
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[cust_col].combine_chunks()
+        d = t[date_col].combine_chunks()
+        r = pc.cast(t[rev_col].combine_chunks(), pa.float64())
+        keep = pc.and_(pc.is_valid(c), pc.is_valid(d))
+        days = pc.cast(pc.cast(
+            pc.floor_temporal(d.filter(keep), unit="day"), pa.date32()
+        ), pa.int32())
+        g = pa.table({
+            "c": c.filter(keep),
+            "d": pc.cast(days, pa.int64()),
+            "r": r.filter(keep),
+            "one": pa.array(np.ones(len(days), np.int64)),
+        }).group_by("c").aggregate(
+            [("d", "max"), ("r", "sum"), ("one", "sum")]
+        )
+        return pa.table({
+            "c": g["c"], "last_day": g["d_max"],
+            "mon": g["r_sum"], "freq": pc.cast(g["one_sum"], pa.int64()),
+        })
+
+    per_cust = (
+        orders_ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(Max("last_day", alias_name="last_day"),
+                   Sum("mon", alias_name="mon"),
+                   Sum("freq", alias_name="freq"))
+        .materialize()  # consumed by 4 quantile passes + the label pass
+    )
+    gmax = per_cust.max("last_day")
+    if gmax is None:
+        return pa.table({
+            "r_code": pa.array([], pa.int64()),
+            "f_code": pa.array([], pa.int64()),
+            "m_code": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "avg_monetary": pa.array([], pa.float64()),
+        })
+    gmax = int(gmax)
+
+    rec_ds = per_cust.map_batches(
+        lambda t: t.append_column(
+            "recency", pc.cast(pc.subtract(pa.scalar(gmax), t["last_day"]),
+                               pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    qs = (0.25, 0.5, 0.75)
+    thr = {}
+    for col in ("recency", "freq", "mon"):
+        tq = global_quantile_cont(rec_ds, col, qs)
+        thr[col] = tq["value"].to_pylist()
+
+    def label(t: pa.Table) -> pa.Table:
+        def code(col):
+            v = pc.cast(t[col], pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            c = np.ones(len(v), np.int64)
+            for q in thr[col]:
+                c += (v > q).astype(np.int64)
+            return c
+
+        g = pa.table({
+            "r_code": pa.array(code("recency")),
+            "f_code": pa.array(code("freq")),
+            "m_code": pa.array(code("mon")),
+            "mon": t["mon"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["r_code", "f_code", "m_code"]).aggregate(
+            [("one", "sum"), ("mon", "sum")]
+        )
+        return pa.table({
+            "r_code": g["r_code"], "f_code": g["f_code"],
+            "m_code": g["m_code"],
+            "n": pc.cast(g["one_sum"], pa.int64()),
+            "mon": g["mon_sum"],
+        })
+
+    cells = (
+        rec_ds.map_batches(label, batch_format="pyarrow")
+        .groupby(["r_code", "f_code", "m_code"])
+        .aggregate(Sum("n", alias_name="n"), Sum("mon", alias_name="mon"))
+        .take_all()
+    )  # <= 64 cells
+    import pandas as pd
+
+    df = pd.DataFrame(cells).sort_values(["r_code", "f_code", "m_code"])
+    return pa.table({
+        "r_code": pa.array(df["r_code"].to_numpy(np.int64)),
+        "f_code": pa.array(df["f_code"].to_numpy(np.int64)),
+        "m_code": pa.array(df["m_code"].to_numpy(np.int64)),
+        "n_customers": pa.array(df["n"].to_numpy(np.int64)),
+        "avg_monetary": pa.array(np.round(
+            df["mon"].to_numpy() / df["n"].to_numpy(), 2
+        )),
+    })

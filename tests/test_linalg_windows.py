@@ -487,3 +487,65 @@ def test_rolling_distinct_window_and_gap_days():
     # day 0: {1,2}; day 2: {1,2} (day-0 events still inside 7-day
     # trailing window); day 10: {3} only (day-2 event is 8 days back)
     assert got == {0: 2, 2: 2, 10: 1}
+
+
+def test_time_in_state_manual():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.windows import time_in_state
+
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    h = lambda k: base + np.timedelta64(k, "h")
+    # user 1: A@0h -> B@2h -> A@3h, end censors A at max ts (5h, user 2)
+    # user 2: B@1h -> B@5h (5h is the global max -> last interval 0)
+    rows = [
+        (1, h(0), 1, "A"), (1, h(2), 2, "B"), (1, h(3), 3, "A"),
+        (2, h(1), 4, "B"), (2, h(5), 5, "B"),
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "i": pa.array([r[2] for r in rows], pa.int64()),
+        "s": pa.array([r[3] for r in rows]),
+    })
+    out = time_in_state(
+        ray.data.from_arrow(t).repartition(3), "u", "ts", "s", "i"
+    ).to_pandas().set_index("state")
+    # A: [0,2)=2h + [3,5)=2h = 4h over 2 intervals
+    # B: [2,3)=1h + [1,5)=4h + [5,5)=0h = 5h over 3 intervals
+    assert out.loc["A", "n_intervals"] == 2
+    assert out.loc["A", "total_hours"] == 4.0
+    assert out.loc["B", "n_intervals"] == 3
+    assert out.loc["B", "total_hours"] == 5.0
+
+
+def test_rfm_segments_small():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.windows import rfm_segments
+
+    d = lambda s: np.datetime64(s, "us")
+    # 4 customers with strictly increasing freq/monetary and strictly
+    # decreasing recency -> each lands in its own quartile on every axis
+    rows = []
+    for c, (nord, price, last) in enumerate([
+        (1, 10.0, "2024-01-01"), (2, 20.0, "2024-02-01"),
+        (3, 30.0, "2024-03-01"), (4, 40.0, "2024-04-01"),
+    ], start=1):
+        for k in range(nord):
+            rows.append((c, d(last), price))
+    t = pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows]),
+    })
+    out = rfm_segments(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    assert len(out) == 4 and out["n_customers"].sum() == 4
+    # customer 4: most orders, highest spend, most recent -> r=1, f=4, m=4
+    top = out[(out["f_code"] == 4) & (out["m_code"] == 4)]
+    assert len(top) == 1 and top["r_code"].iloc[0] == 1
+    # customer 1: oldest, fewest, cheapest -> r=4, f=1, m=1
+    bot = out[(out["f_code"] == 1) & (out["m_code"] == 1)]
+    assert len(bot) == 1 and bot["r_code"].iloc[0] == 4
