@@ -2059,6 +2059,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_constraint_filter(sf_dir):
+        """Row-level CHECK constraints enforced at normalize (Delta table
+        constraints + dead-letter discipline): c/u/r events with
+        value < 10 or a NULL event_type are dropped BEFORE apply, so the
+        prior lake value survives exactly as if the event never arrived;
+        deletes are exempt. Oracle: LWW over the same-filtered stream."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("constr")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(
+            lake,
+            constraints=(("value", "min", 10.0),
+                         ("event_type", "not_null")),
+        )
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_tx_summary(sf_dir):
         """The Debezium transaction-metadata topic analog: one row per
         source transaction from a pure metadata fold over the binlog
@@ -5398,6 +5421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
         "cdc_tx_summary": cdc_tx_summary,
+        "cdc_constraint_filter": cdc_constraint_filter,
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
@@ -6594,6 +6618,17 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY lsn DESC) AS rn2 FROM kept) "
             "SELECT user_id, ts, event_type, value, props, lsn "
             "FROM ranked WHERE rn2 = 1 AND op <> 'd'"
+        ),
+        "cdc_constraint_filter": (
+            # the constrained stream: deletes pass, c/u events violating
+            # (value >= 10 AND event_type NOT NULL) vanish before apply
+            f"WITH env0 AS ({_ENV}), "
+            "env AS (SELECT * FROM env0 WHERE op = 'd' OR "
+            "(value >= 10 AND event_type IS NOT NULL)), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env) "
+            "SELECT user_id, ts, event_type, value, props, lsn "
+            "FROM ranked WHERE rn = 1 AND op <> 'd'"
         ),
         "cdc_tx_summary": (
             # re-derive the partition-local tx-of-5 structure: seq along

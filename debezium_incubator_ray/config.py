@@ -114,6 +114,15 @@ class EngineConfig:
     #     (a delta/tombstone row cannot represent "cell not touched").
     merge_mode: str = "lww"
 
+    # row-level constraints enforced at normalize time (Delta-style table
+    # CHECK constraints + the dead-letter discipline, vectorized): each
+    # rule is (column, kind, arg) with kind in {"not_null", "min", "max",
+    # "regex"}. A c/u/r event violating ANY rule is dropped before apply
+    # (the prior lake value survives, exactly as if the event never
+    # arrived); deletes are exempt (their payload is null by contract).
+    # Dropped rows surface as delivered-vs-applied deltas in lineage.
+    constraints: Sequence[tuple] = ()
+
     # schema-compatibility gate for DDL arriving on the binlog (the
     # schema-registry compatibility level applied at the lake instead of
     # at a registry; Debezium deployments put Confluent's BACKWARD gate

@@ -820,6 +820,7 @@ class CdcEngine:
             table_include_regex=self.cfg.table_include_regex,
             default_at=self._default_at(),
             emit_set_mask=self.cfg.merge_mode == "partial",
+            constraints=tuple(self.cfg.constraints),
         )
 
     def _default_at(self) -> Dict[str, int]:

@@ -49,6 +49,7 @@ class NormalizeEnvelope:
         default_at: Optional[Dict[str, int]] = None,
         key_cols: Optional[Sequence[str]] = None,
         emit_set_mask: bool = False,
+        constraints: Sequence[tuple] = (),
     ):
         self.schema = S.schema_from_b64(schema_b64)
         self.key = key
@@ -76,6 +77,16 @@ class NormalizeEnvelope:
         self.emit_set_mask = emit_set_mask
         if emit_set_mask and emit_before:
             raise ValueError("emit_set_mask and emit_before are exclusive")
+        # row constraints (CHECK semantics, see EngineConfig.constraints):
+        # validated + regexes compiled once per actor
+        self.constraints = []
+        for col, kind, *arg in constraints:
+            if kind not in ("not_null", "min", "max", "regex"):
+                raise ValueError(f"unknown constraint kind {kind!r}")
+            a = arg[0] if arg else None
+            if kind == "regex":
+                a = re.compile(a)
+            self.constraints.append((col, kind, a))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -215,6 +226,35 @@ class NormalizeEnvelope:
             out = out.filter(key_valid)
             if out.num_rows == 0:
                 return self._empty()
+        if self.constraints:
+            # CHECK constraints: a violating c/u/r row is dropped before
+            # apply (the prior lake value survives); deletes are exempt
+            is_del = pc.equal(out["op"], "d")
+            bad = pa.array(np.zeros(out.num_rows, dtype=bool))
+            for col, kind, a in self.constraints:
+                if col not in out.column_names:
+                    raise ValueError(
+                        f"constraint on {col!r}: column not in the "
+                        "normalized payload (blacklisted or unknown)"
+                    )
+                v = out[col]
+                if kind == "not_null":
+                    viol = pc.is_null(v)
+                elif kind == "min":
+                    viol = pc.fill_null(pc.less(v, a), False)
+                elif kind == "max":
+                    viol = pc.fill_null(pc.greater(v, a), False)
+                else:  # regex (full match anywhere = pass)
+                    viol = pc.fill_null(
+                        pc.invert(pc.match_substring_regex(v, a.pattern)),
+                        False,
+                    )
+                bad = pc.or_(bad, viol)
+            bad = pc.and_(bad, pc.invert(is_del))
+            if pc.any(bad).as_py():
+                out = out.filter(pc.invert(bad))
+                if out.num_rows == 0:
+                    return self._empty()
         out = out.append_column(
             S.PART,
             pa.array(

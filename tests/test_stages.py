@@ -278,3 +278,65 @@ def test_debezium_json_roundtrip_fidelity(tmp_path, ray_session):
         assert a[name].combine_chunks().equals(
             b[name].combine_chunks()
         ), name
+
+
+def test_normalize_constraints_check_rules():
+    """CHECK constraints at normalize: min/max/not_null/regex drop
+    violating c/u rows; deletes are exempt; unknown column raises."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from debezium_incubator_ray import schema as S
+    from debezium_incubator_ray.envelope import build_envelopes
+    from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+    payload = pa.schema([
+        pa.field("url", pa.large_string(), nullable=False),
+        pa.field("lang", pa.string()),
+        pa.field("fetch_ms", pa.int64()),
+    ])
+    after = pa.table({
+        "url": pa.array(["a", "b", "c", "d", "e"], pa.large_string()),
+        "lang": pa.array(["en", "zz", None, "en", "en"]),
+        "fetch_ms": pa.array([10, 20, 30, 999, None], pa.int64()),
+    })
+    before = pa.table({
+        "url": pa.array(["a", "b", "c", "d", "e"], pa.large_string()),
+        "lang": pa.array([None] * 5, pa.string()),
+        "fetch_ms": pa.array([None] * 5, pa.int64()),
+    })
+    env = build_envelopes(
+        pa.array(["c", "c", "c", "u", "d"], pa.string()),
+        after, before,
+        np.zeros(5, dtype=np.int32),
+        np.arange(1, 6, dtype=np.int64),
+        table="pages",
+    )
+    norm = NormalizeEnvelope(
+        schema_b64=S.schema_to_b64(payload),
+        key="url", num_partitions=2, partitioner="hash",
+        constraints=(
+            ("lang", "regex", "^(en|de)$"),   # 'zz' fails, NULL passes
+            ("fetch_ms", "max", 500),          # 999 fails, NULL passes
+        ),
+    )
+    out = norm(env)
+    # b (lang zz) and d (fetch_ms 999) dropped; delete e exempt
+    assert sorted(out["url"].to_pylist()) == ["a", "c", "e"]
+    assert out.filter(
+        pa.compute.equal(out["op"], "d")
+    )["url"].to_pylist() == ["e"]
+
+    bad = NormalizeEnvelope(
+        schema_b64=S.schema_to_b64(payload),
+        key="url", num_partitions=2, partitioner="hash",
+        constraints=(("nope", "not_null"),),
+    )
+    with pytest.raises(ValueError, match="not in the normalized"):
+        bad(env)
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        NormalizeEnvelope(
+            schema_b64=S.schema_to_b64(payload), key="url",
+            num_partitions=2, partitioner="hash",
+            constraints=(("lang", "between", 1),),
+        )
