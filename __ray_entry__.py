@@ -4469,6 +4469,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mutual_information(docs, "lang", "source")
 
+    def events_peak_concurrency(sf_dir):
+        """Max simultaneously-open sessions (30-min gap sessionization,
+        closed intervals) via a two-phase parallel sweep: per-day local
+        sweeps report (total_delta, max_prefix); the driver folds O(days)
+        rows — never a global ordered scan."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            peak_concurrency,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "value"],
+        )
+        return peak_concurrency(ev)
+
     def events_time_in_state(sf_dir):
         """Time-weighted state occupancy: each inter-event interval is
         attributed to the earlier event's type; the final open interval
@@ -5532,6 +5548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_ltv": orders_cohort_ltv,
         "approx_distinct_hll": approx_distinct_hll,
         "events_time_in_state": events_time_in_state,
+        "events_peak_concurrency": events_peak_concurrency,
         "orders_rfm_segments": orders_rfm_segments,
         "text_cosine_pairs": text_cosine_pairs,
         "dq_reconcile_orders": dq_reconcile_orders,
@@ -7868,6 +7885,27 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM rt), (SELECT count(*) FROM ct)) "
             "- 1))), 6) AS cramers_v "
             "FROM tot, mi, ha, hb, chi"
+        ),
+        "events_peak_concurrency": (
+            # 30-min-gap sessions; sweep with +1 before -1 at the same
+            # instant (closed-interval overlap), cumulative max
+            "WITH e AS (SELECT user_id, ts FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "l AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR date_diff('microsecond', lag(ts) OVER w, ts) "
+            "> 1800000000 THEN 1 ELSE 0 END AS new FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(new) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS sid FROM l), "
+            "iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en "
+            "FROM s GROUP BY 1, 2), "
+            "pts AS (SELECT st AS t, 1 AS d FROM iv "
+            "UNION ALL SELECT en, -1 FROM iv), "
+            "c AS (SELECT sum(d) OVER (ORDER BY t, d DESC) AS run "
+            "FROM pts) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM iv) "
+            "AS n_sessions, CAST(max(run) AS BIGINT) "
+            "AS peak_concurrency FROM c"
         ),
         "events_time_in_state": (
             # exact int64 microsecond sums; ONE cast to DOUBLE at the end

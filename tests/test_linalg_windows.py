@@ -549,3 +549,32 @@ def test_rfm_segments_small():
     # customer 1: oldest, fewest, cheapest -> r=4, f=1, m=1
     bot = out[(out["f_code"] == 1) & (out["m_code"] == 1)]
     assert len(bot) == 1 and bot["r_code"].iloc[0] == 4
+
+
+def test_peak_concurrency_manual():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.windows import peak_concurrency
+
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    m = lambda k: base + np.timedelta64(k, "m")
+    # u1 session [0, 10]; u2 session [5, 20]; u3 session [10, 12]
+    # (overlaps BOTH at t=10: closed intervals -> peak 3); u1's second
+    # session [120, 125] after a >30min gap overlaps nothing
+    rows = [
+        (1, m(0)), (1, m(10)),
+        (2, m(5)), (2, m(20)),
+        (3, m(10)), (3, m(12)),
+        (1, m(120)), (1, m(125)),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([1.0] * len(rows)),
+    })
+    out = peak_concurrency(
+        ray.data.from_arrow(t).repartition(3), buckets=4
+    ).to_pandas()
+    assert out["n_sessions"][0] == 4
+    assert out["peak_concurrency"][0] == 3
