@@ -2082,6 +2082,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_dead_letters(sf_dir):
+        """The dead-letter view: every c/u event the lake's CHECK
+        constraints reject, with the first violated rule as reason —
+        derived on demand from the binlog (no second copy of state).
+        Oracle: the same filter + CASE in SQL."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("dlq")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        EC.write_events_binlog(sf_dir, binlog)
+        eng = EC.make_engine(
+            lake,
+            constraints=(("value", "min", 10.0),
+                         ("event_type", "not_null")),
+        )
+        out = eng.dead_letters(binlog)
+
+        def shape(t: pa.Table) -> pa.Table:
+            t = t.drop_columns([S.PART])
+            i = t.schema.get_field_index(S.LSN)
+            return t.set_column(i, pa.field("lsn", pa.int64()), t[S.LSN])
+
+        return out.map_batches(shape, batch_format="pyarrow")
+
     def cdc_tx_summary(sf_dir):
         """The Debezium transaction-metadata topic analog: one row per
         source transaction from a pure metadata fold over the binlog
@@ -5438,6 +5464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_transactional": cdc_transactional,
         "cdc_tx_summary": cdc_tx_summary,
         "cdc_constraint_filter": cdc_constraint_filter,
+        "cdc_dead_letters": cdc_dead_letters,
         "cdc_composite_key": cdc_composite_key,
         "cdc_incremental_agg": cdc_incremental_agg,
         "docs_curation_pipeline": docs_curation_pipeline,
@@ -6646,6 +6673,15 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env) "
             "SELECT user_id, ts, event_type, value, props, lsn "
             "FROM ranked WHERE rn = 1 AND op <> 'd'"
+        ),
+        "cdc_dead_letters": (
+            # first-violated-rule reason in constraint declaration order:
+            # the min rule is declared before not_null
+            f"WITH env AS ({_ENV}) "
+            "SELECT user_id, ts, event_type, value, props, op, lsn, "
+            "CASE WHEN value < 10 THEN 'value:min' "
+            "ELSE 'event_type:not_null' END AS reason FROM env "
+            "WHERE op <> 'd' AND (value < 10 OR event_type IS NULL)"
         ),
         "cdc_tx_summary": (
             # re-derive the partition-local tx-of-5 structure: seq along

@@ -2884,6 +2884,46 @@ class CdcEngine:
         names += [n for n in (S.LSN, DELETED) if n in out.column_names]
         return out.select(names)
 
+    def dead_letters(self, binlog_dir: str) -> "ray.data.Dataset":
+        """The DEAD-LETTER VIEW for this lake's CHECK constraints: every
+        c/u/r envelope in ``binlog_dir`` that the configured
+        ``EngineConfig.constraints`` reject, with the first violated rule
+        as ``reason`` — derived on demand from the binlog (no second copy
+        of state, so exactly-once needs no extra machinery; re-running
+        the view after new segments arrive re-derives it). Columns: the
+        normalized payload + op + _lsn + reason.
+
+        Scale shape: the same column-pruned segment read + stateless
+        normalize map as the apply path, with the constraint mask
+        INVERTED; violations stream out as a Dataset."""
+        from debezium_incubator_ray.stages.normalize import (
+            NormalizeEnvelope, violation_mask,
+        )
+
+        if not self.cfg.constraints:
+            raise ValueError("dead_letters requires EngineConfig.constraints")
+        segs = binlog_src.list_segments(binlog_dir)
+        kw = self._norm_kwargs()
+        kw["constraints"] = ()  # normalize everything; WE pick the bad rows
+        norm = NormalizeEnvelope(**kw)
+        rules = list(NormalizeEnvelope(**self._norm_kwargs()).constraints)
+
+        def pick_bad(t: pa.Table) -> pa.Table:
+            out = norm(t)
+            if out.num_rows == 0:
+                return out.append_column("reason",
+                                         pa.array([], pa.string()))
+            bad, reason = violation_mask(out, rules)
+            out = out.append_column("reason", reason)
+            return out.filter(bad)
+
+        if not segs:
+            return ray.data.from_items([])
+        paths = [os.path.join(binlog_dir, s) for s in segs]
+        return ray.data.read_parquet(paths).map_batches(
+            pick_bad, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def _pending_schema_update(self, binlog_dir: str) -> Optional[Dict[str, Any]]:
         changes = binlog_src.load_schema_changes(binlog_dir)
         if not changes:

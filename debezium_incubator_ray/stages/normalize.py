@@ -229,28 +229,7 @@ class NormalizeEnvelope:
         if self.constraints:
             # CHECK constraints: a violating c/u/r row is dropped before
             # apply (the prior lake value survives); deletes are exempt
-            is_del = pc.equal(out["op"], "d")
-            bad = pa.array(np.zeros(out.num_rows, dtype=bool))
-            for col, kind, a in self.constraints:
-                if col not in out.column_names:
-                    raise ValueError(
-                        f"constraint on {col!r}: column not in the "
-                        "normalized payload (blacklisted or unknown)"
-                    )
-                v = out[col]
-                if kind == "not_null":
-                    viol = pc.is_null(v)
-                elif kind == "min":
-                    viol = pc.fill_null(pc.less(v, a), False)
-                elif kind == "max":
-                    viol = pc.fill_null(pc.greater(v, a), False)
-                else:  # regex (full match anywhere = pass)
-                    viol = pc.fill_null(
-                        pc.invert(pc.match_substring_regex(v, a.pattern)),
-                        False,
-                    )
-                bad = pc.or_(bad, viol)
-            bad = pc.and_(bad, pc.invert(is_del))
+            bad, _ = violation_mask(out, self.constraints)
             if pc.any(bad).as_py():
                 out = out.filter(pc.invert(bad))
                 if out.num_rows == 0:
@@ -285,3 +264,40 @@ class NormalizeEnvelope:
         cols[S.LSN] = pa.nulls(0, pa.int64())
         cols[S.PART] = pa.nulls(0, pa.int32())
         return pa.table(cols)
+
+def violation_mask(out: pa.Table, constraints) -> tuple:
+    """(bad_mask BooleanArray, reason StringArray) over a normalized
+    batch: a c/u/r row violating ANY compiled rule is bad; deletes are
+    exempt; ``reason`` carries the FIRST violated rule (constraint
+    declaration order) as 'column:kind', null where the row passes.
+    Shared by the drop path (NormalizeEnvelope.__call__) and the
+    dead-letter view (CdcEngine.dead_letters)."""
+    n = out.num_rows
+    is_del = pc.equal(out["op"], "d")
+    bad = pa.array(np.zeros(n, dtype=bool))
+    reason = np.full(n, None, dtype=object)
+    for col, kind, a in constraints:
+        if col not in out.column_names:
+            raise ValueError(
+                f"constraint on {col!r}: column not in the "
+                "normalized payload (blacklisted or unknown)"
+            )
+        v = out[col]
+        if kind == "not_null":
+            viol = pc.is_null(v)
+        elif kind == "min":
+            viol = pc.fill_null(pc.less(v, a), False)
+        elif kind == "max":
+            viol = pc.fill_null(pc.greater(v, a), False)
+        else:  # regex (substring match = pass)
+            viol = pc.fill_null(
+                pc.invert(pc.match_substring_regex(v, a.pattern)),
+                False,
+            )
+        viol = pc.and_(viol, pc.invert(is_del))
+        fresh = pc.and_(viol, pc.invert(bad)).to_numpy(
+            zero_copy_only=False
+        )
+        reason[fresh] = f"{col}:{kind}"
+        bad = pc.or_(bad, viol)
+    return bad, pa.array(reason, pa.string())
