@@ -2379,6 +2379,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LangId, batch_format="pyarrow", concurrency=2, batch_size=512
         ).select_columns(["doc_id", "pred_lang"])
 
+    def text_lang_mismatch(sf_dir):
+        """Metadata-vs-content audit: per STORED language tag, how often
+        does the stopword-argmax language detector disagree? (the
+        mislabeled-corpus gauge run before language-filtered training
+        mixes). LangId streams in an actor pool; per-block (lang, n,
+        n_mismatch) partials fold narrow."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.text import LangId
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["lang"]))  # mirrors the oracle's
+            mism = pc.cast(                        # lang IS NOT NULL
+                pc.fill_null(pc.not_equal(t["pred_lang"], t["lang"]),
+                             True),
+                pa.int64(),
+            )
+            g = pa.table({
+                "lang": t["lang"],
+                "one": pa.array([1] * t.num_rows, pa.int64()),
+                "mism": mism,
+            }).group_by("lang").aggregate([("one", "sum"), ("mism", "sum")])
+            return pa.table({
+                "lang": g["lang"],
+                "n": pc.cast(g["one_sum"], pa.int64()),
+                "m": pc.cast(g["mism_sum"], pa.int64()),
+            })
+
+        folded = (
+            ds.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=(1, 2), batch_size=512)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n", alias_name="n"), Sum("m", alias_name="m"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": t["lang"],
+                "n": t["n"],
+                "n_mismatch": t["m"],
+                "mismatch_rate": pc.round(pc.divide(
+                    pc.cast(t["m"], pa.float64()),
+                    pc.cast(t["n"], pa.float64()),
+                ), 6),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
     def text_fingerprint(sf_dir):
         """md5 fingerprint of whitespace-normalized text (the verification
         bridge; the vectorized 64-bit rolling-hash Fingerprint stays the
@@ -5478,6 +5534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
+        "text_lang_mismatch": text_lang_mismatch,
         "text_fingerprint": text_fingerprint,
         "text_tfidf_topterms": text_tfidf_topterms,
         "sample_stratified": sample_stratified,
@@ -6459,6 +6516,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": _simhash_sql(),
         "text_lang_id": _lang_id_sql(),
+        "text_lang_mismatch": (
+            f"WITH p AS ({_lang_id_sql()}) "
+            "SELECT d.lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN p.pred_lang <> d.lang OR p.pred_lang "
+            "IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch, "
+            "round(sum(CASE WHEN p.pred_lang <> d.lang OR p.pred_lang "
+            "IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) "
+            "AS mismatch_rate "
+            "FROM p JOIN documents d USING (doc_id) "
+            "WHERE d.lang IS NOT NULL GROUP BY 1"
+        ),
         "text_fingerprint": (
             "SELECT doc_id, md5(array_to_string(string_split_regex(trim(text), "
             "'\\s+'), ' ')) AS fingerprint_md5 FROM documents"
