@@ -245,7 +245,10 @@ def main() -> None:
         "graph_local_clustering", "text_bigram_logprob",
         "text_ngram_novelty", "dedup_containment", "events_props_extract",
         "sample_neyman", "cdc_tx_summary", "events_survival_km",
-        "orders_cohort_ltv", "cdc_enriched_view",
+        "orders_cohort_ltv", "cdc_enriched_view", "approx_distinct_hll",
+        "events_time_in_state", "orders_rfm_segments",
+        "events_peak_concurrency", "cdc_constraint_filter",
+        "cdc_dead_letters", "text_lang_mismatch",
         "cdc_before_images",
         "cdc_changelog_diff",
         "cdc_field_blacklist",
