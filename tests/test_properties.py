@@ -320,3 +320,92 @@ def test_partial_fold_epoch_split_matches_oracle(tbl, n_chunks, counter_a):
             got[r["k"]] = (r["a"], r["b"], r[S.LSN])
     exp = _partial_oracle(t, counter_a=counter_a)
     assert got == exp
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="ab\x1f", min_size=0, max_size=4),
+        min_size=2, max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bigram_key_injective_under_separator_tokens(toks):
+    """The length-prefixed bigram key must be injective even when tokens
+    CONTAIN the separator: distinct (w1, w2) pairs -> distinct keys."""
+    pairs = [(a, b) for a in toks for b in toks]
+    keys = {}
+    for a, b in pairs:
+        k = f"{len(a)}\x1f{a}\x1f{b}"
+        if k in keys:
+            assert keys[k] == (a, b), (keys[k], (a, b), k)
+        keys[k] = (a, b)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=40,
+    ),
+    ops=st.data(),
+    lo=st.floats(-50, 50, allow_nan=False),
+    hi=st.floats(-50, 50, allow_nan=False),
+)
+@settings(max_examples=120, deadline=None)
+def test_violation_mask_matches_pandas(vals, ops, lo, hi):
+    """violation_mask == the pandas reference for min/max/not_null on
+    random data: deletes exempt, NULL passes min/max, first-rule reason."""
+    from debezium_incubator_ray.stages.normalize import violation_mask
+
+    n = len(vals)
+    op = ops.draw(st.lists(st.sampled_from(["c", "u", "r", "d"]),
+                           min_size=n, max_size=n))
+    t = pa.table({
+        "v": pa.array(vals, pa.float64()),
+        "op": pa.array(op, pa.string()),
+    })
+    rules = [("v", "min", lo), ("v", "max", hi), ("v", "not_null", None)]
+    bad, reason = violation_mask(t, rules)
+    df = pd.DataFrame({"v": vals, "op": op})
+    is_del = df["op"] == "d"
+    m_min = (df["v"] < lo).fillna(False) & ~is_del
+    m_max = (df["v"] > hi).fillna(False) & ~is_del
+    m_nn = df["v"].isna() & ~is_del
+    expect_bad = (m_min | m_max | m_nn).to_numpy()
+    got_bad = bad.to_numpy(zero_copy_only=False)
+    assert (got_bad == expect_bad).all()
+    # first-rule reason in declaration order
+    r = reason.to_pylist()
+    for i in range(n):
+        if m_min[i]:
+            assert r[i] == "v:min"
+        elif m_max[i]:
+            assert r[i] == "v:max"
+        elif m_nn[i]:
+            assert r[i] == "v:not_null"
+        else:
+            assert r[i] is None
+
+
+@given(
+    starts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    lens=st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_peak_sweep_matches_bruteforce(starts, lens):
+    """The two-phase day-sweep equals the O(n^2) closed-interval overlap
+    maximum for arbitrary session intervals."""
+    durs = lens.draw(st.lists(st.integers(0, 500), min_size=len(starts),
+                              max_size=len(starts)))
+    iv = [(s, s + d) for s, d in zip(starts, durs)]
+    # brute force: peak = max over endpoints of #intervals covering it
+    pts = sorted({t for s, e in iv for t in (s, e)})
+    brute = max(sum(1 for s, e in iv if s <= t <= e) for t in pts)
+    # sweep with the engine's tie rule (+1 before -1 at equal t)
+    events = sorted(
+        [(s, 0, +1) for s, _ in iv] + [(e, 1, -1) for _, e in iv]
+    )
+    run = peak = 0
+    for _, _, d in events:
+        run += d
+        peak = max(peak, run)
+    assert peak == brute
