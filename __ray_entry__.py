@@ -141,6 +141,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_field_blacklist(sf_dir):
         return EC.final_state(sf_dir, field_blacklist=["props"])
 
+    def _final_state_with_cfg(sf_dir, tag, **cfg_overrides):
+        """LWW drive with EngineConfig overrides, lake returned with the
+        public ``lsn`` column name (the cdc_table_filter pattern)."""
+        import pyarrow as pa
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            make_engine, scratch_dir, write_events_binlog,
+        )
+
+        root = scratch_dir(tag)
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_events_binlog(sf_dir, binlog)
+        eng = make_engine(lake, **cfg_overrides)
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+    def cdc_column_mask(sf_dir):
+        """Debezium column SMT parity (column.mask.with.length.chars +
+        column.mask.hash.*): props is masked to '******', event_type is
+        replaced by its md5 hex digest — redaction happens at normalize,
+        vectorized (hash once per DISTINCT value), NULLs stay NULL, and
+        the redacted value is what the LWW merge stores."""
+        return _final_state_with_cfg(
+            sf_dir, "colmask",
+            column_transforms=(("props", "mask", 6), ("event_type", "hash")),
+        )
+
+    def cdc_column_truncate(sf_dir):
+        """Debezium column.truncate.to.length.chars parity: props keeps
+        only its first 8 characters (by codepoint, matching SQL left())."""
+        return _final_state_with_cfg(
+            sf_dir, "coltrunc",
+            column_transforms=(("props", "truncate", 8),),
+        )
+
     def cdc_table_filter(sf_dir):
         import pyarrow as pa
         from debezium_incubator_ray.pipelines.events_cdc import (
@@ -5444,6 +5481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
         "cdc_field_blacklist": cdc_field_blacklist,
+        "cdc_column_mask": cdc_column_mask,
+        "cdc_column_truncate": cdc_column_truncate,
         "cdc_table_filter": cdc_table_filter,
         "cdc_error_quarantine": cdc_error_quarantine,
         "cdc_segment_archive": cdc_segment_archive,
@@ -5986,6 +6025,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_field_blacklist": _LWW
         + "SELECT user_id, ts, event_type, value, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_column_mask": _LWW
+        + (
+            # redaction is row-wise deterministic, so transform-then-LWW
+            # (the engine) equals LWW-then-transform (this oracle)
+            "SELECT user_id, ts, md5(event_type) AS event_type, value, "
+            "CASE WHEN props IS NULL THEN NULL ELSE '******' END AS props, "
+            "lsn FROM ranked WHERE rn = 1 AND op <> 'd'"
+        ),
+        "cdc_column_truncate": _LWW
+        + "SELECT user_id, ts, event_type, value, "
+        "left(props, 8) AS props, lsn "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_table_filter": _LWW
         + f"SELECT {lww_cols} FROM ranked "

@@ -123,6 +123,17 @@ class EngineConfig:
     # Dropped rows surface as delivered-vs-applied deltas in lineage.
     constraints: Sequence[tuple] = ()
 
+    # column value redaction applied at normalize AND on both snapshot
+    # paths (the Debezium column SMT knobs — column.mask.with.length.chars,
+    # column.truncate.to.length.chars, column.mask.hash.* — as engine
+    # config; the projection analog is FieldFilterSelector.java:28-50).
+    # Each rule is (column, kind[, arg]) with kind in {"mask", "truncate",
+    # "hash"}: mask → non-null values become '*' × arg; truncate → first
+    # arg characters; hash → md5 hex digest (the cross-engine-verifiable
+    # digest; computed once per distinct value). NULLs stay NULL; string
+    # payload columns only; the key column(s) are refused.
+    column_transforms: Sequence[tuple] = ()
+
     # schema-compatibility gate for DDL arriving on the binlog (the
     # schema-registry compatibility level applied at the lake instead of
     # at a registry; Debezium deployments put Confluent's BACKWARD gate

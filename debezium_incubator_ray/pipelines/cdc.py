@@ -454,6 +454,14 @@ class CdcEngine:
         target_b64 = self.manifest.doc["schemas"][-1]["schema"]
         defaults = dict(self.manifest.doc["defaults"])
 
+        from debezium_incubator_ray.stages.normalize import (
+            apply_column_transforms, compile_column_transforms,
+        )
+
+        xforms = compile_column_transforms(
+            self.cfg.column_transforms, set(key_cols or [key])
+        )
+
         def to_events(batch: pa.Table) -> pa.Table:
             # align to the lake schema (drops blacklisted fields, backfills
             # evolved columns) before tagging as op='r' snapshot events
@@ -462,6 +470,8 @@ class CdcEngine:
             batch = S.upgrade_table(batch, S.schema_from_b64(target_b64), defaults)
             n = batch.num_rows
             cols = {name: batch[name] for name in batch.column_names}
+            if xforms:
+                apply_column_transforms(cols, xforms)
             if key_cols:
                 cols[key] = composite_key(batch, key_cols)
             cols["op"] = pa.array(["r"] * n, type=pa.string())
@@ -571,6 +581,11 @@ class CdcEngine:
             return {"skipped": True, "chunks": 0, "rows": 0}
         t0 = time.perf_counter()
         key, part_mode, P = self.cfg.key, self.cfg.partitioner, self.cfg.num_partitions
+        from debezium_incubator_ray.stages.normalize import (
+            apply_column_transforms, compile_column_transforms,
+        )
+
+        inc_xforms = compile_column_transforms(self.cfg.column_transforms, {key})
         chunks = rows = 0
         self._snapshot_running = True
         try:
@@ -601,6 +616,8 @@ class CdcEngine:
                     )
                     n = batch.num_rows
                     cols = {name: batch[name] for name in batch.column_names}
+                    if inc_xforms:
+                        apply_column_transforms(cols, inc_xforms)
                     cols["op"] = pa.array(["r"] * n, type=pa.string())
                     cols[S.LSN] = pa.array([_lsn] * n, type=pa.int64())
                     cols[S.PART] = pa.array(
@@ -821,6 +838,7 @@ class CdcEngine:
             default_at=self._default_at(),
             emit_set_mask=self.cfg.merge_mode == "partial",
             constraints=tuple(self.cfg.constraints),
+            column_transforms=tuple(self.cfg.column_transforms),
         )
 
     def _default_at(self) -> Dict[str, int]:

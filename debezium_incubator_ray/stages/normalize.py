@@ -21,6 +21,7 @@ Stateless-but-compiled: regexes and parsed schemas are built once per actor
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Any, Dict, Optional, Sequence
 
@@ -33,6 +34,59 @@ from debezium_incubator_ray.envelope import SET_MASK, unpack_struct
 from debezium_incubator_ray.hashing import partition_ids
 
 _VALID_OPS = pa.array(list(S.OPS), type=pa.string())
+
+
+def compile_column_transforms(transforms, protected=()) -> list:
+    """Validate (column, kind, arg) value-redaction rules — the engine's
+    analog of Debezium's column SMT knobs (`column.mask.with.length.chars`,
+    `column.truncate.to.length.chars`, `column.mask.hash.*`): kinds are
+    "mask" (non-null → '*' × arg), "truncate" (first arg characters) and
+    "hash" (md5 hex of the value — the cross-engine-verifiable digest).
+    Key columns are refused: redacting the routing/merge key would break
+    partitioning and the LWW upsert."""
+    out = []
+    for col, kind, *arg in transforms:
+        if kind not in ("mask", "truncate", "hash"):
+            raise ValueError(f"unknown column transform kind {kind!r}")
+        if col in protected:
+            raise ValueError(
+                f"column transform on key column {col!r}: the routing/"
+                "merge key cannot be redacted"
+            )
+        a = arg[0] if arg else None
+        if kind in ("mask", "truncate") and (not isinstance(a, int) or a < 0):
+            raise ValueError(f"{kind} transform on {col!r} needs a length >= 0")
+        out.append((col, kind, a))
+    return out
+
+
+def apply_column_transforms(cols: Dict[str, pa.Array], compiled) -> None:
+    """Apply compiled transforms in place to a dict of payload arrays.
+    NULLs stay NULL (a redacted absent value is still absent); each rule is
+    one vectorized kernel — hash runs md5 once per DISTINCT value via
+    dictionary encoding (low-cardinality columns pay ~0)."""
+    for col, kind, a in compiled:
+        v = cols.get(col)
+        if v is None:
+            continue  # blacklisted / absent from this payload version
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        out_t = v.type  # preserve the string flavor (string / large_string)
+        if kind == "mask":
+            cols[col] = pc.if_else(
+                pc.is_valid(v),
+                pa.scalar("*" * a, out_t),
+                pa.nulls(len(v), out_t),
+            )
+        elif kind == "truncate":
+            cols[col] = pc.utf8_slice_codeunits(v, 0, a)
+        else:  # hash
+            de = pc.dictionary_encode(v)
+            vocab = [
+                hashlib.md5(str(s).encode()).hexdigest()
+                for s in de.dictionary.to_pylist()
+            ]
+            cols[col] = pc.take(pa.array(vocab, out_t), de.indices)
 
 
 class NormalizeEnvelope:
@@ -50,6 +104,7 @@ class NormalizeEnvelope:
         key_cols: Optional[Sequence[str]] = None,
         emit_set_mask: bool = False,
         constraints: Sequence[tuple] = (),
+        column_transforms: Sequence[tuple] = (),
     ):
         self.schema = S.schema_from_b64(schema_b64)
         self.key = key
@@ -87,6 +142,22 @@ class NormalizeEnvelope:
             if kind == "regex":
                 a = re.compile(a)
             self.constraints.append((col, kind, a))
+        # value redaction (mask / truncate / hash) — validated once per
+        # actor, applied vectorized per batch BEFORE constraints (rules see
+        # the values the lake will actually store)
+        self.column_transforms = compile_column_transforms(
+            column_transforms, protected
+        )
+        for col, _kind, _a in self.column_transforms:
+            idx = self.schema.get_field_index(col)
+            if idx < 0 or not (
+                pa.types.is_string(self.schema.field(idx).type)
+                or pa.types.is_large_string(self.schema.field(idx).type)
+            ):
+                raise ValueError(
+                    f"column transform on {col!r}: not a string column of "
+                    "the payload schema (redaction targets text columns)"
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -207,9 +278,16 @@ class NormalizeEnvelope:
                     out_mask |= is_cr << np.int64(tj)
                 tj += 1
             cols[SET_MASK] = pa.array(out_mask)
+        if self.column_transforms:
+            # value redaction (mask/truncate/hash) — after defaults/widening
+            # so rules see lake-typed values, before constraints so CHECK
+            # rules validate what the lake will store
+            apply_column_transforms(cols, self.column_transforms)
         if self.emit_before:
             bschema = self._env_schema({f.name for f in batch["before"].type})
             before_all = unpack_struct(batch["before"], bschema)
+            if self.column_transforms:
+                apply_column_transforms(before_all, self.column_transforms)
             for name, arr in before_all.items():
                 if name in self.blacklist:
                     continue

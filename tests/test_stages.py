@@ -89,6 +89,59 @@ def test_normalize_emit_before():
     assert out["before_text"].null_count == 0
 
 
+def test_normalize_column_transforms():
+    """Debezium column SMT parity: mask/truncate/hash redact at normalize;
+    NULLs stay NULL; key columns and non-string columns are refused."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    batch = _env_batch(5)
+    # inject one NULL text to prove redaction preserves absence
+    a = batch["after"].combine_chunks()
+    texts = a.field("text").to_pylist()
+    texts[2] = None
+    fields = {f.name: a.field(f.name) for f in a.type}
+    fields["text"] = pa.array(texts, pa.string())
+    new = pa.StructArray.from_arrays(
+        list(fields.values()), names=list(fields.keys())
+    )
+    batch = batch.set_column(
+        batch.schema.get_field_index("after"), pa.field("after", new.type), new
+    )
+
+    out = _norm(
+        column_transforms=(
+            ("text", "mask", 4), ("lang", "hash"),
+        )
+    )(batch)
+    vals = out["text"].to_pylist()
+    assert vals[2] is None and all(v == "****" for i, v in enumerate(vals) if i != 2)
+    langs_raw = new.field("lang").to_pylist()
+    assert out["lang"].to_pylist() == [
+        hashlib.md5(s.encode()).hexdigest() for s in langs_raw
+    ]
+
+    out2 = _norm(column_transforms=(("text", "truncate", 3),))(_env_batch(4))
+    orig = _env_batch(4)["after"].combine_chunks().field("text").to_pylist()
+    assert out2["text"].to_pylist() == [s[:3] for s in orig]
+
+    # emit_before images are redacted too
+    out3 = _norm(
+        emit_before=True, column_transforms=(("text", "mask", 2),)
+    )(_env_batch(3))
+    assert set(out3["before_text"].to_pylist()) == {"**"}
+
+    with pytest.raises(ValueError):  # key column refused
+        _norm(column_transforms=(("url", "mask", 4),))
+    with pytest.raises(ValueError):  # non-string column refused
+        _norm(column_transforms=(("warc_ts", "hash"),))
+    with pytest.raises(ValueError):  # unknown kind
+        _norm(column_transforms=(("text", "rot13"),))
+    with pytest.raises(ValueError):  # mask needs a length
+        _norm(column_transforms=(("text", "mask"),))
+
+
 def test_segment_listing_sorted_and_latest_only(tmp_path):
     d = str(tmp_path)
     for p in (1, 0):
