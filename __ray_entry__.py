@@ -170,6 +170,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             column_transforms=(("props", "mask", 6), ("event_type", "hash")),
         )
 
+    def cdc_flatten_rewrite(sf_dir):
+        """ExtractNewRecordState SMT (rewrite mode): envelope stream →
+        flat rows — payload from after, deletes kept with payload from
+        the BEFORE image and __deleted='true', __op/__lsn metadata
+        attached. Pure map_batches, no shuffle."""
+        from debezium_incubator_ray.pipelines.derive import flatten_envelopes
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, events_envelopes,
+        )
+
+        env = events_envelopes(sf_dir)
+        out = flatten_envelopes(env, EVENTS_PAYLOAD, delete_handling="rewrite")
+        return out.select_columns(
+            ["user_id", "ts", "event_type", "value", "props",
+             "__op", "__lsn", "__deleted"]
+        )
+
+    def cdc_flatten_drop(sf_dir):
+        """ExtractNewRecordState SMT (drop mode): deletes removed from
+        the flattened stream — the append-only-sink shape."""
+        from debezium_incubator_ray.pipelines.derive import flatten_envelopes
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, events_envelopes,
+        )
+
+        env = events_envelopes(sf_dir)
+        out = flatten_envelopes(env, EVENTS_PAYLOAD, delete_handling="drop")
+        return out.select_columns(
+            ["user_id", "ts", "event_type", "value", "props", "__op", "__lsn"]
+        )
+
     def cdc_column_truncate(sf_dir):
         """Debezium column.truncate.to.length.chars parity: props keeps
         only its first 8 characters (by codepoint, matching SQL left())."""
@@ -5483,6 +5514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_field_blacklist": cdc_field_blacklist,
         "cdc_column_mask": cdc_column_mask,
         "cdc_column_truncate": cdc_column_truncate,
+        "cdc_flatten_rewrite": cdc_flatten_rewrite,
+        "cdc_flatten_drop": cdc_flatten_drop,
         "cdc_table_filter": cdc_table_filter,
         "cdc_error_quarantine": cdc_error_quarantine,
         "cdc_segment_archive": cdc_segment_archive,
@@ -6038,6 +6071,37 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT user_id, ts, event_type, value, "
         "left(props, 8) AS props, lsn "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_flatten_rewrite": (
+            # the envelope's before image is lag(payload) per user; a
+            # delete's flattened payload = that before (all-NULL when no
+            # prior event exists — the null struct)
+            "WITH env AS (SELECT user_id, event_id AS lsn, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "ts, event_type, value, props, "
+            "lag(ts) OVER w AS b_ts, "
+            "lag(event_type) OVER w AS b_event_type, "
+            "lag(value) OVER w AS b_value, "
+            "lag(props) OVER w AS b_props, "
+            "lag(event_id) OVER w AS b_prev "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY event_id)) "
+            "SELECT CASE WHEN op = 'd' AND b_prev IS NULL THEN NULL "
+            "ELSE user_id END AS user_id, "
+            "CASE WHEN op = 'd' THEN b_ts ELSE ts END AS ts, "
+            "CASE WHEN op = 'd' THEN b_event_type ELSE event_type END "
+            "AS event_type, "
+            "CASE WHEN op = 'd' THEN b_value ELSE value END AS value, "
+            "CASE WHEN op = 'd' THEN b_props ELSE props END AS props, "
+            "op AS __op, lsn AS __lsn, "
+            "CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted "
+            "FROM env"
+        ),
+        "cdc_flatten_drop": (
+            f"WITH env AS ({_ENV}) "
+            "SELECT user_id, ts, event_type, value, props, "
+            "op AS __op, lsn AS __lsn FROM env WHERE op <> 'd'"
+        ),
         "cdc_table_filter": _LWW
         + f"SELECT {lww_cols} FROM ranked "
         "WHERE rn = 1 AND op <> 'd' AND user_id % 2 = 0",

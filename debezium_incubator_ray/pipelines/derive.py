@@ -342,3 +342,64 @@ def enrich_envelopes(
         .groupby("_dimp")
         .map_groups(enrich_group, batch_format="pyarrow")
     ), out_schema
+
+
+def flatten_envelopes(
+    env,
+    payload_schema: pa.Schema,
+    delete_handling: str = "rewrite",
+):
+    """ExtractNewRecordState SMT: the Debezium envelope → a flat row per
+    event, the shape every non-CDC-aware consumer (JDBC sink, search
+    index, warehouse COPY) ingests. Payload columns come from ``after``;
+    metadata travels as ``__op`` / ``__lsn`` / ``__table`` (the SMT's
+    add.fields). Deletes (after is null by the envelope contract,
+    build_envelopes tombstone semantics):
+
+      - "rewrite": the row is kept with payload taken from the BEFORE
+        image (null where no prior image exists) and ``__deleted`` set
+        to 'true' — soft-delete markers for sinks that can't delete;
+      - "drop": delete events are removed from the flattened stream.
+
+    Vectorized: one unpack per struct + one if_else per column; streams
+    as map_batches (no shuffle — flattening is embarrassingly parallel).
+
+    Reference analog: the connectors emit the full envelope
+    (Record.java:86-97 buildValue) and leave flattening to Kafka
+    Connect's SMT layer; here it is a stream stage."""
+    import ray.data
+
+    if delete_handling not in ("rewrite", "drop"):
+        raise ValueError(f"unknown delete_handling {delete_handling!r}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        op = t["op"].combine_chunks()
+        if delete_handling == "drop":
+            keep = pc.not_equal(op, "d")
+            t = t.filter(keep)
+            op = t["op"].combine_chunks()
+        src = t["source"].combine_chunks()
+        after = unpack_struct(t["after"], payload_schema)
+        if delete_handling == "rewrite":
+            is_del = pc.equal(op, "d")
+            before = unpack_struct(t["before"], payload_schema)
+            cols = {
+                name: pc.if_else(is_del, before[name], a)
+                for name, a in after.items()
+            }
+        else:
+            cols = dict(after)
+        cols["__op"] = op
+        cols["__lsn"] = src.field("lsn")
+        cols["__table"] = src.field("table")
+        if delete_handling == "rewrite":
+            cols["__deleted"] = pc.if_else(
+                is_del,
+                pa.scalar("true", pa.string()),
+                pa.scalar("false", pa.string()),
+            )
+        return pa.table(cols)
+
+    if isinstance(env, pa.Table):
+        env = ray.data.from_arrow(env)
+    return env.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

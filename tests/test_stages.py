@@ -393,3 +393,45 @@ def test_normalize_constraints_check_rules():
             num_partitions=2, partitioner="hash",
             constraints=(("lang", "between", 1),),
         )
+
+
+def test_flatten_envelopes_rewrite_and_drop(ray_session):
+    """ExtractNewRecordState: rewrite keeps deletes with before-image
+    payload + __deleted='true' (null struct → null payload); drop removes
+    them; metadata columns carry op/lsn/table."""
+    import pyarrow.compute as pc
+
+    from debezium_incubator_ray.pipelines.derive import flatten_envelopes
+
+    ids = np.arange(4, dtype=np.int64)
+    after = gen.payload_table(ids, ids + 1)
+    before = gen.payload_table(ids, ids)
+    env = build_envelopes(
+        pa.array(["c", "u", "d", "d"], pa.string()), after, before,
+        (ids % 2).astype(np.int32), ids + 1, table="pages",
+    )
+    # second delete has NO before image (first event for its key)
+    b = env["before"].combine_chunks()
+    keep = pa.array([False, True, True, False])
+    env = env.set_column(
+        env.schema.get_field_index("before"), pa.field("before", b.type),
+        pc.if_else(keep, b, pa.nulls(4, b.type)),
+    )
+
+    flat = flatten_envelopes(env, gen.payload_table(ids, ids).schema,
+                             delete_handling="rewrite").take_all()
+    assert [r["__deleted"] for r in flat] == ["false", "false", "true", "true"]
+    assert [r["__op"] for r in flat] == ["c", "u", "d", "d"]
+    assert [r["__lsn"] for r in flat] == [1, 2, 3, 4]
+    # row 2: delete with before → before payload; row 3: all-null payload
+    assert flat[2]["url"] == before["url"][2].as_py()
+    assert flat[3]["url"] is None and flat[3]["text"] is None
+
+    dropped = flatten_envelopes(env, after.schema,
+                                delete_handling="drop").take_all()
+    assert [r["__op"] for r in dropped] == ["c", "u"]
+    assert "__deleted" not in dropped[0]
+    assert dropped[1]["text"] == after["text"][1].as_py()
+
+    with pytest.raises(ValueError):
+        flatten_envelopes(env, after.schema, delete_handling="tombstone")
