@@ -138,6 +138,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_snapshot_handoff(sf_dir):
         return EC.snapshot_then_stream(sf_dir)
 
+    def cdc_snapshot_filter(sf_dir):
+        """Debezium snapshot.select.statement.overrides: the snapshot scan
+        carries a row predicate (value >= 30) — rows failing it never enter
+        the lake; the binlog then streams only EVEN users' events, so odd
+        users stay snapshot-only (filtered) while even users' stream
+        events land regardless (the override filters the bulk load, not
+        the stream). Also exercises the table-wide watermark floor at the
+        snapshot position."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            load_events, make_engine, scratch_dir, snapshot_source,
+            write_env_binlog, events_envelopes,
+        )
+
+        t = load_events(sf_dir)
+        handoff = int(pc.max(t["event_id"]).as_py()) // 2
+        env = events_envelopes(sf_dir)  # row-aligned with load_events
+        even = pc.equal(pc.bit_wise_and(t["user_id"], 1), 0)
+        root = scratch_dir("snapfilter")
+        binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+        write_env_binlog(env.filter(even), binlog)
+        eng = make_engine(lake)
+        eng.snapshot(
+            snapshot_source(sf_dir, handoff), snapshot_lsn=handoff,
+            row_filter=lambda b: pc.fill_null(
+                pc.greater_equal(b["value"], 30.0), False
+            ),
+        )
+        eng.run(binlog)
+        return eng.lake_table(include_lsn=False)
+
     def cdc_field_blacklist(sf_dir):
         return EC.final_state(sf_dir, field_blacklist=["props"])
 
@@ -5511,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
+        "cdc_snapshot_filter": cdc_snapshot_filter,
         "cdc_field_blacklist": cdc_field_blacklist,
         "cdc_column_mask": cdc_column_mask,
         "cdc_column_truncate": cdc_column_truncate,
@@ -6032,6 +6066,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_handoff": _LWW
         + "SELECT user_id, ts, event_type, value, props "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_snapshot_filter": (
+            # even users: LWW over their full stream (the snapshot is
+            # superseded); odd users: snapshot-only — LWW over events <=
+            # handoff, kept only when the override predicate passes
+            f"WITH env AS ({_ENV}), "
+            "h AS (SELECT MAX(event_id) // 2 AS v FROM events), "
+            "ranked_all AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE user_id % 2 = 0), "
+            "ranked_pre AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE user_id % 2 = 1 AND lsn <= (SELECT v FROM h)) "
+            "SELECT user_id, ts, event_type, value, props FROM ranked_all "
+            "WHERE rn = 1 AND op <> 'd' "
+            "UNION ALL "
+            "SELECT user_id, ts, event_type, value, props FROM ranked_pre "
+            "WHERE rn = 1 AND op <> 'd' AND value >= 30.0"
+        ),
         "cdc_incremental_snapshot": _LWW
         + "SELECT user_id, ts, event_type, value, props "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",

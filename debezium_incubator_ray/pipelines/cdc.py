@@ -396,6 +396,7 @@ class CdcEngine:
         self,
         source: Union[str, pa.Table, "ray.data.Dataset", None],
         snapshot_lsn: int = 0,
+        row_filter=None,
     ) -> Dict[str, Any]:
         """Bulk-load the source table as op='r' events at ``snapshot_lsn``.
 
@@ -404,6 +405,20 @@ class CdcEngine:
         (CassandraConnectorConfig.java:74-81): INITIAL skips if already
         complete, NEVER always skips, ALWAYS redoes. An empty source still
         marks completion (SnapshotProcessor.java:193-197).
+
+        ``row_filter`` is Debezium's snapshot.select.statement.overrides as
+        a vectorized predicate: a callable ``(pa.Table) -> BooleanArray``
+        applied to each RAW source batch (before redaction transforms) —
+        rows failing it never enter the lake. Filtered-out rows can still
+        arrive later via stream events newer than the snapshot position.
+
+        After a data snapshot, EVERY partition's watermark is floored at
+        ``snapshot_lsn`` (not only partitions that received rows): the
+        snapshot IS the table state at that position, so streaming resumes
+        strictly after it table-wide — Debezium's snapshot→streaming
+        handoff contract. A partition with no (surviving) snapshot rows
+        provably had no live keys at the position, so pre-position stream
+        events it would have replayed cannot change the final state.
         """
         self._acquire_lock()
         mode = self.cfg.snapshot_mode.upper()
@@ -467,6 +482,8 @@ class CdcEngine:
             # evolved columns) before tagging as op='r' snapshot events
             from debezium_incubator_ray.envelope import composite_key
 
+            if row_filter is not None:
+                batch = batch.filter(row_filter(batch))
             batch = S.upgrade_table(batch, S.schema_from_b64(target_b64), defaults)
             n = batch.num_rows
             cols = {name: batch[name] for name in batch.column_names}
@@ -503,6 +520,11 @@ class CdcEngine:
             commits = self._apply_shuffle(flat)
             stats["events"] = sum(c["events_in"] for c in commits)
             updates = self._partition_updates(commits)
+            # table-wide handoff: floor every partition at the snapshot
+            # position (mark-if-greater in manifest.commit keeps any
+            # already-higher watermark)
+            for p in range(self.cfg.num_partitions):
+                updates.setdefault(p, {}).setdefault("watermark", snapshot_lsn)
         else:
             updates = {}
         # snapshot completion is structural: always persisted immediately
@@ -2309,7 +2331,9 @@ class CdcEngine:
     def _lineage(self, kind: str, updates: Dict, events: int, seconds: float) -> Dict:
         counts = {}
         for p, u in updates.items():
-            counts[p] = sum(f["rows"] for f in u["files"])
+            # watermark-only entries (the snapshot handoff floor) carry no
+            # file list — they contribute no rows
+            counts[p] = sum(f["rows"] for f in u.get("files", []))
         n = max(1, len(counts))
         mx = max(counts.values()) if counts else 0
         mean = (sum(counts.values()) / n) if counts else 0

@@ -459,9 +459,13 @@ def snapshot_source(sf_dir: str, upto_lsn: int) -> pa.Table:
     return live.drop_columns(["op", S.LSN])
 
 
-def snapshot_then_stream(sf_dir: str, handoff_lsn: Optional[int] = None) -> pa.Table:
+def snapshot_then_stream(
+    sf_dir: str, handoff_lsn: Optional[int] = None, row_filter=None,
+) -> pa.Table:
     """Snapshot at the handoff LSN, then stream the binlog from it — the
-    snapshot→streaming continuation (OracleConnectorIT snapshot+stream)."""
+    snapshot→streaming continuation (OracleConnectorIT snapshot+stream).
+    ``row_filter`` = Debezium's snapshot.select.statement.overrides (a
+    vectorized predicate over the snapshot source)."""
     t = load_events(sf_dir)
     if handoff_lsn is None:
         handoff_lsn = int(pc.max(t["event_id"]).as_py()) // 2
@@ -470,7 +474,10 @@ def snapshot_then_stream(sf_dir: str, handoff_lsn: Optional[int] = None) -> pa.T
     lake = os.path.join(root, "lake")
     write_events_binlog(sf_dir, binlog)
     eng = make_engine(lake)
-    eng.snapshot(snapshot_source(sf_dir, handoff_lsn), snapshot_lsn=handoff_lsn)
+    eng.snapshot(
+        snapshot_source(sf_dir, handoff_lsn), snapshot_lsn=handoff_lsn,
+        row_filter=row_filter,
+    )
     eng.run(binlog)
     return eng.lake_table(include_lsn=False)
 

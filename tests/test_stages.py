@@ -435,3 +435,44 @@ def test_flatten_envelopes_rewrite_and_drop(ray_session):
 
     with pytest.raises(ValueError):
         flatten_envelopes(env, after.schema, delete_handling="tombstone")
+
+
+def test_snapshot_row_filter_and_watermark_floor(tmp_path, ray_session):
+    """snapshot.select.statement.overrides: rows failing the predicate
+    never enter the lake; every partition's watermark is floored at the
+    snapshot position (streaming resumes table-wide after it)."""
+    import pyarrow.compute as pc
+
+    from debezium_incubator_ray.config import EngineConfig
+    from debezium_incubator_ray.pipelines.cdc import CdcEngine
+
+    lake = str(tmp_path / "l")
+    eng = CdcEngine(
+        lake, EngineConfig(num_partitions=4), payload_schema=S.pages_schema()
+    )
+    pages = gen.make_pages(40)
+    eng.snapshot(
+        pages, snapshot_lsn=7,
+        row_filter=lambda t: pc.greater_equal(
+            pc.utf8_length(t["text"]), pc.min(pc.utf8_length(t["text"]))
+        ),  # all pass — floor check below is the point
+    )
+    assert all(eng.manifest.watermark(p) >= 7 for p in range(4))
+    assert eng.lake_table().num_rows == 40
+    eng.close()
+
+    lake2 = str(tmp_path / "l2")
+    eng2 = CdcEngine(
+        lake2, EngineConfig(num_partitions=4), payload_schema=S.pages_schema()
+    )
+    # real filter: keep only urls of even url_id (ends with digit parity)
+    eng2.snapshot(
+        pages, snapshot_lsn=7,
+        row_filter=lambda t: pc.match_substring_regex(t["url"], r"[02468]$"),
+    )
+    lt = eng2.lake_table()
+    assert 0 < lt.num_rows < 40
+    assert all(u[-1] in "02468" for u in lt["url"].to_pylist())
+    # untouched-partition floor: every partition watermark is >= 7
+    assert all(eng2.manifest.watermark(p) >= 7 for p in range(4))
+    eng2.close()
