@@ -5533,6 +5533,134 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def join_small_qty_revenue(sf_dir):
+        """TPC-H Q17 shape (per-group average needed BEFORE the row
+        filter): per brand, avg yearly revenue of lineitems with
+        quantity below 20% of their part's average. Two streamed passes
+        over the fact — per-part (sum, cnt) folds narrow and broadcasts
+        with the brand dim attached; the filter compares
+        5*qty*cnt < sum_qty EXACTLY (integral doubles), so no
+        avg-rounding ambiguity vs the oracle. The fact never shuffles."""
+        import pyarrow.parquet as _pq
+        import ray.data
+        from debezium_incubator_ray.functions.joins import (
+            small_qty_brand_revenue,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        part = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand"],
+        )
+        return small_qty_brand_revenue(li, part)
+
+    def join_large_qty_orders(sf_dir):
+        """TPC-H Q18 shape (HAVING on a grouped sum, join-back to the
+        parents): top-100 orders by total lineitem quantity > 200, with
+        order + customer attributes. Per-order sums fold from per-block
+        partials; only HAVING survivors broadcast; orders streams once
+        with an in-place semi-filter + dimension join — no fact-sized
+        shuffle. sum_qty is an exact integral double, so the threshold
+        and the (sum_qty desc, orderkey) tie-break match SQL exactly."""
+        import pyarrow.parquet as _pq
+        import ray.data
+        from debezium_incubator_ray.functions.joins import large_qty_orders
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"],
+        )
+        cust = _pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        return large_qty_orders(li, orders, cust, threshold=200.0, k=100)
+
+    def part_association_rules(sf_dir):
+        """Market-basket association rules over the top-200 co-purchased
+        part pairs: support / confidence(a->b) / confidence(b->a) /
+        lift, top-25 by (lift desc, a, b). Pair counts reuse the
+        bucketed copurchase machinery; per-part basket counts fold via
+        the distinct-pair combiner; all ratios divide exact int64
+        counts so the floats match SQL bit-for-bit."""
+        import ray.data
+        from debezium_incubator_ray.functions.joins import association_rules
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        return association_rules(li, "l_orderkey", "l_partkey",
+                                 k_pairs=200, k=25)
+
+    def graph_adamic_adar(sf_dir):
+        """Link prediction on the top-2000 co-purchase subgraph: top-50
+        NON-adjacent part pairs by Adamic-Adar score
+        (sum of 1/ln(deg(w)) over common neighbors w). Full
+        neighborhoods co-locate by center hash (deg = group size, so
+        the weight needs no join); canonical edges ride the same pair
+        buckets as null-weight markers for the in-bucket anti-join.
+        Ties break on the ROUNDED score then (a, b), mirrored by the
+        oracle."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import adamic_adar
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return adamic_adar(edges, k=50, buckets=32)
+
+    def events_daily_ohlc(sf_dir):
+        """Daily OHLC bars of the event value stream: open/close = value
+        at the min/max (ts, event_id) per calendar day (SQL
+        arg_min/arg_max), plus low/high/n — the canonical time-series
+        downsample. Each block folds to at most one partial row per day
+        (an associative fold), so the one groupby moves O(days x
+        blocks) tiny rows."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import daily_ohlc
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_id", "value"],
+        )
+        return daily_ohlc(ev)
+
+    def dq_candidate_keys(sf_dir):
+        """Candidate-key discovery on events: per column, the exact
+        distinct count (NULLs excluded), uniqueness ratio and is_key
+        verdict. Each column streams its OWN column-pruned parquet
+        read; per-block distinct combiners bound the shuffle at
+        |distinct| per block and only int64 partials reach the
+        driver."""
+        import ray.data
+        from debezium_incubator_ray.functions.quality import candidate_keys
+
+        def ds_for(col):
+            return ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"), columns=[col]
+            )
+
+        return candidate_keys(
+            ds_for, ["event_id", "user_id", "event_type", "props"],
+            buckets=32,
+        )
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -5596,6 +5724,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
+        "join_small_qty_revenue": join_small_qty_revenue,
+        "join_large_qty_orders": join_large_qty_orders,
+        "part_association_rules": part_association_rules,
+        "events_daily_ohlc": events_daily_ohlc,
+        "dq_candidate_keys": dq_candidate_keys,
         "text_gopher_rules": text_gopher_rules,
         "topk_per_group": topk_per_group,
         "topk_per_user": topk_per_user,
@@ -5723,6 +5856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
         "graph_local_clustering": graph_local_clustering,
+        "graph_adamic_adar": graph_adamic_adar,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -6489,6 +6623,75 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.l_partkey AS partkey, round(w.mp, 2) AS min_price, "
             "w.sk AS suppkey, s.s_name AS supplier "
             "FROM w JOIN supplier s ON s.s_suppkey = w.sk"
+        ),
+        "join_small_qty_revenue": (
+            # Q17 shape; 5*qty*cnt < sum is the EXACT form of
+            # qty < 0.2*avg for integral quantities
+            "WITH a AS (SELECT l_partkey, sum(l_quantity) AS s, "
+            "count(*) AS c FROM lineitem GROUP BY 1) "
+            "SELECT p.p_brand, "
+            "round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem l JOIN a USING (l_partkey) "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE 5 * l.l_quantity * a.c < a.s GROUP BY 1"
+        ),
+        "join_large_qty_orders": (
+            # Q18 shape; sum_qty is an exact integral double, ties break
+            # by orderkey asc
+            "WITH q AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
+            "FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) "
+            "SELECT o.o_custkey AS c_custkey, c.c_name, o.o_orderkey, "
+            "o.o_orderdate, o.o_totalprice, q.sum_qty "
+            "FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY q.sum_qty DESC, o.o_orderkey LIMIT 100"
+        ),
+        "part_association_rules": (
+            # same distinct-(order, part) base and top-200 pair cut as
+            # the copurchase queries; all ratios divide exact counts
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "top AS (SELECT a, b, cnt FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 200), "
+            "i AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item "
+            "FROM li GROUP BY 1), "
+            "n AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n_g "
+            "FROM li) "
+            "SELECT t.a AS item_a, t.b AS item_b, t.cnt AS n_both, "
+            "round(t.cnt / n.n_g, 6) AS support, "
+            "round(t.cnt * 1.0 / ia.n_item, 6) AS conf_a_b, "
+            "round(t.cnt * 1.0 / ib.n_item, 6) AS conf_b_a, "
+            "round(t.cnt * n.n_g / (ia.n_item * ib.n_item), 6) AS lift "
+            "FROM top t JOIN i ia ON ia.item = t.a "
+            "JOIN i ib ON ib.item = t.b, n "
+            "ORDER BY lift DESC, item_a ASC, item_b ASC LIMIT 25"
+        ),
+        "events_daily_ohlc": (
+            "WITH b AS (SELECT strftime(date_trunc('day', ts), "
+            "'%Y-%m-%d') AS day, value, ts, event_id FROM events "
+            "WHERE value IS NOT NULL AND NOT isnan(value)), "
+            "r AS (SELECT day, value, row_number() OVER "
+            "(PARTITION BY day ORDER BY ts, event_id) AS ra, "
+            "row_number() OVER (PARTITION BY day ORDER BY ts DESC, "
+            "event_id DESC) AS rd FROM b) "
+            "SELECT day, max(CASE WHEN ra = 1 THEN value END) AS open, "
+            "max(value) AS high, min(value) AS low, "
+            "max(CASE WHEN rd = 1 THEN value END) AS close, "
+            "CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1"
+        ),
+        "dq_candidate_keys": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                "CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                f"round(count(DISTINCT {c}) * 1.0 / count(*), 6) "
+                "AS uniqueness, "
+                f"count(DISTINCT {c}) = count(*) AS is_key FROM events"
+                for c in ("event_id", "user_id", "event_type", "props")
+            )
         ),
         "join_bloom_semi": (
             "SELECT l_returnflag, "
@@ -7819,6 +8022,31 @@ def oracle_sql() -> dict[str, str]:
             "/ (deg.deg * (deg.deg - 1.0)), 6) AS lcc "
             "FROM deg LEFT JOIN tn USING (node) WHERE deg.deg >= 2 "
             "ORDER BY lcc DESC, deg.node ASC LIMIT 50"
+        ),
+        "graph_adamic_adar": (
+            # same top-2000 co-purchase edge cut; AA over FULL
+            # neighborhoods (deg = full degree in the cut graph);
+            # non-adjacent pairs only; ORDER BY the ROUNDED score (the
+            # engine rounds before its top-k)
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "und AS (SELECT a AS c, b AS n FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d "
+            "FROM und GROUP BY 1), "
+            "w AS (SELECT u1.n AS x, u2.n AS y, u1.c AS c FROM und u1 "
+            "JOIN und u2 ON u1.c = u2.c AND u1.n < u2.n), "
+            "aa AS (SELECT w.x, w.y, round(sum(1.0 / ln(deg.d)), 6) "
+            "AS aa_score FROM w JOIN deg ON deg.c = w.c GROUP BY 1, 2), "
+            "ne AS (SELECT aa.* FROM aa LEFT JOIN e "
+            "ON e.a = aa.x AND e.b = aa.y WHERE e.a IS NULL) "
+            "SELECT x AS node_a, y AS node_b, aa_score FROM ne "
+            "ORDER BY aa_score DESC, node_a ASC, node_b ASC LIMIT 50"
         ),
         "graph_assortativity": (
             # same top-2000 edge cut as graph_triangles; assortativity =

@@ -840,3 +840,152 @@ def local_clustering(edges, src_col: str = "src", dst_col: str = "dst",
         sort_keys=[("_neg", "ascending"), ("node", "ascending")],
     )
     return out.take(order)
+
+
+def adamic_adar(edges, src_col: str = "src", dst_col: str = "dst",
+                k: int = 50, buckets: int = 64):
+    """Top-k NON-adjacent node pairs by Adamic-Adar score
+    AA(x, y) = sum over common neighbors w of 1 / ln(deg(w)) — the
+    classic link-prediction ranking ("which parts will be co-bought
+    next").
+
+    Reference parity: none (training-data / graph-curation side).
+
+    Scale shape: the full adjacency (both directions of the canonical
+    edge set) is bucketed by CENTER hash, so each bucket holds complete
+    neighborhoods; one vectorized pass per bucket expands each center's
+    neighbor pairs (the center's degree is its group size, so the
+    1/ln(deg) weight needs no join) and pre-sums per pair, stamping the
+    pair-hash bucket. The canonical edges ride the same pair buckets as
+    null-weight markers so the in-bucket anti-join (drop pairs that are
+    already edges) never leaves the bucket. Per-pair partials fold in
+    the bucket groupby; only #buckets x k candidate rows reach the
+    driver. Hub centers expand deg^2 pairs — callers bound that by
+    feeding a top-k edge cut (as the co-purchase queries do) or a
+    degree cap upstream."""
+    from debezium_incubator_ray.hashing import partition_ids, stable_hash
+    from debezium_incubator_ray.functions.kernels import (
+        expand_pairs, merge_local_topk,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks()
+        d = t[dst_col].combine_chunks()
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        keep = pc.and_(
+            pc.not_equal(a, b),
+            pc.and_(pc.is_valid(a), pc.is_valid(b)),
+        )
+        return pa.table({"a": a, "b": b}).filter(keep)
+
+    # consumed by the adjacency expansion AND the edge markers — pin once
+    ce = distinct_edges(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", "b", buckets=buckets,
+    ).materialize()
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        c = pa.chunked_array([t["a"].combine_chunks(),
+                              t["b"].combine_chunks()])
+        n = pa.chunked_array([t["b"].combine_chunks(),
+                              t["a"].combine_chunks()])
+        out = pa.table({"c": c, "n": n})
+        cb = pa.array(
+            partition_ids(out["c"].combine_chunks(), buckets, "hash"),
+            pa.int32(),
+        )
+        return out.append_column("_cb", cb)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, c))
+        c, nb = c[order], nb[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.append(starts, len(c)))
+        L, R = expand_pairs(sizes)
+        if len(L) == 0:
+            return pa.table({
+                "x": pa.array([], g["n"].type),
+                "y": pa.array([], g["n"].type),
+                "w": pa.array([], pa.float64()),
+                "_pb": pa.array([], pa.int32()),
+            })
+        x = np.minimum(nb[L], nb[R])
+        y = np.maximum(nb[L], nb[R])
+        # deg(center) = its adjacency group size (simple graph); sizes
+        # == 1 emit no pairs, so ln() is always of >= 2
+        n_pairs = sizes * (sizes - 1) // 2
+        w = np.repeat(1.0 / np.log(sizes.astype(np.float64)), n_pairs)
+        part = pa.table({
+            "x": pc.cast(pa.array(x), g["n"].type),
+            "y": pc.cast(pa.array(y), g["n"].type),
+            "w": pa.array(w, pa.float64()),
+        }).group_by(["x", "y"]).aggregate([("w", "sum")])
+        pb = (
+            (stable_hash(part["x"]) ^ stable_hash(part["y"]))
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return pa.table({
+            "x": part["x"], "y": part["y"], "w": part["w_sum"],
+            "_pb": pa.array(pb),
+        })
+
+    wedge_ds = (
+        ce.map_batches(adjacency, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_cb")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        pb = (
+            (stable_hash(t["a"]) ^ stable_hash(t["b"]))
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return pa.table({
+            "x": t["a"], "y": t["b"],
+            "w": pa.nulls(t.num_rows, pa.float64()),  # edge marker
+            "_pb": pa.array(pb),
+        })
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        is_edge = pc.is_null(t["w"])
+        e = t.filter(is_edge).select(["x", "y"])
+        s = (
+            t.filter(pc.invert(is_edge))
+            .select(["x", "y", "w"])
+            .group_by(["x", "y"])
+            .aggregate([("w", "sum")])
+        )
+        j = s.join(e, keys=["x", "y"], join_type="left anti")
+        out = pa.table({
+            "node_a": j["x"], "node_b": j["y"],
+            "aa_score": pc.round(j["w_sum"], 6),
+        })
+        from debezium_incubator_ray.functions.kernels import table_topk
+
+        return table_topk(out, "aa_score", ["node_a", "node_b"], k)
+
+    cand = (
+        wedge_ds.union(
+            ce.map_batches(tag_edge, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        )
+        .groupby("_pb")
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
+    empty = pa.table({
+        "node_a": pa.array([], pa.int64()),
+        "node_b": pa.array([], pa.int64()),
+        "aa_score": pa.array([], pa.float64()),
+    })
+    out = merge_local_topk(cand, "aa_score", ["node_a", "node_b"], k, empty)
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["aa_score"])),
+        sort_keys=[("_neg", "ascending"), ("node_a", "ascending"),
+                   ("node_b", "ascending")],
+    )
+    return out.take(order)

@@ -511,3 +511,229 @@ def bloom_semi_join(
         survivors, right, on=on, right_on=right_on, buckets=buckets,
         join_type="left semi", post=post,
     )
+
+
+def _collect(ds, empty: pa.Table | None = None) -> pa.Table:
+    """Driver collect of a SMALL (already-aggregated) Dataset."""
+    blocks = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    if not blocks:
+        return empty if empty is not None else pa.table({})
+    return pa.concat_tables(blocks, promote_options="permissive")
+
+
+def small_qty_brand_revenue(li, part_dim: pa.Table,
+                            brand_col: str = "p_brand"):
+    """TPC-H Q17-shaped two-pass aggregate: per brand, the average yearly
+    revenue (sum(extendedprice)/7) of lineitems whose quantity is below
+    20% of that PART's average quantity — the "small-order revenue
+    leakage" probe that needs a per-group average before the row filter.
+
+    Scale shape: pass 1 folds per-part (sum_qty, cnt) from per-block
+    partials through one narrow groupby — |parts| rows, collected and
+    broadcast ONCE with the part->brand dimension attached (ray.put).
+    Pass 2 streams lineitem again: each block joins the broadcast stats
+    in place, filters with the EXACT integer-valued comparison
+    5*qty*cnt < sum_qty (quantities are integral doubles, so both sides
+    are exact in fp64 — no avg-rounding ambiguity vs SQL), and pre-sums
+    revenue per brand; the final groupby folds |brands| partials. The
+    fact table never shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def part_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_partkey", "l_quantity"])
+            .group_by("l_partkey")
+            .aggregate([("l_quantity", "sum"), ([], "count_all")])
+        )
+        return pa.table({
+            "l_partkey": g["l_partkey"],
+            "s": g["l_quantity_sum"],
+            "c": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    stats = _collect(
+        li.map_batches(part_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c")),
+        empty=pa.table({
+            "l_partkey": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "c": pa.array([], pa.int64()),
+        }),
+    )
+    dim = stats.join(
+        part_dim.select(["p_partkey", brand_col]),
+        keys=["l_partkey"], right_keys=["p_partkey"], join_type="inner",
+    )
+    ref = ray.put(dim)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)  # zero-copy once node-local
+        j = t.select(["l_partkey", "l_quantity", "l_extendedprice"]).join(
+            d, keys=["l_partkey"], join_type="inner"
+        )
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(j["l_quantity"], pa.scalar(5.0)),
+                pc.cast(j["c"], pa.float64()),
+            ),
+            j["s"],
+        )
+        g = (
+            j.filter(keep)
+            .group_by(brand_col)
+            .aggregate([("l_extendedprice", "sum")])
+        )
+        return pa.table({
+            brand_col: g[brand_col], "rev": g["l_extendedprice_sum"],
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            brand_col: t[brand_col],
+            "avg_yearly": pc.round(
+                pc.divide(t["rev"], pa.scalar(7.0)), 2
+            ),
+        })
+
+    return (
+        li.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(brand_col)
+        .aggregate(Sum("rev", alias_name="rev"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def large_qty_orders(li, orders, cust_dim: pa.Table,
+                     threshold: float = 200.0, k: int = 100):
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    lineitem quantity exceeds ``threshold``, enriched with the order and
+    customer attributes; top-k by (sum_qty desc, orderkey asc).
+
+    Scale shape: per-order quantity sums fold from per-block partials
+    through one narrow groupby; only the HAVING survivors (a tiny
+    table) are collected and broadcast. The orders fact then streams
+    once — each block semi-filters on the broadcast key set and joins
+    the sums + customer dimension in place; no fact-sized shuffle
+    anywhere. Quantities are integral doubles, so the threshold
+    comparison and the tie-break on sum_qty are exact."""
+    import ray
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.functions.kernels import (
+        merge_local_topk, table_topk,
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "l_quantity"])
+            .group_by("l_orderkey")
+            .aggregate([("l_quantity", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "sq"])
+
+    big = _collect(
+        li.map_batches(qty_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("sq", alias_name="sum_qty")),
+        empty=pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "sum_qty": pa.array([], pa.float64()),
+        }),
+    ).filter(pc.greater(pc.field("sum_qty"), pa.scalar(threshold)))
+    big_ref = ray.put(big)
+    cust_ref = ray.put(cust_dim.select(["c_custkey", "c_name"]))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        b = ray.get(big_ref)
+        j = t.join(b, keys=["o_orderkey"], right_keys=["l_orderkey"],
+                   join_type="inner")
+        j = j.join(ray.get(cust_ref), keys=["o_custkey"],
+                   right_keys=["c_custkey"], join_type="inner")
+        out = pa.table({
+            "c_custkey": j["o_custkey"],
+            "c_name": j["c_name"],
+            "o_orderkey": j["o_orderkey"],
+            "o_orderdate": j["o_orderdate"],
+            "o_totalprice": j["o_totalprice"],
+            "sum_qty": j["sum_qty"],
+        })
+        return table_topk(out, "sum_qty", ["o_orderkey"], k)
+
+    cand = orders.map_batches(enrich, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_totalprice": pa.array([], pa.float64()),
+        "sum_qty": pa.array([], pa.float64()),
+    })
+    out = merge_local_topk(cand, "sum_qty", ["o_orderkey"], k, empty)
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["sum_qty"])),
+        sort_keys=[("_neg", "ascending"), ("o_orderkey", "ascending")],
+    )
+    return out.take(order)
+
+
+def association_rules(ds, group_col: str, item_col: str,
+                      k_pairs: int = 200, k: int = 25):
+    """Market-basket association rules over the ``k_pairs`` most frequent
+    co-occurring item pairs: support(a,b) = P(a and b in one basket),
+    confidence(a->b) = P(b | a), lift = support / (P(a) * P(b)) — the
+    classic recommendation screen, top-k by (lift desc, a, b).
+
+    Scale shape: pair counting is :func:`copurchase_pairs` (distinct
+    per-block combiner, basket-hash bucketed self-join, pair-hash
+    pre-sum); per-item basket counts fold through
+    :func:`distinct_count_per_group`; the basket total is a distinct
+    count. Everything after the top-``k_pairs`` cut is O(k_pairs) rows
+    on the driver. All ratios divide exact int64 counts, so the floats
+    match SQL bit-for-bit."""
+    from debezium_incubator_ray.functions.graph import distinct_rows
+    from debezium_incubator_ray.functions.kernels import table_topk
+
+    pairs = copurchase_pairs(ds, group_col, item_col, k=k_pairs)
+    a_col, b_col = f"{item_col}_a", f"{item_col}_b"
+    item_n = _collect(
+        distinct_count_per_group(ds, item_col, group_col),
+        empty=pa.table({
+            item_col: pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+        }),
+    ).rename_columns([item_col, "n_item"])
+    n_groups = distinct_rows(ds, [group_col]).count()
+
+    j = pairs.join(
+        item_n.rename_columns([a_col, "n_a"]), keys=[a_col],
+        join_type="inner",
+    ).join(item_n.rename_columns([b_col, "n_b"]), keys=[b_col],
+           join_type="inner")
+    cnt = pc.cast(j["cnt"], pa.float64())
+    na = pc.cast(j["n_a"], pa.float64())
+    nb = pc.cast(j["n_b"], pa.float64())
+    n = float(n_groups)
+    out = pa.table({
+        "item_a": j[a_col],
+        "item_b": j[b_col],
+        "n_both": j["cnt"],
+        "support": pc.round(pc.divide(cnt, pa.scalar(n)), 6),
+        "conf_a_b": pc.round(pc.divide(cnt, na), 6),
+        "conf_b_a": pc.round(pc.divide(cnt, nb), 6),
+        "lift": pc.round(
+            pc.divide(pc.multiply(cnt, pa.scalar(n)),
+                      pc.multiply(na, nb)), 6
+        ),
+    })
+    out = table_topk(out, "lift", ["item_a", "item_b"], k)
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["lift"])),
+        sort_keys=[("_neg", "ascending"), ("item_a", "ascending"),
+                   ("item_b", "ascending")],
+    )
+    return out.take(order)

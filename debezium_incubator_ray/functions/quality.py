@@ -482,3 +482,49 @@ def pareto_front(ds, x_col: str, y_col: str, n_buckets: int = 1024):
         .groupby("_xb")
         .map_groups(front_bucket, batch_format="pyarrow")
     )
+
+
+def candidate_keys(ds_for_col, columns: Sequence[str], buckets: int = 64):
+    """Candidate-key discovery: per column, the exact distinct count
+    (NULLs excluded, SQL ``count(DISTINCT c)`` semantics), uniqueness
+    ratio and an ``is_key`` verdict — the constraint-mining DQ probe run
+    before declaring merge keys.
+
+    ``ds_for_col(col)`` must return a Dataset exposing that column —
+    letting each column stream its OWN column-pruned read (a parquet
+    scan that loads one column, not the whole table). Per column: each
+    block folds to its distinct values (the combiner), ONE bucketed
+    shuffle co-locates values by hash so in-bucket distinct counts sum
+    to the global count; only int64 partials reach the driver."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    rows = []
+    for c in columns:
+        ds = ds_for_col(c)
+        n_rows = ds.count()
+
+        def local(t: pa.Table, c=c) -> pa.Table:
+            v = t[c].combine_chunks().drop_null()
+            d = pa.table({c: v}).group_by(c).aggregate([])
+            b = partition_ids(d[c].combine_chunks(), buckets, "hash")
+            return d.append_column("_b", pa.array(b, pa.int32()))
+
+        def bucket_count(g: pa.Table, c=c) -> pa.Table:
+            nd = g.drop_columns(["_b"]).group_by(c).aggregate([]).num_rows
+            return pa.table({"nd": pa.array([nd], pa.int64())})
+
+        n_distinct = int(
+            ds.map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b")
+            .map_groups(bucket_count, batch_format="pyarrow")
+            .sum("nd") or 0
+        )
+        rows.append({
+            "col_name": c,
+            "n_rows": n_rows,
+            "n_distinct": n_distinct,
+            "uniqueness": round(n_distinct / n_rows, 6) if n_rows else None,
+            "is_key": n_distinct == n_rows if n_rows else False,
+        })
+    return pa.Table.from_pylist(rows)

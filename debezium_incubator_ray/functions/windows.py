@@ -1756,3 +1756,88 @@ def peak_concurrency(
         "n_sessions": pa.array([n_pts // 2], pa.int64()),
         "peak_concurrency": pa.array([peak], pa.int64()),
     })
+
+
+def daily_ohlc(ds, ts_col: str = "ts", order_col: str = "event_id",
+               value_col: str = "value"):
+    """Daily OHLC bars: per calendar day, the open (value at the minimum
+    (ts, order) — SQL arg_min), close (arg_max), low, high and row
+    count — the canonical time-series downsample.
+
+    Scale shape: each block folds to AT MOST one partial row per day it
+    touches (open/close candidates carried with their (ts, order) keys,
+    low/high/n as plain extrema) — an associative fold, so the one
+    groupby moves O(days x blocks) tiny rows and a vectorized in-group
+    pass picks the global open/close. NULL/NaN values are dropped
+    (mirrors SQL aggregate semantics)."""
+    from debezium_incubator_ray.functions.kernels import drop_null_nan
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = drop_null_nan(t, value_col)
+        if t.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.string()),
+                "o_ts": pa.array([], pa.int64()),
+                "o_id": pa.array([], pa.int64()),
+                "open": pa.array([], pa.float64()),
+                "c_ts": pa.array([], pa.int64()),
+                "c_id": pa.array([], pa.int64()),
+                "close": pa.array([], pa.float64()),
+                "low": pa.array([], pa.float64()),
+                "high": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            })
+        ts = t[ts_col].combine_chunks()
+        day = pc.strftime(pc.floor_temporal(ts, unit="day"),
+                          format="%Y-%m-%d")
+        tsu = pc.cast(ts, pa.int64()).to_numpy()
+        oid = pc.cast(t[order_col], pa.int64()).to_numpy()
+        val = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        dnp = day.to_numpy(zero_copy_only=False)
+        _, codes = np.unique(dnp, return_inverse=True)
+        order = np.lexsort((oid, tsu, codes))
+        codes_s, tsu_s = codes[order], tsu[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.append(starts[1:], len(codes_s)) - 1
+        first, last = order[starts], order[ends]
+        lows = np.minimum.reduceat(val[order], starts)
+        highs = np.maximum.reduceat(val[order], starts)
+        sizes = np.diff(np.append(starts, len(codes_s)))
+        return pa.table({
+            "day": pc.cast(day, pa.string()).take(pa.array(first)),
+            "o_ts": pa.array(tsu[first]),
+            "o_id": pa.array(oid[first]),
+            "open": pa.array(val[first]),
+            "c_ts": pa.array(tsu[last]),
+            "c_id": pa.array(oid[last]),
+            "close": pa.array(val[last]),
+            "low": pa.array(lows),
+            "high": pa.array(highs),
+            "n": pa.array(sizes.astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        o = np.lexsort((
+            g["o_id"].combine_chunks().to_numpy(),
+            g["o_ts"].combine_chunks().to_numpy(),
+        ))[0]
+        cl_ts = g["c_ts"].combine_chunks().to_numpy()
+        cl_id = g["c_id"].combine_chunks().to_numpy()
+        c = np.lexsort((-cl_id, -cl_ts))[0]
+        return pa.table({
+            "day": g["day"].slice(0, 1),
+            "open": g["open"].slice(int(o), 1),
+            "high": pa.array([pc.max(g["high"]).as_py()], pa.float64()),
+            "low": pa.array([pc.min(g["low"]).as_py()], pa.float64()),
+            "close": g["close"].slice(int(c), 1),
+            "n": pa.array([pc.sum(g["n"]).as_py()], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(fold, batch_format="pyarrow")
+    )
