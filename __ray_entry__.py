@@ -129,6 +129,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rewritten."""
         return EC.final_state_range_erased(sf_dir, 10, 59)
 
+    def cdc_truncate(sf_dir):
+        """TRUNCATE TABLE event mid-stream (op='t', the Debezium truncate
+        record): the keyless control marker wipes every row whose LSN
+        precedes it — lake rows and same-epoch older events — while later
+        events re-create their keys. Events carry lsn = 2*event_id; the
+        marker lands at 2*T+1 (T = max(event_id)*3//5) replicated into
+        every binlog partition, so exactly event_id > T survives LWW."""
+        return EC.final_state_truncated(sf_dir)
+
     def cdc_replay_dup(sf_dir):
         return EC.final_state(sf_dir, replay_twice=True)
 
@@ -5669,6 +5678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_partial_mor": cdc_partial_mor,
         "cdc_counter_col": cdc_counter_col,
         "cdc_range_erase": cdc_range_erase,
+        "cdc_truncate": cdc_truncate,
         "cdc_replay_dup": cdc_replay_dup,
         "cdc_restart_resume": cdc_restart_resume,
         "cdc_snapshot_handoff": cdc_snapshot_handoff,
@@ -6050,6 +6060,20 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_truncate": (
+            # lsn = 2*event_id; the truncate marker at 2*T+1 wipes
+            # everything at or below it, so exactly event_id > T survives
+            "WITH t AS (SELECT (max(event_id) * 3) // 5 AS te "
+            "FROM events), "
+            "env AS (SELECT user_id, 2 * event_id AS lsn, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "ts, event_type, value, props FROM events, t "
+            "WHERE event_id > t.te), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env) "
+            f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'"
+        ),
         "cdc_enriched_view": _LWW
         + (
             # stream-table join: the dimension is snapshot-static, so

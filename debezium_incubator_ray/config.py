@@ -198,6 +198,16 @@ class EngineConfig:
     # segments are still marked done.
     latest_only: bool = False
 
+    # TRUNCATE TABLE events (op='t', the Debezium truncate record): when
+    # enabled, a truncate envelope wipes every row whose LSN is <= the
+    # truncate's LSN — later events in the same epoch survive and re-create
+    # their keys. Normalize fans the (keyless) control event out to every
+    # lake partition on the exchange path; on the aligned path the producer
+    # must replicate the marker into each binlog partition's log (the same
+    # contract as any per-partition control record). Off by default: op='t'
+    # rows are then skipped like any other unsupported mutation kind.
+    truncate_events: bool = False
+
     # zone maps: per-run min/max statistics recorded in the manifest for
     # these payload columns (int/float/string/timestamp), enabling
     # CdcEngine.scan(col, lo, hi) to prune whole runs at the read — the

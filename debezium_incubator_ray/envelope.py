@@ -188,6 +188,10 @@ def lww_reduce(tbl: pa.Table, key: str, lsn_col: str = LSN) -> pa.Table:
     first = np.empty(n, dtype=bool)
     first[0] = True
     neq = pc.not_equal(k.slice(1), k.slice(0, n - 1))
+    if k.null_count:
+        # null keys (truncate control markers) never collapse with each
+        # other — each stays its own "first" (null != null is null)
+        neq = pc.fill_null(neq, True)
     first[1:] = neq.to_numpy(zero_copy_only=False)
     winner_idx = idx.filter(pa.array(first))
     return tbl.take(winner_idx)

@@ -861,6 +861,7 @@ class CdcEngine:
             emit_set_mask=self.cfg.merge_mode == "partial",
             constraints=tuple(self.cfg.constraints),
             column_transforms=tuple(self.cfg.column_transforms),
+            truncate_events=self.cfg.truncate_events,
         )
 
     def _default_at(self) -> Dict[str, int]:

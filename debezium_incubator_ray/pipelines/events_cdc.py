@@ -59,7 +59,7 @@ def load_events(sf_dir: str) -> pa.Table:
 
 def events_envelopes(
     sf_dir: str, table_name_by_parity: bool = False,
-    delete_aware: bool = False,
+    delete_aware: bool = False, lsn_stride: int = 1,
 ) -> pa.Table:
     """events rows → envelope table (op/before/after/source/ts_ms).
 
@@ -108,7 +108,7 @@ def events_envelopes(
         after,
         before,
         (uid % NUM_PARTITIONS).astype(np.int32),
-        pa.array(eid, type=pa.int64()),
+        pa.array(eid * lsn_stride, type=pa.int64()),
         table="events_a" if not table_name_by_parity else "events_parity",
         ts_us=t["ts"].combine_chunks(),
     )
@@ -540,3 +540,43 @@ def tx_tagged_envelopes(sf_dir: str) -> pa.Table:
     tx_ev[order] = declared
     env = env.append_column("tx_id", pa.array(tx_id, pa.int64()))
     return env.append_column("tx_events", pa.array(tx_ev, pa.int32()))
+
+
+def final_state_truncated(sf_dir: str, aligned: bool = True) -> pa.Table:
+    """TRUNCATE TABLE mid-stream (op='t', the Debezium truncate record):
+    events get lsn = 2*event_id (leaving odd LSNs free for control
+    records) and a truncate marker lands at 2*T+1 where
+    T = max(event_id)*3//5 — so exactly the events with event_id > T
+    survive and re-create their keys. The marker is replicated into every
+    binlog partition (the aligned-log contract); the oracle is plain LWW
+    SQL over `event_id > T`."""
+    root = scratch_dir("trunc")
+    binlog, lake = os.path.join(root, "binlog"), os.path.join(root, "lake")
+    env = events_envelopes(sf_dir, lsn_stride=2)
+    n = env.num_rows
+    t_eid = (n - 1) * 3 // 5  # event ids are dense 0..N-1
+    t_lsn = 2 * t_eid + 1
+    after_nulls = pa.table(
+        {f.name: pa.nulls(NUM_PARTITIONS, f.type) for f in EVENTS_PAYLOAD}
+    )
+    marker = build_envelopes(
+        pa.array(["t"] * NUM_PARTITIONS, pa.string()),
+        after_nulls,
+        None,
+        np.arange(NUM_PARTITIONS, dtype=np.int32),
+        pa.array([t_lsn] * NUM_PARTITIONS, pa.int64()),
+        table="events_a",
+    )
+    env2 = pa.concat_tables([env, marker], promote_options="permissive")
+    # segments stay LSN-ordered per partition (commit-log order): ts_ms
+    # mirrors the lsn in build_envelopes
+    env2 = env2.sort_by([("ts_ms", "ascending")])
+    write_env_binlog(env2, binlog)
+    eng = make_engine(
+        lake, truncate_events=True,
+        aligned_binlog="auto" if aligned else "never",
+    )
+    eng.run(binlog)
+    out = eng.lake_table(include_lsn=True)
+    i = out.schema.get_field_index(S.LSN)
+    return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])

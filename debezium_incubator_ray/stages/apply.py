@@ -367,6 +367,24 @@ class PartitionApplier:
             lsn_max = wm  # never advance the watermark in chunk mode
             fresh = group
         fresh = fresh.drop_columns([S.PART])
+        # TRUNCATE control markers (op='t', EngineConfig.truncate_events):
+        # the newest truncate wipes every row with lsn <= its LSN — lake
+        # rows AND this epoch's older events; later events re-create their
+        # keys. One vectorized equality scan; markers only exist when the
+        # engine emitted them.
+        trunc_lsn = None
+        if fresh.num_rows:
+            tm = pc.fill_null(pc.equal(fresh["op"], "t"), False)
+            if pc.any(tm).as_py():
+                trunc_lsn = pc.max(fresh.filter(tm)[S.LSN]).as_py()
+                fresh = fresh.filter(
+                    pc.and_(
+                        pc.invert(tm),
+                        pc.greater(
+                            fresh[S.LSN], pa.scalar(trunc_lsn, pa.int64())
+                        ),
+                    )
+                )
         if self.merge_mode == "partial":
             # per-cell fold: one patch per key (op/_set_mask/_had_del cols)
             from debezium_incubator_ray.envelope import partial_fold
@@ -381,6 +399,38 @@ class PartitionApplier:
         deltas = list(ent.get("deltas", []))
         new_files: List[Dict] = []
         rows_total = 0
+        if trunc_lsn is not None:
+            # full-partition rewrite: every run is affected by definition
+            # (CoW targeting is pointless), and merge-on-read deltas fold
+            # into the new base (a truncated lake restarts compacted).
+            # Truncates are rare control points — O(partition) here, never
+            # O(lake) per ordinary epoch.
+            state = read_partition_state(
+                ent, self.lake_dir, self.schema, self.defaults,
+                self.schema_version, self.key,
+                keep_tombstones=self.keep_tombstones,
+                counter_cols=self.counter_cols,
+            )
+            state = state.filter(
+                pc.greater(state[S.LSN], pa.scalar(trunc_lsn, pa.int64()))
+            )
+            if self.merge_mode == "partial":
+                from debezium_incubator_ray.envelope import merge_partial
+
+                merged = merge_partial(
+                    state, events, self.key, counter_cols=self.counter_cols
+                )
+            else:
+                merged = merge_lww(
+                    state, events, self.key,
+                    keep_tombstones=self.keep_tombstones,
+                )
+            new_files = self._write_run(p, merged)
+            new_files.sort(key=lambda f: f["min_key"])
+            return self._record(
+                p, max(wm, lsn_max), events_in, fresh.num_rows,
+                events.num_rows, merged.num_rows, new_files, deltas=[],
+            )
         if events.num_rows == 0:
             # pure-duplicate delivery: watermark may still advance; files kept
             return self._record(
@@ -607,6 +657,10 @@ class AlignedSegmentApplier:
         self.inner = PartitionApplier(
             manifest_doc, lake_dir, target_rows_per_file, source=source
         )
+        # aligned tasks own exactly one partition: a truncate marker emits
+        # ONE _p = -1 sentinel row (rewritten to this task's partition
+        # below) instead of fanning out to every partition
+        norm_kwargs = dict(norm_kwargs, truncate_fanout=False)
         self.norm = NormalizeEnvelope(**norm_kwargs)
         self.binlog_dir = binlog_dir
         self.key = manifest_doc["key"]
@@ -685,6 +739,16 @@ class AlignedSegmentApplier:
                 rec = self.inner._record_unchanged(int(p))
             else:
                 events = pa.concat_tables(flats) if len(flats) > 1 else flats[0]
+                if self.norm.truncate_events:
+                    parr = events[S.PART].combine_chunks()
+                    sent = pc.equal(parr, pa.scalar(-1, pa.int32()))
+                    if pc.any(sent).as_py():
+                        # truncate sentinel rows adopt this task's partition
+                        i = events.schema.get_field_index(S.PART)
+                        events = events.set_column(
+                            i, events.schema.field(i),
+                            pc.if_else(sent, pa.scalar(p, pa.int32()), parr),
+                        )
                 pcol = events[S.PART]
                 if pc.min(pcol).as_py() != p or pc.max(pcol).as_py() != p:
                     raise RuntimeError(

@@ -105,6 +105,8 @@ class NormalizeEnvelope:
         emit_set_mask: bool = False,
         constraints: Sequence[tuple] = (),
         column_transforms: Sequence[tuple] = (),
+        truncate_events: bool = False,
+        truncate_fanout: bool = True,
     ):
         self.schema = S.schema_from_b64(schema_b64)
         self.key = key
@@ -145,6 +147,15 @@ class NormalizeEnvelope:
         # value redaction (mask / truncate / hash) — validated once per
         # actor, applied vectorized per batch BEFORE constraints (rules see
         # the values the lake will actually store)
+        # TRUNCATE events (op='t', EngineConfig.truncate_events): the keyless
+        # control record is split off BEFORE key extraction and re-emitted
+        # as one marker row per lake partition (truncate_fanout=True, the
+        # exchange path) or a single _p = -1 sentinel row (the aligned path
+        # rewrites it to the task's own partition). Disabled → op='t' rows
+        # fall through the unsupported-kind skip like the reference's
+        # unhandled mutation kinds.
+        self.truncate_events = truncate_events
+        self.truncate_fanout = truncate_fanout
         self.column_transforms = compile_column_transforms(
             column_transforms, protected
         )
@@ -176,6 +187,21 @@ class NormalizeEnvelope:
             if n == 0:
                 return self._empty()
         op = batch["op"].combine_chunks()
+        trunc_lsn = None
+        if self.truncate_events:
+            tmask = pc.fill_null(pc.equal(op, "t"), False)
+            if pc.any(tmask).as_py():
+                # only the max truncate LSN matters (an older truncate is
+                # shadowed by a newer one within the epoch)
+                trunc_lsn = pc.max(
+                    batch.filter(tmask)["source"].combine_chunks().field("lsn")
+                ).as_py()
+                batch = batch.filter(pc.invert(tmask))
+                src = batch["source"].combine_chunks()
+                op = batch["op"].combine_chunks()
+                n = batch.num_rows
+                if n == 0:
+                    return self._with_truncate(self._empty(), trunc_lsn)
         ok = pc.is_in(op, value_set=_VALID_OPS)
         if not pc.all(ok).as_py():
             # unsupported kinds are skipped (with the reference's
@@ -185,7 +211,7 @@ class NormalizeEnvelope:
             op = batch["op"].combine_chunks()
             n = batch.num_rows
             if n == 0:
-                return self._empty()
+                return self._with_truncate(self._empty(), trunc_lsn)
 
         payload_env = batch["after"].type  # struct type as written
         env_fields = {f.name for f in payload_env}
@@ -303,7 +329,7 @@ class NormalizeEnvelope:
         if not pc.all(key_valid).as_py():
             out = out.filter(key_valid)
             if out.num_rows == 0:
-                return self._empty()
+                return self._with_truncate(self._empty(), trunc_lsn)
         if self.constraints:
             # CHECK constraints: a violating c/u/r row is dropped before
             # apply (the prior lake value survives); deletes are exempt
@@ -311,7 +337,7 @@ class NormalizeEnvelope:
             if pc.any(bad).as_py():
                 out = out.filter(pc.invert(bad))
                 if out.num_rows == 0:
-                    return self._empty()
+                    return self._with_truncate(self._empty(), trunc_lsn)
         out = out.append_column(
             S.PART,
             pa.array(
@@ -319,7 +345,7 @@ class NormalizeEnvelope:
                 type=pa.int32(),
             ),
         )
-        return out
+        return self._with_truncate(out, trunc_lsn)
 
     def _env_schema(self, names) -> pa.Schema:
         fallback = (self.key_cols or [self.key])[0]
@@ -342,6 +368,28 @@ class NormalizeEnvelope:
         cols[S.LSN] = pa.nulls(0, pa.int64())
         cols[S.PART] = pa.nulls(0, pa.int32())
         return pa.table(cols)
+
+    def _with_truncate(self, out: pa.Table, trunc_lsn) -> pa.Table:
+        """Append the truncate marker rows (null payload, null key, op='t')
+        to a normalized batch: one per lake partition when fanning out
+        (exchange path), or a single ``_p = -1`` sentinel the aligned
+        applier rewrites to its own partition."""
+        if trunc_lsn is None:
+            return out
+        reps = self.num_partitions if self.truncate_fanout else 1
+        arrays = []
+        for f in out.schema:
+            if f.name == "op":
+                arrays.append(pa.array(["t"] * reps, f.type))
+            elif f.name == S.LSN:
+                arrays.append(pa.array([trunc_lsn] * reps, pa.int64()))
+            elif f.name == S.PART:
+                vals = list(range(reps)) if self.truncate_fanout else [-1]
+                arrays.append(pa.array(vals, pa.int32()))
+            else:
+                arrays.append(pa.nulls(reps, f.type))
+        marker = pa.Table.from_arrays(arrays, schema=out.schema)
+        return pa.concat_tables([out, marker])
 
 def violation_mask(out: pa.Table, constraints) -> tuple:
     """(bad_mask BooleanArray, reason StringArray) over a normalized
