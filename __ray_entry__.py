@@ -5670,6 +5670,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             buckets=32,
         )
 
+    def text_heaps_law(sf_dir):
+        """Heaps'-law vocabulary growth per corpus source: total tokens N,
+        exact distinct tokens V, and the global log-log fit V = k*N^beta
+        (regr_slope/intercept over ln N, ln V). Token totals fold as
+        per-block sums; vocabulary dedupes per block then shuffles ONCE
+        by token hash; only O(sources) rows reach the driver fit."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import heaps_law
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+        return heaps_law(docs, buckets=32)
+
+    def orders_late_ship(sf_dir):
+        """TPC-H Q4 shape (EXISTS semi-join on a derived condition): per
+        order priority, how many orders have at least one lineitem
+        shipped more than 60 days after the order date. One bucketed
+        shuffle co-locates each order's lineitems with its order row;
+        the distinct-order count finishes in-bucket (the bucket owns the
+        whole key), so only per-priority partials leave."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate"],
+        )
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        sixty_days = pa.scalar(60 * 86400 * 1_000_000, pa.duration("us"))
+
+        def post(j: pa.Table) -> pa.Table:
+            late = pc.greater(
+                j["l_shipdate"], pc.add(j["o_orderdate"], sixty_days)
+            )
+            d = (
+                j.filter(late)
+                .select(["l_orderkey", "o_orderpriority"])
+                .group_by(["l_orderkey", "o_orderpriority"])
+                .aggregate([])
+            )
+            g = d.group_by("o_orderpriority").aggregate([([], "count_all")])
+            return pa.table({
+                "o_orderpriority": g["o_orderpriority"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        joined = shuffle_join(
+            li, orders, on="l_orderkey", right_on="o_orderkey",
+            buckets=32, post=post,
+        )
+        return (
+            joined.groupby("o_orderpriority")
+            .aggregate(Sum("n", alias_name="n_late_orders"))
+        )
+
+    def graph_kcore(sf_dir):
+        """Bounded k-core peeling (k=3, 4 rounds) of the top-2000
+        co-purchase subgraph: each round drops nodes of degree < 3 and
+        the edges touching them — one degree fold + one broadcast
+        semi-filter per round, the distributed core-decomposition step.
+        Survivors report their degree inside the final edge set; the
+        oracle unrolls the same 4 rounds."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import kcore_peel
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return kcore_peel(edges, k=3, rounds=4, buckets=32)
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -5867,6 +5952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": graph_triangles,
         "graph_local_clustering": graph_local_clustering,
         "graph_adamic_adar": graph_adamic_adar,
+        "graph_kcore": graph_kcore,
+        "text_heaps_law": text_heaps_law,
+        "orders_late_ship": orders_late_ship,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -5924,6 +6012,49 @@ _TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE length(string_split_regex(trim(text), '\\s+')) END"
 )
+
+
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled bounded k-core peeling over the top-2000 co-purchase edge
+    cut — the same `rounds` degree-fold/filter levels the engine runs
+    (extra rounds past the fixed point are no-ops on both sides)."""
+    # MATERIALIZED CTEs: DuckDB inlines plain CTEs per reference, so the
+    # unrolled rounds would re-evaluate the expensive pair join
+    # exponentially (observed: a spilled-to-disk blowup at sf0.1)
+    sql = (
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+        "l_partkey AS item FROM lineitem), "
+        "p AS MATERIALIZED (SELECT x.item AS a, y.item AS b, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+        "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+        "e0 AS MATERIALIZED (SELECT a, b FROM p "
+        "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000)"
+    )
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        sql += (
+            f", d{r} AS MATERIALIZED (SELECT node, "
+            "CAST(count(*) AS BIGINT) AS d FROM "
+            f"(SELECT a AS node FROM e{prev} "
+            f"UNION ALL SELECT b FROM e{prev}) GROUP BY 1)"
+            f", n{r} AS MATERIALIZED (SELECT node FROM d{r} "
+            f"WHERE d >= {k})"
+            f", e{r} AS MATERIALIZED (SELECT e{prev}.a, e{prev}.b "
+            f"FROM e{prev} "
+            f"JOIN n{r} x ON e{prev}.a = x.node "
+            f"JOIN n{r} y ON e{prev}.b = y.node)"
+        )
+    fin = rounds + 1
+    sql += (
+        f", d{fin} AS MATERIALIZED (SELECT node, "
+        "CAST(count(*) AS BIGINT) AS d FROM "
+        f"(SELECT a AS node FROM e{rounds} "
+        f"UNION ALL SELECT b FROM e{rounds}) GROUP BY 1) "
+        f"SELECT n{rounds}.node, "
+        f"CAST(coalesce(d{fin}.d, 0) AS BIGINT) AS core_deg "
+        f"FROM n{rounds} LEFT JOIN d{fin} USING (node) ORDER BY node"
+    )
+    return sql
 
 # synthesized messy URL per doc_id + the SAME canonicalization passes as
 # functions/web.py (_CANON_STEPS order; RE2 both sides): global '&utm'
@@ -8071,6 +8202,31 @@ def oracle_sql() -> dict[str, str]:
             "ON e.a = aa.x AND e.b = aa.y WHERE e.a IS NULL) "
             "SELECT x AS node_a, y AS node_b, aa_score FROM ne "
             "ORDER BY aa_score DESC, node_a ASC, node_b ASC LIMIT 50"
+        ),
+        "graph_kcore": _kcore_sql(k=3, rounds=4),
+        "text_heaps_law": (
+            # same whitespace tokenizer as text_token_count; Heaps fit =
+            # regr_slope/intercept over (ln N, ln V) across sources
+            "WITH tok AS (SELECT source, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT w) AS BIGINT) AS n_vocab "
+            "FROM tok GROUP BY 1), "
+            "fit AS (SELECT regr_slope(ln(n_vocab), ln(n_tokens)) AS beta, "
+            "regr_intercept(ln(n_vocab), ln(n_tokens)) AS a FROM s) "
+            "SELECT s.source, s.n_tokens, s.n_vocab, "
+            "round(fit.beta, 6) AS heaps_beta, "
+            "round(exp(fit.a), 6) AS heaps_k FROM s, fit"
+        ),
+        "orders_late_ship": (
+            # Q4 shape: EXISTS lineitem shipped > 60 days after the order
+            "SELECT o.o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_late_orders FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY 1"
         ),
         "graph_assortativity": (
             # same top-2000 edge cut as graph_triangles; assortativity =

@@ -989,3 +989,95 @@ def adamic_adar(edges, src_col: str = "src", dst_col: str = "dst",
                    ("node_b", "ascending")],
     )
     return out.take(order)
+
+
+def kcore_peel(edges, src_col: str = "src", dst_col: str = "dst",
+               k: int = 3, rounds: int = 4, buckets: int = 64):
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every node
+    with degree < k, keep only edges between survivors" — the standard
+    distributed core-decomposition round (each round is one degree fold +
+    one broadcast semi-filter of the edge set). With enough rounds this
+    converges to the exact k-core; bounding the round count makes the
+    operator's cost explicit and the oracle finitely expressible (the SQL
+    unrolls the same ``rounds`` levels, and extra rounds past the fixed
+    point are no-ops on both sides). Returns the surviving nodes with
+    their degree inside the final surviving-edge set (0 for a survivor
+    whose last neighbors were peeled in the final round).
+
+    Scale shape: the edge set stays distributed and is re-pinned per
+    round; only the O(|V|) degree table and the survivor node set touch
+    the driver / broadcast (ray.put once per round)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks()
+        d = t[dst_col].combine_chunks()
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        keep = pc.and_(
+            pc.not_equal(a, b),
+            pc.and_(pc.is_valid(a), pc.is_valid(b)),
+        )
+        return pa.table({"a": a, "b": b}).filter(keep)
+
+    cur = distinct_edges(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", "b", buckets=buckets,
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        g = pa.table({"node": nodes}).group_by("node").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "node": g["node"],
+            "dcnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def degrees(edge_ds) -> pa.Table:
+        d = (
+            edge_ds.map_batches(deg_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Sum("dcnt", alias_name="deg"))
+        )
+        blocks = [b for b in d.iter_batches(batch_format="pyarrow")]
+        if not blocks:
+            return pa.table({
+                "node": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(blocks, promote_options="permissive")
+
+    survivors = None
+    for _ in range(rounds):
+        deg = degrees(cur)
+        keepers = deg.filter(
+            pc.greater_equal(deg["deg"], pa.scalar(k, pa.int64()))
+        )["node"].combine_chunks()
+        survivors = keepers
+        ref = ray.put(keepers)
+
+        def filt(t: pa.Table) -> pa.Table:
+            kn = ray.get(ref)
+            return t.filter(pc.and_(
+                pc.is_in(t["a"], value_set=kn),
+                pc.is_in(t["b"], value_set=kn),
+            ))
+
+        cur = cur.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    final_deg = degrees(cur)
+    out = pa.table({"node": survivors}).join(
+        final_deg, keys=["node"], join_type="left outer"
+    )
+    core = pc.cast(pc.fill_null(out["deg"], 0), pa.int64())
+    res = pa.table({"node": out["node"], "core_deg": core})
+    return res.take(pc.sort_indices(res, sort_keys=[("node", "ascending")]))

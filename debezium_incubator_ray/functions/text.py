@@ -1472,3 +1472,102 @@ def json_field_stats(ds, props_col: str = "props", field: str = "k",
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def heaps_law(docs, group_col: str = "source", text_col: str = "text",
+              buckets: int = 32):
+    """Heaps'-law vocabulary-growth fit: per group (corpus source), the
+    total whitespace-token count N and exact distinct-token count V, plus
+    the global log-log least-squares fit V = k * N^beta across groups —
+    the corpus-health gauge (a source whose vocabulary grows off-trend is
+    boilerplate-heavy or spam).
+
+    Scale shape: token totals fold as per-block partial sums; vocabulary
+    counts dedupe per block to distinct (group, token) pairs (the
+    combiner), shuffle ONCE by token hash so in-bucket distinct counts
+    sum to the global count, and fold per group. Only O(groups) rows
+    reach the driver, where the two-point-per-group regression runs. The
+    fit follows SQL's regr_slope/regr_intercept (population covariance /
+    variance over ln N, ln V)."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.hashing import stable_hash
+
+    def _nonempty(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t[text_col].combine_chunks())
+        keep = pc.greater(pc.utf8_length(trimmed), 0)
+        return pa.table({group_col: t[group_col], "_tr": trimmed}).filter(keep)
+
+    def totals(t: pa.Table) -> pa.Table:
+        t2 = _nonempty(t)
+        toks = pc.split_pattern_regex(t2["_tr"], _WS)
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        g = pa.table({group_col: t2[group_col], "n": n}).group_by(
+            group_col
+        ).aggregate([("n", "sum")])
+        return g.rename_columns([group_col, "n"])
+
+    tot = (
+        docs.map_batches(totals, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n_tokens"))
+    )
+
+    def vocab_pairs(t: pa.Table) -> pa.Table:
+        t2 = _nonempty(t)
+        toks = pc.split_pattern_regex(t2["_tr"], _WS).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = t2[group_col].take(parent)
+        d = pa.table({group_col: src, "w": flat}).group_by(
+            [group_col, "w"]
+        ).aggregate([])
+        b = (stable_hash(d["w"]) % np.uint64(buckets)).astype(np.int32)
+        return d.append_column("_b", pa.array(b))
+
+    def bucket_vocab(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"]).group_by([group_col, "w"]).aggregate([])
+        c = d.group_by(group_col).aggregate([([], "count_all")])
+        return pa.table({
+            group_col: c[group_col],
+            "v": pc.cast(c["count_all"], pa.int64()),
+        })
+
+    voc = (
+        docs.map_batches(vocab_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(bucket_vocab, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("v", alias_name="n_vocab"))
+    )
+
+    def _collect(ds):
+        blocks = [b for b in ds.iter_batches(batch_format="pyarrow")]
+        return pa.concat_tables(blocks, promote_options="permissive")
+
+    t_tot, t_voc = _collect(tot), _collect(voc)
+    j = t_tot.join(t_voc, keys=[group_col], join_type="inner").sort_by(
+        [(group_col, "ascending")]
+    )
+    x = np.log(j["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64))
+    y = np.log(j["n_vocab"].to_numpy(zero_copy_only=False).astype(np.float64))
+    n = len(x)
+    beta = k_coef = None
+    if n >= 2:
+        mx, my = x.mean(), y.mean()
+        varx = ((x - mx) ** 2).mean()
+        if varx > 0:
+            beta = float(((x - mx) * (y - my)).mean() / varx)
+            k_coef = float(np.exp(my - beta * mx))
+    return pa.table({
+        group_col: j[group_col],
+        "n_tokens": j["n_tokens"],
+        "n_vocab": j["n_vocab"],
+        "heaps_beta": pa.array(
+            [None if beta is None else round(beta, 6)] * n, pa.float64()
+        ),
+        "heaps_k": pa.array(
+            [None if k_coef is None else round(k_coef, 6)] * n, pa.float64()
+        ),
+    })

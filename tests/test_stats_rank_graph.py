@@ -1373,3 +1373,41 @@ def test_hll_accuracy_and_determinism():
         })), "v"
     ).to_pandas()
     assert abs(s["estimate"][0] - 30) < 3
+
+
+def test_kcore_peel_converged_triangle_plus_tail(ray_session):
+    """K4 clique + a pendant path: 3-core = exactly the K4 (peeling
+    converges in 2 rounds; extra rounds are no-ops)."""
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.graph import kcore_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    src, dst = zip(*(k4 + tail))
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    }))
+    out = kcore_peel(edges, k=3, rounds=4, buckets=4)
+    assert out["node"].to_pylist() == [1, 2, 3, 4]
+    assert out["core_deg"].to_pylist() == [3, 3, 3, 3]
+
+
+def test_adamic_adar_square(ray_session):
+    """4-cycle: the two diagonals are the only non-adjacent pairs; each
+    has two common neighbors of degree 2 -> AA = 2/ln(2)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.graph import adamic_adar
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 4], pa.int64()),
+        "dst": pa.array([2, 3, 4, 1], pa.int64()),
+    }))
+    out = adamic_adar(edges, k=10, buckets=4)
+    assert out["node_a"].to_pylist() == [1, 2]
+    assert out["node_b"].to_pylist() == [3, 4]
+    expect = round(2.0 / math.log(2.0), 6)
+    assert out["aa_score"].to_pylist() == [expect, expect]
