@@ -6827,7 +6827,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_ohlc": (
             "WITH b AS (SELECT strftime(date_trunc('day', ts), "
             "'%Y-%m-%d') AS day, value, ts, event_id FROM events "
-            "WHERE value IS NOT NULL AND NOT isnan(value)), "
+            "WHERE value IS NOT NULL AND NOT isnan(value) "
+            "AND ts IS NOT NULL), "
             "r AS (SELECT day, value, row_number() OVER "
             "(PARTITION BY day ORDER BY ts, event_id) AS ra, "
             "row_number() OVER (PARTITION BY day ORDER BY ts DESC, "

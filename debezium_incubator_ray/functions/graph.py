@@ -56,6 +56,29 @@ def distinct_edges(ds, src_col: str, dst_col: str, buckets: int = 128):
     return distinct_rows(ds, [src_col, dst_col], buckets=buckets)
 
 
+
+def canonical_edges(edges, src_col: str, dst_col: str, buckets: int = 64):
+    """Canonical (min, max) distinct edge set, loops/NULLs dropped, PINNED —
+    the shared front step of every undirected-graph operator here."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks()
+        d = t[dst_col].combine_chunks()
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        keep = pc.and_(
+            pc.not_equal(a, b),
+            pc.and_(pc.is_valid(a), pc.is_valid(b)),
+        )
+        return pa.table({"a": a, "b": b}).filter(keep)
+
+    return distinct_edges(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", "b", buckets=buckets,
+    ).materialize()
+
+
 def pagerank(
     edges,
     src_col: str = "src",
@@ -868,23 +891,8 @@ def adamic_adar(edges, src_col: str = "src", dst_col: str = "dst",
         expand_pairs, merge_local_topk,
     )
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t[src_col].combine_chunks()
-        d = t[dst_col].combine_chunks()
-        a = pc.min_element_wise(s, d)
-        b = pc.max_element_wise(s, d)
-        keep = pc.and_(
-            pc.not_equal(a, b),
-            pc.and_(pc.is_valid(a), pc.is_valid(b)),
-        )
-        return pa.table({"a": a, "b": b}).filter(keep)
-
     # consumed by the adjacency expansion AND the edge markers — pin once
-    ce = distinct_edges(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "a", "b", buckets=buckets,
-    ).materialize()
+    ce = canonical_edges(edges, src_col, dst_col, buckets=buckets)
 
     def adjacency(t: pa.Table) -> pa.Table:
         c = pa.chunked_array([t["a"].combine_chunks(),
@@ -1010,22 +1018,9 @@ def kcore_peel(edges, src_col: str = "src", dst_col: str = "dst",
     import ray
     from ray.data.aggregate import Sum
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t[src_col].combine_chunks()
-        d = t[dst_col].combine_chunks()
-        a = pc.min_element_wise(s, d)
-        b = pc.max_element_wise(s, d)
-        keep = pc.and_(
-            pc.not_equal(a, b),
-            pc.and_(pc.is_valid(a), pc.is_valid(b)),
-        )
-        return pa.table({"a": a, "b": b}).filter(keep)
-
-    cur = distinct_edges(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "a", "b", buckets=buckets,
-    ).materialize()
+    if rounds < 1:
+        raise ValueError("kcore_peel needs rounds >= 1")
+    cur = canonical_edges(edges, src_col, dst_col, buckets=buckets)
 
     def deg_partial(t: pa.Table) -> pa.Table:
         nodes = pa.chunked_array(
@@ -1046,13 +1041,12 @@ def kcore_peel(edges, src_col: str = "src", dst_col: str = "dst",
             .groupby("node")
             .aggregate(Sum("dcnt", alias_name="deg"))
         )
-        blocks = [b for b in d.iter_batches(batch_format="pyarrow")]
-        if not blocks:
-            return pa.table({
-                "node": pa.array([], pa.int64()),
-                "deg": pa.array([], pa.int64()),
-            })
-        return pa.concat_tables(blocks, promote_options="permissive")
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        return collect_table(d, empty=pa.table({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+        }))
 
     survivors = None
     for _ in range(rounds):

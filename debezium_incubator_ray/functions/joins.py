@@ -514,11 +514,9 @@ def bloom_semi_join(
 
 
 def _collect(ds, empty: pa.Table | None = None) -> pa.Table:
-    """Driver collect of a SMALL (already-aggregated) Dataset."""
-    blocks = [b for b in ds.iter_batches(batch_format="pyarrow")]
-    if not blocks:
-        return empty if empty is not None else pa.table({})
-    return pa.concat_tables(blocks, promote_options="permissive")
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    return collect_table(ds, empty)
 
 
 def small_qty_brand_revenue(li, part_dim: pa.Table,
@@ -698,16 +696,20 @@ def association_rules(ds, group_col: str, item_col: str,
     from debezium_incubator_ray.functions.graph import distinct_rows
     from debezium_incubator_ray.functions.kernels import table_topk
 
-    pairs = copurchase_pairs(ds, group_col, item_col, k=k_pairs)
+    # ONE distributed dedup to distinct (group, item), pinned — the pair
+    # counter, the per-item basket counts and the basket total all derive
+    # from it (three independent full scans otherwise)
+    d = distinct_rows(ds, [group_col, item_col]).materialize()
+    pairs = copurchase_pairs(d, group_col, item_col, k=k_pairs)
     a_col, b_col = f"{item_col}_a", f"{item_col}_b"
     item_n = _collect(
-        distinct_count_per_group(ds, item_col, group_col),
+        distinct_count_per_group(d, item_col, group_col),
         empty=pa.table({
             item_col: pa.array([], pa.int64()),
             "n_distinct": pa.array([], pa.int64()),
         }),
     ).rename_columns([item_col, "n_item"])
-    n_groups = distinct_rows(ds, [group_col]).count()
+    n_groups = distinct_rows(d, [group_col]).count()
 
     j = pairs.join(
         item_n.rename_columns([a_col, "n_a"]), keys=[a_col],

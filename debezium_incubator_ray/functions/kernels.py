@@ -113,3 +113,12 @@ def group_argmin(ds, group_col: str, value_col: str, tie_col: str,
         .groupby("_b")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def collect_table(ds, empty: pa.Table | None = None) -> pa.Table:
+    """Driver collect of a SMALL (already-aggregated) Dataset — the shared
+    iter_batches-concat loop every metadata-sized fold finishes with."""
+    blocks = [b for b in ds.iter_batches(batch_format="pyarrow")]
+    if not blocks:
+        return empty if empty is not None else pa.table({})
+    return pa.concat_tables(blocks, promote_options="permissive")

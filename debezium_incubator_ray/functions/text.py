@@ -1542,11 +1542,9 @@ def heaps_law(docs, group_col: str = "source", text_col: str = "text",
         .aggregate(Sum("v", alias_name="n_vocab"))
     )
 
-    def _collect(ds):
-        blocks = [b for b in ds.iter_batches(batch_format="pyarrow")]
-        return pa.concat_tables(blocks, promote_options="permissive")
+    from debezium_incubator_ray.functions.kernels import collect_table
 
-    t_tot, t_voc = _collect(tot), _collect(voc)
+    t_tot, t_voc = collect_table(tot), collect_table(voc)
     j = t_tot.join(t_voc, keys=[group_col], join_type="inner").sort_by(
         [(group_col, "ascending")]
     )

@@ -1774,6 +1774,8 @@ def daily_ohlc(ds, ts_col: str = "ts", order_col: str = "event_id",
 
     def partial(t: pa.Table) -> pa.Table:
         t = drop_null_nan(t, value_col)
+        # a NULL event time has no bar; the oracle filters ts IS NOT NULL
+        t = t.filter(pc.is_valid(t[ts_col]))
         if t.num_rows == 0:
             return pa.table({
                 "day": pa.array([], pa.string()),
@@ -1790,7 +1792,7 @@ def daily_ohlc(ds, ts_col: str = "ts", order_col: str = "event_id",
         ts = t[ts_col].combine_chunks()
         day = pc.strftime(pc.floor_temporal(ts, unit="day"),
                           format="%Y-%m-%d")
-        tsu = pc.cast(ts, pa.int64()).to_numpy()
+        tsu = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
         oid = pc.cast(t[order_col], pa.int64()).to_numpy()
         val = pc.cast(t[value_col], pa.float64()).to_numpy(
             zero_copy_only=False

@@ -542,6 +542,24 @@ def tx_tagged_envelopes(sf_dir: str) -> pa.Table:
     return env.append_column("tx_events", pa.array(tx_ev, pa.int32()))
 
 
+def truncate_marker(t_lsn: int, table: str = "events_a") -> pa.Table:
+    """One op='t' truncate envelope per binlog partition at ``t_lsn`` (the
+    aligned-log replication contract) — shared by the harness query and
+    the truncate tests."""
+    p = NUM_PARTITIONS
+    after_nulls = pa.table(
+        {f.name: pa.nulls(p, f.type) for f in EVENTS_PAYLOAD}
+    )
+    return build_envelopes(
+        pa.array(["t"] * p, pa.string()),
+        after_nulls,
+        None,
+        np.arange(p, dtype=np.int32),
+        pa.array([t_lsn] * p, pa.int64()),
+        table=table,
+    )
+
+
 def final_state_truncated(sf_dir: str, aligned: bool = True) -> pa.Table:
     """TRUNCATE TABLE mid-stream (op='t', the Debezium truncate record):
     events get lsn = 2*event_id (leaving odd LSNs free for control
@@ -556,18 +574,9 @@ def final_state_truncated(sf_dir: str, aligned: bool = True) -> pa.Table:
     n = env.num_rows
     t_eid = (n - 1) * 3 // 5  # event ids are dense 0..N-1
     t_lsn = 2 * t_eid + 1
-    after_nulls = pa.table(
-        {f.name: pa.nulls(NUM_PARTITIONS, f.type) for f in EVENTS_PAYLOAD}
+    env2 = pa.concat_tables(
+        [env, truncate_marker(t_lsn)], promote_options="permissive"
     )
-    marker = build_envelopes(
-        pa.array(["t"] * NUM_PARTITIONS, pa.string()),
-        after_nulls,
-        None,
-        np.arange(NUM_PARTITIONS, dtype=np.int32),
-        pa.array([t_lsn] * NUM_PARTITIONS, pa.int64()),
-        table="events_a",
-    )
-    env2 = pa.concat_tables([env, marker], promote_options="permissive")
     # segments stay LSN-ordered per partition (commit-log order): ts_ms
     # mirrors the lsn in build_envelopes
     env2 = env2.sort_by([("ts_ms", "ascending")])

@@ -9,12 +9,11 @@ fan-out) and the aligned path (per-partition marker replication) agree.
 
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from debezium_incubator_ray import schema as S
-from debezium_incubator_ray.envelope import build_envelopes, lww_reduce
+from debezium_incubator_ray.envelope import lww_reduce
 from debezium_incubator_ray.pipelines import events_cdc as EC
 
 from tests.conftest import assert_tables_equal
@@ -35,15 +34,7 @@ def test_truncate_replay_and_restart_noop(ray_session):
     env = EC.events_envelopes(SF, lsn_stride=2)
     n = env.num_rows
     t_lsn = 2 * ((n - 1) * 3 // 5) + 1
-    P = EC.NUM_PARTITIONS
-    after_nulls = pa.table(
-        {f.name: pa.nulls(P, f.type) for f in EC.EVENTS_PAYLOAD}
-    )
-    marker = build_envelopes(
-        pa.array(["t"] * P, pa.string()), after_nulls, None,
-        np.arange(P, dtype=np.int32),
-        pa.array([t_lsn] * P, pa.int64()), table="events_a",
-    )
+    marker = EC.truncate_marker(t_lsn)
     env2 = pa.concat_tables([env, marker], promote_options="permissive")
     env2 = env2.sort_by([("ts_ms", "ascending")])
     EC.write_env_binlog(env2, binlog)
@@ -80,15 +71,7 @@ def test_truncate_across_epochs_wipes_committed_rows(ray_session):
     eng.run(binlog)
     assert eng.lake_table().num_rows > 0
     t_lsn = 2 * (env.num_rows - 1) + 1  # newer than every event
-    P = EC.NUM_PARTITIONS
-    after_nulls = pa.table(
-        {f.name: pa.nulls(P, f.type) for f in EC.EVENTS_PAYLOAD}
-    )
-    marker = build_envelopes(
-        pa.array(["t"] * P, pa.string()), after_nulls, None,
-        np.arange(P, dtype=np.int32),
-        pa.array([t_lsn] * P, pa.int64()), table="events_a",
-    )
+    marker = EC.truncate_marker(t_lsn)
     EC.write_env_binlog(marker, binlog, append=True)
     eng.run(binlog)
     assert eng.lake_table().num_rows == 0
@@ -102,15 +85,7 @@ def test_truncate_disabled_skips_marker(ray_session):
     lake = os.path.join(root, "lake")
     env = EC.events_envelopes(SF)
     t_lsn = env.num_rows * 10  # would wipe everything if honored
-    P = EC.NUM_PARTITIONS
-    after_nulls = pa.table(
-        {f.name: pa.nulls(P, f.type) for f in EC.EVENTS_PAYLOAD}
-    )
-    marker = build_envelopes(
-        pa.array(["t"] * P, pa.string()), after_nulls, None,
-        np.arange(P, dtype=np.int32),
-        pa.array([t_lsn] * P, pa.int64()), table="events_a",
-    )
+    marker = EC.truncate_marker(t_lsn)
     env2 = pa.concat_tables([env, marker], promote_options="permissive")
     EC.write_env_binlog(env2, binlog)
     eng = EC.make_engine(lake)  # truncate_events defaults False
