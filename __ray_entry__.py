@@ -749,6 +749,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_outbox(sf_dir):
+        """Outbox event router SMT (the Debezium outbox pattern): the whole
+        stream arrives as ONE physical `outbox` table; the router rewrites
+        each envelope's destination from its aggregate-type payload column
+        (deletes fall back to the before image) and the single-pass demux
+        commits five per-aggregate lake tables. Per (aggregate, user) the
+        final row is the LWW winner among events ROUTED to that table."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        from debezium_incubator_ray.config import EngineConfig
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, NUM_PARTITIONS as P, events_envelopes,
+            scratch_dir, write_env_binlog,
+        )
+        from debezium_incubator_ray.pipelines.lake import Lake
+        from debezium_incubator_ray.stages.normalize import make_outbox_router
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("outbox")
+        binlog = os.path.join(root, "binlog")
+        env = events_envelopes(sf_dir)
+        src = env["source"].combine_chunks()
+        outbox = pa.array(["outbox"] * env.num_rows, pa.string())
+        new_src = pa.StructArray.from_arrays(
+            [src.field("partition"), src.field("lsn"), outbox,
+             src.field("snapshot"), src.field("ts_us")],
+            fields=list(S.source_schema()),
+        )
+        i = env.schema.get_field_index("source")
+        env = env.set_column(
+            i, pa.field("source", new_src.type, nullable=False), new_src
+        )
+        write_env_binlog(env, binlog)
+        types = sorted(
+            pc.unique(
+                _pq.read_table(
+                    os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_type"],
+                )["event_type"].combine_chunks()
+            ).to_pylist()
+        )
+        lake = Lake(os.path.join(root, "lake"))
+        for ty in types:
+            lake.create_table(
+                f"out_{ty}",
+                EVENTS_PAYLOAD,
+                EngineConfig(
+                    key="user_id", num_partitions=P, partitioner="mod",
+                    apply_concurrency=4, target_rows_per_file=100_000,
+                ),
+            )
+        lake.apply_epoch_demux(
+            binlog,
+            route_fn=make_outbox_router("event_type", prefix="out_"),
+        )
+        outs = []
+        for ty in types:
+            lt = lake[f"out_{ty}"].lake_table(include_lsn=True)
+            lt = lt.append_column("tbl", pa.array([f"out_{ty}"] * lt.num_rows))
+            outs.append(lt)
+        out = pa.concat_tables(outs)
+        i = out.schema.get_field_index(S.LSN)
+        return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
     def cdc_compaction(sf_dir):
         """Small-run compaction is state-preserving: fragment the lake
         (tiny target_rows_per_file + small segments → many sorted runs per
@@ -5755,6 +5820,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return kcore_peel(edges, k=3, rounds=4, buckets=32)
 
+    def events_rolling_median(sf_dir):
+        """Trailing-7-day exact median of the value stream per event day
+        (the rolling-median monitoring series): quantiles can't
+        pre-aggregate, so each 8-byte value replicates into its <= 7
+        windows and ONE groupby co-locates each window; phantom windows
+        (anchor day without events) emit nothing."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            rolling_window_quantile,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "value"],
+        )
+        return rolling_window_quantile(
+            ev, window_days=7, q=0.5, out_col="med_7d"
+        )
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -5791,6 +5875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_widen": cdc_schema_widen,
         "cdc_schema_drop": cdc_schema_drop,
         "cdc_multi_table": cdc_multi_table,
+        "cdc_outbox": cdc_outbox,
         "cdc_compaction": cdc_compaction,
         "cdc_mor_lww": cdc_mor_lww,
         "cdc_time_travel": cdc_time_travel,
@@ -5955,6 +6040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": graph_kcore,
         "text_heaps_law": text_heaps_law,
         "orders_late_ship": orders_late_ship,
+        "events_rolling_median": events_rolling_median,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -6191,6 +6277,23 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rn = 1 AND op <> 'd' GROUP BY event_type",
         "cdc_lww_state": _LWW
         + f"SELECT {lww_cols} FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_outbox": (
+            # outbox routing: destination = event_type payload column;
+            # deletes route by the before image (SQL lag); null route rows
+            # reach no table
+            "WITH env AS (SELECT user_id, event_id AS lsn, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "ts, event_type, value, props, "
+            "CASE WHEN event_id % 10 = 0 THEN lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) "
+            "ELSE event_type END AS rt FROM events), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY rt, user_id ORDER BY lsn DESC) AS rn "
+            "FROM env WHERE rt IS NOT NULL) "
+            "SELECT 'out_' || rt AS tbl, user_id, ts, event_type, value, "
+            "props, lsn FROM ranked WHERE rn = 1 AND op <> 'd'"
+        ),
         "cdc_truncate": (
             # lsn = 2*event_id; the truncate marker at 2*T+1 wipes
             # everything at or below it, so exactly event_id > T survives
@@ -8219,6 +8322,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.source, s.n_tokens, s.n_vocab, "
             "round(fit.beta, 6) AS heaps_beta, "
             "round(exp(fit.a), 6) AS heaps_k FROM s, fit"
+        ),
+        "events_rolling_median": (
+            "WITH b AS (SELECT date_trunc('day', ts) AS d, value AS v "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+            "AND ts IS NOT NULL), "
+            "days AS (SELECT DISTINCT d FROM b), "
+            "w AS (SELECT days.d AS wd, b.v FROM days JOIN b "
+            "ON b.d >= days.d - INTERVAL 6 DAY AND b.d <= days.d) "
+            "SELECT strftime(wd, '%Y-%m-%d') AS day, "
+            "CAST(count(*) AS BIGINT) AS n_win, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 6) "
+            "AS med_7d FROM w GROUP BY 1"
         ),
         "orders_late_ship": (
             # Q4 shape: EXISTS lineitem shipped > 60 days after the order

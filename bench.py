@@ -340,6 +340,10 @@ def main() -> None:
         "events_changepoint",
         "cdc_prefix_lookup",
         "cdc_key_range_scan",
+        "cdc_truncate", "join_small_qty_revenue", "join_large_qty_orders",
+        "part_association_rules", "events_daily_ohlc", "dq_candidate_keys",
+        "graph_adamic_adar", "graph_kcore", "text_heaps_law",
+        "orders_late_ship", "events_rolling_median", "cdc_outbox",
     ]
     for name in q_list:
         t2 = time.perf_counter()

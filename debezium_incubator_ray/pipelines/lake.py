@@ -137,11 +137,14 @@ class Lake:
     # mixed-table demux: ONE binlog carrying N tables → N lake tables in a
     # single pipeline pass (reference: RecordMaker.java:36-58 routes each
     # record to CassandraTopicSelector.java:32-110's topic-per-table)
-    def apply_epoch_demux(self, binlog_dir: str) -> dict:
+    def apply_epoch_demux(self, binlog_dir: str, route_fn=None) -> dict:
         """Single-pass routing epoch over a mixed binlog.
 
         Requires each participating engine's table name to equal the
-        envelopes' ``source.table`` value (routing key). Exactly-once: each
+        envelopes' ``source.table`` value (routing key) — AFTER the
+        optional ``route_fn`` SMT has rewritten it (the outbox event
+        router: stages.normalize.make_outbox_router routes by an
+        aggregate-type payload column). Exactly-once: each
         table commits independently; a crash between table commits leaves
         the missing tables' segments pending, and re-application to the
         already-committed tables is a watermark no-op."""
@@ -188,6 +191,7 @@ class Lake:
                     fn_constructor_kwargs={
                         "stage_dir": stage_dir,
                         "norm_kwargs_by_table": norm_kwargs,
+                        "route_fn": route_fn,
                     },
                     batch_format="pyarrow",
                     zero_copy_batch=True,

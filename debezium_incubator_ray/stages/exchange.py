@@ -146,10 +146,15 @@ class DemuxStagingWriter:
     normalize to that table's schema, split by partition id, append.
     Returns tiny (table, p, path, rows) manifest rows."""
 
-    def __init__(self, stage_dir: str, norm_kwargs_by_table: Dict[str, Dict[str, Any]]):
+    def __init__(self, stage_dir: str, norm_kwargs_by_table: Dict[str, Dict[str, Any]],
+                 route_fn=None):
         from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
         self.stage_dir = stage_dir
+        # optional routing SMT (e.g. the outbox event router): rewrites
+        # source.table from payload fields BEFORE the per-table include
+        # regexes split the stream
+        self.route_fn = route_fn
         self.norms = {
             t: NormalizeEnvelope(**kw) for t, kw in norm_kwargs_by_table.items()
         }
@@ -158,6 +163,8 @@ class DemuxStagingWriter:
                 os.makedirs(os.path.join(stage_dir, t, f"p={p}"), exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.route_fn is not None:
+            batch = self.route_fn(batch)
         tables: List[str] = []
         ps: List[int] = []
         paths: List[str] = []

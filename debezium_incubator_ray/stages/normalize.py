@@ -427,3 +427,41 @@ def violation_mask(out: pa.Table, constraints) -> tuple:
         reason[fresh] = f"{col}:{kind}"
         bad = pc.or_(bad, viol)
     return bad, pa.array(reason, pa.string())
+
+
+def make_outbox_router(field: str, prefix: str = ""):
+    """Outbox event-router SMT (Debezium's outbox pattern): rewrite each
+    envelope's ``source.table`` to ``prefix + payload[field]`` — the
+    aggregate-type column of an outbox table decides the destination
+    table. Deletes carry a null ``after``, so the route falls back to the
+    before image (the row's last known aggregate type); rows where both
+    images lack the field stay on their original table (no engine will
+    match them — the Debezium router likewise requires a non-null
+    aggregatetype). Returns a batch->batch callable for
+    ``Lake.apply_epoch_demux(route_fn=...)``."""
+    from debezium_incubator_ray.schema import source_schema
+
+    def route(batch: pa.Table) -> pa.Table:
+        src = batch["source"].combine_chunks()
+        after = batch["after"].combine_chunks()
+        val = after.field(field)
+        if "before" in batch.column_names:
+            b = batch["before"].combine_chunks()
+            val = pc.coalesce(val, b.field(field))
+        routed = pc.binary_join_element_wise(
+            pa.array([prefix] * batch.num_rows, pa.string()),
+            pc.cast(val, pa.string()),
+            "",
+        )
+        tbl = pc.coalesce(routed, src.field("table"))
+        new_src = pa.StructArray.from_arrays(
+            [src.field("partition"), src.field("lsn"), tbl,
+             src.field("snapshot"), src.field("ts_us")],
+            fields=list(source_schema()),
+        )
+        i = batch.schema.get_field_index("source")
+        return batch.set_column(
+            i, pa.field("source", new_src.type, nullable=False), new_src
+        )
+
+    return route
