@@ -5820,6 +5820,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return kcore_peel(edges, k=3, rounds=4, buckets=32)
 
+    def stats_brown_forsythe(sf_dir):
+        """Brown-Forsythe variance-homogeneity F across event types: ANOVA
+        on |value - group median| (the robust Levene variant). Medians
+        broadcast once (rounded to the shared 6-dp contract so both sides
+        transform identical deviations); the ANOVA fold reuses the
+        mean-square-conditioned power sums."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import brown_forsythe
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return brown_forsythe(ev, "value", "event_type")
+
     def events_rolling_median(sf_dir):
         """Trailing-7-day exact median of the value stream per event day
         (the rolling-median monitoring series): quantiles can't
@@ -6041,6 +6056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heaps_law": text_heaps_law,
         "orders_late_ship": orders_late_ship,
         "events_rolling_median": events_rolling_median,
+        "stats_brown_forsythe": stats_brown_forsythe,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8322,6 +8338,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.source, s.n_tokens, s.n_vocab, "
             "round(fit.beta, 6) AS heaps_beta, "
             "round(exp(fit.a), 6) AS heaps_k FROM s, fit"
+        ),
+        "stats_brown_forsythe": (
+            # ANOVA on |value - round(group median, 6)|; same mean-square
+            # conditioning as stats_anova_f
+            "WITH m AS (SELECT event_type AS g, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) "
+            "AS med FROM events WHERE event_type IS NOT NULL "
+            "AND value IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT e.event_type AS g, abs(e.value - m.med) AS v "
+            "FROM events e JOIN m ON e.event_type = m.g "
+            "WHERE e.value IS NOT NULL), "
+            "s AS (SELECT g, CAST(count(v) AS BIGINT) AS n, sum(v) AS s, "
+            "sum(v * v) AS ss FROM d GROUP BY 1), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+            "CAST(sum(n) AS BIGINT) AS n, sum(s) / sum(n) AS grand "
+            "FROM s), "
+            "p AS (SELECT sum(s.n * pow(s.s / s.n - t.grand, 2)) "
+            "/ (t.k - 1) AS msb, "
+            "sum(s.ss - s.n * pow(s.s / s.n, 2)) / (t.n - t.k) AS msw "
+            "FROM s, t GROUP BY t.k, t.n) "
+            "SELECT t.k, t.n, round(p.msb / p.msw, 6) AS f_stat, "
+            "round(p.msb, 6) AS ms_between, round(p.msw, 6) AS ms_within "
+            "FROM t, p"
         ),
         "events_rolling_median": (
             "WITH b AS (SELECT date_trunc('day', ts) AS d, value AS v "

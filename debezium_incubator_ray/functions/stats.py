@@ -1400,3 +1400,40 @@ def kaplan_meier_second_event(ds, user_col: str, ts_col: str,
         "d_events": pa.array(de),
         "survival": pa.array(np.round(surv, 6)),
     })
+
+
+def brown_forsythe(ds, value_col: str, group_col: str):
+    """Brown-Forsythe variance-homogeneity test: one-way ANOVA F computed
+    on the absolute deviations from each group's MEDIAN — the robust
+    Levene variant run before trusting a pooled-variance comparison.
+
+    Two passes: exact per-group medians (percentile_cont interpolation,
+    rounded to the shared 6-dp contract so engine and oracle transform
+    identical deviations) collected once and broadcast; then the standard
+    power-sum ANOVA fold over |x - med| (shared :func:`anova_oneway`
+    conditioning: mean squares, not raw SS). NULL values and NULL group
+    keys drop on both sides."""
+    import ray
+    from debezium_incubator_ray.functions.kernels import collect_table
+    from debezium_incubator_ray.functions.windows import quantiles_per_group
+
+    meds = collect_table(
+        quantiles_per_group(ds, group_col=group_col, value_col=value_col,
+                            qs=(0.5,))
+    )
+    med_tbl = pa.table({group_col: meds[group_col], "_med": meds["value"]})
+    ref = ray.put(med_tbl)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        j = t.select([group_col, value_col]).join(
+            d, keys=[group_col], join_type="inner"
+        )
+        dev = pc.abs(pc.subtract(
+            pc.cast(j[value_col], pa.float64()), j["_med"]
+        ))
+        return pa.table({group_col: j[group_col], "absdev": dev})
+
+    tds = ds.map_batches(absdev, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return anova_oneway(tds, "absdev", group_col)
