@@ -2333,6 +2333,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(env)
         return incremental_groupby_agg(ds, "event_type", "value")
 
+    def cdc_incremental_distinct(sf_dir):
+        """Incremental DISTINCT-count view maintenance: count(DISTINCT
+        props) per event_type held up to date from the change stream's
+        +after/-before deltas via per-(group, value) refcounts — the view
+        sum/count maintenance can't express. Oracle: the same distinct
+        count recomputed from the stream's LWW final state."""
+        import ray.data
+        from debezium_incubator_ray.functions.incremental import (
+            incremental_distinct_count,
+        )
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            events_envelopes,
+        )
+
+        env = events_envelopes(sf_dir, delete_aware=True)
+        ds = ray.data.from_arrow(env)
+        return incremental_distinct_count(ds, "event_type", "props")
+
     def embedding_normalize(sf_dir):
         """L2 normalization of the embedding column (unit vectors make
         cosine = dot). Oracle: the identical list expression in SQL."""
@@ -6057,6 +6075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_ship": orders_late_ship,
         "events_rolling_median": events_rolling_median,
         "stats_brown_forsythe": stats_brown_forsythe,
+        "cdc_incremental_distinct": cdc_incremental_distinct,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8338,6 +8357,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.source, s.n_tokens, s.n_vocab, "
             "round(fit.beta, 6) AS heaps_beta, "
             "round(exp(fit.a), 6) AS heaps_k FROM s, fit"
+        ),
+        "cdc_incremental_distinct": _LWW
+        + (
+            "SELECT event_type, "
+            "CAST(count(DISTINCT props) AS BIGINT) AS n_distinct "
+            "FROM ranked WHERE rn = 1 AND op <> 'd' GROUP BY 1"
         ),
         "stats_brown_forsythe": (
             # ANOVA on |value - round(group median, 6)|; same mean-square

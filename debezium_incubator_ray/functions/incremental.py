@@ -88,3 +88,69 @@ def incremental_groupby_agg(
     )
     # groups whose rows all disappeared net out to zero — not in the view
     return agg.filter(lambda r: r["n"] > 0)
+
+
+def distinct_contributions(
+    env: pa.Table, group_col: str, value_col: str
+) -> pa.Table:
+    """One batch of envelopes → signed (group, value, d) refcount
+    contributions: +1 per non-null after image, -1 per non-null before
+    image; NULL values contribute nothing (SQL count(DISTINCT) ignores
+    them). Pre-summed per (group, value) inside the block — the combiner
+    that bounds the shuffle at the block's distinct pairs."""
+    import numpy as np
+
+    parts = []
+    for side, sign in (("after", 1), ("before", -1)):
+        img = env[side].combine_chunks()
+        valid = pc.and_(
+            pc.is_valid(img), pc.is_valid(img.field(value_col))
+        )
+        g = pc.filter(img.field(group_col), valid)
+        v = pc.filter(img.field(value_col), valid)
+        parts.append(pa.table({
+            group_col: g,
+            "_v": v,
+            "d": pa.array(np.full(len(g), sign, dtype=np.int64)),
+        }))
+    t = pa.concat_tables(parts)
+    a = t.group_by([group_col, "_v"]).aggregate([("d", "sum")])
+    return a.rename_columns([group_col, "_v", "d"])
+
+
+def incremental_distinct_count(
+    env_ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> "ray.data.Dataset":
+    """Maintain count(DISTINCT value) per group from the envelope stream
+    alone — the incremental view sum/count maintenance can't give you:
+    DISTINCT needs per-(group, value) REFCOUNTS (how many live rows carry
+    the pair), folded as +after/-before deltas; the view counts pairs
+    whose refcount stayed positive. Identical to count(DISTINCT) over the
+    stream's final LWW state, computed without touching the lake. Needs a
+    CONSISTENT stream (true before images — Debezium semantics), like
+    every +after/-before consumer."""
+    from ray.data.aggregate import Sum
+
+    contrib = env_ds.map_batches(
+        lambda t: distinct_contributions(t, group_col, value_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = contrib.groupby([group_col, "_v"]).aggregate(
+        Sum("d", alias_name="rc")
+    )
+
+    def live_counts(t: pa.Table) -> pa.Table:
+        live = t.filter(pc.greater(t["rc"], pa.scalar(0, pa.int64())))
+        g = live.group_by(group_col).aggregate([([], "count_all")])
+        return pa.table({
+            group_col: g[group_col],
+            "nd": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    return (
+        refs.map_batches(live_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("nd", alias_name="n_distinct"))
+    )
