@@ -5853,6 +5853,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return brown_forsythe(ev, "value", "event_type")
 
+    def graph_label_prop(sf_dir):
+        """Community detection by bounded synchronous label propagation
+        (3 rounds) on the top-2000 co-purchase subgraph: each node adopts
+        the most frequent neighbor label (ties: smallest). Adjacency stays
+        distributed; per round one broadcast label translation + one
+        narrow vote groupby; the oracle unrolls the same rounds."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import label_propagation
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return label_propagation(edges, rounds=3, buckets=32)
+
     def events_rolling_median(sf_dir):
         """Trailing-7-day exact median of the value stream per event day
         (the rolling-median monitoring series): quantiles can't
@@ -6076,6 +6097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median": events_rolling_median,
         "stats_brown_forsythe": stats_brown_forsythe,
         "cdc_incremental_distinct": cdc_incremental_distinct,
+        "graph_label_prop": graph_label_prop,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -6133,6 +6155,37 @@ _TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE length(string_split_regex(trim(text), '\\s+')) END"
 )
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation over the top-2000
+    co-purchase edge cut — mode-of-neighbor-labels with (count desc,
+    label asc) ties, the same rounds the engine runs. MATERIALIZED: plain
+    CTE inlining re-evaluates the pair join exponentially."""
+    sql = (
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+        "l_partkey AS item FROM lineitem), "
+        "p AS MATERIALIZED (SELECT x.item AS a, y.item AS b, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+        "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+        "e AS MATERIALIZED (SELECT a, b FROM p "
+        "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+        "und AS MATERIALIZED (SELECT a AS c, b AS n FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT c AS node, c AS lab FROM und)"
+    )
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        sql += (
+            f", c{r} AS MATERIALIZED (SELECT u.c AS node, l.lab, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM und u "
+            f"JOIN l{prev} l ON l.node = u.n GROUP BY 1, 2)"
+            f", l{r} AS MATERIALIZED (SELECT node, lab FROM "
+            "(SELECT node, lab, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    sql += f" SELECT node, lab AS label FROM l{rounds} ORDER BY node"
+    return sql
 
 
 def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
@@ -8343,6 +8396,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY aa_score DESC, node_a ASC, node_b ASC LIMIT 50"
         ),
         "graph_kcore": _kcore_sql(k=3, rounds=4),
+        "graph_label_prop": _lpa_sql(rounds=3),
         "text_heaps_law": (
             # same whitespace tokenizer as text_token_count; Heaps fit =
             # regr_slope/intercept over (ln N, ln V) across sources

@@ -344,7 +344,7 @@ def main() -> None:
         "part_association_rules", "events_daily_ohlc", "dq_candidate_keys",
         "graph_adamic_adar", "graph_kcore", "text_heaps_law",
         "orders_late_ship", "events_rolling_median", "cdc_outbox",
-        "stats_brown_forsythe", "cdc_incremental_distinct",
+        "stats_brown_forsythe", "cdc_incremental_distinct", "graph_label_prop",
     ]
     for name in q_list:
         t2 = time.perf_counter()

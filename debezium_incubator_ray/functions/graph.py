@@ -1075,3 +1075,87 @@ def kcore_peel(edges, src_col: str = "src", dst_col: str = "dst",
     core = pc.cast(pc.fill_null(out["deg"], 0), pa.int64())
     res = pa.table({"node": out["node"], "core_deg": core})
     return res.take(pc.sort_indices(res, sort_keys=[("node", "ascending")]))
+
+
+def label_propagation(edges, src_col: str = "src", dst_col: str = "dst",
+                      rounds: int = 3, buckets: int = 64):
+    """Bounded synchronous label propagation (community detection): every
+    node starts as its own label; each round it adopts the MOST FREQUENT
+    label among its neighbors (ties: smallest label) — the deterministic
+    sync-LPA round. Bounding the rounds makes the cost explicit and the
+    oracle finitely expressible (the SQL unrolls the same rounds).
+    Returns (node, label) for every node with at least one edge.
+
+    Scale shape: the adjacency stays distributed and pinned once; per
+    round, blocks translate neighbor ids to labels against the broadcast
+    O(|V|) label table (ray.put per round), pre-count (node, label) pairs
+    per block, and one narrow groupby folds the votes; the argmax per
+    node is a vectorized lexsort over the O(|V| x labels-per-node) vote
+    table."""
+    import ray
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    ce = canonical_edges(edges, src_col, dst_col, buckets=buckets)
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        c = pa.chunked_array([t["a"].combine_chunks(),
+                              t["b"].combine_chunks()])
+        n = pa.chunked_array([t["b"].combine_chunks(),
+                              t["a"].combine_chunks()])
+        return pa.table({"c": c, "n": n})
+
+    und = ce.map_batches(adjacency, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    # initial labels: node -> node (collected once; |V| is two columns of
+    # the edge cut — metadata-sized next to the edges)
+    def node_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["c"]}).group_by("node").aggregate([])
+
+    nodes = collect_table(
+        und.map_batches(node_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ).group_by("node").aggregate([])["node"].combine_chunks()
+    labels = pa.table({"node": nodes, "lab": nodes})
+
+    for _ in range(rounds):
+        ref = ray.put(labels)
+
+        def vote(t: pa.Table) -> pa.Table:
+            lmap = ray.get(ref)
+            j = t.join(lmap, keys=["n"], right_keys=["node"],
+                       join_type="inner")
+            g = j.select(["c", "lab"]).group_by(["c", "lab"]).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({
+                "c": g["c"], "lab": g["lab"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        votes = collect_table(
+            und.map_batches(vote, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby(["c", "lab"])
+            .aggregate(Sum("cnt", alias_name="cnt")),
+            empty=pa.table({
+                "c": pa.array([], nodes.type),
+                "lab": pa.array([], nodes.type),
+                "cnt": pa.array([], pa.int64()),
+            }),
+        )
+        c = votes["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = votes["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = votes["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, -cnt, c))  # per node: cnt desc, lab asc
+        cs, labs = c[order], lab[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        labels = pa.table({
+            "node": pa.array(cs[first], nodes.type),
+            "lab": pa.array(labs[first], nodes.type),
+        })
+
+    out = labels.rename_columns(["node", "label"])
+    return out.take(pc.sort_indices(out, sort_keys=[("node", "ascending")]))
