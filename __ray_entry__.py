@@ -5853,6 +5853,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return brown_forsythe(ev, "value", "event_type")
 
+    def orders_ship_lag_quantiles(sf_dir):
+        """Fulfillment-latency SLA report: per order priority, the exact
+        p50/p90/p99 of days from order date to FIRST shipment. Per-order
+        min shipdate folds from per-block partials; the bucketed shuffle
+        join attaches the order row and derives the lag in-bucket; the
+        per-priority quantile sorts each (small) group once."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Min
+        from debezium_incubator_ray.functions.joins import shuffle_join
+        from debezium_incubator_ray.functions.windows import (
+            quantiles_per_group,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate"],
+        )
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+
+        def min_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("l_orderkey").aggregate([("l_shipdate", "min")])
+            return g.rename_columns(["l_orderkey", "fs"])
+
+        fs = (
+            li.map_batches(min_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Min("fs", alias_name="first_ship"))
+        )
+
+        def lag(j: pa.Table) -> pa.Table:
+            # Ray's Min aggregate can come back at a coarser timestamp
+            # unit — normalize BOTH sides to microseconds before epoch math
+            fsu = pc.cast(pc.cast(j["first_ship"], pa.timestamp("us")),
+                          pa.int64())
+            odu = pc.cast(pc.cast(j["o_orderdate"], pa.timestamp("us")),
+                          pa.int64())
+            d = pc.divide(
+                pc.cast(pc.subtract(fsu, odu), pa.float64()),
+                pa.scalar(86400000000.0),
+            )
+            return pa.table({
+                "o_orderpriority": j["o_orderpriority"], "lag_days": d,
+            })
+
+        joined = shuffle_join(
+            fs, orders, on="l_orderkey", right_on="o_orderkey",
+            buckets=32, post=lag,
+        )
+        return quantiles_per_group(
+            joined, group_col="o_orderpriority", value_col="lag_days",
+            qs=(0.5, 0.9, 0.99),
+        )
+
     def graph_label_prop(sf_dir):
         """Community detection by bounded synchronous label propagation
         (3 rounds) on the top-2000 co-purchase subgraph: each node adopts
@@ -6098,6 +6157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_brown_forsythe": stats_brown_forsythe,
         "cdc_incremental_distinct": cdc_incremental_distinct,
         "graph_label_prop": graph_label_prop,
+        "orders_ship_lag_quantiles": orders_ship_lag_quantiles,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8397,6 +8457,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
+        "orders_ship_lag_quantiles": (
+            "WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS f "
+            "FROM lineitem GROUP BY 1), "
+            "l AS (SELECT o.o_orderpriority, "
+            "(epoch_us(fs.f) - epoch_us(o.o_orderdate)) / 86400000000.0 "
+            "AS lag FROM fs JOIN orders o "
+            "ON o.o_orderkey = fs.l_orderkey), "
+            "a AS (SELECT o_orderpriority, "
+            "quantile_cont(lag, [0.5, 0.9, 0.99]) AS vs FROM l "
+            "GROUP BY 1) "
+            "SELECT o_orderpriority, unnest([0.5, 0.9, 0.99]) AS q, "
+            "round(unnest(vs), 6) AS value FROM a"
+        ),
         "text_heaps_law": (
             # same whitespace tokenizer as text_token_count; Heaps fit =
             # regr_slope/intercept over (ln N, ln V) across sources
