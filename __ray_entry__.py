@@ -714,6 +714,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, S.SchemaChange("drop_column", "props", at_lsn=0)
         )
 
+    def cdc_schema_rename(sf_dir):
+        """rename_column props -> attrs mid-stream, two-phase: half the
+        partitions' lake files are written under the OLD name and lazily
+        renamed on read via the manifest's cumulative rename map; the
+        remaining epochs' envelopes still carry the old field name and
+        normalize re-aliases them — the full Debezium rename surface
+        (schema history + old-name writers + old-name files)."""
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            final_state_schema_change,
+        )
+
+        return final_state_schema_change(
+            sf_dir,
+            S.SchemaChange("rename_column", "props", to="attrs", at_lsn=0),
+        )
+
     def cdc_multi_table(sf_dir):
         """ONE mixed binlog (events_a = even user_id, events_b = odd)
         routed to two lake tables in a single demux pass
@@ -5987,6 +6004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_evolution_ddl": cdc_schema_evolution_ddl,
         "cdc_schema_widen": cdc_schema_widen,
         "cdc_schema_drop": cdc_schema_drop,
+        "cdc_schema_rename": cdc_schema_rename,
         "cdc_multi_table": cdc_multi_table,
         "cdc_outbox": cdc_outbox,
         "cdc_compaction": cdc_compaction,
@@ -6734,6 +6752,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_schema_drop": _LWW
         + "SELECT user_id, ts, event_type, value, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_schema_rename": _LWW
+        + "SELECT user_id, ts, event_type, value, props AS attrs, lsn "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_multi_table": _LWW
         + f"SELECT {lww_cols}, "

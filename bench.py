@@ -345,7 +345,7 @@ def main() -> None:
         "graph_adamic_adar", "graph_kcore", "text_heaps_law",
         "orders_late_ship", "events_rolling_median", "cdc_outbox",
         "stats_brown_forsythe", "cdc_incremental_distinct", "graph_label_prop",
-        "orders_ship_lag_quantiles",
+        "orders_ship_lag_quantiles", "cdc_schema_rename",
     ]
     for name in q_list:
         t2 = time.perf_counter()

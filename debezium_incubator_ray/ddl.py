@@ -256,6 +256,7 @@ def parse_ddl(text: str, at_lsn: int = 0) -> Tuple[str, List[SchemaChange]]:
       ALTER TABLE t DROP COLUMN c   |   DROP (c1, c2, ...)
       ALTER TABLE t MODIFY c TYPE   |   MODIFY (c1 T1, c2 T2, ...)
       ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE T   (ANSI spelling)
+      ALTER TABLE t RENAME COLUMN a TO b
     """
     cur = _Cursor(_tokenize(text))
     cur.expect_kw("ALTER")
@@ -266,7 +267,7 @@ def parse_ddl(text: str, at_lsn: int = 0) -> Tuple[str, List[SchemaChange]]:
         if cur.peek() == ";":
             cur.next()
             continue
-        verb = cur.expect_kw("ADD", "DROP", "MODIFY", "ALTER")
+        verb = cur.expect_kw("ADD", "DROP", "MODIFY", "ALTER", "RENAME")
         if verb == "ADD":
             cur.accept_kw("COLUMN")
             if cur.peek() == "(":
@@ -309,6 +310,15 @@ def parse_ddl(text: str, at_lsn: int = 0) -> Tuple[str, List[SchemaChange]]:
                     break
             else:
                 changes.append(_one_modify(cur, at_lsn))
+        elif verb == "RENAME":  # RENAME COLUMN a TO b
+            cur.expect_kw("COLUMN")
+            old_name = _ident(cur)
+            cur.expect_kw("TO")
+            changes.append(
+                SchemaChange(
+                    "rename_column", old_name, to=_ident(cur), at_lsn=at_lsn
+                )
+            )
         else:  # ALTER [COLUMN] c [SET DATA] TYPE T
             cur.accept_kw("COLUMN")
             col = _ident(cur)

@@ -869,10 +869,13 @@ class CdcEngine:
         pre-evolution rows' in normalize — a post-evolution explicit NULL
         stays NULL)."""
         out: Dict[str, int] = {}
+        ren = self.manifest.doc["defaults"].get(S.RENAMES_KEY) or {}
         for s in self.manifest.doc["schemas"]:
             for ch in s.get("changes", []):
                 if ch.get("change") == "add_column":
-                    out[ch["column"]] = ch["at_lsn"]
+                    # the history records the ORIGINAL name; a later
+                    # rename moves the activation to the current name
+                    out[ren.get(ch["column"], ch["column"])] = ch["at_lsn"]
         return out
 
     def _apply_exchange_epoch(
@@ -2984,10 +2987,15 @@ class CdcEngine:
         defaults: Dict[str, Any] = dict(self.manifest.doc["defaults"])
         new_defaults: Dict[str, Any] = {}
         allowed = {
-            "full": {"add_column", "widen_type", "drop_column"},
+            # renames break every by-name consumer: "full" contract only
+            "full": {"add_column", "widen_type", "drop_column",
+                     "rename_column"},
             "backward": {"add_column", "widen_type"},
             "additive": {"add_column"},
         }[self.cfg.schema_compatibility]
+        renames = dict(defaults.get(S.RENAMES_KEY) or {})
+        any_rename = False
+        key_names = set(self.cfg.key_cols or [self.cfg.key])
         for ch in sorted(fresh, key=lambda c: c.at_lsn):
             if ch.change not in allowed:
                 raise SchemaCompatibilityError(
@@ -2996,10 +3004,28 @@ class CdcEngine:
                     f"schema_compatibility={self.cfg.schema_compatibility!r}"
                     " contract; no data from this epoch was applied"
                 )
+            if ch.change == "rename_column" and ch.column in key_names:
+                raise SchemaCompatibilityError(
+                    f"rename_column on the merge/routing key {ch.column!r}: "
+                    "the key's identity anchors partitioning, run sort "
+                    "order and watermark dedup — export + rebuild instead"
+                )
             before = set(defaults)
             schema = S.apply_change(schema, defaults, ch)
             for k in set(defaults) - before:
                 new_defaults[k] = defaults[k]
+            if ch.change == "rename_column":
+                # cumulative {historical -> current}: chase chains so every
+                # generation of files/envelopes resolves in one hop
+                for k, v in list(renames.items()):
+                    if v == ch.column:
+                        renames[k] = ch.to
+                renames[ch.column] = ch.to
+                if ch.column in new_defaults:
+                    new_defaults[ch.to] = new_defaults.pop(ch.column)
+                any_rename = True
+        if any_rename:
+            new_defaults[S.RENAMES_KEY] = renames
         return {
             "version": self.manifest.doc["schemas"][-1]["version"] + 1,
             "at_lsn": min(c.at_lsn for c in fresh),

@@ -25,6 +25,11 @@ import pyarrow.compute as pc
 OPS = ("c", "u", "d", "r")  # create, update, delete, snapshot-read
 LSN = "_lsn"  # flattened offset column carried through the pipeline + lake
 PART = "_p"  # lake partition id column (hash(key) % P)
+# reserved defaults-dict key carrying the CUMULATIVE column-rename map
+# {historical_name: current_name}: it rides the manifest's defaults through
+# every normalize/upgrade site, so renamed columns resolve at both the
+# envelope (old-name writers) and the lake-file (old-name runs) boundaries
+RENAMES_KEY = "__renames__"
 
 # ---------------------------------------------------------------------------
 # canonical table schemas
@@ -107,11 +112,12 @@ class SchemaChange:
     Oracle DDL text with ANTLR, OracleDdlParser.java:44-110; our stream
     carries them structured — no text parsing needed)."""
 
-    change: str  # "add_column" | "widen_type" | "drop_column"
+    change: str  # "add_column" | "widen_type" | "drop_column" | "rename_column"
     column: str
     type: Optional[str] = None  # arrow type name for add/widen
     default: Any = None  # backfill default for add_column
     at_lsn: int = 0  # events with lsn > at_lsn use the new version
+    to: Optional[str] = None  # new name for rename_column
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)
@@ -165,6 +171,22 @@ def apply_change(schema: pa.Schema, defaults: Dict[str, Any], ch: SchemaChange) 
         if (str(old.type), str(new_t)) not in _WIDEN_OK and old.type != new_t:
             raise TypeError(f"narrowing/unsupported widen {old.type} -> {new_t}")
         return schema.set(i, pa.field(ch.column, new_t, nullable=old.nullable))
+    if ch.change == "rename_column":
+        i = schema.get_field_index(ch.column)
+        if i == -1:
+            if schema.get_field_index(ch.to) != -1:
+                return schema  # idempotent replay of the same DDL event
+            raise KeyError(f"rename_column: no column {ch.column}")
+        if schema.get_field_index(ch.to) != -1:
+            raise ValueError(
+                f"rename_column: target {ch.to!r} already exists"
+            )
+        if ch.column in defaults:
+            defaults[ch.to] = defaults.pop(ch.column)
+        old = schema.field(i)
+        return schema.set(
+            i, pa.field(ch.to, old.type, nullable=old.nullable)
+        )
     if ch.change == "drop_column":
         i = schema.get_field_index(ch.column)
         if i == -1:
@@ -181,6 +203,13 @@ def upgrade_table(
     widen types via cast, drop extra columns, reorder. Vectorized; the
     workhorse of both event normalization and lazy lake-file upgrade."""
     defaults = defaults or {}
+    renames = defaults.get(RENAMES_KEY) or {}
+    if renames:
+        # pre-rename: runs written before a rename_column carry the old
+        # name; the cumulative old->current map realigns them by name
+        tbl = tbl.rename_columns(
+            [renames.get(n, n) for n in tbl.schema.names]
+        )
     n = tbl.num_rows
     cols: List[pa.ChunkedArray] = []
     names = set(tbl.schema.names)

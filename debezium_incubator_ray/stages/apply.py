@@ -158,6 +158,11 @@ def upgrade_run_table(
             if mask_payload_order is not None
             else [c for c in tbl.column_names if c not in aux]
         )
+        # run footers record pre-rename names; translate so the bit remap
+        # compares like-for-like with the upgraded payload order
+        ren = (defaults or {}).get(S.RENAMES_KEY, None) or {}
+        if ren:
+            old_payload = [ren.get(c, c) for c in old_payload]
         new_payload = [c for c in out.column_names if c not in aux]
         if old_payload != new_payload:
             mask = (

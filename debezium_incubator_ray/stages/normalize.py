@@ -123,6 +123,9 @@ class NormalizeEnvelope:
         # after the evolution stays NULL (Debezium default semantics; the
         # reference backfills only on absent fields, not present nulls)
         self.default_at = default_at or {}
+        # cumulative column renames {historical -> current}: envelopes
+        # serialized before a rename_column carry the old field name
+        self.renames = dict((defaults or {}).get(S.RENAMES_KEY) or {})
         protected = set(self.key_cols or [key])
         self.blacklist = {f for f in field_blacklist if f not in protected}
         self.table_re = re.compile(table_include_regex) if table_include_regex else None
@@ -215,7 +218,20 @@ class NormalizeEnvelope:
 
         payload_env = batch["after"].type  # struct type as written
         env_fields = {f.name for f in payload_env}
-        after = unpack_struct(batch["after"], self._env_schema(env_fields))
+        if self.renames:
+            # old-name writers resolve to current names: unpack with the
+            # envelope's OWN field types, then remap the keys (the cast to
+            # the current schema type happens in the per-field loop below)
+            env_schema = pa.schema([
+                pa.field(payload_env.field(i).name, payload_env.field(i).type)
+                for i in range(payload_env.num_fields)
+            ])
+            after = {
+                self.renames.get(k, k): v
+                for k, v in unpack_struct(batch["after"], env_schema).items()
+            }
+        else:
+            after = unpack_struct(batch["after"], self._env_schema(env_fields))
         key_components = self.key_cols or [self.key]
         before_keys: Dict[str, pa.Array] = {}
         if "before" in batch.column_names:
@@ -281,7 +297,10 @@ class NormalizeEnvelope:
                 )
             else:
                 src_mask = np.full(n, -1, dtype=np.int64)
-            writer_idx = {f.name: i for i, f in enumerate(payload_env)}
+            writer_idx = {
+                self.renames.get(f.name, f.name): i
+                for i, f in enumerate(payload_env)
+            }
             is_cr = (
                 pc.is_in(op, value_set=pa.array(["c", "r"], pa.string()))
                 .to_numpy(zero_copy_only=False)
