@@ -787,18 +787,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         root = scratch_dir("outbox")
         binlog = os.path.join(root, "binlog")
-        env = events_envelopes(sf_dir)
-        src = env["source"].combine_chunks()
-        outbox = pa.array(["outbox"] * env.num_rows, pa.string())
-        new_src = pa.StructArray.from_arrays(
-            [src.field("partition"), src.field("lsn"), outbox,
-             src.field("snapshot"), src.field("ts_us")],
-            fields=list(S.source_schema()),
-        )
-        i = env.schema.get_field_index("source")
-        env = env.set_column(
-            i, pa.field("source", new_src.type, nullable=False), new_src
-        )
+        from debezium_incubator_ray.envelope import replace_source_table
+
+        env = replace_source_table(events_envelopes(sf_dir), "outbox")
         write_env_binlog(env, binlog)
         types = sorted(
             pc.unique(

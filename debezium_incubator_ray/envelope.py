@@ -143,6 +143,26 @@ def build_envelopes(
     )
 
 
+def replace_source_table(env: pa.Table, table) -> pa.Table:
+    """Rewrite the envelope batch's ``source.table`` (a routing SMT
+    building block): ``table`` is a string (constant) or a StringArray of
+    per-row destinations. All other source fields carry through."""
+    from debezium_incubator_ray.schema import source_schema
+
+    src = env["source"].combine_chunks()
+    if isinstance(table, str):
+        table = pa.array([table] * env.num_rows, pa.string())
+    new_src = pa.StructArray.from_arrays(
+        [src.field("partition"), src.field("lsn"), _as_array(table),
+         src.field("snapshot"), src.field("ts_us")],
+        fields=list(source_schema()),
+    )
+    i = env.schema.get_field_index("source")
+    return env.set_column(
+        i, pa.field("source", new_src.type, nullable=False), new_src
+    )
+
+
 COMPOSITE_KEY = "_key"  # internal routing/sort column for composite PKs
 
 

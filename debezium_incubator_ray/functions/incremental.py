@@ -148,9 +148,46 @@ def incremental_distinct_count(
             "nd": pc.cast(g["count_all"], pa.int64()),
         })
 
-    return (
+    counts = (
         refs.map_batches(live_counts, batch_format="pyarrow",
                          zero_copy_batch=True)
         .groupby(group_col)
         .aggregate(Sum("nd", alias_name="n_distinct"))
+    )
+    # group LIVENESS is independent of value nullity: a group whose live
+    # rows all carry NULL values has n_distinct = 0 in SQL, not absence —
+    # fold net row refcounts per group from the same +after/-before deltas
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    def row_contrib(env: pa.Table) -> pa.Table:
+        import numpy as np
+
+        gs, ds_ = [], []
+        for side, sign in (("after", 1), ("before", -1)):
+            img = env[side].combine_chunks()
+            g = pc.filter(img.field(group_col), pc.is_valid(img))
+            gs.append(g)
+            ds_.append(pa.array(np.full(len(g), sign, dtype=np.int64)))
+        t = pa.table({
+            group_col: pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in gs]
+            ),
+            "d": pa.concat_arrays(ds_),
+        })
+        a = t.group_by(group_col).aggregate([("d", "sum")])
+        return a.rename_columns([group_col, "d"])
+
+    rows = env_ds.map_batches(
+        row_contrib, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby(group_col).aggregate(Sum("d", alias_name="n"))
+    live_g = collect_table(rows).filter(pc.field("n") > 0)
+    c_tbl = collect_table(counts)
+    out = pa.table({group_col: live_g[group_col]}).join(
+        c_tbl, keys=[group_col], join_type="left outer"
+    )
+    nd = pc.cast(pc.fill_null(out["n_distinct"], 0), pa.int64())
+    res = pa.table({group_col: out[group_col], "n_distinct": nd})
+    return res.take(
+        pc.sort_indices(res, sort_keys=[(group_col, "ascending")])
     )

@@ -1414,9 +1414,17 @@ def brown_forsythe(ds, value_col: str, group_col: str):
     conditioning: mean squares, not raw SS). NULL values and NULL group
     keys drop on both sides."""
     import ray
-    from debezium_incubator_ray.functions.kernels import collect_table
+    from debezium_incubator_ray.functions.kernels import (
+        collect_table, drop_null_nan,
+    )
     from debezium_incubator_ray.functions.windows import quantiles_per_group
 
+    # one NULL/NaN would poison a group's median (np.quantile propagates
+    # NaN) — drop up front, mirroring the oracle's IS NOT NULL filters
+    ds = ds.map_batches(
+        lambda t: drop_null_nan(t, value_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     meds = collect_table(
         quantiles_per_group(ds, group_col=group_col, value_col=value_col,
                             qs=(0.5,))

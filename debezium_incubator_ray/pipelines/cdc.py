@@ -3004,6 +3004,13 @@ class CdcEngine:
                     f"schema_compatibility={self.cfg.schema_compatibility!r}"
                     " contract; no data from this epoch was applied"
                 )
+            if ch.change == "add_column" and ch.column in renames:
+                raise SchemaCompatibilityError(
+                    f"add_column {ch.column!r}: the name was renamed away "
+                    f"(-> {renames[ch.column]!r}) and is RETIRED — the "
+                    "cumulative rename map would re-route the new column's "
+                    "files and envelopes onto the renamed column"
+                )
             if ch.change == "rename_column" and ch.column in key_names:
                 raise SchemaCompatibilityError(
                     f"rename_column on the merge/routing key {ch.column!r}: "
@@ -3026,13 +3033,20 @@ class CdcEngine:
                 any_rename = True
         if any_rename:
             new_defaults[S.RENAMES_KEY] = renames
-        return {
+        upd = {
             "version": self.manifest.doc["schemas"][-1]["version"] + 1,
             "at_lsn": min(c.at_lsn for c in fresh),
             "schema": S.schema_to_b64(schema),
             "changes": [c.to_json() for c in fresh],
             "new_defaults": new_defaults,
         }
+        if any_rename:
+            # retire the old-name default entries (dict.update alone would
+            # leave them to silently re-attach if the name ever returned)
+            upd["retired_defaults"] = [
+                c.column for c in fresh if c.change == "rename_column"
+            ]
+        return upd
 
 def transaction_summary(binlog_dir: str) -> "ray.data.Dataset":
     """The Debezium TRANSACTION-METADATA TOPIC analog: one row per

@@ -113,19 +113,14 @@ def events_envelopes(
         ts_us=t["ts"].combine_chunks(),
     )
     if table_name_by_parity:
-        src = env["source"].combine_chunks()
-        tbl_names = pa.array(
-            np.where(uid % 2 == 0, "events_a", "events_b"), type=pa.string()
-        )
-        new_src = pa.StructArray.from_arrays(
-            [src.field("partition"), src.field("lsn"), tbl_names,
-             src.field("snapshot"), src.field("ts_us")],
-            fields=list(S.source_schema()),
-        )
-        env = env.set_column(
-            env.schema.get_field_index("source"),
-            pa.field("source", new_src.type, nullable=False),
-            new_src,
+        from debezium_incubator_ray.envelope import replace_source_table
+
+        env = replace_source_table(
+            env,
+            pa.array(
+                np.where(uid % 2 == 0, "events_a", "events_b"),
+                type=pa.string(),
+            ),
         )
     # null out before where there is no previous event
     b = env["before"].combine_chunks()

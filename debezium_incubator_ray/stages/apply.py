@@ -213,6 +213,11 @@ def read_partition_state(
             + ([key] if schema.get_field_index(key) >= 0 else [])
             + [S.LSN, DELETED, COMPOSITE_KEY]
         ))
+        # pre-rename files store historical names: request those too, or
+        # the prune would silently drop the renamed column and the upgrade
+        # would backfill NULLs over stored values
+        ren = (defaults or {}).get(S.RENAMES_KEY) or {}
+        want += [old_n for old_n, cur in ren.items() if cur in set(want)]
         from debezium_incubator_ray.envelope import SET_MASK as _SM
         # the merge target keeps only requested payload + the key
         schema = pa.schema(

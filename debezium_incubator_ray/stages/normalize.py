@@ -329,8 +329,19 @@ class NormalizeEnvelope:
             # rules validate what the lake will store
             apply_column_transforms(cols, self.column_transforms)
         if self.emit_before:
-            bschema = self._env_schema({f.name for f in batch["before"].type})
-            before_all = unpack_struct(batch["before"], bschema)
+            btype = batch["before"].type
+            if self.renames:
+                bschema = pa.schema([
+                    pa.field(btype.field(i).name, btype.field(i).type)
+                    for i in range(btype.num_fields)
+                ])
+                before_all = {
+                    self.renames.get(k, k): v
+                    for k, v in unpack_struct(batch["before"], bschema).items()
+                }
+            else:
+                bschema = self._env_schema({f.name for f in btype})
+                before_all = unpack_struct(batch["before"], bschema)
             if self.column_transforms:
                 apply_column_transforms(before_all, self.column_transforms)
             for name, arr in before_all.items():
@@ -463,10 +474,20 @@ def make_outbox_router(field: str, prefix: str = ""):
     def route(batch: pa.Table) -> pa.Table:
         src = batch["source"].combine_chunks()
         after = batch["after"].combine_chunks()
-        val = after.field(field)
+        n = batch.num_rows
+        # mask children under a NULL parent struct: some writers store
+        # child values beneath an invalid parent (unpack_struct's warning)
+        # and a delete would otherwise route by its tombstone's stale
+        # payload instead of the before image
+        child = after.field(field)
+        val = pc.if_else(pc.is_valid(after), child, pa.nulls(n, child.type))
         if "before" in batch.column_names:
             b = batch["before"].combine_chunks()
-            val = pc.coalesce(val, b.field(field))
+            bchild = b.field(field)
+            bval = pc.if_else(
+                pc.is_valid(b), bchild, pa.nulls(n, bchild.type)
+            )
+            val = pc.coalesce(val, bval)
         routed = pc.binary_join_element_wise(
             pa.array([prefix] * batch.num_rows, pa.string()),
             pc.cast(val, pa.string()),

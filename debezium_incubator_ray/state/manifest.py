@@ -254,6 +254,8 @@ class Manifest:
         if schema_update is not None:
             doc["schemas"].append(schema_update)
             doc["defaults"].update(schema_update.get("new_defaults", {}))
+            for k in schema_update.get("retired_defaults", []):
+                doc["defaults"].pop(k, None)
         if snapshot is not None:
             doc["snapshot_complete"] = snapshot.get("complete", True)
             doc["snapshot_lsn"] = snapshot.get("lsn", doc["snapshot_lsn"])
