@@ -5941,6 +5941,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return label_propagation(edges, rounds=3, buckets=32)
 
+    def events_seasonal_backtest(sf_dir):
+        """Seasonal-naive forecast backtest: predict each day's total
+        value as the total 7 days earlier and score MAE/RMSE/sMAPE over
+        the days with both sides — the baseline every forecaster must
+        beat. Per-block day-sum partials, one narrow day groupby, O(days)
+        driver finish."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            seasonal_naive_backtest,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"],
+        )
+        return seasonal_naive_backtest(ev, "ts", "value", season=7)
+
+    def stats_runs_test(sf_dir):
+        """Wald-Wolfowitz runs test on the signs of day-over-day changes
+        of the daily value-sum series — direction randomness vs
+        trending/mean-reversion. Exact integer run counts; z from the
+        standard two-category moments."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import runs_test_daily
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"],
+        )
+        return runs_test_daily(ev, "ts", "value")
+
     def events_rolling_median(sf_dir):
         """Trailing-7-day exact median of the value stream per event day
         (the rolling-median monitoring series): quantiles can't
@@ -6167,6 +6196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_distinct": cdc_incremental_distinct,
         "graph_label_prop": graph_label_prop,
         "orders_ship_lag_quantiles": orders_ship_lag_quantiles,
+        "events_seasonal_backtest": events_seasonal_backtest,
+        "stats_runs_test": stats_runs_test,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8525,6 +8556,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.k, t.n, round(p.msb / p.msw, 6) AS f_stat, "
             "round(p.msb, 6) AS ms_between, round(p.msw, 6) AS ms_within "
             "FROM t, p"
+        ),
+        "events_seasonal_backtest": (
+            "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS v "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "l AS (SELECT v, lag(v, 7) OVER (ORDER BY day) AS p FROM d), "
+            "s AS (SELECT v - p AS e, v, p FROM l WHERE p IS NOT NULL) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_scored, "
+            "round(avg(abs(e)), 6) AS mae, "
+            "round(sqrt(avg(e * e)), 6) AS rmse, "
+            "round(avg(2 * abs(e) / (abs(v) + abs(p))), 6) AS smape FROM s"
+        ),
+        "stats_runs_test": (
+            "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS v "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "l AS (SELECT day, v - lag(v) OVER (ORDER BY day) AS df "
+            "FROM d), "
+            "s AS (SELECT day, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sg "
+            "FROM l WHERE df IS NOT NULL AND df <> 0), "
+            "r AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS prev FROM s), "
+            "c AS (SELECT CAST(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_pos, "
+            "CAST(sum(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_neg, "
+            "CAST(sum(CASE WHEN prev IS NULL OR sg <> prev THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_runs FROM r), "
+            "m AS (SELECT *, 2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0 "
+            "AS mu FROM c) "
+            "SELECT n_pos, n_neg, n_runs, "
+            "round((n_runs - mu) / sqrt((mu - 1.0) * (mu - 2.0) "
+            "/ (n_pos + n_neg - 1.0)), 6) AS z FROM m"
         ),
         "events_rolling_median": (
             "WITH b AS (SELECT date_trunc('day', ts) AS d, value AS v "

@@ -1445,3 +1445,99 @@ def brown_forsythe(ds, value_col: str, group_col: str):
     tds = ds.map_batches(absdev, batch_format="pyarrow",
                          zero_copy_batch=True)
     return anova_oneway(tds, "absdev", group_col)
+
+
+def _daily_value_sums(ds, ts_col: str, value_col: str):
+    """(sorted day-ordinal array, per-day value sums) — the shared
+    metadata-sized daily series the backtest/runs-test finishes consume.
+    NULL/NaN values and NULL timestamps drop (SQL aggregate + GROUP BY
+    filters)."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.functions.kernels import drop_null_nan
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = drop_null_nan(t, value_col)
+        day = pc.cast(t[ts_col].combine_chunks(), pa.date32())
+        d = pa.table({
+            "day": day,
+            "v": pc.cast(t[value_col], pa.float64()),
+        }).filter(pc.is_valid(day))
+        g = d.group_by("day").aggregate([("v", "sum")])
+        return g.rename_columns(["day", "v"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    days = np.array([r["day"].toordinal() for r in rows])
+    vals = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = np.argsort(days)
+    return days[order], vals[order]
+
+
+def seasonal_naive_backtest(ds, ts_col: str, value_col: str,
+                            season: int = 7):
+    """Seasonal-naive forecast backtest on the daily value-sum series:
+    predict day d's total as day (d - season)'s total, score every day
+    with both sides present — the baseline every forecasting pipeline
+    must beat. Positions are in the day-ordered series of days that HAVE
+    events (SQL LAG(v, season) OVER (ORDER BY day)). Returns one row:
+    (n_scored, mae, rmse, smape) rounded to the 6-dp gate contract;
+    metadata-sized driver finish over O(days)."""
+    _days, vals = _daily_value_sums(ds, ts_col, value_col)
+    if len(vals) <= season:
+        return pa.table({
+            "n_scored": pa.array([], pa.int64()),
+            "mae": pa.array([], pa.float64()),
+            "rmse": pa.array([], pa.float64()),
+            "smape": pa.array([], pa.float64()),
+        })
+    actual, pred = vals[season:], vals[:-season]
+    err = actual - pred
+    mae = float(np.mean(np.abs(err)))
+    rmse = float(np.sqrt(np.mean(err * err)))
+    smape = float(np.mean(
+        2.0 * np.abs(err) / (np.abs(actual) + np.abs(pred))
+    ))
+    return pa.table({
+        "n_scored": pa.array([len(err)], pa.int64()),
+        "mae": pa.array([round(mae, 6)], pa.float64()),
+        "rmse": pa.array([round(rmse, 6)], pa.float64()),
+        "smape": pa.array([round(smape, 6)], pa.float64()),
+    })
+
+
+def runs_test_daily(ds, ts_col: str, value_col: str):
+    """Wald-Wolfowitz runs test on the SIGNS of day-over-day changes of
+    the daily value-sum series — "is the series' direction random or
+    trending/mean-reverting?". Zero changes drop (standard treatment).
+    n_runs counts maximal same-sign stretches; z uses the exact
+    two-category runs-test moments mu = 2*n1*n2/n + 1,
+    var = (mu-1)(mu-2)/(n-1). Metadata-sized driver finish."""
+    _days, vals = _daily_value_sums(ds, ts_col, value_col)
+    diff = np.diff(vals)
+    sign = np.sign(diff)
+    sign = sign[sign != 0]
+    n1 = int(np.sum(sign > 0))
+    n2 = int(np.sum(sign < 0))
+    n = n1 + n2
+    if n1 == 0 or n2 == 0 or n < 3:
+        return pa.table({
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "n_runs": pa.array([], pa.int64()),
+            "z": pa.array([], pa.float64()),
+        })
+    runs = 1 + int(np.sum(sign[1:] != sign[:-1]))
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    z = (runs - mu) / np.sqrt(var)
+    return pa.table({
+        "n_pos": pa.array([n1], pa.int64()),
+        "n_neg": pa.array([n2], pa.int64()),
+        "n_runs": pa.array([runs], pa.int64()),
+        "z": pa.array([round(float(z), 6)], pa.float64()),
+    })
