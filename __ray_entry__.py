@@ -5957,6 +5957,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def stats_hill_tail(sf_dir):
+        """Hill power-law tail index of per-user activity counts (alpha =
+        1 + k / sum ln(n/xmin) over users with >= 20 events) — the
+        heavy-tail gauge behind salting and hot-key policy. Counts fold
+        narrow; only (k, sum_ln) partials reach the driver."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import hill_tail_index
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"],
+        )
+        return hill_tail_index(ev, "user_id", xmin=20)
+
     def stats_runs_test(sf_dir):
         """Wald-Wolfowitz runs test on the signs of day-over-day changes
         of the daily value-sum series — direction randomness vs
@@ -6198,6 +6211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ship_lag_quantiles": orders_ship_lag_quantiles,
         "events_seasonal_backtest": events_seasonal_backtest,
         "stats_runs_test": stats_runs_test,
+        "stats_hill_tail": stats_hill_tail,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8567,6 +8581,14 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(abs(e)), 6) AS mae, "
             "round(sqrt(avg(e * e)), 6) AS rmse, "
             "round(avg(2 * abs(e) / (abs(v) + abs(p))), 6) AS smape FROM s"
+        ),
+        "stats_hill_tail": (
+            "WITH c AS (SELECT user_id, count(*) AS n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY 1), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+            "sum(ln(n / 20.0)) AS s FROM c WHERE n >= 20) "
+            "SELECT k AS n_tail, round(1.0 + k / s, 6) AS alpha "
+            "FROM t WHERE k > 0"
         ),
         "stats_runs_test": (
             "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS v "

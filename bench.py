@@ -346,7 +346,7 @@ def main() -> None:
         "orders_late_ship", "events_rolling_median", "cdc_outbox",
         "stats_brown_forsythe", "cdc_incremental_distinct", "graph_label_prop",
         "orders_ship_lag_quantiles", "cdc_schema_rename",
-        "events_seasonal_backtest", "stats_runs_test",
+        "events_seasonal_backtest", "stats_runs_test", "stats_hill_tail",
     ]
     for name in q_list:
         t2 = time.perf_counter()

@@ -1541,3 +1541,57 @@ def runs_test_daily(ds, ts_col: str, value_col: str):
         "n_runs": pa.array([runs], pa.int64()),
         "z": pa.array([round(float(z), 6)], pa.float64()),
     })
+
+
+def hill_tail_index(ds, key_col: str, xmin: int = 20):
+    """Hill estimator of the power-law tail index over per-key activity
+    counts: alpha = 1 + k / sum(ln(n_i / xmin)) over keys with n_i >=
+    xmin — the standard heavy-tail fit for web activity (Zipfian users,
+    hot keys) that decides salting and caching policy.
+
+    Scale shape: per-key counts fold from per-block partials through one
+    narrow groupby; a second per-block partial reduces the count table to
+    (k, sum_ln) pairs and only those reach the driver. Returns one row
+    (n_tail, alpha), or zero rows when no key reaches xmin."""
+    from ray.data.aggregate import Sum
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        vc = t[key_col].combine_chunks().drop_null().value_counts()
+        return pa.table({
+            key_col: vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tail_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        tail = n[n >= xmin].astype(np.float64)
+        return pa.table({
+            "k": pa.array([len(tail)], pa.int64()),
+            "s": pa.array(
+                [float(np.sum(np.log(tail / float(xmin))))], pa.float64()
+            ),
+        })
+
+    parts = collect_table(
+        counts.map_batches(tail_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    )
+    k = int(pc.sum(parts["k"]).as_py() or 0)
+    if k == 0:
+        return pa.table({
+            "n_tail": pa.array([], pa.int64()),
+            "alpha": pa.array([], pa.float64()),
+        })
+    s = float(pc.sum(parts["s"]).as_py())
+    return pa.table({
+        "n_tail": pa.array([k], pa.int64()),
+        "alpha": pa.array([round(1.0 + k / s, 6)], pa.float64()),
+    })
