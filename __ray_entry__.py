@@ -5957,6 +5957,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def part_abc_classes(sf_dir):
+        """ABC (Pareto) inventory classification: parts ranked by revenue
+        in (rev desc, partkey) order; class A covers the first 80% of
+        cumulative revenue, B to 95%, C the rest — computed WITHOUT a
+        global sort (bucket suffix sums + in-bucket descending prefix,
+        the percent_rank discipline in reverse)."""
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.rank import abc_classes
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("l_partkey").aggregate(
+                [("l_extendedprice", "sum")]
+            )
+            return g.rename_columns(["l_partkey", "rev"])
+
+        kv = (
+            li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_partkey")
+            .aggregate(Sum("rev", alias_name="rev"))
+        )
+        return abc_classes(kv, "l_partkey", "rev")
+
     def stats_hill_tail(sf_dir):
         """Hill power-law tail index of per-user activity counts (alpha =
         1 + k / sum ln(n/xmin) over users with >= 20 events) — the
@@ -6212,6 +6242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_backtest": events_seasonal_backtest,
         "stats_runs_test": stats_runs_test,
         "stats_hill_tail": stats_hill_tail,
+        "part_abc_classes": part_abc_classes,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8581,6 +8612,19 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(abs(e)), 6) AS mae, "
             "round(sqrt(avg(e * e)), 6) AS rmse, "
             "round(avg(2 * abs(e) / (abs(v) + abs(p))), 6) AS smape FROM s"
+        ),
+        "part_abc_classes": (
+            "WITH r AS (SELECT l_partkey, sum(l_extendedprice) AS rev "
+            "FROM lineitem GROUP BY 1), "
+            "o AS (SELECT *, sum(rev) OVER (ORDER BY rev DESC, l_partkey "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(rev) OVER () AS tot FROM r), "
+            "c AS (SELECT CASE WHEN cum <= 0.8 * tot THEN 'A' "
+            "WHEN cum <= 0.95 * tot THEN 'B' ELSE 'C' END AS abc_class, "
+            "rev, tot FROM o) "
+            "SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys, "
+            "round(sum(rev) / any_value(tot), 6) AS revenue_share "
+            "FROM c GROUP BY 1 ORDER BY 1"
         ),
         "stats_hill_tail": (
             "WITH c AS (SELECT user_id, count(*) AS n FROM events "

@@ -375,3 +375,97 @@ def global_dense_rank(ds, value_col: str, n_buckets: int = 4096):
         .groupby("_vb")
         .map_groups(rank_bucket, batch_format="pyarrow")
     )
+
+
+def abc_classes(kv_ds, key_col: str, value_col: str,
+                a_share: float = 0.8, b_share: float = 0.95,
+                n_buckets: int = 1024):
+    """ABC (Pareto) classification of a folded (key, value) table by
+    cumulative value share in (value desc, key asc) order: class A =
+    keys up to ``a_share`` of the total, B up to ``b_share``, C the rest
+    — the inventory-analysis classic, computed WITHOUT a global sort.
+
+    Decomposition (the percent_rank discipline in reverse): the equi-width
+    bucket of v is monotone, so every value in a HIGHER bucket precedes
+    any value here in the descending order; cum(key) = suffix-sum of
+    higher buckets + the in-bucket descending prefix. Equal values share a
+    bucket, and the in-bucket (v desc, key asc) sort settles ties exactly
+    like the SQL window ORDER BY. Per class: key count + value share.
+    NULL/NaN values drop."""
+    from debezium_incubator_ray.functions.kernels import (
+        collect_table, drop_null_nan,
+    )
+    from debezium_incubator_ray.functions.quality import (
+        equi_bucket, global_min_max,
+    )
+    from ray.data.aggregate import Sum
+
+    mn, mx = global_min_max(kv_ds, value_col)
+
+    def hist(t: pa.Table) -> pa.Table:
+        t = drop_null_nan(t, value_col)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        vb = equi_bucket(v, mn, mx, n_buckets)
+        sums = np.bincount(vb, weights=v, minlength=n_buckets)
+        return pa.table({
+            "b": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "s": pa.array(sums),
+        })
+
+    hs = collect_table(
+        kv_ds.map_batches(hist, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("b").aggregate(Sum("s", alias_name="s"))
+    )
+    sums = np.zeros(n_buckets, dtype=np.float64)
+    sums[hs["b"].to_numpy(zero_copy_only=False)] = hs["s"].to_numpy(
+        zero_copy_only=False
+    )
+    total = float(sums.sum())
+    # value sum of all STRICTLY HIGHER buckets (they precede in desc order)
+    above = np.concatenate([
+        np.cumsum(sums[::-1])[::-1][1:], np.array([0.0])
+    ])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = drop_null_nan(t, value_col)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_vb", pa.array(equi_bucket(v, mn, mx, n_buckets))
+        )
+
+    def classify(g: pa.Table) -> pa.Table:
+        bkt = int(g["_vb"][0].as_py())
+        v = g[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        k = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -v))  # v desc, key asc — the window order
+        cum = above[bkt] + np.cumsum(v[order])
+        cls = np.where(
+            cum <= a_share * total, "A",
+            np.where(cum <= b_share * total, "B", "C"),
+        )
+        out = pa.table({
+            "cls": pa.array(cls, pa.string()),
+            "one": pa.array(np.ones(len(v), np.int64)),
+            "rev": pa.array(v[order]),
+        }).group_by("cls").aggregate([("one", "sum"), ("rev", "sum")])
+        return out.rename_columns(["cls", "n", "rev"])
+
+    folded = (
+        kv_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_vb")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("cls")
+        .aggregate(Sum("n", alias_name="n_keys"),
+                   Sum("rev", alias_name="rev"))
+    )
+    out = collect_table(folded)
+    share = pc.round(pc.divide(out["rev"], pa.scalar(total)), 6)
+    res = pa.table({
+        "abc_class": out["cls"],
+        "n_keys": pc.cast(out["n_keys"], pa.int64()),
+        "revenue_share": share,
+    })
+    return res.take(
+        pc.sort_indices(res, sort_keys=[("abc_class", "ascending")])
+    )
