@@ -5957,6 +5957,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def events_markov_stationary(sf_dir):
+        """Stationary distribution of the behavioral Markov chain: 8
+        power-iteration rounds v' = v*P from uniform over the
+        row-normalized transition matrix. The distributed work is the
+        transition fold; the |types|^2 matrix iterates on the driver and
+        the oracle unrolls the same rounds."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            markov_stationary,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "event_id"],
+        )
+        return markov_stationary(ev, rounds=8)
+
     def part_abc_classes(sf_dir):
         """ABC (Pareto) inventory classification: parts ranked by revenue
         in (rev desc, partkey) order; class A covers the first 80% of
@@ -6243,6 +6260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_runs_test": stats_runs_test,
         "stats_hill_tail": stats_hill_tail,
         "part_abc_classes": part_abc_classes,
+        "events_markov_stationary": events_markov_stationary,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -6300,6 +6318,37 @@ _TOKENS = (
     "CASE WHEN length(trim(text)) = 0 THEN 0 "
     "ELSE length(string_split_regex(trim(text), '\\s+')) END"
 )
+
+
+def _markov_stationary_sql(rounds: int = 8) -> str:
+    """Unrolled power iteration v' = v*P over the row-normalized
+    (prev, next) transition matrix — the same rounds the engine runs;
+    states with no outgoing edges leak mass on both sides."""
+    sql = (
+        "WITH s AS (SELECT user_id, event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) "
+        "AS prev_type FROM events), "
+        "m AS (SELECT prev_type AS p, event_type AS n, count(*) AS c "
+        "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT p, sum(c) AS t FROM m GROUP BY 1), "
+        "pm AS MATERIALIZED (SELECT m.p, m.n, "
+        "m.c / CAST(tot.t AS DOUBLE) AS pr FROM m JOIN tot USING (p)), "
+        "st AS MATERIALIZED (SELECT p AS ty FROM pm "
+        "UNION SELECT n FROM pm), "
+        "kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st), "
+        "v0 AS MATERIALIZED (SELECT ty, 1.0 / kk.k AS v FROM st, kk)"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f", v{r} AS MATERIALIZED (SELECT pm.n AS ty, "
+            f"sum(v{r - 1}.v * pm.pr) AS v FROM v{r - 1} "
+            f"JOIN pm ON pm.p = v{r - 1}.ty GROUP BY 1)"
+        )
+    sql += (
+        f" SELECT ty AS event_type, round(v, 6) AS prob FROM v{rounds} "
+        "ORDER BY ty"
+    )
+    return sql
 
 
 def _lpa_sql(rounds: int = 3) -> str:
@@ -8545,6 +8594,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
+        "events_markov_stationary": _markov_stationary_sql(rounds=8),
         "orders_ship_lag_quantiles": (
             "WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS f "
             "FROM lineitem GROUP BY 1), "

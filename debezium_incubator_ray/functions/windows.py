@@ -1925,3 +1925,50 @@ def rolling_window_quantile(
         .groupby("win")
         .map_groups(per_win, batch_format="pyarrow")
     )
+
+
+def markov_stationary(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    rounds: int = 8,
+    buckets: int = 64,
+):
+    """Approximate stationary distribution of the behavioral Markov chain:
+    ``rounds`` synchronous power-iteration steps v' = v·P from the uniform
+    start over the row-normalized (prev, next) transition matrix — "where
+    does user behavior settle". The distributed work is the transition
+    fold (:func:`markov_transitions`); the |types|^2 matrix is
+    metadata-sized, so the iterations run on the driver and the SQL
+    oracle unrolls the same rounds. States with no outgoing transitions
+    leak their mass (no artificial self-loop), identically on both
+    sides."""
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    t = collect_table(
+        markov_transitions(ds, key_col=key_col, type_col=type_col,
+                           order_col=order_col, buckets=buckets)
+    )
+    prev = t["prev_type"].to_pylist()
+    nxt = t["next_type"].to_pylist()
+    cnt = np.asarray(t["cnt"].to_pylist(), dtype=np.float64)
+    tot: dict = {}
+    for p, c in zip(prev, cnt):
+        tot[p] = tot.get(p, 0.0) + c
+    pr = np.array([c / tot[p] for p, c in zip(prev, cnt)])
+    states = sorted(set(prev) | set(nxt))
+    v = {s: 1.0 / len(states) for s in states}
+    for _ in range(rounds):
+        nv: dict = {}
+        for p, n, w in zip(prev, nxt, pr):
+            if p in v:
+                nv[n] = nv.get(n, 0.0) + v[p] * w
+        v = nv
+    out_states = sorted(v)
+    return pa.table({
+        type_col: pa.array(out_states, pa.string()),
+        "prob": pa.array(
+            [round(v[s], 6) for s in out_states], pa.float64()
+        ),
+    })
