@@ -5957,6 +5957,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def events_dow_seasonality(sf_dir):
+        """Day-of-week seasonality index: mean daily value-total per
+        weekday divided by the overall daily mean (1.0 = flat) — the
+        multiplicative profile a seasonal forecaster factors out. Daily
+        sums fold narrow; the 7-row finish runs on the driver."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.stats import _daily_value_sums
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"],
+        )
+        days, vals = _daily_value_sums(ev, "ts", "value")
+        import numpy as np
+
+        # proleptic ordinal day 1 (0001-01-01) was a Monday → ISO dow
+        dow = (days - 1) % 7 + 1
+        overall = float(np.mean(vals))
+        out = {"dow": [], "n_days": [], "mean_total": [], "index": []}
+        for d in range(1, 8):
+            m = dow == d
+            if not m.any():
+                continue
+            mt = float(np.mean(vals[m]))
+            out["dow"].append(d)
+            out["n_days"].append(int(m.sum()))
+            out["mean_total"].append(round(mt, 6))
+            out["index"].append(round(mt / overall, 6))
+        return pa.table({
+            "dow": pa.array(out["dow"], pa.int64()),
+            "n_days": pa.array(out["n_days"], pa.int64()),
+            "mean_total": pa.array(out["mean_total"], pa.float64()),
+            "seasonality_index": pa.array(out["index"], pa.float64()),
+        })
+
     def events_markov_stationary(sf_dir):
         """Stationary distribution of the behavioral Markov chain: 8
         power-iteration rounds v' = v*P from uniform over the
@@ -6261,6 +6296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_hill_tail": stats_hill_tail,
         "part_abc_classes": part_abc_classes,
         "events_markov_stationary": events_markov_stationary,
+        "events_dow_seasonality": events_dow_seasonality,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8595,6 +8631,17 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
         "events_markov_stationary": _markov_stationary_sql(rounds=8),
+        "events_dow_seasonality": (
+            "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS v "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "o AS (SELECT avg(v) AS ov FROM d) "
+            "SELECT CAST(isodow(day) AS BIGINT) AS dow, "
+            "CAST(count(*) AS BIGINT) AS n_days, "
+            "round(avg(v), 6) AS mean_total, "
+            "round(avg(v) / any_value(o.ov), 6) AS seasonality_index "
+            "FROM d, o GROUP BY 1 ORDER BY 1"
+        ),
         "orders_ship_lag_quantiles": (
             "WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS f "
             "FROM lineitem GROUP BY 1), "
