@@ -5957,6 +5957,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def docs_length_lognormal(sf_dir):
+        """Per-source lognormal fit of document lengths (mu/sigma of
+        ln(n_chars) + fitted median) — the length model behind chunking
+        and batch-size policy. Shared power-sum fold; conditioned sigma
+        so the floats sit far inside the 6-dp gate."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import lognormal_fit
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "n_chars"],
+        )
+        return lognormal_fit(docs, "source", "n_chars")
+
     def events_dow_seasonality(sf_dir):
         """Day-of-week seasonality index: mean daily value-total per
         weekday divided by the overall daily mean (1.0 = flat) — the
@@ -6297,6 +6311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_abc_classes": part_abc_classes,
         "events_markov_stationary": events_markov_stationary,
         "events_dow_seasonality": events_dow_seasonality,
+        "docs_length_lognormal": docs_length_lognormal,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8631,6 +8646,17 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
         "events_markov_stationary": _markov_stationary_sql(rounds=8),
+        "docs_length_lognormal": (
+            # population sigma in the same conditioned raw-sum form
+            "WITH d AS (SELECT source, ln(CAST(n_chars AS DOUBLE)) AS x "
+            "FROM documents WHERE n_chars > 0), "
+            "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+            "sum(x) AS sx, sum(x * x) AS sxx FROM d GROUP BY 1) "
+            "SELECT source, n, round(sx / n, 6) AS mu, "
+            "round(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)), 6) "
+            "AS sigma, round(exp(sx / n), 6) AS fit_median "
+            "FROM s ORDER BY source"
+        ),
         "events_dow_seasonality": (
             "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS v "
             "FROM events WHERE value IS NOT NULL AND NOT isnan(value) "

@@ -347,7 +347,7 @@ def main() -> None:
         "stats_brown_forsythe", "cdc_incremental_distinct", "graph_label_prop",
         "orders_ship_lag_quantiles", "cdc_schema_rename",
         "events_seasonal_backtest", "stats_runs_test", "stats_hill_tail",
-        "part_abc_classes", "events_markov_stationary", "events_dow_seasonality",
+        "part_abc_classes", "events_markov_stationary", "events_dow_seasonality", "docs_length_lognormal",
     ]
     for name in q_list:
         t2 = time.perf_counter()

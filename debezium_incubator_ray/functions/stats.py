@@ -1595,3 +1595,48 @@ def hill_tail_index(ds, key_col: str, xmin: int = 20):
         "n_tail": pa.array([k], pa.int64()),
         "alpha": pa.array([round(1.0 + k / s, 6)], pa.float64()),
     })
+
+
+def lognormal_fit(ds, group_col: str, value_col: str):
+    """Per-group lognormal fit of a positive size column (document
+    lengths, payload bytes): mu/sigma of ln(value) via the shared
+    power-sum fold, plus the fitted median exp(mu) — the length model
+    behind chunking and batch-size policy. Rows with value <= 0 or NULL
+    drop. sigma is the population stddev, algebraically conditioned as
+    sqrt(max(ss/n - mu^2, 0)) and emitted rounded (the ln values are
+    O(1), so the raw-sum form stays far inside the 6-dp gate)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col].combine_chunks(), pa.float64())
+        keep = pc.fill_null(pc.greater(v, 0.0), False)
+        sub = pa.table({
+            group_col: t[group_col].combine_chunks().filter(keep),
+            "_lnv": pc.ln(v.filter(keep)),
+        })
+        return sub
+
+    rows = _group_power_sums(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "_lnv", group_col,
+    )
+    rows.sort(key=lambda r: r["g"])
+    out = {"g": [], "n": [], "mu": [], "sigma": [], "fit_median": []}
+    for r in rows:
+        n, s, ss = int(r["n"]), float(r["s"]), float(r["ss"])
+        if n == 0:
+            continue
+        mu = s / n
+        var = max(ss / n - mu * mu, 0.0)
+        out["g"].append(r["g"])
+        out["n"].append(n)
+        out["mu"].append(round(mu, 6))
+        out["sigma"].append(round(float(np.sqrt(var)), 6))
+        out["fit_median"].append(round(float(np.exp(mu)), 6))
+    return pa.table({
+        group_col: pa.array(out["g"]),
+        "n": pa.array(out["n"], pa.int64()),
+        "mu": pa.array(out["mu"], pa.float64()),
+        "sigma": pa.array(out["sigma"], pa.float64()),
+        "fit_median": pa.array(out["fit_median"], pa.float64()),
+    })
