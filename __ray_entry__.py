@@ -5870,7 +5870,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
-        from ray.data.aggregate import Min
         from debezium_incubator_ray.functions.joins import shuffle_join
         from debezium_incubator_ray.functions.windows import (
             quantiles_per_group,
@@ -5885,34 +5884,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         )
 
-        def min_partial(t: pa.Table) -> pa.Table:
-            g = t.group_by("l_orderkey").aggregate([("l_shipdate", "min")])
-            return g.rename_columns(["l_orderkey", "fs"])
-
-        fs = (
-            li.map_batches(min_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("l_orderkey")
-            .aggregate(Min("fs", alias_name="first_ship"))
-        )
-
         def lag(j: pa.Table) -> pa.Table:
-            # Ray's Min aggregate can come back at a coarser timestamp
-            # unit — normalize BOTH sides to microseconds before epoch math
-            fsu = pc.cast(pc.cast(j["first_ship"], pa.timestamp("us")),
-                          pa.int64())
-            odu = pc.cast(pc.cast(j["o_orderdate"], pa.timestamp("us")),
-                          pa.int64())
+            # the bucket co-locates ALL of an order's lineitems with its
+            # order row, so the per-order min folds IN-BUCKET — one
+            # shuffle total instead of a groupby shuffle + a join shuffle
+            g = j.group_by(
+                ["l_orderkey", "o_orderpriority", "o_orderdate"]
+            ).aggregate([("l_shipdate", "min")])
+            fsu = pc.cast(
+                pc.cast(g["l_shipdate_min"], pa.timestamp("us")),
+                pa.int64(),
+            )
+            odu = pc.cast(
+                pc.cast(g["o_orderdate"], pa.timestamp("us")), pa.int64()
+            )
             d = pc.divide(
                 pc.cast(pc.subtract(fsu, odu), pa.float64()),
                 pa.scalar(86400000000.0),
             )
             return pa.table({
-                "o_orderpriority": j["o_orderpriority"], "lag_days": d,
+                "o_orderpriority": g["o_orderpriority"], "lag_days": d,
             })
 
         joined = shuffle_join(
-            fs, orders, on="l_orderkey", right_on="o_orderkey",
+            li, orders, on="l_orderkey", right_on="o_orderkey",
             buckets=32, post=lag,
         )
         return quantiles_per_group(

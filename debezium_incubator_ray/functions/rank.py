@@ -400,6 +400,9 @@ def abc_classes(kv_ds, key_col: str, value_col: str,
     )
     from ray.data.aggregate import Sum
 
+    # three consumers (min/max probe, histogram, tag+classify) — pin the
+    # folded (key, value) table once or each re-runs the upstream fold
+    kv_ds = kv_ds.materialize()
     mn, mx = global_min_max(kv_ds, value_col)
 
     def hist(t: pa.Table) -> pa.Table:
