@@ -1411,3 +1411,57 @@ def test_adamic_adar_square(ray_session):
     assert out["node_b"].to_pylist() == [3, 4]
     expect = round(2.0 / math.log(2.0), 6)
     assert out["aa_score"].to_pylist() == [expect, expect]
+
+
+def test_abc_classes_known_split(ray_session):
+    """Values 50/30/15/5: cumulative shares 0.5/0.8/0.95/1.0 — the first
+    two are A (<= 0.8), the third B (<= 0.95), the last C; ties and
+    order follow (value desc, key asc)."""
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.rank import abc_classes
+
+    kv = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([50.0, 30.0, 15.0, 5.0]),
+    }))
+    out = abc_classes(kv, "k", "v", n_buckets=8)
+    got = {
+        r["abc_class"]: (r["n_keys"], r["revenue_share"])
+        for r in out.to_pylist()
+    }
+    assert got["A"] == (2, 0.8)
+    assert got["B"] == (1, 0.15)
+    assert got["C"] == (1, 0.05)
+
+
+def test_hill_tail_exact_two_point(ray_session):
+    """Counts 20 and 40 with xmin=20: alpha = 1 + 2/ln(2)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.stats import hill_tail_index
+
+    keys = [1] * 20 + [2] * 40 + [3] * 5  # key 3 below xmin
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    out = hill_tail_index(ds, "k", xmin=20)
+    assert out["n_tail"].to_pylist() == [2]
+    assert out["alpha"].to_pylist() == [round(1 + 2 / math.log(2.0), 6)]
+
+
+def test_markov_stationary_two_state(ray_session):
+    """Deterministic 2-cycle a->b->a: after 8 rounds from uniform the
+    distribution is exactly (0.5, 0.5)."""
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.windows import markov_stationary
+
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["a", "b"] * 3),
+        "event_id": pa.array(list(range(6)), pa.int64()),
+    }))
+    out = markov_stationary(ev, rounds=8)
+    assert out["event_type"].to_pylist() == ["a", "b"]
+    assert out["prob"].to_pylist() == [0.5, 0.5]
