@@ -5952,6 +5952,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def text_source_vocab_overlap(sf_dir):
+        """Pairwise vocabulary Jaccard between sources (top-50 by rounded
+        jaccard, ties (a, b)) — the corpus-similarity gauge behind
+        mixture design. Distinct (token, source) combiner per block, one
+        token-hash bucketed co-occurrence shuffle, O(sources^2) driver
+        rows."""
+        import ray.data
+        from debezium_incubator_ray.functions.text import (
+            source_vocab_overlap,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+        return source_vocab_overlap(docs, k=50)
+
     def docs_length_lognormal(sf_dir):
         """Per-source lognormal fit of document lengths (mu/sigma of
         ln(n_chars) + fitted median) — the length model behind chunking
@@ -6307,6 +6324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": events_markov_stationary,
         "events_dow_seasonality": events_dow_seasonality,
         "docs_length_lognormal": docs_length_lognormal,
+        "text_source_vocab_overlap": text_source_vocab_overlap,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8641,6 +8659,25 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
         "events_markov_stationary": _markov_stationary_sql(rounds=8),
+        "text_source_vocab_overlap": (
+            # same whitespace tokenizer; jaccard = inter / (va + vb -
+            # inter) over exact distinct-token counts; ORDER BY the
+            # ROUNDED jaccard (the engine rounds before its top-k)
+            "WITH tok AS (SELECT DISTINCT source, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "v AS (SELECT source, CAST(count(*) AS BIGINT) AS nv "
+            "FROM tok GROUP BY 1), "
+            "i AS (SELECT a.source AS sa, b.source AS sb, "
+            "CAST(count(*) AS BIGINT) AS n_shared FROM tok a "
+            "JOIN tok b ON a.w = b.w AND a.source < b.source "
+            "GROUP BY 1, 2) "
+            "SELECT sa AS source_a, sb AS source_b, n_shared, "
+            "round(n_shared * 1.0 / (va.nv + vb.nv - n_shared), 6) "
+            "AS jaccard FROM i "
+            "JOIN v va ON va.source = sa JOIN v vb ON vb.source = sb "
+            "ORDER BY jaccard DESC, source_a ASC, source_b ASC LIMIT 50"
+        ),
         "docs_length_lognormal": (
             # population sigma in the same conditioned raw-sum form
             "WITH d AS (SELECT source, ln(CAST(n_chars AS DOUBLE)) AS x "

@@ -1569,3 +1569,68 @@ def heaps_law(docs, group_col: str = "source", text_col: str = "text",
             [None if k_coef is None else round(k_coef, 6)] * n, pa.float64()
         ),
     })
+
+
+def source_vocab_overlap(docs, group_col: str = "source",
+                         text_col: str = "text", k: int = 50):
+    """Pairwise vocabulary Jaccard between corpus sources: |Va ∩ Vb| /
+    |Va ∪ Vb| over whitespace-token vocabularies — the corpus-similarity
+    gauge behind mixture design (two sources with near-identical
+    vocabularies add less diversity than their row counts suggest).
+
+    Scale shape: documents explode to distinct (token, source) pairs per
+    block (the combiner); the shared co-occurrence machinery
+    (:func:`...joins.copurchase_pairs` with token as the basket) counts
+    each pair's intersection with one token-hash bucketed shuffle; vocab
+    sizes fold via the distinct-pair combiner. Only O(sources^2) rows
+    reach the driver. Top-k by (rounded jaccard desc, a, b)."""
+    from debezium_incubator_ray.functions.joins import (
+        copurchase_pairs, distinct_count_per_group,
+    )
+    from debezium_incubator_ray.functions.kernels import (
+        collect_table, table_topk,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t[text_col].combine_chunks())
+        keep = pc.greater(pc.utf8_length(trimmed), 0)
+        t2 = pa.table({group_col: t[group_col], "_tr": trimmed}).filter(keep)
+        toks = pc.split_pattern_regex(t2["_tr"], _WS).combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = t2[group_col].take(parent)
+        return pa.table({"w": flat, group_col: src}).group_by(
+            ["w", group_col]
+        ).aggregate([])
+
+    tok = docs.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    pairs = copurchase_pairs(tok, "w", group_col, k=100_000)
+    sizes = collect_table(
+        distinct_count_per_group(tok, group_col, "w")
+    ).rename_columns([group_col, "nv"])
+    a_col, b_col = f"{group_col}_a", f"{group_col}_b"
+    j = pairs.join(
+        sizes.rename_columns([a_col, "na"]), keys=[a_col],
+        join_type="inner",
+    ).join(
+        sizes.rename_columns([b_col, "nb"]), keys=[b_col],
+        join_type="inner",
+    )
+    inter = pc.cast(j["cnt"], pa.float64())
+    union = pc.subtract(
+        pc.cast(pc.add(j["na"], j["nb"]), pa.float64()), inter
+    )
+    out = pa.table({
+        "source_a": j[a_col],
+        "source_b": j[b_col],
+        "n_shared": j["cnt"],
+        "jaccard": pc.round(pc.divide(inter, union), 6),
+    })
+    out = table_topk(out, "jaccard", ["source_a", "source_b"], k)
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["jaccard"])),
+        sort_keys=[("_neg", "ascending"), ("source_a", "ascending"),
+                   ("source_b", "ascending")],
+    )
+    return out.take(order)
