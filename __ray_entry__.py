@@ -5952,6 +5952,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def part_brand_hhi(sf_dir):
+        """Market-concentration screen: per part type, the Herfindahl
+        index of brand revenue shares (sum of squared shares; 1.0 =
+        monopoly) plus the brand count. The part dimension broadcasts
+        once; lineitem streams with per-block (type, brand) revenue
+        partials; one narrow groupby folds, and the per-type finish runs
+        over O(types x brands) rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice"],
+        )
+        part = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type", "p_brand"],
+        )
+        import ray as _ray
+
+        ref = _ray.put(part)
+
+        def partial(t: pa.Table) -> pa.Table:
+            d = _ray.get(ref)
+            j = t.join(d, keys=["l_partkey"], right_keys=["p_partkey"],
+                       join_type="inner")
+            g = j.group_by(["p_type", "p_brand"]).aggregate(
+                [("l_extendedprice", "sum")]
+            )
+            return g.rename_columns(["p_type", "p_brand", "rev"])
+
+        folded = (
+            li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["p_type", "p_brand"])
+            .aggregate(Sum("rev", alias_name="rev"))
+        )
+
+        def finish(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            rev = g["rev"].combine_chunks().to_numpy(zero_copy_only=False)
+            share = rev / rev.sum()
+            return pa.table({
+                "p_type": g["p_type"].slice(0, 1),
+                "n_brands": pa.array([g.num_rows], pa.int64()),
+                "hhi": pa.array(
+                    [round(float(np.sum(share * share)), 6)], pa.float64()
+                ),
+            })
+
+        return folded.groupby("p_type").map_groups(
+            finish, batch_format="pyarrow"
+        )
+
     def text_source_vocab_overlap(sf_dir):
         """Pairwise vocabulary Jaccard between sources (top-50 by rounded
         jaccard, ties (a, b)) — the corpus-similarity gauge behind
@@ -6325,6 +6383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_seasonality": events_dow_seasonality,
         "docs_length_lognormal": docs_length_lognormal,
         "text_source_vocab_overlap": text_source_vocab_overlap,
+        "part_brand_hhi": part_brand_hhi,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8659,6 +8718,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
         "events_markov_stationary": _markov_stationary_sql(rounds=8),
+        "part_brand_hhi": (
+            "WITH r AS (SELECT p.p_type, p.p_brand, "
+            "sum(l.l_extendedprice) AS rev FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey GROUP BY 1, 2), "
+            "t AS (SELECT p_type, sum(rev) AS tot FROM r GROUP BY 1) "
+            "SELECT r.p_type, CAST(count(*) AS BIGINT) AS n_brands, "
+            "round(sum((r.rev / t.tot) * (r.rev / t.tot)), 6) AS hhi "
+            "FROM r JOIN t USING (p_type) GROUP BY 1"
+        ),
         "text_source_vocab_overlap": (
             # same whitespace tokenizer; jaccard = inter / (va + vb -
             # inter) over exact distinct-token counts; ORDER BY the
