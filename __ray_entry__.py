@@ -5952,6 +5952,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return seasonal_naive_backtest(ev, "ts", "value", season=7)
 
+    def graph_rich_club(sf_dir):
+        """Rich-club coefficient of the top-2000 co-purchase subgraph at
+        k=10: edge density among nodes of degree > 10 — do the hubs form
+        their own clique-ish club? Degree fold + broadcast rich-node
+        filter + one count; no pair expansion anywhere."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import canonical_edges
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        ce = canonical_edges(edges, "src", "dst", buckets=32)
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            nodes = pa.chunked_array(
+                [t["a"].combine_chunks(), t["b"].combine_chunks()]
+            )
+            g = pa.table({"node": nodes}).group_by("node").aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({
+                "node": g["node"],
+                "d": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        deg = collect_table(
+            ce.map_batches(deg_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("node").aggregate(Sum("d", alias_name="deg"))
+        )
+        K = 10
+        rich = deg.filter(pc.greater(deg["deg"], pa.scalar(K)))["node"]
+        rich = rich.combine_chunks()
+        n_rich = len(rich)
+        import ray as _ray
+
+        ref = _ray.put(rich)
+
+        def rich_edges(t: pa.Table) -> pa.Table:
+            rn = _ray.get(ref)
+            keep = pc.and_(
+                pc.is_in(t["a"], value_set=rn),
+                pc.is_in(t["b"], value_set=rn),
+            )
+            return pa.table({
+                "e": pa.array([int(pc.sum(pc.cast(keep, pa.int64()))
+                               .as_py() or 0)], pa.int64()),
+            })
+
+        e_rich = int(
+            ce.map_batches(rich_edges, batch_format="pyarrow",
+                           zero_copy_batch=True).sum("e") or 0
+        )
+        possible = n_rich * (n_rich - 1) // 2
+        phi = round(e_rich / possible, 6) if possible else None
+        return pa.table({
+            "k": pa.array([K], pa.int64()),
+            "n_rich": pa.array([n_rich], pa.int64()),
+            "e_rich": pa.array([e_rich], pa.int64()),
+            "phi": pa.array([phi], pa.float64()),
+        })
+
     def part_brand_hhi(sf_dir):
         """Market-concentration screen: per part type, the Herfindahl
         index of brand revenue shares (sum of squared shares; 1.0 =
@@ -6384,6 +6456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_lognormal": docs_length_lognormal,
         "text_source_vocab_overlap": text_source_vocab_overlap,
         "part_brand_hhi": part_brand_hhi,
+        "graph_rich_club": graph_rich_club,
         "graph_assortativity": graph_assortativity,
         "graph_bfs_hops": graph_bfs_hops,
         "graph_connected_components": graph_connected_components,
@@ -8718,6 +8791,29 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(k=3, rounds=4),
         "graph_label_prop": _lpa_sql(rounds=3),
         "events_markov_stationary": _markov_stationary_sql(rounds=8),
+        "graph_rich_club": (
+            # same top-2000 edge cut; rich nodes = degree > 10; phi =
+            # edges among rich / C(n_rich, 2)
+            "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS MATERIALIZED (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS MATERIALIZED (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "deg AS MATERIALIZED (SELECT node, "
+            "CAST(count(*) AS BIGINT) AS d FROM "
+            "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+            "GROUP BY 1), "
+            "rich AS MATERIALIZED (SELECT node FROM deg WHERE d > 10), "
+            "c AS (SELECT CAST(count(*) AS BIGINT) AS n_rich FROM rich), "
+            "er AS (SELECT CAST(count(*) AS BIGINT) AS e_rich FROM e "
+            "JOIN rich x ON e.a = x.node JOIN rich y ON e.b = y.node) "
+            "SELECT CAST(10 AS BIGINT) AS k, c.n_rich, er.e_rich, "
+            "CASE WHEN c.n_rich >= 2 THEN round(er.e_rich * 1.0 / "
+            "(c.n_rich * (c.n_rich - 1) // 2), 6) ELSE NULL END AS phi "
+            "FROM c, er"
+        ),
         "part_brand_hhi": (
             "WITH r AS (SELECT p.p_type, p.p_brand, "
             "sum(l.l_extendedprice) AS rev FROM lineitem l "

@@ -348,7 +348,7 @@ def main() -> None:
         "orders_ship_lag_quantiles", "cdc_schema_rename",
         "events_seasonal_backtest", "stats_runs_test", "stats_hill_tail",
         "part_abc_classes", "events_markov_stationary", "events_dow_seasonality", "docs_length_lognormal",
-        "text_source_vocab_overlap", "part_brand_hhi",
+        "text_source_vocab_overlap", "part_brand_hhi", "graph_rich_club",
     ]
     for name in q_list:
         t2 = time.perf_counter()
