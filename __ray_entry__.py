@@ -1884,6 +1884,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_near_dup_pairs(ds, tau=0.4)
 
+    def dedup_embedding_lsh(sf_dir):
+        """The APPROXIMATE embedding-dedup scale path, driver-gated:
+        banded hyperplane LSH (16 axis-aligned planes x 4 bands — bit j =
+        embedding[j] > 0, so DuckDB recomputes the band buckets
+        bit-for-bit) + exact float64 cosine verify INSIDE each bucket.
+        Candidates = pairs sharing any band; output (a, b, cos>=0.4).
+        Unlike dedup_embedding's exact O(n^2) block pairs, compute here
+        is sum-of-bucket-sizes-squared — the 100 TB path."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            embedding_near_dup_pairs_lsh,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return embedding_near_dup_pairs_lsh(
+            ds, tau=0.4, dim=64, n_planes=16, bands=4, axis_aligned=True,
+        )
+
+    def dedup_exact_semijoin(sf_dir):
+        """dedup_exact with the declared too-big-to-broadcast winner
+        filter forced: instead of collecting winner ids to the driver,
+        winners and source rows meet in a partitioned LEFT SEMI hash
+        join (id-hash buckets) — nothing materializes driver-side. Same
+        oracle as dedup_exact; pins the scale path's behavior."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import exact_dedup
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        doubled = ds.union(
+            ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        )
+        return exact_dedup(doubled, col="text", id_col="doc_id",
+                           winner_filter="semijoin")
+
+    def dedup_keep_best_shuffle(sf_dir):
+        """dedup_keep_best with the distributed label path forced: the
+        (doc -> cluster) labels attach via the partitioned hash join
+        instead of a driver broadcast — the web-corpus shape where
+        near-dup labels are corpus-scale. Same oracle as
+        dedup_keep_best; pins branch equivalence at the driver gate."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "n_chars"],
+        )
+        return keep_best_per_cluster(docs, "n_chars", threshold=0.3,
+                                     label_mode="shuffle")
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6318,7 +6373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": asof_join_events,
         "events_in_sessions": events_in_sessions,
         "dedup_exact": dedup_exact,
+        "dedup_exact_semijoin": dedup_exact_semijoin,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -6328,6 +6385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_neyman": sample_neyman,
         "dedup_clusters": dedup_clusters,
         "dedup_keep_best": dedup_keep_best,
+        "dedup_keep_best_shuffle": dedup_keep_best_shuffle,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -7502,6 +7560,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) "
             "AS rn FROM documents) WHERE rn = 1"
         ),
+        "dedup_exact_semijoin": (
+            # identical result set to dedup_exact — the query only swaps
+            # the winner-filter execution strategy (driver broadcast ->
+            # partitioned left-semi join), which must not change output
+            "SELECT doc_id, text, lang, source, n_chars FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) "
+            "AS rn FROM documents) WHERE rn = 1"
+        ),
         "dedup_minhash": _jaccard_sql(0.5),
         "dedup_ngram_jaccard": _jaccard_sql(0.3),
         "dedup_containment": (
@@ -7605,6 +7671,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": (
             # same transitive closure as dedup_clusters; winner per
             # cluster = longest doc, ties by min doc id
+            "WITH RECURSIVE "
+            + _SHINGLES[len("WITH ") :].rstrip()
+            + ", p AS (SELECT a, b FROM i "
+            "JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b "
+            "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.3), "
+            "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), "
+            "reach(node, r) AS ("
+            "SELECT a, a FROM (SELECT DISTINCT a FROM ed) "
+            "UNION "
+            "SELECT re.node, ed.b FROM reach re JOIN ed ON ed.a = re.r), "
+            "comp AS (SELECT node, min(r) AS cluster_id FROM reach "
+            "GROUP BY node), "
+            "w AS (SELECT comp.cluster_id, comp.node AS doc_id, "
+            "d.n_chars, row_number() OVER (PARTITION BY comp.cluster_id "
+            "ORDER BY d.n_chars DESC, comp.node ASC) AS rn "
+            "FROM comp JOIN documents d ON d.doc_id = comp.node) "
+            "SELECT cluster_id, doc_id, CAST(n_chars AS DOUBLE) AS score "
+            "FROM w WHERE rn = 1"
+        ),
+        "dedup_keep_best_shuffle": (
+            # identical result set to dedup_keep_best — the query only
+            # forces the distributed label-attach branch (partitioned
+            # hash join instead of driver broadcast)
             "WITH RECURSIVE "
             + _SHINGLES[len("WITH ") :].rstrip()
             + ", p AS (SELECT a, b FROM i "
@@ -8246,6 +8335,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "dedup_embedding_lsh": (
+            # the engine's axis-aligned banded LSH recomputed exactly:
+            # 16 sign bits (bit j = embedding[j] > 0), 4 bands x 4 bits;
+            # candidates share any band's bits; verify = exact float64
+            # cosine >= tau inside the bucket
+            "WITH bnd AS (SELECT vec_id, k.band, "
+            "(CASE WHEN embedding[4*k.band+1] > 0 THEN 1 ELSE 0 END) "
+            "+ 2 * (CASE WHEN embedding[4*k.band+2] > 0 THEN 1 ELSE 0 END) "
+            "+ 4 * (CASE WHEN embedding[4*k.band+3] > 0 THEN 1 ELSE 0 END) "
+            "+ 8 * (CASE WHEN embedding[4*k.band+4] > 0 THEN 1 ELSE 0 END) "
+            "AS bits FROM embeddings "
+            "CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) k "
+            "WHERE embedding IS NOT NULL), "
+            "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+            "FROM bnd x JOIN bnd y ON x.band = y.band "
+            "AND x.bits = y.bits AND x.vec_id < y.vec_id) "
+            "SELECT c.a, c.b, "
+            "round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+            "CAST(eb.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM cand c JOIN embeddings ea ON ea.vec_id = c.a "
+            "JOIN embeddings eb ON eb.vec_id = c.b "
+            "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+            "CAST(eb.embedding AS DOUBLE[])) >= 0.4"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "

@@ -327,6 +327,9 @@ def main() -> None:
         "cdc_json_envelopes",
         "cdc_predicate_update",
         "dedup_keep_best",
+        "dedup_keep_best_shuffle",
+        "dedup_exact_semijoin",
+        "dedup_embedding_lsh",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

@@ -1153,6 +1153,7 @@ def embedding_near_dup_pairs_lsh(
     bands: int = 4,
     seed: int = 13,
     buckets: int = 64,
+    axis_aligned: bool = False,
 ):
     """APPROXIMATE near-dup pairs — the 100 TB scale path for high ``tau``.
 
@@ -1164,12 +1165,19 @@ def embedding_near_dup_pairs_lsh(
     Unlike the exact block-pair operator (embedding_near_dup_pairs), total
     compute is O(sum of bucket sizes squared), not O(n^2) — buckets are
     the partition key at scale. Embeddings ship once per band (bands is
-    small); nothing materializes on the driver."""
+    small); nothing materializes on the driver.
+
+    ``axis_aligned=True`` swaps the Gaussian planes for coordinate-sign
+    planes (bit j = embedding[j] > 0, functions/ann.py HyperplaneSigner)
+    — an equally valid LSH family whose band buckets plain SQL can
+    recompute bit-for-bit; the driver-checked ``dedup_embedding_lsh``
+    query pins this path against a DuckDB oracle."""
     from debezium_incubator_ray.functions.ann import HyperplaneSigner
 
     assert n_planes % bands == 0
     r = n_planes // bands
-    signer = HyperplaneSigner(dim, n_planes, seed=seed, col=col)
+    signer = HyperplaneSigner(dim, n_planes, seed=seed, col=col,
+                              axis_aligned=axis_aligned)
 
     def explode(t: pa.Table) -> pa.Table:
         from debezium_incubator_ray.functions.ann import _batch_matrix
@@ -1356,6 +1364,9 @@ def keep_best_per_cluster(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    label_mode: str = "auto",
+    driver_cutover: int = 10_000_000,
+    buckets: int = 64,
 ):
     """Quality-aware near-dup dedup: instead of the min-id canonical,
     keep the HIGHEST-``score_col`` document of every near-dup cluster
@@ -1364,48 +1375,96 @@ def keep_best_per_cluster(
     cluster: (cluster_id, doc_id, score).
 
     Scale shape: clusters come from the distributed pair + component
-    machinery; the (doc -> cluster) labeling is dup-graph-sized (a
-    sliver of the corpus, same bound as connected_components' driver
-    cutover) and broadcasts as two sorted arrays, so the corpus streams
-    ONCE to attach labels + scores; the winner per cluster is one
+    machinery. Label attachment has two modes under the same cutover
+    discipline as connected_components, because on a web corpus the
+    near-dup graph is NOT metadata-sized (30-40% of all docs carry a
+    label — tens of GB at 10^10 docs):
+
+    - ``broadcast`` (<= ``driver_cutover`` labeled nodes): the
+      (doc -> cluster) map collects once as two sorted arrays, one
+      ray.put, and the corpus streams ONCE to attach labels + scores —
+      zero full-row shuffle.
+    - ``shuffle`` (above the cutover, or forced): labels attach via the
+      partitioned hash join (functions/joins.py shuffle_join, inner on
+      id-hash buckets) — labels and doc (id, score) rows meet in their
+      bucket, nothing ever materializes on the driver. Costs one shuffle
+      of the (id, score) projection — 16 B/row, never the text.
+
+    Both paths feed the same distributed winner election: one
     group_argmin combiner pass (per-block lexmin of (-score, id), one
-    bucketed fold)."""
+    bucketed fold). ``label_mode="auto"`` picks by counting the labeled
+    nodes (the component output is materialized either way). A pytest
+    byte-compares the two branches on the same corpus."""
     import ray
     import ray.data
     from debezium_incubator_ray.functions.kernels import group_argmin
 
     pairs = ngram_jaccard_pairs(docs_ds, shingle_k, threshold)
-    comp = connected_components(pairs)
-    rows = comp.take_all()  # dup-graph nodes only — metadata-scale
-    nodes = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    clusters = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(nodes)
-    map_ref = ray.put((nodes[order], clusters[order]))
+    comp = connected_components(pairs).materialize()
+    if label_mode == "auto":
+        mode = "broadcast" if comp.count() <= driver_cutover else "shuffle"
+    elif label_mode in ("broadcast", "shuffle"):
+        mode = label_mode
+    else:
+        raise ValueError(f"unknown label_mode {label_mode!r}")
 
-    def attach(t: pa.Table) -> pa.Table:
-        n_arr, c_arr = ray.get(map_ref)
-        ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
-            zero_copy_only=False
+    # the election only needs (id, score) — never ship text/html columns
+    # through either the broadcast filter or the join shuffle
+    slim = docs_ds.select_columns([id_col, score_col])
+
+    if mode == "shuffle":
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        joined = shuffle_join(
+            slim, comp, on=id_col, right_on="doc_id",
+            buckets=buckets, join_type="inner",
         )
-        if len(n_arr) == 0:
-            sel = np.zeros(len(ids), dtype=bool)
-            cl = np.empty(0, np.int64)
-        else:
-            pos = np.minimum(np.searchsorted(n_arr, ids), len(n_arr) - 1)
-            sel = n_arr[pos] == ids
-            cl = c_arr[pos[sel]]  # positions already found — reuse
-        sub = t.filter(pa.array(sel))
-        return pa.table({
-            "cluster_id": pa.array(cl),
-            "_negscore": pc.multiply(
-                pc.cast(sub[score_col], pa.float64()), -1.0
-            ),
-            id_col: pc.cast(sub[id_col], pa.int64()),
-        })
 
-    labeled = docs_ds.map_batches(
-        attach, batch_format="pyarrow", zero_copy_batch=True
-    )
+        def to_neg(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "cluster_id": pc.cast(
+                    t["cluster_id"].combine_chunks(), pa.int64()
+                ),
+                "_negscore": pc.multiply(
+                    pc.cast(t[score_col], pa.float64()), -1.0
+                ),
+                id_col: pc.cast(t[id_col], pa.int64()),
+            })
+
+        labeled = joined.map_batches(
+            to_neg, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        rows = comp.take_all()  # under the cutover — bounded pull
+        nodes = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        clusters = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
+        order = np.argsort(nodes)
+        map_ref = ray.put((nodes[order], clusters[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            n_arr, c_arr = ray.get(map_ref)
+            ids = pc.cast(t[id_col].combine_chunks(), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            if len(n_arr) == 0:
+                sel = np.zeros(len(ids), dtype=bool)
+                cl = np.empty(0, np.int64)
+            else:
+                pos = np.minimum(np.searchsorted(n_arr, ids), len(n_arr) - 1)
+                sel = n_arr[pos] == ids
+                cl = c_arr[pos[sel]]  # positions already found — reuse
+            sub = t.filter(pa.array(sel))
+            return pa.table({
+                "cluster_id": pa.array(cl),
+                "_negscore": pc.multiply(
+                    pc.cast(sub[score_col], pa.float64()), -1.0
+                ),
+                id_col: pc.cast(sub[id_col], pa.int64()),
+            })
+
+        labeled = slim.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
+        )
     won = group_argmin(labeled, "cluster_id", "_negscore", id_col)
 
     def finish(t: pa.Table) -> pa.Table:

@@ -1145,3 +1145,72 @@ def test_keep_best_per_cluster_planted(ray_session):
     assert out["cluster_id"][0] == 1
     assert out["doc_id"][0] == 2  # score tie 30.0 between 2 and 3 -> min id
     assert out["score"][0] == 30.0
+
+
+def test_keep_best_label_modes_agree(ray_session):
+    """The broadcast and shuffle (distributed semijoin) label-attach
+    branches of keep_best_per_cluster must produce identical rows — the
+    cutover is an execution-strategy switch, never a semantics switch."""
+    import pandas as pd
+    from debezium_incubator_ray.functions.dedup import keep_best_per_cluster
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def run(**kw):
+        return (
+            keep_best_per_cluster(docs, "n_chars", threshold=0.3, **kw)
+            .to_pandas()
+            .sort_values(["cluster_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    bro = run(label_mode="broadcast")
+    shf = run(label_mode="shuffle")
+    assert len(bro) > 0
+    pd.testing.assert_frame_equal(bro, shf)
+    # auto with cutover=0 must take the shuffle branch and still agree
+    auto0 = run(label_mode="auto", driver_cutover=0)
+    pd.testing.assert_frame_equal(bro, auto0)
+
+
+def test_embedding_lsh_axis_aligned_matches_numpy(ray_session):
+    """axis_aligned=True (the SQL-verifiable plane family): full output
+    byte-compare against an independent numpy recomputation of the band
+    buckets + exact float64 in-bucket cosine."""
+    from debezium_incubator_ray.functions.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_planes, bands, tau = 60, 16, 8, 4, 0.3
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(M.tolist(), pa.list_(pa.float32()))})
+    out = embedding_near_dup_pairs_lsh(
+        ray.data.from_arrow(t), tau=tau, dim=dim, n_planes=n_planes,
+        bands=bands, axis_aligned=True,
+    ).to_pandas()
+
+    # numpy reference: bit j = coord j > 0; band k = bits [k*r, (k+1)*r)
+    r = n_planes // bands
+    M64 = M.astype(np.float64)
+    bits = (M64[:, :n_planes] > 0).astype(np.int64)
+    band_codes = np.stack(
+        [bits[:, k * r:(k + 1) * r] @ (1 << np.arange(r)) for k in range(bands)],
+        axis=1,
+    )  # (n, bands)
+    Mn = M64 / np.linalg.norm(M64, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (band_codes[i] == band_codes[j]).any() and cos[i, j] >= tau:
+                expect[(ids[i], ids[j])] = round(float(cos[i, j]), 6)
+    got = {(a, b): c for a, b, c in zip(out["a"], out["b"], out["cos"])}
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
