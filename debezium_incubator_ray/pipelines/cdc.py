@@ -63,11 +63,17 @@ class CdcEngine:
         lake_dir: str,
         config: Optional[EngineConfig] = None,
         payload_schema: Optional[pa.Schema] = None,
+        manifest_store=None,
     ):
+        # manifest_store: optional ManifestStore for the tiny control plane
+        # (state/store.py) — e.g. ObjectStoreStore on a real cluster, where
+        # concurrent engine writers are REJECTED at the conditional put
+        # instead of last-write-wins; None = LocalFsStore under the lake
         self.cfg = config or EngineConfig()
         self.lake_dir = lake_dir
-        if Manifest.exists(lake_dir):
-            self.manifest = Manifest.load(lake_dir)
+        self._manifest_store = manifest_store
+        if Manifest.exists(lake_dir, store=manifest_store):
+            self.manifest = Manifest.load(lake_dir, store=manifest_store)
             # the manifest is authoritative for table identity + partitioning
             # on resume: a config drift here would route keys to partitions
             # the applier doesn't track (and break exactly-once routing)
@@ -174,6 +180,7 @@ class CdcEngine:
                 merge_mode=self.cfg.merge_mode,
                 counter_cols=list(self.cfg.counter_cols),
                 bloom_filter_bits=self.cfg.bloom_filter_bits,
+                store=manifest_store,
             )
 
         self._lock_fd: Optional[int] = None
