@@ -1939,6 +1939,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return keep_best_per_cluster(docs, "n_chars", threshold=0.3,
                                      label_mode="shuffle")
 
+    def multimodal_decode(sf_dir):
+        """REAL multimodal metadata decode (no codec libs needed):
+        deterministic PNG/BMP/WAV payloads are synthesized per batch from
+        doc_id (functions/multimodal.py synth_media_payloads — real
+        container bytes, zero CRCs), then the vectorized header parser
+        recovers width/height/channels/bit_depth/sample_rate/n_samples
+        from the raw bytes. The oracle restates the generator formulas in
+        SQL, so a wrong parse offset or endianness breaks the row."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.multimodal import (
+            MediaHeaderParser, synth_media_payloads,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+
+        def add_payload(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.append_column("payload", synth_media_payloads(ids))
+
+        return docs.map_batches(
+            add_payload, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            MediaHeaderParser,
+            fn_constructor_kwargs={"payload_col": "payload"},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=(1, 4),
+        )
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6386,6 +6420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "dedup_keep_best": dedup_keep_best,
         "dedup_keep_best_shuffle": dedup_keep_best_shuffle,
+        "multimodal_decode": multimodal_decode,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -8368,6 +8403,30 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "multimodal_decode": (
+            # the payload GENERATOR's formulas (synth_media_payloads), so
+            # the engine's byte-level header parse must round-trip them
+            "WITH m AS (SELECT doc_id, doc_id % 3 AS kc, doc_id // 3 AS s "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE kc WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END "
+            "AS kind, "
+            "CASE kc WHEN 0 THEN s % 317 + 1 WHEN 1 THEN s % 509 + 1 "
+            "ELSE NULL END AS width, "
+            "CASE kc WHEN 0 THEN s % 211 + 1 WHEN 1 THEN s % 255 + 1 "
+            "ELSE NULL END AS height, "
+            "CASE kc WHEN 0 THEN "
+            "(CASE s % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 "
+            "ELSE 4 END) "
+            "WHEN 1 THEN (CASE WHEN s % 2 = 0 THEN 3 ELSE 4 END) "
+            "ELSE s % 2 + 1 END AS channels, "
+            "CASE kc WHEN 2 THEN 16 ELSE 8 END AS bit_depth, "
+            "CASE kc WHEN 2 THEN (CASE s % 3 WHEN 0 THEN 8000 "
+            "WHEN 1 THEN 16000 ELSE 44100 END) ELSE NULL END "
+            "AS sample_rate, "
+            "CASE kc WHEN 2 THEN s % 1000 + 1 ELSE NULL END AS n_samples "
+            "FROM m"
         ),
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

@@ -330,6 +330,7 @@ def main() -> None:
         "dedup_keep_best_shuffle",
         "dedup_exact_semijoin",
         "dedup_embedding_lsh",
+        "multimodal_decode",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

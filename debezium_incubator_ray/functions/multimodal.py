@@ -231,3 +231,276 @@ class ResizeStub:
             pa.array([[self.side, self.side]] * len(payload),
                      pa.list_(pa.int32())),
         )
+
+
+# ---------------------------------------------------------------------------
+# Real container-header parsing (pure numpy — no codec libraries needed)
+#
+# The codec stubs above stay the integration points for PIXEL/SAMPLE work;
+# format METADATA, however, needs no codec: PNG/BMP/WAV headers are plain
+# fixed-offset structs. parse_media_headers reads them vectorized over the
+# flat Arrow byte buffer — the real "decode" step of a metadata-extraction
+# pipeline (dimension filters, duration budgets, format routing) at 100 TB.
+
+
+_PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+
+
+def _byte_at(flat, starts, lens, k):
+    """Per-row byte k as int64 (0 where the row is shorter than k+1)."""
+    v = np.zeros(len(starts), dtype=np.int64)
+    m = lens > k
+    v[m] = flat[starts[m] + k]
+    return v
+
+
+def _u32be(flat, starts, lens, o):
+    return (
+        (_byte_at(flat, starts, lens, o) << 24)
+        | (_byte_at(flat, starts, lens, o + 1) << 16)
+        | (_byte_at(flat, starts, lens, o + 2) << 8)
+        | _byte_at(flat, starts, lens, o + 3)
+    )
+
+
+def _u32le(flat, starts, lens, o):
+    return (
+        _byte_at(flat, starts, lens, o)
+        | (_byte_at(flat, starts, lens, o + 1) << 8)
+        | (_byte_at(flat, starts, lens, o + 2) << 16)
+        | (_byte_at(flat, starts, lens, o + 3) << 24)
+    )
+
+
+def _u16le(flat, starts, lens, o):
+    return _byte_at(flat, starts, lens, o) | (
+        _byte_at(flat, starts, lens, o + 1) << 8
+    )
+
+
+# PNG color type -> sample channels (spec: 0 gray, 2 RGB, 3 palette,
+# 4 gray+alpha, 6 RGBA)
+_PNG_CHANNELS = np.array([1, 0, 3, 1, 2, 0, 4], dtype=np.int64)
+
+
+def parse_media_headers(
+    payload, id_arr=None, id_col: str = "doc_id"
+) -> pa.Table:
+    """Vectorized container sniff + header parse of a binary column.
+
+    Emits one row per payload: kind ('png' | 'bmp' | 'wav' | 'unknown'),
+    width/height/channels/bit_depth (images), channels/bit_depth/
+    sample_rate/n_samples (wav); fields that do not apply are NULL.
+
+    - PNG: IHDR at its mandatory first-chunk position — width/height
+      u32 big-endian at 16/20, bit depth at 24, channels from the color
+      type (25).
+    - BMP: BITMAPINFOHEADER — width/height i32 little-endian at 18/22,
+      bits-per-pixel u16 at 28 (channels = bpp/8, bit_depth 8).
+    - WAV: canonical RIFF layout — channels u16le@22, sample rate
+      u32le@24, bits u16le@34, data chunk size u32le@40; n_samples =
+      data_size / block_align.
+
+    One pass over the flat Arrow byte buffer; no per-row Python."""
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    valid = pc.is_valid(payload)
+    arr, offsets, flat = _flat_bytes(pc.fill_null(payload, b""))
+    n = len(arr)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+
+    b = [_byte_at(flat, starts, lens, k) for k in range(12)]
+    is_png = lens >= 29
+    for k in range(8):
+        is_png &= b[k] == _PNG_SIG[k]
+    is_bmp = (lens >= 30) & (b[0] == 0x42) & (b[1] == 0x4D) & ~is_png
+    is_wav = (
+        (lens >= 44)
+        & (b[0] == 0x52) & (b[1] == 0x49) & (b[2] == 0x46) & (b[3] == 0x46)
+        & (b[8] == 0x57) & (b[9] == 0x41) & (b[10] == 0x56) & (b[11] == 0x45)
+        & ~is_png & ~is_bmp
+    )
+
+    width = np.zeros(n, dtype=np.int64)
+    height = np.zeros(n, dtype=np.int64)
+    channels = np.zeros(n, dtype=np.int64)
+    bit_depth = np.zeros(n, dtype=np.int64)
+    sample_rate = np.zeros(n, dtype=np.int64)
+    n_samples = np.zeros(n, dtype=np.int64)
+
+    width[is_png] = _u32be(flat, starts, lens, 16)[is_png]
+    height[is_png] = _u32be(flat, starts, lens, 20)[is_png]
+    bit_depth[is_png] = _byte_at(flat, starts, lens, 24)[is_png]
+    ct = np.clip(_byte_at(flat, starts, lens, 25), 0, 6)
+    channels[is_png] = _PNG_CHANNELS[ct][is_png]
+
+    w_bmp = _u32le(flat, starts, lens, 18)
+    h_bmp = _u32le(flat, starts, lens, 22)
+    # i32le: top-down BMPs store negative height
+    width[is_bmp] = np.abs(w_bmp.astype(np.int32).astype(np.int64))[is_bmp]
+    height[is_bmp] = np.abs(h_bmp.astype(np.int32).astype(np.int64))[is_bmp]
+    bpp = _u16le(flat, starts, lens, 28)
+    channels[is_bmp] = (bpp // 8)[is_bmp]
+    bit_depth[is_bmp] = 8
+
+    ch_w = _u16le(flat, starts, lens, 22)
+    bits_w = _u16le(flat, starts, lens, 34)
+    rate_w = _u32le(flat, starts, lens, 24)
+    data_w = _u32le(flat, starts, lens, 40)
+    block = np.maximum(ch_w * (bits_w // 8), 1)
+    channels[is_wav] = ch_w[is_wav]
+    bit_depth[is_wav] = bits_w[is_wav]
+    sample_rate[is_wav] = rate_w[is_wav]
+    n_samples[is_wav] = (data_w // block)[is_wav]
+
+    kind_codes = np.where(
+        is_png, 0, np.where(is_bmp, 1, np.where(is_wav, 2, 3))
+    ).astype(np.int32)
+    kind = pc.take(
+        pa.array(["png", "bmp", "wav", "unknown"]), pa.array(kind_codes)
+    )
+    is_img = is_png | is_bmp
+    known = is_img | is_wav
+
+    def col(vals, mask):
+        m = mask & np.asarray(valid.to_numpy(zero_copy_only=False))
+        return pa.array(vals, pa.int64(), mask=~m)
+
+    cols = {}
+    if id_arr is not None:
+        cols[id_col] = id_arr
+    cols.update({
+        "kind": pc.if_else(valid, kind, pa.nulls(n, pa.string())),
+        "width": col(width, is_img),
+        "height": col(height, is_img),
+        "channels": col(channels, known),
+        "bit_depth": col(bit_depth, known),
+        "sample_rate": col(sample_rate, is_wav),
+        "n_samples": col(n_samples, is_wav),
+    })
+    return pa.table(cols)
+
+
+class MediaHeaderParser:
+    """Actor-pool stage wrapping parse_media_headers (state-free today,
+    but the stage shape matches a real decoder: small batches, Arrow
+    in/out, id passthrough)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return parse_media_headers(
+            batch[self.col], id_arr=batch[self.id_col], id_col=self.id_col
+        )
+
+
+def synth_media_payloads(doc_id: np.ndarray) -> pa.Array:
+    """Deterministic REAL container payloads from an id array — the
+    multimodal test-data generator (this sandbox's parquet tables carry
+    no binary media, so queries synthesize media columns on the fly; the
+    same id formulas are restated in the DuckDB oracle, making the
+    header PARSER the thing under test — a wrong offset or endianness
+    breaks the round-trip).
+
+    kind = doc_id % 3 (0 png, 1 bmp, 2 wav); sub-parameters derive from
+    s = doc_id // 3 so they still vary within a kind:
+
+    - png: width s%317+1, height s%211+1, bit depth 8, color type
+      [0,2,4,6][s%4] (channels [1,3,2,4]); zero CRC (parsers here do
+      not verify checksums).
+    - bmp: width s%509+1, height s%255+1, bpp 24/32 by s%2 (54-byte
+      BITMAPINFOHEADER).
+    - wav: channels s%2+1, sample rate [8000,16000,44100][s%3], 16-bit
+      PCM, n_samples s%1000+1, zeroed sample data (silence)."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    n = len(doc_id)
+    kind = doc_id % 3
+    s = doc_id // 3
+
+    lens = np.empty(n, dtype=np.int64)
+    png_m, bmp_m, wav_m = kind == 0, kind == 1, kind == 2
+    wav_ch = (s % 2 + 1).astype(np.int64)
+    wav_ns = (s % 1000 + 1).astype(np.int64)
+    wav_data = wav_ns * wav_ch * 2
+    lens[png_m] = 33
+    lens[bmp_m] = 54
+    lens[wav_m] = 44 + wav_data[wav_m]
+
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+
+    def put(mask, k, vals):
+        flat[starts[mask] + k] = vals
+
+    def put_u32be(mask, o, v):
+        v = np.asarray(v, dtype=np.int64)[mask] if np.ndim(v) else np.full(
+            int(mask.sum()), v, dtype=np.int64)
+        for i, sh in enumerate((24, 16, 8, 0)):
+            flat[starts[mask] + o + i] = (v >> sh) & 0xFF
+
+    def put_u32le(mask, o, v):
+        v = np.asarray(v, dtype=np.int64)[mask] if np.ndim(v) else np.full(
+            int(mask.sum()), v, dtype=np.int64)
+        for i, sh in enumerate((0, 8, 16, 24)):
+            flat[starts[mask] + o + i] = (v >> sh) & 0xFF
+
+    def put_u16le(mask, o, v):
+        v = np.asarray(v, dtype=np.int64)[mask] if np.ndim(v) else np.full(
+            int(mask.sum()), v, dtype=np.int64)
+        flat[starts[mask] + o] = v & 0xFF
+        flat[starts[mask] + o + 1] = (v >> 8) & 0xFF
+
+    # -- png
+    if png_m.any():
+        for k, byte in enumerate(_PNG_SIG):
+            put(png_m, k, byte)
+        put_u32be(png_m, 8, 13)  # IHDR length
+        for k, byte in enumerate(b"IHDR"):
+            put(png_m, 12 + k, byte)
+        put_u32be(png_m, 16, s % 317 + 1)
+        put_u32be(png_m, 20, s % 211 + 1)
+        put(png_m, 24, 8)  # bit depth
+        ctypes = np.array([0, 2, 4, 6], dtype=np.int64)[s % 4]
+        put(png_m, 25, ctypes[png_m])
+
+    # -- bmp
+    if bmp_m.any():
+        put(bmp_m, 0, 0x42)
+        put(bmp_m, 1, 0x4D)
+        put_u32le(bmp_m, 2, 54)   # file size (header-only payload)
+        put_u32le(bmp_m, 10, 54)  # pixel-data offset
+        put_u32le(bmp_m, 14, 40)  # BITMAPINFOHEADER size
+        put_u32le(bmp_m, 18, s % 509 + 1)
+        put_u32le(bmp_m, 22, s % 255 + 1)
+        put_u16le(bmp_m, 26, 1)   # planes
+        bpp = np.where(s % 2 == 0, 24, 32).astype(np.int64)
+        put_u16le(bmp_m, 28, bpp)
+
+    # -- wav
+    if wav_m.any():
+        for k, byte in enumerate(b"RIFF"):
+            put(wav_m, k, byte)
+        put_u32le(wav_m, 4, 36 + wav_data)
+        for k, byte in enumerate(b"WAVEfmt "):
+            put(wav_m, 8 + k, byte)
+        put_u32le(wav_m, 16, 16)  # fmt chunk size
+        put_u16le(wav_m, 20, 1)   # PCM
+        put_u16le(wav_m, 22, wav_ch)
+        rate = np.array([8000, 16000, 44100], dtype=np.int64)[s % 3]
+        put_u32le(wav_m, 24, rate)
+        put_u32le(wav_m, 28, rate * wav_ch * 2)  # byte rate
+        put_u16le(wav_m, 32, wav_ch * 2)         # block align
+        put_u16le(wav_m, 34, 16)                 # bits per sample
+        for k, byte in enumerate(b"data"):
+            put(wav_m, 36 + k, byte)
+        put_u32le(wav_m, 40, wav_data)
+
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )

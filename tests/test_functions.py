@@ -1214,3 +1214,69 @@ def test_embedding_lsh_axis_aligned_matches_numpy(ray_session):
     assert set(got) == set(expect)
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
+
+
+def test_media_header_parse_roundtrip_and_edges():
+    """synth payloads round-trip through the header parser; nulls,
+    unknown magic and truncated headers degrade to NULL fields, never
+    crash the flat-buffer arithmetic."""
+    from debezium_incubator_ray.functions.multimodal import (
+        parse_media_headers, synth_media_payloads,
+    )
+
+    ids = np.arange(0, 300, dtype=np.int64)
+    p = synth_media_payloads(ids)
+    out = parse_media_headers(p, id_arr=pa.array(ids)).to_pandas()
+    for _, r in out.iterrows():
+        s, kc = r.doc_id // 3, r.doc_id % 3
+        if kc == 0:
+            assert r.kind == "png" and r.width == s % 317 + 1
+            assert r.height == s % 211 + 1 and r.bit_depth == 8
+            assert r.channels == [1, 3, 2, 4][s % 4]
+        elif kc == 1:
+            assert r.kind == "bmp" and r.width == s % 509 + 1
+            assert r.channels == (3 if s % 2 == 0 else 4)
+        else:
+            assert r.kind == "wav"
+            assert r.sample_rate == [8000, 16000, 44100][s % 3]
+            assert r.n_samples == s % 1000 + 1
+            assert r.channels == s % 2 + 1 and r.bit_depth == 16
+
+    weird = pa.array(
+        [None, b"", b"\x89PNG", b"garbage bytes here that are long enough",
+         b"RIFFxxxxWAVE" + b"\x00" * 40],
+        pa.large_binary(),
+    )
+    w = parse_media_headers(weird).to_pandas()
+    assert w["kind"].tolist()[0] is None          # null payload
+    assert w["kind"].tolist()[1:4] == ["unknown"] * 3  # short/truncated/bad
+    assert w["kind"].tolist()[4] == "wav"         # header parses, zeros
+    assert np.isnan(w["width"][4])
+
+
+def test_media_header_parser_stage(ray_session):
+    """Actor-pool stage wiring over a Dataset (the sf0.001 id space)."""
+    from debezium_incubator_ray.functions.multimodal import (
+        MediaHeaderParser, synth_media_payloads,
+    )
+
+    ids = np.arange(50, dtype=np.int64)
+
+    def add(t):
+        return t.append_column(
+            "payload",
+            synth_media_payloads(t["doc_id"].to_numpy(zero_copy_only=False)),
+        )
+
+    ds = (
+        ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+        .repartition(4)
+        .map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            MediaHeaderParser, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 2),
+        )
+    )
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 50
+    assert (out["kind"] == np.array(["png", "bmp", "wav"])[ids % 3]).all()
