@@ -1000,6 +1000,8 @@ class CdcEngine:
         max_epochs: Optional[int] = None,
         max_segments_per_epoch: Optional[int] = None,
         source: str = "",
+        health_port: Optional[int] = None,
+        stop=None,
     ) -> List[Dict]:
         """The directory-watcher lifecycle (AbstractDirectoryWatcher.java:
         40-53): drain, then poll for new segments, applying as they land.
@@ -1008,27 +1010,68 @@ class CdcEngine:
         externally; tests pass small numbers. Progress = anything that
         changes the next epoch's plan or the lake: rows applied, segments
         marked done, or segments quarantined. A pure heartbeat or a
-        deferred-only transactional head makes no progress."""
+        deferred-only transactional head makes no progress.
+
+        ``health_port`` (0 = pick a free port) serves live /ping
+        /buildinfo /health /metrics over HTTP for the duration of the
+        tail — manifest version, per-partition watermarks, last-epoch
+        counters (state/health.py; parity:
+        CAS/CassandraConnectorTask.java:115-128,141-150). The bound port
+        is exposed as ``self.health_server.port``.
+
+        ``stop`` (a threading.Event) is the external-cancel hook for
+        production tails running with ``idle_polls=None``: checked after
+        every epoch and instead of sleeping out an idle poll — the tail
+        finishes the in-flight epoch, flushes, and returns."""
         out: List[Dict] = []
         idle = 0
-        while True:
-            st = self.apply_epoch(binlog_dir, max_segments_per_epoch, source=source)
-            out.append(st)
-            if max_epochs is not None and len(out) >= max_epochs:
-                break
-            progressed = (
-                st.get("applied", 0) > 0
-                or st.get("done", 0) > 0
-                or st.get("quarantined", 0) > 0
+        events_total = 0
+        self.health_server = None
+        if health_port is not None:
+            from debezium_incubator_ray.state.health import (
+                HealthServer, engine_snapshot,
             )
-            if progressed:
-                idle = 0
-                continue
-            idle += 1
-            if idle_polls is not None and idle >= idle_polls:
-                break
-            time.sleep(poll_interval_s)
-        self.flush()
+
+            self.health_server = HealthServer(port=health_port).start()
+            self.health_server.update(
+                engine_snapshot(self.manifest, 0, 0, status="tailing")
+            )
+        try:
+            while True:
+                st = self.apply_epoch(
+                    binlog_dir, max_segments_per_epoch, source=source
+                )
+                out.append(st)
+                events_total += st.get("events", 0)
+                if self.health_server is not None:
+                    self.health_server.update(engine_snapshot(
+                        self.manifest, len(out), events_total,
+                        last_epoch=st, status="tailing",
+                    ))
+                if max_epochs is not None and len(out) >= max_epochs:
+                    break
+                if stop is not None and stop.is_set():
+                    break
+                progressed = (
+                    st.get("applied", 0) > 0
+                    or st.get("done", 0) > 0
+                    or st.get("quarantined", 0) > 0
+                )
+                if progressed:
+                    idle = 0
+                    continue
+                idle += 1
+                if idle_polls is not None and idle >= idle_polls:
+                    break
+                if stop is not None:
+                    if stop.wait(poll_interval_s):
+                        break
+                else:
+                    time.sleep(poll_interval_s)
+            self.flush()
+        finally:
+            if self.health_server is not None:
+                self.health_server.stop()
         return out
 
     # ------------------------------------------------------------------

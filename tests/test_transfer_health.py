@@ -154,3 +154,80 @@ def test_health_reports_checks(tmp_path):
     os.rename(os.path.join(lake, victim), os.path.join(lake, victim) + ".gone")
     h2 = eng.health()
     assert not h2["healthy"] and not h2["checks"]["lake-files"]
+
+
+def test_live_health_endpoint_during_tail(tmp_path, ray_session):
+    """The HTTP endpoint the reference serves while streaming
+    (CassandraConnectorTask.java:115-128): /ping /buildinfo /health
+    /metrics answer DURING tail() with live manifest version, watermarks
+    and epoch counters, and the server is torn down when tail returns."""
+    import json
+    import threading
+    import time as _time
+    import urllib.request
+
+    spec = _spec()
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, _cfg(spec), payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial), snapshot_lsn=0)
+
+    done = threading.Event()
+    stop = threading.Event()
+    stats: list = []
+
+    def run_tail():
+        # production shape: no idle cutoff, cancelled externally via stop
+        stats.extend(eng.tail(binlog, poll_interval_s=0.2, idle_polls=None,
+                              health_port=0, stop=stop))
+        done.set()
+
+    t = threading.Thread(target=run_tail)
+    t.start()
+    try:
+        # wait for the server to come up, then poll it mid-tail
+        deadline = _time.time() + 30
+        while getattr(eng, "health_server", None) is None:
+            assert _time.time() < deadline
+            _time.sleep(0.01)
+        port = eng.health_server.port
+
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=5
+            ) as r:
+                return r.read().decode()
+
+        assert get("/ping") == "pong"
+        assert json.loads(get("/buildinfo"))["engine"] == "debezium-incubator-ray"
+        # poll until the drain epoch has been reported
+        h = {}
+        while _time.time() < deadline:
+            h = json.loads(get("/health"))
+            if h.get("epochs", 0) >= 1 and (h.get("last_epoch") or {}).get(
+                "events", 0
+            ) > 0:
+                break
+            _time.sleep(0.05)
+        assert h["status"] == "tailing" and h["snapshot_complete"]
+        assert h["manifest_version"] >= 1
+        m = get("/metrics")
+        assert "cdc_events_applied_total" in m and "cdc_partition_watermark" in m
+        assert f'cdc_epochs_total {h["epochs"]}' in m
+        lines = dict(
+            l.rsplit(" ", 1) for l in m.strip().splitlines()
+        )
+        assert int(lines["cdc_events_applied_total"]) == spec.n_events
+        wm_lines = [l for l in m.splitlines() if l.startswith("cdc_partition_watermark")]
+        assert len(wm_lines) == spec.num_partitions
+    finally:
+        stop.set()
+        done.wait(timeout=120)
+        t.join(timeout=120)
+
+    assert sum(s.get("events", 0) for s in stats) == spec.n_events
+    # torn down with the tail: the port no longer answers
+    with pytest.raises(Exception):
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/ping", timeout=1)
