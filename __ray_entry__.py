@@ -1108,6 +1108,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
 
+    def type_normalization_ltz(sf_dir):
+        """TIMESTAMP WITH LOCAL TIME ZONE rule at the gate: the reference
+        does NOT support LTZ — every value converts to NULL while the
+        field stays in the schema (OracleValueConverters.java:71-73,
+        388-390). The events.ts column is treated as an LTZ read; the
+        oracle is the rule itself (typed NULL per row). An exact
+        epoch-us column rides along so the row set is still
+        non-trivially pinned."""
+        import warnings
+
+        import ray.data
+        from debezium_incubator_ray.functions import typeconv as TC
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts"],
+        )
+
+        def conv(t):
+            import pyarrow as pa
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)
+                ltz = TC.timestamp_ltz_unsupported(t["ts"])
+            return pa.table({
+                "event_id": t["event_id"],
+                "ts_ltz": ltz,
+                "ts_us": TC.timestamp_to_epoch_us(t["ts"]),
+            })
+
+        return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
     def type_normalization_nested(sf_dir):
         """Nested/collection conversion rules (P10 breadth): set→sorted
         array, map key stringification, uuid→fixed(16), duration struct,
@@ -6377,6 +6409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_tombstone_retain": cdc_tombstone_retain,
         "cdc_tombstone_purge": cdc_tombstone_purge,
         "type_normalization": type_normalization,
+        "type_normalization_ltz": type_normalization_ltz,
         "type_normalization_nested": type_normalization_nested,
         "row_scoped_max": row_scoped_max,
         "agg_presum_groupby": agg_presum_groupby,
@@ -7204,6 +7237,12 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(l_shipdate) AS ship_ms, "
             "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_iso "
             "FROM lineitem"
+        ),
+        "type_normalization_ltz": (
+            # the reference's LTZ rule IS the oracle: unsupported type ->
+            # typed NULL per row, field kept in the schema
+            "SELECT event_id, CAST(NULL AS VARCHAR) AS ts_ltz, "
+            "epoch_us(ts) AS ts_us FROM events"
         ),
         "type_normalization_nested": (
             "WITH base AS (SELECT doc_id, text, lang, n_chars, "

@@ -331,6 +331,7 @@ def main() -> None:
         "dedup_exact_semijoin",
         "dedup_embedding_lsh",
         "multimodal_decode",
+        "type_normalization_ltz",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

@@ -284,3 +284,23 @@ def timestamptz_to_iso(col):
     # %S prints fractional digits for sub-second units — truncate first
     col = pc.cast(col, pa.timestamp("s", tz=col.type.tz))
     return pc.strftime(col, format="%Y-%m-%dT%H:%M:%S%z")
+
+
+def timestamp_ltz_unsupported(col):
+    """TIMESTAMP WITH LOCAL TIME ZONE → typed NULL column (with a warn):
+    the reference explicitly does not support LTZ — its converter
+    registers the type but emits null for every value
+    (ORA/OracleValueConverters.java:71-73,388-390). Emitting a TYPED null
+    string column (not dropping the field) keeps downstream schema
+    alignment stable, matching the reference's behavior of keeping the
+    field in the record schema with null data."""
+    import warnings
+
+    col = _chunked(col)
+    warnings.warn(
+        "TIMESTAMP WITH LOCAL TIME ZONE is unsupported (parity with the "
+        "reference's OracleValueConverters); values convert to null",
+        UserWarning,
+        stacklevel=2,
+    )
+    return pa.nulls(len(col), pa.string())

@@ -1280,3 +1280,35 @@ def test_media_header_parser_stage(ray_session):
     out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(out) == 50
     assert (out["kind"] == np.array(["png", "bmp", "wav"])[ids % 3]).all()
+
+
+def test_timestamp_ltz_returns_null_with_warning():
+    """TIMESTAMP WITH LOCAL TIME ZONE golden: the reference emits NULL for
+    every LTZ value while keeping the field in the schema
+    (ORA/OracleValueConverters.java:71-73,388-390). The converter must
+    return a TYPED all-null column (stable schema) and warn once."""
+    import warnings
+
+    from debezium_incubator_ray.functions import typeconv as TC
+
+    ts = pa.chunked_array([pa.array(
+        [np.datetime64("2026-01-01T00:00:01", "us"), None,
+         np.datetime64("1999-12-31T23:59:59", "us")],
+        pa.timestamp("us"),
+    )])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = TC.timestamp_ltz_unsupported(ts)
+    assert any("LOCAL TIME ZONE" in str(x.message) for x in w)
+    assert out.type == pa.string()
+    assert len(out) == 3 and out.null_count == 3
+    # tz-aware input (LTZ read through a session zone) is equally null
+    tz = pc.assume_timezone(
+        pa.array([np.datetime64("2026-01-01T00:00:01", "us")],
+                 pa.timestamp("us")),
+        "Europe/Berlin",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out2 = TC.timestamp_ltz_unsupported(tz)
+    assert out2.null_count == 1 and out2.type == pa.string()
