@@ -102,19 +102,30 @@ def brute_force_topk(
 
 def _merge_topk(cand: list, k: int) -> pa.Table:
     """Final tiny reduce of per-batch candidates (nq * k * n_batches rows)
-    with the deterministic (-score, vec_id) order."""
+    with the deterministic (-score, vec_id) order — numpy lexsort + one
+    run-length rank pass, keeping the ANN path Arrow/numpy-pure."""
     if not cand:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    import pandas as pd
-
-    df = pd.DataFrame(cand)
-    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
-    df = df.groupby("query_id", sort=True).head(k)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(df[["query_id", "vec_id", "rank", "score"]], preserve_index=False)
+    q = np.fromiter((r["query_id"] for r in cand), np.int64, len(cand))
+    v = np.fromiter((r["vec_id"] for r in cand), np.int64, len(cand))
+    s = np.fromiter((r["score"] for r in cand), np.float64, len(cand))
+    order = np.lexsort((v, -s, q))  # query asc, score desc, vec_id asc
+    q, v, s = q[order], v[order], s[order]
+    first = np.ones(len(q), dtype=bool)
+    first[1:] = q[1:] != q[:-1]
+    starts = np.nonzero(first)[0]
+    runs = np.diff(np.append(starts, len(q)))
+    rank = np.arange(len(q), dtype=np.int64) - np.repeat(starts, runs) + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(q[keep]),
+        "vec_id": pa.array(v[keep]),
+        "rank": pa.array(rank[keep]),
+        "score": pa.array(s[keep]),
+    })
 
 
 # ---------------------------------------------------------------------------
