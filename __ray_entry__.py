@@ -2005,6 +2005,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             concurrency=(1, 4),
         )
 
+    def docs_hash_split(sf_dir):
+        """Deterministic leakage-safe train/val/test split (80/10/10) by
+        id hash — same id lands in the same split on every run and shard
+        order. Pure map, zero shuffle; md5-bridge hash so DuckDB
+        reproduces the assignment bit-for-bit."""
+        import ray.data
+        from debezium_incubator_ray.functions.sample import hash_split
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        return hash_split(docs, id_col="doc_id")
+
+    def events_watermark_late(sf_dir):
+        """Streaming-watermark audit in batch: processing order =
+        event_id (the arrival log); watermark after each event =
+        running max event-time - 5 min; an event is late iff its
+        event-time is under the watermark induced by its predecessors.
+        Distributed via the two-pass prefix-max scan (range partials +
+        driver exclusive fold + broadcast)."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            watermark_late_flags,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts"],
+        )
+        return watermark_late_flags(ev)
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6454,6 +6486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup_keep_best,
         "dedup_keep_best_shuffle": dedup_keep_best_shuffle,
         "multimodal_decode": multimodal_decode,
+        "docs_hash_split": docs_hash_split,
+        "events_watermark_late": events_watermark_late,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -8442,6 +8476,25 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "docs_hash_split": (
+            # same md5-u64 bridge as the SimHash oracle: bucket =
+            # first-8-md5-bytes(id string) % 100; 80/10/10 bounds
+            "SELECT doc_id, lang, CASE WHEN b < 80 THEN 'train' "
+            "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, lang, ('0x' || substring(md5(CAST(doc_id AS "
+            "VARCHAR)), 1, 16))::UBIGINT % 100 AS b FROM documents)"
+        ),
+        "events_watermark_late": (
+            # exact restatement of the allowed-lateness rule as a window
+            # function over arrival (event_id) order
+            "WITH w AS (SELECT event_id, epoch_us(ts) AS ts_us, "
+            "max(epoch_us(ts)) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM events) "
+            "SELECT event_id, ts_us, prev_max - 300000000 AS watermark_us, "
+            "coalesce(ts_us < prev_max - 300000000, FALSE) AS is_late "
+            "FROM w"
         ),
         "multimodal_decode": (
             # the payload GENERATOR's formulas (synth_media_payloads), so

@@ -332,6 +332,8 @@ def main() -> None:
         "dedup_embedding_lsh",
         "multimodal_decode",
         "type_normalization_ltz",
+        "docs_hash_split",
+        "events_watermark_late",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

@@ -594,3 +594,39 @@ def neyman_sample(ds, group_col: str, value_col: str, id_col: str,
 
     return filtered.map_batches(attach, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def hash_split(
+    ds,
+    id_col: str = "doc_id",
+    fractions=(("train", 80), ("val", 10), ("test", 10)),
+    mod: int = 100,
+    salt: str = "",
+):
+    """Deterministic train/val/test assignment by id hash — the standard
+    leakage-safe dataset split (the same id lands in the same split on
+    every run, any shard order, any engine — the property random splits
+    lack). Appends a ``split`` column.
+
+    Pure per-batch map, zero shuffle/state (same scale shape as the
+    samplers above). Hash = md5 of the id string (+ optional salt) via
+    the DuckDB-bridge hasher, so plain SQL reproduces the assignment
+    bit-for-bit: bucket = md5_u64(id) % mod, cumulative fraction bounds
+    pick the split (e.g. 80/10/10 -> train <80, val <90, test <100).
+    ``salt`` re-rolls the split without touching ids (epoch re-splits)."""
+    names = [n for n, _ in fractions]
+    weights = np.array([w for _, w in fractions], dtype=np.int64)
+    if int(weights.sum()) != mod:
+        raise ValueError(f"fractions must sum to mod={mod}: {fractions}")
+    bounds = np.cumsum(weights)  # upper exclusive bucket bound per split
+    labels = pa.array(names, pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col].combine_chunks(), pa.string())
+        if salt:
+            ids = pc.binary_join_element_wise(ids, pa.scalar(salt), pa.scalar(""))
+        b = (md5_u64(ids) % np.uint64(mod)).astype(np.int64)
+        idx = np.searchsorted(bounds, b, side="right")
+        return t.append_column("split", pc.take(labels, pa.array(idx)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

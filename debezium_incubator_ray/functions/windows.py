@@ -1972,3 +1972,84 @@ def markov_stationary(
             [round(v[s], 6) for s in out_states], pa.float64()
         ),
     })
+
+
+def watermark_late_flags(
+    ds,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    allowed_us: int = 300_000_000,
+    range_width: int = 65_536,
+):
+    """Streaming-watermark late-event detection, computed exactly in
+    batch: processing order = ``id_col`` ascending (the arrival log
+    order); after each event the watermark is (max event-time seen so
+    far) - ``allowed_us``; an event is LATE iff its own event-time is
+    below the watermark induced by the events BEFORE it — the
+    allowed-lateness rule of every streaming window engine, as a
+    replayable batch audit (which windows would have dropped this event).
+
+    Output: (id_col, ts_us, watermark_us, is_late); watermark_us is NULL
+    for the globally first event (no predecessor).
+
+    Scale shape (the pack_sequences prefix-scan pattern): a global
+    running max looks sequential but distributes in two passes — pass 1
+    folds one (range, max_ts) row per ``range_width`` ids (tiny), the
+    driver takes the exclusive prefix-max over ranges (metadata-sized)
+    and broadcasts it; pass 2 co-locates each range once and combines
+    the incoming base with the in-range exclusive running max. One
+    shuffle by range id; events never cross ranges."""
+    import ray
+    from ray.data.aggregate import Max
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        ts_us = pc.cast(
+            pc.cast(t[ts_col].combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        )
+        rng = pc.cast(
+            pc.divide(pc.cast(ids, pa.int64()), range_width), pa.int64()
+        )
+        return pa.table({
+            id_col: ids, "_ts_us": ts_us, "_rng": rng,
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    totals = tagged.groupby("_rng").aggregate(Max("_ts_us")).take_all()
+    rng_keys = np.array(sorted(r["_rng"] for r in totals), dtype=np.int64)
+    by_key = {r["_rng"]: r["max(_ts_us)"] for r in totals}
+    maxes = np.array([by_key[k] for k in rng_keys], dtype=np.int64)
+    base = np.full(len(maxes), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(maxes) > 1:
+        np.maximum.accumulate(maxes[:-1], out=base[1:])
+    base_ref = ray.put((rng_keys, base))
+
+    def flag(group: pa.Table) -> pa.Table:
+        keys, bases = ray.get(base_ref)
+        ids = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group["_ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        rng = int(group["_rng"][0].as_py())
+        incoming = bases[np.searchsorted(keys, rng)]
+        order = np.argsort(ids, kind="stable")
+        ts_o = ts[order]
+        # exclusive running max within the range, seeded by the base
+        prev = np.empty(len(ts_o), dtype=np.int64)
+        prev[0] = incoming
+        if len(ts_o) > 1:
+            inc = np.maximum.accumulate(ts_o[:-1])
+            prev[1:] = np.maximum(inc, incoming)
+        has_prev = prev != np.iinfo(np.int64).min
+        wm = prev - allowed_us
+        late = has_prev & (ts_o < wm)
+        out = pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "ts_us": pa.array(ts_o),
+            "watermark_us": pa.array(wm, pa.int64(), mask=~has_prev),
+            "is_late": pa.array(late),
+        })
+        return out
+
+    return (
+        tagged.groupby("_rng").map_groups(flag, batch_format="pyarrow")
+    )

@@ -1312,3 +1312,56 @@ def test_timestamp_ltz_returns_null_with_warning():
         warnings.simplefilter("ignore")
         out2 = TC.timestamp_ltz_unsupported(tz)
     assert out2.null_count == 1 and out2.type == pa.string()
+
+
+def test_hash_split_deterministic_and_partition_invariant(ray_session):
+    """Same id -> same split at any parallelism; salt re-rolls; bad
+    fractions refused."""
+    from debezium_incubator_ray.functions.sample import hash_split
+
+    ids = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64))})
+    a = hash_split(ray.data.from_arrow(ids)).to_pandas()
+    b = hash_split(ray.data.from_arrow(ids).repartition(7)).to_pandas()
+    ma = dict(zip(a["doc_id"], a["split"]))
+    mb = dict(zip(b["doc_id"], b["split"]))
+    assert ma == mb
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2
+    s = hash_split(ray.data.from_arrow(ids), salt="e2").to_pandas()
+    ms = dict(zip(s["doc_id"], s["split"]))
+    assert ms != ma  # a salt re-rolls at least some assignments
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_arrow(ids),
+                   fractions=(("train", 50), ("val", 10)))
+
+
+def test_watermark_late_flags_matches_reference(ray_session):
+    """Exact agreement with a sequential numpy reference, including
+    across range boundaries (range_width forced tiny) and the NULL
+    watermark of the globally first event."""
+    from debezium_incubator_ray.functions.windows import watermark_late_flags
+
+    rng = np.random.default_rng(5)
+    n, allowed = 500, 1_000_000
+    ts = rng.integers(0, 50_000_000, size=n).astype("datetime64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = (
+        watermark_late_flags(
+            ray.data.from_arrow(t).repartition(5), allowed_us=allowed,
+            range_width=64,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    ts_us = ts.astype(np.int64)
+    prev = np.maximum.accumulate(ts_us)[:-1]
+    assert out["watermark_us"].isna()[0] and not out["is_late"][0]
+    np.testing.assert_array_equal(
+        out["watermark_us"].to_numpy()[1:], prev - allowed
+    )
+    np.testing.assert_array_equal(
+        out["is_late"].to_numpy()[1:], ts_us[1:] < prev - allowed
+    )
+    assert out["is_late"].sum() > 0  # the fixture actually has late events

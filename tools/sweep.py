@@ -49,6 +49,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(v):
             df[c] = v.astype("datetime64[us]").astype("int64")
         elif v.dtype == object:
+            # a numeric column can arrive as object dtype (ints + None from
+            # all-null Arrow blocks) — coerce before falling back to repr,
+            # so both sides canonicalize to the same float64
+            try:
+                df[c] = pd.to_numeric(v)
+                continue
+            except (ValueError, TypeError):
+                pass
             df[c] = v.map(
                 lambda x: repr(sorted(x))
                 if isinstance(x, (list, np.ndarray, set))
