@@ -2037,6 +2037,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return watermark_late_flags(ev)
 
+    def text_heavy_hitters(sf_dir):
+        """EXACT top-20 tokens by the two-pass Misra-Gries heavy-hitters
+        shape: bounded-width per-block sketches elect candidates
+        (metadata-sized union), then one streaming pass counts ONLY the
+        candidates exactly — the corpus never shuffles. width=2048 over
+        the ~1k-token vocabulary makes pass 1 lossless, so the result is
+        the exact top-k the oracle computes."""
+        import ray.data
+        from debezium_incubator_ray.functions.sketch import heavy_hitters
+        from debezium_incubator_ray.functions.tokens import flat_tokens
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+
+        def explode(t):
+            toks, _ = flat_tokens(t["text"].combine_chunks())
+            return toks
+
+        return heavy_hitters(docs, explode, k=20, width=2048)
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6488,6 +6509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": multimodal_decode,
         "docs_hash_split": docs_hash_split,
         "events_watermark_late": events_watermark_late,
+        "text_heavy_hitters": text_heavy_hitters,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -8476,6 +8498,17 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM s) "
             "SELECT query_id, vec_id, rank FROM r WHERE rank <= 5"
+        ),
+        "text_heavy_hitters": (
+            # same tokenizer as token_lists: lowercase, trim, \s+ split,
+            # empty docs excluded; exact top-20 (count desc, token asc)
+            "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), "
+            "'\\s+')) AS item FROM documents WHERE length(trim(text)) > 0), "
+            "c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM tok "
+            "GROUP BY 1), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, item ASC) "
+            "AS rank FROM c) "
+            "SELECT item, cnt, rank FROM r WHERE rank <= 20"
         ),
         "docs_hash_split": (
             # same md5-u64 bridge as the SimHash oracle: bucket =

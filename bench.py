@@ -334,6 +334,7 @@ def main() -> None:
         "type_normalization_ltz",
         "docs_hash_split",
         "events_watermark_late",
+        "text_heavy_hitters",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

@@ -124,3 +124,108 @@ def approx_distinct_hll(ds, col: str, p: int = 8) -> pa.Table:
         "n_zero": pa.array([v_zero], pa.int64()),
         "estimate": pa.array([round(float(est), 3)], pa.float64()),
     })
+
+
+def heavy_hitters(ds, explode, k: int = 20, width: int = 2048):
+    """EXACT top-k most frequent items via the two-pass Misra-Gries
+    pattern — the scalable heavy-hitters shape (find candidates with a
+    bounded-memory sketch, then count ONLY the candidates exactly):
+
+    - pass 1: every block folds a Misra-Gries summary of ``width``
+      counters (vectorized: bincount over the block's items, keep the
+      top ``width`` after decrement — the classic guarantee transfers:
+      any item with true count > N/width survives in at least one
+      block's summary, because MG's undercount per block is bounded by
+      block_N/width and counts are non-negative). The union of all
+      block summaries (width x blocks rows, metadata-sized) is the
+      candidate set.
+    - pass 2: one streaming filter of the input against the broadcast
+      candidate hash set + a tiny groupby counts candidates EXACTLY.
+
+    Result = exact top-k by (count desc, item asc) whenever the true
+    k-th count exceeds N/width (choose width >> k x skew; the driver
+    queries use width=2048 over a ~1k vocabulary, making pass 1
+    lossless outright). The corpus never shuffles — only candidate
+    rows do, and only their (hash, count) partials.
+
+    ``explode(batch) -> pa.StringArray`` maps a batch to its item
+    multiset (e.g. tokens); plug any item domain."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        items = explode(t)
+        if len(items) == 0:
+            return pa.table({"item": pa.array([], pa.string())})
+        enc = pc.dictionary_encode(items)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        )
+        vocab = enc.dictionary
+        if len(counts) > width:
+            # Misra-Gries decrement: keep counters above the (n-width)-th
+            # largest — survivors are exactly the items MG would retain
+            kth = np.partition(counts, len(counts) - width)[len(counts) - width]
+            keep = counts > kth
+            # fill up to width with ties at the boundary (deterministic:
+            # lowest item string first)
+            need = width - int(keep.sum())
+            if need > 0:
+                tie_idx = np.nonzero(counts == kth)[0]
+                order = np.argsort(
+                    np.asarray([str(vocab[i]) for i in tie_idx], dtype=object)
+                )
+                keep[tie_idx[order[:need]]] = True
+        else:
+            keep = np.ones(len(counts), dtype=bool)
+        return pa.table({"item": vocab.filter(pa.array(keep))})
+
+    cand_rows = ds.map_batches(
+        mg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # width x blocks — metadata-sized
+    cand = sorted({r["item"] for r in cand_rows})
+    cand_ref = ray.put(pa.array(cand, pa.string()))
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        items = explode(t)
+        wanted = ray.get(cand_ref)
+        hit = items.filter(pc.is_in(items, value_set=wanted))
+        if len(hit) == 0:
+            return pa.table({
+                "item": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        g = pa.table({"item": hit}).group_by("item").aggregate([([], "count_all")])
+        return pa.table({
+            "item": g["item"],
+            "cnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(count_candidates, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("item")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("item", "ascending")]
+        )
+        top = t.take(idx[:k])
+        return pa.table({
+            "item": top["item"],
+            "cnt": pc.cast(top["cnt"], pa.int64()),
+            "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64)),
+        })
+
+    # the fold output is (distinct candidates) rows — tiny; one final cut
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    tbl = collect_table(folded, empty=pa.table({
+        "item": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+    }))
+    return finish(tbl)

@@ -202,24 +202,25 @@ def test_live_health_endpoint_during_tail(tmp_path, ray_session):
 
         assert get("/ping") == "pong"
         assert json.loads(get("/buildinfo"))["engine"] == "debezium-incubator-ray"
-        # poll until the drain epoch has been reported
+        # poll until at least one epoch has been reported
         h = {}
         while _time.time() < deadline:
             h = json.loads(get("/health"))
-            if h.get("epochs", 0) >= 1 and (h.get("last_epoch") or {}).get(
-                "events", 0
-            ) > 0:
+            if h.get("epochs", 0) >= 1:
                 break
             _time.sleep(0.05)
         assert h["status"] == "tailing" and h["snapshot_complete"]
         assert h["manifest_version"] >= 1
+        # all cross-field consistency checks come from ONE /metrics read
+        # (the tail keeps advancing epochs between requests)
         m = get("/metrics")
-        assert "cdc_events_applied_total" in m and "cdc_partition_watermark" in m
-        assert f'cdc_epochs_total {h["epochs"]}' in m
+        assert "cdc_partition_watermark" in m
         lines = dict(
             l.rsplit(" ", 1) for l in m.strip().splitlines()
         )
         assert int(lines["cdc_events_applied_total"]) == spec.n_events
+        assert int(lines["cdc_epochs_total"]) >= 1
+        assert int(lines["cdc_manifest_version"]) >= 1
         wm_lines = [l for l in m.splitlines() if l.startswith("cdc_partition_watermark")]
         assert len(wm_lines) == spec.num_partitions
     finally:
