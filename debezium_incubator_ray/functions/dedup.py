@@ -1412,6 +1412,15 @@ def keep_best_per_cluster(
     # through either the broadcast filter or the join shuffle
     slim = docs_ds.select_columns([id_col, score_col])
 
+    def election_rows(cluster_arr, score_arr, id_arr) -> pa.Table:
+        # the ONE projection both label-attach branches feed group_argmin
+        # — shared so the branches can never drift apart semantically
+        return pa.table({
+            "cluster_id": pc.cast(cluster_arr, pa.int64()),
+            "_negscore": pc.multiply(pc.cast(score_arr, pa.float64()), -1.0),
+            id_col: pc.cast(id_arr, pa.int64()),
+        })
+
     if mode == "shuffle":
         from debezium_incubator_ray.functions.joins import shuffle_join
 
@@ -1421,15 +1430,9 @@ def keep_best_per_cluster(
         )
 
         def to_neg(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "cluster_id": pc.cast(
-                    t["cluster_id"].combine_chunks(), pa.int64()
-                ),
-                "_negscore": pc.multiply(
-                    pc.cast(t[score_col], pa.float64()), -1.0
-                ),
-                id_col: pc.cast(t[id_col], pa.int64()),
-            })
+            return election_rows(
+                t["cluster_id"].combine_chunks(), t[score_col], t[id_col]
+            )
 
         labeled = joined.map_batches(
             to_neg, batch_format="pyarrow", zero_copy_batch=True
@@ -1454,13 +1457,7 @@ def keep_best_per_cluster(
                 sel = n_arr[pos] == ids
                 cl = c_arr[pos[sel]]  # positions already found — reuse
             sub = t.filter(pa.array(sel))
-            return pa.table({
-                "cluster_id": pa.array(cl),
-                "_negscore": pc.multiply(
-                    pc.cast(sub[score_col], pa.float64()), -1.0
-                ),
-                id_col: pc.cast(sub[id_col], pa.int64()),
-            })
+            return election_rows(pa.array(cl), sub[score_col], sub[id_col])
 
         labeled = slim.map_batches(
             attach, batch_format="pyarrow", zero_copy_batch=True

@@ -310,16 +310,30 @@ def parse_media_headers(
     starts = offsets[:-1]
     lens = offsets[1:] - starts
 
-    b = [_byte_at(flat, starts, lens, k) for k in range(12)]
+    b = [_byte_at(flat, starts, lens, k) for k in range(16)]
     is_png = lens >= 29
     for k in range(8):
         is_png &= b[k] == _PNG_SIG[k]
     is_bmp = (lens >= 30) & (b[0] == 0x42) & (b[1] == 0x4D) & ~is_png
+    # RIFF/WAVE with a canonical 'fmt ' chunk first — the fixed-offset
+    # parse below is only valid for that layout, so gate on it
     is_wav = (
         (lens >= 44)
         & (b[0] == 0x52) & (b[1] == 0x49) & (b[2] == 0x46) & (b[3] == 0x46)
         & (b[8] == 0x57) & (b[9] == 0x41) & (b[10] == 0x56) & (b[11] == 0x45)
+        & (b[12] == 0x66) & (b[13] == 0x6D) & (b[14] == 0x74) & (b[15] == 0x20)
         & ~is_png & ~is_bmp
+    )
+    # the data-chunk size at offset 40 is only the data size when the
+    # 'data' tag sits at 36 (canonical layout); files with LIST/fact
+    # chunks between fmt and data keep their fmt fields but get NULL
+    # n_samples instead of garbage
+    wav_has_data = (
+        is_wav
+        & (_byte_at(flat, starts, lens, 36) == 0x64)
+        & (_byte_at(flat, starts, lens, 37) == 0x61)
+        & (_byte_at(flat, starts, lens, 38) == 0x74)
+        & (_byte_at(flat, starts, lens, 39) == 0x61)
     )
 
     width = np.zeros(n, dtype=np.int64)
@@ -341,8 +355,21 @@ def parse_media_headers(
     width[is_bmp] = np.abs(w_bmp.astype(np.int32).astype(np.int64))[is_bmp]
     height[is_bmp] = np.abs(h_bmp.astype(np.int32).astype(np.int64))[is_bmp]
     bpp = _u16le(flat, starts, lens, 28)
-    channels[is_bmp] = (bpp // 8)[is_bmp]
-    bit_depth[is_bmp] = 8
+    # bpp -> (channels, per-channel bit depth): palette BMPs (1/4/8) are
+    # one channel at the palette index width; 16-bit is packed RGB555/565
+    # (3 channels x 16-bit field); 24/32 are 8-bit BGR(A). Other bpp
+    # values get 0 -> masked to NULL below, never a fabricated channels
+    _bmp_ch = {1: 1, 4: 1, 8: 1, 16: 3, 24: 3, 32: 4}
+    _bmp_bd = {1: 1, 4: 4, 8: 8, 16: 16, 24: 8, 32: 8}
+    ch_lut = np.zeros(65, dtype=np.int64)
+    bd_lut = np.zeros(65, dtype=np.int64)
+    for _bpp, _c in _bmp_ch.items():
+        ch_lut[_bpp] = _c
+        bd_lut[_bpp] = _bmp_bd[_bpp]
+    bpp_idx = np.clip(bpp, 0, 64)
+    channels[is_bmp] = ch_lut[bpp_idx][is_bmp]
+    bit_depth[is_bmp] = bd_lut[bpp_idx][is_bmp]
+    bmp_known = is_bmp & (channels > 0)
 
     ch_w = _u16le(flat, starts, lens, 22)
     bits_w = _u16le(flat, starts, lens, 34)
@@ -352,7 +379,7 @@ def parse_media_headers(
     channels[is_wav] = ch_w[is_wav]
     bit_depth[is_wav] = bits_w[is_wav]
     sample_rate[is_wav] = rate_w[is_wav]
-    n_samples[is_wav] = (data_w // block)[is_wav]
+    n_samples[wav_has_data] = (data_w // block)[wav_has_data]
 
     kind_codes = np.where(
         is_png, 0, np.where(is_bmp, 1, np.where(is_wav, 2, 3))
@@ -361,7 +388,7 @@ def parse_media_headers(
         pa.array(["png", "bmp", "wav", "unknown"]), pa.array(kind_codes)
     )
     is_img = is_png | is_bmp
-    known = is_img | is_wav
+    ch_known = is_png | bmp_known | is_wav
 
     def col(vals, mask):
         m = mask & np.asarray(valid.to_numpy(zero_copy_only=False))
@@ -374,10 +401,10 @@ def parse_media_headers(
         "kind": pc.if_else(valid, kind, pa.nulls(n, pa.string())),
         "width": col(width, is_img),
         "height": col(height, is_img),
-        "channels": col(channels, known),
-        "bit_depth": col(bit_depth, known),
+        "channels": col(channels, ch_known),
+        "bit_depth": col(bit_depth, ch_known),
         "sample_rate": col(sample_rate, is_wav),
-        "n_samples": col(n_samples, is_wav),
+        "n_samples": col(n_samples, wav_has_data),
     })
     return pa.table(cols)
 

@@ -1990,7 +1990,9 @@ def watermark_late_flags(
     replayable batch audit (which windows would have dropped this event).
 
     Output: (id_col, ts_us, watermark_us, is_late); watermark_us is NULL
-    for the globally first event (no predecessor).
+    for the globally first event (no predecessor). Rows with NULL
+    event-time are excluded — they neither advance nor get judged by the
+    watermark.
 
     Scale shape (the pack_sequences prefix-scan pattern): a global
     running max looks sequential but distributes in two passes — pass 1
@@ -2003,6 +2005,11 @@ def watermark_late_flags(
     from ray.data.aggregate import Max
 
     def tag(t: pa.Table) -> pa.Table:
+        # rows with NULL event-time are excluded from the audit outright:
+        # they carry no time, so they neither advance the watermark nor
+        # can be judged against it (and a NaN would poison the int64
+        # running max)
+        t = t.filter(pc.is_valid(t[ts_col]))
         ids = t[id_col].combine_chunks()
         ts_us = pc.cast(
             pc.cast(t[ts_col].combine_chunks(), pa.timestamp("us")),

@@ -1026,6 +1026,7 @@ class CdcEngine:
         out: List[Dict] = []
         idle = 0
         events_total = 0
+        applied_total = 0
         self.health_server = None
         if health_port is not None:
             from debezium_incubator_ray.state.health import (
@@ -1034,7 +1035,7 @@ class CdcEngine:
 
             self.health_server = HealthServer(port=health_port).start()
             self.health_server.update(
-                engine_snapshot(self.manifest, 0, 0, status="tailing")
+                engine_snapshot(self.manifest, 0, 0, 0, status="tailing")
             )
         try:
             while True:
@@ -1043,9 +1044,13 @@ class CdcEngine:
                 )
                 out.append(st)
                 events_total += st.get("events", 0)
+                # 'events' counts deliveries READ this epoch; 'applied'
+                # counts events that actually merged (a transactional epoch
+                # can read more than it applies) — report both, separately
+                applied_total += st.get("applied", st.get("events", 0))
                 if self.health_server is not None:
                     self.health_server.update(engine_snapshot(
-                        self.manifest, len(out), events_total,
+                        self.manifest, len(out), events_total, applied_total,
                         last_epoch=st, status="tailing",
                     ))
                 if max_epochs is not None and len(out) >= max_epochs:

@@ -94,13 +94,17 @@ class HealthServer:
         emit("manifest_version", snap.get("manifest_version", -1))
         emit("snapshot_complete", int(bool(snap.get("snapshot_complete"))))
         emit("epochs_total", snap.get("epochs", 0))
-        emit("events_applied_total", snap.get("events_total", 0))
+        # read = deliveries consumed; applied = events that actually merged
+        # (a transactional epoch can read more than it applies — conflating
+        # them would mask a stalled transactional head)
+        emit("events_read_total", snap.get("events_total", 0))
+        emit("events_applied_total", snap.get("applied_total", 0))
         emit("segments_done_total", snap.get("segments_done", 0))
         emit("segments_quarantined_total", snap.get("segments_error", 0))
         for p, wm in sorted(snap.get("watermarks", {}).items()):
             emit("partition_watermark", wm, f'{{partition="{p}"}}')
         last = snap.get("last_epoch") or {}
-        for k in ("events", "done", "quarantined"):
+        for k in ("events", "applied", "done", "quarantined"):
             if k in last:
                 emit(f"last_epoch_{k}", last[k])
         if "seconds" in last:
@@ -128,6 +132,7 @@ class HealthServer:
 
 
 def engine_snapshot(manifest, epochs: int, events_total: int,
+                    applied_total: int = 0,
                     last_epoch: Optional[Dict[str, Any]] = None,
                     status: str = "ok") -> Dict[str, Any]:
     """Status snapshot from a Manifest — shared by tail() and tests."""
@@ -138,6 +143,7 @@ def engine_snapshot(manifest, epochs: int, events_total: int,
         "snapshot_complete": doc.get("snapshot_complete", False),
         "epochs": epochs,
         "events_total": events_total,
+        "applied_total": applied_total,
         "segments_done": len(doc.get("segments_done", [])),
         "segments_error": len(doc.get("segments_error", {})),
         "watermarks": {
@@ -146,7 +152,7 @@ def engine_snapshot(manifest, epochs: int, events_total: int,
         },
         "last_epoch": {
             k: last_epoch[k]
-            for k in ("events", "done", "quarantined", "seconds")
+            for k in ("events", "applied", "done", "quarantined", "seconds")
             if last_epoch and k in last_epoch
         } if last_epoch else None,
     }

@@ -1242,16 +1242,38 @@ def test_media_header_parse_roundtrip_and_edges():
             assert r.n_samples == s % 1000 + 1
             assert r.channels == s % 2 + 1 and r.bit_depth == 16
 
+    # fmt chunk present but a LIST chunk sits where 'data' normally is:
+    # fmt fields parse, n_samples must be NULL (never garbage)
+    wav_list = bytearray(60)
+    wav_list[0:4] = b"RIFF"; wav_list[8:16] = b"WAVEfmt "
+    wav_list[22:24] = (2).to_bytes(2, "little")
+    wav_list[24:28] = (16000).to_bytes(4, "little")
+    wav_list[34:36] = (16).to_bytes(2, "little")
+    wav_list[36:40] = b"LIST"
+    wav_list[40:44] = (9999).to_bytes(4, "little")  # NOT a data size
+    # 1-bit palette BMP: 1 channel at 1-bit depth, not channels=0
+    bmp1 = bytearray(54)
+    bmp1[0:2] = b"BM"
+    bmp1[18:22] = (7).to_bytes(4, "little")
+    bmp1[22:26] = (5).to_bytes(4, "little")
+    bmp1[28:30] = (1).to_bytes(2, "little")
     weird = pa.array(
         [None, b"", b"\x89PNG", b"garbage bytes here that are long enough",
-         b"RIFFxxxxWAVE" + b"\x00" * 40],
+         b"RIFFxxxxWAVE" + b"\x00" * 40,   # RIFF/WAVE but no fmt chunk
+         bytes(wav_list), bytes(bmp1)],
         pa.large_binary(),
     )
     w = parse_media_headers(weird).to_pandas()
     assert w["kind"].tolist()[0] is None          # null payload
     assert w["kind"].tolist()[1:4] == ["unknown"] * 3  # short/truncated/bad
-    assert w["kind"].tolist()[4] == "wav"         # header parses, zeros
-    assert np.isnan(w["width"][4])
+    # fixed-offset WAV parse is gated on the canonical fmt-first layout
+    assert w["kind"].tolist()[4] == "unknown"
+    assert w["kind"].tolist()[5] == "wav"
+    assert w["sample_rate"][5] == 16000 and w["channels"][5] == 2
+    assert np.isnan(w["n_samples"][5])            # no 'data' at 36 -> NULL
+    assert w["kind"].tolist()[6] == "bmp"
+    assert w["width"][6] == 7 and w["channels"][6] == 1
+    assert w["bit_depth"][6] == 1
 
 
 def test_media_header_parser_stage(ray_session):
@@ -1365,6 +1387,19 @@ def test_watermark_late_flags_matches_reference(ray_session):
         out["is_late"].to_numpy()[1:], ts_us[1:] < prev - allowed
     )
     assert out["is_late"].sum() > 0  # the fixture actually has late events
+
+    # null event-times are excluded, not a crash / NaN poison
+    t2 = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([10_000_000, None, 5_000_000, 20_000_000],
+                       pa.timestamp("us")),
+    })
+    out2 = (
+        watermark_late_flags(ray.data.from_arrow(t2), allowed_us=1_000_000)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert out2["event_id"].tolist() == [0, 2, 3]
+    assert bool(out2["is_late"][1])  # 5s < 10s - 1s watermark
 
 
 def test_heavy_hitters_exact_under_truncation(ray_session):

@@ -218,7 +218,10 @@ def test_live_health_endpoint_during_tail(tmp_path, ray_session):
         lines = dict(
             l.rsplit(" ", 1) for l in m.strip().splitlines()
         )
-        assert int(lines["cdc_events_applied_total"]) == spec.n_events
+        assert int(lines["cdc_events_read_total"]) == spec.n_events
+        # applied = rows that actually merged (post in-batch LWW combine)
+        # — strictly positive and never more than the deliveries read
+        assert 0 < int(lines["cdc_events_applied_total"]) <= spec.n_events
         assert int(lines["cdc_epochs_total"]) >= 1
         assert int(lines["cdc_manifest_version"]) >= 1
         wm_lines = [l for l in m.splitlines() if l.startswith("cdc_partition_watermark")]

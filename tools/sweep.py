@@ -67,7 +67,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(v):
             df[c] = v.astype("int64")
         elif pd.api.types.is_float_dtype(v):
-            df[c] = v.astype("float64")
+            # driver parity: floats round to 6dp BEFORE the row sort —
+            # otherwise sub-1e-12 engine/oracle float differences reorder
+            # rows between the two sides and misalign the compare
+            df[c] = v.astype("float64").round(6)
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
