@@ -2058,6 +2058,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_hitters(docs, explode, k=20, width=2048)
 
+    def windowed_agg_on_time(sf_dir):
+        """The streaming-window-with-allowed-lateness composition: hourly
+        (window, event_type) sums over ONLY the on-time events — late
+        arrivals (event-time below the watermark their predecessors
+        induced) are dropped exactly as a streaming engine's closed
+        window would drop them. Flags come from the distributed
+        prefix-max scan with the payload carried through (no join back);
+        the aggregate is the standard partial-sum groupby."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+        from debezium_incubator_ray.functions.windows import (
+            watermark_late_flags,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        flagged = watermark_late_flags(
+            ev, carry_cols=("event_type", "value")
+        )
+
+        def on_time_window(t: pa.Table) -> pa.Table:
+            keep = pc.invert(t["is_late"].combine_chunks())
+            s = t.filter(keep)
+            return pa.table({
+                "window": pc.cast(
+                    pc.divide(s["ts_us"].combine_chunks(), 3_600_000_000),
+                    pa.int64(),
+                ),
+                "event_type": s["event_type"],
+                "value": s["value"],
+            })
+
+        agg = (
+            flagged.map_batches(on_time_window, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby(["window", "event_type"])
+            .aggregate(Sum("value", alias_name="total_value"),
+                       Count(alias_name="n"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "window": t["window"],
+                "event_type": t["event_type"],
+                "total_value": pc.round(t["total_value"], ndigits=3),
+                "n": pc.cast(t["n"], pa.int64()),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6510,6 +6564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": docs_hash_split,
         "events_watermark_late": events_watermark_late,
         "text_heavy_hitters": text_heavy_hitters,
+        "windowed_agg_on_time": windowed_agg_on_time,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -8528,6 +8583,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts_us, prev_max - 300000000 AS watermark_us, "
             "coalesce(ts_us < prev_max - 300000000, FALSE) AS is_late "
             "FROM w"
+        ),
+        "windowed_agg_on_time": (
+            # hourly sums over only the on-time events (same lateness rule
+            # as events_watermark_late); SUM skips NULL values both sides
+            "WITH w AS (SELECT event_id, event_type, value, "
+            "epoch_us(ts) AS ts_us, "
+            "max(epoch_us(ts)) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM events), "
+            "ot AS (SELECT * FROM w WHERE NOT "
+            "coalesce(ts_us < prev_max - 300000000, FALSE)) "
+            "SELECT ts_us // 3600000000 AS window, event_type, "
+            "round(sum(value), 3) AS total_value, "
+            "CAST(count(*) AS BIGINT) AS n FROM ot GROUP BY 1, 2"
         ),
         "multimodal_decode": (
             # the payload GENERATOR's formulas (synth_media_payloads), so

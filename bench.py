@@ -335,6 +335,7 @@ def main() -> None:
         "docs_hash_split",
         "events_watermark_late",
         "text_heavy_hitters",
+        "windowed_agg_on_time",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

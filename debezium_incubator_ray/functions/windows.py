@@ -1980,6 +1980,7 @@ def watermark_late_flags(
     ts_col: str = "ts",
     allowed_us: int = 300_000_000,
     range_width: int = 65_536,
+    carry_cols=(),
 ):
     """Streaming-watermark late-event detection, computed exactly in
     batch: processing order = ``id_col`` ascending (the arrival log
@@ -1992,7 +1993,8 @@ def watermark_late_flags(
     Output: (id_col, ts_us, watermark_us, is_late); watermark_us is NULL
     for the globally first event (no predecessor). Rows with NULL
     event-time are excluded — they neither advance nor get judged by the
-    watermark.
+    watermark. ``carry_cols`` pass through unchanged (so a downstream
+    on-time aggregate needs no join back to the source).
 
     Scale shape (the pack_sequences prefix-scan pattern): a global
     running max looks sequential but distributes in two passes — pass 1
@@ -2018,9 +2020,10 @@ def watermark_late_flags(
         rng = pc.cast(
             pc.divide(pc.cast(ids, pa.int64()), range_width), pa.int64()
         )
-        return pa.table({
-            id_col: ids, "_ts_us": ts_us, "_rng": rng,
-        })
+        cols = {id_col: ids, "_ts_us": ts_us, "_rng": rng}
+        for c in carry_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     totals = tagged.groupby("_rng").aggregate(Max("_ts_us")).take_all()
@@ -2049,13 +2052,16 @@ def watermark_late_flags(
         has_prev = prev != np.iinfo(np.int64).min
         wm = prev - allowed_us
         late = has_prev & (ts_o < wm)
-        out = pa.table({
+        cols = {
             id_col: pa.array(ids[order], pa.int64()),
             "ts_us": pa.array(ts_o),
             "watermark_us": pa.array(wm, pa.int64(), mask=~has_prev),
             "is_late": pa.array(late),
-        })
-        return out
+        }
+        take = pa.array(order)
+        for c in carry_cols:
+            cols[c] = group[c].combine_chunks().take(take)
+        return pa.table(cols)
 
     return (
         tagged.groupby("_rng").map_groups(flag, batch_format="pyarrow")

@@ -144,11 +144,16 @@ class FakeObjectStore:
       (clean network failure)."""
 
     def __init__(self):
+        import threading
+
         self.objects: Dict[str, "tuple[str, str]"] = {}  # name -> (etag, content)
         self._etag_counter = 0
         self.fail_response_after_puts = 0
         self.fail_before_puts = 0
         self.put_count = 0
+        # a real object store's conditional put is atomic; the fake must
+        # be too (check-then-set under concurrent writers)
+        self._lock = threading.Lock()
 
     def _next_etag(self) -> str:
         self._etag_counter += 1
@@ -165,23 +170,28 @@ class FakeObjectStore:
 
         ``if_none_match=True``: fail unless the object does NOT exist.
         ``if_match=etag``: fail unless the current etag matches."""
-        self.put_count += 1
-        if self.fail_before_puts:
-            self.fail_before_puts -= 1
-            if self.fail_before_puts == 0:
-                raise TimeoutError(f"injected network failure before put({name})")
-        cur = self.objects.get(name)
-        if if_none_match and cur is not None:
-            raise PreconditionFailed(name)
-        if if_match is not None and (cur is None or cur[0] != if_match):
-            raise PreconditionFailed(name)
-        etag = self._next_etag()
-        self.objects[name] = (etag, content)
-        if self.fail_response_after_puts:
-            self.fail_response_after_puts -= 1
-            if self.fail_response_after_puts == 0:
-                raise TimeoutError(f"injected lost response after put({name})")
-        return etag
+        with self._lock:
+            self.put_count += 1
+            if self.fail_before_puts:
+                self.fail_before_puts -= 1
+                if self.fail_before_puts == 0:
+                    raise TimeoutError(
+                        f"injected network failure before put({name})"
+                    )
+            cur = self.objects.get(name)
+            if if_none_match and cur is not None:
+                raise PreconditionFailed(name)
+            if if_match is not None and (cur is None or cur[0] != if_match):
+                raise PreconditionFailed(name)
+            etag = self._next_etag()
+            self.objects[name] = (etag, content)
+            if self.fail_response_after_puts:
+                self.fail_response_after_puts -= 1
+                if self.fail_response_after_puts == 0:
+                    raise TimeoutError(
+                        f"injected lost response after put({name})"
+                    )
+            return etag
 
     def list_prefix(self, prefix: str = "") -> "list[str]":
         return [n for n in self.objects if n.startswith(prefix)]

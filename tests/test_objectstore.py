@@ -179,3 +179,47 @@ def test_engine_end_to_end_on_object_store(tmp_path, ray_session):
     eng2.manifest = eng2.manifest.commit({0: {"watermark": 10**9}})
     with pytest.raises(ConcurrentCommitError):
         eng.manifest.commit({1: {"watermark": 10**9}})
+
+
+def test_many_threads_one_winner_per_version(tmp_path):
+    """N threads committing concurrently against one object store: every
+    version number gets exactly ONE winner, losers always see
+    ConcurrentCommitError (never silent loss), and replay-on-conflict
+    serializes all N updates."""
+    import threading
+
+    client = FakeObjectStore()
+    _mk(tmp_path, client)
+    lake = str(tmp_path / "lake")
+    n_threads, per_thread = 8, 5
+    conflicts = []
+    lock = threading.Lock()
+
+    def worker(tid):
+        for i in range(per_thread):
+            while True:
+                m = Manifest.load(lake, store=ObjectStoreStore(client))
+                try:
+                    m.commit({tid % 4: {"watermark": tid * 1000 + i}},
+                             segments_done=[f"s-{tid}-{i}"])
+                    break
+                except ConcurrentCommitError:
+                    with lock:
+                        conflicts.append(tid)
+                    continue  # reload and replay — the documented recovery
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    final = Manifest.load(lake, store=ObjectStoreStore(client))
+    # all 40 updates serialized: every segment recorded exactly once
+    want = {f"s-{t}-{i}" for t in range(n_threads) for i in range(per_thread)}
+    assert set(final.doc["segments_done"]) == want
+    assert final.version == n_threads * per_thread
+    # every version doc v1..v40 exists and is unique by construction
+    assert len([n for n in client.list_prefix("") if n.startswith("v")]) \
+        == n_threads * per_thread + 1
