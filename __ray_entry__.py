@@ -2112,6 +2112,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def docs_resumable_write(sf_dir):
+        """Resumable partitioned output: documents land as one parquet
+        directory per md5 key bucket with per-bucket commit markers — the
+        unit of retry for a failed 100 TB write is a bucket, not the job
+        (functions/output.py; the skip-committed re-run law is pinned by
+        pytest). Gate pins the bucket assignment + per-bucket row counts
+        via the SQL-reproducible md5 bridge."""
+        import os as _os
+        import shutil as _shutil
+        import ray.data
+        from debezium_incubator_ray.functions.output import resumable_write
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        out = _os.path.join("/tmp", "dbzray-resumable-gate",
+                            _os.path.basename(_os.path.normpath(sf_dir)))
+        _shutil.rmtree(out, ignore_errors=True)
+        return resumable_write(docs, out, "doc_id", buckets=16)
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6565,6 +6586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": events_watermark_late,
         "text_heavy_hitters": text_heavy_hitters,
         "windowed_agg_on_time": windowed_agg_on_time,
+        "docs_resumable_write": docs_resumable_write,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -8564,6 +8586,14 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, item ASC) "
             "AS rank FROM c) "
             "SELECT item, cnt, rank FROM r WHERE rank <= 20"
+        ),
+        "docs_resumable_write": (
+            # the writer's bucket assignment + row counts, recomputed via
+            # the md5 bridge; a fresh gate run writes (skipped = FALSE)
+            "SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, "
+            "16))::UBIGINT % 16 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS \"rows\", FALSE AS skipped "
+            "FROM documents GROUP BY 1"
         ),
         "docs_hash_split": (
             # same md5-u64 bridge as the SimHash oracle: bucket =

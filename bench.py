@@ -336,6 +336,7 @@ def main() -> None:
         "events_watermark_late",
         "text_heavy_hitters",
         "windowed_agg_on_time",
+        "docs_resumable_write",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

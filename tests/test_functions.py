@@ -1429,3 +1429,50 @@ def test_heavy_hitters_exact_under_truncation(ray_session):
     # sanity: truncation genuinely happened (width << distinct items) —
     # the exact-match asserts above are the real guarantee check
     assert len(vals) > 32
+
+
+def test_resumable_write_skips_committed_buckets(tmp_path, ray_session):
+    """Partitioned output with per-bucket commit markers: a re-run
+    rewrites ONLY buckets without a marker; committed bytes are never
+    touched; aborted (marker-less) attempts are cleared; read-back
+    equals the input either way."""
+    import glob
+    import os as _os
+
+    from debezium_incubator_ray.functions.output import resumable_write
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+        "text": pa.array([f"doc {i}" for i in range(500)]),
+    })
+    out = str(tmp_path / "out")
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    s1 = resumable_write(ds, out, "doc_id", buckets=8).to_pandas()
+    assert len(s1) == 8 and not s1["skipped"].any()
+    assert s1["rows"].sum() == 500
+    back = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == list(range(500))
+
+    # simulate a crash in bucket 3: marker gone, stale data file left
+    b3 = _os.path.join(out, "bucket=3")
+    _os.remove(_os.path.join(b3, "_SUCCESS"))
+    stale = glob.glob(_os.path.join(b3, "part-*.parquet"))
+    mtimes_before = {
+        p: _os.path.getmtime(p)
+        for p in glob.glob(_os.path.join(out, "bucket=*", "part-*.parquet"))
+        if "bucket=3" not in p
+    }
+    s2 = resumable_write(ds, out, "doc_id", buckets=8).to_pandas()
+    assert s2["skipped"].sum() == 7  # everyone but bucket 3 skipped
+    assert not s2.set_index("bucket")["skipped"][3]
+    # committed buckets untouched byte-for-byte (same files, same mtimes)
+    for p, m in mtimes_before.items():
+        assert _os.path.getmtime(p) == m
+    # the aborted attempt's file was cleared, not duplicated
+    assert not any(_os.path.exists(p) for p in stale)
+    back2 = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert back2["doc_id"].tolist() == list(range(500))
+    # per-bucket row counts identical across the two runs
+    assert s1.set_index("bucket")["rows"].to_dict() == \
+        s2.set_index("bucket")["rows"].to_dict()
