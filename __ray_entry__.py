@@ -2133,6 +2133,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _shutil.rmtree(out, ignore_errors=True)
         return resumable_write(docs, out, "doc_id", buckets=16)
 
+    def dedup_cross_split_leakage(sf_dir):
+        """Split-leakage audit: near-dup pairs (3-gram Jaccard >= 0.3)
+        whose two docs landed in DIFFERENT hash splits — exactly the
+        pairs that leak training text into eval. Pairs come from the
+        inverted-index machinery; the split of each side is a pure
+        function of its id (the md5 bridge), so it attaches per batch
+        with NO join — the pair stream never reshuffles."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import ngram_jaccard_pairs
+        from debezium_incubator_ray.functions.tokens import md5_u64
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+        names = pa.array(["train", "val", "test"])
+        bounds = np.array([80, 90, 100], dtype=np.int64)
+
+        def split_of(ids: pa.Array) -> pa.Array:
+            b = (md5_u64(pc.cast(ids, pa.string())) % np.uint64(100)).astype(
+                np.int64
+            )
+            return pc.take(names, pa.array(np.searchsorted(bounds, b,
+                                                           side="right")))
+
+        def leaks(t: pa.Table) -> pa.Table:
+            sa = split_of(t["a"].combine_chunks())
+            sb = split_of(t["b"].combine_chunks())
+            out = pa.table({
+                "a": t["a"], "b": t["b"], "jaccard": t["jaccard"],
+                "split_a": sa, "split_b": sb,
+            })
+            return out.filter(pc.invert(pc.equal(sa, sb)))
+
+        return pairs.map_batches(leaks, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6587,6 +6628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": text_heavy_hitters,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
+        "dedup_cross_split_leakage": dedup_cross_split_leakage,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_prefix_lookup": cdc_prefix_lookup,
         "cdc_key_range_scan": cdc_key_range_scan,
@@ -8586,6 +8628,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, item ASC) "
             "AS rank FROM c) "
             "SELECT item, cnt, rank FROM r WHERE rank <= 20"
+        ),
+        "dedup_cross_split_leakage": (
+            "WITH p AS (" + _jaccard_sql(0.3) + "), "
+            "q AS (SELECT a, b, jaccard, "
+            "('0x' || substring(md5(CAST(a AS VARCHAR)), 1, 16))::UBIGINT "
+            "% 100 AS ba, "
+            "('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 16))::UBIGINT "
+            "% 100 AS bb FROM p), "
+            "r AS (SELECT a, b, jaccard, "
+            "CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val' "
+            "ELSE 'test' END AS split_a, "
+            "CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' "
+            "ELSE 'test' END AS split_b FROM q) "
+            "SELECT * FROM r WHERE split_a <> split_b"
         ),
         "docs_resumable_write": (
             # the writer's bucket assignment + row counts, recomputed via

@@ -337,6 +337,7 @@ def main() -> None:
         "text_heavy_hitters",
         "windowed_agg_on_time",
         "docs_resumable_write",
+        "dedup_cross_split_leakage",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
