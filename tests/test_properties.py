@@ -409,3 +409,57 @@ def test_peak_sweep_matches_bruteforce(starts, lens):
         run += d
         peak = max(peak, run)
     assert peak == brute
+
+
+@given(
+    ids=st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=60),
+)
+@settings(max_examples=40, deadline=None)
+def test_media_synth_parse_roundtrip_property(ids):
+    """For ANY id array, parsing the synthesized container bytes recovers
+    exactly the generator's formulas — the pure-kernel half of the
+    multimodal_decode gate (no Ray needed)."""
+    from debezium_incubator_ray.functions.multimodal import (
+        parse_media_headers, synth_media_payloads,
+    )
+
+    arr = np.array(ids, dtype=np.int64)
+    out = parse_media_headers(synth_media_payloads(arr),
+                              id_arr=pa.array(arr)).to_pylist()
+    for r in out:
+        s, kc = r["doc_id"] // 3, r["doc_id"] % 3
+        if kc == 0:
+            assert r["kind"] == "png"
+            assert r["width"] == s % 317 + 1 and r["height"] == s % 211 + 1
+            assert r["channels"] == [1, 3, 2, 4][s % 4]
+            assert r["bit_depth"] == 8
+            assert r["sample_rate"] is None and r["n_samples"] is None
+        elif kc == 1:
+            assert r["kind"] == "bmp"
+            assert r["width"] == s % 509 + 1 and r["height"] == s % 255 + 1
+            assert r["channels"] == (3 if s % 2 == 0 else 4)
+        else:
+            assert r["kind"] == "wav"
+            assert r["channels"] == s % 2 + 1 and r["bit_depth"] == 16
+            assert r["sample_rate"] == [8000, 16000, 44100][s % 3]
+            assert r["n_samples"] == s % 1000 + 1
+            assert r["width"] is None and r["height"] is None
+
+
+@given(st.lists(st.text(max_size=12) | st.integers(-10**9, 10**9),
+                min_size=0, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_md5_bridge_matches_hashlib(vals):
+    """md5_u64 (the DuckDB bridge every hash split / simhash oracle rests
+    on) equals a direct hashlib computation for arbitrary values."""
+    import hashlib
+
+    from debezium_incubator_ray.functions.tokens import md5_u64
+
+    arr = pa.array([str(v) for v in vals], pa.string())
+    got = md5_u64(arr)
+    for v, h in zip(vals, got):
+        want = int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[:8], "big"
+        )
+        assert int(h) == want
