@@ -3322,6 +3322,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(stabilize, batch_format="pyarrow")
 
+    def join_salted_revenue(sf_dir):
+        """join_shuffle_revenue with HOT-KEY SALTING forced (salt=4):
+        each order key's probe rows spread across 4 sub-buckets and the
+        lineitem side replicates into them — the skew-splitting mode a
+        key holding a large share of the fact table needs at 100 TB.
+        The joined result SET is salt-invariant by construction; the
+        identical oracle pins that law at the driver gate."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import shuffle_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        joined = shuffle_join(orders, li, on="o_orderkey",
+                              right_on="l_orderkey", salt=4)
+
+        def partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+            t2 = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev})
+            g = t2.group_by("o_orderpriority").aggregate(
+                [("rev", "sum"), ("rev", "count")]
+            )
+            return pa.table({
+                "o_orderpriority": g["o_orderpriority"],
+                "psum": g["rev_sum"],
+                "pn": pc.cast(g["rev_count"], pa.int64()),
+            })
+
+        out = joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("o_orderpriority").aggregate(
+            Sum("psum", alias_name="revenue"), Sum("pn", alias_name="n_items")
+        )
+
+        def stabilize(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("revenue")
+            return t.set_column(i, "revenue", pc.round(t["revenue"], ndigits=2))
+
+        return out.map_batches(stabilize, batch_format="pyarrow")
+
     def events_funnel(sf_dir):
         """Two-step funnel: users with a purchase strictly after their
         first click — the predicate decomposes into min/max partials, so
@@ -6670,6 +6721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_domain_quota": sample_domain_quota,
         "join_broadcast_enrich": join_broadcast_enrich,
         "join_shuffle_revenue": join_shuffle_revenue,
+        "join_salted_revenue": join_salted_revenue,
         "events_funnel": events_funnel,
         "cdc_scd2_history": cdc_scd2_history,
         "events_running_total": events_running_total,
@@ -8364,6 +8416,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "join_shuffle_revenue": (
+            "SELECT o_orderpriority, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items FROM orders "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "join_salted_revenue": (
+            # identical result to join_shuffle_revenue — salting is an
+            # execution-strategy switch, the joined SET may not change
             "SELECT o_orderpriority, "
             "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
             "count(*) AS n_items FROM orders "

@@ -338,6 +338,7 @@ def main() -> None:
         "windowed_agg_on_time",
         "docs_resumable_write",
         "dedup_cross_split_leakage",
+        "join_salted_revenue",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
