@@ -132,46 +132,40 @@ def heavy_hitters(ds, explode, k: int = 20, width: int = 2048):
     bounded-memory sketch, then count ONLY the candidates exactly):
 
     - pass 1: every block folds a Misra-Gries summary of ``width``
-      counters (vectorized: bincount over the block's items, keep the
-      top ``width`` after decrement — the classic guarantee transfers:
-      any item with true count > N/width survives in at least one
-      block's summary, because MG's undercount per block is bounded by
-      block_N/width and counts are non-negative). The union of all
-      block summaries (width x blocks rows, metadata-sized) is the
-      candidate set.
+      (item, count) counters (vectorized: bincount, keep the top
+      ``width`` — a SUPERSET of decremented-MG survivors, so the
+      classic guarantee transfers: any item with true count > N/width
+      survives in at least one block's summary). The partials MERGE
+      DISTRIBUTED — one item-hash groupby sums retained counts (the
+      mergeable-summaries fold of Agarwal et al.), then a per-block
+      top-width + driver merge cuts the candidate set to ``width``
+      items; summed retained counts undercount true counts by at most
+      N/width total, so any item with true count > 2N/width survives
+      the cut. The driver never holds width x blocks rows — only the
+      final width candidates plus #blocks x width merge partials of
+      the already-folded summary.
     - pass 2: one streaming filter of the input against the broadcast
-      candidate hash set + a tiny groupby counts candidates EXACTLY.
+      candidate set + a tiny groupby counts candidates EXACTLY.
 
     Result = exact top-k by (count desc, item asc) whenever the true
-    k-th count exceeds N/width (choose width >> k x skew; the driver
+    k-th count exceeds 2N/width (choose width >> k x skew; the driver
     queries use width=2048 over a ~1k vocabulary, making pass 1
     lossless outright). The corpus never shuffles — only candidate
-    rows do, and only their (hash, count) partials.
+    rows do, and only their (item, count) partials.
 
     ``explode(batch) -> pa.StringArray`` maps a batch to its item
     multiset (e.g. tokens); plug any item domain."""
     import ray
     from ray.data.aggregate import Sum
 
-    def mg_partial(t: pa.Table) -> pa.Table:
-        items = explode(t)
-        if len(items) == 0:
-            return pa.table({"item": pa.array([], pa.string())})
-        enc = pc.dictionary_encode(items)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        counts = np.bincount(
-            enc.indices.to_numpy(zero_copy_only=False),
-            minlength=len(enc.dictionary),
-        )
-        vocab = enc.dictionary
-        if len(counts) > width:
-            # Misra-Gries decrement: keep counters above the (n-width)-th
-            # largest — survivors are exactly the items MG would retain
+    def _top_width(vocab, counts) -> "tuple":
+        if len(counts) <= width:
+            keep = np.ones(len(counts), dtype=bool)
+        else:
+            # keep counters above the (n-width)-th largest, filling
+            # boundary ties deterministically (lowest item string first)
             kth = np.partition(counts, len(counts) - width)[len(counts) - width]
             keep = counts > kth
-            # fill up to width with ties at the boundary (deterministic:
-            # lowest item string first)
             need = width - int(keep.sum())
             if need > 0:
                 tie_idx = np.nonzero(counts == kth)[0]
@@ -179,15 +173,55 @@ def heavy_hitters(ds, explode, k: int = 20, width: int = 2048):
                     np.asarray([str(vocab[i]) for i in tie_idx], dtype=object)
                 )
                 keep[tie_idx[order[:need]]] = True
-        else:
-            keep = np.ones(len(counts), dtype=bool)
-        return pa.table({"item": vocab.filter(pa.array(keep))})
+        m = pa.array(keep)
+        return vocab.filter(m), counts[keep]
 
-    cand_rows = ds.map_batches(
-        mg_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # width x blocks — metadata-sized
-    cand = sorted({r["item"] for r in cand_rows})
-    cand_ref = ray.put(pa.array(cand, pa.string()))
+    def mg_partial(t: pa.Table) -> pa.Table:
+        items = explode(t)
+        if len(items) == 0:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "pcnt": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(items)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        )
+        vocab, kept = _top_width(enc.dictionary, counts)
+        return pa.table({"item": vocab, "pcnt": pa.array(kept, pa.int64())})
+
+    # mergeable-summaries fold: sum retained counts per item (ONE
+    # distributed item groupby of the width-bounded partials), then cut
+    # to width candidates via per-block top-width + a driver merge of
+    # the folded summary's few blocks
+    folded_partials = (
+        ds.map_batches(mg_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("item")
+        .aggregate(Sum("pcnt", alias_name="pcnt"))
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        v = t["item"].combine_chunks()
+        c = t["pcnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        vv, cc = _top_width(v, np.asarray(c, dtype=np.int64))
+        return pa.table({"item": vv, "pcnt": pa.array(cc, pa.int64())})
+
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    merged = collect_table(
+        folded_partials.map_batches(block_top, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+        empty=pa.table({"item": pa.array([], pa.string()),
+                        "pcnt": pa.array([], pa.int64())}),
+    )
+    vv, _ = _top_width(
+        merged["item"].combine_chunks(),
+        merged["pcnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+    )
+    cand_ref = ray.put(pc.cast(vv, pa.string()))
 
     def count_candidates(t: pa.Table) -> pa.Table:
         items = explode(t)
