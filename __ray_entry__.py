@@ -2140,31 +2140,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         inverted-index machinery; the split of each side is a pure
         function of its id (the md5 bridge), so it attaches per batch
         with NO join — the pair stream never reshuffles."""
-        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
         from debezium_incubator_ray.functions.dedup import ngram_jaccard_pairs
-        from debezium_incubator_ray.functions.tokens import md5_u64
+        from debezium_incubator_ray.functions.sample import split_labels
 
         docs = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
         )
         pairs = ngram_jaccard_pairs(docs, threshold=0.3)
-        names = pa.array(["train", "val", "test"])
-        bounds = np.array([80, 90, 100], dtype=np.int64)
-
-        def split_of(ids: pa.Array) -> pa.Array:
-            b = (md5_u64(pc.cast(ids, pa.string())) % np.uint64(100)).astype(
-                np.int64
-            )
-            return pc.take(names, pa.array(np.searchsorted(bounds, b,
-                                                           side="right")))
 
         def leaks(t: pa.Table) -> pa.Table:
-            sa = split_of(t["a"].combine_chunks())
-            sb = split_of(t["b"].combine_chunks())
+            sa = split_labels(t["a"])
+            sb = split_labels(t["b"])
             out = pa.table({
                 "a": t["a"], "b": t["b"], "jaccard": t["jaccard"],
                 "split_a": sa, "split_b": sb,
@@ -3343,8 +3333,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         )
-        joined = shuffle_join(orders, li, on="o_orderkey",
-                              right_on="l_orderkey", salt=4)
+        # the FACT table is the LEFT side: salt spreads LEFT rows
+        # across sub-buckets and replicates the RIGHT (dimension-like
+        # orders) side — a hot orderkey's many lineitem rows then
+        # parallelize 4-ways instead of replicating the fact table
+        joined = shuffle_join(li, orders, on="l_orderkey",
+                              right_on="o_orderkey", salt=4)
 
         def partial(t: pa.Table) -> pa.Table:
             rev = pc.multiply(
@@ -8723,10 +8717,12 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark_late": (
             # exact restatement of the allowed-lateness rule as a window
             # function over arrival (event_id) order
+            # ts IS NOT NULL mirrors the operator contract: NULL
+            # event-times neither advance nor get judged by the watermark
             "WITH w AS (SELECT event_id, epoch_us(ts) AS ts_us, "
             "max(epoch_us(ts)) OVER (ORDER BY event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-            "AS prev_max FROM events) "
+            "AS prev_max FROM events WHERE ts IS NOT NULL) "
             "SELECT event_id, ts_us, prev_max - 300000000 AS watermark_us, "
             "coalesce(ts_us < prev_max - 300000000, FALSE) AS is_late "
             "FROM w"
@@ -8738,7 +8734,7 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) AS ts_us, "
             "max(epoch_us(ts)) OVER (ORDER BY event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-            "AS prev_max FROM events), "
+            "AS prev_max FROM events WHERE ts IS NOT NULL), "
             "ot AS (SELECT * FROM w WHERE NOT "
             "coalesce(ts_us < prev_max - 300000000, FALSE)) "
             "SELECT ts_us // 3600000000 AS window, event_type, "

@@ -70,6 +70,10 @@ def _engine(args, need_schema_from: str | None = None):
                 os.path.join(src, n) for n in os.listdir(src)
                 if n.endswith(".parquet")
             )
+            if not files:
+                raise SystemExit(
+                    f"error: no .parquet files in snapshot source {src}"
+                )
             src = files[0]
         schema = pq.read_schema(src)
         if "_lsn" in schema.names:
@@ -116,6 +120,8 @@ def main(argv=None) -> int:
         # manifest-only: no Ray session needed
         from debezium_incubator_ray.state.manifest import Manifest
 
+        if not Manifest.exists(args.lake):
+            raise SystemExit(f"error: no lake manifest at {args.lake}")
         m = Manifest.load(args.lake)
         doc = m.doc
         print(json.dumps({

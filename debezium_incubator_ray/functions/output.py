@@ -58,6 +58,25 @@ def resumable_write(
     loses only uncommitted buckets; rerunning the same call finishes the
     remainder and never touches committed bytes."""
     os.makedirs(out_dir, exist_ok=True)
+    # the layout (partition column + bucket count) is part of the output's
+    # identity: resuming with a different layout would skip/duplicate rows
+    # across incompatible hash spaces — record it once, refuse a mismatch
+    layout_path = os.path.join(out_dir, "_LAYOUT.json")
+    layout = {"partition_col": partition_col, "buckets": buckets}
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            prev = json.load(f)
+        if prev != layout:
+            raise ValueError(
+                f"resumable_write layout mismatch for {out_dir}: committed "
+                f"{prev}, requested {layout}; use a fresh out_dir or the "
+                "original layout"
+            )
+    else:
+        tmp = layout_path + f".{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(layout, f)
+        os.replace(tmp, layout_path)
     done = {}
     for i in range(buckets):
         marker = os.path.join(out_dir, f"bucket={i}", "_SUCCESS")

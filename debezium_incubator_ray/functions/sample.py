@@ -596,6 +596,32 @@ def neyman_sample(ds, group_col: str, value_col: str, id_col: str,
                                 zero_copy_batch=True)
 
 
+def split_labels(
+    ids,
+    fractions=(("train", 80), ("val", 10), ("test", 10)),
+    mod: int = 100,
+    salt: str = "",
+):
+    """The pure split kernel: md5-bridge bucket of each id string (+
+    optional salt) against cumulative fraction bounds -> label array.
+    Shared by hash_split and every query that derives a split from an id
+    column, so the convention can never drift between them."""
+    names = [n for n, _ in fractions]
+    weights = np.array([w for _, w in fractions], dtype=np.int64)
+    if int(weights.sum()) != mod:
+        raise ValueError(f"fractions must sum to mod={mod}: {fractions}")
+    bounds = np.cumsum(weights)  # upper exclusive bucket bound per split
+    labels = pa.array(names, pa.string())
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    s = pc.cast(ids, pa.string())
+    if salt:
+        s = pc.binary_join_element_wise(s, pa.scalar(salt), pa.scalar(""))
+    b = (md5_u64(s) % np.uint64(mod)).astype(np.int64)
+    idx = np.searchsorted(bounds, b, side="right")
+    return pc.take(labels, pa.array(idx))
+
+
 def hash_split(
     ds,
     id_col: str = "doc_id",
@@ -614,19 +640,13 @@ def hash_split(
     bit-for-bit: bucket = md5_u64(id) % mod, cumulative fraction bounds
     pick the split (e.g. 80/10/10 -> train <80, val <90, test <100).
     ``salt`` re-rolls the split without touching ids (epoch re-splits)."""
-    names = [n for n, _ in fractions]
-    weights = np.array([w for _, w in fractions], dtype=np.int64)
-    if int(weights.sum()) != mod:
+    # validate eagerly (split_labels re-validates per batch)
+    if int(sum(w for _, w in fractions)) != mod:
         raise ValueError(f"fractions must sum to mod={mod}: {fractions}")
-    bounds = np.cumsum(weights)  # upper exclusive bucket bound per split
-    labels = pa.array(names, pa.string())
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t[id_col].combine_chunks(), pa.string())
-        if salt:
-            ids = pc.binary_join_element_wise(ids, pa.scalar(salt), pa.scalar(""))
-        b = (md5_u64(ids) % np.uint64(mod)).astype(np.int64)
-        idx = np.searchsorted(bounds, b, side="right")
-        return t.append_column("split", pc.take(labels, pa.array(idx)))
+        return t.append_column(
+            "split", split_labels(t[id_col], fractions, mod, salt)
+        )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -161,7 +161,8 @@ class FakeObjectStore:
 
     def get(self, name: str):
         """(etag, content) or None."""
-        return self.objects.get(name)
+        with self._lock:
+            return self.objects.get(name)
 
     def put(self, name: str, content: str,
             if_none_match: bool = False,
@@ -194,10 +195,12 @@ class FakeObjectStore:
             return etag
 
     def list_prefix(self, prefix: str = "") -> "list[str]":
-        return [n for n in self.objects if n.startswith(prefix)]
+        with self._lock:
+            return [n for n in self.objects if n.startswith(prefix)]
 
     def delete(self, name: str) -> None:
-        self.objects.pop(name, None)
+        with self._lock:
+            self.objects.pop(name, None)
 
 
 class ObjectStoreStore(ManifestStore):

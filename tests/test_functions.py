@@ -1476,3 +1476,16 @@ def test_resumable_write_skips_committed_buckets(tmp_path, ray_session):
     # per-bucket row counts identical across the two runs
     assert s1.set_index("bucket")["rows"].to_dict() == \
         s2.set_index("bucket")["rows"].to_dict()
+
+
+def test_resumable_write_layout_guard(tmp_path, ray_session):
+    """Resuming into an out_dir with a DIFFERENT layout (bucket count or
+    partition column) is refused — mixing hash spaces would silently
+    duplicate or skip rows."""
+    from debezium_incubator_ray.functions.output import resumable_write
+
+    t = pa.table({"doc_id": pa.array(np.arange(50, dtype=np.int64))})
+    out = str(tmp_path / "o")
+    resumable_write(ray.data.from_arrow(t), out, "doc_id", buckets=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        resumable_write(ray.data.from_arrow(t), out, "doc_id", buckets=16)
