@@ -4153,6 +4153,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return markov_transitions(ev)
 
+    def events_trigram_paths(sf_dir):
+        """Top-20 three-step event-type paths over each user's ordered
+        stream — the sequence-mining generalization of the transition
+        matrix (funnel discovery / prefetch modeling). One bucketed
+        shuffle per key history; vectorized n-gram slicing in-bucket;
+        the fold is |types|^3 tiny rows with a driver top-k cut."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            sequence_ngram_counts,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "event_id"],
+        )
+        return sequence_ngram_counts(ev, n=3, k=20)
+
     def sample_weighted_topk(sf_dir):
         """Deterministic weight-proportional sample without replacement
         (Efraimidis-Spirakis with a hash-derived uniform): the 200 docs
@@ -6755,6 +6772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_psi_drift": dq_psi_drift,
         "sample_weighted_topk": sample_weighted_topk,
         "events_markov_transitions": events_markov_transitions,
+        "events_trigram_paths": events_trigram_paths,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_lag_gaps": events_lag_gaps,
@@ -9001,6 +9019,20 @@ def oracle_sql() -> dict[str, str]:
             "AS prev_type FROM events) "
             "SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt "
             "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_trigram_paths": (
+            # LEAD within the user partition NULLs past each history's
+            # end, so no cross-user window ever counts
+            "WITH s AS (SELECT event_type AS t0, "
+            "LEAD(event_type, 1) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS t1, "
+            "LEAD(event_type, 2) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS t2 FROM events), "
+            "c AS (SELECT t0, t1, t2, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2, 3), "
+            "r AS (SELECT *, row_number() OVER "
+            "(ORDER BY cnt DESC, t0 ASC, t1 ASC, t2 ASC) AS rank FROM c) "
+            "SELECT t0, t1, t2, cnt, rank FROM r WHERE rank <= 20"
         ),
         "sample_weighted_topk": (
             # same Lehmer uniform + A-Res key ln(u)/w, key excluded from

@@ -339,6 +339,7 @@ def main() -> None:
         "docs_resumable_write",
         "dedup_cross_split_leakage",
         "join_salted_revenue",
+        "events_trigram_paths",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

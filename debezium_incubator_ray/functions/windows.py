@@ -639,6 +639,96 @@ def markov_transitions(
     )
 
 
+def sequence_ngram_counts(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    n: int = 3,
+    buckets: int = 64,
+    k: int | None = None,
+):
+    """Counts of length-``n`` consecutive type sequences within each
+    key's ordered event stream — the sequence-mining generalization of
+    markov_transitions (n=2): "what are the most common 3-step paths"
+    behind funnel discovery and prefetch models.
+
+    Same shape as markov_transitions: ONE bucketed shuffle co-locates
+    each key's history; a vectorized in-bucket pass (sort by (key,
+    order), n-1 shifted same-key masks ANDed, n sliced type columns)
+    pre-reduces to the bucket's sequence counts; the final groupby folds
+    at most #buckets x |types|^n tiny rows. ``k`` keeps only the top-k
+    sequences (count desc, then types asc) — the fold output is
+    |types|^n rows, so the cut is a driver-side finish."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    cols = [f"t{i}" for i in range(n)]
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        d = t.select([key_col, type_col, order_col])
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    def ngrams_in_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"])
+        idx = pc.sort_indices(
+            d, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
+        )
+        s = d.take(idx)
+        m = s.num_rows
+        ty = s[type_col].combine_chunks()
+        if m < n:
+            return pa.table(
+                {c: pa.array([], ty.type) for c in cols}
+                | {"cnt": pa.array([], pa.int64())}
+            )
+        kk = s[key_col].combine_chunks()
+        same = pc.equal(kk.slice(1), kk.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        # window i..i+n-1 valid iff all n-1 adjacent pairs share the key
+        valid = np.ones(m - n + 1, dtype=bool)
+        for j in range(n - 1):
+            valid &= same[j : j + m - n + 1]
+        vmask = pa.array(valid)
+        tb = pa.table({
+            cols[j]: ty.slice(j, m - n + 1).filter(vmask) for j in range(n)
+        })
+        g2 = tb.group_by(cols).aggregate([([], "count_all")])
+        out = {c: g2[c] for c in cols}
+        out["cnt"] = pc.cast(g2["count_all"], pa.int64())
+        return pa.table(out)
+
+    folded = (
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(ngrams_in_bucket, batch_format="pyarrow")
+        .groupby(cols)  # |types|^n rows — tiny
+        .sum("cnt")
+    )
+    renamed = folded.map_batches(
+        lambda t: t.rename_columns(cols + ["cnt"]),
+        batch_format="pyarrow",
+    )
+    if k is None:
+        return renamed
+    from debezium_incubator_ray.functions.kernels import collect_table
+
+    tbl = collect_table(renamed, empty=pa.table(
+        {c: pa.array([], pa.string()) for c in cols}
+        | {"cnt": pa.array([], pa.int64())}
+    ))
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("cnt", "descending")] + [(c, "ascending") for c in cols]
+    )
+    top = tbl.take(idx[:k])
+    return top.append_column(
+        "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+    )
+
+
 def peak_window_avg(
     ds,
     key_col: str = "user_id",

@@ -1489,3 +1489,46 @@ def test_resumable_write_layout_guard(tmp_path, ray_session):
     resumable_write(ray.data.from_arrow(t), out, "doc_id", buckets=8)
     with pytest.raises(ValueError, match="layout mismatch"):
         resumable_write(ray.data.from_arrow(t), out, "doc_id", buckets=16)
+
+
+def test_sequence_ngram_counts_matches_pandas(ray_session):
+    """n-gram sequence counts equal a pandas groupby-shift reference,
+    with windows never crossing user boundaries; n=2 equals
+    markov_transitions."""
+    import pandas as pd
+    from debezium_incubator_ray.functions.windows import (
+        markov_transitions, sequence_ngram_counts,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "event_type": rng.choice(list("abc"), n),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    got = sequence_ngram_counts(ds, n=3).to_pandas()
+    s = df.sort_values(["user_id", "event_id"])
+    ref = {}
+    for _, g in s.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        for i in range(len(ts) - 2):
+            ref[tuple(ts[i:i + 3])] = ref.get(tuple(ts[i:i + 3]), 0) + 1
+    mine = {(r.t0, r.t1, r.t2): r.cnt for r in got.itertuples()}
+    assert mine == ref
+
+    # n=2 path equals markov_transitions exactly
+    a = sequence_ngram_counts(ds, n=2).to_pandas()
+    b = markov_transitions(ds).to_pandas()
+    ma = {(r.t0, r.t1): r.cnt for r in a.itertuples()}
+    mb = {(r.prev_type, r.next_type): r.cnt for r in b.itertuples()}
+    assert ma == mb
+
+    # top-k cut: deterministic (cnt desc, types asc), rank 1..k
+    topk = sequence_ngram_counts(ds, n=3, k=5).to_pandas()
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [tuple([r.t0, r.t1, r.t2]) for r in topk.itertuples()] == \
+        [k for k, _ in want]
+    assert topk["rank"].tolist() == [1, 2, 3, 4, 5]
