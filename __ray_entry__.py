@@ -586,6 +586,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(updates_only, batch_format="pyarrow", zero_copy_batch=True)
         return ds.to_pandas()
 
+    def cdc_changed_columns(sf_dir):
+        """Per-column change frequency over the update stream — the CDC
+        profiling question "which columns actually churn" (drives partial
+        envelopes, index choices, column-level retention). Each batch
+        compares before_X vs X per payload column under IS DISTINCT FROM
+        semantics (NULL-safe) and folds 4 partial rows; the envelope
+        stream itself never shuffles."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, events_envelopes,
+        )
+        from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+        env = events_envelopes(sf_dir)
+        norm = NormalizeEnvelope(
+            S.schema_to_b64(EVENTS_PAYLOAD),
+            "user_id",
+            NUM_PARTITIONS,
+            "mod",
+            emit_before=True,
+        )
+        COLS = ["ts", "event_type", "value", "props"]
+
+        def partial(t: pa.Table) -> pa.Table:
+            u = t.filter(pc.equal(t["op"], "u"))
+            n = u.num_rows
+            rows = []
+            for c in COLS:
+                a, b = u[f"before_{c}"], u[c]
+                eq = pc.fill_null(pc.equal(a, b), False)
+                both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+                same = pc.or_(eq, both_null)  # IS NOT DISTINCT FROM
+                n_same = pc.sum(pc.cast(same, pa.int64())).as_py() or 0
+                rows.append({"col": c, "n_updates": n,
+                             "n_changed": n - int(n_same)})
+            return pa.Table.from_pylist(rows)
+
+        folded = (
+            ray.data.from_arrow(env)
+            .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("col")
+            .aggregate(Sum("n_updates", alias_name="n_updates"),
+                       Sum("n_changed", alias_name="n_changed"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            nu = pc.cast(t["n_updates"], pa.float64())
+            return pa.table({
+                "col": t["col"],
+                "n_updates": pc.cast(t["n_updates"], pa.int64()),
+                "n_changed": pc.cast(t["n_changed"], pa.int64()),
+                "change_rate": pc.round(
+                    pc.divide(pc.cast(t["n_changed"], pa.float64()), nu), 6
+                ),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
     def cdc_snapshot_read(sf_dir):
         import pyarrow as pa
         import ray.data
@@ -6622,6 +6685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_watermarks": cdc_watermarks,
         "cdc_changelog_counts": cdc_changelog_counts,
         "cdc_before_images": cdc_before_images,
+        "cdc_changed_columns": cdc_changed_columns,
         "cdc_snapshot_read": cdc_snapshot_read,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_schema_evolution_ddl": cdc_schema_evolution_ddl,
@@ -7408,6 +7472,42 @@ def oracle_sql() -> dict[str, str]:
             "lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS before_value "
             "FROM events) "
             "SELECT user_id, lsn, before_value, value FROM env WHERE op = 'u'"
+        ),
+        "cdc_changed_columns": (
+            # the before image is the user's previous payload (same lag
+            # model as cdc_before_images); changed = IS DISTINCT FROM
+            "WITH env AS (SELECT "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "ts, event_type, value, props, "
+            "lag(ts) OVER w AS b_ts, lag(event_type) OVER w AS b_et, "
+            "lag(value) OVER w AS b_v, lag(props) OVER w AS b_p "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY event_id)), "
+            "u AS (SELECT * FROM env WHERE op = 'u') "
+            "SELECT 'ts' AS col, CAST(count(*) AS BIGINT) AS n_updates, "
+            "CAST(sum(CASE WHEN ts IS DISTINCT FROM b_ts THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_changed, "
+            "round(sum(CASE WHEN ts IS DISTINCT FROM b_ts THEN 1 ELSE 0 "
+            "END) * 1.0 / count(*), 6) AS change_rate FROM u "
+            "UNION ALL "
+            "SELECT 'event_type', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN event_type IS DISTINCT FROM b_et THEN 1 "
+            "ELSE 0 END) AS BIGINT), "
+            "round(sum(CASE WHEN event_type IS DISTINCT FROM b_et THEN 1 "
+            "ELSE 0 END) * 1.0 / count(*), 6) FROM u "
+            "UNION ALL "
+            "SELECT 'value', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN value IS DISTINCT FROM b_v THEN 1 ELSE 0 "
+            "END) AS BIGINT), "
+            "round(sum(CASE WHEN value IS DISTINCT FROM b_v THEN 1 ELSE 0 "
+            "END) * 1.0 / count(*), 6) FROM u "
+            "UNION ALL "
+            "SELECT 'props', CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN props IS DISTINCT FROM b_p THEN 1 ELSE 0 "
+            "END) AS BIGINT), "
+            "round(sum(CASE WHEN props IS DISTINCT FROM b_p THEN 1 ELSE 0 "
+            "END) * 1.0 / count(*), 6) FROM u"
         ),
         "cdc_snapshot_read": (
             "SELECT doc_id, text, lang, source, n_chars, "

@@ -340,6 +340,7 @@ def main() -> None:
         "dedup_cross_split_leakage",
         "join_salted_revenue",
         "events_trigram_paths",
+        "cdc_changed_columns",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
