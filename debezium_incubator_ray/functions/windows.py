@@ -577,63 +577,14 @@ def markov_transitions(
 ):
     """Global (prev_type, next_type) transition counts over each key's
     event sequence in ``order_col`` order — the Markov-chain / next-event
-    counting primitive behind behavioral models.
-
-    Adjacency needs each key's FULL ordered history co-located: one
-    bucketed shuffle on hash(key), then a vectorized in-bucket pass (one
-    sort by (key, order), adjacent-row pairing masked at key boundaries,
-    Arrow group-count) pre-reduces to the bucket's transition counts; the
-    final groupby folds #buckets x |types|^2 tiny rows. No per-key Python
-    loop anywhere."""
-    from debezium_incubator_ray.hashing import partition_ids
-
-    def bucketed(t: pa.Table) -> pa.Table:
-        d = t.select([key_col, type_col, order_col])
-        return d.append_column(
-            "_b",
-            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
-        )
-
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        d = g.drop_columns(["_b"])
-        idx = pc.sort_indices(
-            d, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
-        )
-        s = d.take(idx)
-        n = s.num_rows
-        if n < 2:
-            ty_t = s[type_col].combine_chunks().type  # match large_string
-            return pa.table({
-                "prev_type": pa.array([], ty_t),
-                "next_type": pa.array([], ty_t),
-                "cnt": pa.array([], pa.int64()),
-            })
-        k = s[key_col].combine_chunks()
-        same = pc.equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        ty = s[type_col].combine_chunks()
-        tb = pa.table({
-            "prev_type": ty.slice(0, n - 1).filter(pa.array(same)),
-            "next_type": ty.slice(1).filter(pa.array(same)),
-        })
-        g2 = tb.group_by(["prev_type", "next_type"]).aggregate(
-            [([], "count_all")]
-        )
-        return pa.table({
-            "prev_type": g2["prev_type"],
-            "next_type": g2["next_type"],
-            "cnt": pc.cast(g2["count_all"], pa.int64()),
-        })
-
-    folded = (
-        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .groupby(["prev_type", "next_type"])  # |types|^2 rows — tiny
-        .sum("cnt")
+    counting primitive behind behavioral models. Exactly
+    sequence_ngram_counts with n=2 (one kernel, pinned by pytest) under
+    the historical (prev_type, next_type) column names."""
+    out = sequence_ngram_counts(
+        ds, key_col=key_col, type_col=type_col, order_col=order_col,
+        n=2, buckets=buckets,
     )
-    return folded.map_batches(
+    return out.map_batches(
         lambda t: t.rename_columns(["prev_type", "next_type", "cnt"]),
         batch_format="pyarrow",
     )
@@ -685,9 +636,11 @@ def sequence_ngram_counts(
                 | {"cnt": pa.array([], pa.int64())}
             )
         kk = s[key_col].combine_chunks()
-        same = pc.equal(kk.slice(1), kk.slice(0, m - 1)).to_numpy(
-            zero_copy_only=False
-        )
+        # fill_null(False): a null key equals nothing, so windows touching
+        # it drop — the same degrade markov_transitions' Arrow filter has
+        same = pc.fill_null(
+            pc.equal(kk.slice(1), kk.slice(0, m - 1)), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
         # window i..i+n-1 valid iff all n-1 adjacent pairs share the key
         valid = np.ones(m - n + 1, dtype=bool)
         for j in range(n - 1):
@@ -719,6 +672,11 @@ def sequence_ngram_counts(
     tbl = collect_table(renamed, empty=pa.table(
         {c: pa.array([], pa.string()) for c in cols}
         | {"cnt": pa.array([], pa.int64())}
+    ))
+    # canonical schema either way (empty fallback vs data-bearing blocks)
+    tbl = tbl.cast(pa.schema(
+        [pa.field(c, pa.large_string()) for c in cols]
+        + [pa.field("cnt", pa.int64())]
     ))
     idx = pc.sort_indices(
         tbl, sort_keys=[("cnt", "descending")] + [(c, "ascending") for c in cols]

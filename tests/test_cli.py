@@ -106,7 +106,10 @@ def test_cli_sigkill_mid_run_then_resume_converges(tmp_path):
         env=env, cwd=REPO,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    time.sleep(6.0)  # mid-startup or mid-epoch, whatever the host gives
+    time.sleep(5.0)  # mid-startup or mid-epoch, whatever the host gives
+    # the law is only exercised if the job was actually in flight: a
+    # completed process would turn this into a vacuous replay test
+    assert proc.poll() is None, "run finished before the kill landed"
     proc.send_signal(signal.SIGKILL)
     proc.wait(timeout=60)
 
