@@ -2227,6 +2227,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pairs.map_batches(leaks, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
+    def events_hll_by_type(sf_dir):
+        """Per-event-type HLL distinct-user estimates — the grouped
+        mergeable-sketch shape (audience size per segment). Deterministic
+        md5-bridge registers; per-block (group, bucket, max-rho) partials
+        max-fold in one distributed groupby; the SQL oracle recomputes
+        the registers bit-for-bit per group."""
+        import ray.data
+        from debezium_incubator_ray.functions.sketch import hll_grouped
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        return hll_grouped(ev, "event_type", "user_id")
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6752,6 +6767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": docs_hash_split,
         "events_watermark_late": events_watermark_late,
         "text_heavy_hitters": text_heavy_hitters,
+        "events_hll_by_type": events_hll_by_type,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10058,6 +10074,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM agg) "
             "SELECT CAST(256 AS BIGINT) AS m, CAST(v AS BIGINT) "
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
+            "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
+            "FROM f"
+        ),
+        "events_hll_by_type": (
+            # grouped form of the approx_distinct_hll oracle: identical
+            # registers, GROUP BY event_type threaded through every stage
+            "WITH h AS (SELECT event_type AS g, "
+            "('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT AS h FROM events WHERE user_id IS NOT NULL), "
+            "r AS (SELECT g, CAST(h >> 56 AS BIGINT) AS j, "
+            "CASE WHEN (h & ((1::UBIGINT << 56) - 1)) = 0 THEN 57 "
+            "ELSE 57 - length(bin(h & ((1::UBIGINT << 56) - 1))) END "
+            "AS rho FROM h), "
+            "reg AS (SELECT g, j, max(rho) AS M FROM r GROUP BY 1, 2), "
+            "agg AS (SELECT g, sum(pow(2.0, -M)) AS s, "
+            "CAST(count(*) AS BIGINT) AS np FROM reg GROUP BY 1), "
+            "f AS (SELECT g, (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * "
+            "256.0 / (agg.s + (256 - agg.np)) AS raw, 256 - agg.np AS v "
+            "FROM agg) "
+            "SELECT g AS event_type, CAST(256 AS BIGINT) AS m, "
+            "CAST(v AS BIGINT) AS n_zero, "
+            "round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
         ),

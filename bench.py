@@ -341,6 +341,7 @@ def main() -> None:
         "join_salted_revenue",
         "events_trigram_paths",
         "cdc_changed_columns",
+        "events_hll_by_type",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

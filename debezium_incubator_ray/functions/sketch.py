@@ -263,3 +263,81 @@ def heavy_hitters(ds, explode, k: int = 20, width: int = 2048):
         "item": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
     }))
     return finish(tbl)
+
+
+def hll_grouped(ds, group_col: str, col: str, p: int = 8) -> pa.Table:
+    """Per-GROUP HyperLogLog distinct-count estimates — the grouped form
+    of approx_distinct_hll (audience size per segment, distinct users
+    per event type) with the same deterministic md5-bridge registers.
+
+    Scale shape: every block folds its own (group, bucket, max-rho)
+    partial rows (bounded by groups x m per block); ONE distributed
+    groupby max-folds the registers; the driver finishes groups x m tiny
+    rows into one estimate per group. Registers merge by elementwise
+    max, so shard/epoch unions are free — the property that makes HLL
+    the per-segment cardinality sketch at 100 TB."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    wbits = 64 - p
+    mask = np.uint64((1 << wbits) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.select([group_col, col]).filter(pc.is_valid(t[col]))
+        if d.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], t[group_col].type),
+                "j": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            })
+        h = md5_u64(pc.cast(d[col].combine_chunks(), pa.string()))
+        j = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & mask
+        bl = np.zeros(len(w), np.int64)
+        vv = w.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = vv >= np.uint64(1 << shift)
+            bl[big] += shift
+            vv[big] >>= np.uint64(shift)
+        bl += (vv > 0).astype(np.int64)
+        rho = (wbits + 1) - bl
+        tb = pa.table({
+            group_col: d[group_col],
+            "j": pa.array(j),
+            "rho": pa.array(rho),
+        })
+        g = tb.group_by([group_col, "j"]).aggregate([("rho", "max")])
+        return pa.table({
+            group_col: g[group_col],
+            "j": g["j"],
+            "rho": pc.cast(g["rho_max"], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "j"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()
+    )  # <= groups x m rows — tiny
+    from collections import defaultdict
+
+    regs: dict = defaultdict(lambda: np.zeros(m, np.int64))
+    for r in rows:
+        regs[r[group_col]][r["j"]] = r["rho"]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    out_g, out_z, out_e = [], [], []
+    for gval in sorted(regs, key=lambda x: (x is None, x)):
+        reg = regs[gval]
+        v_zero = int((reg == 0).sum())
+        denom = float(np.power(2.0, -reg.astype(np.float64)).sum())
+        raw = alpha * m * m / denom
+        est = m * np.log(m / v_zero) if (raw <= 2.5 * m and v_zero > 0) else raw
+        out_g.append(gval)
+        out_z.append(v_zero)
+        out_e.append(round(float(est), 3))
+    return pa.table({
+        group_col: pa.array(out_g),
+        "m": pa.array([m] * len(out_g), pa.int64()),
+        "n_zero": pa.array(out_z, pa.int64()),
+        "estimate": pa.array(out_e, pa.float64()),
+    })

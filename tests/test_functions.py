@@ -1532,3 +1532,29 @@ def test_sequence_ngram_counts_matches_pandas(ray_session):
     assert [tuple([r.t0, r.t1, r.t2]) for r in topk.itertuples()] == \
         [k for k, _ in want]
     assert topk["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_hll_grouped_matches_global_and_exact(ray_session):
+    """Grouped HLL: each group's registers equal a single-group global
+    sketch over that group's rows; estimates land within the ~6.5%
+    standard error of exact distinct counts."""
+    import pandas as pd
+    from debezium_incubator_ray.functions.sketch import (
+        approx_distinct_hll, hll_grouped,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 8000
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], n),
+        "v": rng.integers(0, 1500, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = hll_grouped(ds, "g", "v").to_pandas().set_index("g")
+    for gval in ("x", "y"):
+        sub = ray.data.from_pandas(df[df.g == gval].reset_index(drop=True))
+        solo = approx_distinct_hll(sub, "v").to_pandas()
+        assert got.loc[gval, "estimate"] == solo["estimate"][0]
+        assert got.loc[gval, "n_zero"] == solo["n_zero"][0]
+        exact = df[df.g == gval]["v"].nunique()
+        assert abs(got.loc[gval, "estimate"] - exact) / exact < 0.25
