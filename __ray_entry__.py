@@ -649,6 +649,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return folded.map_batches(finish, batch_format="pyarrow")
 
+    def cdc_partition_skew(sf_dir):
+        """Per-partition event-count skew report over the normalized
+        stream — the lineage skew gauge as a gate-pinned query: rows per
+        partition, share of total, and each partition's ratio to the
+        mean (the salting trigger). Pins the mod partitioner's routing
+        in SQL; partial counts fold per batch, nothing big shuffles."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            EVENTS_PAYLOAD, events_envelopes,
+        )
+        from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+        env = events_envelopes(sf_dir)
+        norm = NormalizeEnvelope(
+            S.schema_to_b64(EVENTS_PAYLOAD), "user_id", NUM_PARTITIONS,
+            "mod",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(S.PART).aggregate([([], "count_all")])
+            return pa.table({
+                "partition": pc.cast(g[S.PART], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        folded = (
+            ray.data.from_arrow(env)
+            .map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("partition")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = pc.cast(t["n"], pa.float64())
+            total = pc.sum(n).as_py() or 0.0
+            mean = total / NUM_PARTITIONS
+            return pa.table({
+                "partition": t["partition"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "share": pc.round(pc.divide(n, total), 6),
+                "skew": pc.round(pc.divide(n, mean), 6),
+            })
+
+        # the fold is NUM_PARTITIONS rows — a driver finish is metadata
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        return finish(collect_table(folded, empty=pa.table({
+            "partition": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })))
+
     def cdc_snapshot_read(sf_dir):
         import pyarrow as pa
         import ray.data
@@ -6701,6 +6757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changelog_counts": cdc_changelog_counts,
         "cdc_before_images": cdc_before_images,
         "cdc_changed_columns": cdc_changed_columns,
+        "cdc_partition_skew": cdc_partition_skew,
         "cdc_snapshot_read": cdc_snapshot_read,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_schema_evolution_ddl": cdc_schema_evolution_ddl,
@@ -7488,6 +7545,24 @@ def oracle_sql() -> dict[str, str]:
             "lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS before_value "
             "FROM events) "
             "SELECT user_id, lsn, before_value, value FROM env WHERE op = 'u'"
+        ),
+        "cdc_partition_skew": (
+            # NUM_PARTITIONS = 8; the mod partitioner is user_id % 8.
+            # A delete at a user's FIRST event has no before image, so it
+            # carries no key and normalize drops it — mirrored here
+            "WITH env AS (SELECT user_id, "
+            "CASE WHEN event_id % 10 = 0 THEN 'd' "
+            "WHEN event_id % 10 IN (1, 2) THEN 'c' ELSE 'u' END AS op, "
+            "lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS prev FROM events), "
+            "c AS (SELECT user_id % 8 AS partition, "
+            "CAST(count(*) AS BIGINT) AS n FROM env "
+            "WHERE NOT (op = 'd' AND prev IS NULL) GROUP BY 1), "
+            "t AS (SELECT sum(n) AS total FROM c) "
+            "SELECT partition, n, "
+            "round(n * 1.0 / (SELECT total FROM t), 6) AS share, "
+            "round(n * 1.0 / ((SELECT total FROM t) / 8.0), 6) AS skew "
+            "FROM c"
         ),
         "cdc_changed_columns": (
             # the before image is the user's previous payload (same lag

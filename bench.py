@@ -342,6 +342,7 @@ def main() -> None:
         "events_trigram_paths",
         "cdc_changed_columns",
         "events_hll_by_type",
+        "cdc_partition_skew",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
