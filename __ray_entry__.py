@@ -2298,6 +2298,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hll_grouped(ev, "event_type", "user_id")
 
+    def dedup_minhash_estimate(sf_dir):
+        """MinHash-ESTIMATED Jaccard per shingle-sharing pair — the
+        verification skip taken at 100 TB (est = matching positions /
+        n_hashes, sd ~ 1/4 at 16 hashes). The hash family is md5-bridge
+        + fixed affine transforms, so DuckDB recomputes every signature
+        position bit-for-bit — the oracle checks the ESTIMATOR itself,
+        not just its inputs."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            minhash_estimate_pairs,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return minhash_estimate_pairs(docs, n_hashes=16, min_matches=8)
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6825,6 +6843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": events_watermark_late,
         "text_heavy_hitters": text_heavy_hitters,
         "events_hll_by_type": events_hll_by_type,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10151,6 +10170,29 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "dedup_minhash_estimate": (
+            # recompute the signatures bit-for-bit: gram-string md5 hash,
+            # family ((2i+3)*h + 1000003*i+17 mod 2^64) mod (2^61-1)
+            # (HUGEINT emulates the engine's uint64 wrap exactly)
+            _SHINGLES
+            + ", hx AS (SELECT doc_id, "
+            "('0x' || substring(md5(g), 1, 16))::UBIGINT AS h FROM e), "
+            "ii AS (SELECT unnest(generate_series(0, 15)) AS i), "
+            "sig AS (SELECT hx.doc_id, ii.i, "
+            "min(CAST(((2 * ii.i + 3)::HUGEINT * hx.h "
+            "+ (1000003 * ii.i + 17)) % 18446744073709551616::HUGEINT "
+            "% 2305843009213693951::HUGEINT AS UBIGINT)) AS mh "
+            "FROM hx CROSS JOIN ii GROUP BY 1, 2), "
+            "p AS (SELECT DISTINCT a, b FROM i), "
+            "ag AS (SELECT p.a, p.b, "
+            "CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_match FROM p "
+            "JOIN sig sa ON sa.doc_id = p.a "
+            "JOIN sig sb ON sb.doc_id = p.b AND sb.i = sa.i "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, n_match, round(n_match / 16.0, 6) AS est_jaccard "
+            "FROM ag WHERE n_match >= 8"
         ),
         "events_hll_by_type": (
             # grouped form of the approx_distinct_hll oracle: identical

@@ -343,6 +343,7 @@ def main() -> None:
         "cdc_changed_columns",
         "events_hll_by_type",
         "cdc_partition_skew",
+        "dedup_minhash_estimate",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

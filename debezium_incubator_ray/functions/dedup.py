@@ -1555,3 +1555,92 @@ def ngram_novelty(docs_ds, shingle_k: int = 3, buckets: int = 64,
         .aggregate(Sum("n", alias_name="n"), Sum("uniq", alias_name="uniq"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def minhash_estimate_pairs(
+    docs_ds,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    min_matches: int = 8,
+    buckets: int = 64,
+):
+    """MinHash-ESTIMATED Jaccard per candidate pair — the verification
+    SKIP a 100 TB dedup takes when exact shingle-set intersection is too
+    expensive: est_jaccard = (matching signature positions) / n_hashes,
+    unbiased with sd ~ 1/sqrt(n_hashes).
+
+    Fully SQL-bridgeable by construction (unlike MinHasher's seeded
+    universal-hash matrix): gram hash = md5 of the literal gram STRING
+    (tokens.gram_string_hashes) and hash family
+    h_i(g) = ((2i+3)*g + 1000003*i+17 mod 2^64) mod (2^61-1) — plain
+    HUGEINT arithmetic for the oracle, uint64 wrap for numpy.
+
+    Candidates = pairs sharing >= 1 shingle (the one-shuffle inverted
+    index, same as ngram_jaccard_pairs); signatures are
+    n_hashes x 8 B/doc and broadcast once (ray.put) — at corpus sizes
+    where the signature matrix exceeds node memory, attach them with the
+    partitioned shuffle_join on (a) and (b) instead (the
+    keep_best_per_cluster label pattern). Emits (a, b, n_match,
+    est_jaccard) for pairs with n_match >= min_matches."""
+    import ray
+    import ray.data
+    from debezium_incubator_ray.functions.tokens import gram_string_hashes
+
+    A = (2 * np.arange(n_hashes, dtype=np.uint64) + np.uint64(3))
+    B = (np.uint64(1000003) * np.arange(n_hashes, dtype=np.uint64)
+         + np.uint64(17))
+    M = np.uint64((1 << 61) - 1)
+
+    def signatures(t: pa.Table) -> pa.Table:
+        g, glens = gram_string_hashes(t["text"].combine_chunks(), shingle_k)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        nz = glens > 0
+        n_docs = len(ids)
+        sig = np.zeros((n_docs, n_hashes), dtype=np.uint64)
+        if len(g):
+            gstarts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(glens[:-1], out=gstarts[1:])
+            with np.errstate(over="ignore"):
+                v = (A[:, None] * g[None, :] + B[:, None]) % M
+            sent = np.full((n_hashes, 1), np.uint64(0xFFFFFFFFFFFFFFFF),
+                           np.uint64)
+            prod = np.concatenate([v, sent], axis=1)
+            mins = np.minimum.reduceat(prod, gstarts[nz], axis=1)
+            sig[nz, :] = mins.T
+        return pa.table({
+            "doc_id": pa.array(ids[nz]),
+            "sig": pa.array(list(sig[nz].view(np.int64)),
+                            pa.list_(pa.int64(), n_hashes)),
+        })
+
+    sig_rows = (
+        docs_ds.map_batches(signatures, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .take_all()
+    )  # n_hashes x 8 B per doc — the documented broadcast bound
+    ids = np.array([r["doc_id"] for r in sig_rows], dtype=np.int64)
+    mat = np.array([r["sig"] for r in sig_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], mat[order]))
+
+    pairs = ngram_jaccard_pairs(docs_ds, shingle_k, threshold=0.0)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        sid, smat = ray.get(ref)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(sid, a)
+        ib = np.searchsorted(sid, b)
+        m = (smat[ia] == smat[ib]).sum(axis=1).astype(np.int64)
+        keep = m >= min_matches
+        return pa.table({
+            "a": pa.array(a[keep]),
+            "b": pa.array(b[keep]),
+            "n_match": pa.array(m[keep]),
+            "est_jaccard": pa.array(
+                np.round(m[keep] / float(n_hashes), 6)
+            ),
+        })
+
+    return pairs.map_batches(estimate, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -163,3 +163,65 @@ def distinct_per_doc(values: np.ndarray, per_doc: np.ndarray) -> Tuple[np.ndarra
     vd, dd = v[keep], d[keep]
     counts = np.bincount(dd, minlength=n_docs).astype(np.int64)
     return vd, counts
+
+
+def gram_string_hashes(
+    texts: pa.Array | pa.ChunkedArray,
+    k: int = 3,
+    hasher: Callable[[pa.Array], np.ndarray] = md5_u64,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(uint64 hash of each k-gram STRING, grams-per-doc) — the
+    SQL-bridgeable shingle hash: grams are materialized as the exact
+    strings the oracle builds ("tok || ' ' || tok || ..."; short docs ->
+    one whole-doc gram) and hashed with the md5 bridge, so DuckDB can
+    recompute every gram hash bit-for-bit. Costlier than
+    shingle_hashes' string-free polynomial combine — use THAT for pure
+    engine-side work and THIS when a SQL oracle must reproduce the
+    hashes (md5 runs once per distinct gram via dictionary encoding)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = token_lists(texts)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    n_docs = len(lens)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    glens = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    total_g = int(glens.sum())
+    if total_g == 0:
+        return np.empty(0, np.uint64), glens
+    gstarts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(glens, out=gstarts[1:])
+    grow = np.repeat(np.arange(n_docs), glens)
+    first = starts[grow] + (np.arange(total_g) - gstarts[grow])
+    full = np.repeat(lens >= k, glens)
+    grams = pa.nulls(total_g, pa.string())
+    if full.any():
+        f = first[full]
+        parts = [flat.take(pa.array(f + j)) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+        grams = pc.if_else(pa.array(full), _scatter(joined, full, total_g), grams)
+    short_rows = np.nonzero((lens > 0) & (lens < k))[0]
+    if len(short_rows):
+        whole = pc.binary_join(
+            lists.take(pa.array(short_rows)), pa.scalar(" ")
+        )
+        short_mask = np.zeros(total_g, dtype=bool)
+        short_mask[gstarts[short_rows]] = True
+        grams = pc.if_else(
+            pa.array(short_mask), _scatter(whole, short_mask, total_g), grams
+        )
+    return hasher(grams), glens
+
+
+def _scatter(values: pa.Array, mask: np.ndarray, n: int) -> pa.Array:
+    """Spread ``values`` (len == mask.sum()) over an n-length array at
+    the True positions of ``mask`` (others null) — the take-based
+    scatter Arrow lacks natively."""
+    idx = np.full(n, -1, dtype=np.int64)
+    idx[mask] = np.arange(int(mask.sum()))
+    return pc.if_else(
+        pa.array(mask),
+        values.take(pa.array(np.maximum(idx, 0))),
+        pa.nulls(n, values.type),
+    )

@@ -1558,3 +1558,33 @@ def test_hll_grouped_matches_global_and_exact(ray_session):
         assert got.loc[gval, "n_zero"] == solo["n_zero"][0]
         exact = df[df.g == gval]["v"].nunique()
         assert abs(got.loc[gval, "estimate"] - exact) / exact < 0.25
+
+
+def test_minhash_estimate_tracks_exact_jaccard(ray_session):
+    """The estimator finds planted near-identical pairs at high
+    est_jaccard, is deterministic across runs/partitionings, and every
+    estimate is a multiple of 1/n_hashes within [0, 1]."""
+    from debezium_incubator_ray.functions.dedup import minhash_estimate_pairs
+
+    base = pq.read_table(os.path.join(SF, "documents.parquet")).to_pydict()
+    texts = list(base["text"][:30])
+    ids = list(range(30))
+    for j in range(4):  # plant: identical copies -> est 1.0
+        ids.append(500 + j)
+        texts.append(texts[j])
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    a = minhash_estimate_pairs(
+        ray.data.from_arrow(t), n_hashes=16, min_matches=8
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    b = minhash_estimate_pairs(
+        ray.data.from_arrow(t).repartition(5), n_hashes=16, min_matches=8
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    got = {(r.a, r.b): r.est_jaccard for r in a.itertuples()}
+    for j in range(4):
+        assert got.get((j, 500 + j)) == 1.0, (j, got)
+    assert ((a["est_jaccard"] * 16) % 1 == 0).all()
+    assert a["est_jaccard"].between(0.5, 1.0).all()
