@@ -2316,6 +2316,126 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return minhash_estimate_pairs(docs, n_hashes=16, min_matches=8)
 
+    def docs_shingle_df_histogram(sf_dir):
+        """Histogram of shingle document frequencies on a log2 grid —
+        the boilerplate gauge over the whole corpus (a fat df tail =
+        templated text shared by many pages). ONE inverted-index shuffle
+        computes df per shingle inside its bucket; per-bucket histogram
+        partials (<= 64 rows each) fold in a tiny groupby."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.tokens import (
+            shingle_hashes, distinct_per_doc,
+        )
+        from debezium_incubator_ray.hashing import stable_hash
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+
+        def explode(t: pa.Table) -> pa.Table:
+            g, glens = shingle_hashes(t["text"].combine_chunks(), 3,
+                                      stable_hash)
+            dv, dc = distinct_per_doc(g, glens)
+            return pa.table({
+                "g": pa.array(dv.view(np.int64)),
+                "_bucket": pa.array((dv % np.uint64(64)).astype(np.int32)),
+            })
+
+        def bucket_hist(t: pa.Table) -> pa.Table:
+            g = t["g"].combine_chunks().to_numpy(zero_copy_only=False)
+            g = np.sort(g)
+            if len(g) == 0:
+                return pa.table({"df_bucket": pa.array([], pa.int64()),
+                                 "n_shingles": pa.array([], pa.int64())})
+            new = np.ones(len(g), dtype=bool)
+            new[1:] = g[1:] != g[:-1]
+            starts = np.nonzero(new)[0]
+            df = np.diff(np.append(starts, len(g)))
+            # log2 bucket: 1, 2, 3-4, 5-8, ... (floor(log2(df-? )) grid)
+            db = np.int64(np.floor(np.log2(df)))
+            vals, cnts = np.unique(db, return_counts=True)
+            return pa.table({
+                "df_bucket": pa.array(vals.astype(np.int64)),
+                "n_shingles": pa.array(cnts.astype(np.int64)),
+            })
+
+        folded = (
+            docs.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(bucket_hist, batch_format="pyarrow")
+            .groupby("df_bucket")
+            .aggregate(Sum("n_shingles", alias_name="n_shingles"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "df_bucket": t["df_bucket"],
+                "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def dedup_survivorship(sf_dir):
+        """Dedup impact report per source: docs before, exact-dedup
+        winners kept, and the survival rate — the "which feeds are
+        mostly copies" diagnostic every ingest review starts with.
+        Composition of the 24-byte hash-only winner election with a
+        per-source fold; text never shuffles."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.dedup import exact_dedup
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        )
+        kept = exact_dedup(docs, col="text", id_col="doc_id",
+                           unique_ids=True)
+
+        def tag(keep_flag):
+            def f(t: pa.Table) -> pa.Table:
+                g = t.group_by("source").aggregate([([], "count_all")])
+                n = pc.cast(g["count_all"], pa.int64())
+                z = pa.array(
+                    [0] * g.num_rows, pa.int64()
+                )
+                return pa.table({
+                    "source": g["source"],
+                    "n_docs": z if keep_flag else n,
+                    "n_kept": n if keep_flag else z,
+                })
+            return f
+
+        both = docs.map_batches(
+            tag(False), batch_format="pyarrow", zero_copy_batch=True
+        ).union(kept.map_batches(
+            tag(True), batch_format="pyarrow", zero_copy_batch=True
+        ))
+        folded = both.groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_kept": pc.cast(t["n_kept"], pa.int64()),
+                "survival_rate": pc.round(pc.divide(
+                    pc.cast(t["n_kept"], pa.float64()),
+                    pc.cast(t["n_docs"], pa.float64()),
+                ), 6),
+            })
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -6844,6 +6964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": text_heavy_hitters,
         "events_hll_by_type": events_hll_by_type,
         "dedup_minhash_estimate": dedup_minhash_estimate,
+        "docs_shingle_df_histogram": docs_shingle_df_histogram,
+        "dedup_survivorship": dedup_survivorship,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10170,6 +10292,22 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "docs_shingle_df_histogram": (
+            _SHINGLES
+            + ", df AS (SELECT g, count(*) AS df FROM e GROUP BY 1) "
+            "SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_shingles FROM df GROUP BY 1"
+        ),
+        "dedup_survivorship": (
+            "WITH w AS (SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn "
+            "FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS survival_rate FROM w GROUP BY 1"
         ),
         "dedup_minhash_estimate": (
             # recompute the signatures bit-for-bit: gram-string md5 hash,

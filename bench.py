@@ -344,6 +344,8 @@ def main() -> None:
         "events_hll_by_type",
         "cdc_partition_skew",
         "dedup_minhash_estimate",
+        "docs_shingle_df_histogram",
+        "dedup_survivorship",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
