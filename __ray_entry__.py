@@ -3132,6 +3132,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             LangId, batch_format="pyarrow", concurrency=2, batch_size=512
         ).select_columns(["doc_id", "pred_lang"])
 
+    def text_lang_confusion(sf_dir):
+        """Full (labeled lang, predicted lang) confusion matrix of the
+        stopword-argmax detector — the eval artifact behind
+        language-filter decisions (mismatch RATE alone hides which
+        languages bleed into which). Per-block pair counts fold in one
+        tiny groupby; NULL predictions (no marker tokens) count as the
+        'unknown' row, mirrored by the oracle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.text import LangId
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["lang"]))
+            pred = pc.fill_null(t["pred_lang"], "unknown")
+            g = pa.table({"lang": t["lang"], "pred_lang": pred}).group_by(
+                ["lang", "pred_lang"]
+            ).aggregate([([], "count_all")])
+            return pa.table({
+                "lang": g["lang"],
+                "pred_lang": g["pred_lang"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        folded = (
+            ds.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=(1, 4))
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "lang": t["lang"], "pred_lang": t["pred_lang"],
+                "n": pc.cast(t["n"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
     def text_lang_mismatch(sf_dir):
         """Metadata-vs-content audit: per STORED language tag, how often
         does the stopword-argmax language detector disagree? (the
@@ -6997,6 +7043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_lang_mismatch": text_lang_mismatch,
+        "text_lang_confusion": text_lang_confusion,
         "text_fingerprint": text_fingerprint,
         "text_tfidf_topterms": text_tfidf_topterms,
         "sample_stratified": sample_stratified,
@@ -8360,6 +8407,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": _simhash_sql(),
         "text_lang_id": _lang_id_sql(),
+        "text_lang_confusion": (
+            f"WITH p AS ({_lang_id_sql()}) "
+            "SELECT d.lang, coalesce(p.pred_lang, 'unknown') AS pred_lang, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM p JOIN documents d USING (doc_id) "
+            "WHERE d.lang IS NOT NULL GROUP BY 1, 2"
+        ),
         "text_lang_mismatch": (
             f"WITH p AS ({_lang_id_sql()}) "
             "SELECT d.lang, CAST(count(*) AS BIGINT) AS n, "

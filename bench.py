@@ -346,6 +346,7 @@ def main() -> None:
         "dedup_minhash_estimate",
         "docs_shingle_df_histogram",
         "dedup_survivorship",
+        "text_lang_confusion",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
