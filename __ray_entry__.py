@@ -2436,6 +2436,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return folded.map_batches(finish, batch_format="pyarrow")
 
+    def embedding_norm_histogram(sf_dir):
+        """Histogram of embedding L2 norms on a 0.25-wide grid — the
+        embedding-health screen (collapsed or exploding norms signal a
+        bad encoder run) ahead of any cosine-based dedup/ANN. Per-batch
+        bucket partials fold in one tiny groupby; norms round to 6dp
+        before bucketing so engine and oracle floor identically."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.ann import _batch_matrix
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["embedding"]))
+            if t.num_rows == 0:
+                return pa.table({"norm_bucket": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            M = _batch_matrix(t, "embedding").astype(np.float64)
+            norms = np.round(np.sqrt((M * M).sum(axis=1)), 6)
+            b = np.floor(norms / 0.25).astype(np.int64)
+            vals, cnts = np.unique(b, return_counts=True)
+            return pa.table({
+                "norm_bucket": pa.array(vals),
+                "n": pa.array(cnts.astype(np.int64)),
+            })
+
+        folded = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("norm_bucket")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "norm_bucket": t["norm_bucket"],
+                "n": pc.cast(t["n"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -7012,6 +7058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "docs_shingle_df_histogram": docs_shingle_df_histogram,
         "dedup_survivorship": dedup_survivorship,
+        "embedding_norm_histogram": embedding_norm_histogram,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10346,6 +10393,15 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "embedding_norm_histogram": (
+            # float64 per-element squares like the engine; round(6)
+            # before the floor so both sides bucket identically
+            "WITH n AS (SELECT round(sqrt(list_sum(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm "
+            "FROM embeddings WHERE embedding IS NOT NULL) "
+            "SELECT CAST(floor(norm / 0.25) AS BIGINT) AS norm_bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM n GROUP BY 1"
         ),
         "docs_shingle_df_histogram": (
             _SHINGLES

@@ -347,6 +347,7 @@ def main() -> None:
         "docs_shingle_df_histogram",
         "dedup_survivorship",
         "text_lang_confusion",
+        "embedding_norm_histogram",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
