@@ -2482,6 +2482,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def events_burstiness(sf_dir):
+        """Per-user interarrival burstiness B = (sd - mean)/(sd + mean)
+        over consecutive event-time gaps (Goh-Barabasi) — periodic -1,
+        Poisson ~0, bursty -> 1. One bucketed shuffle per user history;
+        vectorized per-key two-pass moments in-bucket."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import (
+            interarrival_burstiness,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+        return interarrival_burstiness(ev)
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -7059,6 +7075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shingle_df_histogram": docs_shingle_df_histogram,
         "dedup_survivorship": dedup_survivorship,
         "embedding_norm_histogram": embedding_norm_histogram,
+        "events_burstiness": events_burstiness,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10393,6 +10410,20 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "events_burstiness": (
+            # gaps over (ts asc) per user in SECONDS; population stddev;
+            # all-equal-instant users (sd + mean = 0) -> NULL B
+            "WITH g AS (SELECT user_id, "
+            "(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) / 1000000.0 AS gap "
+            "FROM events WHERE ts IS NOT NULL), "
+            "s AS (SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "avg(gap) AS mu, stddev_pop(gap) AS sd FROM g "
+            "WHERE gap IS NOT NULL GROUP BY 1) "
+            "SELECT user_id, n_gaps, round(mu, 6) AS mean_gap_s, "
+            "CASE WHEN sd + mu > 0 THEN round((sd - mu) / (sd + mu), 6) "
+            "ELSE NULL END AS burstiness FROM s"
         ),
         "embedding_norm_histogram": (
             # float64 per-element squares like the engine; round(6)

@@ -348,6 +348,7 @@ def main() -> None:
         "dedup_survivorship",
         "text_lang_confusion",
         "embedding_norm_histogram",
+        "events_burstiness",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",

@@ -1640,3 +1640,83 @@ def lognormal_fit(ds, group_col: str, value_col: str):
         "sigma": pa.array(out["sigma"], pa.float64()),
         "fit_median": pa.array(out["fit_median"], pa.float64()),
     })
+
+
+def interarrival_burstiness(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    buckets: int = 64,
+):
+    """Per-key interarrival burstiness B = (sigma - mu) / (sigma + mu)
+    over the gaps between consecutive event times — the standard
+    burst-vs-Poisson gauge (B ~ -1 periodic, ~0 Poisson, -> 1 bursty;
+    Goh & Barabasi 2008). Emits (key, n_gaps, mean_gap_s, burstiness);
+    keys with < 2 timestamped events have no gaps and are excluded;
+    all-zero gaps (every event at the same instant) yield NULL B.
+
+    Shape: gaps need each key's full ordered history co-located — ONE
+    bucketed shuffle on hash(key), then a vectorized in-bucket pass
+    (sort by (key, ts), adjacent diffs masked at key boundaries,
+    per-key two-pass moments via reduceat). Gaps are converted to
+    SECONDS before the moment fold: dimensionless B and km-scale means
+    keep float agreement with the SQL oracle well inside 6dp."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        d = t.select([key_col, ts_col]).filter(pc.is_valid(t[ts_col]))
+        return d.append_column(
+            "_b",
+            pa.array(partition_ids(d[key_col], buckets, "hash"), pa.int32()),
+        )
+
+    def stats_in_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["_b"])
+        idx = pc.sort_indices(
+            d, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        s = d.take(idx)
+        m = s.num_rows
+        empty = pa.table({
+            key_col: pa.array([], s[key_col].type),
+            "n_gaps": pa.array([], pa.int64()),
+            "mean_gap_s": pa.array([], pa.float64()),
+            "burstiness": pa.array([], pa.float64()),
+        })
+        if m < 2:
+            return empty
+        k = s[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.cast(s[ts_col].combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        same = k[1:] == k[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] / 1e6
+        gk = k[1:][same]
+        if len(gaps) == 0:
+            return empty
+        first = np.ones(len(gk), dtype=bool)
+        first[1:] = gk[1:] != gk[:-1]
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.append(starts, len(gk))).astype(np.float64)
+        sums = np.add.reduceat(gaps, starts)
+        mu = sums / n
+        dev = gaps - np.repeat(mu, n.astype(np.int64))
+        var = np.add.reduceat(dev * dev, starts) / n
+        sd = np.sqrt(var)
+        denom = sd + mu
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.where(denom > 0, (sd - mu) / denom, np.nan)
+        return pa.table({
+            key_col: pa.array(gk[starts]),
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "mean_gap_s": pa.array(np.round(mu, 6)),
+            "burstiness": pa.array(np.round(b, 6), pa.float64(),
+                                   mask=np.isnan(b)),
+        })
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(stats_in_bucket, batch_format="pyarrow")
+    )
