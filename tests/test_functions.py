@@ -1588,3 +1588,39 @@ def test_minhash_estimate_tracks_exact_jaccard(ray_session):
         assert got.get((j, 500 + j)) == 1.0, (j, got)
     assert ((a["est_jaccard"] * 16) % 1 == 0).all()
     assert a["est_jaccard"].between(0.5, 1.0).all()
+
+
+def test_burstiness_planted_regimes(ray_session):
+    """Constant gaps -> B = -1 (periodic); highly uneven gaps -> B > 0;
+    single-event and all-same-instant users handled per contract."""
+    from debezium_incubator_ray.functions.stats import interarrival_burstiness
+
+    base = 1_700_000_000_000_000
+    rows = []
+    # user 1: periodic, gap 10s x 5
+    for i in range(6):
+        rows.append((1, base + i * 10_000_000))
+    # user 2: bursty — many tiny gaps, one huge
+    for i in range(10):
+        rows.append((2, base + i * 1_000))
+    rows.append((2, base + 3_600_000_000))
+    # user 3: single event (no gaps -> excluded)
+    rows.append((3, base))
+    # user 4: two events at the SAME instant -> gap 0, B NULL
+    rows.append((4, base))
+    rows.append((4, base))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]"),
+                       pa.timestamp("us")),
+    })
+    out = (
+        interarrival_burstiness(ray.data.from_arrow(t).repartition(3))
+        .to_pandas().set_index("user_id")
+    )
+    assert 3 not in out.index
+    assert out.loc[1, "burstiness"] == -1.0
+    assert out.loc[1, "mean_gap_s"] == 10.0
+    assert out.loc[2, "burstiness"] > 0.4
+    assert np.isnan(out.loc[4, "burstiness"])
+    assert out.loc[4, "n_gaps"] == 1
