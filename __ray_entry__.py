@@ -2498,6 +2498,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return interarrival_burstiness(ev)
 
+    def events_session_count_hist(sf_dir):
+        """Distribution of sessions-per-user (30-min gap rule) — the
+        engagement-shape histogram product teams track release over
+        release. Composes sessionize (per-key gap windows) with two tiny
+        folds: sessions per user, then users per session-count."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Count
+        from debezium_incubator_ray.functions.windows import sessionize
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "value"],
+        )
+        sessions = sessionize(ev)
+        per_user = sessions.groupby("user_id").aggregate(
+            Count(alias_name="n_sessions")
+        )
+
+        def cast_cnt(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+            })
+
+        hist = (
+            per_user.map_batches(cast_cnt, batch_format="pyarrow")
+            .groupby("n_sessions")
+            .aggregate(Count(alias_name="n_users"))
+        )
+        return hist.map_batches(
+            lambda t: pa.table({
+                "n_sessions": t["n_sessions"],
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -7076,6 +7114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivorship": dedup_survivorship,
         "embedding_norm_histogram": embedding_norm_histogram,
         "events_burstiness": events_burstiness,
+        "events_session_count_hist": events_session_count_hist,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10410,6 +10449,18 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "events_session_count_hist": (
+            # same 30-min session rule as windowed_session_agg; two folds
+            "WITH o AS (SELECT user_id, "
+            "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) > 1800000000 "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "c AS (SELECT user_id, CAST(sum(new_s) AS BIGINT) "
+            "AS n_sessions FROM o GROUP BY 1) "
+            "SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM c GROUP BY 1"
         ),
         "events_burstiness": (
             # gaps over (ts asc) per user in SECONDS; population stddev;

@@ -349,6 +349,7 @@ def main() -> None:
         "text_lang_confusion",
         "embedding_norm_histogram",
         "events_burstiness",
+        "events_session_count_hist",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
