@@ -2536,6 +2536,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def embedding_centroid_angle_hist(sf_dir):
+        """Histogram of each vector's cosine to the corpus centroid on a
+        0.1 grid — the isotropy/anisotropy screen (a mass near 1 means a
+        dominant direction, the classic contextual-embedding pathology).
+        Two streaming passes: a dim-sized mean fold (broadcast once),
+        then per-batch cosines with tiny histogram partials."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.ann import _batch_matrix
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["embedding"]))
+            if t.num_rows == 0:
+                return pa.table({"i": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            M = _batch_matrix(t, "embedding").astype(np.float64)
+            return pa.table({
+                "i": pa.array(np.arange(M.shape[1], dtype=np.int64)),
+                "s": pa.array(M.sum(axis=0)),
+                "n": pa.array(np.full(M.shape[1], M.shape[0], np.int64)),
+            })
+
+        dims = (
+            ds.map_batches(sum_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("i")
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )  # one row per dimension — tiny
+        dims.sort(key=lambda r: r["i"])
+        mean = np.array([r["s"] / r["n"] for r in dims], dtype=np.float64)
+        ref = ray.put(mean)
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            t = t.filter(pc.is_valid(t["embedding"]))
+            if t.num_rows == 0:
+                return pa.table({"cos_bucket": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            M = _batch_matrix(t, "embedding").astype(np.float64)
+            dot = M @ c
+            vv = (M * M).sum(axis=1)
+            mm = float((c * c).sum())
+            cos = np.round(dot / np.sqrt(vv * mm), 6)
+            b = np.floor(cos / 0.1).astype(np.int64)
+            vals, cnts = np.unique(b, return_counts=True)
+            return pa.table({
+                "cos_bucket": pa.array(vals),
+                "n": pa.array(cnts.astype(np.int64)),
+            })
+
+        folded = (
+            ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cos_bucket")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "cos_bucket": t["cos_bucket"],
+                "n": pc.cast(t["n"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -7115,6 +7190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_histogram": embedding_norm_histogram,
         "events_burstiness": events_burstiness,
         "events_session_count_hist": events_session_count_hist,
+        "embedding_centroid_angle_hist": embedding_centroid_angle_hist,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10449,6 +10525,21 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "embedding_centroid_angle_hist": (
+            # centroid = per-dim mean; cosine rounds to 6dp before the
+            # floor so both sides bucket identically
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) "
+            "AS v, generate_subscripts(embedding, 1) AS i FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "c AS (SELECT i, avg(v) AS m FROM e GROUP BY 1), "
+            "d AS (SELECT e.vec_id, sum(e.v * c.m) AS dot, "
+            "sum(e.v * e.v) AS vv, sum(c.m * c.m) AS mm "
+            "FROM e JOIN c USING (i) GROUP BY 1), "
+            "a AS (SELECT vec_id, round(dot / sqrt(vv * mm), 6) AS cos "
+            "FROM d) "
+            "SELECT CAST(floor(cos / 0.1) AS BIGINT) AS cos_bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1"
         ),
         "events_session_count_hist": (
             # same 30-min session rule as windowed_session_agg; two folds

@@ -350,6 +350,7 @@ def main() -> None:
         "embedding_norm_histogram",
         "events_burstiness",
         "events_session_count_hist",
+        "embedding_centroid_angle_hist",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
