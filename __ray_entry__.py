@@ -2611,6 +2611,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def docs_split_balance(sf_dir):
+        """Split-balance audit: docs and tokens per train/val/test split
+        — the representativeness check run right after a hash split (a
+        split can be count-balanced yet token-skewed). Pure map + one
+        3-row fold; shares round to 6dp."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+        from debezium_incubator_ray.functions.sample import hash_split
+        from debezium_incubator_ray.functions.text import token_count
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        tagged = hash_split(docs).map_batches(
+            lambda t: token_count(t).select(["doc_id", "n_tokens"])
+            .append_column("split", t["split"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        folded = tagged.groupby("split").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            toks = pc.cast(t["n_tokens"], pa.float64())
+            total = pc.sum(toks).as_py() or 0.0
+            return pa.table({
+                "split": t["split"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "token_share": pc.round(pc.divide(toks, total), 6),
+            })
+
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        return finish(collect_table(folded, empty=pa.table({
+            "split": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        })))
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -7191,6 +7235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burstiness": events_burstiness,
         "events_session_count_hist": events_session_count_hist,
         "embedding_centroid_angle_hist": embedding_centroid_angle_hist,
+        "docs_split_balance": docs_split_balance,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10525,6 +10570,20 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "docs_split_balance": (
+            # md5-bucket split (shared convention) x the _TOKENS count
+            f"WITH s AS (SELECT doc_id, {_TOKENS} AS n_tokens, "
+            "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT % 100 AS b FROM documents), "
+            "c AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 "
+            "THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM s GROUP BY 1), "
+            "t AS (SELECT sum(n_tokens) AS total FROM c) "
+            "SELECT split, n_docs, n_tokens, "
+            "round(n_tokens / (SELECT total FROM t), 6) AS token_share "
+            "FROM c"
         ),
         "embedding_centroid_angle_hist": (
             # centroid = per-dim mean; cosine rounds to 6dp before the

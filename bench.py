@@ -351,6 +351,7 @@ def main() -> None:
         "events_burstiness",
         "events_session_count_hist",
         "embedding_centroid_angle_hist",
+        "docs_split_balance",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
