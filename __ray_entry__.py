@@ -2655,6 +2655,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_tokens": pa.array([], pa.int64()),
         })))
 
+    def orders_basket_size_hist(sf_dir):
+        """Distribution of lineitems per order — the basket-size
+        histogram behind packing/pricing analyses. Per-batch
+        (orderkey, count) partials fold once; the second fold is
+        |distinct sizes| rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("l_orderkey").aggregate([([], "count_all")])
+            return pa.table({
+                "l_orderkey": g["l_orderkey"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            })
+
+        per_order = (
+            li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Sum("n", alias_name="basket_size"))
+        )
+
+        def cast_size(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "basket_size": pc.cast(t["basket_size"], pa.int64()),
+            })
+
+        hist = (
+            per_order.map_batches(cast_size, batch_format="pyarrow")
+            .groupby("basket_size")
+            .aggregate(Count(alias_name="n_orders"))
+        )
+        return hist.map_batches(
+            lambda t: pa.table({
+                "basket_size": t["basket_size"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def text_token_len_histogram(sf_dir):
+        """Corpus-level token-LENGTH histogram (chars per token) — the
+        tokenizer-health stat (a fat long-token tail means URLs/garbage
+        dominating subword budgets). Flat-token lengths fold to <= ~40
+        partial rows per block; one tiny groupby finishes."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.tokens import flat_tokens
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            toks, _ = flat_tokens(t["text"].combine_chunks())
+            if len(toks) == 0:
+                return pa.table({"token_len": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(lens, return_counts=True)
+            return pa.table({
+                "token_len": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnts.astype(np.int64)),
+            })
+
+        folded = (
+            docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("token_len")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        return folded.map_batches(
+            lambda t: pa.table({
+                "token_len": t["token_len"],
+                "n": pc.cast(t["n"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
     def docs_curation_pipeline(sf_dir):
         """The composed training-data pass (pipelines/curate.py): exact
         dedup → quality gates → stratified sample, one streaming pipeline
@@ -7236,6 +7325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_count_hist": events_session_count_hist,
         "embedding_centroid_angle_hist": embedding_centroid_angle_hist,
         "docs_split_balance": docs_split_balance,
+        "orders_basket_size_hist": orders_basket_size_hist,
+        "text_token_len_histogram": text_token_len_histogram,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
         "dedup_cross_split_leakage": dedup_cross_split_leakage,
@@ -10570,6 +10661,20 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "orders_basket_size_hist": (
+            "WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) "
+            "AS basket_size FROM lineitem GROUP BY 1) "
+            "SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM c GROUP BY 1"
+        ),
+        "text_token_len_histogram": (
+            # same tokenizer as token_lists (lowercase, trim, \s+ split)
+            "WITH tok AS (SELECT unnest(string_split_regex(trim(lower("
+            "text)), '\\s+')) AS tk FROM documents "
+            "WHERE length(trim(text)) > 0) "
+            "SELECT CAST(length(tk) AS BIGINT) AS token_len, "
+            "CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1"
         ),
         "docs_split_balance": (
             # md5-bucket split (shared convention) x the _TOKENS count

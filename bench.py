@@ -352,6 +352,8 @@ def main() -> None:
         "events_session_count_hist",
         "embedding_centroid_angle_hist",
         "docs_split_balance",
+        "orders_basket_size_hist",
+        "text_token_len_histogram",
         "stats_dense_rank",
         "ann_recall_eval",
         "stats_spearman",
