@@ -705,6 +705,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n": pa.array([], pa.int64()),
         })))
 
+    def cdc_reactivation_rate(sf_dir):
+        """Delete-then-recreate churn over the change stream: the share
+        of keys whose history has a create AFTER a delete — the
+        tombstone-GC risk gauge (a high rate means purged tombstones
+        would resurrect rows on replay). Per-key first-delete/last-create
+        positions fold per batch; one tiny key groupby finishes."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Max, Min
+        from debezium_incubator_ray.pipelines.events_cdc import OP_SQL  # noqa: F401 (op model shared with the oracle)
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            eid = t["event_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            mod10 = eid % 10
+            is_d = mod10 == 0
+            is_c = (mod10 == 1) | (mod10 == 2)
+            return pa.table({
+                "user_id": t["user_id"],
+                "fd": pa.array(np.where(is_d, eid, 2**62)),
+                "lc": pa.array(np.where(is_c, eid, -1)),
+            })
+
+        per_user = (
+            ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(Min("fd", alias_name="fd"),
+                       Max("lc", alias_name="lc"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            fd = t["fd"].combine_chunks().to_numpy(zero_copy_only=False)
+            lc = t["lc"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = len(fd)
+            re = int(((fd < 2**62) & (lc > fd)).sum())
+            import numpy as np
+
+            return pa.table({
+                "n_users": pa.array([n], pa.int64()),
+                "n_reactivated": pa.array([re], pa.int64()),
+                "rate": pa.array([round(re / n, 6) if n else 0.0],
+                                 pa.float64()),
+            })
+
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        return finish(collect_table(per_user, empty=pa.table({
+            "fd": pa.array([], pa.int64()), "lc": pa.array([], pa.int64()),
+        })))
+
     def cdc_snapshot_read(sf_dir):
         import pyarrow as pa
         import ray.data
@@ -7326,6 +7386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_angle_hist": embedding_centroid_angle_hist,
         "docs_split_balance": docs_split_balance,
         "orders_basket_size_hist": orders_basket_size_hist,
+        "cdc_reactivation_rate": cdc_reactivation_rate,
         "text_token_len_histogram": text_token_len_histogram,
         "windowed_agg_on_time": windowed_agg_on_time,
         "docs_resumable_write": docs_resumable_write,
@@ -10661,6 +10722,19 @@ def oracle_sql() -> dict[str, str]:
             "AS n_zero, round(CASE WHEN raw <= 2.5 * 256 AND v > 0 "
             "THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS estimate "
             "FROM f"
+        ),
+        "cdc_reactivation_rate": (
+            # op model shared with the cdc_* family: d = id%10==0,
+            # c = id%10 in (1,2); reactivated = a create after a delete
+            "WITH p AS (SELECT user_id, "
+            "min(CASE WHEN event_id % 10 = 0 THEN event_id END) AS fd, "
+            "max(CASE WHEN event_id % 10 IN (1, 2) THEN event_id END) "
+            "AS lc FROM events GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(sum(CASE WHEN lc > fd THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_reactivated, "
+            "round(sum(CASE WHEN lc > fd THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*), 6) AS rate FROM p"
         ),
         "orders_basket_size_hist": (
             "WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) "

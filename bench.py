@@ -353,6 +353,7 @@ def main() -> None:
         "embedding_centroid_angle_hist",
         "docs_split_balance",
         "orders_basket_size_hist",
+        "cdc_reactivation_rate",
         "text_token_len_histogram",
         "stats_dense_rank",
         "ann_recall_eval",
