@@ -2307,8 +2307,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
         )
-        out = _os.path.join("/tmp", "dbzray-resumable-gate",
-                            _os.path.basename(_os.path.normpath(sf_dir)))
+        # pid-scoped path: concurrent runs over the same sf dir (sweep
+        # and bench in parallel) must not race each other's buckets
+        out = _os.path.join(
+            "/tmp", "dbzray-resumable-gate",
+            f"{_os.path.basename(_os.path.normpath(sf_dir))}-{_os.getpid()}",
+        )
         _shutil.rmtree(out, ignore_errors=True)
         return resumable_write(docs, out, "doc_id", buckets=16)
 

@@ -107,6 +107,8 @@ def main(argv=None) -> int:
     p.add_argument("--poll", type=float, default=1.0)
     p.add_argument("--idle-polls", type=int, default=None)
     p.add_argument("--health-port", type=int, default=None)
+    p.add_argument("--health-host", default="127.0.0.1",
+                   help="bind address for /health; 0.0.0.0 for cluster jobs")
 
     p = sub.add_parser("compact")
     common(p)
@@ -164,7 +166,8 @@ def main(argv=None) -> int:
             stats = eng.tail(
                 args.binlog, poll_interval_s=args.poll,
                 idle_polls=args.idle_polls, source=args.source,
-                health_port=args.health_port, stop=stop,
+                health_port=args.health_port,
+                health_host=args.health_host, stop=stop,
             )
             print(json.dumps({
                 "epochs": len(stats),

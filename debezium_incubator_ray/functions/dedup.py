@@ -1629,8 +1629,17 @@ def minhash_estimate_pairs(
         sid, smat = ray.get(ref)
         a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
         b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(sid, a)
-        ib = np.searchsorted(sid, b)
+        ia = np.clip(np.searchsorted(sid, a), 0, len(sid) - 1)
+        ib = np.clip(np.searchsorted(sid, b), 0, len(sid) - 1)
+        # candidate ids must all carry signatures; a miss means the pair
+        # generator and the signature stage tokenized differently — fail
+        # loudly rather than compare the wrong doc's signature
+        if not (np.array_equal(sid[ia], a) and np.array_equal(sid[ib], b)):
+            missing = np.union1d(a[sid[ia] != a], b[sid[ib] != b])
+            raise ValueError(
+                "minhash_estimate_pairs: candidate pair references doc_ids "
+                f"with no signature (tokenization drift): {missing[:10]}"
+            )
         m = (smat[ia] == smat[ib]).sum(axis=1).astype(np.int64)
         keep = m >= min_matches
         return pa.table({

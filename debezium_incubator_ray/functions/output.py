@@ -96,6 +96,19 @@ def resumable_write(
         b = int(group["_bucket"][0].as_py())
         bdir = os.path.join(out_dir, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
+        marker_path = os.path.join(bdir, "_SUCCESS")
+        if os.path.exists(marker_path):
+            # a marker appearing here means another attempt (e.g. a Ray
+            # speculative/retried copy of this task) already committed the
+            # bucket — clearing files now would delete committed data, so
+            # defer to the winner and report it as skipped
+            with open(marker_path) as f:
+                rows = json.load(f).get("rows", 0)
+            return pa.table({
+                "bucket": pa.array([b], pa.int64()),
+                "rows": pa.array([rows], pa.int64()),
+                "skipped": pa.array([True]),
+            })
         # no marker => any files here are an aborted attempt: clear them
         for name in os.listdir(bdir):
             if not name.startswith("_"):

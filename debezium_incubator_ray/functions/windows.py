@@ -2098,7 +2098,10 @@ def watermark_late_flags(
             inc = np.maximum.accumulate(ts_o[:-1])
             prev[1:] = np.maximum(inc, incoming)
         has_prev = prev != np.iinfo(np.int64).min
-        wm = prev - allowed_us
+        # subtract only where a predecessor exists: INT64_MIN - allowed_us
+        # would wrap (masked later, but relies on wrap semantics and can
+        # emit overflow warnings)
+        wm = np.where(has_prev, prev - np.int64(allowed_us), np.int64(0))
         late = has_prev & (ts_o < wm)
         cols = {
             id_col: pa.array(ids[order], pa.int64()),

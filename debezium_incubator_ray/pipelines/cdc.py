@@ -1001,6 +1001,7 @@ class CdcEngine:
         max_segments_per_epoch: Optional[int] = None,
         source: str = "",
         health_port: Optional[int] = None,
+        health_host: str = "127.0.0.1",
         stop=None,
     ) -> List[Dict]:
         """The directory-watcher lifecycle (AbstractDirectoryWatcher.java:
@@ -1033,7 +1034,11 @@ class CdcEngine:
                 HealthServer, engine_snapshot,
             )
 
-            self.health_server = HealthServer(port=health_port).start()
+            # health_host="0.0.0.0" lets cluster jobs (ray job submit)
+            # poll the endpoint from outside the node
+            self.health_server = HealthServer(
+                port=health_port, host=health_host
+            ).start()
             self.health_server.update(
                 engine_snapshot(self.manifest, 0, 0, 0, status="tailing")
             )
