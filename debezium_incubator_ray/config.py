@@ -58,6 +58,11 @@ class EngineConfig:
     #     blocks by partition into staging parquet, appliers read exactly
     #     their listed files (see stages/exchange.py; measured ~10x faster
     #     than the object-store AllToAll in this environment);
+    #   "objref": locality-aware object-store exchange for multi-node
+    #     clusters WITHOUT a shared staging filesystem — per-partition
+    #     LZ4-IPC slices staged as driver-owned objects on the node that
+    #     produced them; appliers scheduled by arg locality (only the lake
+    #     dir needs shared storage; see stages/exchange.py);
     #   "groupby": Ray Data's native sort-based groupby exchange.
     exchange: str = "staging"
     # staging writer batch sizing: staging files ≈ (rows / batch) × touched

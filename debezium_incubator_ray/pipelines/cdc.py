@@ -2270,6 +2270,8 @@ class CdcEngine:
         tiny per-partition commit records (metadata only) on the driver."""
         if self.cfg.exchange == "staging":
             return self._apply_shuffle_staging(flat, watermark_filter, source)
+        if self.cfg.exchange == "objref":
+            return self._apply_shuffle_objref(flat, watermark_filter, source)
         # object-store exchange: Ray Data's sort-based groupby.
         # autoscaling actor pool (1, c): a fixed pool sized to every CPU
         # would starve the upstream read/sort tasks and deadlock the
@@ -2357,6 +2359,65 @@ class CdcEngine:
             import shutil
 
             shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _apply_shuffle_objref(
+        self, flat: "ray.data.Dataset", watermark_filter: bool = True,
+        source: str = "",
+    ) -> List[Dict]:
+        """Locality-aware object-store exchange (stages/exchange.py): the
+        multi-node path for clusters WITHOUT a shared staging filesystem.
+        Stage 1 splits each normalized block into per-partition LZ4-IPC
+        slices returned as separate driver-owned objects — the staged bytes
+        stay in the object store of the node that produced them. Stage 2
+        passes each partition's slice refs as task arguments, so Ray's
+        locality-aware scheduler runs the applier where the bytes already
+        are and the object store transfers only remote slices. Only the
+        lake dir (the durable output) needs shared storage. The epoch's
+        normalized blocks materialize in the (spillable) object store for
+        the duration of the exchange — the same residency the "staging"
+        mode puts on the shared filesystem."""
+        from debezium_incubator_ray.stages.exchange import (
+            apply_partition_slices, split_block,
+        )
+
+        timing = os.environ.get("DBZRAY_TIMING")
+        t0 = time.perf_counter()
+        P = self.cfg.num_partitions
+        block_refs = flat.to_arrow_refs()
+        if not block_refs:
+            return []
+        split = split_block.options(num_returns=P + 1)
+        outs = [split.remote(b, P) for b in block_refs]
+        # the count vectors are the only stage-1 output the driver reads
+        # (KBs); the slice objects themselves never leave the workers here
+        counts = ray.get([o[0] for o in outs])
+        if timing:
+            print(f"[dbzray] objref-split {time.perf_counter()-t0:.1f}s "
+                  f"({len(outs)} blocks)", flush=True)
+        slices_by_p = {
+            p: [outs[i][p + 1] for i in range(len(outs)) if counts[i][p] > 0]
+            for p in range(P)
+        }
+        ctor_ref = ray.put(dict(
+            manifest_doc=self.manifest.doc,
+            lake_dir=self.lake_dir,
+            target_rows_per_file=self.cfg.target_rows_per_file,
+            watermark_filter=watermark_filter,
+            source=source,
+        ))
+        t1 = time.perf_counter()
+        tasks = [
+            apply_partition_slices
+            .options(num_cpus=self.cfg.apply_num_cpus)
+            .remote(ctor_ref, p, *refs)
+            for p, refs in slices_by_p.items()
+            if refs
+        ]
+        commit_tables = ray.get(tasks)
+        if timing:
+            print(f"[dbzray] objref-merge {time.perf_counter()-t1:.1f}s "
+                  f"({len(tasks)} partitions)", flush=True)
+        return [r for t in commit_tables for r in t.to_pylist()]
 
     def _salted_prereduce(self, flat: "ray.data.Dataset") -> "ray.data.Dataset":
         """Optional second-phase salted LWW pre-reduce for skewed epochs:

@@ -24,13 +24,24 @@ Exactly-once: staging files are uuid-named and referenced only through the
 returned manifests — a retried writer task's orphan files are never read; a
 crash before commit leaves only invisible staging + data files.
 
-Multi-node note: on a real cluster the staging root must be shared storage
-(or per-node staging + locality-aware stage-2 scheduling); the object-store
-groupby exchange remains available via EngineConfig.exchange="groupby".
+Multi-node note: the "staging" mode above assumes the staging root is on
+shared storage. For clusters without one, ``exchange="objref"`` (below)
+stages the very same LZ4-IPC slices in Ray's OBJECT STORE instead of
+files: stage-1 split tasks return each partition slice as a separate
+driver-owned object that stays on the node that produced it (per-node
+staging), and stage-2 apply tasks take their partition's slice refs as
+task ARGUMENTS, so Ray's locality-aware scheduler places each applier on
+the node already holding most of its bytes and fetches only the rest
+(node-affinity stage-2 scheduling). Only the lake itself (the durable
+output) needs shared storage — exactly the deployment split of the
+reference's per-node offsets model (CAS/FileOffsetWriter.java:152-172).
+The object-store groupby exchange remains available via
+EngineConfig.exchange="groupby".
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import uuid
@@ -40,6 +51,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 
 from debezium_incubator_ray import schema as S
 
@@ -135,6 +147,61 @@ class StagedApplier:
 def _read_ipc(path: str) -> pa.Table:
     with pa.OSFile(path, "rb") as f:
         return pa.ipc.open_file(f).read_all()
+
+
+# ---------------------------------------------------------------------------
+# Locality-aware object-store exchange ("objref"): per-node staging for
+# clusters WITHOUT a shared staging filesystem.
+
+
+def _table_to_ipc_bytes(t: pa.Table) -> bytes:
+    sink = io.BytesIO()
+    with pa.ipc.new_file(sink, t.schema, options=_IPC_LZ4) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _ipc_bytes_to_table(b: bytes) -> pa.Table:
+    return pa.ipc.open_file(pa.BufferReader(b)).read_all()
+
+
+@ray.remote
+def split_block(block: pa.Table, P: int):
+    """Stage 1 of the objref exchange: split ONE normalized block by
+    partition id (one vectorized sort + zero-copy slices, same kernel as
+    StagingWriter) into P LZ4-compressed Arrow IPC buffers, returned as P
+    SEPARATE objects (call with ``num_returns=P + 1``) so stage 2 fetches
+    only its own partition's bytes. Return 0 is the per-partition
+    row-count vector — the only value the driver reads; the slice objects
+    themselves stay in the object store on the node that ran this task."""
+    counts = np.zeros(P, dtype=np.int64)
+    slices: List[Any] = [None] * P
+    if block.num_rows:
+        idx = pc.sort_indices(block, sort_keys=[(S.PART, "ascending")])
+        t = block.take(idx)
+        parts = t[S.PART].combine_chunks().to_numpy()
+        bounds = np.searchsorted(parts, np.arange(P + 1))
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi > lo:
+                counts[p] = hi - lo
+                slices[p] = _table_to_ipc_bytes(t.slice(lo, hi - lo))
+    return (counts.tolist(), *slices)
+
+
+@ray.remote
+def apply_partition_slices(ctor: Dict[str, Any], p: int, *payloads):
+    """Stage 2 of the objref exchange: one task per partition. The slice
+    refs arrive as task ARGUMENTS, so Ray's locality-aware scheduler
+    prefers the node already holding most of the bytes and the object
+    store transfers only the remote ones. Runs the standard
+    PartitionApplier merge; returns the tiny commit-record table."""
+    from debezium_incubator_ray.stages.apply import PartitionApplier
+
+    events = pa.concat_tables(
+        [_ipc_bytes_to_table(b) for b in payloads if b is not None]
+    )
+    return PartitionApplier(**ctor)(events)
 
 
 class DemuxStagingWriter:

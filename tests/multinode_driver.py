@@ -1,0 +1,116 @@
+"""Simulated 2-node cluster driver for the objref exchange (run by
+tests/test_multinode.py in its own process: it owns a ray.cluster_utils
+Cluster, which cannot share the pytest session's local Ray).
+
+Proves the three multi-node laws of EngineConfig.exchange="objref":
+  1. an epoch over a misaligned binlog completes on a 2-node cluster with
+     the final lake byte-equal to the engine-independent oracle (and no
+     shared staging root is ever created under the lake);
+  2. stage-1 slice objects live ONLY on the node that produced them
+     (per-node staging — checked via ray.experimental.get_object_locations
+     on >object-inline-threshold slices pinned to each node);
+  3. a consumer pinned to the OTHER node reads those slices through the
+     object store (cross-node fetch needs no shared filesystem).
+
+Prints MULTINODE_OK as the success sentinel.
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.cluster_utils import Cluster
+
+from debezium_incubator_ray import gen, schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+from debezium_incubator_ray.stages import exchange as X
+
+root = sys.argv[1]
+
+cluster = Cluster(
+    initialize_head=True,
+    head_node_args={"num_cpus": 2, "resources": {"nodeA": 100},
+                    "include_dashboard": False},
+)
+cluster.add_node(num_cpus=2, resources={"nodeB": 100})
+ray.init(address=cluster.address, logging_level="ERROR")
+try:
+    node_id_of = {}
+    for n in ray.nodes():
+        for marker in ("nodeA", "nodeB"):
+            if marker in n.get("Resources", {}):
+                node_id_of[marker] = n["NodeID"]
+    assert len(node_id_of) == 2, node_id_of
+
+    # --- law 1: whole-engine epoch on the 2-node cluster ----------------
+    spec = gen.BinlogSpec(n_events=3000, n_initial=600, num_partitions=4,
+                          seg_rows=512, seed=11)
+    binlog = os.path.join(root, "binlog")
+    out = gen.write_binlog(binlog, spec)
+    oracle = gen.oracle_final_state(spec, out["events"])
+    lake = os.path.join(root, "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=8, exchange="objref",
+                     aligned_binlog="never", apply_num_cpus=1),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    stats = eng.run(binlog)
+    assert stats and all(not s.get("aligned") for s in stats), stats
+    lt = eng.lake_table().sort_by([("url", "ascending")])
+    assert lt.num_rows == oracle.num_rows, (lt.num_rows, oracle.num_rows)
+    for col in oracle.column_names:
+        assert lt[col].combine_chunks().equals(
+            oracle[col].combine_chunks()), f"column {col}"
+    # objref mode must not have created the shared staging root
+    assert not os.path.exists(os.path.join(lake, "_staging"))
+    # replay no-op still holds across nodes
+    assert sum(s.get("applied", 0) for s in eng.run(binlog)) == 0
+
+    # --- law 2: staged bytes stay on the writing node -------------------
+    # slices must exceed Ray's ~100 KiB inline threshold or they'd live in
+    # the owner (driver) process instead of the writer node's plasma store
+    P = 4
+    rng = np.random.default_rng(0)
+
+    def block(seed):
+        r = np.random.default_rng(seed)
+        n = 400_000  # ~3.2 MB of incompressible int64 -> ~800 KB/slice
+        return pa.table({
+            S.PART: pa.array((np.arange(n) % P).astype(np.int32)),
+            "v": r.integers(0, 2**62, n),
+        })
+
+    refs = {}
+    for marker in ("nodeA", "nodeB"):
+        refs[marker] = X.split_block.options(
+            num_returns=P + 1, resources={marker: 1}
+        ).remote(block(hash(marker) % 2**31), P)
+    counts = {m: ray.get(r[0]) for m, r in refs.items()}
+    for m in counts:
+        assert sum(counts[m]) == 400_000, counts[m]
+    locs = ray.experimental.get_object_locations(
+        [r for m in refs for r in refs[m][1:]]
+    )
+    for marker, r in refs.items():
+        for sl in r[1:]:
+            node_ids = locs[sl]["node_ids"]
+            assert node_ids == [node_id_of[marker]], (
+                marker, node_ids, node_id_of)
+
+    # --- law 3: cross-node fetch through the object store ---------------
+    @ray.remote(resources={"nodeB": 1})
+    def consume(*payloads):
+        tables = [X._ipc_bytes_to_table(b) for b in payloads if b is not None]
+        return sum(t.num_rows for t in tables)
+
+    got = ray.get(consume.remote(*refs["nodeA"][1:]))
+    assert got == 400_000, got
+
+    print("MULTINODE_OK")
+finally:
+    ray.shutdown()
+    cluster.shutdown()
