@@ -851,6 +851,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_schema_create_ddl(sf_dir):
+        """Table-LIFECYCLE DDL driven from the binlog's control segment
+        (CreateTableParserListener.java:28-49 / DropTableParserListener.
+        java:24-43 via ddl.parse_statement): _schema_changes.json carries
+        textual CREATE TABLE for the target (parsed PRIMARY KEY becomes
+        the engine key; NUMBER/VARCHAR2/CLOB/TIMESTAMP types resolve per
+        ColumnDefinitionParserListener), a decoy CREATE, and DROP TABLE
+        ... PURGE removing the decoy. Lake.process_ddl_segment applies
+        the lifecycle ops; the DDL-created engine then ingests the events
+        stream; the result is the standard LWW final state plus an
+        n_tables column pinning that the decoy is gone."""
+        import json
+        import pyarrow as pa
+        from debezium_incubator_ray.config import EngineConfig
+        from debezium_incubator_ray.pipelines.events_cdc import (
+            NUM_PARTITIONS as P, scratch_dir, write_events_binlog,
+        )
+        from debezium_incubator_ray.pipelines.lake import Lake
+        from debezium_incubator_ray import schema as S
+
+        root = scratch_dir("createddl")
+        binlog = os.path.join(root, "binlog")
+        write_events_binlog(sf_dir, binlog)
+        with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:
+            json.dump([
+                {"ddl": "CREATE TABLE events (user_id NUMBER(18) NOT NULL, "
+                        "ts TIMESTAMP, event_type VARCHAR2(64), "
+                        "value BINARY_DOUBLE, props CLOB, "
+                        "PRIMARY KEY (user_id))"},
+                {"ddl": "CREATE TABLE decoy (id NUMBER(19) PRIMARY KEY, "
+                        "v CLOB)"},
+                {"ddl": "DROP TABLE decoy PURGE"},
+            ], f)
+        lake = Lake(os.path.join(root, "lake"))
+        cfg = EngineConfig(
+            num_partitions=P, partitioner="mod", apply_concurrency=4,
+            target_rows_per_file=100_000,
+        )
+        ops = lake.process_ddl_segment(binlog, config=cfg)
+        if ops != [("create", "events"), ("create", "decoy"),
+                   ("drop", "decoy")] or lake.table_names() != ["events"]:
+            raise AssertionError(f"lifecycle mismatch: {ops}")
+        eng = lake["events"]
+        if eng.cfg.key != "user_id":  # from the parsed PRIMARY KEY
+            raise AssertionError(eng.cfg.key)
+        eng.run(binlog)
+        out = eng.lake_table(include_lsn=True)
+        i = out.schema.get_field_index(S.LSN)
+        out = out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+        return out.append_column(
+            "n_tables", pa.array([len(lake.table_names())] * out.num_rows,
+                                 pa.int64()))
+
     def cdc_schema_evolution(sf_dir):
         return _schema_evolution_impl(sf_dir, ddl_text=False)
 
@@ -7317,6 +7370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_read": cdc_snapshot_read,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_schema_evolution_ddl": cdc_schema_evolution_ddl,
+        "cdc_schema_create_ddl": cdc_schema_create_ddl,
         "cdc_schema_widen": cdc_schema_widen,
         "cdc_schema_drop": cdc_schema_drop,
         "cdc_schema_rename": cdc_schema_rename,
@@ -8181,6 +8235,10 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT user_id, ts, event_type, value, props, "
         "CASE WHEN lsn > (SELECT max(event_id) FROM events) // 2 "
         "THEN value * 2 ELSE -1.0 END AS score, lsn "
+        "FROM ranked WHERE rn = 1 AND op <> 'd'",
+        "cdc_schema_create_ddl": _LWW
+        + "SELECT user_id, ts, event_type, value, props, lsn, "
+        "CAST(1 AS BIGINT) AS n_tables "
         "FROM ranked WHERE rn = 1 AND op <> 'd'",
         "cdc_schema_widen": _LWW
         + "SELECT user_id, ts, event_type, "

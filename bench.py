@@ -259,6 +259,7 @@ def main() -> None:
         "cdc_schema_drop",
         "cdc_schema_evolution",
         "cdc_schema_evolution_ddl",
+        "cdc_schema_create_ddl",
         "cdc_schema_widen",
         "cdc_snapshot_handoff",
         "cdc_snapshot_read",

@@ -22,6 +22,7 @@ fold (to lower — our lake columns are lower-case), double-quoted keep case.
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from typing import Any, List, Optional, Tuple
 
@@ -30,6 +31,38 @@ from debezium_incubator_ray.schema import SchemaChange
 
 class DdlParseError(ValueError):
     pass
+
+
+@dataclasses.dataclass
+class TableDef:
+    """Structured CREATE TABLE result (the reference's
+    CreateTableParserListener.java:28-49 builds a TableEditor the same
+    way: column list in DDL order + the primary-key name set).
+
+    ``columns``: (name, arrow type name, default literal or None,
+    nullable) — NOT NULL / PRIMARY KEY columns parse as non-nullable,
+    mirroring the reference's Column.isOptional()."""
+
+    name: str
+    columns: List[Tuple[str, str, Any, bool]]
+    primary_key: List[str]
+
+    def arrow_schema(self):
+        import pyarrow as pa
+
+        from debezium_incubator_ray import schema as S
+
+        pk = {c for c in self.primary_key}
+        return pa.schema(
+            [
+                pa.field(n, S.type_by_name(t),
+                         nullable=nullable and n not in pk)
+                for n, t, _, nullable in self.columns
+            ]
+        )
+
+    def defaults(self) -> dict:
+        return {n: d for n, t, d, _ in self.columns if d is not None}
 
 
 # SQL type → arrow type name (schema.type_by_name). NUMBER precision→width
@@ -247,6 +280,93 @@ def _one_modify(cur: _Cursor, at_lsn: int) -> SchemaChange:
     return SchemaChange("widen_type", col, type=typ, at_lsn=at_lsn)
 
 
+def _parse_create_table(cur: _Cursor) -> TableDef:
+    """CREATE TABLE t (col type [DEFAULT lit] [constraints]..., PRIMARY KEY
+    (c1, ...)) — the CreateTableParserListener.java:28-49 surface driven
+    through OracleDdlParserTest.java:43-113's create_table.sql golden.
+    Inline ``PRIMARY KEY`` on a column definition is accepted too."""
+    name = _qualified_ident(cur)
+    cur.expect_kw("(")
+    columns: List[Tuple[str, str, Any]] = []
+    pk: List[str] = []
+    while True:
+        if cur.peek_kw() == "PRIMARY":  # table-level PRIMARY KEY (c1, ...)
+            cur.next()
+            cur.expect_kw("KEY")
+            cur.expect_kw("(")
+            while True:
+                pk.append(_ident(cur))
+                if cur.peek() == ",":
+                    cur.next()
+                    continue
+                cur.expect_kw(")")
+                break
+        else:
+            col = _ident(cur)
+            typ = _parse_type(cur)
+            default = None
+            nullable = True
+            # constraints may precede/follow DEFAULT in Oracle DDL
+            while True:
+                kw = cur.peek_kw()
+                if kw == "PRIMARY":  # inline: col type PRIMARY KEY
+                    cur.next()
+                    cur.expect_kw("KEY")
+                    pk.append(col)
+                elif kw == "DEFAULT":
+                    cur.next()
+                    default = _parse_default(cur)
+                elif kw == "NOT":
+                    cur.next()
+                    cur.expect_kw("NULL")
+                    nullable = False
+                elif kw in ("UNIQUE", "NULL"):
+                    cur.next()
+                else:
+                    break
+            columns.append((col, typ, default, nullable))
+        if cur.peek() == ",":
+            cur.next()
+            continue
+        cur.expect_kw(")")
+        break
+    if cur.peek() == ";":
+        cur.next()
+    if not columns:
+        raise DdlParseError("CREATE TABLE with no columns")
+    return TableDef(name=name, columns=columns, primary_key=pk)
+
+
+def parse_statement(text: str, at_lsn: int = 0):
+    """Parse ONE DDL statement into a structured op — the full
+    OracleDdlParser.java:44-110 listener surface:
+
+      ("create", TableDef)                      CreateTableParserListener
+      ("drop", table_name, {"purge": bool})     DropTableParserListener
+      ("alter", table_name, [SchemaChange...])  AlterTableParserListener
+
+    DROP TABLE accepts the Oracle trailers ``CASCADE CONSTRAINTS`` and
+    ``PURGE`` (purge = skip the recycle bin → Lake maps it to
+    delete_files=True)."""
+    cur = _Cursor(_tokenize(text))
+    head = cur.expect_kw("CREATE", "DROP", "ALTER")
+    if head == "CREATE":
+        cur.expect_kw("TABLE")
+        return ("create", _parse_create_table(cur))
+    if head == "DROP":
+        cur.expect_kw("TABLE")
+        name = _qualified_ident(cur)
+        purge = False
+        while cur.peek() is not None and cur.peek() != ";":
+            kw = cur.expect_kw("CASCADE", "CONSTRAINTS", "CONSTRAINS",
+                               "PURGE")
+            if kw == "PURGE":
+                purge = True
+        return ("drop", name, {"purge": purge})
+    table, changes = _parse_alter_body(cur, at_lsn)
+    return ("alter", table, changes)
+
+
 def parse_ddl(text: str, at_lsn: int = 0) -> Tuple[str, List[SchemaChange]]:
     """Parse one ALTER TABLE statement → (table_name, [SchemaChange...]).
 
@@ -260,6 +380,10 @@ def parse_ddl(text: str, at_lsn: int = 0) -> Tuple[str, List[SchemaChange]]:
     """
     cur = _Cursor(_tokenize(text))
     cur.expect_kw("ALTER")
+    return _parse_alter_body(cur, at_lsn)
+
+
+def _parse_alter_body(cur: _Cursor, at_lsn: int) -> Tuple[str, List[SchemaChange]]:
     cur.expect_kw("TABLE")
     table = _qualified_ident(cur)
     changes: List[SchemaChange] = []

@@ -104,6 +104,102 @@ class Lake:
 
             shutil.rmtree(os.path.join(self.root, safe), ignore_errors=True)
 
+    def apply_ddl(
+        self,
+        text: str,
+        at_lsn: int = 0,
+        config: Optional[EngineConfig] = None,
+    ):
+        """Apply ONE textual DDL statement to the registry — the full
+        OracleDdlParser.java:44-110 listener surface over this engine's
+        structured control plane:
+
+        - CREATE TABLE → :meth:`create_table` with the parsed arrow
+          schema; the parsed PRIMARY KEY becomes the engine key (single
+          column) or composite ``key_cols``; parsed DEFAULT literals
+          seed the lake's default map (CreateTableParserListener.java:28-49);
+        - DROP TABLE → :meth:`drop_table`; the Oracle ``PURGE`` trailer
+          (skip the recycle bin) maps to ``delete_files=True``
+          (DropTableParserListener.java:24-43);
+        - ALTER TABLE → the table's structured SchemaChange stream,
+          appended to its NEXT epoch via :meth:`stage_schema_changes`.
+
+        Returns ("create", CdcEngine) | ("drop", name) | ("alter", name,
+        [SchemaChange]).
+        """
+        import dataclasses as _dc
+
+        from debezium_incubator_ray.ddl import parse_statement
+
+        parsed = parse_statement(text, at_lsn=at_lsn)
+        if parsed[0] == "create":
+            tdef = parsed[1]
+            cfg = _dc.replace(config) if config is not None else EngineConfig()
+            pk = [c.lower() for c in tdef.primary_key]
+            if len(pk) == 1:
+                cfg.key = pk[0]
+                cfg.key_cols = None
+            elif len(pk) > 1:
+                cfg.key_cols = pk
+            eng = self.create_table(tdef.name, tdef.arrow_schema(), cfg)
+            lits = tdef.defaults()
+            if lits and not all(
+                eng.manifest.doc["defaults"].get(k) == v
+                for k, v in lits.items()
+            ):
+                # persist DEFAULT literals through a real manifest commit
+                # (an in-memory doc mutation would vanish on reload)
+                eng.manifest = eng.manifest.commit(
+                    {},
+                    extra_state={
+                        "defaults": {**eng.manifest.doc["defaults"], **lits}
+                    },
+                )
+            return ("create", eng)
+        if parsed[0] == "drop":
+            name, opts = parsed[1], parsed[2]
+            self.drop_table(name, delete_files=opts["purge"])
+            return ("drop", name)
+        _, table, changes = parsed
+        return ("alter", table, changes)
+
+    def process_ddl_segment(
+        self,
+        binlog_dir: str,
+        config: Optional[EngineConfig] = None,
+    ) -> list:
+        """Drive table-LIFECYCLE DDL from the binlog's control file: scan
+        ``_schema_changes.json`` for raw-``ddl`` entries whose statement is
+        CREATE/DROP TABLE and apply them to the registry in file order.
+        Column-level ALTERs in the same file are left in place — each
+        table's engine consumes them during its own epoch
+        (sources/binlog.py load_schema_changes skips lifecycle entries
+        symmetrically). Idempotent: re-creating an existing table is a
+        no-op attach; dropping an unknown table is a no-op. Returns the
+        ops applied, e.g. [("create", "t1"), ("drop", "t2")]."""
+        import json as _json
+
+        from debezium_incubator_ray.ddl import parse_statement
+
+        path = os.path.join(binlog_dir, "_schema_changes.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            entries = _json.load(f)
+        applied = []
+        for d in entries:
+            if "ddl" not in d:
+                continue
+            parsed = parse_statement(d["ddl"], at_lsn=d.get("at_lsn", 0))
+            if parsed[0] == "create":
+                self.apply_ddl(d["ddl"], at_lsn=d.get("at_lsn", 0),
+                               config=config)
+                applied.append(("create", parsed[1].name))
+            elif parsed[0] == "drop":
+                self.apply_ddl(d["ddl"], at_lsn=d.get("at_lsn", 0))
+                applied.append(("drop", parsed[1]))
+        return applied
+
     def reconcile(self, latest_tables, delete_files: bool = False) -> list:
         """Schema-set reconciliation (D3), the full loop: given the
         CURRENT set of source tables, detach every registered table no

@@ -123,10 +123,15 @@ def load_schema_changes(binlog_dir: str) -> List[SchemaChange]:
     out: List[SchemaChange] = []
     for d in entries:
         if "ddl" in d:
-            from debezium_incubator_ray.ddl import parse_ddl
+            from debezium_incubator_ray.ddl import parse_statement
 
-            _table, changes = parse_ddl(d["ddl"], at_lsn=d.get("at_lsn", 0))
-            out.extend(changes)
+            parsed = parse_statement(d["ddl"], at_lsn=d.get("at_lsn", 0))
+            if parsed[0] != "alter":
+                # CREATE/DROP TABLE are table-LIFECYCLE ops — handled by
+                # Lake.process_ddl_segment (the per-table engine only
+                # consumes column changes for its own schema history)
+                continue
+            out.extend(parsed[2])
         else:
             out.append(SchemaChange.from_json(d))
     return out

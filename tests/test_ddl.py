@@ -142,3 +142,132 @@ def test_engine_evolution_driven_by_ddl_text(tmp_path):
     assert_tables_equal(
         lt.drop_columns(["crawl_tier"]), oracle, sort_by="url"
     )
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE / DROP TABLE (CreateTableParserListener.java:28-49,
+# DropTableParserListener.java:24-43; goldens mirror
+# OracleDdlParserTest.java:43-113 over test resource ddl/create_table.sql)
+
+CREATE_TABLE_GOLDEN = """create table DEBEZIUM
+(id number(19) not null,
+col1 number(4,2),
+col2 varchar2(255) default 'debezium' not null ,
+col3 nvarchar2(255) not null,
+col4 char(4),
+col5 nchar(4),
+col6 float(126),
+col7 date,
+col8 timestamp,
+col9 blob,
+col10 clob,
+primary key (id));"""
+
+
+def test_parse_create_table_golden():
+    from debezium_incubator_ray.ddl import parse_statement
+
+    kind, tdef = parse_statement(CREATE_TABLE_GOLDEN)
+    assert kind == "create"
+    assert tdef.name == "debezium"
+    names = [c[0] for c in tdef.columns]
+    assert names == ["id", "col1", "col2", "col3", "col4", "col5", "col6",
+                     "col7", "col8", "col9", "col10"]
+    types = {c[0]: c[1] for c in tdef.columns}
+    assert types["id"] == "decimal128(19,0)"    # number(19)
+    assert types["col1"] == "decimal128(4,2)"   # number(4,2)
+    assert types["col2"] == "string"            # varchar2(255)
+    assert types["col6"] == "float"             # float(126)
+    assert types["col7"] == "timestamp[us]"     # oracle DATE carries time
+    assert types["col8"] == "timestamp[us]"
+    assert types["col9"] == "binary"            # blob
+    assert types["col10"] == "string"           # clob
+    assert tdef.primary_key == ["id"]
+    assert tdef.defaults() == {"col2": "debezium"}
+    nullable = {c[0]: c[3] for c in tdef.columns}
+    assert not nullable["id"] and not nullable["col2"] and nullable["col1"]
+    sch = tdef.arrow_schema()
+    assert sch.field("id").type == pa.decimal128(19, 0)
+    assert not sch.field("id").nullable
+    assert sch.field("col1").nullable
+
+
+def test_parse_create_inline_pk_and_composite():
+    from debezium_incubator_ray.ddl import parse_statement
+
+    _, tdef = parse_statement(
+        "CREATE TABLE t (id NUMBER(18) PRIMARY KEY, v CLOB)"
+    )
+    assert tdef.primary_key == ["id"]
+    assert not tdef.arrow_schema().field("id").nullable
+
+    _, tdef = parse_statement(
+        "CREATE TABLE t2 (a NUMBER(9), b VARCHAR2(10), v BINARY_DOUBLE, "
+        "PRIMARY KEY (a, b))"
+    )
+    assert tdef.primary_key == ["a", "b"]
+    assert [c[1] for c in tdef.columns] == ["int32", "string", "double"]
+
+
+def test_parse_drop_table():
+    from debezium_incubator_ray.ddl import parse_statement
+
+    assert parse_statement("drop table DEBEZIUM;") == (
+        "drop", "debezium", {"purge": False})
+    assert parse_statement(
+        "drop table sch.DEBEZIUM cascade constraints purge") == (
+        "drop", "debezium", {"purge": True})
+    with pytest.raises(DdlParseError):
+        parse_statement("DROP TABLE t NONSENSE")
+
+
+def test_parse_statement_alter_delegates():
+    from debezium_incubator_ray.ddl import parse_statement
+
+    kind, t, chs = parse_statement(
+        "ALTER TABLE DEBEZIUM add (col21 varchar2(20), col22 number(19));"
+    )
+    assert (kind, t) == ("alter", "debezium")
+    assert [(c.change, c.column, c.type) for c in chs] == [
+        ("add_column", "col21", "string"),
+        ("add_column", "col22", "decimal128(19,0)"),
+    ]
+
+
+def test_lake_lifecycle_from_ddl_control_segment(tmp_path):
+    """CREATE + decoy CREATE + DROP PURGE driven from the binlog's
+    _schema_changes.json via Lake.process_ddl_segment; the created engine
+    then ingests the pages stream and matches the oracle. The same control
+    file's ALTER entry still reaches the engine's own epoch path."""
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    spec = gen.BinlogSpec(n_events=300, n_initial=60, seg_rows=64,
+                          num_partitions=2, seed=5)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    with open(os.path.join(binlog, "_schema_changes.json"), "w") as f:
+        json.dump([
+            {"ddl": "CREATE TABLE pages (url VARCHAR2(2048) PRIMARY KEY, "
+                    "warc_ts TIMESTAMP, html BLOB, text CLOB, "
+                    "lang VARCHAR2(8))"},
+            {"ddl": "CREATE TABLE decoy (id NUMBER(19) PRIMARY KEY, v CLOB)"},
+            {"ddl": "DROP TABLE decoy PURGE"},
+        ], f)
+
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = EngineConfig(num_partitions=2, target_rows_per_file=64)
+    ops = lake.process_ddl_segment(binlog, config=cfg)
+    assert ops == [("create", "pages"), ("create", "decoy"),
+                   ("drop", "decoy")]
+    assert lake.table_names() == ["pages"]
+    assert not os.path.exists(str(tmp_path / "lake" / "decoy"))
+    eng = lake["pages"]
+    assert eng.cfg.key == "url"  # from the parsed PRIMARY KEY
+
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+    lt = eng.lake_table()
+    oracle = gen.oracle_final_state(spec, ev)
+    # DDL-created schema uses string/binary (not large_*): compare values
+    assert_tables_equal(lt, oracle, sort_by="url")
