@@ -87,6 +87,15 @@ class EngineConfig:
     # in-batch partial reduce always runs and already bounds hot-key fan-in
     # to one row per key per input block.
     salt_buckets: int = 0
+    # AUTO-salting from lineage skew stats: when salt_buckets is 0, the
+    # salted pre-reduce engages for an epoch if the PREVIOUS epoch's
+    # committed lineage skew_ratio (rows_per_partition max/mean) crossed
+    # this threshold — the feedback loop hot-url Zipfian streams need
+    # without hand-tuning. None disables auto; salt_buckets > 1 remains
+    # the always-on manual override. The decision (engaged or not, the
+    # skew that drove it) is recorded in the epoch's lineage row.
+    salt_auto_threshold: Optional[float] = 4.0
+    salt_auto_buckets: int = 16
 
     # filters (reference: FieldFilterSelector.java:28-50, table include
     # regex OracleConnectorConfig.java:101-103,325-348)

@@ -913,9 +913,41 @@ class CdcEngine:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            if self.cfg.salt_buckets > 1:
-                flat = self._salted_prereduce(flat)
+            salt_n = self._salt_decision()
+            if salt_n > 1:
+                flat = self._salted_prereduce(flat, salt_n)
         return self._apply_shuffle(flat, source=source)
+
+    def _salt_decision(self) -> int:
+        """Salt-bucket count for THIS epoch: the manual override
+        (salt_buckets > 1) always wins; otherwise auto-engage when the
+        last committed epoch's lineage skew_ratio crossed
+        salt_auto_threshold (north-rule skew handling as a feedback loop
+        — lineage already measures rows-per-partition max/mean every
+        commit). Records the decision on self._last_salt for the epoch's
+        lineage row."""
+        if self.cfg.salt_buckets > 1:
+            self._last_salt = {"engaged": True, "buckets":
+                               self.cfg.salt_buckets, "mode": "manual"}
+            return self.cfg.salt_buckets
+        thr = self.cfg.salt_auto_threshold
+        prev_skew = None
+        if thr is not None:
+            for ent in reversed(self.manifest.doc.get("lineage", [])):
+                if ent.get("partitions_touched", 0) > 0 and \
+                        "skew_ratio" in ent:
+                    prev_skew = ent["skew_ratio"]
+                    break
+        if prev_skew is not None and prev_skew >= thr:
+            self._last_salt = {
+                "engaged": True, "buckets": self.cfg.salt_auto_buckets,
+                "mode": "auto", "prev_skew_ratio": round(prev_skew, 3),
+            }
+            return self.cfg.salt_auto_buckets
+        self._last_salt = {"engaged": False, "mode": "auto",
+                           "prev_skew_ratio": round(prev_skew, 3)
+                           if prev_skew is not None else None}
+        return 0
 
     def _apply_aligned(
         self, binlog_dir: str, groups: Dict[int, List[str]], source: str = ""
@@ -2419,15 +2451,19 @@ class CdcEngine:
                   f"({len(tasks)} partitions)", flush=True)
         return [r for t in commit_tables for r in t.to_pylist()]
 
-    def _salted_prereduce(self, flat: "ray.data.Dataset") -> "ray.data.Dataset":
+    def _salted_prereduce(
+        self, flat: "ray.data.Dataset", salt_n: Optional[int] = None
+    ) -> "ray.data.Dataset":
         """Optional second-phase salted LWW pre-reduce for skewed epochs:
         collapse per (partition, salt) before the final per-partition shuffle
         (north-rule hot-key splitting). The in-batch reduce inside
         lww_reduce already bounds hot-key fan-in per block; this stage adds a
-        full combiner shuffle for extreme epochs."""
+        full combiner shuffle for extreme epochs. Engaged manually
+        (salt_buckets) or by the lineage-skew feedback loop
+        (_salt_decision)."""
         from debezium_incubator_ray.envelope import lww_reduce
 
-        salt_n = self.cfg.salt_buckets
+        salt_n = salt_n or self.cfg.salt_buckets
         key = self.cfg.key
 
         def add_salt(t: pa.Table) -> pa.Table:
@@ -2462,7 +2498,7 @@ class CdcEngine:
         n = max(1, len(counts))
         mx = max(counts.values()) if counts else 0
         mean = (sum(counts.values()) / n) if counts else 0
-        return {
+        out = {
             "kind": kind,
             "version": self.manifest.version + 1,
             "events": events,
@@ -2473,6 +2509,13 @@ class CdcEngine:
             "seconds": round(seconds, 4),
             "watermarks": {str(p): u.get("watermark") for p, u in updates.items()},
         }
+        # the salted-pre-reduce decision this epoch (exchange path only) —
+        # operators can audit WHY an epoch salted from lineage alone
+        last_salt = getattr(self, "_last_salt", None)
+        if kind == "epoch" and last_salt is not None:
+            out["salt"] = last_salt
+            self._last_salt = None
+        return out
 
     def _resolve_keys(self, keys, target: pa.Schema):
         """Composite component tuples → the internal joined key, through
