@@ -97,8 +97,20 @@ def test_cli_sigkill_mid_run_then_resume_converges(tmp_path):
 
     _cli("snapshot", "--lake", lake, "--src", pages_dir, "--config", cfg)
 
-    # start the apply job and SIGKILL it mid-flight (timing arbitrary by
-    # design — the law must hold wherever the kill lands)
+    # start the apply job and SIGKILL it mid-flight. The kill window is
+    # PINNED to the first observable lake write (a new file under the lake
+    # root — part files land before the manifest commit that makes them
+    # visible), not a wall-clock sleep: a fixed sleep raced Ray session
+    # startup on loaded hosts (finished-before-kill) and idled on fast
+    # ones. Killing at first-write is guaranteed mid-epoch — the other
+    # partitions and the manifest swap are still ahead of the process.
+    def lake_files():
+        out = set()
+        for r, _, files in os.walk(lake):
+            out.update(os.path.join(r, f) for f in files)
+        return out
+
+    baseline = lake_files()
     env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
     proc = subprocess.Popen(
         [sys.executable, "-m", "debezium_incubator_ray", "run",
@@ -106,7 +118,14 @@ def test_cli_sigkill_mid_run_then_resume_converges(tmp_path):
         env=env, cwd=REPO,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    time.sleep(5.0)  # mid-startup or mid-epoch, whatever the host gives
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if lake_files() - baseline:
+            break
+        time.sleep(0.02)
+    else:
+        proc.kill()
+        raise AssertionError("no lake write observed within 180s")
     # the law is only exercised if the job was actually in flight: a
     # completed process would turn this into a vacuous replay test
     assert proc.poll() is None, "run finished before the kill landed"
