@@ -2497,6 +2497,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def dedup_substring_rate(sf_dir):
+        """Substring-level duplication (the EXACTSUBSTR signal of Lee et
+        al. 2021, simplified from suffix arrays to fixed 30-char
+        windows): per doc, the fraction of its DISTINCT char 30-grams
+        that occur in >= 2 docs. One rolling-hash pass per batch, only
+        (gram_hash, doc_id) rows shuffle — bucketed by hash, never
+        per-gram groups, never the text."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            dup_substring_rate,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return dup_substring_rate(docs, k=30)
+
     def dedup_survivorship(sf_dir):
         """Dedup impact report per source: docs before, exact-dedup
         winners kept, and the survival rate — the "which feeds are
@@ -7438,6 +7456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "docs_shingle_df_histogram": docs_shingle_df_histogram,
         "dedup_survivorship": dedup_survivorship,
+        "dedup_substring_rate": dedup_substring_rate,
         "embedding_norm_histogram": embedding_norm_histogram,
         "events_burstiness": events_burstiness,
         "events_session_count_hist": events_session_count_hist,
@@ -10881,6 +10900,18 @@ def oracle_sql() -> dict[str, str]:
             + ", df AS (SELECT g, count(*) AS df FROM e GROUP BY 1) "
             "SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket, "
             "CAST(count(*) AS BIGINT) AS n_shingles FROM df GROUP BY 1"
+        ),
+        "dedup_substring_rate": (
+            # per-doc DISTINCT char 30-grams, df over docs, dup fraction
+            "WITH g AS (SELECT DISTINCT doc_id, "
+            "substr(text, CAST(i AS INTEGER), 30) AS gram FROM documents "
+            "CROSS JOIN unnest(generate_series(1, length(text) - 29)) "
+            "AS t(i) WHERE length(text) >= 30), "
+            "df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS dup_rate "
+            "FROM g JOIN df USING (gram) GROUP BY 1"
         ),
         "dedup_survivorship": (
             "WITH w AS (SELECT source, doc_id, "

@@ -347,6 +347,7 @@ def main() -> None:
         "dedup_minhash_estimate",
         "docs_shingle_df_histogram",
         "dedup_survivorship",
+        "dedup_substring_rate",
         "text_lang_confusion",
         "embedding_norm_histogram",
         "events_burstiness",

@@ -1653,3 +1653,91 @@ def minhash_estimate_pairs(
 
     return pairs.map_batches(estimate, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def dup_substring_rate(
+    docs_ds,
+    k: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+):
+    """Per-doc duplicate-substring rate — the EXACTSUBSTR signal of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), simplified from suffix arrays to fixed-length
+    windows: the fraction of a doc's DISTINCT char k-grams that occur in
+    at least one OTHER doc. Docs shorter than k yield no windows and are
+    excluded (mirroring the SQL oracle's HAVING).
+
+    Scale shape: stage 1 is one vectorized rolling-hash pass per batch
+    (tokens.char_gram_hashes — O(chars), no per-doc loop) deduped per doc
+    (a doc is one row, so in-batch distinct is global distinct); only
+    (gram_hash, doc_id) pairs shuffle, bucketed by gram hash into
+    ``buckets`` groups — never millions of per-gram groups, and never the
+    text. In-bucket df marking is a sort + run-length pass; the final
+    per-doc fold is |buckets| x docs-touched tiny rows.
+    """
+    import ray.data  # noqa: F401 (docs_ds is already a Dataset)
+    from ray.data.aggregate import Sum
+
+    from debezium_incubator_ray.functions.tokens import (
+        char_gram_hashes, distinct_per_doc,
+    )
+
+    mask = np.uint64(buckets - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h, per_doc = char_gram_hashes(t[text_col], k)
+        hd, nd = distinct_per_doc(h, per_doc)
+        doc_of = np.repeat(ids, nd)
+        return pa.table({
+            "g": pa.array(hd.view(np.int64)),
+            "doc": pa.array(doc_of),
+            "gb": pa.array((hd & mask).astype(np.int64)),
+        })
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        g = t["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, ds = g[order], doc[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] >= 2  # the gram exists in >= 2 docs
+        uids, inv = np.unique(ds, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uids)).astype(np.int64)
+        ndup = np.bincount(inv, weights=dup.astype(np.float64),
+                           minlength=len(uids)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(uids),
+            "n": pa.array(n),
+            "dup": pa.array(ndup),
+        })
+
+    folded = (
+        docs_ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("gb")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("dup", alias_name="dup"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        dup = pc.cast(t["dup"], pa.float64())
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": n,
+            # half_towards_infinity (= half away from zero): dup/n hits
+            # exact half-way values (e.g. 2/256) where DuckDB's round()
+            # goes away from zero but numpy/arrow default to half-even
+            "dup_rate": pc.round(
+                pc.divide(dup, pc.cast(n, pa.float64())), 6,
+                round_mode="half_towards_infinity"),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

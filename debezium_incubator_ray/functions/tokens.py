@@ -225,3 +225,60 @@ def _scatter(values: pa.Array, mask: np.ndarray, n: int) -> pa.Array:
         values.take(pa.array(np.maximum(idx, 0))),
         pa.nulls(n, values.type),
     )
+
+
+def char_gram_hashes(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(uint64 rolling hash per char k-gram flattened, grams-per-doc).
+
+    Byte-level sliding windows (the corpus is ASCII, so byte == codepoint
+    and a DuckDB ``substr`` oracle sees the same grams): ONE polynomial
+    rolling-hash pass over the batch's concatenated text buffer, then a
+    gather at the window starts that lie fully inside one doc —
+    O(total_chars), no per-doc loop. grams-per-doc = max(0, len - k + 1)
+    (docs shorter than k contribute none). Arithmetic is uint64 wraparound;
+    the base is odd, so its modular inverse exists and prefix sums of
+    ``byte * B^-i`` turn every window into one subtraction + one product.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.cast(texts, pa.large_string())
+    n_docs = len(texts)
+    # zero-copy concatenation: a LargeString array's data buffer between
+    # its first and last offsets IS the docs back-to-back. Lengths are
+    # BYTE lengths (== codepoints for this ASCII corpus; windows are
+    # byte-level either way)
+    arr = pc.fill_null(texts, "").combine_chunks() \
+        if isinstance(texts, pa.ChunkedArray) else pc.fill_null(texts, "")
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=len(arr) + 1, offset=8 * arr.offset)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    buf = data[offs[0]: offs[-1]]
+    starts = (offs - offs[0]).astype(np.int64)
+    lens = np.diff(starts)
+    grams_per_doc = np.maximum(lens - k + 1, 0)
+    total = int(grams_per_doc.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), grams_per_doc
+    B = np.uint64(1099511628211)  # odd -> invertible mod 2^64
+    Binv = np.uint64(pow(int(B), -1, 1 << 64))
+    n = len(buf)
+    powB = np.empty(n + 1, dtype=np.uint64)
+    powB[0] = 1
+    np.multiply.accumulate(np.full(n, B, np.uint64), out=powB[1:])
+    powInv = np.empty(n, dtype=np.uint64)
+    powInv[0] = 1
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, Binv, np.uint64),
+                               out=powInv[1:])
+    S = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(buf.astype(np.uint64) * powInv, out=S[1:])
+    # ragged arange of valid window starts per doc
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), grams_per_doc)
+    gstart = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(grams_per_doc, out=gstart[1:])
+    i = (np.arange(total, dtype=np.int64) - gstart[doc_of]
+         + starts[doc_of])
+    h = (S[i + k] - S[i]) * powB[i + k - 1]
+    return h.astype(np.uint64), grams_per_doc
