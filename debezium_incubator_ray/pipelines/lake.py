@@ -200,6 +200,114 @@ class Lake:
                 applied.append(("drop", parsed[1]))
         return applied
 
+    def _demux_staging(self, paths, norm_kwargs, route_fn, engines) -> list:
+        """Shared-staging-root demux exchange (the single-node default):
+        DemuxStagingWriter files + DemuxApplier reads."""
+        import uuid as _uuid
+
+        import ray.data
+
+        from debezium_incubator_ray import schema as S
+        from debezium_incubator_ray.stages.exchange import (
+            DemuxApplier,
+            DemuxStagingWriter,
+        )
+
+        stage_dir = os.path.join(self.root, "_staging", _uuid.uuid4().hex)
+        try:
+            manifests = (
+                ray.data.read_parquet(paths)
+                .map_batches(
+                    DemuxStagingWriter,
+                    fn_constructor_kwargs={
+                        "stage_dir": stage_dir,
+                        "norm_kwargs_by_table": norm_kwargs,
+                        "route_fn": route_fn,
+                    },
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    concurrency=(1, 8),
+                )
+                .take_all()  # tiny (table, p, path, rows) rows
+            )
+            files_by_tp: dict = {}
+            for m in manifests:
+                files_by_tp.setdefault(f"{m['table']}|{int(m[S.PART])}", []).append(
+                    m["path"]
+                )
+            if not files_by_tp:
+                return []
+            items = [
+                {"table": k.split("|")[0], S.PART: int(k.split("|")[1])}
+                for k in sorted(files_by_tp)
+            ]
+            return ray.data.from_items(
+                items, override_num_blocks=len(items)
+            ).map_batches(
+                DemuxApplier,
+                fn_constructor_kwargs={
+                    "manifest_docs": {
+                        t: e.manifest.doc for t, e in engines.items()
+                    },
+                    "lake_dirs": {t: e.lake_dir for t, e in engines.items()},
+                    "stage_dir": stage_dir,
+                    "files_by_tp": files_by_tp,
+                    "target_rows_per_file": {
+                        t: e.cfg.target_rows_per_file
+                        for t, e in engines.items()
+                    },
+                },
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            ).take_all()
+        finally:
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _demux_objref(self, paths, norm_kwargs, route_fn, engines) -> list:
+        """Locality-aware object-store demux exchange (the multi-node
+        path — no shared staging root; see stages/exchange.py): raw
+        blocks split per (table, partition) into driver-owned LZ4-IPC
+        slice objects that stay on the producing node; one apply task per
+        touched (table, partition) with its slice refs as args."""
+        import ray
+        import ray.data
+
+        from debezium_incubator_ray.stages.exchange import (
+            apply_demux_slices,
+            split_block_demux,
+        )
+
+        layout = [
+            (t, p)
+            for t in sorted(norm_kwargs)
+            for p in range(norm_kwargs[t]["num_partitions"])
+        ]
+        block_refs = ray.data.read_parquet(paths).to_arrow_refs()
+        if not block_refs:
+            return []
+        nk_ref = ray.put(norm_kwargs)
+        split = split_block_demux.options(num_returns=len(layout) + 1)
+        outs = [split.remote(b, nk_ref, route_fn, layout) for b in block_refs]
+        counts = ray.get([o[0] for o in outs])
+        ctor_ref = ray.put(dict(
+            manifest_docs={t: e.manifest.doc for t, e in engines.items()},
+            lake_dirs={t: e.lake_dir for t, e in engines.items()},
+            target_rows_per_file={
+                t: e.cfg.target_rows_per_file for t, e in engines.items()
+            },
+        ))
+        tasks = []
+        for i, (tname, p) in enumerate(layout):
+            refs = [outs[b][i + 1] for b in range(len(outs))
+                    if counts[b][i] > 0]
+            if refs:
+                tasks.append(
+                    apply_demux_slices.remote(ctor_ref, tname, p, *refs)
+                )
+        return [r for t in ray.get(tasks) for r in t.to_pylist()]
+
     def reconcile(self, latest_tables, delete_files: bool = False) -> list:
         """Schema-set reconciliation (D3), the full loop: given the
         CURRENT set of source tables, detach every registered table no
@@ -233,7 +341,8 @@ class Lake:
     # mixed-table demux: ONE binlog carrying N tables → N lake tables in a
     # single pipeline pass (reference: RecordMaker.java:36-58 routes each
     # record to CassandraTopicSelector.java:32-110's topic-per-table)
-    def apply_epoch_demux(self, binlog_dir: str, route_fn=None) -> dict:
+    def apply_epoch_demux(self, binlog_dir: str, route_fn=None,
+                          exchange: Optional[str] = None) -> dict:
         """Single-pass routing epoch over a mixed binlog.
 
         Requires each participating engine's table name to equal the
@@ -243,18 +352,17 @@ class Lake:
         aggregate-type payload column). Exactly-once: each
         table commits independently; a crash between table commits leaves
         the missing tables' segments pending, and re-application to the
-        already-committed tables is a watermark no-op."""
-        import json as _json
-        import uuid as _uuid
+        already-committed tables is a watermark no-op.
 
-        import ray.data
+        ``exchange``: "staging" (default; shared staging root under the
+        lake) or "objref" (locality-aware object-store staging — the
+        multi-node path, stages/exchange.py). None derives from the
+        engines: objref iff every participating engine is configured
+        objref."""
+        import json as _json
 
         from debezium_incubator_ray import schema as S
         from debezium_incubator_ray.sources import binlog as binlog_src
-        from debezium_incubator_ray.stages.exchange import (
-            DemuxApplier,
-            DemuxStagingWriter,
-        )
 
         engines = dict(self.engines)
         for eng in engines.values():
@@ -277,59 +385,20 @@ class Lake:
             kw["table_include_regex"] = f"^{re.escape(name)}$"
             norm_kwargs[name] = kw
 
-        stage_dir = os.path.join(self.root, "_staging", _uuid.uuid4().hex)
-        try:
-            paths = [os.path.join(binlog_dir, s) for s in segs]
-            manifests = (
-                ray.data.read_parquet(paths)
-                .map_batches(
-                    DemuxStagingWriter,
-                    fn_constructor_kwargs={
-                        "stage_dir": stage_dir,
-                        "norm_kwargs_by_table": norm_kwargs,
-                        "route_fn": route_fn,
-                    },
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                    concurrency=(1, 8),
-                )
-                .take_all()  # tiny (table, p, path, rows) rows
+        mode = exchange or (
+            "objref"
+            if engines and all(
+                e.cfg.exchange == "objref" for e in engines.values()
             )
-            files_by_tp: dict = {}
-            for m in manifests:
-                files_by_tp.setdefault(f"{m['table']}|{int(m[S.PART])}", []).append(
-                    m["path"]
-                )
-            if files_by_tp:
-                items = [
-                    {"table": k.split("|")[0], S.PART: int(k.split("|")[1])}
-                    for k in sorted(files_by_tp)
-                ]
-                applied = ray.data.from_items(
-                    items, override_num_blocks=len(items)
-                ).map_batches(
-                    DemuxApplier,
-                    fn_constructor_kwargs={
-                        "manifest_docs": {
-                            t: e.manifest.doc for t, e in engines.items()
-                        },
-                        "lake_dirs": {t: e.lake_dir for t, e in engines.items()},
-                        "stage_dir": stage_dir,
-                        "files_by_tp": files_by_tp,
-                        "target_rows_per_file": {
-                            t: e.cfg.target_rows_per_file
-                            for t, e in engines.items()
-                        },
-                    },
-                    batch_format="pyarrow",
-                    concurrency=(1, 8),
-                ).take_all()
-            else:
-                applied = []
-        finally:
-            import shutil
-
-            shutil.rmtree(stage_dir, ignore_errors=True)
+            else "staging"
+        )
+        paths = [os.path.join(binlog_dir, s) for s in segs]
+        if mode == "objref":
+            applied = self._demux_objref(paths, norm_kwargs, route_fn,
+                                         engines)
+        else:
+            applied = self._demux_staging(paths, norm_kwargs, route_fn,
+                                          engines)
 
         total = 0
         for name, eng in engines.items():

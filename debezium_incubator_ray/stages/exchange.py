@@ -308,3 +308,55 @@ class DemuxApplier:
             rec = self.inner[tname](events)
             outs.append(rec.append_column("table", pa.array([tname])))
         return pa.concat_tables(outs)
+
+
+@ray.remote
+def split_block_demux(block: pa.Table, norm_kwargs_by_table: Dict[str, Dict[str, Any]],
+                      route_fn, layout: List):
+    """Demux flavor of :func:`split_block` (multi-table locality
+    exchange): ONE raw binlog block → optional routing SMT → per-table
+    normalize (each table's include regex) → per-partition LZ4-IPC
+    slices, one object per (table, partition) slot in ``layout`` order.
+    Call with ``num_returns=len(layout) + 1``; return 0 is the
+    per-slot row-count vector."""
+    from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+    slot = {tuple(tp): i for i, tp in enumerate(layout)}
+    counts = np.zeros(len(layout), dtype=np.int64)
+    slices: List[Any] = [None] * len(layout)
+    if route_fn is not None:
+        block = route_fn(block)
+    for tname, kw in norm_kwargs_by_table.items():
+        flat = NormalizeEnvelope(**kw)(block)
+        if flat.num_rows == 0:
+            continue
+        idx = pc.sort_indices(flat, sort_keys=[(S.PART, "ascending")])
+        t = flat.take(idx)
+        parts = t[S.PART].combine_chunks().to_numpy()
+        P = kw["num_partitions"]
+        bounds = np.searchsorted(parts, np.arange(P + 1))
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi > lo:
+                i = slot[(tname, p)]
+                counts[i] = hi - lo
+                slices[i] = _table_to_ipc_bytes(t.slice(lo, hi - lo))
+    return (counts.tolist(), *slices)
+
+
+@ray.remote
+def apply_demux_slices(ctor: Dict[str, Any], tname: str, p: int, *payloads):
+    """Demux flavor of :func:`apply_partition_slices`: one task per
+    (table, partition); slice refs arrive as args for locality-aware
+    scheduling; runs that table's PartitionApplier merge and tags the
+    commit record with the table name."""
+    from debezium_incubator_ray.stages.apply import PartitionApplier
+
+    events = pa.concat_tables(
+        [_ipc_bytes_to_table(b) for b in payloads if b is not None]
+    )
+    rec = PartitionApplier(
+        ctor["manifest_docs"][tname], ctor["lake_dirs"][tname],
+        ctor["target_rows_per_file"][tname],
+    )(events)
+    return rec.append_column("table", pa.array([tname] * rec.num_rows))
