@@ -2361,11 +2361,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["doc_id", "text"],
         )
         # pid-scoped path: concurrent runs over the same sf dir (sweep
-        # and bench in parallel) must not race each other's buckets
-        out = _os.path.join(
-            "/tmp", "dbzray-resumable-gate",
-            f"{_os.path.basename(_os.path.normpath(sf_dir))}-{_os.getpid()}",
-        )
+        # and bench in parallel) must not race each other's buckets.
+        # Sweep dead pids' leftovers so repeated runs don't accumulate
+        # full table copies in /tmp.
+        parent = _os.path.join("/tmp", "dbzray-resumable-gate")
+        base = _os.path.basename(_os.path.normpath(sf_dir))
+        if _os.path.isdir(parent):
+            for d in _os.listdir(parent):
+                pid = d.rsplit("-", 1)[-1]
+                if pid.isdigit() and not _os.path.exists(f"/proc/{pid}"):
+                    _shutil.rmtree(_os.path.join(parent, d),
+                                   ignore_errors=True)
+        out = _os.path.join(parent, f"{base}-{_os.getpid()}")
         _shutil.rmtree(out, ignore_errors=True)
         return resumable_write(docs, out, "doc_id", buckets=16)
 

@@ -1676,6 +1676,13 @@ def dup_substring_rate(
     ``buckets`` groups — never millions of per-gram groups, and never the
     text. In-bucket df marking is a sort + run-length pass; the final
     per-doc fold is |buckets| x docs-touched tiny rows.
+
+    Precision: grams are compared by a 64-bit rolling hash, not by
+    string — a collision (birthday bound ~n_distinct²/2^65; ~1 expected
+    around 10^10 distinct grams) merges two different grams, slightly
+    inflating dup_rate. Exact for the corpora the oracle checks; at
+    extreme scale this is a documented approximation (the exact path is
+    a second verify pass over colliding buckets, same as minhash's).
     """
     import ray.data  # noqa: F401 (docs_ds is already a Dataset)
     from ray.data.aggregate import Sum

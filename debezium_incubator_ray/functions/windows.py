@@ -2098,10 +2098,11 @@ def watermark_late_flags(
             inc = np.maximum.accumulate(ts_o[:-1])
             prev[1:] = np.maximum(inc, incoming)
         has_prev = prev != np.iinfo(np.int64).min
-        # subtract only where a predecessor exists: INT64_MIN - allowed_us
-        # would wrap (masked later, but relies on wrap semantics and can
-        # emit overflow warnings)
-        wm = np.where(has_prev, prev - np.int64(allowed_us), np.int64(0))
+        # subtract only where a predecessor exists (masked assignment —
+        # np.where would still evaluate the subtraction on the INT64_MIN
+        # sentinel rows and wrap)
+        wm = np.zeros(len(prev), dtype=np.int64)
+        wm[has_prev] = prev[has_prev] - np.int64(allowed_us)
         late = has_prev & (ts_o < wm)
         cols = {
             id_col: pa.array(ids[order], pa.int64()),

@@ -934,7 +934,10 @@ class CdcEngine:
         prev_skew = None
         if thr is not None:
             for ent in reversed(self.manifest.doc.get("lineage", [])):
-                if ent.get("partitions_touched", 0) > 0 and \
+                # EPOCH lineage only: snapshot/compaction row counts
+                # measure bulk-load layout, not hot-key event skew
+                if ent.get("kind") == "epoch" and \
+                        ent.get("partitions_touched", 0) > 0 and \
                         "skew_ratio" in ent:
                     prev_skew = ent["skew_ratio"]
                     break
@@ -2430,6 +2433,10 @@ class CdcEngine:
             p: [outs[i][p + 1] for i in range(len(outs)) if counts[i][p] > 0]
             for p in range(P)
         }
+        # splits are done (counts fetched): drop the raw normalized blocks
+        # and the unused empty-slice refs so only the LZ4 slices stay
+        # resident in the object store through the apply stage
+        del block_refs, outs
         ctor_ref = ray.put(dict(
             manifest_doc=self.manifest.doc,
             lake_dir=self.lake_dir,
@@ -3134,8 +3141,27 @@ class CdcEngine:
             pick_bad, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    def apply_schema_changes(self, changes) -> Optional[Dict[str, Any]]:
+        """Apply structured SchemaChange ops OUT OF BAND (e.g. Lake.
+        apply_ddl's ALTER TABLE branch): the same validation + history
+        path an epoch's control file takes, committed durably as its own
+        manifest version. Already-applied (change, column, at_lsn)
+        triples are skipped — replaying the same DDL is a no-op. Returns
+        the schema_update committed, or None if nothing was fresh."""
+        upd = self._build_schema_update(list(changes))
+        if upd is None:
+            return None
+        self._acquire_lock()
+        self.manifest = self.manifest.commit({}, schema_update=upd)
+        self.flush()
+        return upd
+
     def _pending_schema_update(self, binlog_dir: str) -> Optional[Dict[str, Any]]:
-        changes = binlog_src.load_schema_changes(binlog_dir)
+        return self._build_schema_update(
+            binlog_src.load_schema_changes(binlog_dir)
+        )
+
+    def _build_schema_update(self, changes) -> Optional[Dict[str, Any]]:
         if not changes:
             return None
         applied = set()

@@ -117,12 +117,20 @@ class Lake:
         - CREATE TABLE → :meth:`create_table` with the parsed arrow
           schema; the parsed PRIMARY KEY becomes the engine key (single
           column) or composite ``key_cols``; parsed DEFAULT literals
-          seed the lake's default map (CreateTableParserListener.java:28-49);
+          seed the lake's default map (CreateTableParserListener.java:28-49).
+          A PK-less CREATE is rejected unless ``config`` names a key that
+          exists in the parsed columns (the engine cannot merge without a
+          key identity). Re-CREATE of an existing table is a pure
+          attach — the new statement's schema/key/defaults are IGNORED
+          (matching the reference's Tables registry keeping the first
+          definition until a DROP);
         - DROP TABLE → :meth:`drop_table`; the Oracle ``PURGE`` trailer
           (skip the recycle bin) maps to ``delete_files=True``
           (DropTableParserListener.java:24-43);
-        - ALTER TABLE → the table's structured SchemaChange stream,
-          appended to its NEXT epoch via :meth:`stage_schema_changes`.
+        - ALTER TABLE → applied to the named table's engine through the
+          same validated schema-history path an epoch's control file
+          takes (CdcEngine.apply_schema_changes — durable manifest
+          commit; replays are no-ops). The table must exist.
 
         Returns ("create", CdcEngine) | ("drop", name) | ("alter", name,
         [SchemaChange]).
@@ -134,19 +142,34 @@ class Lake:
         parsed = parse_statement(text, at_lsn=at_lsn)
         if parsed[0] == "create":
             tdef = parsed[1]
+            if self._safe_name(tdef.name) in self.engines:
+                # pure attach: the registry keeps the first definition
+                return ("create", self[tdef.name])
             cfg = _dc.replace(config) if config is not None else EngineConfig()
             pk = [c.lower() for c in tdef.primary_key]
+            col_names = {c[0] for c in tdef.columns}
             if len(pk) == 1:
                 cfg.key = pk[0]
                 cfg.key_cols = None
             elif len(pk) > 1:
                 cfg.key_cols = pk
+            else:
+                # no PK in the DDL: the config must name a real column —
+                # silently keying on a nonexistent default would fail (or
+                # mis-key) at the first epoch
+                key_cols = list(cfg.key_cols or [cfg.key])
+                if config is None or not all(
+                    k in col_names for k in key_cols
+                ):
+                    raise ValueError(
+                        f"CREATE TABLE {tdef.name!r} has no PRIMARY KEY "
+                        f"and no explicit engine key among its columns "
+                        f"({sorted(col_names)}); declare a PK or pass a "
+                        "config whose key/key_cols exist in the table"
+                    )
             eng = self.create_table(tdef.name, tdef.arrow_schema(), cfg)
             lits = tdef.defaults()
-            if lits and not all(
-                eng.manifest.doc["defaults"].get(k) == v
-                for k, v in lits.items()
-            ):
+            if lits:
                 # persist DEFAULT literals through a real manifest commit
                 # (an in-memory doc mutation would vanish on reload)
                 eng.manifest = eng.manifest.commit(
@@ -161,6 +184,9 @@ class Lake:
             self.drop_table(name, delete_files=opts["purge"])
             return ("drop", name)
         _, table, changes = parsed
+        if self._safe_name(table) not in self.engines:
+            raise KeyError(f"ALTER TABLE {table!r}: no such table in lake")
+        self[table].apply_schema_changes(changes)
         return ("alter", table, changes)
 
     def process_ddl_segment(
@@ -291,6 +317,13 @@ class Lake:
         split = split_block_demux.options(num_returns=len(layout) + 1)
         outs = [split.remote(b, nk_ref, route_fn, layout) for b in block_refs]
         counts = ray.get([o[0] for o in outs])
+        refs_by_slot = {
+            i: [outs[b][i + 1] for b in range(len(outs)) if counts[b][i] > 0]
+            for i in range(len(layout))
+        }
+        # splits done: release the raw blocks + empty-slice refs so only
+        # the LZ4 slices stay resident through the apply stage
+        del block_refs, outs
         ctor_ref = ray.put(dict(
             manifest_docs={t: e.manifest.doc for t, e in engines.items()},
             lake_dirs={t: e.lake_dir for t, e in engines.items()},
@@ -298,14 +331,12 @@ class Lake:
                 t: e.cfg.target_rows_per_file for t, e in engines.items()
             },
         ))
-        tasks = []
-        for i, (tname, p) in enumerate(layout):
-            refs = [outs[b][i + 1] for b in range(len(outs))
-                    if counts[b][i] > 0]
-            if refs:
-                tasks.append(
-                    apply_demux_slices.remote(ctor_ref, tname, p, *refs)
-                )
+        tasks = [
+            apply_demux_slices.remote(ctor_ref, tname, p,
+                                      *refs_by_slot[i])
+            for i, (tname, p) in enumerate(layout)
+            if refs_by_slot[i]
+        ]
         return [r for t in ray.get(tasks) for r in t.to_pylist()]
 
     def reconcile(self, latest_tables, delete_files: bool = False) -> list:

@@ -58,6 +58,22 @@ from debezium_incubator_ray import schema as S
 # staged bytes are the scarce resource (see module docstring)
 _IPC_LZ4 = pa.ipc.IpcWriteOptions(compression="lz4")
 
+
+def _partition_slices(batch: pa.Table, P: int):
+    """Shared split kernel for every exchange writer: one vectorized sort
+    by the partition column, then zero-copy slices at the partition
+    boundaries. Yields (p, slice_table) for each non-empty partition."""
+    if batch.num_rows == 0:
+        return
+    idx = pc.sort_indices(batch, sort_keys=[(S.PART, "ascending")])
+    t = batch.take(idx)
+    parts = t[S.PART].combine_chunks().to_numpy()
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        if hi > lo:
+            yield p, t.slice(lo, hi - lo)
+
 WRITER_MANIFEST_SCHEMA = pa.schema(
     [
         pa.field(S.PART, pa.int32()),
@@ -81,26 +97,18 @@ class StagingWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return WRITER_MANIFEST_SCHEMA.empty_table()
-        idx = pc.sort_indices(batch, sort_keys=[(S.PART, "ascending")])
-        t = batch.take(idx)
-        parts = t[S.PART].combine_chunks().to_numpy()
-        bounds = np.searchsorted(parts, np.arange(self.P + 1))
         out_p: List[int] = []
         out_path: List[str] = []
         out_rows: List[int] = []
         tag = uuid.uuid4().hex
-        for p in range(self.P):
-            lo, hi = bounds[p], bounds[p + 1]
-            if hi <= lo:
-                continue
+        for p, sl in _partition_slices(batch, self.P):
             rel = f"p={p}/{tag}.arrow"
-            sl = t.slice(lo, hi - lo)
             with pa.OSFile(os.path.join(self.stage_dir, rel), "wb") as f:
                 with pa.ipc.new_file(f, sl.schema, options=_IPC_LZ4) as w:
                     w.write_table(sl)
             out_p.append(p)
             out_path.append(rel)
-            out_rows.append(int(hi - lo))
+            out_rows.append(sl.num_rows)
         return pa.Table.from_arrays(
             [
                 pa.array(out_p, pa.int32()),
@@ -176,16 +184,9 @@ def split_block(block: pa.Table, P: int):
     themselves stay in the object store on the node that ran this task."""
     counts = np.zeros(P, dtype=np.int64)
     slices: List[Any] = [None] * P
-    if block.num_rows:
-        idx = pc.sort_indices(block, sort_keys=[(S.PART, "ascending")])
-        t = block.take(idx)
-        parts = t[S.PART].combine_chunks().to_numpy()
-        bounds = np.searchsorted(parts, np.arange(P + 1))
-        for p in range(P):
-            lo, hi = bounds[p], bounds[p + 1]
-            if hi > lo:
-                counts[p] = hi - lo
-                slices[p] = _table_to_ipc_bytes(t.slice(lo, hi - lo))
+    for p, sl in _partition_slices(block, P):
+        counts[p] = sl.num_rows
+        slices[p] = _table_to_ipc_bytes(sl)
     return (counts.tolist(), *slices)
 
 
@@ -239,26 +240,15 @@ class DemuxStagingWriter:
         tag = uuid.uuid4().hex
         for tname, norm in self.norms.items():
             flat = norm(batch)  # include-regex inside norm routes the table
-            if flat.num_rows == 0:
-                continue
-            idx = pc.sort_indices(flat, sort_keys=[(S.PART, "ascending")])
-            t = flat.take(idx)
-            parts = t[S.PART].combine_chunks().to_numpy()
-            P = norm.num_partitions
-            bounds = np.searchsorted(parts, np.arange(P + 1))
-            for p in range(P):
-                lo, hi = bounds[p], bounds[p + 1]
-                if hi <= lo:
-                    continue
+            for p, sl in _partition_slices(flat, norm.num_partitions):
                 rel = os.path.join(tname, f"p={p}", f"{tag}.arrow")
-                sl = t.slice(lo, hi - lo)
                 with pa.OSFile(os.path.join(self.stage_dir, rel), "wb") as f:
                     with pa.ipc.new_file(f, sl.schema, options=_IPC_LZ4) as w:
                         w.write_table(sl)
                 tables.append(tname)
                 ps.append(p)
                 paths.append(rel)
-                rows.append(int(hi - lo))
+                rows.append(sl.num_rows)
         return pa.table(
             {
                 "table": pa.array(tables, pa.string()),
@@ -328,19 +318,10 @@ def split_block_demux(block: pa.Table, norm_kwargs_by_table: Dict[str, Dict[str,
         block = route_fn(block)
     for tname, kw in norm_kwargs_by_table.items():
         flat = NormalizeEnvelope(**kw)(block)
-        if flat.num_rows == 0:
-            continue
-        idx = pc.sort_indices(flat, sort_keys=[(S.PART, "ascending")])
-        t = flat.take(idx)
-        parts = t[S.PART].combine_chunks().to_numpy()
-        P = kw["num_partitions"]
-        bounds = np.searchsorted(parts, np.arange(P + 1))
-        for p in range(P):
-            lo, hi = bounds[p], bounds[p + 1]
-            if hi > lo:
-                i = slot[(tname, p)]
-                counts[i] = hi - lo
-                slices[i] = _table_to_ipc_bytes(t.slice(lo, hi - lo))
+        for p, sl in _partition_slices(flat, kw["num_partitions"]):
+            i = slot[(tname, p)]
+            counts[i] = sl.num_rows
+            slices[i] = _table_to_ipc_bytes(sl)
     return (counts.tolist(), *slices)
 
 

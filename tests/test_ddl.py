@@ -271,3 +271,56 @@ def test_lake_lifecycle_from_ddl_control_segment(tmp_path):
     oracle = gen.oracle_final_state(spec, ev)
     # DDL-created schema uses string/binary (not large_*): compare values
     assert_tables_equal(lt, oracle, sort_by="url")
+
+
+def test_apply_ddl_alter_and_guards(tmp_path):
+    """apply_ddl's three review-pinned laws: ALTER actually evolves the
+    table's schema durably (replay = no-op); a PK-less CREATE without a
+    valid config key is rejected; re-CREATE of an existing table is a
+    pure attach that ignores the new statement's defaults/key."""
+    from debezium_incubator_ray.pipelines.lake import Lake
+
+    lake = Lake(str(tmp_path / "lake"))
+    cfg = EngineConfig(num_partitions=2, target_rows_per_file=64)
+
+    # PK-less CREATE: rejected without a config key that exists
+    with pytest.raises(ValueError, match="no PRIMARY KEY"):
+        lake.apply_ddl("CREATE TABLE nokey (a NUMBER(9), b CLOB)")
+    with pytest.raises(ValueError, match="no PRIMARY KEY"):
+        lake.apply_ddl("CREATE TABLE nokey (a NUMBER(9), b CLOB)",
+                       config=EngineConfig(key="missing"))
+    # ...accepted when the config names a real column
+    kind, eng0 = lake.apply_ddl(
+        "CREATE TABLE nokey (a NUMBER(18), b CLOB)",
+        config=EngineConfig(key="a", num_partitions=2),
+    )
+    assert kind == "create" and eng0.cfg.key == "a"
+
+    kind, eng = lake.apply_ddl(
+        "CREATE TABLE t (id NUMBER(18) PRIMARY KEY, "
+        "v VARCHAR2(10) DEFAULT 'x')", config=cfg)
+    assert kind == "create"
+    assert eng.manifest.doc["defaults"] == {"v": "x"}
+
+    # ALTER applies through the validated history path, durably
+    kind, name, chs = lake.apply_ddl(
+        "ALTER TABLE t ADD score BINARY_DOUBLE DEFAULT -1.0", at_lsn=5)
+    assert (kind, name) == ("alter", "t") and len(chs) == 1
+    assert eng.manifest.current_schema().field("score").type == pa.float64()
+    assert eng.manifest.doc["defaults"]["score"] == -1.0
+    v = eng.manifest.version
+    # replaying the same DDL is a no-op (same (change, column, at_lsn))
+    lake.apply_ddl("ALTER TABLE t ADD score BINARY_DOUBLE DEFAULT -1.0",
+                   at_lsn=5)
+    assert eng.manifest.version == v
+
+    # ALTER on an unknown table is an error, not a silent return
+    with pytest.raises(KeyError):
+        lake.apply_ddl("ALTER TABLE ghost ADD c INT")
+
+    # re-CREATE: pure attach — new defaults/key/schema ignored
+    kind, eng2 = lake.apply_ddl(
+        "CREATE TABLE t (other NUMBER(18) PRIMARY KEY, w CLOB DEFAULT 'y')")
+    assert eng2 is eng
+    assert "w" not in eng.manifest.doc["defaults"]
+    assert eng.cfg.key == "id"
