@@ -1705,6 +1705,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ks_two_sample(li, "l_quantity", "l_linestatus", "O", "F")
 
+    def orders_value_gini(sf_dir):
+        """Gini of order VALUE (o_totalprice) — revenue inequality, the
+        sibling of events_gini's activity inequality. Cent-grid
+        value-counts fold (shuffle + driver bounded by distinct cent
+        values, a fixed price grid at any scale); exact integer rank-sum
+        formula on the driver."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import value_gini
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_totalprice"],
+        )
+        return value_gini(ds, "o_totalprice")
+
+    def lineitem_q6_revenue(sf_dir):
+        """The classic TPC-H Q6 pruned-scan aggregate: forecast-revenue
+        change = sum(extendedprice * discount) over a discount band and
+        quantity cap. Columns pruned at the read; per-batch partial sums
+        in exact CENTS x BASIS-POINTS int64 (floats would drift vs the
+        oracle's sum order); one tiny driver fold."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_extendedprice", "l_discount", "l_quantity"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            disc = t["l_discount"].combine_chunks()
+            qty = t["l_quantity"].combine_chunks()
+            keep = pc.and_(
+                pc.and_(pc.greater_equal(disc, 0.05),
+                        pc.less_equal(disc, 0.07)),
+                pc.less(qty, 24.0),
+            )
+            t = t.filter(keep)
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "s": pa.array([int((price_c * disc_bp).sum())], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            })
+
+        rows = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # one (s, n) row per block
+        s = sum(r["s"] for r in rows)
+        n = sum(r["n"] for r in rows)
+        return pa.table({
+            "revenue": pa.array([round(s / 10_000.0, 2)], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        })
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -7427,6 +7489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_mann_whitney": stats_mann_whitney,
         "events_autocorr": events_autocorr,
         "events_gini": events_gini,
+        "orders_value_gini": orders_value_gini,
+        "lineitem_q6_revenue": lineitem_q6_revenue,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -8433,6 +8497,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(2.0 * SUM(i * c) / (COUNT(*) * SUM(c)) "
             "- (COUNT(*) + 1.0) / COUNT(*), 6) AS gini, "
             "CAST(COUNT(*) AS BIGINT) AS n_keys FROM r"
+        ),
+        "orders_value_gini": (
+            # cent grid; HUGEINT rank-weighted sum, one cast at the end
+            "WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS c FROM orders WHERE o_totalprice IS NOT NULL), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM v) "
+            "SELECT round(2.0 * SUM(CAST(i AS HUGEINT) * c) "
+            "/ (COUNT(*) * SUM(CAST(c AS HUGEINT))) "
+            "- (COUNT(*) + 1.0) / COUNT(*), 6) AS gini, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM r"
+        ),
+        "lineitem_q6_revenue": (
+            # exact cents x basis-points, one cast at the end
+            "SELECT round(SUM(CAST(round(l_extendedprice * 100) AS "
+            "HUGEINT) * CAST(round(l_discount * 100) AS BIGINT)) "
+            "/ 10000.0, 2) AS revenue, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 "
+            "AND l_quantity < 24"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

@@ -367,6 +367,8 @@ def main() -> None:
         "stats_mann_whitney",
         "graph_assortativity",
         "events_gini",
+        "orders_value_gini",
+        "lineitem_q6_revenue",
         "events_changepoint",
         "cdc_prefix_lookup",
         "cdc_key_range_scan",

@@ -813,6 +813,65 @@ def kendall_tau_b(ds, a_col: str, b_col: str):
     })
 
 
+def _gini_from_value_counts(c: np.ndarray, m: np.ndarray):
+    """Exact Gini over the multiset {c_i with multiplicity m_i}: the
+    integer rank-sum formula G = 2*sum(rank_i * x_i)/(n * sum(x)) -
+    (n+1)/n, runs of equal values contributing c*(m*start + m(m-1)/2).
+    Arbitrary-precision (Python ints) — rank-weighted sums wrap int64 at
+    large n. Returns (gini, n)."""
+    order = np.argsort(c)
+    c, m = c[order], m[order]
+    n = int(m.sum())
+    s = int((c.astype(object) * m).sum())
+    start = np.cumsum(m) - m + 1  # 1-based start rank of each value run
+    s1 = sum(
+        int(cv) * (int(mv) * int(st) + int(mv) * (int(mv) - 1) // 2)
+        for cv, mv, st in zip(c, m, start)
+    )
+    gini = 2.0 * s1 / (n * s) - (n + 1.0) / n if n and s else float("nan")
+    return gini, n
+
+
+def value_gini(ds, col: str, cents: int = 100):
+    """Gini coefficient of a MONEY column's values — how unequally is
+    value (not activity) concentrated (events_gini's sibling: there the
+    multiset is per-key event counts; here it is the column's cent
+    values). One narrow fold: per-block value_counts of
+    round(col * cents) → groupby — the shuffle and the driver finish are
+    bounded by the DISTINCT cent-value count (a bounded price grid at any
+    scale), never the row count. Exact integer rank-sum; NULLs excluded.
+    Returns one row (gini, n)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().drop_null()
+        c = pc.cast(pc.round(pc.multiply(v, float(cents))), pa.int64())
+        vc = c.value_counts()
+        return pa.table({
+            "c": vc.field("values"),
+            "m": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(Sum("m", alias_name="m"))
+        .take_all()
+    )
+    if not rows:
+        return pa.table({
+            "gini": pa.array([float("nan")], pa.float64()),
+            "n": pa.array([0], pa.int64()),
+        })
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    m = np.array([r["m"] for r in rows], dtype=np.int64)
+    gini, n = _gini_from_value_counts(c, m)
+    return pa.table({
+        "gini": pa.array([round(float(gini), 6)], pa.float64()),
+        "n": pa.array([n], pa.int64()),
+    })
+
+
 def gini_coefficient(ds, key_col: str):
     """Gini coefficient of per-key event counts — how unequally is
     activity concentrated across keys (0 = uniform, ->1 = one key owns
@@ -859,19 +918,7 @@ def gini_coefficient(ds, key_col: str):
         })
     c = np.array([r["c"] for r in rows], dtype=np.int64)
     m = np.array([r["m"] for r in rows], dtype=np.int64)
-    order = np.argsort(c)
-    c, m = c[order], m[order]
-    n = int(m.sum())
-    s = int((c * m).sum())
-    start = np.cumsum(m) - m + 1  # 1-based start rank of each value run
-    # rank-weighted sum in arbitrary precision: c*m*start ~ O(n^3 / runs)
-    # wraps int64 at large n; the run list is distinct-bounded, so Python
-    # ints cost nothing
-    s1 = sum(
-        int(cv) * (int(mv) * int(st) + int(mv) * (int(mv) - 1) // 2)
-        for cv, mv, st in zip(c, m, start)
-    )
-    gini = 2.0 * s1 / (n * s) - (n + 1.0) / n if n and s else float("nan")
+    gini, n = _gini_from_value_counts(c, m)
     return pa.table({
         "gini": pa.array([round(float(gini), 6)], pa.float64()),
         "n_keys": pa.array([n], pa.int64()),
