@@ -4621,6 +4621,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select(["query_id", "vec_id", "rank"])
 
+    def ann_ivf_index_topk(sf_dir):
+        """The PERSISTED IVF scale path: build_ivf_index writes the
+        corpus hive-partitioned by nearest-centroid id (atomic publish +
+        _CENTROIDS.json), then ivf_index_topk reads ONLY the probed
+        cluster partitions off storage — nprobe/nc of the corpus bytes
+        move instead of all of them. Same deterministic centroids and
+        tie rules as ann_ivf_topk, so the same oracle pins byte-equality
+        of index-backed search vs the in-memory assignment."""
+        import os as _os
+        import shutil as _shutil
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+        from debezium_incubator_ray.functions.ann import (
+            _batch_matrix, build_ivf_index, ivf_index_topk,
+        )
+
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = et.filter(pc.less(et["vec_id"], 10))
+        ct = et.filter(pc.less(et["vec_id"], 8)).sort_by(
+            [("vec_id", "ascending")])
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        idx = _os.path.join(
+            "/tmp", "dbzray-ivf-index",
+            f"{_os.path.basename(_os.path.normpath(sf_dir))}-{_os.getpid()}",
+        )
+        build_ivf_index(ds, _batch_matrix(ct), idx)
+        try:
+            out = ivf_index_topk(
+                idx, qt["vec_id"].to_numpy(), _batch_matrix(qt),
+                k=5, nprobe=3,
+            )
+            return out.select(["query_id", "vec_id", "rank"])
+        finally:
+            _shutil.rmtree(_os.path.dirname(idx), ignore_errors=True)
+
     def embedding_kmeans(sf_dir):
         """Spherical k-means (k=8, one recenter iteration, deterministic
         init = first 8 vectors, centroids rounded to 6dp per step):
@@ -7607,6 +7643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_recall_eval": ann_recall_eval,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_index_topk": ann_ivf_index_topk,
         "embedding_kmeans": embedding_kmeans,
         "multimodal_meta": multimodal_meta,
         "embedding_gram": embedding_gram,
@@ -11197,4 +11234,6 @@ def oracle_sql() -> dict[str, str]:
         "SUM(value) FILTER (((mask >> 3) & 1) = 1) AS value",
     )
     assert "SUM(value)" in out["cdc_counter_col"]
+    # index-backed IVF search must equal the in-memory assignment exactly
+    out["ann_ivf_index_topk"] = out["ann_ivf_topk"]
     return out

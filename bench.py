@@ -205,7 +205,8 @@ def main() -> None:
         "cdc_lww_state", "cdc_changelog_counts", "agg_presum_groupby",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "text_token_count",
         "text_quality", "text_fingerprint", "text_lang_id", "ann_brute_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk",
+        "embedding_kmeans",
         "type_normalization", "multimodal_meta", "dedup_embedding",
         "dedup_ngram_jaccard", "dedup_clusters", "sample_stratified",
         "docs_quality_filter", "text_tfidf_topterms", "windowed_agg",

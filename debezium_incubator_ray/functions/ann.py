@@ -435,3 +435,139 @@ def normalize_embeddings(
         pa.array(unit.reshape(-1), pa.float64()), M.shape[1]
     )
     return batch.append_column(out_col, _pc.cast(arr, pa.list_(pa.float64())))
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the scale path ivf_topk's docstring describes —
+# the centroid assignment becomes the PARTITION KEY on disk, so a query
+# reads nprobe partitions instead of the corpus.
+
+
+def build_ivf_index(
+    ds,
+    centroids: np.ndarray,
+    out_dir: str,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> dict:
+    """Write the corpus partitioned by nearest-centroid id
+    (``cluster=<cid>/*.parquet``) in ONE streaming pass: per batch, one
+    matmul vs the broadcast centroid matrix assigns rows; Ray's
+    partitioned parquet writer lays the files out by cluster. The
+    centroid matrix is persisted next to the data (_CENTROIDS.json,
+    rounded 6dp — the same reproducibility contract as
+    spherical_kmeans) so searches provably probe the space the index was
+    built in. Publish is atomic (tmp dir + rename): readers never see a
+    half-built index. Returns {"clusters": nc, "cluster_dirs": n}."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray
+
+    Cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    cref = ray.put(Cn)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C = _ray.get(cref)
+        M = _normalize(_batch_matrix(t, col))
+        cid = np.argmax(M @ C.T, axis=1).astype(np.int64)
+        # "cluster" becomes the hive partition dir (dropped from the data
+        # files by the writer); "cid" persists IN the files so a reader
+        # coalescing several partitions still knows each row's list
+        t = t.append_column("cluster", pa.array(cid))
+        return t.append_column("cid", pa.array(cid))
+
+    tmp = f"{out_dir}.{uuid.uuid4().hex}.tmp"
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    assigned.write_parquet(tmp, partition_cols=["cluster"])
+    with open(os.path.join(tmp, "_CENTROIDS.json"), "w") as f:
+        json.dump({
+            "centroids": np.round(np.asarray(centroids, np.float64), 6)
+            .tolist(),
+        }, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)  # the visibility point
+    nc = len(centroids)
+    n_rows = sum(
+        1 for d in os.listdir(out_dir) if d.startswith("cluster=")
+    )
+    return {"clusters": nc, "cluster_dirs": n_rows}
+
+
+def ivf_index_topk(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """Search a :func:`build_ivf_index` layout: compute each query's
+    ``nprobe`` closest centroids from the PERSISTED matrix, then READ
+    ONLY the union of probed ``cluster=`` partitions off storage — the
+    I/O-pruning payoff of bucketing by assignment (nprobe/nc of the
+    corpus bytes move, vs all of them for the in-memory path). In-batch
+    masking against each row's stored cluster id keeps per-query
+    probe-set exactness identical to :func:`ivf_topk` (same tie rules:
+    lower centroid index, lower id)."""
+    import json
+    import os
+
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "_CENTROIDS.json")) as f:
+        C = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    Cn = _normalize(C)
+    Qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qsims = Qn @ Cn.T
+    nq, nc = qsims.shape
+    probes = np.zeros((nq, nc), dtype=bool)
+    for qi in range(nq):  # nq is small (the query set)
+        order = np.lexsort((np.arange(nc), -qsims[qi]))
+        probes[qi, order[: min(nprobe, nc)]] = True
+    probed = sorted(np.nonzero(probes.any(axis=0))[0].tolist())
+    paths = []
+    for c in probed:  # expand to files: only probed partitions are read
+        d = os.path.join(index_dir, f"cluster={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return _merge_topk([], k)
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": query_matrix})
+    probes_ref = ray.put(probes)
+
+    class _IndexTopK(BruteForceTopK):
+        def __init__(self):
+            super().__init__(ref, k, id_col, col)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            P = _ray.get(probes_ref)
+            M = _normalize(_batch_matrix(batch, self.col))
+            ids = batch[self.id_col].to_numpy()
+            cid = batch["cid"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            sims = self.Q @ M.T
+            sims = np.where(P[:, cid], sims, -np.inf)
+            return _masked_topk(sims, ids, self.qids, self.k)
+
+    partial = ray.data.read_parquet(paths).map_batches(
+        _IndexTopK,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=2,
+    )
+    return _merge_topk(partial.take_all(), k)
