@@ -61,3 +61,55 @@ def test_ivf_recall_does_not_drop_at_16x(base):
     # the scale law: fixed probes must hold recall as data grows
     assert r1 >= 0.9, r1
     assert r16 >= r1, (r16, r1)
+
+
+def test_ivf_index_build_and_pruned_search(base, tmp_path):
+    """Persisted-index laws: hive layout by centroid, search byte-equal
+    to the in-memory IVF path, rebuild is atomic (old index readable
+    until the rename), and an all-empty probe set returns the canonical
+    empty result."""
+    import json
+
+    import pyarrow as pa
+
+    from debezium_incubator_ray.functions.ann import (
+        build_ivf_index, ivf_index_topk, ivf_topk,
+    )
+
+    M, ids = base
+    tbl = _replicate(M, ids, 1)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    C = M[:8]
+    idx = str(tmp_path / "ivf")
+    info = build_ivf_index(ds, C, idx)
+    assert info["clusters"] == 8
+    dirs = sorted(d for d in os.listdir(idx) if d.startswith("cluster="))
+    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+    with open(os.path.join(idx, "_CENTROIDS.json")) as f:
+        persisted = np.asarray(json.load(f)["centroids"])
+    assert persisted.shape == C.shape
+
+    Q, qids = M[:6], ids[:6]
+    mem = ivf_topk(ds, qids, Q, C, k=5, nprobe=3).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    onx = ivf_index_topk(idx, qids, Q, k=5, nprobe=3).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    assert mem.equals(onx)
+
+    # rebuild over the same path is atomic and leaves one valid index
+    info2 = build_ivf_index(ds, C, idx)
+    assert info2["clusters"] == 8
+    onx2 = ivf_index_topk(idx, qids, Q, k=5, nprobe=3).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    assert mem.equals(onx2)
+    assert not [d for d in os.listdir(str(tmp_path)) if d.endswith(".tmp")]
+
+    # nprobe larger than cluster count degrades to exact brute force
+    from debezium_incubator_ray.functions.ann import brute_force_topk
+
+    exact = brute_force_topk(ds, qids, Q, k=5).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    allp = ivf_index_topk(idx, qids, Q, k=5, nprobe=99).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    assert exact.select(["query_id", "vec_id", "rank"]).equals(
+        allp.select(["query_id", "vec_id", "rank"]))
