@@ -110,6 +110,57 @@ try:
     got = ray.get(consume.remote(*refs["nodeA"][1:]))
     assert got == 400_000, got
 
+    # --- law 4: the DEMUX (multi-table) objref epoch across nodes -------
+    # route one pages stream into two tables by url parity; byte-equal to
+    # a staging-mode run over the same input, still no shared staging root
+    from debezium_incubator_ray.pipelines.lake import Lake
+    from debezium_incubator_ray.stages.normalize import NormalizeEnvelope  # noqa: F401
+
+    spec2 = gen.BinlogSpec(n_events=2000, n_initial=0, num_partitions=4,
+                           seg_rows=512, seed=23, emit_before=False)
+    binlog2 = os.path.join(root, "binlog2")
+    gen.write_binlog(binlog2, spec2, gen.gen_events(spec2))
+
+    def route(t):
+        import pyarrow.compute as pc
+
+        src = t["source"].combine_chunks()
+        after = t["after"].combine_chunks()
+        url = after.field("url")
+        # last digit's parity (urls end in the zero-padded id); deletes
+        # have a null after -> null route -> no table (both modes agree)
+        last = pc.extract_regex(url, r"(?P<d>\d)$")
+        parity = pc.bit_wise_and(
+            pc.cast(pc.struct_field(last, "d"), pa.int64()), 1)
+        tbl = pc.if_else(pc.equal(parity, 0),
+                         pa.scalar("pages_even"), pa.scalar("pages_odd"))
+        names = [src.type.field(i).name for i in range(src.type.num_fields)]
+        if isinstance(tbl, pa.ChunkedArray):
+            tbl = tbl.combine_chunks()
+        arrs = [tbl if n == "table" else src.field(i)
+                for i, n in enumerate(names)]
+        new_src = pa.StructArray.from_arrays(arrs, names=names)
+        i = t.schema.get_field_index("source")
+        return t.set_column(i, t.schema.field("source"), new_src)
+
+    results = {}
+    for mode in ("staging", "objref"):
+        lk = Lake(os.path.join(root, f"dlake-{mode}"))
+        for name in ("pages_even", "pages_odd"):
+            lk.create_table(name, S.pages_schema(), EngineConfig(
+                num_partitions=4, exchange=mode, apply_num_cpus=1))
+        st = lk.apply_epoch_demux(binlog2, route_fn=route)
+        assert st["events"] > 0, (mode, st)
+        results[mode] = {
+            n: lk[n].lake_table().sort_by([("url", "ascending")])
+            for n in ("pages_even", "pages_odd")
+        }
+        if mode == "objref":
+            assert not os.path.exists(
+                os.path.join(root, f"dlake-{mode}", "_staging"))
+    for n in ("pages_even", "pages_odd"):
+        assert results["staging"][n].equals(results["objref"][n]), n
+
     print("MULTINODE_OK")
 finally:
     ray.shutdown()
