@@ -5019,6 +5019,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return markov_transitions(ev)
 
+    def events_transition_entropy(sf_dir):
+        """Behavioral predictability: conditional entropy H(next|prev) of
+        the event-type chain, plus the marginal next-entropy and their
+        difference (the information the previous event carries). Rides
+        the markov_transitions fold — the driver finish touches only the
+        |types|^2 count rows. Natural-log, rounded 6dp on both sides."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.windows import (
+            markov_transitions,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "event_id"],
+        )
+        t = collect_table(markov_transitions(ev))
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        prev = t["prev_type"].to_pylist()
+        total = c.sum()
+        # H(next|prev) = -sum p(i,j) ln p(j|i); row totals by prev type
+        row = {}
+        for p, n in zip(prev, c):
+            row[p] = row.get(p, 0.0) + n
+        ci = np.array([row[p] for p in prev])
+        h_cond = float(-(c / total * np.log(c / ci)).sum())
+        # marginal next entropy from the same counts
+        nxt = t["next_type"].to_pylist()
+        col = {}
+        for q, n in zip(nxt, c):
+            col[q] = col.get(q, 0.0) + n
+        cj = np.array(list(col.values()))
+        h_next = float(-(cj / total * np.log(cj / total)).sum())
+        return pa.table({
+            "h_cond": pa.array([round(h_cond, 6)], pa.float64()),
+            "h_next": pa.array([round(h_next, 6)], pa.float64()),
+            "info_gain": pa.array([round(h_next - h_cond, 6)],
+                                  pa.float64()),
+        })
+
     def events_trigram_paths(sf_dir):
         """Top-20 three-step event-type paths over each user's ordered
         stream — the sequence-mining generalization of the transition
@@ -7658,6 +7700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_psi_drift": dq_psi_drift,
         "sample_weighted_topk": sample_weighted_topk,
         "events_markov_transitions": events_markov_transitions,
+        "events_transition_entropy": events_transition_entropy,
         "events_trigram_paths": events_trigram_paths,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
@@ -9988,6 +10031,24 @@ def oracle_sql() -> dict[str, str]:
             "AS prev_type FROM events) "
             "SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt "
             "FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_transition_entropy": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS prev_type FROM events), "
+            "m AS (SELECT prev_type AS p, event_type AS n, "
+            "CAST(count(*) AS DOUBLE) AS c FROM s "
+            "WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT SUM(c) AS t FROM m), "
+            "ri AS (SELECT p, SUM(c) AS ci FROM m GROUP BY 1), "
+            "hc AS (SELECT -SUM(m.c / tot.t * ln(m.c / ri.ci)) AS h "
+            "FROM m JOIN ri USING (p) CROSS JOIN tot), "
+            "cn AS (SELECT n, SUM(c) AS cj FROM m GROUP BY 1), "
+            "hn AS (SELECT -SUM(cj / tot.t * ln(cj / tot.t)) AS h "
+            "FROM cn CROSS JOIN tot) "
+            "SELECT round(hc.h, 6) AS h_cond, round(hn.h, 6) AS h_next, "
+            "round(hn.h - hc.h, 6) AS info_gain "
+            "FROM hc CROSS JOIN hn"
         ),
         "events_trigram_paths": (
             # LEAD within the user partition NULLs past each history's

@@ -236,7 +236,8 @@ def main() -> None:
         "cdc_partial_evolution", "cdc_partial_mor", "cdc_counter_col",
         "cdc_range_erase", "corpus_shuffle_head", "join_regional_revenue",
         "cdc_tombstone_purge", "dq_psi_drift", "sample_weighted_topk",
-        "events_markov_transitions", "events_rollup", "events_cube",
+        "events_markov_transitions", "events_transition_entropy",
+        "events_rollup", "events_cube",
         "events_lag_gaps", "join_anti_customers", "join_range_price_tier",
         "sample_per_group_k", "join_full_outer_daily",
         "join_semi_recent_orders", "embedding_quantize_int8",
