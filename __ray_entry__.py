@@ -1767,6 +1767,580 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n": pa.array([n], pa.int64()),
         })
 
+    def lineitem_q1_pricing(sf_dir):
+        """The TPC-H Q1 pricing summary: per (returnflag, linestatus)
+        sums of quantity / base price / discounted price / charge plus
+        the three means, over shipdate <= the cutoff. All money math in
+        exact int64 CENTS x BASIS-POINTS (floats would drift vs the
+        oracle's sum order; at true 100-TB row counts the partials
+        would move to decimal128 — the per-group per-batch fold shape
+        is unchanged). Per-batch group partials pre-reduce before one
+        tiny 6-row groupby."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        CUTOFF = np.datetime64("2000-09-02T00:00:00", "us").astype(
+            np.int64
+        )
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax",
+                     "l_shipdate"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ship <= CUTOFF))
+            if t.num_rows == 0:
+                return pa.table({
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "qty_c": pa.array([], pa.int64()),
+                    "price_c": pa.array([], pa.int64()),
+                    "disc_cbp": pa.array([], pa.int64()),
+                    "charge_cbp2": pa.array([], pa.int64()),
+                    "disc_bp": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                })
+
+            def cents(col, scale):
+                return pc.cast(
+                    pc.round(pc.multiply(t[col], scale)), pa.int64()
+                ).to_numpy(zero_copy_only=False)
+
+            qty_c = cents("l_quantity", 100.0)
+            price_c = cents("l_extendedprice", 100.0)
+            disc_bp = cents("l_discount", 100.0)
+            tax_bp = cents("l_tax", 100.0)
+            disc_price = price_c * (100 - disc_bp)
+            charge = disc_price * (100 + tax_bp)
+            part = pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": pa.array(qty_c),
+                "price_c": pa.array(price_c),
+                "disc_cbp": pa.array(disc_price),
+                "charge_cbp2": pa.array(charge),
+                "disc_bp": pa.array(disc_bp),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+                [("qty_c", "sum"), ("price_c", "sum"),
+                 ("disc_cbp", "sum"), ("charge_cbp2", "sum"),
+                 ("disc_bp", "sum"), ("n", "sum")]
+            )
+            return pa.table({
+                "l_returnflag": part["l_returnflag"],
+                "l_linestatus": part["l_linestatus"],
+                "qty_c": part["qty_c_sum"],
+                "price_c": part["price_c_sum"],
+                "disc_cbp": part["disc_cbp_sum"],
+                "charge_cbp2": part["charge_cbp2_sum"],
+                "disc_bp": part["disc_bp_sum"],
+                "n": part["n_sum"],
+            })
+
+        g = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_c", alias_name="qty_c"),
+                       Sum("price_c", alias_name="price_c"),
+                       Sum("disc_cbp", alias_name="disc_cbp"),
+                       Sum("charge_cbp2", alias_name="charge_cbp2"),
+                       Sum("disc_bp", alias_name="disc_bp"),
+                       Sum("n", alias_name="n"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g)
+        idx = pc.sort_indices(t, sort_keys=[
+            ("l_returnflag", "ascending"), ("l_linestatus", "ascending"),
+        ])
+        t = t.take(idx)
+        # exact HALF-AWAY rounding in integer space (Python ints — no
+        # int64 ceiling, no float half-edge divergence vs the oracle):
+        # sums land on exact 2dp/6dp grids, so float round() would
+        # tie-break differently than DuckDB on knife-edge halves
+        n = [int(v) for v in t["n"].to_pylist()]
+        qty = [int(v) for v in t["qty_c"].to_pylist()]
+        price = [int(v) for v in t["price_c"].to_pylist()]
+        disc_p = [int(v) for v in t["disc_cbp"].to_pylist()]
+        charge = [int(v) for v in t["charge_cbp2"].to_pylist()]
+        disc = [int(v) for v in t["disc_bp"].to_pylist()]
+
+        def cents2(vals, scale):
+            # value = v / scale dollars, rounded half-away to 2dp:
+            # (v + half-of-last-kept-unit) // (scale/100) gives cents
+            return pa.array(
+                [(v + scale // 200) // (scale // 100) / 100.0
+                 if scale > 100 else v / 100.0 for v in vals],
+                pa.float64(),
+            )
+
+        def mean6(svals, sunit):
+            # mean = s / (sunit * n), rounded half-away to 6dp, exact
+            return pa.array(
+                [((2_000_000 * s // sunit) + nn) // (2 * nn) / 1e6
+                 for s, nn in zip(svals, n)],
+                pa.float64(),
+            )
+
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": cents2(qty, 100),
+            "sum_base_price": cents2(price, 100),
+            "sum_disc_price": cents2(disc_p, 10_000),
+            "sum_charge": cents2(charge, 1_000_000),
+            "avg_qty": mean6(qty, 100),
+            "avg_price": mean6(price, 100),
+            "avg_disc": mean6(disc, 100),
+            "count_order": t["n"],
+        })
+
+    def join_q3_shipping(sf_dir):
+        """The TPC-H Q3 shape: top-10 unshipped-at-cutoff orders of the
+        BUILDING segment by discounted lineitem revenue. The two small
+        sides reduce BEFORE touching lineitem: segment custkeys fold to
+        a sorted id array, qualifying orders to parallel arrays — both
+        broadcast ONCE via ray.put (at lake scale the order side would
+        cut over to the shared shuffle join; this is the documented
+        broadcast path). Lineitem revenue folds per batch per orderkey
+        in exact cents x bp, one narrow groupby, per-block top-k
+        partials, k x blocks rows to the driver."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        D = np.datetime64("2000-03-15T00:00:00", "us").astype(np.int64)
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+
+        def cust_part(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["c_mktsegment"], "BUILDING")
+            return t.filter(keep).select(["c_custkey"])
+
+        ckeys = np.sort(np.array(
+            [r["c_custkey"] for r in cust.map_batches(
+                cust_part, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()], np.int64,
+        ))
+        ckeys_ref = ray.put(ckeys)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"],
+        )
+
+        def ord_part(t: pa.Table) -> pa.Table:
+            ck = ray.get(ckeys_ref)
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            oc = t["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(ck, oc)
+            pos[pos == len(ck)] = 0
+            keep = (od < D) & (ck[pos] == oc)
+            return t.filter(pa.array(keep)).select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            )
+
+        orows = orders.map_batches(
+            ord_part, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        okeys = np.array([r["o_orderkey"] for r in orows], np.int64)
+        order_o = np.argsort(okeys)
+        okeys = okeys[order_o]
+        odates = np.array(
+            [r["o_orderdate"] for r in orows], "datetime64[us]"
+        )[order_o]
+        oprios = np.array(
+            [r["o_orderpriority"] for r in orows], object
+        )[order_o]
+        okeys_ref = ray.put(okeys)
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        )
+
+        def li_part(t: pa.Table) -> pa.Table:
+            ok = ray.get(okeys_ref)
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(ok, lo)
+            pos[pos == len(ok)] = 0
+            keep = (ship > D) & (ok[pos] == lo)
+            t = t.filter(pa.array(keep))
+            if t.num_rows == 0:
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                })
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            part = pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "rev": pa.array(price_c * (100 - disc_bp)),
+            }).group_by("o_orderkey").aggregate([("rev", "sum")])
+            return pa.table({"o_orderkey": part["o_orderkey"],
+                             "rev": part["rev_sum"]})
+
+        from debezium_incubator_ray.functions.kernels import (
+            merge_local_topk, table_topk,
+        )
+
+        per_order = (
+            li.map_batches(li_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("o_orderkey")
+            .aggregate(Sum("rev", alias_name="rev"))
+        )
+
+        def topk_part(t: pa.Table) -> pa.Table:
+            # round half-away to 2dp in INT space BEFORE the top-k (the
+            # oracle orders by the rounded value; cents grid halves
+            # would tie-break differently in float)
+            rev = t["rev"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            out = pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "revenue": pa.array(((rev + 50) // 100) / 100.0),
+            })
+            return table_topk(out, "revenue", ["o_orderkey"], 10)
+
+        cand = per_order.map_batches(topk_part, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        top = merge_local_topk(cand, "revenue", ["o_orderkey"], 10, empty)
+        order = pc.sort_indices(
+            top.append_column("_neg", pc.negate(top["revenue"])),
+            sort_keys=[("_neg", "ascending"), ("o_orderkey", "ascending")],
+        )
+        top = top.take(order)
+        kk = top["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(okeys, kk)
+        days = np.datetime_as_string(odates[pos].astype("datetime64[D]"))
+        return pa.table({
+            "o_orderkey": top["o_orderkey"],
+            "revenue": top["revenue"],  # already exact-2dp rounded
+            "order_day": pa.array(list(days), pa.string()),
+            "o_orderpriority": pa.array(list(oprios[pos]), pa.string()),
+        })
+
+    def stats_cramers_v(sf_dir):
+        """Cramér's V between document language and source — the
+        bias-unadjusted effect size on the lang x source contingency
+        grid (chi2 exists on events; this is association STRENGTH on
+        the corpus mix, the quantity a curation run actually tracks).
+        Exact integer cell counts fold per batch; the driver finish is
+        the r x c grid (tens of cells), zero-observed cells included."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "source"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.and_(pc.is_valid(t["lang"]),
+                                 pc.is_valid(t["source"])))
+            part = t.append_column(
+                "n", pa.array(np.ones(t.num_rows, np.int64))
+            ).group_by(["lang", "source"]).aggregate([("n", "sum")])
+            return pa.table({"lang": part["lang"],
+                             "source": part["source"],
+                             "n": part["n_sum"]})
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # r x c cells — tiny
+        langs = sorted({r["lang"] for r in rows})
+        srcs = sorted({r["source"] for r in rows})
+        grid = np.zeros((len(langs), len(srcs)), np.int64)
+        li = {v: i for i, v in enumerate(langs)}
+        si = {v: i for i, v in enumerate(srcs)}
+        for r in rows:
+            grid[li[r["lang"]], si[r["source"]]] = r["n"]
+        n = grid.sum()
+        rn = grid.sum(axis=1, keepdims=True).astype(np.float64)
+        cn = grid.sum(axis=0, keepdims=True).astype(np.float64)
+        E = rn * cn / n
+        chi2 = float(((grid - E) ** 2 / E).sum())
+        kmin = min(len(langs), len(srcs)) - 1
+        v = float(np.sqrt(chi2 / (n * kmin)))
+        return pa.table({
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "cramers_v": pa.array([round(v, 6)], pa.float64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "n_lang": pa.array([len(langs)], pa.int64()),
+            "n_source": pa.array([len(srcs)], pa.int64()),
+        })
+
+    def stats_cohens_d(sf_dir):
+        """Cohen's d (pooled-SD effect size) + Hedges' g correction for
+        l_quantity between returnflag A and R — the standardized
+        mean-difference companion to the Welch row (which tests; this
+        SIZES). Quantities fold as exact int64 cents power sums
+        (sum, sum-of-squares); the variance algebra is stated
+        identically on both sides so rounding agrees."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["l_returnflag"],
+                                  value_set=pa.array(["A", "R"])))
+            if t.num_rows == 0:
+                return pa.table({
+                    "g": pa.array([], pa.string()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                })
+            q = pc.cast(
+                pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            part = pa.table({
+                "g": t["l_returnflag"],
+                "s": pa.array(q),
+                "ss": pa.array(q * q),
+                "n": pa.array(np.ones(len(q), np.int64)),
+            }).group_by("g").aggregate(
+                [("s", "sum"), ("ss", "sum"), ("n", "sum")]
+            )
+            return pa.table({"g": part["g"], "s": part["s_sum"],
+                             "ss": part["ss_sum"], "n": part["n_sum"]})
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("g")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss"),
+                       Sum("n", alias_name="n"))
+            .take_all()
+        )
+        st = {r["g"]: r for r in rows}
+        a, b = st["A"], st["R"]
+
+        def mv(r):
+            n = float(r["n"])
+            m = r["s"] / 100.0 / n
+            var = (r["ss"] / 10_000.0 - n * m * m) / (n - 1.0)
+            return n, m, var
+
+        na, ma, va = mv(a)
+        nb, mb, vb = mv(b)
+        sp = float(np.sqrt(
+            ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+        ))
+        d = (ma - mb) / sp
+        g = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+
+        def mean6(r):
+            # exact half-away 6dp of s / (100 n): the mean sits on a
+            # rational grid where float round() can split vs the oracle
+            s, nn = int(r["s"]), int(r["n"])
+            return (20_000 * s + nn) // (2 * nn) / 1e6
+
+        return pa.table({
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "mean_a": pa.array([mean6(a)], pa.float64()),
+            "mean_b": pa.array([mean6(b)], pa.float64()),
+            "pooled_sd": pa.array([round(sp, 6)], pa.float64()),
+            "cohens_d": pa.array([round(d, 6)], pa.float64()),
+            "hedges_g": pa.array([round(g, 6)], pa.float64()),
+        })
+
+    def embedding_silhouette(sf_dir):
+        """Simplified (centroid-based) silhouette per label: a = distance
+        to the own-label centroid, b = min distance to any other
+        centroid, s = (b - a) / max(a, b) — the standard clustering
+        cohesion gauge over the labeled embedding corpus. Two streaming
+        passes: a (label x dim) mean fold broadcast once, then per-batch
+        vectorized distances; per-vector s rounds to 6dp and folds as
+        exact MICRO-int sums per label, so the cross-batch sum order
+        cannot drift vs the oracle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.ann import _batch_matrix
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["label", "embedding"],
+        )
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.is_valid(t["embedding"]),
+                                 pc.is_valid(t["label"])))
+            if t.num_rows == 0:
+                return pa.table({"label": pa.array([], pa.int32()),
+                                 "i": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            M = _batch_matrix(t, "embedding").astype(np.float64)
+            lab = t["label"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ulab, inv = np.unique(lab, return_inverse=True)
+            sums = np.zeros((len(ulab), M.shape[1]), np.float64)
+            np.add.at(sums, inv, M)
+            cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+            k, dim = sums.shape
+            return pa.table({
+                "label": pa.array(np.repeat(ulab, dim)),
+                "i": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, dim)),
+            })
+
+        cent_rows = (
+            ds.map_batches(sum_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["label", "i"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )  # labels x dims rows — tiny
+        labels = sorted({r["label"] for r in cent_rows})
+        dim = 1 + max(r["i"] for r in cent_rows)
+        C = np.zeros((len(labels), dim), np.float64)
+        lidx = {v: i for i, v in enumerate(labels)}
+        for r in cent_rows:
+            C[lidx[r["label"]], r["i"]] = r["s"] / r["n"]
+        ref = ray.put((np.array(labels), C))
+
+        def sil_partial(t: pa.Table) -> pa.Table:
+            labs, cents = ray.get(ref)
+            t = t.filter(pc.and_(pc.is_valid(t["embedding"]),
+                                 pc.is_valid(t["label"])))
+            if t.num_rows == 0:
+                return pa.table({"label": pa.array([], pa.int32()),
+                                 "smu": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            M = _batch_matrix(t, "embedding").astype(np.float64)
+            lab = t["label"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            # squared dists to ALL centroids: |x|^2 - 2 x.c + |c|^2
+            d2 = (
+                (M * M).sum(axis=1, keepdims=True)
+                - 2.0 * (M @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            np.maximum(d2, 0.0, out=d2)
+            dist = np.sqrt(d2)
+            own_col = np.searchsorted(labs, lab)
+            rows_idx = np.arange(len(lab))
+            a = dist[rows_idx, own_col]
+            dist[rows_idx, own_col] = np.inf
+            b = dist.min(axis=1)
+            s = (b - a) / np.maximum(a, b)
+            s_mu = np.rint(s * 1e6)
+            part = pa.table({
+                "label": pa.array(lab),
+                "smu": pa.array(s_mu.astype(np.int64)),
+                "n": pa.array(np.ones(len(lab), np.int64)),
+            }).group_by("label").aggregate([("smu", "sum"), ("n", "sum")])
+            return pa.table({"label": part["label"],
+                             "smu": part["smu_sum"], "n": part["n_sum"]})
+
+        g = (
+            ds.map_batches(sil_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("label")
+            .aggregate(Sum("smu", alias_name="smu"),
+                       Sum("n", alias_name="n"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g)
+        t = t.take(pc.sort_indices(t, sort_keys=[("label", "ascending")]))
+        smu = [int(v) for v in t["smu"].to_pylist()]
+        n = [int(v) for v in t["n"].to_pylist()]
+
+        def mean6(s, nn):
+            # half-AWAY-from-zero 6dp of (s / n) micro-units, exact in
+            # int space, sign-aware (s can be negative)
+            a = (2 * abs(s) + nn) // (2 * nn)
+            return (a if s >= 0 else -a) / 1e6
+
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int32()),
+            "n": t["n"],
+            "mean_s": pa.array(
+                [mean6(s, nn) for s, nn in zip(smu, n)], pa.float64()
+            ),
+        })
+
+    def graph_jaccard_neighbors(sf_dir):
+        """Top-50 non-adjacent part pairs by neighborhood Jaccard on the
+        top-2000 co-purchase subgraph — the set-overlap sibling of the
+        Adamic-Adar row (integer common-neighbor counts, degree-broadcast
+        union denominator; same bucketed wedge machinery)."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import jaccard_topk
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        return jaccard_topk(edges, k=50, buckets=32)
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -7569,6 +8143,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gini": events_gini,
         "orders_value_gini": orders_value_gini,
         "lineitem_q6_revenue": lineitem_q6_revenue,
+        "lineitem_q1_pricing": lineitem_q1_pricing,
+        "join_q3_shipping": join_q3_shipping,
+        "stats_cramers_v": stats_cramers_v,
+        "stats_cohens_d": stats_cohens_d,
+        "embedding_silhouette": embedding_silhouette,
+        "graph_jaccard_neighbors": graph_jaccard_neighbors,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -8595,6 +9175,166 @@ def oracle_sql() -> dict[str, str]:
             "/ 10000.0, 2) AS revenue, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 "
             "AND l_quantity < 24"
+        ),
+        "lineitem_q1_pricing": (
+            # ALL money math in exact cents x basis-points HUGEINTs;
+            # every 2dp/6dp output is rounded half-AWAY in INTEGER
+            # space ((v + half) // unit), mirroring the engine exactly —
+            # these sums land on rational grids where float round()
+            # would tie-break half-even
+            "WITH f AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(round(l_quantity * 100) AS HUGEINT) AS qc, "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) AS pc, "
+            "CAST(round(l_discount * 100) AS HUGEINT) AS db, "
+            "CAST(round(l_tax * 100) AS HUGEINT) AS tb FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'), "
+            "g AS (SELECT l_returnflag, l_linestatus, "
+            "SUM(qc) AS sq, SUM(pc) AS sp, "
+            "SUM(pc * (100 - db)) AS sdp, "
+            "SUM(pc * (100 - db) * (100 + tb)) AS sch, "
+            "SUM(db) AS sd, CAST(COUNT(*) AS HUGEINT) AS n FROM f "
+            "GROUP BY 1, 2) "
+            "SELECT l_returnflag, l_linestatus, "
+            "sq / 100.0 AS sum_qty, sp / 100.0 AS sum_base_price, "
+            "((sdp + 50) // 100) / 100.0 AS sum_disc_price, "
+            "((sch + 5000) // 10000) / 100.0 AS sum_charge, "
+            "((20000 * sq + n) // (2 * n)) / 1000000.0 AS avg_qty, "
+            "((20000 * sp + n) // (2 * n)) / 1000000.0 AS avg_price, "
+            "((20000 * sd + n) // (2 * n)) / 1000000.0 AS avg_disc, "
+            "CAST(n AS BIGINT) AS count_order "
+            "FROM g ORDER BY 1, 2"
+        ),
+        "join_q3_shipping": (
+            # revenue rounded half-away to 2dp in INT cents BEFORE the
+            # top-10 (the engine orders by the rounded value); ties on
+            # the rounded revenue break by orderkey
+            "WITH r AS (SELECT l.l_orderkey, "
+            "SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00' "
+            "AND l.l_shipdate > TIMESTAMP '2000-03-15 00:00:00' "
+            "GROUP BY 1) "
+            "SELECT r.l_orderkey AS o_orderkey, "
+            "((r.rev + 50) // 100) / 100.0 AS revenue, "
+            "CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_day, "
+            "o.o_orderpriority FROM r "
+            "JOIN orders o ON o.o_orderkey = r.l_orderkey "
+            "ORDER BY ((r.rev + 50) // 100) DESC, r.l_orderkey ASC "
+            "LIMIT 10"
+        ),
+        "stats_cramers_v": (
+            # full r x c grid INCLUDING zero-observed cells (they still
+            # contribute E); chi2/V are irrational so round(6) on the
+            # shared double algebra is drift-safe
+            "WITH c AS (SELECT lang AS a, source AS b, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents "
+            "WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "rt AS (SELECT a, sum(n) AS rn FROM c GROUP BY a), "
+            "ct AS (SELECT b, sum(n) AS cn FROM c GROUP BY b), "
+            "tot AS (SELECT sum(n) AS nn FROM c), "
+            "grid AS (SELECT rt.a, ct.b, rt.rn, ct.cn, "
+            "coalesce(c.n, 0) AS n FROM rt CROSS JOIN ct "
+            "LEFT JOIN c ON c.a = rt.a AND c.b = ct.b), "
+            "x AS (SELECT sum(power(grid.n - grid.rn * grid.cn / tot.nn, "
+            "2) / (grid.rn * grid.cn / tot.nn)) AS chi2, "
+            "any_value(tot.nn) AS nn FROM grid, tot) "
+            "SELECT round(x.chi2, 6) AS chi2, "
+            "round(sqrt(x.chi2 / (x.nn * "
+            "(least((SELECT count(*) FROM rt), "
+            "(SELECT count(*) FROM ct)) - 1))), 6) AS cramers_v, "
+            "CAST(x.nn AS BIGINT) AS n, "
+            "CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_lang, "
+            "CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_source "
+            "FROM x"
+        ),
+        "stats_cohens_d": (
+            # power sums in exact qty-cents ints; the variance algebra
+            # is stated EXACTLY as the engine folds it ((ss - n m^2) /
+            # (n-1) in the same float op order); reported means round
+            # half-away in INT space (they sit on the cents/n grid)
+            "WITH s AS (SELECT l_returnflag AS g, "
+            "SUM(CAST(round(l_quantity * 100) AS HUGEINT)) AS s, "
+            "SUM(CAST(round(l_quantity * 100) AS HUGEINT) * "
+            "CAST(round(l_quantity * 100) AS HUGEINT)) AS ss, "
+            "CAST(COUNT(*) AS HUGEINT) AS n FROM lineitem "
+            "WHERE l_returnflag IN ('A', 'R') GROUP BY 1), "
+            "a AS (SELECT n, s, ss, s / 100.0 / n AS m, "
+            "(ss / 10000.0 - n * (s / 100.0 / n) * (s / 100.0 / n)) "
+            "/ (n - 1) AS v FROM s WHERE g = 'A'), "
+            "b AS (SELECT n, s, ss, s / 100.0 / n AS m, "
+            "(ss / 10000.0 - n * (s / 100.0 / n) * (s / 100.0 / n)) "
+            "/ (n - 1) AS v FROM s WHERE g = 'R'), "
+            "sp AS (SELECT sqrt(((a.n - 1.0) * a.v + (b.n - 1.0) * b.v) "
+            "/ (a.n + b.n - 2.0)) AS sp FROM a, b) "
+            "SELECT CAST(a.n AS BIGINT) AS n_a, "
+            "CAST(b.n AS BIGINT) AS n_b, "
+            "((20000 * a.s + a.n) // (2 * a.n)) / 1000000.0 AS mean_a, "
+            "((20000 * b.s + b.n) // (2 * b.n)) / 1000000.0 AS mean_b, "
+            "round(sp.sp, 6) AS pooled_sd, "
+            "round((a.m - b.m) / sp.sp, 6) AS cohens_d, "
+            "round((a.m - b.m) / sp.sp * "
+            "(1.0 - 3.0 / (4.0 * (a.n + b.n) - 9.0)), 6) AS hedges_g "
+            "FROM a, b, sp"
+        ),
+        "embedding_silhouette": (
+            # centroid coords = SUM/COUNT doubles (matching the engine's
+            # s/n fold); per-vector s rounds to micro-ints via
+            # round(s * 1e6) and folds EXACTLY; the per-label mean then
+            # rounds half-AWAY sign-aware in int space
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS i "
+            "FROM embeddings WHERE embedding IS NOT NULL "
+            "AND label IS NOT NULL), "
+            "cent AS (SELECT label, i, SUM(v) / COUNT(*) AS mu "
+            "FROM e GROUP BY 1, 2), "
+            "d2 AS (SELECT e.vec_id, e.label AS vlabel, cent.label AS "
+            "clabel, sqrt(greatest(SUM((e.v - cent.mu) * "
+            "(e.v - cent.mu)), 0.0)) AS dist "
+            "FROM e JOIN cent ON cent.i = e.i GROUP BY 1, 2, 3), "
+            "ab AS (SELECT vec_id, vlabel, "
+            "MAX(CASE WHEN clabel = vlabel THEN dist END) AS a, "
+            "MIN(CASE WHEN clabel <> vlabel THEN dist END) AS b "
+            "FROM d2 GROUP BY 1, 2), "
+            "s AS (SELECT vlabel AS label, CAST(round((b - a) / "
+            "greatest(a, b) * 1000000) AS BIGINT) AS smu FROM ab), "
+            "g AS (SELECT label, SUM(smu) AS sm, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1) "
+            "SELECT CAST(label AS INTEGER) AS label, n, "
+            "(CASE WHEN sm >= 0 THEN (2 * sm + n) // (2 * n) "
+            "ELSE -((2 * (-sm) + n) // (2 * n)) END) / 1000000.0 "
+            "AS mean_s FROM g ORDER BY label"
+        ),
+        "graph_jaccard_neighbors": (
+            # same top-2000 co-purchase edge cut as adamic_adar; J =
+            # common / (deg_x + deg_y - common); non-adjacent pairs
+            # only; ORDER BY the ROUNDED score (integer ratios can land
+            # exactly on 6dp halves — both sides round half-AWAY)
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "und AS (SELECT a AS c, b AS n FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d "
+            "FROM und GROUP BY 1), "
+            "w AS (SELECT u1.n AS x, u2.n AS y, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM und u1 "
+            "JOIN und u2 ON u1.c = u2.c AND u1.n < u2.n GROUP BY 1, 2), "
+            "jc AS (SELECT w.x, w.y, round(CAST(w.cnt AS DOUBLE) / "
+            "(dx.d + dy.d - w.cnt), 6) AS jaccard FROM w "
+            "JOIN deg dx ON dx.c = w.x JOIN deg dy ON dy.c = w.y), "
+            "ne AS (SELECT jc.* FROM jc LEFT JOIN e "
+            "ON e.a = jc.x AND e.b = jc.y WHERE e.a IS NULL) "
+            "SELECT x AS node_a, y AS node_b, jaccard FROM ne "
+            "ORDER BY jaccard DESC, node_a ASC, node_b ASC LIMIT 50"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

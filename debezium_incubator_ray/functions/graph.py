@@ -999,6 +999,166 @@ def adamic_adar(edges, src_col: str = "src", dst_col: str = "dst",
     return out.take(order)
 
 
+def jaccard_topk(edges, src_col: str = "src", dst_col: str = "dst",
+                 k: int = 50, buckets: int = 64):
+    """Top-k NON-adjacent node pairs by neighborhood Jaccard
+    J(x, y) = |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the set-overlap sibling
+    of :func:`adamic_adar` (same wedge machinery, integer common-
+    neighbor counts instead of 1/ln(deg) weights, and a degree lookup
+    to finish the union denominator).
+
+    Reference parity: none (training-data / graph-curation side).
+
+    Scale shape: identical to adamic_adar — full neighborhoods
+    co-locate by center hash, per-center pair expansion pre-sums
+    integer wedge counts per pair, canonical edges ride the same pair
+    buckets as null markers for the in-bucket anti-join. The degree
+    table is O(|V|) of the (already cut) edge graph and is broadcast
+    once via ray.put; only #buckets x k candidates reach the driver.
+    Scores are rounded half-AWAY-from-zero before the top-k (integer
+    ratios CAN land exactly on a 6dp half; DuckDB rounds away)."""
+    import ray
+
+    from debezium_incubator_ray.hashing import partition_ids, stable_hash
+    from debezium_incubator_ray.functions.kernels import (
+        expand_pairs, merge_local_topk, table_topk,
+    )
+
+    ce = canonical_edges(edges, src_col, dst_col, buckets=buckets)
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        c = pa.chunked_array([t["a"].combine_chunks(),
+                              t["b"].combine_chunks()])
+        n = pa.chunked_array([t["b"].combine_chunks(),
+                              t["a"].combine_chunks()])
+        out = pa.table({"c": c, "n": n})
+        cb = pa.array(
+            partition_ids(out["c"].combine_chunks(), buckets, "hash"),
+            pa.int32(),
+        )
+        return out.append_column("_cb", cb)
+
+    # degree map of the cut graph: O(|V|) rows, folded distributed then
+    # broadcast ONCE (the cut keeps |V| <= 2 * |edge cut| by construction)
+    from ray.data.aggregate import Sum
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array([t["a"].combine_chunks(),
+                                 t["b"].combine_chunks()])
+        part = pa.table({"node": both}).group_by("node").aggregate(
+            [("node", "count")]
+        )
+        return pa.table({"node": part["node"],
+                         "d": pc.cast(part["node_count"], pa.int64())})
+
+    deg_rows = (
+        ce.map_batches(deg_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()
+    )
+    deg_nodes = np.array(sorted(r["node"] for r in deg_rows), np.int64)
+    dmap = {r["node"]: r["d"] for r in deg_rows}
+    deg_vals = np.array([dmap[n] for n in deg_nodes], np.int64)
+    deg_ref = ray.put((deg_nodes, deg_vals))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, c))
+        c, nb = c[order], nb[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.append(starts, len(c)))
+        L, R = expand_pairs(sizes)
+        if len(L) == 0:
+            return pa.table({
+                "x": pa.array([], g["n"].type),
+                "y": pa.array([], g["n"].type),
+                "w": pa.array([], pa.int64()),
+                "_pb": pa.array([], pa.int32()),
+            })
+        x = np.minimum(nb[L], nb[R])
+        y = np.maximum(nb[L], nb[R])
+        part = pa.table({
+            "x": pc.cast(pa.array(x), g["n"].type),
+            "y": pc.cast(pa.array(y), g["n"].type),
+            "w": pa.array(np.ones(len(x), np.int64)),
+        }).group_by(["x", "y"]).aggregate([("w", "sum")])
+        pb = (
+            (stable_hash(part["x"]) ^ stable_hash(part["y"]))
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return pa.table({
+            "x": part["x"], "y": part["y"], "w": part["w_sum"],
+            "_pb": pa.array(pb),
+        })
+
+    wedge_ds = (
+        ce.map_batches(adjacency, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_cb")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        pb = (
+            (stable_hash(t["a"]) ^ stable_hash(t["b"]))
+            % np.uint64(buckets)
+        ).astype(np.int32)
+        return pa.table({
+            "x": t["a"], "y": t["b"],
+            "w": pa.nulls(t.num_rows, pa.int64()),  # edge marker
+            "_pb": pa.array(pb),
+        })
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        is_edge = pc.is_null(t["w"])
+        e = t.filter(is_edge).select(["x", "y"])
+        s = (
+            t.filter(pc.invert(is_edge))
+            .select(["x", "y", "w"])
+            .group_by(["x", "y"])
+            .aggregate([("w", "sum")])
+        )
+        j = s.join(e, keys=["x", "y"], join_type="left anti")
+        xs = j["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        ys = j["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = j["w_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        dx = degs[np.searchsorted(nodes, xs)]
+        dy = degs[np.searchsorted(nodes, ys)]
+        jac = pc.round(
+            pa.array(cnt / (dx + dy - cnt).astype(np.float64)),
+            6, round_mode="half_towards_infinity",
+        )
+        out = pa.table({
+            "node_a": j["x"], "node_b": j["y"], "jaccard": jac,
+        })
+        return table_topk(out, "jaccard", ["node_a", "node_b"], k)
+
+    cand = (
+        wedge_ds.union(
+            ce.map_batches(tag_edge, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        )
+        .groupby("_pb")
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
+    empty = pa.table({
+        "node_a": pa.array([], pa.int64()),
+        "node_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    out = merge_local_topk(cand, "jaccard", ["node_a", "node_b"], k, empty)
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["jaccard"])),
+        sort_keys=[("_neg", "ascending"), ("node_a", "ascending"),
+                   ("node_b", "ascending")],
+    )
+    return out.take(order)
+
+
 def kcore_peel(edges, src_col: str = "src", dst_col: str = "dst",
                k: int = 3, rounds: int = 4, buckets: int = 64):
     """Bounded k-core peeling: ``rounds`` iterations of "drop every node

@@ -1413,6 +1413,37 @@ def test_adamic_adar_square(ray_session):
     assert out["aa_score"].to_pylist() == [expect, expect]
 
 
+def test_jaccard_topk_square_plus_tail(ray_session):
+    """4-cycle with a pendant node 5 on node 1: diagonals (1,3) and
+    (2,4) share two neighbors; J(1,3) = 2 / (3 + 2 - 2) = 2/3,
+    J(2,4) = 2 / (2 + 2 - 2) = 1. The pendant makes the degrees
+    asymmetric so the union denominator is actually exercised, and
+    (3,5) / (4,5)-style pairs (one common neighbor through 1) rank
+    below. Adjacent pairs must not appear."""
+    import pyarrow as pa
+    import ray.data
+    from debezium_incubator_ray.functions.graph import jaccard_topk
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "dst": pa.array([2, 3, 4, 1, 5], pa.int64()),
+    }))
+    out = jaccard_topk(edges, k=10, buckets=4)
+    got = {(a, b): s for a, b, s in zip(out["node_a"].to_pylist(),
+                                        out["node_b"].to_pylist(),
+                                        out["jaccard"].to_pylist())}
+    assert got[(2, 4)] == 1.0
+    assert got[(1, 3)] == round(2.0 / 3.0, 6)
+    # pendant wedges through node 1: J = 1 / (deg+1-1)
+    assert got[(2, 5)] == 0.5
+    assert got[(4, 5)] == 0.5
+    # adjacent pairs excluded
+    assert (1, 2) not in got and (1, 5) not in got
+    # ranking: rounded score desc, then (a, b)
+    assert out["node_a"].to_pylist()[0] == 2
+    assert out["node_b"].to_pylist()[0] == 4
+
+
 def test_abc_classes_known_split(ray_session):
     """Values 50/30/15/5: cumulative shares 0.5/0.8/0.95/1.0 — the first
     two are A (<= 0.8), the third B (<= 0.95), the last C; ties and
