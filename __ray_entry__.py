@@ -2341,6 +2341,299 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return jaccard_topk(edges, k=50, buckets=32)
 
+    def text_flesch_hist(sf_dir):
+        """Flesch reading-ease histogram over the corpus (10-point
+        buckets) — the classic readability screen a curation pipeline
+        thresholds on. Words = whitespace tokens; sentences = runs of
+        [.!?] (floored at 1); syllables = vowel-group runs floored at
+        one per word IN AGGREGATE (the per-word floor applied at doc
+        granularity keeps both sides vectorized — no word unnest).
+        The score expression is evaluated in the IDENTICAL double op
+        order as the oracle, so the bucket floor cannot split."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.text import _flat_tokens
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            txt = pc.utf8_trim_whitespace(t["text"].combine_chunks())
+            _, lens = _flat_tokens(t, "text")
+            sents = pc.count_substring_regex(
+                txt, "[.!?]+"
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            vg = pc.count_substring_regex(
+                pc.utf8_lower(txt), "[aeiouy]+"
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = lens > 0
+            W = lens[keep].astype(np.float64)
+            S = np.maximum(sents[keep], 1).astype(np.float64)
+            SY = np.maximum(vg[keep], lens[keep]).astype(np.float64)
+            flesch = 206.835 - 1.015 * (W / S) - 84.6 * (SY / W)
+            bucket = np.floor(flesch / 10.0).astype(np.int64)
+            part = pa.table({
+                "bucket": pa.array(bucket),
+                "n": pa.array(np.ones(len(bucket), np.int64)),
+            }).group_by("bucket").aggregate([("n", "sum")])
+            return pa.table({"bucket": part["bucket"],
+                             "n": part["n_sum"]})
+
+        g = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n_docs"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g, empty=pa.table({
+            "bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }))
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("bucket", "ascending")
+        ]))
+
+    def text_js_divergence(sf_dir):
+        """Pairwise Jensen-Shannon divergence (log2) between the
+        per-source unigram distributions — the drift gauge between
+        corpus slices (the KL-symmetric cousin of the vocab-overlap
+        Jaccard row). Per-(source, token) counts shuffle once bucketed
+        by token hash; per-bucket dense pivots emit per-PAIR partial
+        term sums (zeros included — a one-sided token contributes
+        p/2), so only n_pairs x buckets tiny rows fold at the end. At
+        web scale the vocabulary would be capped top-V first; the
+        pair/bucket shape is unchanged."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.text import _flat_tokens
+        from debezium_incubator_ray.hashing import stable_hash
+
+        BUCKETS = 32
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+
+        def explode(t: pa.Table) -> pa.Table:
+            flat, lens = _flat_tokens(t, "text")
+            src = pa.chunked_array([t["source"].combine_chunks()])                 .combine_chunks().take(
+                    pa.array(np.repeat(np.arange(t.num_rows), lens))
+                )
+            part = pa.table({
+                "source": src, "token": flat,
+                "c": pa.array(np.ones(len(flat), np.int64)),
+            }).group_by(["source", "token"]).aggregate([("c", "sum")])
+            return pa.table({
+                "source": part["source"], "token": part["token"],
+                "c": part["c_sum"],
+            })
+
+        counts = (
+            ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["source", "token"])
+            .aggregate(Sum("c", alias_name="c"))
+            .materialize()
+        )
+
+        totals = {
+            r["source"]: r["c"]
+            for r in counts.groupby("source")
+            .aggregate(Sum("c", alias_name="c")).take_all()
+        }
+        srcs = sorted(totals)
+        tot_ref = ray.put((srcs, np.array([totals[s] for s in srcs],
+                                          np.float64)))
+
+        def rebucket(t: pa.Table) -> pa.Table:
+            tb = (stable_hash(t["token"]) % np.uint64(BUCKETS))                 .astype(np.int32)
+            return t.append_column("_tb", pa.array(tb))
+
+        def pair_terms(g: pa.Table) -> pa.Table:
+            src_list, N = ray.get(tot_ref)
+            sidx = {s: i for i, s in enumerate(src_list)}
+            toks = g["token"].combine_chunks()
+            utok, tinv = np.unique(
+                toks.to_numpy(zero_copy_only=False), return_inverse=True
+            )
+            si = np.array(
+                [sidx[s] for s in
+                 g["source"].combine_chunks().to_pylist()], np.int64
+            )
+            C = np.zeros((len(utok), len(src_list)), np.float64)
+            C[tinv, si] = g["c"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            P = C / N[None, :]  # per-source probability mass in-bucket
+            k = len(src_list)
+            ia, ib, term = [], [], []
+            for i in range(k):
+                for j in range(i + 1, k):
+                    p, q = P[:, i], P[:, j]
+                    m = 0.5 * (p + q)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        tp = np.where(p > 0, p * np.log2(
+                            np.where(p > 0, p, 1.0) / np.where(
+                                m > 0, m, 1.0)), 0.0)
+                        tq = np.where(q > 0, q * np.log2(
+                            np.where(q > 0, q, 1.0) / np.where(
+                                m > 0, m, 1.0)), 0.0)
+                    ia.append(i)
+                    ib.append(j)
+                    term.append(0.5 * float((tp + tq).sum()))
+            return pa.table({
+                "source_a": pa.array([src_list[i] for i in ia]),
+                "source_b": pa.array([src_list[j] for j in ib]),
+                "t": pa.array(term, pa.float64()),
+            })
+
+        per_pair = (
+            counts.map_batches(rebucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_tb")
+            .map_groups(pair_terms, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("t", alias_name="jsd_raw"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(per_pair, empty=pa.table({
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "jsd_raw": pa.array([], pa.float64()),
+        }))
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("source_a", "ascending"), ("source_b", "ascending"),
+        ]))
+        return pa.table({
+            "source_a": t["source_a"],
+            "source_b": t["source_b"],
+            "jsd": pc.round(t["jsd_raw"], 6),
+        })
+
+    def stats_hellinger(sf_dir):
+        """Hellinger distance between the purchase and view value
+        distributions on a unit-width grid — the bounded [0,1]
+        distribution-shift metric (companion to the PSI drift row).
+        Buckets follow the float-grid rule (round(6) BEFORE floor on
+        both sides); counts fold as exact ints and only the final
+        sqrt(1 - BC) is float."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.is_in(t["event_type"],
+                         value_set=pa.array(["purchase", "view"])),
+                pc.is_valid(t["value"]),
+            ))
+            v = t["value"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            ok = ~np.isnan(v)
+            v = v[ok]
+            g = t["event_type"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[ok]
+            bucket = np.floor(np.round(v, 6)).astype(np.int64)
+            part = pa.table({
+                "g": pa.array(g), "bucket": pa.array(bucket),
+                "n": pa.array(np.ones(len(v), np.int64)),
+            }).group_by(["g", "bucket"]).aggregate([("n", "sum")])
+            return pa.table({"g": part["g"], "bucket": part["bucket"],
+                             "n": part["n_sum"]})
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["g", "bucket"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # distinct (group, unit bucket) — grid-bounded
+        from collections import defaultdict
+
+        cp, cv = defaultdict(int), defaultdict(int)
+        for r in rows:
+            (cp if r["g"] == "purchase" else cv)[r["bucket"]] = r["n"]
+        np_, nv = sum(cp.values()), sum(cv.values())
+        bc = 0.0
+        for b in sorted(set(cp) | set(cv)):
+            bc += float(np.sqrt((cp[b] / np_) * (cv[b] / nv)))
+        h = float(np.sqrt(max(1.0 - bc, 0.0)))
+        return pa.table({
+            "n_purchase": pa.array([np_], pa.int64()),
+            "n_view": pa.array([nv], pa.int64()),
+            "bhattacharyya": pa.array([round(bc, 6)], pa.float64()),
+            "hellinger": pa.array([round(h, 6)], pa.float64()),
+        })
+
+    def events_dow_hour_heatmap(sf_dir):
+        """The dow x hour activity heatmap (exact counts) — the
+        profiling grid every ops dashboard starts from. Integer
+        epoch-day arithmetic (isodow = ((day + 3) mod 7) + 1) matches
+        the oracle's isodow()/hour(); per-batch 7 x 24 partials fold
+        in one tiny groupby."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+        )
+        US_H = 3_600_000_000
+        US_D = 24 * US_H
+
+        def partial(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks()
+            ts = ts.filter(pc.is_valid(ts)).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            dow = ((ts // US_D + 3) % 7 + 1).astype(np.int64)
+            hour = ((ts // US_H) % 24).astype(np.int64)
+            part = pa.table({
+                "dow": pa.array(dow), "hour": pa.array(hour),
+                "n": pa.array(np.ones(len(ts), np.int64)),
+            }).group_by(["dow", "hour"]).aggregate([("n", "sum")])
+            return pa.table({"dow": part["dow"], "hour": part["hour"],
+                             "n": part["n_sum"]})
+
+        g = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["dow", "hour"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g, empty=pa.table({
+            "dow": pa.array([], pa.int64()),
+            "hour": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }))
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("dow", "ascending"), ("hour", "ascending"),
+        ]))
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -8149,6 +8442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_cohens_d": stats_cohens_d,
         "embedding_silhouette": embedding_silhouette,
         "graph_jaccard_neighbors": graph_jaccard_neighbors,
+        "text_flesch_hist": text_flesch_hist,
+        "text_js_divergence": text_js_divergence,
+        "stats_hellinger": stats_hellinger,
+        "events_dow_hour_heatmap": events_dow_hour_heatmap,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -9335,6 +9632,87 @@ def oracle_sql() -> dict[str, str]:
             "ON e.a = jc.x AND e.b = jc.y WHERE e.a IS NULL) "
             "SELECT x AS node_a, y AS node_b, jaccard FROM ne "
             "ORDER BY jaccard DESC, node_a ASC, node_b ASC LIMIT 50"
+        ),
+        "text_flesch_hist": (
+            # same whitespace tokenizer; sentences = [.!?]+ runs
+            # floored at 1; syllables = vowel-group runs floored at one
+            # per word IN AGGREGATE; the score expression mirrors the
+            # engine's double op order exactly so the bucket floor
+            # cannot split
+            "WITH d AS (SELECT trim(text) AS tx FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "m AS (SELECT "
+            "CAST(length(string_split_regex(tx, '\\s+')) AS BIGINT) AS w, "
+            "greatest(CAST(length(regexp_extract_all(tx, '[.!?]+')) "
+            "AS BIGINT), 1) AS s, "
+            "CAST(length(regexp_extract_all(lower(tx), '[aeiouy]+')) "
+            "AS BIGINT) AS vg FROM d), "
+            "f AS (SELECT CAST(floor((206.835 - 1.015 * "
+            "(w / CAST(s AS DOUBLE)) - 84.6 * (greatest(vg, w) / "
+            "CAST(w AS DOUBLE))) / 10.0) AS BIGINT) AS bucket FROM m) "
+            "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM f GROUP BY 1 ORDER BY 1"
+        ),
+        "text_js_divergence": (
+            # JSD in log2 over the shared unigram space; one-sided
+            # tokens contribute p/2 (log2(p/(p/2)) = 1) via the same
+            # CASE algebra the engine's dense pivot computes with zeros
+            "WITH tok AS (SELECT source, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "n AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1), "
+            "pairs AS (SELECT a.source AS sa, b.source AS sb "
+            "FROM n a JOIN n b ON a.source < b.source), "
+            "u AS (SELECT DISTINCT w FROM c), "
+            "g AS (SELECT p.sa, p.sb, "
+            "coalesce(ca.c, 0) AS c1, coalesce(cb.c, 0) AS c2, "
+            "na.n AS n1, nb.n AS n2 "
+            "FROM pairs p CROSS JOIN u "
+            "LEFT JOIN c ca ON ca.source = p.sa AND ca.w = u.w "
+            "LEFT JOIN c cb ON cb.source = p.sb AND cb.w = u.w "
+            "JOIN n na ON na.source = p.sa "
+            "JOIN n nb ON nb.source = p.sb "
+            "WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0), "
+            "t AS (SELECT sa, sb, "
+            "(CASE WHEN c1 > 0 THEN (c1 / n1) * log2((c1 / n1) / "
+            "((c1 / n1 + c2 / n2) / 2)) ELSE 0 END) + "
+            "(CASE WHEN c2 > 0 THEN (c2 / n2) * log2((c2 / n2) / "
+            "((c1 / n1 + c2 / n2) / 2)) ELSE 0 END) AS term FROM g) "
+            "SELECT sa AS source_a, sb AS source_b, "
+            "round(0.5 * SUM(term), 6) AS jsd FROM t "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "stats_hellinger": (
+            # unit-width grid with round(6) BEFORE floor on both sides
+            # (float-grid rule); exact int counts; only the final
+            # sqrt(1 - BC) is float
+            "WITH v AS (SELECT event_type AS g, "
+            "CAST(floor(round(value, 6)) AS BIGINT) AS bucket "
+            "FROM events WHERE event_type IN ('purchase', 'view') "
+            "AND value IS NOT NULL AND NOT isnan(value)), "
+            "c AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS n "
+            "FROM v GROUP BY 1, 2), "
+            "p AS (SELECT bucket, n FROM c WHERE g = 'purchase'), "
+            "w AS (SELECT bucket, n FROM c WHERE g = 'view'), "
+            "np AS (SELECT SUM(n) AS n FROM p), "
+            "nv AS (SELECT SUM(n) AS n FROM w), "
+            "bc AS (SELECT SUM(sqrt((coalesce(p.n, 0) / "
+            "(SELECT n FROM np)) * (coalesce(w.n, 0) / "
+            "(SELECT n FROM nv)))) AS bc "
+            "FROM p FULL OUTER JOIN w ON p.bucket = w.bucket) "
+            "SELECT CAST((SELECT n FROM np) AS BIGINT) AS n_purchase, "
+            "CAST((SELECT n FROM nv) AS BIGINT) AS n_view, "
+            "round(bc.bc, 6) AS bhattacharyya, "
+            "round(sqrt(greatest(1.0 - bc.bc, 0.0)), 6) AS hellinger "
+            "FROM bc"
+        ),
+        "events_dow_hour_heatmap": (
+            "SELECT CAST(isodow(ts) AS BIGINT) AS dow, "
+            "CAST(hour(ts) AS BIGINT) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

@@ -383,6 +383,12 @@ def main() -> None:
         "events_seasonal_backtest", "stats_runs_test", "stats_hill_tail",
         "part_abc_classes", "events_markov_stationary", "events_dow_seasonality", "docs_length_lognormal",
         "text_source_vocab_overlap", "part_brand_hhi", "graph_rich_club",
+        "cdc_column_mask", "cdc_column_truncate", "cdc_flatten_drop",
+        "cdc_flatten_rewrite", "cdc_snapshot_filter",
+        "lineitem_q1_pricing", "join_q3_shipping", "stats_cramers_v",
+        "stats_cohens_d", "embedding_silhouette", "graph_jaccard_neighbors",
+        "text_flesch_hist", "text_js_divergence", "stats_hellinger",
+        "events_dow_hour_heatmap",
     ]
     for name in q_list:
         t2 = time.perf_counter()
