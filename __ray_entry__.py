@@ -1858,7 +1858,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from debezium_incubator_ray.functions.kernels import collect_table
 
-        t = collect_table(g)
+        t = collect_table(g, empty=pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "qty_c": pa.array([], pa.int64()),
+            "price_c": pa.array([], pa.int64()),
+            "disc_cbp": pa.array([], pa.int64()),
+            "charge_cbp2": pa.array([], pa.int64()),
+            "disc_bp": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }))
         idx = pc.sort_indices(t, sort_keys=[
             ("l_returnflag", "ascending"), ("l_linestatus", "ascending"),
         ])
@@ -1932,11 +1941,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keep = pc.equal(t["c_mktsegment"], "BUILDING")
             return t.filter(keep).select(["c_custkey"])
 
-        ckeys = np.sort(np.array(
-            [r["c_custkey"] for r in cust.map_batches(
-                cust_part, batch_format="pyarrow", zero_copy_batch=True
-            ).take_all()], np.int64,
-        ))
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        ct = collect_table(cust.map_batches(
+            cust_part, batch_format="pyarrow", zero_copy_batch=True
+        ), empty=pa.table({"c_custkey": pa.array([], pa.int64())}))
+        ckeys = np.sort(
+            ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         ckeys_ref = ray.put(ckeys)
 
         orders = ray.data.read_parquet(
@@ -1947,6 +1959,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def ord_part(t: pa.Table) -> pa.Table:
             ck = ray.get(ckeys_ref)
+            if len(ck) == 0:
+                return t.slice(0, 0).select(
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                )
             od = t["o_orderdate"].combine_chunks().cast(
                 pa.int64()
             ).to_numpy(zero_copy_only=False)
@@ -1960,17 +1976,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["o_orderkey", "o_orderdate", "o_orderpriority"]
             )
 
-        orows = orders.map_batches(
+        ot = collect_table(orders.map_batches(
             ord_part, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        okeys = np.array([r["o_orderkey"] for r in orows], np.int64)
+        ), empty=pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        }))
+        okeys = ot["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         order_o = np.argsort(okeys)
         okeys = okeys[order_o]
-        odates = np.array(
-            [r["o_orderdate"] for r in orows], "datetime64[us]"
-        )[order_o]
+        odates = ot["o_orderdate"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[order_o] \
+            .astype("datetime64[us]")
         oprios = np.array(
-            [r["o_orderpriority"] for r in orows], object
+            ot["o_orderpriority"].to_pylist(), object
         )[order_o]
         okeys_ref = ray.put(okeys)
 
@@ -1982,6 +2003,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def li_part(t: pa.Table) -> pa.Table:
             ok = ray.get(okeys_ref)
+            if len(ok) == 0:
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                })
             ship = t["l_shipdate"].combine_chunks().cast(
                 pa.int64()
             ).to_numpy(zero_copy_only=False)
@@ -2165,6 +2191,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .take_all()
         )
         st = {r["g"]: r for r in rows}
+        if "A" not in st or "R" not in st:
+            # mirror the oracle's empty cross join when a group is absent
+            return pa.table({
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "mean_a": pa.array([], pa.float64()),
+                "mean_b": pa.array([], pa.float64()),
+                "pooled_sd": pa.array([], pa.float64()),
+                "cohens_d": pa.array([], pa.float64()),
+                "hedges_g": pa.array([], pa.float64()),
+            })
         a, b = st["A"], st["R"]
 
         def mv(r):
@@ -2302,7 +2339,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from debezium_incubator_ray.functions.kernels import collect_table
 
-        t = collect_table(g)
+        t = collect_table(g, empty=pa.table({
+            "label": pa.array([], pa.int32()),
+            "smu": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }))
         t = t.take(pc.sort_indices(t, sort_keys=[("label", "ascending")]))
         smu = [int(v) for v in t["smu"].to_pylist()]
         n = [int(v) for v in t["n"].to_pylist()]
@@ -2425,8 +2466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         def explode(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.is_valid(t["source"]),
+                                 pc.is_valid(t["text"])))
             flat, lens = _flat_tokens(t, "text")
-            src = pa.chunked_array([t["source"].combine_chunks()])                 .combine_chunks().take(
+            src = t["source"].combine_chunks().take(
                     pa.array(np.repeat(np.arange(t.num_rows), lens))
                 )
             part = pa.table({
