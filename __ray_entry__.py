@@ -2677,6 +2677,175 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("dow", "ascending"), ("hour", "ascending"),
         ]))
 
+    def dedup_semantic(sf_dir):
+        """SemDeDup-style semantic pruning (Abbas et al. 2023 shape):
+        cluster the corpus with spherical k-means (k=8, one recenter,
+        deterministic init — the embedding_kmeans trajectory), then
+        inside each cluster drop every vector that has cosine >= 0.35
+        (rounded 6dp) to ANY lower-id member. The quadratic is bounded
+        per cluster — the whole point of clustering first — and each
+        cluster prunes in one map_groups matmul. Returns the
+        survivors' (vec_id, cluster)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.ann import (
+            spherical_kmeans, _batch_matrix, _normalize,
+        )
+
+        TAU = 0.35
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ct = et.filter(pc.less(et["vec_id"], 8)).sort_by(
+            [("vec_id", "ascending")]
+        )
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        C, _assign = spherical_kmeans(ds, _batch_matrix(ct), iters=1)
+        cref = ray.put(C)
+
+        def tag(t: pa.Table) -> pa.Table:
+            Cn = _normalize(ray.get(cref))
+            M = _batch_matrix(t, "embedding")
+            cid = np.argmax(_normalize(M) @ Cn.T, axis=1).astype(
+                np.int64
+            )
+            return pa.table({
+                "vec_id": t["vec_id"], "embedding": t["embedding"],
+                "cluster": pa.array(cid),
+            })
+
+        def prune(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("vec_id", "ascending")])
+            M = _normalize(_batch_matrix(g, "embedding"))
+            S = np.round(M @ M.T, 6)
+            # strictly-lower-id neighbors: the lower triangle
+            close = np.tril(S >= TAU, k=-1)
+            keep = ~close.any(axis=1)
+            return pa.table({
+                "vec_id": g["vec_id"].filter(pa.array(keep)),
+                "cluster": g["cluster"].filter(pa.array(keep)),
+            })
+
+        out = (
+            ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pyarrow")
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(out, empty=pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+        }))
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("vec_id", "ascending")
+        ]))
+
+    def docs_dsir_weights(sf_dir):
+        """DSIR-style importance weights (Xie et al. 2023 shape): hashed
+        unigram bucket counts build a target (lang='en') and a raw
+        distribution (Laplace +1 over B=64 buckets); each doc scores
+        sum of count[b] * log-likelihood-ratio[b] and the top-50 come
+        back. Two streaming passes — a B-row global fold (broadcast
+        once) and a per-batch score+topk partial; only k x blocks rows
+        reach the driver."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.tokens import (
+            flat_tokens, md5_u64,
+        )
+
+        B = 64
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "text"],
+        )
+
+        def bucket_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["text"]))
+            flat, lens = flat_tokens(t["text"])
+            b = (md5_u64(flat) % np.uint64(B)).astype(np.int64)
+            lang = t["lang"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            is_en = np.repeat(lang == "en", lens)
+            cr = np.bincount(b, minlength=B).astype(np.int64)
+            ct_ = np.bincount(b[is_en], minlength=B).astype(np.int64)
+            return pa.table({
+                "bucket": pa.array(np.arange(B, dtype=np.int64)),
+                "ct": pa.array(ct_), "cr": pa.array(cr),
+            })
+
+        rows = (
+            ds.map_batches(bucket_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("ct", alias_name="ct"),
+                       Sum("cr", alias_name="cr"))
+            .take_all()
+        )  # B rows
+        ct_ = np.zeros(B, np.int64)
+        cr = np.zeros(B, np.int64)
+        for r in rows:
+            ct_[r["bucket"]] = r["ct"]
+            cr[r["bucket"]] = r["cr"]
+        nt, nr = float(ct_.sum()), float(cr.sum())
+        llr = np.log((ct_ + 1) / (nt + float(B))) - np.log(
+            (cr + 1) / (nr + float(B))
+        )
+        llr_ref = ray.put(llr)
+
+        from debezium_incubator_ray.functions.kernels import (
+            merge_local_topk, table_topk,
+        )
+
+        def score_partial(t: pa.Table) -> pa.Table:
+            lv = ray.get(llr_ref)
+            t = t.filter(pc.is_valid(t["text"]))
+            flat, lens = flat_tokens(t["text"])
+            b = (md5_u64(flat) % np.uint64(B)).astype(np.int64)
+            doc_idx = np.repeat(np.arange(t.num_rows), lens)
+            score = np.zeros(t.num_rows, np.float64)
+            np.add.at(score, doc_idx, lv[b])
+            keep = lens > 0
+            out = pa.table({
+                "doc_id": t["doc_id"].combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "lang": t["lang"].combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "dsir_w": pc.round(
+                    pa.array(score[keep]), 6,
+                    round_mode="half_towards_infinity",
+                ),
+            })
+            return table_topk(out, "dsir_w", ["doc_id"], 50)
+
+        cand = ds.map_batches(score_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "dsir_w": pa.array([], pa.float64()),
+        })
+        top = merge_local_topk(cand, "dsir_w", ["doc_id"], 50, empty)
+        order = pc.sort_indices(
+            top.append_column("_neg", pc.negate(top["dsir_w"])),
+            sort_keys=[("_neg", "ascending"), ("doc_id", "ascending")],
+        )
+        return top.select(["doc_id", "lang", "dsir_w"]).take(order)
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -8489,6 +8658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_js_divergence": text_js_divergence,
         "stats_hellinger": stats_hellinger,
         "events_dow_hour_heatmap": events_dow_hour_heatmap,
+        "dedup_semantic": dedup_semantic,
+        "docs_dsir_weights": docs_dsir_weights,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -9756,6 +9927,70 @@ def oracle_sql() -> dict[str, str]:
             "CAST(hour(ts) AS BIGINT) AS hour, "
             "CAST(count(*) AS BIGINT) AS n FROM events "
             "WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "dedup_semantic": (
+            # the embedding_kmeans trajectory (rounded-6dp centroids,
+            # one recenter) reproduced verbatim, then the SemDeDup
+            # prune: drop any vector with round(cos, 6) >= 0.35 to a
+            # LOWER-id member of its cluster
+            "WITH c0 AS (SELECT vec_id AS cid, "
+            "list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> round(x, 6)) AS c FROM embeddings WHERE vec_id < 8), "
+            "a1 AS (SELECT e.vec_id, e.embedding, c0.cid, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "c0.c) DESC, c0.cid ASC) AS rn "
+            "FROM embeddings e CROSS JOIN c0), "
+            "m AS (SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1), "
+            "u AS (SELECT m.cid, t.i AS ord, "
+            "round(avg(CAST(m.embedding[t.i] AS DOUBLE)), 6) AS v "
+            "FROM m, generate_series(1, 64) AS t(i) "
+            "GROUP BY m.cid, t.i), "
+            "c1 AS (SELECT cid, list(v ORDER BY ord) AS c FROM u "
+            "GROUP BY cid), "
+            "cc AS (SELECT c0.cid, coalesce(c1.c, c0.c) AS c FROM c0 "
+            "LEFT JOIN c1 ON c0.cid = c1.cid), "
+            "a2 AS (SELECT e.vec_id, e.embedding, cc.cid, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "cc.c) DESC, cc.cid ASC) AS rn "
+            "FROM embeddings e CROSS JOIN cc), "
+            "m2 AS (SELECT vec_id, embedding, cid FROM a2 WHERE rn = 1), "
+            "drp AS (SELECT DISTINCT a.vec_id FROM m2 a JOIN m2 b "
+            "ON a.cid = b.cid AND b.vec_id < a.vec_id "
+            "AND round(list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.35) "
+            "SELECT m2.vec_id, CAST(m2.cid AS BIGINT) AS cluster "
+            "FROM m2 LEFT JOIN drp ON drp.vec_id = m2.vec_id "
+            "WHERE drp.vec_id IS NULL ORDER BY m2.vec_id"
+        ),
+        "docs_dsir_weights": (
+            # md5_u64 bucket bridge (same as text_hashed_features);
+            # Laplace +1 over B=64 buckets; target = lang='en'; the
+            # llr expression mirrors the engine's double op order
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND length(trim(text)) > 0), "
+            "b AS (SELECT doc_id, lang, "
+            "CAST(CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT) "
+            "% 64 AS BIGINT) AS bucket FROM tok), "
+            "ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c "
+            "FROM b WHERE lang = 'en' GROUP BY 1), "
+            "cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c "
+            "FROM b GROUP BY 1), "
+            "nt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'), "
+            "nr AS (SELECT count(*) AS n FROM b), "
+            "llr AS (SELECT cr.bucket, "
+            "ln((coalesce(ct.c, 0) + 1) / ((SELECT n FROM nt) + 64.0)) "
+            "- ln((cr.c + 1) / ((SELECT n FROM nr) + 64.0)) AS llr "
+            "FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket), "
+            "s AS (SELECT b.doc_id, any_value(b.lang) AS lang, "
+            "round(SUM(llr.llr), 6) AS dsir_w FROM b "
+            "JOIN llr ON llr.bucket = b.bucket GROUP BY 1) "
+            "SELECT doc_id, lang, dsir_w FROM s "
+            "ORDER BY dsir_w DESC, doc_id ASC LIMIT 50"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

@@ -388,7 +388,7 @@ def main() -> None:
         "lineitem_q1_pricing", "join_q3_shipping", "stats_cramers_v",
         "stats_cohens_d", "embedding_silhouette", "graph_jaccard_neighbors",
         "text_flesch_hist", "text_js_divergence", "stats_hellinger",
-        "events_dow_hour_heatmap",
+        "events_dow_hour_heatmap", "dedup_semantic", "docs_dsir_weights",
     ]
     for name in q_list:
         t2 = time.perf_counter()
