@@ -2846,6 +2846,228 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return top.select(["doc_id", "lang", "dsir_w"]).take(order)
 
+    def graph_modularity(sf_dir):
+        """Newman modularity of the 3-round label-propagation communities
+        on the top-2000 co-purchase subgraph — the partition-quality
+        gauge for the graph_label_prop row. Q folds from EXACT integer
+        pieces (intra-edge counts and degree sums per community) into
+        the single-division form sum(4*m*m_c - D_c^2) / (4*m^2), so
+        both sides produce the identical double. Labels broadcast once
+        (the cut graph is metadata-sized by construction); per-batch
+        edge partials stay vectorized."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+        from debezium_incubator_ray.functions.graph import (
+            label_propagation,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        edges = ray.data.from_arrow(pa.table({
+            "src": top["l_partkey_a"], "dst": top["l_partkey_b"],
+        }))
+        labs = label_propagation(edges, rounds=3, buckets=32)
+        nodes = labs["node"].to_numpy(zero_copy_only=False)
+        labels = labs["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes)
+        nodes, labels = nodes[order], labels[order]
+
+        a = top["l_partkey_a"].to_numpy(zero_copy_only=False)
+        b = top["l_partkey_b"].to_numpy(zero_copy_only=False)
+        la = labels[np.searchsorted(nodes, a)]
+        lb = labels[np.searchsorted(nodes, b)]
+        m = len(a)
+        ulab = np.unique(labels)
+        # intra-community edge counts
+        intra = la[la == lb]
+        mc = np.zeros(len(ulab), np.int64)
+        np.add.at(mc, np.searchsorted(ulab, intra), 1)
+        # degree sums per community (each edge endpoint adds 1)
+        dc = np.zeros(len(ulab), np.int64)
+        np.add.at(dc, np.searchsorted(ulab, la), 1)
+        np.add.at(dc, np.searchsorted(ulab, lb), 1)
+        num = int((4 * m * mc.astype(object)).sum()
+                  - (dc.astype(object) ** 2).sum())
+        q = num / float(4 * m * m)
+        return pa.table({
+            "n_edges": pa.array([m], pa.int64()),
+            "n_communities": pa.array([len(ulab)], pa.int64()),
+            "modularity": pa.array([round(q, 6)], pa.float64()),
+        })
+
+    def graph_degree_hist(sf_dir):
+        """Degree histogram of the top-2000 co-purchase subgraph —
+        (degree, n_nodes) exact counts, the first thing anyone plots
+        about a graph. The cut edge set folds per block into node
+        degree partials; two narrow groupbys finish."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.joins import copurchase_pairs
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        top = copurchase_pairs(li, "l_orderkey", "l_partkey", k=2000)
+        both = np.concatenate([
+            top["l_partkey_a"].to_numpy(zero_copy_only=False),
+            top["l_partkey_b"].to_numpy(zero_copy_only=False),
+        ])
+        un, cnt = np.unique(both, return_counts=True)
+        deg, nn = np.unique(cnt, return_counts=True)
+        return pa.table({
+            "degree": pa.array(deg.astype(np.int64)),
+            "n_nodes": pa.array(nn.astype(np.int64)),
+        })
+
+    def join_q10_returns(sf_dir):
+        """The TPC-H Q10 shape: top-20 customers by revenue of RETURNED
+        items (returnflag 'R') for orders placed in the 2000-Q1 window,
+        with name and nation attached. The order window reduces first
+        and broadcasts (orderkey -> custkey); lineitem folds returned
+        revenue per customer in exact cents x bp; the rounded-cents
+        top-k merges k x blocks rows; the tiny customer/nation dims
+        attach on the driver."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, merge_local_topk, table_topk,
+        )
+
+        LO = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2000-04-01T00:00:00", "us").astype(np.int64)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+
+        def ord_part(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((od >= LO) & (od < HI))).select(
+                ["o_orderkey", "o_custkey"]
+            )
+
+        ot = collect_table(orders.map_batches(
+            ord_part, batch_format="pyarrow", zero_copy_batch=True
+        ), empty=pa.table({"o_orderkey": pa.array([], pa.int64()),
+                           "o_custkey": pa.array([], pa.int64())}))
+        okeys = ot["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        oord = np.argsort(okeys)
+        okeys = okeys[oord]
+        ocust = ot["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[oord]
+        oref = ray.put((okeys, ocust))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_returnflag"],
+        )
+
+        def li_part(t: pa.Table) -> pa.Table:
+            ok, oc = ray.get(oref)
+            t = t.filter(pc.equal(t["l_returnflag"], "R"))
+            if t.num_rows == 0 or len(ok) == 0:
+                return pa.table({
+                    "c_custkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                })
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(ok, lo)
+            pos[pos == len(ok)] = 0
+            keep = ok[pos] == lo
+            t = t.filter(pa.array(keep))
+            cust = oc[pos[keep]]
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            part = pa.table({
+                "c_custkey": pa.array(cust),
+                "rev": pa.array(price_c * (100 - disc_bp)),
+            }).group_by("c_custkey").aggregate([("rev", "sum")])
+            return pa.table({"c_custkey": part["c_custkey"],
+                             "rev": part["rev_sum"]})
+
+        per_cust = (
+            li.map_batches(li_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("c_custkey")
+            .aggregate(Sum("rev", alias_name="rev"))
+        )
+
+        def topk_part(t: pa.Table) -> pa.Table:
+            rev = t["rev"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            out = pa.table({
+                "c_custkey": t["c_custkey"],
+                "revenue": pa.array(((rev + 50) // 100) / 100.0),
+            })
+            return table_topk(out, "revenue", ["c_custkey"], 20)
+
+        cand = per_cust.map_batches(topk_part, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        topt = merge_local_topk(cand, "revenue", ["c_custkey"], 20,
+                                empty)
+        order = pc.sort_indices(
+            topt.append_column("_neg", pc.negate(topt["revenue"])),
+            sort_keys=[("_neg", "ascending"), ("c_custkey", "ascending")],
+        )
+        topt = topt.select(["c_custkey", "revenue"]).take(order)
+
+        import pyarrow.parquet as pq
+
+        ctab = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_nationkey"],
+        )
+        ntab = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        ck = ctab["c_custkey"].to_numpy(zero_copy_only=False)
+        cord = np.argsort(ck)
+        pos = cord[np.searchsorted(ck[cord], topt["c_custkey"]
+                                   .to_numpy(zero_copy_only=False))]
+        names = ctab["c_name"].take(pa.array(pos))
+        natk = ctab["c_nationkey"].to_numpy(
+            zero_copy_only=False
+        )[pos].astype(np.int64)
+        nk = ntab["n_nationkey"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nord = np.argsort(nk)
+        npos = nord[np.searchsorted(nk[nord], natk)]
+        nnames = ntab["n_name"].take(pa.array(npos))
+        return pa.table({
+            "c_custkey": topt["c_custkey"],
+            "c_name": names,
+            "n_name": nnames,
+            "revenue": topt["revenue"],
+        })
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -8660,6 +8882,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour_heatmap": events_dow_hour_heatmap,
         "dedup_semantic": dedup_semantic,
         "docs_dsir_weights": docs_dsir_weights,
+        "graph_modularity": graph_modularity,
+        "graph_degree_hist": graph_degree_hist,
+        "join_q10_returns": join_q10_returns,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -8960,6 +9185,53 @@ def _lpa_sql(rounds: int = 3) -> str:
             f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)"
         )
     sql += f" SELECT node, lab AS label FROM l{rounds} ORDER BY node"
+    return sql
+
+
+def _modularity_sql(rounds: int = 3) -> str:
+    """Newman modularity of the unrolled-LPA communities — the same
+    MATERIALIZED chain as _lpa_sql, finished with the single-division
+    integer form sum(4*m*m_c - D_c^2) / (4*m^2) the engine computes."""
+    sql = (
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
+        "l_partkey AS item FROM lineitem), "
+        "p AS MATERIALIZED (SELECT x.item AS a, y.item AS b, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+        "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+        "e AS MATERIALIZED (SELECT a, b FROM p "
+        "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+        "und AS MATERIALIZED (SELECT a AS c, b AS n FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT c AS node, c AS lab FROM und)"
+    )
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        sql += (
+            f", c{r} AS MATERIALIZED (SELECT u.c AS node, l.lab, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM und u "
+            f"JOIN l{prev} l ON l.node = u.n GROUP BY 1, 2)"
+            f", l{r} AS MATERIALIZED (SELECT node, lab FROM "
+            "(SELECT node, lab, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
+    sql += (
+        f", ed AS (SELECT la.lab AS la, lb.lab AS lb FROM e "
+        f"JOIN l{rounds} la ON la.node = e.a "
+        f"JOIN l{rounds} lb ON lb.node = e.b), "
+        "mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e), "
+        "mc AS (SELECT la AS lab, CAST(count(*) AS HUGEINT) AS mc "
+        "FROM ed WHERE la = lb GROUP BY 1), "
+        "dc AS (SELECT lab, CAST(count(*) AS HUGEINT) AS dc FROM "
+        "(SELECT la AS lab FROM ed UNION ALL SELECT lb FROM ed) "
+        "GROUP BY 1), "
+        "t AS (SELECT dc.lab, coalesce(mc.mc, 0) AS mc, dc.dc "
+        "FROM dc LEFT JOIN mc ON mc.lab = dc.lab) "
+        "SELECT CAST((SELECT m FROM mm) AS BIGINT) AS n_edges, "
+        "CAST(count(*) AS BIGINT) AS n_communities, "
+        "round(SUM(4 * (SELECT m FROM mm) * t.mc - t.dc * t.dc) "
+        "/ (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) "
+        "AS modularity FROM t"
+    )
     return sql
 
 
@@ -9991,6 +10263,41 @@ def oracle_sql() -> dict[str, str]:
             "JOIN llr ON llr.bucket = b.bucket GROUP BY 1) "
             "SELECT doc_id, lang, dsir_w FROM s "
             "ORDER BY dsir_w DESC, doc_id ASC LIMIT 50"
+        ),
+        "graph_modularity": _modularity_sql(rounds=3),
+        "graph_degree_hist": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS item FROM lineitem), "
+            "p AS (SELECT x.item AS a, y.item AS b, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM li x "
+            "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM p "
+            "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
+            "und AS (SELECT a AS n FROM e UNION ALL SELECT b FROM e), "
+            "d AS (SELECT n, CAST(count(*) AS BIGINT) AS degree "
+            "FROM und GROUP BY 1) "
+            "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes "
+            "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "join_q10_returns": (
+            # returned-item revenue per customer over the 2000-Q1 order
+            # window; exact cents x bp with half-away integer rounding
+            # BEFORE the top-20 (ties break by custkey)
+            "WITH r AS (SELECT o.o_custkey, "
+            "SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem l JOIN orders o "
+            "ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' "
+            "AND o.o_orderdate < TIMESTAMP '2000-04-01 00:00:00' "
+            "GROUP BY 1) "
+            "SELECT r.o_custkey AS c_custkey, c.c_name, n.n_name, "
+            "((r.rev + 50) // 100) / 100.0 AS revenue FROM r "
+            "JOIN customer c ON c.c_custkey = r.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "ORDER BY ((r.rev + 50) // 100) DESC, r.o_custkey ASC "
+            "LIMIT 20"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

@@ -389,6 +389,7 @@ def main() -> None:
         "stats_cohens_d", "embedding_silhouette", "graph_jaccard_neighbors",
         "text_flesch_hist", "text_js_divergence", "stats_hellinger",
         "events_dow_hour_heatmap", "dedup_semantic", "docs_dsir_weights",
+        "graph_modularity", "graph_degree_hist", "join_q10_returns",
     ]
     for name in q_list:
         t2 = time.perf_counter()
