@@ -2682,10 +2682,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster the corpus with spherical k-means (k=8, one recenter,
         deterministic init — the embedding_kmeans trajectory), then
         inside each cluster drop every vector that has cosine >= 0.35
-        (rounded 6dp) to ANY lower-id member. The quadratic is bounded
-        per cluster — the whole point of clustering first — and each
-        cluster prunes in one map_groups matmul. Returns the
-        survivors' (vec_id, cluster)."""
+        (rounded 6dp) to ANY lower-id member. Assignment reuses the
+        ONE kmeans_assign kernel (ann.py) so the oracle's trajectory
+        cannot drift. The in-cluster pairwise pass is chunked so task
+        memory stays O(chunk x cluster), and the quadratic COMPUTE is
+        bounded by cluster size — at corpus scale k must grow with N
+        (SemDeDup's own recipe, k ~ N / target cluster size); the
+        fixed k=8 here is the oracle-reproducible small-scale setting.
+        Returns the survivors' (vec_id, cluster)."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -2693,14 +2697,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import ray.data
         from debezium_incubator_ray.functions.ann import (
-            spherical_kmeans, _batch_matrix, _normalize,
+            spherical_kmeans, _batch_matrix, _normalize, kmeans_assign,
         )
 
         TAU = 0.35
-        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-        ct = et.filter(pc.less(et["vec_id"], 8)).sort_by(
-            [("vec_id", "ascending")]
-        )
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           filters=[("vec_id", "<", 8)])
+        ct = et.sort_by([("vec_id", "ascending")])
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "embeddings.parquet"),
             columns=["vec_id", "embedding"],
@@ -2709,11 +2712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cref = ray.put(C)
 
         def tag(t: pa.Table) -> pa.Table:
-            Cn = _normalize(ray.get(cref))
             M = _batch_matrix(t, "embedding")
-            cid = np.argmax(_normalize(M) @ Cn.T, axis=1).astype(
-                np.int64
-            )
+            cid = kmeans_assign(M, ray.get(cref)).astype(np.int64)
             return pa.table({
                 "vec_id": t["vec_id"], "embedding": t["embedding"],
                 "cluster": pa.array(cid),
@@ -2722,10 +2722,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def prune(g: pa.Table) -> pa.Table:
             g = g.sort_by([("vec_id", "ascending")])
             M = _normalize(_batch_matrix(g, "embedding"))
-            S = np.round(M @ M.T, 6)
-            # strictly-lower-id neighbors: the lower triangle
-            close = np.tril(S >= TAU, k=-1)
-            keep = ~close.any(axis=1)
+            n = M.shape[0]
+            # chunked lower-triangle scan: memory O(chunk x n), not n^2
+            CH = 1024
+            keep = np.ones(n, bool)
+            for lo in range(0, n, CH):
+                hi = min(lo + CH, n)
+                S = np.round(M[lo:hi] @ M.T, 6)  # (chunk, n)
+                cols = np.arange(n)[None, :]
+                rows = np.arange(lo, hi)[:, None]
+                close = (S >= TAU) & (cols < rows)
+                keep[lo:hi] = ~close.any(axis=1)
             return pa.table({
                 "vec_id": g["vec_id"].filter(pa.array(keep)),
                 "cluster": g["cluster"].filter(pa.array(keep)),
@@ -2904,13 +2911,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def graph_degree_hist(sf_dir):
         """Degree histogram of the top-2000 co-purchase subgraph —
         (degree, n_nodes) exact counts, the first thing anyone plots
-        about a graph. The cut edge set folds per block into node
-        degree partials; two narrow groupbys finish."""
+        about a graph. The distributed work is the co-purchase cut
+        itself (copurchase_pairs); the returned top-k edge set is
+        metadata-sized by construction, so the two unique() folds run
+        on the driver."""
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import ray.data
-        from ray.data.aggregate import Sum
         from debezium_incubator_ray.functions.joins import copurchase_pairs
 
         li = ray.data.read_parquet(
@@ -9157,11 +9164,12 @@ def _markov_stationary_sql(rounds: int = 8) -> str:
     return sql
 
 
-def _lpa_sql(rounds: int = 3) -> str:
-    """Unrolled synchronous label propagation over the top-2000
-    co-purchase edge cut — mode-of-neighbor-labels with (count desc,
-    label asc) ties, the same rounds the engine runs. MATERIALIZED: plain
-    CTE inlining re-evaluates the pair join exponentially."""
+def _lpa_chain_sql(rounds: int) -> str:
+    """The SHARED unrolled-LPA CTE chain (edge cut -> und -> l0 ->
+    c{r}/l{r} per round) used by BOTH the graph_label_prop oracle and
+    the graph_modularity oracle — one builder so the two can never
+    score different partitions. MATERIALIZED: plain CTE inlining
+    re-evaluates the pair join exponentially."""
     sql = (
         "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
         "l_partkey AS item FROM lineitem), "
@@ -9184,37 +9192,23 @@ def _lpa_sql(rounds: int = 3) -> str:
             "(SELECT node, lab, row_number() OVER (PARTITION BY node "
             f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)"
         )
-    sql += f" SELECT node, lab AS label FROM l{rounds} ORDER BY node"
     return sql
 
 
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation over the top-2000
+    co-purchase edge cut — mode-of-neighbor-labels with (count desc,
+    label asc) ties, the same rounds the engine runs."""
+    return (_lpa_chain_sql(rounds)
+            + f" SELECT node, lab AS label FROM l{rounds} ORDER BY node")
+
+
 def _modularity_sql(rounds: int = 3) -> str:
-    """Newman modularity of the unrolled-LPA communities — the same
-    MATERIALIZED chain as _lpa_sql, finished with the single-division
-    integer form sum(4*m*m_c - D_c^2) / (4*m^2) the engine computes."""
-    sql = (
-        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, "
-        "l_partkey AS item FROM lineitem), "
-        "p AS MATERIALIZED (SELECT x.item AS a, y.item AS b, "
-        "CAST(count(*) AS BIGINT) AS cnt FROM li x "
-        "JOIN li y ON x.g = y.g AND x.item < y.item GROUP BY 1, 2), "
-        "e AS MATERIALIZED (SELECT a, b FROM p "
-        "ORDER BY cnt DESC, a ASC, b ASC LIMIT 2000), "
-        "und AS MATERIALIZED (SELECT a AS c, b AS n FROM e "
-        "UNION ALL SELECT b, a FROM e), "
-        "l0 AS MATERIALIZED (SELECT DISTINCT c AS node, c AS lab FROM und)"
-    )
-    for r in range(1, rounds + 1):
-        prev = r - 1
-        sql += (
-            f", c{r} AS MATERIALIZED (SELECT u.c AS node, l.lab, "
-            "CAST(count(*) AS BIGINT) AS cnt FROM und u "
-            f"JOIN l{prev} l ON l.node = u.n GROUP BY 1, 2)"
-            f", l{r} AS MATERIALIZED (SELECT node, lab FROM "
-            "(SELECT node, lab, row_number() OVER (PARTITION BY node "
-            f"ORDER BY cnt DESC, lab ASC) AS rn FROM c{r}) WHERE rn = 1)"
-        )
-    sql += (
+    """Newman modularity of the unrolled-LPA communities — the SAME
+    _lpa_chain_sql chain as graph_label_prop's oracle, finished with
+    the single-division integer form sum(4*m*m_c - D_c^2) / (4*m^2)
+    the engine computes."""
+    return _lpa_chain_sql(rounds) + (
         f", ed AS (SELECT la.lab AS la, lb.lab AS lb FROM e "
         f"JOIN l{rounds} la ON la.node = e.a "
         f"JOIN l{rounds} lb ON lb.node = e.b), "
@@ -9232,7 +9226,6 @@ def _modularity_sql(rounds: int = 3) -> str:
         "/ (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) "
         "AS modularity FROM t"
     )
-    return sql
 
 
 def _kcore_sql(k: int = 3, rounds: int = 4) -> str:

@@ -337,6 +337,15 @@ def ivf_topk(
 # spherical k-means (IVF centroid training)
 
 
+def kmeans_assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Cluster assignment by max cosine vs the (rounded) centroids —
+    ties to the LOWER centroid index (np.argmax takes the first max).
+    The ONE shared kernel: spherical_kmeans's per-batch pass and every
+    downstream consumer (e.g. the SemDeDup prune) must assign
+    identically or their oracles desynchronize."""
+    return np.argmax(_normalize(M) @ _normalize(C).T, axis=1)
+
+
 def spherical_kmeans(
     ds,
     init_centroids: np.ndarray,
@@ -364,9 +373,8 @@ def spherical_kmeans(
         def f(t: pa.Table) -> pa.Table:
             import ray as _ray
 
-            Cn = _normalize(_ray.get(cref))
             M = _batch_matrix(t, col)
-            assign = np.argmax(_normalize(M) @ Cn.T, axis=1)
+            assign = kmeans_assign(M, _ray.get(cref))
             sums = np.zeros((k, M.shape[1]))
             np.add.at(sums, assign, M)
             counts = np.bincount(assign, minlength=k).astype(np.int64)

@@ -171,7 +171,7 @@ def main() -> None:
         run_leg(args.mode, args.cpus_per_node, args.sf, args.mult)
         return
     results = {}
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)  # module import already merged REPO into PYTHONPATH
     env.pop("RAY_ADDRESS", None)  # cluster leg must not attach to local
     for mode in ("cluster", "local"):
         out = subprocess.run(
@@ -181,9 +181,15 @@ def main() -> None:
             capture_output=True, text=True, env=env, cwd=REPO,
             timeout=1800,
         )
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        results[mode] = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(f"--- {mode} leg failed "
+                             f"(rc={out.returncode}) ---\n")
+            sys.stderr.write(out.stdout[-2000:] + "\n")
+            sys.stderr.write(out.stderr[-4000:] + "\n")
+            raise SystemExit(1)
+        results[mode] = json.loads(lines[-1])
     c, l = results["cluster"], results["local"]
     print(json.dumps({
         "cluster_events_per_s": c["events_per_s"],
