@@ -3075,6 +3075,168 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "revenue": topt["revenue"],
         })
 
+    def join_q14_promo(sf_dir):
+        """The TPC-H Q14 promo-revenue share: 100 x promo revenue /
+        total revenue over one shipdate month, with the part type
+        looked up from a broadcast (partkey -> is_promo) bitmap.
+        Revenue folds in exact cents x bp; the final percentage is a
+        RATIONAL, so it rounds half-away in integer space on both
+        sides instead of trusting float round."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        LO = np.datetime64("2000-09-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2000-10-01T00:00:00", "us").astype(np.int64)
+
+        pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        pk = pk[order]
+        promo = pc.equal(pt["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False
+        )[order]
+        pref = ray.put((pk, promo))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, isp = ray.get(pref)
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((ship >= LO) & (ship < HI)))
+            if t.num_rows == 0:
+                return pa.table({"sp": pa.array([], pa.int64()),
+                                 "st": pa.array([], pa.int64())})
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            rev = price_c * (100 - disc_bp)
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(keys, lp)
+            pos[pos == len(keys)] = 0
+            pm = (keys[pos] == lp) & isp[pos]
+            return pa.table({
+                "sp": pa.array([int(rev[pm].sum())], pa.int64()),
+                "st": pa.array([int(rev.sum())], pa.int64()),
+            })
+
+        rows = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        sp = sum(r["sp"] for r in rows)
+        st = sum(r["st"] for r in rows)
+        # promo_share = 100 * sp / st, rounded half-away to 6dp EXACTLY
+        share = ((200_000_000 * sp + st) // (2 * st)) / 1e6 if st else 0.0
+        return pa.table({
+            "promo_revenue": pa.array(
+                [((sp + 50) // 100) / 100.0], pa.float64()
+            ),
+            "total_revenue": pa.array(
+                [((st + 50) // 100) / 100.0], pa.float64()
+            ),
+            "promo_share_pct": pa.array([share], pa.float64()),
+        })
+
+    def text_unigram_entropy(sf_dir):
+        """Per-source unigram Shannon entropy (bits) + perplexity +
+        vocab size — the lexical-diversity profile a corpus card
+        reports. Per-(source, token) counts shuffle once; the entropy
+        folds from exact counts as H = log2(N) - sum(c*log2(c))/N so
+        the only float work is the tiny per-source finish."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.text import _flat_tokens
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+
+        def explode(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.is_valid(t["source"]),
+                                 pc.is_valid(t["text"])))
+            flat, lens = _flat_tokens(t, "text")
+            srcs = t["source"].combine_chunks().take(
+                pa.array(np.repeat(np.arange(t.num_rows), lens))
+            )
+            part = pa.table({
+                "source": srcs, "token": flat,
+                "c": pa.array(np.ones(len(flat), np.int64)),
+            }).group_by(["source", "token"]).aggregate([("c", "sum")])
+            return pa.table({"source": part["source"],
+                             "token": part["token"],
+                             "c": part["c_sum"]})
+
+        def fold(t: pa.Table) -> pa.Table:
+            # per (source) partial: n tokens, vocab, sum c*log2(c) —
+            # runs AFTER the (source, token) fold so c is global-exact
+            c = t["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            part = pa.table({
+                "source": t["source"],
+                "n": pa.array(c.astype(np.int64)),
+                "v": pa.array(np.ones(len(c), np.int64)),
+                "clogc": pa.array(c * np.log2(c)),
+            }).group_by("source").aggregate(
+                [("n", "sum"), ("v", "sum"), ("clogc", "sum")]
+            )
+            return pa.table({
+                "source": part["source"], "n": part["n_sum"],
+                "v": part["v_sum"], "clogc": part["clogc_sum"],
+            })
+
+        g = (
+            ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["source", "token"])
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(fold, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("source")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("v", alias_name="v"),
+                       Sum("clogc", alias_name="clogc"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g, empty=pa.table({
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "clogc": pa.array([], pa.float64()),
+        }))
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("source", "ascending")
+        ]))
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        clogc = t["clogc"].to_numpy(zero_copy_only=False)
+        H = np.log2(n) - clogc / n
+        return pa.table({
+            "source": t["source"],
+            "n_tokens": t["n"],
+            "vocab": t["v"],
+            "entropy_bits": pa.array(np.round(H, 6)),
+            "perplexity": pa.array(np.round(np.power(2.0, H), 6)),
+        })
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -8892,6 +9054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_modularity": graph_modularity,
         "graph_degree_hist": graph_degree_hist,
         "join_q10_returns": join_q10_returns,
+        "join_q14_promo": join_q14_promo,
+        "text_unigram_entropy": text_unigram_entropy,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10291,6 +10455,45 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "ORDER BY ((r.rev + 50) // 100) DESC, r.o_custkey ASC "
             "LIMIT 20"
+        ),
+        "join_q14_promo": (
+            # LEFT join so an unmatched partkey still counts in the
+            # total (mirrors the engine's bitmap-miss semantics); the
+            # percentage is rational -> integer half-away rounding
+            "WITH f AS (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '2000-09-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '2000-10-01 00:00:00'), "
+            "j AS (SELECT f.rev, "
+            "coalesce(p.p_type = 'PROMO', false) AS pm FROM f "
+            "LEFT JOIN part p ON p.p_partkey = f.l_partkey), "
+            "s AS (SELECT coalesce(SUM(rev) FILTER (pm), 0) AS sp, "
+            "SUM(rev) AS st FROM j) "
+            "SELECT ((sp + 50) // 100) / 100.0 AS promo_revenue, "
+            "((st + 50) // 100) / 100.0 AS total_revenue, "
+            "((200000000 * sp + st) // (2 * st)) / 1000000.0 "
+            "AS promo_share_pct FROM s"
+        ),
+        "text_unigram_entropy": (
+            # H = log2(N) - sum(c*log2(c))/N from exact counts; same
+            # whitespace tokenizer; perplexity = pow(2, H)
+            "WITH tok AS (SELECT source, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            "FROM documents WHERE source IS NOT NULL "
+            "AND text IS NOT NULL AND length(trim(text)) > 0), "
+            "c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n, "
+            "CAST(count(*) AS BIGINT) AS v, "
+            "SUM(c * log2(CAST(c AS DOUBLE))) AS clogc "
+            "FROM c GROUP BY 1) "
+            "SELECT source, n AS n_tokens, v AS vocab, "
+            "round(log2(CAST(n AS DOUBLE)) - clogc / n, 6) "
+            "AS entropy_bits, "
+            "round(pow(2.0, log2(CAST(n AS DOUBLE)) - clogc / n), 6) "
+            "AS perplexity FROM s ORDER BY source"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

@@ -390,6 +390,7 @@ def main() -> None:
         "text_flesch_hist", "text_js_divergence", "stats_hellinger",
         "events_dow_hour_heatmap", "dedup_semantic", "docs_dsir_weights",
         "graph_modularity", "graph_degree_hist", "join_q10_returns",
+        "join_q14_promo", "text_unigram_entropy",
     ]
     for name in q_list:
         t2 = time.perf_counter()
