@@ -3237,6 +3237,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "perplexity": pa.array(np.round(np.power(2.0, H), 6)),
         })
 
+    def multimodal_pixel_stats(sf_dir):
+        """REAL media decode round-trip: deterministic fully-decodable
+        payloads (PNG with zlib IDAT, padded bottom-up BMP24, PCM16
+        WAV) are synthesized per doc_id, decoded through the baseline
+        codecs (functions/multimodal.py — actual zlib inflate +
+        unfilter, not a header parse), and reduced to exact integer
+        pixel/sample stats. The oracle restates the closed-form
+        pixel/sample formulas with NO decoder — a wrong PNG filter,
+        BMP stride/padding or WAV endianness shifts the sums. Codec
+        work is per-payload by nature; the actor-pool map_batches with
+        small batches is the realistic shape."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.multimodal import (
+            PixelStatsDecoder, synth_decodable_payloads,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"],
+        )
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "payload": synth_decodable_payloads(ids),
+            })
+
+        return (
+            ds.map_batches(to_payload, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(PixelStatsDecoder, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=128,
+                         concurrency=(1, 4))
+        )
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9056,6 +9095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q10_returns": join_q10_returns,
         "join_q14_promo": join_q14_promo,
         "text_unigram_entropy": text_unigram_entropy,
+        "multimodal_pixel_stats": multimodal_pixel_stats,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10494,6 +10534,38 @@ def oracle_sql() -> dict[str, str]:
             "AS entropy_bits, "
             "round(pow(2.0, log2(CAST(n AS DOUBLE)) - clogc / n), 6) "
             "AS perplexity FROM s ORDER BY source"
+        ),
+        "multimodal_pixel_stats": (
+            # the synth_decodable_payloads closed forms, NO decoder:
+            # images v(r,c,ch) = (7r + 11c + 13ch + s) % 256 over
+            # (s%11+1) x (s%13+1) x 3; wav sample(i) =
+            # ((17i + s) % 65536) - 32768 over s%200+1 samples
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS kind, "
+            "doc_id // 3 AS s FROM documents), "
+            "img AS (SELECT doc_id, s, (s % 13 + 1) AS w, "
+            "(s % 11 + 1) AS h FROM d WHERE kind IN (0, 1)), "
+            "ipx AS (SELECT i.doc_id, "
+            "CAST((7 * r.r + 11 * c.c + 13 * ch.ch + i.s) % 256 "
+            "AS BIGINT) AS v FROM img i, "
+            "unnest(generate_series(0, i.h - 1)) AS r(r), "
+            "unnest(generate_series(0, i.w - 1)) AS c(c), "
+            "unnest(generate_series(0, 2)) AS ch(ch)), "
+            "istat AS (SELECT doc_id, 'image' AS kind, "
+            "CAST(count(*) AS BIGINT) AS n_values, "
+            "CAST(SUM(v) AS BIGINT) AS value_sum, MIN(v) AS value_min, "
+            "MAX(v) AS value_max FROM ipx GROUP BY 1), "
+            "wav AS (SELECT doc_id, s, (s % 200 + 1) AS n FROM d "
+            "WHERE kind = 2), "
+            "wpx AS (SELECT w.doc_id, "
+            "CAST(((17 * i.i + w.s) % 65536) - 32768 AS BIGINT) AS v "
+            "FROM wav w, "
+            "unnest(generate_series(0, w.n - 1)) AS i(i)), "
+            "wstat AS (SELECT doc_id, 'audio' AS kind, "
+            "CAST(count(*) AS BIGINT) AS n_values, "
+            "CAST(SUM(v) AS BIGINT) AS value_sum, MIN(v) AS value_min, "
+            "MAX(v) AS value_max FROM wpx GROUP BY 1) "
+            "SELECT * FROM istat UNION ALL SELECT * FROM wstat "
+            "ORDER BY doc_id"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

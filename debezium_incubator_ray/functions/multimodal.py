@@ -72,17 +72,29 @@ def _hex_encode(binary_arr: pa.Array) -> pa.Array:
     return pc.cast(out, pa.string())
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real decoder integration point (PIL/opencv): payload → HxWxC array."""
+def decode_image(payload: bytes):
+    """Image decode: REAL for baseline PNG (pure zlib+numpy, filters
+    0-4) and uncompressed BMP 24/32bpp — see decode_png_baseline /
+    decode_bmp below. Other containers (JPEG, WebP, ...) raise with
+    the PIL integration point."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_baseline(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; plug PIL.Image.open(io.BytesIO(payload)) here"
+        "no baseline codec for this image container; plug "
+        "PIL.Image.open(io.BytesIO(payload)) here"
     )
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub
+def decode_audio(payload: bytes):
+    """Audio decode: REAL for PCM16 WAV (decode_wav_pcm16 below).
+    Compressed audio raises with the soundfile integration point."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_pcm16(payload)
     raise NotImplementedError(
-        "audio decoding requires soundfile/librosa; plug here"
+        "no baseline codec for this audio container; plug "
+        "soundfile/librosa here"
     )
 
 
@@ -531,3 +543,275 @@ def synth_media_payloads(doc_id: np.ndarray) -> pa.Array:
         pa.large_binary(), n,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
     )
+
+
+# ---------------------------------------------------------------------------
+# Real baseline codecs (pure numpy + stdlib zlib — no external image libs).
+# These upgrade decode_image/decode_audio from stubs to working decoders for
+# the containers this engine's lake actually carries: baseline PNG (8-bit,
+# non-interlaced, filters 0-4), uncompressed BMP (24/32bpp BI_RGB) and
+# PCM16 WAV. Anything else (JPEG, vorbis, ...) still raises with the
+# documented integration point.
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32bpp BI_RGB BMP -> (h, w, 3|4) uint8 RGB[A].
+    Bottom-up row order and 4-byte row padding handled; top-down
+    (negative height) accepted."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+        raise ValueError("not a BMP payload")
+    off = int(b[10]) | int(b[11]) << 8 | int(b[12]) << 16 | int(b[13]) << 24
+    w = int(np.frombuffer(b[18:22].tobytes(), "<i4")[0])
+    h = int(np.frombuffer(b[22:26].tobytes(), "<i4")[0])
+    bpp = int(b[28]) | int(b[29]) << 8
+    comp = int(np.frombuffer(b[30:34].tobytes(), "<u4")[0])
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32bpp BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    px = b[off:off + stride * h]
+    if len(px) < stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = px.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR(A) on disk -> RGB(A)
+    out = rows[..., [2, 1, 0] + ([3] if ch == 4 else [])]
+    return np.ascontiguousarray(out)
+
+
+_PNG_COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def decode_png_baseline(payload: bytes) -> np.ndarray:
+    """Baseline PNG -> (h, w, C) uint8: 8-bit, non-interlaced,
+    gray/RGB/gray+alpha/RGBA, filters 0-4 (sub/up/avg vectorized per
+    row; paeth per pixel). Real zlib inflate over the concatenated
+    IDAT stream — this is a working decoder, not a header parse."""
+    import struct
+    import zlib
+
+    b = payload
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    bitd = colort = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bitd, colort, _comp, _filt, interlace = data[8:13]
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if (bitd != 8 or colort not in _PNG_COLOR_TYPE_CHANNELS
+            or interlace != 0):
+        raise NotImplementedError(
+            f"baseline decoder supports 8-bit non-interlaced "
+            f"gray/RGB/GA/RGBA only (bit_depth={bitd}, color={colort}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_COLOR_TYPE_CHANNELS[colort]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has the wrong length")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = int(filters[r])
+        line = raw[r, 1:].astype(np.int64)
+        prev = out[r - 1].astype(np.int64) if r else np.zeros(
+            stride, np.int64
+        )
+        if f == 0:
+            rec = line
+        elif f == 2:  # up
+            rec = line + prev
+        elif f == 1:  # sub: per-channel prefix sums
+            rec = line.reshape(w, ch).cumsum(axis=0).reshape(stride)
+        elif f == 3:  # avg: sequential in x (left must be the
+            # RECONSTRUCTED byte, so reduce mod 256 at every step)
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # paeth: sequential in x, same mod-256 rule
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                ul = int(prev[x - ch]) if x >= ch else 0
+                rec[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[r] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """PCM16 WAV -> (n_samples, channels) int16 (canonical fmt-first
+    layout; the 'data' chunk located by scan)."""
+    b = payload
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    import struct
+
+    pos = 12
+    ch = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt, ch = struct.unpack("<HH", body[:4])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 supported (fmt={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if ch is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, ch)
+
+
+def decode_payload(payload: bytes):
+    """Format-sniffing decode: PNG/BMP -> uint8 pixel array, WAV ->
+    int16 sample array. Unknown containers raise NotImplementedError
+    naming the integration point (JPEG/vorbis need external libs)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_baseline(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_pcm16(payload)
+    raise NotImplementedError(
+        "no baseline codec for this container; plug PIL/pyav here"
+    )
+
+
+def synth_decodable_payloads(doc_id: np.ndarray) -> pa.Array:
+    """Deterministic FULLY-DECODABLE payloads (unlike
+    synth_media_payloads' header-only bytes): kind = doc_id % 3
+    (0 png RGB8 filter-0 with real zlib IDAT, 1 bmp24 bottom-up with
+    row padding, 2 wav PCM16 mono). s = doc_id // 3 varies the
+    shape; every pixel/sample follows a CLOSED-FORM formula a DuckDB
+    oracle can restate without any decoder:
+
+    - images (png & bmp): w = s % 13 + 1, h = s % 11 + 1,
+      v(r, c, ch) = (7r + 11c + 13ch + s) % 256  (RGB order)
+    - wav: n = s % 200 + 1, rate 8000/16000/44100 by s % 3,
+      sample(i) = ((17i + s) % 65536) - 32768
+
+    The codec loop is per payload by nature (zlib/row assembly); the
+    engine wraps it in an actor-pool map_batches with small batches —
+    the realistic shape for any real codec."""
+    import struct
+    import zlib
+
+    out = []
+    for d in np.asarray(doc_id, dtype=np.int64):
+        d = int(d)
+        kind, s = d % 3, d // 3
+        if kind in (0, 1):
+            w, h = s % 13 + 1, s % 11 + 1
+            r, c, chn = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((7 * r + 11 * c + 13 * chn + s) % 256).astype(np.uint8)
+            if kind == 0:
+                scan = np.concatenate(
+                    [np.concatenate(([0], px[row].ravel()))
+                     for row in range(h)]
+                ).astype(np.uint8)
+                idat = zlib.compress(scan.tobytes())
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+                def chunk(typ, body):
+                    return (struct.pack(">I", len(body)) + typ + body
+                            + struct.pack(">I", zlib.crc32(typ + body)))
+
+                out.append(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+            else:
+                stride = (w * 3 + 3) & ~3
+                rows = np.zeros((h, stride), np.uint8)
+                rows[:, : w * 3] = px[:, :, [2, 1, 0]].reshape(h, w * 3)
+                pixels = rows[::-1].tobytes()  # bottom-up
+                hdr = (b"BM" + struct.pack("<IHHI", 54 + len(pixels),
+                                           0, 0, 54)
+                       + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                     len(pixels), 2835, 2835, 0, 0))
+                out.append(hdr + pixels)
+        else:
+            n = s % 200 + 1
+            rate = (8000, 16000, 44100)[s % 3]
+            samples = (((17 * np.arange(n, dtype=np.int64) + s) % 65536)
+                       - 32768).astype("<i2")
+            data = samples.tobytes()
+            hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                           rate * 2, 2, 16)
+                   + b"data" + struct.pack("<I", len(data)))
+            out.append(hdr + data)
+    return pa.array(out, pa.large_binary())
+
+
+class PixelStatsDecoder:
+    """Actor-pool stage that REALLY decodes every payload through the
+    baseline codecs and emits exact integer stats per doc — the
+    verification surface for the decode round-trip (a wrong filter,
+    stride, padding or endianness shifts the sums)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.col].combine_chunks()
+        kinds, nv, vsum, vmin, vmax = [], [], [], [], []
+        for i in range(len(payloads)):
+            arr = decode_payload(payloads[i].as_py())
+            a = arr.astype(np.int64).ravel()
+            kinds.append("audio" if arr.dtype == np.int16 else "image")
+            nv.append(int(a.size))
+            vsum.append(int(a.sum()))
+            vmin.append(int(a.min()))
+            vmax.append(int(a.max()))
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "kind": pa.array(kinds, pa.string()),
+            "n_values": pa.array(nv, pa.int64()),
+            "value_sum": pa.array(vsum, pa.int64()),
+            "value_min": pa.array(vmin, pa.int64()),
+            "value_max": pa.array(vmax, pa.int64()),
+        })

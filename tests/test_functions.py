@@ -156,8 +156,9 @@ def test_multimodal_stub_plumbing():
     assert metas[1]["n_bytes"] == 8
     assert metas[1]["magic"] == b"\x89PNG".hex()
     assert metas[2]["magic"] == b"RIFF".hex()
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    # the real baseline decoder rejects a truncated PNG as malformed
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
 
 
 def test_typeconv_goldens():
@@ -1624,3 +1625,107 @@ def test_burstiness_planted_regimes(ray_session):
     assert out.loc[2, "burstiness"] > 0.4
     assert np.isnan(out.loc[4, "burstiness"])
     assert out.loc[4, "n_gaps"] == 1
+
+
+def test_baseline_codecs_round_trip():
+    """The real codecs invert synth_decodable_payloads exactly: every
+    decoded pixel/sample equals the closed-form formula (PNG goes
+    through actual zlib inflate + unfilter; BMP through stride/padding
+    and BGR->RGB; WAV through PCM16)."""
+    import numpy as np
+
+    from debezium_incubator_ray.functions.multimodal import (
+        decode_payload, synth_decodable_payloads,
+    )
+
+    ids = np.arange(90, dtype=np.int64)
+    payloads = synth_decodable_payloads(ids)
+    for d in ids:
+        d = int(d)
+        kind, s = d % 3, d // 3
+        arr = decode_payload(payloads[d].as_py())
+        if kind in (0, 1):
+            w, h = s % 13 + 1, s % 11 + 1
+            r, c, ch = np.meshgrid(np.arange(h), np.arange(w),
+                                   np.arange(3), indexing="ij")
+            expect = ((7 * r + 11 * c + 13 * ch + s) % 256).astype(
+                np.uint8
+            )
+            assert arr.shape == (h, w, 3)
+            assert (arr == expect).all(), d
+        else:
+            n = s % 200 + 1
+            expect = ((17 * np.arange(n) + s) % 65536) - 32768
+            assert arr.shape == (n, 1)
+            assert (arr.ravel() == expect).all(), d
+
+
+def test_png_decoder_all_filters():
+    """decode_png_baseline reconstructs sub/up/avg/paeth rows — each
+    encoded against the RECONSTRUCTED (mod-256) predictors, as the
+    spec requires."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from debezium_incubator_ray.functions.multimodal import (
+        decode_png_baseline,
+    )
+
+    w, h, chn = 5, 4, 3
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (h, w, chn), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else c)
+
+    rows = []
+    prev = np.zeros(w * chn, np.int64)
+    for r in range(h):
+        line = img[r].ravel().astype(np.int64)
+        f = [1, 2, 3, 4][r]
+        raw = np.empty_like(line)
+        for x in range(len(line)):
+            left = line[x - chn] if x >= chn else 0
+            up = prev[x]
+            ul = prev[x - chn] if x >= chn else 0
+            if f == 1:
+                raw[x] = line[x] - left
+            elif f == 2:
+                raw[x] = line[x] - up
+            elif f == 3:
+                raw[x] = line[x] - (left + up) // 2
+            else:
+                raw[x] = line[x] - paeth(int(left), int(up), int(ul))
+        rows.append(np.concatenate(([f], raw & 0xFF)).astype(np.uint8))
+        prev = line
+    scan = np.concatenate(rows).tobytes()
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    assert (decode_png_baseline(png) == img).all()
+
+
+def test_codec_error_paths():
+    """Unsupported containers raise NotImplementedError naming the
+    integration point; corrupt payloads raise ValueError."""
+    import pytest
+
+    from debezium_incubator_ray.functions.multimodal import (
+        decode_audio, decode_image, decode_payload,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 40)  # JPEG magic
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
