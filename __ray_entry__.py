@@ -3276,6 +3276,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          concurrency=(1, 4))
         )
 
+    def dedup_phash_groups(sf_dir):
+        """Perceptual-hash near-dup groups over REALLY-DECODED images:
+        each image doc decodes through the baseline codecs, a 16-bit
+        aHash folds from EXACT integers (gray value at the 4x4
+        nearest-neighbor sample grid, bit = gray * n_pixels > total
+        gray sum — integer cross-multiplication, no rational mean),
+        and hash buckets with >1 member come back as dup groups. The
+        oracle recomputes the hash from the closed-form pixel formulas
+        with no decoder — so a decode defect anywhere flips bits.
+        Decode+hash is the actor-pool stage; only (hash, count)
+        partials shuffle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Count, Min
+        from debezium_incubator_ray.functions.multimodal import (
+            decode_payload, synth_decodable_payloads,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"],
+        )
+
+        class HashStage:
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                img_ids = ids[ids % 3 != 2]  # images only
+                payloads = synth_decodable_payloads(img_ids)
+                hashes = np.empty(len(img_ids), np.int64)
+                for i in range(len(img_ids)):
+                    px = decode_payload(payloads[i].as_py()).astype(
+                        np.int64
+                    )
+                    h, w, _ = px.shape
+                    gray = px.sum(axis=2)  # integer 3-channel sum
+                    S, N = int(gray.sum()), h * w
+                    rs = (np.arange(4) * h) // 4
+                    cs = (np.arange(4) * w) // 4
+                    sample = gray[np.ix_(rs, cs)].ravel()
+                    bits = (sample * N > S).astype(np.int64)
+                    hashes[i] = int((bits << np.arange(16)).sum())
+                return pa.table({
+                    "ahash": pa.array(hashes),
+                    "doc_id": pa.array(img_ids),
+                })
+
+        g = (
+            ds.map_batches(HashStage, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=256,
+                           concurrency=(1, 4))
+            .groupby("ahash")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("doc_id", alias_name="min_doc_id"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g, empty=pa.table({
+            "ahash": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "min_doc_id": pa.array([], pa.int64()),
+        }))
+        t = t.filter(pc.greater(t["n_docs"], 1))
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("ahash", "ascending")
+        ]))
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9096,6 +9166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q14_promo": join_q14_promo,
         "text_unigram_entropy": text_unigram_entropy,
         "multimodal_pixel_stats": multimodal_pixel_stats,
+        "dedup_phash_groups": dedup_phash_groups,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10566,6 +10637,38 @@ def oracle_sql() -> dict[str, str]:
             "MAX(v) AS value_max FROM wpx GROUP BY 1) "
             "SELECT * FROM istat UNION ALL SELECT * FROM wstat "
             "ORDER BY doc_id"
+        ),
+        "dedup_phash_groups": (
+            # the same 16-bit integer aHash from the closed-form pixel
+            # formulas (no decoder): gray(r, c) = sum over ch of
+            # (7r + 11c + 13ch + s) % 256; sample grid r_i = i*h//4,
+            # c_j = j*w//4; bit = gray * (w*h) > total gray
+            "WITH d AS (SELECT doc_id, doc_id // 3 AS s FROM documents "
+            "WHERE doc_id % 3 <> 2), "
+            "img AS (SELECT doc_id, s, (s % 13 + 1) AS w, "
+            "(s % 11 + 1) AS h FROM d), "
+            "px AS (SELECT i.doc_id, r.r, c.c, "
+            "CAST((7 * r.r + 11 * c.c + i.s) % 256 "
+            "+ (7 * r.r + 11 * c.c + 13 + i.s) % 256 "
+            "+ (7 * r.r + 11 * c.c + 26 + i.s) % 256 AS BIGINT) AS g "
+            "FROM img i, "
+            "unnest(generate_series(0, i.h - 1)) AS r(r), "
+            "unnest(generate_series(0, i.w - 1)) AS c(c)), "
+            "tot AS (SELECT doc_id, SUM(g) AS sg, "
+            "CAST(count(*) AS BIGINT) AS n FROM px GROUP BY 1), "
+            "bits AS (SELECT i.doc_id, bi.i + 4 * bj.j AS bit, "
+            "CASE WHEN p.g * t.n > t.sg THEN 1 ELSE 0 END AS v "
+            "FROM img i, unnest(generate_series(0, 3)) AS bi(i), "
+            "unnest(generate_series(0, 3)) AS bj(j), px p, tot t "
+            "WHERE p.doc_id = i.doc_id AND t.doc_id = i.doc_id "
+            "AND p.r = (bj.j * i.h) // 4 "
+            "AND p.c = (bi.i * i.w) // 4), "
+            "hsh AS (SELECT doc_id, "
+            "CAST(SUM(v * power(2, bit)) AS BIGINT) AS ahash "
+            "FROM bits GROUP BY 1) "
+            "SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs, "
+            "MIN(doc_id) AS min_doc_id FROM hsh GROUP BY 1 "
+            "HAVING count(*) > 1 ORDER BY ahash"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

@@ -391,7 +391,7 @@ def main() -> None:
         "events_dow_hour_heatmap", "dedup_semantic", "docs_dsir_weights",
         "graph_modularity", "graph_degree_hist", "join_q10_returns",
         "join_q14_promo", "text_unigram_entropy",
-        "multimodal_pixel_stats",
+        "multimodal_pixel_stats", "dedup_phash_groups",
     ]
     for name in q_list:
         t2 = time.perf_counter()
