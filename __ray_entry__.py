@@ -10581,10 +10581,11 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(p.p_type = 'PROMO', false) AS pm FROM f "
             "LEFT JOIN part p ON p.p_partkey = f.l_partkey), "
             "s AS (SELECT coalesce(SUM(rev) FILTER (pm), 0) AS sp, "
-            "SUM(rev) AS st FROM j) "
+            "coalesce(SUM(rev), 0) AS st FROM j) "
             "SELECT ((sp + 50) // 100) / 100.0 AS promo_revenue, "
             "((st + 50) // 100) / 100.0 AS total_revenue, "
-            "((200000000 * sp + st) // (2 * st)) / 1000000.0 "
+            "CASE WHEN st = 0 THEN 0.0 ELSE "
+            "((200000000 * sp + st) // (2 * st)) / 1000000.0 END "
             "AS promo_share_pct FROM s"
         ),
         "text_unigram_entropy": (

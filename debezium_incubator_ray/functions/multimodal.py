@@ -2,12 +2,14 @@
 
 Image/audio/video payloads are carried as ``large_binary`` columns with a
 metadata struct. The Ray-side plumbing — schema, actor-pool stage shape,
-small batch sizes for wide binary rows, output layout — is real and tested;
-the actual codec work is STUBBED (no image/audio libraries in this
-environment): ``DecodeStub`` computes deterministic fake features
-(byte-length, magic prefix, content hash) and ``decode_image``/
-``decode_audio`` raise ``NotImplementedError`` with the integration point
-documented.
+small batch sizes for wide binary rows, output layout — is real and tested,
+and so are the BASELINE CODECS: ``decode_image`` really decodes baseline
+PNG (pure zlib + unfilter) and uncompressed BMP, ``decode_audio`` really
+decodes PCM16 WAV (see the "Real baseline codecs" section below). Only
+genuinely library-bound containers (JPEG, WebP, compressed audio, video)
+raise ``NotImplementedError`` with the integration point documented.
+``DecodeStub`` remains the lightweight metadata-only stage (byte-length,
+magic prefix, content hash) for pipelines that don't need pixels.
 
 At scale: binary payloads of MBs per row ⇒ batch_size small (64-256), block
 size raised so blocks are not split absurdly small, ``batch_format="pyarrow"``
@@ -599,9 +601,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png_baseline(payload: bytes) -> np.ndarray:
     """Baseline PNG -> (h, w, C) uint8: 8-bit, non-interlaced,
-    gray/RGB/gray+alpha/RGBA, filters 0-4 (sub/up/avg vectorized per
-    row; paeth per pixel). Real zlib inflate over the concatenated
-    IDAT stream — this is a working decoder, not a header parse."""
+    gray/RGB/gray+alpha/RGBA, filters 0-4. none/up/sub rows decode
+    vectorized; avg/paeth have a true sequential dependency on the
+    reconstructed left byte, so they loop per byte — correct but slow
+    on large photographic PNGs (a production deployment would swap in
+    PIL for those; this engine's lake carries filter-0 payloads).
+    Real zlib inflate over the concatenated IDAT stream — a working
+    decoder, not a header parse."""
     import struct
     import zlib
 
@@ -634,7 +640,12 @@ def decode_png_baseline(payload: bytes) -> np.ndarray:
             f"interlace={interlace})"
         )
     ch = _PNG_COLOR_TYPE_CHANNELS[colort]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if _comp != 0:
+        raise ValueError(f"PNG compression method {_comp} is invalid")
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as ex:  # corrupt stream stays in the ValueError
+        raise ValueError(f"PNG IDAT stream is corrupt: {ex}") from ex
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data has the wrong length")
@@ -688,6 +699,8 @@ def decode_wav_pcm16(payload: bytes) -> np.ndarray:
         (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
         body = b[pos + 8:pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk is truncated")
             fmt, ch = struct.unpack("<HH", body[:4])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1 or bits != 16:
@@ -704,18 +717,22 @@ def decode_wav_pcm16(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes):
-    """Format-sniffing decode: PNG/BMP -> uint8 pixel array, WAV ->
-    int16 sample array. Unknown containers raise NotImplementedError
-    naming the integration point (JPEG/vorbis need external libs)."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png_baseline(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
+    """Format-sniffing decode: delegates to decode_audio for RIFF/WAVE
+    and decode_image for everything else, so each container family has
+    exactly ONE magic-byte sniffer. Unknown containers raise
+    NotImplementedError naming the integration point."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav_pcm16(payload)
-    raise NotImplementedError(
-        "no baseline codec for this container; plug PIL/pyav here"
-    )
+        return decode_audio(payload)
+    return decode_image(payload)
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    """length + type + body + CRC32 — the PNG chunk wire format."""
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body)))
 
 
 def synth_decodable_payloads(doc_id: np.ndarray) -> pa.Array:
@@ -754,13 +771,10 @@ def synth_decodable_payloads(doc_id: np.ndarray) -> pa.Array:
                 ).astype(np.uint8)
                 idat = zlib.compress(scan.tobytes())
                 ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-
-                def chunk(typ, body):
-                    return (struct.pack(">I", len(body)) + typ + body
-                            + struct.pack(">I", zlib.crc32(typ + body)))
-
-                out.append(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+                out.append(b"\x89PNG\r\n\x1a\n"
+                           + _png_chunk(b"IHDR", ihdr)
+                           + _png_chunk(b"IDAT", idat)
+                           + _png_chunk(b"IEND", b""))
             else:
                 stride = (w * 3 + 3) & ~3
                 rows = np.zeros((h, stride), np.uint8)
