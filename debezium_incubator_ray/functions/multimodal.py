@@ -829,3 +829,55 @@ class PixelStatsDecoder:
             "value_min": pa.array(vmin, pa.int64()),
             "value_max": pa.array(vmax, pa.int64()),
         })
+
+
+class ResizeImage:
+    """REAL thumbnailing actor stage: decodes each image payload through
+    the baseline codecs and box-averages it to side x side GRAYSCALE
+    (3-channel integer sum per pixel, cell mean by integer floor
+    division — fully deterministic, no float). Upscaling degenerates to
+    nearest-neighbor (each output cell covers >= 1 input row/col by
+    construction: hi = max(lo + 1, ...)). Non-image or undecodable
+    payloads yield NULL thumbs (never fabricated pixels). Same output
+    layout as ResizeStub: binary ``thumb`` + ``thumb_dims``."""
+
+    def __init__(self, side: int = 8, payload_col: str = "payload"):
+        self.side = side
+        self.col = payload_col
+
+    def _thumb(self, payload: bytes) -> bytes | None:
+        try:
+            arr = decode_image(payload)
+        except (ValueError, NotImplementedError):
+            return None
+        gray = arr.astype(np.int64).sum(axis=2)  # 0..765 integer
+        h, w = gray.shape
+        s = self.side
+        out = np.empty((s, s), np.uint8)
+        rlo = (np.arange(s) * h) // s
+        rhi = np.maximum(rlo + 1, ((np.arange(s) + 1) * h) // s)
+        clo = (np.arange(s) * w) // s
+        chi = np.maximum(clo + 1, ((np.arange(s) + 1) * w) // s)
+        for i in range(s):
+            for j in range(s):
+                cell = gray[rlo[i]:rhi[i], clo[j]:chi[j]]
+                # 3-channel sum mean scaled back to 0..255 by // 3
+                out[i, j] = (int(cell.sum()) // cell.size) // 3
+        return out.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch[self.col].combine_chunks()
+        thumbs = [
+            None if not payload[i].is_valid
+            else self._thumb(payload[i].as_py())
+            for i in range(len(payload))
+        ]
+        dims = [
+            None if t is None else [self.side, self.side] for t in thumbs
+        ]
+        batch = batch.append_column(
+            "thumb", pa.array(thumbs, pa.binary())
+        )
+        return batch.append_column(
+            "thumb_dims", pa.array(dims, pa.list_(pa.int32()))
+        )

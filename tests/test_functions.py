@@ -1729,3 +1729,41 @@ def test_codec_error_paths():
         decode_payload(b"\x00" * 64)
     with pytest.raises(ValueError):
         decode_audio(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_resize_image_real_box_average():
+    """ResizeImage really decodes and box-averages: every thumbnail
+    byte equals the integer-exact cell mean recomputed from the
+    closed-form pixel formulas (no decoder on the expected side), and
+    non-image payloads yield NULL thumbs."""
+    import numpy as np
+
+    from debezium_incubator_ray.functions.multimodal import (
+        ResizeImage, synth_decodable_payloads,
+    )
+
+    ids = np.array([0, 1, 3, 4, 30, 31, 2], np.int64)  # 6 images + 1 wav
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "payload": synth_decodable_payloads(ids),
+    })
+    out = ResizeImage(side=4)(t)
+    assert out["thumb_dims"].to_pylist()[:-1] == [[4, 4]] * 6
+    assert out["thumb"].to_pylist()[-1] is None  # wav -> NULL
+    for row, d in enumerate(ids[:-1]):
+        d = int(d)
+        s = d // 3
+        w, h = s % 13 + 1, s % 11 + 1
+        r, c, ch = np.meshgrid(np.arange(h), np.arange(w),
+                               np.arange(3), indexing="ij")
+        px = ((7 * r + 11 * c + 13 * ch + s) % 256).astype(np.int64)
+        gray = px.sum(axis=2)
+        expect = np.empty((4, 4), np.uint8)
+        for i in range(4):
+            for j in range(4):
+                rlo, rhi = i * h // 4, max(i * h // 4 + 1, (i + 1) * h // 4)
+                clo, chi = j * w // 4, max(j * w // 4 + 1, (j + 1) * w // 4)
+                cell = gray[rlo:rhi, clo:chi]
+                expect[i, j] = (int(cell.sum()) // cell.size) // 3
+        got = np.frombuffer(out["thumb"].to_pylist()[row], np.uint8)
+        assert (got == expect.ravel()).all(), d
