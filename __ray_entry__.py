@@ -3346,6 +3346,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("ahash", "ascending")
         ]))
 
+    def text_fertility_by_lang(sf_dir):
+        """Tokenizer fertility per language: chars-per-token (and
+        tokens-per-doc) from exact integer sums — the corpus-card
+        metric that flags scripts a whitespace tokenizer undersegments
+        (zh vs en here). Ratios of exact ints round half-away in
+        integer space on both sides."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.text import _flat_tokens
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "text"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.is_valid(t["lang"]),
+                                 pc.is_valid(t["text"])))
+            flat, lens = _flat_tokens(t, "text")
+            # chars = total length of the TOKENS (whitespace excluded),
+            # counted in UNICODE code points to match SQL length()
+            tok_chars = pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            doc_idx = np.repeat(np.arange(t.num_rows), lens)
+            chars = np.zeros(t.num_rows, np.int64)
+            np.add.at(chars, doc_idx, tok_chars)
+            keep = lens > 0  # zero-token docs are outside the oracle's
+            # universe (length(trim(text)) > 0) — drop them here too
+            part = pa.table({
+                "lang": t["lang"].combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_docs": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "n_tokens": pa.array(lens[keep]),
+                "n_chars": pa.array(chars[keep]),
+            }).group_by("lang").aggregate(
+                [("n_docs", "sum"), ("n_tokens", "sum"),
+                 ("n_chars", "sum")]
+            )
+            return pa.table({
+                "lang": part["lang"], "n_docs": part["n_docs_sum"],
+                "n_tokens": part["n_tokens_sum"],
+                "n_chars": part["n_chars_sum"],
+            })
+
+        g = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_chars", alias_name="n_chars"))
+        )
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g, empty=pa.table({
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+        }))
+        t = t.take(pc.sort_indices(t, sort_keys=[("lang", "ascending")]))
+
+        def ratio6(num, den):
+            # half-away 6dp of num/den, exact in int space
+            return pa.array(
+                [((2_000_000 * int(a)) + int(b)) // (2 * int(b)) / 1e6
+                 for a, b in zip(num, den)], pa.float64(),
+            )
+
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": t["n_docs"],
+            "n_tokens": t["n_tokens"],
+            "chars_per_token": ratio6(t["n_chars"].to_pylist(),
+                                      t["n_tokens"].to_pylist()),
+            "tokens_per_doc": ratio6(t["n_tokens"].to_pylist(),
+                                     t["n_docs"].to_pylist()),
+        })
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9167,6 +9251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_entropy": text_unigram_entropy,
         "multimodal_pixel_stats": multimodal_pixel_stats,
         "dedup_phash_groups": dedup_phash_groups,
+        "text_fertility_by_lang": text_fertility_by_lang,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10670,6 +10755,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs, "
             "MIN(doc_id) AS min_doc_id FROM hsh GROUP BY 1 "
             "HAVING count(*) > 1 ORDER BY ahash"
+        ),
+        "text_fertility_by_lang": (
+            # chars = total UNICODE length of the whitespace tokens;
+            # ratios of exact ints round half-away in integer space
+            "WITH tok AS (SELECT lang, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            "FROM documents WHERE lang IS NOT NULL "
+            "AND text IS NOT NULL AND length(trim(text)) > 0), "
+            "tc AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n_tokens, "
+            "CAST(SUM(length(w)) AS HUGEINT) AS n_chars "
+            "FROM tok GROUP BY 1), "
+            "dc AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n_docs "
+            "FROM documents WHERE lang IS NOT NULL "
+            "AND text IS NOT NULL AND length(trim(text)) > 0 "
+            "GROUP BY 1) "
+            "SELECT tc.lang, CAST(dc.n_docs AS BIGINT) AS n_docs, "
+            "CAST(tc.n_tokens AS BIGINT) AS n_tokens, "
+            "((2000000 * tc.n_chars + tc.n_tokens) "
+            "// (2 * tc.n_tokens)) / 1000000.0 AS chars_per_token, "
+            "((2000000 * tc.n_tokens + dc.n_docs) "
+            "// (2 * dc.n_docs)) / 1000000.0 AS tokens_per_doc "
+            "FROM tc JOIN dc ON dc.lang = tc.lang ORDER BY tc.lang"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
