@@ -3430,6 +3430,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      t["n_docs"].to_pylist()),
         })
 
+    def docs_length_by_lang_quantiles(sf_dir):
+        """Per-language doc-length p50/p90/p99 (exact percentile_cont)
+        — the corpus-card length profile. Reuses the shared
+        quantiles_per_group kernel: one groupby, each (small) language
+        group sorts once; at 100 TB the same shape swaps in a
+        mergeable sketch (the kernel's documented scale path)."""
+        import ray.data
+        from debezium_incubator_ray.functions.windows import (
+            quantiles_per_group,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "n_chars"],
+        )
+        return quantiles_per_group(ds, group_col="lang",
+                                   value_col="n_chars",
+                                   qs=(0.5, 0.9, 0.99))
+
+    def events_stl_decomposition(sf_dir):
+        """STL-lite seasonal decomposition of the daily value series:
+        trend = centered 7-day moving average over the ORDERED day
+        sequence (only days with the full window), seasonal = mean
+        detrended value per isodow, remainder = detrended - seasonal.
+        Returns per-dow seasonal indices + the remainder RMS — the
+        classic trend/seasonality split a forecaster starts from. Day
+        totals fold distributed; the driver finish is O(days)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "value"],
+        )
+        US_D = 86_400_000_000
+
+        def partial(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks()
+            v = t["value"].combine_chunks()
+            keep = pc.and_(pc.is_valid(ts),
+                           pc.and_(pc.is_valid(v),
+                                   pc.invert(pc.is_nan(v))))
+            ts = ts.filter(keep).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            vv = v.filter(keep).to_numpy(zero_copy_only=False)
+            day = ts // US_D
+            part = pa.table({
+                "day": pa.array(day), "v": pa.array(vv),
+            }).group_by("day").aggregate([("v", "sum")])
+            return pa.table({"day": part["day"], "v": part["v_sum"]})
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("day")
+            .aggregate(Sum("v", alias_name="v"))
+            .take_all()
+        )  # O(days)
+        rows.sort(key=lambda r: r["day"])
+        days = np.array([r["day"] for r in rows], np.int64)
+        v = np.array([r["v"] for r in rows], np.float64)
+        n = len(v)
+        if n < 7:
+            return pa.table({
+                "dow": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+                "seasonal": pa.array([], pa.float64()),
+                "remainder_rms": pa.array([], pa.float64()),
+            })
+        # centered 7-day MA over the ordered sequence (full windows only)
+        trend = np.convolve(v, np.ones(7), mode="valid") / 7.0
+        mid = np.arange(3, n - 3)
+        det = v[mid] - trend
+        dow = ((days[mid] + 3) % 7 + 1).astype(np.int64)
+        ud = np.unique(dow)
+        seas = np.array([det[dow == d].mean() for d in ud])
+        rem = det - seas[np.searchsorted(ud, dow)]
+        rms = float(np.sqrt((rem * rem).mean()))
+        nd = np.array([(dow == d).sum() for d in ud], np.int64)
+        return pa.table({
+            "dow": pa.array(ud),
+            "n_days": pa.array(nd),
+            "seasonal": pa.array(np.round(seas, 6)),
+            "remainder_rms": pa.array(
+                np.full(len(ud), round(rms, 6)), pa.float64()
+            ),
+        })
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9252,6 +9344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pixel_stats": multimodal_pixel_stats,
         "dedup_phash_groups": dedup_phash_groups,
         "text_fertility_by_lang": text_fertility_by_lang,
+        "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
+        "events_stl_decomposition": events_stl_decomposition,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10777,6 +10871,39 @@ def oracle_sql() -> dict[str, str]:
             "((2000000 * tc.n_tokens + dc.n_docs) "
             "// (2 * dc.n_docs)) / 1000000.0 AS tokens_per_doc "
             "FROM tc JOIN dc ON dc.lang = tc.lang ORDER BY tc.lang"
+        ),
+        "docs_length_by_lang_quantiles": (
+            "WITH a AS (SELECT lang, "
+            "quantile_cont(CAST(n_chars AS DOUBLE), [0.5, 0.9, 0.99]) "
+            "AS vs FROM documents WHERE lang IS NOT NULL "
+            "AND n_chars IS NOT NULL GROUP BY 1) "
+            "SELECT lang, unnest([0.5, 0.9, 0.99]) AS q, "
+            "round(unnest(vs), 6) AS value FROM a"
+        ),
+        "events_stl_decomposition": (
+            # trend = SUM over the 7-row centered window / 7.0 (full
+            # windows only), seasonal = AVG detrended per isodow,
+            # remainder RMS over the same mid days — mirrors the
+            # engine's convolve/7 + per-dow mean algebra
+            "WITH daily AS (SELECT "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "SUM(value) AS v FROM events WHERE ts IS NOT NULL "
+            "AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1), "
+            "t AS (SELECT day, v, "
+            "SUM(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND "
+            "3 FOLLOWING) / 7.0 AS trend, "
+            "count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND "
+            "3 FOLLOWING) AS wn FROM daily), "
+            "m AS (SELECT day, ((day + 3) % 7 + 1) AS dow, "
+            "v - trend AS det FROM t WHERE wn = 7), "
+            "s AS (SELECT dow, AVG(det) AS seasonal, "
+            "CAST(count(*) AS BIGINT) AS n_days FROM m GROUP BY 1), "
+            "r AS (SELECT sqrt(AVG(power(m.det - s.seasonal, 2))) "
+            "AS rms FROM m JOIN s ON s.dow = m.dow) "
+            "SELECT CAST(s.dow AS BIGINT) AS dow, s.n_days, "
+            "round(s.seasonal, 6) AS seasonal, "
+            "round((SELECT rms FROM r), 6) AS remainder_rms "
+            "FROM s ORDER BY s.dow"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

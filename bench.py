@@ -392,7 +392,8 @@ def main() -> None:
         "graph_modularity", "graph_degree_hist", "join_q10_returns",
         "join_q14_promo", "text_unigram_entropy",
         "multimodal_pixel_stats", "dedup_phash_groups",
-        "text_fertility_by_lang",
+        "text_fertility_by_lang", "docs_length_by_lang_quantiles",
+        "events_stl_decomposition",
     ]
     for name in q_list:
         t2 = time.perf_counter()
