@@ -3376,8 +3376,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             doc_idx = np.repeat(np.arange(t.num_rows), lens)
             chars = np.zeros(t.num_rows, np.int64)
             np.add.at(chars, doc_idx, tok_chars)
-            keep = lens > 0  # zero-token docs are outside the oracle's
-            # universe (length(trim(text)) > 0) — drop them here too
+            keep = lens > 0  # docs with no (ASCII-whitespace) tokens
+            # are outside the oracle's universe — the oracle counts
+            # docs/tokens from its non-empty token stream, so both
+            # sides drop them. (Edge U+3000-style Unicode whitespace
+            # differs by tokenizer contract — ASCII corpus here.)
             part = pa.table({
                 "lang": t["lang"].combine_chunks().filter(
                     pa.array(keep)
@@ -3441,13 +3444,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             quantiles_per_group,
         )
 
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["lang", "n_chars"],
         )
-        return quantiles_per_group(ds, group_col="lang",
-                                   value_col="n_chars",
-                                   qs=(0.5, 0.9, 0.99))
+
+        def drop_nulls(t: pa.Table) -> pa.Table:
+            # the oracle's universe: lang and n_chars both non-null (a
+            # null n_chars would NaN-poison the group's np.quantile)
+            return t.filter(pc.and_(pc.is_valid(t["lang"]),
+                                    pc.is_valid(t["n_chars"])))
+
+        return quantiles_per_group(
+            ds.map_batches(drop_nulls, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            group_col="lang", value_col="n_chars", qs=(0.5, 0.9, 0.99),
+        )
 
     def events_stl_decomposition(sf_dir):
         """STL-lite seasonal decomposition of the daily value series:
@@ -10852,18 +10867,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_fertility_by_lang": (
             # chars = total UNICODE length of the whitespace tokens;
-            # ratios of exact ints round half-away in integer space
-            "WITH tok AS (SELECT lang, "
-            "unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            # empty tokens (edge whitespace surviving the space-only
+            # trim) are filtered and the DOC universe is derived from
+            # the same non-empty token stream, so both sides count
+            # exactly the docs that tokenize to >= 1 token; ratios of
+            # exact ints round half-away in integer space
+            "WITH tok AS (SELECT doc_id, lang, w FROM (SELECT doc_id, "
+            "lang, unnest(string_split_regex(trim(text), '\\s+')) AS w "
             "FROM documents WHERE lang IS NOT NULL "
-            "AND text IS NOT NULL AND length(trim(text)) > 0), "
+            "AND text IS NOT NULL) WHERE w <> ''), "
             "tc AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n_tokens, "
             "CAST(SUM(length(w)) AS HUGEINT) AS n_chars "
             "FROM tok GROUP BY 1), "
-            "dc AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n_docs "
-            "FROM documents WHERE lang IS NOT NULL "
-            "AND text IS NOT NULL AND length(trim(text)) > 0 "
-            "GROUP BY 1) "
+            "dc AS (SELECT lang, CAST(count(DISTINCT doc_id) "
+            "AS HUGEINT) AS n_docs FROM tok GROUP BY 1) "
             "SELECT tc.lang, CAST(dc.n_docs AS BIGINT) AS n_docs, "
             "CAST(tc.n_tokens AS BIGINT) AS n_tokens, "
             "((2000000 * tc.n_chars + tc.n_tokens) "
