@@ -463,3 +463,91 @@ def test_md5_bridge_matches_hashlib(vals):
             hashlib.md5(str(v).encode()).digest()[:8], "big"
         )
         assert int(h) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    colort=st.sampled_from([0, 2, 4, 6]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_property(w, h, colort, filters, seed):
+    """Any 8-bit image, any per-row filter choice: encoding against the
+    spec's reconstructed-predictor definitions and decoding through
+    decode_png_baseline is the identity."""
+    import struct
+    import zlib
+
+    from debezium_incubator_ray.functions.multimodal import (
+        _png_chunk, decode_png_baseline,
+    )
+
+    chn = {0: 1, 2: 3, 4: 2, 6: 4}[colort]
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, chn), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else c)
+
+    rows = []
+    prev = np.zeros(w * chn, np.int64)
+    for r in range(h):
+        line = img[r].ravel().astype(np.int64)
+        f = filters[r % len(filters)]
+        raw = np.empty_like(line)
+        for x in range(len(line)):
+            left = line[x - chn] if x >= chn else 0
+            up = prev[x] if r else 0
+            ul = (prev[x - chn] if x >= chn else 0) if r else 0
+            if f == 0:
+                raw[x] = line[x]
+            elif f == 1:
+                raw[x] = line[x] - left
+            elif f == 2:
+                raw[x] = line[x] - up
+            elif f == 3:
+                raw[x] = line[x] - (left + up) // 2
+            else:
+                raw[x] = line[x] - paeth(int(left), int(up), int(ul))
+        rows.append(np.concatenate(([f], raw & 0xFF)).astype(np.uint8))
+        prev = line
+    scan = np.concatenate(rows).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, 8, colort, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(scan))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png_baseline(png) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    bpp=st.sampled_from([24, 32]),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_round_trip_property(w, h, bpp, top_down, seed):
+    """Any 24/32bpp BMP (either row order, any stride padding) decodes
+    back to its RGB(A) pixels exactly."""
+    import struct
+
+    from debezium_incubator_ray.functions.multimodal import decode_bmp
+
+    chn = bpp // 8
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, chn), dtype=np.uint8)
+    stride = (w * chn + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    disk = img[..., [2, 1, 0] + ([3] if chn == 4 else [])]  # RGB->BGR
+    rows[:, : w * chn] = disk.reshape(h, w * chn)
+    px = (rows if top_down else rows[::-1]).tobytes()
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                         1, bpp, 0, len(px), 2835, 2835, 0, 0))
+    assert (decode_bmp(hdr + px) == img).all()
