@@ -3537,6 +3537,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         })
 
+    def dedup_threshold_curve(sf_dir):
+        """Near-dup pair count as a function of the Jaccard threshold
+        (0.1 .. 0.9) — the sensitivity curve a curation run sweeps
+        before committing to a cutoff. ONE inverted-index pass scores
+        every candidate pair (kernel threshold 0.05, safely under the
+        curve's floor so boundary-rounding pairs are not pre-dropped);
+        per-block partials fold 9 tiny (threshold, n) rows."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        TAUS = np.round(np.arange(1, 10) * 0.1, 1)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        pairs = ngram_jaccard_pairs(docs, threshold=0.05)
+
+        def partial(t: pa.Table) -> pa.Table:
+            j = t["jaccard"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            n = np.array([(j >= tau).sum() for tau in TAUS], np.int64)
+            return pa.table({
+                "threshold": pa.array(TAUS, pa.float64()),
+                "n_pairs": pa.array(n),
+            })
+
+        g = (
+            pairs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("threshold")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        )
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        t = collect_table(g, empty=pa.table({
+            "threshold": pa.array([], pa.float64()),
+            "n_pairs": pa.array([], pa.int64()),
+        }))
+        # zero-pair thresholds still emit a row (mirror the oracle's
+        # LEFT JOIN off the unnested tau list)
+        seen = set(t["threshold"].to_pylist())
+        missing = [float(x) for x in TAUS if float(x) not in seen]
+        if missing:
+            t = pa.concat_tables([t, pa.table({
+                "threshold": pa.array(missing, pa.float64()),
+                "n_pairs": pa.array([0] * len(missing), pa.int64()),
+            })])
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("threshold", "ascending")
+        ]))
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9361,6 +9419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fertility_by_lang": text_fertility_by_lang,
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
         "events_stl_decomposition": events_stl_decomposition,
+        "dedup_threshold_curve": dedup_threshold_curve,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10921,6 +10980,17 @@ def oracle_sql() -> dict[str, str]:
             "round(s.seasonal, 6) AS seasonal, "
             "round((SELECT rms FROM r), 6) AS remainder_rms "
             "FROM s ORDER BY s.dow"
+        ),
+        "dedup_threshold_curve": (
+            _SHINGLES
+            + "SELECT t.tau AS threshold, "
+            "CAST(count(jc.j) AS BIGINT) AS n_pairs FROM "
+            "unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) "
+            "AS t(tau) LEFT JOIN "
+            "(SELECT round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) "
+            "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
+            "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

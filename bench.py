@@ -393,7 +393,7 @@ def main() -> None:
         "join_q14_promo", "text_unigram_entropy",
         "multimodal_pixel_stats", "dedup_phash_groups",
         "text_fertility_by_lang", "docs_length_by_lang_quantiles",
-        "events_stl_decomposition",
+        "events_stl_decomposition", "dedup_threshold_curve",
     ]
     for name in q_list:
         t2 = time.perf_counter()
