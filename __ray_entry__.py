@@ -3595,6 +3595,148 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("threshold", "ascending")
         ]))
 
+    def orders_qoq_growth(sf_dir):
+        """Quarter-over-quarter revenue: per calendar quarter, exact
+        order-value cents totals and the QoQ growth percentage
+        (rational -> half-away integer rounding on both sides; the
+        first quarter reports NULL growth). Per-batch (quarter, cents)
+        partials; one tiny quarter groupby; O(quarters) driver
+        finish."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderdate", "o_totalprice"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.is_valid(t["o_orderdate"]),
+                                 pc.is_valid(t["o_totalprice"])))
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            # (year, quarter) from epoch-us via numpy datetime month
+            months = od.astype("datetime64[us]").astype("datetime64[M]")
+            y = months.astype("datetime64[Y]").astype(np.int64) + 1970
+            m = (months.astype(np.int64) % 12) + 1
+            q = (m - 1) // 3 + 1
+            cents = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            part = pa.table({
+                "year": pa.array(y), "quarter": pa.array(q),
+                "cents": pa.array(cents),
+                "n": pa.array(np.ones(len(y), np.int64)),
+            }).group_by(["year", "quarter"]).aggregate(
+                [("cents", "sum"), ("n", "sum")]
+            )
+            return pa.table({
+                "year": part["year"], "quarter": part["quarter"],
+                "cents": part["cents_sum"], "n": part["n_sum"],
+            })
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["year", "quarter"])
+            .aggregate(Sum("cents", alias_name="cents"),
+                       Sum("n", alias_name="n"))
+            .take_all()
+        )  # O(quarters)
+        rows.sort(key=lambda r: (r["year"], r["quarter"]))
+        y = [r["year"] for r in rows]
+        q = [r["quarter"] for r in rows]
+        c = [int(r["cents"]) for r in rows]
+        n = [r["n"] for r in rows]
+        growth = [None]
+        for i in range(1, len(c)):
+            prev, cur = c[i - 1], c[i]
+            # pct = 100 * (cur - prev) / prev, half-away 6dp, exact
+            num = 100_000_000 * (cur - prev)
+            a = (2 * abs(num) + prev) // (2 * prev)
+            growth.append((a if num >= 0 else -a) / 1e6)
+        return pa.table({
+            "year": pa.array(y, pa.int64()),
+            "quarter": pa.array(q, pa.int64()),
+            "revenue": pa.array([v / 100.0 for v in c], pa.float64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "qoq_growth_pct": pa.array(growth, pa.float64()),
+        })
+
+    def embedding_intrinsic_dim(sf_dir):
+        """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of
+        the embedding corpus: ID = n / sum(ln(r2 / r1)) over each
+        vector's two nearest neighbors. Per-batch rows compute their
+        NN1/NN2 against the broadcast corpus matrix (block-pair
+        matmuls — at 100 TB this runs on a uniform sample, the
+        standard TwoNN recipe) and fold partial log-ratio sums; zero-
+        distance duplicate pairs are excluded per the estimator."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.ann import _batch_matrix
+
+        et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+        ids_all = et["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_all)
+        M_all = _batch_matrix(et, "embedding").astype(np.float64)[order]
+        ids_sorted = ids_all[order]
+        ref2 = ray.put((M_all, ids_sorted))
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+
+        def partial2(t: pa.Table) -> pa.Table:
+            corpus, sid = ray.get(ref2)
+            B = _batch_matrix(t, "embedding").astype(np.float64)
+            d2 = (
+                (B * B).sum(axis=1, keepdims=True)
+                - 2.0 * (B @ corpus.T)
+                + (corpus * corpus).sum(axis=1)[None, :]
+            )
+            np.maximum(d2, 0.0, out=d2)
+            ids = t["vec_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            rows_idx = np.arange(len(ids))
+            d2[rows_idx, np.searchsorted(sid, ids)] = np.inf  # self
+            p1 = np.argmin(d2, axis=1)
+            r1 = d2[rows_idx, p1]
+            d2[rows_idx, p1] = np.inf
+            r2 = d2.min(axis=1)
+            ok = r1 > 1e-9  # duplicate NN excluded per TwoNN (the
+            # epsilon absorbs float noise in the d2 algebra — an exact
+            # duplicate can read ~1e-13, not 0.0, on either side)
+            # ln(r2/r1) = 0.5 * ln(d2_2 / d2_1) — identical algebra to
+            # the oracle's 0.5 * ln(ratio of squared distances)
+            term = 0.5 * np.log(r2[ok] / r1[ok])
+            return pa.table({
+                "s": pa.array([float(term.sum())], pa.float64()),
+                "n": pa.array([int(ok.sum())], pa.int64()),
+            })
+
+        rows = ds.map_batches(partial2, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        s = sum(r["s"] for r in rows)
+        n = sum(r["n"] for r in rows)
+        return pa.table({
+            "n_vectors": pa.array([n], pa.int64()),
+            "intrinsic_dim": pa.array(
+                [round(n / s, 6) if s > 0 else None], pa.float64()
+            ),
+        })
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9420,6 +9562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
         "events_stl_decomposition": events_stl_decomposition,
         "dedup_threshold_curve": dedup_threshold_curve,
+        "orders_qoq_growth": orders_qoq_growth,
+        "embedding_intrinsic_dim": embedding_intrinsic_dim,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -10991,6 +11135,50 @@ def oracle_sql() -> dict[str, str]:
             "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "orders_qoq_growth": (
+            # exact cents per calendar quarter; the QoQ percentage is
+            # rational -> half-away integer rounding, sign-aware; the
+            # first quarter reports NULL growth
+            "WITH q AS (SELECT CAST(year(o_orderdate) AS BIGINT) "
+            "AS year, CAST(quarter(o_orderdate) AS BIGINT) AS quarter, "
+            "SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM orders "
+            "WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1, 2), "
+            "w AS (SELECT *, lag(cents) OVER "
+            "(ORDER BY year, quarter) AS prev FROM q) "
+            "SELECT year, quarter, cents / 100.0 AS revenue, n_orders, "
+            "CASE WHEN prev IS NULL THEN NULL "
+            "WHEN cents >= prev THEN "
+            "((2 * (100000000 * (cents - prev)) + prev) // (2 * prev)) "
+            "/ 1000000.0 ELSE "
+            "-(((2 * (100000000 * (prev - cents)) + prev) // (2 * prev))"
+            " / 1000000.0) END AS qoq_growth_pct "
+            "FROM w ORDER BY year, quarter"
+        ),
+        "embedding_intrinsic_dim": (
+            # the SAME |a|^2 - 2ab + |b|^2 algebra as the engine (via
+            # list_inner_product), squared distances clipped at 0;
+            # NN ties break by neighbor id; duplicates (r1 <= 1e-9)
+            # excluded; ID = n / sum(0.5 * ln(r2/r1))
+            "WITH e AS (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "p AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+            "greatest(list_inner_product(a.v, a.v) "
+            "- 2 * list_inner_product(a.v, b.v) "
+            "+ list_inner_product(b.v, b.v), 0.0) AS d2 "
+            "FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT i, d2, row_number() OVER "
+            "(PARTITION BY i ORDER BY d2, j) AS rn FROM p), "
+            "nn AS (SELECT r1.i, r1.d2 AS r1, r2.d2 AS r2 "
+            "FROM r r1 JOIN r r2 ON r1.i = r2.i "
+            "AND r1.rn = 1 AND r2.rn = 2), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "SUM(0.5 * ln(r2 / r1)) AS t FROM nn WHERE r1 > 1e-9) "
+            "SELECT n AS n_vectors, round(n / t, 6) AS intrinsic_dim "
+            "FROM s"
         ),
         "events_changepoint": (
             "WITH daily AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "

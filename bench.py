@@ -394,6 +394,7 @@ def main() -> None:
         "multimodal_pixel_stats", "dedup_phash_groups",
         "text_fertility_by_lang", "docs_length_by_lang_quantiles",
         "events_stl_decomposition", "dedup_threshold_curve",
+        "orders_qoq_growth", "embedding_intrinsic_dim",
     ]
     for name in q_list:
         t2 = time.perf_counter()
