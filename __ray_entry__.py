@@ -3737,6 +3737,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         })
 
+    def text_bm25_index_topk(sf_dir):
+        """BM25 top-20 through the PERSISTED inverted index: build the
+        term-hash-bucketed index (atomic publish), then search reading
+        ONLY the buckets the query terms hash to — the pruned-read
+        contract (ann.build_ivf_index's text sibling). Must rank
+        exactly like the in-memory text_bm25_topk row; the oracle is
+        the same SQL."""
+        import os as _os
+        import uuid
+
+        import ray.data
+        from debezium_incubator_ray.functions.text import (
+            build_text_index, text_index_topk,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        idx = _os.path.join(
+            "/tmp", f"dbzray-tix-{_os.getpid()}-{uuid.uuid4().hex}"
+        )
+        try:
+            build_text_index(docs, idx, buckets=32)
+            return text_index_topk(idx, ("join", "vector", "stream"),
+                                   k=20)
+        finally:
+            import shutil
+
+            shutil.rmtree(idx, ignore_errors=True)
+
     def events_gini(sf_dir):
         """Gini coefficient of per-user event counts — activity
         concentration. Per-key counts fold narrow; the driver finish is
@@ -9564,6 +9595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_curve": dedup_threshold_curve,
         "orders_qoq_growth": orders_qoq_growth,
         "embedding_intrinsic_dim": embedding_intrinsic_dim,
+        "text_bm25_index_topk": text_bm25_index_topk,
         "events_changepoint": events_changepoint,
         "join_bloom_semi": join_bloom_semi,
         "join_min_price_supplier": join_min_price_supplier,
@@ -9873,6 +9905,32 @@ def _lpa_sql(rounds: int = 3) -> str:
     label asc) ties, the same rounds the engine runs."""
     return (_lpa_chain_sql(rounds)
             + f" SELECT node, lab AS label FROM l{rounds} ORDER BY node")
+
+
+_BM25_SQL = (
+
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text), '\\s+')) AS term FROM documents "
+            "WHERE length(trim(text)) > 0), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl "
+            "FROM tok GROUP BY doc_id), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf "
+            "FROM tok WHERE term IN ('join', 'stream', 'vector') "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
+            "FROM tf GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, sum(ln((st.n_docs - df.df + 0.5) / "
+            "(df.df + 0.5) + 1.0) * tf.tf * 2.2 / (tf.tf + 1.2 * "
+            "(0.25 + 0.75 * dl.dl / st.avgdl))) AS score "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN st GROUP BY tf.doc_id) "
+            # qualify sc.score in ORDER BY: a bare `score` would resolve
+            # to the rounded alias, but the engine cuts top-k by the RAW
+            # score — near-ties at the k boundary must break identically
+            "SELECT doc_id, round(sc.score, 6) AS score FROM sc "
+            "ORDER BY sc.score DESC, doc_id ASC LIMIT 20"
+)
 
 
 def _modularity_sql(rounds: int = 3) -> str:
@@ -12492,29 +12550,8 @@ def oracle_sql() -> dict[str, str]:
             "round(regr_slope(ln(CAST(cnt AS DOUBLE)), "
             "ln(CAST(r AS DOUBLE))), 6) AS slope FROM top"
         ),
-        "text_bm25_topk": (
-            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
-            "trim(text), '\\s+')) AS term FROM documents "
-            "WHERE length(trim(text)) > 0), "
-            "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl "
-            "FROM tok GROUP BY doc_id), "
-            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl), "
-            "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf "
-            "FROM tok WHERE term IN ('join', 'stream', 'vector') "
-            "GROUP BY doc_id, term), "
-            "df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
-            "FROM tf GROUP BY term), "
-            "sc AS (SELECT tf.doc_id, sum(ln((st.n_docs - df.df + 0.5) / "
-            "(df.df + 0.5) + 1.0) * tf.tf * 2.2 / (tf.tf + 1.2 * "
-            "(0.25 + 0.75 * dl.dl / st.avgdl))) AS score "
-            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
-            "CROSS JOIN st GROUP BY tf.doc_id) "
-            # qualify sc.score in ORDER BY: a bare `score` would resolve
-            # to the rounded alias, but the engine cuts top-k by the RAW
-            # score — near-ties at the k boundary must break identically
-            "SELECT doc_id, round(sc.score, 6) AS score FROM sc "
-            "ORDER BY sc.score DESC, doc_id ASC LIMIT 20"
-        ),
+        "text_bm25_topk": _BM25_SQL,
+        "text_bm25_index_topk": _BM25_SQL,
         "dq_histogram": (
             "WITH s AS (SELECT min(value) AS mn, max(value) AS mx "
             "FROM events WHERE value IS NOT NULL), "

@@ -395,6 +395,7 @@ def main() -> None:
         "text_fertility_by_lang", "docs_length_by_lang_quantiles",
         "events_stl_decomposition", "dedup_threshold_curve",
         "orders_qoq_growth", "embedding_intrinsic_dim",
+        "text_bm25_index_topk",
     ]
     for name in q_list:
         t2 = time.perf_counter()

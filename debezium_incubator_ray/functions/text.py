@@ -1634,3 +1634,200 @@ def source_vocab_overlap(docs, group_col: str = "source",
                    ("source_b", "ascending")],
     )
     return out.take(order)
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 text index — the lake-side sibling of ann.build_ivf_index:
+# postings bucketed by term hash so a query touches only its terms' buckets.
+# ---------------------------------------------------------------------------
+
+def build_text_index(
+    ds,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> dict:
+    """Write a persisted inverted index in ONE streaming pass:
+    ``bucket=<md5_u64(term) %% buckets>/*.parquet`` rows of
+    ``(term, doc_id, tf, dl)`` — the doc length rides denormalized on
+    every posting so search never joins a doclen table — plus
+    ``_STATS.json`` (n_docs, sum_dl, buckets) for the BM25 globals.
+    Tokenization is _flat_tokens (identical to the in-memory
+    bm25_topk, so the two paths provably rank the same corpus).
+    Publish is atomic (tmp dir + rename): readers never observe a
+    half-built index. Returns {"buckets": int, "n_docs": int}."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ray.data.aggregate import Sum
+
+    from debezium_incubator_ray.functions.tokens import md5_u64
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t, text_col)
+        n_docs = len(lens)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "term": flat,
+            "doc_id": pa.array(ids[doc_of]),
+            "tf": pa.array(np.ones(len(doc_of), np.int64)),
+            "dl": pa.array(lens[doc_of]),
+        }).group_by(["term", "doc_id", "dl"]).aggregate([("tf", "sum")])
+        b = (md5_u64(part["term"]) % np.uint64(buckets)).astype(np.int64)
+        return pa.table({
+            "term": part["term"], "doc_id": part["doc_id"],
+            "tf": part["tf_sum"], "dl": part["dl"],
+            "bucket": pa.array(b),
+        })
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        _flat, lens = _flat_tokens(t, text_col)
+        nz = lens > 0
+        return pa.table({
+            "_k": pa.array([0], pa.int64()),
+            "n_docs": pa.array([int(nz.sum())], pa.int64()),
+            "sum_dl": pa.array([int(lens.sum())], pa.int64()),
+        })
+
+    st = (
+        ds.map_batches(doc_stats, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_k")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_dl", alias_name="sum_dl"))
+        .take_all()
+    )[0]
+
+    tmp = f"{out_dir}.{uuid.uuid4().hex}.tmp"
+    ds.map_batches(postings, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    with open(os.path.join(tmp, "_STATS.json"), "w") as f:
+        json.dump({"n_docs": int(st["n_docs"]),
+                   "sum_dl": int(st["sum_dl"]),
+                   "buckets": int(buckets)}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)  # the visibility point
+    return {"buckets": buckets, "n_docs": int(st["n_docs"])}
+
+
+def text_index_topk(
+    index_dir: str,
+    query_terms,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k through the PERSISTED index: reads ONLY the bucket
+    partitions the query terms hash to (partition pruning — the
+    pruned-read contract this index exists for), folds per-term df
+    from the touched postings, scores each posting independently
+    (idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) — BM25 is
+    additive over terms), sums per doc in one narrow groupby and
+    merges per-block top-k partials. Ranking parity with the
+    in-memory bm25_topk is pinned by tests (same tokenizer, same
+    smoothed idf)."""
+    import json
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from debezium_incubator_ray.functions.kernels import (
+        merge_local_topk, table_topk,
+    )
+    from debezium_incubator_ray.functions.tokens import md5_u64
+
+    with open(os.path.join(index_dir, "_STATS.json")) as f:
+        stats = json.load(f)
+    n_corpus, buckets = stats["n_docs"], stats["buckets"]
+    avgdl = stats["sum_dl"] / max(n_corpus, 1)
+
+    terms = sorted(set(query_terms))
+    term_arr = pa.array(terms, pa.string())
+    needed = sorted({
+        int(h % np.uint64(buckets)) for h in md5_u64(term_arr)
+    })
+    # ray.data.read_parquet takes FILE paths when given a list — glob
+    # each needed bucket dir (this IS the partition pruning: untouched
+    # buckets never reach the reader)
+    paths = []
+    for bb in needed:
+        d = os.path.join(index_dir, f"bucket={bb}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not paths:
+        return empty
+    ds = ray.data.read_parquet(paths)
+
+    def filter_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=term_arr))
+
+    postings = ds.map_batches(
+        filter_terms, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # tiny: only the query terms' postings
+
+    dfs = {
+        r["term"]: r["n"]
+        for r in postings.groupby("term")
+        .aggregate(Count(alias_name="n")).take_all()
+    }
+    idf = {
+        t_: float(np.log(
+            (n_corpus - dfs.get(t_, 0) + 0.5)
+            / (dfs.get(t_, 0) + 0.5) + 1.0
+        ))
+        for t_ in terms
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        tv = t["term"].combine_chunks().to_pylist()
+        tf = t["tf"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        dl = t["dl"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        w = np.array([idf[x] for x in tv])
+        sc = w * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        part = pa.table({
+            "doc_id": t["doc_id"], "score": pa.array(sc),
+        }).group_by("doc_id").aggregate([("score", "sum")])
+        return pa.table({"doc_id": part["doc_id"],
+                         "score": part["score_sum"]})
+
+    per_doc = (
+        postings.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("score", alias_name="score"))
+    )
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        return table_topk(t.select(["doc_id", "score"]), "score",
+                          ["doc_id"], k)
+
+    cand = per_doc.map_batches(topk_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = merge_local_topk(cand, "score", ["doc_id"], k, empty)
+    order = pc.sort_indices(
+        out.append_column("_neg", pc.negate(out["score"])),
+        sort_keys=[("_neg", "ascending"), ("doc_id", "ascending")],
+    )
+    out = out.take(order)
+    return out.set_column(
+        out.schema.get_field_index("score"), "score",
+        pc.round(out["score"], ndigits=6),
+    )

@@ -1,0 +1,100 @@
+"""Laws of the persisted BM25 inverted index (functions/text.py
+build_text_index / text_index_topk) — the text sibling of the
+persisted-IVF-index laws in test_ann_scale.py."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from debezium_incubator_ray.functions.text import (
+    bm25_topk, build_text_index, text_index_topk,
+)
+from debezium_incubator_ray.functions.tokens import md5_u64
+
+SF = "/root/testdata/sf0.001"
+TERMS = ("join", "vector", "stream")
+
+
+def _docs():
+    return ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+
+def _mem_table(res):
+    if isinstance(res, pa.Table):
+        return res
+    return pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+
+
+def test_index_search_equals_in_memory(ray_session, tmp_path):
+    """Pruned search through the persisted index ranks EXACTLY like the
+    in-memory bm25_topk — same docs, same rounded scores, same order."""
+    idx = str(tmp_path / "tix")
+    info = build_text_index(_docs(), idx, buckets=32)
+    assert info["n_docs"] == 500
+    got = text_index_topk(idx, TERMS, k=20)
+    want = _mem_table(bm25_topk(_docs(), TERMS, k=20))
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_index_pruning_reads_only_needed_buckets(ray_session, tmp_path):
+    """Corrupting every bucket the query does NOT hash to leaves the
+    search untouched; corrupting a needed bucket breaks it — proof the
+    reader opens exactly the needed partitions."""
+    idx = str(tmp_path / "tix")
+    build_text_index(_docs(), idx, buckets=32)
+    baseline = text_index_topk(idx, TERMS, k=20)
+
+    needed = {int(h % np.uint64(32))
+              for h in md5_u64(pa.array(list(TERMS)))}
+    all_buckets = {
+        int(d.split("=")[1]) for d in os.listdir(idx)
+        if d.startswith("bucket=")
+    }
+    assert needed < all_buckets  # strict subset — pruning is non-trivial
+
+    for bb in all_buckets - needed:
+        for f in os.listdir(os.path.join(idx, f"bucket={bb}")):
+            with open(os.path.join(idx, f"bucket={bb}", f), "wb") as fh:
+                fh.write(b"garbage")  # unreadable as parquet
+    again = text_index_topk(idx, TERMS, k=20)
+    assert again["doc_id"].to_pylist() == baseline["doc_id"].to_pylist()
+    assert again["score"].to_pylist() == baseline["score"].to_pylist()
+
+    bb = sorted(needed)[0]
+    for f in os.listdir(os.path.join(idx, f"bucket={bb}")):
+        with open(os.path.join(idx, f"bucket={bb}", f), "wb") as fh:
+            fh.write(b"garbage")
+    with pytest.raises(Exception):
+        text_index_topk(idx, TERMS, k=20)
+
+
+def test_index_rebuild_is_atomic_and_stable(ray_session, tmp_path):
+    """Rebuilding over a live index atomically replaces it (no .tmp
+    residue, stats consistent) and reproduces the identical ranking."""
+    idx = str(tmp_path / "tix")
+    build_text_index(_docs(), idx, buckets=32)
+    first = text_index_topk(idx, TERMS, k=20)
+    build_text_index(_docs(), idx, buckets=32)  # rebuild over live
+    second = text_index_topk(idx, TERMS, k=20)
+    assert first.equals(second)
+    parent = os.path.dirname(idx)
+    assert not [d for d in os.listdir(parent) if ".tmp" in d]
+    assert os.path.exists(os.path.join(idx, "_STATS.json"))
+
+
+def test_index_empty_and_miss_terms(ray_session, tmp_path):
+    """Query terms absent from the corpus (or hashing to missing
+    buckets) return an empty result, not an error."""
+    idx = str(tmp_path / "tix")
+    build_text_index(_docs(), idx, buckets=32)
+    out = text_index_topk(idx, ("zzqqxx_not_a_token",), k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "score"]
