@@ -3686,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                            columns=["vec_id", "embedding"])
+        et = et.filter(pc.is_valid(et["embedding"]))
         ids_all = et["vec_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids_all)
         M_all = _batch_matrix(et, "embedding").astype(np.float64)[order]
@@ -3699,6 +3700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def partial2(t: pa.Table) -> pa.Table:
             corpus, sid = ray.get(ref2)
+            t = t.filter(pc.is_valid(t["embedding"]))
             B = _batch_matrix(t, "embedding").astype(np.float64)
             d2 = (
                 (B * B).sum(axis=1, keepdims=True)
@@ -3715,9 +3717,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             r1 = d2[rows_idx, p1]
             d2[rows_idx, p1] = np.inf
             r2 = d2.min(axis=1)
-            ok = r1 > 1e-9  # duplicate NN excluded per TwoNN (the
-            # epsilon absorbs float noise in the d2 algebra — an exact
-            # duplicate can read ~1e-13, not 0.0, on either side)
+            # duplicate NN excluded per TwoNN (the epsilon absorbs
+            # float noise in the d2 algebra — an exact duplicate can
+            # read ~1e-13, not 0.0, on either side); rows with no
+            # SECOND neighbor (corpus of 2) have r2 = inf and are
+            # outside the estimator, like the oracle's missing rn=2
+            ok = (r1 > 1e-9) & np.isfinite(r2)
             # ln(r2/r1) = 0.5 * ln(d2_2 / d2_1) — identical algebra to
             # the oracle's 0.5 * ln(ratio of squared distances)
             term = 0.5 * np.log(r2[ok] / r1[ok])

@@ -1648,11 +1648,13 @@ def build_text_index(
     id_col: str = "doc_id",
     buckets: int = 32,
 ) -> dict:
-    """Write a persisted inverted index in ONE streaming pass:
-    ``bucket=<md5_u64(term) %% buckets>/*.parquet`` rows of
-    ``(term, doc_id, tf, dl)`` — the doc length rides denormalized on
-    every posting so search never joins a doclen table — plus
-    ``_STATS.json`` (n_docs, sum_dl, buckets) for the BM25 globals.
+    """Write a persisted inverted index: ONE streaming pass over the
+    CORPUS produces ``bucket=<md5_u64(term) %% buckets>/*.parquet``
+    rows of ``(term, doc_id, tf, dl)`` — the doc length rides
+    denormalized on every posting so search never joins a doclen
+    table; the BM25 globals for ``_STATS.json`` (n_docs, sum_dl) then
+    fold from the WRITTEN postings (per-doc first dl), so the corpus
+    text is read and tokenized exactly once.
     Tokenization is _flat_tokens (identical to the in-memory
     bm25_topk, so the two paths provably rank the same corpus).
     Publish is atomic (tmp dir + rename): readers never observe a
@@ -1684,29 +1686,54 @@ def build_text_index(
             "bucket": pa.array(b),
         })
 
-    def doc_stats(t: pa.Table) -> pa.Table:
-        _flat, lens = _flat_tokens(t, text_col)
-        nz = lens > 0
-        return pa.table({
-            "_k": pa.array([0], pa.int64()),
-            "n_docs": pa.array([int(nz.sum())], pa.int64()),
-            "sum_dl": pa.array([int(lens.sum())], pa.int64()),
-        })
-
-    st = (
-        ds.map_batches(doc_stats, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_k")
-        .aggregate(Sum("n_docs", alias_name="n_docs"),
-                   Sum("sum_dl", alias_name="sum_dl"))
-        .take_all()
-    )[0]
-
     tmp = f"{out_dir}.{uuid.uuid4().hex}.tmp"
     ds.map_batches(postings, batch_format="pyarrow",
                    zero_copy_batch=True).write_parquet(
         tmp, partition_cols=["bucket"]
     )
+
+    # BM25 globals from the WRITTEN postings (no second corpus pass):
+    # every doc with >= 1 token has >= 1 posting carrying its dl, so
+    # n_docs = |distinct doc| and sum_dl = sum of per-doc first dl —
+    # exactly the in-memory bm25_topk's nz-doc statistics
+    import ray.data as _rd
+
+    def dl_partial(t: pa.Table) -> pa.Table:
+        part = t.select(["doc_id", "dl"]).group_by("doc_id").aggregate(
+            [("dl", "min")]
+        )
+        return pa.table({"doc_id": part["doc_id"],
+                         "dl": part["dl_min"]})
+
+    from ray.data.aggregate import Min
+
+    per_doc = (
+        _rd.read_parquet(tmp)
+        .map_batches(dl_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Min("dl", alias_name="dl"))
+    )
+    # a doc's dl is identical on every posting, so Min (NOT Sum — a
+    # doc's postings can span batches) recovers the single value
+    def stats_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pa.array([0], pa.int64()),
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array(
+                [int(t["dl"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64(),
+            ),
+        })
+
+    st = (
+        per_doc.map_batches(stats_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("_k")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_dl", alias_name="sum_dl"))
+        .take_all()
+    )[0]
     with open(os.path.join(tmp, "_STATS.json"), "w") as f:
         json.dump({"n_docs": int(st["n_docs"]),
                    "sum_dl": int(st["sum_dl"]),
