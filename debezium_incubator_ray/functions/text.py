@@ -1734,13 +1734,129 @@ def build_text_index(
                    Sum("sum_dl", alias_name="sum_dl"))
         .take_all()
     )[0]
+    files = _index_files_on_disk(tmp)
     with open(os.path.join(tmp, "_STATS.json"), "w") as f:
         json.dump({"n_docs": int(st["n_docs"]),
                    "sum_dl": int(st["sum_dl"]),
-                   "buckets": int(buckets)}, f)
+                   "buckets": int(buckets),
+                   "files": files}, f)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)  # the visibility point
     return {"buckets": buckets, "n_docs": int(st["n_docs"])}
+
+
+def _index_files_on_disk(root: str) -> dict:
+    """{bucket_id: [relative parquet file names]} actually present."""
+    import os
+
+    out = {}
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("bucket="):
+            continue
+        bb = int(d.split("=")[1])
+        out[str(bb)] = sorted(
+            f for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def append_to_text_index(
+    index_dir: str,
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally add NEW documents to a live index with the lake's
+    commit protocol: new posting files land inside the bucket dirs but
+    stay INVISIBLE (readers only open manifested files) until one
+    atomic _STATS.json replace publishes the new file list + updated
+    globals. A crash anywhere before the swap leaves the old view
+    byte-identical; re-running the append after a crash is safe (the
+    orphaned files are simply never manifested — vacuum by rebuilding).
+    The caller owns doc-id disjointness (appending an EXISTING doc_id
+    would double its postings, same as any append-only log)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from debezium_incubator_ray.functions.tokens import md5_u64
+
+    with open(os.path.join(index_dir, "_STATS.json")) as f:
+        stats = json.load(f)
+    buckets = int(stats["buckets"])
+    tag = uuid.uuid4().hex
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t, text_col)
+        n_docs = len(lens)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "term": flat,
+            "doc_id": pa.array(ids[doc_of]),
+            "tf": pa.array(np.ones(len(doc_of), np.int64)),
+            "dl": pa.array(lens[doc_of]),
+        }).group_by(["term", "doc_id", "dl"]).aggregate([("tf", "sum")])
+        b = (md5_u64(part["term"]) % np.uint64(buckets)).astype(np.int64)
+        return pa.table({
+            "term": part["term"], "doc_id": part["doc_id"],
+            "tf": part["tf_sum"], "dl": part["dl"],
+            "bucket": pa.array(b),
+        })
+
+    # stage the delta into a tmp dir, then MOVE files into the bucket
+    # dirs under append-unique names (invisible until manifested)
+    tmp = os.path.join(index_dir, f"_append-{tag}.tmp")
+    delta = ds.map_batches(postings, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    delta.write_parquet(tmp, partition_cols=["bucket"])
+
+    def dl_partial(t: pa.Table) -> pa.Table:
+        part = t.select(["doc_id", "dl"]).group_by("doc_id").aggregate(
+            [("dl", "min")]
+        )
+        return pa.table({"doc_id": part["doc_id"],
+                         "dl": part["dl_min"]})
+
+    rows = (
+        delta.map_batches(dl_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Min("dl", alias_name="dl"))
+        .take_all()
+    )
+    d_docs = len(rows)
+    d_dl = int(sum(r["dl"] for r in rows))
+
+    files = {k: list(v) for k, v in stats["files"].items()}
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("bucket="):
+            continue
+        bb = d.split("=")[1]
+        dst_dir = os.path.join(index_dir, f"bucket={bb}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"append-{tag}-{i:04d}.parquet"
+            os.replace(os.path.join(tmp, d, f),
+                       os.path.join(dst_dir, name))
+            files.setdefault(bb, []).append(name)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    new_stats = {"n_docs": int(stats["n_docs"]) + d_docs,
+                 "sum_dl": int(stats["sum_dl"]) + d_dl,
+                 "buckets": buckets, "files": files}
+    swap = os.path.join(index_dir, f"_STATS.{tag}.json")
+    with open(swap, "w") as f:
+        json.dump(new_stats, f)
+    os.replace(swap, os.path.join(index_dir, "_STATS.json"))  # commit
+    return {"appended_docs": d_docs, "n_docs": new_stats["n_docs"]}
 
 
 def text_index_topk(
@@ -1780,17 +1896,20 @@ def text_index_topk(
     needed = sorted({
         int(h % np.uint64(buckets)) for h in md5_u64(term_arr)
     })
-    # ray.data.read_parquet takes FILE paths when given a list — glob
-    # each needed bucket dir (this IS the partition pruning: untouched
-    # buckets never reach the reader)
+    # ray.data.read_parquet takes FILE paths when given a list. Open
+    # only the MANIFESTED files of the needed buckets (partition
+    # pruning + append atomicity: un-manifested files are invisible);
+    # a pre-manifest index falls back to the on-disk glob
+    manifest = stats.get("files")
     paths = []
     for bb in needed:
         d = os.path.join(index_dir, f"bucket={bb}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+        if not os.path.isdir(d):
+            continue
+        names = (manifest.get(str(bb), []) if manifest is not None
+                 else sorted(f for f in os.listdir(d)
+                             if f.endswith(".parquet")))
+        paths.extend(os.path.join(d, f) for f in names)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "score": pa.array([], pa.float64())})
     if not paths:

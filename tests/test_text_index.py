@@ -98,3 +98,48 @@ def test_index_empty_and_miss_terms(ray_session, tmp_path):
     out = text_index_topk(idx, ("zzqqxx_not_a_token",), k=5)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "score"]
+
+
+def test_index_append_matches_full_rebuild(ray_session, tmp_path):
+    """The lake commit protocol on the index: append half the corpus to
+    an index built from the other half — the final ranking equals a
+    full-corpus rebuild; and BEFORE the manifest swap, staged posting
+    files are invisible (a reader sees the old view byte-identical)."""
+    import json
+
+    docs = _docs()
+    half_a = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    half_b = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+
+    from debezium_incubator_ray.functions.text import (
+        append_to_text_index,
+    )
+
+    idx = str(tmp_path / "tix")
+    build_text_index(half_a, idx, buckets=32)
+    before = text_index_topk(idx, TERMS, k=20)
+
+    # crash-sim: drop un-manifested posting files into a needed bucket —
+    # the reader must not open them
+    needed = sorted({int(h % np.uint64(32))
+                     for h in md5_u64(pa.array(list(TERMS)))})
+    bdir = os.path.join(idx, f"bucket={needed[0]}")
+    with open(os.path.join(bdir, "append-orphan-0000.parquet"),
+              "wb") as fh:
+        fh.write(b"not parquet at all")
+    unchanged = text_index_topk(idx, TERMS, k=20)
+    assert unchanged.equals(before)
+    os.remove(os.path.join(bdir, "append-orphan-0000.parquet"))
+
+    info = append_to_text_index(idx, half_b)
+    assert info["n_docs"] == 500
+    with open(os.path.join(idx, "_STATS.json")) as f:
+        st = json.load(f)
+    assert st["n_docs"] == 500
+
+    full = str(tmp_path / "tix-full")
+    build_text_index(docs, full, buckets=32)
+    got = text_index_topk(idx, TERMS, k=20)
+    want = text_index_topk(full, TERMS, k=20)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
