@@ -1859,6 +1859,162 @@ def append_to_text_index(
     return {"appended_docs": d_docs, "n_docs": new_stats["n_docs"]}
 
 
+def delete_from_text_index(index_dir: str, doc_ids) -> dict:
+    """Tombstone deletion: the doc ids land in the manifest's
+    ``tombstones`` set in ONE atomic _STATS.json replace — search
+    filters their postings out immediately; the bytes remain until
+    :func:`compact_text_index` rewrites them away. Updating a document
+    is the documented three-step contract: delete -> compact -> append
+    (an append of a tombstoned id would resurrect ONLY its new
+    postings after compaction, but double-count before it — hence the
+    ordering). n_docs / sum_dl stay the BUILT corpus statistics until
+    compaction (BM25 globals drift slightly under heavy tombstoning,
+    exactly like every tombstone-based search engine between
+    merges)."""
+    import json
+    import os
+    import uuid
+
+    with open(os.path.join(index_dir, "_STATS.json")) as f:
+        stats = json.load(f)
+    tomb = set(stats.get("tombstones", []))
+    tomb.update(int(d) for d in doc_ids)
+    stats["tombstones"] = sorted(tomb)
+    tag = uuid.uuid4().hex
+    swap = os.path.join(index_dir, f"_STATS.{tag}.json")
+    with open(swap, "w") as f:
+        json.dump(stats, f)
+    os.replace(swap, os.path.join(index_dir, "_STATS.json"))  # commit
+    return {"tombstones": len(tomb)}
+
+
+def compact_text_index(index_dir: str) -> dict:
+    """Rewrite every manifested posting file dropping tombstoned docs,
+    recompute the BM25 globals from the surviving postings, and commit
+    the new file list + stats + empty tombstone set in one atomic
+    manifest replace. The compacted index is indistinguishable from a
+    fresh build over the surviving corpus (pinned by test). Old files
+    are removed only AFTER the commit (a crash mid-delete leaves
+    harmless un-manifested bytes, not a broken view)."""
+    import json
+    import os
+    import uuid
+
+    with open(os.path.join(index_dir, "_STATS.json")) as f:
+        stats = json.load(f)
+    tomb = set(stats.get("tombstones", []))
+    if not tomb:
+        return {"rewritten": 0, "n_docs": int(stats["n_docs"])}
+    tag = uuid.uuid4().hex
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    tomb_ref = ray.put(pa.array(sorted(tomb), pa.int64()))
+
+    @ray.remote
+    def rewrite_bucket(bdir: str, names: list, tag: str) -> list:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        t_arr = ray.get(tomb_ref)
+        kept = []
+        for i, name in enumerate(names):
+            t = _pq.read_table(_os.path.join(bdir, name))
+            t = t.filter(_pc.invert(
+                _pc.is_in(t["doc_id"], value_set=t_arr)
+            ))
+            if t.num_rows == 0:
+                continue
+            out = f"compact-{tag}-{i:04d}.parquet"
+            _pq.write_table(t, _os.path.join(bdir, out))
+            kept.append(out)
+        return kept
+
+    # one Ray task per bucket — the rewrite is embarrassingly parallel
+    items = sorted(stats["files"].items())
+    futs = [
+        rewrite_bucket.remote(
+            os.path.join(index_dir, f"bucket={bb}"), names, tag
+        )
+        for bb, names in items
+    ]
+    new_files = {
+        bb: kept
+        for (bb, _names), kept in zip(items, ray.get(futs)) if kept
+    }
+    old_paths = [
+        os.path.join(index_dir, f"bucket={bb}", name)
+        for bb, names in items for name in names
+    ]
+
+    # BM25 globals from the SURVIVING postings — the same distributed
+    # per-doc-first-dl fold build_text_index uses (no driver doc map)
+    surv_paths = [
+        os.path.join(index_dir, f"bucket={bb}", name)
+        for bb, names in new_files.items() for name in names
+    ]
+    if surv_paths:
+        def dl_partial(t: pa.Table) -> pa.Table:
+            part = t.select(["doc_id", "dl"]).group_by(
+                "doc_id"
+            ).aggregate([("dl", "min")])
+            return pa.table({"doc_id": part["doc_id"],
+                             "dl": part["dl_min"]})
+
+        per_doc = (
+            ray.data.read_parquet(surv_paths)
+            .map_batches(dl_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("doc_id")
+            .aggregate(Min("dl", alias_name="dl"))
+        )
+
+        def stats_partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "_k": pa.array([0], pa.int64()),
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "sum_dl": pa.array(
+                    [int(t["dl"].to_numpy(
+                        zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            })
+
+        st = (
+            per_doc.map_batches(stats_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_k")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_dl", alias_name="sum_dl"))
+            .take_all()
+        )[0]
+        n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    else:
+        n_docs, sum_dl = 0, 0
+    new_stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "buckets": int(stats["buckets"]),
+        "files": new_files,
+        "tombstones": [],
+    }
+    swap = os.path.join(index_dir, f"_STATS.{tag}.json")
+    with open(swap, "w") as f:
+        json.dump(new_stats, f)
+    os.replace(swap, os.path.join(index_dir, "_STATS.json"))  # commit
+    for p in old_paths:  # invisible already — safe to drop
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return {"rewritten": len(old_paths), "n_docs": new_stats["n_docs"]}
+
+
 def text_index_topk(
     index_dir: str,
     query_terms,
@@ -1916,8 +2072,16 @@ def text_index_topk(
         return empty
     ds = ray.data.read_parquet(paths)
 
+    tomb = stats.get("tombstones") or []
+    tomb_arr = pa.array([int(x) for x in tomb], pa.int64())
+
     def filter_terms(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["term"], value_set=term_arr))
+        t = t.filter(pc.is_in(t["term"], value_set=term_arr))
+        if len(tomb_arr):
+            t = t.filter(pc.invert(
+                pc.is_in(t["doc_id"], value_set=tomb_arr)
+            ))
+        return t
 
     postings = ds.map_batches(
         filter_terms, batch_format="pyarrow", zero_copy_batch=True

@@ -143,3 +143,56 @@ def test_index_append_matches_full_rebuild(ray_session, tmp_path):
     want = text_index_topk(full, TERMS, k=20)
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_index_delete_and_compact(ray_session, tmp_path):
+    """Tombstoned docs vanish from search immediately; compaction
+    rewrites them away (per-bucket Ray tasks), recomputes the BM25
+    globals from survivors, and the compacted index ranks EXACTLY
+    like a fresh build over the surviving corpus. The documented
+    update contract (delete -> compact -> append) converges to the
+    rebuild of the final corpus."""
+    import json
+
+    from debezium_incubator_ray.functions.text import (
+        append_to_text_index, compact_text_index,
+        delete_from_text_index,
+    )
+
+    docs = _docs()
+    idx = str(tmp_path / "tix")
+    build_text_index(docs, idx, buckets=32)
+    base = text_index_topk(idx, TERMS, k=20)
+    victims = base["doc_id"].to_pylist()[:3]
+
+    delete_from_text_index(idx, victims)
+    hidden = text_index_topk(idx, TERMS, k=20)
+    assert not set(victims) & set(hidden["doc_id"].to_pylist())
+
+    info = compact_text_index(idx)
+    assert info["n_docs"] == 500 - len(victims)
+    with open(os.path.join(idx, "_STATS.json")) as f:
+        st = json.load(f)
+    assert st["tombstones"] == []
+    after = text_index_topk(idx, TERMS, k=20)
+
+    survivors = docs.filter(
+        lambda r, v=set(victims): r["doc_id"] not in v
+    )
+    ref = str(tmp_path / "tix-ref")
+    build_text_index(survivors, ref, buckets=32)
+    want = text_index_topk(ref, TERMS, k=20)
+    assert after["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert after["score"].to_pylist() == want["score"].to_pylist()
+
+    # update contract: re-add the victims (post-compact) == full corpus
+    victims_ds = docs.filter(
+        lambda r, v=set(victims): r["doc_id"] in v
+    )
+    append_to_text_index(idx, victims_ds)
+    full = str(tmp_path / "tix-full")
+    build_text_index(docs, full, buckets=32)
+    got = text_index_topk(idx, TERMS, k=20)
+    want2 = text_index_topk(full, TERMS, k=20)
+    assert got["doc_id"].to_pylist() == want2["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want2["score"].to_pylist()
