@@ -1635,37 +1635,64 @@ def source_vocab_overlap(docs, group_col: str = "source",
     )
     return out.take(order)
 
-
 # ---------------------------------------------------------------------------
 # Persisted BM25 text index — the lake-side sibling of ann.build_ivf_index:
 # postings bucketed by term hash so a query touches only its terms' buckets.
+#
+# Commit protocol (the lake's, applied to the index): _STATS.json is the ONE
+# manifest — file list per bucket, BM25 globals, tombstone set — and every
+# mutation (build, append, delete, compact) becomes visible in one atomic
+# replace of it. Posting bytes on disk that the manifest does not list are
+# invisible to readers; vacuum_text_index() reclaims them once in-flight
+# readers (which may hold an older manifest) have drained. Mutators are
+# SINGLE-WRITER, enforced loudly by an exclusive _LOCK file.
 # ---------------------------------------------------------------------------
 
-def build_text_index(
-    ds,
-    out_dir: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    buckets: int = 32,
-) -> dict:
-    """Write a persisted inverted index: ONE streaming pass over the
-    CORPUS produces ``bucket=<md5_u64(term) %% buckets>/*.parquet``
-    rows of ``(term, doc_id, tf, dl)`` — the doc length rides
-    denormalized on every posting so search never joins a doclen
-    table; the BM25 globals for ``_STATS.json`` (n_docs, sum_dl) then
-    fold from the WRITTEN postings (per-doc first dl), so the corpus
-    text is read and tokenized exactly once.
-    Tokenization is _flat_tokens (identical to the in-memory
-    bm25_topk, so the two paths provably rank the same corpus).
-    Publish is atomic (tmp dir + rename): readers never observe a
-    half-built index. Returns {"buckets": int, "n_docs": int}."""
-    import json
-    import os
-    import shutil
-    import uuid
 
-    from ray.data.aggregate import Sum
+class TextIndexLockedError(RuntimeError):
+    """A second concurrent index mutator — the single-writer contract."""
 
+
+class _index_write_lock:
+    """O_CREAT|O_EXCL lock file around a mutator's read-modify-commit
+    window (same local-fs discipline as state/manifest.py's writer
+    lock). Concurrent mutation raises instead of silently last-writer-
+    wins-ing the manifest."""
+
+    def __init__(self, index_dir: str):
+        import os
+
+        self.path = os.path.join(index_dir, "_LOCK")
+
+    def __enter__(self):
+        import os
+
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise TextIndexLockedError(
+                f"another index mutator holds {self.path}; the index is "
+                "single-writer (remove the stale lock only if its owner "
+                "is dead)"
+            ) from None
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
+
+
+def _postings_fn(text_col: str, id_col: str, buckets: int):
+    """THE posting extractor — build and append must tokenize and
+    bucket identically or they diverge from each other and from the
+    in-memory bm25_topk; one closure, used by both."""
     from debezium_incubator_ray.functions.tokens import md5_u64
 
     def postings(t: pa.Table) -> pa.Table:
@@ -1686,36 +1713,28 @@ def build_text_index(
             "bucket": pa.array(b),
         })
 
-    tmp = f"{out_dir}.{uuid.uuid4().hex}.tmp"
-    ds.map_batches(postings, batch_format="pyarrow",
-                   zero_copy_batch=True).write_parquet(
-        tmp, partition_cols=["bucket"]
-    )
+    return postings
 
-    # BM25 globals from the WRITTEN postings (no second corpus pass):
-    # every doc with >= 1 token has >= 1 posting carrying its dl, so
-    # n_docs = |distinct doc| and sum_dl = sum of per-doc first dl —
-    # exactly the in-memory bm25_topk's nz-doc statistics
-    import ray.data as _rd
+
+def _fold_doc_stats(postings_ds) -> tuple:
+    """(n_docs, sum_dl) from a postings Dataset — distributed per-doc
+    first-dl fold (a doc's dl is identical on every posting; Min, not
+    Sum, because a doc's postings can span batches)."""
+    from ray.data.aggregate import Min, Sum
 
     def dl_partial(t: pa.Table) -> pa.Table:
         part = t.select(["doc_id", "dl"]).group_by("doc_id").aggregate(
             [("dl", "min")]
         )
-        return pa.table({"doc_id": part["doc_id"],
-                         "dl": part["dl_min"]})
-
-    from ray.data.aggregate import Min
+        return pa.table({"doc_id": part["doc_id"], "dl": part["dl_min"]})
 
     per_doc = (
-        _rd.read_parquet(tmp)
-        .map_batches(dl_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
+        postings_ds.map_batches(dl_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
         .groupby("doc_id")
         .aggregate(Min("dl", alias_name="dl"))
     )
-    # a doc's dl is identical on every posting, so Min (NOT Sum — a
-    # doc's postings can span batches) recovers the single value
+
     def stats_partial(t: pa.Table) -> pa.Table:
         return pa.table({
             "_k": pa.array([0], pa.int64()),
@@ -1726,23 +1745,41 @@ def build_text_index(
             ),
         })
 
-    st = (
+    rows = (
         per_doc.map_batches(stats_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
         .groupby("_k")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("sum_dl", alias_name="sum_dl"))
         .take_all()
-    )[0]
-    files = _index_files_on_disk(tmp)
-    with open(os.path.join(tmp, "_STATS.json"), "w") as f:
-        json.dump({"n_docs": int(st["n_docs"]),
-                   "sum_dl": int(st["sum_dl"]),
-                   "buckets": int(buckets),
-                   "files": files}, f)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.rename(tmp, out_dir)  # the visibility point
-    return {"buckets": buckets, "n_docs": int(st["n_docs"])}
+    )
+    if not rows:
+        return 0, 0
+    return int(rows[0]["n_docs"]), int(rows[0]["sum_dl"])
+
+
+def _read_stats(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_STATS.json")) as f:
+        stats = json.load(f)
+    if "files" not in stats:  # pre-manifest index: adopt the disk state
+        stats["files"] = _index_files_on_disk(index_dir)
+    stats.setdefault("tombstones", [])
+    return stats
+
+
+def _commit_stats(index_dir: str, stats: dict) -> None:
+    """THE visibility point of every mutator: one atomic replace."""
+    import json
+    import os
+    import uuid
+
+    swap = os.path.join(index_dir, f"_STATS.{uuid.uuid4().hex}.json")
+    with open(swap, "w") as f:
+        json.dump(stats, f)
+    os.replace(swap, os.path.join(index_dir, "_STATS.json"))
 
 
 def _index_files_on_disk(root: str) -> dict:
@@ -1761,258 +1798,214 @@ def _index_files_on_disk(root: str) -> dict:
     return out
 
 
+def build_text_index(
+    ds,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> dict:
+    """Write a persisted inverted index: ONE streaming pass over the
+    CORPUS produces ``bucket=<md5_u64(term) %% buckets>/*.parquet``
+    rows of ``(term, doc_id, tf, dl)`` — the doc length rides
+    denormalized on every posting so search never joins a doclen
+    table; the BM25 globals for ``_STATS.json`` then fold from the
+    WRITTEN postings, so the corpus text is read and tokenized exactly
+    once. Publish is atomic (tmp dir + rename): readers never observe
+    a half-built index. Returns {"buckets": int, "n_docs": int}."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data
+
+    tmp = f"{out_dir}.{uuid.uuid4().hex}.tmp"
+    ds.map_batches(
+        _postings_fn(text_col, id_col, buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).write_parquet(tmp, partition_cols=["bucket"])
+
+    n_docs, sum_dl = _fold_doc_stats(ray.data.read_parquet(tmp))
+    _commit_stats(tmp, {
+        "n_docs": n_docs, "sum_dl": sum_dl, "buckets": int(buckets),
+        "files": _index_files_on_disk(tmp), "tombstones": [],
+    })
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)  # the visibility point
+    return {"buckets": buckets, "n_docs": n_docs}
+
+
 def append_to_text_index(
     index_dir: str,
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
-    """Incrementally add NEW documents to a live index with the lake's
-    commit protocol: new posting files land inside the bucket dirs but
-    stay INVISIBLE (readers only open manifested files) until one
-    atomic _STATS.json replace publishes the new file list + updated
-    globals. A crash anywhere before the swap leaves the old view
-    byte-identical; re-running the append after a crash is safe (the
-    orphaned files are simply never manifested — vacuum by rebuilding).
-    The caller owns doc-id disjointness (appending an EXISTING doc_id
-    would double its postings, same as any append-only log)."""
-    import json
+    """Incrementally add NEW documents: delta posting files land inside
+    the bucket dirs but stay INVISIBLE (readers only open manifested
+    files) until one atomic manifest replace publishes the new file
+    list + updated globals. Tombstones CARRY FORWARD untouched. A
+    crash before the commit leaves the old view byte-identical (the
+    orphaned files are reclaimed by vacuum_text_index). The caller
+    owns doc-id disjointness against the LIVE doc set (appending an
+    existing live id would double its postings — delete and compact
+    first; that three-step is the documented update contract)."""
     import os
     import shutil
     import uuid
 
-    import ray.data
-    from ray.data.aggregate import Min, Sum
+    with _index_write_lock(index_dir):
+        stats = _read_stats(index_dir)
+        buckets = int(stats["buckets"])
+        tag = uuid.uuid4().hex
 
-    from debezium_incubator_ray.functions.tokens import md5_u64
+        tmp = os.path.join(index_dir, f"_append-{tag}.tmp")
+        delta = ds.map_batches(
+            _postings_fn(text_col, id_col, buckets),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        delta.write_parquet(tmp, partition_cols=["bucket"])
+        d_docs, d_dl = _fold_doc_stats(delta)
 
-    with open(os.path.join(index_dir, "_STATS.json")) as f:
-        stats = json.load(f)
-    buckets = int(stats["buckets"])
-    tag = uuid.uuid4().hex
-
-    def postings(t: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(t, text_col)
-        n_docs = len(lens)
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        part = pa.table({
-            "term": flat,
-            "doc_id": pa.array(ids[doc_of]),
-            "tf": pa.array(np.ones(len(doc_of), np.int64)),
-            "dl": pa.array(lens[doc_of]),
-        }).group_by(["term", "doc_id", "dl"]).aggregate([("tf", "sum")])
-        b = (md5_u64(part["term"]) % np.uint64(buckets)).astype(np.int64)
-        return pa.table({
-            "term": part["term"], "doc_id": part["doc_id"],
-            "tf": part["tf_sum"], "dl": part["dl"],
-            "bucket": pa.array(b),
-        })
-
-    # stage the delta into a tmp dir, then MOVE files into the bucket
-    # dirs under append-unique names (invisible until manifested)
-    tmp = os.path.join(index_dir, f"_append-{tag}.tmp")
-    delta = ds.map_batches(postings, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-    delta.write_parquet(tmp, partition_cols=["bucket"])
-
-    def dl_partial(t: pa.Table) -> pa.Table:
-        part = t.select(["doc_id", "dl"]).group_by("doc_id").aggregate(
-            [("dl", "min")]
-        )
-        return pa.table({"doc_id": part["doc_id"],
-                         "dl": part["dl_min"]})
-
-    rows = (
-        delta.map_batches(dl_partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-        .groupby("doc_id")
-        .aggregate(Min("dl", alias_name="dl"))
-        .take_all()
-    )
-    d_docs = len(rows)
-    d_dl = int(sum(r["dl"] for r in rows))
-
-    files = {k: list(v) for k, v in stats["files"].items()}
-    for d in sorted(os.listdir(tmp)):
-        if not d.startswith("bucket="):
-            continue
-        bb = d.split("=")[1]
-        dst_dir = os.path.join(index_dir, f"bucket={bb}")
-        os.makedirs(dst_dir, exist_ok=True)
-        for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
-            if not f.endswith(".parquet"):
+        files = {k: list(v) for k, v in stats["files"].items()}
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith("bucket="):
                 continue
-            name = f"append-{tag}-{i:04d}.parquet"
-            os.replace(os.path.join(tmp, d, f),
-                       os.path.join(dst_dir, name))
-            files.setdefault(bb, []).append(name)
-    shutil.rmtree(tmp, ignore_errors=True)
+            bb = d.split("=")[1]
+            dst_dir = os.path.join(index_dir, f"bucket={bb}")
+            os.makedirs(dst_dir, exist_ok=True)
+            for i, f in enumerate(
+                sorted(os.listdir(os.path.join(tmp, d)))
+            ):
+                if not f.endswith(".parquet"):
+                    continue
+                name = f"append-{tag}-{i:04d}.parquet"
+                os.replace(os.path.join(tmp, d, f),
+                           os.path.join(dst_dir, name))
+                files.setdefault(bb, []).append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
 
-    new_stats = {"n_docs": int(stats["n_docs"]) + d_docs,
-                 "sum_dl": int(stats["sum_dl"]) + d_dl,
-                 "buckets": buckets, "files": files}
-    swap = os.path.join(index_dir, f"_STATS.{tag}.json")
-    with open(swap, "w") as f:
-        json.dump(new_stats, f)
-    os.replace(swap, os.path.join(index_dir, "_STATS.json"))  # commit
-    return {"appended_docs": d_docs, "n_docs": new_stats["n_docs"]}
+        _commit_stats(index_dir, {
+            "n_docs": int(stats["n_docs"]) + d_docs,
+            "sum_dl": int(stats["sum_dl"]) + d_dl,
+            "buckets": buckets, "files": files,
+            "tombstones": stats["tombstones"],  # deletes survive appends
+        })
+        return {"appended_docs": d_docs,
+                "n_docs": int(stats["n_docs"]) + d_docs}
 
 
 def delete_from_text_index(index_dir: str, doc_ids) -> dict:
-    """Tombstone deletion: the doc ids land in the manifest's
-    ``tombstones`` set in ONE atomic _STATS.json replace — search
-    filters their postings out immediately; the bytes remain until
-    :func:`compact_text_index` rewrites them away. Updating a document
-    is the documented three-step contract: delete -> compact -> append
-    (an append of a tombstoned id would resurrect ONLY its new
-    postings after compaction, but double-count before it — hence the
-    ordering). n_docs / sum_dl stay the BUILT corpus statistics until
-    compaction (BM25 globals drift slightly under heavy tombstoning,
-    exactly like every tombstone-based search engine between
-    merges)."""
-    import json
-    import os
-    import uuid
-
-    with open(os.path.join(index_dir, "_STATS.json")) as f:
-        stats = json.load(f)
-    tomb = set(stats.get("tombstones", []))
-    tomb.update(int(d) for d in doc_ids)
-    stats["tombstones"] = sorted(tomb)
-    tag = uuid.uuid4().hex
-    swap = os.path.join(index_dir, f"_STATS.{tag}.json")
-    with open(swap, "w") as f:
-        json.dump(stats, f)
-    os.replace(swap, os.path.join(index_dir, "_STATS.json"))  # commit
-    return {"tombstones": len(tomb)}
+    """Tombstone deletion: the doc ids join the manifest's tombstone
+    set in ONE atomic commit — search filters their postings out
+    immediately; the bytes remain until compact_text_index rewrites
+    them away. BM25 globals stay the built-corpus statistics until
+    compaction (they drift slightly under heavy tombstoning, exactly
+    like every tombstone-based search engine between merges)."""
+    with _index_write_lock(index_dir):
+        stats = _read_stats(index_dir)
+        tomb = set(stats["tombstones"])
+        tomb.update(int(d) for d in doc_ids)
+        stats["tombstones"] = sorted(tomb)
+        _commit_stats(index_dir, stats)
+        return {"tombstones": len(tomb)}
 
 
 def compact_text_index(index_dir: str) -> dict:
-    """Rewrite every manifested posting file dropping tombstoned docs,
-    recompute the BM25 globals from the surviving postings, and commit
-    the new file list + stats + empty tombstone set in one atomic
-    manifest replace. The compacted index is indistinguishable from a
-    fresh build over the surviving corpus (pinned by test). Old files
-    are removed only AFTER the commit (a crash mid-delete leaves
-    harmless un-manifested bytes, not a broken view)."""
-    import json
+    """Rewrite every manifested posting file dropping tombstoned docs
+    (one Ray task per bucket — embarrassingly parallel), adjust the
+    BM25 globals ARITHMETICALLY from the removed docs' (doc_id, dl)
+    pairs the rewrite tasks return (bounded by the tombstone set — no
+    second pass over the surviving index), and commit files + stats +
+    empty tombstone set atomically. Old files become invisible at the
+    commit but stay on disk for in-flight readers holding the previous
+    manifest; vacuum_text_index reclaims them once those drain."""
     import os
-    import uuid
-
-    with open(os.path.join(index_dir, "_STATS.json")) as f:
-        stats = json.load(f)
-    tomb = set(stats.get("tombstones", []))
-    if not tomb:
-        return {"rewritten": 0, "n_docs": int(stats["n_docs"])}
-    tag = uuid.uuid4().hex
 
     import ray
-    import ray.data
-    from ray.data.aggregate import Min, Sum
 
-    tomb_ref = ray.put(pa.array(sorted(tomb), pa.int64()))
+    with _index_write_lock(index_dir):
+        stats = _read_stats(index_dir)
+        tomb = set(stats["tombstones"])
+        if not tomb:
+            return {"rewritten": 0, "n_docs": int(stats["n_docs"])}
+        tag = __import__("uuid").uuid4().hex
+        tomb_ref = ray.put(pa.array(sorted(tomb), pa.int64()))
 
-    @ray.remote
-    def rewrite_bucket(bdir: str, names: list, tag: str) -> list:
-        import os as _os
+        @ray.remote
+        def rewrite_bucket(bdir: str, names: list, tag: str):
+            import os as _os
 
-        import pyarrow as _pa
-        import pyarrow.compute as _pc
-        import pyarrow.parquet as _pq
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
 
-        t_arr = ray.get(tomb_ref)
-        kept = []
-        for i, name in enumerate(names):
-            t = _pq.read_table(_os.path.join(bdir, name))
-            t = t.filter(_pc.invert(
-                _pc.is_in(t["doc_id"], value_set=t_arr)
-            ))
-            if t.num_rows == 0:
+            t_arr = ray.get(tomb_ref)
+            kept, removed = [], {}
+            for i, name in enumerate(names):
+                t = _pq.read_table(_os.path.join(bdir, name))
+                hit = _pc.is_in(t["doc_id"], value_set=t_arr)
+                gone = t.filter(hit)
+                for d, l in zip(
+                    gone["doc_id"].to_pylist(), gone["dl"].to_pylist()
+                ):
+                    removed[int(d)] = int(l)
+                t = t.filter(_pc.invert(hit))
+                if t.num_rows == 0:
+                    continue
+                out = f"compact-{tag}-{i:04d}.parquet"
+                _pq.write_table(t, _os.path.join(bdir, out))
+                kept.append(out)
+            return kept, removed
+
+        items = sorted(stats["files"].items())
+        futs = [
+            rewrite_bucket.remote(
+                os.path.join(index_dir, f"bucket={bb}"), names, tag
+            )
+            for bb, names in items
+        ]
+        results = ray.get(futs)
+        new_files = {
+            bb: kept
+            for (bb, _n), (kept, _r) in zip(items, results) if kept
+        }
+        removed_dl: dict = {}
+        for _kept, removed in results:
+            removed_dl.update(removed)  # tombstone-bounded, tiny
+        n_old = sum(len(names) for _bb, names in items)
+        _commit_stats(index_dir, {
+            "n_docs": int(stats["n_docs"]) - len(removed_dl),
+            "sum_dl": int(stats["sum_dl"]) - sum(removed_dl.values()),
+            "buckets": int(stats["buckets"]),
+            "files": new_files, "tombstones": [],
+        })
+        return {"rewritten": n_old,
+                "n_docs": int(stats["n_docs"]) - len(removed_dl)}
+
+
+def vacuum_text_index(index_dir: str) -> dict:
+    """Remove posting files the manifest no longer lists (compaction
+    leftovers, crashed-append orphans). Run once in-flight readers —
+    which may hold an older manifest — have drained; the lake's
+    vacuum contract."""
+    import os
+
+    with _index_write_lock(index_dir):
+        stats = _read_stats(index_dir)
+        live = {
+            (bb, name)
+            for bb, names in stats["files"].items() for name in names
+        }
+        removed = 0
+        for d in sorted(os.listdir(index_dir)):
+            if not d.startswith("bucket="):
                 continue
-            out = f"compact-{tag}-{i:04d}.parquet"
-            _pq.write_table(t, _os.path.join(bdir, out))
-            kept.append(out)
-        return kept
-
-    # one Ray task per bucket — the rewrite is embarrassingly parallel
-    items = sorted(stats["files"].items())
-    futs = [
-        rewrite_bucket.remote(
-            os.path.join(index_dir, f"bucket={bb}"), names, tag
-        )
-        for bb, names in items
-    ]
-    new_files = {
-        bb: kept
-        for (bb, _names), kept in zip(items, ray.get(futs)) if kept
-    }
-    old_paths = [
-        os.path.join(index_dir, f"bucket={bb}", name)
-        for bb, names in items for name in names
-    ]
-
-    # BM25 globals from the SURVIVING postings — the same distributed
-    # per-doc-first-dl fold build_text_index uses (no driver doc map)
-    surv_paths = [
-        os.path.join(index_dir, f"bucket={bb}", name)
-        for bb, names in new_files.items() for name in names
-    ]
-    if surv_paths:
-        def dl_partial(t: pa.Table) -> pa.Table:
-            part = t.select(["doc_id", "dl"]).group_by(
-                "doc_id"
-            ).aggregate([("dl", "min")])
-            return pa.table({"doc_id": part["doc_id"],
-                             "dl": part["dl_min"]})
-
-        per_doc = (
-            ray.data.read_parquet(surv_paths)
-            .map_batches(dl_partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("doc_id")
-            .aggregate(Min("dl", alias_name="dl"))
-        )
-
-        def stats_partial(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "_k": pa.array([0], pa.int64()),
-                "n_docs": pa.array([t.num_rows], pa.int64()),
-                "sum_dl": pa.array(
-                    [int(t["dl"].to_numpy(
-                        zero_copy_only=False).sum())],
-                    pa.int64(),
-                ),
-            })
-
-        st = (
-            per_doc.map_batches(stats_partial, batch_format="pyarrow",
-                                zero_copy_batch=True)
-            .groupby("_k")
-            .aggregate(Sum("n_docs", alias_name="n_docs"),
-                       Sum("sum_dl", alias_name="sum_dl"))
-            .take_all()
-        )[0]
-        n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
-    else:
-        n_docs, sum_dl = 0, 0
-    new_stats = {
-        "n_docs": n_docs,
-        "sum_dl": sum_dl,
-        "buckets": int(stats["buckets"]),
-        "files": new_files,
-        "tombstones": [],
-    }
-    swap = os.path.join(index_dir, f"_STATS.{tag}.json")
-    with open(swap, "w") as f:
-        json.dump(new_stats, f)
-    os.replace(swap, os.path.join(index_dir, "_STATS.json"))  # commit
-    for p in old_paths:  # invisible already — safe to drop
-        try:
-            os.remove(p)
-        except OSError:
-            pass
-    return {"rewritten": len(old_paths), "n_docs": new_stats["n_docs"]}
+            bb = d.split("=")[1]
+            for f in os.listdir(os.path.join(index_dir, d)):
+                if f.endswith(".parquet") and (bb, f) not in live:
+                    os.remove(os.path.join(index_dir, d, f))
+                    removed += 1
+        return {"removed_files": removed}
 
 
 def text_index_topk(
@@ -2042,8 +2035,7 @@ def text_index_topk(
     )
     from debezium_incubator_ray.functions.tokens import md5_u64
 
-    with open(os.path.join(index_dir, "_STATS.json")) as f:
-        stats = json.load(f)
+    stats = _read_stats(index_dir)
     n_corpus, buckets = stats["n_docs"], stats["buckets"]
     avgdl = stats["sum_dl"] / max(n_corpus, 1)
 
@@ -2056,24 +2048,24 @@ def text_index_topk(
     # only the MANIFESTED files of the needed buckets (partition
     # pruning + append atomicity: un-manifested files are invisible);
     # a pre-manifest index falls back to the on-disk glob
-    manifest = stats.get("files")
+    manifest = stats["files"]
     paths = []
     for bb in needed:
         d = os.path.join(index_dir, f"bucket={bb}")
         if not os.path.isdir(d):
             continue
-        names = (manifest.get(str(bb), []) if manifest is not None
-                 else sorted(f for f in os.listdir(d)
-                             if f.endswith(".parquet")))
-        paths.extend(os.path.join(d, f) for f in names)
+        paths.extend(
+            os.path.join(d, f) for f in manifest.get(str(bb), [])
+        )
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "score": pa.array([], pa.float64())})
     if not paths:
         return empty
     ds = ray.data.read_parquet(paths)
 
-    tomb = stats.get("tombstones") or []
-    tomb_arr = pa.array([int(x) for x in tomb], pa.int64())
+    tomb_arr = pa.array(
+        [int(x) for x in stats["tombstones"]], pa.int64()
+    )
 
     def filter_terms(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["term"], value_set=term_arr))

@@ -196,3 +196,59 @@ def test_index_delete_and_compact(ray_session, tmp_path):
     want2 = text_index_topk(full, TERMS, k=20)
     assert got["doc_id"].to_pylist() == want2["doc_id"].to_pylist()
     assert got["score"].to_pylist() == want2["score"].to_pylist()
+
+
+def test_index_tombstones_survive_append_and_lock_excludes(
+    ray_session, tmp_path
+):
+    """A delete committed before an append stays in force after it
+    (tombstones carry forward through the append's manifest swap);
+    concurrent mutators are excluded loudly by the writer lock; and
+    vacuum removes exactly the un-manifested files."""
+    import pytest as _pytest
+
+    from debezium_incubator_ray.functions.text import (
+        TextIndexLockedError, append_to_text_index,
+        compact_text_index, delete_from_text_index, vacuum_text_index,
+    )
+
+    docs = _docs()
+    half_a = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    half_b = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    idx = str(tmp_path / "tix")
+    build_text_index(half_a, idx, buckets=32)
+    base = text_index_topk(idx, TERMS, k=20)
+    victim = base["doc_id"].to_pylist()[0]
+
+    delete_from_text_index(idx, [victim])
+    append_to_text_index(idx, half_b)
+    after = text_index_topk(idx, TERMS, k=20)
+    assert victim not in after["doc_id"].to_pylist()  # NOT resurrected
+
+    # single-writer lock: a held lock makes any mutator raise
+    with open(os.path.join(idx, "_LOCK"), "w") as fh:
+        fh.write("999999")
+    with _pytest.raises(TextIndexLockedError):
+        delete_from_text_index(idx, [1])
+    os.remove(os.path.join(idx, "_LOCK"))
+
+    # compact leaves old bytes for in-flight readers; vacuum reclaims
+    # exactly the un-manifested files and does NOT change results
+    # (compaction itself legitimately shifts scores — it updates the
+    # BM25 globals the tombstones had been drifting)
+    compact_text_index(idx)
+    after_compact = text_index_topk(idx, TERMS, k=20)
+    n_files_all = sum(
+        len([f for f in os.listdir(os.path.join(idx, d))
+             if f.endswith(".parquet")])
+        for d in os.listdir(idx) if d.startswith("bucket=")
+    )
+    info = vacuum_text_index(idx)
+    assert info["removed_files"] > 0
+    n_files_live = sum(
+        len([f for f in os.listdir(os.path.join(idx, d))
+             if f.endswith(".parquet")])
+        for d in os.listdir(idx) if d.startswith("bucket=")
+    )
+    assert n_files_live == n_files_all - info["removed_files"]
+    assert text_index_topk(idx, TERMS, k=20).equals(after_compact)
