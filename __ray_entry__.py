@@ -9506,6 +9506,831 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, window_days=7, q=0.5, out_col="med_7d"
         )
 
+    def join_q7_volume(sf_dir):
+        """TPC-H Q7 shape (nation-pair trade volume): revenue shipped
+        between nation group A (1,6,11) and group B (2,7,12) in either
+        direction, per (supp_nation, cust_nation, ship year). Both
+        dimension chains reduce BEFORE the fact scan: the customer set maps
+        orders to a (orderkey -> cust nation) array pair, suppliers to
+        (suppkey -> supp nation) — each broadcast ONCE via ray.put (at
+        lake scale the order map would cut over to the shared shuffle
+        join; this is the documented broadcast path). One lineitem pass
+        filters the ship window, resolves both nations, keeps unequal
+        pairs, and pre-reduces exact cents x bp revenue per
+        (sn, cn, year); the final groupby folds #blocks x 8 partials."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        GRP_A = (1, 6, 11)
+        GRP_B = (2, 7, 12)
+        NATS = GRP_A + GRP_B
+        LO = np.datetime64("1999-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2001-01-01T00:00:00", "us").astype(np.int64)
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+
+        def cpart(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["c_nationkey"],
+                            value_set=pa.array(list(NATS), pa.int64()))
+            return t.filter(keep)
+
+        ct = collect_table(
+            cust.map_batches(cpart, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            empty=pa.table({"c_custkey": pa.array([], pa.int64()),
+                            "c_nationkey": pa.array([], pa.int64())}),
+        )
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = ct["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ck)
+        ck_ref = ray.put((ck[o], cn[o]))
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            k, n = ray.get(ck_ref)
+            empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                              "cnat": pa.array([], pa.int64())})
+            if len(k) == 0 or t.num_rows == 0:
+                return empty
+            oc = t["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(k, oc)
+            pos[pos == len(k)] = 0
+            keep = k[pos] == oc
+            return pa.table({
+                "o_orderkey": t["o_orderkey"].combine_chunks().cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "cnat": pa.array(n[pos][keep]),
+            })
+
+        ot = collect_table(
+            orders.map_batches(opart, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            empty=pa.table({"o_orderkey": pa.array([], pa.int64()),
+                            "cnat": pa.array([], pa.int64())}),
+        )
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        on = ot["cnat"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ok)
+        ord_ref = ray.put((ok[o], on[o]))
+
+        st = _pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = st["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        sup_ref = ray.put((sk[o], sn[o]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+        )
+        EMPTY = pa.table({
+            "supp_nk": pa.array([], pa.int64()),
+            "cust_nk": pa.array([], pa.int64()),
+            "l_year": pa.array([], pa.int64()),
+            "rev_cbp": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            okk, onn = ray.get(ord_ref)
+            skk, snn = ray.get(sup_ref)
+            if len(okk) == 0 or len(skk) == 0 or t.num_rows == 0:
+                return EMPTY
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((ship >= LO) & (ship < HI)))
+            if t.num_rows == 0:
+                return EMPTY
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            po = np.searchsorted(okk, lo)
+            po[po == len(okk)] = 0
+            ps = np.searchsorted(skk, ls)
+            ps[ps == len(skk)] = 0
+            snv = snn[ps]
+            cnv = onn[po]
+            sa = np.isin(snv, GRP_A)
+            sb = np.isin(snv, GRP_B)
+            ca = np.isin(cnv, GRP_A)
+            cb = np.isin(cnv, GRP_B)
+            keep = (
+                (okk[po] == lo) & (skk[ps] == ls)
+                & ((sa & cb) | (sb & ca))
+            )
+            if not keep.any():
+                return EMPTY
+            t = t.filter(pa.array(keep))
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            year = ship.astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            g = pa.table({
+                "supp_nk": pa.array(snv[keep]),
+                "cust_nk": pa.array(cnv[keep]),
+                "l_year": pa.array(year),
+                "rev_cbp": pa.array(price_c * (100 - disc_bp)),
+            }).group_by(["supp_nk", "cust_nk", "l_year"]).aggregate(
+                [("rev_cbp", "sum")]
+            )
+            return pa.table({
+                "supp_nk": g["supp_nk"], "cust_nk": g["cust_nk"],
+                "l_year": g["l_year"], "rev_cbp": g["rev_cbp_sum"],
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["supp_nk", "cust_nk", "l_year"])
+            .aggregate(Sum("rev_cbp", alias_name="rev_cbp"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        return pa.table({
+            "supp_nation": pa.array(
+                [f"NATION_{int(v)}" for v in t["supp_nk"].to_pylist()],
+                pa.string()),
+            "cust_nation": pa.array(
+                [f"NATION_{int(v)}" for v in t["cust_nk"].to_pylist()],
+                pa.string()),
+            "l_year": t["l_year"],
+            "revenue": pa.array(
+                [(int(v) + 50) // 100 / 100.0
+                 for v in t["rev_cbp"].to_pylist()], pa.float64()),
+        })
+
+    def join_q8_market_share(sf_dir):
+        """TPC-H Q8 shape (national market share): of ECONOMY-part
+        revenue sold to AMERICA-region customers in 1999-2000, the
+        share supplied by NATION_3 per order year. The three small
+        sides reduce to broadcast arrays (ECONOMY partkeys; qualifying
+        orderkey -> order year; target suppkeys); one lineitem pass
+        accumulates numerator/denominator cents x bp per year, and the
+        final share rounds half-away in EXACT integer micro space —
+        float division would tie-break differently than the oracle on
+        grid halves."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        TARGET_NAT = 3
+        REGION = 1  # AMERICA
+        LO = np.datetime64("1999-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2001-01-01T00:00:00", "us").astype(np.int64)
+
+        nat = _pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_regionkey"],
+        )
+        rnats = nat.filter(
+            pc.equal(nat["n_regionkey"], REGION))["n_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        pt = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type"],
+        )
+        pks = np.sort(pt.filter(
+            pc.equal(pt["p_type"], "ECONOMY"))["p_partkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        pk_ref = ray.put(pks)
+
+        st = _pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        tsup = np.sort(st.filter(
+            pc.equal(st["s_nationkey"], TARGET_NAT))["s_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        ts_ref = ray.put(tsup)
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+
+        def cpart(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["c_nationkey"],
+                            value_set=pa.array(rnats, pa.int64()))
+            return t.filter(keep).select(["c_custkey"])
+
+        ct = collect_table(
+            cust.map_batches(cpart, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            empty=pa.table({"c_custkey": pa.array([], pa.int64())}),
+        )
+        cks = np.sort(ct["c_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        ck_ref = ray.put(cks)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            k = ray.get(ck_ref)
+            empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                              "o_year": pa.array([], pa.int64())})
+            if len(k) == 0 or t.num_rows == 0:
+                return empty
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            oc = t["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(k, oc)
+            pos[pos == len(k)] = 0
+            keep = (k[pos] == oc) & (od >= LO) & (od < HI)
+            year = od.astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({
+                "o_orderkey": t["o_orderkey"].combine_chunks().cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "o_year": pa.array(year[keep]),
+            })
+
+        ot = collect_table(
+            orders.map_batches(opart, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            empty=pa.table({"o_orderkey": pa.array([], pa.int64()),
+                            "o_year": pa.array([], pa.int64())}),
+        )
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        oy = ot["o_year"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ok)
+        ord_ref = ray.put((ok[o], oy[o]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        )
+        EMPTY = pa.table({
+            "o_year": pa.array([], pa.int64()),
+            "num_cbp": pa.array([], pa.int64()),
+            "den_cbp": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            okk, oyy = ray.get(ord_ref)
+            pkk = ray.get(pk_ref)
+            tss = ray.get(ts_ref)
+            if len(okk) == 0 or len(pkk) == 0 or t.num_rows == 0:
+                return EMPTY
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            po = np.searchsorted(okk, lo)
+            po[po == len(okk)] = 0
+            pp = np.searchsorted(pkk, lp)
+            pp[pp == len(pkk)] = 0
+            keep = (okk[po] == lo) & (pkk[pp] == lp)
+            if not keep.any():
+                return EMPTY
+            year = oyy[po][keep]
+            t = t.filter(pa.array(keep))
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            rev = price_c * (100 - disc_bp)
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            is_t = np.zeros(len(ls), bool)
+            if len(tss):
+                pt_ = np.searchsorted(tss, ls)
+                pt_[pt_ == len(tss)] = 0
+                is_t = tss[pt_] == ls
+            g = pa.table({
+                "o_year": pa.array(year),
+                "num_cbp": pa.array(np.where(is_t, rev, 0)),
+                "den_cbp": pa.array(rev),
+            }).group_by(["o_year"]).aggregate(
+                [("num_cbp", "sum"), ("den_cbp", "sum")]
+            )
+            return pa.table({
+                "o_year": g["o_year"], "num_cbp": g["num_cbp_sum"],
+                "den_cbp": g["den_cbp_sum"],
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("o_year")
+            .aggregate(Sum("num_cbp", alias_name="num_cbp"),
+                       Sum("den_cbp", alias_name="den_cbp"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        years, shares = [], []
+        for y, nu, de in zip(t["o_year"].to_pylist(),
+                             t["num_cbp"].to_pylist(),
+                             t["den_cbp"].to_pylist()):
+            nu, de = int(nu), int(de)
+            if de == 0:
+                continue
+            years.append(int(y))
+            shares.append((1_000_000 * nu + de // 2) // de / 1e6)
+        return pa.table({
+            "o_year": pa.array(years, pa.int64()),
+            "mkt_share": pa.array(shares, pa.float64()),
+        })
+
+    def join_q9_profit(sf_dir):
+        """TPC-H Q9 shape (product-type profit): per (supplier nation,
+        ship year), sum of ext*(1-disc) - retailprice*qty over parts
+        whose name contains 'red' (partsupp does not exist in this
+        corpus, so p_retailprice stands in for ps_supplycost — the
+        join/aggregation shape is unchanged). The 'red' partkey ->
+        retail-cents array and the suppkey -> nation array broadcast
+        once; one lineitem pass computes the EXACT cents x bp amount
+        (possibly negative) and pre-reduces per (nation, year). Output
+        divides the exact int sum by 10^4 on both sides — identical
+        doubles, no rounding step to diverge on."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        pt = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name", "p_retailprice"],
+        )
+        m = pc.match_substring(pt["p_name"], "red")
+        pt = pt.filter(m)
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rc = pc.cast(pc.round(pc.multiply(pt["p_retailprice"], 100.0)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.argsort(pk)
+        pk_ref = ray.put((pk[o], rc[o]))
+
+        st = _pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = st["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        sup_ref = ray.put((sk[o], sn[o]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        EMPTY = pa.table({
+            "s_nk": pa.array([], pa.int64()),
+            "o_year": pa.array([], pa.int64()),
+            "amt_cbp": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            pkk, rcc = ray.get(pk_ref)
+            skk, snn = ray.get(sup_ref)
+            if len(pkk) == 0 or len(skk) == 0 or t.num_rows == 0:
+                return EMPTY
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pp = np.searchsorted(pkk, lp)
+            pp[pp == len(pkk)] = 0
+            keep = pkk[pp] == lp
+            if not keep.any():
+                return EMPTY
+            retail_c = rcc[pp][keep]
+            t = t.filter(pa.array(keep))
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ps = np.searchsorted(skk, ls)
+            ps[ps == len(skk)] = 0
+            nk = snn[ps]
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            qty_c = pc.cast(
+                pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            amt = price_c * (100 - disc_bp) - retail_c * qty_c
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            year = ship.astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            g = pa.table({
+                "s_nk": pa.array(nk),
+                "o_year": pa.array(year),
+                "amt_cbp": pa.array(amt),
+            }).group_by(["s_nk", "o_year"]).aggregate(
+                [("amt_cbp", "sum")]
+            )
+            return pa.table({
+                "s_nk": g["s_nk"], "o_year": g["o_year"],
+                "amt_cbp": g["amt_cbp_sum"],
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["s_nk", "o_year"])
+            .aggregate(Sum("amt_cbp", alias_name="amt_cbp"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        return pa.table({
+            "nation": pa.array(
+                [f"NATION_{int(v)}" for v in t["s_nk"].to_pylist()],
+                pa.string()),
+            "o_year": t["o_year"],
+            "sum_profit": pa.array(
+                [int(v) / 10000.0 for v in t["amt_cbp"].to_pylist()],
+                pa.float64()),
+        })
+
+    def join_q13_custdist(sf_dir):
+        """TPC-H Q13 shape (customer order-count distribution): how many
+        customers placed exactly k non-URGENT orders, INCLUDING the
+        zero-order bucket from the left outer join. The engine never
+        joins: orders pre-reduce to per-customer counts (per-block
+        partial + one bucketed groupby on custkey), the count histogram
+        folds per block, and the k=0 bucket is total customers minus
+        matched customers — a metadata-sized subtraction (the customer
+        count comes from the pruned read's row count, no data pull)."""
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+        import numpy as np
+
+        n_cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey"],
+        ).count()
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            t = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+            g = t.group_by(["o_custkey"]).aggregate([("o_custkey",
+                                                      "count")])
+            return pa.table({
+                "o_custkey": g["o_custkey"],
+                "n": g["o_custkey_count"].cast(pa.int64()),
+            })
+
+        per_cust = (
+            orders.map_batches(opart, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Sum("n", alias_name="c_count"))
+        )
+
+        def hpart(t: pa.Table) -> pa.Table:
+            g = t.group_by(["c_count"]).aggregate(
+                [("o_custkey", "count")])
+            return pa.table({
+                "c_count": g["c_count"],
+                "custdist": g["o_custkey_count"].cast(pa.int64()),
+            })
+
+        h = (
+            per_cust.map_batches(hpart, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist"))
+        )
+        t = collect_table(h, empty=pa.table({
+            "c_count": pa.array([], pa.int64()),
+            "custdist": pa.array([], pa.int64()),
+        }))
+        matched = int(np.sum(t["custdist"].to_numpy(
+            zero_copy_only=False))) if t.num_rows else 0
+        zero = int(n_cust) - matched
+        counts = t["c_count"].to_pylist()
+        dist = t["custdist"].to_pylist()
+        if zero > 0:
+            # the 0 bucket exists in the oracle's LEFT JOIN only when
+            # some customer actually has no qualifying order
+            counts, dist = counts + [0], dist + [zero]
+        return pa.table({
+            "c_count": pa.array([int(v) for v in counts], pa.int64()),
+            "custdist": pa.array([int(v) for v in dist], pa.int64()),
+        })
+
+    def join_q15_top_supplier(sf_dir):
+        """TPC-H Q15 shape (top supplier(s) by quarterly revenue, ties
+        kept): revenue per suppkey over one ship quarter folds per
+        block then through one supplier-keyed groupby — the result is
+        #suppliers rows (a bounded dimension), so the max-and-filter
+        finishes driver-side on exact cents x bp integers; supplier
+        names attach from the driver-read dimension."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        LO = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2000-04-01T00:00:00", "us").astype(np.int64)
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+        )
+        EMPTY = pa.table({
+            "l_suppkey": pa.array([], pa.int64()),
+            "rev_cbp": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((ship >= LO) & (ship < HI)))
+            if t.num_rows == 0:
+                return EMPTY
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            g = pa.table({
+                "l_suppkey": t["l_suppkey"].combine_chunks().cast(
+                    pa.int64()),
+                "rev_cbp": pa.array(price_c * (100 - disc_bp)),
+            }).group_by(["l_suppkey"]).aggregate([("rev_cbp", "sum")])
+            return pa.table({
+                "l_suppkey": g["l_suppkey"], "rev_cbp": g["rev_cbp_sum"],
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_suppkey")
+            .aggregate(Sum("rev_cbp", alias_name="rev_cbp"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        if t.num_rows == 0:
+            return pa.table({
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue": pa.array([], pa.float64()),
+            })
+        rev = t["rev_cbp"].to_numpy(zero_copy_only=False)
+        best = rev == rev.max()
+        t = t.filter(pa.array(best))
+        st = _pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        )
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = st["s_name"]
+        o = np.argsort(sk)
+        wk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk[o], wk)
+        pos[pos == len(sk)] = 0
+        nm = names.take(pa.array(o[pos]))
+        return pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "s_name": nm,
+            "total_revenue": pa.array(
+                [(int(v) + 50) // 100 / 100.0
+                 for v in t["rev_cbp"].to_pylist()], pa.float64()),
+        })
+
+    def join_q16_supplier_cnt(sf_dir):
+        """TPC-H Q16 shape (supplier diversity per part class): distinct
+        supplier count per (brand, type, size) over lineitem-observed
+        part-supplier pairs (this corpus has no partsupp — lineitem IS
+        the observed relationship), excluding Brand#1 / MEDIUM / sizes
+        outside the probe set. Part attributes broadcast once (the part
+        dimension is node-sized; at true scale this cuts over to the
+        shared shuffle join); the (attrs, suppkey) distinct runs
+        through distinct_rows' one bucketed shuffle keyed on brand, and
+        the per-class count folds in-bucket."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.graph import distinct_rows
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+        pt = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        )
+        keep = pc.and_(
+            pc.and_(pc.not_equal(pt["p_brand"], "Brand#1"),
+                    pc.not_equal(pt["p_type"], "MEDIUM")),
+            pc.is_in(pt["p_size"],
+                     value_set=pa.array(list(SIZES), pa.int64())),
+        )
+        pt = pt.filter(keep)
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(pk)
+        pt = pt.take(pa.array(o))
+        pk_ref = ray.put((pk[o], pt["p_brand"], pt["p_type"],
+                          pt["p_size"]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        )
+        EMPTY = pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+        })
+
+        def attach(t: pa.Table) -> pa.Table:
+            pkk, br, ty, sz = ray.get(pk_ref)
+            if len(pkk) == 0 or t.num_rows == 0:
+                return EMPTY
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(pkk, lp)
+            pos[pos == len(pkk)] = 0
+            keep = pkk[pos] == lp
+            if not keep.any():
+                return EMPTY
+            idx = pa.array(pos[keep])
+            return pa.table({
+                "p_brand": br.take(idx),
+                "p_type": ty.take(idx),
+                "p_size": sz.take(idx).cast(pa.int64()),
+                "l_suppkey": t["l_suppkey"].combine_chunks().cast(
+                    pa.int64()).filter(pa.array(keep)),
+            })
+
+        pairs = distinct_rows(
+            li.map_batches(attach, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["p_brand", "p_type", "p_size", "l_suppkey"],
+        )
+
+        def cpart(t: pa.Table) -> pa.Table:
+            g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+                [("l_suppkey", "count")])
+            return pa.table({
+                "p_brand": g["p_brand"],
+                "p_type": g["p_type"],
+                "p_size": g["p_size"],
+                "supplier_cnt": g["l_suppkey_count"].cast(pa.int64()),
+            })
+
+        g = (
+            pairs.map_batches(cpart, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        )
+        return collect_table(g, empty=pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "supplier_cnt": pa.array([], pa.int64()),
+        }))
+
+    def join_q19_disjunctive(sf_dir):
+        """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+        one scalar revenue over the OR of three (brand, size range,
+        quantity range) branches. Part (brand-code, size) broadcast as
+        parallel arrays; the whole disjunction evaluates as three
+        vectorized masks per batch — no row loop, no join; per-batch
+        one-row partials fold driver-side in exact integer cents."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        BRANCHES = (
+            ("Brand#12", 1, 11, 1, 5),
+            ("Brand#23", 10, 20, 1, 10),
+            ("Brand#34", 20, 30, 1, 15),
+        )
+
+        pt = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+        )
+        brands = [b[0] for b in BRANCHES]
+        bcode = np.full(pt.num_rows, -1, np.int64)
+        for i, b in enumerate(brands):
+            bcode[pc.equal(pt["p_brand"], b).to_numpy(
+                zero_copy_only=False)] = i
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(pk)
+        pk_ref = ray.put((pk[o], bcode[o], sz[o]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+        )
+        EMPTY = pa.table({"rev_cbp": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+
+        def lpart(t: pa.Table) -> pa.Table:
+            pkk, bc, szz = ray.get(pk_ref)
+            if len(pkk) == 0 or t.num_rows == 0:
+                return EMPTY
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(pkk, lp)
+            pos[pos == len(pkk)] = 0
+            hit = pkk[pos] == lp
+            code = np.where(hit, bc[pos], -1)
+            size = np.where(hit, szz[pos], 0)
+            qty = pc.cast(pc.round(t["l_quantity"]),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(lp), bool)
+            for i, (_, qlo, qhi, slo, shi) in enumerate(BRANCHES):
+                keep |= ((code == i) & (qty >= qlo) & (qty <= qhi)
+                         & (size >= slo) & (size <= shi))
+            if not keep.any():
+                return EMPTY
+            t = t.filter(pa.array(keep))
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "rev_cbp": pa.array(
+                    [int(np.sum(price_c * (100 - disc_bp)))], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            })
+
+        t = collect_table(
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            empty=EMPTY,
+        )
+        n = int(np.sum(t["n"].to_numpy(zero_copy_only=False))) \
+            if t.num_rows else 0
+        if n == 0:
+            # SQL SUM over zero rows is NULL (the row still exists)
+            return pa.table({"revenue": pa.array([None], pa.float64())})
+        total = int(np.sum(t["rev_cbp"].to_numpy(zero_copy_only=False)))
+        return pa.table({
+            "revenue": pa.array([(total + 50) // 100 / 100.0],
+                                pa.float64()),
+        })
+
     return {
         "cdc_lww_state": cdc_lww_state,
         "cdc_partial_updates": cdc_partial_updates,
@@ -9598,6 +10423,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
         "events_stl_decomposition": events_stl_decomposition,
         "dedup_threshold_curve": dedup_threshold_curve,
+        "join_q7_volume": join_q7_volume,
+        "join_q8_market_share": join_q8_market_share,
+        "join_q9_profit": join_q9_profit,
+        "join_q13_custdist": join_q13_custdist,
+        "join_q15_top_supplier": join_q15_top_supplier,
+        "join_q16_supplier_cnt": join_q16_supplier_cnt,
+        "join_q19_disjunctive": join_q19_disjunctive,
         "orders_qoq_growth": orders_qoq_growth,
         "embedding_intrinsic_dim": embedding_intrinsic_dim,
         "text_bm25_index_topk": text_bm25_index_topk,
@@ -11198,6 +12030,127 @@ def oracle_sql() -> dict[str, str]:
             "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "join_q7_volume": (
+            # exact cents x bp revenue; 2dp via half-away integer
+            # division (both revenues positive)
+            "WITH q AS (SELECT s.s_nationkey AS sn, "
+            "c.c_nationkey AS cn, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(round(l.l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "WHERE ((s.s_nationkey IN (1, 6, 11) "
+            "AND c.c_nationkey IN (2, 7, 12)) "
+            "OR (s.s_nationkey IN (2, 7, 12) "
+            "AND c.c_nationkey IN (1, 6, 11))) "
+            "AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' "
+            "AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00') "
+            "SELECT 'NATION_' || CAST(sn AS VARCHAR) AS supp_nation, "
+            "'NATION_' || CAST(cn AS VARCHAR) AS cust_nation, "
+            "l_year, ((sum(rev) + 50) // 100) / 100.0 AS revenue "
+            "FROM q GROUP BY sn, cn, l_year"
+        ),
+        "join_q8_market_share": (
+            # share = num/den of exact cents x bp sums, rounded
+            # half-away to 6dp in INTEGER micro space (den > 0 in every
+            # emitted group)
+            "WITH q AS (SELECT "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(round(l.l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev, "
+            "CASE WHEN s.s_nationkey = 3 THEN 1 ELSE 0 END AS tgt "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_type = 'ECONOMY' "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "AND n.n_regionkey = 1 "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+            "AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00') "
+            "SELECT o_year, ((1000000 * sum(rev * tgt) + sum(rev) // 2)"
+            " // sum(rev)) / 1000000.0 AS mkt_share "
+            "FROM q GROUP BY o_year"
+        ),
+        "join_q9_profit": (
+            # amount = ext*(100-disc) - retail_c*qty_c, both in exact
+            # cents x 1/100 units; output is the int sum / 10^4 as a
+            # double on BOTH sides (sums stay far inside 2^53, so the
+            # int->double conversion and the division are bit-identical)
+            "WITH q AS (SELECT s.s_nationkey AS sn, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS o_year, "
+            "CAST(round(l.l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) - "
+            "CAST(round(p.p_retailprice * 100) AS HUGEINT) * "
+            "CAST(round(l.l_quantity * 100) AS BIGINT) AS amt "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_name LIKE '%red%' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey) "
+            "SELECT 'NATION_' || CAST(sn AS VARCHAR) AS nation, o_year, "
+            "CAST(sum(amt) AS DOUBLE) / 10000.0 AS sum_profit "
+            "FROM q GROUP BY sn, o_year"
+        ),
+        "join_q13_custdist": (
+            # LEFT OUTER so zero-order customers land in the k=0 bucket
+            # (the engine synthesizes that bucket by subtraction)
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "CAST(count(*) AS BIGINT) AS custdist FROM "
+            "(SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT OUTER JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' "
+            "GROUP BY c.c_custkey) t GROUP BY c_count"
+        ),
+        "join_q15_top_supplier": (
+            # ties on the EXACT integer revenue all survive; rounding
+            # to 2dp happens after the max filter
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00' "
+            "GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "((r.rev + 50) // 100) / 100.0 AS total_revenue "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+            "WHERE r.rev = (SELECT max(rev) FROM r)"
+        ),
+        "join_q16_supplier_cnt": (
+            # lineitem stands in for partsupp (no partsupp in this
+            # corpus): distinct observed suppliers per part class
+            "SELECT p.p_brand, p.p_type, "
+            "CAST(p.p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l.l_suppkey) AS BIGINT) "
+            "AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'MEDIUM' "
+            "AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+            "GROUP BY p.p_brand, p.p_type, p.p_size"
+        ),
+        "join_q19_disjunctive": (
+            # SUM over zero rows is NULL with the row retained — the
+            # engine mirrors that contract
+            "SELECT ((SUM(CAST(round(l.l_extendedprice * 100) "
+            "AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) "
+            "// 100) / 100.0 AS revenue "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#12' "
+            "AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11 "
+            "AND p.p_size BETWEEN 1 AND 5) "
+            "OR (p.p_brand = 'Brand#23' "
+            "AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20 "
+            "AND p.p_size BETWEEN 1 AND 10) "
+            "OR (p.p_brand = 'Brand#34' "
+            "AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30 "
+            "AND p.p_size BETWEEN 1 AND 15)"
         ),
         "orders_qoq_growth": (
             # exact cents per calendar quarter; the QoQ percentage is
