@@ -5214,6 +5214,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             engines.append(eng)
         return engines[0].join_lake(engines[1], join_type="inner")
 
+    def cdc_join_view(sf_dir):
+        """Incrementally-MAINTAINED join view (pipelines/view.py): the
+        parity-split lakes of cdc_lake_join, but side A is applied in
+        TWO epochs with a JoinView refresh after each — the second
+        refresh recomputes only the partitions epoch 2 touched (the
+        partition-skip law is asserted in tests/test_join_view.py; here
+        the converged view must equal the one-shot SQL join). Refresh
+        cost is proportional to CHANGED partitions, never view size."""
+        import numpy as _np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("jview")
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        even = pc.equal(pc.bit_wise_and(lsn, 1), 0)
+        la = env.filter(even)
+        lb = env.filter(pc.invert(even))
+
+        binlog_a = os.path.join(root, "binlog-a")
+        binlog_b = os.path.join(root, "binlog-b")
+        lsn_a = la["source"].combine_chunks().field("lsn").to_numpy(
+            zero_copy_only=False
+        )
+        cut = int(_np.quantile(lsn_a, 0.5))
+        EC.write_env_binlog(la.filter(pa.array(lsn_a <= cut)), binlog_a)
+        eng_a = EC.make_engine(os.path.join(root, "lake-a"))
+        eng_a.run(binlog_a)
+        EC.write_env_binlog(lb, binlog_b)
+        eng_b = EC.make_engine(os.path.join(root, "lake-b"))
+        eng_b.run(binlog_b)
+
+        view = eng_a.join_view(eng_b, os.path.join(root, "view"))
+        view.refresh()
+        # epoch 2: the rest of side A arrives as appended segments
+        EC.write_env_binlog(la.filter(pa.array(lsn_a > cut)), binlog_a,
+                            append=True)
+        eng_a.run(binlog_a)
+        view.refresh()
+        return view.table()
+
     def cdc_enriched_view(sf_dir):
         """Stream-table JOIN VIEW: the events envelope stream is enriched
         with customer attributes (fk user_id -> dimension lake keyed
@@ -10489,6 +10531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_materialized_view": cdc_materialized_view,
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
+        "cdc_join_view": cdc_join_view,
         "cdc_enriched_view": cdc_enriched_view,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
@@ -14876,4 +14919,7 @@ def oracle_sql() -> dict[str, str]:
     assert "SUM(value)" in out["cdc_counter_col"]
     # index-backed IVF search must equal the in-memory assignment exactly
     out["ann_ivf_index_topk"] = out["ann_ivf_topk"]
+    # the incrementally-refreshed join view converges to the same state
+    # as the one-shot co-partitioned join
+    out["cdc_join_view"] = out["cdc_lake_join"]
     return out

@@ -2140,47 +2140,18 @@ class CdcEngine:
                 "makes the join shuffle-free) — repartition one side or "
                 "use a generic Dataset join"
             )
-        from debezium_incubator_ray.stages.apply import read_partition_state
+        from debezium_incubator_ray.pipelines.view import (
+            read_live_state, side_spec,
+        )
 
         key = self.cfg.key
-        specs = []
-        for eng, m in ((self, m1), (other, m2)):
-            specs.append(
-                dict(
-                    lake_dir=eng.lake_dir,
-                    target_b64=S.schema_to_b64(m.current_schema()),
-                    defaults=dict(m.doc["defaults"]),
-                    schema_version=m.doc["schemas"][-1]["version"],
-                    entries={
-                        p: m.doc["partitions"][str(p)]
-                        for p in range(m.num_partitions)
-                    },
-                    counter_cols=list(m.doc.get("counter_cols") or []),
-                )
-            )
-
-        def read_side(spec, p) -> pa.Table:
-            from debezium_incubator_ray.envelope import DELETED
-
-            t = read_partition_state(
-                spec["entries"][p], spec["lake_dir"],
-                S.schema_from_b64(spec["target_b64"]), spec["defaults"],
-                spec["schema_version"], key,
-                counter_cols=tuple(spec.get("counter_cols") or []),
-            )
-            if DELETED in t.column_names:
-                # tombstone-retention lakes: a join is over LIVE rows —
-                # marker rows must not match as state
-                t = t.filter(
-                    pc.invert(pc.fill_null(t[DELETED], False))
-                ).drop_columns([DELETED])
-            return t.drop_columns([S.LSN]) if S.LSN in t.column_names else t
+        specs = [side_spec(self), side_spec(other)]
 
         def join_one(batch: pa.Table) -> pa.Table:
             outs = []
             for p in batch[S.PART].to_pylist():
-                lt = read_side(specs[0], int(p))
-                rt = read_side(specs[1], int(p))
+                lt = read_live_state(specs[0], int(p))
+                rt = read_live_state(specs[1], int(p))
                 outs.append(
                     lt.join(
                         rt, keys=key, join_type=join_type,
@@ -2193,6 +2164,24 @@ class CdcEngine:
         ds = ray.data.from_items(items, override_num_blocks=len(items))
         return ds.map_batches(
             join_one, batch_format="pyarrow", num_cpus=self.cfg.apply_num_cpus
+        )
+
+    def join_view(
+        self,
+        other: "CdcEngine",
+        view_dir: str,
+        join_type: str = "inner",
+        left_suffix: str = "",
+        right_suffix: str = "_r",
+    ):
+        """A persisted, incrementally-maintained form of ``join_lake``:
+        ``JoinView.refresh()`` recomputes only partitions whose source
+        state changed since the last refresh (pipelines/view.py)."""
+        from debezium_incubator_ray.pipelines.view import JoinView
+
+        return JoinView(
+            view_dir, self, other, join_type=join_type,
+            left_suffix=left_suffix, right_suffix=right_suffix,
         )
 
     def export_changes(

@@ -1,0 +1,154 @@
+"""JoinView — incrementally-maintained co-partitioned join views.
+
+Laws: (1) a refreshed view is byte-equal to a from-scratch join_lake
+materialization; (2) refresh against unchanged sources rewrites NOTHING;
+(3) a source change refreshes ONLY the partitions it touched; (4) files
+not named by the committed state are invisible to readers and get
+janitored when their partition next refreshes; (5) co-partitioning is
+validated at construction.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from debezium_incubator_ray import gen
+from debezium_incubator_ray import schema as S
+from debezium_incubator_ray.config import EngineConfig
+from debezium_incubator_ray.hashing import partition_ids
+from debezium_incubator_ray.pipelines.cdc import CdcEngine
+from debezium_incubator_ray.pipelines.view import JoinView
+
+
+def _mk_pair(tmp_path, n_initial=120, n_events=600, parts=4):
+    """Left = snapshot + stream; right = snapshot only (same universe)."""
+    spec = gen.BinlogSpec(n_events=n_events, n_initial=n_initial,
+                          seg_rows=128, num_partitions=parts, seed=21)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec)
+    left = CdcEngine(str(tmp_path / "left"),
+                     EngineConfig(num_partitions=parts, apply_concurrency=2),
+                     payload_schema=S.pages_schema())
+    left.snapshot(gen.make_pages(n_initial))
+    left.run(binlog)
+    right = CdcEngine(str(tmp_path / "right"),
+                      EngineConfig(num_partitions=parts,
+                                   apply_concurrency=2),
+                      payload_schema=S.pages_schema())
+    right.snapshot(gen.make_pages(n_initial))
+    return left, right
+
+
+def test_join_view_matches_join_lake_and_skips_when_fresh(
+    tmp_path, ray_session
+):
+    left, right = _mk_pair(tmp_path)
+    view = left.join_view(right, str(tmp_path / "view"))
+
+    r1 = view.refresh()
+    assert r1["refreshed"] == 4 and r1["skipped"] == 0
+    want = left.join_lake(right, join_type="inner").to_pandas()
+    got = view.table().to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    w = want.sort_values("url").reset_index(drop=True)[sorted(want.columns)]
+    g = got.sort_values("url").reset_index(drop=True)[sorted(got.columns)]
+    assert g.equals(w)
+
+    # unchanged sources: nothing recomputed, version does not move
+    r2 = view.refresh()
+    assert r2 == {"version": r1["version"], "refreshed": 0,
+                  "skipped": 4, "rows_written": 0}
+
+    # read() streams the same rows
+    assert view.read().count() == len(got)
+
+
+def test_join_view_incremental_refresh_touches_only_changed_partitions(
+    tmp_path, ray_session
+):
+    left, right = _mk_pair(tmp_path)
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+
+    # erase two keys living in ONE partition of the left lake
+    lt = left.lake_table()
+    urls = lt["url"].to_pylist()
+    parts = partition_ids(lt["url"].combine_chunks(), 4, "hash")
+    in_p0 = [u for u, p in zip(urls, parts) if p == 0][:2]
+    assert in_p0
+    left.erase_keys(in_p0)
+
+    r = view.refresh()
+    assert r["refreshed"] == 1 and r["skipped"] == 3
+
+    want = left.join_lake(right, join_type="inner").to_pandas()
+    got = view.table().to_pandas()
+    cols = sorted(want.columns)
+    assert (
+        got.sort_values("url").reset_index(drop=True)[cols]
+        .equals(want.sort_values("url").reset_index(drop=True)[cols])
+    )
+    assert not any(u in set(got["url"]) for u in in_p0)
+
+
+def test_join_view_orphan_files_invisible_then_janitored(
+    tmp_path, ray_session
+):
+    left, right = _mk_pair(tmp_path)
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+    before = view.table().to_pandas()
+
+    # simulate a crash between file write and state commit
+    pdir = os.path.join(view.view_dir, "p=0")
+    orphan = os.path.join(pdir, "view-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not parquet at all")
+    got = view.table().to_pandas()
+    assert got.equals(before)  # reader never opens the orphan
+
+    # partition 0 refreshes next -> the orphan is janitored away
+    lt = left.lake_table()
+    parts = partition_ids(lt["url"].combine_chunks(), 4, "hash")
+    u0 = [u for u, p in zip(lt["url"].to_pylist(), parts) if p == 0][:1]
+    left.erase_keys(u0)
+    r = view.refresh()
+    assert r["refreshed"] == 1
+    assert not os.path.exists(orphan)
+
+
+def test_join_view_validates_copartitioning(tmp_path, ray_session):
+    left, _ = _mk_pair(tmp_path, n_events=50)
+    other = CdcEngine(str(tmp_path / "other"),
+                      EngineConfig(num_partitions=8, apply_concurrency=2),
+                      payload_schema=S.pages_schema())
+    other.snapshot(gen.make_pages(10))
+    with pytest.raises(ValueError, match="co-partition"):
+        JoinView(str(tmp_path / "v2"), left, other)
+
+
+def test_join_view_empty_inner_join(tmp_path, ray_session):
+    """Disjoint key universes: the view commits zero files and both read
+    paths return an EMPTY result with the real join schema."""
+    parts = 4
+    left = CdcEngine(str(tmp_path / "l"),
+                     EngineConfig(num_partitions=parts, apply_concurrency=2),
+                     payload_schema=S.pages_schema())
+    left.snapshot(gen.make_pages(30))
+    right = CdcEngine(str(tmp_path / "r"),
+                      EngineConfig(num_partitions=parts,
+                                   apply_concurrency=2),
+                      payload_schema=S.pages_schema())
+    # shift ids far away so the url sets are disjoint
+    pages = gen.payload_table(np.arange(10_000, 10_030, dtype=np.int64),
+                              np.zeros(30, dtype=np.int64))
+    right.snapshot(pages)
+    view = left.join_view(right, str(tmp_path / "view"))
+    r = view.refresh()
+    assert r["rows_written"] == 0
+    t = view.table()
+    assert t.num_rows == 0
+    assert "url" in t.column_names
+    assert view.read().count() == 0
