@@ -9548,6 +9548,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, window_days=7, q=0.5, out_col="med_7d"
         )
 
+    def dedup_tile_coverage(sf_dir):
+        """Positional duplicated-content coverage: each doc tiled into
+        non-overlapping 24-char windows; a tile is duplicated when its
+        exact string occurs at >= 2 sites corpus-wide (tiles compare by
+        the same md5-64 on both sides, so the oracle is exact). Only
+        (hash, doc_id) pairs shuffle — the text never moves."""
+        import ray.data
+        from debezium_incubator_ray.functions.dedup import (
+            dup_tile_coverage,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return dup_tile_coverage(docs, tile=24)
+
     def join_q7_volume(sf_dir):
         """TPC-H Q7 shape (nation-pair trade volume): revenue shipped
         between nation group A (1,6,11) and group B (2,7,12) in either
@@ -10465,6 +10482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
         "events_stl_decomposition": events_stl_decomposition,
         "dedup_threshold_curve": dedup_threshold_curve,
+        "dedup_tile_coverage": dedup_tile_coverage,
         "join_q7_volume": join_q7_volume,
         "join_q8_market_share": join_q8_market_share,
         "join_q9_profit": join_q9_profit,
@@ -12073,6 +12091,26 @@ def oracle_sql() -> dict[str, str]:
             "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "dedup_tile_coverage": (
+            # same md5-64 tile identity as the engine; dup_frac rounds
+            # half-away in exact integer micro space
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE length(text) >= 24), "
+            "pos AS (SELECT doc_id, "
+            "unnest(generate_series(1, length(text) - 23, 24)) AS p, "
+            "text FROM d), "
+            "t AS (SELECT doc_id, ('0x' || "
+            "substring(md5(substring(text, p, 24)), 1, 16))::UBIGINT "
+            "AS h FROM pos), "
+            "cnt AS (SELECT h, count(*) AS c FROM t GROUP BY h), "
+            "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nt, "
+            "CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS nd FROM t JOIN cnt USING (h) "
+            "GROUP BY t.doc_id) "
+            "SELECT doc_id, nt AS n_tiles, nd AS n_dup_tiles, "
+            "((2000000 * nd + nt) // (2 * nt)) / 1000000.0 AS dup_frac "
+            "FROM per"
         ),
         "join_q7_volume": (
             # exact cents x bp revenue; 2dp via half-away integer

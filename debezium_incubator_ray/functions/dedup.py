@@ -1748,3 +1748,117 @@ def dup_substring_rate(
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_tile_coverage(
+    docs_ds,
+    tile: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+):
+    """Duplicated-content COVERAGE per doc, at non-overlapping tile
+    granularity: tile each doc's text into ``tile``-char windows at
+    stride ``tile`` (positions 0, L, 2L, ...; the ragged tail is
+    dropped), call a tile duplicated when its exact string occurs at
+    >= 2 sites ANYWHERE in the corpus (other docs or the same doc), and
+    report per doc how many of its tiles are duplicated and the covered
+    fraction. This is the deployable tile-level form of the suffix-array
+    duplicate-span measure of Lee et al. (arXiv:2107.06499) —
+    ``dup_substring_rate`` answers "how much of my distinct content
+    exists elsewhere", this answers "how much of my text positionally
+    sits inside repeated spans".
+
+    Scale shape: tiling is <= max_len/L vectorized slice kernels per
+    batch (no per-doc loop); only (tile_md5_64, doc_id) pairs shuffle,
+    bucketed by hash into ``buckets`` bounded groups; global site counts
+    finish in-bucket (the bucket owns the hash), and per-doc partials
+    fold through one tiny groupby. The text itself never moves. Tiles
+    compare by the md5-64 used by every SQL-verifiable family here
+    (tokens.md5_u64); the oracle applies the SAME hash, so even a
+    collision cannot split engine from oracle.
+
+    Character semantics: slicing uses utf8 codeunits — identical to SQL
+    substring() on ASCII corpora (this corpus; asserted nowhere, noted
+    here). dup_frac rounds half-away in exact integer micro space.
+    """
+    from ray.data.aggregate import Sum
+
+    from debezium_incubator_ray.functions.tokens import md5_u64
+
+    L = int(tile)
+    if L < 1:
+        raise ValueError("tile must be >= 1")
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = t[text_col].combine_chunks()
+        ln = pc.fill_null(pc.utf8_length(txt), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = ln >= L
+        if not keep.any():
+            return pa.table({
+                "_b": pa.array([], pa.int32()),
+                "h": pa.array([], pa.uint64()),
+                id_col: pa.array([], t.schema.field(id_col).type),
+            })
+        t = t.filter(pa.array(keep))
+        txt = t[text_col].combine_chunks()
+        ids = t[id_col].combine_chunks()
+        ln = ln[keep]
+        max_k = int(ln.max()) // L
+        hs, ds = [], []
+        for kk in range(max_k):
+            m = ln >= (kk + 1) * L
+            sl = pc.utf8_slice_codeunits(
+                txt.filter(pa.array(m)), kk * L, (kk + 1) * L
+            )
+            hs.append(md5_u64(sl))
+            ds.append(ids.filter(pa.array(m)))
+        h = np.concatenate(hs)
+        return pa.table({
+            "_b": pa.array((h % np.uint64(buckets)).astype(np.int32)),
+            "h": pa.array(h),
+            id_col: pa.concat_arrays(
+                [d.combine_chunks() if isinstance(d, pa.ChunkedArray)
+                 else d for d in ds]
+            ),
+        })
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True,
+                                return_counts=True)
+        dup = (cnt[inv] >= 2).astype(np.int64)
+        agg = pa.table({
+            id_col: g[id_col],
+            "nt": pa.array(np.ones(len(h), np.int64)),
+            "nd": pa.array(dup),
+        }).group_by([id_col]).aggregate([("nt", "sum"), ("nd", "sum")])
+        return pa.table({
+            id_col: agg[id_col],
+            "nt": agg["nt_sum"],
+            "nd": agg["nd_sum"],
+        })
+
+    folded = (
+        docs_ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("nt", alias_name="nt"), Sum("nd", alias_name="nd"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = pc.cast(t["nt"], pa.int64()).to_numpy(zero_copy_only=False)
+        nd = pc.cast(t["nd"], pa.int64()).to_numpy(zero_copy_only=False)
+        # half-away rounding to 6dp in exact integer micro space
+        frac = (2_000_000 * nd + nt) // (2 * nt) / 1e6
+        return pa.table({
+            id_col: t[id_col],
+            "n_tiles": pa.array(nt),
+            "n_dup_tiles": pa.array(nd),
+            "dup_frac": pa.array(frac, pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")

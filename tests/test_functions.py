@@ -1767,3 +1767,26 @@ def test_resize_image_real_box_average():
                 expect[i, j] = (int(cell.sum()) // cell.size) // 3
         got = np.frombuffer(out["thumb"].to_pylist()[row], np.uint8)
         assert (got == expect.ravel()).all(), d
+
+
+def test_dup_tile_coverage_hand_fixture(ray_session):
+    """Hand-computable tiles (L=4): doc 1 = 'aaaabbbbcccc' (tiles aaaa,
+    bbbb, cccc), doc 2 = 'bbbbXXXXbbbb' (bbbb duplicated across AND
+    within docs -> both its sites count), doc 3 shorter than one tile
+    emits no row; the ragged tail is dropped."""
+    from debezium_incubator_ray.functions.dedup import dup_tile_coverage
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aaaabbbbcccc", "bbbbXXXXbbbb", "zzz", "ccccqq"],
+    })
+    out = (
+        dup_tile_coverage(ray.data.from_arrow(t), tile=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    # doc 1: aaaa unique, bbbb dup (3 sites), cccc dup (with doc 4)
+    # doc 2: bbbb x2 dup, XXXX unique; doc 4: cccc dup, 'qq' tail dropped
+    assert out["n_tiles"].tolist() == [3, 3, 1]
+    assert out["n_dup_tiles"].tolist() == [2, 2, 1]
+    assert out["dup_frac"].tolist() == [0.666667, 0.666667, 1.0]
