@@ -9584,7 +9584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import ray.data
         from ray.data.aggregate import Sum
-        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
 
         GRP_A = (1, 6, 11)
         GRP_B = (2, 7, 12)
@@ -9627,9 +9629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return empty
             oc = t["o_custkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(k, oc)
-            pos[pos == len(k)] = 0
-            keep = k[pos] == oc
+            pos, keep = sorted_lookup(k, oc)
             return pa.table({
                 "o_orderkey": t["o_orderkey"].combine_chunks().cast(
                     pa.int64()).filter(pa.array(keep)),
@@ -9683,20 +9683,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 zero_copy_only=False).astype(np.int64)
             ls = t["l_suppkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            po = np.searchsorted(okk, lo)
-            po[po == len(okk)] = 0
-            ps = np.searchsorted(skk, ls)
-            ps[ps == len(skk)] = 0
+            po, fo = sorted_lookup(okk, lo)
+            ps, fs = sorted_lookup(skk, ls)
             snv = snn[ps]
             cnv = onn[po]
             sa = np.isin(snv, GRP_A)
             sb = np.isin(snv, GRP_B)
             ca = np.isin(cnv, GRP_A)
             cb = np.isin(cnv, GRP_B)
-            keep = (
-                (okk[po] == lo) & (skk[ps] == ls)
-                & ((sa & cb) | (sb & ca))
-            )
+            keep = fo & fs & ((sa & cb) | (sb & ca))
             if not keep.any():
                 return EMPTY
             t = t.filter(pa.array(keep))
@@ -9760,7 +9755,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import ray.data
         from ray.data.aggregate import Sum
-        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
 
         TARGET_NAT = 3
         REGION = 1  # AMERICA
@@ -9788,10 +9785,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "supplier.parquet"),
             columns=["s_suppkey", "s_nationkey"],
         )
-        tsup = np.sort(st.filter(
-            pc.equal(st["s_nationkey"], TARGET_NAT))["s_suppkey"].to_numpy(
-                zero_copy_only=False).astype(np.int64))
-        ts_ref = ray.put(tsup)
+        sk8 = st["s_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        so = np.argsort(sk8)
+        s_is_tgt = (st["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[so] == TARGET_NAT)
+        # ALL suppliers ship (membership gates the row entirely — the
+        # oracle's JOIN supplier drops unmatched rows from num AND den)
+        ts_ref = ray.put((sk8[so], s_is_tgt))
 
         cust = ray.data.read_parquet(
             os.path.join(sf_dir, "customer.parquet"),
@@ -9827,9 +9828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.int64()).to_numpy(zero_copy_only=False)
             oc = t["o_custkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(k, oc)
-            pos[pos == len(k)] = 0
-            keep = (k[pos] == oc) & (od >= LO) & (od < HI)
+            _, found = sorted_lookup(k, oc)
+            keep = found & (od >= LO) & (od < HI)
             year = od.astype("datetime64[us]").astype(
                 "datetime64[Y]").astype(np.int64) + 1970
             return pa.table({
@@ -9863,21 +9863,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def lpart(t: pa.Table) -> pa.Table:
             okk, oyy = ray.get(ord_ref)
             pkk = ray.get(pk_ref)
-            tss = ray.get(ts_ref)
+            skk, stgt = ray.get(ts_ref)
             if len(okk) == 0 or len(pkk) == 0 or t.num_rows == 0:
                 return EMPTY
             lo = t["l_orderkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
             lp = t["l_partkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            po = np.searchsorted(okk, lo)
-            po[po == len(okk)] = 0
-            pp = np.searchsorted(pkk, lp)
-            pp[pp == len(pkk)] = 0
-            keep = (okk[po] == lo) & (pkk[pp] == lp)
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            po, fo = sorted_lookup(okk, lo)
+            pp, fp_ = sorted_lookup(pkk, lp)
+            ps, fs = sorted_lookup(skk, ls)
+            keep = fo & fp_ & fs
             if not keep.any():
                 return EMPTY
             year = oyy[po][keep]
+            is_t = stgt[ps][keep]
             t = t.filter(pa.array(keep))
             price_c = pc.cast(
                 pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
@@ -9886,13 +9888,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.round(pc.multiply(t["l_discount"], 100.0)),
                 pa.int64()).to_numpy(zero_copy_only=False)
             rev = price_c * (100 - disc_bp)
-            ls = t["l_suppkey"].combine_chunks().to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            is_t = np.zeros(len(ls), bool)
-            if len(tss):
-                pt_ = np.searchsorted(tss, ls)
-                pt_[pt_ == len(tss)] = 0
-                is_t = tss[pt_] == ls
             g = pa.table({
                 "o_year": pa.array(year),
                 "num_cbp": pa.array(np.where(is_t, rev, 0)),
@@ -9945,7 +9940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray
         import ray.data
         from ray.data.aggregate import Sum
-        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
 
         pt = _pq.read_table(
             os.path.join(sf_dir, "part.parquet"),
@@ -9987,18 +9984,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return EMPTY
             lp = t["l_partkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pp = np.searchsorted(pkk, lp)
-            pp[pp == len(pkk)] = 0
-            keep = pkk[pp] == lp
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pp, fpart = sorted_lookup(pkk, lp)
+            ps, fsup = sorted_lookup(skk, ls)
+            # supplier membership gates the row (the oracle's inner
+            # JOIN supplier keeps no row for a missing suppkey)
+            keep = fpart & fsup
             if not keep.any():
                 return EMPTY
             retail_c = rcc[pp][keep]
+            nk = snn[ps][keep]
             t = t.filter(pa.array(keep))
-            ls = t["l_suppkey"].combine_chunks().to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            ps = np.searchsorted(skk, ls)
-            ps[ps == len(skk)] = 0
-            nk = snn[ps]
             price_c = pc.cast(
                 pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
                 pa.int64()).to_numpy(zero_copy_only=False)
@@ -10129,7 +10126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as _pq
         import ray.data
         from ray.data.aggregate import Sum
-        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
 
         LO = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
         HI = np.datetime64("2000-04-01T00:00:00", "us").astype(np.int64)
@@ -10189,8 +10188,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         names = st["s_name"]
         o = np.argsort(sk)
         wk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(sk[o], wk)
-        pos[pos == len(sk)] = 0
+        pos, found = sorted_lookup(sk[o], wk)
+        if not found.all():
+            # the oracle's inner JOIN supplier drops unmatched winners
+            t = t.filter(pa.array(found))
+            pos = pos[found]
         nm = names.take(pa.array(o[pos]))
         return pa.table({
             "s_suppkey": t["l_suppkey"],
@@ -10218,7 +10220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
         from ray.data.aggregate import Sum
         from debezium_incubator_ray.functions.graph import distinct_rows
-        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
 
         SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
 
@@ -10256,9 +10260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return EMPTY
             lp = t["l_partkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(pkk, lp)
-            pos[pos == len(pkk)] = 0
-            keep = pkk[pos] == lp
+            pos, keep = sorted_lookup(pkk, lp)
             if not keep.any():
                 return EMPTY
             idx = pa.array(pos[keep])
@@ -10312,7 +10314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as _pq
         import ray
         import ray.data
-        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
 
         BRANCHES = (
             ("Brand#12", 1, 11, 1, 5),
@@ -10348,13 +10352,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return EMPTY
             lp = t["l_partkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(pkk, lp)
-            pos[pos == len(pkk)] = 0
-            hit = pkk[pos] == lp
+            pos, hit = sorted_lookup(pkk, lp)
             code = np.where(hit, bc[pos], -1)
             size = np.where(hit, szz[pos], 0)
-            qty = pc.cast(pc.round(t["l_quantity"]),
-                          pa.int64()).to_numpy(zero_copy_only=False)
+            # half-away rounding to match DuckDB round() on exact .5
+            # quantities (pc.round defaults to half-even)
+            qty = pc.cast(
+                pc.round(t["l_quantity"], 0,
+                         round_mode="half_towards_infinity"),
+                pa.int64()).to_numpy(zero_copy_only=False)
             keep = np.zeros(len(lp), bool)
             for i, (_, qlo, qhi, slo, shi) in enumerate(BRANCHES):
                 keep |= ((code == i) & (qty >= qlo) & (qty <= qhi)

@@ -122,3 +122,21 @@ def collect_table(ds, empty: pa.Table | None = None) -> pa.Table:
     if not blocks:
         return empty if empty is not None else pa.table({})
     return pa.concat_tables(blocks, promote_options="permissive")
+
+
+def sorted_lookup(
+    sorted_keys: np.ndarray, probe: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Clamped binary-search dimension lookup: position of each probe in
+    ``sorted_keys`` plus a FOUND mask. The mask is the part every call
+    site must not forget — an unguarded ``sorted_keys[pos]`` silently
+    attributes missing keys to a neighboring dimension row (an inner
+    join keeps no such row). Returns (pos, found); pos values where
+    ``~found`` point at an arbitrary valid index and must only be used
+    under the mask."""
+    probe = np.asarray(probe)
+    pos = np.searchsorted(sorted_keys, probe)
+    if len(sorted_keys) == 0:
+        return pos, np.zeros(len(probe), bool)
+    pos[pos == len(sorted_keys)] = 0
+    return pos, sorted_keys[pos] == probe

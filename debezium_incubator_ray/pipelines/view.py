@@ -46,6 +46,40 @@ from debezium_incubator_ray.state.store import LocalFsStore, ManifestStore
 _STATE_DOC = "viewstate.json"
 
 
+class JoinViewLockedError(RuntimeError):
+    """Another process holds the view's writer lock."""
+
+
+class _view_write_lock:
+    """O_CREAT|O_EXCL lock file around refresh/vacuum's read-modify-
+    commit window (the same local-fs single-writer discipline as the
+    manifest and text-index writer locks). Concurrent mutation raises
+    loudly instead of last-writer-wins-ing the state doc."""
+
+    def __init__(self, view_dir: str):
+        self.path = os.path.join(view_dir, "_LOCK")
+
+    def __enter__(self):
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise JoinViewLockedError(
+                f"another view mutator holds {self.path}; the view is "
+                "single-writer (remove the stale lock only if its owner "
+                "is dead)"
+            ) from None
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+        return False
+
+
 def side_spec(eng) -> Dict[str, Any]:
     """Serializable read spec for one lake side (ships to Ray tasks)."""
     m = eng.manifest
@@ -152,8 +186,18 @@ class JoinView:
 
         Returns ``{"version", "refreshed", "skipped", "rows_written"}``.
         Idempotent: a refresh against unchanged sources rewrites nothing
-        and does not bump the version.
+        and does not bump the version. Single-writer: a second
+        concurrent refresh raises ``JoinViewLockedError``. Superseded
+        files are left on disk for in-flight readers of the previous
+        version — ``vacuum()`` reclaims them once readers drain.
         """
+        import ray
+        import ray.data
+
+        with _view_write_lock(self.view_dir):
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> Dict[str, Any]:
         import ray
         import ray.data
 
@@ -229,30 +273,42 @@ class JoinView:
             }
             rows_written += int(r["rows"])
         state["version"] = int(state["version"]) + 1
-        # commit point: the state doc names exactly the live files
+        # commit point: the state doc names exactly the live files.
+        # Superseded/aborted files stay on disk — in-flight readers of
+        # the previous version may still be streaming them (same
+        # readers-drain contract as text-index compaction); vacuum()
+        # reclaims them.
         self.store.write_atomic(
             _STATE_DOC, json.dumps(state, indent=1)
         )
-        # post-commit janitor for the partitions just rewritten: anything
-        # not named by the committed state is an aborted attempt
-        for r in out:
-            p = int(r["p"])
-            pdir = os.path.join(self.view_dir, f"p={p}")
-            if not os.path.isdir(pdir):
-                continue
-            keep = state["partitions"][str(p)].get("file")
-            for name in os.listdir(pdir):
-                if name != keep:
-                    try:
-                        os.remove(os.path.join(pdir, name))
-                    except OSError:
-                        pass
         return {
             "version": state["version"],
             "refreshed": len(stale),
             "skipped": self.num_partitions - len(stale),
             "rows_written": rows_written,
         }
+
+    def vacuum(self) -> Dict[str, Any]:
+        """Delete every data file NOT named by the committed state —
+        superseded versions and aborted-refresh leftovers. Call only
+        once in-flight readers of older versions have drained (the
+        operator's contract, same as lake vacuum)."""
+        with _view_write_lock(self.view_dir):
+            state = self._load_state()
+            removed = 0
+            for p in range(self.num_partitions):
+                pdir = os.path.join(self.view_dir, f"p={p}")
+                if not os.path.isdir(pdir):
+                    continue
+                keep = state["partitions"].get(str(p), {}).get("file")
+                for name in os.listdir(pdir):
+                    if name != keep:
+                        try:
+                            os.remove(os.path.join(pdir, name))
+                            removed += 1
+                        except OSError:
+                            pass
+            return {"files_removed": removed}
 
     # -- read -----------------------------------------------------------
 
@@ -269,11 +325,22 @@ class JoinView:
         return files
 
     def _empty_table(self) -> pa.Table:
-        lt = read_live_state(side_spec(self.left), 0).slice(0, 0)
-        rt = read_live_state(side_spec(self.right), 0).slice(0, 0)
-        return lt.join(
-            rt, keys=self.left.cfg.key, join_type=self.join_type,
-            left_suffix=self.left_suffix, right_suffix=self.right_suffix,
+        """Zero-row table with the view's join schema, derived from the
+        manifests alone — no partition state is read."""
+        from debezium_incubator_ray.envelope import DELETED
+
+        def empty_side(eng) -> pa.Table:
+            sch = eng.manifest.current_schema()
+            t = sch.empty_table()
+            for drop in (DELETED, S.LSN):
+                if drop in t.column_names:
+                    t = t.drop_columns([drop])
+            return t
+
+        return empty_side(self.left).join(
+            empty_side(self.right), keys=self.left.cfg.key,
+            join_type=self.join_type, left_suffix=self.left_suffix,
+            right_suffix=self.right_suffix,
         )
 
     def read(self):

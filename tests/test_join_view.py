@@ -93,13 +93,14 @@ def test_join_view_incremental_refresh_touches_only_changed_partitions(
     assert not any(u in set(got["url"]) for u in in_p0)
 
 
-def test_join_view_orphan_files_invisible_then_janitored(
+def test_join_view_orphans_invisible_readers_safe_then_vacuumed(
     tmp_path, ray_session
 ):
     left, right = _mk_pair(tmp_path)
     view = left.join_view(right, str(tmp_path / "view"))
     view.refresh()
     before = view.table().to_pandas()
+    old_files = view._committed_files()
 
     # simulate a crash between file write and state commit
     pdir = os.path.join(view.view_dir, "p=0")
@@ -109,14 +110,39 @@ def test_join_view_orphan_files_invisible_then_janitored(
     got = view.table().to_pandas()
     assert got.equals(before)  # reader never opens the orphan
 
-    # partition 0 refreshes next -> the orphan is janitored away
+    # a refresh SUPERSEDES partition 0 but leaves the old bytes for
+    # in-flight readers of the previous version
     lt = left.lake_table()
     parts = partition_ids(lt["url"].combine_chunks(), 4, "hash")
     u0 = [u for u, p in zip(lt["url"].to_pylist(), parts) if p == 0][:1]
     left.erase_keys(u0)
     r = view.refresh()
     assert r["refreshed"] == 1
+    assert all(os.path.exists(f) for f in old_files)
+    assert os.path.exists(orphan)
+
+    # vacuum reclaims everything the committed state does not name
+    v = view.vacuum()
+    assert v["files_removed"] == 2  # orphan + superseded p=0 file
     assert not os.path.exists(orphan)
+    live = set(view._committed_files())
+    assert all(os.path.exists(f) for f in live)
+
+
+def test_join_view_refresh_is_single_writer(tmp_path, ray_session):
+    from debezium_incubator_ray.pipelines.view import (
+        JoinViewLockedError, _view_write_lock,
+    )
+
+    left, right = _mk_pair(tmp_path, n_events=50)
+    view = left.join_view(right, str(tmp_path / "view"))
+    with _view_write_lock(view.view_dir):
+        with pytest.raises(JoinViewLockedError):
+            view.refresh()
+        with pytest.raises(JoinViewLockedError):
+            view.vacuum()
+    # lock released -> refresh proceeds
+    assert view.refresh()["refreshed"] == 4
 
 
 def test_join_view_validates_copartitioning(tmp_path, ray_session):
