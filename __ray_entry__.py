@@ -9548,6 +9548,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, window_days=7, q=0.5, out_col="med_7d"
         )
 
+    def dedup_minhash_index(sf_dir):
+        """Near-dup screening through the PERSISTED MinHash-LSH index
+        (functions/simindex.py): the corpus is indexed once (banded
+        md5-affine signatures, bucket-partitioned parquet), then every
+        7th doc queries the index — reading ONLY the bucket partitions
+        its band hashes touch. The oracle recomputes signatures + bands
+        in SQL, so candidates AND estimates must match bit-for-bit."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.simindex import (
+            build_minhash_index, minhash_index_query,
+        )
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        idx = os.path.join(EC.scratch_dir("mhidx"), "index")
+        build_minhash_index(docs, idx, buckets=16)
+
+        def pick7(t: pa.Table) -> pa.Table:
+            import numpy as _np
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(ids % 7 == 0))
+
+        qds = docs.map_batches(pick7, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return minhash_index_query(idx, qds, min_matches=8)
+
     def dedup_tile_coverage(sf_dir):
         """Positional duplicated-content coverage: each doc tiled into
         non-overlapping 24-char windows; a tile is duplicated when its
@@ -10488,6 +10519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
         "events_stl_decomposition": events_stl_decomposition,
         "dedup_threshold_curve": dedup_threshold_curve,
+        "dedup_minhash_index": dedup_minhash_index,
         "dedup_tile_coverage": dedup_tile_coverage,
         "join_q7_volume": join_q7_volume,
         "join_q8_market_share": join_q8_market_share,
@@ -12097,6 +12129,35 @@ def oracle_sql() -> dict[str, str]:
             "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "dedup_minhash_index": (
+            # the SAME signature algebra as dedup_minhash_estimate,
+            # plus banding: band key = the 4 signature values in i
+            # order — candidates share a full band; queries are the
+            # doc_id % 7 == 0 docs; self-matches excluded
+            _SHINGLES
+            + ", hx AS (SELECT doc_id, "
+            "('0x' || substring(md5(g), 1, 16))::UBIGINT AS h FROM e), "
+            "ii AS (SELECT unnest(generate_series(0, 15)) AS i), "
+            "sig AS (SELECT hx.doc_id, ii.i, "
+            "min(CAST(((2 * ii.i + 3)::HUGEINT * hx.h "
+            "+ (1000003 * ii.i + 17)) % 18446744073709551616::HUGEINT "
+            "% 2305843009213693951::HUGEINT AS UBIGINT)) AS mh "
+            "FROM hx CROSS JOIN ii GROUP BY 1, 2), "
+            "bk AS (SELECT doc_id, i // 4 AS band, "
+            "string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bs "
+            "FROM sig GROUP BY 1, 2), "
+            "cand AS (SELECT DISTINCT qa.doc_id AS a, x.doc_id AS b "
+            "FROM bk qa JOIN bk x ON qa.band = x.band AND qa.bs = x.bs "
+            "AND x.doc_id <> qa.doc_id WHERE qa.doc_id % 7 = 0), "
+            "ag AS (SELECT cand.a, cand.b, "
+            "CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_match FROM cand "
+            "JOIN sig sa ON sa.doc_id = cand.a "
+            "JOIN sig sb ON sb.doc_id = cand.b AND sb.i = sa.i "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, n_match, round(n_match / 16.0, 6) "
+            "AS est_jaccard FROM ag WHERE n_match >= 8"
         ),
         "dedup_tile_coverage": (
             # same md5-64 tile identity as the engine; dup_frac rounds

@@ -396,6 +396,10 @@ def main() -> None:
         "events_stl_decomposition", "dedup_threshold_curve",
         "orders_qoq_growth", "embedding_intrinsic_dim",
         "text_bm25_index_topk",
+        "join_q7_volume", "join_q8_market_share", "join_q9_profit",
+        "join_q13_custdist", "join_q15_top_supplier",
+        "join_q16_supplier_cnt", "join_q19_disjunctive",
+        "cdc_join_view", "dedup_tile_coverage", "dedup_minhash_index",
     ]
     for name in q_list:
         t2 = time.perf_counter()

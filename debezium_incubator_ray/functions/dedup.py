@@ -1557,6 +1557,45 @@ def ngram_novelty(docs_ds, shingle_k: int = 3, buckets: int = 64,
     )
 
 
+def md5_minhash_signatures(
+    texts: "pa.Array | pa.ChunkedArray",
+    ids: np.ndarray,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> tuple:
+    """THE SQL-bridgeable minhash signature kernel — gram hash = md5 of
+    the literal gram string (tokens.gram_string_hashes), hash family
+    h_i(g) = ((2i+3)*g + 1000003*i+17 mod 2^64) mod (2^61-1), so DuckDB
+    reproduces every signature bit-for-bit with HUGEINT arithmetic.
+    Shared by ``minhash_estimate_pairs`` and the persisted near-dup
+    index (functions/simindex.py) — both MUST hash identically or the
+    index diverges from the in-memory estimates. Docs with zero grams
+    are dropped. Returns (ids_nz int array, uint64 sig matrix
+    [n_nz x n_hashes])."""
+    from debezium_incubator_ray.functions.tokens import gram_string_hashes
+
+    A = (2 * np.arange(n_hashes, dtype=np.uint64) + np.uint64(3))
+    B = (np.uint64(1000003) * np.arange(n_hashes, dtype=np.uint64)
+         + np.uint64(17))
+    M = np.uint64((1 << 61) - 1)
+    g, glens = gram_string_hashes(texts, shingle_k)
+    ids = np.asarray(ids)
+    nz = glens > 0
+    n_docs = len(ids)
+    sig = np.zeros((n_docs, n_hashes), dtype=np.uint64)
+    if len(g):
+        gstarts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(glens[:-1], out=gstarts[1:])
+        with np.errstate(over="ignore"):
+            v = (A[:, None] * g[None, :] + B[:, None]) % M
+        sent = np.full((n_hashes, 1), np.uint64(0xFFFFFFFFFFFFFFFF),
+                       np.uint64)
+        prod = np.concatenate([v, sent], axis=1)
+        mins = np.minimum.reduceat(prod, gstarts[nz], axis=1)
+        sig[nz, :] = mins.T
+    return ids[nz], sig[nz]
+
+
 def minhash_estimate_pairs(
     docs_ds,
     n_hashes: int = 16,
@@ -1584,32 +1623,16 @@ def minhash_estimate_pairs(
     est_jaccard) for pairs with n_match >= min_matches."""
     import ray
     import ray.data
-    from debezium_incubator_ray.functions.tokens import gram_string_hashes
-
-    A = (2 * np.arange(n_hashes, dtype=np.uint64) + np.uint64(3))
-    B = (np.uint64(1000003) * np.arange(n_hashes, dtype=np.uint64)
-         + np.uint64(17))
-    M = np.uint64((1 << 61) - 1)
 
     def signatures(t: pa.Table) -> pa.Table:
-        g, glens = gram_string_hashes(t["text"].combine_chunks(), shingle_k)
-        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        nz = glens > 0
-        n_docs = len(ids)
-        sig = np.zeros((n_docs, n_hashes), dtype=np.uint64)
-        if len(g):
-            gstarts = np.zeros(n_docs, dtype=np.int64)
-            np.cumsum(glens[:-1], out=gstarts[1:])
-            with np.errstate(over="ignore"):
-                v = (A[:, None] * g[None, :] + B[:, None]) % M
-            sent = np.full((n_hashes, 1), np.uint64(0xFFFFFFFFFFFFFFFF),
-                           np.uint64)
-            prod = np.concatenate([v, sent], axis=1)
-            mins = np.minimum.reduceat(prod, gstarts[nz], axis=1)
-            sig[nz, :] = mins.T
+        ids_nz, sig = md5_minhash_signatures(
+            t["text"].combine_chunks(),
+            t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            n_hashes=n_hashes, shingle_k=shingle_k,
+        )
         return pa.table({
-            "doc_id": pa.array(ids[nz]),
-            "sig": pa.array(list(sig[nz].view(np.int64)),
+            "doc_id": pa.array(ids_nz),
+            "sig": pa.array(list(sig.view(np.int64)),
                             pa.list_(pa.int64(), n_hashes)),
         })
 
