@@ -273,6 +273,18 @@ class JoinView:
             }
             rows_written += int(r["rows"])
         state["version"] = int(state["version"]) + 1
+        # per-commit lineage (the north-rule discipline: every commit
+        # records what it touched); bounded — only the newest entries
+        # are retained in the state doc
+        row = {
+            "version": state["version"],
+            "refreshed": len(stale),
+            "skipped": self.num_partitions - len(stale),
+            "rows_written": rows_written,
+            "partitions": sorted(int(r["p"]) for r in out),
+        }
+        state.setdefault("lineage", [])
+        state["lineage"] = (state["lineage"] + [row])[-256:]
         # commit point: the state doc names exactly the live files.
         # Superseded/aborted files stay on disk — in-flight readers of
         # the previous version may still be streaming them (same
@@ -287,6 +299,10 @@ class JoinView:
             "skipped": self.num_partitions - len(stale),
             "rows_written": rows_written,
         }
+
+    def lineage(self) -> List[Dict[str, Any]]:
+        """Per-commit refresh lineage rows (newest-last, bounded)."""
+        return list(self._load_state().get("lineage", []))
 
     def vacuum(self) -> Dict[str, Any]:
         """Delete every data file NOT named by the committed state —

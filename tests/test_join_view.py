@@ -178,3 +178,58 @@ def test_join_view_empty_inner_join(tmp_path, ray_session):
     assert t.num_rows == 0
     assert "url" in t.column_names
     assert view.read().count() == 0
+
+
+def test_join_view_lineage_records_each_commit(tmp_path, ray_session):
+    left, right = _mk_pair(tmp_path)
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+    view.refresh()  # no-op: must NOT add a lineage row
+    lt = left.lake_table()
+    parts = partition_ids(lt["url"].combine_chunks(), 4, "hash")
+    u0 = [u for u, p in zip(lt["url"].to_pylist(), parts) if p == 0][:1]
+    left.erase_keys(u0)
+    view.refresh()
+    lin = view.lineage()
+    assert [r["version"] for r in lin] == [1, 2]
+    assert lin[0]["refreshed"] == 4 and lin[0]["partitions"] == [0, 1, 2, 3]
+    assert lin[1]["refreshed"] == 1 and lin[1]["partitions"] == [0]
+
+
+def test_join_view_lock_is_cross_process(tmp_path, ray_session):
+    import subprocess
+    import sys
+    import textwrap
+
+    left, right = _mk_pair(tmp_path, n_events=50)
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent("""
+        import sys
+        import ray
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+        from debezium_incubator_ray.pipelines.cdc import CdcEngine
+        from debezium_incubator_ray.pipelines.view import (
+            JoinView, JoinViewLockedError,
+        )
+        vdir, ldir, rdir = sys.argv[1:4]
+        v = JoinView(vdir, CdcEngine(ldir), CdcEngine(rdir))
+        try:
+            v.refresh()
+            print("RAN")
+        except JoinViewLockedError:
+            print("REJECTED")
+    """)
+    from debezium_incubator_ray.pipelines.view import _view_write_lock
+
+    env = dict(os.environ, PYTHONPATH=repo, RAY_ADDRESS="local")
+    with _view_write_lock(view.view_dir):
+        r = subprocess.run(
+            [sys.executable, "-c", script, view.view_dir,
+             left.lake_dir, right.lake_dir],
+            capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+        )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip().splitlines()[-1] == "REJECTED"
