@@ -9548,6 +9548,159 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, window_days=7, q=0.5, out_col="med_7d"
         )
 
+    def events_window_dedup(sf_dir):
+        """Windowed first-event dedup (alert throttling): per
+        (user, event_type, hour) only the FIRST event (by ts, then
+        event_id) survives. Reported per event_type: windows, raw
+        events, suppressed count, and the SUM of surviving event ids —
+        the id sum pins the exact argmin selection, not just counts.
+        windows.first_per_window does the heavy lifting: per-batch
+        combiner keeps one row per window per batch, windows co-locate
+        by user hash, in-bucket resolve is one sort + run-length pass."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.functions.windows import (
+            first_per_window,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+
+        def add_hour(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return t.append_column(
+                "h", pa.array(ts // 3_600_000_000, pa.int64())
+            )
+
+        kept = first_per_window(
+            ev.map_batches(add_hour, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["user_id", "event_type", "h"], ["ts", "event_id"],
+        )
+
+        def per_type(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "event_type": t["event_type"],
+                "n_windows": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_events": t["win_n"],
+                "kept_id_sum": t["event_id"].combine_chunks().cast(
+                    pa.int64()),
+            }).group_by(["event_type"]).aggregate(
+                [("n_windows", "sum"), ("n_events", "sum"),
+                 ("kept_id_sum", "sum")]
+            )
+            return pa.table({
+                "event_type": g["event_type"],
+                "n_windows": g["n_windows_sum"],
+                "n_events": g["n_events_sum"],
+                "kept_id_sum": g["kept_id_sum_sum"],
+            })
+
+        agg = (
+            kept.map_batches(per_type, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("n_windows", alias_name="n_windows"),
+                       Sum("n_events", alias_name="n_events"),
+                       Sum("kept_id_sum", alias_name="kept_id_sum"))
+        )
+        t = collect_table(agg, empty=pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "kept_id_sum": pa.array([], pa.int64()),
+        }))
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_windows": t["n_windows"],
+            "n_events": t["n_events"],
+            "n_suppressed": pc.subtract(t["n_events"], t["n_windows"]),
+            "kept_id_sum": t["kept_id_sum"],
+        })
+
+    def orders_duplicate_invoices(sf_dir):
+        """Duplicate-invoice screening (band self-join): pairs of orders
+        by the SAME customer whose totals land in the same $1000 band,
+        with how many days apart they were placed. One bucketed shuffle
+        on customer hash; in-bucket the (customer, band) runs expand to
+        i<j pairs via the shared ``expand_pairs`` kernel — candidate
+        space is sum C(run,2), never orders x orders."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import expand_pairs
+        from debezium_incubator_ray.hashing import partition_ids
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate"],
+        )
+
+        def tag(t: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            ck = t["o_custkey"].combine_chunks()
+            return pa.table({
+                "_b": pa.array(partition_ids(ck, 64, "hash"), pa.int32()),
+                "o_custkey": ck.cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].combine_chunks().cast(
+                    pa.int64()),
+                "band": pa.array(cents // 100_000),
+                "day": pa.array(od // 86_400_000_000),
+            })
+
+        def pairs(g: pa.Table) -> pa.Table:
+            s = g.take(pc.sort_indices(g, sort_keys=[
+                ("o_custkey", "ascending"), ("band", "ascending"),
+                ("o_orderkey", "ascending"),
+            ]))
+            ck = s["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            bd = s["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = len(ck)
+            first = np.zeros(n, bool)
+            if n:
+                first[0] = True
+                first[1:] = (ck[1:] != ck[:-1]) | (bd[1:] != bd[:-1])
+            starts = np.nonzero(first)[0]
+            sizes = np.diff(np.append(starts, n))
+            li, ri = expand_pairs(sizes)
+            if not len(li):
+                return pa.table({
+                    "o1_orderkey": pa.array([], pa.int64()),
+                    "o2_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "days_apart": pa.array([], pa.int64()),
+                })
+            ok = s["o_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            day = s["day"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o1_orderkey": pa.array(ok[li]),
+                "o2_orderkey": pa.array(ok[ri]),
+                "o_custkey": pa.array(ck[li]),
+                "days_apart": pa.array(np.abs(day[li] - day[ri])),
+            })
+
+        return (
+            orders.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_b")
+            .map_groups(pairs, batch_format="pyarrow")
+        )
+
     def dedup_minhash_index(sf_dir):
         """Near-dup screening through the PERSISTED MinHash-LSH index
         (functions/simindex.py): the corpus is indexed once (banded
@@ -10519,6 +10672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
         "events_stl_decomposition": events_stl_decomposition,
         "dedup_threshold_curve": dedup_threshold_curve,
+        "events_window_dedup": events_window_dedup,
+        "orders_duplicate_invoices": orders_duplicate_invoices,
         "dedup_minhash_index": dedup_minhash_index,
         "dedup_tile_coverage": dedup_tile_coverage,
         "join_q7_volume": join_q7_volume,
@@ -12129,6 +12284,34 @@ def oracle_sql() -> dict[str, str]:
             "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_window_dedup": (
+            # first = rn 1 ordered by (ts, event_id); kept_id_sum pins
+            # the exact argmin selection, not just counts
+            "WITH r AS (SELECT event_type, event_id, "
+            "row_number() OVER (PARTITION BY user_id, event_type, "
+            "date_trunc('hour', ts) ORDER BY ts, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY user_id, event_type, "
+            "date_trunc('hour', ts)) AS c FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+            "AND ts IS NOT NULL AND event_id IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows, "
+            "CAST(sum(c) AS BIGINT) AS n_events, "
+            "CAST(sum(c) - count(*) AS BIGINT) AS n_suppressed, "
+            "CAST(sum(event_id) AS BIGINT) AS kept_id_sum "
+            "FROM r WHERE rn = 1 GROUP BY event_type"
+        ),
+        "orders_duplicate_invoices": (
+            # same $1000 cents band, same customer, oriented o1 < o2
+            "SELECT o1.o_orderkey AS o1_orderkey, "
+            "o2.o_orderkey AS o2_orderkey, o1.o_custkey, "
+            "CAST(abs(date_diff('day', CAST(o1.o_orderdate AS DATE), "
+            "CAST(o2.o_orderdate AS DATE))) AS BIGINT) AS days_apart "
+            "FROM orders o1 JOIN orders o2 "
+            "ON o1.o_custkey = o2.o_custkey "
+            "AND CAST(round(o1.o_totalprice * 100) AS BIGINT) // 100000 "
+            "= CAST(round(o2.o_totalprice * 100) AS BIGINT) // 100000 "
+            "AND o1.o_orderkey < o2.o_orderkey"
         ),
         "dedup_minhash_index": (
             # the SAME signature algebra as dedup_minhash_estimate,

@@ -2118,3 +2118,79 @@ def watermark_late_flags(
     return (
         tagged.groupby("_rng").map_groups(flag, batch_format="pyarrow")
     )
+
+
+def first_per_window(ds, group_cols, order_cols, buckets: int = 64):
+    """Windowed FIRST-row dedup (the alert-throttle / at-most-once-per-
+    window ingest primitive): keep exactly the first row of every
+    composite window ``group_cols``, ordered by ``order_cols`` (ties
+    break by later order columns — make the last one unique for a
+    deterministic answer). Returns the kept rows plus ``win_n`` = how
+    many rows the window held (so suppressed = win_n - 1).
+
+    Scale shape: the per-batch combiner keeps one row per window per
+    batch (with its partial count), so the shuffle carries at most
+    windows x blocks rows; windows co-locate by hash(group_cols[0]) %
+    ``buckets`` — the first group column must functionally contain the
+    window's locality key (e.g. user_id first) — and the in-bucket
+    resolve is one vectorized sort + run-length pass per bounded
+    bucket, never per key."""
+    from debezium_incubator_ray.hashing import partition_ids
+
+    gcols = list(group_cols)
+    ocols = list(order_cols)
+    keys = [(c, "ascending") for c in gcols + ocols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        for c in gcols + ocols:
+            t = t.filter(pc.is_valid(t[c]))
+        if t.num_rows == 0:
+            return t.append_column(
+                "win_n", pa.array([], pa.int64())
+            ).append_column("_b", pa.array([], pa.int32()))
+        s = t.take(pc.sort_indices(t, sort_keys=keys))
+        n = s.num_rows
+        first = np.zeros(n, bool)
+        first[0] = True
+        if n > 1:
+            for c in gcols:
+                a = s[c].combine_chunks()
+                neq = pc.fill_null(
+                    pc.not_equal(a.slice(1), a.slice(0, n - 1)), True
+                )
+                first[1:] |= neq.to_numpy(zero_copy_only=False)
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        kept = s.filter(pa.array(first))
+        kept = kept.append_column("win_n", pa.array(sizes))
+        return kept.append_column(
+            "_b",
+            pa.array(partition_ids(kept[gcols[0]].combine_chunks(),
+                                   buckets, "hash"), pa.int32()),
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_b"])
+        s = g.take(pc.sort_indices(g, sort_keys=keys))
+        n = s.num_rows
+        first = np.zeros(n, bool)
+        first[0] = True
+        if n > 1:
+            for c in gcols:
+                a = s[c].combine_chunks()
+                neq = pc.fill_null(
+                    pc.not_equal(a.slice(1), a.slice(0, n - 1)), True
+                )
+                first[1:] |= neq.to_numpy(zero_copy_only=False)
+        starts = np.nonzero(first)[0]
+        win = s["win_n"].combine_chunks().to_numpy(zero_copy_only=False)
+        totals = np.add.reduceat(win, starts)
+        out = s.filter(pa.array(first)).drop_columns(["win_n"])
+        return out.append_column("win_n", pa.array(totals))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

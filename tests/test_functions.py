@@ -1790,3 +1790,24 @@ def test_dup_tile_coverage_hand_fixture(ray_session):
     assert out["n_tiles"].tolist() == [3, 3, 1]
     assert out["n_dup_tiles"].tolist() == [2, 2, 1]
     assert out["dup_frac"].tolist() == [0.666667, 0.666667, 1.0]
+
+
+def test_first_per_window_hand_fixture(ray_session):
+    """Two users, one window column: first by (ts, id) survives with the
+    window's total count; null keys drop; ties break by id."""
+    from debezium_incubator_ray.functions.windows import first_per_window
+
+    t = pa.table({
+        "u": [1, 1, 1, 2, 2, None, 1],
+        "w": [10, 10, 11, 10, 10, 10, 10],
+        "ts": [5, 3, 9, 7, 7, 1, 3],
+        "id": [100, 101, 102, 103, 104, 105, 106],
+    })
+    out = (
+        first_per_window(ray.data.from_arrow(t), ["u", "w"], ["ts", "id"])
+        .to_pandas().sort_values(["u", "w"]).reset_index(drop=True)
+    )
+    # u=1 w=10: rows (ts,id) = (5,100),(3,101),(3,106) -> first (3,101), n=3
+    # u=1 w=11: (9,102) n=1; u=2 w=10: (7,103),(7,104) -> tie by id -> 103
+    assert out[["u", "w", "id", "win_n"]].values.tolist() == [
+        [1, 10, 101, 3], [1, 11, 102, 1], [2, 10, 103, 2]]
