@@ -498,6 +498,7 @@ def build_ivf_index(
             "centroids": np.round(np.asarray(centroids, np.float64), 6)
             .tolist(),
         }, f)
+    _ivf_commit_manifest(tmp, {"files": _ivf_files_on_disk(tmp)})
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)  # the visibility point
     nc = len(centroids)
@@ -505,6 +506,108 @@ def build_ivf_index(
         1 for d in os.listdir(out_dir) if d.startswith("cluster=")
     )
     return {"clusters": nc, "cluster_dirs": n_rows}
+
+
+def _ivf_files_on_disk(root: str) -> dict:
+    """{cluster_id: [relative parquet names]} actually present."""
+    import os
+
+    out = {}
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("cluster="):
+            continue
+        cc = int(d.split("=")[1])
+        out[str(cc)] = sorted(
+            f for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _ivf_commit_manifest(index_dir: str, doc: dict) -> None:
+    """Atomic replace of the IVF file manifest — the visibility point
+    of append (same discipline as the text/minhash index stats doc)."""
+    import json
+    import os
+    import uuid
+
+    swap = os.path.join(index_dir, f"_MANIFEST.{uuid.uuid4().hex}.json")
+    with open(swap, "w") as f:
+        json.dump(doc, f)
+    os.replace(swap, os.path.join(index_dir, "_MANIFEST.json"))
+
+
+def _ivf_manifest(index_dir: str) -> dict:
+    """The committed manifest; a pre-manifest index adopts disk state."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, "_MANIFEST.json")
+    if not os.path.exists(path):
+        return {"files": _ivf_files_on_disk(index_dir)}
+    with open(path) as f:
+        return json.load(f)
+
+
+def append_to_ivf_index(
+    index_dir: str,
+    ds,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> dict:
+    """Incrementally add NEW vectors: assign against the PERSISTED
+    centroid matrix (the index's space never drifts under appends —
+    rebuild when the distribution moves), land delta files inside the
+    cluster dirs invisibly, and publish with one atomic manifest
+    replace. Same single-writer lock and crash contract as the text
+    and minhash index appends. The caller owns id disjointness."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import ray
+
+    from debezium_incubator_ray.functions.text import _index_write_lock
+
+    with _index_write_lock(index_dir):
+        with open(os.path.join(index_dir, "_CENTROIDS.json")) as f:
+            C = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+        Cn = _normalize(C)
+        cref = ray.put(Cn)
+
+        def assign(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            M = _normalize(_batch_matrix(t, col))
+            cid = np.argmax(M @ _ray.get(cref).T, axis=1).astype(np.int64)
+            t = t.append_column("cluster", pa.array(cid))
+            return t.append_column("cid", pa.array(cid))
+
+        tag = uuid.uuid4().hex
+        tmp = os.path.join(index_dir, f"_append-{tag}.tmp")
+        delta = ds.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+        delta.write_parquet(tmp, partition_cols=["cluster"])
+        n_new = delta.count()
+
+        man = _ivf_manifest(index_dir)
+        files = {k: list(v) for k, v in man["files"].items()}
+        for d in sorted(os.listdir(tmp)):
+            if not d.startswith("cluster="):
+                continue
+            cc = d.split("=")[1]
+            dst = os.path.join(index_dir, f"cluster={cc}")
+            os.makedirs(dst, exist_ok=True)
+            for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
+                if not f.endswith(".parquet"):
+                    continue
+                name = f"append-{tag}-{i:04d}.parquet"
+                os.replace(os.path.join(tmp, d, f), os.path.join(dst, name))
+                files.setdefault(cc, []).append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _ivf_commit_manifest(index_dir, {"files": files})
+        return {"appended": int(n_new)}
 
 
 def ivf_index_topk(
@@ -541,13 +644,15 @@ def ivf_index_topk(
         order = np.lexsort((np.arange(nc), -qsims[qi]))
         probes[qi, order[: min(nprobe, nc)]] = True
     probed = sorted(np.nonzero(probes.any(axis=0))[0].tolist())
+    # only MANIFESTED files of probed partitions are read (partition
+    # pruning + append atomicity: a crashed append's files are invisible)
+    manifest = _ivf_manifest(index_dir)["files"]
     paths = []
-    for c in probed:  # expand to files: only probed partitions are read
+    for c in probed:
         d = os.path.join(index_dir, f"cluster={c}")
         if os.path.isdir(d):
             paths.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
+                os.path.join(d, f) for f in manifest.get(str(c), [])
             )
     if not paths:
         return _merge_topk([], k)

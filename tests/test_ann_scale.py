@@ -113,3 +113,53 @@ def test_ivf_index_build_and_pruned_search(base, tmp_path):
         [("query_id", "ascending"), ("rank", "ascending")])
     assert exact.select(["query_id", "vec_id", "rank"]).equals(
         allp.select(["query_id", "vec_id", "rank"]))
+
+
+def test_ivf_index_append_equals_rebuild(base, tmp_path):
+    """append_to_ivf_index laws: (1) append == rebuild with the SAME
+    centroids (query parity); (2) un-manifested files are invisible;
+    (3) mutators are single-writer."""
+    import pytest as _pytest
+
+    from debezium_incubator_ray.functions.ann import (
+        append_to_ivf_index, build_ivf_index, ivf_index_topk,
+        spherical_kmeans,
+    )
+    from debezium_incubator_ray.functions.text import (
+        TextIndexLockedError, _index_write_lock,
+    )
+
+    M, ids = base
+    tbl = _replicate(M, ids, 2)
+    half = len(tbl) // 2
+    ds_all = ray.data.from_arrow(tbl).repartition(4)
+    C, _ = spherical_kmeans(ds_all, _batch_matrix(tbl.slice(0, 16)),
+                            iters=2)
+    Q, qids = M[:8], ids[:8]
+
+    inc = str(tmp_path / "inc")
+    build_ivf_index(ray.data.from_arrow(tbl.slice(0, half)), C, inc)
+    r = append_to_ivf_index(inc, ray.data.from_arrow(tbl.slice(half)))
+    assert r["appended"] == len(tbl) - half
+
+    full = str(tmp_path / "full")
+    build_ivf_index(ds_all, C, full)
+    a = ivf_index_topk(inc, qids, Q, k=5, nprobe=3).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    b = ivf_index_topk(full, qids, Q, k=5, nprobe=3).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    assert a.equals(b)
+
+    # a crashed append's files (no manifest entry) are invisible
+    cdir = next(os.path.join(inc, d) for d in sorted(os.listdir(inc))
+                if d.startswith("cluster="))
+    with open(os.path.join(cdir, "append-dead-0000.parquet"), "wb") as f:
+        f.write(b"garbage")
+    a2 = ivf_index_topk(inc, qids, Q, k=5, nprobe=3).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
+    assert a2.equals(a)
+
+    # single-writer
+    with _index_write_lock(inc):
+        with _pytest.raises(TextIndexLockedError):
+            append_to_ivf_index(inc, ray.data.from_arrow(tbl.slice(0, 4)))
