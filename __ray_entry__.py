@@ -9625,6 +9625,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kept_id_sum": t["kept_id_sum"],
         })
 
+    def events_decayed_engagement(sf_dir):
+        """Exponentially time-decayed engagement per event type (the
+        feature-store freshness-weighting primitive): weight =
+        2^(-age/7d) anchored at the corpus max timestamp (deterministic
+        "now"), folded per batch then through one tiny groupby. The
+        decayed sum is irrational, so round(6) on the shared double
+        algebra is drift-safe."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type"],
+        )
+
+        def max_part(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks().cast(pa.int64())
+            ts = ts.drop_null()
+            if len(ts) == 0:
+                return pa.table({"mt": pa.array([], pa.int64())})
+            return pa.table({"mt": pa.array(
+                [int(pc.max(ts).as_py())], pa.int64())})
+
+        mt_t = collect_table(
+            ev.map_batches(max_part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            empty=pa.table({"mt": pa.array([], pa.int64())}),
+        )
+        if mt_t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "decayed": pa.array([], pa.float64()),
+            })
+        MT = int(pc.max(mt_t["mt"]).as_py())
+
+        def part(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(t["ts"]),
+                           pc.is_valid(t["event_type"]))
+            t = t.filter(keep)
+            ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            age_days = (MT - ts) / 86_400_000_000.0
+            w = np.power(2.0, -age_days / 7.0)
+            g = pa.table({
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(ts), np.int64)),
+                "decayed": pa.array(w, pa.float64()),
+            }).group_by(["event_type"]).aggregate(
+                [("n", "sum"), ("decayed", "sum")]
+            )
+            return pa.table({
+                "event_type": g["event_type"],
+                "n": g["n_sum"],
+                "decayed": g["decayed_sum"],
+            })
+
+        agg = (
+            ev.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("decayed", alias_name="decayed"))
+        )
+        t = collect_table(agg, empty=pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "decayed": pa.array([], pa.float64()),
+        }))
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "decayed": pc.round(t["decayed"], 6),
+        })
+
     def orders_duplicate_invoices(sf_dir):
         """Duplicate-invoice screening (band self-join): pairs of orders
         by the SAME customer whose totals land in the same $1000 band,
@@ -10673,6 +10752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stl_decomposition": events_stl_decomposition,
         "dedup_threshold_curve": dedup_threshold_curve,
         "events_window_dedup": events_window_dedup,
+        "events_decayed_engagement": events_decayed_engagement,
         "orders_duplicate_invoices": orders_duplicate_invoices,
         "dedup_minhash_index": dedup_minhash_index,
         "dedup_tile_coverage": dedup_tile_coverage,
@@ -12284,6 +12364,17 @@ def oracle_sql() -> dict[str, str]:
             "AS j FROM i JOIN sz sa ON sa.doc_id = i.a "
             "JOIN sz sb ON sb.doc_id = i.b) jc ON jc.j >= t.tau "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_decayed_engagement": (
+            # same anchor (corpus max ts), same pow(2, -age_days/7)
+            # double algebra; round(6) on an irrational sum
+            "WITH m AS (SELECT max(ts) AS mt FROM events "
+            "WHERE ts IS NOT NULL) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(pow(2.0, -((epoch_us(m.mt) - epoch_us(ts)) / "
+            "86400000000.0) / 7.0)), 6) AS decayed "
+            "FROM events, m WHERE ts IS NOT NULL "
+            "AND event_type IS NOT NULL GROUP BY event_type"
         ),
         "events_window_dedup": (
             # first = rn 1 ordered by (ts, event_id); kept_id_sum pins

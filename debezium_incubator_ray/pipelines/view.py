@@ -359,14 +359,18 @@ class JoinView:
             right_suffix=self.right_suffix,
         )
 
-    def read(self):
-        """The committed view as a streaming ``ray.data.Dataset``."""
+    def read(self, columns: Optional[List[str]] = None):
+        """The committed view as a streaming ``ray.data.Dataset``;
+        ``columns`` prunes at the parquet read."""
         import ray.data
 
         files = self._committed_files()
         if not files:
-            return ray.data.from_arrow(self._empty_table())
-        return ray.data.read_parquet(files)
+            t = self._empty_table()
+            return ray.data.from_arrow(
+                t.select(columns) if columns else t
+            )
+        return ray.data.read_parquet(files, columns=columns)
 
     def table(self) -> pa.Table:
         """The committed view as one Arrow table (small views / tests)."""

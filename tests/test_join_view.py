@@ -233,3 +233,29 @@ def test_join_view_lock_is_cross_process(tmp_path, ray_session):
         )
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.strip().splitlines()[-1] == "REJECTED"
+
+
+def test_join_view_schema_evolution_forces_full_refresh(
+    tmp_path, ray_session
+):
+    """An add_column evolution on a source bumps every partition's
+    fingerprint (schema version + defaults are part of it): the next
+    refresh rewrites ALL partitions and the view carries the new
+    column with its backfill default."""
+    left, right = _mk_pair(tmp_path, n_events=200)
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+    assert "score" not in view.table().column_names
+
+    left.apply_schema_changes([
+        S.SchemaChange(change="add_column", column="score",
+                       type="double", default=1.5, at_lsn=10**9)
+    ])
+    r = view.refresh()
+    assert r["refreshed"] == 4
+    t = view.table()
+    assert "score" in t.column_names
+    assert set(t["score"].to_pylist()) == {1.5}
+    # projected read prunes to the requested columns
+    got = view.read(columns=["url", "score"]).to_pandas()
+    assert sorted(got.columns) == ["score", "url"]
