@@ -353,3 +353,91 @@ def minhash_index_query(
         })
 
     return found.map_batches(finish, batch_format="pyarrow")
+
+
+def compact_minhash_index(index_dir: str) -> dict:
+    """Rewrite every manifested signature file dropping tombstoned docs
+    (one Ray task per bucket — embarrassingly parallel), adjust n_docs
+    arithmetically from the distinct removed ids the rewrite tasks
+    return, and commit files + stats + empty tombstone set atomically.
+    Old files stay on disk for in-flight readers of the previous
+    manifest; vacuum_minhash_index reclaims them (the same contract as
+    the text index and lake compaction)."""
+    import uuid
+
+    import ray
+
+    with _index_write_lock(index_dir):
+        stats = _read_stats(index_dir)
+        tomb = set(stats["tombstones"])
+        if not tomb:
+            return {"rewritten": 0, "n_docs": int(stats["n_docs"])}
+        tag = uuid.uuid4().hex
+        tomb_ref = ray.put(pa.array(sorted(tomb), pa.int64()))
+
+        @ray.remote
+        def rewrite_bucket(bdir: str, names: list, tag: str):
+            import os as _os
+
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            t_arr = ray.get(tomb_ref)
+            kept, removed = [], set()
+            for i, name in enumerate(names):
+                t = _pq.read_table(_os.path.join(bdir, name))
+                hit = _pc.is_in(t["doc_id"], value_set=t_arr)
+                removed.update(
+                    int(d) for d in t.filter(hit)["doc_id"].to_pylist()
+                )
+                t = t.filter(_pc.invert(hit))
+                if t.num_rows == 0:
+                    continue
+                out = f"compact-{tag}-{i:04d}.parquet"
+                _pq.write_table(t, _os.path.join(bdir, out))
+                kept.append(out)
+            return kept, removed
+
+        items = sorted(stats["files"].items())
+        futs = [
+            rewrite_bucket.remote(
+                os.path.join(index_dir, f"bucket={bb}"), names, tag
+            )
+            for bb, names in items
+        ]
+        results = ray.get(futs)
+        new_files = {
+            bb: kept
+            for (bb, _n), (kept, _r) in zip(items, results) if kept
+        }
+        gone: set = set()
+        for _kept, removed in results:
+            gone |= removed  # tombstone-bounded, tiny
+        n_old = sum(len(names) for _bb, names in items)
+        stats["n_docs"] = int(stats["n_docs"]) - len(gone)
+        stats["files"] = new_files
+        stats["tombstones"] = []
+        _commit_stats(index_dir, stats)
+        return {"rewritten": n_old, "n_docs": stats["n_docs"]}
+
+
+def vacuum_minhash_index(index_dir: str) -> dict:
+    """Remove signature files the manifest no longer lists (compaction
+    leftovers, crashed-append orphans). Run once in-flight readers of
+    older manifests have drained — the shared vacuum contract."""
+    with _index_write_lock(index_dir):
+        stats = _read_stats(index_dir)
+        live = {
+            (bb, name)
+            for bb, names in stats["files"].items() for name in names
+        }
+        removed = 0
+        for d in sorted(os.listdir(index_dir)):
+            if not d.startswith("bucket="):
+                continue
+            bb = d.split("=")[1]
+            for f in os.listdir(os.path.join(index_dir, d)):
+                if f.endswith(".parquet") and (bb, f) not in live:
+                    os.remove(os.path.join(index_dir, d, f))
+                    removed += 1
+        return {"removed_files": removed}

@@ -126,3 +126,34 @@ def test_tombstoned_docs_never_returned(tmp_path, ray_session):
     res = minhash_index_query(idx, ray.data.from_arrow(CORPUS),
                               min_matches=6).to_pandas()
     assert not ({0, 4} & set(res["b"]))
+
+
+def test_compact_then_vacuum(tmp_path, ray_session):
+    """Compaction drops tombstoned docs' rows, fixes n_docs, empties the
+    tombstone set; superseded bytes survive until vacuum; query results
+    are IDENTICAL before and after compaction."""
+    from debezium_incubator_ray.functions.simindex import (
+        compact_minhash_index, vacuum_minhash_index,
+    )
+    from debezium_incubator_ray.functions.text import _read_stats
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(ray.data.from_arrow(CORPUS), idx, buckets=8)
+    delete_from_minhash_index(idx, [0, 4])
+    q = ray.data.from_arrow(CORPUS)
+    before = _got(minhash_index_query(idx, q, min_matches=6))
+
+    r = compact_minhash_index(idx)
+    assert r["n_docs"] == _read_stats(idx)["n_docs"]
+    assert _read_stats(idx)["tombstones"] == []
+    after = _got(minhash_index_query(idx, q, min_matches=6))
+    assert after == before
+    assert not any(b in (0, 4) for _a, b, _m in after)
+
+    # compaction left the old files for in-flight readers; vacuum reclaims
+    v = vacuum_minhash_index(idx)
+    assert v["removed_files"] > 0
+    assert _got(minhash_index_query(idx, q, min_matches=6)) == after
+    # idempotent
+    assert vacuum_minhash_index(idx)["removed_files"] == 0
+    assert compact_minhash_index(idx)["rewritten"] == 0
