@@ -9572,6 +9572,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         def add_hour(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            # null ts must drop BEFORE the int cast (a null would turn
+            # the numpy view float/NaN and break the floor); the oracle
+            # filters ts IS NOT NULL in the same place
+            t = t.filter(pc.is_valid(t["ts"]))
             ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
             return t.append_column(

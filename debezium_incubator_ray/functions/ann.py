@@ -474,30 +474,19 @@ def build_ivf_index(
 
     import ray
 
-    Cn = _normalize(np.asarray(centroids, dtype=np.float64))
-    cref = ray.put(Cn)
-
-    def assign(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        C = _ray.get(cref)
-        M = _normalize(_batch_matrix(t, col))
-        cid = np.argmax(M @ C.T, axis=1).astype(np.int64)
-        # "cluster" becomes the hive partition dir (dropped from the data
-        # files by the writer); "cid" persists IN the files so a reader
-        # coalescing several partitions still knows each row's list
-        t = t.append_column("cluster", pa.array(cid))
-        return t.append_column("cid", pa.array(cid))
+    # assign against the 6dp-ROUNDED matrix that gets persisted — build
+    # and append must share ONE assignment space or an appended index
+    # could cluster a knife-edge vector differently than a rebuild
+    Cpersist = np.round(np.asarray(centroids, np.float64), 6)
+    cref = ray.put(_normalize(Cpersist))
+    assign = _ivf_assign_fn(cref, col)
 
     tmp = f"{out_dir}.{uuid.uuid4().hex}.tmp"
     assigned = ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
     assigned.write_parquet(tmp, partition_cols=["cluster"])
     with open(os.path.join(tmp, "_CENTROIDS.json"), "w") as f:
-        json.dump({
-            "centroids": np.round(np.asarray(centroids, np.float64), 6)
-            .tolist(),
-        }, f)
+        json.dump({"centroids": Cpersist.tolist()}, f)
     _ivf_commit_manifest(tmp, {"files": _ivf_files_on_disk(tmp)})
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)  # the visibility point
@@ -508,33 +497,40 @@ def build_ivf_index(
     return {"clusters": nc, "cluster_dirs": n_rows}
 
 
+def _ivf_assign_fn(cref, col: str):
+    """THE cluster-assignment closure — build and append must assign
+    identically (against the persisted, rounded centroid matrix) or the
+    index diverges from a rebuild; one closure, used by both."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C = _ray.get(cref)
+        M = _normalize(_batch_matrix(t, col))
+        cid = np.argmax(M @ C.T, axis=1).astype(np.int64)
+        # "cluster" becomes the hive partition dir (dropped from the
+        # data files by the writer); "cid" persists IN the files so a
+        # reader coalescing several partitions still knows each row's
+        # list
+        t = t.append_column("cluster", pa.array(cid))
+        return t.append_column("cid", pa.array(cid))
+
+    return assign
+
+
 def _ivf_files_on_disk(root: str) -> dict:
     """{cluster_id: [relative parquet names]} actually present."""
-    import os
+    from debezium_incubator_ray.functions.text import _index_files_on_disk
 
-    out = {}
-    for d in sorted(os.listdir(root)):
-        if not d.startswith("cluster="):
-            continue
-        cc = int(d.split("=")[1])
-        out[str(cc)] = sorted(
-            f for f in os.listdir(os.path.join(root, d))
-            if f.endswith(".parquet")
-        )
-    return out
+    return _index_files_on_disk(root, prefix="cluster=")
 
 
 def _ivf_commit_manifest(index_dir: str, doc: dict) -> None:
-    """Atomic replace of the IVF file manifest — the visibility point
-    of append (same discipline as the text/minhash index stats doc)."""
-    import json
-    import os
-    import uuid
+    """Atomic replace of the IVF file manifest — the shared visibility
+    point (one implementation in functions/text.py)."""
+    from debezium_incubator_ray.functions.text import _atomic_json_replace
 
-    swap = os.path.join(index_dir, f"_MANIFEST.{uuid.uuid4().hex}.json")
-    with open(swap, "w") as f:
-        json.dump(doc, f)
-    os.replace(swap, os.path.join(index_dir, "_MANIFEST.json"))
+    _atomic_json_replace(index_dir, "_MANIFEST.json", doc)
 
 
 def _ivf_manifest(index_dir: str) -> dict:
@@ -570,41 +566,29 @@ def append_to_ivf_index(
 
     from debezium_incubator_ray.functions.text import _index_write_lock
 
+    from debezium_incubator_ray.functions.text import _promote_delta_files
+
     with _index_write_lock(index_dir):
         with open(os.path.join(index_dir, "_CENTROIDS.json")) as f:
             C = np.asarray(json.load(f)["centroids"], dtype=np.float64)
-        Cn = _normalize(C)
-        cref = ray.put(Cn)
-
-        def assign(t: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            M = _normalize(_batch_matrix(t, col))
-            cid = np.argmax(M @ _ray.get(cref).T, axis=1).astype(np.int64)
-            t = t.append_column("cluster", pa.array(cid))
-            return t.append_column("cid", pa.array(cid))
+        cref = ray.put(_normalize(C))
+        assign = _ivf_assign_fn(cref, col)
 
         tag = uuid.uuid4().hex
         tmp = os.path.join(index_dir, f"_append-{tag}.tmp")
         delta = ds.map_batches(assign, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
+        if id_col not in (delta.schema().names or []):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"append_to_ivf_index: delta has no id column {id_col!r}"
+            )
         delta.write_parquet(tmp, partition_cols=["cluster"])
         n_new = delta.count()
 
         man = _ivf_manifest(index_dir)
         files = {k: list(v) for k, v in man["files"].items()}
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith("cluster="):
-                continue
-            cc = d.split("=")[1]
-            dst = os.path.join(index_dir, f"cluster={cc}")
-            os.makedirs(dst, exist_ok=True)
-            for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
-                if not f.endswith(".parquet"):
-                    continue
-                name = f"append-{tag}-{i:04d}.parquet"
-                os.replace(os.path.join(tmp, d, f), os.path.join(dst, name))
-                files.setdefault(cc, []).append(name)
+        _promote_delta_files(index_dir, tmp, files, tag, prefix="cluster=")
         shutil.rmtree(tmp, ignore_errors=True)
         _ivf_commit_manifest(index_dir, {"files": files})
         return {"appended": int(n_new)}

@@ -48,7 +48,9 @@ from debezium_incubator_ray.functions.text import (
     _commit_stats,
     _index_files_on_disk,
     _index_write_lock,
+    _promote_delta_files,
     _read_stats,
+    vacuum_text_index,
 )
 from debezium_incubator_ray.functions.tokens import md5_u64
 
@@ -82,14 +84,6 @@ def _band_rows_fn(text_col: str, id_col: str, n_hashes: int,
             out_bh.append(bh)
             out_id.append(ids)
             out_sig.append(sig)
-        if not out_band:
-            return pa.table({
-                "bucket": pa.array([], pa.int32()),
-                "band": pa.array([], pa.int32()),
-                "bh": pa.array([], pa.uint64()),
-                "doc_id": pa.array([], pa.int64()),
-                "sig": pa.array([], pa.list_(pa.int64(), n_hashes)),
-            })
         band = np.concatenate(out_band)
         bh = np.concatenate(out_bh)
         did = np.concatenate(out_id).astype(np.int64)
@@ -171,19 +165,7 @@ def append_to_minhash_index(
         d_docs = delta.count() // int(stats["bands"])
 
         files = {k: list(v) for k, v in stats["files"].items()}
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith("bucket="):
-                continue
-            bb = d.split("=")[1]
-            dst_dir = os.path.join(index_dir, f"bucket={bb}")
-            os.makedirs(dst_dir, exist_ok=True)
-            for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
-                if not f.endswith(".parquet"):
-                    continue
-                name = f"append-{tag}-{i:04d}.parquet"
-                os.replace(os.path.join(tmp, d, f),
-                           os.path.join(dst_dir, name))
-                files.setdefault(bb, []).append(name)
+        _promote_delta_files(index_dir, tmp, files, tag)
         shutil.rmtree(tmp, ignore_errors=True)
 
         stats["n_docs"] = int(stats["n_docs"]) + int(d_docs)
@@ -423,21 +405,7 @@ def compact_minhash_index(index_dir: str) -> dict:
 
 def vacuum_minhash_index(index_dir: str) -> dict:
     """Remove signature files the manifest no longer lists (compaction
-    leftovers, crashed-append orphans). Run once in-flight readers of
-    older manifests have drained — the shared vacuum contract."""
-    with _index_write_lock(index_dir):
-        stats = _read_stats(index_dir)
-        live = {
-            (bb, name)
-            for bb, names in stats["files"].items() for name in names
-        }
-        removed = 0
-        for d in sorted(os.listdir(index_dir)):
-            if not d.startswith("bucket="):
-                continue
-            bb = d.split("=")[1]
-            for f in os.listdir(os.path.join(index_dir, d)):
-                if f.endswith(".parquet") and (bb, f) not in live:
-                    os.remove(os.path.join(index_dir, d, f))
-                    removed += 1
-        return {"removed_files": removed}
+    leftovers, crashed-append orphans). The layouts are identical, so
+    this IS the text index's vacuum — one implementation of the
+    readers-drain contract."""
+    return vacuum_text_index(index_dir)

@@ -1770,25 +1770,33 @@ def _read_stats(index_dir: str) -> dict:
     return stats
 
 
-def _commit_stats(index_dir: str, stats: dict) -> None:
-    """THE visibility point of every mutator: one atomic replace."""
+def _atomic_json_replace(index_dir: str, name: str, doc: dict) -> None:
+    """THE visibility point of every index mutator: one atomic replace
+    of a small JSON control doc (shared by the text, minhash and IVF
+    index manifests — one implementation of the crash contract)."""
     import json
     import os
     import uuid
 
-    swap = os.path.join(index_dir, f"_STATS.{uuid.uuid4().hex}.json")
+    swap = os.path.join(index_dir, f".{name}.{uuid.uuid4().hex}.swap")
     with open(swap, "w") as f:
-        json.dump(stats, f)
-    os.replace(swap, os.path.join(index_dir, "_STATS.json"))
+        json.dump(doc, f)
+    os.replace(swap, os.path.join(index_dir, name))
 
 
-def _index_files_on_disk(root: str) -> dict:
-    """{bucket_id: [relative parquet file names]} actually present."""
+def _commit_stats(index_dir: str, stats: dict) -> None:
+    _atomic_json_replace(index_dir, "_STATS.json", stats)
+
+
+def _index_files_on_disk(root: str, prefix: str = "bucket=") -> dict:
+    """{partition_id: [relative parquet file names]} actually present
+    under ``<prefix><id>`` dirs (bucket= for the text/minhash indexes,
+    cluster= for the IVF index)."""
     import os
 
     out = {}
     for d in sorted(os.listdir(root)):
-        if not d.startswith("bucket="):
+        if not d.startswith(prefix):
             continue
         bb = int(d.split("=")[1])
         out[str(bb)] = sorted(
@@ -1796,6 +1804,32 @@ def _index_files_on_disk(root: str) -> dict:
             if f.endswith(".parquet")
         )
     return out
+
+
+def _promote_delta_files(
+    index_dir: str, tmp: str, files: dict, tag: str,
+    prefix: str = "bucket=",
+) -> dict:
+    """Move a delta write's partitioned parquet files into the live
+    partition dirs under append-tagged names, extending ``files`` in
+    place — the shared promotion step of every index append (the files
+    stay INVISIBLE until the caller's manifest commit)."""
+    import os
+
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith(prefix):
+            continue
+        bb = d.split("=")[1]
+        dst_dir = os.path.join(index_dir, f"{prefix}{bb}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"append-{tag}-{i:04d}.parquet"
+            os.replace(os.path.join(tmp, d, f),
+                       os.path.join(dst_dir, name))
+            files.setdefault(bb, []).append(name)
+    return files
 
 
 def build_text_index(
@@ -1868,21 +1902,7 @@ def append_to_text_index(
         d_docs, d_dl = _fold_doc_stats(delta)
 
         files = {k: list(v) for k, v in stats["files"].items()}
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith("bucket="):
-                continue
-            bb = d.split("=")[1]
-            dst_dir = os.path.join(index_dir, f"bucket={bb}")
-            os.makedirs(dst_dir, exist_ok=True)
-            for i, f in enumerate(
-                sorted(os.listdir(os.path.join(tmp, d)))
-            ):
-                if not f.endswith(".parquet"):
-                    continue
-                name = f"append-{tag}-{i:04d}.parquet"
-                os.replace(os.path.join(tmp, d, f),
-                           os.path.join(dst_dir, name))
-                files.setdefault(bb, []).append(name)
+        _promote_delta_files(index_dir, tmp, files, tag)
         shutil.rmtree(tmp, ignore_errors=True)
 
         _commit_stats(index_dir, {
