@@ -1038,6 +1038,7 @@ class CdcEngine:
         health_port: Optional[int] = None,
         health_host: str = "127.0.0.1",
         stop=None,
+        on_epoch=None,
     ) -> List[Dict]:
         """The directory-watcher lifecycle (AbstractDirectoryWatcher.java:
         40-53): drain, then poll for new segments, applying as they land.
@@ -1058,7 +1059,15 @@ class CdcEngine:
         ``stop`` (a threading.Event) is the external-cancel hook for
         production tails running with ``idle_polls=None``: checked after
         every epoch and instead of sleeping out an idle poll — the tail
-        finishes the in-flight epoch, flushes, and returns."""
+        finishes the in-flight epoch, flushes, and returns.
+
+        ``on_epoch`` (a callable taking the epoch stats dict) runs after
+        every PROGRESSING epoch — the hook that keeps derived state
+        (e.g. a ``join_view`` refresh, a metrics push) continuously
+        maintained while tailing; a no-progress poll does not fire it.
+        It runs on the tail thread: a slow hook delays the next poll,
+        and an exception aborts the tail (fail-loud — silently losing a
+        view refresh would desynchronize the derived state)."""
         out: List[Dict] = []
         idle = 0
         events_total = 0
@@ -1093,15 +1102,19 @@ class CdcEngine:
                         self.manifest, len(out), events_total, applied_total,
                         last_epoch=st, status="tailing",
                     ))
-                if max_epochs is not None and len(out) >= max_epochs:
-                    break
-                if stop is not None and stop.is_set():
-                    break
                 progressed = (
                     st.get("applied", 0) > 0
                     or st.get("done", 0) > 0
                     or st.get("quarantined", 0) > 0
                 )
+                # the hook fires BEFORE the break checks so the final
+                # epoch's derived state is not left stale
+                if progressed and on_epoch is not None:
+                    on_epoch(st)
+                if max_epochs is not None and len(out) >= max_epochs:
+                    break
+                if stop is not None and stop.is_set():
+                    break
                 if progressed:
                     idle = 0
                     continue

@@ -259,3 +259,39 @@ def test_join_view_schema_evolution_forces_full_refresh(
     # projected read prunes to the requested columns
     got = view.read(columns=["url", "score"]).to_pandas()
     assert sorted(got.columns) == ["score", "url"]
+
+
+def test_join_view_maintained_during_tail(tmp_path, ray_session):
+    """The streaming-materialized-view composition: tail(on_epoch=
+    refresh) keeps the join view in lockstep with the lake — after the
+    tail drains, the view equals a fresh full join WITHOUT any final
+    manual refresh, and at least one refresh skipped partitions (the
+    incremental path actually engaged)."""
+    spec = gen.BinlogSpec(n_events=400, n_initial=100, seg_rows=64,
+                          num_partitions=4, seed=33)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec)
+    left = CdcEngine(str(tmp_path / "left"),
+                     EngineConfig(num_partitions=4, apply_concurrency=2),
+                     payload_schema=S.pages_schema())
+    left.snapshot(gen.make_pages(100))
+    right = CdcEngine(str(tmp_path / "right"),
+                      EngineConfig(num_partitions=4, apply_concurrency=2),
+                      payload_schema=S.pages_schema())
+    right.snapshot(gen.make_pages(100))
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+
+    refreshes = []
+    left.tail(binlog, poll_interval_s=0.05, idle_polls=1,
+              max_segments_per_epoch=4,
+              on_epoch=lambda st: refreshes.append(view.refresh()))
+    assert len(refreshes) >= 2  # multiple epochs each refreshed the view
+
+    want = left.join_lake(right, join_type="inner").to_pandas()
+    got = view.table().to_pandas()
+    cols = sorted(want.columns)
+    assert (
+        got.sort_values("url").reset_index(drop=True)[cols]
+        .equals(want.sort_values("url").reset_index(drop=True)[cols])
+    )
