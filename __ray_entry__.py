@@ -5256,6 +5256,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         view.refresh()
         return view.table()
 
+    def cdc_snapshot_join(sf_dir):
+        """Cross-lake POINT-IN-TIME join: both parity lakes keep
+        streaming past a common logical cut, but the join is pinned to
+        the manifest versions each lake committed AT the cut —
+        `join_lake(left_version=, right_version=)` reads both sides
+        through their retained manifests, so the answer is the
+        consistent snapshot pair, not the drifting live states. Oracle:
+        the lake-join SQL restricted to lsn <= cut on BOTH sides."""
+        import pyarrow.compute as pc
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        root = EC.scratch_dir("snapjoin")
+        env = EC.events_envelopes(sf_dir)
+        lsn = env["source"].combine_chunks().field("lsn")
+        cut = int(pc.max(lsn).as_py()) // 2
+        even = pc.equal(pc.bit_wise_and(lsn, 1), 0)
+
+        engines, vers = [], []
+        for tag, mask in (("a", even), ("b", pc.invert(even))):
+            binlog = os.path.join(root, f"binlog-{tag}")
+            lake = os.path.join(root, f"lake-{tag}")
+            side = env.filter(mask)
+            slsn = side["source"].combine_chunks().field("lsn")
+            EC.write_env_binlog(
+                side.filter(pc.less_equal(slsn, cut)), binlog)
+            eng = EC.make_engine(lake)
+            eng.run(binlog)
+            vers.append(eng.manifest.version)
+            EC.write_env_binlog(
+                side.filter(pc.greater(slsn, cut)), binlog, append=True)
+            eng.run(binlog)  # the lakes move PAST the cut
+            engines.append(eng)
+        return engines[0].join_lake(
+            engines[1], join_type="inner",
+            left_version=vers[0], right_version=vers[1],
+        )
+
     def cdc_enriched_view(sf_dir):
         """Stream-table JOIN VIEW: the events envelope stream is enriched
         with customer attributes (fk user_id -> dimension lake keyed
@@ -10828,6 +10865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_zone_scan": cdc_zone_scan,
         "cdc_lake_join": cdc_lake_join,
         "cdc_join_view": cdc_join_view,
+        "cdc_snapshot_join": cdc_snapshot_join,
         "cdc_enriched_view": cdc_enriched_view,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
@@ -13259,6 +13297,24 @@ def oracle_sql() -> dict[str, str]:
             "wb AS (SELECT * FROM (SELECT *, row_number() OVER "
             "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
             "WHERE lsn % 2 = 1) WHERE rn = 1 AND op <> 'd') "
+            "SELECT wa.user_id, wa.ts AS ts, wa.event_type AS event_type, "
+            "wa.value AS value, wa.props AS props, wb.ts AS ts_r, "
+            "wb.event_type AS event_type_r, wb.value AS value_r, "
+            "wb.props AS props_r FROM wa JOIN wb USING (user_id)"
+        ),
+        "cdc_snapshot_join": (
+            # the lake-join SQL pinned to lsn <= cut on BOTH sides (the
+            # consistent-snapshot pair, not the drifting live states)
+            f"WITH env AS ({_ENV}), "
+            "c AS (SELECT max(event_id) // 2 AS cut FROM events), "
+            "wa AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE lsn % 2 = 0 AND lsn <= (SELECT cut FROM c)) "
+            "WHERE rn = 1 AND op <> 'd'), "
+            "wb AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env "
+            "WHERE lsn % 2 = 1 AND lsn <= (SELECT cut FROM c)) "
+            "WHERE rn = 1 AND op <> 'd') "
             "SELECT wa.user_id, wa.ts AS ts, wa.event_type AS event_type, "
             "wa.value AS value, wa.props AS props, wb.ts AS ts_r, "
             "wb.event_type AS event_type_r, wb.value AS value_r, "

@@ -2133,6 +2133,8 @@ class CdcEngine:
         join_type: str = "inner",
         left_suffix: str = "",
         right_suffix: str = "_r",
+        left_version: Optional[int] = None,
+        right_version: Optional[int] = None,
     ) -> "ray.data.Dataset":
         """Co-partitioned lake-to-lake join on the key: when two CDC lakes
         share the key, partitioner and partition count (the north-rule
@@ -2140,8 +2142,19 @@ class CdcEngine:
         their partitions align 1:1 and the join needs NO shuffle at all:
         one task per partition reads both sides' merged state and joins
         locally. At 100 TB this is the difference between a metadata-only
-        join plan and an all-to-all exchange of both tables."""
-        m1, m2 = self.manifest, other.manifest
+        join plan and an all-to-all exchange of both tables.
+
+        ``left_version`` / ``right_version`` pin a side to a RETAINED
+        manifest version (the cross-lake point-in-time join: query both
+        lakes at versions that correspond to one logical boundary —
+        valid until ``vacuum`` expires those versions, exactly like
+        ``lake_table(version=)``)."""
+        from debezium_incubator_ray.state.manifest import Manifest
+
+        m1 = (self.manifest if left_version is None
+              else Manifest.load_version(self.lake_dir, left_version))
+        m2 = (other.manifest if right_version is None
+              else Manifest.load_version(other.lake_dir, right_version))
         if (
             m1.doc["key"] != m2.doc["key"]
             or m1.num_partitions != m2.num_partitions
@@ -2158,7 +2171,7 @@ class CdcEngine:
         )
 
         key = self.cfg.key
-        specs = [side_spec(self), side_spec(other)]
+        specs = [side_spec(self, m1), side_spec(other, m2)]
 
         def join_one(batch: pa.Table) -> pa.Table:
             outs = []

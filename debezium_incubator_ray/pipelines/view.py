@@ -21,7 +21,12 @@ Scale posture (100 TB): the refresh cost is proportional to the CHANGED
 partitions, not the view size; fingerprints are metadata-sized (one
 manifest read per side); the join itself never shuffles. Hot epochs that
 touch every partition degrade gracefully to a full re-join — the same
-work a non-incremental rebuild would do, minus nothing.
+work a non-incremental rebuild would do, minus nothing. Deployment note
+(stated honestly, same as the lake itself): ``view_dir`` must be shared
+storage on a multi-node cluster — refresh tasks write their partition's
+parquet directly (the data plane), and only the small state doc needs
+the ManifestStore protocol (pass an object-store-backed ``store`` for
+the control plane); a node-local view_dir works only single-node.
 
 Reference parity: the reference has no view maintenance — this is part
 of the lake/LLM-pipeline surface this engine adds on top of the
@@ -80,9 +85,12 @@ class _view_write_lock:
         return False
 
 
-def side_spec(eng) -> Dict[str, Any]:
-    """Serializable read spec for one lake side (ships to Ray tasks)."""
-    m = eng.manifest
+def side_spec(eng, manifest=None) -> Dict[str, Any]:
+    """Serializable read spec for one lake side (ships to Ray tasks).
+    ``manifest`` overrides the engine's live manifest — the time-travel
+    hook (join_lake at pinned versions reads through retained manifest
+    docs, same contract as lake_table(version=))."""
+    m = manifest if manifest is not None else eng.manifest
     return dict(
         lake_dir=eng.lake_dir,
         target_b64=S.schema_to_b64(m.current_schema()),

@@ -295,3 +295,69 @@ def test_join_view_maintained_during_tail(tmp_path, ray_session):
         got.sort_values("url").reset_index(drop=True)[cols]
         .equals(want.sort_values("url").reset_index(drop=True)[cols])
     )
+
+
+def test_join_view_tracks_mor_delta_epochs(tmp_path, ray_session):
+    """MoR lakes append DELTA runs instead of rewriting bases; the
+    partition fingerprint covers the delta entries (they live inside
+    the manifest's partition doc), so a delta-only epoch still marks
+    the partition stale and the view folds the merged state."""
+    spec = gen.BinlogSpec(n_events=400, n_initial=100, seg_rows=128,
+                          num_partitions=4, seed=11)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec)
+    left = CdcEngine(str(tmp_path / "left"),
+                     EngineConfig(num_partitions=4, sink_mode="mor",
+                                  apply_concurrency=2),
+                     payload_schema=S.pages_schema())
+    left.snapshot(gen.make_pages(100))
+    right = CdcEngine(str(tmp_path / "right"),
+                      EngineConfig(num_partitions=4, apply_concurrency=2),
+                      payload_schema=S.pages_schema())
+    right.snapshot(gen.make_pages(100))
+    view = left.join_view(right, str(tmp_path / "view"))
+    view.refresh()
+
+    left.run(binlog)  # MoR: delta runs only
+    assert any(left.manifest.deltas(p) for p in range(4))
+    r = view.refresh()
+    assert r["refreshed"] >= 1
+    want = left.join_lake(right, join_type="inner").to_pandas()
+    got = view.table().to_pandas()
+    cols = sorted(want.columns)
+    assert (
+        got.sort_values("url").reset_index(drop=True)[cols]
+        .equals(want.sort_values("url").reset_index(drop=True)[cols])
+    )
+
+
+def test_join_lake_version_pinned(tmp_path, ray_session):
+    """join_lake(left_version=) joins the RETAINED state: a join pinned
+    to the pre-stream version ignores everything streamed after."""
+    spec = gen.BinlogSpec(n_events=300, n_initial=80, seg_rows=64,
+                          num_partitions=4, seed=5)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec)
+    left = CdcEngine(str(tmp_path / "left"),
+                     EngineConfig(num_partitions=4, apply_concurrency=2),
+                     payload_schema=S.pages_schema())
+    left.snapshot(gen.make_pages(80))
+    v_snap = left.manifest.version
+    frozen = left.join_lake  # bind before streaming for clarity
+    right = CdcEngine(str(tmp_path / "right"),
+                      EngineConfig(num_partitions=4, apply_concurrency=2),
+                      payload_schema=S.pages_schema())
+    right.snapshot(gen.make_pages(80))
+    want = left.join_lake(right, join_type="inner").to_pandas()
+
+    left.run(binlog)  # the live state moves on
+    live = left.join_lake(right, join_type="inner").to_pandas()
+    pinned = frozen(right, join_type="inner",
+                    left_version=v_snap).to_pandas()
+    cols = sorted(want.columns)
+
+    def canon(df):
+        return df.sort_values("url").reset_index(drop=True)[cols]
+
+    assert canon(pinned).equals(canon(want))
+    assert not canon(live).equals(canon(want))  # streaming really moved it
