@@ -9746,6 +9746,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decayed": pc.round(t["decayed"], 6),
         })
 
+    def events_touch_attribution(sf_dir):
+        """Linear multi-touch attribution: each purchase's value splits
+        EQUALLY across the same user's non-purchase touches in the hour
+        before it; per touch type, total attributed value and touch
+        count. Exact integer micro shares ((cents * 10^6) // k — the
+        truncation is identical on both sides) so no float split can
+        drift. One bucketed shuffle on user hash; in-bucket the window
+        lookup is a composite-key double searchsorted (user-rank *
+        span + ts) — vectorized, no per-conversion loop."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import collect_table
+        from debezium_incubator_ray.hashing import partition_ids
+
+        HOUR = 3_600_000_000
+        CONV = "purchase"
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+
+        def tag(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.is_valid(t["user_id"]),
+                           pc.is_valid(t["ts"]))
+            t = t.filter(keep)
+            return t.append_column(
+                "_b", pa.array(partition_ids(
+                    t["user_id"].combine_chunks(), 64, "hash"), pa.int32())
+            )
+
+        EMPTY = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_touches": pa.array([], pa.int64()),
+            "attributed_micro": pa.array([], pa.int64()),
+        })
+
+        def attribute(g: pa.Table) -> pa.Table:
+            g = g.drop_columns(["_b"])
+            s = g.take(pc.sort_indices(g, sort_keys=[
+                ("user_id", "ascending"), ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]))
+            uid = s["user_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ts = s["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            et = s["event_type"].combine_chunks()
+            is_conv = pc.equal(et, CONV).to_numpy(zero_copy_only=False)
+            is_conv = np.asarray(is_conv, bool)
+            val = s["value"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if len(uid) == 0:
+                return EMPTY
+            # composite key: user RANK * span + ts offset (span covers
+            # the full ts range, so users never interleave)
+            _, urank = np.unique(uid, return_inverse=True)
+            t0 = int(ts.min())
+            span = int(ts.max()) - t0 + HOUR + 2
+            key = urank.astype(np.int64) * span + (ts - t0) + 1
+            nk = key[~is_conv]  # touches = non-conversion events, sorted
+            conv = is_conv & ~np.isnan(val)
+            ck = key[conv]
+            cents = np.round(val[conv] * 100.0).astype(np.int64)
+            lo = np.searchsorted(nk, ck - HOUR)
+            hi = np.searchsorted(nk, ck)  # strictly before the purchase
+            k = hi - lo
+            hit = k > 0
+            if not hit.any():
+                return EMPTY
+            kh = k[hit]
+            total = int(kh.sum())
+            share = (cents[hit] * 1_000_000) // kh
+            tidx = (np.repeat(lo[hit], kh)
+                    + np.arange(total)
+                    - np.repeat(np.cumsum(kh) - kh, kh))
+            ntypes = et.filter(pa.array(~is_conv)).take(pa.array(tidx))
+            gg = pa.table({
+                "event_type": ntypes,
+                "n_touches": pa.array(np.ones(total, np.int64)),
+                "attributed_micro": pa.array(np.repeat(share, kh)),
+            }).group_by(["event_type"]).aggregate(
+                [("n_touches", "sum"), ("attributed_micro", "sum")]
+            )
+            return pa.table({
+                "event_type": gg["event_type"],
+                "n_touches": gg["n_touches_sum"],
+                "attributed_micro": gg["attributed_micro_sum"],
+            })
+
+        agg = (
+            ev.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_b")
+            .map_groups(attribute, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_touches", alias_name="n_touches"),
+                       Sum("attributed_micro",
+                           alias_name="attributed_micro"))
+        )
+        return collect_table(agg, empty=EMPTY)
+
     def orders_duplicate_invoices(sf_dir):
         """Duplicate-invoice screening (band self-join): pairs of orders
         by the SAME customer whose totals land in the same $1000 band,
@@ -10795,6 +10900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_curve": dedup_threshold_curve,
         "events_window_dedup": events_window_dedup,
         "events_decayed_engagement": events_decayed_engagement,
+        "events_touch_attribution": events_touch_attribution,
         "orders_duplicate_invoices": orders_duplicate_invoices,
         "dedup_minhash_index": dedup_minhash_index,
         "dedup_tile_coverage": dedup_tile_coverage,
@@ -12418,6 +12524,25 @@ def oracle_sql() -> dict[str, str]:
             "86400000000.0) / 7.0)), 6) AS decayed "
             "FROM events, m WHERE ts IS NOT NULL "
             "AND event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "events_touch_attribution": (
+            # equal split in exact integer micro space: each touch gets
+            # (cents * 10^6) // k — identical truncation on both sides
+            "WITH np_ AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE event_type <> 'purchase' AND user_id IS NOT NULL "
+            "AND ts IS NOT NULL), "
+            "conv AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS HUGEINT) AS cents FROM events "
+            "WHERE event_type = 'purchase' AND value IS NOT NULL "
+            "AND user_id IS NOT NULL AND ts IS NOT NULL), "
+            "tk AS (SELECT c.event_id AS cid, c.cents, e.event_type "
+            "FROM conv c JOIN np_ e ON e.user_id = c.user_id "
+            "AND e.ts < c.ts AND e.ts >= c.ts - INTERVAL 1 HOUR), "
+            "kk AS (SELECT event_type, cents, "
+            "count(*) OVER (PARTITION BY cid) AS k FROM tk) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches, "
+            "CAST(sum((cents * 1000000) // k) AS BIGINT) "
+            "AS attributed_micro FROM kk GROUP BY event_type"
         ),
         "events_window_dedup": (
             # first = rn 1 ordered by (ts, event_id); kept_id_sum pins
