@@ -9746,6 +9746,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decayed": pc.round(t["decayed"], 6),
         })
 
+    def events_holt_backtest(sf_dir):
+        """Holt linear-trend one-step-ahead backtest on the daily value
+        sums (stats.holt_backtest): distributed daily fold, O(days)
+        recursive finish — the oracle replays the recursion with a
+        RECURSIVE CTE using the exact same parenthesization."""
+        import ray.data
+        from debezium_incubator_ray.functions.stats import holt_backtest
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "value"],
+        )
+        return holt_backtest(ev, "ts", "value")
+
     def events_touch_attribution(sf_dir):
         """Linear multi-touch attribution: each purchase's value splits
         EQUALLY across the same user's non-purchase touches in the hour
@@ -10901,6 +10915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": events_window_dedup,
         "events_decayed_engagement": events_decayed_engagement,
         "events_touch_attribution": events_touch_attribution,
+        "events_holt_backtest": events_holt_backtest,
         "orders_duplicate_invoices": orders_duplicate_invoices,
         "dedup_minhash_index": dedup_minhash_index,
         "dedup_tile_coverage": dedup_tile_coverage,
@@ -12524,6 +12539,27 @@ def oracle_sql() -> dict[str, str]:
             "86400000000.0) / 7.0)), 6) AS decayed "
             "FROM events, m WHERE ts IS NOT NULL "
             "AND event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "events_holt_backtest": (
+            # the SAME update algebra, parenthesized identically:
+            # l' = a*y + (1-a)*(l+b); b' = be*(l'-l) + (1-be)*b
+            "WITH RECURSIVE d AS (SELECT CAST(ts AS DATE) AS day, "
+            "sum(value) AS v FROM events WHERE ts IS NOT NULL "
+            "AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1), "
+            "s AS (SELECT day, v, "
+            "row_number() OVER (ORDER BY day) AS i FROM d), "
+            "r AS (SELECT i, v, v AS l, CAST(0.0 AS DOUBLE) AS b, "
+            "CAST(NULL AS DOUBLE) AS f FROM s WHERE i = 1 "
+            "UNION ALL "
+            "SELECT s.i, s.v, "
+            "0.5 * s.v + 0.5 * (r.l + r.b) AS l, "
+            "0.3 * ((0.5 * s.v + 0.5 * (r.l + r.b)) - r.l) "
+            "+ 0.7 * r.b AS b, "
+            "r.l + r.b AS f "
+            "FROM r JOIN s ON s.i = r.i + 1) "
+            "SELECT CAST(s2.day AS VARCHAR) AS day, round(r.v, 6) AS y, "
+            "round(r.f, 6) AS forecast, round(r.v - r.f, 6) AS err "
+            "FROM r JOIN s s2 ON s2.i = r.i WHERE r.f IS NOT NULL"
         ),
         "events_touch_attribution": (
             # equal split in exact integer micro space: each touch gets

@@ -1767,3 +1767,50 @@ def interarrival_burstiness(
         .groupby("_b")
         .map_groups(stats_in_bucket, batch_format="pyarrow")
     )
+
+
+def holt_backtest(ds, ts_col: str, value_col: str,
+                  alpha: float = 0.5, beta: float = 0.3):
+    """Holt linear-trend one-step-ahead backtest on the daily value-sum
+    series (the trend-aware step up from seasonal_naive_backtest):
+    l_1 = y_1, b_1 = 0, and for each later day-with-events
+    f_t = l_{t-1} + b_{t-1};  l_t = a*y_t + (1-a)*f_t;
+    b_t = be*(l_t - l_{t-1}) + (1-be)*b_{t-1}.
+    Emits one row per SCORED day (t >= 2): (day, y, forecast, err),
+    each rounded to the 6-dp gate contract. The recursion is over the
+    day-ordered series of days that HAVE events, O(days) driver-side
+    after the distributed daily fold — the same bounded-finish shape as
+    every *_daily operator here. The update algebra is parenthesized
+    EXACTLY as the oracle's recursive CTE so the doubles agree term for
+    term."""
+    days, vals = _daily_value_sums(ds, ts_col, value_col)
+    empty = pa.table({
+        "day": pa.array([], pa.string()),
+        "y": pa.array([], pa.float64()),
+        "forecast": pa.array([], pa.float64()),
+        "err": pa.array([], pa.float64()),
+    })
+    if len(vals) < 2:
+        return empty
+    import datetime
+
+    out_day, out_y, out_f = [], [], []
+    level = float(vals[0])
+    trend = 0.0
+    for t in range(1, len(vals)):
+        y = float(vals[t])
+        f = level + trend
+        new_level = alpha * y + (1 - alpha) * f
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        level = new_level
+        out_day.append(str(datetime.date.fromordinal(int(days[t]))))
+        out_y.append(y)
+        out_f.append(f)
+    y_arr = np.array(out_y)
+    f_arr = np.array(out_f)
+    return pa.table({
+        "day": pa.array(out_day, pa.string()),
+        "y": pa.array(np.round(y_arr, 6), pa.float64()),
+        "forecast": pa.array(np.round(f_arr, 6), pa.float64()),
+        "err": pa.array(np.round(y_arr - f_arr, 6), pa.float64()),
+    })
