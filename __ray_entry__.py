@@ -9746,6 +9746,122 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decayed": pc.round(t["decayed"], 6),
         })
 
+    def part_price_volume_bridge(sf_dir):
+        """Price-volume bridge (the revenue-change decomposition every
+        sales review runs): per brand, 1999→2000 revenue change split
+        into a volume effect ((v2-v1) at year-1 average price) and the
+        residual price/mix effect. One lineitem pass with the brand map
+        broadcast; per-(brand, year) exact integer partials; the driver
+        finishes over #brands rows. Effects are exact-integer products
+        divided ONCE as doubles — both sides compute the identical
+        division, so no rounding step exists to diverge on."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        LO = np.datetime64("1999-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2001-01-01T00:00:00", "us").astype(np.int64)
+
+        pt = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand"],
+        )
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(pk)
+        pk_ref = ray.put((pk[o], pt["p_brand"].combine_chunks().take(
+            pa.array(o))))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_shipdate"],
+        )
+        EMPTY = pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "rev_c": pa.array([], pa.int64()),
+            "vol_c": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            pkk, brands = ray.get(pk_ref)
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((ship >= LO) & (ship < HI)))
+            if t.num_rows == 0 or len(pkk) == 0:
+                return EMPTY
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos, found = sorted_lookup(pkk, lp)
+            if not found.any():
+                return EMPTY
+            t = t.filter(pa.array(found))
+            br = brands.take(pa.array(pos[found]))
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            year = ship.astype("datetime64[us]").astype(
+                "datetime64[Y]").astype(np.int64) + 1970
+            rev_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            vol_c = pc.cast(
+                pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            g = pa.table({
+                "p_brand": br,
+                "l_year": pa.array(year),
+                "rev_c": pa.array(rev_c),
+                "vol_c": pa.array(vol_c),
+            }).group_by(["p_brand", "l_year"]).aggregate(
+                [("rev_c", "sum"), ("vol_c", "sum")]
+            )
+            return pa.table({
+                "p_brand": g["p_brand"],
+                "l_year": g["l_year"],
+                "rev_c": g["rev_c_sum"],
+                "vol_c": g["vol_c_sum"],
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["p_brand", "l_year"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"),
+                       Sum("vol_c", alias_name="vol_c"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        acc = {}
+        for b, y, r, v in zip(t["p_brand"].to_pylist(),
+                              t["l_year"].to_pylist(),
+                              t["rev_c"].to_pylist(),
+                              t["vol_c"].to_pylist()):
+            acc.setdefault(b, {})[int(y)] = (int(r), int(v))
+        rows = []
+        for b in sorted(acc):
+            r1, v1 = acc[b].get(1999, (0, 0))
+            r2, v2 = acc[b].get(2000, (0, 0))
+            if v1 <= 0:
+                continue  # no year-1 base price — oracle HAVING mirrors
+            ve = (v2 - v1) * r1 / v1
+            rows.append((b, r1 / 100.0, r2 / 100.0, ve,
+                         (r2 - r1) - ve))
+        return pa.table({
+            "p_brand": pa.array([r[0] for r in rows], pa.string()),
+            "rev_1999": pa.array([r[1] for r in rows], pa.float64()),
+            "rev_2000": pa.array([r[2] for r in rows], pa.float64()),
+            "volume_effect_c": pa.array([r[3] for r in rows],
+                                        pa.float64()),
+            "price_effect_c": pa.array([r[4] for r in rows],
+                                       pa.float64()),
+        })
+
     def events_holt_backtest(sf_dir):
         """Holt linear-trend one-step-ahead backtest on the daily value
         sums (stats.holt_backtest): distributed daily fold, O(days)
@@ -10916,6 +11032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_engagement": events_decayed_engagement,
         "events_touch_attribution": events_touch_attribution,
         "events_holt_backtest": events_holt_backtest,
+        "part_price_volume_bridge": part_price_volume_bridge,
         "orders_duplicate_invoices": orders_duplicate_invoices,
         "dedup_minhash_index": dedup_minhash_index,
         "dedup_tile_coverage": dedup_tile_coverage,
@@ -12539,6 +12656,35 @@ def oracle_sql() -> dict[str, str]:
             "86400000000.0) / 7.0)), 6) AS decayed "
             "FROM events, m WHERE ts IS NOT NULL "
             "AND event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "part_price_volume_bridge": (
+            # exact integer sums; effects = one double division of the
+            # exact integer product on both sides (compared within the
+            # gate's relative tolerance)
+            "WITH f AS (SELECT p.p_brand, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS y, "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc, "
+            "CAST(round(l.l_quantity * 100) AS BIGINT) AS vc "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' "
+            "AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'), "
+            "a AS (SELECT p_brand, "
+            "CAST(sum(CASE WHEN y = 1999 THEN rc ELSE 0 END) AS HUGEINT)"
+            " AS r1, "
+            "CAST(sum(CASE WHEN y = 1999 THEN vc ELSE 0 END) AS HUGEINT)"
+            " AS v1, "
+            "CAST(sum(CASE WHEN y = 2000 THEN rc ELSE 0 END) AS HUGEINT)"
+            " AS r2, "
+            "CAST(sum(CASE WHEN y = 2000 THEN vc ELSE 0 END) AS HUGEINT)"
+            " AS v2 FROM f GROUP BY 1) "
+            "SELECT p_brand, r1 / 100.0 AS rev_1999, "
+            "r2 / 100.0 AS rev_2000, "
+            "CAST((v2 - v1) * r1 AS DOUBLE) / CAST(v1 AS DOUBLE) "
+            "AS volume_effect_c, "
+            "CAST(r2 - r1 AS DOUBLE) - "
+            "CAST((v2 - v1) * r1 AS DOUBLE) / CAST(v1 AS DOUBLE) "
+            "AS price_effect_c "
+            "FROM a WHERE v1 > 0"
         ),
         "events_holt_backtest": (
             # the SAME update algebra, parenthesized identically:
