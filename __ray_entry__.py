@@ -9849,9 +9849,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             r2, v2 = acc[b].get(2000, (0, 0))
             if v1 <= 0:
                 continue  # no year-1 base price — oracle HAVING mirrors
-            ve = (v2 - v1) * r1 / v1
+            # float() the exact integer product BEFORE dividing — the
+            # oracle casts the HUGEINT product to DOUBLE the same way,
+            # so both sides round identically even past 2^53
+            ve = float((v2 - v1) * r1) / float(v1)
             rows.append((b, r1 / 100.0, r2 / 100.0, ve,
-                         (r2 - r1) - ve))
+                         float(r2 - r1) - ve))
         return pa.table({
             "p_brand": pa.array([r[0] for r in rows], pa.string()),
             "rev_1999": pa.array([r[1] for r in rows], pa.float64()),
@@ -9902,8 +9905,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         def tag(t: pa.Table) -> pa.Table:
-            keep = pc.and_(pc.is_valid(t["user_id"]),
-                           pc.is_valid(t["ts"]))
+            # null event_type must drop too: the oracle's
+            # `event_type <> 'purchase'` is NULL-rejecting, so a null
+            # row is neither a touch nor a conversion there
+            keep = pc.and_(
+                pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+                pc.is_valid(t["event_type"]),
+            )
             t = t.filter(keep)
             return t.append_column(
                 "_b", pa.array(partition_ids(
@@ -12716,6 +12724,7 @@ def oracle_sql() -> dict[str, str]:
             "conv AS (SELECT event_id, user_id, ts, "
             "CAST(round(value * 100) AS HUGEINT) AS cents FROM events "
             "WHERE event_type = 'purchase' AND value IS NOT NULL "
+            "AND NOT isnan(value) "
             "AND user_id IS NOT NULL AND ts IS NOT NULL), "
             "tk AS (SELECT c.event_id AS cid, c.cents, e.event_type "
             "FROM conv c JOIN np_ e ON e.user_id = c.user_id "

@@ -564,9 +564,9 @@ def append_to_ivf_index(
 
     import ray
 
-    from debezium_incubator_ray.functions.text import _index_write_lock
-
-    from debezium_incubator_ray.functions.text import _promote_delta_files
+    from debezium_incubator_ray.functions.text import (
+        _index_write_lock, _promote_delta_files,
+    )
 
     with _index_write_lock(index_dir):
         with open(os.path.join(index_dir, "_CENTROIDS.json")) as f:
@@ -578,8 +578,12 @@ def append_to_ivf_index(
         tmp = os.path.join(index_dir, f"_append-{tag}.tmp")
         delta = ds.map_batches(assign, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-        if id_col not in (delta.schema().names or []):
-            shutil.rmtree(tmp, ignore_errors=True)
+        sch = delta.schema()
+        if sch is None or delta.count() == 0:
+            # an empty incremental cycle is a legitimate no-op (an
+            # empty materialized dataset has no schema to validate)
+            return {"appended": 0}
+        if id_col not in sch.names:
             raise ValueError(
                 f"append_to_ivf_index: delta has no id column {id_col!r}"
             )

@@ -2152,9 +2152,11 @@ class CdcEngine:
         from debezium_incubator_ray.state.manifest import Manifest
 
         m1 = (self.manifest if left_version is None
-              else Manifest.load_version(self.lake_dir, left_version))
+              else Manifest.load_version(self.lake_dir, left_version,
+                                         store=self.manifest.store))
         m2 = (other.manifest if right_version is None
-              else Manifest.load_version(other.lake_dir, right_version))
+              else Manifest.load_version(other.lake_dir, right_version,
+                                         store=other.manifest.store))
         if (
             m1.doc["key"] != m2.doc["key"]
             or m1.num_partitions != m2.num_partitions

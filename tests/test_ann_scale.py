@@ -159,6 +159,12 @@ def test_ivf_index_append_equals_rebuild(base, tmp_path):
         [("query_id", "ascending"), ("rank", "ascending")])
     assert a2.equals(a)
 
+    # empty incremental cycle is a no-op, not a crash
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    assert append_to_ivf_index(inc, ray.data.from_arrow(empty)) == {
+        "appended": 0}
+
     # single-writer
     with _index_write_lock(inc):
         with _pytest.raises(TextIndexLockedError):
