@@ -24,6 +24,13 @@ Commands:
                                     in-flight epoch and flushes
   compact  --lake L                 merge sub-target sorted runs
   status   --lake L                 print the manifest summary as JSON
+  view-refresh --view V --lake L --right R
+                                    refresh the incrementally-maintained
+                                    join view of two co-partitioned
+                                    lakes (creates it on first use)
+  view-vacuum  --view V --lake L --right R
+                                    reclaim superseded view files once
+                                    in-flight readers have drained
 
 ``--config cfg.json`` feeds EngineConfig fields (partitions, sink mode,
 merge mode, tombstones, ...) on lake creation; an existing lake's
@@ -116,6 +123,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("status")
     p.add_argument("--lake", required=True)
 
+    for vc in ("view-refresh", "view-vacuum"):
+        p = sub.add_parser(vc)
+        p.add_argument("--view", required=True)
+        p.add_argument("--lake", required=True, help="left lake dir")
+        p.add_argument("--right", required=True, help="right lake dir")
+        p.add_argument("--join-type", default="inner")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "status":
@@ -176,6 +190,17 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             eng = _engine(args)
             print(json.dumps({"compact": eng.compact()}))
+        elif args.cmd in ("view-refresh", "view-vacuum"):
+            from debezium_incubator_ray.pipelines.cdc import CdcEngine
+            from debezium_incubator_ray.pipelines.view import JoinView
+
+            view = JoinView(args.view, CdcEngine(args.lake),
+                            CdcEngine(args.right),
+                            join_type=args.join_type)
+            if args.cmd == "view-refresh":
+                print(json.dumps({"refresh": view.refresh()}))
+            else:
+                print(json.dumps({"vacuum": view.vacuum()}))
     finally:
         import ray
 

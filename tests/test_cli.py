@@ -149,3 +149,31 @@ def test_cli_sigkill_mid_run_then_resume_converges(tmp_path):
     lt = CdcEngine(lake).lake_table().sort_by("url")
     for col in oracle.column_names:
         assert lt[col].to_pylist() == oracle[col].to_pylist(), col
+
+
+def test_cli_view_refresh_and_vacuum(tmp_path):
+    """view-refresh / view-vacuum drive the incrementally-maintained
+    join view from the job entrypoint: first refresh builds every
+    partition, the re-run skips all of them, and vacuum reports zero
+    reclaimable files on a clean view."""
+    pages_dir = str(tmp_path / "pages")
+    os.makedirs(pages_dir)
+    ids = np.arange(80, dtype=np.int64)
+    pq.write_table(
+        gen.payload_table(ids, np.zeros(len(ids), np.int64)),
+        os.path.join(pages_dir, "part-000.parquet"),
+    )
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    _cli("snapshot", "--lake", left, "--src", pages_dir)
+    _cli("snapshot", "--lake", right, "--src", pages_dir)
+    view = str(tmp_path / "view")
+
+    r1 = _cli("view-refresh", "--view", view,
+              "--lake", left, "--right", right)["refresh"]
+    assert r1["refreshed"] > 0 and r1["skipped"] == 0
+    r2 = _cli("view-refresh", "--view", view,
+              "--lake", left, "--right", right)["refresh"]
+    assert r2["refreshed"] == 0 and r2["version"] == r1["version"]
+    v = _cli("view-vacuum", "--view", view,
+             "--lake", left, "--right", right)["vacuum"]
+    assert v == {"files_removed": 0}
