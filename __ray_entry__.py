@@ -10587,6 +10587,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.float64()),
         })
 
+    def join_q12_priority_class(sf_dir):
+        """TPC-H Q12 shape (shipment class vs order priority): per
+        lineitem returnflag (standing in for shipmode — this corpus has
+        none), how many 2000-shipped lines belong to URGENT/HIGH
+        orders vs the rest. The order-priority bitmap broadcasts as a
+        sorted (orderkey, is_high) pair; one lineitem pass folds both
+        counters per flag."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        LO = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("2001-01-01T00:00:00", "us").astype(np.int64)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            hi = pc.is_in(t["o_orderpriority"],
+                          value_set=pa.array(["1-URGENT", "2-HIGH"]))
+            return pa.table({
+                "o_orderkey": t["o_orderkey"].combine_chunks().cast(
+                    pa.int64()),
+                "is_high": pc.cast(hi, pa.int8()),
+            })
+
+        ot = collect_table(
+            orders.map_batches(opart, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            empty=pa.table({"o_orderkey": pa.array([], pa.int64()),
+                            "is_high": pa.array([], pa.int8())}),
+        )
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        ih = ot["is_high"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ok)
+        ord_ref = ray.put((ok[o], ih[o]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        )
+        EMPTY = pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "high_line_count": pa.array([], pa.int64()),
+            "low_line_count": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            okk, ihh = ray.get(ord_ref)
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((ship >= LO) & (ship < HI)))
+            if t.num_rows == 0 or len(okk) == 0:
+                return EMPTY
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos, found = sorted_lookup(okk, lo)
+            if not found.any():
+                return EMPTY
+            t = t.filter(pa.array(found))
+            hi = ihh[pos[found]]
+            g = pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "high_line_count": pa.array(hi),
+                "low_line_count": pa.array(1 - hi),
+            }).group_by(["l_returnflag"]).aggregate(
+                [("high_line_count", "sum"), ("low_line_count", "sum")]
+            )
+            return pa.table({
+                "l_returnflag": g["l_returnflag"],
+                "high_line_count": g["high_line_count_sum"],
+                "low_line_count": g["low_line_count_sum"],
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count"))
+        )
+        return collect_table(g, empty=EMPTY)
+
     def join_q13_custdist(sf_dir):
         """TPC-H Q13 shape (customer order-count distribution): how many
         customers placed exactly k non-URGENT orders, INCLUDING the
@@ -11047,6 +11138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q7_volume": join_q7_volume,
         "join_q8_market_share": join_q8_market_share,
         "join_q9_profit": join_q9_profit,
+        "join_q12_priority_class": join_q12_priority_class,
         "join_q13_custdist": join_q13_custdist,
         "join_q15_top_supplier": join_q15_top_supplier,
         "join_q16_supplier_cnt": join_q16_supplier_cnt,
@@ -12876,6 +12968,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'NATION_' || CAST(sn AS VARCHAR) AS nation, o_year, "
             "CAST(sum(amt) AS DOUBLE) / 10000.0 AS sum_profit "
             "FROM q GROUP BY sn, o_year"
+        ),
+        "join_q12_priority_class": (
+            "SELECT l.l_returnflag, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lineitem l JOIN orders o "
+            "ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' "
+            "AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00' "
+            "GROUP BY l.l_returnflag"
         ),
         "join_q13_custdist": (
             # LEFT OUTER so zero-order customers land in the k=0 bucket

@@ -401,7 +401,7 @@ def main() -> None:
         "join_q16_supplier_cnt", "join_q19_disjunctive",
         "cdc_join_view", "dedup_tile_coverage", "dedup_minhash_index",
         "events_window_dedup", "orders_duplicate_invoices",
-        "events_decayed_engagement", "cdc_snapshot_join", "events_touch_attribution", "events_holt_backtest", "part_price_volume_bridge",
+        "events_decayed_engagement", "cdc_snapshot_join", "events_touch_attribution", "events_holt_backtest", "part_price_volume_bridge", "join_q12_priority_class",
     ]
     for name in q_list:
         t2 = time.perf_counter()
