@@ -361,3 +361,57 @@ def test_join_lake_version_pinned(tmp_path, ray_session):
 
     assert canon(pinned).equals(canon(want))
     assert not canon(live).equals(canon(want))  # streaming really moved it
+
+
+def test_join_view_custom_manifest_store(tmp_path, ray_session):
+    """The control plane honors an injected ManifestStore (the
+    object-store deployment): state lives in the store, not the
+    default _view dir."""
+    from debezium_incubator_ray.pipelines.view import JoinView
+    from debezium_incubator_ray.state.store import MemoryStore
+
+    left, right = _mk_pair(tmp_path, n_events=50)
+    store = MemoryStore()
+    view = JoinView(str(tmp_path / "view"), left, right, store=store)
+    r = view.refresh()
+    assert r["refreshed"] == 4
+    assert store.read("viewstate.json") is not None
+    assert not os.path.exists(str(tmp_path / "view" / "_view"))
+    # a second handle over the same store resumes the committed state
+    view2 = JoinView(str(tmp_path / "view"), left, right, store=store)
+    assert view2.refresh()["refreshed"] == 0
+
+
+def test_tail_on_epoch_exception_aborts_but_lake_consistent(
+    tmp_path, ray_session
+):
+    """A raising on_epoch hook aborts the tail (fail-loud) AFTER the
+    epoch committed — the lake is consistent and a plain re-run
+    converges to the full state."""
+    spec = gen.BinlogSpec(n_events=300, n_initial=60, seg_rows=64,
+                          num_partitions=4, seed=9)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec)
+    eng = CdcEngine(str(tmp_path / "lake"),
+                    EngineConfig(num_partitions=4, apply_concurrency=2),
+                    payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(60))
+
+    calls = []
+
+    def boom(st):
+        calls.append(st)
+        raise RuntimeError("derived-state refresh failed")
+
+    with pytest.raises(RuntimeError, match="derived-state"):
+        eng.tail(binlog, poll_interval_s=0.05, idle_polls=1,
+                 max_segments_per_epoch=4, on_epoch=boom)
+    assert len(calls) == 1  # aborted on the FIRST progressing epoch
+
+    eng.run(binlog)  # plain resume drains the rest
+    ev = gen.gen_events(spec)
+    want = gen.oracle_final_state(spec, ev)
+    got = eng.lake_table().sort_by([("url", "ascending")])
+    for col in want.column_names:
+        assert got[col].combine_chunks().equals(
+            want[col].combine_chunks()), col
