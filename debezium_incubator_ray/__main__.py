@@ -193,7 +193,14 @@ def main(argv=None) -> int:
         elif args.cmd in ("view-refresh", "view-vacuum"):
             from debezium_incubator_ray.pipelines.cdc import CdcEngine
             from debezium_incubator_ray.pipelines.view import JoinView
+            from debezium_incubator_ray.state.manifest import Manifest
 
+            for side, d in (("--lake", args.lake),
+                            ("--right", args.right)):
+                if not Manifest.exists(d):
+                    raise SystemExit(
+                        f"error: no lake manifest at {d} ({side})"
+                    )
             view = JoinView(args.view, CdcEngine(args.lake),
                             CdcEngine(args.right),
                             join_type=args.join_type)

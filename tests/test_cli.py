@@ -177,3 +177,15 @@ def test_cli_view_refresh_and_vacuum(tmp_path):
     v = _cli("view-vacuum", "--view", view,
              "--lake", left, "--right", right)["vacuum"]
     assert v == {"files_removed": 0}
+
+
+def test_cli_view_refresh_missing_lake_is_clear(tmp_path):
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "debezium_incubator_ray", "view-refresh",
+         "--view", str(tmp_path / "v"), "--lake", str(tmp_path / "typo"),
+         "--right", str(tmp_path / "also-missing")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert r.returncode != 0
+    assert "no lake manifest" in r.stderr and "--lake" in r.stderr
