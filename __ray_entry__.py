@@ -10816,9 +10816,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "s_name": pa.array([], pa.string()),
                 "total_revenue": pa.array([], pa.float64()),
             })
-        rev = t["rev_cbp"].to_numpy(zero_copy_only=False)
-        best = rev == rev.max()
-        t = t.filter(pa.array(best))
         st = _pq.read_table(
             os.path.join(sf_dir, "supplier.parquet"),
             columns=["s_suppkey", "s_name"],
@@ -10826,12 +10823,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         names = st["s_name"]
         o = np.argsort(sk)
+        # Restrict to suppkeys present in the supplier dimension BEFORE
+        # taking the max — the oracle joins supplier before MAX(), so an
+        # unmatched top revenue must yield the next-best MATCHED supplier,
+        # not an empty result (divergent only on non-FK corpora, but the
+        # engine should agree with the oracle on any input).
+        allk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, matched = sorted_lookup(sk[o], allk)
+        t = t.filter(pa.array(matched))
+        if t.num_rows == 0:
+            return pa.table({
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue": pa.array([], pa.float64()),
+            })
+        rev = t["rev_cbp"].to_numpy(zero_copy_only=False)
+        best = rev == rev.max()
+        t = t.filter(pa.array(best))
         wk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos, found = sorted_lookup(sk[o], wk)
-        if not found.all():
-            # the oracle's inner JOIN supplier drops unmatched winners
-            t = t.filter(pa.array(found))
-            pos = pos[found]
         nm = names.take(pa.array(o[pos]))
         return pa.table({
             "s_suppkey": t["l_suppkey"],

@@ -1898,6 +1898,12 @@ def append_to_text_index(
             _postings_fn(text_col, id_col, buckets),
             batch_format="pyarrow", zero_copy_batch=True,
         ).materialize()
+        if delta.count() == 0:
+            # Empty delta: write_parquet creates no tmp dir for a
+            # zero-block dataset, so promoting would crash — an idle
+            # incremental cycle is a no-op (same guard as the IVF
+            # index's append, ann.py).
+            return {"appended_docs": 0, "n_docs": int(stats["n_docs"])}
         delta.write_parquet(tmp, partition_cols=["bucket"])
         d_docs, d_dl = _fold_doc_stats(delta)
 

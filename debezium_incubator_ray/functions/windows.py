@@ -2134,7 +2134,13 @@ def first_per_window(ds, group_cols, order_cols, buckets: int = 64):
     ``buckets`` — the first group column must functionally contain the
     window's locality key (e.g. user_id first) — and the in-bucket
     resolve is one vectorized sort + run-length pass per bounded
-    bucket, never per key."""
+    bucket, never per key.
+
+    Null semantics: rows with a NULL in ANY group or order column are
+    REJECTED (silently dropped before windowing, and excluded from
+    ``win_n``) — the same null-rejecting contract as the repo's other
+    keyed operators; the matching SQL oracle must filter
+    ``c IS NOT NULL`` for every window/order column."""
     from debezium_incubator_ray.hashing import partition_ids
 
     gcols = list(group_cols)

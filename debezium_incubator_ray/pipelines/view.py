@@ -126,7 +126,15 @@ def read_live_state(spec: Dict[str, Any], p: int) -> pa.Table:
 def _partition_fingerprint(m, p: int) -> str:
     """Fingerprint of everything that can change a partition's merged
     state: its run entries (names + stats + deltas), the active schema
-    version and the default map. Manifest-sized, no data read."""
+    version and the default map. Manifest-sized, no data read.
+
+    Hashes the raw run-entry list, so state-PRESERVING lake operations
+    (compact, vacuum) also change the fingerprint and force that
+    partition's view slice to be recomputed on the next refresh even
+    though the merged state is identical. Deliberate: errs toward
+    recompute, never toward staleness. If post-compaction rewrites
+    matter, fingerprint a content-stable digest instead (per-partition
+    live row count + delete count + max lsn)."""
     doc = [
         m.doc["partitions"][str(p)],
         m.doc["schemas"][-1]["version"],

@@ -89,6 +89,25 @@ def test_append_equals_rebuild(tmp_path, ray_session):
         _got(minhash_index_query(full, q, min_matches=6))
 
 
+def test_append_empty_delta_is_noop(tmp_path, ray_session):
+    """An idle incremental cycle (zero new docs) must not abort the
+    pipeline: append with an empty dataset is a committed no-op and the
+    index answers identically afterwards."""
+    idx = str(tmp_path / "idx")
+    info = build_minhash_index(ray.data.from_arrow(CORPUS), idx, buckets=8)
+    before = _got(minhash_index_query(
+        idx, ray.data.from_arrow(CORPUS), min_matches=8))
+    empty = ray.data.from_arrow(CORPUS.slice(0, 0))
+    out = append_to_minhash_index(idx, empty)
+    assert out == {"appended_docs": 0, "n_docs": info["n_docs"]}
+    after = _got(minhash_index_query(
+        idx, ray.data.from_arrow(CORPUS), min_matches=8))
+    assert after == before
+    # the lock must have been released — a real append still works
+    append_to_minhash_index(idx, ray.data.from_arrow(
+        _docs([(99, "fresh doc after the idle cycle")])))
+
+
 def test_unmanifested_files_invisible(tmp_path, ray_session):
     idx = str(tmp_path / "idx")
     build_minhash_index(ray.data.from_arrow(CORPUS), idx, buckets=8)

@@ -100,6 +100,28 @@ def test_index_empty_and_miss_terms(ray_session, tmp_path):
     assert out.column_names == ["doc_id", "score"]
 
 
+def test_index_append_empty_delta_is_noop(ray_session, tmp_path):
+    """An idle incremental cycle (zero new docs) is a committed no-op:
+    no crash, stats untouched, identical ranking, lock released."""
+    from debezium_incubator_ray.functions.text import (
+        append_to_text_index,
+    )
+
+    idx = str(tmp_path / "tix")
+    build_text_index(_docs(), idx, buckets=32)
+    before = text_index_topk(idx, TERMS, k=20)
+    empty = _docs().filter(lambda r: False)
+    out = append_to_text_index(idx, empty)
+    assert out == {"appended_docs": 0, "n_docs": 500}
+    assert text_index_topk(idx, TERMS, k=20).equals(before)
+    # lock released — a real append still works afterwards
+    append_to_text_index(
+        idx, ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([100000], pa.int64()),
+            "text": ["fresh doc after the idle cycle"],
+        })))
+
+
 def test_index_append_matches_full_rebuild(ray_session, tmp_path):
     """The lake commit protocol on the index: append half the corpus to
     an index built from the other half — the final ranking equals a
