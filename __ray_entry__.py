@@ -5391,6 +5391,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         i = out.schema.get_field_index(S.LSN)
         return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
 
+    def cdc_pk_update(sf_dir):
+        """PK-UPDATE (key-change) sequence — the reference's rekey law
+        (OracleConnectorIT.java:~420-456): a primary-key change arrives
+        as DELETE(old key) + CREATE(new key) inside ONE transaction.
+        Every live LWW winner with user_id % 10 == 3 is rekeyed to
+        user_id + 1_000_001 (shifting its mod-8 partition), so each
+        rekey transaction SPANS two partitions; the engine's epoch-global
+        transaction completeness applies both halves atomically in one
+        manifest commit. Oracle: base LWW minus rekeyed old keys plus
+        the new keys carrying the winner payloads at the c-event lsn."""
+        from debezium_incubator_ray.pipelines import events_cdc as EC
+
+        return EC.final_state_pk_update(sf_dir)
+
     def cdc_constraint_filter(sf_dir):
         """Row-level CHECK constraints enforced at normalize (Delta table
         constraints + dead-letter discipline): c/u/r events with
@@ -11217,6 +11231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_enriched_view": cdc_enriched_view,
         "cdc_key_erasure": cdc_key_erasure,
         "cdc_transactional": cdc_transactional,
+        "cdc_pk_update": cdc_pk_update,
         "cdc_tx_summary": cdc_tx_summary,
         "cdc_constraint_filter": cdc_constraint_filter,
         "cdc_dead_letters": cdc_dead_letters,
@@ -13769,6 +13784,24 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY lsn DESC) AS rn2 FROM kept) "
             "SELECT user_id, ts, event_type, value, props, lsn "
             "FROM ranked WHERE rn2 = 1 AND op <> 'd'"
+        ),
+        "cdc_pk_update": (
+            # rekey rule: live LWW winners with user_id % 10 = 3 move to
+            # user_id + 1000001; the k-th rekey (ascending user_id)
+            # carries the c-event lsn maxlsn + 2k + 2
+            f"WITH env AS ({_ENV}), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM env), "
+            "live AS (SELECT user_id, ts, event_type, value, props, lsn "
+            "FROM ranked WHERE rn = 1 AND op <> 'd'), "
+            "rk AS (SELECT *, row_number() OVER (ORDER BY user_id) - 1 "
+            "AS k FROM live WHERE user_id % 10 = 3), "
+            "mx AS (SELECT max(event_id) AS maxlsn FROM events) "
+            "SELECT user_id, ts, event_type, value, props, lsn "
+            "FROM live WHERE user_id % 10 <> 3 "
+            "UNION ALL "
+            "SELECT user_id + 1000001 AS user_id, ts, event_type, value, "
+            "props, (SELECT maxlsn FROM mx) + 2 * k + 2 AS lsn FROM rk"
         ),
         "cdc_constraint_filter": (
             # the constrained stream: deletes pass, c/u events violating

@@ -213,7 +213,8 @@ def main() -> None:
         "windowed_session_agg", "topk_per_group", "quantiles_by_type",
         "asof_join_events", "cdc_incremental_snapshot", "cdc_compaction",
         "cdc_point_lookup", "cdc_mor_lww", "cdc_incremental_agg",
-        "cdc_transactional", "cdc_composite_key", "cdc_key_erasure",
+        "cdc_transactional", "cdc_pk_update", "cdc_composite_key",
+        "cdc_key_erasure",
         "docs_curation_pipeline", "text_line_dedup", "cdc_lake_join",
         "cdc_zone_scan", "text_pii_redact", "text_repetition",
         "cdc_secondary_index", "windowed_hopping_agg", "embedding_normalize",

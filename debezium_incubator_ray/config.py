@@ -65,6 +65,16 @@ class EngineConfig:
     #     dir needs shared storage; see stages/exchange.py);
     #   "groupby": Ray Data's native sort-based groupby exchange.
     exchange: str = "staging"
+    # objref per-node slice combine: on a MULTI-node cluster, gather each
+    # node's LZ4 slices per partition into one object between split and
+    # apply (stages/exchange.py combine_slices), so stage 2 fetches one
+    # object per producing node instead of one per (block × partition) —
+    # per-object store metadata + per-fetch gRPC round-trips were the
+    # measured 2-node plateau of the fine-grained fan-out. Raw
+    # (uncompressed) block bytes never cross nodes either way: splits
+    # schedule by block locality, combines pin to the producing node.
+    # Automatically a no-op on single-node clusters.
+    exchange_combine: bool = True
     # staging writer batch sizing: staging files ≈ (rows / batch) × touched
     # partitions, and writer parallelism ≈ rows / batch. 32768 balances the
     # two failure modes measured here: batch=None left a 1.6M-row snapshot

@@ -786,8 +786,9 @@ class CdcEngine:
             if self.cfg.transactional:
                 raise ValueError(
                     "transactional=True requires a partition-aligned binlog "
-                    "(transaction completeness is tracked per partition; "
-                    "the exchange path cannot defer segments soundly)"
+                    "(the transaction gate defers whole SEGMENTS per "
+                    "partition; the exchange path re-shuffles rows across "
+                    "partitions and cannot defer segments soundly)"
                 )
             if max_segments is not None and binlog_p != self.cfg.num_partitions:
                 # watermark soundness (see ADVICE): the per-lake-partition
@@ -890,32 +891,74 @@ class CdcEngine:
     ) -> List[Dict]:
         """The general path: read all segments → normalize → combiner →
         hash-partition exchange → stateful merge. Used when the binlog is
-        not partition-aligned with the lake."""
-        paths = [os.path.join(binlog_dir, s) for s in segs]
-        ds = ray.data.read_parquet(paths)
-        norm = NormalizeEnvelope(**self._norm_kwargs())
-        flat = ds.map_batches(
-            norm, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=self.cfg.read_batch_size,
-        )
-        # in-batch LWW partial reduce (the combiner / salting phase one):
-        # bounds any hot key's shuffle fan-in to one row per input block, so
-        # Zipfian url popularity can't blow up a partition's group size.
-        # merge_mode="partial" skips both reduces: a full-row LWW combiner
-        # would drop the losing events' cells — every event must reach the
-        # per-cell fold in the applier
-        key = self.cfg.key
-        from debezium_incubator_ray.envelope import lww_reduce
+        not partition-aligned with the lake.
 
-        if self.cfg.merge_mode != "partial":
-            flat = flat.map_batches(
-                lambda t: lww_reduce(t, key),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+        Read, normalize and the in-batch LWW combiner run FUSED inside
+        one task per segment group: Ray Data does not fuse ReadParquet
+        with downstream map_batches in this version (separate operators
+        let the streaming executor place each map on any node, shipping
+        the raw decoded blocks — the heaviest bytes of the epoch —
+        across the cluster; measured as the dominant cost of the objref
+        epoch on the simulated 2-node cluster). Fusing pins each
+        segment's bytes to exactly one task, so the only data that moves
+        afterwards is the combined normalized block entering the
+        exchange. Corrupt segments never reach this stage — the epoch
+        driver footer-probes and quarantines them first."""
+        key = self.cfg.key
+        merge_partial = self.cfg.merge_mode == "partial"
+        nk = self._norm_kwargs()
+        read_batch = self.cfg.read_batch_size
+
+        def read_norm_combine(batch: pa.Table) -> pa.Table:
+            from debezium_incubator_ray.envelope import lww_reduce
+            from debezium_incubator_ray.stages.normalize import (
+                NormalizeEnvelope,
             )
-            salt_n = self._salt_decision()
-            if salt_n > 1:
-                flat = self._salted_prereduce(flat, salt_n)
+
+            norm = NormalizeEnvelope(**nk)
+            outs: List[pa.Table] = []
+            last = None
+            for pth in batch["path"].to_pylist():
+                env = pq.read_table(pth)
+                # memory bound: normalize in read_batch_size windows so a
+                # giant segment never doubles in one normalize call
+                step = read_batch or env.num_rows or 1
+                for lo in range(0, env.num_rows, step):
+                    f = norm(env.slice(lo, step))
+                    last = f
+                    if f.num_rows:
+                        outs.append(f)
+            if not outs:
+                # preserve the normalized schema for downstream stages
+                return last if last is not None else pa.table({})
+            out = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+            # in-batch LWW partial reduce (the combiner / salting phase
+            # one): bounds any hot key's shuffle fan-in to one row per
+            # task, so Zipfian url popularity can't blow up a partition's
+            # group size. merge_mode="partial" skips the reduce: a
+            # full-row LWW combiner would drop the losing events' cells —
+            # every event must reach the per-cell fold in the applier
+            if not merge_partial:
+                out = lww_reduce(out, key)
+            return out
+
+        salt_n = 0 if merge_partial else self._salt_decision()
+        if self.cfg.exchange == "objref" and salt_n <= 1:
+            # fully-fused flavor: read+normalize+combine+split in one raw
+            # task; no intermediate Dataset at all
+            return self._apply_shuffle_objref_paths(
+                binlog_dir, segs, source=source
+            )
+        paths = [os.path.join(binlog_dir, s) for s in segs]
+        items = [{"path": p} for p in paths]
+        nb = max(1, min(len(items), (self.cfg.apply_concurrency or 16) * 4))
+        flat = ray.data.from_items(
+            items, override_num_blocks=nb
+        ).map_batches(
+            read_norm_combine, batch_format="pyarrow", zero_copy_batch=True,
+        )
+        if salt_n > 1:
+            flat = self._salted_prereduce(flat, salt_n)
         return self._apply_shuffle(flat, source=source)
 
     def _salt_decision(self) -> int:
@@ -952,6 +995,54 @@ class CdcEngine:
                            if prev_skew is not None else None}
         return 0
 
+    def _global_pending_txs(
+        self, binlog_dir: str, segs: List[str], source: str = ""
+    ):
+        """Epoch-global incomplete-transaction set (sorted int64 ids) via
+        a distributed column-pruned pre-pass over the epoch's segments
+        (stages/apply.py make_tx_meta_partial — only (source, tx_id,
+        tx_events) leave storage; per-segment-complete transactions fold
+        away inside the tasks, so the driver merge is segment-boundary-
+        sized). Returns None when the segments carry no tx columns —
+        the applier's per-partition path then raises its usual clear
+        error. Global completeness is what lets a PK-update (rekey)
+        transaction — d(old key) + c(new key) in DIFFERENT partitions —
+        complete and apply atomically in one epoch commit
+        (OracleConnectorIT.java:~420-456's key-change sequence)."""
+        from debezium_incubator_ray.stages.apply import (
+            channel_watermark, make_tx_meta_partial, merge_tx_partials,
+        )
+
+        if not segs:
+            return None
+        # footer precheck: without tx columns the pre-pass cannot run;
+        # fall back so the applier raises its descriptive ValueError
+        sch = None
+        for s in segs:
+            try:
+                sch = pq.read_schema(os.path.join(binlog_dir, s))
+                break
+            except Exception:  # noqa: BLE001 — corrupt: applier quarantines
+                continue
+        if sch is None or "tx_id" not in sch.names \
+                or "tx_events" not in sch.names:
+            return None
+        P = self.cfg.num_partitions
+        wm = np.array(
+            [channel_watermark(self.manifest.doc["partitions"][str(p)],
+                               source)
+             for p in range(P)],
+            dtype=np.int64,
+        )
+        items = [{"path": s} for s in segs]
+        nb = max(1, min(len(items), self.cfg.apply_concurrency or 16))
+        rows = ray.data.from_items(
+            items, override_num_blocks=nb
+        ).map_batches(
+            make_tx_meta_partial(binlog_dir, wm), batch_format="pyarrow",
+        ).take_all()
+        return merge_tx_partials(rows)
+
     def _apply_aligned(
         self, binlog_dir: str, groups: Dict[int, List[str]], source: str = ""
     ) -> List[Dict]:
@@ -981,6 +1072,15 @@ class CdcEngine:
             transactional=self.cfg.transactional,
             source=source,
         )
+        if self.cfg.transactional:
+            # transaction completeness is a GLOBAL property of the epoch
+            # (a PK-update tx spans the two partitions its old and new
+            # key hash to); the per-partition tasks only compute cutoffs
+            # against this broadcast pending set
+            segs = [s for p in sorted(groups) for s in groups[p]]
+            pending = self._global_pending_txs(binlog_dir, segs, source)
+            if pending is not None:
+                ctor["pending_tx"] = pending
 
         def apply_one(batch: pa.Table) -> pa.Table:
             return AlignedSegmentApplier(**ctor)(batch)
@@ -1037,6 +1137,7 @@ class CdcEngine:
         source: str = "",
         health_port: Optional[int] = None,
         health_host: str = "127.0.0.1",
+        health_ssl: Optional[tuple] = None,
         stop=None,
         on_epoch=None,
     ) -> List[Dict]:
@@ -1079,9 +1180,13 @@ class CdcEngine:
             )
 
             # health_host="0.0.0.0" lets cluster jobs (ray job submit)
-            # poll the endpoint from outside the node
+            # poll the endpoint from outside the node; health_ssl =
+            # (certfile, keyfile) serves it over TLS (SslConfig.java
+            # parity — state/health.py)
+            cert, key = health_ssl or (None, None)
             self.health_server = HealthServer(
-                port=health_port, host=health_host
+                port=health_port, host=health_host,
+                ssl_certfile=cert, ssl_keyfile=key,
             ).start()
             self.health_server.update(
                 engine_snapshot(self.manifest, 0, 0, 0, status="tailing")
@@ -2428,9 +2533,7 @@ class CdcEngine:
         normalized blocks materialize in the (spillable) object store for
         the duration of the exchange — the same residency the "staging"
         mode puts on the shared filesystem."""
-        from debezium_incubator_ray.stages.exchange import (
-            apply_partition_slices, split_block,
-        )
+        from debezium_incubator_ray.stages.exchange import split_block
 
         timing = os.environ.get("DBZRAY_TIMING")
         t0 = time.perf_counter()
@@ -2438,22 +2541,92 @@ class CdcEngine:
         block_refs = flat.to_arrow_refs()
         if not block_refs:
             return []
+        if timing:
+            print(f"[dbzray] objref-normalize {time.perf_counter()-t0:.1f}s "
+                  f"({len(block_refs)} blocks)", flush=True)
+            t0 = time.perf_counter()
         split = split_block.options(num_returns=P + 1)
         outs = [split.remote(b, P) for b in block_refs]
-        # the count vectors are the only stage-1 output the driver reads
-        # (KBs); the slice objects themselves never leave the workers here
-        counts = ray.get([o[0] for o in outs])
+        # task args pin the raw blocks until each split finishes; drop the
+        # driver's refs now so they free as soon as splits complete
+        del block_refs
+        return self._objref_apply(outs, watermark_filter, source, timing, t0)
+
+    def _apply_shuffle_objref_paths(
+        self, binlog_dir: str, segs: List[str], source: str = "",
+    ) -> List[Dict]:
+        """FULLY-fused objref epoch: read → normalize → in-task LWW
+        combine → per-partition split, all in ONE raw task per segment
+        group (stages/exchange.py read_split_block). The epoch's raw
+        decoded bytes never enter the object store — only the LZ4-IPC
+        partition slices do — which removes the two inter-operator block
+        hops the Dataset formulation pays (Ray Data neither fuses
+        ReadParquet with maps nor expresses a multi-return split). The
+        dataset flavor above remains for salted epochs and
+        snapshot-style in-memory sources."""
+        from debezium_incubator_ray.stages.exchange import read_split_block
+
+        timing = os.environ.get("DBZRAY_TIMING")
+        t0 = time.perf_counter()
+        P = self.cfg.num_partitions
+        paths = [os.path.join(binlog_dir, s) for s in segs]
+        if not paths:
+            return []
+        nb = max(1, min(len(paths), (self.cfg.apply_concurrency or 16) * 4))
+        groups = [list(g) for g in np.array_split(np.array(paths), nb)
+                  if len(g)]
+        split = read_split_block.options(num_returns=P + 1)
+        nk = self._norm_kwargs()
+        merge_partial = self.cfg.merge_mode == "partial"
+        outs = [
+            split.remote(g, nk, self.cfg.key, merge_partial,
+                         self.cfg.read_batch_size, P)
+            for g in groups
+        ]
+        return self._objref_apply(outs, True, source, timing, t0)
+
+    def _objref_apply(
+        self, outs, watermark_filter: bool, source: str, timing, t0,
+    ) -> List[Dict]:
+        """Shared tail of both objref flavors: collect the (counts, node)
+        metas, group slice refs per partition, per-node combine, then one
+        locality-scheduled apply task per partition."""
+        from debezium_incubator_ray.stages.exchange import (
+            apply_partition_slices, combine_slice_refs,
+        )
+
+        P = self.cfg.num_partitions
+        # the (counts, node) metas are the only stage-1 output the driver
+        # reads (KBs); the slice objects never leave the workers here
+        metas = ray.get([o[0] for o in outs])
         if timing:
             print(f"[dbzray] objref-split {time.perf_counter()-t0:.1f}s "
-                  f"({len(outs)} blocks)", flush=True)
+                  f"({len(outs)} tasks)", flush=True)
         slices_by_p = {
-            p: [outs[i][p + 1] for i in range(len(outs)) if counts[i][p] > 0]
+            p: [outs[i][p + 1] for i in range(len(outs))
+                if metas[i][0][p] > 0]
             for p in range(P)
         }
-        # splits are done (counts fetched): drop the raw normalized blocks
-        # and the unused empty-slice refs so only the LZ4 slices stay
-        # resident in the object store through the apply stage
-        del block_refs, outs
+        nodes_by_p = {
+            p: [metas[i][1] for i in range(len(outs))
+                if metas[i][0][p] > 0]
+            for p in range(P)
+        }
+        # splits are done (metas fetched): drop the unused empty-slice
+        # refs so only the live LZ4 slices stay resident in the object
+        # store through the apply stage
+        del outs
+        # multi-node: coalesce each node's slices per partition into one
+        # object, so stage 2 fetches one object per producing node rather
+        # than one per (block x partition) — the fine-grained fan-out's
+        # per-object overhead was the measured 2-node plateau. No-op on a
+        # single node.
+        if self.cfg.exchange_combine:
+            tc = time.perf_counter()
+            slices_by_p = combine_slice_refs(slices_by_p, nodes_by_p)
+            if timing:
+                print(f"[dbzray] objref-combine "
+                      f"{time.perf_counter()-tc:.1f}s", flush=True)
         ctor_ref = ray.put(dict(
             manifest_doc=self.manifest.doc,
             lake_dir=self.lake_dir,

@@ -537,6 +537,95 @@ def tx_tagged_envelopes(sf_dir: str) -> pa.Table:
     return env.append_column("tx_events", pa.array(tx_ev, pa.int32()))
 
 
+REKEY_OFFSET = 1_000_001  # new key = old + offset; shifts partition by 1 mod 8
+
+
+def pk_update_envelopes(sf_dir: str) -> pa.Table:
+    """Base events stream + PK-UPDATE (rekey) transactions — the
+    reference's key-change event sequence (OracleConnectorIT.java:
+    ~420-456): a primary-key change arrives as DELETE(old key) +
+    CREATE(new key) inside ONE source transaction. Deterministic rule:
+    every LIVE LWW winner with ``user_id % 10 == 3`` is rekeyed to
+    ``user_id + REKEY_OFFSET`` carrying its winner payload; the k-th
+    rekey (by ascending user_id) emits d at ``L + 2k + 1`` and c at
+    ``L + 2k + 2`` where L = max base lsn. The offset shifts the mod-8
+    partition by 1, so the two halves of every rekey transaction land in
+    DIFFERENT partitions — exercising the engine's epoch-global
+    transaction completeness. Base events ride as singleton
+    transactions (tx_id = lsn); rekey pairs share tx_id
+    ``3_000_000_000 + k`` with tx_events = 2."""
+    env = events_envelopes(sf_dir)
+    t = load_events(sf_dir)
+    eid = t["event_id"].to_numpy()
+    uid = t["user_id"].to_numpy()
+    # LWW winner per user (max event_id = max lsn); live unless a delete
+    order = np.lexsort((eid, uid))
+    u_s = uid[order]
+    last = np.ones(len(u_s), dtype=bool)
+    last[:-1] = u_s[:-1] != u_s[1:]
+    w_idx = order[last]  # winner row per user, ascending user_id
+    live = (eid[w_idx] % 10) != 0
+    rekey = w_idx[live & (uid[w_idx] % 10 == 3)]
+    k = np.arange(len(rekey), dtype=np.int64)
+    L = int(eid.max())
+    # rebuild with default (nullable) fields so the envelope structs
+    # concat cleanly with the base stream's
+    payload = pa.table({
+        c: t[c].combine_chunks()
+        for c in ("user_id", "ts", "event_type", "value", "props")
+    })
+    old_rows = payload.take(pa.array(rekey))
+    new_uid = uid[rekey] + REKEY_OFFSET
+    new_rows = old_rows.set_column(
+        0, pa.field("user_id", pa.int64()), pa.array(new_uid, pa.int64()),
+    )
+    d_env = build_envelopes(
+        pa.array(["d"] * len(k), pa.string()), old_rows, old_rows,
+        (uid[rekey] % NUM_PARTITIONS).astype(np.int32),
+        pa.array(L + 2 * k + 1, pa.int64()), table="events_a",
+        ts_us=old_rows["ts"].combine_chunks(),
+    )
+    c_env = build_envelopes(
+        pa.array(["c"] * len(k), pa.string()), new_rows, None,
+        (new_uid % NUM_PARTITIONS).astype(np.int32),
+        pa.array(L + 2 * k + 2, pa.int64()), table="events_a",
+        ts_us=new_rows["ts"].combine_chunks(),
+    )
+    tx_pair = 3_000_000_000 + k
+    rk = pa.concat_tables([d_env, c_env])
+    rk = rk.append_column(
+        "tx_id", pa.array(np.concatenate([tx_pair, tx_pair]), pa.int64())
+    )
+    rk = rk.append_column(
+        "tx_events", pa.array(np.full(2 * len(k), 2), pa.int32())
+    )
+    # global lsn order: base (lsn <= L) then the interleaved d/c pairs
+    rk_lsn = np.concatenate([L + 2 * k + 1, L + 2 * k + 2])
+    rk = rk.take(pa.array(np.argsort(rk_lsn, kind="stable")))
+    base_lsn = env["source"].combine_chunks().field("lsn")
+    env = env.append_column("tx_id", pc.cast(base_lsn, pa.int64()))
+    env = env.append_column(
+        "tx_events", pa.array(np.ones(env.num_rows, np.int32))
+    )
+    return pa.concat_tables([env, rk])
+
+
+def final_state_pk_update(sf_dir: str) -> pa.Table:
+    """cdc_pk_update's engine side: drain the rekey-bearing binlog under
+    the transactional gate; final state = base LWW winners minus the
+    rekeyed old keys plus the new keys carrying the winner payloads."""
+    root = scratch_dir("pkup")
+    binlog = os.path.join(root, "binlog")
+    lake = os.path.join(root, "lake")
+    write_env_binlog(pk_update_envelopes(sf_dir), binlog)
+    eng = make_engine(lake)
+    eng.cfg.transactional = True
+    eng.run(binlog)
+    out = eng.lake_table(include_lsn=True)
+    i = out.schema.get_field_index(S.LSN)
+    return out.set_column(i, pa.field("lsn", pa.int64()), out[S.LSN])
+
+
 def truncate_marker(t_lsn: int, table: str = "events_a") -> pa.Table:
     """One op='t' truncate envelope per binlog partition at ``t_lsn`` (the
     aligned-log replication contract) — shared by the harness query and

@@ -300,9 +300,12 @@ class Lake:
         import ray
         import ray.data
 
+        import numpy as np
+
         from debezium_incubator_ray.stages.exchange import (
             apply_demux_slices,
-            split_block_demux,
+            combine_slice_refs,
+            read_split_block_demux,
         )
 
         layout = [
@@ -310,20 +313,35 @@ class Lake:
             for t in sorted(norm_kwargs)
             for p in range(norm_kwargs[t]["num_partitions"])
         ]
-        block_refs = ray.data.read_parquet(paths).to_arrow_refs()
-        if not block_refs:
+        if not paths:
             return []
         nk_ref = ray.put(norm_kwargs)
-        split = split_block_demux.options(num_returns=len(layout) + 1)
-        outs = [split.remote(b, nk_ref, route_fn, layout) for b in block_refs]
-        counts = ray.get([o[0] for o in outs])
+        # fully-fused stage 1: read + route + normalize + split in one
+        # task per segment group — raw bytes never enter the object store
+        # (see the single-table objref exchange)
+        nb = max(1, min(len(paths), 64))
+        groups = [list(g) for g in np.array_split(np.array(paths), nb)
+                  if len(g)]
+        split = read_split_block_demux.options(num_returns=len(layout) + 1)
+        outs = [split.remote(g, nk_ref, route_fn, layout) for g in groups]
+        metas = ray.get([o[0] for o in outs])
         refs_by_slot = {
-            i: [outs[b][i + 1] for b in range(len(outs)) if counts[b][i] > 0]
+            i: [outs[b][i + 1] for b in range(len(outs))
+                if metas[b][0][i] > 0]
             for i in range(len(layout))
         }
-        # splits done: release the raw blocks + empty-slice refs so only
-        # the LZ4 slices stay resident through the apply stage
-        del block_refs, outs
+        nodes_by_slot = {
+            i: [metas[b][1] for b in range(len(outs))
+                if metas[b][0][i] > 0]
+            for i in range(len(layout))
+        }
+        # splits done: release the empty-slice refs so only the live LZ4
+        # slices stay resident through the apply stage
+        del outs
+        # multi-node: per-node combine per slot (no-op on a single node;
+        # see the single-table objref exchange)
+        if next(iter(engines.values())).cfg.exchange_combine:
+            refs_by_slot = combine_slice_refs(refs_by_slot, nodes_by_slot)
         ctor_ref = ray.put(dict(
             manifest_docs={t: e.manifest.doc for t, e in engines.items()},
             lake_dirs={t: e.lake_dir for t, e in engines.items()},

@@ -117,6 +117,135 @@ def tx_cutoff(
     return int(lo[mask].min())
 
 
+def tx_pending_cutoff(lsn: "pa.Array", tx_id: "pa.Array",
+                      pending_sorted: "np.ndarray"):
+    """Cutoff for one partition against a GLOBALLY-computed pending
+    (incomplete) transaction id set: the minimum LSN this partition holds
+    for any pending tx — rows at/after it defer — or None. Global
+    completeness is what makes a PK-UPDATE (rekey) transaction atomic
+    across the two partitions its old and new key hash to: the
+    d(old-key) and c(new-key) halves land in different partitions, so
+    each half looks permanently incomplete to a per-partition count
+    (mirrors the reference's key-change event sequence,
+    OracleConnectorIT.java:~420-456)."""
+    import numpy as np
+
+    if len(pending_sorted) == 0:
+        return None
+    t = np.asarray(tx_id.to_numpy(zero_copy_only=False), dtype=np.int64)
+    if len(t) == 0:
+        return None
+    lo = np.asarray(lsn.to_numpy(zero_copy_only=False), dtype=np.int64)
+    pos = np.clip(np.searchsorted(pending_sorted, t), 0,
+                  len(pending_sorted) - 1)
+    mask = pending_sorted[pos] == t
+    if not mask.any():
+        return None
+    return int(lo[mask].min())
+
+
+TX_PARTIAL_SCHEMA = pa.schema([
+    pa.field("tx_id", pa.int64()),
+    pa.field("n", pa.int64()),
+    pa.field("declared", pa.int64()),
+    pa.field("above", pa.bool_()),
+])
+
+
+def make_tx_meta_partial(binlog_dir: str, watermarks: "np.ndarray"):
+    """Distributed pre-pass for GLOBAL transaction completeness: per
+    segment, read ONLY (source, tx_id, tx_events) — column-pruned, the
+    payload never moves — and emit one partial row per transaction still
+    incomplete WITHIN that segment. Transactions complete inside a
+    segment (the common single-partition case) drop here, so the driver
+    merge sees only segment-straddling and cross-partition transactions
+    (bounded by segment boundaries, not by epoch size). ``above`` = any
+    visible row sits above its partition's replay watermark (the
+    straddled-done-segment rule of :func:`tx_cutoff`). Unreadable
+    segments are skipped: their rows are invisible, so their
+    transactions correctly stay incomplete (the applier quarantines the
+    bytes)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs: List[pa.Table] = []
+        for rel in batch["path"].to_pylist():
+            try:
+                t = pq.read_table(
+                    os.path.join(binlog_dir, rel),
+                    columns=["source", "tx_id", "tx_events"],
+                )
+            except Exception:  # noqa: BLE001 — quarantine happens at apply
+                continue
+            if t.num_rows == 0:
+                continue
+            src = t["source"].combine_chunks()
+            lsn = src.field("lsn").to_numpy(zero_copy_only=False)
+            part = np.asarray(
+                src.field("partition").to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            txid = np.asarray(
+                t["tx_id"].combine_chunks().to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            decl = np.asarray(
+                t["tx_events"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=np.int64,
+            )
+            above = lsn > watermarks[
+                np.clip(part, 0, len(watermarks) - 1)
+            ]
+            order = np.argsort(txid, kind="stable")
+            ts = txid[order]
+            uniq, counts = np.unique(ts, return_counts=True)
+            starts = np.searchsorted(ts, uniq)
+            declared = decl[order[starts]]
+            any_above = (
+                np.maximum.reduceat(above[order].astype(np.int8), starts)
+                > 0
+            )
+            keep = counts < declared
+            if keep.any():
+                outs.append(pa.table({
+                    "tx_id": pa.array(uniq[keep], pa.int64()),
+                    "n": pa.array(counts[keep], pa.int64()),
+                    "declared": pa.array(declared[keep], pa.int64()),
+                    "above": pa.array(any_above[keep], pa.bool_()),
+                }))
+        if not outs:
+            return TX_PARTIAL_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+    return fn
+
+
+def merge_tx_partials(rows: List[Dict[str, Any]]) -> "np.ndarray":
+    """Driver-side merge of the tx pre-pass partials (one row per
+    still-incomplete tx per segment — segment-boundary-sized, not
+    epoch-sized): a tx is PENDING iff its total visible count across all
+    segments and partitions is short of the declared size AND any of its
+    visible rows sits above its partition's watermark (otherwise it was
+    fully applied before — redelivery shows a truncated view). Returns
+    the sorted pending tx-id array the per-partition cutoffs probe."""
+    if not rows:
+        return np.empty(0, dtype=np.int64)
+    txid = np.array([r["tx_id"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    decl = np.array([r["declared"] for r in rows], dtype=np.int64)
+    above = np.array([r["above"] for r in rows], dtype=bool)
+    order = np.argsort(txid, kind="stable")
+    ts = txid[order]
+    uniq, _ = np.unique(ts, return_counts=True)
+    starts = np.searchsorted(ts, uniq)
+    n_sum = np.add.reduceat(n[order], starts)
+    declared = decl[order[starts]]
+    any_above = np.maximum.reduceat(above[order].astype(np.int8), starts) > 0
+    pending = (n_sum < declared) & any_above
+    return np.sort(uniq[pending])
+
+
 def upgrade_run_table(
     tbl: pa.Table, schema: pa.Schema, defaults: Dict[str, Any],
     mask_payload_order: Optional[List[str]] = None,
@@ -661,6 +790,7 @@ class AlignedSegmentApplier:
         target_rows_per_file: int = 1_000_000,
         transactional: bool = False,
         source: str = "",
+        pending_tx=None,
     ):
         from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
@@ -675,6 +805,15 @@ class AlignedSegmentApplier:
         self.binlog_dir = binlog_dir
         self.key = manifest_doc["key"]
         self.transactional = transactional
+        # GLOBAL pending-transaction ids (sorted int64, from the epoch
+        # driver's cross-partition pre-pass) — when present, transaction
+        # completeness was judged over the WHOLE epoch, so a transaction
+        # spanning partitions (a PK-update's d(old)+c(new) pair) applies
+        # atomically; None falls back to per-partition counting.
+        self.pending_tx = (
+            np.sort(np.asarray(pending_tx, dtype=np.int64))
+            if pending_tx is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from debezium_incubator_ray.envelope import lww_reduce
@@ -726,14 +865,24 @@ class AlignedSegmentApplier:
                     flats.append(flat)
             if self.transactional and tx_raw:
                 raw = pa.concat_tables(tx_raw)
-                cut = tx_cutoff(
-                    raw["lsn"].combine_chunks(),
-                    raw["tx_id"].combine_chunks(),
-                    raw["tx_events"].combine_chunks(),
-                    watermark=channel_watermark(
-                        self.inner.doc["partitions"][str(p)], self.inner.source
-                    ),
-                )
+                if self.pending_tx is not None:
+                    # global completeness (cross-partition txs supported):
+                    # defer from the first row of any globally-pending tx
+                    cut = tx_pending_cutoff(
+                        raw["lsn"].combine_chunks(),
+                        raw["tx_id"].combine_chunks(),
+                        self.pending_tx,
+                    )
+                else:
+                    cut = tx_cutoff(
+                        raw["lsn"].combine_chunks(),
+                        raw["tx_id"].combine_chunks(),
+                        raw["tx_events"].combine_chunks(),
+                        watermark=channel_watermark(
+                            self.inner.doc["partitions"][str(p)],
+                            self.inner.source,
+                        ),
+                    )
                 if cut is not None:
                     # apply only the prefix of complete transactions;
                     # segments holding any deferred row stay un-done

@@ -179,28 +179,140 @@ def split_block(block: pa.Table, P: int):
     partition id (one vectorized sort + zero-copy slices, same kernel as
     StagingWriter) into P LZ4-compressed Arrow IPC buffers, returned as P
     SEPARATE objects (call with ``num_returns=P + 1``) so stage 2 fetches
-    only its own partition's bytes. Return 0 is the per-partition
-    row-count vector — the only value the driver reads; the slice objects
-    themselves stay in the object store on the node that ran this task."""
+    only its own partition's bytes. Return 0 is the tiny per-task meta
+    ``(counts, node_id)`` — the per-partition row-count vector plus the
+    node that ran the split (drives the per-node combine below); the
+    slice objects themselves stay in the object store on the node that
+    ran this task. Tasks carry no scheduling constraint: Ray's default
+    locality-aware scheduling runs each split where its block already
+    lives, so RAW (uncompressed) bytes never cross nodes."""
     counts = np.zeros(P, dtype=np.int64)
     slices: List[Any] = [None] * P
     for p, sl in _partition_slices(block, P):
         counts[p] = sl.num_rows
         slices[p] = _table_to_ipc_bytes(sl)
-    return (counts.tolist(), *slices)
+    meta = (counts.tolist(), ray.get_runtime_context().get_node_id())
+    return (meta, *slices)
+
+
+@ray.remote
+def read_split_block(paths: List[str], norm_kwargs: Dict[str, Any],
+                     key: str, merge_partial: bool,
+                     read_batch, P: int):
+    """FULLY-fused stage 1 of the objref exchange: read one group of
+    binlog segments → normalize → in-task LWW combine → split into P
+    LZ4-IPC slices, all inside ONE task (``num_returns=P + 1``; return 0
+    = ``(counts, node_id)``, the :func:`split_block` contract). The raw
+    decoded envelope bytes — the heaviest data of the epoch — live only
+    in this task's heap and never enter the object store: the only
+    objects the epoch stages are the compressed slices. (Ray Data cannot
+    express a multi-return split, and does not fuse ReadParquet with
+    downstream maps in this version, so the Dataset formulation ships
+    raw blocks between operators — measured as the dominant cost on the
+    simulated 2-node cluster.) merge_partial skips the combine: a
+    full-row LWW reduce would drop the losing events' cells."""
+    from debezium_incubator_ray.envelope import lww_reduce
+    from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+    norm = NormalizeEnvelope(**norm_kwargs)
+    outs: List[pa.Table] = []
+    for pth in paths:
+        env = pq.read_table(pth)
+        # memory bound: normalize in read_batch windows so a giant
+        # segment never doubles in one normalize call
+        step = read_batch or env.num_rows or 1
+        for lo in range(0, env.num_rows, step):
+            f = norm(env.slice(lo, step))
+            if f.num_rows:
+                outs.append(f)
+    counts = np.zeros(P, dtype=np.int64)
+    slices: List[Any] = [None] * P
+    if outs:
+        t = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+        if not merge_partial:
+            t = lww_reduce(t, key)
+        for p, sl in _partition_slices(t, P):
+            counts[p] = sl.num_rows
+            slices[p] = _table_to_ipc_bytes(sl)
+    meta = (counts.tolist(), ray.get_runtime_context().get_node_id())
+    return (meta, *slices)
+
+
+@ray.remote
+def combine_slices(*payloads):
+    """Node-local combine between split and apply (the multi-node
+    coalescing stage): gathers the LZ4-IPC slice payloads one node
+    produced for ONE partition into a single list object — a memcpy, no
+    decode. Stage 2 then fetches one combined object per producing node
+    instead of one small object per (block × partition); per-object
+    store metadata and per-fetch gRPC round-trips were the measured
+    multi-node plateau of the fine-grained fan-out. Scheduled with soft
+    affinity to the producing node, so the gather reads local bytes and
+    only the combined object crosses the wire."""
+    return [b for b in payloads if b is not None]
+
+
+def combine_slice_refs(slices_by_p: Dict[int, List], nodes_by_p: Dict[int, List]):
+    """Per-(node, partition) combine plan for the objref exchange: for
+    every partition, group its slice refs by producing node and replace
+    each multi-slice group with ONE :func:`combine_slices` task output
+    (soft-pinned to that node). Single-node epochs and singleton groups
+    pass through untouched — the combine only engages where it saves
+    cross-node fetches. Deterministic order: nodes sorted, original
+    block order preserved within a node."""
+    all_nodes = {n for ns in nodes_by_p.values() for n in ns}
+    if len(all_nodes) <= 1:
+        return slices_by_p  # single node: no cross-node fetch to save
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    out: Dict[int, List] = {}
+    for p, refs in slices_by_p.items():
+        groups: Dict[Any, List] = {}
+        for ref, nid in zip(refs, nodes_by_p[p]):
+            groups.setdefault(nid, []).append(ref)
+        combined: List = []
+        for nid in sorted(groups, key=str):
+            grp = groups[nid]
+            if len(grp) == 1:
+                combined.append(grp[0])
+            else:
+                combined.append(
+                    combine_slices.options(
+                        scheduling_strategy=NodeAffinitySchedulingStrategy(
+                            node_id=nid, soft=True
+                        )
+                    ).remote(*grp)
+                )
+        out[p] = combined
+    return out
+
+
+def _flatten_payloads(payloads) -> List[bytes]:
+    """Stage-2 payload args are raw LZ4-IPC buffers or per-node combined
+    LISTS of them (:func:`combine_slices`); flatten to one buffer list."""
+    flat: List[bytes] = []
+    for b in payloads:
+        if b is None:
+            continue
+        if isinstance(b, list):
+            flat.extend(x for x in b if x is not None)
+        else:
+            flat.append(b)
+    return flat
 
 
 @ray.remote
 def apply_partition_slices(ctor: Dict[str, Any], p: int, *payloads):
     """Stage 2 of the objref exchange: one task per partition. The slice
-    refs arrive as task ARGUMENTS, so Ray's locality-aware scheduler
-    prefers the node already holding most of the bytes and the object
-    store transfers only the remote ones. Runs the standard
-    PartitionApplier merge; returns the tiny commit-record table."""
+    refs (raw or per-node combined) arrive as task ARGUMENTS, so Ray's
+    locality-aware scheduler prefers the node already holding most of
+    the bytes and the object store transfers only the remote ones. Runs
+    the standard PartitionApplier merge; returns the tiny commit-record
+    table."""
     from debezium_incubator_ray.stages.apply import PartitionApplier
 
     events = pa.concat_tables(
-        [_ipc_bytes_to_table(b) for b in payloads if b is not None]
+        [_ipc_bytes_to_table(b) for b in _flatten_payloads(payloads)]
     )
     return PartitionApplier(**ctor)(events)
 
@@ -301,40 +413,52 @@ class DemuxApplier:
 
 
 @ray.remote
-def split_block_demux(block: pa.Table, norm_kwargs_by_table: Dict[str, Dict[str, Any]],
-                      route_fn, layout: List):
-    """Demux flavor of :func:`split_block` (multi-table locality
-    exchange): ONE raw binlog block → optional routing SMT → per-table
-    normalize (each table's include regex) → per-partition LZ4-IPC
-    slices, one object per (table, partition) slot in ``layout`` order.
-    Call with ``num_returns=len(layout) + 1``; return 0 is the
-    per-slot row-count vector."""
+def read_split_block_demux(paths: List[str],
+                           norm_kwargs_by_table: Dict[str, Dict[str, Any]],
+                           route_fn, layout: List):
+    """FULLY-fused demux stage 1 (see :func:`read_split_block`): read a
+    group of raw binlog segments → routing SMT → per-table normalize →
+    per-(table, partition) LZ4-IPC slices, one object per touched
+    ``layout`` slot, all in ONE task (``num_returns=len(layout) + 1``;
+    return 0 = ``(counts, node_id)``). Raw envelope bytes never enter
+    the object store."""
     from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
     slot = {tuple(tp): i for i, tp in enumerate(layout)}
     counts = np.zeros(len(layout), dtype=np.int64)
+    acc: List[List[pa.Table]] = [[] for _ in layout]
+    norms = {
+        t: NormalizeEnvelope(**kw) for t, kw in norm_kwargs_by_table.items()
+    }
+    for pth in paths:
+        block = pq.read_table(pth)
+        if route_fn is not None:
+            block = route_fn(block)
+        for tname, norm in norms.items():
+            flat = norm(block)
+            for p, sl in _partition_slices(flat, norm.num_partitions):
+                acc[slot[(tname, p)]].append(sl)
     slices: List[Any] = [None] * len(layout)
-    if route_fn is not None:
-        block = route_fn(block)
-    for tname, kw in norm_kwargs_by_table.items():
-        flat = NormalizeEnvelope(**kw)(block)
-        for p, sl in _partition_slices(flat, kw["num_partitions"]):
-            i = slot[(tname, p)]
-            counts[i] = sl.num_rows
-            slices[i] = _table_to_ipc_bytes(sl)
-    return (counts.tolist(), *slices)
+    for i, lst in enumerate(acc):
+        if lst:
+            t = lst[0] if len(lst) == 1 else pa.concat_tables(lst)
+            counts[i] = t.num_rows
+            slices[i] = _table_to_ipc_bytes(t)
+    meta = (counts.tolist(), ray.get_runtime_context().get_node_id())
+    return (meta, *slices)
 
 
 @ray.remote
 def apply_demux_slices(ctor: Dict[str, Any], tname: str, p: int, *payloads):
     """Demux flavor of :func:`apply_partition_slices`: one task per
-    (table, partition); slice refs arrive as args for locality-aware
-    scheduling; runs that table's PartitionApplier merge and tags the
-    commit record with the table name."""
+    (table, partition); slice refs (raw or per-node combined) arrive as
+    args for locality-aware scheduling; runs that table's
+    PartitionApplier merge and tags the commit record with the table
+    name."""
     from debezium_incubator_ray.stages.apply import PartitionApplier
 
     events = pa.concat_tables(
-        [_ipc_bytes_to_table(b) for b in payloads if b is not None]
+        [_ipc_bytes_to_table(b) for b in _flatten_payloads(payloads)]
     )
     rec = PartitionApplier(
         ctor["manifest_docs"][tname], ctor["lake_dirs"][tname],

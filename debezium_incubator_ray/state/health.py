@@ -34,9 +34,20 @@ ENGINE_VERSION = "0.3"
 
 
 class HealthServer:
-    """Background HTTP server over an atomically-swapped status snapshot."""
+    """Background HTTP(S) server over an atomically-swapped status
+    snapshot.
 
-    def __init__(self, port: int = 0, host: str = "127.0.0.1"):
+    TLS (reference parity: cassandra/network/SslConfig.java +
+    SslContextFactory.java build an SslContext from configured cert/key
+    paths for the connector's network surface): pass ``ssl_certfile`` +
+    ``ssl_keyfile`` (PEM) to serve every endpoint over https — the
+    listening socket is wrapped server-side with a TLS 1.2+
+    ``ssl.SSLContext`` before the accept loop starts, so no plaintext
+    request is ever answered on a TLS-configured server."""
+
+    def __init__(self, port: int = 0, host: str = "127.0.0.1",
+                 ssl_certfile: Optional[str] = None,
+                 ssl_keyfile: Optional[str] = None):
         self._snapshot: Dict[str, Any] = {"status": "starting"}
         self._t0 = time.time()
         outer = self
@@ -81,6 +92,20 @@ class HealthServer:
                     self.end_headers()
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.tls = bool(ssl_certfile)
+        if ssl_certfile:
+            import ssl
+
+            if not ssl_keyfile:
+                raise ValueError(
+                    "ssl_certfile requires ssl_keyfile (PEM private key)"
+                )
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+            ctx.load_cert_chain(certfile=ssl_certfile, keyfile=ssl_keyfile)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True
+            )
         self.port = self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 

@@ -89,9 +89,11 @@ try:
         refs[marker] = X.split_block.options(
             num_returns=P + 1, resources={marker: 1}
         ).remote(block(hash(marker) % 2**31), P)
-    counts = {m: ray.get(r[0]) for m, r in refs.items()}
-    for m in counts:
-        assert sum(counts[m]) == 400_000, counts[m]
+    metas = {m: ray.get(r[0]) for m, r in refs.items()}
+    for m, (cts, node_id) in metas.items():
+        assert sum(cts) == 400_000, cts
+        # the split's self-reported producing node matches reality
+        assert node_id == node_id_of[m], (m, node_id, node_id_of)
     locs = ray.experimental.get_object_locations(
         [r for m in refs for r in refs[m][1:]]
     )

@@ -235,3 +235,115 @@ def test_live_health_endpoint_during_tail(tmp_path, ray_session):
     # torn down with the tail: the port no longer answers
     with pytest.raises(Exception):
         urllib.request.urlopen(f"http://127.0.0.1:{port}/ping", timeout=1)
+
+
+def _self_signed_cert(tmp_path):
+    """Generate a throwaway localhost cert/key pair (test-only TLS
+    material) with the openssl CLI."""
+    import subprocess
+
+    cert = str(tmp_path / "health.crt")
+    key = str(tmp_path / "health.key")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1", "-subj",
+         "/CN=127.0.0.1", "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_health_endpoint_over_tls(tmp_path):
+    """TLS on the network surface (reference:
+    cassandra/network/SslConfig.java + SslContextFactory.java build the
+    connector's SslContext from configured cert/key paths): a
+    cert/key-configured HealthServer answers every endpoint ONLY over
+    https — the handshake is verified against the configured cert, and a
+    plaintext request never gets a response."""
+    import json
+    import ssl
+    import urllib.request
+
+    from debezium_incubator_ray.state.health import HealthServer
+
+    cert, key = _self_signed_cert(tmp_path)
+    srv = HealthServer(port=0, ssl_certfile=cert, ssl_keyfile=key).start()
+    try:
+        assert srv.tls
+        srv.update({"status": "ok", "manifest_version": 7,
+                    "snapshot_complete": True, "epochs": 3})
+        # VERIFYING client context: the handshake must chain to the
+        # configured cert, not just "any TLS"
+        ctx = ssl.create_default_context(cafile=cert)
+
+        def get(path):
+            with urllib.request.urlopen(
+                f"https://127.0.0.1:{srv.port}{path}", timeout=5,
+                context=ctx,
+            ) as r:
+                return r.read().decode()
+
+        assert get("/ping") == "pong"
+        h = json.loads(get("/health"))
+        assert h["manifest_version"] == 7 and h["snapshot_complete"]
+        assert "cdc_manifest_version 7" in get("/metrics")
+        # plaintext on the same port: refused (TLS record layer rejects)
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/ping", timeout=2
+            )
+    finally:
+        srv.stop()
+
+
+def test_tail_serves_health_over_tls(tmp_path, ray_session):
+    """The tail() plumbing for TLS: health_ssl=(cert, key) serves the
+    live endpoint over https for the duration of the tail."""
+    import json
+    import ssl
+    import urllib.request
+
+    cert, key = _self_signed_cert(tmp_path)
+    spec = _spec()
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, _cfg(spec), payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial), snapshot_lsn=0)
+
+    import threading
+
+    stop = threading.Event()
+    stats: list = []
+
+    def run_tail():
+        stats.extend(eng.tail(binlog, poll_interval_s=0.2, idle_polls=None,
+                              health_port=0, health_ssl=(cert, key),
+                              stop=stop))
+
+    t = threading.Thread(target=run_tail)
+    t.start()
+    try:
+        import time as _time
+
+        deadline = _time.time() + 30
+        while getattr(eng, "health_server", None) is None:
+            assert _time.time() < deadline
+            _time.sleep(0.01)
+        ctx = ssl.create_default_context(cafile=cert)
+        h = {}
+        while _time.time() < deadline:
+            with urllib.request.urlopen(
+                f"https://127.0.0.1:{eng.health_server.port}/health",
+                timeout=5, context=ctx,
+            ) as r:
+                h = json.loads(r.read().decode())
+            if h.get("epochs", 0) >= 1:
+                break
+            _time.sleep(0.05)
+        assert h["status"] == "tailing" and h.get("epochs", 0) >= 1
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert sum(s.get("events", 0) for s in stats) == spec.n_events
