@@ -3337,14 +3337,41 @@ class CdcEngine:
         path an epoch's control file takes, committed durably as its own
         manifest version. Already-applied (change, column, at_lsn)
         triples are skipped — replaying the same DDL is a no-op. Returns
-        the schema_update committed, or None if nothing was fresh."""
-        upd = self._build_schema_update(list(changes))
-        if upd is None:
-            return None
+        the schema_update committed, or None if nothing was fresh.
+
+        Concurrency contract: while a ``tail()`` streams, a SECOND
+        process evolves the schema through the binlog control channel
+        (sources/binlog.py append_schema_changes — the tail polls it
+        every epoch, keeping ONE manifest writer; the reference's
+        external-schema-registry model, CAS/SchemaProcessor.java:24-27).
+        Calling this directly from a second same-node process is
+        REJECTED by the writer lock; on an object-store control plane a
+        stale caller loses the conditional put (ConcurrentCommitError)
+        and this method recovers by reloading CURRENT and replaying the
+        still-fresh changes on top — schema history is append-only and
+        deduped, so the replay is idempotent."""
+        from debezium_incubator_ray.state.store import ConcurrentCommitError
+
+        changes = list(changes)
         self._acquire_lock()
-        self.manifest = self.manifest.commit({}, schema_update=upd)
-        self.flush()
-        return upd
+        for _ in range(10):
+            upd = self._build_schema_update(changes)
+            if upd is None:
+                return None
+            try:
+                self.manifest = self.manifest.commit({}, schema_update=upd)
+                self.flush()
+                return upd
+            except ConcurrentCommitError:
+                # lost the conditional put: reload the winner's state and
+                # replay (what is already applied there folds away)
+                self.manifest = Manifest.load(
+                    self.lake_dir, store=self._manifest_store
+                )
+        raise ConcurrentCommitError(
+            "apply_schema_changes lost the manifest conditional put 10 "
+            "times in a row — a writer is committing continuously"
+        )
 
     def _pending_schema_update(self, binlog_dir: str) -> Optional[Dict[str, Any]]:
         return self._build_schema_update(

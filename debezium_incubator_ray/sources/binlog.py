@@ -105,6 +105,30 @@ def validate_segment(path: str) -> Optional[str]:
         return f"{type(ex).__name__}: {ex}"
 
 
+def append_schema_changes(binlog_dir: str, entries: List[dict]) -> None:
+    """EXTERNAL-writer API for the schema-change control channel: append
+    entries (structured or ``{"ddl": ..., "at_lsn": ...}``) to the
+    binlog's ``_schema_changes.json`` with an atomic tmp+rename replace.
+    This is the supported way for a SECOND process to evolve the schema
+    while a ``tail()`` streams — the tail polls the control channel
+    every epoch (the reference's external schema registry model:
+    CAS/SchemaProcessor.java:24-27 re-reads the schema source on a
+    timer) and commits the change itself, so the manifest keeps exactly
+    ONE writer. Already-applied (change, column, at_lsn) triples are
+    deduped at apply, so concurrent appenders and replays are safe."""
+    import uuid
+
+    path = os.path.join(binlog_dir, "_schema_changes.json")
+    existing = []
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(existing + list(entries), f)
+    os.replace(tmp, path)
+
+
 def load_schema_changes(binlog_dir: str) -> List[SchemaChange]:
     """DDL-like control events shipped alongside the binlog. Two entry
     shapes coexist:
