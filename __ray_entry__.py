@@ -3276,6 +3276,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          concurrency=(1, 4))
         )
 
+    def multimodal_jpeg_stats(sf_dir):
+        """REAL baseline-JPEG decode round-trip: deterministic grayscale
+        baseline-sequential JPEGs (DC-only blocks, flat q0=16 quant)
+        synthesized per doc_id, decoded through the pure-numpy JPEG
+        decoder (functions/multimodal.py decode_jpeg_baseline — real
+        marker parse, canonical Huffman entropy decode, dequantize,
+        IDCT, level shift), reduced to exact integer pixel stats. The
+        oracle restates the closed form with NO decoder: pixel =
+        clip(128 + 2·dc) where dc(by,bx) = ((5·by + 3·bx + s) % 201) -
+        100 — a wrong Huffman table, zigzag order, dequant or IDCT
+        scaling shifts the sums, and the ±100 dc range drives pixels
+        through BOTH clip rails."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.multimodal import (
+            PixelStatsDecoder, synth_jpeg_payloads,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"],
+        )
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "payload": synth_jpeg_payloads(ids),
+            })
+
+        return (
+            ds.map_batches(to_payload, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(PixelStatsDecoder, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=128,
+                         concurrency=(1, 4))
+        )
+
     def dedup_phash_groups(sf_dir):
         """Perceptual-hash near-dup groups over REALLY-DECODED images:
         each image doc decodes through the baseline codecs, a 16-bit
@@ -3306,15 +3346,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ids = t["doc_id"].combine_chunks().to_numpy(
                     zero_copy_only=False
                 )
-                img_ids = ids[ids % 3 != 2]  # images only
+                img_ids = ids[ids % 4 != 2]  # images only (wav excluded)
                 payloads = synth_decodable_payloads(img_ids)
                 hashes = np.empty(len(img_ids), np.int64)
                 for i in range(len(img_ids)):
                     px = decode_payload(payloads[i].as_py()).astype(
                         np.int64
                     )
-                    h, w, _ = px.shape
-                    gray = px.sum(axis=2)  # integer 3-channel sum
+                    if px.ndim == 2:  # grayscale jpeg: 3x to the RGB
+                        gray = px * 3  # 0..765 gray scale
+                        h, w = px.shape
+                    else:
+                        h, w, _ = px.shape
+                        gray = px.sum(axis=2)  # integer 3-channel sum
                     S, N = int(gray.sum()), h * w
                     rs = (np.arange(4) * h) // 4
                     cs = (np.arange(4) * w) // 4
@@ -11146,6 +11190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q14_promo": join_q14_promo,
         "text_unigram_entropy": text_unigram_entropy,
         "multimodal_pixel_stats": multimodal_pixel_stats,
+        "multimodal_jpeg_stats": multimodal_jpeg_stats,
         "dedup_phash_groups": dedup_phash_groups,
         "text_fertility_by_lang": text_fertility_by_lang,
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
@@ -12641,11 +12686,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_pixel_stats": (
             # the synth_decodable_payloads closed forms, NO decoder:
-            # images v(r,c,ch) = (7r + 11c + 13ch + s) % 256 over
+            # png/bmp v(r,c,ch) = (7r + 11c + 13ch + s) % 256 over
             # (s%11+1) x (s%13+1) x 3; wav sample(i) =
-            # ((17i + s) % 65536) - 32768 over s%200+1 samples
-            "WITH d AS (SELECT doc_id, doc_id % 3 AS kind, "
-            "doc_id // 3 AS s FROM documents), "
+            # ((17i + s) % 65536) - 32768 over s%200+1 samples; jpeg
+            # (grayscale baseline, DC-only blocks, q0=16) pixel =
+            # clip(128 + 2*dc), dc = ((5*(r//8)+3*(c//8)+s)%201)-100
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS kind, "
+            "doc_id // 4 AS s FROM documents), "
             "img AS (SELECT doc_id, s, (s % 13 + 1) AS w, "
             "(s % 11 + 1) AS h FROM d WHERE kind IN (0, 1)), "
             "ipx AS (SELECT i.doc_id, "
@@ -12654,10 +12701,19 @@ def oracle_sql() -> dict[str, str]:
             "unnest(generate_series(0, i.h - 1)) AS r(r), "
             "unnest(generate_series(0, i.w - 1)) AS c(c), "
             "unnest(generate_series(0, 2)) AS ch(ch)), "
+            "jpg AS (SELECT doc_id, s, (s % 3 + 1) * 8 AS w, "
+            "(s % 2 + 1) * 8 AS h FROM d WHERE kind = 3), "
+            "jpx AS (SELECT j.doc_id, CAST(LEAST(255, GREATEST(0, "
+            "128 + 2 * (((5 * (r.r // 8) + 3 * (c.c // 8) + j.s) % 201)"
+            " - 100))) AS BIGINT) AS v FROM jpg j, "
+            "unnest(generate_series(0, j.h - 1)) AS r(r), "
+            "unnest(generate_series(0, j.w - 1)) AS c(c)), "
             "istat AS (SELECT doc_id, 'image' AS kind, "
             "CAST(count(*) AS BIGINT) AS n_values, "
             "CAST(SUM(v) AS BIGINT) AS value_sum, MIN(v) AS value_min, "
-            "MAX(v) AS value_max FROM ipx GROUP BY 1), "
+            "MAX(v) AS value_max FROM "
+            "(SELECT * FROM ipx UNION ALL SELECT * FROM jpx) "
+            "GROUP BY 1), "
             "wav AS (SELECT doc_id, s, (s % 200 + 1) AS n FROM d "
             "WHERE kind = 2), "
             "wpx AS (SELECT w.doc_id, "
@@ -12671,19 +12727,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM istat UNION ALL SELECT * FROM wstat "
             "ORDER BY doc_id"
         ),
+        "multimodal_jpeg_stats": (
+            # synth_jpeg_payloads closed form, NO decoder: grayscale
+            # w = 8*(s%3+1), h = 8*(s%2+1); DC-only blocks with q0=16
+            # decode to the constant clip(128 + 2*dc) per 8x8 block,
+            # dc(by,bx) = ((5*by + 3*bx + s) % 201) - 100
+            "WITH d AS (SELECT doc_id, doc_id AS s FROM documents), "
+            "g AS (SELECT doc_id, s, (s % 3 + 1) * 8 AS w, "
+            "(s % 2 + 1) * 8 AS h FROM d), "
+            "px AS (SELECT i.doc_id, CAST(LEAST(255, GREATEST(0, "
+            "128 + 2 * (((5 * (r.r // 8) + 3 * (c.c // 8) + i.s) % 201)"
+            " - 100))) AS BIGINT) AS v FROM g i, "
+            "unnest(generate_series(0, i.h - 1)) AS r(r), "
+            "unnest(generate_series(0, i.w - 1)) AS c(c)) "
+            "SELECT doc_id, 'image' AS kind, "
+            "CAST(count(*) AS BIGINT) AS n_values, "
+            "CAST(SUM(v) AS BIGINT) AS value_sum, MIN(v) AS value_min, "
+            "MAX(v) AS value_max FROM px GROUP BY doc_id ORDER BY doc_id"
+        ),
         "dedup_phash_groups": (
             # the same 16-bit integer aHash from the closed-form pixel
-            # formulas (no decoder): gray(r, c) = sum over ch of
-            # (7r + 11c + 13ch + s) % 256; sample grid r_i = i*h//4,
+            # formulas (no decoder): png/bmp gray(r, c) = sum over ch of
+            # (7r + 11c + 13ch + s) % 256; jpeg (grayscale) gray =
+            # 3 * clip(128 + 2*dc(r//8, c//8)); sample grid r_i = i*h//4,
             # c_j = j*w//4; bit = gray * (w*h) > total gray
-            "WITH d AS (SELECT doc_id, doc_id // 3 AS s FROM documents "
-            "WHERE doc_id % 3 <> 2), "
-            "img AS (SELECT doc_id, s, (s % 13 + 1) AS w, "
-            "(s % 11 + 1) AS h FROM d), "
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS kind, "
+            "doc_id // 4 AS s FROM documents WHERE doc_id % 4 <> 2), "
+            "img AS (SELECT doc_id, kind, s, "
+            "CASE WHEN kind = 3 THEN (s % 3 + 1) * 8 "
+            "ELSE s % 13 + 1 END AS w, "
+            "CASE WHEN kind = 3 THEN (s % 2 + 1) * 8 "
+            "ELSE s % 11 + 1 END AS h FROM d), "
             "px AS (SELECT i.doc_id, r.r, c.c, "
-            "CAST((7 * r.r + 11 * c.c + i.s) % 256 "
+            "CAST(CASE WHEN i.kind = 3 THEN 3 * LEAST(255, GREATEST(0, "
+            "128 + 2 * (((5 * (r.r // 8) + 3 * (c.c // 8) + i.s) % 201)"
+            " - 100))) ELSE "
+            "(7 * r.r + 11 * c.c + i.s) % 256 "
             "+ (7 * r.r + 11 * c.c + 13 + i.s) % 256 "
-            "+ (7 * r.r + 11 * c.c + 26 + i.s) % 256 AS BIGINT) AS g "
+            "+ (7 * r.r + 11 * c.c + 26 + i.s) % 256 END AS BIGINT) AS g "
             "FROM img i, "
             "unnest(generate_series(0, i.h - 1)) AS r(r), "
             "unnest(generate_series(0, i.w - 1)) AS c(c)), "

@@ -392,7 +392,8 @@ def main() -> None:
         "events_dow_hour_heatmap", "dedup_semantic", "docs_dsir_weights",
         "graph_modularity", "graph_degree_hist", "join_q10_returns",
         "join_q14_promo", "text_unigram_entropy",
-        "multimodal_pixel_stats", "dedup_phash_groups",
+        "multimodal_pixel_stats", "multimodal_jpeg_stats",
+        "dedup_phash_groups",
         "text_fertility_by_lang", "docs_length_by_lang_quantiles",
         "events_stl_decomposition", "dedup_threshold_curve",
         "orders_qoq_growth", "embedding_intrinsic_dim",

@@ -487,14 +487,28 @@ def build_ivf_index(
     assigned.write_parquet(tmp, partition_cols=["cluster"])
     with open(os.path.join(tmp, "_CENTROIDS.json"), "w") as f:
         json.dump({"centroids": Cpersist.tolist()}, f)
-    _ivf_commit_manifest(tmp, {"files": _ivf_files_on_disk(tmp)})
+    # baseline assignment distortion (mean similarity of every vector to
+    # its assigned centroid) — the reference point the append-drift
+    # trigger compares against; one float-column scan of what was written
+    import ray.data
+
+    n, s = _ivf_distortion(ray.data.read_parquet(tmp, columns=["sim"]))
+    _ivf_commit_manifest(tmp, {
+        "files": _ivf_files_on_disk(tmp),
+        "distortion": {
+            "n": int(n), "sum_sim": s,
+            "build_mean_sim": (s / n) if n else 0.0,
+            "retrain_recommended": False,
+        },
+    })
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)  # the visibility point
     nc = len(centroids)
     n_rows = sum(
         1 for d in os.listdir(out_dir) if d.startswith("cluster=")
     )
-    return {"clusters": nc, "cluster_dirs": n_rows}
+    return {"clusters": nc, "cluster_dirs": n_rows,
+            "build_mean_sim": (s / n) if n else 0.0}
 
 
 def _ivf_assign_fn(cref, col: str):
@@ -507,15 +521,37 @@ def _ivf_assign_fn(cref, col: str):
 
         C = _ray.get(cref)
         M = _normalize(_batch_matrix(t, col))
-        cid = np.argmax(M @ C.T, axis=1).astype(np.int64)
+        sims = M @ C.T
+        cid = np.argmax(sims, axis=1).astype(np.int64)
         # "cluster" becomes the hive partition dir (dropped from the
         # data files by the writer); "cid" persists IN the files so a
         # reader coalescing several partitions still knows each row's
-        # list
+        # list; "sim" (similarity to the assigned centroid) is the
+        # per-row assignment-distortion term the drift trigger folds
         t = t.append_column("cluster", pa.array(cid))
-        return t.append_column("cid", pa.array(cid))
+        t = t.append_column("cid", pa.array(cid))
+        return t.append_column(
+            "sim", pa.array(sims[np.arange(len(cid)), cid])
+        )
 
     return assign
+
+
+def _ivf_distortion(ds) -> tuple:
+    """(n, sum_sim) fold over an assigned dataset — distributed per-batch
+    partials, only (n, s) pairs reach the driver (a one-float-column
+    statistic even at corpus scale)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = (float(np.sum(t["sim"].to_numpy(zero_copy_only=False)))
+             if t.num_rows else 0.0)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([s], pa.float64())})
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return (sum(r["n"] for r in rows), float(sum(r["s"] for r in rows)))
 
 
 def _ivf_files_on_disk(root: str) -> dict:
@@ -550,13 +586,25 @@ def append_to_ivf_index(
     ds,
     id_col: str = "vec_id",
     col: str = "embedding",
+    drift_tolerance: float = 0.05,
 ) -> dict:
     """Incrementally add NEW vectors: assign against the PERSISTED
     centroid matrix (the index's space never drifts under appends —
     rebuild when the distribution moves), land delta files inside the
     cluster dirs invisibly, and publish with one atomic manifest
     replace. Same single-writer lock and crash contract as the text
-    and minhash index appends. The caller owns id disjointness."""
+    and minhash index appends. The caller owns id disjointness.
+
+    Drift trigger: the manifest carries the corpus's running assignment
+    distortion (n, sum of each vector's similarity to its assigned
+    centroid; baseline recorded at build). When the post-append mean
+    similarity falls below ``build_mean_sim × (1 - drift_tolerance)``,
+    the commit sets ``retrain_recommended`` (also returned) — skewed
+    appends that the frozen centroids quantize poorly silently degrade
+    partition-pruned recall even while replica-style appends (same
+    distribution) pass the 16× recall law; the flag is the tripwire.
+    Rebuilding with re-trained centroids resets the baseline and clears
+    the flag."""
     import json
     import os
     import shutil
@@ -589,13 +637,33 @@ def append_to_ivf_index(
             )
         delta.write_parquet(tmp, partition_cols=["cluster"])
         n_new = delta.count()
+        dn, dsum = _ivf_distortion(delta)
 
         man = _ivf_manifest(index_dir)
         files = {k: list(v) for k, v in man["files"].items()}
         _promote_delta_files(index_dir, tmp, files, tag, prefix="cluster=")
         shutil.rmtree(tmp, ignore_errors=True)
-        _ivf_commit_manifest(index_dir, {"files": files})
-        return {"appended": int(n_new)}
+        # fold the delta into the running distortion; compare against
+        # the BUILD-time baseline
+        dist = dict(man.get("distortion") or {})
+        base = dist.get("build_mean_sim")
+        n_tot = int(dist.get("n", 0)) + dn
+        s_tot = float(dist.get("sum_sim", 0.0)) + dsum
+        post_mean = (s_tot / n_tot) if n_tot else 0.0
+        flagged = bool(
+            base is not None and n_tot
+            and post_mean < base * (1.0 - drift_tolerance)
+        )
+        dist.update({
+            "n": n_tot, "sum_sim": s_tot, "post_mean_sim": post_mean,
+            "retrain_recommended": flagged or
+            bool(dist.get("retrain_recommended")),
+        })
+        _ivf_commit_manifest(index_dir, {"files": files,
+                                         "distortion": dist})
+        return {"appended": int(n_new),
+                "post_mean_sim": post_mean,
+                "retrain_recommended": dist["retrain_recommended"]}
 
 
 def ivf_index_topk(

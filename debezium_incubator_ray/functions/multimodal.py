@@ -76,13 +76,16 @@ def _hex_encode(binary_arr: pa.Array) -> pa.Array:
 
 def decode_image(payload: bytes):
     """Image decode: REAL for baseline PNG (pure zlib+numpy, filters
-    0-4) and uncompressed BMP 24/32bpp — see decode_png_baseline /
-    decode_bmp below. Other containers (JPEG, WebP, ...) raise with
-    the PIL integration point."""
+    0-4), uncompressed BMP 24/32bpp and BASELINE SEQUENTIAL JPEG
+    (grayscale + 4:4:4 color — pure numpy Huffman + IDCT; see
+    decode_jpeg_baseline below). Other containers (WebP, progressive/
+    subsampled JPEG, ...) raise with the PIL integration point."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_baseline(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_baseline(payload)
     raise NotImplementedError(
         "no baseline codec for this image container; plug "
         "PIL.Image.open(io.BytesIO(payload)) here"
@@ -716,6 +719,441 @@ def decode_wav_pcm16(payload: bytes) -> np.ndarray:
     return arr.reshape(-1, ch)
 
 
+# ---------------------------------------------------------------------------
+# Baseline sequential JPEG (ITU-T T.81): pure numpy + stdlib decoder and a
+# minimal matching encoder for deterministic test payloads. Reference
+# parity note: the reference pipelines treat media as opaque bytes and
+# delegate decode to consumers; this engine decodes the baseline
+# containers itself (PNG/BMP/WAV above, JPEG here) and stubs only the
+# library-bound ones (WebP, video).
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Natural index (r*8+c) of the i-th zigzag position, i = 0..63."""
+    pairs = []
+    for d in range(15):
+        diag = [(r, d - r) for r in range(8) if 0 <= d - r < 8]
+        pairs.extend(diag if d % 2 == 1 else diag[::-1])
+    return np.array([r * 8 + c for r, c in pairs], dtype=np.int64)
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_idct_mat() -> np.ndarray:
+    """The 8x8 DCT-II basis A (A[u, x] = c(u)/2 cos((2x+1)uπ/16));
+    spatial = Aᵀ F A."""
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return A
+
+
+_IDCT_A = _jpeg_idct_mat()
+
+
+def _huff_decode_table(bits, vals) -> dict:
+    """Canonical JPEG Huffman table (DHT BITS + HUFFVAL) →
+    {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBits:
+    """MSB-first bit reader over the already-destuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.i >= len(self.d):
+            raise ValueError("truncated JPEG entropy stream")
+        v = (self.d[self.i] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.i += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
+    """Pure numpy BASELINE SEQUENTIAL JPEG decoder (ITU-T T.81):
+    marker parse → canonical Huffman entropy decode (DC diff + AC
+    run/size) → dequantize → zigzag → 8x8 IDCT → level shift + clip.
+    Grayscale (1 component) returns (h, w) uint8; 4:4:4 color (3
+    components, all sampling 1x1) returns (h, w, 3) RGB uint8 via the
+    standard YCbCr transform. Progressive (SOF2), subsampled chroma,
+    16-bit quant tables, restart intervals and arithmetic coding raise
+    NotImplementedError (the PIL integration point); structural
+    corruption raises ValueError."""
+    b = payload
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    i = 2
+    qt: dict = {}
+    huff: dict = {}
+    sof = None
+    scan_comps = None
+    while True:
+        if i + 2 > len(b):
+            raise ValueError("truncated JPEG (no SOS)")
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        m = b[i + 1]
+        i += 2
+        if m == 0xD9:
+            raise ValueError("JPEG has no scan data")
+        if i + 2 > len(b):
+            raise ValueError("truncated JPEG segment header")
+        seg_len = int.from_bytes(b[i:i + 2], "big")
+        body = b[i + 2:i + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        i += seg_len
+        if m == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables unsupported"
+                    )
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[o + 1:o + 65], np.uint8
+                ).astype(np.int64)
+                qt[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif m == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                o += 17 + n
+        elif m == 0xC0 or m == 0xC1:  # baseline / extended sequential
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = body[6 + 3 * k:9 + 3 * k]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG chroma unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG unsupported (baseline sequential only)"
+            )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG coding process unsupported"
+            )
+        elif m == 0xDD:  # DRI
+            if int.from_bytes(body[:2], "big"):
+                raise NotImplementedError(
+                    "JPEG restart intervals unsupported"
+                )
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * k], body[2 + 2 * k] >> 4,
+                 body[2 + 2 * k] & 15)
+                for k in range(ns)
+            ]
+            break
+        # APPn / COM / other: skipped
+    if sof is None:
+        raise ValueError("JPEG has no SOF before SOS")
+    h, w, comps = sof
+    if scan_comps is None or len(scan_comps) != len(comps):
+        raise ValueError("JPEG scan does not cover the frame components")
+
+    # destuff entropy-coded bytes up to EOI
+    ent = bytearray()
+    j = i
+    while j < len(b):
+        v = b[j]
+        if v == 0xFF:
+            if j + 1 >= len(b):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = b[j + 1]
+            if nxt == 0x00:
+                ent.append(0xFF)
+                j += 2
+                continue
+            if nxt == 0xD9:
+                break
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "JPEG restart markers unsupported"
+                )
+            raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        ent.append(v)
+        j += 1
+    else:
+        raise ValueError("JPEG missing EOI")
+
+    reader = _JpegBits(bytes(ent))
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
+    pred = [0] * len(comps)
+    comp_q = [qt[tq] for _, tq in comps]
+    tables = []
+    for (_cid, td, ta) in scan_comps:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references an undefined table")
+        tables.append((huff[(0, td)], huff[(1, ta)]))
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(len(comps)):
+                dc_t, ac_t = tables[ci]
+                t = reader.read_symbol(dc_t)
+                diff = _jpeg_extend(reader.read_bits(t), t)
+                pred[ci] += diff
+                zz = np.zeros(64, np.int64)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                    k += 1
+                F = np.zeros(64, np.float64)
+                F[_ZIGZAG] = zz
+                F = F.reshape(8, 8) * comp_q[ci]
+                block = _IDCT_A.T @ F @ _IDCT_A
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    out = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
+    if len(out) == 1:
+        return out[0].astype(np.uint8)
+    if len(out) != 3:
+        raise NotImplementedError(
+            f"{len(out)}-component JPEG unsupported"
+        )
+    y, cb, cr = (o.astype(np.float64) for o in out)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing + 1-fill flush."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)
+        return bytes(self.out)
+
+
+def _huff_encode_table(symbols) -> tuple:
+    """Fixed-length canonical table over ``symbols`` (sorted): length L
+    with 2^L > n keeps the all-ones code unused (T.81's padding rule).
+    Returns (bits16, huffval, {symbol: (code, L)})."""
+    syms = sorted(set(int(s) for s in symbols))
+    L = 1
+    while (1 << L) <= len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    enc = {s: (idx, L) for idx, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _jpeg_cat(v: int) -> int:
+    """DC/AC magnitude category (bit length of |v|)."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_baseline(
+    coeff_planes, w: int, h: int, q0: int = 16
+) -> bytes:
+    """Minimal baseline-sequential JPEG ENCODER for deterministic test
+    payloads: ``coeff_planes`` is a list (1 = grayscale, 3 = 4:4:4
+    YCbCr) of int arrays (bh, bw, 8, 8) holding QUANTIZED coefficients
+    in natural order; the quantization table is flat ``q0``. Emits one
+    fixed-length canonical Huffman DC/AC table pair shared by all
+    components. The decoder above round-trips it exactly; with DC-only
+    blocks and q0 divisible by 8 the decoded pixels have the closed
+    form clip(128 + dc·q0/8) a SQL oracle restates with no decoder."""
+    import struct
+
+    planes = [np.asarray(p, dtype=np.int64) for p in coeff_planes]
+    bh, bw = planes[0].shape[:2]
+    # gather needed symbols across all blocks
+    dc_syms = set()
+    ac_syms = {0x00}
+    runs = []  # per (plane, by, bx): (dc_diff, [(runsize, val)...])
+    for p in planes:
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                blk = p[by, bx]
+                zz = blk.reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                dc_syms.add(_jpeg_cat(diff))
+                acs = []
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        acs.append((0xF0, None))
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    s = _jpeg_cat(v)
+                    acs.append(((run << 4) | s, v))
+                    ac_syms.add((run << 4) | s)
+                    run = 0
+                if run:
+                    acs.append((0x00, None))  # EOB
+                elif not acs or acs[-1][0] != 0x00:
+                    # block ended exactly at k=63 with a nonzero: no EOB
+                    if int(zz[63]) == 0:
+                        acs.append((0x00, None))
+                runs.append((diff, acs))
+    dc_bits, dc_vals, dc_enc = _huff_encode_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _huff_encode_table(ac_syms)
+
+    wtr = _JpegBitWriter()
+    # interleave MCUs: one block per component per position
+    per_plane = [list() for _ in planes]
+    ri = 0
+    for pi in range(len(planes)):
+        for _ in range(bh * bw):
+            per_plane[pi].append(runs[ri])
+            ri += 1
+    for m in range(bh * bw):
+        for pi in range(len(planes)):
+            diff, acs = per_plane[pi][m]
+            t = _jpeg_cat(diff)
+            code, ln = dc_enc[t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            for rs, v in acs:
+                code, ln = ac_enc[rs]
+                wtr.write(code, ln)
+                if v is not None:
+                    s = rs & 15
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+    ent = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    nat = np.full(64, q0, np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + nat.tobytes())
+    ncomp = len(planes)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof_body += bytes([cid, 0x11, 0x00])
+    sof = seg(0xC0, sof_body)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    sos_body = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    return (b"\xff\xd8" + dqt + sof + dht + sos + ent + b"\xff\xd9")
+
+
+def synth_jpeg_payloads(doc_id: np.ndarray) -> pa.Array:
+    """Deterministic fully-decodable GRAYSCALE baseline JPEGs with a
+    CLOSED-FORM decode a DuckDB oracle restates with no decoder:
+    s = doc_id, blocks bw = s % 3 + 1, bh = s % 2 + 1 (w = 8·bw,
+    h = 8·bh), DC-only blocks with q0 = 16 and
+    dc(by, bx) = ((5·by + 3·bx + s) % 201) - 100, so every decoded
+    pixel is exactly clip(128 + 2·dc(r//8, c//8), 0, 255) — the IDCT of
+    a DC-only block is dc·q0/8 = 2·dc, float-exact, and the ±100 DC
+    range drives pixels through BOTH clip rails."""
+    out = []
+    for d in np.asarray(doc_id, dtype=np.int64):
+        s = int(d)
+        bw, bh = s % 3 + 1, s % 2 + 1
+        blocks = np.zeros((bh, bw, 8, 8), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blocks[by, bx, 0, 0] = ((5 * by + 3 * bx + s) % 201) - 100
+        out.append(encode_jpeg_baseline([blocks], bw * 8, bh * 8, q0=16))
+    return pa.array(out, pa.large_binary())
+
+
 def decode_payload(payload: bytes):
     """Format-sniffing decode: delegates to decode_audio for RIFF/WAVE
     and decode_image for everything else, so each container family has
@@ -737,27 +1175,44 @@ def _png_chunk(typ: bytes, body: bytes) -> bytes:
 
 def synth_decodable_payloads(doc_id: np.ndarray) -> pa.Array:
     """Deterministic FULLY-DECODABLE payloads (unlike
-    synth_media_payloads' header-only bytes): kind = doc_id % 3
+    synth_media_payloads' header-only bytes): kind = doc_id % 4
     (0 png RGB8 filter-0 with real zlib IDAT, 1 bmp24 bottom-up with
-    row padding, 2 wav PCM16 mono). s = doc_id // 3 varies the
-    shape; every pixel/sample follows a CLOSED-FORM formula a DuckDB
-    oracle can restate without any decoder:
+    row padding, 2 wav PCM16 mono, 3 grayscale baseline-sequential
+    JPEG). s = doc_id // 4 varies the shape; every pixel/sample
+    follows a CLOSED-FORM formula a DuckDB oracle can restate without
+    any decoder:
 
-    - images (png & bmp): w = s % 13 + 1, h = s % 11 + 1,
+    - png & bmp: w = s % 13 + 1, h = s % 11 + 1,
       v(r, c, ch) = (7r + 11c + 13ch + s) % 256  (RGB order)
     - wav: n = s % 200 + 1, rate 8000/16000/44100 by s % 3,
       sample(i) = ((17i + s) % 65536) - 32768
+    - jpeg: w = 8(s % 3 + 1), h = 8(s % 2 + 1), DC-only blocks with a
+      flat q0 = 16 table and dc(by, bx) = ((5by + 3bx + s) % 201) - 100
+      → every decoded pixel is exactly clip(128 + 2·dc(r//8, c//8))
+      (the IDCT of a DC-only block is dc·q0/8, float-exact)
 
-    The codec loop is per payload by nature (zlib/row assembly); the
-    engine wraps it in an actor-pool map_batches with small batches —
-    the realistic shape for any real codec."""
+    The codec loop is per payload by nature (zlib/row assembly,
+    Huffman bitstreams); the engine wraps it in an actor-pool
+    map_batches with small batches — the realistic shape for any real
+    codec."""
     import struct
     import zlib
 
     out = []
     for d in np.asarray(doc_id, dtype=np.int64):
         d = int(d)
-        kind, s = d % 3, d // 3
+        kind, s = d % 4, d // 4
+        if kind == 3:
+            bw, bh = s % 3 + 1, s % 2 + 1
+            blocks = np.zeros((bh, bw, 8, 8), np.int64)
+            for by in range(bh):
+                for bx in range(bw):
+                    blocks[by, bx, 0, 0] = \
+                        ((5 * by + 3 * bx + s) % 201) - 100
+            out.append(
+                encode_jpeg_baseline([blocks], bw * 8, bh * 8, q0=16)
+            )
+            continue
         if kind in (0, 1):
             w, h = s % 13 + 1, s % 11 + 1
             r, c, chn = np.meshgrid(
@@ -850,7 +1305,10 @@ class ResizeImage:
             arr = decode_image(payload)
         except (ValueError, NotImplementedError):
             return None
-        gray = arr.astype(np.int64).sum(axis=2)  # 0..765 integer
+        if arr.ndim == 2:  # grayscale (e.g. 1-component JPEG): 3x to
+            gray = arr.astype(np.int64) * 3  # match the RGB 0..765 scale
+        else:
+            gray = arr.astype(np.int64).sum(axis=2)  # 0..765 integer
         h, w = gray.shape
         s = self.side
         out = np.empty((s, s), np.uint8)

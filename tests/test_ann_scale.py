@@ -169,3 +169,74 @@ def test_ivf_index_append_equals_rebuild(base, tmp_path):
     with _index_write_lock(inc):
         with _pytest.raises(TextIndexLockedError):
             append_to_ivf_index(inc, ray.data.from_arrow(tbl.slice(0, 4)))
+
+
+def test_ivf_append_drift_triggers_retrain_flag(base, tmp_path):
+    """Append-drift tripwire: same-distribution appends keep the flag
+    clear; a DISTRIBUTION-SHIFTED append (vectors the frozen centroids
+    quantize poorly) trips retrain_recommended in the manifest AND the
+    return value — and rebuilding with re-trained centroids over the
+    shifted corpus resets the baseline, clears the flag, and restores
+    the recall floor for queries in the shifted region."""
+    import json
+
+    from debezium_incubator_ray.functions.ann import (
+        append_to_ivf_index, brute_force_topk, build_ivf_index,
+        ivf_index_topk, spherical_kmeans,
+    )
+
+    M, ids = base
+    tbl = _replicate(M, ids, 1)
+    ds_all = ray.data.from_arrow(tbl).repartition(4)
+    C, _ = spherical_kmeans(ds_all, _batch_matrix(tbl.slice(0, 16)),
+                            iters=2)
+    idx = str(tmp_path / "idx")
+    info = build_ivf_index(ds_all, C, idx)
+    assert info["build_mean_sim"] > 0
+
+    # same-distribution append (the 16x-replica shape): no flag
+    rep = _replicate(M, ids, 2).slice(len(tbl))
+    r1 = append_to_ivf_index(idx, ray.data.from_arrow(rep))
+    assert r1["retrain_recommended"] is False
+
+    # distribution-shifted append: orthogonal-ish vectors in a region the
+    # frozen centroids never saw (negated + heavy noise), 2x corpus size
+    rng = np.random.default_rng(7)
+    shift = -3.0 * M + rng.standard_normal(M.shape)
+    off = int(ids.max()) + 1
+    shifted = pa.concat_tables([
+        pa.table({
+            "vec_id": pa.array(ids + (r + 10) * off),
+            "embedding": pa.array(
+                list((shift + 0.1 * r).astype(np.float32)),
+                pa.list_(pa.float32())),
+        })
+        for r in range(2)
+    ])
+    r2 = append_to_ivf_index(idx, ray.data.from_arrow(shifted))
+    assert r2["retrain_recommended"] is True
+    with open(os.path.join(idx, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["distortion"]["retrain_recommended"] is True
+    assert man["distortion"]["post_mean_sim"] < \
+        man["distortion"]["build_mean_sim"]
+
+    # rebuild with RE-TRAINED centroids over the full (shifted) corpus:
+    # flag cleared, recall floor in the shifted region restored
+    full_tbl = pa.concat_tables([tbl, rep, shifted])
+    full_ds = ray.data.from_arrow(full_tbl).repartition(8)
+    C2, _ = spherical_kmeans(
+        full_ds, np.vstack([_batch_matrix(tbl.slice(0, 16)), shift[:16]]),
+        iters=4)
+    build_ivf_index(full_ds, C2, idx)
+    with open(os.path.join(idx, "_MANIFEST.json")) as f:
+        man2 = json.load(f)
+    assert man2["distortion"]["retrain_recommended"] is False
+
+    qn = 8
+    Qs = shift[:qn]
+    qids = np.arange(qn, dtype=np.int64) + 10**9
+    exact = brute_force_topk(full_ds, qids, Qs, k=5).to_pandas()
+    approx = ivf_index_topk(idx, qids, Qs, k=5, nprobe=8).to_pandas()
+    hit = exact.merge(approx, on=["query_id", "vec_id"], how="inner")
+    assert len(hit) / len(exact) >= 0.9

@@ -1638,11 +1638,11 @@ def test_baseline_codecs_round_trip():
         decode_payload, synth_decodable_payloads,
     )
 
-    ids = np.arange(90, dtype=np.int64)
+    ids = np.arange(120, dtype=np.int64)
     payloads = synth_decodable_payloads(ids)
     for d in ids:
         d = int(d)
-        kind, s = d % 3, d // 3
+        kind, s = d % 4, d // 4
         arr = decode_payload(payloads[d].as_py())
         if kind in (0, 1):
             w, h = s % 13 + 1, s % 11 + 1
@@ -1653,6 +1653,17 @@ def test_baseline_codecs_round_trip():
             )
             assert arr.shape == (h, w, 3)
             assert (arr == expect).all(), d
+        elif kind == 3:
+            # grayscale baseline JPEG: DC-only blocks decode to the
+            # constant clip(128 + 2*dc) per block (q0 = 16)
+            bw, bh = s % 3 + 1, s % 2 + 1
+            assert arr.shape == (bh * 8, bw * 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    dc = ((5 * by + 3 * bx + s) % 201) - 100
+                    want = min(255, max(0, 128 + 2 * dc))
+                    blk = arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    assert (blk == want).all(), (d, by, bx)
         else:
             n = s % 200 + 1
             expect = ((17 * np.arange(n) + s) % 65536) - 32768
@@ -1724,7 +1735,10 @@ def test_codec_error_paths():
     )
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 40)  # JPEG magic
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        # JPEG decodes for REAL now — garbage after SOI is corruption
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 40)
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x00" * 64)
     with pytest.raises(ValueError):
@@ -1742,7 +1756,7 @@ def test_resize_image_real_box_average():
         ResizeImage, synth_decodable_payloads,
     )
 
-    ids = np.array([0, 1, 3, 4, 30, 31, 2], np.int64)  # 6 images + 1 wav
+    ids = np.array([0, 1, 4, 5, 40, 41, 2], np.int64)  # 6 png/bmp + 1 wav
     t = pa.table({
         "doc_id": pa.array(ids),
         "payload": synth_decodable_payloads(ids),
@@ -1752,7 +1766,7 @@ def test_resize_image_real_box_average():
     assert out["thumb"].to_pylist()[-1] is None  # wav -> NULL
     for row, d in enumerate(ids[:-1]):
         d = int(d)
-        s = d // 3
+        s = d // 4
         w, h = s % 13 + 1, s % 11 + 1
         r, c, ch = np.meshgrid(np.arange(h), np.arange(w),
                                np.arange(3), indexing="ij")
