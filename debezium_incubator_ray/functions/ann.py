@@ -629,8 +629,20 @@ def append_to_ivf_index(
         sch = delta.schema()
         if sch is None or delta.count() == 0:
             # an empty incremental cycle is a legitimate no-op (an
-            # empty materialized dataset has no schema to validate)
-            return {"appended": 0}
+            # empty materialized dataset has no schema to validate) —
+            # same return shape as a real append, so drift monitors can
+            # read retrain_recommended unconditionally
+            dist0 = _ivf_manifest(index_dir).get("distortion") or {}
+            n0 = int(dist0.get("n", 0))
+            return {
+                "appended": 0,
+                "post_mean_sim": (
+                    float(dist0.get("sum_sim", 0.0)) / n0 if n0 else 0.0
+                ),
+                "retrain_recommended": bool(
+                    dist0.get("retrain_recommended", False)
+                ),
+            }
         if id_col not in sch.names:
             raise ValueError(
                 f"append_to_ivf_index: delta has no id column {id_col!r}"

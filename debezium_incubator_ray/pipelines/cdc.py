@@ -910,37 +910,20 @@ class CdcEngine:
         read_batch = self.cfg.read_batch_size
 
         def read_norm_combine(batch: pa.Table) -> pa.Table:
-            from debezium_incubator_ray.envelope import lww_reduce
+            # ONE fused-reader kernel serves this Dataset flavor and the
+            # objref raw task (stages/exchange.py read_normalize_combine)
+            from debezium_incubator_ray.stages.exchange import (
+                read_normalize_combine,
+            )
             from debezium_incubator_ray.stages.normalize import (
                 NormalizeEnvelope,
             )
 
-            norm = NormalizeEnvelope(**nk)
-            outs: List[pa.Table] = []
-            last = None
-            for pth in batch["path"].to_pylist():
-                env = pq.read_table(pth)
-                # memory bound: normalize in read_batch_size windows so a
-                # giant segment never doubles in one normalize call
-                step = read_batch or env.num_rows or 1
-                for lo in range(0, env.num_rows, step):
-                    f = norm(env.slice(lo, step))
-                    last = f
-                    if f.num_rows:
-                        outs.append(f)
-            if not outs:
-                # preserve the normalized schema for downstream stages
-                return last if last is not None else pa.table({})
-            out = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
-            # in-batch LWW partial reduce (the combiner / salting phase
-            # one): bounds any hot key's shuffle fan-in to one row per
-            # task, so Zipfian url popularity can't blow up a partition's
-            # group size. merge_mode="partial" skips the reduce: a
-            # full-row LWW combiner would drop the losing events' cells —
-            # every event must reach the per-cell fold in the applier
-            if not merge_partial:
-                out = lww_reduce(out, key)
-            return out
+            out = read_normalize_combine(
+                batch["path"].to_pylist(), NormalizeEnvelope(**nk), key,
+                merge_partial, read_batch,
+            )
+            return out if out is not None else pa.table({})
 
         salt_n = 0 if merge_partial else self._salt_decision()
         if self.cfg.exchange == "objref" and salt_n <= 1:
@@ -3353,6 +3336,11 @@ class CdcEngine:
         from debezium_incubator_ray.state.store import ConcurrentCommitError
 
         changes = list(changes)
+        # idempotent-replay fast path BEFORE the writer lock: re-running
+        # already-applied DDL must stay a no-op even while another
+        # process (e.g. a live tail) holds the lock
+        if self._build_schema_update(changes) is None:
+            return None
         self._acquire_lock()
         for _ in range(10):
             upd = self._build_schema_update(changes)

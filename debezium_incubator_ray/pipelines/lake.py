@@ -323,7 +323,9 @@ class Lake:
         groups = [list(g) for g in np.array_split(np.array(paths), nb)
                   if len(g)]
         split = read_split_block_demux.options(num_returns=len(layout) + 1)
-        outs = [split.remote(g, nk_ref, route_fn, layout) for g in groups]
+        rb = next(iter(engines.values())).cfg.read_batch_size
+        outs = [split.remote(g, nk_ref, route_fn, layout, rb)
+                for g in groups]
         metas = ray.get([o[0] for o in outs])
         refs_by_slot = {
             i: [outs[b][i + 1] for b in range(len(outs))

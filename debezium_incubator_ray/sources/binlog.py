@@ -114,19 +114,27 @@ def append_schema_changes(binlog_dir: str, entries: List[dict]) -> None:
     every epoch (the reference's external schema registry model:
     CAS/SchemaProcessor.java:24-27 re-reads the schema source on a
     timer) and commits the change itself, so the manifest keeps exactly
-    ONE writer. Already-applied (change, column, at_lsn) triples are
-    deduped at apply, so concurrent appenders and replays are safe."""
+    ONE writer. The read-modify-write runs under an exclusive flock on
+    a sidecar lockfile, so concurrent appenders serialize (no lost
+    update); already-applied (change, column, at_lsn) triples are
+    deduped at apply, so replays are safe too."""
+    import fcntl
     import uuid
 
     path = os.path.join(binlog_dir, "_schema_changes.json")
-    existing = []
-    if os.path.exists(path):
-        with open(path) as f:
-            existing = json.load(f)
-    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(existing + list(entries), f)
-    os.replace(tmp, path)
+    lock_fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)  # blocking: appends are rare
+        existing = []
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(existing + list(entries), f)
+        os.replace(tmp, path)
+    finally:
+        os.close(lock_fd)  # closing releases the flock
 
 
 def load_schema_changes(binlog_dir: str) -> List[SchemaChange]:

@@ -195,42 +195,64 @@ def split_block(block: pa.Table, P: int):
     return (meta, *slices)
 
 
+def read_normalize_combine(paths: List[str], norm, key: str,
+                           merge_partial: bool, read_batch):
+    """THE fused-reader kernel — read a group of binlog segments,
+    normalize each in ``read_batch`` windows (memory bound: a giant
+    segment never doubles in one normalize call), concat, and LWW
+    pre-combine (skipped for merge_partial: a full-row reduce would
+    drop the losing events' cells). One implementation serves both the
+    fully-fused objref task (:func:`read_split_block`) and the Dataset
+    flavor the staging/groupby exchanges use (pipelines/cdc.py), so the
+    two paths cannot drift. An all-empty path group still returns a
+    ZERO-ROW table WITH the normalized schema — downstream stages (the
+    salted pre-reduce, the exchange writers) need the columns."""
+    from debezium_incubator_ray.envelope import lww_reduce
+
+    outs: List[pa.Table] = []
+    last = None
+    for pth in paths:
+        env = pq.read_table(pth)
+        if env.num_rows == 0:
+            last = norm(env)  # preserve the normalized schema
+            continue
+        step = read_batch or env.num_rows
+        for lo in range(0, env.num_rows, step):
+            f = norm(env.slice(lo, step))
+            last = f
+            if f.num_rows:
+                outs.append(f)
+    if not outs:
+        return last  # None only for an empty path list
+    out = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+    if not merge_partial:
+        out = lww_reduce(out, key)
+    return out
+
+
 @ray.remote
 def read_split_block(paths: List[str], norm_kwargs: Dict[str, Any],
                      key: str, merge_partial: bool,
                      read_batch, P: int):
     """FULLY-fused stage 1 of the objref exchange: read one group of
-    binlog segments → normalize → in-task LWW combine → split into P
-    LZ4-IPC slices, all inside ONE task (``num_returns=P + 1``; return 0
-    = ``(counts, node_id)``, the :func:`split_block` contract). The raw
+    binlog segments → normalize → in-task LWW combine
+    (:func:`read_normalize_combine`) → split into P LZ4-IPC slices, all
+    inside ONE task (``num_returns=P + 1``; return 0 =
+    ``(counts, node_id)``, the :func:`split_block` contract). The raw
     decoded envelope bytes — the heaviest data of the epoch — live only
     in this task's heap and never enter the object store: the only
     objects the epoch stages are the compressed slices. (Ray Data cannot
     express a multi-return split, and does not fuse ReadParquet with
     downstream maps in this version, so the Dataset formulation ships
     raw blocks between operators — measured as the dominant cost on the
-    simulated 2-node cluster.) merge_partial skips the combine: a
-    full-row LWW reduce would drop the losing events' cells."""
-    from debezium_incubator_ray.envelope import lww_reduce
+    simulated 2-node cluster.)"""
     from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
     norm = NormalizeEnvelope(**norm_kwargs)
-    outs: List[pa.Table] = []
-    for pth in paths:
-        env = pq.read_table(pth)
-        # memory bound: normalize in read_batch windows so a giant
-        # segment never doubles in one normalize call
-        step = read_batch or env.num_rows or 1
-        for lo in range(0, env.num_rows, step):
-            f = norm(env.slice(lo, step))
-            if f.num_rows:
-                outs.append(f)
+    t = read_normalize_combine(paths, norm, key, merge_partial, read_batch)
     counts = np.zeros(P, dtype=np.int64)
     slices: List[Any] = [None] * P
-    if outs:
-        t = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
-        if not merge_partial:
-            t = lww_reduce(t, key)
+    if t is not None and t.num_rows:
         for p, sl in _partition_slices(t, P):
             counts[p] = sl.num_rows
             slices[p] = _table_to_ipc_bytes(sl)
@@ -415,13 +437,14 @@ class DemuxApplier:
 @ray.remote
 def read_split_block_demux(paths: List[str],
                            norm_kwargs_by_table: Dict[str, Dict[str, Any]],
-                           route_fn, layout: List):
+                           route_fn, layout: List, read_batch=None):
     """FULLY-fused demux stage 1 (see :func:`read_split_block`): read a
-    group of raw binlog segments → routing SMT → per-table normalize →
-    per-(table, partition) LZ4-IPC slices, one object per touched
-    ``layout`` slot, all in ONE task (``num_returns=len(layout) + 1``;
-    return 0 = ``(counts, node_id)``). Raw envelope bytes never enter
-    the object store."""
+    group of raw binlog segments → routing SMT → per-table normalize
+    (both applied in ``read_batch`` windows — same memory bound as the
+    single-table reader) → per-(table, partition) LZ4-IPC slices, one
+    object per touched ``layout`` slot, all in ONE task
+    (``num_returns=len(layout) + 1``; return 0 = ``(counts,
+    node_id)``). Raw envelope bytes never enter the object store."""
     from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
 
     slot = {tuple(tp): i for i, tp in enumerate(layout)}
@@ -431,13 +454,16 @@ def read_split_block_demux(paths: List[str],
         t: NormalizeEnvelope(**kw) for t, kw in norm_kwargs_by_table.items()
     }
     for pth in paths:
-        block = pq.read_table(pth)
-        if route_fn is not None:
-            block = route_fn(block)
-        for tname, norm in norms.items():
-            flat = norm(block)
-            for p, sl in _partition_slices(flat, norm.num_partitions):
-                acc[slot[(tname, p)]].append(sl)
+        env = pq.read_table(pth)
+        step = read_batch or env.num_rows or 1
+        for lo in range(0, env.num_rows, step):
+            block = env.slice(lo, step)
+            if route_fn is not None:
+                block = route_fn(block)
+            for tname, norm in norms.items():
+                flat = norm(block)
+                for p, sl in _partition_slices(flat, norm.num_partitions):
+                    acc[slot[(tname, p)]].append(sl)
     slices: List[Any] = [None] * len(layout)
     for i, lst in enumerate(acc):
         if lst:

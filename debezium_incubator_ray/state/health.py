@@ -91,8 +91,8 @@ class HealthServer:
                     self.send_response(404)
                     self.end_headers()
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.tls = bool(ssl_certfile)
+        ctx = None
         if ssl_certfile:
             import ssl
 
@@ -100,11 +100,21 @@ class HealthServer:
                 raise ValueError(
                     "ssl_certfile requires ssl_keyfile (PEM private key)"
                 )
+            # build + validate the context BEFORE binding the port, so a
+            # bad cert/key never leaks a bound listening socket
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.minimum_version = ssl.TLSVersion.TLSv1_2
             ctx.load_cert_chain(certfile=ssl_certfile, keyfile=ssl_keyfile)
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if ctx is not None:
+            # handshake deferred to the per-connection handler THREAD: a
+            # stalled peer that never sends ClientHello must not wedge
+            # the single accept loop (and with it every /ping /health
+            # probe); python's http.server performs the handshake on the
+            # first read of the connection
             self._httpd.socket = ctx.wrap_socket(
-                self._httpd.socket, server_side=True
+                self._httpd.socket, server_side=True,
+                do_handshake_on_connect=False,
             )
         self.port = self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None

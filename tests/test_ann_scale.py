@@ -159,11 +159,14 @@ def test_ivf_index_append_equals_rebuild(base, tmp_path):
         [("query_id", "ascending"), ("rank", "ascending")])
     assert a2.equals(a)
 
-    # empty incremental cycle is a no-op, not a crash
+    # empty incremental cycle is a no-op, not a crash — and it carries
+    # the full drift-monitor return shape
     empty = pa.table({"vec_id": pa.array([], pa.int64()),
                       "embedding": pa.array([], pa.list_(pa.float32()))})
-    assert append_to_ivf_index(inc, ray.data.from_arrow(empty)) == {
-        "appended": 0}
+    r0 = append_to_ivf_index(inc, ray.data.from_arrow(empty))
+    assert r0["appended"] == 0
+    assert r0["retrain_recommended"] is False
+    assert r0["post_mean_sim"] > 0  # the live corpus's running mean
 
     # single-writer
     with _index_write_lock(inc):

@@ -267,3 +267,62 @@ def test_stale_ddl_writer_loses_conditional_put_and_replays(tmp_path):
     assert set(lt["node2_col"].to_pylist()) == {9}
     want = gen.oracle_final_state(spec, ev)
     assert lt.num_rows == want.num_rows  # the epoch's effects survived
+
+
+def test_append_schema_changes_concurrent_no_lost_update(tmp_path):
+    """The control-channel append serializes its read-modify-write:
+    N concurrent appenders (threads — same flock semantics as
+    processes) each land exactly one entry, none lost."""
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    n = 16
+    errs = []
+
+    def worker(k):
+        try:
+            append_schema_changes(binlog, [
+                {"change": "add_column", "column": f"c{k}",
+                 "type": "int32", "default": k, "at_lsn": 0},
+            ])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    with open(os.path.join(binlog, "_schema_changes.json")) as f:
+        entries = json.load(f)
+    assert sorted(e["column"] for e in entries) == sorted(
+        f"c{k}" for k in range(n))
+
+
+def test_idempotent_ddl_replay_is_noop_even_while_tail_holds_lock(tmp_path):
+    """Re-running ALREADY-APPLIED DDL must return None without touching
+    the writer lock — a second process's idempotent retry cannot fail
+    just because a tail is streaming."""
+    from debezium_incubator_ray.pipelines.cdc import ConcurrentWriterError
+
+    spec = _spec(n_events=100)
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, _cfg(spec), payload_schema=S.pages_schema())
+    eng.snapshot(gen.make_pages(spec.n_initial), snapshot_lsn=0)
+    eng.run(binlog)
+    ch = S.SchemaChange("add_column", "idem_col", "int64", default=1,
+                        at_lsn=0)
+    assert eng.apply_schema_changes([ch]) is not None  # applied, lock held
+
+    eng2 = CdcEngine(lake)  # second engine: fresh manifest, no lock yet
+    # fresh DDL from the second engine IS rejected (eng holds the lock)…
+    import pytest as _pytest
+    with _pytest.raises(ConcurrentWriterError):
+        eng2.apply_schema_changes([S.SchemaChange(
+            "add_column", "fresh_col", "int64", default=2, at_lsn=0)])
+    # …but replaying the already-applied change is a clean no-op
+    assert eng2.apply_schema_changes([ch]) is None
+    eng.close()

@@ -476,3 +476,43 @@ def test_snapshot_row_filter_and_watermark_floor(tmp_path, ray_session):
     # untouched-partition floor: every partition watermark is >= 7
     assert all(eng2.manifest.watermark(p) >= 7 for p in range(4))
     eng2.close()
+
+
+def test_fused_reader_preserves_schema_on_all_empty_segments(tmp_path):
+    """read_normalize_combine over a group of ZERO-ROW (but valid)
+    segments returns an empty table WITH the normalized schema — the
+    salted pre-reduce and exchange writers need the columns."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from debezium_incubator_ray import gen
+    from debezium_incubator_ray.stages.exchange import (
+        read_normalize_combine,
+    )
+    from debezium_incubator_ray.stages.normalize import NormalizeEnvelope
+
+    spec = gen.BinlogSpec(n_events=64, n_initial=8, num_partitions=2,
+                          seg_rows=64, seed=3)
+    binlog = str(tmp_path / "b")
+    out = gen.write_binlog(binlog, spec, gen.gen_events(spec))
+    seg = out["segments"][0]
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pq.read_table(seg).slice(0, 0), empty)
+
+    from debezium_incubator_ray import schema as S
+
+    nk = dict(
+        schema_b64=S.schema_to_b64(S.pages_schema()),
+        key="url", key_cols=None, num_partitions=2, partitioner="hash",
+        defaults={}, field_blacklist=(), table_include_regex=None,
+        default_at={},
+    )
+    t = read_normalize_combine([empty, empty], NormalizeEnvelope(**nk),
+                               "url", False, None)
+    assert t is not None and t.num_rows == 0
+    assert "url" in t.column_names and S.LSN in t.column_names
+    # and a mixed group still combines the non-empty segment normally
+    t2 = read_normalize_combine([empty, seg], NormalizeEnvelope(**nk),
+                                "url", False, None)
+    assert t2.num_rows > 0

@@ -347,3 +347,30 @@ def test_tail_serves_health_over_tls(tmp_path, ray_session):
         stop.set()
         t.join(timeout=120)
     assert sum(s.get("events", 0) for s in stats) == spec.n_events
+
+
+def test_tls_stalled_peer_does_not_wedge_accept_loop(tmp_path):
+    """A TCP client that connects but never sends a ClientHello must not
+    block the accept loop: the handshake is deferred to the handler
+    thread, so other clients keep getting answers."""
+    import socket
+    import ssl
+    import urllib.request
+
+    from debezium_incubator_ray.state.health import HealthServer
+
+    cert, key = _self_signed_cert(tmp_path)
+    srv = HealthServer(port=0, ssl_certfile=cert, ssl_keyfile=key).start()
+    try:
+        stalled = socket.create_connection(("127.0.0.1", srv.port))
+        try:
+            ctx = ssl.create_default_context(cafile=cert)
+            with urllib.request.urlopen(
+                f"https://127.0.0.1:{srv.port}/ping", timeout=5,
+                context=ctx,
+            ) as r:
+                assert r.read().decode() == "pong"
+        finally:
+            stalled.close()
+    finally:
+        srv.stop()
