@@ -10909,6 +10909,628 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  for v in t["rev_cbp"].to_pylist()], pa.float64()),
         })
 
+    def join_q21_waiting_supplier(sf_dir):
+        """TPC-H Q21 shape (suppliers who kept orders waiting): in
+        finished ('F') multi-supplier orders, the supplier whose
+        lineitems were the ONLY late ones (shipped > 60 days after the
+        order date — this corpus's lateness analog), counted per
+        supplier. The F-order dates broadcast sorted (q12 pattern);
+        per-batch partials reduce to (order, supplier, any-late) rows;
+        orders co-locate by hash(orderkey) % 64 buckets and each
+        bucket resolves its orders with one vectorized sort +
+        run-length pass — never a per-order group."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+        from debezium_incubator_ray.hashing import partition_ids
+
+        LATE_US = 60 * 86_400 * 1_000_000
+        B = 64
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+            return pa.table({
+                "ok": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "od": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+            })
+
+        ot = collect_table(orders.map_batches(
+            opart, batch_format="pyarrow", zero_copy_batch=True,
+        ), empty=pa.table({"ok": pa.array([], pa.int64()),
+                           "od": pa.array([], pa.int64())}))
+        okv = ot["ok"].to_numpy(zero_copy_only=False)
+        oo = np.argsort(okv)
+        ord_ref = ray.put((okv[oo],
+                           ot["od"].to_numpy(zero_copy_only=False)[oo]))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        EMPTY = pa.table({
+            "okey": pa.array([], pa.int64()),
+            "skey": pa.array([], pa.int64()),
+            "late": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int32()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            okk, odd = ray.get(ord_ref)
+            if t.num_rows == 0 or len(okk) == 0:
+                return EMPTY
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos, found = sorted_lookup(okk, lo)
+            if not found.any():
+                return EMPTY
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            late = (ship > odd[np.clip(pos, 0, len(odd) - 1)]
+                    + LATE_US).astype(np.int64)
+            g = pa.table({
+                "okey": pa.array(lo[found], pa.int64()),
+                "skey": t.filter(pa.array(found))[
+                    "l_suppkey"].combine_chunks().cast(pa.int64()),
+                "late": pa.array(late[found], pa.int64()),
+            }).group_by(["okey", "skey"]).aggregate([("late", "max")])
+            ok2 = g["okey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "okey": g["okey"], "skey": g["skey"],
+                "late": g["late_max"],
+                "b": pa.array(partition_ids(
+                    pa.array(ok2), B, "hash"), pa.int32()),
+            })
+
+        def resolve(g: pa.Table) -> pa.Table:
+            ok2 = g["okey"].to_numpy(zero_copy_only=False)
+            sk2 = g["skey"].to_numpy(zero_copy_only=False)
+            lt2 = g["late"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((sk2, ok2))
+            ok2, sk2, lt2 = ok2[order], sk2[order], lt2[order]
+            # merge duplicate (order, supplier) partials: late = max
+            key_change = np.ones(len(ok2), bool)
+            key_change[1:] = (ok2[1:] != ok2[:-1]) | (sk2[1:] != sk2[:-1])
+            starts = np.nonzero(key_change)[0]
+            oku = ok2[starts]
+            sku = sk2[starts]
+            ltu = np.maximum.reduceat(lt2, starts)
+            # per-order counts over the merged rows
+            ostart = np.ones(len(oku), bool)
+            ostart[1:] = oku[1:] != oku[:-1]
+            os_ = np.nonzero(ostart)[0]
+            n_supp = np.diff(np.append(os_, len(oku)))
+            n_late = np.add.reduceat(ltu, os_)
+            oidx = np.cumsum(ostart) - 1
+            win = ((n_supp[oidx] >= 2) & (n_late[oidx] == 1)
+                   & (ltu == 1))
+            return pa.table({
+                "skey": pa.array(sku[win], pa.int64()),
+                "n": pa.array(np.ones(int(win.sum()), np.int64)),
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("b")
+            .map_groups(resolve, batch_format="pyarrow")
+            .groupby("skey").aggregate(Sum("n", alias_name="numwait"))
+        )
+        t = collect_table(g, empty=pa.table({
+            "skey": pa.array([], pa.int64()),
+            "numwait": pa.array([], pa.int64()),
+        }))
+        st = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name"])
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        so = np.argsort(sk)
+        wk = t["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos, found = sorted_lookup(sk[so], wk)
+        t = t.filter(pa.array(found))
+        return pa.table({
+            "s_name": st["s_name"].take(pa.array(so[pos[found]])),
+            "numwait": t["numwait"],
+        })
+
+    def join_q22_global_sales(sf_dir):
+        """TPC-H Q22 shape (global sales opportunity): customers with an
+        above-average POSITIVE account balance and NO RECENT orders
+        (none since 2000 — this corpus's every customer has SOME order,
+        so recency stands in for Q22's 7-year silence), grouped by
+        'country code' (c_custkey % 7 — no phone column). Balances fold
+        in exact cents; the above-average filter cross-multiplies
+        (cents·n > Σcents, no float mean); the recently-ordering
+        customer set reduces distributed (per-batch unique custkeys)
+        and is bounded by the customer dimension — the same
+        node-sized-dimension posture every join_q* query takes."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import collect_table
+
+        RECENT = np.datetime64("2000-01-01T00:00:00", "us").astype(
+            np.int64)
+        cust = _pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+        )
+        ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = pc.cast(
+            pc.round(pc.multiply(cust["c_acctbal"], 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(od >= RECENT))
+            u = np.unique(t["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            return pa.table({"ckey": pa.array(u, pa.int64())})
+
+        with_orders = np.unique(collect_table(
+            orders.map_batches(opart, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            empty=pa.table({"ckey": pa.array([], pa.int64())}),
+        )["ckey"].to_numpy(zero_copy_only=False))
+
+        pos_mask = cents > 0
+        n_pos = int(pos_mask.sum())
+        sum_pos = int(cents[pos_mask].sum())
+        has_orders = np.isin(ck, with_orders)
+        cand = pos_mask & ~has_orders & (cents * n_pos > sum_pos)
+        code = ck[cand] % 7
+        numcust = np.bincount(code, minlength=7)
+        tot = np.zeros(7, np.int64)
+        np.add.at(tot, code, cents[cand])
+        nz = np.nonzero(numcust)[0]
+        return pa.table({
+            "cntrycode": pa.array(nz, pa.int64()),
+            "numcust": pa.array(numcust[nz], pa.int64()),
+            "totacctbal": pa.array(tot[nz] / 100.0, pa.float64()),
+        })
+
+    def join_q5_local_volume(sf_dir):
+        """TPC-H Q5 shape (local supplier volume): revenue of 1997
+        orders whose lineitem supplier shares the CUSTOMER's nation,
+        per nation. Dimensions (customer, supplier, nation) are
+        node-sized broadcasts; the windowed orders broadcast as a
+        sorted (orderkey → customer-nation) map (the q12 pattern); ONE
+        lineitem pass folds exact cents×bp partials per nation and only
+        25 (nation, sum) rows shuffle."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        LO = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+
+        cust = _pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        co = np.argsort(ck)
+        cnat = cust["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[co]
+        cks = ck[co]
+        sup = _pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        so = np.argsort(sk)
+        sup_ref = ray.put((sk[so], sup["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[so]))
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((od >= LO) & (od < HI)))
+            okv = t["o_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cust_k = t["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos, found = sorted_lookup(cks, cust_k)
+            return pa.table({
+                "ok": pa.array(okv[found], pa.int64()),
+                "nat": pa.array(cnat[pos[found]], pa.int64()),
+            })
+
+        ot = collect_table(orders.map_batches(
+            opart, batch_format="pyarrow", zero_copy_batch=True,
+        ), empty=pa.table({"ok": pa.array([], pa.int64()),
+                           "nat": pa.array([], pa.int64())}))
+        okv = ot["ok"].to_numpy(zero_copy_only=False)
+        oo = np.argsort(okv)
+        ord_ref = ray.put((
+            okv[oo],
+            ot["nat"].to_numpy(zero_copy_only=False)[oo],
+        ))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        )
+        EMPTY = pa.table({"nat": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+
+        def lpart(t: pa.Table) -> pa.Table:
+            okk, onat = ray.get(ord_ref)
+            skk, snat = ray.get(sup_ref)
+            if t.num_rows == 0 or len(okk) == 0 or len(skk) == 0:
+                return EMPTY
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            op_, of = sorted_lookup(okk, lo)
+            sp_, sf = sorted_lookup(skk, ls)
+            m = of & sf
+            m &= np.where(
+                m, onat[np.clip(op_, 0, len(onat) - 1)]
+                == snat[np.clip(sp_, 0, len(snat) - 1)], False)
+            if not m.any():
+                return EMPTY
+            t = t.filter(pa.array(m))
+            price_c = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(t["l_discount"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            nat = onat[op_[m]]
+            rev = price_c * (100 - disc_bp)
+            sums = np.zeros(25, np.int64)
+            np.add.at(sums, nat, rev)
+            nz = np.nonzero(sums)[0]
+            return pa.table({
+                "nat": pa.array(nz, pa.int64()),
+                "rev": pa.array(sums[nz], pa.int64()),
+            })
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("nat").aggregate(Sum("rev", alias_name="rev"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        nt = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+        nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        no = np.argsort(nk)
+        nat_v = t["nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos, found = sorted_lookup(nk[no], nat_v)
+        t = t.filter(pa.array(found))
+        return pa.table({
+            "n_name": nt["n_name"].take(pa.array(no[pos[found]])),
+            "revenue": pa.array(
+                [((int(v) + 50) // 100) / 100.0
+                 for v in t["rev"].to_pylist()], pa.float64()),
+        })
+
+    def join_q17_small_qty_revenue(sf_dir):
+        """TPC-H Q17 shape (small-quantity-order revenue): total price
+        of Brand#13 lineitems whose quantity is below 20% of that
+        part's average quantity, divided by 7 ('average yearly
+        revenue'). Quantities are integral, so the below-average filter
+        cross-multiplies exactly (5·q·cnt < Σq — no float mean); the
+        per-part (Σq, cnt) stats come from one pre-aggregated pass over
+        only the brand's lines (part dimension broadcast) and the
+        revenue folds in exact cents."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        pt = _pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand"],
+        )
+        pk = pt.filter(pc.equal(pt["p_brand"], "Brand#13"))[
+            "p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        brand_ref = ray.put(np.sort(pk))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        EMPTY = pa.table({
+            "l_partkey": pa.array([], pa.int64()),
+            "sq": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "pc_lo": pa.array([], pa.int64()),
+        })
+
+        def lpart(t: pa.Table) -> pa.Table:
+            """Per-batch partial per part: (Σq, cnt) over ALL brand
+            lines plus the price-cents sum KEYED BY (part, qty) — kept
+            as per-(part, qi) rows so the final below-average filter
+            can run once the global (Σq, cnt) is known."""
+            bp = ray.get(brand_ref)
+            if t.num_rows == 0 or len(bp) == 0:
+                return pa.table({
+                    "l_partkey": pa.array([], pa.int64()),
+                    "qi": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                })
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos, found = sorted_lookup(bp, lp)
+            t = t.filter(pa.array(found))
+            if t.num_rows == 0:
+                return pa.table({
+                    "l_partkey": pa.array([], pa.int64()),
+                    "qi": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                })
+            g = pa.table({
+                "l_partkey": t["l_partkey"].combine_chunks().cast(
+                    pa.int64()),
+                "qi": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64()),
+            }).group_by(["l_partkey", "qi"]).aggregate(
+                [("n", "sum"), ("cents", "sum")])
+            return pa.table({
+                "l_partkey": g["l_partkey"], "qi": g["qi"],
+                "n": g["n_sum"], "cents": g["cents_sum"],
+            })
+
+        rows = collect_table(
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            empty=pa.table({
+                "l_partkey": pa.array([], pa.int64()),
+                "qi": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }),
+        )
+        # driver fold over (part, qty) cells — bounded by
+        # |brand parts| × 50 distinct quantities, dimension-sized
+        lpk = rows["l_partkey"].to_numpy(zero_copy_only=False)
+        qi = rows["qi"].to_numpy(zero_copy_only=False)
+        n = rows["n"].to_numpy(zero_copy_only=False)
+        cents = rows["cents"].to_numpy(zero_copy_only=False)
+        if len(lpk) == 0:
+            return pa.table({"avg_yearly": pa.array([None],
+                                                    pa.float64())})
+        order = np.argsort(lpk, kind="stable")
+        ps = lpk[order]
+        uniq, starts = np.unique(ps, return_index=True)
+        sq = np.add.reduceat((qi * n)[order], starts)
+        cnt = np.add.reduceat(n[order], starts)
+        # map each cell back to its part's global (Σq, cnt)
+        pos = np.searchsorted(uniq, lpk)
+        small = 5 * qi * cnt[pos] < sq[pos]
+        total = int(cents[small].sum())
+        if not small.any():
+            return pa.table({"avg_yearly": pa.array([None],
+                                                    pa.float64())})
+        return pa.table({
+            "avg_yearly": pa.array([float(total) / 700.0], pa.float64()),
+        })
+
+    def join_q4_order_priority(sf_dir):
+        """TPC-H Q4 shape (order-priority checking): orders placed in
+        1997-Q3 with at least one LATE lineitem — shipped more than 60
+        days after the order date (this corpus has no commit/receipt
+        dates, so ship-lag stands in) — counted per priority. The
+        WINDOWED orders project to a broadcast sorted (orderkey, date,
+        priority-idx) triple (window-bounded, the q12 broadcast
+        pattern); one lineitem pass emits each late order at most once
+        per batch and the tiny distinct set resolves driver-side
+        (bounded by the 3-month window)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        LO = np.datetime64("1997-07-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("1997-10-01T00:00:00", "us").astype(np.int64)
+        LATE_US = 60 * 86_400 * 1_000_000
+
+        PRI = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+               "5-LOW"]
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+
+        def opart(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((od >= LO) & (od < HI)))
+            return pa.table({
+                "ok": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "od": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+                "pi": pc.cast(pc.index_in(
+                    t["o_orderpriority"],
+                    value_set=pa.array(PRI)), pa.int8()),
+            })
+
+        ot = collect_table(orders.map_batches(
+            opart, batch_format="pyarrow", zero_copy_batch=True,
+        ), empty=pa.table({"ok": pa.array([], pa.int64()),
+                           "od": pa.array([], pa.int64()),
+                           "pi": pa.array([], pa.int8())}))
+        ok = ot["ok"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ok)
+        ord_ref = ray.put((
+            ok[o],
+            ot["od"].to_numpy(zero_copy_only=False)[o],
+            ot["pi"].to_numpy(zero_copy_only=False).astype(np.int64)[o],
+        ))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate"],
+        )
+        EMPTY = pa.table({"okey": pa.array([], pa.int64())})
+
+        def lpart(t: pa.Table) -> pa.Table:
+            okk, odd, _ = ray.get(ord_ref)
+            if len(okk) == 0 or t.num_rows == 0:
+                return EMPTY
+            lo = t["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            pos, found = sorted_lookup(okk, lo)
+            late = found & (ship > odd[np.clip(pos, 0, len(odd) - 1)]
+                            + LATE_US)
+            return pa.table({
+                "okey": pa.array(np.unique(lo[late]), pa.int64()),
+            })
+
+        parts = collect_table(li.map_batches(
+            lpart, batch_format="pyarrow", zero_copy_batch=True,
+        ), empty=EMPTY)
+        okk, odd, pii = ray.get(ord_ref)
+        uniq = np.unique(parts["okey"].to_numpy(zero_copy_only=False))
+        if len(uniq):
+            pos, found = sorted_lookup(okk, uniq)
+            counts = np.bincount(pii[pos[found]], minlength=len(PRI))
+        else:
+            counts = np.zeros(len(PRI), np.int64)
+        keep = counts > 0
+        return pa.table({
+            "o_orderpriority": pa.array(
+                [p for p, k in zip(PRI, keep) if k], pa.string()),
+            "order_count": pa.array(counts[keep], pa.int64()),
+        })
+
+    def join_q18_large_orders(sf_dir):
+        """TPC-H Q18 shape (large-volume orders): orders whose total
+        lineitem quantity exceeds 220 (quantities are integral — the
+        per-order fold is exact int64), with customer/price attributes.
+        Per-batch pre-aggregation bounds the shuffle to (orderkey, qty)
+        partials; the qualifying keys are the far tail of the
+        distribution (KBs) and broadcast into one orders pass — the
+        broadcast-semijoin precedent."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+
+        def lpart(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "l_orderkey": t["l_orderkey"].combine_chunks().cast(
+                    pa.int64()),
+                "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }).group_by(["l_orderkey"]).aggregate([("q", "sum")])
+            return pa.table({
+                "l_orderkey": g["l_orderkey"], "q": g["q_sum"],
+            })
+
+        agg = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_orderkey").aggregate(Sum("q", alias_name="q"))
+        )
+        t = collect_table(agg, empty=pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "q": pa.array([], pa.int64()),
+        }))
+        qv = t["q"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(qv > 220))
+        qk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        o = np.argsort(qk)
+        big_ref = ray.put((
+            qk[o], t["q"].to_numpy(zero_copy_only=False)[o]))
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        EMPTY = pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "sum_qty": pa.array([], pa.int64()),
+        })
+
+        def opart(t2: pa.Table) -> pa.Table:
+            kk, qq = ray.get(big_ref)
+            if len(kk) == 0 or t2.num_rows == 0:
+                return EMPTY
+            okv = t2["o_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos, found = sorted_lookup(kk, okv)
+            t2 = t2.filter(pa.array(found))
+            return pa.table({
+                "o_orderkey": t2["o_orderkey"].combine_chunks().cast(
+                    pa.int64()),
+                "o_custkey": t2["o_custkey"].combine_chunks().cast(
+                    pa.int64()),
+                "o_totalprice": t2["o_totalprice"],
+                "sum_qty": pa.array(qq[pos[found]], pa.int64()),
+            })
+
+        return orders.map_batches(opart, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
     def join_q16_supplier_cnt(sf_dir):
         """TPC-H Q16 shape (supplier diversity per part class): distinct
         supplier count per (brand, type, size) over lineitem-observed
@@ -11210,6 +11832,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q12_priority_class": join_q12_priority_class,
         "join_q13_custdist": join_q13_custdist,
         "join_q15_top_supplier": join_q15_top_supplier,
+        "join_q21_waiting_supplier": join_q21_waiting_supplier,
+        "join_q22_global_sales": join_q22_global_sales,
+        "join_q5_local_volume": join_q5_local_volume,
+        "join_q17_small_qty_revenue": join_q17_small_qty_revenue,
+        "join_q4_order_priority": join_q4_order_priority,
+        "join_q18_large_orders": join_q18_large_orders,
         "join_q16_supplier_cnt": join_q16_supplier_cnt,
         "join_q19_disjunctive": join_q19_disjunctive,
         "orders_qoq_growth": orders_qoq_growth,
@@ -13114,6 +13742,93 @@ def oracle_sql() -> dict[str, str]:
             "((r.rev + 50) // 100) / 100.0 AS total_revenue "
             "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
             "WHERE r.rev = (SELECT max(rev) FROM r)"
+        ),
+        "join_q21_waiting_supplier": (
+            # late = shipped > 60 days after the order date; the lone
+            # late supplier in a multi-supplier finished order
+            "WITH f AS (SELECT o_orderkey, o_orderdate FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "l AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END) AS late FROM lineitem "
+            "JOIN f ON o_orderkey = l_orderkey GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS "
+            "n_supp, SUM(late) AS n_late FROM l GROUP BY 1), "
+            "w AS (SELECT l.l_suppkey FROM l JOIN o USING (l_orderkey) "
+            "WHERE o.n_supp >= 2 AND o.n_late = 1 AND l.late = 1) "
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey "
+            "GROUP BY 1"
+        ),
+        "join_q22_global_sales": (
+            # country code = c_custkey % 7 (no phone column); exact
+            # cents; above-average filter cross-multiplied
+            "WITH pos AS (SELECT c_custkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0), "
+            "st AS (SELECT SUM(cents) AS sc, "
+            "CAST(count(*) AS BIGINT) AS n FROM pos), "
+            "cand AS (SELECT p.c_custkey % 7 AS cntrycode, p.cents "
+            "FROM pos p, st s WHERE p.cents * s.n > s.sc "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = p.c_custkey "
+            "AND o.o_orderdate >= DATE '2000-01-01')) "
+            "SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, "
+            "SUM(cents) / 100.0 AS totacctbal FROM cand GROUP BY 1"
+        ),
+        "join_q5_local_volume": (
+            # customer-local suppliers, 1997 orders; exact cents x bp
+            # revenue, 2dp via half-away integer division
+            "WITH q AS (SELECT c.c_nationkey AS nk, "
+            "CAST(round(l.l_extendedprice * 100) AS HUGEINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "WHERE s.s_nationkey = c.c_nationkey "
+            "AND o.o_orderdate >= DATE '1997-01-01' "
+            "AND o.o_orderdate < DATE '1998-01-01') "
+            "SELECT n.n_name, ((sum(rev) + 50) // 100) / 100.0 "
+            "AS revenue FROM q "
+            "JOIN nation n ON n.n_nationkey = q.nk GROUP BY 1"
+        ),
+        "join_q17_small_qty_revenue": (
+            # integral quantities: the below-average filter
+            # cross-multiplies exactly (5*q*cnt < sum_q); revenue in
+            # exact cents, one float division at the end
+            "WITH bp AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#13'), "
+            "lq AS (SELECT l_partkey, "
+            "CAST(round(l_quantity) AS BIGINT) AS qi, "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT) AS pc "
+            "FROM lineitem JOIN bp ON p_partkey = l_partkey), "
+            "st AS (SELECT l_partkey, SUM(qi) AS sq, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM lq GROUP BY 1) "
+            "SELECT CAST(SUM(l.pc) AS DOUBLE) / 700.0 AS avg_yearly "
+            "FROM lq l JOIN st ON st.l_partkey = l.l_partkey "
+            "WHERE 5 * l.qi * st.cnt < st.sq"
+        ),
+        "join_q4_order_priority": (
+            # late = shipped > 60 days after the order date (no
+            # commit/receipt dates in this corpus)
+            "WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderdate >= DATE '1997-07-01' "
+            "AND o_orderdate < DATE '1997-10-01') "
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS "
+            "order_count FROM o WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY 1"
+        ),
+        "join_q18_large_orders": (
+            "WITH q AS (SELECT l_orderkey, "
+            "CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING CAST(round(SUM(l_quantity)) AS BIGINT) > 220) "
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "q.sum_qty FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey"
         ),
         "join_q16_supplier_cnt": (
             # lineitem stands in for partsupp (no partsupp in this
