@@ -10909,6 +10909,200 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  for v in t["rev_cbp"].to_pylist()], pa.float64()),
         })
 
+    def join_q2_min_cost_supplier(sf_dir):
+        """TPC-H Q2 shape (minimum-cost supplier): for size-15 parts,
+        the EUROPE supplier with the lowest observed unit cost — this
+        corpus has no partsupp, so lineitem IS the observed
+        part-supplier relation (the q16 convention) and unit cost =
+        min(price-cents / quantity) over a pair's lines (both integral,
+        the double division is bit-identical on both sides; ties break
+        by lower suppkey). Dimensions broadcast; one lineitem pass
+        emits per-batch (part, supp, min-unit) partials; the driver
+        fold is bounded by |size-15 parts| × |EUROPE suppliers|."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        pt = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_size"])
+        pk = np.sort(pt.filter(pc.equal(pt["p_size"], 15))[
+            "p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        nt = _pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        rt = _pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        eu_reg = rt.filter(pc.equal(rt["r_name"], "EUROPE"))[
+            "r_regionkey"].to_numpy(zero_copy_only=False)
+        eu_nat = nt.filter(pc.is_in(
+            nt["n_regionkey"], value_set=pa.array(eu_reg)))
+        nat_name = dict(zip(
+            eu_nat["n_nationkey"].to_numpy(zero_copy_only=False),
+            eu_nat["n_name"].to_pylist()))
+        st = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+        st = st.filter(pc.is_in(
+            st["s_nationkey"],
+            value_set=pa.array(list(nat_name), pa.int64())))
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        so = np.argsort(sk)
+        part_ref = ray.put(pk)
+        supp_ref = ray.put(sk[so])
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice"],
+        )
+        EMPTY = pa.table({"pk": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.int64()),
+                          "unit": pa.array([], pa.float64())})
+
+        def lpart(t: pa.Table) -> pa.Table:
+            pks = ray.get(part_ref)
+            sks = ray.get(supp_ref)
+            if t.num_rows == 0 or len(pks) == 0 or len(sks) == 0:
+                return EMPTY
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            _, pf = sorted_lookup(pks, lp)
+            _, sf = sorted_lookup(sks, ls)
+            m = pf & sf
+            if not m.any():
+                return EMPTY
+            t = t.filter(pa.array(m))
+            cents = pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            qty = pc.cast(pc.round(t["l_quantity"]),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+            unit = cents.astype(np.float64) / qty.astype(np.float64)
+            g = pa.table({
+                "pk": pa.array(lp[m], pa.int64()),
+                "sk": pa.array(ls[m], pa.int64()),
+                "unit": pa.array(unit, pa.float64()),
+            }).group_by(["pk", "sk"]).aggregate([("unit", "min")])
+            return pa.table({"pk": g["pk"], "sk": g["sk"],
+                             "unit": g["unit_min"]})
+
+        rows = collect_table(li.map_batches(
+            lpart, batch_format="pyarrow", zero_copy_batch=True,
+        ), empty=EMPTY)
+        pkv = rows["pk"].to_numpy(zero_copy_only=False)
+        skv = rows["sk"].to_numpy(zero_copy_only=False)
+        uv = rows["unit"].to_numpy(zero_copy_only=False)
+        if len(pkv) == 0:
+            return pa.table({
+                "p_partkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "s_acctbal": pa.array([], pa.float64()),
+                "unit_cost": pa.array([], pa.float64()),
+            })
+        # merge cross-batch partials: min unit per (part, supp), then
+        # argmin per part by (unit, suppkey)
+        order = np.lexsort((skv, uv, pkv))
+        pkv, skv, uv = pkv[order], skv[order], uv[order]
+        # sorted by (part, unit, suppkey): the first row per part IS the
+        # (min-unit, lowest-suppkey) winner — cross-batch duplicate
+        # (part, supp) partials sort behind it and fall away
+        first_part = np.ones(len(pkv), bool)
+        first_part[1:] = pkv[1:] != pkv[:-1]
+        win = first_part
+        wpk, wsk, wu = pkv[win], skv[win], uv[win]
+        pos, found = sorted_lookup(sk[so], wsk)
+        nat = st["s_nationkey"].to_numpy(zero_copy_only=False)[so][
+            pos[found]]
+        return pa.table({
+            "p_partkey": pa.array(wpk[found], pa.int64()),
+            "s_name": st["s_name"].take(pa.array(so[pos[found]])),
+            "n_name": pa.array([nat_name[n] for n in nat], pa.string()),
+            "s_acctbal": st["s_acctbal"].take(pa.array(so[pos[found]])),
+            "unit_cost": pa.array(wu[found], pa.float64()),
+        })
+
+    def join_q11_important_parts(sf_dir):
+        """TPC-H Q11 shape (important stock): per-part value observed
+        through one supplier nation-group's lineitems (s_nationkey % 5
+        == 3 — the q7-style group keeps the smallest test scale
+        non-vacuous; no partsupp in this corpus, so lineitem IS the
+        observed relation), keeping parts whose value exceeds 1.5× the
+        average part value — cross-multiplied in exact integer cents
+        (2·n·value > 3·total), never a float mean."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        st = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+        nk = st["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sk = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[nk % 5 == 3]
+        supp_ref = ray.put(np.sort(sk))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        EMPTY = pa.table({"p_partkey": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+
+        def lpart(t: pa.Table) -> pa.Table:
+            sks = ray.get(supp_ref)
+            if t.num_rows == 0 or len(sks) == 0:
+                return EMPTY
+            ls = t["l_suppkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            _, found = sorted_lookup(sks, ls)
+            if not found.any():
+                return EMPTY
+            t = t.filter(pa.array(found))
+            g = pa.table({
+                "p_partkey": t["l_partkey"].combine_chunks().cast(
+                    pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64()),
+            }).group_by(["p_partkey"]).aggregate([("cents", "sum")])
+            return pa.table({"p_partkey": g["p_partkey"],
+                             "cents": g["cents_sum"]})
+
+        g = (
+            li.map_batches(lpart, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("p_partkey").aggregate(Sum("cents",
+                                               alias_name="cents"))
+        )
+        t = collect_table(g, empty=EMPTY)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        n = len(cents)
+        tot = int(cents.sum())
+        if n == 0:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        keep = 2 * n * cents.astype(object) > 3 * tot  # exact bigints
+        keep = np.array(list(keep), dtype=bool)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "value": pa.array(
+                [int(v) / 100.0 for v in t["cents"].to_pylist()],
+                pa.float64()),
+        })
+
     def join_q21_waiting_supplier(sf_dir):
         """TPC-H Q21 shape (suppliers who kept orders waiting): in
         finished ('F') multi-supplier orders, the supplier whose
@@ -11832,6 +12026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q12_priority_class": join_q12_priority_class,
         "join_q13_custdist": join_q13_custdist,
         "join_q15_top_supplier": join_q15_top_supplier,
+        "join_q2_min_cost_supplier": join_q2_min_cost_supplier,
+        "join_q11_important_parts": join_q11_important_parts,
         "join_q21_waiting_supplier": join_q21_waiting_supplier,
         "join_q22_global_sales": join_q22_global_sales,
         "join_q5_local_volume": join_q5_local_volume,
@@ -13742,6 +13938,43 @@ def oracle_sql() -> dict[str, str]:
             "((r.rev + 50) // 100) / 100.0 AS total_revenue "
             "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
             "WHERE r.rev = (SELECT max(rev) FROM r)"
+        ),
+        "join_q2_min_cost_supplier": (
+            # lineitem as the observed part-supplier relation (the q16
+            # convention); unit cost = cents/qty in DOUBLE (integral
+            # inputs, bit-identical division both sides); ties by
+            # lower suppkey
+            "WITH es AS (SELECT s_suppkey, s_name, s_acctbal, n_name "
+            "FROM supplier s "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE r.r_name = 'EUROPE'), "
+            "pp AS (SELECT p_partkey FROM part WHERE p_size = 15), "
+            "u AS (SELECT l.l_partkey, l.l_suppkey, "
+            "MIN(CAST(round(l.l_extendedprice * 100) AS DOUBLE) "
+            "/ round(l.l_quantity)) AS unit FROM lineitem l "
+            "JOIN pp ON pp.p_partkey = l.l_partkey "
+            "JOIN es ON es.s_suppkey = l.l_suppkey GROUP BY 1, 2), "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY l_partkey "
+            "ORDER BY unit, l_suppkey) AS rn FROM u) "
+            "SELECT w.l_partkey AS p_partkey, es.s_name, es.n_name, "
+            "es.s_acctbal, w.unit AS unit_cost FROM w "
+            "JOIN es ON es.s_suppkey = w.l_suppkey WHERE rn = 1"
+        ),
+        "join_q11_important_parts": (
+            # supplier nation-group s_nationkey % 5 = 3; keep parts
+            # above 1.5x the average part value — cross-multiplied in
+            # exact integer cents
+            "WITH gs AS (SELECT s_suppkey FROM supplier "
+            "WHERE s_nationkey % 5 = 3), "
+            "v AS (SELECT l_partkey AS p_partkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS "
+            "cents FROM lineitem "
+            "JOIN gs ON gs.s_suppkey = l_suppkey GROUP BY 1), "
+            "t AS (SELECT SUM(cents) AS tot, "
+            "CAST(count(*) AS HUGEINT) AS n FROM v) "
+            "SELECT p_partkey, cents / 100.0 AS value FROM v, t "
+            "WHERE 2 * n * cents > 3 * tot"
         ),
         "join_q21_waiting_supplier": (
             # late = shipped > 60 days after the order date; the lone
