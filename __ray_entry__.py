@@ -10909,6 +10909,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  for v in t["rev_cbp"].to_pylist()], pa.float64()),
         })
 
+    def join_q20_dominant_supplier(sf_dir):
+        """TPC-H Q20 shape (potential part promotion): suppliers who
+        DOMINATED a PROMO part's 1997 volume — shipped more than half
+        of the part's total quantity that year (this corpus has no
+        partsupp availqty, so observed volume share stands in for the
+        excess-stock predicate), counted per supplier. Quantities are
+        integral: the half-share filter cross-multiplies exactly
+        (2·q > total). PROMO partkeys broadcast; per-batch (part,
+        supplier) quantity partials fold driver-side (bounded by
+        |PROMO parts| × suppliers-per-part, the q2 posture)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+        import ray
+        import ray.data
+        from debezium_incubator_ray.functions.kernels import (
+            collect_table, sorted_lookup,
+        )
+
+        LO = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+        HI = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+
+        pt = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_type"])
+        pk = np.sort(pt.filter(pc.equal(pt["p_type"], "PROMO"))[
+            "p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        part_ref = ray.put(pk)
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_shipdate"],
+        )
+        EMPTY = pa.table({"pk": pa.array([], pa.int64()),
+                          "sk": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.int64())})
+
+        def lpart(t: pa.Table) -> pa.Table:
+            pks = ray.get(part_ref)
+            if t.num_rows == 0 or len(pks) == 0:
+                return EMPTY
+            ship = t["l_shipdate"].combine_chunks().cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            lp = t["l_partkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            _, pf = sorted_lookup(pks, lp)
+            m = pf & (ship >= LO) & (ship < HI)
+            if not m.any():
+                return EMPTY
+            t = t.filter(pa.array(m))
+            g = pa.table({
+                "pk": pa.array(lp[m], pa.int64()),
+                "sk": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }).group_by(["pk", "sk"]).aggregate([("q", "sum")])
+            return pa.table({"pk": g["pk"], "sk": g["sk"],
+                             "q": g["q_sum"]})
+
+        rows = collect_table(li.map_batches(
+            lpart, batch_format="pyarrow", zero_copy_batch=True,
+        ), empty=EMPTY)
+        pkv = rows["pk"].to_numpy(zero_copy_only=False)
+        skv = rows["sk"].to_numpy(zero_copy_only=False)
+        qv = rows["q"].to_numpy(zero_copy_only=False)
+        if len(pkv) == 0:
+            return pa.table({"s_name": pa.array([], pa.string()),
+                             "n_parts": pa.array([], pa.int64())})
+        # merge cross-batch partials per (part, supp), totals per part
+        order = np.lexsort((skv, pkv))
+        pkv, skv, qv = pkv[order], skv[order], qv[order]
+        pair = np.ones(len(pkv), bool)
+        pair[1:] = (pkv[1:] != pkv[:-1]) | (skv[1:] != skv[:-1])
+        ps = np.nonzero(pair)[0]
+        pku, sku = pkv[ps], skv[ps]
+        qu = np.add.reduceat(qv, ps)
+        pstart = np.ones(len(pku), bool)
+        pstart[1:] = pku[1:] != pku[:-1]
+        os_ = np.nonzero(pstart)[0]
+        tot = np.add.reduceat(qu, os_)
+        pidx = np.cumsum(pstart) - 1
+        win = 2 * qu > tot[pidx]
+        wsk = sku[win]
+        usk, counts = np.unique(wsk, return_counts=True)
+        st = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name"])
+        sk2 = st["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        so = np.argsort(sk2)
+        pos, found = sorted_lookup(sk2[so], usk)
+        return pa.table({
+            "s_name": st["s_name"].take(pa.array(so[pos[found]])),
+            "n_parts": pa.array(counts[found], pa.int64()),
+        })
+
     def join_q2_min_cost_supplier(sf_dir):
         """TPC-H Q2 shape (minimum-cost supplier): for size-15 parts,
         the EUROPE supplier with the lowest observed unit cost — this
@@ -12027,6 +12122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_q13_custdist": join_q13_custdist,
         "join_q15_top_supplier": join_q15_top_supplier,
         "join_q2_min_cost_supplier": join_q2_min_cost_supplier,
+        "join_q20_dominant_supplier": join_q20_dominant_supplier,
         "join_q11_important_parts": join_q11_important_parts,
         "join_q21_waiting_supplier": join_q21_waiting_supplier,
         "join_q22_global_sales": join_q22_global_sales,
@@ -13938,6 +14034,23 @@ def oracle_sql() -> dict[str, str]:
             "((r.rev + 50) // 100) / 100.0 AS total_revenue "
             "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
             "WHERE r.rev = (SELECT max(rev) FROM r)"
+        ),
+        "join_q20_dominant_supplier": (
+            # half-share filter cross-multiplied on integral quantities
+            "WITH pp AS (SELECT p_partkey FROM part "
+            "WHERE p_type = 'PROMO'), "
+            "lq AS (SELECT l_partkey, l_suppkey, "
+            "SUM(CAST(round(l_quantity) AS BIGINT)) AS q FROM lineitem "
+            "JOIN pp ON pp.p_partkey = l_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT l_partkey, SUM(q) AS tot FROM lq GROUP BY 1), "
+            "w AS (SELECT lq.l_suppkey FROM lq "
+            "JOIN t USING (l_partkey) WHERE 2 * lq.q > t.tot) "
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_parts "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey "
+            "GROUP BY 1"
         ),
         "join_q2_min_cost_supplier": (
             # lineitem as the observed part-supplier relation (the q16

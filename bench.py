@@ -401,7 +401,8 @@ def main() -> None:
         "join_q7_volume", "join_q8_market_share", "join_q9_profit",
         "join_q13_custdist", "join_q15_top_supplier",
         "join_q16_supplier_cnt", "join_q19_disjunctive",
-        "join_q2_min_cost_supplier", "join_q4_order_priority",
+        "join_q2_min_cost_supplier", "join_q20_dominant_supplier",
+        "join_q4_order_priority",
         "join_q5_local_volume", "join_q11_important_parts",
         "join_q17_small_qty_revenue", "join_q18_large_orders",
         "join_q21_waiting_supplier", "join_q22_global_sales",
