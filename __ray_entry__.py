@@ -11108,8 +11108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (part, supp) partials sort behind it and fall away
         first_part = np.ones(len(pkv), bool)
         first_part[1:] = pkv[1:] != pkv[:-1]
-        win = first_part
-        wpk, wsk, wu = pkv[win], skv[win], uv[win]
+        wpk, wsk, wu = pkv[first_part], skv[first_part], uv[first_part]
         pos, found = sorted_lookup(sk[so], wsk)
         nat = st["s_nationkey"].to_numpy(zero_copy_only=False)[so][
             pos[found]]
@@ -11188,8 +11187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if n == 0:
             return pa.table({"p_partkey": pa.array([], pa.int64()),
                              "value": pa.array([], pa.float64())})
-        keep = 2 * n * cents.astype(object) > 3 * tot  # exact bigints
-        keep = np.array(list(keep), dtype=bool)
+        keep = (2 * n * cents.astype(object) > 3 * tot).astype(bool)
         t = t.filter(pa.array(keep))
         return pa.table({
             "p_partkey": t["p_partkey"],
@@ -11567,9 +11565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         EMPTY = pa.table({
             "l_partkey": pa.array([], pa.int64()),
-            "sq": pa.array([], pa.int64()),
-            "cnt": pa.array([], pa.int64()),
-            "pc_lo": pa.array([], pa.int64()),
+            "qi": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
         })
 
         def lpart(t: pa.Table) -> pa.Table:
@@ -11579,23 +11577,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             can run once the global (Σq, cnt) is known."""
             bp = ray.get(brand_ref)
             if t.num_rows == 0 or len(bp) == 0:
-                return pa.table({
-                    "l_partkey": pa.array([], pa.int64()),
-                    "qi": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "cents": pa.array([], pa.int64()),
-                })
+                return EMPTY
             lp = t["l_partkey"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
             pos, found = sorted_lookup(bp, lp)
             t = t.filter(pa.array(found))
             if t.num_rows == 0:
-                return pa.table({
-                    "l_partkey": pa.array([], pa.int64()),
-                    "qi": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "cents": pa.array([], pa.int64()),
-                })
+                return EMPTY
             g = pa.table({
                 "l_partkey": t["l_partkey"].combine_chunks().cast(
                     pa.int64()),
@@ -11614,12 +11602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows = collect_table(
             li.map_batches(lpart, batch_format="pyarrow",
                            zero_copy_batch=True),
-            empty=pa.table({
-                "l_partkey": pa.array([], pa.int64()),
-                "qi": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-                "cents": pa.array([], pa.int64()),
-            }),
+            empty=EMPTY,
         )
         # driver fold over (part, qty) cells — bounded by
         # |brand parts| × 50 distinct quantities, dimension-sized
@@ -11680,12 +11663,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             od = t["o_orderdate"].combine_chunks().cast(
                 pa.int64()).to_numpy(zero_copy_only=False)
             t = t.filter(pa.array((od >= LO) & (od < HI)))
+            idx = pc.index_in(t["o_orderpriority"],
+                              value_set=pa.array(PRI))
+            if t.num_rows and pc.any(pc.is_null(idx)).as_py():
+                # fail loud: a priority outside the known set would
+                # silently misattribute counts through the int codes
+                raise ValueError(
+                    "o_orderpriority outside the known value set"
+                )
             return pa.table({
                 "ok": t["o_orderkey"].combine_chunks().cast(pa.int64()),
                 "od": t["o_orderdate"].combine_chunks().cast(pa.int64()),
-                "pi": pc.cast(pc.index_in(
-                    t["o_orderpriority"],
-                    value_set=pa.array(PRI)), pa.int8()),
+                "pi": pc.cast(idx, pa.int8()),
             })
 
         ot = collect_table(orders.map_batches(
