@@ -84,7 +84,32 @@ def build_workload(sf_dir: str, mult: int, root: str):
     return spec, binlog, pages_dir
 
 
-def run_leg(mode: str, cpus_per_node: int, sf_dir: str, mult: int) -> None:
+def _parity_route(t):
+    """Outbox-style routing SMT for the demux leg: url's last digit's
+    parity picks the destination table (the multinode_driver law-4
+    shape)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = t["source"].combine_chunks()
+    after = t["after"].combine_chunks()
+    last = pc.extract_regex(after.field("url"), r"(?P<d>\d)$")
+    parity = pc.bit_wise_and(
+        pc.cast(pc.struct_field(last, "d"), pa.int64()), 1)
+    tbl = pc.if_else(pc.equal(parity, 0),
+                     pa.scalar("pages_even"), pa.scalar("pages_odd"))
+    if isinstance(tbl, pa.ChunkedArray):
+        tbl = tbl.combine_chunks()
+    names = [src.type.field(i).name for i in range(src.type.num_fields)]
+    arrs = [tbl if n == "table" else src.field(i)
+            for i, n in enumerate(names)]
+    new_src = pa.StructArray.from_arrays(arrs, names=names)
+    i = t.schema.get_field_index("source")
+    return t.set_column(i, t.schema.field("source"), new_src)
+
+
+def run_leg(mode: str, cpus_per_node: int, sf_dir: str, mult: int,
+            demux: bool = False) -> None:
     import ray
 
     root = "/tmp/dbzray-bench"
@@ -133,6 +158,32 @@ def run_leg(mode: str, cpus_per_node: int, sf_dir: str, mult: int) -> None:
         _warm, num_cpus=1
     ).count()
 
+    if demux:
+        # multi-table (outbox-routed) objref epoch: one binlog demuxed
+        # into two lakes by url parity — the fully-fused
+        # read_split_block_demux path
+        from debezium_incubator_ray.pipelines.lake import Lake
+
+        lk = Lake(lake)
+        for name in ("pages_even", "pages_odd"):
+            lk.create_table(name, S.pages_schema(), EngineConfig(
+                num_partitions=32, exchange="objref",
+                target_rows_per_file=250_000,
+            ))
+        t1 = time.perf_counter()
+        st = lk.apply_epoch_demux(binlog, route_fn=_parity_route)
+        t_apply = time.perf_counter() - t1
+        # deletes have a null after -> null route -> no table (the
+        # law-4 contract), so routed events < generated events
+        assert 0 < st["events"] <= spec.n_events, st
+        print(json.dumps({
+            "mode": mode, "demux": True, "cpus_per_node": cpus_per_node,
+            "ncpu": ncpu, "n_events": st["events"], "t_snap": 0.0,
+            "t_apply": round(t_apply, 3),
+            "events_per_s": round(st["events"] / t_apply, 1),
+        }))
+        ray.shutdown()
+        return
     cfg = EngineConfig(
         num_partitions=64, apply_concurrency=ncpu,
         target_rows_per_file=250_000, exchange="objref",
@@ -166,9 +217,13 @@ def main() -> None:
         "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--mult", type=int, default=int(os.environ.get(
         "GRAFT_BENCH_MULT", "16")))
+    ap.add_argument("--demux", action="store_true",
+                    help="time the multi-table (outbox-routed) demux "
+                         "epoch instead of the single-table one")
     args = ap.parse_args()
     if args.mode in ("cluster", "local"):
-        run_leg(args.mode, args.cpus_per_node, args.sf, args.mult)
+        run_leg(args.mode, args.cpus_per_node, args.sf, args.mult,
+                demux=args.demux)
         return
     results = {}
     env = dict(os.environ)  # module import already merged REPO into PYTHONPATH
@@ -177,7 +232,8 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--mode", mode,
              "--cpus-per-node", str(args.cpus_per_node),
-             "--sf", args.sf, "--mult", str(args.mult)],
+             "--sf", args.sf, "--mult", str(args.mult)]
+            + (["--demux"] if args.demux else []),
             capture_output=True, text=True, env=env, cwd=REPO,
             timeout=1800,
         )
