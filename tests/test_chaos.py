@@ -163,3 +163,131 @@ def test_mor_crash_between_delta_write_and_commit_invisible(tmp_path, ray_sessio
         for n in names:
             on_disk.add(os.path.relpath(os.path.join(dirpath, n), lake))
     assert on_disk == live
+
+
+def test_objref_apply_task_death_is_retried_exactly_once(
+        tmp_path, monkeypatch):
+    """The fused objref exchange's stage-2 task dies abruptly mid-epoch
+    (process kill): Ray retries it, the slice objects are still
+    resident, and the manifest protocol keeps the result exactly-once
+    (no dup/missing rows vs the oracle)."""
+    import ray
+
+    from debezium_incubator_ray.stages import exchange as EX
+
+    kill_marker = str(tmp_path / "killed-once")
+
+    @ray.remote
+    def flaky_apply(ctor, p, *payloads):
+        import os as _os
+
+        import pyarrow as _pa
+
+        from debezium_incubator_ray.stages.apply import PartitionApplier
+        from debezium_incubator_ray.stages.exchange import (
+            _flatten_payloads, _ipc_bytes_to_table,
+        )
+        try:
+            fd = _os.open(kill_marker,
+                          _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            _os._exit(1)  # abrupt worker death, not an exception
+        except FileExistsError:
+            pass
+        events = _pa.concat_tables(
+            [_ipc_bytes_to_table(b) for b in _flatten_payloads(payloads)]
+        )
+        return PartitionApplier(**ctor)(events)
+
+    monkeypatch.setattr(EX, "apply_partition_slices", flaky_apply)
+
+    spec = gen.BinlogSpec(
+        n_events=400, n_initial=80, seg_rows=64, num_partitions=4, seed=19
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=64,
+                     exchange="objref", aligned_binlog="never"),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+
+    assert os.path.exists(kill_marker), "the chaos kill never fired"
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")
+    lt = eng.lake_table()
+    urls = lt["url"].to_pylist()
+    assert len(urls) == len(set(urls))
+
+
+def test_objref_split_task_death_is_retried_exactly_once(
+        tmp_path, monkeypatch):
+    """Stage-1 (the fused read+normalize+split task) dies abruptly:
+    the retry recomputes the slices from the segment files and the
+    epoch still lands exactly-once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from debezium_incubator_ray.stages import exchange as EX
+
+    kill_marker = str(tmp_path / "killed-once")
+
+    @ray.remote
+    def flaky_split(paths, norm_kwargs, key, merge_partial,
+                    read_batch, P):
+        import os as _os
+
+        from debezium_incubator_ray.stages.exchange import (
+            _partition_slices, _table_to_ipc_bytes,
+            read_normalize_combine,
+        )
+        from debezium_incubator_ray.stages.normalize import (
+            NormalizeEnvelope,
+        )
+        try:
+            fd = _os.open(kill_marker,
+                          _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            _os._exit(1)
+        except FileExistsError:
+            pass
+        norm = NormalizeEnvelope(**norm_kwargs)
+        t = read_normalize_combine(paths, norm, key, merge_partial,
+                                   read_batch)
+        counts = np.zeros(P, dtype=np.int64)
+        slices = [None] * P
+        if t is not None and t.num_rows:
+            for p, sl in _partition_slices(t, P):
+                counts[p] = sl.num_rows
+                slices[p] = _table_to_ipc_bytes(sl)
+        meta = (counts.tolist(),
+                ray.get_runtime_context().get_node_id())
+        return (meta, *slices)
+
+    monkeypatch.setattr(EX, "read_split_block", flaky_split)
+
+    spec = gen.BinlogSpec(
+        n_events=400, n_initial=80, seg_rows=64, num_partitions=4, seed=23
+    )
+    ev = gen.gen_events(spec)
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(binlog, spec, ev)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(
+        lake,
+        EngineConfig(num_partitions=4, target_rows_per_file=64,
+                     exchange="objref", aligned_binlog="never"),
+        payload_schema=S.pages_schema(),
+    )
+    eng.snapshot(gen.make_pages(spec.n_initial))
+    eng.run(binlog)
+
+    assert os.path.exists(kill_marker), "the chaos kill never fired"
+    oracle = gen.oracle_final_state(spec, ev)
+    assert_tables_equal(eng.lake_table(), oracle, sort_by="url")

@@ -123,3 +123,53 @@ def test_refusal_surface():
     sub = pay[:comp0 + 1] + b"\x22" + pay[comp0 + 2:]
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg_baseline(sub)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.integers(1, 3), st.integers(1, 2),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from([8, 16, 24]),
+    st.sampled_from([1, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_roundtrip_any_coefficients(bw, bh, seed, q0, ncomp):
+    """PROPERTY: any quantized coefficient planes (any block grid, any
+    flat quant step, gray or 4:4:4 color) encode+decode to exactly the
+    clipped rounded IDCT of the dequantized blocks — matrix-IDCT
+    reference computed independently of the decoder's path order."""
+    rng = np.random.default_rng(seed)
+    planes = [rng.integers(-40, 41, size=(bh, bw, 8, 8))
+              for _ in range(ncomp)]
+    img = decode_jpeg_baseline(
+        encode_jpeg_baseline(planes, bw * 8, bh * 8, q0=q0))
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+
+    def plane_pixels(blocks):
+        out = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                F = blocks[by, bx] * float(q0)
+                out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = A.T @ F @ A
+        return np.clip(np.round(out + 128.0), 0, 255)
+
+    if ncomp == 1:
+        assert img.shape == (bh * 8, bw * 8)
+        assert (img == plane_pixels(planes[0]).astype(np.uint8)).all()
+    else:
+        y, cb, cr = (plane_pixels(p) for p in planes)
+        r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+        g = np.clip(np.round(
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+            0, 255)
+        b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
+        want = np.stack([r, g, b], axis=2).astype(np.uint8)
+        assert img.shape == (bh * 8, bw * 8, 3)
+        assert (img == want).all()
