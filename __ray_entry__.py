@@ -3276,6 +3276,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          concurrency=(1, 4))
         )
 
+    def multimodal_webp_meta(sf_dir):
+        """WebP header metadata extraction (all three container
+        variants — lossy 'VP8 ' frame header, lossless 'VP8L' packed
+        bit fields, extended 'VP8X' canvas) through the vectorized
+        byte-level parser; pixel decode stays honestly library-bound.
+        The oracle restates the generator's dimension/alpha formulas
+        with no parser."""
+        import pyarrow as pa
+        import ray.data
+        from debezium_incubator_ray.functions.multimodal import (
+            MediaHeaderParser, synth_webp_headers,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"],
+        )
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "payload": synth_webp_headers(ids),
+            })
+
+        return (
+            ds.map_batches(to_payload, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(MediaHeaderParser, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=256,
+                         concurrency=(1, 4))
+            .select_columns(["doc_id", "kind", "width", "height",
+                             "channels", "bit_depth"])
+        )
+
     def multimodal_jpeg_stats(sf_dir):
         """REAL baseline-JPEG decode round-trip: deterministic grayscale
         baseline-sequential JPEGs (DC-only blocks, flat q0=16 quant)
@@ -12091,6 +12128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_entropy": text_unigram_entropy,
         "multimodal_pixel_stats": multimodal_pixel_stats,
         "multimodal_jpeg_stats": multimodal_jpeg_stats,
+        "multimodal_webp_meta": multimodal_webp_meta,
         "dedup_phash_groups": dedup_phash_groups,
         "text_fertility_by_lang": text_fertility_by_lang,
         "docs_length_by_lang_quantiles": docs_length_by_lang_quantiles,
@@ -13635,6 +13673,18 @@ def oracle_sql() -> dict[str, str]:
             "MAX(v) AS value_max FROM wpx GROUP BY 1) "
             "SELECT * FROM istat UNION ALL SELECT * FROM wstat "
             "ORDER BY doc_id"
+        ),
+        "multimodal_webp_meta": (
+            # synth_webp_headers closed forms, NO parser: variant =
+            # doc_id % 3 (0 lossy, 1 lossless, 2 extended), s =
+            # doc_id // 3, w = s%300+1, h = s%200+1, alpha
+            # (lossless/extended) = s%2
+            "SELECT doc_id, 'webp' AS kind, "
+            "CAST((doc_id // 3) % 300 + 1 AS BIGINT) AS width, "
+            "CAST((doc_id // 3) % 200 + 1 AS BIGINT) AS height, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 3 "
+            "ELSE 3 + (doc_id // 3) % 2 END AS BIGINT) AS channels, "
+            "CAST(8 AS BIGINT) AS bit_depth FROM documents"
         ),
         "multimodal_jpeg_stats": (
             # synth_jpeg_payloads closed form, NO decoder: grayscale

@@ -207,7 +207,8 @@ def main() -> None:
         "text_quality", "text_fingerprint", "text_lang_id", "ann_brute_topk",
         "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk",
         "embedding_kmeans",
-        "type_normalization", "multimodal_meta", "dedup_embedding",
+        "type_normalization", "multimodal_meta", "multimodal_webp_meta",
+        "dedup_embedding",
         "dedup_ngram_jaccard", "dedup_clusters", "sample_stratified",
         "docs_quality_filter", "text_tfidf_topterms", "windowed_agg",
         "windowed_session_agg", "topk_per_group", "quantiles_by_type",

@@ -305,9 +305,12 @@ def parse_media_headers(
 ) -> pa.Table:
     """Vectorized container sniff + header parse of a binary column.
 
-    Emits one row per payload: kind ('png' | 'bmp' | 'wav' | 'unknown'),
-    width/height/channels/bit_depth (images), channels/bit_depth/
-    sample_rate/n_samples (wav); fields that do not apply are NULL.
+    Emits one row per payload: kind ('png' | 'bmp' | 'wav' | 'webp' |
+    'unknown'), width/height/channels/bit_depth (images),
+    channels/bit_depth/sample_rate/n_samples (wav); fields that do not
+    apply are NULL. WebP covers all three container variants (lossy
+    'VP8 ' frame header, lossless 'VP8L' packed bit fields, extended
+    'VP8X' canvas) — metadata only; pixel decode stays library-bound.
 
     - PNG: IHDR at its mandatory first-chunk position — width/height
       u32 big-endian at 16/20, bit depth at 24, channels from the color
@@ -352,6 +355,33 @@ def parse_media_headers(
         & (_byte_at(flat, starts, lens, 38) == 0x74)
         & (_byte_at(flat, starts, lens, 39) == 0x61)
     )
+    # WebP: RIFF container with 'WEBP' form type; first chunk tag picks
+    # the variant — 'VP8 ' lossy (dims in the VP8 frame header behind
+    # the 0x9D012A start code, 14-bit fields), 'VP8L' lossless (packed
+    # 14-bit width-1/height-1 + alpha bit behind the 0x2F signature),
+    # 'VP8X' extended (24-bit canvas minus-one dims + alpha flag)
+    is_riff_webp = (
+        (lens >= 30)
+        & (b[0] == 0x52) & (b[1] == 0x49) & (b[2] == 0x46) & (b[3] == 0x46)
+        & (b[8] == 0x57) & (b[9] == 0x45) & (b[10] == 0x42) & (b[11] == 0x50)
+        & ~is_png & ~is_bmp & ~is_wav
+    )
+    tag3 = _byte_at(flat, starts, lens, 15)
+    is_vp8 = (
+        is_riff_webp & (b[12] == 0x56) & (b[13] == 0x50) & (b[14] == 0x38)
+    )
+    webp_lossy = (
+        is_vp8 & (tag3 == 0x20)
+        & (_byte_at(flat, starts, lens, 23) == 0x9D)
+        & (_byte_at(flat, starts, lens, 24) == 0x01)
+        & (_byte_at(flat, starts, lens, 25) == 0x2A)
+    )
+    webp_lossless = (
+        is_vp8 & (tag3 == 0x4C)
+        & (_byte_at(flat, starts, lens, 20) == 0x2F)
+    )
+    webp_ext = is_vp8 & (tag3 == 0x58)
+    is_webp = webp_lossy | webp_lossless | webp_ext
 
     width = np.zeros(n, dtype=np.int64)
     height = np.zeros(n, dtype=np.int64)
@@ -398,14 +428,41 @@ def parse_media_headers(
     sample_rate[is_wav] = rate_w[is_wav]
     n_samples[wav_has_data] = (data_w // block)[wav_has_data]
 
+    # lossy: 14-bit dims at 26/28 behind the frame start code
+    width[webp_lossy] = (_u16le(flat, starts, lens, 26) & 0x3FFF)[
+        webp_lossy]
+    height[webp_lossy] = (_u16le(flat, starts, lens, 28) & 0x3FFF)[
+        webp_lossy]
+    channels[webp_lossy] = 3
+    # lossless: u32le at 21 packs (width-1, height-1, alpha) bit fields
+    lbits = _u32le(flat, starts, lens, 21)
+    width[webp_lossless] = ((lbits & 0x3FFF) + 1)[webp_lossless]
+    height[webp_lossless] = (((lbits >> 14) & 0x3FFF) + 1)[webp_lossless]
+    channels[webp_lossless] = (3 + ((lbits >> 28) & 1))[webp_lossless]
+    # extended: flags at 20 (bit 4 = alpha), 24-bit minus-one canvas
+    # dims at 24/27
+    xflags = _byte_at(flat, starts, lens, 20)
+    w24 = (_byte_at(flat, starts, lens, 24)
+           | (_byte_at(flat, starts, lens, 25) << 8)
+           | (_byte_at(flat, starts, lens, 26) << 16))
+    h24 = (_byte_at(flat, starts, lens, 27)
+           | (_byte_at(flat, starts, lens, 28) << 8)
+           | (_byte_at(flat, starts, lens, 29) << 16))
+    width[webp_ext] = (w24 + 1)[webp_ext]
+    height[webp_ext] = (h24 + 1)[webp_ext]
+    channels[webp_ext] = (3 + ((xflags >> 4) & 1))[webp_ext]
+    bit_depth[is_webp] = 8
+
     kind_codes = np.where(
-        is_png, 0, np.where(is_bmp, 1, np.where(is_wav, 2, 3))
+        is_png, 0, np.where(is_bmp, 1, np.where(
+            is_wav, 2, np.where(is_webp, 3, 4)))
     ).astype(np.int32)
     kind = pc.take(
-        pa.array(["png", "bmp", "wav", "unknown"]), pa.array(kind_codes)
+        pa.array(["png", "bmp", "wav", "webp", "unknown"]),
+        pa.array(kind_codes),
     )
-    is_img = is_png | is_bmp
-    ch_known = is_png | bmp_known | is_wav
+    is_img = is_png | is_bmp | is_webp
+    ch_known = is_png | bmp_known | is_wav | is_webp
 
     def col(vals, mask):
         m = mask & np.asarray(valid.to_numpy(zero_copy_only=False))
@@ -424,6 +481,41 @@ def parse_media_headers(
         "n_samples": col(n_samples, wav_has_data),
     })
     return pa.table(cols)
+
+
+def synth_webp_headers(doc_id: np.ndarray) -> pa.Array:
+    """Deterministic header-only WebP payloads covering all three
+    container variants (variant = doc_id % 3: 0 lossy 'VP8 ', 1
+    lossless 'VP8L', 2 extended 'VP8X'); s = doc_id // 3 varies the
+    closed forms a SQL oracle restates: w = s % 300 + 1,
+    h = s % 200 + 1, alpha (lossless/extended only) = s % 2. Header
+    bytes only — the pixel payload stays opaque, which is exactly the
+    shape parse_media_headers is specified for."""
+    import struct
+
+    out = []
+    for d in np.asarray(doc_id, dtype=np.int64):
+        d = int(d)
+        variant, s = d % 3, d // 3
+        w, h = s % 300 + 1, s % 200 + 1
+        alpha = s % 2
+        if variant == 0:  # lossy: frame tag + start code + 14-bit dims
+            body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                    + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+                    + b"\x00" * 4)
+            chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+        elif variant == 1:  # lossless: 0x2F + packed bit fields
+            bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+            body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 5
+            chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+        else:  # extended: flags + 24-bit minus-one canvas dims
+            body = (bytes([0x10 if alpha else 0x00]) + b"\x00\x00\x00"
+                    + struct.pack("<I", w - 1)[:3]
+                    + struct.pack("<I", h - 1)[:3])
+            chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+        riff = b"WEBP" + chunk
+        out.append(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    return pa.array(out, pa.large_binary())
 
 
 class MediaHeaderParser:
