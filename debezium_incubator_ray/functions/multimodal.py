@@ -306,11 +306,13 @@ def parse_media_headers(
     """Vectorized container sniff + header parse of a binary column.
 
     Emits one row per payload: kind ('png' | 'bmp' | 'wav' | 'webp' |
-    'unknown'), width/height/channels/bit_depth (images),
+    'gif' | 'unknown'), width/height/channels/bit_depth (images),
     channels/bit_depth/sample_rate/n_samples (wav); fields that do not
     apply are NULL. WebP covers all three container variants (lossy
     'VP8 ' frame header, lossless 'VP8L' packed bit fields, extended
-    'VP8X' canvas) — metadata only; pixel decode stays library-bound.
+    'VP8X' canvas); GIF87a/89a reads the logical-screen descriptor
+    (palette-indexed: 1 channel at the global-table depth) — metadata
+    only; WebP/GIF pixel decode stays library-bound.
 
     - PNG: IHDR at its mandatory first-chunk position — width/height
       u32 big-endian at 16/20, bit depth at 24, channels from the color
@@ -382,6 +384,15 @@ def parse_media_headers(
     )
     webp_ext = is_vp8 & (tag3 == 0x58)
     is_webp = webp_lossy | webp_lossless | webp_ext
+    # GIF87a/89a: logical-screen dims u16le at 6/8; global color table
+    # flag (packed byte 10, bit 7) sets the palette depth
+    is_gif = (
+        (lens >= 13)
+        & (b[0] == 0x47) & (b[1] == 0x49) & (b[2] == 0x46)
+        & (b[3] == 0x38) & ((b[4] == 0x37) | (b[4] == 0x39))
+        & (b[5] == 0x61)
+        & ~is_png & ~is_bmp & ~is_wav & ~is_webp
+    )
 
     width = np.zeros(n, dtype=np.int64)
     height = np.zeros(n, dtype=np.int64)
@@ -453,16 +464,23 @@ def parse_media_headers(
     channels[webp_ext] = (3 + ((xflags >> 4) & 1))[webp_ext]
     bit_depth[is_webp] = 8
 
+    # GIF: palette-indexed single channel; depth = (packed & 7) + 1
+    width[is_gif] = _u16le(flat, starts, lens, 6)[is_gif]
+    height[is_gif] = _u16le(flat, starts, lens, 8)[is_gif]
+    channels[is_gif] = 1
+    gif_packed = _byte_at(flat, starts, lens, 10)
+    bit_depth[is_gif] = ((gif_packed & 0x07) + 1)[is_gif]
+
     kind_codes = np.where(
         is_png, 0, np.where(is_bmp, 1, np.where(
-            is_wav, 2, np.where(is_webp, 3, 4)))
+            is_wav, 2, np.where(is_webp, 3, np.where(is_gif, 4, 5))))
     ).astype(np.int32)
     kind = pc.take(
-        pa.array(["png", "bmp", "wav", "webp", "unknown"]),
+        pa.array(["png", "bmp", "wav", "webp", "gif", "unknown"]),
         pa.array(kind_codes),
     )
-    is_img = is_png | is_bmp | is_webp
-    ch_known = is_png | bmp_known | is_wav | is_webp
+    is_img = is_png | is_bmp | is_webp | is_gif
+    ch_known = is_png | bmp_known | is_wav | is_webp | is_gif
 
     def col(vals, mask):
         m = mask & np.asarray(valid.to_numpy(zero_copy_only=False))

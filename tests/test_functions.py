@@ -1277,6 +1277,44 @@ def test_media_header_parse_roundtrip_and_edges():
     assert w["bit_depth"][6] == 1
 
 
+def test_media_header_parse_webp_and_gif():
+    """WebP (all three container variants) and GIF logical-screen
+    headers parse vectorized; a RIFF/WEBP with an unknown first chunk
+    degrades to 'unknown', never garbage dims."""
+    from debezium_incubator_ray.functions.multimodal import (
+        parse_media_headers, synth_webp_headers,
+    )
+
+    ids = np.arange(0, 60, dtype=np.int64)
+    out = parse_media_headers(synth_webp_headers(ids),
+                              id_arr=pa.array(ids)).to_pandas()
+    for _, r in out.iterrows():
+        s, v = r.doc_id // 3, r.doc_id % 3
+        assert r.kind == "webp"
+        assert r.width == s % 300 + 1 and r.height == s % 200 + 1
+        assert r.channels == (3 if v == 0 else 3 + s % 2)
+        assert r.bit_depth == 8 and np.isnan(r.sample_rate)
+
+    # GIF87a and GIF89a logical-screen descriptors
+    def gif(ver, w, h, depth_bits):
+        b = bytearray(b"GIF" + ver)
+        b += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+        b += bytes([0x80 | (depth_bits - 1), 0, 0])
+        return bytes(b)
+
+    t = parse_media_headers(pa.array(
+        [gif(b"89a", 320, 200, 8), gif(b"87a", 7, 5, 1),
+         b"RIFF\x08\x00\x00\x00WEBPXXXX\x00\x00\x00\x00"],
+        pa.large_binary(),
+    )).to_pandas()
+    assert t["kind"].tolist() == ["gif", "gif", "unknown"]
+    assert t["width"].tolist()[:2] == [320, 7]
+    assert t["height"].tolist()[:2] == [200, 5]
+    assert t["channels"].tolist()[:2] == [1, 1]
+    assert t["bit_depth"].tolist()[:2] == [8, 1]
+    assert np.isnan(t["width"][2])  # unknown chunk -> no fabricated dims
+
+
 def test_media_header_parser_stage(ray_session):
     """Actor-pool stage wiring over a Dataset (the sf0.001 id space)."""
     from debezium_incubator_ray.functions.multimodal import (
